@@ -1,13 +1,246 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the executable operator inventory (SURVEY §2): each entry
+  * is one implemented operator; `oracleSql` carries the DuckDB-equivalent
+  * SQL for the correctness gate. Entries without an oracle are
+  * probabilistic/hash-based operators (LSH, SimHash, winnowing, stubbed
+  * decode) whose values are covered by ScalaTest against brute-force
+  * ground truth instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.qRevenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- SURVEY §2.5 parity queries (trigger/CDC/cluster semantics) ---
+    "q01_trigger_count" -> (Relational.qTriggerCount _),
+    "q02_prefix_filter" -> (Relational.qPrefixFilter _),
+    "q03_lookup_enrich" -> (Relational.qLookupEnrich _),
+    "q04_cross_shard_sum" -> (Relational.qCrossShardSum _),
+    "q05_checkpoint_order" -> (Relational.qCheckpointOrder _),
+    "q06_stream_window" -> (Relational.qStreamWindow _),
+    // --- relational surface (SURVEY §2.4) ---
+    "q07_semi_join" -> (Relational.qSemiJoin _),
+    "q08_anti_join" -> (Relational.qAntiJoin _),
+    "q09_topk" -> (Relational.qTopK _),
+    "q10_window_rank" -> (Relational.qWindowRank _),
+    "q11_window_lag" -> (Relational.qWindowLag _),
+    "q12_rollup" -> (Relational.qRollup _),
+    "q13_cube" -> (Relational.qCube _),
+    "q14_set_intersect" -> (Relational.qSetIntersect _),
+    "q15_set_except" -> (Relational.qSetExcept _),
+    "q16_scalar_json" -> (Relational.qScalarJson _),
+    "q17_distinct_agg" -> (Relational.qDistinctAgg _),
+    "q18_pricing_summary" -> (Relational.qPricingSummary _),
+    "q19_revenue_by_nation" -> (Relational.qRevenueByNation _),
+    "q20_range_join" -> (Relational.qRangeJoin _),
+    // --- text analysis ---
+    "q21_lang_id" -> (TextAnalysis.qLangId _),
+    "q22_token_count" -> (TextAnalysis.qTokenCount _),
+    "q23_text_quality" -> (TextAnalysis.qTextQuality _),
+    "q24_quality_filter" -> (TextAnalysis.qQualityFilter _),
+    "q25_fingerprint" -> (TextAnalysis.qFingerprint _),
+    // --- dedup ---
+    "q26_dedup_exact" -> (Dedup.qExact _),
+    "q27_dedup_minhash_lsh" -> (Dedup.qMinhashLsh _),
+    "q28_dedup_simhash" -> (Dedup.qSimhash _),
+    "q29_ngram_jaccard" -> ((s, d) => Dedup.qNgramJaccard(s, d)),
+    "q30_embedding_near_dup" -> ((s, d) => Dedup.qEmbeddingNearDup(s, d)),
+    "q31_embedding_lsh_near_dup" -> ((s, d) => Dedup.qEmbeddingLshNearDup(s, d)),
+    // --- similarity search ---
+    "q32_knn_brute_force" -> (Similarity.qBruteForceTopK _),
+    "q33_knn_lsh" -> ((s, d) => Similarity.qLshTopK(s, d)),
+    "q34_label_centroids" -> (Similarity.qLabelCentroids _),
+    // --- multimodal plumbing ---
+    "q35_media_meta" -> (Multimodal.qMediaMeta _),
+    "q36_frame_sample" -> ((s, d) => Multimodal.qFrameSample(s, d)),
+    "q37_media_features" -> (Multimodal.qMediaFeatures _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_trigger_count" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "q02_prefix_filter" ->
+      "SELECT COUNT(*) AS n FROM events WHERE event_type LIKE 'c%'",
+    "q03_lookup_enrich" ->
+      """SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+    "q04_cross_shard_sum" ->
+      "SELECT ROUND(SUM(value), 2) AS sum_value, COUNT(DISTINCT user_id) AS n_users FROM events",
+    "q05_checkpoint_order" ->
+      """SELECT user_id, CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS max_ts_sec
+         FROM events GROUP BY user_id""",
+    "q06_stream_window" ->
+      """SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
+                event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q07_semi_join" ->
+      """SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""",
+    "q08_anti_join" ->
+      """SELECT COUNT(*) AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q09_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey FROM (
+           SELECT o_custkey, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q11_window_lag" ->
+      """SELECT COUNT(*) AS n_increases FROM (
+           SELECT value, LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+           FROM events) WHERE prev IS NOT NULL AND value > prev""",
+    "q12_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q13_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+                COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY CUBE(event_type)""",
+    "q14_set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "q15_set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "q16_scalar_json" ->
+      """SELECT (json_extract(props, '$.k')::BIGINT) % 10 AS k_mod, COUNT(*) AS n
+         FROM events GROUP BY 1""",
+    "q17_distinct_agg" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""",
+    "q18_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                ROUND(SUM(l_quantity), 2) AS sum_qty,
+                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                ROUND(AVG(l_quantity), 4) AS avg_qty,
+                ROUND(AVG(l_discount), 4) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q19_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q20_range_join" ->
+      """SELECT COUNT(*) AS n, ROUND(SUM(p_retailprice), 2) AS sum_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity >= p_size
+         WHERE p_size <= 5""",
+    "q21_lang_id" ->
+      """WITH s AS (
+           SELECT len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS en,
+                  len(list_intersect(toks, ['el','la','de','y','en','es','un','que'])) AS es,
+                  len(list_intersect(toks, ['le','la','de','et','en','est','un','que'])) AS fr
+           FROM (SELECT list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+                 FROM documents))
+         SELECT CASE WHEN greatest(en, es, fr) = 0 THEN 'und'
+                     WHEN en >= es AND en >= fr THEN 'en'
+                     WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred,
+                COUNT(*) AS n
+         FROM s GROUP BY 1""",
+    "q22_token_count" ->
+      """SELECT source,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_ws_tokens,
+                CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
+                COUNT(*) AS n_docs
+         FROM documents GROUP BY source""",
+    "q23_text_quality" ->
+      """SELECT doc_id,
+                length(text) AS n_chars,
+                CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+                ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                           / length(text) END, 4) AS punct_ratio,
+                ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE len(list_filter(toks, t -> t IN
+                        ('the','a','of','and','to','in','is','it','el','la','de','y','en','es','un','que','le','et','est')))::DOUBLE
+                           / len(toks) END, 4) AS stopword_ratio,
+                ROUND(CASE WHEN len(rtoks) = 0 THEN 0.0
+                      ELSE list_sum(list_transform(rtoks, t -> length(t)))::DOUBLE / len(rtoks) END, 4)
+                  AS mean_token_len,
+                ROUND(CASE WHEN len(rtoks) = 0 THEN 0.0
+                      ELSE len(list_distinct(rtoks))::DOUBLE / len(rtoks) END, 4) AS distinct_ratio
+         FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+                      string_split_regex(text, '\s+') AS rtoks FROM documents)""",
+    "q24_quality_filter" ->
+      """SELECT COUNT(*) AS n_kept,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+         FROM documents
+         WHERE length(text) >= 50
+           AND len(list_distinct(string_split_regex(text, '\s+')))::DOUBLE
+               / len(string_split_regex(text, '\s+')) >= 0.1
+           AND length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+               / length(text) <= 0.2""",
+    "q26_dedup_exact" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents""",
+    "q29_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))
+         SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+         WHERE jac >= 0.5""",
+    "q30_embedding_near_dup" ->
+      """SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine FROM (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+           FROM embeddings a JOIN embeddings b
+             ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 128)
+         WHERE cos >= 0.35""",
+    "q32_knn_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+                    FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, rank, neighbor, cosine FROM (
+           SELECT q.query_id, c.vec_id AS neighbor,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.q_emb, c.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rank,
+                  ROUND(list_cosine_similarity(q.q_emb, c.embedding::DOUBLE[]), 4) AS cosine
+           FROM q, embeddings c WHERE q.query_id <> c.vec_id)
+         WHERE rank <= 10""",
+    "q34_label_centroids" ->
+      """SELECT label, COUNT(*) AS n,
+                ROUND(SUM(list_sum(embedding::DOUBLE[])), 4) AS sum_components
+         FROM embeddings GROUP BY label""",
+    "q35_media_meta" ->
+      """SELECT media_type, COUNT(*) AS n,
+                CAST(SUM(octet_length(payload)) AS BIGINT) AS sum_bytes,
+                COUNT(DISTINCT md5(text)) AS n_unique
+         FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                           WHEN doc_id % 3 = 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+                      text, encode(text) AS payload FROM documents)
+         GROUP BY media_type""",
+    "q36_frame_sample" ->
+      """SELECT media_id, CAST(len(range(0, duration_ms, 1000)) AS BIGINT) AS n_frames
+         FROM (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms FROM documents
+               WHERE doc_id % 3 = 2 AND n_chars * 10 >= 1000)""",
+  )
 }

@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Registers graft's native Catalyst expressions in a session's function
+  * registry, exposing them to both the Column DSL (via `call_function`)
+  * and plain SQL (`SELECT simhash64(tokens) ...`). Idempotent. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => WinnowFingerprint(t, 8, 4)
+        case Seq(t, Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowFingerprint(t, k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprint(text[, k, w]) requires literal integer k and w")
+      }, "built-in")
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level toolkit for the text / dedup / similarity operators.
+  *
+  * Everything here is built from codegen'd Spark built-ins
+  * (`org.apache.spark.sql.functions`) or native Catalyst expressions
+  * (`SimHash64`, `WinnowFingerprint`, resolved via the session function
+  * registry — see [[GraftFunctions.register]]) — no Scala UDFs — so all
+  * of it stays inside whole-stage codegen and scales with the executors.
+  */
+package object functions {
+
+  /** Whitespace tokens of a string column. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Distinct whitespace tokens (set semantics — used for Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles over whitespace tokens. Short texts (< n
+    * tokens) collapse to a single shingle of the whole text so every
+    * document has a non-empty shingle set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct shingles (set semantics). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** MinHash signature: `k` independent hash functions via seeded
+    * xxhash64, each taking the min over the element set. Returns
+    * ARRAY<LONG> of length k; null for empty sets. */
+  def minhashSignature(elems: Column, k: Int): Column =
+    when(size(elems) === 0, lit(null))
+      .otherwise(transform(sequence(lit(1), lit(k)),
+        s => array_min(transform(elems, e => xxhash64(s, e)))))
+
+  /** LSH band hashes of a MinHash signature: splits the signature into
+    * `bands` bands of k/bands rows each and hashes each band. Returns
+    * ARRAY<LONG> of length `bands`; band index must be paired with the
+    * hash when bucketing (same hash in different bands != candidate). */
+  def lshBandHashes(sig: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"numHashes=$k must be divisible by bands=$bands")
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(r) + 1, lit(r))))
+  }
+
+  /** Exact Jaccard similarity of two array columns treated as sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Dot product of two numeric array columns, accumulated in Double
+    * left-to-right (deterministic). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a numeric array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity of two numeric array columns (0 when either is a
+    * zero vector). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val d = dotProduct(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Sign-bit random-hyperplane LSH bucket for an embedding: `nbits`
+    * pseudo-random hyperplanes derived from seeded xxhash64 of the
+    * dimension index, giving a LONG bucket id. Deterministic across
+    * executors. Vectors with high cosine similarity collide with high
+    * probability — the scale path for ANN search. `table` selects an
+    * independent hyperplane family (multi-table LSH boosts recall). */
+  def signLshBucket(vec: Column, nbits: Int, table: Column = lit(0)): Column = {
+    require(nbits >= 1 && nbits <= 63, "nbits in [1,63]")
+    // hyperplane h of table t, dim i weight = (hash(t, h, i) % 1001 - 500)
+    // — a cheap deterministic pseudo-gaussian; sign of <w, v> is the bit.
+    aggregate(
+      sequence(lit(0), lit(nbits - 1)),
+      lit(0L),
+      (acc, h) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") *
+              ((pmod(xxhash64(table, h, i), lit(1001)) - 500).cast("double"))),
+          lit(0.0), (a2, v) => a2 + v)
+        acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
+      })
+  }
+
+  /** All multi-table LSH buckets for a vector: ARRAY<STRUCT<tbl, bucket>>
+    * — explode and bucket-join on both fields. */
+  def signLshBuckets(vec: Column, nbits: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)),
+      t => struct(t.as("tbl"), signLshBucket(vec, nbits, t).as("bucket")))
+
+  /** 64-bit SimHash of a token array (native Catalyst expression;
+    * requires [[GraftFunctions.register]] on the session). */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Winnowing fingerprint (array of selected k-gram rolling hashes;
+    * requires [[GraftFunctions.register]] on the session). */
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    call_function("winnow_fingerprint", text, lit(k), lit(w))
+
+  /** Hamming distance between two LONG columns viewed as 64-bit vectors. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --- text analysis -------------------------------------------------
+
+  /** Stopword lists for the language-ID heuristic. Tiny on purpose —
+    * these broadcast as literals into codegen. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "en", "es", "un", "que")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "en", "est", "un", "que")
+
+  private def overlapCount(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
+
+  /** Heuristic language ID over whitespace tokens: argmax of stopword
+    * overlap (en > es > fr on ties), 'und' when no stopword hits. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = overlapCount(toks, StopwordsEn)
+    val es = overlapCount(toks, StopwordsEs)
+    val fr = overlapCount(toks, StopwordsFr)
+    when(greatest(en, es, fr) === 0, lit("und"))
+      .when(en >= es && en >= fr, lit("en"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Number of whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single other non-space characters each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t =>
+      array_contains(array((StopwordsEn ++ StopwordsEs ++ StopwordsFr).distinct.map(lit): _*), t))
+    when(size(toks) === 0, lit(0.0)).otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Ratio of non-[a-z0-9 ] characters (punctuation/symbols) to length. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Mean token character length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Ratio of distinct tokens to all tokens (repetition detector). */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+  }
+}

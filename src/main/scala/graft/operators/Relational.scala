@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY.md §2.4/§2.5).
+  *
+  * The reference (RedisGears) has no relational operators — every join,
+  * aggregation, sort and window is hand-written user JS looping over
+  * `client.call` results (e.g. the SCAN+HGET count loop in
+  * `/root/reference/docs/docs/concepts/Sync_Async.md` and the cross-shard
+  * sum in `Cluster_Support.md`). This module supplies that surface
+  * natively as declarative DataFrame plans so Catalyst gets pushdown,
+  * pruning, join selection and whole-stage codegen, and AQE re-plans at
+  * runtime — the design point for 100 TB inputs.
+  *
+  * Scale notes per query are inline: small dimensions are broadcast
+  * explicitly; aggregations rely on partial (map-side) aggregation; sorts
+  * are top-k (`TakeOrderedAndProject`), never global sorts.
+  */
+object Relational {
+
+  import Tables._
+
+  /** §2.5 Q1 — stream-trigger count analogue: events per event_type.
+    * Partial agg on 5 distinct keys → a few rows shuffled per partition. */
+  def qTriggerCount(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy("event_type").agg(count("*").as("n"))
+
+  /** §2.5 Q2 — keyspace-trigger prefix match as a pushed-down predicate
+    * (`StartsWith` reaches the parquet scan). */
+  def qPrefixFilter(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("event_type").startsWith("c"))
+      .agg(count("*").as("n"))
+
+  /** §2.5 Q3 — onTriggerFired lookup-enrich as a join. lineitem is the
+    * fact side; orders joins on the shuffle key. At 100 TB both sides are
+    * large → shuffle hash/SMJ on l_orderkey is correct; AQE handles skew. */
+  def qLookupEnrich(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+
+  /** §2.5 Q4 — cross-shard fan-out/gather (runOnShards) as a global agg.
+    * COUNT(DISTINCT) expands to a two-stage partial/final plan. */
+  def qCrossShardSum(s: SparkSession, d: String): DataFrame =
+    events(s, d).agg(
+      round(sum("value"), 2).as("sum_value"),
+      count_distinct(col("user_id")).as("n_users"))
+
+  /** §2.5 Q5 — checkpoint ordering (max stream id per key). */
+  def qCheckpointOrder(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy("user_id")
+      .agg(unix_timestamp(max("ts")).as("max_ts_sec"))
+
+  /** §2.5 Q6 — tumbling event-time window (batch-equivalent of the
+    * Structured Streaming hourly window; oracle-comparable). */
+  def qStreamWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+
+  /** Semi join (EXISTS): orders that have at least one lineitem. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    orders(s, d).join(lineitem(s, d).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
+  /** Anti join (NOT EXISTS): customers with no orders. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d).join(orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count("*").as("n"))
+
+  /** Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject — per
+    * partition top-10 then a single-partition merge; no global sort. */
+  def qTopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Ranking window: each customer's highest-value order. */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey")
+  }
+
+  /** Analytic window: per-user LAG over the event stream — counts events
+    * whose value increased vs the previous event (event_id is the
+    * deterministic order key; ts has ns precision the oracle keeps but
+    * Spark truncates). */
+  def qWindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events(s, d)
+      .withColumn("prev", lag("value", 1).over(w))
+      .filter(col("prev").isNotNull && col("value") > col("prev"))
+      .agg(count("*").as("n_increases"))
+  }
+
+  /** ROLLUP aggregation (grouping sets). NULL group markers are coalesced
+    * to 'ALL' so the oracle compare is null-free. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+      .agg(count("*").as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+
+  /** CUBE aggregation over events. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .cube("event_type")
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Set op: users who clicked INTERSECT users who purchased. */
+  def qSetIntersect(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.filter(col("event_type") === "click").select("user_id")
+      .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
+  /** Set op: users who viewed EXCEPT users who purchased. */
+  def qSetExcept(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.filter(col("event_type") === "view").select("user_id")
+      .except(e.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
+  /** Scalar functions: JSON extraction from the schemaless `props`
+    * payload (the reference's dynamic JS-value analogue, SURVEY §1.3),
+    * plus string/date built-ins. */
+  def qScalarJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod")).agg(count("*").as("n"))
+
+  /** Global distinct aggregation over two columns. */
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count_distinct(col("l_partkey")).as("n_parts"),
+      count_distinct(col("l_suppkey")).as("n_supps"))
+
+  /** TPC-H Q1 shape — the headline partial-agg benchmark: wide scan,
+    * pushed filter, 4-key groupBy with many aggregates. */
+  def qPricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count("*").as("count_order"))
+
+  /** TPC-H Q5 shape — multi-join with broadcast dimensions. nation and
+    * region are tiny at any SF → explicit broadcast keeps the big
+    * customer⋈orders⋈lineitem chain shuffle-free on the dim side. */
+  def qRevenueByNation(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+
+  /** Theta/range join: parts joined to lineitems of the same size class
+    * via a range condition on quantity — exercises non-equi join
+    * planning. Kept selective so the build side broadcasts. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select("p_partkey", "p_size", "p_retailprice")
+      .filter(col("p_size") <= 5)
+    lineitem(s, d).select("l_partkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+        col("l_quantity") >= col("p_size"))
+      .agg(count("*").as("n"), round(sum("p_retailprice"), 2).as("sum_price"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the full corpus; O(corpus) work fully parallel, the only
+  * shuffle is the per-query top-k (TakeOrdered-style via window + filter
+  * on a tiny intermediate).
+  *
+  * Scale path: sign-LSH (random hyperplanes) bucketing — the corpus is
+  * hashed once into buckets; a query probes only its own bucket. Recall
+  * is probabilistic (covered by SimilaritySpec vs brute force); the
+  * candidate set shrinks by ~2^nbits.
+  */
+object Similarity {
+
+  import Tables._
+
+  /** Brute-force cosine top-k for a broadcast query set.
+    * @param queries (query_id, embedding) — small, broadcast.
+    * @param corpus  (vec_id, embedding) — large, scanned once. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  private def queriesDf(s: SparkSession, d: String, n: Int = 5): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Top-10 cosine neighbors for the first 5 vectors (deterministic,
+    * oracle-checkable in DuckDB with double-precision cosine). */
+  def qBruteForceTopK(s: SparkSession, d: String): DataFrame =
+    bruteForceTopK(queriesDf(s, d),
+      embeddings(s, d).select("vec_id", "embedding"), 10)
+
+  /** LSH-bucketed ANN: multi-table sign-LSH — the corpus is hashed into
+    * `tables` independent bucket families; a query probes its bucket in
+    * each table, candidates are unioned and ranked. Probabilistic recall
+    * — no SQL oracle; SimilaritySpec measures recall vs brute force. */
+  def qLshTopK(s: SparkSession, d: String, nbits: Int = 6, tables: Int = 4): DataFrame = {
+    val corpus = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(signLshBuckets(col("embedding"), nbits, tables)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qs = queriesDf(s, d)
+      .select(col("query_id"), col("q_emb"),
+        explode(signLshBuckets(col("q_emb"), nbits, tables)).as("tb"))
+      .select(col("query_id"), col("q_emb"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val scored = corpus.join(broadcast(qs), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy("query_id", "vec_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Centroid stats per label — the IVF coarse-quantizer building block
+    * (mean vector per cluster), oracle-checkable as per-label sums. */
+  def qLabelCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), col("embedding"))
+      .groupBy("label")
+      .agg(count("*").as("n"),
+        round(sum(aggregate(col("embedding"), lit(0.0),
+          (acc, v) => acc + v.cast("double"))), 4).as("sum_components"))
+}
