@@ -1,0 +1,325 @@
+package graft.core
+
+import java.util.concurrent.{ExecutorService, Executors, TimeUnit}
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{ExecutionContext, Future}
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.RespValue._
+import graft.streaming.{KeySpaceTriggerEngine, StreamTriggerEngine}
+
+/** Function flags (C13) — names and semantics from
+  * `/root/reference/redisgears_plugin_api/src/redisgears_plugin_api/load_library_ctx.rs:19-26`. */
+object FunctionFlags {
+  /** Function performs no writes: may run read-only / under OOM. */
+  val NoWrites = "no-writes"
+  /** Function may run even when the engine is out of memory. */
+  val AllowOom = "allow-oom"
+  /** Arguments passed as raw binary (no UTF-8 validation). */
+  val RawArguments = "raw-arguments"
+  val All: Set[String] = Set(NoWrites, AllowOom, RawArguments)
+}
+
+/** The "client" handed to a running function (C1-C8): state access +
+  * the SparkSession for relational work. Write methods throw for
+  * functions declared [[FunctionFlags.NoWrites]] — the reference's
+  * replica/OOM write gating (E13, `lib.rs:1293-1313`). */
+final class FunctionContext private[core] (
+    val engine: Engine, val library: String, val readOnly: Boolean) {
+  def spark: SparkSession = engine.spark
+  def state: StateTable = engine.state
+
+  private def requireWrites(): Unit =
+    if (readOnly) throw new IllegalStateException(
+      s"function declared ${FunctionFlags.NoWrites} attempted a write")
+
+  def get(key: String): Option[String] = engine.state.get(key)
+  def hget(key: String, field: String): Option[String] = engine.state.hget(key, field)
+  def hgetall(key: String): Map[String, String] = engine.state.hgetall(key)
+  def scan(prefix: String): Seq[String] = engine.state.scan(prefix)
+  def set(key: String, value: String): Unit = { requireWrites(); engine.state.set(key, value) }
+  def hset(key: String, fields: (String, String)*): Unit = { requireWrites(); engine.state.hset(key, fields: _*) }
+  def del(key: String): Boolean = { requireWrites(); engine.state.del(key) }
+  def incrBy(key: String, delta: Long): Long = { requireWrites(); engine.state.incrBy(key, delta) }
+  /** Per-library config injected at load (C10). */
+  def config: Map[String, String] = engine.libraryConfig(library)
+  def log(msg: String): Unit = engine.log(s"[$library] $msg")
+
+  /** Run a registered cluster function for a specific key (C7
+    * `runOnKey`) — in Spark the data for a key is reachable from any
+    * task, so this is a direct invocation with the key as routing arg. */
+  def runOnKey(key: String, remoteFn: String, args: RespValue*): RespValue =
+    engine.runClusterFunction(library, remoteFn, RespString(key) +: args.toSeq)
+
+  /** Run a registered cluster function "on all shards" (C8
+    * `runOnShards`) and gather. Spark has no user-visible shards; the
+    * single invocation receives the full distributed view. */
+  def runOnShards(remoteFn: String, args: RespValue*): Seq[RespValue] =
+    Seq(engine.runClusterFunction(library, remoteFn, args.toSeq))
+}
+
+/** Collected registrations of one library — what the reference gathers
+  * while evaluating library code at load time
+  * (`GearsLibraryCtx`, `redisgears_core/src/lib.rs:243-254`). */
+final class LibraryBuilder private[core] (val name: String) {
+  import LibraryBuilder._
+  private[core] val functions = TrieMap.empty[String, FunctionDef]
+  private[core] val streamTriggers = TrieMap.empty[String, StreamTriggerDef]
+  private[core] val keySpaceTriggers = TrieMap.empty[String, KeySpaceTriggerDef]
+  private[core] val clusterFunctions = TrieMap.empty[String, ClusterFunctionDef]
+
+  private def checkName(n: String, kind: String): Unit = {
+    if (!Engine.validName(n))
+      throw new IllegalArgumentException(s"invalid $kind name '$n' (allowed: [A-Za-z0-9_])")
+    if (functions.contains(n) || streamTriggers.contains(n) ||
+        keySpaceTriggers.contains(n) || clusterFunctions.contains(n))
+      throw new IllegalArgumentException(s"$kind '$n' already registered in library '$name'")
+  }
+
+  /** R1: sync function callable via `Engine.call` — atomic w.r.t. the
+    * state table. */
+  def registerFunction(fnName: String, fn: (FunctionContext, Seq[RespValue]) => RespValue,
+      flags: Set[String] = Set.empty, description: String = ""): Unit = {
+    checkName(fnName, "function")
+    val bad = flags.diff(FunctionFlags.All)
+    if (bad.nonEmpty) throw new IllegalArgumentException(s"unknown flags: $bad")
+    functions.put(fnName, FunctionDef(fnName, fn, flags, description, isAsync = false))
+  }
+
+  /** R2: async function callable via `Engine.callAsync` — runs on the
+    * engine's background pool (E9). */
+  def registerAsyncFunction(fnName: String, fn: (FunctionContext, Seq[RespValue]) => RespValue,
+      flags: Set[String] = Set.empty, description: String = ""): Unit = {
+    checkName(fnName, "function")
+    functions.put(fnName, FunctionDef(fnName, fn, flags, description, isAsync = true))
+  }
+
+  /** R3: continuous consumer over streams matching `prefix`; `window`
+    * is max in-flight records per stream; `isStreamTrimmed` requests
+    * consumed-prefix trimming. */
+  def registerStreamTrigger(trigger: String, prefix: String,
+      fn: (FunctionContext, StreamRecord) => Unit,
+      window: Int = 1, isStreamTrimmed: Boolean = false,
+      description: String = ""): Unit = {
+    checkName(trigger, "stream trigger")
+    if (window < 1) throw new IllegalArgumentException("window must be >= 1")
+    streamTriggers.put(trigger,
+      StreamTriggerDef(trigger, prefix, fn, window, isStreamTrimmed, description))
+  }
+
+  /** R4: CDC-style trigger on keyspace events for keys matching
+    * `prefix`; `onTriggerFired` runs synchronously at notification time
+    * to snapshot data into the event. */
+  def registerKeySpaceTrigger(trigger: String, prefix: String,
+      fn: (FunctionContext, KeyEvent) => Unit,
+      onTriggerFired: Option[(FunctionContext, KeyEvent) => Map[String, String]] = None,
+      description: String = ""): Unit = {
+    checkName(trigger, "keyspace trigger")
+    keySpaceTriggers.put(trigger,
+      KeySpaceTriggerDef(trigger, prefix, fn, onTriggerFired, description))
+  }
+
+  /** R5: remote/cluster function — read-only by contract
+    * (`v8_native_functions.rs:1297-1404`). */
+  def registerClusterFunction(fnName: String,
+      fn: (FunctionContext, Seq[RespValue]) => RespValue): Unit = {
+    checkName(fnName, "cluster function")
+    clusterFunctions.put(fnName, ClusterFunctionDef(fnName, fn))
+  }
+
+  private[core] def isEmpty: Boolean =
+    functions.isEmpty && streamTriggers.isEmpty &&
+      keySpaceTriggers.isEmpty && clusterFunctions.isEmpty
+}
+
+object LibraryBuilder {
+  case class FunctionDef(name: String,
+      fn: (FunctionContext, Seq[RespValue]) => RespValue,
+      flags: Set[String], description: String, isAsync: Boolean)
+  case class StreamTriggerDef(name: String, prefix: String,
+      fn: (FunctionContext, StreamRecord) => Unit,
+      window: Int, isStreamTrimmed: Boolean, description: String)
+  case class KeySpaceTriggerDef(name: String, prefix: String,
+      fn: (FunctionContext, KeyEvent) => Unit,
+      onTriggerFired: Option[(FunctionContext, KeyEvent) => Map[String, String]],
+      description: String)
+  case class ClusterFunctionDef(name: String,
+      fn: (FunctionContext, Seq[RespValue]) => RespValue)
+}
+
+/** A library definition: name + api version + the registration code
+  * (the Scala analogue of the JS source blob with its `#!js name=…
+  * api_version=…` prologue, `prologue.rs:16-83`). */
+case class LibraryDefinition(name: String, apiVersion: String = "1.0",
+    code: LibraryBuilder => Unit)
+
+/** The engine façade (E14-E17): library load/upgrade/delete with
+  * revert-on-failure, sync/async invocation, cluster functions, and
+  * introspection. Owns the [[StateTable]] and the trigger engines. */
+final class Engine(val spark: SparkSession,
+    executionThreads: Int = 1) extends AutoCloseable {
+  import LibraryBuilder._
+  require(executionThreads >= 1 && executionThreads <= 32,
+    "execution-threads must be in [1,32]") // config range, lib.rs:1912
+
+  // the driver test data's events table is parquet TIMESTAMP(NANOS),
+  // which Spark only reads with this legacy conf; set it engine-wide so
+  // library code can read any test table directly
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  val state = new StateTable
+  val streams = new StreamTriggerEngine(this)
+  val keyspace = new KeySpaceTriggerEngine(this)
+
+  private val libraries = TrieMap.empty[String, LoadedLibrary]
+  // E9: background pool for async functions, size = execution-threads
+  private val pool: ExecutorService = Executors.newFixedThreadPool(executionThreads)
+  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+
+  private case class LoadedLibrary(builder: LibraryBuilder, apiVersion: String,
+      config: Map[String, String])
+
+  /** E14: load or upgrade a library. Evaluation failures and validation
+    * failures leave the previous version fully in place (revert
+    * semantics, `function_load_command.rs:141-167`); upgrades preserve
+    * stream-consumer checkpoints and may not change a trigger's prefix
+    * (`lib.rs:411-439`). */
+  def load(definition: LibraryDefinition, replace: Boolean = false,
+      config: Map[String, String] = Map.empty): Unit = synchronized {
+    if (!Engine.validName(definition.name))
+      throw new IllegalArgumentException(s"invalid library name '${definition.name}'")
+    if (!Engine.SupportedApiVersions.contains(definition.apiVersion))
+      throw new IllegalArgumentException(
+        s"unsupported api_version '${definition.apiVersion}' (supported: ${Engine.SupportedApiVersions.mkString(", ")})")
+    val existing = libraries.get(definition.name)
+    if (existing.isDefined && !replace)
+      throw new IllegalStateException(s"library '${definition.name}' already exists (use replace)")
+
+    // evaluate registrations into a fresh builder; any throw = no-op load
+    val builder = new LibraryBuilder(definition.name)
+    definition.code(builder) // may throw — nothing registered yet
+    if (builder.isEmpty)
+      throw new IllegalArgumentException(
+        s"library '${definition.name}' does not register any function or trigger")
+    existing.foreach { old =>
+      // upgrade constraint: a surviving stream trigger keeps its prefix
+      builder.streamTriggers.foreach { case (tname, t) =>
+        old.builder.streamTriggers.get(tname).foreach { oldT =>
+          if (oldT.prefix != t.prefix)
+            throw new IllegalArgumentException(
+              s"upgrade cannot change stream trigger '$tname' prefix ('${oldT.prefix}' -> '${t.prefix}')")
+        }
+      }
+    }
+    // swap atomically; stream checkpoints survive by (library, trigger) key
+    existing.foreach(old => detach(definition.name, old.builder, dropCheckpoints = false))
+    libraries.put(definition.name, LoadedLibrary(builder, definition.apiVersion, config))
+    attach(definition.name, builder)
+  }
+
+  /** Delete a library: unregister all its triggers and drop checkpoints. */
+  def delete(name: String): Unit = synchronized {
+    val lib = libraries.remove(name).getOrElse(
+      throw new NoSuchElementException(s"no such library '$name'"))
+    detach(name, lib.builder, dropCheckpoints = true)
+  }
+
+  private def attach(name: String, b: LibraryBuilder): Unit = {
+    b.streamTriggers.values.foreach(t => streams.register(name, t))
+    b.keySpaceTriggers.values.foreach(t => keyspace.register(name, t))
+  }
+
+  private def detach(name: String, b: LibraryBuilder, dropCheckpoints: Boolean): Unit = {
+    b.streamTriggers.keys.foreach(t => streams.unregister(name, t, dropCheckpoints))
+    b.keySpaceTriggers.keys.foreach(t => keyspace.unregister(name, t))
+  }
+
+  private def functionDef(lib: String, fn: String): (FunctionDef, LoadedLibrary) = {
+    val l = libraries.getOrElse(lib, throw new NoSuchElementException(s"no such library '$lib'"))
+    val f = l.builder.functions.getOrElse(fn,
+      throw new NoSuchElementException(s"no such function '$lib.$fn'"))
+    (f, l)
+  }
+
+  /** TFCALL (sync): runs atomically w.r.t. the state table — the whole
+    * invocation is one state transaction (E8). */
+  def call(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): RespValue = {
+    val (f, _) = functionDef(lib, fn)
+    if (f.isAsync) throw new IllegalStateException(
+      s"'$lib.$fn' is async — use callAsync") // TFCALL on async fn is an error shape
+    val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
+    val out = state.commit(_ => f.fn(ctx, args))
+    RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
+  }
+
+  /** TFCALLASYNC: runs on the background pool; the function must go
+    * through the state table's commit path for writes (C6 `block`). */
+  def callAsync(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): Future[RespValue] = {
+    val (f, _) = functionDef(lib, fn)
+    val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
+    Future {
+      val out = f.fn(ctx, args)
+      RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
+    }
+  }
+
+  private[core] def runClusterFunction(lib: String, fn: String, args: Seq[RespValue]): RespValue = {
+    val l = libraries.getOrElse(lib, throw new NoSuchElementException(s"no such library '$lib'"))
+    val f = l.builder.clusterFunctions.getOrElse(fn,
+      throw new NoSuchElementException(s"no such cluster function '$lib.$fn'"))
+    // cluster functions are read-only by contract
+    f.fn(new FunctionContext(this, lib, readOnly = true), args)
+  }
+
+  private[core] def libraryConfig(lib: String): Map[String, String] =
+    libraries.get(lib).map(_.config).getOrElse(Map.empty)
+
+  private[graft] def functionContext(lib: String): FunctionContext =
+    new FunctionContext(this, lib, readOnly = false)
+
+  /** E16: TFUNCTION LIST — per-library functions, triggers, and
+    * per-consumer stream stats. */
+  def list(): Seq[LibraryInfo] = libraries.toSeq.sortBy(_._1).map { case (name, l) =>
+    LibraryInfo(
+      name = name,
+      apiVersion = l.apiVersion,
+      config = l.config,
+      functions = l.builder.functions.values.toSeq.sortBy(_.name).map(f =>
+        FunctionInfo(f.name, f.isAsync, f.flags, f.description)),
+      clusterFunctions = l.builder.clusterFunctions.keys.toSeq.sorted,
+      streamTriggers = l.builder.streamTriggers.keys.toSeq.sorted.map(t =>
+        streams.stats(name, t)),
+      keySpaceTriggers = l.builder.keySpaceTriggers.keys.toSeq.sorted.map(t =>
+        keyspace.stats(name, t)))
+  }
+
+  def log(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger("graft.Engine").info(msg)
+
+  override def close(): Unit = {
+    pool.shutdown()
+    pool.awaitTermination(10, TimeUnit.SECONDS)
+  }
+}
+
+object Engine {
+  val SupportedApiVersions: Set[String] = Set("1.0", "1.1")
+  /** Library/function name charset, `lib.rs:1703-1713`. */
+  def validName(n: String): Boolean =
+    n.nonEmpty && n.forall(c => c.isLetterOrDigit && c < 128 || c == '_')
+}
+
+case class FunctionInfo(name: String, isAsync: Boolean, flags: Set[String],
+    description: String)
+case class StreamTriggerStats(library: String, trigger: String, prefix: String,
+    window: Int, trimmed: Boolean, streams: Map[String, StreamConsumerStats])
+case class StreamConsumerStats(lastReadId: String, totalProcessed: Long,
+    totalErrors: Long, lastError: Option[String], lastLagMs: Long)
+case class KeySpaceTriggerStats(library: String, trigger: String, prefix: String,
+    totalFired: Long, totalErrors: Long, lastError: Option[String])
+case class LibraryInfo(name: String, apiVersion: String,
+    config: Map[String, String], functions: Seq[FunctionInfo],
+    clusterFunctions: Seq[String], streamTriggers: Seq[StreamTriggerStats],
+    keySpaceTriggers: Seq[KeySpaceTriggerStats])

@@ -1,0 +1,161 @@
+package graft.core
+
+import java.util.concurrent.locks.ReentrantLock
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's keyed state layer — the Spark-side stand-in for the
+  * Redis keyspace (SURVEY §1.1).
+  *
+  * Every key holds a hash (field → value), which covers both string
+  * values (single field "value") and hash values, the two types the
+  * reference's tests exercise. All mutation goes through a single
+  * commit path under one lock, giving the reference's sync-execution
+  * atomicity (E8: sync functions run under the Redis GIL,
+  * `redisgears_core/src/lib.rs:1368-1387`) and atomic effect visibility
+  * (E12: replication as MULTI/EXEC) at *transaction* granularity — the
+  * documented weaker-but-equivalent guarantee from SURVEY §7.5.1.
+  *
+  * Keyspace notifications (the R4 trigger source) are emitted
+  * synchronously inside the commit, matching the reference's
+  * notification-at-command-time semantics
+  * (`keys_notifications.rs:150-209`). A reentrancy guard replicates the
+  * reference's recursion blocker (`lib.rs:629-645`): writes performed
+  * *by* a notification callback do not re-fire notifications.
+  *
+  * Scale note: this is driver-side trigger state (the reference's
+  * per-consumer state is similarly tiny — SURVEY §7.5.6). Bulk data
+  * lives in parquet tables; `snapshot`/`restore` move state to/from
+  * distributed storage for durability.
+  */
+final class StateTable {
+  import StateTable._
+
+  private val data = TrieMap.empty[String, Map[String, String]]
+  private val lock = new ReentrantLock()
+  private val subscribers = new ArrayBuffer[KeyEvent => Unit]
+  private val inNotification = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Run `body` atomically (single-writer). Reads inside see their own
+    * writes; other threads see nothing until commit returns. */
+  def commit[A](body: Txn => A): A = {
+    lock.lock()
+    try {
+      val txn = new Txn(this)
+      val result = body(txn)
+      val events = txn.flush()
+      if (!inNotification.get()) {
+        inNotification.set(true)
+        try events.foreach(e => subscribers.foreach(_(e)))
+        finally inNotification.set(false)
+      }
+      result
+    } finally lock.unlock()
+  }
+
+  /** Subscribe to keyspace events (the keyspace-trigger engine hook). */
+  def subscribe(fn: KeyEvent => Unit): Unit = {
+    lock.lock()
+    try subscribers += fn
+    finally lock.unlock()
+  }
+
+  // --- reads: take the (reentrant) lock so a running sync function is
+  // fully isolated — the GIL analogue of E8: nothing observes state
+  // mid-invocation. A function's own reads re-enter the lock it holds.
+  private def withLock[A](a: => A): A = { lock.lock(); try a finally lock.unlock() }
+  def get(key: String): Option[String] = withLock(data.get(key).flatMap(_.get(ValueField)))
+  def hget(key: String, field: String): Option[String] = withLock(data.get(key).flatMap(_.get(field)))
+  def hgetall(key: String): Map[String, String] = withLock(data.getOrElse(key, Map.empty))
+  def exists(key: String): Boolean = withLock(data.contains(key))
+  def scan(prefix: String): Seq[String] =
+    withLock(data.keysIterator.filter(_.startsWith(prefix)).toSeq.sorted)
+  def size: Int = withLock(data.size)
+
+  // --- convenience single-op writes (each is its own transaction) ---
+  def set(key: String, value: String): Unit = commit(_.set(key, value))
+  def hset(key: String, fields: (String, String)*): Unit = commit(_.hset(key, fields: _*))
+  def del(key: String): Boolean = commit(_.del(key))
+  def incrBy(key: String, delta: Long): Long = commit(_.incrBy(key, delta))
+
+  /** Dump the state as a DataFrame (key, field, value) for durable
+    * snapshot to parquet. */
+  def snapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    data.toSeq.flatMap { case (k, m) => m.map { case (f, v) => (k, f, v) } }
+      .toDF("key", "field", "value")
+  }
+
+  /** Restore from a snapshot DataFrame. Replaces current content. */
+  def restore(df: DataFrame): Unit = {
+    val rows = df.select("key", "field", "value").collect()
+    lock.lock()
+    try {
+      data.clear()
+      rows.foreach { r =>
+        val (k, f, v) = (r.getString(0), r.getString(1), r.getString(2))
+        data.update(k, data.getOrElse(k, Map.empty) + (f -> v))
+      }
+    } finally lock.unlock()
+  }
+
+  private[core] def applyWrite(key: String, fields: Map[String, String]): Unit =
+    data.update(key, fields)
+  private[core] def applyDel(key: String): Unit = data.remove(key)
+}
+
+object StateTable {
+  /** Field name used for plain string values. */
+  val ValueField = "__value"
+
+  /** A transaction: buffered writes + read-your-writes, flushed
+    * atomically by [[StateTable.commit]]. */
+  final class Txn private[core] (table: StateTable) {
+    private val writes = scala.collection.mutable.LinkedHashMap.empty[String, Option[Map[String, String]]]
+    private val events = new ArrayBuffer[KeyEvent]
+
+    private def current(key: String): Option[Map[String, String]] =
+      writes.getOrElse(key, if (table.exists(key)) Some(table.hgetall(key)) else None)
+
+    def get(key: String): Option[String] = current(key).flatMap(_.get(ValueField))
+    def hget(key: String, field: String): Option[String] = current(key).flatMap(_.get(field))
+    def hgetall(key: String): Map[String, String] = current(key).getOrElse(Map.empty)
+    def exists(key: String): Boolean = current(key).isDefined
+
+    def set(key: String, value: String): Unit = {
+      writes.update(key, Some(Map(ValueField -> value)))
+      events += KeyEvent("set", key, System.currentTimeMillis(), None)
+    }
+
+    def hset(key: String, fields: (String, String)*): Unit = {
+      writes.update(key, Some(current(key).getOrElse(Map.empty) ++ fields))
+      events += KeyEvent("hset", key, System.currentTimeMillis(), None)
+    }
+
+    def del(key: String): Boolean = {
+      val existed = current(key).isDefined
+      writes.update(key, None)
+      if (existed) events += KeyEvent("del", key, System.currentTimeMillis(), None)
+      existed
+    }
+
+    def incrBy(key: String, delta: Long): Long = {
+      val next = get(key).map(_.toLong).getOrElse(0L) + delta
+      writes.update(key, Some(current(key).getOrElse(Map.empty) + (ValueField -> next.toString)))
+      events += KeyEvent("incrby", key, System.currentTimeMillis(), None)
+      next
+    }
+
+    private[core] def flush(): Seq[KeyEvent] = {
+      writes.foreach {
+        case (k, Some(m)) => table.applyWrite(k, m)
+        case (k, None) => table.applyDel(k)
+      }
+      events.toSeq
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import graft.core._
+import graft.core.LibraryBuilder.KeySpaceTriggerDef
+
+/** The keyspace-trigger engine (R4): CDC-style callbacks on state-table
+  * change events for keys matching a prefix.
+  *
+  * Mirrors the reference's notification consumers
+  * (`/root/reference/redisgears_core/src/keys_notifications.rs:150-209`):
+  *  - prefix (or exact-key) matching on the changed key;
+  *  - `onTriggerFired` runs synchronously *at notification time* —
+  *    before any later writes in the same transaction batch — to
+  *    snapshot data into the event (the reference uses this to observe
+  *    the value as-of the triggering command rather than end of
+  *    MULTI/EXEC);
+  *  - recursion guard: writes performed by a callback do not re-fire
+  *    notifications (the StateTable's reentrancy blocker, the analogue
+  *    of `avoid_key_space_notifications`, `lib.rs:629-645`);
+  *  - errors are recorded in stats, never propagate to the writer.
+  *
+  * The engine subscribes once to the [[StateTable]] changelog; the same
+  * `register` surface can also be fed from an external CDC stream
+  * (e.g. a Delta change feed) via [[fire]].
+  */
+final class KeySpaceTriggerEngine(engine: Engine) {
+
+  private final class ConsumerState {
+    @volatile var totalFired: Long = 0
+    @volatile var totalErrors: Long = 0
+    @volatile var lastError: Option[String] = None
+  }
+
+  private case class Consumer(library: String, spec: KeySpaceTriggerDef) {
+    val state = new ConsumerState
+    def key: String = s"$library.${spec.name}"
+  }
+
+  private val consumers = TrieMap.empty[String, Consumer]
+
+  engine.state.subscribe(fire)
+
+  private[graft] def register(library: String, spec: KeySpaceTriggerDef): Unit = {
+    val c = Consumer(library, spec)
+    consumers.put(c.key, c)
+  }
+
+  private[graft] def unregister(library: String, trigger: String): Unit =
+    consumers.remove(s"$library.$trigger")
+
+  /** Route one keyspace event through all matching consumers. Public so
+    * an external CDC stream can drive the same triggers. */
+  def fire(event: KeyEvent): Unit = {
+    consumers.values.foreach { c =>
+      if (event.key.startsWith(c.spec.prefix)) {
+        val ctx = engine.functionContext(c.library)
+        try {
+          // onTriggerFired: snapshot at notification time
+          val enriched = c.spec.onTriggerFired match {
+            case Some(snap) => event.copy(snapshot = Some(snap(ctx, event)))
+            case None => event
+          }
+          c.spec.fn(ctx, enriched)
+          c.state.totalFired += 1
+        } catch {
+          case e: Throwable =>
+            c.state.totalErrors += 1
+            c.state.lastError = Some(e.toString)
+        }
+      }
+    }
+  }
+
+  private[graft] def stats(library: String, trigger: String): KeySpaceTriggerStats = {
+    val key = s"$library.$trigger"
+    consumers.get(key).map { c =>
+      KeySpaceTriggerStats(library, trigger, c.spec.prefix,
+        c.state.totalFired, c.state.totalErrors, c.state.lastError)
+    }.getOrElse(KeySpaceTriggerStats(library, trigger, "", 0, 0, None))
+  }
+}

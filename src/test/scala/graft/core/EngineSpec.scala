@@ -1,0 +1,181 @@
+package graft.core
+
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.RespValue._
+
+class EngineSpec extends AnyFunSuite {
+
+  private def newEngine() = new Engine(TestSpark.spark)
+
+  private def counterLib(name: String = "mylib") = LibraryDefinition(name, code = { lib =>
+    lib.registerFunction("ping", (_, _) => RespString("pong"),
+      flags = Set(FunctionFlags.NoWrites))
+    lib.registerFunction("incr", (ctx, args) => {
+      val key = args.head.asInstanceOf[RespString].v
+      RespLong(ctx.incrBy(key, 1))
+    })
+    lib.registerAsyncFunction("aping", (_, _) => RespString("pong-async"))
+    lib.registerClusterFunction("remote_get", (ctx, args) => {
+      val key = args.head.asInstanceOf[RespString].v
+      ctx.get(key).map(RespString).getOrElse(RespNull)
+    })
+  })
+
+  test("load + sync call") {
+    val e = newEngine()
+    e.load(counterLib())
+    assert(e.call("mylib", "ping") == RespString("pong"))
+    assert(e.call("mylib", "incr", Seq(RespString("c"))) == RespLong(1))
+    assert(e.call("mylib", "incr", Seq(RespString("c"))) == RespLong(2))
+    e.close()
+  }
+
+  test("async call runs on background pool") {
+    val e = newEngine()
+    e.load(counterLib())
+    val out = Await.result(e.callAsync("mylib", "aping"), 10.seconds)
+    assert(out == RespString("pong-async"))
+    // calling an async fn synchronously is an error (TFCALL on async)
+    intercept[IllegalStateException](e.call("mylib", "aping"))
+    e.close()
+  }
+
+  test("no-writes flag blocks writes (E13)") {
+    val e = newEngine()
+    e.load(LibraryDefinition("rolib", code = { lib =>
+      lib.registerFunction("sneaky", (ctx, _) => { ctx.set("k", "v"); RespNull },
+        flags = Set(FunctionFlags.NoWrites))
+    }))
+    intercept[IllegalStateException](e.call("rolib", "sneaky"))
+    assert(e.state.get("k").isEmpty)
+    e.close()
+  }
+
+  test("empty library rejected") {
+    val e = newEngine()
+    intercept[IllegalArgumentException](e.load(LibraryDefinition("empty", code = _ => ())))
+    e.close()
+  }
+
+  test("invalid names rejected") {
+    val e = newEngine()
+    intercept[IllegalArgumentException](e.load(LibraryDefinition("bad name", code = _ => ())))
+    intercept[IllegalArgumentException](e.load(LibraryDefinition("lib", code = { b =>
+      b.registerFunction("bad.fn", (_, _) => RespNull)
+    })))
+    intercept[IllegalArgumentException](
+      e.load(LibraryDefinition("lib2", apiVersion = "9.9", code = { b =>
+        b.registerFunction("f", (_, _) => RespNull)
+      })))
+    e.close()
+  }
+
+  test("duplicate load without replace fails; with replace upgrades") {
+    val e = newEngine()
+    e.load(counterLib())
+    intercept[IllegalStateException](e.load(counterLib()))
+    e.load(LibraryDefinition("mylib", code = { lib =>
+      lib.registerFunction("ping", (_, _) => RespString("pong-v2"))
+    }), replace = true)
+    assert(e.call("mylib", "ping") == RespString("pong-v2"))
+    // v1 functions are gone after replace
+    intercept[NoSuchElementException](e.call("mylib", "incr", Seq(RespString("c"))))
+    e.close()
+  }
+
+  test("failed load leaves previous version intact (E14 revert)") {
+    val e = newEngine()
+    e.load(counterLib())
+    intercept[RuntimeException](e.load(LibraryDefinition("mylib", code = { lib =>
+      lib.registerFunction("newfn", (_, _) => RespNull)
+      throw new RuntimeException("boom during evaluation")
+    }), replace = true))
+    // old version still serves
+    assert(e.call("mylib", "ping") == RespString("pong"))
+    e.close()
+  }
+
+  test("upgrade cannot change a stream trigger's prefix") {
+    val e = newEngine()
+    def withPrefix(p: String) = LibraryDefinition("slib", code = { lib =>
+      lib.registerStreamTrigger("t", p, (_, _) => ())
+    })
+    e.load(withPrefix("stream:"))
+    intercept[IllegalArgumentException](e.load(withPrefix("other:"), replace = true))
+    e.close()
+  }
+
+  test("cluster function via runOnKey / runOnShards (C7/C8)") {
+    val e = newEngine()
+    e.load(counterLib())
+    e.state.set("user:1", "alice")
+    e.load(LibraryDefinition("caller", code = { lib =>
+      lib.registerFunction("lookup", (ctx, args) =>
+        ctx.runOnKey(args.head.asInstanceOf[RespString].v, "remote_get"))
+    }), replace = false)
+    // runOnKey routes into mylib's cluster fn? cluster fns are per-library:
+    // register caller's own remote fn instead
+    e.load(LibraryDefinition("caller2", code = { lib =>
+      lib.registerClusterFunction("remote_get", (ctx, args) => {
+        val key = args.head.asInstanceOf[RespString].v
+        ctx.get(key).map(RespString).getOrElse(RespNull)
+      })
+      lib.registerFunction("lookup", (ctx, args) =>
+        ctx.runOnKey(args.head.asInstanceOf[RespString].v, "remote_get"))
+    }))
+    assert(e.call("caller2", "lookup", Seq(RespString("user:1"))) == RespString("alice"))
+    e.close()
+  }
+
+  test("list introspection (E16)") {
+    val e = newEngine()
+    e.load(counterLib(), config = Map("mode" -> "test"))
+    val infos = e.list()
+    assert(infos.map(_.name) == Seq("mylib"))
+    val lib = infos.head
+    assert(lib.config("mode") == "test")
+    assert(lib.functions.map(_.name).sorted == Seq("aping", "incr", "ping"))
+    assert(lib.functions.find(_.name == "aping").get.isAsync)
+    assert(lib.functions.find(_.name == "ping").get.flags == Set(FunctionFlags.NoWrites))
+    assert(lib.clusterFunctions == Seq("remote_get"))
+    e.close()
+  }
+
+  test("delete removes library") {
+    val e = newEngine()
+    e.load(counterLib())
+    e.delete("mylib")
+    intercept[NoSuchElementException](e.call("mylib", "ping"))
+    intercept[NoSuchElementException](e.delete("mylib"))
+    e.close()
+  }
+
+  test("library config is visible to functions (C10)") {
+    val e = newEngine()
+    e.load(LibraryDefinition("cfg", code = { lib =>
+      lib.registerFunction("readcfg", (ctx, _) =>
+        RespString(ctx.config.getOrElse("greeting", "none")))
+    }), config = Map("greeting" -> "hello"))
+    assert(e.call("cfg", "readcfg") == RespString("hello"))
+    e.close()
+  }
+
+  test("sync call is isolated: all writes land together") {
+    // Redis semantics: no rollback on failure, but no interleaving
+    // either — the call holds the state lock for its whole duration (E8)
+    val e = newEngine()
+    e.load(LibraryDefinition("tx", code = { lib =>
+      lib.registerFunction("twowrites", (ctx, _) => {
+        ctx.set("a", "1"); ctx.set("b", "2"); RespNull
+      })
+    }))
+    e.call("tx", "twowrites")
+    assert(e.state.get("a").contains("1") && e.state.get("b").contains("2"))
+    e.close()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions._
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("exact dedup counts distinct digests") {
+    val r = Dedup.qExact(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") == 500)
+    assert(r.getAs[Long]("n_unique") == 500) // generator produces no exact dups
+  }
+
+  test("minhash LSH: perfect precision, high recall vs brute-force Jaccard") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val threshold = 0.7
+    val got = Dedup.minhashPairs(docs, "text", "doc_id", threshold = threshold)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // brute force ground truth over all pairs
+    val sh = docs.select(col("doc_id").as("id"), shingleSet(col("text"), 2).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // precision is exact (candidates are verified with true Jaccard)
+    got.keys.foreach(k => assert(truth.contains(k), s"false positive $k"))
+    // recall: 16 bands x 4 rows at j>=0.7 → P(miss) <= (1-0.7^4)^16 ~ 0.9%
+    val recall = if (truth.isEmpty) 1.0 else got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (got ${got.size} of ${truth.size})")
+    // values agree where both found the pair
+    got.foreach { case (k, j) => assert(math.abs(truth(k) - j) < 1e-9) }
+  }
+
+  test("simhash bucketing finds every pair within Hamming distance 3 (pigeonhole)") {
+    val docs = Tables.documents(spark, sf).limit(300)
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    GraftFunctions.register(spark)
+    val hashed = docs.select(col("doc_id").as("id"), simhash64(tokens(col("text"))).as("sh"))
+    val truth = hashed.as("a").join(hashed.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        hamming64(col("a.sh"), col("b.sh")).as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // 4 quadrants of 16 bits: d<=3 guarantees one quadrant matches
+    assert(got == truth)
+  }
+
+  test("simhash is deterministic and order-sensitive only to multiset") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq("x", "y", "z")),
+      ("b", Seq("z", "y", "x")), // same multiset, different order
+      ("c", Seq("completely", "different", "tokens", "here"))
+    ).toDF("id", "toks").select(col("id"), simhash64(col("toks")).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+
+  test("embedding LSH near-dup: subset of the exact answer, decent recall") {
+    // exact answer over the full pair space at this threshold
+    val e = Tables.embeddings(spark, sf)
+    val all = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSimilarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.qEmbeddingLshNearDup(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(all), "LSH produced a pair below threshold")
+    assert(all.isEmpty || got.size.toDouble / all.size >= 0.15,
+      s"recall ${got.size}/${all.size} below floor")
+  }
+}

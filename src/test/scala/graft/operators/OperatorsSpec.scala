@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Sanity over the batch operator surface. Value-level correctness is
+  * covered by the DuckDB oracle gate (tools/check.py / the driver);
+  * these tests pin structural invariants and a few independently
+  * computed values at sf0.001. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every declared query runs and matches its declared column set") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      // must be executable end to end
+      df.limit(5).collect()
+    }
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("trigger count equals per-type row counts") {
+    val got = Relational.qTriggerCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type")).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+  }
+
+  test("top-k matches driver-side sort") {
+    val got = Relational.qTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (k, p) => (-p, k) }.take(10).toSeq
+    assert(got == want)
+  }
+
+  test("broadcast join is planned for small dimensions (scale contract)") {
+    val plan = Relational.qRevenueByNation(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "nation/region should broadcast")
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val plan = Relational.qPrefixFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StartsWith"),
+      s"expected pushed StartsWith filter in:\n$plan")
+  }
+
+  test("quality filter keeps a sane subset") {
+    val kept = Relational.qPrefixFilter(spark, sf) // cheap sanity trigger
+    val r = TextAnalysis.qQualityFilter(spark, sf).collect().head
+    val total = Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_kept") > 0 && r.getAs[Long]("n_kept") <= total)
+  }
+
+  test("media features: stub decode is deterministic and fixed-dim") {
+    val a = Multimodal.stubDecode("hello world".getBytes)
+    val b = Multimodal.stubDecode("hello world".getBytes)
+    assert(a.toSeq == b.toSeq && a.length == 8)
+    val rows = Multimodal.qMediaFeatures(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSet == Set("image", "audio", "video"))
+  }
+}

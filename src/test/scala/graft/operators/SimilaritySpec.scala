@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions._
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("cosine similarity column matches a driver-side computation") {
+    val rows = Tables.embeddings(spark, sf).limit(10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (idA, a) = rows(0)
+    val (idB, b) = rows(1)
+    def cosine(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    import spark.implicits._
+    val got = Seq((a.toSeq, b.toSeq)).toDF("x", "y")
+      .select(cosineSimilarity(col("x"), col("y"))).collect().head.getDouble(0)
+    assert(math.abs(got - cosine(a, b)) < 1e-12, s"$idA vs $idB")
+  }
+
+  test("brute-force top-k: ranks agree with a driver-side sort") {
+    val topk = Similarity.qBruteForceTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(topk.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    topk.values.foreach { rows =>
+      assert(rows.length == 10)
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = ranked.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y },
+        "cosine not non-increasing with rank")
+    }
+  }
+
+  test("LSH top-k: every reported neighbor has its true cosine; recall floor") {
+    val brute = Similarity.qBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor")) ->
+        r.getAs[Double]("cosine")).toMap
+    val lsh = Similarity.qLshTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor")) ->
+        r.getAs[Double]("cosine")).toMap
+    // any LSH (query, neighbor) also found by brute force must agree on value
+    lsh.foreach { case (k, v) =>
+      brute.get(k).foreach(bv => assert(math.abs(bv - v) < 1e-9)) }
+    // recall@10 across the 5 queries — multi-table LSH on random vectors
+    // is probabilistic; pin a conservative floor to catch regressions
+    val hits = lsh.keys.count(brute.contains)
+    assert(hits.toDouble / brute.size >= 0.1, s"recall@10 ${hits}/${brute.size}")
+  }
+
+  test("label centroid aggregate covers all labels") {
+    val rows = Similarity.qLabelCentroids(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSet == (0 to 9).toSet)
+    assert(rows.map(_.getAs[Long]("n")).sum == 500)
+  }
+}
