@@ -12,6 +12,12 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       (exprs: Seq[Expression]) => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(e, Literal(k: Int, IntegerType)) => MinHashSignature(e, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(elems, k) requires a literal integer k")
+      }, "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t) => WinnowFingerprint(t, 8, 4)

@@ -32,13 +32,12 @@ package object functions {
   /** Distinct shingles (set semantics). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
-  /** MinHash signature: `k` independent hash functions via seeded
-    * xxhash64, each taking the min over the element set. Returns
-    * ARRAY<LONG> of length k; null for empty sets. */
+  /** MinHash signature: `k` 2-universal hash rows over the element set
+    * in one pass (native expression, [[MinHashSignature]]). Returns
+    * ARRAY<LONG> of length k; null for empty sets. Requires
+    * [[GraftFunctions.register]] on the session. */
   def minhashSignature(elems: Column, k: Int): Column =
-    when(size(elems) === 0, lit(null))
-      .otherwise(transform(sequence(lit(1), lit(k)),
-        s => array_min(transform(elems, e => xxhash64(s, e)))))
+    call_function("minhash_signature", elems, lit(k))
 
   /** LSH band hashes of a MinHash signature: splits the signature into
     * `bands` bands of k/bands rows each and hashes each band. Returns

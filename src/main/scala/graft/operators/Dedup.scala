@@ -36,6 +36,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       shingleN: Int = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val shSets = docs.select(col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
     // band hashes only — (id, band, bandHash) is ~16 longs/doc, so the
