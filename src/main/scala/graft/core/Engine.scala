@@ -93,6 +93,8 @@ final class LibraryBuilder private[core] (val name: String) {
   def registerAsyncFunction(fnName: String, fn: (FunctionContext, Seq[RespValue]) => RespValue,
       flags: Set[String] = Set.empty, description: String = ""): Unit = {
     checkName(fnName, "function")
+    val bad = flags.diff(FunctionFlags.All)
+    if (bad.nonEmpty) throw new IllegalArgumentException(s"unknown flags: $bad")
     functions.put(fnName, FunctionDef(fnName, fn, flags, description, isAsync = true))
   }
 

@@ -37,12 +37,17 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       shingleN: Int = 2): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    // (id, shingles, signature) feeds three downstream subplans (band
+    // hashes + both verify-join sides); persist so the shingling and the
+    // k-hash signature run once per doc instead of three times. At scale
+    // this is the materialize-signatures-once step of any LSH pipeline.
     val shSets = docs.select(col(idCol).as("id"),
-      shingleSet(col(textCol), shingleN).as("sh"))
+        shingleSet(col(textCol), shingleN).as("sh"))
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band hashes only — (id, band, bandHash) is ~16 longs/doc, so the
     // bucket self-join shuffles signatures, never document content
     val bandHashes = shSets
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(col("id"),
         posexplode(lshBandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bh")))
     val candidates = bandHashes.select(col("band"), col("bh"), col("id").as("id_a"))
@@ -65,22 +70,34 @@ object Dedup {
     minhashPairs(documents(s, d), "text", "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
 
-  /** SimHash near-dup: 64-bit SimHash per doc, bucketed by the 4
-    * 16-bit quadrants (any pair within Hamming distance 3 shares at
-    * least one exact quadrant — pigeonhole), then exact Hamming verify.
+  /** SimHash near-dup: 64-bit SimHash per doc, bucketed by
+    * `maxHamming + 1` bit bands (a pair within Hamming distance d
+    * differs in at most d bands, so with d+1 bands at least one band
+    * matches exactly — pigeonhole gives COMPLETE recall at the declared
+    * distance), then exact Hamming verify. maxHamming=3 reproduces the
+    * classic 4x16-bit quadrant scheme.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming in [0,31]")
     GraftFunctions.register(docs.sparkSession)
+    val bands = maxHamming + 1
+    // band b covers bits [start(b), start(b) + width(b)) with widths as
+    // even as possible (64 = bands * q + r: first r bands get q+1 bits)
+    val q = 64 / bands
+    val r = 64 % bands
+    val starts = (0 until bands).map(b => b * q + math.min(b, r))
+    val widths = (0 until bands).map(b => if (b < r) q + 1 else q)
     val hashed = docs.select(col(idCol).as("id"),
       simhash64(tokens(col(textCol))).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("quad", "qv")))
-    val a = banded.select(col("quad"), col("qv"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("quad"), col("qv"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("quad", "qv"))
+      posexplode(array((0 until bands).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+        shiftrightunsigned(col("sh"), starts(b)).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -93,6 +110,27 @@ object Dedup {
     simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 6)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
+  /** Id-window pair generator as a BUCKETED EQUI-JOIN. For pairs
+    * (a, b) with a < b <= a + window, `b div window` is either
+    * `a div window` or `a div window + 1`, so exploding the left side
+    * into those two buckets and equi-joining on the bucket gives a
+    * shuffled hash/sort-merge join whose candidate space is
+    * O(n · window) — NOT the O(n²) BroadcastNestedLoopJoin a pure range
+    * condition plans. The range predicate then filters exactly. */
+  private def idWindowPairs(rows: DataFrame, idCol: String, window: Long,
+      aAlias: String, bAlias: String): DataFrame = {
+    val a = rows.columns.foldLeft(rows)((df, c) => df.withColumnRenamed(c, c + "_a"))
+      .withColumnRenamed(idCol + "_a", aAlias)
+      .withColumn("bucket",
+        explode(array(expr(s"$aAlias div $window"), expr(s"$aAlias div $window + 1"))))
+    val b = rows.columns.foldLeft(rows)((df, c) => df.withColumnRenamed(c, c + "_b"))
+      .withColumnRenamed(idCol + "_b", bAlias)
+      .withColumn("bucket", expr(s"$bAlias div $window"))
+    a.join(b, Seq("bucket"))
+      .filter(col(bAlias) > col(aAlias) && col(bAlias) <= col(aAlias) + window)
+      .drop("bucket")
+  }
+
   /** n-gram Jaccard similarity pairs within a doc_id window — the
     * deterministic, oracle-checkable core of Jaccard dedup (the full
     * pair space goes through LSH above; the id-window candidate set here
@@ -102,9 +140,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), shingleSet(col("text"), 2).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + window)
+    idWindowPairs(docs, "doc_id", window, "doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
@@ -117,11 +153,9 @@ object Dedup {
   def qEmbeddingNearDup(s: SparkSession, d: String, window: Long = 128,
       threshold: Double = 0.35): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, col("vec_b") > col("vec_a") && col("vec_b") <= col("vec_a") + window)
+    idWindowPairs(e, "vec_id", window, "vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        cosineSimilarity(col("emb_a"), col("emb_b")).as("cos"))
+        cosineSimilarity(col("embedding_a"), col("embedding_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
   }

@@ -57,6 +57,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("simhash bucketing is complete at maxHamming=6 (7 bands)") {
+    val docs = Tables.documents(spark, sf).limit(300)
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    GraftFunctions.register(spark)
+    val hashed = docs.select(col("doc_id").as("id"), simhash64(tokens(col("text"))).as("sh"))
+    val truth = hashed.as("a").join(hashed.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        hamming64(col("a.sh"), col("b.sh")).as("d"))
+      .filter(col("d") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // 7 bands: a pair differing in <=6 bits leaves one band untouched
+    assert(got == truth)
+  }
+
+  test("id-window pair queries plan as equi-joins, not nested loop (scale contract)") {
+    Seq(Dedup.qNgramJaccard(spark, sf), Dedup.qEmbeddingNearDup(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"id-window pairs must bucket-equi-join:\n$plan")
+    }
+  }
+
+  test("bucketed id-window join equals the pure range join") {
+    val e = Tables.embeddings(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val a = e.select(col("vec_id").as("vec_a"))
+    val b = e.select(col("vec_id").as("vec_b"))
+    val want = a.join(b, col("vec_b") > col("vec_a") && col("vec_b") <= col("vec_a") + 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.qEmbeddingNearDup(spark, sf, threshold = -1.0) // keep all pairs
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("simhash is deterministic and order-sensitive only to multiset") {
     GraftFunctions.register(spark)
     import spark.implicits._
