@@ -22,6 +22,30 @@ object FunctionFlags {
   val All: Set[String] = Set(NoWrites, AllowOom, RawArguments)
 }
 
+/** Stream-trigger error policy (E4/E7). The reference records
+  * `last_error` and keeps consuming (`stream_reader.rs:299-453`);
+  * across a crash it replays from the last *acked* id
+  * (`rdb.rs:52-91`). Spark's micro-batch commit makes both available:
+  *  - [[ErrorPolicy.Retry]] (default): a failing record halts its
+  *    stream for the rest of the batch (the checkpoint never advances
+  *    past an unacked record) and the batch is failed, so the source
+  *    replays it — at-least-once for the failed record, with durable
+  *    acks deduping everything already processed;
+  *  - [[ErrorPolicy.Ack]]: record the error in stats and advance the
+  *    checkpoint anyway (skip the poison record) — the reference's
+  *    keep-consuming behavior. */
+sealed trait ErrorPolicy
+object ErrorPolicy {
+  case object Retry extends ErrorPolicy
+  case object Ack extends ErrorPolicy
+}
+
+/** Raised by the stream-trigger engine when one or more records failed
+  * under [[ErrorPolicy.Retry]] — fails the enclosing micro-batch so
+  * Structured Streaming does not commit past the unacked records. */
+final class StreamDeliveryException(val failures: Seq[String])
+  extends RuntimeException(s"stream delivery failed for ${failures.size} record(s): ${failures.mkString("; ")}")
+
 /** The "client" handed to a running function (C1-C8): state access +
   * the SparkSession for relational work. Write methods throw for
   * functions declared [[FunctionFlags.NoWrites]] — the reference's
@@ -104,11 +128,11 @@ final class LibraryBuilder private[core] (val name: String) {
   def registerStreamTrigger(trigger: String, prefix: String,
       fn: (FunctionContext, StreamRecord) => Unit,
       window: Int = 1, isStreamTrimmed: Boolean = false,
-      description: String = ""): Unit = {
+      description: String = "", onError: ErrorPolicy = ErrorPolicy.Retry): Unit = {
     checkName(trigger, "stream trigger")
     if (window < 1) throw new IllegalArgumentException("window must be >= 1")
     streamTriggers.put(trigger,
-      StreamTriggerDef(trigger, prefix, fn, window, isStreamTrimmed, description))
+      StreamTriggerDef(trigger, prefix, fn, window, isStreamTrimmed, description, onError))
   }
 
   /** R4: CDC-style trigger on keyspace events for keys matching
@@ -142,7 +166,8 @@ object LibraryBuilder {
       flags: Set[String], description: String, isAsync: Boolean)
   case class StreamTriggerDef(name: String, prefix: String,
       fn: (FunctionContext, StreamRecord) => Unit,
-      window: Int, isStreamTrimmed: Boolean, description: String)
+      window: Int, isStreamTrimmed: Boolean, description: String,
+      onError: ErrorPolicy = ErrorPolicy.Retry)
   case class KeySpaceTriggerDef(name: String, prefix: String,
       fn: (FunctionContext, KeyEvent) => Unit,
       onTriggerFired: Option[(FunctionContext, KeyEvent) => Map[String, String]],
@@ -161,7 +186,8 @@ case class LibraryDefinition(name: String, apiVersion: String = "1.0",
   * revert-on-failure, sync/async invocation, cluster functions, and
   * introspection. Owns the [[StateTable]] and the trigger engines. */
 final class Engine(val spark: SparkSession,
-    executionThreads: Int = 1) extends AutoCloseable {
+    executionThreads: Int = 1,
+    checkpointDir: Option[String] = None) extends AutoCloseable {
   import LibraryBuilder._
   require(executionThreads >= 1 && executionThreads <= 32,
     "execution-threads must be in [1,32]") // config range, lib.rs:1912
@@ -172,6 +198,10 @@ final class Engine(val spark: SparkSession,
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   val state = new StateTable
+  /** E5 analogue: durable per-(consumer, stream) ack store; None = the
+    * reference running without RDB persistence (volatile checkpoints). */
+  private[graft] val checkpointStore: Option[graft.streaming.CheckpointStore] =
+    checkpointDir.map(d => new graft.streaming.CheckpointStore(d, spark.sparkContext.hadoopConfiguration))
   val streams = new StreamTriggerEngine(this)
   val keyspace = new KeySpaceTriggerEngine(this)
 
@@ -219,6 +249,9 @@ final class Engine(val spark: SparkSession,
     existing.foreach(old => detach(definition.name, old.builder, dropCheckpoints = false))
     libraries.put(definition.name, LoadedLibrary(builder, definition.apiVersion, config))
     attach(definition.name, builder)
+    // triggers the new version did NOT re-register lose their stashed
+    // checkpoints (reference removes consumers not re-registered)
+    streams.purgeStash(definition.name)
   }
 
   /** Delete a library: unregister all its triggers and drop checkpoints. */

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Dataset, DataFrame}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -24,8 +25,20 @@ import graft.core.LibraryBuilder.StreamTriggerDef
   *    consumer's `last_read_id` advances; replayed input (at-least-once
   *    sources) below the checkpoint is skipped, so delivery is
   *    exactly-once per record while the engine is up (E7);
-  *  - errors: a throwing callback does NOT advance the checkpoint for
-  *    that stream; the error is surfaced in stats (E4 nack / E16);
+  *  - durability (E5): when the engine has a checkpoint dir, every batch
+  *    that advanced an ack persists the full (consumer, stream) -> id
+  *    map through [[CheckpointStore]] — the analogue of the reference
+  *    writing `last_read_id` to RDB (`rdb.rs:52-91`) and replicating
+  *    acks (`lib.rs:454-465`). A recreated engine re-seeds its
+  *    consumers from the store, so replayed batches redeliver ONLY
+  *    unacked records: at-least-once across restart, exactly-once up;
+  *  - errors: under [[ErrorPolicy.Retry]] (default) a failing record
+  *    halts its stream for the rest of the batch — the checkpoint never
+  *    advances past an unacked record — and [[processBatch]] throws
+  *    [[StreamDeliveryException]] so the enclosing micro-batch is NOT
+  *    committed and the source replays it. Under [[ErrorPolicy.Ack]]
+  *    the error is recorded in stats and the checkpoint advances (the
+  *    reference's keep-consuming behavior, E4 nack stats / E16);
   *  - trim watermark: min acked id across all trimming consumers of a
   *    stream (E6) — exposed for the source's retention/compaction.
   *
@@ -56,24 +69,78 @@ final class StreamTriggerEngine(engine: Engine) {
   }
 
   private val consumers = TrieMap.empty[String, Consumer]
+  // checkpoints of consumers detached with dropCheckpoints=false, held
+  // for re-adoption by an upgrade's register() (E14). Only the
+  // checkpoint state survives — the old callback must never fire again.
+  private val stash = TrieMap.empty[String, Map[String, ConsumerStreamState]]
+  // durable acks loaded once at engine construction (E5 restart path)
+  private val durable: TrieMap[(String, String), (Long, Long)] =
+    TrieMap.empty ++ engine.checkpointStore.map(_.load()).getOrElse(Map.empty)
 
   private[graft] def register(library: String, spec: StreamTriggerDef): Unit = {
     val c = Consumer(library, spec)
-    // checkpoint continuity on upgrade (E14): adopt surviving state
-    consumers.get(c.key).foreach(old => c.perStream ++= old.perStream)
+    // checkpoint continuity on upgrade (E14): adopt stashed state of the
+    // consumer this registration replaces
+    stash.remove(c.key).foreach(m => m.foreach { case (s, st) =>
+      c.perStream.getOrElseUpdate(s, st)
+    })
+    // restart continuity (E5): seed acked ids from the durable store
+    durable.iterator.filter(_._1._1 == c.key).foreach { case ((_, stream), (ms, seq)) =>
+      val st = c.perStream.getOrElseUpdate(stream, new ConsumerStreamState)
+      if (st.lastReadMs < ms || (st.lastReadMs == ms && st.lastReadSeq < seq)) {
+        st.lastReadMs = ms
+        st.lastReadSeq = seq
+      }
+    }
     consumers.put(c.key, c)
   }
 
   private[graft] def unregister(library: String, trigger: String,
       dropCheckpoints: Boolean): Unit = {
     val key = s"$library.$trigger"
-    if (dropCheckpoints) consumers.remove(key)
-    // else: keep entry so a REPLACE load re-adopts checkpoints via register()
+    consumers.remove(key).foreach { c =>
+      if (dropCheckpoints) {
+        stash.remove(key)
+        durable.filterInPlace { case ((ck, _), _) => ck != key }
+        persistCheckpoints()
+      } else {
+        // retire the consumer NOW (its callback must not fire again),
+        // keep only its checkpoints for a REPLACE load to adopt
+        stash.put(key, c.perStream.toMap)
+      }
+    }
+  }
+
+  /** Drop stashed checkpoints of `library` triggers that no load
+    * re-adopted — called after an upgrade completes (E14: consumers not
+    * re-registered by the new version are removed, acks included). */
+  private[graft] def purgeStash(library: String): Unit = {
+    val prefix = s"$library."
+    val orphaned = stash.keys.filter(_.startsWith(prefix)).toSeq
+    if (orphaned.nonEmpty) {
+      orphaned.foreach(stash.remove)
+      durable.filterInPlace { case ((ck, _), _) => !orphaned.contains(ck) }
+      persistCheckpoints()
+    }
+  }
+
+  /** E5: write the full (consumer, stream) -> acked id map durably.
+    * No-op without a checkpoint dir (volatile mode). */
+  private def persistCheckpoints(): Unit = engine.checkpointStore.foreach { store =>
+    val entries = for {
+      c <- consumers.values.toSeq
+      (stream, st) <- c.perStream if st.lastReadMs >= 0
+    } yield (c.key, stream) -> (st.lastReadMs, st.lastReadSeq)
+    store.save(entries.toMap)
   }
 
   /** Deliver one batch of records. Core routing: per consumer, per
     * stream, ordered, checkpoint-deduped. Called by the streaming sink
-    * (foreachBatch) or directly (tests / synchronous ingest). */
+    * (foreachBatch) or directly (tests / synchronous ingest).
+    *
+    * Throws [[StreamDeliveryException]] if any [[ErrorPolicy.Retry]]
+    * consumer failed a record — acked progress is persisted first, so
+    * the replayed batch redelivers only unacked records. */
   def processBatch(records: Seq[StreamRecord]): Unit = {
     if (records.isEmpty || consumers.isEmpty) return
     val now = System.currentTimeMillis()
@@ -81,13 +148,16 @@ final class StreamTriggerEngine(engine: Engine) {
     val byStream = records.groupBy(_.stream).map { case (s, rs) =>
       s -> rs.sortBy(r => (r.idMs, r.idSeq))
     }
+    var dirty = false
+    val failures = ArrayBuffer.empty[String]
     consumers.values.foreach { c =>
       val ctx = engine.functionContext(c.library)
       byStream.foreach { case (stream, rs) =>
         if (stream.startsWith(c.spec.prefix)) {
           val st = c.perStream.getOrElseUpdate(stream, new ConsumerStreamState)
+          var halted = false
           rs.foreach { r =>
-            if (st.isNew(r)) {
+            if (!halted && st.isNew(r)) {
               try {
                 c.spec.fn(ctx, r)
                 // ack: advance checkpoint only after successful callback
@@ -95,19 +165,31 @@ final class StreamTriggerEngine(engine: Engine) {
                 st.lastReadSeq = r.idSeq
                 st.totalProcessed += 1
                 st.lastLagMs = math.max(0, now - r.idMs)
+                dirty = true
               } catch {
                 case e: Throwable =>
                   st.totalErrors += 1
                   st.lastError = Some(e.toString)
-                  // nack: do not advance; subsequent records of this
-                  // stream in this batch still attempt (reference keeps
-                  // consuming and records last_error)
+                  c.spec.onError match {
+                    case ErrorPolicy.Ack =>
+                      // reference semantics: record the error, keep going
+                      st.lastReadMs = r.idMs
+                      st.lastReadSeq = r.idSeq
+                      dirty = true
+                    case ErrorPolicy.Retry =>
+                      // the checkpoint must never advance past an
+                      // unacked record: stop this stream for the batch
+                      halted = true
+                      failures += s"${c.key}/$stream@${r.idString}: $e"
+                  }
               }
             }
           }
         }
       }
     }
+    if (dirty) persistCheckpoints()
+    if (failures.nonEmpty) throw new StreamDeliveryException(failures.toSeq)
   }
 
   /** XADD-analogue for synchronous ingest (tests, library code): routes
@@ -128,9 +210,9 @@ final class StreamTriggerEngine(engine: Engine) {
 
   /** Attach a continuous `Dataset[StreamRecord]` (file stream, Kafka,
     * MemoryStream…) to the trigger engine. Checkpointing the streaming
-    * query + the engine's own id checkpoint gives E5/E7: after restart
-    * the source replays the last uncommitted batch and the id checkpoint
-    * dedupes already-acked records. */
+    * query + the engine's durable id checkpoint gives E5/E7: a failed
+    * batch is not committed, the source replays it after restart, and
+    * the id checkpoint dedupes already-acked records. */
   def attach(ds: Dataset[StreamRecord], checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     ds.writeStream

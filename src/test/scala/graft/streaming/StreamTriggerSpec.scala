@@ -57,7 +57,11 @@ class StreamTriggerSpec extends AnyFunSuite {
         processed += r.idMs
       })
     }))
-    e.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2)))
+    // Retry policy: the failed batch throws so foreachBatch will not
+    // commit it; the checkpoint stays at the last acked record
+    intercept[StreamDeliveryException] {
+      e.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2)))
+    }
     var st = e.list().head.streamTriggers.head.streams("s:1")
     assert(st.lastReadId == "1-0" && st.totalErrors == 1 && st.lastError.isDefined)
     // retry delivery (source replays unacked tail)
@@ -80,7 +84,9 @@ class StreamTriggerSpec extends AnyFunSuite {
         if (r.idMs > failAfter) throw new RuntimeException("slow consumer down")
       }, isStreamTrimmed = true)
     }))
-    e.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2), rec("s:1", 3)))
+    intercept[StreamDeliveryException] {
+      e.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2), rec("s:1", 3)))
+    }
     // fast acked 3, slow acked only 1 → watermark 1
     assert(e.streams.trimWatermark("s:1").contains((1L, 0L)))
     assert(e.streams.trimWatermark("unknown").isEmpty)
@@ -124,6 +130,131 @@ class StreamTriggerSpec extends AnyFunSuite {
     q.stop()
     assert(e.state.get("count:s:1").contains("3"))
     assert(e.state.get("count:s:2").contains("1"))
+    e.close()
+  }
+
+  test("error policy Ack: poison record is skipped and checkpoint advances (E4 reference semantics)") {
+    val e = new Engine(TestSpark.spark)
+    val seen = ArrayBuffer.empty[Long]
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerStreamTrigger("t", "s:", (_, r) => {
+        if (r.idMs == 2) throw new RuntimeException("poison")
+        seen += r.idMs
+      }, onError = ErrorPolicy.Ack)
+    }))
+    // no throw: the poison record is recorded in stats and skipped
+    e.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2), rec("s:1", 3)))
+    val st = e.list().head.streamTriggers.head.streams("s:1")
+    assert(st.lastReadId == "3-0" && st.totalErrors == 1)
+    assert(seen.toSeq == Seq(1, 3))
+    // replay delivers nothing — the poison id is below the checkpoint
+    e.streams.processBatch(Seq(rec("s:1", 2)))
+    assert(seen.toSeq == Seq(1, 3))
+    e.close()
+  }
+
+  test("restart-safe at-least-once: durable acks redeliver only unacked records (E5/E7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dur").toString
+    def mkEngine(failOn2: Boolean, seen: ArrayBuffer[Long]): Engine = {
+      val e = new Engine(TestSpark.spark, checkpointDir = Some(dir))
+      e.load(LibraryDefinition("lib", code = { b =>
+        b.registerStreamTrigger("t", "s:", (_, r) => {
+          if (failOn2 && r.idMs == 2) throw new RuntimeException("boom")
+          seen += r.idMs
+        })
+      }))
+      e
+    }
+    val seen1 = ArrayBuffer.empty[Long]
+    val e1 = mkEngine(failOn2 = true, seen1)
+    intercept[StreamDeliveryException] {
+      e1.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2), rec("s:1", 3)))
+    }
+    // record 1 acked; 2 failed; 3 never attempted (stream halted)
+    assert(seen1.toSeq == Seq(1))
+    e1.close()
+
+    // "restart": a brand-new engine seeded from the same checkpoint dir;
+    // the source replays the uncommitted batch in full
+    val seen2 = ArrayBuffer.empty[Long]
+    val e2 = mkEngine(failOn2 = false, seen2)
+    e2.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2), rec("s:1", 3)))
+    // acked record 1 is NOT redelivered; unacked 2 and 3 are
+    assert(seen2.toSeq == Seq(2, 3))
+    assert(e2.list().head.streamTriggers.head.streams("s:1").lastReadId == "3-0")
+    e2.close()
+  }
+
+  test("restart e2e: failed micro-batch replays from the streaming checkpoint (E5/E7)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val engineCkpt = java.nio.file.Files.createTempDirectory("graft-dur-e2e").toString
+    val queryCkpt = java.nio.file.Files.createTempDirectory("graft-q-ckpt").toString
+
+    def mkEngine(fail: Boolean, seen: ArrayBuffer[Long]): Engine = {
+      val e = new Engine(spark, checkpointDir = Some(engineCkpt))
+      e.load(LibraryDefinition("lib", code = { b =>
+        b.registerStreamTrigger("t", "s:", (_, r) => {
+          if (fail && r.idMs == 2) throw new RuntimeException("boom")
+          seen += r.idMs
+        })
+      }))
+      e
+    }
+    // the MemoryStream instance survives the "crash" and replays the
+    // uncommitted batch to the restarted query (same checkpoint dir)
+    val mem = MemoryStream[StreamRecord]
+    mem.addData(rec("s:1", 1), rec("s:1", 2), rec("s:1", 3))
+
+    val seen1 = ArrayBuffer.empty[Long]
+    val e1 = mkEngine(fail = true, seen1)
+    val q1 = e1.streams.attach(mem.toDS(), queryCkpt)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(seen1.toSeq == Seq(1)) // batch failed after the first ack
+    e1.close()
+
+    val seen2 = ArrayBuffer.empty[Long]
+    val e2 = mkEngine(fail = false, seen2)
+    val q2 = e2.streams.attach(mem.toDS(), queryCkpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen2.toSeq == Seq(2, 3)) // replayed batch minus the durable ack
+    e2.close()
+  }
+
+  test("upgrade drops triggers the new version does not re-register (E14)") {
+    val e = new Engine(TestSpark.spark)
+    val v1seen = ArrayBuffer.empty[String]
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerStreamTrigger("keep", "s:", (_, r) => v1seen += s"keep:${r.idMs}")
+      b.registerStreamTrigger("gone", "s:", (_, r) => v1seen += s"gone:${r.idMs}")
+    }))
+    e.streams.processBatch(Seq(rec("s:1", 1)))
+    assert(v1seen.sorted == Seq("gone:1", "keep:1"))
+
+    // v2 re-registers only "keep"
+    val v2seen = ArrayBuffer.empty[String]
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerStreamTrigger("keep", "s:", (_, r) => v2seen += s"keep:${r.idMs}")
+    }), replace = true)
+    e.streams.processBatch(Seq(rec("s:1", 2)))
+    // the retired v1 "gone" callback must not fire (old bug: it kept firing)
+    assert(v1seen.sorted == Seq("gone:1", "keep:1"))
+    assert(v2seen.toSeq == Seq("keep:2")) // checkpoint adopted: id 1 not replayed
+    assert(e.list().head.streamTriggers.map(_.trigger) == Seq("keep"))
+
+    // a v3 that re-adds "gone" starts FRESH (checkpoints were purged)
+    val v3seen = ArrayBuffer.empty[String]
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerStreamTrigger("keep", "s:", (_, _) => ())
+      b.registerStreamTrigger("gone", "s:", (_, r) => v3seen += s"gone:${r.idMs}")
+    }), replace = true)
+    e.streams.processBatch(Seq(rec("s:1", 1), rec("s:1", 2)))
+    assert(v3seen.toSeq == Seq("gone:1", "gone:2"))
     e.close()
   }
 
