@@ -62,6 +62,9 @@ object SparkEntry {
     "q35_media_meta" -> (Multimodal.qMediaMeta _),
     "q36_frame_sample" -> ((s, d) => Multimodal.qFrameSample(s, d)),
     "q37_media_features" -> (Multimodal.qMediaFeatures _),
+    // --- event-time streaming (real readStream + watermark, append mode) ---
+    "q38_watermark_tumbling" -> (graft.streaming.EventTime.qWatermarkTumbling _),
+    "q39_session_window" -> (graft.streaming.EventTime.qSessionWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,5 +245,35 @@ object SparkEntry {
       """SELECT media_id, CAST(len(range(0, duration_ms, 1000)) AS BIGINT) AS n_frames
          FROM (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms FROM documents
                WHERE doc_id % 3 = 2 AND n_chars * 10 >= 1000)""",
+    // q38/q39 run in APPEND mode: only windows the final watermark
+    // (max(ts) - 30 minutes) has closed are emitted, so the batch oracle
+    // applies the identical finalization cutoff.
+    "q38_watermark_tumbling" ->
+      """SELECT CAST(FLOOR(EPOCH(h)) AS BIGINT) AS hour_ts, event_type, n, sum_value FROM (
+           SELECT date_trunc('hour', ts) AS h, event_type,
+                  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2)
+         WHERE h + INTERVAL 1 HOUR <= (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)""",
+    // session = events of one user with < 10 minutes between neighbors
+    // (Spark merges an event into a session iff it lands strictly before
+    // session end = last_ts + gap); a session is emitted once its end
+    // passed the watermark.
+    "q39_session_window" ->
+      """WITH t AS (
+           SELECT user_id, ts,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sess
+           FROM t)
+         SELECT user_id, CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_sec,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sess
+         HAVING MAX(ts) + INTERVAL 10 MINUTE <=
+                (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)""",
   )
 }

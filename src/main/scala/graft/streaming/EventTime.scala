@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Event-time streaming operators (SURVEY §2.4 "watermarks / late data"
+  * and "tumbling/session windows"): real Structured Streaming queries —
+  * `readStream` + `withWatermark` + `window()`/`session_window` — over
+  * the events table, upgrading the reference's record-at-a-time stream
+  * processing (which only *measures* lag against the record id's ms,
+  * `redisgears_core/src/stream_reader.rs:125-136`) to true event-time
+  * semantics.
+  *
+  * Both queries run in APPEND mode, so the watermark is load-bearing:
+  * a window is emitted only once the watermark (max event time seen
+  * minus the delay) passes its end — late/open windows are withheld
+  * exactly as they would be on an unbounded stream. The DuckDB oracles
+  * apply the same finalization cutoff (`window end <= max(ts) - delay`),
+  * making the semantics deterministic and hash-checkable rather than
+  * decorative.
+  *
+  * Scale: the streaming aggregation shuffles once on the group keys
+  * into the state store, identical to the batch plan's exchange; state
+  * size is bounded by (open windows × group cardinality) because the
+  * watermark evicts finalized windows — this is the 100 TB-safe shape
+  * (no unbounded state, no driver collection).
+  */
+object EventTime {
+
+  /** Delay used by both queries: watermark = max(ts) - 30 minutes. */
+  val Delay = "30 minutes"
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    // file streams need an explicit schema; ts arrives as nanos LONG
+    // (TESTDATA.md) and is normalized exactly like Tables.events
+    val schema = s.read.parquet(path).schema
+    // the file stream source lists a DIRECTORY; events.parquet is a
+    // single file, so stream a temp dir holding a symlink to it (a
+    // production deployment points at the directory files land in)
+    val dir = Files.createTempDirectory("graft-events-src")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion (Trigger.AvailableNow —
+    * process everything available, run the final no-data batch that
+    * advances the watermark and flushes finalized windows, stop) into a
+    * memory sink, and return the sink table. */
+  private def runToTable(df: DataFrame, s: SparkSession): DataFrame = {
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** q38: tumbling one-hour windows with a 30-minute watermark —
+    * count + value sum per (window, event_type), emitting only windows
+    * the watermark has closed. */
+  def qWatermarkTumbling(s: SparkSession, d: String): DataFrame =
+    runToTable(
+      eventsStream(s, d)
+        .withWatermark("ts", Delay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("hour_ts"),
+          col("event_type"), col("n"), col("sum_value")),
+      s)
+
+  /** q39: per-user session windows with a 10-minute gap and a
+    * 30-minute watermark — a session closes when no event arrives for
+    * the gap duration; only sessions the watermark has finalized are
+    * emitted. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    runToTable(
+      eventsStream(s, d)
+        .withWatermark("ts", Delay)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count("*").as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start_sec"),
+          col("n_events")),
+      s)
+}

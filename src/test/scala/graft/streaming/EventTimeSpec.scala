@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Tables
+
+/** Event-time streaming vs the batch-equivalent plan: the streaming
+  * result in append mode must equal the batch aggregation restricted to
+  * windows the final watermark (max ts - delay) closed. `window()` and
+  * `session_window` evaluate identically in batch mode, so the ground
+  * truth uses the same expressions without the streaming machinery. */
+class EventTimeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().toSet[Row].map(_.toSeq)
+
+  test("q38: streaming tumbling windows equal batch windows closed by the watermark") {
+    val streaming = EventTime.qWatermarkTumbling(spark, sf)
+
+    val ev = Tables.events(spark, sf)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+      .filter(col("window.end") <= lit(maxTs) - expr(s"INTERVAL ${EventTime.Delay}"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+
+    val got = rows(streaming)
+    assert(got.nonEmpty, "watermark closed no windows — delay too large for the data span?")
+    assert(got == rows(batch))
+  }
+
+  test("q39: streaming session windows equal batch sessions closed by the watermark") {
+    val streaming = EventTime.qSessionWindow(spark, sf)
+
+    val ev = Tables.events(spark, sf)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .filter(col("session_window.end") <= lit(maxTs) - expr(s"INTERVAL ${EventTime.Delay}"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_sec"),
+        col("n_events"))
+
+    val got = rows(streaming)
+    assert(got.nonEmpty)
+    assert(got == rows(batch))
+  }
+
+  test("q38 withholds open windows: streaming row count < unfiltered batch count") {
+    val allWindows = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).agg(count("*"))
+      .count()
+    val emitted = EventTime.qWatermarkTumbling(spark, sf).count()
+    assert(emitted < allWindows, "append mode must withhold windows the watermark has not closed")
+  }
+}
