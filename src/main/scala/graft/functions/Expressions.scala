@@ -155,6 +155,134 @@ object MinHashSignature {
   }
 }
 
+/** Multi-table sign-bit random-hyperplane LSH buckets for an embedding
+  * (`ARRAY<FLOAT>` or `ARRAY<DOUBLE>`), as a native codegen'd
+  * expression: `tables × nbits` pseudo-random hyperplanes, bucket bit h
+  * = sign of the projection onto hyperplane h. Returns
+  * `ARRAY<STRUCT<tbl INT, bucket LONG>>` — explode and equi-join on
+  * (tbl, bucket) for ANN candidate generation.
+  *
+  * The hyperplane weight for (table, hyperplane, dim) is
+  * `xxhash64(t, h, i) pmod 1001 - 500` — identical to the declarative
+  * higher-order-function formulation this replaces, but the weight
+  * matrix is computed ONCE per (tables, nbits, dims) in a process-wide
+  * cache instead of nbits×dims xxhash64 calls per row per table, and
+  * the projection loop runs inside whole-stage codegen instead of
+  * Catalyst's interpreted lambda evaluator. Determinism across
+  * executors comes from the seeded hash, so buckets are stable
+  * cluster-wide (the property the bucket equi-join depends on).
+  */
+case class SignLshBuckets(child: Expression, nbits: Int, tables: Int) extends UnaryExpression {
+  require(nbits >= 1 && nbits <= 63, "nbits in [1,63]")
+  require(tables >= 1 && tables <= 256, "tables in [1,256]")
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tbl", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_buckets requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SignLshBuckets.buckets(input.asInstanceOf[ArrayData], isFloat, nbits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignLshBuckets.buckets($c, $isFloat, $nbits, $tables);")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_lsh_buckets"
+}
+
+object SignLshBuckets {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  // weight matrices are tiny (tables × nbits × dims doubles) and depend
+  // only on the literal parameters + dimensionality: compute once per
+  // JVM, shared by every task on the executor
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def matrix(tables: Int, nbits: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((tables, nbits, dims), key => {
+      val (t0, n0, d0) = key
+      Array.tabulate(t0 * n0) { th =>
+        val t = th / n0
+        val h = th % n0
+        Array.tabulate(d0) { i =>
+          // xxhash64(t, h, i): Spark's XxHash64 over three INT columns —
+          // seed 42, chained per argument; pmod 1001 - 500 gives a
+          // deterministic pseudo-gaussian weight in [-500, 500]
+          var hash = XXH64.hashInt(t, 42L)
+          hash = XXH64.hashInt(h, hash)
+          hash = XXH64.hashInt(i, hash)
+          (((hash % 1001L) + 1001L) % 1001L - 500L).toDouble
+        }
+      }
+    })
+
+  def buckets(arr: ArrayData, isFloat: Boolean, nbits: Int, tables: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](tables)
+    // empty vectors and null elements made every projection null in the
+    // declarative formulation → bit 0 everywhere; preserve that
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) {
+      if (arr.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    if (n == 0 || hasNull) {
+      var t = 0
+      while (t < tables) {
+        out(t) = new GenericInternalRow(Array[Any](t, 0L)): InternalRow
+        t += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val w = matrix(tables, nbits, n)
+    val vec = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      vec(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var t = 0
+    while (t < tables) {
+      var acc = 0L
+      var h = 0
+      while (h < nbits) {
+        val row = w(t * nbits + h)
+        var proj = 0.0
+        var j = 0
+        while (j < n) {
+          proj += vec(j) * row(j)
+          j += 1
+        }
+        acc = acc * 2 + (if (proj > 0) 1L else 0L)
+        h += 1
+      }
+      out(t) = new GenericInternalRow(Array[Any](t, acc)): InternalRow
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03).
   *
   * Computes a Karp–Rabin polynomial rolling hash over every `k`-char gram

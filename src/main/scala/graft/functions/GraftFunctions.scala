@@ -18,6 +18,13 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "minhash_signature(elems, k) requires a literal integer k")
       }, "built-in")
+    reg.createOrReplaceTempFunction("sign_lsh_buckets",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, Literal(nbits: Int, IntegerType), Literal(tables: Int, IntegerType)) =>
+          SignLshBuckets(v, nbits, tables)
+        case _ => throw new IllegalArgumentException(
+          "sign_lsh_buckets(vec, nbits, tables) requires literal integers nbits, tables")
+      }, "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t) => WinnowFingerprint(t, 8, 4)

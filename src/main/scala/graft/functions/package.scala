@@ -75,34 +75,38 @@ package object functions {
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
 
-  /** Sign-bit random-hyperplane LSH bucket for an embedding: `nbits`
-    * pseudo-random hyperplanes derived from seeded xxhash64 of the
-    * dimension index, giving a LONG bucket id. Deterministic across
-    * executors. Vectors with high cosine similarity collide with high
-    * probability — the scale path for ANN search. `table` selects an
-    * independent hyperplane family (multi-table LSH boosts recall). */
-  def signLshBucket(vec: Column, nbits: Int, table: Column = lit(0)): Column = {
-    require(nbits >= 1 && nbits <= 63, "nbits in [1,63]")
-    // hyperplane h of table t, dim i weight = (hash(t, h, i) % 1001 - 500)
-    // — a cheap deterministic pseudo-gaussian; sign of <w, v> is the bit.
-    aggregate(
-      sequence(lit(0), lit(nbits - 1)),
-      lit(0L),
-      (acc, h) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") *
-              ((pmod(xxhash64(table, h, i), lit(1001)) - 500).cast("double"))),
-          lit(0.0), (a2, v) => a2 + v)
-        acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
-      })
-  }
-
-  /** All multi-table LSH buckets for a vector: ARRAY<STRUCT<tbl, bucket>>
-    * — explode and bucket-join on both fields. */
+  /** All multi-table sign-LSH buckets for a vector:
+    * ARRAY<STRUCT<tbl, bucket>> — explode and bucket-join on both
+    * fields. Native codegen'd expression ([[SignLshBuckets]]) with the
+    * hyperplane matrix precomputed per JVM; requires
+    * [[GraftFunctions.register]] on the session. Vectors with high
+    * cosine similarity collide with high probability — the scale path
+    * for ANN search; multiple tables boost recall. */
   def signLshBuckets(vec: Column, nbits: Int, tables: Int): Column =
+    call_function("sign_lsh_buckets", vec, lit(nbits), lit(tables))
+
+  /** The declarative higher-order-function formulation of
+    * [[signLshBuckets]] — interpreted (not codegen'd) and recomputes
+    * every hyperplane weight per row, so it is test-only ground truth
+    * for the native expression's bit-exactness. */
+  private[graft] def signLshBucketsReference(vec: Column, nbits: Int, tables: Int): Column = {
+    require(nbits >= 1 && nbits <= 63, "nbits in [1,63]")
+    def bucket(table: Column): Column =
+      aggregate(
+        sequence(lit(0), lit(nbits - 1)),
+        lit(0L),
+        (acc, h) => {
+          // hyperplane h of table t, dim i weight = hash(t,h,i) % 1001 - 500
+          val proj = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (x, i) => x.cast("double") *
+                ((pmod(xxhash64(table, h, i), lit(1001)) - 500).cast("double"))),
+            lit(0.0), (a2, v) => a2 + v)
+          acc * 2 + when(proj > 0, lit(1L)).otherwise(lit(0L))
+        })
     transform(sequence(lit(0), lit(tables - 1)),
-      t => struct(t.as("tbl"), signLshBucket(vec, nbits, t).as("bucket")))
+      t => struct(t.as("tbl"), bucket(t).as("bucket")))
+  }
 
   /** 64-bit SimHash of a token array (native Catalyst expression;
     * requires [[GraftFunctions.register]] on the session). */

@@ -166,6 +166,7 @@ object Dedup {
     * (tbl, bucket, vec_id) only; vectors join back for the verify. */
   def qEmbeddingLshNearDup(s: SparkSession, d: String, nbits: Int = 6,
       tables: Int = 4, threshold: Double = 0.35): DataFrame = {
+    GraftFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bucketed = e.select(col("vec_id"),
         explode(signLshBuckets(col("embedding"), nbits, tables)).as("tb"))

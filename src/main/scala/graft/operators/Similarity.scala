@@ -51,6 +51,7 @@ object Similarity {
     * each table, candidates are unioned and ranked. Probabilistic recall
     * — no SQL oracle; SimilaritySpec measures recall vs brute force. */
   def qLshTopK(s: SparkSession, d: String, nbits: Int = 6, tables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val corpus = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         explode(signLshBuckets(col("embedding"), nbits, tables)).as("tb"))
