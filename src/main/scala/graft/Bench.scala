@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.core.{Engine, LibraryDefinition, StreamRecord}
+
 /** Benchmark main — driver contract: one JSON line on stdout with
   * per-query wall seconds over SPARK_GRAFT_SF_DIR. Headline queries
   * cover the scan/agg, join, window, dedup, and similarity paths. */
@@ -47,12 +49,77 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) Some(sec) else None)
     }
-    val qs = results.map {
+    val stream = streamBench(spark, sfDir)
+    val qs = (results ++ stream).map {
       case (k, Some(v)) => "\"" + k + f"""":$v%.3f"""
       case (k, None) => "\"" + k + "\":null" // failed query: never report a timing
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Stream-trigger ingest bench, mirroring the reference's paired
+    * workloads (`tests/benchmarks/rg_stream_baseline.yml` = ingest with
+    * no trigger vs `rg_stream_process_empty_sync.yml` = empty-callback
+    * trigger): the reported quantity is trigger overhead over raw
+    * ingest of the same records. Three variants over the events table
+    * as StreamRecords (stream key = user bucket, id = event sequence):
+    * baseline (no consumers), driver-side delivery (chunked
+    * toLocalIterator control plane), executor-side delivery
+    * (flatMapGroups data plane, acks-only to driver). */
+  private def streamBench(spark: SparkSession, sfDir: String): Seq[(String, Option[Double])] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val records = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(concat(lit("bench:"), pmod(col("user_id"), lit(64))).as("stream"),
+        col("event_id").cast("long").as("idMs"), lit(0L).as("idSeq"),
+        map(lit("t"), col("event_type")).as("fields"))
+      .as[StreamRecord]
+      .cache()
+    val n = records.count() // materialize the cache outside the timings
+    // land the records once so the trigger variants read an identical
+    // file stream (writeStream needs a streaming source)
+    val srcDir = java.nio.file.Files.createTempDirectory("bench-stream-src").toString
+    records.write.mode("overwrite").parquet(srcDir)
+    def streamSrc = spark.readStream.schema(StreamRecord.schema)
+      .parquet(srcDir).as[StreamRecord]
+
+    def timed(body: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
+
+    // baseline: same shuffle+sort shape as the driver control plane, no
+    // trigger attached — the reference's no-trigger ingest
+    val baseline = timed {
+      records.repartition(col("stream"))
+        .sortWithinPartitions("stream", "idMs", "idSeq")
+        .queryExecution.toRdd.foreach(_ => ())
+    }
+    val driver = timed {
+      val e = new Engine(spark)
+      e.load(LibraryDefinition("bench", code = { b =>
+        b.registerStreamTrigger("t", "bench:", (_, _) => ())
+      }))
+      val ckpt = java.nio.file.Files.createTempDirectory("bench-drv").toString
+      val q = e.streams.attach(streamSrc, ckpt)
+      q.processAllAvailable(); q.stop(); e.close()
+    }
+    val dist = timed {
+      val e = new Engine(spark)
+      e.load(LibraryDefinition("bench", code = { b =>
+        b.registerStreamTrigger("t", "bench:", (_, _) => ())
+      }))
+      val ckpt = java.nio.file.Files.createTempDirectory("bench-dist").toString
+      val q = e.streams.attachDistributed(streamSrc, ckpt, "bench", "t")(_ => ())
+      q.processAllAvailable(); q.stop(); e.close()
+    }
+    records.unpersist()
+    Seq(s"stream_ingest_baseline_${n}" -> baseline,
+      "stream_trigger_driver" -> driver,
+      "stream_trigger_distributed" -> dist)
   }
 }

@@ -49,6 +49,12 @@ import graft.core.LibraryBuilder.StreamTriggerDef
   * the same micro-batches ([[attachBatches]] hands each micro-batch
   * DataFrame to distributed operators before the driver-side routing).
   */
+/** Per-stream ack summary returned from executor-side delivery — the
+  * only data that crosses back to the driver on the distributed path. */
+case class StreamAck(stream: String, ackedMs: Long, ackedSeq: Long,
+    processed: Long, errors: Long, lastError: Option[String],
+    lastLagMs: Long, halted: Boolean)
+
 final class StreamTriggerEngine(engine: Engine) {
 
   private case class Consumer(library: String, spec: StreamTriggerDef) {
@@ -208,6 +214,34 @@ final class StreamTriggerEngine(engine: Engine) {
     else Some(states.map(s => (s.lastReadMs, s.lastReadSeq)).min)
   }
 
+  /** Route a micro-batch through the driver-side consumers WITHOUT
+    * materializing it at once: the batch is hash-partitioned by stream
+    * and sorted by (stream, ms, seq) within partitions, then streamed
+    * to the driver one partition at a time (`toLocalIterator`) in
+    * bounded chunks. A stream's records are co-located and ascending,
+    * so chunk boundaries — even mid-stream — preserve per-stream order
+    * and checkpoint monotonicity. Driver memory is bounded by one
+    * partition + one chunk, whatever the batch size (the old
+    * `collect()` path OOMed the driver on a large replay batch). */
+  private def processBatchChunked(batch: Dataset[StreamRecord]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ordered = batch
+      .repartition(col("stream"))
+      .sortWithinPartitions("stream", "idMs", "idSeq")
+    val it = ordered.toLocalIterator()
+    val chunk = new ArrayBuffer[StreamRecord](ChunkSize)
+    while (it.hasNext) {
+      chunk += it.next()
+      if (chunk.size >= ChunkSize) {
+        processBatch(chunk.toSeq)
+        chunk.clear()
+      }
+    }
+    if (chunk.nonEmpty) processBatch(chunk.toSeq)
+  }
+
+  private val ChunkSize = 10000
+
   /** Attach a continuous `Dataset[StreamRecord]` (file stream, Kafka,
     * MemoryStream…) to the trigger engine. Checkpointing the streaming
     * query + the engine's durable id checkpoint gives E5/E7: a failed
@@ -219,25 +253,116 @@ final class StreamTriggerEngine(engine: Engine) {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[StreamRecord], _: Long) =>
-        // trigger control plane is driver-side by design (see class doc);
-        // batches are small (maxOffsetsPerTrigger bounds them upstream)
-        processBatch(batch.collect().toSeq)
+        processBatchChunked(batch)
       }
       .start()
 
   /** Distributed data plane: hand each micro-batch DataFrame to a
     * declarative operator pipeline (runs on executors), e.g. running
-    * aggregations into a sink table, then route the (small) batch
-    * through the driver-side triggers. */
+    * aggregations into a sink table, then route the batch through the
+    * driver-side triggers. */
   def attachBatches(ds: Dataset[StreamRecord], checkpointDir: String)(
       dataPlane: DataFrame => Unit): StreamingQuery =
     ds.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[StreamRecord], _: Long) =>
         dataPlane(batch.toDF())
-        processBatch(batch.collect().toSeq)
+        processBatchChunked(batch)
       }
       .start()
+
+  /** Executor-side delivery (the scale path for heavy callbacks): the
+    * records of each stream are grouped and delivered IN (ms, seq)
+    * ORDER on the executors — `groupByKey(stream).flatMapGroups` is
+    * one shuffle on the stream key — and only a per-stream ack summary
+    * (a handful of bytes) returns to the driver, which merges it into
+    * the consumer's checkpoint state and persists it durably. The
+    * driver never sees record payloads, so batch size is unbounded.
+    *
+    * The callback runs on executors: it MUST be serializable and must
+    * not touch driver-side engine state (external sinks / accumulators
+    * only) — the same restriction any Spark closure has. The trigger
+    * named by (library, trigger) must already be registered; its
+    * prefix, error policy, and checkpoints apply. Replayed records
+    * below the consumer's acked id are skipped on the executors via a
+    * snapshot of acked ids shipped with the task closure (small:
+    * #streams entries).
+    *
+    * Reference semantics preserved: per-stream order
+    * (`stream_reader.rs:299-453`), ack/nack + checkpoint (E4), durable
+    * resume (E5/E7). */
+  def attachDistributed(ds: Dataset[StreamRecord], checkpointDir: String,
+      library: String, trigger: String)(fn: StreamRecord => Unit): StreamingQuery = {
+    val key = s"$library.$trigger"
+    ds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[StreamRecord], _: Long) =>
+        val c = consumers.getOrElse(key,
+          throw new NoSuchElementException(s"no such stream trigger '$key'"))
+        val prefix = c.spec.prefix
+        val retry = c.spec.onError == ErrorPolicy.Retry
+        // acked-id snapshot for executor-side replay dedup
+        val acked: Map[String, (Long, Long)] = c.perStream.iterator
+          .filter(_._2.lastReadMs >= 0)
+          .map { case (s, st) => s -> (st.lastReadMs, st.lastReadSeq) }
+          .toMap
+        implicit val ackEnc: org.apache.spark.sql.Encoder[StreamAck] =
+          org.apache.spark.sql.Encoders.product[StreamAck]
+        val summaries = batch
+          .filter((r: StreamRecord) => r.stream.startsWith(prefix))
+          .groupByKey((r: StreamRecord) => r.stream)(org.apache.spark.sql.Encoders.STRING)
+          .flatMapGroups { (stream: String, it: Iterator[StreamRecord]) =>
+            val now = System.currentTimeMillis()
+            val rs = it.toArray.sortBy(r => (r.idMs, r.idSeq))
+            var (ms, seq) = acked.getOrElse(stream, (-1L, -1L))
+            var processed = 0L
+            var errors = 0L
+            var lastError: String = null
+            var lastLagMs = 0L
+            var halted = false
+            rs.foreach { r =>
+              val isNew = r.idMs > ms || (r.idMs == ms && r.idSeq > seq)
+              if (!halted && isNew) {
+                try {
+                  fn(r)
+                  ms = r.idMs; seq = r.idSeq
+                  processed += 1
+                  lastLagMs = math.max(0, now - r.idMs)
+                } catch {
+                  case e: Throwable =>
+                    errors += 1
+                    lastError = e.toString
+                    if (retry) halted = true
+                    else { ms = r.idMs; seq = r.idSeq }
+                }
+              }
+            }
+            Iterator.single(StreamAck(stream, ms, seq, processed, errors,
+              Option(lastError), lastLagMs, halted))
+          }
+          .collect() // tiny: one row per stream in the batch
+        // merge acks into driver-side checkpoint state
+        var dirty = false
+        val failures = ArrayBuffer.empty[String]
+        summaries.foreach { a =>
+          val st = c.perStream.getOrElseUpdate(a.stream, new ConsumerStreamState)
+          if (a.ackedMs > st.lastReadMs ||
+              (a.ackedMs == st.lastReadMs && a.ackedSeq > st.lastReadSeq)) {
+            st.lastReadMs = a.ackedMs
+            st.lastReadSeq = a.ackedSeq
+            dirty = true
+          }
+          st.totalProcessed += a.processed
+          st.totalErrors += a.errors
+          a.lastError.foreach(e => st.lastError = Some(e))
+          if (a.processed > 0) st.lastLagMs = a.lastLagMs
+          if (a.halted) failures += s"$key/${a.stream}@${a.ackedMs}-${a.ackedSeq}: ${a.lastError.getOrElse("?")}"
+        }
+        if (dirty) persistCheckpoints()
+        if (failures.nonEmpty) throw new StreamDeliveryException(failures.toSeq)
+      }
+      .start()
+  }
 
   private[graft] def stats(library: String, trigger: String): StreamTriggerStats = {
     val key = s"$library.$trigger"
