@@ -71,6 +71,30 @@ final class FunctionContext private[core] (
   def config: Map[String, String] = engine.libraryConfig(library)
   def log(msg: String): Unit = engine.log(s"[$library] $msg")
 
+  /** C6 (`asyncClient.block`): run `body` as ONE atomic state
+    * transaction — the legal write path that groups multiple writes
+    * into a single atomically-visible commit from a background/async
+    * function (the reference acquires the GIL and wraps effects in
+    * MULTI/EXEC, `v8_native_functions.rs:264-312`). Concurrent readers
+    * observe either none or all of the transaction's writes, never a
+    * partial state. */
+  def atomic[T](body: StateTable.Txn => T): T = {
+    requireWrites()
+    engine.state.commit(body)
+  }
+
+  /** C5 (`client.executeAsync`): escape from a sync function to the
+    * background pool mid-invocation (`v8_native_functions.rs:694-763`).
+    * Returns a [[RespValue.RespPromise]]; a sync function returning it
+    * releases the state lock immediately (its sync writes commit), and
+    * the engine replies with the promise's resolution — the reference's
+    * blocked-client pattern. The background body must use [[atomic]]
+    * for grouped writes; if it touches state while the sync part is
+    * still committing it blocks on the state lock, exactly like the
+    * reference's background task waiting for the GIL. */
+  def executeAsync(body: FunctionContext => RespValue): RespValue =
+    engine.scheduleAsync(library, readOnly, body)
+
   /** Run a registered cluster function for a specific key (C7
     * `runOnKey`) — in Spark the data for a key is reachable from any
     * task, so this is a direct invocation with the key as routing arg. */
@@ -279,14 +303,32 @@ final class Engine(val spark: SparkSession,
   }
 
   /** TFCALL (sync): runs atomically w.r.t. the state table — the whole
-    * invocation is one state transaction (E8). */
+    * invocation is one state transaction (E8). A function that returns
+    * a [[RespValue.RespPromise]] (via `ctx.executeAsync`) commits its
+    * sync writes first, then the engine awaits the background
+    * resolution outside the lock and replies with it (the reference's
+    * blocked-client reply path, `run_ctx.rs:202-222`). */
   def call(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): RespValue = {
     val (f, _) = functionDef(lib, fn)
     if (f.isAsync) throw new IllegalStateException(
       s"'$lib.$fn' is async — use callAsync") // TFCALL on async fn is an error shape
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val out = state.commit(_ => f.fn(ctx, args))
-    RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
+    val resolved = resolve(out)
+    RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
+  }
+
+  /** Await a promise chain (outside any lock). */
+  private def resolve(v: RespValue): RespValue = v match {
+    case RespPromise(fut) =>
+      resolve(scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(60, "s")))
+    case other => other
+  }
+
+  private[core] def scheduleAsync(lib: String, readOnly: Boolean,
+      body: FunctionContext => RespValue): RespValue = {
+    val ctx = new FunctionContext(this, lib, readOnly)
+    RespPromise(Future(body(ctx)))
   }
 
   /** TFCALLASYNC: runs on the background pool; the function must go
@@ -295,7 +337,7 @@ final class Engine(val spark: SparkSession,
     val (f, _) = functionDef(lib, fn)
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     Future {
-      val out = f.fn(ctx, args)
+      val out = resolve(f.fn(ctx, args))
       RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
     }
   }

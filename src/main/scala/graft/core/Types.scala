@@ -76,6 +76,12 @@ object RespValue {
   case class RespMap(v: Map[String, RespValue]) extends RespValue
   /** Set semantics (distinct elements) — RESP3 Set. */
   case class RespSet(v: Set[RespValue]) extends RespValue
+  /** A pending background computation (C5 `executeAsync`): the analogue
+    * of a JS function returning a Promise — the reference blocks the
+    * client and replies when the promise resolves
+    * (`v8_native_functions.rs:694-763`, `run_ctx.rs:202-222`). The
+    * engine resolves it before replying; it never serializes. */
+  case class RespPromise(v: scala.concurrent.Future[RespValue]) extends RespValue
 
   /** Max nesting depth, matching the reference's cap
     * (`v8_function_ctx.rs:64-66`). */
@@ -112,6 +118,8 @@ object RespValue {
         .mkString("{", ",", "}")
     case RespSet(s) =>
       s"""{"__t":"set","v":${s.toSeq.map(toJson).sorted.mkString("[", ",", "]")}}"""
+    case RespPromise(_) =>
+      throw new IllegalStateException("a pending promise cannot be serialized — resolve it first")
   }
 
   private def quote(s: String): String = "\"" + s.flatMap {

@@ -178,4 +178,69 @@ class EngineSpec extends AnyFunSuite {
     assert(e.state.get("a").contains("1") && e.state.get("b").contains("2"))
     e.close()
   }
+
+  test("executeAsync: sync function escapes to background; call replies with the resolution (C5)") {
+    val e = new Engine(TestSpark.spark, executionThreads = 2)
+    val syncThread = new java.util.concurrent.atomic.AtomicLong
+    val bgThread = new java.util.concurrent.atomic.AtomicLong
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerFunction("escape", (ctx, _) => {
+        syncThread.set(Thread.currentThread().getId)
+        ctx.set("sync_part", "committed") // commits with the sync section
+        ctx.executeAsync { bg =>
+          bgThread.set(Thread.currentThread().getId)
+          // the sync part's write is already visible to the background
+          val seen = bg.get("sync_part").getOrElse("missing")
+          bg.set("bg_part", "done")
+          RespString(s"resolved:$seen")
+        }
+      })
+    }))
+    assert(e.call("lib", "escape") == RespString("resolved:committed"))
+    assert(syncThread.get != bgThread.get, "background body must run on the pool")
+    assert(e.state.get("bg_part").contains("done"))
+    e.close()
+  }
+
+  test("atomic block: async writes are invisible until the block commits (C6)") {
+    val e = new Engine(TestSpark.spark, executionThreads = 2)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerAsyncFunction("batch", (ctx, _) => {
+        ctx.atomic { txn =>
+          txn.set("k1", "v1")
+          entered.countDown()
+          Thread.sleep(150) // widen the window a concurrent reader could observe
+          txn.set("k2", "v2")
+        }
+        RespString("ok")
+      })
+    }))
+    val fut = e.callAsync("lib", "batch")
+    entered.await()
+    // reader during the transaction: must see none or all of the writes,
+    // never the partial state {k1 set, k2 unset}
+    val k1 = e.state.get("k1")
+    val k2 = e.state.get("k2")
+    assert(k1.isDefined == k2.isDefined, s"partial transaction state observed: k1=$k1 k2=$k2")
+    assert(Await.result(fut, 10.seconds) == RespString("ok"))
+    assert(e.state.get("k1").contains("v1") && e.state.get("k2").contains("v2"))
+    e.close()
+  }
+
+  test("atomic block is write-gated for no-writes functions (C6/E13)") {
+    val e = newEngine()
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerAsyncFunction("ro", (ctx, _) => {
+        ctx.atomic(_.set("x", "1"))
+        RespNull
+      }, flags = Set(FunctionFlags.NoWrites))
+    }))
+    val ex = intercept[IllegalStateException] {
+      Await.result(e.callAsync("lib", "ro"), 10.seconds)
+    }
+    assert(ex.toString.contains("no-writes") || ex.getCause != null)
+    assert(e.state.get("x").isEmpty)
+    e.close()
+  }
 }
