@@ -69,9 +69,19 @@ final class StreamTriggerEngine(engine: Engine) {
     @volatile var totalErrors: Long = 0
     @volatile var lastError: Option[String] = None
     @volatile var lastLagMs: Long = 0
+    /** E3/E4 in-flight bookkeeping (the reference's `pending_ids`,
+      * `stream_reader.rs:113-122`): failed (nacked) ids awaiting
+      * redelivery, and ids delivered successfully ABOVE a nacked one —
+      * the checkpoint is the contiguous acked prefix, so those can't
+      * advance it yet, but an in-process replay must not re-run them
+      * (exactly-once while up). Both are bounded by `window` and
+      * volatile: a restart redelivers them (at-least-once). */
+    val pendingFailed = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+    val deliveredAhead = scala.collection.mutable.TreeSet.empty[(Long, Long)]
     def lastReadId: String = if (lastReadMs < 0) "0-0" else s"$lastReadMs-$lastReadSeq"
     def isNew(r: StreamRecord): Boolean =
-      r.idMs > lastReadMs || (r.idMs == lastReadMs && r.idSeq > lastReadSeq)
+      (r.idMs > lastReadMs || (r.idMs == lastReadMs && r.idSeq > lastReadSeq)) &&
+        !deliveredAhead.contains((r.idMs, r.idSeq))
   }
 
   private val consumers = TrieMap.empty[String, Consumer]
@@ -161,17 +171,37 @@ final class StreamTriggerEngine(engine: Engine) {
       byStream.foreach { case (stream, rs) =>
         if (stream.startsWith(c.spec.prefix)) {
           val st = c.perStream.getOrElseUpdate(stream, new ConsumerStreamState)
-          var halted = false
+          // E3 window backpressure: delivery continues past nacked
+          // records until `window` of them are in flight, then NEW
+          // records stop for the batch (the reference stops pulling at
+          // pending_ids.len() >= window, stream_reader.rs:436-442);
+          // redelivery of the pending records themselves always
+          // proceeds, else a full window could never drain.
+          // window=1 (default) = halt at the first failure.
           rs.foreach { r =>
-            if (!halted && st.isNew(r)) {
+            val id = (r.idMs, r.idSeq)
+            val isRetry = st.pendingFailed.contains(id)
+            val windowOpen = st.pendingFailed.size < c.spec.window
+            if ((isRetry || windowOpen) && st.isNew(r)) {
               try {
                 c.spec.fn(ctx, r)
-                // ack: advance checkpoint only after successful callback
-                st.lastReadMs = r.idMs
-                st.lastReadSeq = r.idSeq
                 st.totalProcessed += 1
                 st.lastLagMs = math.max(0, now - r.idMs)
-                dirty = true
+                st.pendingFailed.remove(id)
+                if (st.pendingFailed.isEmpty) {
+                  // ack: the contiguous prefix is complete — advance the
+                  // checkpoint over everything delivered so far
+                  val (ms, seq) =
+                    if (st.deliveredAhead.isEmpty) id
+                    else Seq(st.deliveredAhead.last, id).max
+                  st.lastReadMs = ms
+                  st.lastReadSeq = seq
+                  st.deliveredAhead.clear()
+                  dirty = true
+                } else {
+                  // delivered above a nacked record: remember, don't ack
+                  st.deliveredAhead.add(id)
+                }
               } catch {
                 case e: Throwable =>
                   st.totalErrors += 1
@@ -183,9 +213,7 @@ final class StreamTriggerEngine(engine: Engine) {
                       st.lastReadSeq = r.idSeq
                       dirty = true
                     case ErrorPolicy.Retry =>
-                      // the checkpoint must never advance past an
-                      // unacked record: stop this stream for the batch
-                      halted = true
+                      st.pendingFailed.add(id)
                       failures += s"${c.key}/$stream@${r.idString}: $e"
                   }
               }
@@ -241,6 +269,57 @@ final class StreamTriggerEngine(engine: Engine) {
   }
 
   private val ChunkSize = 10000
+
+  /** All streams currently tracked by trimming consumers, with their
+    * trim watermarks. */
+  private def trimWatermarks(): Map[String, (Long, Long)] = {
+    val tracked = consumers.values.toSeq
+      .filter(_.spec.isStreamTrimmed)
+      .flatMap(_.perStream.keys)
+      .distinct
+    tracked.flatMap(s => trimWatermark(s).map(s -> _)).toMap
+  }
+
+  /** E6 stream-trim ACTION: compact a parquet append log of
+    * [[StreamRecord]]s in place, deleting every record at or below its
+    * stream's trim watermark — the analogue of the reference's
+    * `XTRIM MINID` up to the slowest consumer's acked id
+    * (`stream_reader.rs:61-109`, `lib.rs:1074-1103`). Streams without a
+    * trimming consumer are untouched. Runs as a distributed
+    * filter-and-rewrite (broadcast watermark join, no driver
+    * materialization); the swap of the rewritten log is a directory
+    * rename. Returns the number of records removed. */
+  def compactLog(logDir: String): Long = {
+    val spark = engine.spark
+    val wms = trimWatermarks()
+    if (wms.isEmpty) return 0L
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val wmDf = wms.toSeq.map { case (s, (ms, seq)) => (s, ms, seq) }
+      .toDF("stream", "wm_ms", "wm_seq")
+    val log = spark.read.schema(StreamRecord.schema).parquet(logDir)
+    val before = log.count()
+    val kept = log.join(broadcast(wmDf), Seq("stream"), "left")
+      .filter(col("wm_ms").isNull ||
+        col("idMs") > col("wm_ms") ||
+        (col("idMs") === col("wm_ms") && col("idSeq") > col("wm_seq")))
+      .drop("wm_ms", "wm_seq")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(logDir)
+    val fs = path.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(logDir + ".compact-tmp")
+    fs.delete(tmp, true)
+    val after = {
+      val k = kept.cache()
+      val n = k.count()
+      k.write.mode("overwrite").parquet(tmp.toString)
+      k.unpersist()
+      n
+    }
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    before - after
+  }
 
   /** Attach a continuous `Dataset[StreamRecord]` (file stream, Kafka,
     * MemoryStream…) to the trigger engine. Checkpointing the streaming

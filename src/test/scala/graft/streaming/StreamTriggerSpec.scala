@@ -258,6 +258,64 @@ class StreamTriggerSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("window > 1: delivery continues past nacked records up to the window cap (E3)") {
+    val e = new Engine(TestSpark.spark)
+    val seen = ArrayBuffer.empty[Long]
+    var failing = Set(2L, 4L)
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerStreamTrigger("t", "s:", (_, r) => {
+        if (failing(r.idMs)) throw new RuntimeException(s"boom@${r.idMs}")
+        seen += r.idMs
+      }, window = 2)
+    }))
+    intercept[StreamDeliveryException] {
+      e.streams.processBatch((1L to 6L).map(i => rec("s:1", i)))
+    }
+    // 1 acked; 2 nacked (1 in flight); 3 delivered-ahead; 4 nacked
+    // (window full) → 5 and 6 NOT attempted
+    assert(seen.toSeq == Seq(1, 3))
+    var st = e.list().head.streamTriggers.head.streams("s:1")
+    assert(st.lastReadId == "1-0") // checkpoint = contiguous acked prefix
+
+    // replay: pending records retry even though the window is full;
+    // delivered-ahead record 3 is NOT redelivered (exactly-once while up)
+    failing = Set.empty
+    e.streams.processBatch((1L to 6L).map(i => rec("s:1", i)))
+    assert(seen.toSeq == Seq(1, 3, 2, 4, 5, 6))
+    st = e.list().head.streamTriggers.head.streams("s:1")
+    assert(st.lastReadId == "6-0")
+    e.close()
+  }
+
+  test("trim action compacts the log up to the slowest trimming consumer (E6)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = new Engine(spark)
+    e.load(LibraryDefinition("fast", code = { b =>
+      b.registerStreamTrigger("t", "s:", (_, _) => (), isStreamTrimmed = true)
+    }))
+    e.load(LibraryDefinition("slow", code = { b =>
+      b.registerStreamTrigger("t", "s:", (_, r) => {
+        if (r.idMs > 2) throw new RuntimeException("slow is behind")
+      }, isStreamTrimmed = true)
+    }))
+    val records = (1L to 5L).map(i => rec("s:1", i)) ++
+      (1L to 3L).map(i => rec("untracked:x", i))
+    intercept[StreamDeliveryException](e.streams.processBatch(records))
+    // fast acked 5, slow acked 2 → watermark 2
+    assert(e.streams.trimWatermark("s:1").contains((2L, 0L)))
+
+    val logDir = java.nio.file.Files.createTempDirectory("graft-log").toString + "/log"
+    records.toDS().write.parquet(logDir)
+    val removed = e.streams.compactLog(logDir)
+    assert(removed == 2) // s:1 ids 1,2 trimmed
+    val left = spark.read.parquet(logDir).as[StreamRecord].collect().toSeq.sorted
+    assert(left.filter(_.stream == "s:1").map(_.idMs) == Seq(3, 4, 5))
+    // streams without a trimming consumer keep everything
+    assert(left.count(_.stream == "untracked:x") == 3)
+    e.close()
+  }
+
   test("xadd synchronous ingest + engine function over trigger state") {
     val e = new Engine(TestSpark.spark)
     e.load(LibraryDefinition("counter", code = { b =>
