@@ -67,6 +67,11 @@ final class FunctionContext private[core] (
   def hset(key: String, fields: (String, String)*): Unit = { requireWrites(); engine.state.hset(key, fields: _*) }
   def del(key: String): Boolean = { requireWrites(); engine.state.del(key) }
   def incrBy(key: String, delta: Long): Long = { requireWrites(); engine.state.incrBy(key, delta) }
+  // C2 binary-safe access (callRaw analogue)
+  def getRaw(key: String): Option[Array[Byte]] = engine.state.getRaw(key)
+  def hgetRaw(key: String, field: String): Option[Array[Byte]] = engine.state.hgetRaw(key, field)
+  def setRaw(key: String, value: Array[Byte]): Unit = { requireWrites(); engine.state.setRaw(key, value) }
+  def hsetRaw(key: String, fields: (String, Array[Byte])*): Unit = { requireWrites(); engine.state.hsetRaw(key, fields: _*) }
   /** Per-library config injected at load (C10). */
   def config: Map[String, String] = engine.libraryConfig(library)
   def log(msg: String): Unit = engine.log(s"[$library] $msg")
@@ -313,10 +318,24 @@ final class Engine(val spark: SparkSession,
     if (f.isAsync) throw new IllegalStateException(
       s"'$lib.$fn' is async — use callAsync") // TFCALL on async fn is an error shape
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
-    val out = state.commit(_ => f.fn(ctx, args))
+    val decoded = decodeArgs(f, args)
+    val out = state.commit(_ => f.fn(ctx, decoded))
     val resolved = resolve(out)
     RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
   }
+
+  /** C13 RawArguments: without the flag, binary args are UTF-8 decoded
+    * to strings (invalid UTF-8 is an error — the reference decodes args
+    * before the call, `v8_function_ctx.rs:254-268`); with the flag they
+    * pass through byte-exact. */
+  private def decodeArgs(f: FunctionDef, args: Seq[RespValue]): Seq[RespValue] =
+    if (f.flags.contains(FunctionFlags.RawArguments)) args
+    else args.map {
+      case RespBinary(b) => StreamRecord.decodeUtf8(b).map(RespString).getOrElse(
+        throw new IllegalArgumentException(
+          s"argument of '${f.name}' is not valid UTF-8 (declare ${FunctionFlags.RawArguments})"))
+      case other => other
+    }
 
   /** Await a promise chain (outside any lock). */
   private def resolve(v: RespValue): RespValue = v match {
@@ -336,8 +355,9 @@ final class Engine(val spark: SparkSession,
   def callAsync(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): Future[RespValue] = {
     val (f, _) = functionDef(lib, fn)
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
+    val decoded = decodeArgs(f, args)
     Future {
-      val out = resolve(f.fn(ctx, args))
+      val out = resolve(f.fn(ctx, decoded))
       RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
     }
   }

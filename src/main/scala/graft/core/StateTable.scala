@@ -82,6 +82,19 @@ final class StateTable {
   def del(key: String): Boolean = commit(_.del(key))
   def incrBy(key: String, delta: Long): Long = commit(_.incrBy(key, delta))
 
+  // --- binary-safe access (C2 callRaw analogue). Values are stored in
+  // the String table through the ISO-8859-1 byte<->char bridge: every
+  // byte 0..255 maps to the same char code, so ANY byte sequence —
+  // including invalid UTF-8 — round-trips losslessly, and snapshots
+  // (parquet strings) keep working. The reference's binary round-trip
+  // contract: pytests/test_stream_reader.py:31-54.
+  def setRaw(key: String, value: Array[Byte]): Unit = set(key, StateTable.b2s(value))
+  def getRaw(key: String): Option[Array[Byte]] = get(key).map(StateTable.s2b)
+  def hsetRaw(key: String, fields: (String, Array[Byte])*): Unit =
+    hset(key, fields.map { case (f, v) => f -> StateTable.b2s(v) }: _*)
+  def hgetRaw(key: String, field: String): Option[Array[Byte]] =
+    hget(key, field).map(StateTable.s2b)
+
   /** Dump the state as a DataFrame (key, field, value) for durable
     * snapshot to parquet. */
   def snapshot(spark: SparkSession): DataFrame = {
@@ -111,6 +124,12 @@ final class StateTable {
 object StateTable {
   /** Field name used for plain string values. */
   val ValueField = "__value"
+
+  /** Lossless byte<->String bridge (ISO-8859-1 maps byte n to char n). */
+  private[core] def b2s(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+  private[core] def s2b(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
   /** A transaction: buffered writes + read-your-writes, flushed
     * atomically by [[StateTable.commit]]. */

@@ -15,9 +15,18 @@ import org.apache.spark.sql.types._
 
 /** A stream record: the unit the stream-trigger engine delivers.
   * `stream` is the prefix-matchable stream key; `(idMs, idSeq)` is the
-  * monotonic per-stream id (event-time millis + tiebreaker). */
+  * monotonic per-stream id (event-time millis + tiebreaker).
+  *
+  * Binary safety (C2): like the reference's dual decoded/raw record
+  * shape (`record` = UTF-8 strings where decodable, `record_raw` =
+  * always the exact bytes — `v8_stream_ctx.rs:76-101`, binary test
+  * `pytests/test_stream_reader.py:31-54`), `fields` is the decoded
+  * view (only pairs where key and value are valid UTF-8) and
+  * `fieldsRaw` carries every pair byte-exactly. Text-only producers
+  * leave `fieldsRaw` empty and use `fields` directly. */
 case class StreamRecord(stream: String, idMs: Long, idSeq: Long,
-    fields: Map[String, String]) {
+    fields: Map[String, String],
+    fieldsRaw: Seq[(Array[Byte], Array[Byte])] = Seq.empty) {
   def id: (Long, Long) = (idMs, idSeq)
   def idString: String = s"$idMs-$idSeq"
 }
@@ -27,7 +36,31 @@ object StreamRecord {
     StructField("stream", StringType, nullable = false),
     StructField("idMs", LongType, nullable = false),
     StructField("idSeq", LongType, nullable = false),
-    StructField("fields", MapType(StringType, StringType), nullable = false)))
+    StructField("fields", MapType(StringType, StringType), nullable = false),
+    StructField("fieldsRaw", ArrayType(StructType(Seq(
+      StructField("_1", BinaryType, nullable = true),
+      StructField("_2", BinaryType, nullable = true))), containsNull = true),
+      nullable = true)))
+
+  /** Strict UTF-8 decode: None when the bytes are not valid UTF-8 (the
+    * reference yields JS `null` for such fields). */
+  def decodeUtf8(bytes: Array[Byte]): Option[String] = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  /** Build a record from raw byte pairs: `fieldsRaw` keeps the exact
+    * bytes; `fields` holds the pairs where both sides decode as UTF-8. */
+  def binary(stream: String, idMs: Long, idSeq: Long,
+      raw: Seq[(Array[Byte], Array[Byte])]): StreamRecord = {
+    val decoded = raw.flatMap { case (k, v) =>
+      for (ks <- decodeUtf8(k); vs <- decodeUtf8(v)) yield ks -> vs
+    }.toMap
+    StreamRecord(stream, idMs, idSeq, decoded, raw)
+  }
 
   implicit val ordering: Ordering[StreamRecord] =
     Ordering.by(r => (r.stream, r.idMs, r.idSeq))
