@@ -240,7 +240,45 @@ final class Engine(val spark: SparkSession,
   private implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
 
   private case class LoadedLibrary(builder: LibraryBuilder, apiVersion: String,
-      config: Map[String, String])
+      config: Map[String, String]) {
+    val fnStats = TrieMap.empty[String, FunctionStats]
+    def statsFor(fn: String): FunctionStats = fnStats.getOrElseUpdate(fn, new FunctionStats)
+  }
+
+  private[core] final class FunctionStats {
+    @volatile var calls: Long = 0
+    @volatile var errors: Long = 0
+    @volatile var lastError: Option[String] = None
+  }
+
+  // --- engine-level config (E17 TCONFIG_GET/SET analogue) -------------
+  private val engineConfig = TrieMap[String, String](
+    // terse = Throwable.toString; verbose = full stack trace in every
+    // surfaced error (the reference's verbose error reporting,
+    // pytests/test_verbose_error_reporting.py)
+    "error-verbosity" -> "terse")
+
+  def configSet(key: String, value: String): Unit = {
+    key match {
+      case "error-verbosity" =>
+        if (!Set("terse", "verbose").contains(value))
+          throw new IllegalArgumentException(
+            s"error-verbosity must be terse|verbose, got '$value'")
+      case other => throw new NoSuchElementException(s"unknown config key '$other'")
+    }
+    engineConfig.put(key, value)
+  }
+
+  def configGet(key: String): String = engineConfig.getOrElse(key,
+    throw new NoSuchElementException(s"unknown config key '$key'"))
+
+  /** Render an error per the error-verbosity config. */
+  private[graft] def errorString(e: Throwable): String =
+    if (engineConfig("error-verbosity") == "verbose") {
+      val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw))
+      sw.toString
+    } else e.toString
 
   /** E14: load or upgrade a library. Evaluation failures and validation
     * failures leave the previous version fully in place (revert
@@ -314,14 +352,30 @@ final class Engine(val spark: SparkSession,
     * resolution outside the lock and replies with it (the reference's
     * blocked-client reply path, `run_ctx.rs:202-222`). */
   def call(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): RespValue = {
-    val (f, _) = functionDef(lib, fn)
+    val (f, l) = functionDef(lib, fn)
     if (f.isAsync) throw new IllegalStateException(
       s"'$lib.$fn' is async — use callAsync") // TFCALL on async fn is an error shape
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
-    val out = state.commit(_ => f.fn(ctx, decoded))
-    val resolved = resolve(out)
-    RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
+    recorded(l, fn) {
+      val out = state.commit(_ => f.fn(ctx, decoded))
+      val resolved = resolve(out)
+      RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
+    }
+  }
+
+  /** Track per-function invocation stats (E16 depth): success/error
+    * counters and the last error, rendered per error-verbosity. */
+  private def recorded(l: LoadedLibrary, fn: String)(body: => RespValue): RespValue = {
+    val st = l.statsFor(fn)
+    st.calls += 1
+    try body
+    catch {
+      case e: Throwable =>
+        st.errors += 1
+        st.lastError = Some(errorString(e))
+        throw e
+    }
   }
 
   /** C13 RawArguments: without the flag, binary args are UTF-8 decoded
@@ -353,12 +407,14 @@ final class Engine(val spark: SparkSession,
   /** TFCALLASYNC: runs on the background pool; the function must go
     * through the state table's commit path for writes (C6 `block`). */
   def callAsync(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): Future[RespValue] = {
-    val (f, _) = functionDef(lib, fn)
+    val (f, l) = functionDef(lib, fn)
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
     Future {
-      val out = resolve(f.fn(ctx, decoded))
-      RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
+      recorded(l, fn) {
+        val out = resolve(f.fn(ctx, decoded))
+        RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
+      }
     }
   }
 
@@ -383,14 +439,26 @@ final class Engine(val spark: SparkSession,
       name = name,
       apiVersion = l.apiVersion,
       config = l.config,
-      functions = l.builder.functions.values.toSeq.sortBy(_.name).map(f =>
-        FunctionInfo(f.name, f.isAsync, f.flags, f.description)),
+      functions = l.builder.functions.values.toSeq.sortBy(_.name).map { f =>
+        val st = l.statsFor(f.name)
+        FunctionInfo(f.name, f.isAsync, f.flags, f.description,
+          st.calls, st.errors, st.lastError)
+      },
       clusterFunctions = l.builder.clusterFunctions.keys.toSeq.sorted,
       streamTriggers = l.builder.streamTriggers.keys.toSeq.sorted.map(t =>
         streams.stats(name, t)),
       keySpaceTriggers = l.builder.keySpaceTriggers.keys.toSeq.sorted.map(t =>
         keyspace.stats(name, t)))
   }
+
+  /** TFUNCTION DEBUG analogue: the full diagnostic view of one library
+    * — everything `list()` shows plus per-stream pending (nacked) ids
+    * and the raw per-function error strings, rendered at the current
+    * error-verbosity (`pytests/test_debugging.py` +
+    * `test_verbose_error_reporting.py` are the reference shapes). */
+  def debug(name: String): LibraryInfo =
+    list().find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no such library '$name'"))
 
   def log(msg: String): Unit =
     org.slf4j.LoggerFactory.getLogger("graft.Engine").info(msg)
@@ -409,11 +477,13 @@ object Engine {
 }
 
 case class FunctionInfo(name: String, isAsync: Boolean, flags: Set[String],
-    description: String)
+    description: String, calls: Long = 0, errors: Long = 0,
+    lastError: Option[String] = None)
 case class StreamTriggerStats(library: String, trigger: String, prefix: String,
     window: Int, trimmed: Boolean, streams: Map[String, StreamConsumerStats])
 case class StreamConsumerStats(lastReadId: String, totalProcessed: Long,
-    totalErrors: Long, lastError: Option[String], lastLagMs: Long)
+    totalErrors: Long, lastError: Option[String], lastLagMs: Long,
+    pendingIds: Seq[String] = Seq.empty)
 case class KeySpaceTriggerStats(library: String, trigger: String, prefix: String,
     totalFired: Long, totalErrors: Long, lastError: Option[String])
 case class LibraryInfo(name: String, apiVersion: String,

@@ -67,7 +67,7 @@ final class KeySpaceTriggerEngine(engine: Engine) {
         } catch {
           case e: Throwable =>
             c.state.totalErrors += 1
-            c.state.lastError = Some(e.toString)
+            c.state.lastError = Some(engine.errorString(e))
         }
       }
     }

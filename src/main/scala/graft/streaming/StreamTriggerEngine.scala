@@ -205,7 +205,7 @@ final class StreamTriggerEngine(engine: Engine) {
               } catch {
                 case e: Throwable =>
                   st.totalErrors += 1
-                  st.lastError = Some(e.toString)
+                  st.lastError = Some(engine.errorString(e))
                   c.spec.onError match {
                     case ErrorPolicy.Ack =>
                       // reference semantics: record the error, keep going
@@ -450,7 +450,8 @@ final class StreamTriggerEngine(engine: Engine) {
         c.spec.isStreamTrimmed,
         c.perStream.map { case (s, st) =>
           s -> StreamConsumerStats(st.lastReadId, st.totalProcessed,
-            st.totalErrors, st.lastError, st.lastLagMs)
+            st.totalErrors, st.lastError, st.lastLagMs,
+            st.pendingFailed.toSeq.map { case (ms, seq) => s"$ms-$seq" })
         }.toMap)
     }.getOrElse(StreamTriggerStats(library, trigger, "", 1, trimmed = false, Map.empty))
   }
