@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as partition-local batch
   * functions over `Dataset[MediaRecord]`. The Spark-side plumbing —
   * schema, partitioning, batch iteration, output shape — is real and
-  * tested; the actual codec call is STUBBED (no image/audio libraries in
-  * this environment) behind [[Multimodal.stubDecode]], a deterministic
-  * fake keyed on the payload bytes. Swap `stubDecode` for a real codec
-  * (e.g. JNI / javacv) without touching the plan shape.
+  * tested. Decoding is PLUGGABLE ([[MediaDecoder]]): images decode for
+  * real through `javax.imageio` (JDK-native — PNG/JPEG/BMP/GIF);
+  * audio/video and undecodable payloads fall back to
+  * [[Multimodal.stubDecode]], a deterministic fake keyed on the payload
+  * bytes (those codecs aren't in this container). Swapping in another
+  * codec is one [[MediaDecoder]] instance — the plan shape never
+  * changes.
   */
 object Multimodal {
 
@@ -26,7 +29,7 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Int,
       features: Array[Double])
 
-  /** STUB — deterministic fake decoder standing in for a real image/audio
+  /** STUB — deterministic fake decoder standing in for a real audio/video
     * codec. Produces an 8-dim "feature vector" from byte statistics so
     * tests are reproducible. Replace with a real decode when codec
     * libraries are available. */
@@ -38,6 +41,88 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** A pluggable per-modality codec. Implementations must be
+    * serializable (one instance ships with the task closure; heavier
+    * codecs should lazily init a per-partition handle). `decode`
+    * returns None when the payload is not decodable by this codec. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Double]]
+  }
+
+  /** The deterministic fallback codec ([[stubDecode]]). */
+  object StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Double]] =
+      Some(stubDecode(payload, dims))
+  }
+
+  /** REAL image decode via JDK-native `javax.imageio` (PNG, JPEG, BMP,
+    * GIF): an 8-dim feature vector of geometry + channel statistics —
+    * [width, height, aspect, mean R, mean G, mean B, mean luma,
+    * stddev luma], channel means in [0,1]. Deterministic: pixel order
+    * is fixed and accumulation is sequential. */
+  object ImageIODecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Double]] = {
+      val img = try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      } catch { case _: java.io.IOException => None }
+      img.map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        var sr, sg, sb, sl, sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val r = ((rgb >> 16) & 0xFF) / 255.0
+            val g = ((rgb >> 8) & 0xFF) / 255.0
+            val b = (rgb & 0xFF) / 255.0
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        val meanL = sl / n
+        val feats = Array[Double](w, h, w.toDouble / h, sr / n, sg / n, sb / n,
+          meanL, math.sqrt(math.max(0, sl2 / n - meanL * meanL)))
+        java.util.Arrays.copyOf(feats, dims)
+      }
+    }
+
+    /** REAL resize: decode → bilinear scale → re-encode as PNG. None
+      * when the payload is not a decodable image. */
+    def resize(payload: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+      val img = try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      } catch { case _: java.io.IOException => None }
+      img.map { im =>
+        val out = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, width, height, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
+  /** Default modality → codec registry: images decode for real and fall
+    * back to the stub when the payload isn't a decodable image;
+    * audio/video use the stub (no codec in this container). */
+  def defaultDecoder(mediaType: String): MediaDecoder = mediaType match {
+    case "image" => new MediaDecoder {
+      def decode(payload: Array[Byte], dims: Int): Option[Array[Double]] =
+        ImageIODecoder.decode(payload, dims).orElse(StubDecoder.decode(payload, dims))
+    }
+    case _ => StubDecoder
   }
 
   /** Synthesize a media table from `documents` (text bytes as the opaque
@@ -66,13 +151,17 @@ object Multimodal {
     * column (mapPartitions = one decoder init per partition, the same
     * batch shape `mapInPandas` gives PySpark). Output is a fixed-dim
     * feature vector per media row, ready for the Similarity operators. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord],
+      decoderFor: String => MediaDecoder = defaultDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (real codec handle)
+      // per-partition decoder cache: one codec instance per modality
+      val cache = scala.collection.mutable.Map.empty[String, MediaDecoder]
       it.map { r =>
-        MediaFeatures(r.media_id, r.media_type, r.payload.length,
-          stubDecode(r.payload))
+        val dec = cache.getOrElseUpdate(r.media_type, decoderFor(r.media_type))
+        val feats = dec.decode(r.payload, 8)
+          .getOrElse(stubDecode(r.payload))
+        MediaFeatures(r.media_id, r.media_type, r.payload.length, feats)
       }
     }
   }
