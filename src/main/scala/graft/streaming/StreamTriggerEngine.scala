@@ -321,6 +321,10 @@ final class StreamTriggerEngine(engine: Engine) {
     before - after
   }
 
+  /** E6 trim for a [[graft.sources.GraftLog]] source: compact the log
+    * below the slowest trimming consumer per stream. */
+  def trimLog(log: graft.sources.GraftLog): Long = log.compact(trimWatermarks())
+
   /** Attach a continuous `Dataset[StreamRecord]` (file stream, Kafka,
     * MemoryStream…) to the trigger engine. Checkpointing the streaming
     * query + the engine's durable id checkpoint gives E5/E7: a failed
