@@ -75,7 +75,8 @@ object Bench {
     val records = spark.read.parquet(s"$sfDir/events.parquet")
       .select(concat(lit("bench:"), pmod(col("user_id"), lit(64))).as("stream"),
         col("event_id").cast("long").as("idMs"), lit(0L).as("idSeq"),
-        map(lit("t"), col("event_type")).as("fields"))
+        map(lit("t"), col("event_type")).as("fields"),
+        array().cast("array<struct<_1:binary,_2:binary>>").as("fieldsRaw"))
       .as[StreamRecord]
       .cache()
     val n = records.count() // materialize the cache outside the timings

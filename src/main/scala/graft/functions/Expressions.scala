@@ -155,6 +155,74 @@ object MinHashSignature {
   }
 }
 
+/** Distinct word n-gram shingles of a string, as a native codegen'd
+  * expression replacing the interpreted higher-order-function chain
+  * (`split` → `transform(sequence(…))` → `concat_ws` → `slice` →
+  * `array_distinct`) on the dedup hot path. Semantics are identical to
+  * that formulation: tokens = Java regex split on `\s+` with limit -1
+  * (Spark's `split`), texts with fewer than `n` tokens collapse to a
+  * single whole-text shingle, shingles joined with single spaces,
+  * distinct keeps first occurrence. One pass, no per-row lambda
+  * interpretation — this feeds MinHash/LSH over every document at
+  * 100 TB.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 16, "shingle n in [1,16]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires STRING, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.WordShingles.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = Ws.split(text.toString, -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) {
+      out.add(String.join(" ", toks: _*))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 /** Multi-table sign-bit random-hyperplane LSH buckets for an embedding
   * (`ARRAY<FLOAT>` or `ARRAY<DOUBLE>`), as a native codegen'd
   * expression: `tables × nbits` pseudo-random hyperplanes, bucket bit h

@@ -18,6 +18,12 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "minhash_signature(elems, k) requires a literal integer k")
       }, "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(n: Int, IntegerType)) => WordShingles(t, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text, n) requires a literal integer n")
+      }, "built-in")
     reg.createOrReplaceTempFunction("sign_lsh_buckets",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(v, Literal(nbits: Int, IntegerType), Literal(tables: Int, IntegerType)) =>

@@ -21,16 +21,19 @@ package object functions {
 
   /** Word n-gram shingles over whitespace tokens. Short texts (< n
     * tokens) collapse to a single shingle of the whole text so every
-    * document has a non-empty shingle set. */
-  def shingles(text: Column, n: Int): Column = {
+    * document has a non-empty shingle set. Test-only ground truth for
+    * the native [[WordShingles]] expression. */
+  private[graft] def shinglesReference(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Distinct shingles (set semantics). */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+  /** Distinct shingles (set semantics) — native codegen'd expression
+    * ([[WordShingles]]); requires [[GraftFunctions.register]]. */
+  def shingleSet(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
 
   /** MinHash signature: `k` 2-universal hash rows over the element set
     * in one pass (native expression, [[MinHashSignature]]). Returns

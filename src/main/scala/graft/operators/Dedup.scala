@@ -138,6 +138,7 @@ object Dedup {
     * gets verified). */
   def qNgramJaccard(s: SparkSession, d: String, window: Long = 64,
       threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(s)
     val docs = documents(s, d)
       .select(col("doc_id"), shingleSet(col("text"), 2).as("sh"))
     idWindowPairs(docs, "doc_id", window, "doc_a", "doc_b")
