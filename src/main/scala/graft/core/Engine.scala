@@ -67,6 +67,21 @@ final class FunctionContext private[core] (
   def hset(key: String, fields: (String, String)*): Unit = { requireWrites(); engine.state.hset(key, fields: _*) }
   def del(key: String): Boolean = { requireWrites(); engine.state.del(key) }
   def incrBy(key: String, delta: Long): Long = { requireWrites(); engine.state.incrBy(key, delta) }
+  // C3 list ops + blocking pop. blpop blocks the calling thread until
+  // data arrives or the timeout passes; it is refused inside a sync
+  // call or atomic section (C4 isBlockAllowed) — call it from an async
+  // function or an executeAsync body, like the reference's callAsync
+  // for blocking commands (`v8_native_functions.rs:652-669`).
+  def lpush(key: String, values: String*): Long = { requireWrites(); engine.state.lpush(key, values: _*) }
+  def rpush(key: String, values: String*): Long = { requireWrites(); engine.state.rpush(key, values: _*) }
+  def lpop(key: String): Option[String] = { requireWrites(); engine.state.lpop(key) }
+  def rpop(key: String): Option[String] = { requireWrites(); engine.state.rpop(key) }
+  def llen(key: String): Long = engine.state.llen(key)
+  def blpop(key: String, timeoutMs: Long): Option[String] = {
+    requireWrites(); engine.state.blpop(key, timeoutMs)
+  }
+  /** C4: whether a blocking call may run on this thread. */
+  def isBlockAllowed: Boolean = engine.state.isBlockAllowed
   // C2 binary-safe access (callRaw analogue)
   def getRaw(key: String): Option[Array[Byte]] = engine.state.getRaw(key)
   def hgetRaw(key: String, field: String): Option[Array[Byte]] = engine.state.hgetRaw(key, field)

@@ -34,7 +34,10 @@ final class StateTable {
   import StateTable._
 
   private val data = TrieMap.empty[String, Map[String, String]]
+  // list values (Redis list type) — same lock, separate shape
+  private val lists = TrieMap.empty[String, Vector[String]]
   private val lock = new ReentrantLock()
+  private val listSignal = lock.newCondition()
   private val subscribers = new ArrayBuffer[KeyEvent => Unit]
   private val inNotification = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
@@ -71,16 +74,89 @@ final class StateTable {
   def get(key: String): Option[String] = withLock(data.get(key).flatMap(_.get(ValueField)))
   def hget(key: String, field: String): Option[String] = withLock(data.get(key).flatMap(_.get(field)))
   def hgetall(key: String): Map[String, String] = withLock(data.getOrElse(key, Map.empty))
-  def exists(key: String): Boolean = withLock(data.contains(key))
+  def exists(key: String): Boolean = withLock(data.contains(key) || lists.contains(key))
   def scan(prefix: String): Seq[String] =
-    withLock(data.keysIterator.filter(_.startsWith(prefix)).toSeq.sorted)
-  def size: Int = withLock(data.size)
+    withLock((data.keysIterator ++ lists.keysIterator)
+      .filter(_.startsWith(prefix)).toSeq.distinct.sorted)
+  def size: Int = withLock((data.keySet ++ lists.keySet).size)
 
   // --- convenience single-op writes (each is its own transaction) ---
   def set(key: String, value: String): Unit = commit(_.set(key, value))
   def hset(key: String, fields: (String, String)*): Unit = commit(_.hset(key, fields: _*))
-  def del(key: String): Boolean = commit(_.del(key))
+  def del(key: String): Boolean = withLock {
+    val hadList = lists.remove(key).isDefined
+    if (hadList) emit(KeyEvent("del", key, System.currentTimeMillis(), None))
+    commit(_.del(key)) || hadList
+  }
   def incrBy(key: String, delta: Long): Long = commit(_.incrBy(key, delta))
+
+  // --- list operations (Redis list type; LPUSH/RPUSH/LPOP/RPOP
+  // semantics) + blocking pop (C3 `callAsync` blocking commands).
+  // Blocking is refused while the current thread holds the state lock —
+  // i.e. inside a sync call or an atomic section — which is exactly the
+  // reference's `isBlockAllowed() == false` inside MULTI/EXEC (C4,
+  // `run_ctx.rs:197-199`).
+
+  private def emit(e: KeyEvent): Unit =
+    if (!inNotification.get()) {
+      inNotification.set(true)
+      try subscribers.foreach(_(e))
+      finally inNotification.set(false)
+    }
+
+  /** LPUSH: each value is pushed to the head in argument order (so the
+    * last argument ends up first). Returns the new length. */
+  def lpush(key: String, values: String*): Long = withLock {
+    val next = values.foldLeft(lists.getOrElse(key, Vector.empty))((l, v) => v +: l)
+    lists.update(key, next)
+    listSignal.signalAll()
+    emit(KeyEvent("lpush", key, System.currentTimeMillis(), None))
+    next.size.toLong
+  }
+
+  /** RPUSH: append to the tail. Returns the new length. */
+  def rpush(key: String, values: String*): Long = withLock {
+    val next = lists.getOrElse(key, Vector.empty) ++ values
+    lists.update(key, next)
+    listSignal.signalAll()
+    emit(KeyEvent("rpush", key, System.currentTimeMillis(), None))
+    next.size.toLong
+  }
+
+  private def pop(key: String, head: Boolean): Option[String] =
+    lists.get(key).filter(_.nonEmpty).map { l =>
+      val (v, rest) = if (head) (l.head, l.tail) else (l.last, l.init)
+      if (rest.isEmpty) lists.remove(key) else lists.update(key, rest)
+      emit(KeyEvent(if (head) "lpop" else "rpop", key, System.currentTimeMillis(), None))
+      v
+    }
+
+  def lpop(key: String): Option[String] = withLock(pop(key, head = true))
+  def rpop(key: String): Option[String] = withLock(pop(key, head = false))
+  def llen(key: String): Long = withLock(lists.get(key).map(_.size.toLong).getOrElse(0L))
+  def lrange(key: String): Seq[String] = withLock(lists.getOrElse(key, Vector.empty))
+
+  /** BLPOP: block until the list is non-empty or the timeout expires.
+    * Refused while the caller holds the state lock (C4). */
+  def blpop(key: String, timeoutMs: Long): Option[String] = {
+    if (lock.isHeldByCurrentThread)
+      throw new IllegalStateException(
+        "blocking pop inside a sync call or atomic section (isBlockAllowed=false, C4)")
+    lock.lock()
+    try {
+      var out = pop(key, head = true)
+      var remaining = java.util.concurrent.TimeUnit.MILLISECONDS.toNanos(timeoutMs)
+      while (out.isEmpty && remaining > 0) {
+        remaining = listSignal.awaitNanos(remaining)
+        out = pop(key, head = true)
+      }
+      out
+    } finally lock.unlock()
+  }
+
+  /** True when a Promise-returning (blocking) operation may run on this
+    * thread (C4 `isBlockAllowed`). */
+  def isBlockAllowed: Boolean = !lock.isHeldByCurrentThread
 
   // --- binary-safe access (C2 callRaw analogue). Values are stored in
   // the String table through the ISO-8859-1 byte<->char bridge: every
@@ -99,8 +175,13 @@ final class StateTable {
     * snapshot to parquet. */
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    data.toSeq.flatMap { case (k, m) => m.map { case (f, v) => (k, f, v) } }
-      .toDF("key", "field", "value")
+    val hashRows = data.toSeq.flatMap { case (k, m) => m.map { case (f, v) => (k, f, v) } }
+    // list elements snapshot as indexed pseudo-fields so the schema
+    // stays (key, field, value)
+    val listRows = lists.toSeq.flatMap { case (k, l) =>
+      l.zipWithIndex.map { case (v, i) => (k, f"${StateTable.ListField}$i%09d", v) }
+    }
+    (hashRows ++ listRows).toDF("key", "field", "value")
   }
 
   /** Restore from a snapshot DataFrame. Replaces current content. */
@@ -109,9 +190,17 @@ final class StateTable {
     lock.lock()
     try {
       data.clear()
+      lists.clear()
+      val listAcc = scala.collection.mutable.Map.empty[String, ArrayBuffer[(String, String)]]
       rows.foreach { r =>
         val (k, f, v) = (r.getString(0), r.getString(1), r.getString(2))
-        data.update(k, data.getOrElse(k, Map.empty) + (f -> v))
+        if (f.startsWith(StateTable.ListField))
+          listAcc.getOrElseUpdate(k, new ArrayBuffer) += (f -> v)
+        else
+          data.update(k, data.getOrElse(k, Map.empty) + (f -> v))
+      }
+      listAcc.foreach { case (k, elems) =>
+        lists.update(k, elems.sortBy(_._1).map(_._2).toVector)
       }
     } finally lock.unlock()
   }
@@ -124,6 +213,8 @@ final class StateTable {
 object StateTable {
   /** Field name used for plain string values. */
   val ValueField = "__value"
+  /** Pseudo-field prefix for snapshotted list elements. */
+  val ListField = "__list__"
 
   /** Lossless byte<->String bridge (ISO-8859-1 maps byte n to char n). */
   private[core] def b2s(b: Array[Byte]): String =
