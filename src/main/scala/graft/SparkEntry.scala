@@ -65,6 +65,11 @@ object SparkEntry {
     // --- event-time streaming (real readStream + watermark, append mode) ---
     "q38_watermark_tumbling" -> (graft.streaming.EventTime.qWatermarkTumbling _),
     "q39_session_window" -> (graft.streaming.EventTime.qSessionWindow _),
+    // --- training-data pipeline curation ---
+    "q40_dataset_mix" -> (Pipeline.qDatasetMix _),
+    "q41_paragraph_dedup" -> (Pipeline.qParagraphDedup _),
+    "q42_contamination" -> ((s, d) => Pipeline.qContamination(s, d)),
+    "q43_approx_distinct" -> (Pipeline.qApproxDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -275,5 +280,35 @@ object SparkEntry {
          FROM s GROUP BY user_id, sess
          HAVING MAX(ts) + INTERVAL 10 MINUTE <=
                 (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)""",
+    "q40_dataset_mix" ->
+      """SELECT source, COUNT(*) AS n_kept,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+         FROM documents
+         WHERE doc_id % 100 < CASE WHEN CAST(SUBSTR(source, 4, 10) AS INT) % 2 = 0
+                                   THEN 70 ELSE 30 END
+         GROUP BY source""",
+    "q41_paragraph_dedup" ->
+      """SELECT source, COUNT(*) AS n_paras,
+                COUNT(DISTINCT md5(para)) AS n_unique,
+                COUNT(*) - COUNT(DISTINCT md5(para)) AS n_dup
+         FROM (SELECT source, unnest(string_split_regex(text, '\. ')) AS para
+               FROM documents)
+         WHERE length(para) > 0
+         GROUP BY source""",
+    "q42_contamination" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 3), i ->
+                    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         bg AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id % 97 = 0),
+         cont AS (SELECT DISTINCT doc_id
+                  FROM (SELECT doc_id, unnest(sh) AS g FROM d WHERE doc_id % 97 <> 0) x
+                  WHERE g IN (SELECT g FROM bg))
+         SELECT (SELECT COUNT(*) FROM d WHERE doc_id % 97 <> 0) AS n_docs,
+                (SELECT COUNT(*) FROM cont) AS n_contaminated""",
   )
 }

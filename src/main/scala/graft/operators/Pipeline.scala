@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Dataset-curation operators for a large-scale training-data pipeline:
+  * source mixing (stratified sampling), sub-document dedup, and
+  * benchmark-contamination detection. All are single-shuffle shapes
+  * (explode → hash equi-join / partial agg) that scale linearly — no
+  * all-pairs joins anywhere.
+  */
+object Pipeline {
+
+  import Tables._
+
+  /** Stratified sampling / dataset mixing: keep a row when its
+    * `selector` (a deterministic value in [0, 1)) falls below its
+    * stratum's rate. With `selector = pmod(xxhash64(key), 10000)/10000`
+    * this is reproducible hash-sampling (cluster-stable, the production
+    * path); the oracle query uses an arithmetic selector so DuckDB can
+    * agree bit-for-bit. */
+  def stratifiedSample(df: DataFrame, strataCol: Column, selector: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(strataCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter(selector < rate)
+  }
+
+  /** Hash-based selector for production sampling: uniform in [0,1),
+    * deterministic across the cluster. */
+  def hashSelector(key: Column): Column =
+    pmod(xxhash64(key), lit(10000)).cast("double") / 10000.0
+
+  /** q40: dataset mixing across the 20 sources — even-numbered sources
+    * keep 70%, odd keep 30%, via the deterministic arithmetic selector
+    * `doc_id % 100` (oracle-identical in DuckDB). Reports what the mix
+    * kept per source. */
+  def qDatasetMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val rate = when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 70)
+      .otherwise(30)
+    docs.filter(col("doc_id") % 100 < rate)
+      .groupBy("source")
+      .agg(count("*").as("n_kept"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("sum_tokens"))
+  }
+
+  /** q41: sub-document (paragraph-level) exact dedup — split documents
+    * into sentences, count exact duplicates per source via digest.
+    * The explode never copies the document payload, only sentence
+    * strings; dedup is a map-side digest + partial agg. */
+  def qParagraphDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\. ")).as("para"))
+      .filter(length(col("para")) > 0)
+      .groupBy("source")
+      .agg(count("*").as("n_paras"),
+        count_distinct(md5(col("para"))).as("n_unique"),
+        (count("*") - count_distinct(md5(col("para")))).as("n_dup"))
+
+  /** q42: benchmark-contamination detection — a document is
+    * contaminated when it shares any word 5-gram with the "benchmark"
+    * subset (doc_id % 97 == 0 here; in production the eval set).
+    * Shape: explode 5-grams on both sides, distinct the (small)
+    * benchmark gram set, LEFT SEMI equi-join on the gram — linear in
+    * corpus size, candidate-free, the 100 TB-safe contamination scan. */
+  def qContamination(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = documents(s, d)
+      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
+    val isBench = col("doc_id") % 97 === 0
+    val benchGrams = docs.filter(isBench)
+      .select(explode(col("sh")).as("g")).distinct()
+    val contaminated = docs.filter(!isBench)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val total = docs.filter(!isBench).select("doc_id")
+    total.agg(count("*").as("n_docs")).crossJoin(
+      contaminated.agg(count("*").as("n_contaminated")))
+  }
+
+  /** q43: approximate distinct users per event type
+    * (HyperLogLog++-based `approx_count_distinct`, the sketch the
+    * engine reaches for when exact distinct at 100 TB is too
+    * shuffle-heavy). Probabilistic — rows-only in the oracle gate;
+    * PipelineSpec pins the relative error against the exact count. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{shingleSet, GraftFunctions}
+
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hash-based stratified sampling hits the requested rate and is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val sampled = Pipeline.stratifiedSample(docs, col("source"),
+      Pipeline.hashSelector(col("doc_id")),
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySource = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == 25) // rate 1.0 keeps everything
+    assert(!bySource.contains("src1")) // rate 0.0 keeps nothing
+    val restKept = bySource.filterKeys(k => k != "src0").values.sum.toDouble
+    val restTotal = 450.0 // 18 sources x 25 docs
+    assert(math.abs(restKept / restTotal - 0.5) < 0.15, s"kept $restKept of $restTotal")
+    // deterministic: same selector, same sample
+    val again = Pipeline.stratifiedSample(docs, col("source"),
+      Pipeline.hashSelector(col("doc_id")),
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("contamination matches a driver-side brute force on shared 5-grams") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), shingleSet(col("text"), 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val benchGrams = docs.filter(_._1 % 97 == 0).values.flatten.toSet
+    val nonBench = docs.filter(_._1 % 97 != 0)
+    val expected = nonBench.count(_._2.exists(benchGrams.contains))
+
+    val got = Pipeline.qContamination(spark, sf).collect().head
+    assert(got.getLong(0) == nonBench.size)
+    assert(got.getLong(1) == expected)
+    assert(expected > 0, "synthetic corpus should have some shared 5-grams")
+  }
+
+  test("approx distinct stays within 5% of the exact count per event type") {
+    val approx = Pipeline.qApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k) - ex).toDouble / ex
+      assert(err < 0.05, s"$k: approx=${approx(k)} exact=$ex err=$err")
+    }
+  }
+}
