@@ -155,8 +155,22 @@ package object functions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Ratio of stopword tokens to all tokens. */
+  /** Ratio of stopword tokens to all tokens. Counting matches via a
+    * boundary-anchored regex alternation (codegen'd `regexp_count`)
+    * instead of a per-token `filter` lambda (interpreted): a token from
+    * `split(\s+)` equals a stopword exactly when the word sits between
+    * whitespace/string boundaries, which the lookaround pair encodes.
+    * Integer-identical to the lambda formulation (parity-tested). */
   def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val words = (StopwordsEn ++ StopwordsEs ++ StopwordsFr).distinct.mkString("|")
+    val hits = regexp_count(lower(text), lit(s"(?<=^|\\s)($words)(?=\\s|$$)"))
+    when(size(toks) === 0, lit(0.0)).otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** The original per-token lambda formulation — test-only ground truth
+    * for [[stopwordRatio]]'s regex counting. */
+  private[graft] def stopwordRatioReference(text: Column): Column = {
     val toks = tokens(lower(text))
     val stops = filter(toks, t =>
       array_contains(array((StopwordsEn ++ StopwordsEs ++ StopwordsFr).distinct.map(lit): _*), t))
@@ -169,8 +183,22 @@ package object functions {
       length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double") /
         length(text).cast("double"))
 
-  /** Mean token character length. */
+  /** Mean token character length. The summed token length equals the
+    * text length with every whitespace run deleted (split pieces are
+    * exactly the non-whitespace runs, plus possibly empty edge tokens
+    * of length 0), so one codegen'd `regexp_replace` replaces the
+    * interpreted `aggregate` lambda — integer-identical
+    * (parity-tested). */
   def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** The original lambda formulation — test-only ground truth for
+    * [[meanTokenLen]]. */
+  private[graft] def meanTokenLenReference(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
