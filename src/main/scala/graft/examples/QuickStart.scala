@@ -67,6 +67,32 @@ object QuickStart {
     println("still serving v1: num(view) = " +
       engine.call("pipeline", "num", Seq(RespString("view"))))
 
+    // round-2 surface: a durable GraftLog consumed through the custom
+    // DSv2 source, with executeAsync + an atomic block on the way out
+    val logDir = java.nio.file.Files.createTempDirectory("quickstart-log").toString + "/log"
+    val log = new graft.sources.GraftLog(logDir, spark.sparkContext.hadoopConfiguration)
+    log.append(Seq(
+      StreamRecord("jobs:q", 1, 0, Map("job" -> "resize")),
+      StreamRecord("jobs:q", 2, 0, Map("job" -> "dedup"))))
+    engine.load(LibraryDefinition("jobs", code = { lib =>
+      lib.registerStreamTrigger("worker", "jobs:", (ctx, r) => {
+        ctx.rpush("done", r.fields("job")); ()
+      }, isStreamTrimmed = true)
+      lib.registerFunction("drain", (ctx, _) =>
+        ctx.executeAsync { bg =>
+          bg.atomic { txn => txn.set("drained", "true") }
+          RespString(s"done=${bg.llen("done")}")
+        })
+    }))
+    import spark.implicits._
+    val src = spark.readStream.format("graft-log")
+      .option("path", logDir).option("prefix", "jobs:").load().as[StreamRecord]
+    val q = engine.streams.attach(src,
+      java.nio.file.Files.createTempDirectory("quickstart-ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    println("drain => " + engine.call("jobs", "drain"))
+    println("trimmed " + engine.streams.trimLog(log) + " acked records from the log")
+
     engine.close()
     spark.stop()
   }

@@ -85,6 +85,10 @@ final class StreamTriggerEngine(engine: Engine) {
   }
 
   private val consumers = TrieMap.empty[String, Consumer]
+  // delivery is serialized per engine: multiple attached queries (or
+  // xadd callers) must not interleave on one consumer's checkpoint
+  // state — the analogue of the reference's single main thread (E8)
+  private val deliveryLock = new Object
   // checkpoints of consumers detached with dropCheckpoints=false, held
   // for re-adoption by an upgrade's register() (E14). Only the
   // checkpoint state survives — the old callback must never fire again.
@@ -157,7 +161,7 @@ final class StreamTriggerEngine(engine: Engine) {
     * Throws [[StreamDeliveryException]] if any [[ErrorPolicy.Retry]]
     * consumer failed a record — acked progress is persisted first, so
     * the replayed batch redelivers only unacked records. */
-  def processBatch(records: Seq[StreamRecord]): Unit = {
+  def processBatch(records: Seq[StreamRecord]): Unit = deliveryLock.synchronized {
     if (records.isEmpty || consumers.isEmpty) return
     val now = System.currentTimeMillis()
     // group once per stream, order within stream by (ms, seq)
@@ -424,25 +428,28 @@ final class StreamTriggerEngine(engine: Engine) {
               Option(lastError), lastLagMs, halted))
           }
           .collect() // tiny: one row per stream in the batch
-        // merge acks into driver-side checkpoint state
-        var dirty = false
-        val failures = ArrayBuffer.empty[String]
-        summaries.foreach { a =>
-          val st = c.perStream.getOrElseUpdate(a.stream, new ConsumerStreamState)
-          if (a.ackedMs > st.lastReadMs ||
-              (a.ackedMs == st.lastReadMs && a.ackedSeq > st.lastReadSeq)) {
-            st.lastReadMs = a.ackedMs
-            st.lastReadSeq = a.ackedSeq
-            dirty = true
+        // merge acks into driver-side checkpoint state (serialized with
+        // any other attached query's delivery)
+        deliveryLock.synchronized {
+          var dirty = false
+          val failures = ArrayBuffer.empty[String]
+          summaries.foreach { a =>
+            val st = c.perStream.getOrElseUpdate(a.stream, new ConsumerStreamState)
+            if (a.ackedMs > st.lastReadMs ||
+                (a.ackedMs == st.lastReadMs && a.ackedSeq > st.lastReadSeq)) {
+              st.lastReadMs = a.ackedMs
+              st.lastReadSeq = a.ackedSeq
+              dirty = true
+            }
+            st.totalProcessed += a.processed
+            st.totalErrors += a.errors
+            a.lastError.foreach(e => st.lastError = Some(e))
+            if (a.processed > 0) st.lastLagMs = a.lastLagMs
+            if (a.halted) failures += s"$key/${a.stream}@${a.ackedMs}-${a.ackedSeq}: ${a.lastError.getOrElse("?")}"
           }
-          st.totalProcessed += a.processed
-          st.totalErrors += a.errors
-          a.lastError.foreach(e => st.lastError = Some(e))
-          if (a.processed > 0) st.lastLagMs = a.lastLagMs
-          if (a.halted) failures += s"$key/${a.stream}@${a.ackedMs}-${a.ackedSeq}: ${a.lastError.getOrElse("?")}"
+          if (dirty) persistCheckpoints()
+          if (failures.nonEmpty) throw new StreamDeliveryException(failures.toSeq)
         }
-        if (dirty) persistCheckpoints()
-        if (failures.nonEmpty) throw new StreamDeliveryException(failures.toSeq)
       }
       .start()
   }

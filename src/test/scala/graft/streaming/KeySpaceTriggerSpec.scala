@@ -78,6 +78,37 @@ class KeySpaceTriggerSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("external CDC stream drives the keyspace triggers (Delta-CDF-style path)") {
+    // the same register surface can be fed from any changelog stream:
+    // a streaming Dataset of change rows routed through fire() in
+    // foreachBatch — the SURVEY §7.2.5 mapping for R4 beyond the
+    // engine's own state table
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = new Engine(spark)
+    val seen = ArrayBuffer.empty[String]
+    e.load(LibraryDefinition("cdc", code = { b =>
+      b.registerKeySpaceTrigger("t", "user:", (_, ev) =>
+        seen += s"${ev.event}:${ev.key}")
+    }))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = mem.toDS().writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, String)], _: Long) =>
+        batch.collect().foreach { case (event, key) =>
+          e.keyspace.fire(KeyEvent(event, key, System.currentTimeMillis(), None))
+        }
+      }
+      .start()
+    mem.addData(("set", "user:1"), ("del", "user:2"), ("set", "order:9"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSeq == Seq("set:user:1", "del:user:2")) // order:9 prefix-filtered
+    e.close()
+  }
+
   test("engine function + keyspace trigger integration (counting writes)") {
     val e = new Engine(TestSpark.spark)
     e.load(LibraryDefinition("audit", code = { b =>
