@@ -70,6 +70,7 @@ object SparkEntry {
     "q41_paragraph_dedup" -> (Pipeline.qParagraphDedup _),
     "q42_contamination" -> ((s, d) => Pipeline.qContamination(s, d)),
     "q43_approx_distinct" -> (Pipeline.qApproxDistinct _),
+    "q44_asof_enrich" -> (Relational.qAsofEnrich _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -310,5 +311,10 @@ object SparkEntry {
                   WHERE g IN (SELECT g FROM bg))
          SELECT (SELECT COUNT(*) FROM d WHERE doc_id % 97 <> 0) AS n_docs,
                 (SELECT COUNT(*) FROM cont) AS n_contaminated""",
+    "q44_asof_enrich" ->
+      """SELECT event_id, user_id,
+                CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS asof_order_sec
+         FROM events ASOF JOIN orders
+           ON events.user_id = orders.o_custkey AND orders.o_orderdate <= events.ts""",
   )
 }

@@ -191,4 +191,43 @@ object Relational {
         col("l_quantity") >= col("p_size"))
       .agg(count("*").as("n"), round(sum("p_retailprice"), 2).as("sum_price"))
   }
+
+  /** As-of join WITHOUT a range join: for each left row, the latest
+    * right value with `rTime <= lTime` for the same key. Implemented as
+    * the union-tag-sort-window formulation — both sides union on
+    * (key, time), a window partitioned by key and ordered by
+    * (time, side) carries the last non-null right value forward, and
+    * only left rows survive. ONE shuffle on the key, linear in
+    * |left| + |right|; the pure inequality-join formulation plans a
+    * nested-loop O(|left|·|right|) and dies at scale. Right rows sort
+    * before left rows at equal time, making the match inclusive. */
+  def asofJoin(left: DataFrame, lKey: String, lTime: String,
+      right: DataFrame, rKey: String, rTime: String, rValue: String): DataFrame = {
+    val vType = right.schema(rValue).dataType
+    val l = left
+      .withColumn("__k", col(lKey)).withColumn("__t", col(lTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(vType))
+    val r = right.select(
+      col(rKey).as("__k"), col(rTime).as("__t"),
+      lit(0).as("__side"), col(rValue).as("__v"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(s"asof_$rValue", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__k", "__t", "__side", "__v")
+  }
+
+  /** q44: enrich each event with the user's most recent order date as
+    * of the event time (the trading-style as-of lookup). Oracle: DuckDB
+    * native ASOF JOIN. */
+  def qAsofEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+    asofJoin(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate", "o_orderdate")
+      .filter(col("asof_o_orderdate").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("asof_o_orderdate")).as("asof_order_sec"))
+  }
 }
