@@ -71,6 +71,7 @@ object SparkEntry {
     "q42_contamination" -> ((s, d) => Pipeline.qContamination(s, d)),
     "q43_approx_distinct" -> (Pipeline.qApproxDistinct _),
     "q44_asof_enrich" -> (Relational.qAsofEnrich _),
+    "q45_streaming_dedup" -> (graft.streaming.EventTime.qStreamingDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,5 +317,8 @@ object SparkEntry {
                 CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS asof_order_sec
          FROM events ASOF JOIN orders
            ON events.user_id = orders.o_custkey AND orders.o_orderdate <= events.ts""",
+    "q45_streaming_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+         FROM events GROUP BY event_type""",
   )
 }

@@ -80,6 +80,33 @@ object EventTime {
           col("event_type"), col("n"), col("sum_value")),
       s)
 
+  /** q45: streaming stateful dedup — `dropDuplicates` over
+    * (event_type, user_id) maintains a state store across micro-batches
+    * (with the watermark bounding state growth), then counts the
+    * surviving first-occurrences per type. Which physical row survives
+    * is arrival-order-dependent, but the COUNT of distinct pairs is
+    * deterministic and equals the batch COUNT(DISTINCT user_id) per
+    * type — the oracle. Output mode is complete (the dedup is the
+    * stateful stage under test; the final count is tiny). */
+  def qStreamingDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", Delay)
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .dropDuplicates("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(count("*").as("n_distinct_users"))
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** q39: per-user session windows with a 10-minute gap and a
     * 30-minute watermark — a session closes when no event arrives for
     * the gap duration; only sessions the watermark has finalized are

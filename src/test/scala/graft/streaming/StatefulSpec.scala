@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** mapGroupsWithState carries per-key state ACROSS micro-batches
+  * through the query's state store — the property the reference's
+  * per-consumer stream state has and a per-batch flatMapGroups lacks. */
+class StatefulSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("running per-key counts accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val name = "stateful_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Stateful.runningCounts(mem.toDS()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(Stateful.RequiredOutputMode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("stateful").toString)
+      .start()
+
+    mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    val after1 = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(after1(1L) == ((2L, 15.0)))
+    assert(after1(2L) == ((1L, 1.0)))
+
+    // second batch: state persists, values accumulate
+    mem.addData((1L, 1.0), (3L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode appends one row per updated key per batch: take the latest
+    val rows = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    val latest = rows.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    assert(latest(1L) == ((3L, 16.0))) // 2+1 events, 15+1 sum — state carried over
+    assert(latest(2L) == ((1L, 1.0)))
+    assert(latest(3L) == ((1L, 7.0)))
+  }
+}
