@@ -72,6 +72,7 @@ object SparkEntry {
     "q43_approx_distinct" -> (Pipeline.qApproxDistinct _),
     "q44_asof_enrich" -> (Relational.qAsofEnrich _),
     "q45_streaming_dedup" -> (graft.streaming.EventTime.qStreamingDedup _),
+    "q46_knn_ivf" -> ((s, d) => Similarity.qIvfTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

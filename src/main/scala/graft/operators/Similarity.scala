@@ -83,4 +83,48 @@ object Similarity {
       .agg(count("*").as("n"),
         round(sum(aggregate(col("embedding"), lit(0.0),
           (acc, v) => acc + v.cast("double"))), 4).as("sum_components"))
+
+  /** Element-wise mean vector per label — the IVF coarse quantizer
+    * (posexplode → per-(label, dim) avg → re-assemble ordered). One
+    * shuffle; output is #labels rows. */
+  def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** IVF-style ANN: the corpus is partitioned into coarse cells (here
+    * the label partition stands in for a trained k-means codebook —
+    * same probe shape, deterministic); a query scores the tiny centroid
+    * table, probes its `nprobe` nearest cells, and ranks exact cosine
+    * only among those cells' vectors. Work per query drops from
+    * O(corpus) to O(corpus · nprobe / cells); the centroid table
+    * broadcasts at any corpus size. Probabilistic recall — rows-only in
+    * the gate; SimilaritySpec pins the recall floor and verifies every
+    * reported cosine exactly. */
+  def qIvfTopK(s: SparkSession, d: String, nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "label", "embedding")
+    val centroids = labelCentroids(e)
+    val qs = queriesDf(s, d)
+    // probe: nearest nprobe cells per query (query-set × centroids,
+    // both tiny → broadcast both sides of the small cross score)
+    val probeW = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("label").asc)
+    val probed = qs.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("label"),
+        cosineSimilarity(col("q_emb"), col("centroid")).as("ccos"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "q_emb", "label")
+    // exact scoring inside the probed cells only
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(probed), Seq("label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cosine"))
+  }
 }

@@ -62,6 +62,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size >= 0.1, s"recall@10 ${hits}/${brute.size}")
   }
 
+  test("IVF top-k: exact cosines, recall floor, and candidate restriction to probed cells") {
+    val brute = Similarity.qBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor")) ->
+        r.getAs[Double]("cosine")).toMap
+    val ivf = Similarity.qIvfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor")) ->
+        r.getAs[Double]("cosine")).toMap
+    // exactness: any (query, neighbor) both find must agree on the cosine
+    ivf.foreach { case (k, v) =>
+      brute.get(k).foreach(bv => assert(math.abs(bv - v) < 1e-9)) }
+    // probing 3 of 10 cells on random vectors: conservative recall floor
+    val hits = ivf.keys.count(brute.contains)
+    assert(hits.toDouble / brute.size >= 0.1, s"recall@10 ${hits}/${brute.size}")
+    // every query still returns a full top-k (cells hold enough candidates)
+    assert(ivf.keys.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("label centroid aggregate covers all labels") {
     val rows = Similarity.qLabelCentroids(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("label")).toSet == (0 to 9).toSet)
