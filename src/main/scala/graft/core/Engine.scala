@@ -222,9 +222,12 @@ object LibraryBuilder {
 
 /** A library definition: name + api version + the registration code
   * (the Scala analogue of the JS source blob with its `#!js name=…
-  * api_version=…` prologue, `prologue.rs:16-83`). */
+  * api_version=…` prologue, `prologue.rs:16-83`). `source` is an
+  * optional human-readable description or source listing surfaced by
+  * `list(withCode = true)` — the TFUNCTION LIST WITHCODE analogue
+  * (the registration closure itself has no recoverable text form). */
 case class LibraryDefinition(name: String, apiVersion: String = "1.0",
-    code: LibraryBuilder => Unit)
+    code: LibraryBuilder => Unit, source: Option[String] = None)
 
 /** The engine façade (E14-E17): library load/upgrade/delete with
   * revert-on-failure, sync/async invocation, cluster functions, and
@@ -255,7 +258,7 @@ final class Engine(val spark: SparkSession,
   private implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
 
   private case class LoadedLibrary(builder: LibraryBuilder, apiVersion: String,
-      config: Map[String, String]) {
+      config: Map[String, String], source: Option[String] = None) {
     val fnStats = TrieMap.empty[String, FunctionStats]
     def statsFor(fn: String): FunctionStats = fnStats.getOrElseUpdate(fn, new FunctionStats)
   }
@@ -329,7 +332,8 @@ final class Engine(val spark: SparkSession,
     }
     // swap atomically; stream checkpoints survive by (library, trigger) key
     existing.foreach(old => detach(definition.name, old.builder, dropCheckpoints = false))
-    libraries.put(definition.name, LoadedLibrary(builder, definition.apiVersion, config))
+    libraries.put(definition.name,
+      LoadedLibrary(builder, definition.apiVersion, config, definition.source))
     attach(definition.name, builder)
     // triggers the new version did NOT re-register lose their stashed
     // checkpoints (reference removes consumers not re-registered)
@@ -448,12 +452,14 @@ final class Engine(val spark: SparkSession,
     new FunctionContext(this, lib, readOnly = false)
 
   /** E16: TFUNCTION LIST — per-library functions, triggers, and
-    * per-consumer stream stats. */
-  def list(): Seq[LibraryInfo] = libraries.toSeq.sortBy(_._1).map { case (name, l) =>
+    * per-consumer stream stats. `withCode` includes the library's
+    * declared source/description (WITHCODE). */
+  def list(withCode: Boolean = false): Seq[LibraryInfo] = libraries.toSeq.sortBy(_._1).map { case (name, l) =>
     LibraryInfo(
       name = name,
       apiVersion = l.apiVersion,
       config = l.config,
+      code = if (withCode) l.source else None,
       functions = l.builder.functions.values.toSeq.sortBy(_.name).map { f =>
         val st = l.statsFor(f.name)
         FunctionInfo(f.name, f.isAsync, f.flags, f.description,
@@ -504,4 +510,5 @@ case class KeySpaceTriggerStats(library: String, trigger: String, prefix: String
 case class LibraryInfo(name: String, apiVersion: String,
     config: Map[String, String], functions: Seq[FunctionInfo],
     clusterFunctions: Seq[String], streamTriggers: Seq[StreamTriggerStats],
-    keySpaceTriggers: Seq[KeySpaceTriggerStats])
+    keySpaceTriggers: Seq[KeySpaceTriggerStats],
+    code: Option[String] = None)

@@ -179,6 +179,16 @@ class EngineSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("list WITHCODE surfaces the declared library source (E16)") {
+    val e = newEngine()
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerFunction("f", (_, _) => RespNull, flags = Set(FunctionFlags.NoWrites))
+    }, source = Some("registerFunction f -> null")))
+    assert(e.list().head.code.isEmpty) // default: no code
+    assert(e.list(withCode = true).head.code.contains("registerFunction f -> null"))
+    e.close()
+  }
+
   test("executeAsync: sync function escapes to background; call replies with the resolution (C5)") {
     val e = new Engine(TestSpark.spark, executionThreads = 2)
     val syncThread = new java.util.concurrent.atomic.AtomicLong
