@@ -71,11 +71,14 @@ final class StreamTriggerEngine(engine: Engine) {
     @volatile var lastLagMs: Long = 0
     /** E3/E4 in-flight bookkeeping (the reference's `pending_ids`,
       * `stream_reader.rs:113-122`): failed (nacked) ids awaiting
-      * redelivery, and ids delivered successfully ABOVE a nacked one —
-      * the checkpoint is the contiguous acked prefix, so those can't
-      * advance it yet, but an in-process replay must not re-run them
-      * (exactly-once while up). Both are bounded by `window` and
-      * volatile: a restart redelivers them (at-least-once). */
+      * redelivery (bounded by `window`), and ids delivered successfully
+      * ABOVE a nacked one — the checkpoint is the contiguous acked
+      * prefix, so those can't advance it yet, but an in-process replay
+      * must not re-run them (exactly-once while up). `deliveredAhead`
+      * is bounded by [[StreamTriggerEngine.MaxDeliveredAhead]]: once a
+      * stream has that many unacked-but-delivered records behind a
+      * poison record, new records stop until the failure drains. Both
+      * are volatile: a restart redelivers them (at-least-once). */
     val pendingFailed = scala.collection.mutable.TreeSet.empty[(Long, Long)]
     val deliveredAhead = scala.collection.mutable.TreeSet.empty[(Long, Long)]
     def lastReadId: String = if (lastReadMs < 0) "0-0" else s"$lastReadMs-$lastReadSeq"
@@ -185,7 +188,8 @@ final class StreamTriggerEngine(engine: Engine) {
           rs.foreach { r =>
             val id = (r.idMs, r.idSeq)
             val isRetry = st.pendingFailed.contains(id)
-            val windowOpen = st.pendingFailed.size < c.spec.window
+            val windowOpen = st.pendingFailed.size < c.spec.window &&
+              st.deliveredAhead.size < StreamTriggerEngine.MaxDeliveredAhead
             if ((isRetry || windowOpen) && st.isNew(r)) {
               try {
                 c.spec.fn(ctx, r)
@@ -388,11 +392,15 @@ final class StreamTriggerEngine(engine: Engine) {
           throw new NoSuchElementException(s"no such stream trigger '$key'"))
         val prefix = c.spec.prefix
         val retry = c.spec.onError == ErrorPolicy.Retry
-        // acked-id snapshot for executor-side replay dedup
-        val acked: Map[String, (Long, Long)] = c.perStream.iterator
-          .filter(_._2.lastReadMs >= 0)
-          .map { case (s, st) => s -> (st.lastReadMs, st.lastReadSeq) }
-          .toMap
+        // acked-id snapshot for executor-side replay dedup — read under
+        // the delivery lock so a concurrent driver-path batch cannot
+        // produce a torn (ms, seq) pair that would skip live records
+        val acked: Map[String, (Long, Long)] = deliveryLock.synchronized {
+          c.perStream.iterator
+            .filter(_._2.lastReadMs >= 0)
+            .map { case (s, st) => s -> (st.lastReadMs, st.lastReadSeq) }
+            .toMap
+        }
         implicit val ackEnc: org.apache.spark.sql.Encoder[StreamAck] =
           org.apache.spark.sql.Encoders.product[StreamAck]
         val summaries = batch
@@ -454,7 +462,7 @@ final class StreamTriggerEngine(engine: Engine) {
       .start()
   }
 
-  private[graft] def stats(library: String, trigger: String): StreamTriggerStats = {
+  private[graft] def stats(library: String, trigger: String): StreamTriggerStats = deliveryLock.synchronized {
     val key = s"$library.$trigger"
     consumers.get(key).map { c =>
       StreamTriggerStats(library, trigger, c.spec.prefix, c.spec.window,
@@ -466,4 +474,10 @@ final class StreamTriggerEngine(engine: Engine) {
         }.toMap)
     }.getOrElse(StreamTriggerStats(library, trigger, "", 1, trimmed = false, Map.empty))
   }
+}
+
+object StreamTriggerEngine {
+  /** Memory bound on per-stream delivered-but-unackable records held
+    * behind a nacked record (see ConsumerStreamState). */
+  val MaxDeliveredAhead = 4096
 }
