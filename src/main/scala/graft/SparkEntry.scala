@@ -73,6 +73,8 @@ object SparkEntry {
     "q44_asof_enrich" -> (Relational.qAsofEnrich _),
     "q45_streaming_dedup" -> (graft.streaming.EventTime.qStreamingDedup _),
     "q46_knn_ivf" -> ((s, d) => Similarity.qIvfTopK(s, d)),
+    "q47_percentiles" -> (Pipeline.qPercentiles _),
+    "q48_edit_distance" -> ((s, d) => Dedup.qEditDistance(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,5 +323,18 @@ object SparkEntry {
     "q45_streaming_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
          FROM events GROUP BY event_type""",
+    "q47_percentiles" ->
+      """SELECT event_type,
+                ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                ROUND(quantile_cont(value, 0.9), 4) AS p90,
+                ROUND(quantile_cont(value, 0.99), 4) AS p99
+         FROM events GROUP BY event_type""",
+    "q48_edit_distance" ->
+      """SELECT doc_a, doc_b, dist FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) AS dist
+           FROM documents a JOIN documents b
+             ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 8)
+         WHERE dist <= 10""",
   )
 }

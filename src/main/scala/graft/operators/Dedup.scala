@@ -147,6 +147,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** q48: edit-distance near-dup within a doc_id window — Levenshtein
+    * over a fixed prefix (bounding the O(m·n) DP cost per pair), on the
+    * same bucketed equi-join candidate shape as q29. Edit distance
+    * catches character-level near-dups (typos, OCR noise) that
+    * token-set Jaccard misses. */
+  def qEditDistance(s: SparkSession, d: String, window: Long = 8,
+      maxDist: Int = 10, prefixLen: Int = 24): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
+    idWindowPairs(docs, "doc_id", window, "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-dup within a vec_id window (oracle-checkable:
     * DuckDB computes the identical double-precision cosine). The 0.35
     * threshold matches the synthetic embeddings' similarity range (they

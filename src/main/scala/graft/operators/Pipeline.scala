@@ -83,6 +83,18 @@ object Pipeline {
       contaminated.agg(count("*").as("n_contaminated")))
   }
 
+  /** q47: exact value percentiles per event type (`percentile` — exact
+    * sort-based with linear interpolation, matching DuckDB's
+    * quantile_cont bit-for-bit). At 100 TB the engine swaps in
+    * `percentile_approx` (KLL-sketch-style mergeable summaries) — the
+    * exact version is the oracle-checkable correctness anchor. */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
   /** q43: approximate distinct users per event type
     * (HyperLogLog++-based `approx_count_distinct`, the sketch the
     * engine reaches for when exact distinct at 100 TB is too
