@@ -472,6 +472,17 @@ final class Engine(val spark: SparkSession,
         keyspace.stats(name, t)))
   }
 
+  /** RDB-save analogue for the keyspace side: persist the state table
+    * (hashes, strings, lists) as parquet. Stream-consumer acks persist
+    * continuously through the checkpoint store; together the two cover
+    * everything the reference writes to RDB (`rdb.rs:52-91`). */
+  def saveState(dir: String): Unit =
+    state.snapshot(spark).write.mode("overwrite").parquet(dir)
+
+  /** Restore a [[saveState]] snapshot (replaces current state). */
+  def loadState(dir: String): Unit =
+    state.restore(spark.read.parquet(dir))
+
   /** TFUNCTION DEBUG analogue: the full diagnostic view of one library
     * — everything `list()` shows plus per-stream pending (nacked) ids
     * and the raw per-function error strings, rendered at the current
