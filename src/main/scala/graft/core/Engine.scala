@@ -82,6 +82,10 @@ final class FunctionContext private[core] (
   }
   /** C4: whether a blocking call may run on this thread. */
   def isBlockAllowed: Boolean = engine.state.isBlockAllowed
+  // TTL (EXPIRE/TTL; lazy expiration fires the `expired` keyspace
+  // event the reference's R4 triggers subscribe to)
+  def expire(key: String, ttlMs: Long): Boolean = { requireWrites(); engine.state.expire(key, ttlMs) }
+  def ttl(key: String): Option[Long] = engine.state.ttl(key)
   // C2 binary-safe access (callRaw analogue)
   def getRaw(key: String): Option[Array[Byte]] = engine.state.getRaw(key)
   def hgetRaw(key: String, field: String): Option[Array[Byte]] = engine.state.hgetRaw(key, field)

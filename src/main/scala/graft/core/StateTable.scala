@@ -36,6 +36,8 @@ final class StateTable {
   private val data = TrieMap.empty[String, Map[String, String]]
   // list values (Redis list type) — same lock, separate shape
   private val lists = TrieMap.empty[String, Vector[String]]
+  // key -> absolute expiry epoch-millis (Redis TTL semantics)
+  private val expiries = TrieMap.empty[String, Long]
   private val lock = new ReentrantLock()
   private val listSignal = lock.newCondition()
   private val subscribers = new ArrayBuffer[KeyEvent => Unit]
@@ -51,6 +53,9 @@ final class StateTable {
       val txn = new Txn(this)
       val result = body(txn)
       val events = txn.flush()
+      // Redis semantics: a plain SET discards the key's TTL; HSET and
+      // INCR leave it in place
+      events.foreach(e => if (e.event == "set") expiries.remove(e.key))
       if (!inNotification.get()) {
         inNotification.set(true)
         try events.foreach(e => subscribers.foreach(_(e)))
@@ -71,19 +76,63 @@ final class StateTable {
   // fully isolated — the GIL analogue of E8: nothing observes state
   // mid-invocation. A function's own reads re-enter the lock it holds.
   private def withLock[A](a: => A): A = { lock.lock(); try a finally lock.unlock() }
-  def get(key: String): Option[String] = withLock(data.get(key).flatMap(_.get(ValueField)))
-  def hget(key: String, field: String): Option[String] = withLock(data.get(key).flatMap(_.get(field)))
-  def hgetall(key: String): Map[String, String] = withLock(data.getOrElse(key, Map.empty))
-  def exists(key: String): Boolean = withLock(data.contains(key) || lists.contains(key))
-  def scan(prefix: String): Seq[String] =
-    withLock((data.keysIterator ++ lists.keysIterator)
-      .filter(_.startsWith(prefix)).toSeq.distinct.sorted)
-  def size: Int = withLock((data.keySet ++ lists.keySet).size)
+
+  // --- TTL (Redis EXPIRE semantics + the reference's `expired`
+  // keyspace notification, `keys_notifications.rs` / R4). Expiration is
+  // lazy: a read past the deadline removes the key and fires "expired"
+  // (like Redis's lazy path); `sweepExpired` is the active-cycle
+  // analogue for callers that need timely notifications without reads.
+  private def expireIfDue(key: String): Unit =
+    expiries.get(key).foreach { deadline =>
+      if (System.currentTimeMillis() >= deadline) {
+        expiries.remove(key)
+        val existed = data.remove(key).isDefined | lists.remove(key).isDefined
+        if (existed) emit(KeyEvent("expired", key, System.currentTimeMillis(), None))
+      }
+    }
+
+  /** Set a TTL on an existing key. False if the key does not exist. */
+  def expire(key: String, ttlMs: Long): Boolean = withLock {
+    expireIfDue(key)
+    val present = data.contains(key) || lists.contains(key)
+    if (present) expiries.put(key, System.currentTimeMillis() + ttlMs)
+    present
+  }
+
+  /** Remaining TTL in ms; None when the key has no TTL or is gone. */
+  def ttl(key: String): Option[Long] = withLock {
+    expireIfDue(key)
+    expiries.get(key).map(d => math.max(0L, d - System.currentTimeMillis()))
+  }
+
+  /** Actively expire every due key (fires "expired" events). Returns
+    * the number of keys expired. */
+  def sweepExpired(): Int = withLock {
+    val before = data.size + lists.size
+    expiries.keys.toSeq.foreach(expireIfDue)
+    before - (data.size + lists.size)
+  }
+
+  def get(key: String): Option[String] =
+    withLock { expireIfDue(key); data.get(key).flatMap(_.get(ValueField)) }
+  def hget(key: String, field: String): Option[String] =
+    withLock { expireIfDue(key); data.get(key).flatMap(_.get(field)) }
+  def hgetall(key: String): Map[String, String] =
+    withLock { expireIfDue(key); data.getOrElse(key, Map.empty) }
+  def exists(key: String): Boolean =
+    withLock { expireIfDue(key); data.contains(key) || lists.contains(key) }
+  def scan(prefix: String): Seq[String] = withLock {
+    expiries.keys.toSeq.filter(_.startsWith(prefix)).foreach(expireIfDue)
+    (data.keysIterator ++ lists.keysIterator)
+      .filter(_.startsWith(prefix)).toSeq.distinct.sorted
+  }
+  def size: Int = withLock { sweepExpired(); (data.keySet ++ lists.keySet).size }
 
   // --- convenience single-op writes (each is its own transaction) ---
   def set(key: String, value: String): Unit = commit(_.set(key, value))
   def hset(key: String, fields: (String, String)*): Unit = commit(_.hset(key, fields: _*))
   def del(key: String): Boolean = withLock {
+    expiries.remove(key)
     val hadList = lists.remove(key).isDefined
     if (hadList) emit(KeyEvent("del", key, System.currentTimeMillis(), None))
     commit(_.del(key)) || hadList

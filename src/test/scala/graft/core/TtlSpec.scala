@@ -1,0 +1,68 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** TTL semantics and the `expired` keyspace event (the reference's R4
+  * triggers fire on `expired`/`evicted` notifications alongside write
+  * events). Expiration is lazy on access plus an active sweep. */
+class TtlSpec extends AnyFunSuite {
+
+  test("expire/ttl lifecycle: lazy expiration removes the key and fires 'expired'") {
+    val t = new StateTable
+    val events = ArrayBuffer.empty[String]
+    t.subscribe(e => events += s"${e.event}:${e.key}")
+    t.set("k", "v")
+    assert(t.expire("k", 30))
+    assert(t.ttl("k").exists(_ <= 30))
+    Thread.sleep(60)
+    assert(t.get("k").isEmpty) // lazy expiration on read
+    assert(events.contains("expired:k"))
+    assert(!t.exists("k") && t.ttl("k").isEmpty)
+  }
+
+  test("expire on a missing key is false; SET discards the TTL; del clears it") {
+    val t = new StateTable
+    assert(!t.expire("ghost", 100))
+    t.set("k", "v1")
+    t.expire("k", 30)
+    t.set("k", "v2") // Redis: SET discards the TTL
+    Thread.sleep(60)
+    assert(t.get("k").contains("v2"))
+    assert(t.ttl("k").isEmpty)
+    // hset keeps the TTL
+    t.hset("h", "f" -> "v")
+    t.expire("h", 30)
+    t.hset("h", "g" -> "w")
+    assert(t.ttl("h").isDefined)
+    t.del("h")
+    assert(t.ttl("h").isEmpty)
+  }
+
+  test("sweepExpired actively expires due keys, lists included") {
+    val t = new StateTable
+    t.set("a", "1"); t.expire("a", 10)
+    t.rpush("l", "x"); t.expire("l", 10)
+    t.set("keep", "1")
+    Thread.sleep(40)
+    assert(t.sweepExpired() == 2)
+    assert(!t.exists("a") && !t.exists("l") && t.exists("keep"))
+  }
+
+  test("expired event drives a keyspace trigger through the engine (R4)") {
+    val e = new Engine(TestSpark.spark)
+    val seen = ArrayBuffer.empty[String]
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerKeySpaceTrigger("t", "sess:", (_, ev) => seen += s"${ev.event}:${ev.key}")
+    }))
+    e.state.set("sess:42", "live")
+    e.state.expire("sess:42", 10)
+    Thread.sleep(40)
+    e.state.sweepExpired()
+    assert(seen.contains("set:sess:42") && seen.contains("expired:sess:42"))
+    e.close()
+  }
+}
