@@ -381,7 +381,9 @@ final class StreamTriggerEngine(engine: Engine) {
     *
     * Reference semantics preserved: per-stream order
     * (`stream_reader.rs:299-453`), ack/nack + checkpoint (E4), durable
-    * resume (E5/E7). */
+    * resume (E5/E7). Error handling on this path is window=1 semantics
+    * (a failing record halts its stream for the batch); the driver path
+    * implements the full `window` in-flight cap. */
   def attachDistributed(ds: Dataset[StreamRecord], checkpointDir: String,
       library: String, trigger: String)(fn: StreamRecord => Unit): StreamingQuery = {
     val key = s"$library.$trigger"

@@ -179,6 +179,31 @@ class EngineSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("every RESP reply shape rounds through call, nesting cap enforced (test_basics reply coverage)") {
+    val e = newEngine()
+    val shapes: Map[String, RespValue] = Map(
+      "map" -> RespMap(Map("a" -> RespLong(1), "b" -> RespArray(Seq(RespString("x"))))),
+      "set" -> RespSet(Set(RespLong(1), RespLong(2), RespString("s"))),
+      "big" -> RespBigNumber(BigInt("123456789012345678901234567890")),
+      "verbatim" -> RespVerbatim("txt", "hello"),
+      "bin" -> RespBinary(Array[Byte](0, -1, 127)),
+      "double" -> RespDouble(3.5),
+      "bool" -> RespBool(true),
+      "nil" -> RespNull)
+    e.load(LibraryDefinition("shapes", code = { b =>
+      shapes.foreach { case (n, v) =>
+        b.registerFunction(n, (_, _) => v, flags = Set(FunctionFlags.NoWrites))
+      }
+      b.registerFunction("too_deep", (_, _) =>
+        (1 to 101).foldLeft(RespNull: RespValue)((acc, _) => RespArray(Seq(acc))),
+        flags = Set(FunctionFlags.NoWrites))
+    }))
+    shapes.foreach { case (n, v) => assert(e.call("shapes", n) == v, s"shape $n") }
+    val ex = intercept[IllegalStateException](e.call("shapes", "too_deep"))
+    assert(ex.getMessage.contains("depth"))
+    e.close()
+  }
+
   test("list WITHCODE surfaces the declared library source (E16)") {
     val e = newEngine()
     e.load(LibraryDefinition("lib", code = { b =>
