@@ -47,21 +47,34 @@ object Similarity {
       embeddings(s, d).select("vec_id", "embedding"), 10)
 
   /** LSH-bucketed ANN: multi-table sign-LSH — the corpus is hashed into
-    * `tables` independent bucket families; a query probes its bucket in
-    * each table, candidates are unioned and ranked. Probabilistic recall
-    * — no SQL oracle; SimilaritySpec measures recall vs brute force. */
-  def qLshTopK(s: SparkSession, d: String, nbits: Int = 6, tables: Int = 4): DataFrame = {
+    * `tables` independent bucket families; a query MULTI-PROBES its own
+    * bucket plus every bucket at Hamming distance 1 in each table
+    * (the near buckets hold the vectors that fell just across one
+    * hyperplane — the dominant source of missed neighbors). Probe
+    * expansion happens only on the tiny query side: the corpus is
+    * still hashed ONCE into one bucket per table, so corpus-side work
+    * is unchanged at any scale. Probabilistic recall — no SQL oracle;
+    * SimilaritySpec measures recall vs brute force. */
+  def qLshTopK(s: SparkSession, d: String, nbits: Int = 6, tables: Int = 4,
+      multiProbe: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val corpus = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         explode(signLshBuckets(col("embedding"), nbits, tables)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val qs = queriesDf(s, d)
+    val exact = queriesDf(s, d)
       .select(col("query_id"), col("q_emb"),
         explode(signLshBuckets(col("q_emb"), nbits, tables)).as("tb"))
       .select(col("query_id"), col("q_emb"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket0"))
+    val qs =
+      if (!multiProbe) exact.withColumnRenamed("bucket0", "bucket")
+      else exact
+        .select(col("query_id"), col("q_emb"), col("tbl"),
+          explode(expr(s"transform(sequence(0, $nbits), i -> " +
+            "CASE WHEN i = 0 THEN bucket0 " +
+            "ELSE bucket0 ^ shiftleft(1L, i - 1) END)")).as("bucket"))
     val scored = corpus.join(broadcast(qs), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),

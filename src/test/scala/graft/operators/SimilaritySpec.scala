@@ -56,10 +56,11 @@ class SimilaritySpec extends AnyFunSuite {
     // any LSH (query, neighbor) also found by brute force must agree on value
     lsh.foreach { case (k, v) =>
       brute.get(k).foreach(bv => assert(math.abs(bv - v) < 1e-9)) }
-    // recall@10 across the 5 queries — multi-table LSH on random vectors
-    // is probabilistic; pin a conservative floor to catch regressions
+    // recall@10 across the 5 queries — multi-probe multi-table LSH on
+    // random vectors is probabilistic; pin a conservative floor (the
+    // measured recall is ~0.6; single-probe was ~0.2)
     val hits = lsh.keys.count(brute.contains)
-    assert(hits.toDouble / brute.size >= 0.1, s"recall@10 ${hits}/${brute.size}")
+    assert(hits.toDouble / brute.size >= 0.4, s"recall@10 ${hits}/${brute.size}")
   }
 
   test("IVF top-k: exact cosines, recall floor, and candidate restriction to probed cells") {
