@@ -66,6 +66,7 @@ final class FunctionContext private[core] (
   def set(key: String, value: String): Unit = { requireWrites(); engine.state.set(key, value) }
   def hset(key: String, fields: (String, String)*): Unit = { requireWrites(); engine.state.hset(key, fields: _*) }
   def del(key: String): Boolean = { requireWrites(); engine.state.del(key) }
+  def hdel(key: String, fields: String*): Int = { requireWrites(); engine.state.hdel(key, fields: _*) }
   def incrBy(key: String, delta: Long): Long = { requireWrites(); engine.state.incrBy(key, delta) }
   // C3 list ops + blocking pop. blpop blocks the calling thread until
   // data arrives or the timeout passes; it is refused inside a sync

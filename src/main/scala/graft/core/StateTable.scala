@@ -138,6 +138,7 @@ final class StateTable {
     commit(_.del(key)) || hadList
   }
   def incrBy(key: String, delta: Long): Long = commit(_.incrBy(key, delta))
+  def hdel(key: String, fields: String*): Int = commit(_.hdel(key, fields: _*))
 
   // --- list operations (Redis list type; LPUSH/RPUSH/LPOP/RPOP
   // semantics) + blocking pop (C3 `callAsync` blocking commands).
@@ -300,6 +301,19 @@ object StateTable {
       writes.update(key, None)
       if (existed) events += KeyEvent("del", key, System.currentTimeMillis(), None)
       existed
+    }
+
+    /** HDEL: remove fields from a hash; the key disappears when its
+      * last field goes (Redis semantics). Returns #fields removed. */
+    def hdel(key: String, fields: String*): Int = {
+      val cur = current(key).getOrElse(Map.empty)
+      val removed = fields.count(cur.contains)
+      if (removed > 0) {
+        val next = cur -- fields
+        writes.update(key, if (next.isEmpty) None else Some(next))
+        events += KeyEvent("hdel", key, System.currentTimeMillis(), None)
+      }
+      removed
     }
 
     def incrBy(key: String, delta: Long): Long = {

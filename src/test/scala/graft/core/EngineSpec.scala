@@ -179,6 +179,16 @@ class EngineSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("hdel removes fields; the key disappears with its last field (Redis semantics)") {
+    val e = newEngine()
+    e.state.hset("h", "a" -> "1", "b" -> "2")
+    assert(e.state.hdel("h", "a", "missing") == 1)
+    assert(e.state.hget("h", "a").isEmpty && e.state.hget("h", "b").contains("2"))
+    assert(e.state.hdel("h", "b") == 1)
+    assert(!e.state.exists("h"))
+    e.close()
+  }
+
   test("every RESP reply shape rounds through call, nesting cap enforced (test_basics reply coverage)") {
     val e = newEngine()
     val shapes: Map[String, RespValue] = Map(
