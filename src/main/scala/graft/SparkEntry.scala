@@ -75,6 +75,7 @@ object SparkEntry {
     "q46_knn_ivf" -> ((s, d) => Similarity.qIvfTopK(s, d)),
     "q47_percentiles" -> (Pipeline.qPercentiles _),
     "q48_edit_distance" -> ((s, d) => Dedup.qEditDistance(s, d)),
+    "q49_percentile_sketch" -> ((s, d) => Pipeline.qPercentileSketch(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

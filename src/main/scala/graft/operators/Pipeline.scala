@@ -95,6 +95,16 @@ object Pipeline {
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
 
+  /** q49: the sketch-based percentile (`percentile_approx`, mergeable
+    * per-partition summaries — the plan that survives 100 TB where the
+    * exact sort-based q47 cannot). Probabilistic — rows-only in the
+    * gate; PipelineSpec bounds it against the exact percentile. */
+  def qPercentileSketch(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr(s"percentile_approx(value, 0.5, $accuracy)"), 4).as("p50"),
+        round(expr(s"percentile_approx(value, 0.9, $accuracy)"), 4).as("p90"))
+
   /** q43: approximate distinct users per event type
     * (HyperLogLog++-based `approx_count_distinct`, the sketch the
     * engine reaches for when exact distinct at 100 TB is too

@@ -45,6 +45,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected > 0, "synthetic corpus should have some shared 5-grams")
   }
 
+  test("percentile sketch stays within 2% of the exact percentile per event type") {
+    val approx = Pipeline.qPercentileSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Pipeline.qPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.02, s"$k p50 ${approx(k)._1} vs $p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 < 0.02, s"$k p90 ${approx(k)._2} vs $p90")
+    }
+  }
+
   test("approx distinct stays within 5% of the exact count per event type") {
     val approx = Pipeline.qApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
