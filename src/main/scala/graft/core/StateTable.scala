@@ -226,12 +226,13 @@ final class StateTable {
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val hashRows = data.toSeq.flatMap { case (k, m) => m.map { case (f, v) => (k, f, v) } }
-    // list elements snapshot as indexed pseudo-fields so the schema
-    // stays (key, field, value)
+    // list elements and TTL deadlines snapshot as pseudo-fields so the
+    // schema stays (key, field, value) — RDB persists expiries too
     val listRows = lists.toSeq.flatMap { case (k, l) =>
       l.zipWithIndex.map { case (v, i) => (k, f"${StateTable.ListField}$i%09d", v) }
     }
-    (hashRows ++ listRows).toDF("key", "field", "value")
+    val ttlRows = expiries.toSeq.map { case (k, d) => (k, StateTable.TtlField, d.toString) }
+    (hashRows ++ listRows ++ ttlRows).toDF("key", "field", "value")
   }
 
   /** Restore from a snapshot DataFrame. Replaces current content. */
@@ -241,10 +242,13 @@ final class StateTable {
     try {
       data.clear()
       lists.clear()
+      expiries.clear()
       val listAcc = scala.collection.mutable.Map.empty[String, ArrayBuffer[(String, String)]]
       rows.foreach { r =>
         val (k, f, v) = (r.getString(0), r.getString(1), r.getString(2))
-        if (f.startsWith(StateTable.ListField))
+        if (f == StateTable.TtlField)
+          expiries.update(k, v.toLong)
+        else if (f.startsWith(StateTable.ListField))
           listAcc.getOrElseUpdate(k, new ArrayBuffer) += (f -> v)
         else
           data.update(k, data.getOrElse(k, Map.empty) + (f -> v))
@@ -265,6 +269,8 @@ object StateTable {
   val ValueField = "__value"
   /** Pseudo-field prefix for snapshotted list elements. */
   val ListField = "__list__"
+  /** Pseudo-field for a key's snapshotted absolute expiry (epoch ms). */
+  val TtlField = "__ttl__"
 
   /** Lossless byte<->String bridge (ISO-8859-1 maps byte n to char n). */
   private[core] def b2s(b: Array[Byte]): String =

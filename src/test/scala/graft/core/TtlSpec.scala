@@ -52,6 +52,21 @@ class TtlSpec extends AnyFunSuite {
     assert(!t.exists("a") && !t.exists("l") && t.exists("keep"))
   }
 
+  test("TTLs survive snapshot/restore; already-expired keys die on first access") {
+    val spark = TestSpark.spark
+    val t = new StateTable
+    t.set("short", "v"); t.expire("short", 20)
+    t.set("long", "v"); t.expire("long", 60000)
+    t.set("forever", "v")
+    val snap = t.snapshot(spark)
+    Thread.sleep(50) // "short" passes its deadline while "persisted"
+    val t2 = new StateTable
+    t2.restore(snap)
+    assert(t2.get("short").isEmpty) // restored deadline already due
+    assert(t2.get("long").contains("v") && t2.ttl("long").exists(_ > 0))
+    assert(t2.get("forever").contains("v") && t2.ttl("forever").isEmpty)
+  }
+
   test("expired event drives a keyspace trigger through the engine (R4)") {
     val e = new Engine(TestSpark.spark)
     val seen = ArrayBuffer.empty[String]
