@@ -76,6 +76,7 @@ object SparkEntry {
     "q47_percentiles" -> (Pipeline.qPercentiles _),
     "q48_edit_distance" -> ((s, d) => Dedup.qEditDistance(s, d)),
     "q49_percentile_sketch" -> ((s, d) => Pipeline.qPercentileSketch(s, d)),
+    "q51_sliding_window" -> (graft.streaming.EventTime.qSlidingWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -330,6 +331,18 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.9), 4) AS p90,
                 ROUND(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY event_type""",
+    // sliding windows: every event belongs to the 4 windows whose start
+    // is one of the 4 15-minute boundaries in (ts - 1h, ts]; epoch-second
+    // arithmetic keeps the alignment identical to Spark's epoch-aligned
+    // window() and makes the watermark cutoff integer-exact.
+    "q51_sliding_window" ->
+      """SELECT win_ts, event_type, n, sum_value FROM (
+           SELECT (CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) - k) * 900 AS win_ts,
+                  event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+           FROM events CROSS JOIN range(4) AS t(k)
+           GROUP BY 1, 2)
+         WHERE win_ts + 3600 <=
+               (SELECT CAST(FLOOR(EPOCH(MAX(ts) - INTERVAL 30 MINUTE)) AS BIGINT) FROM events)""",
     "q48_edit_distance" ->
       """SELECT doc_a, doc_b, dist FROM (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

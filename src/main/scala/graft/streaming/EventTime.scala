@@ -80,19 +80,42 @@ object EventTime {
           col("event_type"), col("n"), col("sum_value")),
       s)
 
-  /** q45: streaming stateful dedup — `dropDuplicates` over
-    * (event_type, user_id) maintains a state store across micro-batches
-    * (with the watermark bounding state growth), then counts the
-    * surviving first-occurrences per type. Which physical row survives
-    * is arrival-order-dependent, but the COUNT of distinct pairs is
-    * deterministic and equals the batch COUNT(DISTINCT user_id) per
-    * type — the oracle. Output mode is complete (the dedup is the
-    * stateful stage under test; the final count is tiny). */
+  /** q51: sliding one-hour windows advancing every 15 minutes — each
+    * event lands in 4 overlapping windows; count + value sum per
+    * (window, event_type), emitting only windows the watermark closed
+    * (same APPEND-mode discipline as q38). State is bounded by
+    * (open windows × types): duration/slide = 4× the tumbling window
+    * count, still watermark-evicted. */
+  def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    runToTable(
+      eventsStream(s, d)
+        .withWatermark("ts", Delay)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_ts"),
+          col("event_type"), col("n"), col("sum_value")),
+      s)
+
+  /** q45: streaming stateful dedup — `dropDuplicatesWithinWatermark`
+    * over (event_type, user_id) maintains a state store across
+    * micro-batches, then counts the surviving first-occurrences per
+    * type. Unlike plain `dropDuplicates` (whose state is evicted only
+    * when the event-time column is part of the dedup key — i.e. never
+    * here), the within-watermark variant expires a key's state once the
+    * watermark passes its event time + delay, so state size is bounded
+    * by the keys active inside one watermark horizon regardless of
+    * total key cardinality — the 100 TB-safe shape (bounded-state
+    * assertion in EventTimeSpec). On this finite input everything is
+    * processed in one micro-batch at watermark 0, so nothing expires
+    * mid-query and the COUNT per type equals the batch
+    * COUNT(DISTINCT user_id) — the oracle. Output mode is complete
+    * (the dedup is the stateful stage under test; the final count is
+    * tiny). */
   def qStreamingDedup(s: SparkSession, d: String): DataFrame = {
     val deduped = eventsStream(s, d)
       .withWatermark("ts", Delay)
       .select(col("event_type"), col("user_id"), col("ts"))
-      .dropDuplicates("event_type", "user_id")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
       .groupBy("event_type")
       .agg(count("*").as("n_distinct_users"))
     val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")

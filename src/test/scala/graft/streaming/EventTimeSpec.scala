@@ -54,6 +54,67 @@ class EventTimeSpec extends AnyFunSuite {
     assert(got == rows(batch))
   }
 
+  test("q51: streaming sliding windows equal batch sliding windows closed by the watermark") {
+    val streaming = EventTime.qSlidingWindow(spark, sf)
+
+    val ev = Tables.events(spark, sf)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+      .filter(col("window.end") <= lit(maxTs) - expr(s"INTERVAL ${EventTime.Delay}"))
+      .select(unix_timestamp(col("window.start")).as("win_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+
+    val got = rows(streaming)
+    assert(got.nonEmpty)
+    assert(got == rows(batch))
+    // each event belongs to duration/slide = 4 windows: the sliding form
+    // must emit strictly more windows than the tumbling form
+    assert(got.map(_.head).toSet.size >
+      rows(EventTime.qWatermarkTumbling(spark, sf)).map(_.head).toSet.size)
+  }
+
+  test("q45 dedup state is bounded by the watermark, not by total key cardinality") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val deduped = mem.toDF().toDF("ts", "event_type", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("graft_q45_state")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-q45-state").toString)
+      .start()
+    try {
+      val perBatch = 100
+      val batches = 6
+      // each batch: a DISJOINT set of users, hours apart — so with plain
+      // dropDuplicates the state store would grow by perBatch keys every
+      // batch forever; within-watermark dedup must evict each batch's
+      // keys once the watermark (next batch's hour - 10 min) passes them
+      val sizes = (1 to batches).map { h =>
+        mem.addData((0 until perBatch).map { u =>
+          (new Timestamp(h * 3600L * 1000L), "click", s"u_${h}_$u")
+        }: _*)
+        q.processAllAvailable()
+        q.recentProgress.flatMap(_.stateOperators).lastOption
+          .map(_.numRowsTotal).getOrElse(0L)
+      }
+      val totalKeys = perBatch.toLong * batches
+      assert(sizes.last < totalKeys,
+        s"state grew to ${sizes.last} — unbounded (all $totalKeys keys retained)")
+      assert(sizes.last <= 2L * perBatch,
+        s"state ${sizes.last} exceeds one watermark horizon of keys ($perBatch per batch): $sizes")
+    } finally q.stop()
+  }
+
   test("q38 withholds open windows: streaming row count < unfiltered batch count") {
     val allWindows = Tables.events(spark, sf)
       .groupBy(window(col("ts"), "1 hour"), col("event_type")).agg(count("*"))
