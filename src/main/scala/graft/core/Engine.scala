@@ -59,39 +59,47 @@ final class FunctionContext private[core] (
     if (readOnly) throw new IllegalStateException(
       s"function declared ${FunctionFlags.NoWrites} attempted a write")
 
-  def get(key: String): Option[String] = engine.state.get(key)
-  def hget(key: String, field: String): Option[String] = engine.state.hget(key, field)
-  def hgetall(key: String): Map[String, String] = engine.state.hgetall(key)
+  // every key access is checked against the library's owning ACL user
+  // at call time (lib.rs:506-517; revocation applies immediately).
+  // `scan` returns key NAMES only — reading any of them re-checks.
+  private def checkRead(key: String): Unit = engine.aclCheck(library, key, write = false)
+  private def checkWrite(key: String): Unit = {
+    requireWrites(); engine.aclCheck(library, key, write = true)
+  }
+
+  def get(key: String): Option[String] = { checkRead(key); engine.state.get(key) }
+  def hget(key: String, field: String): Option[String] = { checkRead(key); engine.state.hget(key, field) }
+  def hgetall(key: String): Map[String, String] = { checkRead(key); engine.state.hgetall(key) }
   def scan(prefix: String): Seq[String] = engine.state.scan(prefix)
-  def set(key: String, value: String): Unit = { requireWrites(); engine.state.set(key, value) }
-  def hset(key: String, fields: (String, String)*): Unit = { requireWrites(); engine.state.hset(key, fields: _*) }
-  def del(key: String): Boolean = { requireWrites(); engine.state.del(key) }
-  def hdel(key: String, fields: String*): Int = { requireWrites(); engine.state.hdel(key, fields: _*) }
-  def incrBy(key: String, delta: Long): Long = { requireWrites(); engine.state.incrBy(key, delta) }
+  def set(key: String, value: String): Unit = { checkWrite(key); engine.state.set(key, value) }
+  def hset(key: String, fields: (String, String)*): Unit = { checkWrite(key); engine.state.hset(key, fields: _*) }
+  def del(key: String): Boolean = { checkWrite(key); engine.state.del(key) }
+  def hdel(key: String, fields: String*): Int = { checkWrite(key); engine.state.hdel(key, fields: _*) }
+  def incrBy(key: String, delta: Long): Long = { checkWrite(key); engine.state.incrBy(key, delta) }
   // C3 list ops + blocking pop. blpop blocks the calling thread until
   // data arrives or the timeout passes; it is refused inside a sync
   // call or atomic section (C4 isBlockAllowed) — call it from an async
   // function or an executeAsync body, like the reference's callAsync
   // for blocking commands (`v8_native_functions.rs:652-669`).
-  def lpush(key: String, values: String*): Long = { requireWrites(); engine.state.lpush(key, values: _*) }
-  def rpush(key: String, values: String*): Long = { requireWrites(); engine.state.rpush(key, values: _*) }
-  def lpop(key: String): Option[String] = { requireWrites(); engine.state.lpop(key) }
-  def rpop(key: String): Option[String] = { requireWrites(); engine.state.rpop(key) }
-  def llen(key: String): Long = engine.state.llen(key)
+  def lpush(key: String, values: String*): Long = { checkWrite(key); engine.state.lpush(key, values: _*) }
+  def rpush(key: String, values: String*): Long = { checkWrite(key); engine.state.rpush(key, values: _*) }
+  def lpop(key: String): Option[String] = { checkWrite(key); engine.state.lpop(key) }
+  def rpop(key: String): Option[String] = { checkWrite(key); engine.state.rpop(key) }
+  def llen(key: String): Long = { checkRead(key); engine.state.llen(key) }
   def blpop(key: String, timeoutMs: Long): Option[String] = {
-    requireWrites(); engine.state.blpop(key, timeoutMs)
+    checkWrite(key); engine.state.blpop(key, timeoutMs)
   }
   /** C4: whether a blocking call may run on this thread. */
   def isBlockAllowed: Boolean = engine.state.isBlockAllowed
   // TTL (EXPIRE/TTL; lazy expiration fires the `expired` keyspace
   // event the reference's R4 triggers subscribe to)
-  def expire(key: String, ttlMs: Long): Boolean = { requireWrites(); engine.state.expire(key, ttlMs) }
-  def ttl(key: String): Option[Long] = engine.state.ttl(key)
+  def expire(key: String, ttlMs: Long): Boolean = { checkWrite(key); engine.state.expire(key, ttlMs) }
+  def ttl(key: String): Option[Long] = { checkRead(key); engine.state.ttl(key) }
   // C2 binary-safe access (callRaw analogue)
-  def getRaw(key: String): Option[Array[Byte]] = engine.state.getRaw(key)
-  def hgetRaw(key: String, field: String): Option[Array[Byte]] = engine.state.hgetRaw(key, field)
-  def setRaw(key: String, value: Array[Byte]): Unit = { requireWrites(); engine.state.setRaw(key, value) }
-  def hsetRaw(key: String, fields: (String, Array[Byte])*): Unit = { requireWrites(); engine.state.hsetRaw(key, fields: _*) }
+  def getRaw(key: String): Option[Array[Byte]] = { checkRead(key); engine.state.getRaw(key) }
+  def hgetRaw(key: String, field: String): Option[Array[Byte]] = { checkRead(key); engine.state.hgetRaw(key, field) }
+  def setRaw(key: String, value: Array[Byte]): Unit = { checkWrite(key); engine.state.setRaw(key, value) }
+  def hsetRaw(key: String, fields: (String, Array[Byte])*): Unit = { checkWrite(key); engine.state.hsetRaw(key, fields: _*) }
   /** Per-library config injected at load (C10). */
   def config: Map[String, String] = engine.libraryConfig(library)
   def log(msg: String): Unit = engine.log(s"[$library] $msg")
@@ -105,7 +113,9 @@ final class FunctionContext private[core] (
     * partial state. */
   def atomic[T](body: StateTable.Txn => T): T = {
     requireWrites()
-    engine.state.commit(body)
+    // the transaction's key accesses carry the same per-key ACL checks
+    // as the direct context methods
+    engine.state.commitGuarded((k, w) => engine.aclCheck(library, k, w))(body)
   }
 
   /** C5 (`client.executeAsync`): escape from a sync function to the
@@ -232,7 +242,8 @@ object LibraryBuilder {
   * `list(withCode = true)` — the TFUNCTION LIST WITHCODE analogue
   * (the registration closure itself has no recoverable text form). */
 case class LibraryDefinition(name: String, apiVersion: String = "1.0",
-    code: LibraryBuilder => Unit, source: Option[String] = None)
+    code: LibraryBuilder => Unit, source: Option[String] = None,
+    user: String = Acl.DefaultUser)
 
 /** The engine façade (E14-E17): library load/upgrade/delete with
   * revert-on-failure, sync/async invocation, cluster functions, and
@@ -263,14 +274,47 @@ final class Engine(val spark: SparkSession,
   private implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
 
   private case class LoadedLibrary(builder: LibraryBuilder, apiVersion: String,
-      config: Map[String, String], source: Option[String] = None) {
+      config: Map[String, String], source: Option[String] = None,
+      user: String = Acl.DefaultUser) {
     val fnStats = TrieMap.empty[String, FunctionStats]
     def statsFor(fn: String): FunctionStats = fnStats.getOrElseUpdate(fn, new FunctionStats)
   }
 
+  // --- ACL users (per-library key permissions; see [[Acl]]) -----------
+  private val aclUsers = TrieMap[String, Seq[AclRule]](Acl.DefaultUser -> Acl.AllAccess)
+
+  /** Create or replace an ACL user with its prefix rules. */
+  def aclSetUser(name: String, rules: Seq[AclRule]): Unit = {
+    if (!Engine.validName(name))
+      throw new IllegalArgumentException(s"invalid ACL user name '$name'")
+    aclUsers.put(name, rules)
+  }
+
+  /** Revoke a user — libraries loaded as it lose all key access at
+    * their NEXT access (the reference's user-deleted-while-running
+    * behavior). The default user cannot be deleted. */
+  def aclDelUser(name: String): Unit = {
+    if (name == Acl.DefaultUser)
+      throw new IllegalArgumentException("the default user cannot be deleted")
+    if (aclUsers.remove(name).isEmpty)
+      throw new NoSuchElementException(s"no such ACL user '$name'")
+  }
+
+  def aclGetUser(name: String): Option[Seq[AclRule]] = aclUsers.get(name)
+
+  /** Check the library's owning user may touch `key`. Resolved at call
+    * time so revocation takes effect immediately. */
+  private[graft] def aclCheck(lib: String, key: String, write: Boolean): Unit = {
+    val user = libraries.get(lib).map(_.user).getOrElse(Acl.DefaultUser)
+    Acl.check(user, aclUsers.get(user), key, write)
+  }
+
   private[core] final class FunctionStats {
-    @volatile var calls: Long = 0
-    @volatile var errors: Long = 0
+    // LongAdder, not `@volatile var += 1`: concurrent callAsync
+    // invocations of one function must not lose counts (E16 is a
+    // tested introspection surface)
+    val calls = new java.util.concurrent.atomic.LongAdder
+    val errors = new java.util.concurrent.atomic.LongAdder
     @volatile var lastError: Option[String] = None
   }
 
@@ -279,7 +323,10 @@ final class Engine(val spark: SparkSession,
     // terse = Throwable.toString; verbose = full stack trace in every
     // surfaced error (the reference's verbose error reporting,
     // pytests/test_verbose_error_reporting.py)
-    "error-verbosity" -> "terse")
+    "error-verbosity" -> "terse",
+    // bound on runOnKey/runOnShards cluster-function execution — the
+    // reference's `remote-task-default-timeout` (500 ms, lib.rs:1913)
+    "remote-task-default-timeout" -> "500")
 
   def configSet(key: String, value: String): Unit = {
     key match {
@@ -287,6 +334,10 @@ final class Engine(val spark: SparkSession,
         if (!Set("terse", "verbose").contains(value))
           throw new IllegalArgumentException(
             s"error-verbosity must be terse|verbose, got '$value'")
+      case "remote-task-default-timeout" =>
+        if (scala.util.Try(value.toLong).toOption.forall(_ <= 0))
+          throw new IllegalArgumentException(
+            s"remote-task-default-timeout must be a positive ms count, got '$value'")
       case other => throw new NoSuchElementException(s"unknown config key '$other'")
     }
     engineConfig.put(key, value)
@@ -335,10 +386,15 @@ final class Engine(val spark: SparkSession,
         }
       }
     }
+    // the loading user must exist (the reference refuses a load whose
+    // user is unknown; the user is re-checked on every later key access)
+    if (!aclUsers.contains(definition.user))
+      throw new AclException(s"cannot load '${definition.name}': ACL user '${definition.user}' does not exist")
     // swap atomically; stream checkpoints survive by (library, trigger) key
     existing.foreach(old => detach(definition.name, old.builder, dropCheckpoints = false))
     libraries.put(definition.name,
-      LoadedLibrary(builder, definition.apiVersion, config, definition.source))
+      LoadedLibrary(builder, definition.apiVersion, config, definition.source,
+        definition.user))
     attach(definition.name, builder)
     // triggers the new version did NOT re-register lose their stashed
     // checkpoints (reference removes consumers not re-registered)
@@ -392,11 +448,11 @@ final class Engine(val spark: SparkSession,
     * counters and the last error, rendered per error-verbosity. */
   private def recorded(l: LoadedLibrary, fn: String)(body: => RespValue): RespValue = {
     val st = l.statsFor(fn)
-    st.calls += 1
+    st.calls.increment()
     try body
     catch {
       case e: Throwable =>
-        st.errors += 1
+        st.errors.increment()
         st.lastError = Some(errorString(e))
         throw e
     }
@@ -415,11 +471,21 @@ final class Engine(val spark: SparkSession,
       case other => other
     }
 
-  /** Await a promise chain (outside any lock). */
+  /** Await a promise chain — only ever called from a NON-pool thread
+    * (the sync `call` path's blocked-client reply): blocking a pool
+    * thread on a future that needs the same pool deadlocks at
+    * executionThreads=1 (the reference's default), so the async path
+    * chains with [[flatten]] instead. */
   private def resolve(v: RespValue): RespValue = v match {
     case RespPromise(fut) =>
       resolve(scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(60, "s")))
     case other => other
+  }
+
+  /** Non-blocking promise-chain resolution for pool threads. */
+  private def flatten(v: RespValue): Future[RespValue] = v match {
+    case RespPromise(fut) => fut.flatMap(flatten)
+    case other => Future.successful(other)
   }
 
   private[core] def scheduleAsync(lib: String, readOnly: Boolean,
@@ -429,25 +495,57 @@ final class Engine(val spark: SparkSession,
   }
 
   /** TFCALLASYNC: runs on the background pool; the function must go
-    * through the state table's commit path for writes (C6 `block`). */
+    * through the state table's commit path for writes (C6 `block`).
+    * Promise results chain asynchronously (never `Await` on a pool
+    * thread), so an async function whose body escapes through
+    * `ctx.executeAsync` completes even with the default single
+    * execution thread. */
   def callAsync(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): Future[RespValue] = {
     val (f, l) = functionDef(lib, fn)
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
-    Future {
-      recorded(l, fn) {
-        val out = resolve(f.fn(ctx, decoded))
-        RespValue.validate(out).fold(e => throw new IllegalStateException(e), identity)
-      }
+    val st = l.statsFor(fn)
+    st.calls.increment()
+    val out = Future(f.fn(ctx, decoded)).flatMap(flatten).map { v =>
+      RespValue.validate(v).fold(e => throw new IllegalStateException(e), identity)
     }
+    out.failed.foreach { e =>
+      st.errors.increment()
+      st.lastError = Some(errorString(e))
+    }
+    out
   }
+
+  // remote tasks run on their own cached pool (the reference's libmr
+  // threads) so the timeout can be enforced without tying up — or
+  // deadlocking on — the bounded execution pool
+  private val remotePool: ExecutorService = Executors.newCachedThreadPool()
 
   private[core] def runClusterFunction(lib: String, fn: String, args: Seq[RespValue]): RespValue = {
     val l = libraries.getOrElse(lib, throw new NoSuchElementException(s"no such library '$lib'"))
     val f = l.builder.clusterFunctions.getOrElse(fn,
       throw new NoSuchElementException(s"no such cluster function '$lib.$fn'"))
-    // cluster functions are read-only by contract
-    f.fn(new FunctionContext(this, lib, readOnly = true), args)
+    val timeoutMs = engineConfig("remote-task-default-timeout").toLong
+    // cluster functions are read-only by contract. From a SYNC function
+    // the caller holds the reentrant state lock, so the task must run
+    // inline (a remote thread could never acquire the lock — and in the
+    // reference runOnKey exists only on the asyncClient anyway); the
+    // timeout bounds the async path, where the reference's libmr
+    // remote-task timeout applies (lib.rs:1913).
+    if (!state.isBlockAllowed)
+      return f.fn(new FunctionContext(Engine.this, lib, readOnly = true), args)
+    val task = remotePool.submit(new java.util.concurrent.Callable[RespValue] {
+      def call(): RespValue = f.fn(new FunctionContext(Engine.this, lib, readOnly = true), args)
+    })
+    try task.get(timeoutMs, TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        throw new java.util.concurrent.TimeoutException(
+          s"remote task '$lib.$fn' timed out after ${timeoutMs}ms (remote-task-default-timeout)")
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause // surface the function's own error, not the wrapper
+    }
   }
 
   private[core] def libraryConfig(lib: String): Map[String, String] =
@@ -468,13 +566,14 @@ final class Engine(val spark: SparkSession,
       functions = l.builder.functions.values.toSeq.sortBy(_.name).map { f =>
         val st = l.statsFor(f.name)
         FunctionInfo(f.name, f.isAsync, f.flags, f.description,
-          st.calls, st.errors, st.lastError)
+          st.calls.sum(), st.errors.sum(), st.lastError)
       },
       clusterFunctions = l.builder.clusterFunctions.keys.toSeq.sorted,
       streamTriggers = l.builder.streamTriggers.keys.toSeq.sorted.map(t =>
         streams.stats(name, t)),
       keySpaceTriggers = l.builder.keySpaceTriggers.keys.toSeq.sorted.map(t =>
-        keyspace.stats(name, t)))
+        keyspace.stats(name, t)),
+      user = l.user)
   }
 
   /** RDB-save analogue for the keyspace side: persist the state table
@@ -502,7 +601,9 @@ final class Engine(val spark: SparkSession,
 
   override def close(): Unit = {
     pool.shutdown()
+    remotePool.shutdown()
     pool.awaitTermination(10, TimeUnit.SECONDS)
+    remotePool.awaitTermination(10, TimeUnit.SECONDS)
   }
 }
 
@@ -527,4 +628,4 @@ case class LibraryInfo(name: String, apiVersion: String,
     config: Map[String, String], functions: Seq[FunctionInfo],
     clusterFunctions: Seq[String], streamTriggers: Seq[StreamTriggerStats],
     keySpaceTriggers: Seq[KeySpaceTriggerStats],
-    code: Option[String] = None)
+    code: Option[String] = None, user: String = Acl.DefaultUser)

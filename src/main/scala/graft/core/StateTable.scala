@@ -47,15 +47,30 @@ final class StateTable {
 
   /** Run `body` atomically (single-writer). Reads inside see their own
     * writes; other threads see nothing until commit returns. */
-  def commit[A](body: Txn => A): A = {
+  def commit[A](body: Txn => A): A = commitGuarded(StateTable.NoGuard)(body)
+
+  /** [[commit]] with a per-key access guard — the hook ACL-checked
+    * transactions ([[FunctionContext.atomic]]) use. The guard is called
+    * as (key, isWrite) before each Txn operation and may throw. */
+  def commitGuarded[A](guard: (String, Boolean) => Unit)(body: Txn => A): A = {
     lock.lock()
     try {
-      val txn = new Txn(this)
+      val txn = new Txn(this, guard)
       val result = body(txn)
       val events = txn.flush()
       // Redis semantics: a plain SET discards the key's TTL; HSET and
-      // INCR leave it in place
-      events.foreach(e => if (e.event == "set") expiries.remove(e.key))
+      // INCR leave it in place; DELETION always clears the TTL (else a
+      // key re-created later under the same name would inherit the old
+      // deadline and be spuriously expired) — including an HDEL that
+      // removed the hash's last field
+      events.foreach { e =>
+        e.event match {
+          case "set" | "del" => expiries.remove(e.key)
+          case "hdel" if !data.contains(e.key) && !lists.contains(e.key) =>
+            expiries.remove(e.key)
+          case _ =>
+        }
+      }
       if (!inNotification.get()) {
         inNotification.set(true)
         try events.foreach(e => subscribers.foreach(_(e)))
@@ -278,31 +293,38 @@ object StateTable {
   private[core] def s2b(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  private[core] val NoGuard: (String, Boolean) => Unit = (_, _) => ()
+
   /** A transaction: buffered writes + read-your-writes, flushed
-    * atomically by [[StateTable.commit]]. */
-  final class Txn private[core] (table: StateTable) {
+    * atomically by [[StateTable.commit]]. `guard(key, isWrite)` runs
+    * before each operation (ACL hook; no-op by default). */
+  final class Txn private[core] (table: StateTable,
+      guard: (String, Boolean) => Unit = NoGuard) {
     private val writes = scala.collection.mutable.LinkedHashMap.empty[String, Option[Map[String, String]]]
     private val events = new ArrayBuffer[KeyEvent]
 
     private def current(key: String): Option[Map[String, String]] =
       writes.getOrElse(key, if (table.exists(key)) Some(table.hgetall(key)) else None)
 
-    def get(key: String): Option[String] = current(key).flatMap(_.get(ValueField))
-    def hget(key: String, field: String): Option[String] = current(key).flatMap(_.get(field))
-    def hgetall(key: String): Map[String, String] = current(key).getOrElse(Map.empty)
-    def exists(key: String): Boolean = current(key).isDefined
+    def get(key: String): Option[String] = { guard(key, false); current(key).flatMap(_.get(ValueField)) }
+    def hget(key: String, field: String): Option[String] = { guard(key, false); current(key).flatMap(_.get(field)) }
+    def hgetall(key: String): Map[String, String] = { guard(key, false); current(key).getOrElse(Map.empty) }
+    def exists(key: String): Boolean = { guard(key, false); current(key).isDefined }
 
     def set(key: String, value: String): Unit = {
+      guard(key, true)
       writes.update(key, Some(Map(ValueField -> value)))
       events += KeyEvent("set", key, System.currentTimeMillis(), None)
     }
 
     def hset(key: String, fields: (String, String)*): Unit = {
+      guard(key, true)
       writes.update(key, Some(current(key).getOrElse(Map.empty) ++ fields))
       events += KeyEvent("hset", key, System.currentTimeMillis(), None)
     }
 
     def del(key: String): Boolean = {
+      guard(key, true)
       val existed = current(key).isDefined
       writes.update(key, None)
       if (existed) events += KeyEvent("del", key, System.currentTimeMillis(), None)
@@ -312,6 +334,7 @@ object StateTable {
     /** HDEL: remove fields from a hash; the key disappears when its
       * last field goes (Redis semantics). Returns #fields removed. */
     def hdel(key: String, fields: String*): Int = {
+      guard(key, true)
       val cur = current(key).getOrElse(Map.empty)
       val removed = fields.count(cur.contains)
       if (removed > 0) {
@@ -323,7 +346,8 @@ object StateTable {
     }
 
     def incrBy(key: String, delta: Long): Long = {
-      val next = get(key).map(_.toLong).getOrElse(0L) + delta
+      guard(key, true)
+      val next = current(key).flatMap(_.get(ValueField)).map(_.toLong).getOrElse(0L) + delta
       writes.update(key, Some(current(key).getOrElse(Map.empty) + (ValueField -> next.toString)))
       events += KeyEvent("incrby", key, System.currentTimeMillis(), None)
       next

@@ -28,8 +28,10 @@ import graft.core.LibraryBuilder.KeySpaceTriggerDef
 final class KeySpaceTriggerEngine(engine: Engine) {
 
   private final class ConsumerState {
-    @volatile var totalFired: Long = 0
-    @volatile var totalErrors: Long = 0
+    // LongAdder: `fire` may be driven concurrently by an external CDC
+    // stream and state-table writers; counts must not race away
+    val totalFired = new java.util.concurrent.atomic.LongAdder
+    val totalErrors = new java.util.concurrent.atomic.LongAdder
     @volatile var lastError: Option[String] = None
   }
 
@@ -57,16 +59,20 @@ final class KeySpaceTriggerEngine(engine: Engine) {
       if (event.key.startsWith(c.spec.prefix)) {
         val ctx = engine.functionContext(c.library)
         try {
+          // the library's user needs read permission on the notifying
+          // key (the reference checks before on_notification_fired,
+          // lib.rs:506-517); a denial is recorded as a consumer error
+          engine.aclCheck(c.library, event.key, write = false)
           // onTriggerFired: snapshot at notification time
           val enriched = c.spec.onTriggerFired match {
             case Some(snap) => event.copy(snapshot = Some(snap(ctx, event)))
             case None => event
           }
           c.spec.fn(ctx, enriched)
-          c.state.totalFired += 1
+          c.state.totalFired.increment()
         } catch {
           case e: Throwable =>
-            c.state.totalErrors += 1
+            c.state.totalErrors.increment()
             c.state.lastError = Some(engine.errorString(e))
         }
       }
@@ -77,7 +83,7 @@ final class KeySpaceTriggerEngine(engine: Engine) {
     val key = s"$library.$trigger"
     consumers.get(key).map { c =>
       KeySpaceTriggerStats(library, trigger, c.spec.prefix,
-        c.state.totalFired, c.state.totalErrors, c.state.lastError)
+        c.state.totalFired.sum(), c.state.totalErrors.sum(), c.state.lastError)
     }.getOrElse(KeySpaceTriggerStats(library, trigger, "", 0, 0, None))
   }
 }

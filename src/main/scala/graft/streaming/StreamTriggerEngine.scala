@@ -192,6 +192,10 @@ final class StreamTriggerEngine(engine: Engine) {
               st.deliveredAhead.size < StreamTriggerEngine.MaxDeliveredAhead
             if ((isRetry || windowOpen) && st.isNew(r)) {
               try {
+                // the library's user needs read permission on the
+                // stream key itself — a denied stream is a Nack
+                // (stream_run_ctx.rs:144-153)
+                engine.aclCheck(c.library, stream, write = false)
                 c.spec.fn(ctx, r)
                 st.totalProcessed += 1
                 st.lastLagMs = math.max(0, now - r.idMs)
@@ -293,40 +297,87 @@ final class StreamTriggerEngine(engine: Engine) {
     * stream's trim watermark — the analogue of the reference's
     * `XTRIM MINID` up to the slowest consumer's acked id
     * (`stream_reader.rs:61-109`, `lib.rs:1074-1103`). Streams without a
-    * trimming consumer are untouched. Runs as a distributed
-    * filter-and-rewrite (broadcast watermark join, no driver
-    * materialization); the swap of the rewritten log is a directory
-    * rename. Returns the number of records removed. */
+    * trimming consumer are untouched. Returns the number of records
+    * removed.
+    *
+    * Incremental: a column-pruned scan of (stream, idMs, idSeq)
+    * classifies each parquet part file as fully-below the watermark
+    * (deleted outright), fully-above (untouched — the common case for
+    * a frequently-trimmed log, where only the oldest files hold acked
+    * records), or straddling (only these are rewritten). Trim cost is
+    * proportional to the boundary, not the log size.
+    *
+    * Crash-safe: rewritten boundary data is staged outside the log,
+    * then a `_compact-commit` redo log (written tmp + rename, so it
+    * only ever appears complete) records the publish renames and the
+    * deletions; the transaction is replayed to completion by the next
+    * `compactLog` call after a crash at any point. No step can lose
+    * records above the watermark — the log directory itself is never
+    * swapped (the previous delete-then-rename of the whole directory
+    * lost the entire log if a crash hit between the two). Readers
+    * racing a crash window may transiently see a trimmed record again;
+    * delivery dedupes by record id, so that is an at-least-once replay,
+    * not a duplicate delivery. */
   def compactLog(logDir: String): Long = {
     val spark = engine.spark
+    val hc = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(logDir)
+    val fs = root.getFileSystem(hc)
+    // finish a predecessor that crashed mid-publish before reading
+    StreamTriggerEngine.recoverCompact(fs, root)
     val wms = trimWatermarks()
-    if (wms.isEmpty) return 0L
-    import org.apache.spark.sql.functions.{broadcast, col}
+    if (wms.isEmpty || !fs.exists(root)) return 0L
+    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, sum, when}
     import spark.implicits._
     val wmDf = wms.toSeq.map { case (s, (ms, seq)) => (s, ms, seq) }
       .toDF("stream", "wm_ms", "wm_seq")
+    val below = col("wm_ms").isNotNull &&
+      (col("idMs") < col("wm_ms") ||
+        (col("idMs") === col("wm_ms") && col("idSeq") <= col("wm_seq")))
     val log = spark.read.schema(StreamRecord.schema).parquet(logDir)
-    val before = log.count()
-    val kept = log.join(broadcast(wmDf), Seq("stream"), "left")
-      .filter(col("wm_ms").isNull ||
-        col("idMs") > col("wm_ms") ||
-        (col("idMs") === col("wm_ms") && col("idSeq") > col("wm_seq")))
-      .drop("wm_ms", "wm_seq")
-    val hc = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(logDir)
-    val fs = path.getFileSystem(hc)
-    val tmp = new org.apache.hadoop.fs.Path(logDir + ".compact-tmp")
-    fs.delete(tmp, true)
-    val after = {
-      val k = kept.cache()
-      val n = k.count()
-      k.write.mode("overwrite").parquet(tmp.toString)
-      k.unpersist()
-      n
+    // per-file classification: reads only the 3 routing columns
+    val classes = log
+      .select(col("stream"), col("idMs"), col("idSeq"), input_file_name().as("f"))
+      .join(broadcast(wmDf), Seq("stream"), "left")
+      .groupBy("f")
+      .agg(count("*").as("n"), sum(when(below, 1L).otherwise(0L)).as("nb"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fullyBelow = classes.collect { case (f, n, nb) if nb == n => f }
+    val straddling = classes.collect { case (f, n, nb) if nb > 0 && nb < n => f }
+    val removed = classes.iterator.map(_._3).sum
+    if (removed == 0) return 0L
+    // stage kept rows of straddling files outside the log
+    val stage = StreamTriggerEngine.compactStagePath(root)
+    fs.delete(stage, true)
+    val publishes = if (straddling.isEmpty) Seq.empty[(String, String)] else {
+      spark.read.schema(StreamRecord.schema).parquet(straddling.toIndexedSeq: _*)
+        .join(broadcast(wmDf), Seq("stream"), "left")
+        .filter(!below)
+        .drop("wm_ms", "wm_seq")
+        .write.mode("overwrite").parquet(stage.toString)
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      fs.listStatus(stage).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex
+        .map { case (s, i) =>
+          s.getPath.toString ->
+            new org.apache.hadoop.fs.Path(root, s"compact-$uuid-$i.parquet").toString
+        }.toSeq
     }
-    fs.delete(path, true)
-    fs.rename(tmp, path)
-    before - after
+    // commit point: the redo log makes publish+delete all-or-nothing
+    val commit = (publishes.map { case (src, dst) => s"P\t$src\t$dst" } ++
+      (straddling ++ fullyBelow).map(f => s"D\t$f")).mkString("", "\n", "\n")
+    val commitPath = StreamTriggerEngine.compactCommitPath(root)
+    val commitTmp = new org.apache.hadoop.fs.Path(commitPath.toString + ".tmp")
+    val out = fs.create(commitTmp, true)
+    try out.write(commit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(commitPath, false)
+    if (!fs.rename(commitTmp, commitPath))
+      throw new java.io.IOException(s"cannot write compact commit for $logDir")
+    StreamTriggerEngine.recoverCompact(fs, root)
+    removed
   }
 
   /** E6 trim for a [[graft.sources.GraftLog]] source: compact the log
@@ -348,16 +399,23 @@ final class StreamTriggerEngine(engine: Engine) {
       }
       .start()
 
-  /** Distributed data plane: hand each micro-batch DataFrame to a
-    * declarative operator pipeline (runs on executors), e.g. running
-    * aggregations into a sink table, then route the batch through the
-    * driver-side triggers. */
+  /** Distributed data plane: hand each micro-batch DataFrame AND its
+    * Structured Streaming batch id to a declarative operator pipeline
+    * (runs on executors), e.g. running aggregations into an
+    * exactly-once sink keyed on that id, then route the batch through
+    * the driver-side triggers. The batch id is Spark's own replay-
+    * stable identifier — the analogue of the reference keying stream
+    * progress on stream ids (`rdb.rs:74-91`) — so a
+    * [[TransactionalSink]] keyed on it dedupes replays without deriving
+    * a surrogate key from the data (which would cost an extra
+    * aggregation job per batch and collide if a replay re-split
+    * batches). */
   def attachBatches(ds: Dataset[StreamRecord], checkpointDir: String)(
-      dataPlane: DataFrame => Unit): StreamingQuery =
+      dataPlane: (DataFrame, Long) => Unit): StreamingQuery =
     ds.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[StreamRecord], _: Long) =>
-        dataPlane(batch.toDF())
+      .foreachBatch { (batch: Dataset[StreamRecord], batchId: Long) =>
+        dataPlane(batch.toDF(), batchId)
         processBatchChunked(batch)
       }
       .start()
@@ -482,4 +540,51 @@ object StreamTriggerEngine {
   /** Memory bound on per-stream delivered-but-unackable records held
     * behind a nacked record (see ConsumerStreamState). */
   val MaxDeliveredAhead = 4096
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** The compaction redo log — underscore-prefixed so Spark's file
+    * listing ignores it inside the log directory. */
+  private[streaming] def compactCommitPath(root: Path): Path =
+    new Path(root, "_compact-commit")
+
+  private[streaming] def compactStagePath(root: Path): Path =
+    new Path(root.toString + ".compact-tmp")
+
+  /** Replay (or discard) an in-flight compaction transaction. Publish
+    * renames and deletions are idempotent, so this can run after a
+    * crash at ANY point: before the redo log existed nothing happened
+    * (stale staging is discarded); after, the recorded renames/deletes
+    * are driven to completion. */
+  private[streaming] def recoverCompact(fs: FileSystem, root: Path): Unit = {
+    val commitPath = compactCommitPath(root)
+    val stage = compactStagePath(root)
+    if (!fs.exists(root) || !fs.exists(commitPath)) {
+      fs.delete(stage, true) // uncommitted staging from a crashed run
+      return
+    }
+    val len = fs.getFileStatus(commitPath).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(commitPath)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).foreach { line =>
+        line.split('\t') match {
+          case Array("P", src, dst) =>
+            val (s, d) = (new Path(src), new Path(dst))
+            if (fs.exists(d)) fs.delete(s, false) // already published
+            else if (fs.exists(s)) {
+              if (!fs.rename(s, d))
+                throw new java.io.IOException(s"compact recovery: cannot publish $s -> $d")
+            } else throw new java.io.IOException(
+              s"compact recovery: staged file $s lost before publish")
+          case Array("D", f) =>
+            fs.delete(new Path(f), false)
+          case other =>
+            throw new java.io.IOException(s"corrupt compact commit line: $line")
+        }
+      }
+    fs.delete(commitPath, false)
+    fs.delete(stage, true)
+  }
 }

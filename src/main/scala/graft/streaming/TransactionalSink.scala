@@ -15,13 +15,23 @@ import org.apache.spark.sql.DataFrame
   *
   * Protocol (the classic directory-commit pattern, same durability
   * shape as [[CheckpointStore]]):
-  *  1. a replayed `batchId` that is already in the commit log is
-  *     SKIPPED (idempotence);
+  *  1. a replayed `batchId` that is already committed is SKIPPED
+  *     (idempotence);
   *  2. output is written to `dir/_tmp-batch-<id>` and atomically
-  *     renamed to `dir/batch-<id>` (visibility);
-  *  3. the batch id is appended to the commit log (durability) —
-  *     a crash between 2 and 3 leaves a committed-looking directory
-  *     that the replay detects via rename failure and re-registers.
+  *     renamed to `dir/batch-<id>` (visibility) — a batch directory
+  *     therefore only ever appears fully written;
+  *  3. an empty per-batch marker `dir/_commits/commit-<id>` is created
+  *     (durability). Markers are never rewritten — one immutable file
+  *     per batch — so no crash can lose previously committed ids (a
+  *     single rewritten log file would vanish if a crash hit between
+  *     its delete and rename, permanently hiding every batch from
+  *     `read()` while the streaming checkpoint still considered them
+  *     done).
+  *
+  * Recovery: a crash between 2 and 3 leaves a complete `batch-<id>`
+  * directory with no marker; since the rename in step 2 is the real
+  * visibility point, `committed()` also accepts a present batch
+  * directory, and the replay's rename failure re-registers the marker.
   *
   * Readers see only renamed batch directories:
   * `spark.read.parquet(s"$dir/batch-*")`.
@@ -30,25 +40,43 @@ final class TransactionalSink(dir: String, hadoopConf: Configuration) {
   private val root = new Path(dir)
   private val fs: FileSystem = root.getFileSystem(hadoopConf)
   fs.mkdirs(root)
-  private val commitLog = new Path(root, "_commits")
-
-  private def committed(): Set[Long] =
-    if (!fs.exists(commitLog)) Set.empty
-    else {
-      val len = fs.getFileStatus(commitLog).getLen.toInt
+  private val commitDir = new Path(root, "_commits")
+  // migrate a legacy single-file commit log to per-batch markers
+  locally {
+    if (fs.exists(commitDir) && fs.getFileStatus(commitDir).isFile) {
+      val len = fs.getFileStatus(commitDir).getLen.toInt
       val buf = new Array[Byte](len)
-      val in = fs.open(commitLog)
+      val in = fs.open(commitDir)
       try in.readFully(0, buf) finally in.close()
-      new String(buf, UTF_8).split('\n').filter(_.nonEmpty).map(_.toLong).toSet
+      val ids = new String(buf, UTF_8).split('\n').filter(_.nonEmpty).map(_.toLong)
+      fs.delete(commitDir, false)
+      fs.mkdirs(commitDir)
+      ids.foreach(id => fs.create(new Path(commitDir, s"commit-$id"), true).close())
     }
+  }
+
+  private val CommitName = """commit-(\d+)""".r
+  private val BatchName = """batch-(\d+)""".r
+
+  private def committed(): Set[Long] = {
+    val markers =
+      if (!fs.exists(commitDir)) Set.empty[Long]
+      else fs.listStatus(commitDir).iterator.map(_.getPath.getName)
+        .collect { case CommitName(id) => id.toLong }.toSet
+    // recovery union: a batch-<id> directory only ever appears complete
+    // (tmp + rename), so its presence alone proves the write finished
+    // even if the crash hit before the marker landed
+    val dirs = fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case BatchName(id) => id.toLong }.toSet
+    markers ++ dirs
+  }
 
   private def recordCommit(batchId: Long): Unit = {
-    val all = (committed() + batchId).toSeq.sorted.mkString("", "\n", "\n")
-    val tmp = new Path(root, "_commits.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(all.getBytes(UTF_8)) finally out.close()
-    fs.delete(commitLog, false)
-    fs.rename(tmp, commitLog)
+    fs.mkdirs(commitDir)
+    // content-free immutable marker; existence is the commit
+    fs.create(new Path(commitDir, s"commit-$batchId"), true).close()
   }
 
   def batchDir(batchId: Long): String = new Path(root, s"batch-$batchId").toString

@@ -46,14 +46,12 @@ class IntegrationSpec extends AnyFunSuite {
     def attach(e: Engine) = {
       val src = spark.readStream.format("graft-log")
         .option("path", logDir).option("prefix", "m:").load().as[StreamRecord]
-      e.streams.attachBatches(src, queryCkpt) { batch =>
-        // data plane: per-kind counts land exactly-once per batch
+      e.streams.attachBatches(src, queryCkpt) { (batch, batchId) =>
+        // data plane: per-kind counts land exactly-once per batch,
+        // keyed on Spark's replay-stable batch id
         val agg = batch.select(element_at(col("fields"), "kind").as("kind"))
           .groupBy("kind").count()
-        // batch id isn't surfaced by attachBatches' dataPlane; derive a
-        // stable id from the max record id in the batch
-        val bid = batch.agg(max(col("idMs"))).head().getLong(0)
-        sink.write(agg, bid)
+        sink.write(agg, batchId)
       }
     }
 

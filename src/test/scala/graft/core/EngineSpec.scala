@@ -273,6 +273,70 @@ class EngineSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("async fn escaping through executeAsync completes with ONE execution thread (no deadlock)") {
+    // regression: resolve() used to Await inside the pool thread, so the
+    // nested executeAsync future could never be scheduled at
+    // executionThreads=1 (the engine default) and failed only at the
+    // 60 s timeout; the chain now resolves via flatMap
+    val e = new Engine(TestSpark.spark) // executionThreads = 1
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerAsyncFunction("nested", (ctx, _) =>
+        ctx.executeAsync { bg =>
+          bg.set("nested_done", "yes")
+          RespString("resolved")
+        })
+    }))
+    assert(Await.result(e.callAsync("lib", "nested"), 10.seconds) == RespString("resolved"))
+    assert(e.state.get("nested_done").contains("yes"))
+    e.close()
+  }
+
+  test("concurrent callAsync invocations count exactly in E16 stats") {
+    val e = new Engine(TestSpark.spark, executionThreads = 8)
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerAsyncFunction("maybe", (_, args) => args.head match {
+        case RespLong(n) if n % 2 == 0 => RespLong(n)
+        case _ => throw new RuntimeException("odd")
+      })
+    }))
+    val n = 200
+    val futs = (1 to n).map(i => e.callAsync("lib", "maybe", Seq(RespLong(i))))
+    futs.foreach(f => scala.util.Try(Await.result(f, 30.seconds)))
+    // error counters are bumped in an onComplete callback — give the
+    // last few a moment to land before asserting exact counts
+    val deadline = System.currentTimeMillis() + 10000
+    def fnInfo() = e.list().head.functions.find(_.name == "maybe").get
+    while (fnInfo().errors != n / 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    assert(fnInfo().calls == n.toLong, "lost call counts under concurrency")
+    assert(fnInfo().errors == (n / 2).toLong, "lost error counts under concurrency")
+    e.close()
+  }
+
+  test("remote tasks are bounded by remote-task-default-timeout (C7)") {
+    val e = newEngine()
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerClusterFunction("slow", (_, _) => {
+        Thread.sleep(1500)
+        RespString("done")
+      })
+      // async context: does not hold the state lock, so the remote-task
+      // timeout applies (runOnKey is an asyncClient method in the
+      // reference)
+      b.registerAsyncFunction("probe", (ctx, _) => ctx.runOnKey("k", "slow"),
+        flags = Set(FunctionFlags.NoWrites))
+    }))
+    e.configSet("remote-task-default-timeout", "150")
+    val ex = intercept[java.util.concurrent.TimeoutException](
+      Await.result(e.callAsync("lib", "probe"), 30.seconds))
+    assert(ex.getMessage.contains("remote task"))
+    e.configSet("remote-task-default-timeout", "30000")
+    assert(Await.result(e.callAsync("lib", "probe"), 30.seconds) == RespString("done"))
+    intercept[IllegalArgumentException](e.configSet("remote-task-default-timeout", "0"))
+    intercept[IllegalArgumentException](e.configSet("remote-task-default-timeout", "nope"))
+    e.close()
+  }
+
   test("atomic block is write-gated for no-writes functions (C6/E13)") {
     val e = newEngine()
     e.load(LibraryDefinition("lib", code = { b =>

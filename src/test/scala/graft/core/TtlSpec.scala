@@ -42,6 +42,32 @@ class TtlSpec extends AnyFunSuite {
     assert(t.ttl("h").isEmpty)
   }
 
+  test("deletion inside a transaction clears the TTL (no stale expiry on re-create)") {
+    val t = new StateTable
+    val events = ArrayBuffer.empty[String]
+    t.subscribe(e => events += s"${e.event}:${e.key}")
+    // del inside an atomic block, key later re-created with hset (keeps
+    // TTL per Redis semantics) — must NOT inherit the old deadline
+    t.set("k", "v"); t.expire("k", 30)
+    t.commit(_.del("k"))
+    t.hset("k", "f" -> "v")
+    Thread.sleep(60)
+    assert(t.hget("k", "f").contains("v"))
+    assert(t.ttl("k").isEmpty)
+    assert(!events.contains("expired:k"), "stale TTL fired a bogus expired event")
+    // hdel removing the hash's LAST field is a deletion too
+    t.hset("h", "f" -> "v"); t.expire("h", 30)
+    t.commit(_.hdel("h", "f"))
+    t.incrBy("h", 1) // re-created as a counter; incrBy keeps TTLs
+    Thread.sleep(60)
+    assert(t.get("h").contains("1"))
+    assert(t.ttl("h").isEmpty)
+    // hdel that leaves fields behind keeps the TTL in place
+    t.hset("m", "a" -> "1", "b" -> "2"); t.expire("m", 60000)
+    t.commit(_.hdel("m", "a"))
+    assert(t.ttl("m").isDefined)
+  }
+
   test("sweepExpired actively expires due keys, lists included") {
     val t = new StateTable
     t.set("a", "1"); t.expire("a", 10)

@@ -36,6 +36,41 @@ class TransactionalSinkSpec extends AnyFunSuite {
     assert(s.read(spark).count() == 1)
   }
 
+  test("a batch dir present without its marker is committed (crash between rename and marker)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-txsink").toString + "/out"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val s = new TransactionalSink(dir, hc)
+    s.write(Seq(1).toDF("v"), batchId = 0)
+    // crash window: batch-1 was renamed into place but the marker never
+    // landed — the directory only ever appears complete, so it counts
+    Seq(2).toDF("v").write.parquet(s.batchDir(1))
+    assert(s.read(spark).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // the replayed batch 1 must be a no-op, not an overwrite
+    s.write(Seq(99).toDF("v"), batchId = 1)
+    assert(s.read(spark).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("legacy single-file commit log migrates to immutable per-batch markers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-txsink").toString + "/out"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hc)
+    // old layout: batch dirs + one rewritten `_commits` FILE
+    Seq(7).toDF("v").write.parquet(new org.apache.hadoop.fs.Path(root, "batch-0").toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_commits"), true)
+    try out.write("0\n".getBytes("UTF-8")) finally out.close()
+
+    val s = new TransactionalSink(dir, hc)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(root, "_commits")).isDirectory)
+    s.write(Seq(8).toDF("v"), batchId = 1)
+    assert(s.read(spark).collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+    // replay of the migrated batch stays a no-op
+    s.write(Seq(99).toDF("v"), batchId = 0)
+    assert(s.read(spark).collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+  }
+
   test("end-to-end: streaming foreachBatch through the sink is exactly-once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
