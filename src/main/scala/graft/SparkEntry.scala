@@ -76,6 +76,7 @@ object SparkEntry {
     "q47_percentiles" -> (Pipeline.qPercentiles _),
     "q48_edit_distance" -> ((s, d) => Dedup.qEditDistance(s, d)),
     "q49_percentile_sketch" -> ((s, d) => Pipeline.qPercentileSketch(s, d)),
+    "q50_model_score" -> (Inference.qModelScore _),
     "q51_sliding_window" -> (graft.streaming.EventTime.qSlidingWindow _),
   )
 
@@ -331,6 +332,15 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.9), 4) AS p90,
                 ROUND(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY event_type""",
+    // batched model inference (C14 analogue): the linear model's fixed
+    // pseudo-random weights are reproduced in SQL; sigmoid(score) > 0.5
+    // is exactly score > 0. Accumulation is left-to-right double
+    // addition on both sides.
+    "q50_model_score" ->
+      """SELECT vec_id, ROUND(score, 4) AS score, CAST(score > 0 AS INT) AS positive FROM (
+           SELECT vec_id, list_sum(list_transform(range(1, len(e) + 1),
+               i -> e[i] * ((((i - 1) * 31 + 7) % 13) - 6) / 6.0)) AS score
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))""",
     // sliding windows: every event belongs to the 4 windows whose start
     // is one of the 4 15-minute boundaries in (ts - 1h, ts]; epoch-second
     // arithmetic keeps the alignment identical to Spark's epoch-aligned

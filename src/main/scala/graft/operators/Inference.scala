@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batched model inference over feature/embedding columns — the
+  * engine's analogue of the reference's `client.redisai` surface (C14:
+  * model get + run over keyspace tensors,
+  * `/root/reference/redisgears_v8_plugin/src/v8_redisai.rs`), recast
+  * for Spark: the model is distributed with the task closure (or
+  * loaded from storage in `open()`), and scoring runs partition-local
+  * over batches — one handle per partition, never one per row.
+  *
+  * The pattern mirrors [[Multimodal.MediaDecoder]]: a serializable
+  * [[ModelScorer]] factory whose `open()` is called once per partition
+  * to produce a [[ModelHandle]] (load weights, start a session,
+  * allocate buffers); the handle scores the partition's rows and is
+  * closed when the partition ends. A real runtime (ONNX, XGBoost, a
+  * TF session) plugs in as one ModelScorer instance — the plan shape,
+  * batching, and lifecycle never change. [[LinearScorer]] is the
+  * in-repo implementation (exact, SQL-expressible, so the q50 gate is
+  * a full DuckDB hash check, not rows-only).
+  *
+  * Scale: mapPartitions keeps the model resident per task, work is
+  * embarrassingly parallel, no shuffle; at 100 TB this is a single
+  * pass over the corpus with #partitions model instantiations.
+  */
+object Inference {
+
+  /** Per-partition model lifecycle: score rows, then release. */
+  trait ModelHandle {
+    def score(features: Array[Double]): Double
+    def close(): Unit = ()
+  }
+
+  /** Serializable model factory; `open()` runs once per partition. */
+  trait ModelScorer extends Serializable {
+    def open(): ModelHandle
+  }
+
+  /** A deterministic linear model: score = w · x + bias. Stands in for
+    * any real runtime; weights ship with the closure like a small
+    * broadcast model artifact. */
+  final case class LinearScorer(weights: Array[Double], bias: Double = 0.0)
+      extends ModelScorer {
+    def open(): ModelHandle = new ModelHandle {
+      def score(features: Array[Double]): Double = {
+        var acc = bias
+        val n = math.min(weights.length, features.length)
+        var i = 0
+        while (i < n) { acc += weights(i) * features(i); i += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Score an (id, features) DataFrame with one model handle per
+    * partition. Input columns: `idCol` LONG, `featCol` ARRAY<numeric>;
+    * output (idCol, score). */
+  def scoreBatches(df: DataFrame, scorer: ModelScorer,
+      idCol: String = "vec_id", featCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long"), col(featCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    in.mapPartitions { it =>
+      val handle = scorer.open()
+      new Iterator[(Long, Double)] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) handle.close()
+          h
+        }
+        def next(): (Long, Double) = {
+          val (id, feats) = it.next()
+          (id, handle.score(feats))
+        }
+      }
+    }.toDF(idCol, "score")
+  }
+
+  /** The q50 model: fixed pseudo-random weights over the embedding
+    * dimensions — w_i = (((i*31 + 7) mod 13) - 6) / 6, exactly
+    * reproducible in SQL for the oracle. */
+  def q50Weights(dims: Int): Array[Double] =
+    Array.tabulate(dims)(i => (((i * 31 + 7) % 13) - 6) / 6.0)
+
+  /** q50: batched inference over the embeddings table — per-vector
+    * linear score through the per-partition-handle path, plus the
+    * sigmoid-thresholded "class" so the operator output looks like a
+    * classifier head, all DuckDB-checkable. */
+  def qModelScore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    scoreBatches(e, LinearScorer(q50Weights(dims)))
+      .select(col("vec_id"), round(col("score"), 4).as("score"),
+        (lit(1.0) / (lit(1.0) + exp(-col("score"))) > 0.5).cast("int").as("positive"))
+  }
+}

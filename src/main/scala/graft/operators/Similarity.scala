@@ -107,31 +107,53 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
-  /** IVF-style ANN: the corpus is partitioned into coarse cells (here
-    * the label partition stands in for a trained k-means codebook —
-    * same probe shape, deterministic); a query scores the tiny centroid
-    * table, probes its `nprobe` nearest cells, and ranks exact cosine
+  /** IVF ANN with a TRAINED coarse quantizer: an MLlib k-means codebook
+    * (fixed seed) learned from the embedding column itself — no label
+    * column involved. The corpus is assigned to its nearest cell once;
+    * a query scores the tiny centroid table, probes its `nprobe`
+    * nearest cells by the assignment metric (euclidean, so the probe
+    * ranking matches how vectors were binned), and ranks exact cosine
     * only among those cells' vectors. Work per query drops from
     * O(corpus) to O(corpus · nprobe / cells); the centroid table
-    * broadcasts at any corpus size. Probabilistic recall — rows-only in
-    * the gate; SimilaritySpec pins the recall floor and verifies every
-    * reported cosine exactly. */
-  def qIvfTopK(s: SparkSession, d: String, nprobe: Int = 3, k: Int = 10): DataFrame = {
-    val e = embeddings(s, d).select("vec_id", "label", "embedding")
-    val centroids = labelCentroids(e)
+    * broadcasts at any corpus size. At 100 TB the `fit` runs on a
+    * bounded sample (`trainCap` rows) — the codebook quality depends on
+    * the distribution, not the corpus size — while assignment and
+    * probe-and-verify keep the same broadcast shapes. Probabilistic
+    * recall — rows-only in the gate; SimilaritySpec pins the recall
+    * floor on this unlabeled path and verifies every reported cosine
+    * exactly. */
+  def qIvfTopK(s: SparkSession, d: String, nprobe: Int = 3, k: Int = 10,
+      cells: Int = 10, trainCap: Long = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val trainFrac = {
+      val n = e.count()
+      if (n <= trainCap) 1.0 else trainCap.toDouble / n
+    }
+    val train = if (trainFrac >= 1.0) e else e.sample(withReplacement = false, trainFrac, seed = 42)
+    val model = new KMeans().setK(cells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
     val qs = queriesDf(s, d)
+      .select(col("query_id"), col("q_emb").cast("array<double>").as("q_emb"))
     // probe: nearest nprobe cells per query (query-set × centroids,
     // both tiny → broadcast both sides of the small cross score)
-    val probeW = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("label").asc)
+    val d2 = expr("aggregate(zip_with(q_emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    val probeW = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell").asc)
     val probed = qs.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_emb"), col("label"),
-        cosineSimilarity(col("q_emb"), col("centroid")).as("ccos"))
+      .select(col("query_id"), col("q_emb"), col("cell"), d2.as("d2"))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
-      .select("query_id", "q_emb", "label")
+      .select("query_id", "q_emb", "cell")
     // exact scoring inside the probed cells only
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(probed), Seq("label"))
+    assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))

@@ -421,12 +421,17 @@ final class StreamTriggerEngine(engine: Engine) {
       .start()
 
   /** Executor-side delivery (the scale path for heavy callbacks): the
-    * records of each stream are grouped and delivered IN (ms, seq)
-    * ORDER on the executors — `groupByKey(stream).flatMapGroups` is
-    * one shuffle on the stream key — and only a per-stream ack summary
-    * (a handful of bytes) returns to the driver, which merges it into
-    * the consumer's checkpoint state and persists it durably. The
-    * driver never sees record payloads, so batch size is unbounded.
+    * batch is hash-partitioned on the stream key and SORTED WITHIN
+    * PARTITIONS by (stream, ms, seq) — one shuffle, with the ordering
+    * done by Spark's sort machinery (spillable) rather than an
+    * in-memory `toArray.sortBy` per group — then a partition-local
+    * iterator walks the already-ordered records and delivers them,
+    * emitting one per-stream ack summary (a handful of bytes) to the
+    * driver, which merges it into the consumer's checkpoint state and
+    * persists it durably. The driver never sees record payloads AND no
+    * executor ever materializes a stream's batch: memory per task is
+    * O(1) records, so both batch size and per-stream record count are
+    * unbounded.
     *
     * The callback runs on executors: it MUST be serializable and must
     * not touch driver-side engine state (external sinks / accumulators
@@ -463,37 +468,54 @@ final class StreamTriggerEngine(engine: Engine) {
         }
         implicit val ackEnc: org.apache.spark.sql.Encoder[StreamAck] =
           org.apache.spark.sql.Encoders.product[StreamAck]
+        import org.apache.spark.sql.functions.col
         val summaries = batch
           .filter((r: StreamRecord) => r.stream.startsWith(prefix))
-          .groupByKey((r: StreamRecord) => r.stream)(org.apache.spark.sql.Encoders.STRING)
-          .flatMapGroups { (stream: String, it: Iterator[StreamRecord]) =>
-            val now = System.currentTimeMillis()
-            val rs = it.toArray.sortBy(r => (r.idMs, r.idSeq))
-            var (ms, seq) = acked.getOrElse(stream, (-1L, -1L))
-            var processed = 0L
-            var errors = 0L
-            var lastError: String = null
-            var lastLagMs = 0L
-            var halted = false
-            rs.foreach { r =>
-              val isNew = r.idMs > ms || (r.idMs == ms && r.idSeq > seq)
-              if (!halted && isNew) {
-                try {
-                  fn(r)
-                  ms = r.idMs; seq = r.idSeq
-                  processed += 1
-                  lastLagMs = math.max(0, now - r.idMs)
-                } catch {
-                  case e: Throwable =>
-                    errors += 1
-                    lastError = e.toString
-                    if (retry) halted = true
-                    else { ms = r.idMs; seq = r.idSeq }
+          .repartition(col("stream"))
+          .sortWithinPartitions("stream", "idMs", "idSeq")
+          .mapPartitions { (it: Iterator[StreamRecord]) =>
+            // records arrive grouped by stream and ascending by id: walk
+            // the iterator once, one ack per stream run — nothing buffered
+            new Iterator[StreamAck] {
+              private var pending: StreamRecord = if (it.hasNext) it.next() else null
+              def hasNext: Boolean = pending != null
+              def next(): StreamAck = {
+                val stream = pending.stream
+                val now = System.currentTimeMillis()
+                var (ms, seq) = acked.getOrElse(stream, (-1L, -1L))
+                var processed = 0L
+                var errors = 0L
+                var lastError: String = null
+                var lastLagMs = 0L
+                var halted = false
+                var r = pending
+                pending = null
+                var more = true
+                while (more) {
+                  val isNew = r.idMs > ms || (r.idMs == ms && r.idSeq > seq)
+                  if (!halted && isNew) {
+                    try {
+                      fn(r)
+                      ms = r.idMs; seq = r.idSeq
+                      processed += 1
+                      lastLagMs = math.max(0, now - r.idMs)
+                    } catch {
+                      case e: Throwable =>
+                        errors += 1
+                        lastError = e.toString
+                        if (retry) halted = true
+                        else { ms = r.idMs; seq = r.idSeq }
+                    }
+                  }
+                  if (it.hasNext) {
+                    r = it.next()
+                    if (r.stream != stream) { pending = r; more = false }
+                  } else more = false
                 }
+                StreamAck(stream, ms, seq, processed, errors,
+                  Option(lastError), lastLagMs, halted)
               }
             }
-            Iterator.single(StreamAck(stream, ms, seq, processed, errors,
-              Option(lastError), lastLagMs, halted))
           }
           .collect() // tiny: one row per stream in the batch
         // merge acks into driver-side checkpoint state (serialized with

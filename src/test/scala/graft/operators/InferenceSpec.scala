@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Top-level so the task closure serializes without dragging the test
+  * suite along; the accumulator counts open() calls across executors. */
+case class CountingScorer(opens: org.apache.spark.util.LongAccumulator)
+    extends Inference.ModelScorer {
+  def open(): Inference.ModelHandle = {
+    opens.add(1)
+    new Inference.ModelHandle {
+      def score(f: Array[Double]): Double = f.sum
+    }
+  }
+}
+
+/** Batched inference (C14 analogue): per-partition model lifecycle and
+  * numeric exactness of the in-repo linear model. */
+class InferenceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("one model handle per partition, not per row") {
+    val opens = spark.sparkContext.longAccumulator("model-opens")
+    val df = spark.range(1000)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(2.0f)).as("embedding"))
+      .repartition(4)
+    val rows = Inference.scoreBatches(df, CountingScorer(opens)).collect()
+    assert(rows.length == 1000)
+    assert(rows.forall(_.getDouble(1) == 3.0))
+    assert(opens.value == 4L, s"expected one open per partition, got ${opens.value}")
+  }
+
+  test("linear scorer matches a driver-side dot product exactly") {
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding").limit(20)
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val w = Inference.q50Weights(dims)
+    val got = Inference.scoreBatches(e, Inference.LinearScorer(w))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val raw = e.collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray
+      var acc = 0.0
+      var i = 0
+      while (i < dims) { acc += w(i) * emb(i).toDouble; i += 1 }
+      r.getLong(0) -> acc
+    }.toMap
+    assert(got.keySet == raw.keySet)
+    got.foreach { case (id, s) => assert(s == raw(id), s"vec $id") }
+  }
+
+  test("q50 output shape: score and thresholded class agree") {
+    val rows = Inference.qModelScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getDouble(1)
+      val positive = r.getInt(2)
+      assert((score > 0) == (positive == 1))
+    }
+  }
+}
