@@ -39,15 +39,14 @@ object Bench {
     SparkEntry.entry(spark).count()
     val results: Seq[(String, Option[Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // full materialization: count() lets Catalyst prune every
-      // unreferenced projection (a narrow quality-scoring query would be
-      // measured as a bare row count); toRdd.foreach evaluates every
-      // output column of the optimized plan on the executors.
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
-        catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) Some(sec) else None)
+      // full materialization: toRdd.foreach evaluates every output
+      // column of the optimized plan on the executors (count() would
+      // let Catalyst prune every unreferenced projection). MEDIAN of 3
+      // runs per query: single-shot numbers made round-over-round
+      // wobbles unadjudicable (noise vs regression).
+      name -> median3 {
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+      }
     }
     val stream = streamBench(spark, sfDir)
     val qs = (results ++ stream).map {
@@ -57,6 +56,18 @@ object Bench {
     val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Median wall-seconds over 3 runs of `body`; None if any run fails
+    * (a flaky query must never report a timing). */
+  private def median3(body: => Unit): Option[Double] = {
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
+    if (times.exists(_.isEmpty)) None
+    else Some(times.flatten.sorted.apply(1))
   }
 
   /** Stream-trigger ingest bench, mirroring the reference's paired
@@ -87,20 +98,14 @@ object Bench {
     def streamSrc = spark.readStream.schema(StreamRecord.schema)
       .parquet(srcDir).as[StreamRecord]
 
-    def timed(body: => Unit): Option[Double] = {
-      val t0 = System.nanoTime()
-      try { body; Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
-    }
-
     // baseline: same shuffle+sort shape as the driver control plane, no
     // trigger attached — the reference's no-trigger ingest
-    val baseline = timed {
+    val baseline = median3 {
       records.repartition(col("stream"))
         .sortWithinPartitions("stream", "idMs", "idSeq")
         .queryExecution.toRdd.foreach(_ => ())
     }
-    val driver = timed {
+    val driver = median3 {
       val e = new Engine(spark)
       e.load(LibraryDefinition("bench", code = { b =>
         b.registerStreamTrigger("t", "bench:", (_, _) => ())
@@ -109,7 +114,7 @@ object Bench {
       val q = e.streams.attach(streamSrc, ckpt)
       q.processAllAvailable(); q.stop(); e.close()
     }
-    val dist = timed {
+    val dist = median3 {
       val e = new Engine(spark)
       e.load(LibraryDefinition("bench", code = { b =>
         b.registerStreamTrigger("t", "bench:", (_, _) => ())
@@ -118,9 +123,29 @@ object Bench {
       val q = e.streams.attachDistributed(streamSrc, ckpt, "bench", "t")(_ => ())
       q.processAllAvailable(); q.stop(); e.close()
     }
+    // GraftLog XADD ingest pair (the reference's measured hot path,
+    // `tests/benchmarks/rg_stream_baseline.yml`): driver-side
+    // single-writer append vs executor-written distributed segments.
+    // Same records, same segment granularity (32), so the number is the
+    // write-path parallelism, not a format difference.
+    val collected = records.collect() // outside the timed driver path
+    val segments = 32
+    val chunk = math.max(1, (collected.length + segments - 1) / segments)
+    val logDriver = median3 {
+      val dir = java.nio.file.Files.createTempDirectory("bench-glog-drv").toString + "/log"
+      val log = new graft.sources.GraftLog(dir, spark.sparkContext.hadoopConfiguration)
+      collected.grouped(chunk).foreach(c => log.append(c.toSeq))
+    }
+    val logDist = median3 {
+      val dir = java.nio.file.Files.createTempDirectory("bench-glog-dist").toString + "/log"
+      val log = new graft.sources.GraftLog(dir, spark.sparkContext.hadoopConfiguration)
+      log.appendDistributed(records.repartition(segments))
+    }
     records.unpersist()
     Seq(s"stream_ingest_baseline_${n}" -> baseline,
       "stream_trigger_driver" -> driver,
-      "stream_trigger_distributed" -> dist)
+      "stream_trigger_distributed" -> dist,
+      "graftlog_append_driver" -> logDriver,
+      "graftlog_append_distributed" -> logDist)
   }
 }

@@ -303,11 +303,25 @@ final class Engine(val spark: SparkSession,
   def aclGetUser(name: String): Option[Seq[AclRule]] = aclUsers.get(name)
 
   /** Check the library's owning user may touch `key`. Resolved at call
-    * time so revocation takes effect immediately. */
+    * time so revocation takes effect immediately. A library that is no
+    * longer loaded (deleted while one of its async functions or
+    * promises was still in flight) is DENIED — falling back to the
+    * all-access default user would escalate a dead library to full key
+    * access. */
   private[graft] def aclCheck(lib: String, key: String, write: Boolean): Unit = {
-    val user = libraries.get(lib).map(_.user).getOrElse(Acl.DefaultUser)
+    val user = libraries.get(lib).map(_.user).getOrElse(
+      throw new AclException(
+        s"library '$lib' is not loaded — key access denied (was it deleted mid-flight?)"))
     Acl.check(user, aclUsers.get(user), key, write)
   }
+
+  /** The owning ACL user of a loaded library (None when not loaded). */
+  private[graft] def libraryUser(lib: String): Option[String] =
+    libraries.get(lib).map(_.user)
+
+  /** Snapshot of a user's current prefix rules (None = revoked). */
+  private[graft] def aclRulesFor(user: String): Option[Seq[AclRule]] =
+    aclUsers.get(user)
 
   private[core] final class FunctionStats {
     // LongAdder, not `@volatile var += 1`: concurrent callAsync

@@ -62,15 +62,12 @@ final class StateTable {
       // INCR leave it in place; DELETION always clears the TTL (else a
       // key re-created later under the same name would inherit the old
       // deadline and be spuriously expired) — including an HDEL that
-      // removed the hash's last field
-      events.foreach { e =>
-        e.event match {
-          case "set" | "del" => expiries.remove(e.key)
-          case "hdel" if !data.contains(e.key) && !lists.contains(e.key) =>
-            expiries.remove(e.key)
-          case _ =>
-        }
-      }
+      // removed the hash's last field. The clear is decided AT THE
+      // MOMENT of the operation (the Txn records it in event order),
+      // not from post-flush state: a transaction that hdel-empties a
+      // key and then recreates it must still lose the old TTL, exactly
+      // as Redis clears it when the key is deleted.
+      txn.ttlCleared.foreach(expiries.remove)
       if (!inNotification.get()) {
         inNotification.set(true)
         try events.foreach(e => subscribers.foreach(_(e)))
@@ -302,6 +299,11 @@ object StateTable {
       guard: (String, Boolean) => Unit = NoGuard) {
     private val writes = scala.collection.mutable.LinkedHashMap.empty[String, Option[Map[String, String]]]
     private val events = new ArrayBuffer[KeyEvent]
+    // keys whose TTL must be cleared at commit — recorded when the
+    // clearing operation HAPPENS (set/del/last-field hdel), so later
+    // recreation inside the same transaction cannot resurrect the TTL
+    private val ttlClears = scala.collection.mutable.LinkedHashSet.empty[String]
+    private[core] def ttlCleared: Seq[String] = ttlClears.toSeq
 
     private def current(key: String): Option[Map[String, String]] =
       writes.getOrElse(key, if (table.exists(key)) Some(table.hgetall(key)) else None)
@@ -314,6 +316,7 @@ object StateTable {
     def set(key: String, value: String): Unit = {
       guard(key, true)
       writes.update(key, Some(Map(ValueField -> value)))
+      ttlClears += key // SET discards the key's TTL
       events += KeyEvent("set", key, System.currentTimeMillis(), None)
     }
 
@@ -327,6 +330,7 @@ object StateTable {
       guard(key, true)
       val existed = current(key).isDefined
       writes.update(key, None)
+      ttlClears += key // deletion clears the TTL at the moment it happens
       if (existed) events += KeyEvent("del", key, System.currentTimeMillis(), None)
       existed
     }
@@ -340,6 +344,10 @@ object StateTable {
       if (removed > 0) {
         val next = cur -- fields
         writes.update(key, if (next.isEmpty) None else Some(next))
+        // an HDEL that removes the hash's last field deletes the key —
+        // and with it the TTL, even if the key is recreated later in
+        // this same transaction
+        if (next.isEmpty) ttlClears += key
         events += KeyEvent("hdel", key, System.currentTimeMillis(), None)
       }
       removed

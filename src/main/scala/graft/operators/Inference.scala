@@ -65,16 +65,17 @@ object Inference {
       .as[(Long, Array[Double])]
     in.mapPartitions { it =>
       val handle = scorer.open()
-      new Iterator[(Long, Double)] {
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h) handle.close()
-          h
-        }
-        def next(): (Long, Double) = {
-          val (id, feats) = it.next()
-          (id, handle.score(feats))
-        }
+      // release on TASK COMPLETION, not iterator exhaustion: a limit
+      // pushed into the plan, take(n), or a task failure stops
+      // consuming early and would otherwise leak the handle (trivial
+      // for LinearScorer, load-bearing for a real ONNX/TF session)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => handle.close())
+      val mapped = it.map { case (id, feats) => (id, handle.score(feats)) }
+      if (tc != null) mapped
+      else new Iterator[(Long, Double)] { // no task context (direct/unit use)
+        def hasNext: Boolean = { val h = mapped.hasNext; if (!h) handle.close(); h }
+        def next(): (Long, Double) = mapped.next()
       }
     }.toDF(idCol, "score")
   }

@@ -114,13 +114,77 @@ object Multimodal {
     }
   }
 
-  /** Default modality → codec registry: images decode for real and fall
-    * back to the stub when the payload isn't a decodable image;
-    * audio/video use the stub (no codec in this container). */
+  /** REAL audio decode via JDK-native `javax.sound.sampled` (WAV/AIFF
+    * PCM — no external codec needed): the payload is parsed and its
+    * samples decoded to normalized [-1, 1] doubles (any sample size /
+    * endianness the JDK converts to 16-bit signed PCM), producing an
+    * 8-dim feature vector [sampleRate, channels, nFrames, durationSec,
+    * meanAmplitude, rms, peak, zeroCrossingRate]. Deterministic:
+    * samples are accumulated in stream order. Compressed formats
+    * (MP3/OGG) have no JDK codec and return None. */
+  object WavAudioDecoder extends MediaDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Double]] = {
+      val parsed = try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        // normalize whatever PCM shape arrived to signed 16-bit LE
+        val f = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        Some((AudioSystem.getAudioInputStream(target, in), target))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+        case _: IllegalArgumentException => None // no conversion path
+      }
+      parsed.map { case (pcm, fmt) =>
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        var sumAbs, sumSq, peak = 0.0
+        var zeroCrossings = 0L
+        var prevSign = 0
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xFF
+          val hi = bytes(2 * i + 1).toInt // sign-extends
+          val s = ((hi << 8) | lo) / 32768.0
+          val a = math.abs(s)
+          sumAbs += a; sumSq += s * s
+          if (a > peak) peak = a
+          val sign = java.lang.Double.compare(s, 0.0)
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) zeroCrossings += 1
+            prevSign = sign
+          }
+          i += 1
+        }
+        val frames = n.toDouble / fmt.getChannels
+        val feats = Array[Double](
+          fmt.getSampleRate.toDouble, fmt.getChannels.toDouble, frames,
+          frames / fmt.getSampleRate,
+          if (n > 0) sumAbs / n else 0.0,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0,
+          peak,
+          if (n > 1) zeroCrossings.toDouble / (n - 1) else 0.0)
+        java.util.Arrays.copyOf(feats, dims)
+      }
+    }
+  }
+
+  /** Default modality → codec registry: images and audio decode for
+    * real (JDK-native `javax.imageio` / `javax.sound.sampled`) and fall
+    * back to the stub when the payload isn't decodable; video uses the
+    * stub (no JDK video codec exists). */
   def defaultDecoder(mediaType: String): MediaDecoder = mediaType match {
     case "image" => new MediaDecoder {
       def decode(payload: Array[Byte], dims: Int): Option[Array[Double]] =
         ImageIODecoder.decode(payload, dims).orElse(StubDecoder.decode(payload, dims))
+    }
+    case "audio" => new MediaDecoder {
+      def decode(payload: Array[Byte], dims: Int): Option[Array[Double]] =
+        WavAudioDecoder.decode(payload, dims).orElse(StubDecoder.decode(payload, dims))
     }
     case _ => StubDecoder
   }

@@ -130,11 +130,11 @@ object Similarity {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .withColumn("fv", array_to_vector(col("embedding")))
-    val trainFrac = {
-      val n = e.count()
-      if (n <= trainCap) 1.0 else trainCap.toDouble / n
-    }
-    val train = if (trainFrac >= 1.0) e else e.sample(withReplacement = false, trainFrac, seed = 42)
+    // train on a LIMIT of the corpus rather than a count()-derived
+    // sample fraction: the codebook quality depends on the value
+    // distribution, not row count, and a limit avoids spending a whole
+    // extra Spark job on counting the corpus before training
+    val train = e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
     val model = new KMeans().setK(cells).setSeed(42)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
     val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))

@@ -49,11 +49,28 @@ import graft.core.LibraryBuilder.StreamTriggerDef
   * the same micro-batches ([[attachBatches]] hands each micro-batch
   * DataFrame to distributed operators before the driver-side routing).
   */
+/** A record id crossing the executor boundary on the distributed path. */
+case class StreamId(ms: Long, seq: Long)
+
+/** One stream's checkpoint + E3 in-flight state, snapshotted under the
+  * delivery lock and shipped with the distributed-delivery task closure
+  * (small: acked id + at most `window` pending + bounded ahead ids). */
+case class InflightSnapshot(ms: Long, seq: Long,
+    pendingFailed: Seq[StreamId], deliveredAhead: Seq[StreamId])
+object InflightSnapshot {
+  val Empty: InflightSnapshot = InflightSnapshot(-1L, -1L, Seq.empty, Seq.empty)
+}
+
 /** Per-stream ack summary returned from executor-side delivery — the
-  * only data that crosses back to the driver on the distributed path. */
+  * only data that crosses back to the driver on the distributed path.
+  * `pendingFailed`/`deliveredAhead` carry the E3 in-flight bookkeeping
+  * back to the driver's checkpoint state (bounded by `window` and
+  * [[StreamTriggerEngine.MaxDeliveredAhead]] respectively). */
 case class StreamAck(stream: String, ackedMs: Long, ackedSeq: Long,
     processed: Long, errors: Long, lastError: Option[String],
-    lastLagMs: Long, halted: Boolean)
+    lastLagMs: Long, halted: Boolean,
+    pendingFailed: Seq[StreamId] = Seq.empty,
+    deliveredAhead: Seq[StreamId] = Seq.empty)
 
 final class StreamTriggerEngine(engine: Engine) {
 
@@ -444,9 +461,16 @@ final class StreamTriggerEngine(engine: Engine) {
     *
     * Reference semantics preserved: per-stream order
     * (`stream_reader.rs:299-453`), ack/nack + checkpoint (E4), durable
-    * resume (E5/E7). Error handling on this path is window=1 semantics
-    * (a failing record halts its stream for the batch); the driver path
-    * implements the full `window` in-flight cap. */
+    * resume (E5/E7), the full E3 `window` in-flight cap (delivery
+    * continues past nacked records until `window` of them are pending,
+    * then new records stop for the batch; the pending/delivered-ahead
+    * bookkeeping rides back to the driver in the ack summary so an
+    * in-process replay redelivers only failed records), and per-key
+    * ACL (`stream_run_ctx.rs:144-153` — the consumer's user rules are
+    * resolved ONCE at batch start under the delivery lock and shipped
+    * with the task closure; a denied stream key nacks exactly like the
+    * driver path; revocation therefore lands at the next micro-batch
+    * rather than mid-batch). */
   def attachDistributed(ds: Dataset[StreamRecord], checkpointDir: String,
       library: String, trigger: String)(fn: StreamRecord => Unit): StreamingQuery = {
     val key = s"$library.$trigger"
@@ -457,13 +481,26 @@ final class StreamTriggerEngine(engine: Engine) {
           throw new NoSuchElementException(s"no such stream trigger '$key'"))
         val prefix = c.spec.prefix
         val retry = c.spec.onError == ErrorPolicy.Retry
-        // acked-id snapshot for executor-side replay dedup — read under
+        val window = c.spec.window
+        // the owning user's rules, captured at batch start: a deleted
+        // library or revoked user denies every stream this batch
+        val user = engine.libraryUser(library)
+        val rules: Option[Seq[graft.core.AclRule]] =
+          user.flatMap(engine.aclRulesFor)
+        val userName = user.getOrElse(s"<unloaded library '$library'>")
+        // in-flight snapshot for executor-side replay dedup — read under
         // the delivery lock so a concurrent driver-path batch cannot
         // produce a torn (ms, seq) pair that would skip live records
-        val acked: Map[String, (Long, Long)] = deliveryLock.synchronized {
+        val inflight: Map[String, InflightSnapshot] = deliveryLock.synchronized {
           c.perStream.iterator
-            .filter(_._2.lastReadMs >= 0)
-            .map { case (s, st) => s -> (st.lastReadMs, st.lastReadSeq) }
+            .filter { case (_, st) =>
+              st.lastReadMs >= 0 || st.pendingFailed.nonEmpty || st.deliveredAhead.nonEmpty
+            }
+            .map { case (s, st) =>
+              s -> InflightSnapshot(st.lastReadMs, st.lastReadSeq,
+                st.pendingFailed.toSeq.map { case (m, q) => StreamId(m, q) },
+                st.deliveredAhead.toSeq.map { case (m, q) => StreamId(m, q) })
+            }
             .toMap
         }
         implicit val ackEnc: org.apache.spark.sql.Encoder[StreamAck] =
@@ -475,35 +512,55 @@ final class StreamTriggerEngine(engine: Engine) {
           .sortWithinPartitions("stream", "idMs", "idSeq")
           .mapPartitions { (it: Iterator[StreamRecord]) =>
             // records arrive grouped by stream and ascending by id: walk
-            // the iterator once, one ack per stream run — nothing buffered
+            // the iterator once, one ack per stream run — memory per task
+            // is O(window + in-flight), not O(records)
             new Iterator[StreamAck] {
               private var pending: StreamRecord = if (it.hasNext) it.next() else null
               def hasNext: Boolean = pending != null
               def next(): StreamAck = {
                 val stream = pending.stream
                 val now = System.currentTimeMillis()
-                var (ms, seq) = acked.getOrElse(stream, (-1L, -1L))
+                val snap = inflight.getOrElse(stream, InflightSnapshot.Empty)
+                var (ms, seq) = (snap.ms, snap.seq)
+                val pend = scala.collection.mutable.TreeSet.empty[(Long, Long)] ++
+                  snap.pendingFailed.map(id => (id.ms, id.seq))
+                val ahead = scala.collection.mutable.TreeSet.empty[(Long, Long)] ++
+                  snap.deliveredAhead.map(id => (id.ms, id.seq))
                 var processed = 0L
                 var errors = 0L
                 var lastError: String = null
                 var lastLagMs = 0L
-                var halted = false
                 var r = pending
                 pending = null
                 var more = true
                 while (more) {
-                  val isNew = r.idMs > ms || (r.idMs == ms && r.idSeq > seq)
-                  if (!halted && isNew) {
+                  val id = (r.idMs, r.idSeq)
+                  // mirror of the driver path's E3 loop: retries always
+                  // proceed; NEW records only while the window is open
+                  val isRetry = pend.contains(id)
+                  val windowOpen = pend.size < window &&
+                    ahead.size < StreamTriggerEngine.MaxDeliveredAhead
+                  val isNew = (r.idMs > ms || (r.idMs == ms && r.idSeq > seq)) &&
+                    !ahead.contains(id)
+                  if ((isRetry || windowOpen) && isNew) {
                     try {
+                      // per-key ACL exactly like the driver path: a
+                      // denied stream key is a Nack (E13)
+                      graft.core.Acl.check(userName, rules, stream, write = false)
                       fn(r)
-                      ms = r.idMs; seq = r.idSeq
                       processed += 1
                       lastLagMs = math.max(0, now - r.idMs)
+                      pend.remove(id)
+                      if (pend.isEmpty) {
+                        val top = if (ahead.isEmpty) id else Seq(ahead.last, id).max
+                        ms = top._1; seq = top._2
+                        ahead.clear()
+                      } else ahead.add(id)
                     } catch {
                       case e: Throwable =>
                         errors += 1
                         lastError = e.toString
-                        if (retry) halted = true
+                        if (retry) pend.add(id)
                         else { ms = r.idMs; seq = r.idSeq }
                     }
                   }
@@ -513,7 +570,9 @@ final class StreamTriggerEngine(engine: Engine) {
                   } else more = false
                 }
                 StreamAck(stream, ms, seq, processed, errors,
-                  Option(lastError), lastLagMs, halted)
+                  Option(lastError), lastLagMs, halted = pend.nonEmpty,
+                  pend.toSeq.map { case (m, q) => StreamId(m, q) },
+                  ahead.toSeq.map { case (m, q) => StreamId(m, q) })
               }
             }
           }
@@ -531,6 +590,11 @@ final class StreamTriggerEngine(engine: Engine) {
               st.lastReadSeq = a.ackedSeq
               dirty = true
             }
+            // this consumer's in-flight state is owned by this batch
+            st.pendingFailed.clear()
+            st.pendingFailed ++= a.pendingFailed.map(id => (id.ms, id.seq))
+            st.deliveredAhead.clear()
+            st.deliveredAhead ++= a.deliveredAhead.map(id => (id.ms, id.seq))
             st.totalProcessed += a.processed
             st.totalErrors += a.errors
             a.lastError.foreach(e => st.lastError = Some(e))

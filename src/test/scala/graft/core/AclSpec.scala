@@ -138,6 +138,21 @@ class AclSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a deleted library's in-flight context is denied, never escalated to the default user") {
+    val e = new Engine(TestSpark.spark)
+    e.state.set("data:1", "v")
+    e.aclSetUser("carol", Seq(AclRule("data:")))
+    e.load(readerLib("carol"))
+    val ctx = e.functionContext("lib") // the context an in-flight async fn holds
+    assert(ctx.get("data:1").contains("v"))
+    e.delete("lib")
+    // before the fix this fell back to the all-access default user
+    val ex = intercept[AclException](ctx.get("data:1"))
+    assert(ex.getMessage.contains("not loaded"))
+    intercept[AclException](ctx.set("data:1", "w"))
+    e.close()
+  }
+
   test("rule algebra: multiple rules union; longest-prefix not required; empty prefix = all") {
     val e = new Engine(TestSpark.spark)
     e.aclSetUser("frank", Seq(

@@ -78,6 +78,27 @@ class TtlSpec extends AnyFunSuite {
     assert(!t.exists("a") && !t.exists("l") && t.exists("keep"))
   }
 
+  test("a transaction that hdel-empties a key then recreates it loses the TTL (clear decided at deletion time)") {
+    val t = new StateTable
+    t.hset("h", "f" -> "v")
+    t.expire("h", 60000)
+    // hdel removes the last field (key deleted → TTL cleared), then the
+    // same transaction recreates the key: Redis clears the TTL at the
+    // moment of deletion, so the recreated key must have none — even
+    // though post-commit state shows the key alive
+    t.commit { txn =>
+      txn.hdel("h", "f")
+      txn.hset("h", "g" -> "w")
+    }
+    assert(t.hget("h", "g").contains("w"))
+    assert(t.ttl("h").isEmpty, "recreated key must not inherit the deleted key's TTL")
+    // control: a partial hdel (key survives) keeps the TTL
+    t.hset("h2", "a" -> "1", "b" -> "2")
+    t.expire("h2", 60000)
+    t.commit(_.hdel("h2", "a"))
+    assert(t.ttl("h2").isDefined)
+  }
+
   test("TTLs survive snapshot/restore; already-expired keys die on first access") {
     val spark = TestSpark.spark
     val t = new StateTable

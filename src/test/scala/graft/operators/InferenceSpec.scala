@@ -17,6 +17,18 @@ case class CountingScorer(opens: org.apache.spark.util.LongAccumulator)
   }
 }
 
+/** Counts closes too — verifies the task-completion-listener lifecycle. */
+case class ClosingScorer(opens: org.apache.spark.util.LongAccumulator,
+    closes: org.apache.spark.util.LongAccumulator) extends Inference.ModelScorer {
+  def open(): Inference.ModelHandle = {
+    opens.add(1)
+    new Inference.ModelHandle {
+      def score(f: Array[Double]): Double = f.sum
+      override def close(): Unit = closes.add(1)
+    }
+  }
+}
+
 /** Batched inference (C14 analogue): per-partition model lifecycle and
   * numeric exactness of the in-repo linear model. */
 class InferenceSpec extends AnyFunSuite {
@@ -32,6 +44,22 @@ class InferenceSpec extends AnyFunSuite {
     assert(rows.length == 1000)
     assert(rows.forall(_.getDouble(1) == 3.0))
     assert(opens.value == 4L, s"expected one open per partition, got ${opens.value}")
+  }
+
+  test("handle closes on early termination (limit stops consuming the iterator)") {
+    val opens = spark.sparkContext.longAccumulator("model-opens-lim")
+    val closes = spark.sparkContext.longAccumulator("model-closes-lim")
+    val df = spark.range(100000)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(2.0f)).as("embedding"))
+      .repartition(4)
+    val out = Inference.scoreBatches(df, ClosingScorer(opens, closes)).limit(1).collect()
+    assert(out.length == 1)
+    assert(opens.value >= 1)
+    // every opened handle must be closed even though no task drained
+    // its iterator — the task completion listener, not exhaustion,
+    // releases the model
+    assert(closes.value == opens.value,
+      s"leaked ${opens.value - closes.value} of ${opens.value} handles")
   }
 
   test("linear scorer matches a driver-side dot product exactly") {

@@ -80,6 +80,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.keys.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("IVF training spends no job counting the corpus") {
+    val offending = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j.stageInfos.foreach { si =>
+          if (si.name.startsWith("count at Similarity")) offending.add(si.name)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.qIvfTopK(spark, sf).collect()
+      // listener bus is async; give queued job-start events time to drain
+      Thread.sleep(1000)
+      assert(offending.isEmpty, s"corpus-count job observed: $offending")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("label centroid aggregate covers all labels") {
     val rows = Similarity.qLabelCentroids(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("label")).toSet == (0 to 9).toSet)

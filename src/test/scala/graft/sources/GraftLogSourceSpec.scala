@@ -79,6 +79,63 @@ class GraftLogSourceSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("appendDistributed: executor-written segments, driver-sequenced, readable by the source") {
+    val dir = tmpDir("glog") + "/log"
+    val log = newLog(dir)
+    import spark.implicits._
+    val recs = (1L to 1000L).map(i => rec(s"s:${i % 7}", i))
+    val n = log.appendDistributed(spark.createDataset(recs).repartition(8))
+    assert(n == 8 && log.segmentCount == 8)
+    val back = spark.read.format("graft-log").option("path", dir).load()
+      .as[StreamRecord].collect().toSet
+    assert(back == recs.toSet)
+    // driver-side append interleaves cleanly with distributed batches
+    log.append(Seq(rec("s:x", 9999)))
+    assert(log.segmentCount == 9)
+    val n2 = log.appendDistributed(spark.createDataset(Seq(rec("s:y", 10000))).repartition(3))
+    assert(n2 == 10) // empty partitions stage nothing
+    assert(spark.read.format("graft-log").option("path", dir).load().count() == 1002)
+  }
+
+  test("compact recovery: commit published but unapplied swaps replay to completion") {
+    val dir = tmpDir("glog") + "/log"
+    val log = newLog(dir)
+    log.append((1L to 4L).map(i => rec("s:1", i)))
+    log.append(Seq(rec("s:1", 5)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // crash state A: staged rewrite + published commit, swap not applied
+    val kept = Seq(rec("s:1", 3), rec("s:1", 4))
+      .map(GraftLog.toJsonLine).mkString("", "\n", "\n")
+    write(new org.apache.hadoop.fs.Path(dir, ".tmp-compact-0000000000"), kept)
+    write(new org.apache.hadoop.fs.Path(dir, "_compact-commit"), "S\t0\n")
+    log.recover()
+    assert(log.readSegment(0).map(_.idMs).toSeq == Seq(3, 4))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact-commit")))
+    assert(log.readSegment(1).map(_.idMs).toSeq == Seq(5)) // untouched
+
+    // crash state B: killed between delete(seg) and rename(tmp, seg) —
+    // the exact hole the old delete-then-rename had
+    write(new org.apache.hadoop.fs.Path(dir, ".tmp-compact-0000000000"),
+      GraftLog.toJsonLine(rec("s:1", 4)) + "\n")
+    write(new org.apache.hadoop.fs.Path(dir, "_compact-commit"), "S\t0\n")
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "seg-0000000000.jsonl"), false)
+    log.recover()
+    assert(log.readSegment(0).map(_.idMs).toSeq == Seq(4)) // nothing lost
+    assert(log.segmentCount == 2)
+
+    // crash state C: staging written but commit never published — old
+    // segments intact, stale staging discarded
+    write(new org.apache.hadoop.fs.Path(dir, ".tmp-compact-0000000001"), "")
+    log.recover()
+    assert(log.readSegment(1).map(_.idMs).toSeq == Seq(5))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".tmp-compact-0000000001")))
+  }
+
   test("trimLog compacts below the slowest trimming consumer (E6 end-to-end)") {
     val dir = tmpDir("glog") + "/log"
     val log = newLog(dir)

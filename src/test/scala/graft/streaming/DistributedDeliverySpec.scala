@@ -110,6 +110,67 @@ class DistributedDeliverySpec extends AnyFunSuite {
     e.close()
   }
 
+  test("window=3 on the distributed path: delivery continues past a poison record, replay redelivers only it (E3)") {
+    DeliverySink.reset()
+    DeliverySink.failOn = 2L
+    val e = new Engine(spark)
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerStreamTrigger("t", "s:", (_, _) => (), window = 3)
+    }))
+    val mem = MemoryStream[StreamRecord]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dist-w").toString
+    def fn(r: StreamRecord): Unit = {
+      if (r.idMs == DeliverySink.failOn) throw new RuntimeException("boom")
+      DeliverySink.seen.add(r.idString)
+    }
+    val q = e.streams.attachDistributed(mem.toDS(), ckpt, "lib", "t")(fn)
+    mem.addData(rec("s:1", 1), rec("s:1", 2), rec("s:1", 3), rec("s:1", 4), rec("s:1", 5))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    // window>1: records ABOVE the nacked one were still delivered
+    assert(DeliverySink.seen.asScala.toSeq == Seq("1-0", "3-0", "4-0", "5-0"))
+    val st = e.list().head.streamTriggers.head.streams("s:1")
+    assert(st.lastReadId == "1-0") // checkpoint = contiguous acked prefix
+    assert(st.pendingIds == Seq("2-0"))
+
+    // poison cleared: the replay delivers ONLY the failed record (the
+    // delivered-ahead set rode back to the driver and ships with the
+    // next batch), then the checkpoint jumps over everything delivered
+    DeliverySink.failOn = -1L
+    val q2 = e.streams.attachDistributed(mem.toDS(), ckpt, "lib", "t")(fn)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(DeliverySink.seen.asScala.toSeq == Seq("1-0", "3-0", "4-0", "5-0", "2-0"))
+    val st2 = e.list().head.streamTriggers.head.streams("s:1")
+    assert(st2.lastReadId == "5-0" && st2.pendingIds.isEmpty)
+    e.close()
+  }
+
+  test("distributed delivery checks the library user's ACL per stream (denied prefix nacks)") {
+    DeliverySink.reset()
+    val e = new Engine(spark)
+    e.aclSetUser("bob", Seq(AclRule("s:ok")))
+    e.load(LibraryDefinition("lib", user = "bob", code = { b =>
+      b.registerStreamTrigger("t", "s:", (_, _) => (), onError = ErrorPolicy.Ack)
+    }))
+    val mem = MemoryStream[StreamRecord]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dist-acl").toString
+    val q = e.streams.attachDistributed(mem.toDS(), ckpt, "lib", "t") { r =>
+      DeliverySink.seen.add(s"${r.stream}/${r.idString}")
+    }
+    mem.addData(rec("s:ok:1", 1), rec("s:no:1", 2), rec("s:ok:1", 3))
+    q.processAllAvailable()
+    q.stop()
+    val seen = DeliverySink.seen.asScala.toSeq
+    assert(seen == Seq("s:ok:1/1-0", "s:ok:1/3-0"))
+    val st = e.list().head.streamTriggers.head
+    assert(st.streams("s:no:1").totalErrors == 1)
+    assert(st.streams("s:no:1").lastError.exists(_.contains("bob")))
+    e.close()
+  }
+
   test("driver path survives a batch larger than one chunk (bounded-memory contract)") {
     val e = new Engine(spark)
     var count = 0L
