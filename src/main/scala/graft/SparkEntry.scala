@@ -78,6 +78,7 @@ object SparkEntry {
     "q49_percentile_sketch" -> ((s, d) => Pipeline.qPercentileSketch(s, d)),
     "q50_model_score" -> (Inference.qModelScore _),
     "q51_sliding_window" -> (graft.streaming.EventTime.qSlidingWindow _),
+    "q52_audio_features" -> (Multimodal.qAudioFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -173,6 +173,51 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a 16-bit mono PCM WAV of a sine wave — deterministic
+    * audio test payloads (the container ships no audio corpus; real
+    * WAV bytes exercise the real decode path end to end). */
+  def synthWav(freq: Double, seconds: Double, sampleRate: Float = 8000f,
+      amp: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** q52: end-to-end audio feature pipeline — synthesize a
+    * deterministic per-doc WAV (pitch = doc_id's pitch class), decode
+    * it through the REAL `javax.sound.sampled` path on the executors,
+    * aggregate decoded features per pitch class. Rows-only in the gate
+    * (WAV synthesis isn't SQL-expressible); AudioDecoderSpec pins the
+    * decoded values against signal theory (rms = amp/√2, zcr = 2f/rate). */
+  def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(200).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val cls = (id % 8).toInt
+        val wav = synthWav(freq = 110.0 * (cls + 1), seconds = 0.1)
+        val f = WavAudioDecoder.decode(wav, 8).get
+        (cls, f(5), f(7)) // (pitch class, rms, zero-crossing rate)
+      }
+    }.toDF("pitch_class", "rms", "zcr")
+      .groupBy("pitch_class")
+      .agg(count("*").as("n"),
+        round(avg("rms"), 4).as("avg_rms"),
+        round(avg("zcr"), 4).as("avg_zcr"))
+  }
+
   /** Default modality → codec registry: images and audio decode for
     * real (JDK-native `javax.imageio` / `javax.sound.sampled`) and fall
     * back to the stub when the payload isn't decodable; video uses the

@@ -1,7 +1,5 @@
 package graft.operators
 
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -13,24 +11,9 @@ import graft.TestSpark
   * runs distributed through [[Multimodal.extractFeatures]]. */
 class AudioDecoderSpec extends AnyFunSuite {
 
-  /** A 16-bit mono PCM WAV of a sine at `freq` Hz, amplitude `amp`. */
   private def sineWav(freq: Double, seconds: Double, sampleRate: Float = 8000f,
-      amp: Double = 0.5): Array[Byte] = {
-    val n = (seconds * sampleRate).toInt
-    val pcm = new Array[Byte](n * 2)
-    var i = 0
-    while (i < n) {
-      val s = (amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
-      pcm(2 * i) = (s & 0xFF).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
-      i += 1
-    }
-    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
-    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+      amp: Double = 0.5): Array[Byte] =
+    Multimodal.synthWav(freq, seconds, sampleRate, amp)
 
   test("WAV decode: features match signal theory on a generated sine") {
     val wav = sineWav(freq = 440, seconds = 1.0)
@@ -55,6 +38,19 @@ class AudioDecoderSpec extends AnyFunSuite {
     assert(Multimodal.WavAudioDecoder.decode("not audio".getBytes, 8).isEmpty)
     val viaRegistry = Multimodal.defaultDecoder("audio").decode("not audio".getBytes, 8)
     assert(viaRegistry.get.sameElements(Multimodal.stubDecode("not audio".getBytes)))
+  }
+
+  test("q52: per-pitch-class aggregates match signal theory") {
+    val spark = TestSpark.spark
+    val rows = Multimodal.qAudioFeatures(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == (0 to 7).toSet)
+    rows.foreach { case (cls, (rms, zcr)) =>
+      // all classes share amplitude 0.5 → rms ≈ 0.5/√2; zcr ≈ 2f/rate
+      assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"class $cls rms $rms")
+      val f = 110.0 * (cls + 1)
+      assert(math.abs(zcr - 2 * f / 8000.0) < 0.01, s"class $cls zcr $zcr")
+    }
   }
 
   test("audio decode runs distributed through extractFeatures") {
