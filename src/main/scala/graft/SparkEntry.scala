@@ -79,6 +79,7 @@ object SparkEntry {
     "q50_model_score" -> (Inference.qModelScore _),
     "q51_sliding_window" -> (graft.streaming.EventTime.qSlidingWindow _),
     "q52_audio_features" -> (Multimodal.qAudioFeatures _),
+    "q53_video_features" -> (Multimodal.qVideoFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(

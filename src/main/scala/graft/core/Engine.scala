@@ -61,16 +61,21 @@ final class FunctionContext private[core] (
 
   // every key access is checked against the library's owning ACL user
   // at call time (lib.rs:506-517; revocation applies immediately).
-  // `scan` returns key NAMES only — reading any of them re-checks.
   private def checkRead(key: String): Unit = engine.aclCheck(library, key, write = false)
   private def checkWrite(key: String): Unit = {
     requireWrites(); engine.aclCheck(library, key, write = true)
   }
+  private def canRead(key: String): Boolean =
+    try { engine.aclCheck(library, key, write = false); true }
+    catch { case _: AclException => false }
 
   def get(key: String): Option[String] = { checkRead(key); engine.state.get(key) }
   def hget(key: String, field: String): Option[String] = { checkRead(key); engine.state.hget(key, field) }
   def hgetall(key: String): Map[String, String] = { checkRead(key); engine.state.hgetall(key) }
-  def scan(prefix: String): Seq[String] = engine.state.scan(prefix)
+  // scan filters out names the user may not read: even key NAMES under
+  // a denied prefix are information (raw Redis SCAN would return them,
+  // but this engine's prefix-rule model can and does hide them)
+  def scan(prefix: String): Seq[String] = engine.state.scan(prefix).filter(canRead)
   def set(key: String, value: String): Unit = { checkWrite(key); engine.state.set(key, value) }
   def hset(key: String, fields: (String, String)*): Unit = { checkWrite(key); engine.state.hset(key, fields: _*) }
   def del(key: String): Boolean = { checkWrite(key); engine.state.del(key) }

@@ -153,6 +153,19 @@ class AclSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("scan hides key names under denied prefixes") {
+    val e = new Engine(TestSpark.spark)
+    e.state.set("data:1", "v")
+    e.state.set("data:2", "v")
+    e.state.set("secret:1", "s")
+    e.aclSetUser("dave", Seq(AclRule("data:")))
+    e.load(readerLib("dave"))
+    val ctx = e.functionContext("lib")
+    assert(ctx.scan("") == Seq("data:1", "data:2")) // secret:1 not even named
+    assert(ctx.scan("secret:").isEmpty)
+    e.close()
+  }
+
   test("rule algebra: multiple rules union; longest-prefix not required; empty prefix = all") {
     val e = new Engine(TestSpark.spark)
     e.aclSetUser("frank", Seq(
