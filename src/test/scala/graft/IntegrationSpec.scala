@@ -55,9 +55,11 @@ class IntegrationSpec extends AnyFunSuite {
       }
     }
 
-    // phase 1: two appends, one query
-    log.append((1L to 10L).map(i =>
+    // phase 1: distributed ingest (executor-written segments — the XADD
+    // scale path), one query
+    log.appendDistributed(spark.createDataset((1L to 10L).map(i =>
       StreamRecord("m:a", i, 0, Map("kind" -> (if (i % 2 == 0) "even" else "odd")))))
+      .repartition(2).sortWithinPartitions("idMs"))
     val e1 = mkEngine()
     val q1 = attach(e1)
     q1.processAllAvailable()
