@@ -345,7 +345,13 @@ final class Engine(val spark: SparkSession,
     "error-verbosity" -> "terse",
     // bound on runOnKey/runOnShards cluster-function execution — the
     // reference's `remote-task-default-timeout` (500 ms, lib.rs:1913)
-    "remote-task-default-timeout" -> "500")
+    "remote-task-default-timeout" -> "500",
+    // invocation tracing (the TFUNCTION LOAD ... DEBUG analogue at the
+    // introspection level: the reference attaches a V8 inspector,
+    // function_load_command.rs:288-351; step-debugging Scala closures
+    // is the IDE's job, so the engine captures per-invocation records
+    // instead). 0 = off; N = keep the last N invocations engine-wide.
+    "trace-buffer-size" -> "0")
 
   def configSet(key: String, value: String): Unit = {
     key match {
@@ -357,6 +363,10 @@ final class Engine(val spark: SparkSession,
         if (scala.util.Try(value.toLong).toOption.forall(_ <= 0))
           throw new IllegalArgumentException(
             s"remote-task-default-timeout must be a positive ms count, got '$value'")
+      case "trace-buffer-size" =>
+        if (scala.util.Try(value.toInt).toOption.forall(_ < 0))
+          throw new IllegalArgumentException(
+            s"trace-buffer-size must be a non-negative count, got '$value'")
       case other => throw new NoSuchElementException(s"unknown config key '$other'")
     }
     engineConfig.put(key, value)
@@ -456,23 +466,51 @@ final class Engine(val spark: SparkSession,
       s"'$lib.$fn' is async — use callAsync") // TFCALL on async fn is an error shape
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
-    recorded(l, fn) {
+    recorded(lib, l, fn, isAsync = false) {
       val out = state.commit(_ => f.fn(ctx, decoded))
       val resolved = resolve(out)
       RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
     }
   }
 
+  // --- invocation trace (the DEBUG-surface analogue; off by default) --
+  private val traceBuf = new java.util.concurrent.ConcurrentLinkedDeque[TraceEntry]()
+
+  private[core] def recordTrace(e: TraceEntry): Unit = {
+    val limit = engineConfig("trace-buffer-size").toInt
+    if (limit > 0) {
+      traceBuf.addFirst(e)
+      while (traceBuf.size > limit) traceBuf.pollLast()
+    }
+  }
+
+  /** Recent invocations of `lib`'s functions, newest first — captured
+    * only while `trace-buffer-size` > 0. */
+  def trace(lib: String): Seq[TraceEntry] = {
+    import scala.jdk.CollectionConverters._
+    traceBuf.iterator.asScala.filter(_.library == lib).toSeq
+  }
+
   /** Track per-function invocation stats (E16 depth): success/error
-    * counters and the last error, rendered per error-verbosity. */
-  private def recorded(l: LoadedLibrary, fn: String)(body: => RespValue): RespValue = {
+    * counters, the last error (rendered per error-verbosity), and —
+    * when tracing is on — a timed per-invocation trace record. */
+  private def recorded(lib: String, l: LoadedLibrary, fn: String,
+      isAsync: Boolean)(body: => RespValue): RespValue = {
     val st = l.statsFor(fn)
     st.calls.increment()
-    try body
-    catch {
+    val t0 = System.nanoTime()
+    try {
+      val out = body
+      recordTrace(TraceEntry(lib, fn, isAsync, (System.nanoTime() - t0) / 1e6,
+        ok = true, None, System.currentTimeMillis()))
+      out
+    } catch {
       case e: Throwable =>
         st.errors.increment()
-        st.lastError = Some(errorString(e))
+        val msg = errorString(e)
+        st.lastError = Some(msg)
+        recordTrace(TraceEntry(lib, fn, isAsync, (System.nanoTime() - t0) / 1e6,
+          ok = false, Some(msg), System.currentTimeMillis()))
         throw e
     }
   }
@@ -525,12 +563,20 @@ final class Engine(val spark: SparkSession,
     val decoded = decodeArgs(f, args)
     val st = l.statsFor(fn)
     st.calls.increment()
+    val t0 = System.nanoTime()
     val out = Future(f.fn(ctx, decoded)).flatMap(flatten).map { v =>
       RespValue.validate(v).fold(e => throw new IllegalStateException(e), identity)
     }
+    out.foreach { _ =>
+      recordTrace(TraceEntry(lib, fn, isAsync = true, (System.nanoTime() - t0) / 1e6,
+        ok = true, None, System.currentTimeMillis()))
+    }
     out.failed.foreach { e =>
       st.errors.increment()
-      st.lastError = Some(errorString(e))
+      val msg = errorString(e)
+      st.lastError = Some(msg)
+      recordTrace(TraceEntry(lib, fn, isAsync = true, (System.nanoTime() - t0) / 1e6,
+        ok = false, Some(msg), System.currentTimeMillis()))
     }
     out
   }
@@ -632,6 +678,10 @@ object Engine {
   def validName(n: String): Boolean =
     n.nonEmpty && n.forall(c => c.isLetterOrDigit && c < 128 || c == '_')
 }
+
+/** One traced invocation (see [[Engine.trace]]). */
+case class TraceEntry(library: String, function: String, isAsync: Boolean,
+    durationMs: Double, ok: Boolean, error: Option[String], ts: Long)
 
 case class FunctionInfo(name: String, isAsync: Boolean, flags: Set[String],
     description: String, calls: Long = 0, errors: Long = 0,

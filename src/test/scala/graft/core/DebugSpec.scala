@@ -68,4 +68,43 @@ class DebugSpec extends AnyFunSuite {
     intercept[NoSuchElementException](e.debug("ghost"))
     e.close()
   }
+
+  test("invocation trace: off by default, bounded ring when enabled, newest first") {
+    val e = new Engine(TestSpark.spark)
+    e.load(failingLib)
+    e.call("lib", "ok")
+    assert(e.trace("lib").isEmpty) // tracing off by default
+    e.configSet("trace-buffer-size", "3")
+    e.call("lib", "ok")
+    intercept[RuntimeException](e.call("lib", "boom"))
+    val t = e.trace("lib")
+    assert(t.size == 2)
+    assert(t.head.function == "boom" && !t.head.ok &&
+      t.head.error.exists(_.contains("kapow"))) // newest first
+    assert(t(1).function == "ok" && t(1).ok && t(1).error.isEmpty)
+    assert(t.forall(x => x.durationMs >= 0 && !x.isAsync))
+    // ring bound: the buffer keeps only the last 3
+    (1 to 5).foreach(_ => e.call("lib", "ok"))
+    assert(e.trace("lib").size == 3 && e.trace("lib").forall(_.function == "ok"))
+    intercept[IllegalArgumentException](e.configSet("trace-buffer-size", "-1"))
+    e.close()
+  }
+
+  test("invocation trace covers the async path") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val e = new Engine(TestSpark.spark)
+    e.configSet("trace-buffer-size", "8")
+    e.load(LibraryDefinition("lib", code = { b =>
+      b.registerAsyncFunction("aok", (_, _) => RespLong(7))
+    }))
+    assert(Await.result(e.callAsync("lib", "aok"), 10.seconds) == RespLong(7))
+    // the async trace lands on a pool-thread callback; poll briefly
+    val deadline = System.currentTimeMillis() + 5000
+    while (e.trace("lib").isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    val t = e.trace("lib")
+    assert(t.nonEmpty && t.head.function == "aok" && t.head.isAsync && t.head.ok)
+    e.close()
+  }
 }
