@@ -80,6 +80,8 @@ object SparkEntry {
     "q51_sliding_window" -> (graft.streaming.EventTime.qSlidingWindow _),
     "q52_audio_features" -> (Multimodal.qAudioFeatures _),
     "q53_video_features" -> (Multimodal.qVideoFeatures _),
+    "q54_sequence_pack" -> ((s, d) => Pipeline.qSequencePack(s, d)),
+    "q55_vocabulary" -> ((s, d) => Pipeline.qVocabulary(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -362,5 +364,25 @@ object SparkEntry {
            FROM documents a JOIN documents b
              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 8)
          WHERE dist <= 10""",
+    // sequence packing: bin = floor(tokens-before-this-doc / budget)
+    // over a per-source doc_id-ordered running sum (budget 1024)
+    "q54_sequence_pack" ->
+      """SELECT source, bin, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens FROM (
+           SELECT source, doc_id, n_tokens,
+                  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 1024.0) AS BIGINT) AS bin
+           FROM (SELECT source, doc_id,
+                        len(string_split_regex(text, '\s+')) AS n_tokens
+                 FROM documents))
+         GROUP BY source, bin""",
+    "q55_vocabulary" ->
+      """SELECT token, n FROM (
+           SELECT token, COUNT(*) AS n
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0
+           GROUP BY token)
+         ORDER BY n DESC, token ASC LIMIT 200""",
   )
 }

@@ -114,4 +114,36 @@ object Pipeline {
     events(s, d)
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id").as("approx_users"))
+
+  /** q54: sequence packing — the training-batch construction op: pack
+    * documents (in doc_id order) into contiguous fixed-token-budget
+    * bins, PER SOURCE SHARD. A doc's bin = floor(tokens-before-it /
+    * budget) over a per-source running sum, i.e. a streaming packer
+    * that starts a new bin each time the budget boundary is crossed.
+    * Per-source partitioning is the 100 TB shape: one shuffle on
+    * source, the running sum is computed inside each partition — a
+    * single global order would serialize the window on one task. */
+  def qSequencePack(s: SparkSession, d: String, budget: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bin",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / lit(budget.toDouble)))
+      .groupBy("source", "bin")
+      .agg(count("*").as("n_docs"), sum("n_tokens").cast("long").as("sum_tokens"))
+  }
+
+  /** q55: vocabulary building — global token frequencies, top-k by
+    * (count desc, token asc): the tokenizer-vocab primitive. explode →
+    * partial-agg count → TakeOrdered top-k; the full token table never
+    * materializes on one node at any corpus size. */
+  def qVocabulary(s: SparkSession, d: String, k: Int = 200): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
 }

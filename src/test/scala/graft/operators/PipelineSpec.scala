@@ -69,4 +69,39 @@ class PipelineSpec extends AnyFunSuite {
       assert(err < 0.05, s"$k: approx=${approx(k)} exact=$ex err=$err")
     }
   }
+
+  test("sequence packing: bins contiguous per source, totals preserved, boundaries respect the budget") {
+    val budget = 1024
+    val packed = Pipeline.qSequencePack(spark, sf, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySource = packed.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      val bins = rows.map(_._2).sorted
+      assert(bins.toSeq == (0L until bins.length).toSeq, s"$src bins not contiguous: ${bins.toSeq}")
+      // every non-last bin is "full": bin b+1 only opens once the
+      // running sum has reached (b+1)*budget, so the cumulative tokens
+      // through bin b must have crossed that boundary
+      val sums = rows.sortBy(_._2).map(_._4)
+      sums.indices.init.foreach { b =>
+        val cumThrough = sums.take(b + 1).sum
+        assert(cumThrough >= (b + 1).toLong * budget,
+          s"$src bin $b closed at $cumThrough before boundary ${(b + 1) * budget}")
+      }
+    }
+    // no document lost: packed token total equals the raw token total
+    val rawTokens = Tables.documents(spark, sf)
+      .select(graft.functions.tokenCount(col("text"))).collect().map(_.getInt(0).toLong).sum
+    assert(packed.map(_._4).sum == rawTokens)
+  }
+
+  test("vocabulary: counts non-increasing, top token matches a driver-side count") {
+    val vocab = Pipeline.qVocabulary(spark, sf, 50).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val counts = vocab.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val (topToken, topCount) = vocab.head
+    val driverCount = Tables.documents(spark, sf).select("text").collect()
+      .iterator.flatMap(_.getString(0).toLowerCase.split("\\s+")).count(_ == topToken)
+    assert(topCount == driverCount, s"'$topToken': $topCount vs $driverCount")
+  }
 }
