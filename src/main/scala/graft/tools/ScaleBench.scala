@@ -69,13 +69,17 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** The per-copy bijective character map: a 10-letter alphabet rotated
-    * by the copy index (copy 0 = identity). */
-  private val Alphabet = "aeiousnrtl"
-  private def rotated(i: Int): String = {
-    val k = i % Alphabet.length
-    Alphabet.substring(k) + Alphabet.substring(0, k)
-  }
+  /** The per-copy bijective character map: three disjoint 5-letter
+    * sets, each rotated independently by a digit of the copy index in
+    * base 5 — 125 distinct bijections, so factors up to 125 never
+    * reuse a mapping (copy 0 = identity). */
+  private val Sets = Seq("aeiou", "snrtl", "dhcmf")
+  private val Alphabet = Sets.mkString
+  private def rotated(i: Int): String =
+    Sets.zipWithIndex.map { case (set, d) =>
+      val k = (i / math.pow(5, d).toInt) % 5
+      set.substring(k) + set.substring(0, k)
+    }.mkString
 
   private def generate(spark: SparkSession, src: String, factor: Int, out: String): Unit = {
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
