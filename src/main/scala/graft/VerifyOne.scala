@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Dev helper: run a single SparkEntry query and dump its result to
   * parquet (same shape Verify produces) for targeted DuckDB
-  * cross-checks while iterating. Usage: VerifyOne <name> <sfDir> <outDir>. */
+  * cross-checks while iterating — or, with outDir = "explain", print
+  * the formatted physical plan instead (the plan-audit loop).
+  * Usage: VerifyOne <name> <sfDir> <outDir|explain>. */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir, outDir) = args
@@ -13,8 +15,9 @@ object VerifyOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries(name)(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (outDir == "explain") df.explain("formatted")
+    else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     spark.stop()
   }
 }

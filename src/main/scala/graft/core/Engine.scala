@@ -475,12 +475,18 @@ final class Engine(val spark: SparkSession,
 
   // --- invocation trace (the DEBUG-surface analogue; off by default) --
   private val traceBuf = new java.util.concurrent.ConcurrentLinkedDeque[TraceEntry]()
+  // deque size tracked separately: ConcurrentLinkedDeque.size() is O(n)
+  private val traceCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[core] def recordTrace(e: TraceEntry): Unit = {
     val limit = engineConfig("trace-buffer-size").toInt
     if (limit > 0) {
       traceBuf.addFirst(e)
-      while (traceBuf.size > limit) traceBuf.pollLast()
+      var n = traceCount.incrementAndGet()
+      while (n > limit) {
+        if (traceBuf.pollLast() != null) n = traceCount.decrementAndGet()
+        else n = limit // raced with another trimmer; nothing left to trim
+      }
     }
   }
 
