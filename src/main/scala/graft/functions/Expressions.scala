@@ -432,3 +432,90 @@ object WinnowFingerprint {
     new GenericArrayData(selected.toArray)
   }
 }
+
+/** Cosine similarity of two numeric vector columns (`ARRAY<FLOAT>` or
+  * `ARRAY<DOUBLE>` on either side, independently), as a native
+  * codegen'd Catalyst expression: one fused pass computes the dot
+  * product and both norms with zero per-row allocations — replacing
+  * the interpreted `aggregate(zip_with(...))` higher-order-function
+  * formulation (kept as [[graft.functions.cosineSimilarityReference]]
+  * for parity testing), which allocates an intermediate product array
+  * per row and cannot participate in whole-stage codegen. This sits in
+  * the innermost loop of every similarity/near-dup operator (candidate
+  * verify in LSH/IVF, full scan in brute-force kNN), so it is the
+  * hottest scalar in the ANN family at any corpus size.
+  *
+  * Semantics match the reference formulation bit-for-bit on well-formed
+  * input: elements are widened to double before multiplying and
+  * accumulated left-to-right; a zero-norm side yields 0.0. Array
+  * elements must be non-null (embedding columns; enforced nowhere
+  * cheaply — a null element reads as 0). Lengths are expected equal;
+  * the dot product runs over the common prefix.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def okElem(t: DataType): Boolean = t == FloatType || t == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) if okElem(lt) && okElem(rt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_similarity requires ARRAY<FLOAT|DOUBLE> args, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.CosineSimilarityExpr.compute($x, $y, ${isFloat(left)}, ${isFloat(right)});")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimilarityExpr = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_similarity"
+}
+
+object CosineSimilarityExpr {
+  /** Static one-pass kernel shared by interpreted eval and codegen. */
+  def compute(x: ArrayData, y: ArrayData, xFloat: Boolean, yFloat: Boolean): Double = {
+    val xn = x.numElements()
+    val yn = y.numElements()
+    val n = math.min(xn, yn)
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    // norms run over each side's FULL length (matches l2Norm(a)*l2Norm(b))
+    while (i < xn) {
+      val xv = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      nx += xv * xv
+      i += 1
+    }
+    i = n
+    while (i < yn) {
+      val yv = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      ny += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}

@@ -24,6 +24,12 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "word_shingles(text, n) requires a literal integer n")
       }, "built-in")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => CosineSimilarityExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_similarity(a, b) takes exactly two array arguments")
+      }, "built-in")
     reg.createOrReplaceTempFunction("sign_lsh_buckets",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(v, Literal(nbits: Int, IntegerType), Literal(tables: Int, IntegerType)) =>

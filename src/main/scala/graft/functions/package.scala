@@ -70,9 +70,19 @@ package object functions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity of two numeric array columns (0 when either is a
-    * zero vector). */
+  /** Cosine similarity of two FLOAT/DOUBLE array columns (0 when either
+    * is a zero vector) — the native one-pass codegen'd expression
+    * ([[CosineSimilarityExpr]]); auto-registers on the active session. */
   def cosineSimilarity(a: Column, b: Column): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("cosine_similarity", a, b)
+  }
+
+  /** The declarative higher-order-function formulation of
+    * [[cosineSimilarity]] — interpreted (allocates a product array per
+    * row), kept as bit-exactness ground truth for the native
+    * expression's parity test. */
+  private[graft] def cosineSimilarityReference(a: Column, b: Column): Column = {
     val d = dotProduct(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0, lit(0.0)).otherwise(d / n)
