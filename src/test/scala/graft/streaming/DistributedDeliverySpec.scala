@@ -171,6 +171,46 @@ class DistributedDeliverySpec extends AnyFunSuite {
     e.close()
   }
 
+  test("distributed path survives a full ENGINE restart: durable acks dedupe the replay (E5/E7)") {
+    DeliverySink.reset()
+    val engineCkpt = java.nio.file.Files.createTempDirectory("graft-dist-eckpt").toString
+    val queryCkpt = java.nio.file.Files.createTempDirectory("graft-dist-qckpt").toString
+    def mkEngine(): Engine = {
+      val e = new Engine(spark, checkpointDir = Some(engineCkpt))
+      e.load(LibraryDefinition("lib", code = { b =>
+        b.registerStreamTrigger("t", "s:", (_, _) => ())
+      }))
+      e
+    }
+    val mem = MemoryStream[StreamRecord]
+    val e1 = mkEngine()
+    val q1 = e1.streams.attachDistributed(mem.toDS(), queryCkpt, "lib", "t") { r =>
+      DeliverySink.seen.add(r.idString)
+    }
+    mem.addData(rec("s:1", 1), rec("s:1", 2))
+    q1.processAllAvailable()
+    q1.stop()
+    e1.close()
+    assert(DeliverySink.seen.asScala.toSeq == Seq("1-0", "2-0"))
+
+    // new engine from the same durable ack store; a NEW streaming query
+    // (fresh checkpoint) replays the memory stream from scratch — the
+    // re-seeded acked ids must dedupe executor-side
+    val e2 = mkEngine()
+    val q2ckpt = java.nio.file.Files.createTempDirectory("graft-dist-qckpt2").toString
+    val q2 = e2.streams.attachDistributed(mem.toDS(), q2ckpt, "lib", "t") { r =>
+      DeliverySink.seen.add(r.idString)
+    }
+    mem.addData(rec("s:1", 3))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(DeliverySink.seen.asScala.toSeq == Seq("1-0", "2-0", "3-0"),
+      "acked records redelivered after engine restart")
+    val st = e2.list().head.streamTriggers.head.streams("s:1")
+    assert(st.lastReadId == "3-0")
+    e2.close()
+  }
+
   test("driver path survives a batch larger than one chunk (bounded-memory contract)") {
     val e = new Engine(spark)
     var count = 0L
