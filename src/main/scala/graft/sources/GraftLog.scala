@@ -236,16 +236,24 @@ object GraftLog {
     * immutable staged file per non-empty partition, tmp + rename.
     * Deliberately a companion function over plain serializable values —
     * the task closure must not capture a [[GraftLog]] instance (its
-    * Hadoop `Configuration` is not serializable). */
+    * Hadoop `Configuration` is not serializable).
+    *
+    * The staged name carries the TASK ATTEMPT id: a retried or
+    * speculative attempt writes its own file instead of colliding with
+    * a failed predecessor's rename, and the driver publishes exactly
+    * the file named by the attempt whose result `collect()` returned
+    * (Spark reports one winner per partition); loser files vanish with
+    * the staging dir. */
   private[sources] def stagePartition(dir: String, conf: SerializableConfiguration,
       batchId: String)(it: Iterator[StreamRecord]): Iterator[(Int, String, Long)] = {
     if (!it.hasNext) return Iterator.empty
     val tc = org.apache.spark.TaskContext.get()
     val pid = if (tc == null) 0 else tc.partitionId()
+    val attempt = if (tc == null) 0L else tc.taskAttemptId()
     val stageDir = stageDirPath(new Path(dir), batchId)
     val fs = stageDir.getFileSystem(conf.value)
     fs.mkdirs(stageDir)
-    val name = f"part-$pid%05d.jsonl"
+    val name = f"part-$pid%05d-$attempt%d.jsonl"
     val tmp = new Path(stageDir, s".tmp-$name")
     val out = fs.create(tmp, true)
     var n = 0L
