@@ -45,6 +45,11 @@ object Dedup {
         shingleSet(col(textCol), shingleN).as("sh"))
       .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // evict the PREVIOUS invocation's cached subplan (a long-lived
+    // session otherwise accumulates one orphaned cache per call); an
+    // unpersist racing an in-flight query merely recomputes — persist
+    // is an optimization, never a correctness dependency
+    Option(Dedup.lastMinhashCache.getAndSet(shSets)).foreach(_.unpersist(blocking = false))
     // band hashes only — (id, band, bandHash) is ~16 longs/doc, so the
     // bucket self-join shuffles signatures, never document content
     val bandHashes = shSets
@@ -200,4 +205,8 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
   }
+
+  /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
+  private val lastMinhashCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }
