@@ -43,6 +43,12 @@ import graft.core.StreamRecord
   * mid-publish leaves a prefix of the batch's segments committed and
   * the rest as inert staging — the same partial-ingest outcome as a
   * crash between two driver-side `append` calls.
+  *
+  * Concurrency: one writer JVM per log directory (appends and
+  * compaction serialize on the instance lock; segment numbering is
+  * assigned under it). Concurrent readers — including executor-side
+  * DSv2 partition readers — need no coordination: they only ever see
+  * committed, immutable segments.
   */
 final class GraftLog(val dir: String, hadoopConf: Configuration) extends Serializable {
 
@@ -94,6 +100,9 @@ final class GraftLog(val dir: String, hadoopConf: Configuration) extends Seriali
     * record id within each micro-batch, so the trigger engine does not
     * require it). Returns the new segment count. */
   def appendDistributed(ds: Dataset[StreamRecord]): Long = {
+    require(!ds.isStreaming,
+      "appendDistributed ingests a batch Dataset; for continuous ingest, " +
+        "drive it from foreachBatch over the streaming source")
     val spark = ds.sparkSession
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val d = dir
