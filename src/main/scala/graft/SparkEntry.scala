@@ -82,6 +82,7 @@ object SparkEntry {
     "q53_video_features" -> (Multimodal.qVideoFeatures _),
     "q54_sequence_pack" -> ((s, d) => Pipeline.qSequencePack(s, d)),
     "q55_vocabulary" -> ((s, d) => Pipeline.qVocabulary(s, d)),
+    "q56_dedup_keep" -> (Dedup.qDedupKeep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -384,5 +385,26 @@ object SparkEntry {
            WHERE length(token) > 0
            GROUP BY token)
          ORDER BY n DESC, token ASC LIMIT 200""",
+    // survivor selection over the q29 pair definition: drop every doc
+    // appearing as the higher id of a qualifying near-dup pair
+    "q56_dedup_keep" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         dropped AS (
+           SELECT DISTINCT doc_b AS doc_id FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.5)
+         SELECT source, COUNT(*) AS n_kept,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+         FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         GROUP BY source""",
   )
 }

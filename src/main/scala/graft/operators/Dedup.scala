@@ -206,6 +206,26 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
   }
 
+  /** q56: survivor selection — the op a pipeline actually runs after
+    * near-dup detection: produce the DEDUPLICATED corpus, keeping the
+    * lowest-id document of each near-dup pair (a doc is dropped iff it
+    * appears as the higher id of any qualifying pair — the standard
+    * cheap one-pass approximation of clustering, exact for pairwise
+    * chains ordered by id). One left-anti join against the distinct
+    * dominated ids; reports the kept corpus per source. Built on the
+    * q29 exact n-gram Jaccard pairs, so the whole thing is
+    * oracle-checkable — the LSH pair generators slot in identically
+    * at scale. */
+  def qDedupKeep(s: SparkSession, d: String): DataFrame = {
+    val dropped = qNgramJaccard(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+    documents(s, d)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count("*").as("n_kept"),
+        sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+  }
+
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
   private val lastMinhashCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()

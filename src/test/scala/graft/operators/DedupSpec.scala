@@ -123,4 +123,24 @@ class DedupSpec extends AnyFunSuite {
     assert(all.isEmpty || got.size.toDouble / all.size >= 0.15,
       s"recall ${got.size}/${all.size} below floor")
   }
+
+  test("survivor selection: kept = corpus minus dominated docs, and something is actually dropped") {
+    val spark = graft.TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val total = Tables.documents(spark, sf).count()
+    val dominated = Dedup.qNgramJaccard(spark, sf)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val kept = Dedup.qDedupKeep(spark, sf).agg(
+      org.apache.spark.sql.functions.sum("n_kept")).collect().head.getLong(0)
+    assert(dominated.nonEmpty, "test data should contain near-dup pairs")
+    assert(kept == total - dominated.size,
+      s"kept $kept != $total - ${dominated.size}")
+    // no kept doc is the higher id of any qualifying pair
+    val keptIds = Tables.documents(spark, sf)
+      .join(Dedup.qNgramJaccard(spark, sf).select(
+        org.apache.spark.sql.functions.col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(dominated).isEmpty)
+  }
 }
