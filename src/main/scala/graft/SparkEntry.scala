@@ -83,6 +83,7 @@ object SparkEntry {
     "q54_sequence_pack" -> ((s, d) => Pipeline.qSequencePack(s, d)),
     "q55_vocabulary" -> ((s, d) => Pipeline.qVocabulary(s, d)),
     "q56_dedup_keep" -> (Dedup.qDedupKeep _),
+    "q57_dedup_components" -> (Dedup.qDedupComponents _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,5 +407,29 @@ object SparkEntry {
          FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          GROUP BY source""",
+    // transitive dedup clusters over the q29 pair definition at a 0.1
+    // threshold: component = min doc_id reachable through near-dup
+    // edges (recursive min-reachability closure)
+    "q57_dedup_components" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u""",
   )
 }

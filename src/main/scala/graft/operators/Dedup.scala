@@ -226,6 +226,98 @@ object Dedup {
         sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
   }
 
+  /** Connected components over an undirected edge list via the
+    * alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm). Each round is two groupBy+join passes of pure
+    * equi-shuffles on node id, and the edge set provably converges to
+    * per-component stars rooted at the component minimum in O(log n)
+    * rounds — the property that makes this THE clustering step of
+    * large-scale dedup pipelines (pairwise survivor selection like q56
+    * under-merges transitive chains a < b < c where (a,c) was never a
+    * candidate pair).
+    *
+    * Input: two LONG columns (`u`, `v`), one row per edge (orientation
+    * and duplicates irrelevant). Output: (`node`, `component`) for every
+    * node incident to at least one edge, component = min node id of the
+    * component. Isolated nodes are absent — callers left-join and
+    * coalesce to self (see [[qDedupComponents]]).
+    *
+    * Scale notes: every pass shuffles O(|E|) rows hash-partitioned by
+    * node id; no driver-side data movement (the per-round convergence
+    * probe is a 2-long aggregate). Lineage is truncated per round with
+    * `localCheckpoint` — on a multi-executor cluster prefer
+    * `sparkContext.setCheckpointDir` + reliable `checkpoint` for
+    * fault-tolerant truncation; the algorithm is oblivious to which.
+    * High-degree skew self-heals: large-star rewires big stars to their
+    * minimum, so no single reducer accumulates a super-linear
+    * neighborhood across rounds. */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical form: (u, v) with u > v, no self-loops, distinct
+    def canon(df: DataFrame): DataFrame = df
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    // (count, xor-of-hashes) — order-insensitive edge-set signature
+    // (xor: no ANSI overflow, distinct edges by construction); equal
+    // signatures across a full round = fixpoint reached
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count("*"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = canon(edges0.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))).localCheckpoint()
+    var sig = signature(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: every node u attaches its strictly-larger neighbors
+      // to m(u) = min(N(u) ∪ {u})
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = canon(bidir.join(largeMins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star: on edges oriented (big=u, small=v), every big node
+      // attaches its smaller neighbors and itself to min(N⁻(u) ∪ {u})
+      val smallMins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = canon(afterLarge.join(smallMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smallMins.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      val nsig = signature(next)
+      converged = nsig == sig
+      edges = next
+      sig = nsig
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // at fixpoint every edge is (member, root); roots appear only as v
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .union(edges.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
+
+  /** q57: transitive dedup clusters — every document labeled with the
+    * min doc_id of its near-dup connected component (edges = the q29
+    * exact n-gram Jaccard pair definition at a 0.1 threshold, where the
+    * synthetic corpus has genuine multi-hop chains). Fully
+    * oracle-checkable: DuckDB computes the same components by recursive
+    * min-reachability. At 100 TB the identical code runs over the
+    * LSH-generated pair set ([[minhashPairs]]) — the edge generator is
+    * the only thing that changes. */
+  def qDedupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = qNgramJaccard(s, d, window = 64, threshold = 0.1)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val assign = connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    documents(s, d).select(col("doc_id"))
+      .join(assign, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
   private val lastMinhashCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()

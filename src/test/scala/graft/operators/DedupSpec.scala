@@ -143,4 +143,57 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptIds.intersect(dominated).isEmpty)
   }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: multi-hop chain merges into one component") {
+    // a 64-node path exercises the O(log n) star contraction across
+    // several rounds (min-propagation would need 63)
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val got = ccOf(path)
+    assert(got.size == 64 && got.values.toSet == Set(0L))
+  }
+
+  test("connected components: disjoint structures keep distinct roots") {
+    //  triangle {1,2,3} + star rooted high {10;11,12,13} + pair {20,21}
+    val got = ccOf(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (13L, 10L), (13L, 11L), (13L, 12L), (21L, 20L)))
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(Set(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+  }
+
+  test("connected components: empty and self-loop-only edge sets") {
+    import spark.implicits._
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
+    assert(Dedup.connectedComponents(Seq((5L, 5L)).toDF("u", "v")).isEmpty)
+  }
+
+  test("q57 components match driver-side union-find on the same pairs") {
+    val pairs = Dedup.qNgramJaccard(spark, sf, window = 64, threshold = 0.1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test data should produce near-dup edges")
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.qDedupComponents(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(got.size == total)
+    truth.foreach { case (n, r) => assert(got(n) == r, s"node $n: ${got(n)} != $r") }
+    // every doc not in any pair is its own singleton component
+    got.foreach { case (n, c) => if (!truth.contains(n)) assert(c == n) }
+  }
 }
