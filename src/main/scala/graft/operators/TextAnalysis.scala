@@ -57,6 +57,97 @@ object TextAnalysis {
         punctRatio(col("text")) <= 0.2)
       .agg(count("*").as("n_kept"), sum(tokenCount(col("text"))).as("sum_tokens"))
 
+  // --- PII redaction (q58) --------------------------------------------
+
+  /** Conservative PII patterns — the regex subset shared by Java's
+    * engine (Spark codegen'd `regexp_replace`) and RE2 (DuckDB), so the
+    * oracle runs the identical patterns: no lookaround, no backrefs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, then phones, then IPv4 addresses (email first: it
+    * is the only pattern containing the others' character classes).
+    * Pure codegen'd `regexp_replace` chain — embarrassingly parallel,
+    * single pass over the corpus at 100 TB. */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  /** q58: PII redaction over the corpus. The synthetic documents carry
+    * no natural PII, so deterministic PII is first injected as a
+    * function of doc_id (some docs get an email, some a phone, all an
+    * IP — the oracle injects identically), then redacted. Output per
+    * source: docs, found counts per PII class, and the distinct-digest
+    * count of the REDACTED text — which verifies the replacement
+    * semantics byte-for-byte, not just the match counts. */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val injected = documents(s, d).select(col("doc_id"), col("source"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 13) % 256).cast("string")).as("text"))
+    injected
+      .select(col("source"), col("text"), piiRedact(col("text")).as("redacted"))
+      .groupBy("source").agg(
+        count("*").as("n_docs"),
+        sum(regexp_count(col("text"), lit(EmailRe))).as("n_emails"),
+        sum(regexp_count(col("text"), lit(PhoneRe))).as("n_phones"),
+        sum(regexp_count(col("text"), lit(Ipv4Re))).as("n_ips"),
+        sum(regexp_count(col("redacted"), lit(EmailRe)) +
+          regexp_count(col("redacted"), lit(PhoneRe)) +
+          regexp_count(col("redacted"), lit(Ipv4Re))).as("n_pii_left"),
+        count_distinct(md5(col("redacted").cast("binary"))).as("n_unique_redacted"),
+        sum(length(col("redacted"))).as("sum_len_redacted"))
+  }
+
+  // --- repetition metrics (q59) ---------------------------------------
+
+  /** q59: Gopher-style repetition metrics per document — duplicate
+    * "sentence" fraction (split on '. ') and the most-frequent-2-gram
+    * fraction. Repetition is the strongest cheap signal of low-quality
+    * machine-generated text. The 2-gram mode is computed by
+    * explode → (doc, gram) count → per-doc max/sum: two partial-agg
+    * shuffles keyed by doc_id, O(total grams) — no per-row map
+    * accumulator, stays codegen'd at 100 TB. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) < 2, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+    val sents = filter(split(col(textCol), "\\. "), x => length(x) > 0)
+    val sentMetrics = docs.select(
+      col(idCol).as("doc_id"),
+      size(sents).as("n_sents"),
+      round(when(size(sents) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(sents)).cast("double") /
+          size(sents).cast("double")), 4).as("dup_sent_frac"))
+    val gramMetrics = docs
+      .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count("*").as("cnt"))
+      .groupBy("doc_id").agg(
+        round(max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"), 4)
+          .as("top_2gram_frac"))
+    sentMetrics.join(gramMetrics, Seq("doc_id"))
+  }
+
+  /** The q59 entry over `documents` (the synthetic corpus has no exact
+    * duplicate sentences, so dup_sent_frac verifies as all-zero there;
+    * TextAnalysisSpec feeds crafted repetitive docs to prove both
+    * metrics move). */
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    repetitionMetrics(documents(s, d), "doc_id", "text")
+
   /** Document fingerprinting via winnowing (native expression): number
     * of distinct fingerprint hashes per document — the bucket-joinable
     * containment-detection primitive. No SQL oracle (rolling hash is not

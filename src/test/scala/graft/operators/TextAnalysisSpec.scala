@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Value-level tests for the round-5 text operators: PII redaction
+  * (q58) and repetition metrics (q59). The corpus-wide parity with
+  * DuckDB is covered by the oracle gate; these pin exact behavior on
+  * crafted inputs the synthetic corpus can't exercise (real dup
+  * sentences, adjacent/multiple PII, non-PII lookalikes). */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("piiRedact replaces every occurrence of every class, in order") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail a.b-c_9@sub.example.org and x@y.io twice", "mail [EMAIL] and [EMAIL] twice"),
+      ("call +1-555-0042 or +44-020-7946", "call [PHONE] or [PHONE]"),
+      ("host 192.168.0.1 gw 10.0.255.254", "host [IP] gw [IP]"),
+      ("mixed bob@corp.net +1-555-1234 172.16.3.4 end", "mixed [EMAIL] [PHONE] [IP] end"),
+      // non-PII lookalikes survive: bare words, version-ish dotted pair
+      ("nothing here v1.2 at x dot y", "nothing here v1.2 at x dot y"),
+      ("", ""))
+    val got = rows.map(_._1).toDF("text")
+      .select(TextAnalysis.piiRedact(col("text")).as("red"))
+      .collect().map(_.getString(0))
+    got.zip(rows.map(_._2)).foreach { case (g, want) => assert(g == want) }
+  }
+
+  test("q58 finds the injected PII and leaves none behind") {
+    val r = TextAnalysis.qPiiRedact(spark, sf)
+      .agg(sum("n_docs"), sum("n_emails"), sum("n_phones"), sum("n_ips"),
+        sum("n_pii_left")).collect().head
+    val nDocs = r.getLong(0)
+    assert(r.getLong(1) > 0 && r.getLong(1) < nDocs) // doc_id % 3 != 0 subset
+    assert(r.getLong(2) > 0 && r.getLong(2) < nDocs) // doc_id % 2 == 0 subset
+    assert(r.getLong(3) == nDocs)                    // every doc gets an IP
+    assert(r.getLong(4) == 0, "redacted text still matches a PII pattern")
+  }
+
+  test("repetition metrics move on genuinely repetitive text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b. a b. c d."),         // sents [a b, a b, c d.]: dup 1-2/3
+      (2L, "spam spam spam spam"),    // one sentence; top gram 3/3
+      (3L, "all distinct words here") // no repetition at all
+    ).toDF("id", "txt")
+    val m = TextAnalysis.repetitionMetrics(docs, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L)._1 == 3 && math.abs(m(1L)._2 - 0.3333) < 1e-9)
+    // grams of doc1: "a b.","b. a","a b.","b. c","c d." → top 2/5
+    assert(math.abs(m(1L)._3 - 0.4) < 1e-9)
+    assert(m(2L)._2 == 0.0 && math.abs(m(2L)._3 - 1.0) < 1e-9)
+    assert(m(3L)._2 == 0.0 && math.abs(m(3L)._3 - (1.0 / 3.0)) < 1e-4)
+  }
+}
