@@ -84,6 +84,9 @@ object SparkEntry {
     "q55_vocabulary" -> ((s, d) => Pipeline.qVocabulary(s, d)),
     "q56_dedup_keep" -> (Dedup.qDedupKeep _),
     "q57_dedup_components" -> (Dedup.qDedupComponents _),
+    "q58_pii_redact" -> (TextAnalysis.qPiiRedact _),
+    "q59_repetition" -> (TextAnalysis.qRepetition _),
+    "q60_hash_sample" -> ((s, d) => Pipeline.qHashSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -431,5 +434,79 @@ object SparkEntry {
            UNION
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u""",
+    // PII redaction: deterministic PII injected as a function of doc_id
+    // (identical on both sides), then redacted email→phone→ipv4; the
+    // distinct-digest of the REDACTED text checks replacement bytes.
+    // Patterns are in the Java-regex ∩ RE2 subset; DuckDB needs the 'g'
+    // flag to replace every occurrence (Spark replaces all by default).
+    "q58_pii_redact" ->
+      """WITH injected AS (
+           SELECT doc_id, source,
+                  text
+                  || CASE WHEN doc_id % 3 <> 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS text
+           FROM documents),
+         red AS (
+           SELECT source, text,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+           FROM injected)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+                CAST(SUM(len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
+                CAST(SUM(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT) AS n_ips,
+                CAST(SUM(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       + len(regexp_extract_all(redacted, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+                       + len(regexp_extract_all(redacted, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT) AS n_pii_left,
+                COUNT(DISTINCT md5(redacted)) AS n_unique_redacted,
+                CAST(SUM(length(redacted)) AS BIGINT) AS sum_len_redacted
+         FROM red GROUP BY source""",
+    // Gopher-style repetition metrics: duplicate-sentence fraction and
+    // most-frequent-2-gram fraction per document
+    "q59_repetition" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\. '), x -> length(x) > 0) AS sents,
+                  string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         sent AS (
+           SELECT doc_id, len(sents) AS n_sents,
+                  ROUND(CASE WHEN len(sents) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(sents))::DOUBLE / len(sents) END, 4)
+                    AS dup_sent_frac
+           FROM s),
+         g AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS gram
+           FROM s),
+         c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+         t AS (SELECT doc_id, ROUND(MAX(cnt)::DOUBLE / SUM(cnt), 4) AS top_2gram_frac
+               FROM c GROUP BY doc_id)
+         SELECT sent.doc_id, sent.n_sents, sent.dup_sent_frac, t.top_2gram_frac
+         FROM sent JOIN t ON sent.doc_id = t.doc_id""",
+    // deterministic stratified hash sample: keep iff first 2 hex chars
+    // of md5(doc_id) < per-stratum threshold (even sources '80' ~50%,
+    // odd '20' ~12.5%); md5 hex + lexicographic compare is
+    // engine-independent
+    "q60_hash_sample" ->
+      """SELECT source, COUNT(*) AS n_kept,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE WHEN CAST(SUBSTR(source, 4, 10) AS INT) % 2 = 0 THEN '80' ELSE '20' END
+         GROUP BY source""",
   )
 }

@@ -146,4 +146,25 @@ object Pipeline {
       .groupBy("token").agg(count("*").as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** q60: deterministic stratified hash sampling — the reproducible
+    * corpus-sampling primitive (seeded `sample()` is partition-layout
+    * dependent; a content-hash threshold is stable across cluster
+    * sizes, re-runs, and engines, which is why production pipelines
+    * sample this way). Each doc is kept iff the first 2 hex chars of
+    * md5(doc_id) fall below a per-stratum threshold: even-numbered
+    * sources keep ~50% ('80'), odd ~12.5% ('20'). Map-side filter, no
+    * shuffle before the final per-source rollup — at 100 TB this is a
+    * single scan. Exactly reproducible in DuckDB (same md5 hex,
+    * lexicographic compare), so fully oracle-checked. */
+  def qHashSample(s: SparkSession, d: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val thresh = when(substring(col("source"), 4, 10).cast("int") % 2 === 0, "80")
+      .otherwise("20")
+    documents(s, d)
+      .filter(h2 < thresh)
+      .groupBy("source")
+      .agg(count("*").as("n_kept"),
+        sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+  }
 }
