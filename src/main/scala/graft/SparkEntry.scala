@@ -87,6 +87,7 @@ object SparkEntry {
     "q58_pii_redact" -> (TextAnalysis.qPiiRedact _),
     "q59_repetition" -> (TextAnalysis.qRepetition _),
     "q60_hash_sample" -> ((s, d) => Pipeline.qHashSample(s, d)),
+    "q61_stream_stream_join" -> (graft.streaming.EventTime.qStreamStreamJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -508,5 +509,16 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
                CASE WHEN CAST(SUBSTR(source, 4, 10) AS INT) % 2 = 0 THEN '80' ELSE '20' END
          GROUP BY source""",
+    // stream-stream inner join: purchases attributed to same-user clicks
+    // within the preceding 30 minutes. Inner-join matches emit when both
+    // sides arrive (watermarks bound state, not emission), so the batch
+    // join is the exact oracle — no finalization cutoff.
+    "q61_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+                CAST(FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(c.ts)) AS BIGINT) AS lag_sec
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE""",
   )
 }

@@ -159,6 +159,39 @@ object EventTime {
     s.table(name)
   }
 
+  /** q61: watermarked stream-stream inner join — the attribution shape
+    * (each purchase matched to the same user's clicks in the preceding
+    * 30 minutes), the one Structured Streaming operator family the
+    * surface didn't yet cover. Both sides carry a watermark and the
+    * join condition carries the time range, which is what lets the
+    * state store evict a buffered row once the other side's watermark
+    * passes its eligibility window — the state bound is
+    * (events inside one watermark horizon per side), independent of
+    * stream length, i.e. the 100 TB-safe shape. Inner-join matches are
+    * emitted as soon as both sides arrive (the watermark gates state
+    * eviction, not emission), so the batch equi+range join is the exact
+    * oracle with no finalization cutoff. */
+  def qStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", Delay)
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", Delay)
+    runToTable(
+      clicks.join(purchases,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec")),
+      s)
+  }
+
   /** q39: per-user session windows with a 10-minute gap and a
     * 30-minute watermark — a session closes when no event arrives for
     * the gap duration; only sessions the watermark has finalized are

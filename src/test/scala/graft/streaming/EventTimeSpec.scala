@@ -122,4 +122,23 @@ class EventTimeSpec extends AnyFunSuite {
     val emitted = EventTime.qWatermarkTumbling(spark, sf).count()
     assert(emitted < allWindows, "append mode must withhold windows the watermark has not closed")
   }
+
+  test("q61: stream-stream join equals the batch equi+range join") {
+    val streaming = EventTime.qStreamStreamJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec"))
+    assert(rows(streaming) == rows(batch))
+    assert(streaming.count() > 0, "test data should produce attributed pairs")
+  }
 }
