@@ -34,15 +34,24 @@ object Relational {
     events(s, d).filter(col("event_type").startsWith("c"))
       .agg(count("*").as("n"))
 
-  /** §2.5 Q3 — onTriggerFired lookup-enrich as a join. lineitem is the
-    * fact side; orders joins on the shuffle key. At 100 TB both sides are
-    * large → shuffle hash/SMJ on l_orderkey is correct; AQE handles skew. */
+  /** §2.5 Q3 — onTriggerFired lookup-enrich as a join, with EAGER
+    * AGGREGATION: lineitem revenue is collapsed to one row per orderkey
+    * BEFORE the join (sum is decomposable across the join because
+    * o_orderkey is orders' key — every lineitem matches exactly one
+    * order). Map-side partial aggregation then shrinks the fact-side
+    * shuffle by the lineitems-per-order factor (~4× here), the join
+    * reuses the aggregation's hash partitioning on the same key (no
+    * extra exchange), and the join itself becomes 1:1 instead of 4:1 —
+    * the textbook two-level-aggregation win that grows with scale.
+    * Catalyst has no eager-aggregation rewrite, so the plan declares it. */
   def qLookupEnrich(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
 
   /** §2.5 Q4 — cross-shard fan-out/gather (runOnShards) as a global agg.
     * COUNT(DISTINCT) expands to a two-stage partial/final plan. */
@@ -168,17 +177,31 @@ object Relational {
     * region are tiny at any SF → explicit broadcast keeps the big
     * customer⋈orders⋈lineitem chain shuffle-free on the dim side. */
   def qRevenueByNation(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      // EAGER AGGREGATION down the join chain: revenue is re-aggregated
+      // to the next join's key before each shuffle join (valid because
+      // each join is N:1 on that key), so every exchange carries partial
+      // sums, never fact rows: lineitem rows → one row per orderkey →
+      // one row per custkey → 25 nation rows before the broadcast dims.
+      // At 100 TB the orderkey/custkey shuffles shrink by the fan-in at
+      // each level; the dims stay broadcast. Catalyst has no
+      // eager-aggregation rewrite, so the plan declares it.
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .join(orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev")).as("rev"))
       .join(customer(s, d).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum(col("rev")).as("rev"))
       .join(broadcast(nation(s, d).select("n_nationkey", "n_name", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d).select("r_regionkey", "r_name")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
 
   /** Theta/range join: parts joined to lineitems of the same size class
     * via a range condition on quantity — exercises non-equi join
