@@ -88,6 +88,9 @@ object SparkEntry {
     "q59_repetition" -> (TextAnalysis.qRepetition _),
     "q60_hash_sample" -> ((s, d) => Pipeline.qHashSample(s, d)),
     "q61_stream_stream_join" -> (graft.streaming.EventTime.qStreamStreamJoin _),
+    "q62_grouping_sets" -> (Relational.qGroupingSets _),
+    "q63_tfidf" -> (TextAnalysis.qTfidf _),
+    "q64_unigram_nll" -> (TextAnalysis.qUnigramNll _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -520,5 +523,47 @@ object SparkEntry {
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE""",
+    // grouping sets: two independent marginals in one pass — a shape
+    // neither rollup nor cube produces
+    "q62_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+                CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+                COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    // TF-IDF: most characteristic term per doc, idf = ln(N/df), ties by term
+    "q63_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, token AS term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0
+           GROUP BY doc_id, token),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  tf.tf * ln(n.n_docs::DOUBLE / df.df) AS tfidf
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         SELECT doc_id, term AS top_term, ROUND(tfidf, 4) AS tfidf FROM (
+           SELECT doc_id, term, tfidf,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS rn
+           FROM scored)
+         WHERE rn = 1""",
+    // corpus-unigram negative log-likelihood per doc (p = cnt/total;
+    // every token is in-vocabulary by construction, no smoothing)
+    "q64_unigram_nll" ->
+      """WITH toks AS (
+           SELECT doc_id, token AS term
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0),
+         vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         t AS (SELECT SUM(cnt) AS total FROM vocab)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                ROUND(AVG(-ln(vocab.cnt::DOUBLE / t.total)), 4) AS avg_nll
+         FROM toks JOIN vocab ON toks.term = vocab.term CROSS JOIN t
+         GROUP BY doc_id""",
   )
 }

@@ -131,6 +131,27 @@ object Relational {
       .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
         col("n"), col("sum_value"))
 
+  /** q62: explicit GROUPING SETS — the third member of the
+    * rollup/cube/grouping-sets family (§2.4 aggregations row), with a
+    * set shape neither rollup nor cube produces: per-returnflag totals
+    * and per-linestatus totals but no (flag, status) cross — i.e. two
+    * independent marginal views in one pass over the fact table.
+    * `grouping()` disambiguates a real NULL from an "aggregated-away"
+    * column. One shuffle; Spark expands rows per set with partial aggs. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      // grouping() is only resolvable inside the Aggregate itself
+      .agg(
+        when(grouping(col("l_returnflag")) === 1, lit("ALL"))
+          .otherwise(col("l_returnflag")).as("returnflag"),
+        when(grouping(col("l_linestatus")) === 1, lit("ALL"))
+          .otherwise(col("l_linestatus")).as("linestatus"),
+        count("*").as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select("returnflag", "linestatus", "n", "sum_qty")
+
   /** Set op: users who clicked INTERSECT users who purchased. */
   def qSetIntersect(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)

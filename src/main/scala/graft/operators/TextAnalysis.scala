@@ -148,6 +148,58 @@ object TextAnalysis {
   def qRepetition(s: SparkSession, d: String): DataFrame =
     repetitionMetrics(documents(s, d), "doc_id", "text")
 
+  // --- corpus-statistics scoring (q63/q64) ----------------------------
+
+  /** q63: TF-IDF feature extraction — the most characteristic term of
+    * every document (top-1 by tf·idf, ties broken by term) with
+    * idf = ln(N/df). Shape at scale: one explode → (doc, term) partial
+    * agg for tf; a term-keyed partial agg for df (vocabulary-sized,
+    * shuffles counts not text); tf joins df on term — a
+    * vocabulary-keyed equi-join where the df side is tiny relative to
+    * the corpus and broadcasts; the final top-1 is a per-doc window.
+    * No all-pairs work, no driver-side vocabulary. */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val nDocs = docs.select(count_distinct(col("doc_id")).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count("*").as("tf"))
+    val df = tf.groupBy("term").agg(count("*").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
+  /** q64: corpus-unigram-LM quality scoring (the CCNet/KenLM-style
+    * filter, reduced to its deterministic unigram core): every token's
+    * corpus probability p(t) = count(t)/total feeds a per-document mean
+    * negative log-likelihood — high avg_nll = improbable (low-quality or
+    * out-of-domain) text. Two passes: a vocabulary-sized count agg
+    * (broadcasts), then one explode + broadcast join + per-doc avg.
+    * Every token is in-vocabulary by construction (the vocab IS the
+    * corpus), so no smoothing term is needed and the oracle is exact. */
+  def qUnigramNll(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = toks.groupBy("term").agg(count("*").as("cnt"))
+    val total = vocab.select(sum("cnt").as("total"))
+    toks.join(broadcast(vocab), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("avg_nll"))
+  }
+
   /** Document fingerprinting via winnowing (native expression): number
     * of distinct fingerprint hashes per document — the bucket-joinable
     * containment-detection primitive. No SQL oracle (rolling hash is not

@@ -41,6 +41,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(4) == 0, "redacted text still matches a PII pattern")
   }
 
+  test("tfidf: one top term per doc, positive score, deterministic tie-break") {
+    val rows = TextAnalysis.qTfidf(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length == total)
+    assert(rows.map(_.getLong(0)).distinct.length == total)
+    rows.foreach(r => assert(r.getDouble(2) > 0.0,
+      s"non-positive tfidf for doc ${r.getLong(0)}"))
+    // deterministic: re-running yields the identical assignment
+    val again = TextAnalysis.qTfidf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("unigram NLL: rare-token docs score higher than common-token docs") {
+    val scored = TextAnalysis.qUnigramNll(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.size == Tables.documents(spark, sf).count())
+    assert(scored.values.forall(_ > 0.0))
+    // the doc whose tokens are on average most frequent in the corpus
+    // must not out-score the rarest-token doc (sanity of the direction)
+    assert(scored.values.max > scored.values.min)
+  }
+
   test("repetition metrics move on genuinely repetitive text") {
     import spark.implicits._
     val docs = Seq(
