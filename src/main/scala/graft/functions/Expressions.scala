@@ -452,6 +452,66 @@ object WinnowFingerprint {
   * cheaply — a null element reads as 0). Lengths are expected equal;
   * the dot product runs over the common prefix.
   */
+/** Count of common elements between two ASCENDING-SORTED `ARRAY<LONG>`
+  * columns — a single merge walk, no hash-set build and no result-array
+  * allocation, vs `size(array_intersect(a, b))` which pays both per row.
+  *
+  * This is the exact-verify kernel of the n-gram dedup family once
+  * shingle sets are represented as sorted 64-bit hashes
+  * ([[graft.functions.hashedShingleSet]]): Jaccard needs only the
+  * intersection COUNT (|A∪B| = |A|+|B|−|A∩B| for sets), and comparing
+  * presorted longs is ~20× cheaper than hashing strings pair-wise —
+  * the per-candidate cost that dominates any near-dup verify stage at
+  * corpus scale. Inputs MUST be duplicate-free and sorted (callers get
+  * both from `array_sort`); behavior on unsorted input is undefined.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_size requires ARRAY<BIGINT> args, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.SortedIntersectSize.compute($x, $y);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectSize = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_size"
+}
+
+object SortedIntersectSize {
+  /** Merge walk over two ascending long arrays; shared by interpreted
+    * eval and codegen. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < an && j < bn) {
+      val av = a.getLong(i)
+      val bv = b.getLong(j)
+      if (av == bv) { c += 1; i += 1; j += 1 }
+      else if (av < bv) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 

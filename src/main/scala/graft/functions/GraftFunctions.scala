@@ -37,6 +37,12 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "sign_lsh_buckets(vec, nbits, tables) requires literal integers nbits, tables")
       }, "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_size",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => SortedIntersectSize(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_size(a, b) takes exactly two sorted ARRAY<BIGINT> arguments")
+      }, "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t) => WinnowFingerprint(t, 8, 4)

@@ -35,6 +35,33 @@ package object functions {
   def shingleSet(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))
 
+  /** Sorted 64-bit hashes of the distinct shingle set — the join-side
+    * representation for exact near-dup verification at scale: hash each
+    * shingle once per DOCUMENT (xxhash64, seed 42), sort, and every
+    * downstream pair comparison becomes a merge walk over longs
+    * ([[sortedIntersectSize]]) instead of re-hashing strings per PAIR.
+    * Set sizes are preserved (64-bit collisions within a document's
+    * ~10²-shingle set are ~1e-17 — far below double rounding error).
+    * Requires [[GraftFunctions.register]]. */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    array_sort(transform(shingleSet(text, n), s => xxhash64(s)))
+
+  /** Intersection count of two ascending-sorted ARRAY<LONG> columns —
+    * native codegen'd merge walk ([[SortedIntersectSize]]); requires
+    * [[GraftFunctions.register]]. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size", a, b)
+
+  /** Exact Jaccard over [[hashedShingleSet]] representations:
+    * inter / (|A| + |B| − inter) with a single merge-walk intersection.
+    * Value-identical to [[jaccard]] on the underlying string sets
+    * (modulo 64-bit hash collisions, ~1e-17 per doc). */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = sortedIntersectSize(a, b).cast("double")
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
   /** MinHash signature: `k` 2-universal hash rows over the element set
     * in one pass (native expression, [[MinHashSignature]]). Returns
     * ARRAY<LONG> of length k; null for empty sets. Requires
@@ -57,6 +84,19 @@ package object functions {
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Jaccard of two arrays KNOWN to be duplicate-free (e.g. both from
+    * [[shingleSet]]/`array_distinct`): |A∪B| = |A|+|B|−|A∩B|, so one
+    * `array_intersect` replaces intersect+union — half the hash-build
+    * work and no union-array allocation per pair. Integer-exactly equal
+    * to [[jaccard]] on set inputs (the division consumes the same two
+    * ints); parity-tested. The shared `array_intersect` subexpression
+    * is evaluated once per row by codegen subexpression elimination. */
+  def jaccardSets(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 

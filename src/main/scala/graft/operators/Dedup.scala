@@ -41,9 +41,14 @@ object Dedup {
     // hashes + both verify-join sides); persist so the shingling and the
     // k-hash signature run once per doc instead of three times. At scale
     // this is the materialize-signatures-once step of any LSH pipeline.
+    // the persisted per-doc state: sorted shingle HASHES (for the
+    // merge-walk verify) + the minhash signature — strings never leave
+    // the scan projection
     val shSets = docs.select(col(idCol).as("id"),
-        shingleSet(col(textCol), shingleN).as("sh"))
-      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+        shingleSet(col(textCol), shingleN).as("strs"))
+      .select(col("id"),
+        array_sort(transform(col("strs"), x => xxhash64(x))).as("sh"),
+        minhashSignature(col("strs"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // evict the PREVIOUS invocation's cached subplan (a long-lived
     // session otherwise accumulates one orphaned cache per call); an
@@ -64,7 +69,7 @@ object Dedup {
     candidates
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(jaccardHashed(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -144,10 +149,14 @@ object Dedup {
   def qNgramJaccard(s: SparkSession, d: String, window: Long = 64,
       threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(s)
+    // shingles are hashed to sorted longs ONCE per doc; each candidate
+    // pair then costs one merge walk (sorted_intersect_size) instead of
+    // a per-pair string hash-set build — the dominant cost of the
+    // verify stage at any corpus size
     val docs = documents(s, d)
-      .select(col("doc_id"), shingleSet(col("text"), 2).as("sh"))
+      .select(col("doc_id"), hashedShingleSet(col("text"), 2).as("sh"))
     idWindowPairs(docs, "doc_id", window, "doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("doc_a"), col("doc_b"), jaccardHashed(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
@@ -244,15 +253,24 @@ object Dedup {
     * coalesce to self (see [[qDedupComponents]]).
     *
     * Scale notes: every pass shuffles O(|E|) rows hash-partitioned by
-    * node id; no driver-side data movement (the per-round convergence
-    * probe is a 2-long aggregate). Lineage is truncated per round with
-    * `localCheckpoint` — on a multi-executor cluster prefer
-    * `sparkContext.setCheckpointDir` + reliable `checkpoint` for
-    * fault-tolerant truncation; the algorithm is oblivious to which.
-    * High-degree skew self-heals: large-star rewires big stars to their
-    * minimum, so no single reducer accumulates a super-linear
-    * neighborhood across rounds. */
-  def connectedComponents(edges0: DataFrame, maxIter: Int = 25): DataFrame = {
+    * node id; the per-round convergence probe is a 2-long aggregate.
+    * Lineage is truncated per round with `localCheckpoint` — on a
+    * multi-executor cluster prefer `sparkContext.setCheckpointDir` +
+    * reliable `checkpoint` for fault-tolerant truncation; the algorithm
+    * is oblivious to which. High-degree skew self-heals: large-star
+    * rewires big stars to their minimum, so no single reducer
+    * accumulates a super-linear neighborhood across rounds.
+    *
+    * Small-tail handling: once the (monotonically contracting) edge set
+    * fits under `driverCutoff` rows (default 64k ≈ a few MB — broadcast-
+    * threshold reasoning), per-round job-scheduling overhead dominates
+    * the actual work, so the remainder finishes as driver-side
+    * union-find — identical output, and the distributed rounds still
+    * carry all O(|E|) work down to the cutoff. Pass `driverCutoff = 0`
+    * to force pure distributed contraction (the spec does, proving
+    * convergence without the shortcut). */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 25,
+      driverCutoff: Long = 1L << 16): DataFrame = {
     // canonical form: (u, v) with u > v, no self-loops, distinct
     def canon(df: DataFrame): DataFrame = df
       .where(col("u") =!= col("v"))
@@ -270,8 +288,8 @@ object Dedup {
       col("v").cast("long").as("v"))).localCheckpoint()
     var sig = signature(edges)
     var iter = 0
-    var converged = edges.isEmpty
-    while (!converged && iter < maxIter) {
+    var converged = sig._1 == 0
+    while (!converged && sig._1 > driverCutoff && iter < maxIter) {
       // large-star: every node u attaches its strictly-larger neighbors
       // to m(u) = min(N(u) ∪ {u})
       val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -291,6 +309,26 @@ object Dedup {
       edges = next
       sig = nsig
       iter += 1
+    }
+    if (!converged && sig._1 <= driverCutoff) {
+      // bounded tail (≤ driverCutoff edges): finish as union-find on the
+      // driver — the same O(|tail|) work without per-round job overhead
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes += a; nodes += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val assign = nodes.distinct.toSeq.map(k => (k, find(k)))
+      return assign.toDF("node", "component")
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // at fixpoint every edge is (member, root); roots appear only as v

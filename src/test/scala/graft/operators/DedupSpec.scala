@@ -144,9 +144,11 @@ class DedupSpec extends AnyFunSuite {
     assert(keptIds.intersect(dominated).isEmpty)
   }
 
+  /** cutoff 0 forces pure distributed star-contraction (no driver
+    * union-find tail) so the algorithm itself is what converges. */
   private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    Dedup.connectedComponents(edges.toDF("u", "v"))
+    Dedup.connectedComponents(edges.toDF("u", "v"), driverCutoff = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -171,6 +173,18 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("u", "v")).isEmpty)
     assert(Dedup.connectedComponents(Seq((5L, 5L)).toDF("u", "v")).isEmpty)
+  }
+
+  test("connected components: driver union-find tail equals pure distributed") {
+    import spark.implicits._
+    // mixed structure crossing the two code paths
+    val edges = (0L until 40L).map(i => (i, i + 1)) ++ // path
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++ // triangle
+      Seq((200L, 300L))
+    val viaTail = Dedup.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = ccOf(edges)
+    assert(viaTail == viaStars)
   }
 
   test("q57 components match driver-side union-find on the same pairs") {
