@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table layout for co-located joins — the storage-side scale
+  * lever the ad-hoc queries can't show: when both sides of a repeated
+  * equi-join are written bucketed (and in-bucket sorted) by the join
+  * key with the same bucket count, Spark's scan reports a compatible
+  * `HashPartitioning` and the SortMergeJoin plans with NO shuffle
+  * exchange on either side — the join cost collapses to a streaming
+  * merge of pre-sorted buckets. At 100 TB this turns every
+  * fact-to-fact join of a pipeline that owns its table layout
+  * (lineitem⋈orders here; (doc, shingle-sig)⋈(doc, shingle-sig) in a
+  * dedup pipeline) from the dominant shuffle into local work.
+  *
+  * The reference has no table layer at all (its keyspace is hash-slots,
+  * `redisgears_core/src/background_run_ctx.rs:94-99` routes by slot);
+  * bucketing is the Spark-native analogue of "data lives pre-routed by
+  * key".
+  */
+object Bucketing {
+
+  import Tables._
+
+  /** Write `lineitem` and `orders` as bucketed+sorted external tables
+    * under `warehouseDir`. Idempotent per (session, dir): re-running
+    * overwrites. */
+  def bucketize(s: SparkSession, d: String, warehouseDir: String,
+      buckets: Int = 8): Unit = {
+    def save(df: DataFrame, key: String, table: String): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .option("path", s"$warehouseDir/$table")
+        .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+    save(lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", "graft_lineitem_bkt")
+    save(orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", "graft_orders_bkt")
+  }
+
+  /** The q03 revenue query over the bucketed tables: identical result,
+    * shuffle-free join (asserted by BucketingSpec against the physical
+    * plan). */
+  def bucketedLookupEnrich(s: SparkSession): DataFrame =
+    s.table("graft_lineitem_bkt")
+      .join(s.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+}
