@@ -91,6 +91,10 @@ object SparkEntry {
     "q62_grouping_sets" -> (Relational.qGroupingSets _),
     "q63_tfidf" -> (TextAnalysis.qTfidf _),
     "q64_unigram_nll" -> (TextAnalysis.qUnigramNll _),
+    // q65: image perceptual-hash near-dup — rows-only (JPEG/PNG encode
+    // is not SQL-expressible); value-verified by ImageDedupSpec against
+    // brute-force Hamming
+    "q65_image_near_dup" -> ((s, d) => Multimodal.qImageNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

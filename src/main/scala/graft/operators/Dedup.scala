@@ -89,8 +89,20 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming in [0,31]")
     GraftFunctions.register(docs.sparkSession)
+    hammingPairs(docs.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sh")), maxHamming)
+  }
+
+  /** All pairs of 64-bit hashes within `maxHamming` bits, from a
+    * DataFrame of (`id`: LONG, `sh`: LONG). Banded for COMPLETE recall:
+    * `maxHamming + 1` bit bands — a pair within distance d differs in
+    * at most d bands, so at least one band matches exactly (pigeonhole)
+    * — bucket-joined on (band, value), then exact Hamming verify.
+    * Shared by text SimHash (q28) and image perceptual-hash (q65)
+    * dedup; shuffles (band, value, id, hash) only. */
+  def hammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming in [0,31]")
     val bands = maxHamming + 1
     // band b covers bits [start(b), start(b) + width(b)) with widths as
     // even as possible (64 = bands * q + r: first r bands get q+1 bits)
@@ -98,8 +110,6 @@ object Dedup {
     val r = 64 % bands
     val starts = (0 until bands).map(b => b * q + math.min(b, r))
     val widths = (0 until bands).map(b => if (b < r) q + 1 else q)
-    val hashed = docs.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L

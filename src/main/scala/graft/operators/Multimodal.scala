@@ -347,6 +347,81 @@ object Multimodal {
         round(avg("luma_delta"), 2).as("avg_luma_delta"))
   }
 
+  /** 64-bit perceptual average-hash of an image: decode (real
+    * `javax.imageio`), bilinear-resize to an 8×8 luma grid, bit i =
+    * cell luma > grid mean. Near-identical images (crops, re-encodes,
+    * brightness-preserving edits) land within a few bits of Hamming
+    * distance — the image analogue of text SimHash. None when the
+    * payload isn't a decodable image. */
+  def aHash64(payload: Array[Byte]): Option[Long] = {
+    val img = try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, 8, 8, null)
+      g.dispose()
+      val luma = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = small.getRGB(i % 8, i / 8)
+        luma(i) = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        i += 1
+      }
+      val mean = luma.sum / 64.0
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (luma(i) > mean) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** q65: image near-dup detection — the multimodal member of the dedup
+    * family: synthesize a deterministic two-tone image per doc (pattern
+    * class = doc_id % 8, plus a 1-pixel per-doc perturbation so
+    * same-class images are NEAR-identical, not equal), aHash on the
+    * executors through the REAL decode path, then the same
+    * banded-Hamming pair machinery as text SimHash
+    * ([[Dedup.hammingPairs]]: complete recall at the declared distance,
+    * bucket-join shuffles hashes only). Rows-only in the gate (JPEG
+    * encode isn't SQL-expressible); ImageDedupSpec verifies recall
+    * against brute-force Hamming over the same hashes. */
+  def qImageNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(160).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map { id =>
+        val cls = (id % 8).toInt
+        val im = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = im.createGraphics()
+        // two-tone pattern per class: split position varies by class
+        val split = 4 + cls * 3
+        g2.setColor(new java.awt.Color(40, 40, 40))
+        g2.fillRect(0, 0, 32, 24)
+        g2.setColor(new java.awt.Color(220, 220, 220))
+        g2.fillRect(0, 0, split, 24)
+        // per-doc perturbation: one bright pixel whose position varies
+        g2.setColor(java.awt.Color.WHITE)
+        g2.fillRect(((id / 8) % 32).toInt, ((id / 8) % 24).toInt, 1, 1)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        (id, aHash64(bos.toByteArray).get)
+      }
+    }.toDF("id", "sh")
+    Dedup.hammingPairs(hashed, maxHamming)
+      .groupBy("hamming").agg(count("*").as("n_pairs"))
+  }
+
   /** q52: end-to-end audio feature pipeline — synthesize a
     * deterministic per-doc WAV (pitch = doc_id's pitch class), decode
     * it through the REAL `javax.sound.sampled` path on the executors,
