@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed streaming state via `mapGroupsWithState` /
   * `flatMapGroupsWithState` — the Spark primitive SURVEY §2.4 maps the
@@ -37,4 +38,45 @@ object Stateful {
 
   /** The output mode `mapGroupsWithState` requires. */
   val RequiredOutputMode: OutputMode = OutputMode.Update()
+
+  /** The same running (count, sum) contract on Spark 4's
+    * `transformWithState` API — the successor to `mapGroupsWithState`
+    * with composable named state variables and a per-state TTL the old
+    * API lacks (eviction without timeout-callback bookkeeping). State
+    * lives in the RocksDB state store (the provider this API requires),
+    * which is also the right provider at scale: state spills off-heap
+    * and snapshots incrementally instead of living on the executor
+    * heap. The TTL bounds state for unbounded key spaces exactly like
+    * the watermark horizon bounds q45's dedup state. */
+  class RunningCountsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, (Long, Double), KeyedCount] {
+    @transient private var agg: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.product[(Long, Double)], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[KeyedCount] = {
+      val (n0, s0) = if (agg.exists()) agg.get() else (0L, 0.0)
+      var n = n0
+      var sum = s0
+      rows.foreach { case (_, v) => n += 1; sum += v }
+      agg.update((n, sum))
+      Iterator.single(KeyedCount(key, n, sum))
+    }
+  }
+
+  /** Running counts via `transformWithState`. Requires the RocksDB
+    * state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). TimeMode is
+    * None unless a TTL is set: ProcessingTime arms the timer machinery,
+    * which keeps scheduling batches even with no data — an idle query
+    * that never settles (and `processAllAvailable` never returns). */
+  def runningCountsTws(records: Dataset[(Long, Double)],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KeyedCount] = {
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    records.groupByKey(_._1)
+      .transformWithState(new RunningCountsProcessor(ttl), timeMode, OutputMode.Update())
+  }
 }

@@ -43,4 +43,40 @@ class StatefulSpec extends AnyFunSuite {
     assert(latest(2L) == ((1L, 1.0)))
     assert(latest(3L) == ((1L, 7.0)))
   }
+
+  test("transformWithState carries the same contract on the RocksDB provider") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val name = "tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Stateful.runningCountsTws(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(Stateful.RequiredOutputMode)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws").toString)
+        .start()
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 1.0), (3L, 7.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      val latest = rows.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1._2).toMap
+      assert(latest(1L) == ((3L, 16.0)))
+      assert(latest(2L) == ((1L, 1.0)))
+      assert(latest(3L) == ((1L, 7.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
