@@ -87,18 +87,6 @@ package object functions {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** Jaccard of two arrays KNOWN to be duplicate-free (e.g. both from
-    * [[shingleSet]]/`array_distinct`): |A∪B| = |A|+|B|−|A∩B|, so one
-    * `array_intersect` replaces intersect+union — half the hash-build
-    * work and no union-array allocation per pair. Integer-exactly equal
-    * to [[jaccard]] on set inputs (the division consumes the same two
-    * ints); parity-tested. The shared `array_intersect` subexpression
-    * is evaluated once per row by codegen subexpression elimination. */
-  def jaccardSets(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(a).cast("double") + size(b).cast("double") - inter
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
 
   /** Dot product of two numeric array columns, accumulated in Double
     * left-to-right (deterministic). */

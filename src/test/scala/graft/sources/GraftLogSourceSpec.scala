@@ -153,4 +153,35 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(log.segmentCount == 2)
     e.close()
   }
+
+  test("event-time windows over the graft-log source match the batch log content") {
+    val hour = 3600L * 1000
+    val dir = tmpDir("glog") + "/log"
+    val log = newLog(dir)
+    // records across three hour-windows; the last record (at 2h35m)
+    // sets the watermark to 2h05m: hour-0 and hour-1 windows close
+    // (end <= watermark), the hour-2 window stays open
+    log.append(Seq(
+      rec("s:a", 0), rec("s:a", 10), rec("s:b", 20),
+      rec("s:a", hour + 1), rec("s:b", hour + 2),
+      rec("s:a", 2 * hour + 35 * 60 * 1000), rec("other:x", 5)))
+    val name = "glw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // default trigger (not AvailableNow): the watermark advances after
+    // the data batch, and the no-data follow-up batch flushes the
+    // closed windows; processAllAvailable covers both
+    val q = graft.streaming.EventTime.graftLogWindows(spark, dir, "s:")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("glw-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, "s:a") -> 2L, (0L, "s:b") -> 1L,           // hour 0 closed
+      (3600L, "s:a") -> 1L, (3600L, "s:b") -> 1L))    // hour 1 closed; hour 2 open
+    // the "other:" stream was pruned by the source's prefix pushdown
+    assert(!got.keys.exists(_._2.startsWith("other")))
+  }
 }
