@@ -98,6 +98,7 @@ object SparkEntry {
     // q66: SQ8-quantized ANN — rows-only (quantization error makes
     // ranks approximate); SimilaritySpec pins recall vs exact float
     "q66_knn_sq8" -> ((s, d) => Similarity.qSq8TopK(s, d)),
+    "q67_pipeline_e2e" -> ((s, d) => Pipeline.qPipelineE2e(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -572,5 +573,48 @@ object SparkEntry {
                 ROUND(AVG(-ln(vocab.cnt::DOUBLE / t.total)), 4) AS avg_nll
          FROM toks JOIN vocab ON toks.term = vocab.term CROSS JOIN t
          GROUP BY doc_id""",
+    // end-to-end curation pipeline: quality filter -> transitive-dedup
+    // survivors (min-id per component) -> 1024-token packing per source
+    "q67_pipeline_e2e" ->
+      """WITH RECURSIVE kept AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE length(text) >= 50
+             AND len(list_distinct(string_split_regex(text, '\s+')))::DOUBLE
+                 / len(string_split_regex(text, '\s+')) >= 0.1
+             AND length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                 / length(text) <= 0.2),
+         d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM kept)),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM kept
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         surv AS (
+           SELECT k.doc_id, k.source,
+                  len(string_split_regex(k.text, '\s+')) AS n_tokens
+           FROM kept k JOIN comp c ON k.doc_id = c.doc_id
+           WHERE c.doc_id = c.component),
+         packed AS (
+           SELECT source, doc_id, n_tokens,
+                  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 1024.0) AS BIGINT) AS bin
+           FROM surv)
+         SELECT source, COUNT(*) AS n_kept, COUNT(DISTINCT bin) AS n_bins,
+                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         FROM packed GROUP BY source""",
   )
 }

@@ -156,20 +156,25 @@ object Dedup {
     * pair space goes through LSH above; the id-window candidate set here
     * is shared with the DuckDB oracle so the *similarity math* is what
     * gets verified). */
-  def qNgramJaccard(s: SparkSession, d: String, window: Long = 64,
-      threshold: Double = 0.5): DataFrame = {
-    GraftFunctions.register(s)
-    // shingles are hashed to sorted longs ONCE per doc; each candidate
-    // pair then costs one merge walk (sorted_intersect_size) instead of
-    // a per-pair string hash-set build — the dominant cost of the
-    // verify stage at any corpus size
-    val docs = documents(s, d)
-      .select(col("doc_id"), hashedShingleSet(col("text"), 2).as("sh"))
-    idWindowPairs(docs, "doc_id", window, "doc_a", "doc_b")
+  /** n-gram Jaccard pairs over an arbitrary (id, text) DataFrame —
+    * shingles are hashed to sorted longs ONCE per doc; each candidate
+    * pair then costs one merge walk (sorted_intersect_size) instead of
+    * a per-pair string hash-set build — the dominant cost of the
+    * verify stage at any corpus size. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Long, threshold: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("doc_id"),
+      hashedShingleSet(col(textCol), 2).as("sh"))
+    idWindowPairs(sh, "doc_id", window, "doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccardHashed(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
+
+  def qNgramJaccard(s: SparkSession, d: String, window: Long = 64,
+      threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairs(documents(s, d), "doc_id", "text", window, threshold)
 
   /** q48: edit-distance near-dup within a doc_id window — Levenshtein
     * over a fixed prefix (bounding the O(m·n) DP cost per pair), on the

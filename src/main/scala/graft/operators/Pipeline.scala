@@ -147,6 +147,54 @@ object Pipeline {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** q67: the END-TO-END curation pipeline — the composition a real
+    * training-data run executes, with every stage an already-verified
+    * operator, so the whole chain is one oracle-checkable query:
+    *
+    *  1. quality filter (q24's predicates: length, distinct-token
+    *     ratio, punctuation) — map-side, nothing shuffles rejected docs;
+    *  2. transitive near-dup dedup over the SURVIVORS (q29 pair
+    *     definition at the q57 threshold → connected components); each
+    *     cluster keeps its min-id member — cluster-based survivor
+    *     selection, the semantics q56's pairwise approximation
+    *     under-merges;
+    *  3. sequence packing of the kept corpus into 1024-token bins per
+    *     source in doc_id order (q54's running-sum bin rule);
+    *  4. per-source rollup: docs kept, bins produced, tokens kept.
+    *
+    * Scale shape: stage 1 is a scan filter; stage 2 shuffles hashed
+    * shingle signatures of the filtered corpus only; stage 3 is one
+    * window per source partition; stage 4 a tiny agg. No stage
+    * materializes to the driver. */
+  def qPipelineE2e(s: SparkSession, d: String, budget: Int = 1024): DataFrame = {
+    import graft.functions._
+    val kept = documents(s, d)
+      .filter(length(col("text")) >= 50 &&
+        distinctTokenRatio(col("text")) >= 0.1 &&
+        punctRatio(col("text")) <= 0.2)
+      .select(col("doc_id"), col("source"), col("text"))
+    val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text",
+        window = 64, threshold = 0.1)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val survivors = kept
+      .join(comp, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    survivors
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget.toDouble))
+      .groupBy("source")
+      .agg(count("*").as("n_kept"),
+        count_distinct(col("bin")).as("n_bins"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** q60: deterministic stratified hash sampling — the reproducible
     * corpus-sampling primitive (seeded `sample()` is partition-layout
     * dependent; a content-hash threshold is stable across cluster
