@@ -99,6 +99,7 @@ object SparkEntry {
     // ranks approximate); SimilaritySpec pins recall vs exact float
     "q66_knn_sq8" -> ((s, d) => Similarity.qSq8TopK(s, d)),
     "q67_pipeline_e2e" -> ((s, d) => Pipeline.qPipelineE2e(s, d)),
+    "q68_stream_left_outer" -> (graft.streaming.EventTime.qStreamStreamLeftOuter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -616,5 +617,29 @@ object SparkEntry {
          SELECT source, COUNT(*) AS n_kept, COUNT(DISTINCT bin) AS n_bins,
                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          FROM packed GROUP BY source""",
+    // left-outer stream-stream join: matched pairs emit on arrival;
+    // an unmatched click null-extends once the GLOBAL watermark
+    // (min of both sides' max ts, minus the delay) is strictly past
+    // its whole eligibility window (c.ts + 30 min)
+    "q68_stream_left_outer" ->
+      """WITH m AS (
+           SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                  c.user_id AS user_id,
+                  CAST(FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(c.ts)) AS BIGINT) AS lag_sec
+           FROM events c JOIN events p
+             ON c.user_id = p.user_id
+            AND c.event_type = 'click' AND p.event_type = 'purchase'
+            AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
+         wm AS (SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                             (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+                       - INTERVAL 30 MINUTE AS w)
+         SELECT * FROM m
+         UNION ALL
+         SELECT c.event_id AS click_id, NULL::BIGINT AS purchase_id,
+                c.user_id, NULL::BIGINT AS lag_sec
+         FROM events c, wm
+         WHERE c.event_type = 'click'
+           AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.event_id)
+           AND c.ts + INTERVAL 30 MINUTE < wm.w""",
   )
 }

@@ -192,6 +192,37 @@ object EventTime {
       s)
   }
 
+  /** q68: LEFT OUTER stream-stream join — the state semantics q61's
+    * inner join doesn't exercise: an unmatched left row (a click with
+    * no same-user purchase in the next 30 minutes) is emitted
+    * null-extended only once the GLOBAL watermark (min of both sides'
+    * watermarks) passes its entire eligibility window, proving the
+    * buffered row was evicted rather than retained forever. The oracle
+    * is the batch join UNION the expired unmatched clicks under the
+    * identical cutoff (least(max click ts, max purchase ts) − delay,
+    * strictly past c_ts + 30 min). */
+  def qStreamStreamLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", Delay)
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", Delay)
+    runToTable(
+      clicks.join(purchases,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"),
+        "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec")),
+      s)
+  }
+
   /** Event-time windows over the custom `graft-log` DataSourceV2
     * source — the composition of the two streaming subsystems: trigger
     * data whose record id carries the event time (`idMs`, the

@@ -141,4 +141,34 @@ class EventTimeSpec extends AnyFunSuite {
     assert(rows(streaming) == rows(batch))
     assert(streaming.count() > 0, "test data should produce attributed pairs")
   }
+
+  test("q68: left-outer join null-extends exactly the watermark-expired clicks") {
+    val streaming = EventTime.qStreamStreamLeftOuter(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val matched = clicks.join(purchases,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_sec"))
+    val wm = clicks.agg(max("c_ts")).head().getTimestamp(0).getTime.min(
+      purchases.agg(max("p_ts")).head().getTimestamp(0).getTime) - 30 * 60 * 1000
+    val expired = clicks
+      .join(matched.select("click_id"), Seq("click_id"), "left_anti")
+      .filter(col("c_ts") + expr("INTERVAL 30 minutes") <
+        lit(new java.sql.Timestamp(wm)))
+      .select(col("click_id"), lit(null).cast("long").as("purchase_id"),
+        col("c_user").as("user_id"), lit(null).cast("long").as("lag_sec"))
+    assert(rows(streaming) == rows(matched.union(expired)))
+    // the outer rows are a strict subset of all clicks: rows still
+    // inside the watermark horizon were withheld, not dropped
+    val nullRows = streaming.filter(col("purchase_id").isNull).count()
+    assert(nullRows > 0 && nullRows < clicks.count())
+  }
 }
