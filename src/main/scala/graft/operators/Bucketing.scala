@@ -49,4 +49,15 @@ object Bucketing {
       .groupBy("o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
+
+  /** Hive-style partitioned layout — the other storage-side lever:
+    * writing a table partitioned by its hot filter column turns that
+    * predicate into DIRECTORY pruning (the scan lists only matching
+    * partitions — `PartitionFilters` in the plan — before reading a
+    * byte), where an unpartitioned layout reads every file and filters
+    * rows. At 100 TB this is the difference between scanning one
+    * event type and scanning the fleet's entire log. Spec-asserted
+    * against the scan's selected partition count. */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(dir)
 }

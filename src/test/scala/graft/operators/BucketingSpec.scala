@@ -58,4 +58,24 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
     }
   }
+
+  test("partitioned layout prunes non-matching event types at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val ev = Tables.events(spark, sf)
+    Bucketing.writePartitioned(ev, dir, "event_type")
+    val filtered = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "event_type")),
+      s"no partition filter on event_type: ${scan.partitionFilters}")
+    // only the click directory is read
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .forall(_.values.getString(0) == "click"))
+    // and the pruned read returns exactly the filtered rows
+    assert(filtered.count() ==
+      ev.filter(col("event_type") === "click").count())
+  }
 }
