@@ -28,10 +28,10 @@ object ScaleBench {
   private val Queries =
     Seq("q19_revenue_by_nation", "q23_text_quality",
       "q27_dedup_minhash_lsh", "q28_dedup_simhash",
-      // round 5: the iterative-join CC (O(log n) rounds claim) and the
-      // broadcast-vocabulary join — both document-table shapes the
-      // bijective scaling preserves
-      "q57_dedup_components", "q63_tfidf")
+      // round 5: the iterative-join CC (O(log n) rounds claim), the
+      // broadcast-vocabulary join, and the full curation pipeline —
+      // document-table shapes the bijective scaling preserves
+      "q57_dedup_components", "q63_tfidf", "q67_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
