@@ -100,6 +100,16 @@ object SparkEntry {
     "q66_knn_sq8" -> ((s, d) => Similarity.qSq8TopK(s, d)),
     "q67_pipeline_e2e" -> ((s, d) => Pipeline.qPipelineE2e(s, d)),
     "q68_stream_left_outer" -> (graft.streaming.EventTime.qStreamStreamLeftOuter _),
+    "q69_incremental_dedup" -> (Dedup.qIncrementalDedup _),
+    "q70_stream_static_join" -> (graft.streaming.EventTime.qStreamStaticJoin _),
+    "q71_chunking" -> ((s, d) => Pipeline.qChunk(s, d)),
+    "q72_quantile_filter" -> ((s, d) => Pipeline.qQuantileFilter(s, d)),
+    "q73_pivot" -> (Relational.qPivot _),
+    "q74_sessionize" -> ((s, d) => Relational.qSessionize(s, d)),
+    // q75: SemDeDup-style clustered semantic dedup — rows-only (k-means
+    // codebook not SQL-expressible); SemanticDedupSpec pins precision
+    // 1.0 and a recall floor vs brute-force all-pairs cosine
+    "q75_semantic_dedup" -> ((s, d) => Dedup.qSemanticDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -641,5 +651,66 @@ object SparkEntry {
          WHERE c.event_type = 'click'
            AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.event_id)
            AND c.ts + INTERVAL 30 MINUTE < wm.w""",
+    // incremental dedup: batch (doc_id % 5 = 0, every third doc's text
+    // replaced by the NEXT corpus doc's text — simulated re-crawl,
+    // injected identically on both sides) against the standing corpus;
+    // a batch doc is new iff its digest is absent from the corpus
+    "q69_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0),
+         batch AS (
+           SELECT b.doc_id, b.source, COALESCE(c.text, b.text) AS text
+           FROM documents b LEFT JOIN corpus c
+             ON c.doc_id = b.doc_id + 1 AND b.doc_id % 15 = 0
+           WHERE b.doc_id % 5 = 0)
+         SELECT source, COUNT(*) AS n_new,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+         FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text))
+         GROUP BY source""",
+    // stream-static join: stateless enrichment, so the batch join is
+    // the exact oracle (every event's user exists in customer)
+    "q70_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    // overlapping chunking: starts at every multiple of 150 strictly
+    // below the doc length, chunk = 200 chars from the start (tail may
+    // be short)
+    "q71_chunking" ->
+      """SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT md5(chunk)) AS n_unique,
+                CAST(SUM(length(chunk)) AS BIGINT) AS sum_chars
+         FROM (SELECT source, substr(text, s + 1, 200) AS chunk
+               FROM documents, unnest(range(0, length(text), 150)) AS t(s))
+         GROUP BY source""",
+    // global-quantile filter: keep docs at/above the corpus p25 of
+    // n_chars (quantile_cont bit-matches Spark's exact percentile)
+    "q72_quantile_filter" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, 0.25) AS thr FROM documents)
+         SELECT source, COUNT(*) AS n_kept,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+         FROM documents, t WHERE n_chars >= t.thr GROUP BY source""",
+    // pivot: one conditional count per pinned event type
+    "q73_pivot" ->
+      """SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
+                CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+                CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+                CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+                CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+                CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         FROM events GROUP BY 1""",
+    // batch sessionization: same 10-minute-gap session rule as q39,
+    // no watermark cutoff (every session counts); tied timestamps sit
+    // in one session regardless of tie order, so the walk is
+    // order-deterministic
+    "q74_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess FROM t),
+         g AS (SELECT user_id, sess, COUNT(*) AS n_events FROM s GROUP BY user_id, sess)
+         SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+                CAST(SUM(n_events) AS BIGINT) AS n_events
+         FROM g GROUP BY user_id""",
   )
 }

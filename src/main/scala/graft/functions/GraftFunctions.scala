@@ -51,5 +51,27 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprint(text[, k, w]) requires literal integer k and w")
       }, "built-in")
+    // Spark's own runtime-filter bloom machinery (the expressions behind
+    // spark.sql.optimizer.runtime.bloomFilter), surfaced for explicit
+    // use: bloom_filter_agg(xxhash64(x), estItems) aggregates a binary
+    // bloom filter; bloom_might_contain(bloomBytes, xxhash64(x)) probes
+    // it (false = DEFINITELY absent — the no-false-negative side the
+    // incremental-dedup prefilter relies on).
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, est) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(hash[, estimatedItems]) takes 1 or 2 arguments")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(b, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, v)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(bloom, hash) takes exactly 2 arguments")
+      }, "built-in")
   }
 }

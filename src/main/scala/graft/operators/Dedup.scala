@@ -371,6 +371,115 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("component"))
   }
 
+  /** Rows of `batch` whose `textCol` content does NOT already exist in
+    * `corpus` — the INCREMENTAL-ingest dedup primitive: a pipeline that
+    * re-crawls daily dedups each new batch against the accumulated
+    * corpus, not the batch against itself.
+    *
+    * Scale shape: the corpus is folded into a bloom filter over
+    * xxhash64(text) (Spark's own runtime-filter bloom aggregate — a
+    * mergeable per-partition sketch, bytes ∝ expected items, collected
+    * once to the driver like any runtime filter) and broadcast as a
+    * literal into the batch scan. Bloom "false" is DEFINITELY-new (no
+    * false negatives), so those rows pass with ZERO shuffle; only the
+    * "maybe" rows (true dups + ~fpp false positives) reach the exact
+    * digest anti-join. At 100 TB-corpus/1 TB-batch the anti-join
+    * shuffles a few percent of the batch instead of all of it, and the
+    * corpus side can be a pre-bucketed digest table. The result is
+    * EXACT regardless of the bloom's fpp — the filter only routes. */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame, textCol: String,
+      expectedCorpusItems: Long = 1000000): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val bloomBytes = corpus
+      .select(xxhash64(col(textCol)).as("h"))
+      .agg(call_function("bloom_filter_agg", col("h"), lit(expectedCorpusItems)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bloomBytes == null) return batch // empty corpus: everything is new
+    val maybeDup = call_function("bloom_might_contain",
+      lit(bloomBytes), xxhash64(col(textCol)))
+    val flagged = batch.withColumn("__maybe_dup", maybeDup)
+    val definiteNew = flagged.filter(!col("__maybe_dup")).drop("__maybe_dup")
+    val verifiedNew = flagged.filter(col("__maybe_dup")).drop("__maybe_dup")
+      .withColumn("__digest", md5(col(textCol).cast("binary")))
+      .join(corpus.select(md5(col(textCol).cast("binary")).as("__digest")).distinct(),
+        Seq("__digest"), "left_anti")
+      .drop("__digest")
+    definiteNew.unionByName(verifiedNew)
+  }
+
+  /** q69: incremental dedup of a "re-crawl" batch against the standing
+    * corpus. Corpus = docs with doc_id % 5 != 0; batch = the rest, with
+    * every third batch doc's text replaced by the text of the next
+    * corpus doc (deterministic injection mirrored in the oracle — the
+    * synthetic tables have no natural exact dups, same device as q58's
+    * PII). Reports the genuinely-new batch docs per source. The bloom
+    * routing is invisible in the result (exactness is oracle-checked);
+    * IncrementalDedupSpec asserts the routing itself — every true dup
+    * is flagged "maybe" and the definite-new set skips the join. */
+  def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val crawlSrc = corpus.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("crawl_text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .join(crawlSrc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 15 === 0 && col("crawl_text").isNotNull, col("crawl_text"))
+          .otherwise(col("text")).as("text"))
+    incrementalNew(corpus, batch, "text")
+      .groupBy("source")
+      .agg(count("*").as("n_new"),
+        sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+  }
+
+  /** q75: SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023 —
+    * public): cluster the embedding space with a seeded k-means
+    * codebook, generate candidate pairs only WITHIN a cluster, verify
+    * with exact cosine, and drop the higher id of each verified pair.
+    * This is the embedding-space analogue of LSH dedup: the codebook
+    * confines the O(n²) pair space to O(Σ cluster²), and at 100 TB the
+    * k-means fit runs on a bounded sample (`trainCap`) while assignment
+    * stays a broadcast of k centroids against a single corpus scan.
+    * Output: totals (n_vectors / n_dropped / n_kept). Probabilistic
+    * (cross-cluster near-dups are missed by design) — rows-only in the
+    * gate; SemanticDedupSpec pins precision 1.0 and a recall floor
+    * against brute-force all-pairs. */
+  def qSemanticDedup(s: SparkSession, d: String, clusters: Int = 16,
+      threshold: Double = 0.35, trainCap: Long = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(clusters).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val dropped = semanticPairs(assigned, threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.agg(count("*").as("n_vectors"))
+      .crossJoin(dropped.agg(count("*").as("n_dropped")))
+      .select(col("n_vectors"), col("n_dropped"),
+        (col("n_vectors") - col("n_dropped")).as("n_kept"))
+  }
+
+  /** Within-cluster verified cosine pairs from a (vec_id, embedding,
+    * cell) assignment — the candidate generator of [[qSemanticDedup]],
+    * exposed for the spec's precision/recall measurement. */
+  private[graft] def semanticPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSimilarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
   private val lastMinhashCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()

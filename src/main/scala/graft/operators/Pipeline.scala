@@ -195,6 +195,45 @@ object Pipeline {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** q71: overlapping document chunking — the context-window
+    * preparation op (training sequences / RAG passages): fixed-size
+    * character chunks every `stride` chars (chunks overlap by
+    * size − stride so no boundary content is lost). One `transform` +
+    * `explode` per doc — map-side, chunk count ∝ doc length, nothing
+    * shuffles until the per-source rollup; at 100 TB this is a single
+    * scan emitting chunks. Start offsets are every multiple of `stride`
+    * strictly below the doc length (the tail chunk may be short). */
+  def chunkColumn(text: Column, size: Int, stride: Int): Column =
+    explode(transform(
+      sequence(lit(0), length(text) - 1, lit(stride)),
+      st => text.substr(st + lit(1), lit(size))))
+
+  def qChunk(s: SparkSession, d: String, size: Int = 200, stride: Int = 150): DataFrame =
+    documents(s, d)
+      .select(col("source"), chunkColumn(col("text"), size, stride).as("chunk"))
+      .groupBy("source")
+      .agg(count("*").as("n_chunks"),
+        count_distinct(md5(col("chunk").cast("binary"))).as("n_unique"),
+        sum(length(col("chunk"))).cast("long").as("sum_chars"))
+
+  /** q72: global-quantile filtering — keep documents at or above the
+    * corpus's 25th length percentile: the two-pass "compute a global
+    * statistic, broadcast it, filter the scan" shape quality pipelines
+    * use for adaptive thresholds. The exact `percentile` anchors the
+    * oracle (bit-matches DuckDB quantile_cont, as q47 established); at
+    * 100 TB the one-row threshold comes from `percentile_approx`
+    * (mergeable sketch, q49's scale path) and broadcasts identically —
+    * the filter pass is a plain scan predicate either way. */
+  def qQuantileFilter(s: SparkSession, d: String, q: Double = 0.25): DataFrame = {
+    val docs = documents(s, d)
+    val thr = docs.agg(expr(s"percentile(n_chars, $q)").as("thr"))
+    docs.crossJoin(broadcast(thr))
+      .filter(col("n_chars") >= col("thr"))
+      .groupBy("source")
+      .agg(count("*").as("n_kept"),
+        sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+  }
+
   /** q60: deterministic stratified hash sampling — the reproducible
     * corpus-sampling primitive (seeded `sample()` is partition-layout
     * dependent; a content-hash threshold is stable across cluster

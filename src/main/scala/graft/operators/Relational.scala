@@ -274,4 +274,56 @@ object Relational {
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("asof_o_orderdate")).as("asof_order_sec"))
   }
+
+  /** Event types present in the synthetic events table — pinned so the
+    * pivot never runs the driver-side values-discovery job
+    * (`pivot(col)` without values collects DISTINCT to the driver; with
+    * an explicit list the plan is a single pass at any scale). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q73: pivot — hourly event counts with one column per event type
+    * (long-to-wide, the report/feature-matrix shape). Single
+    * aggregation pass: each pivot cell is a conditional count folded
+    * map-side, so the shuffle carries (hour × types) partial rows.
+    * Absent combinations surface as null from `pivot`; filled to 0 to
+    * match the conditional-count oracle. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+
+  /** q74: batch sessionization (gaps-and-islands) — per-user sessions
+    * split at >= 10-minute silences, built from `lag` + a running sum
+    * of session-start markers, then per-user session stats. The batch
+    * counterpart of q39's streaming `session_window` (same gap rule,
+    * no watermark cutoff — every session counts). Scale: both windows
+    * partition by user_id, so the whole query is ONE shuffle on the
+    * user key followed by partition-local ordered walks; no global
+    * sort anywhere. Timestamp comparisons stay in the timestamp domain
+    * (µs-exact) rather than flooring to seconds. */
+  def qSessionize(s: SparkSession, d: String, gapMinutes: Int = 10): DataFrame =
+    sessionize(events(s, d).select(col("user_id"), col("ts")), gapMinutes)
+
+  /** Gaps-and-islands sessionization of a (user_id, ts) DataFrame —
+    * the reusable core of [[qSessionize]], crafted-input-tested in
+    * OperatorsSpec. */
+  def sessionize(ev: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val cum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(byUser)
+    ev
+      .withColumn("new_sess",
+        when(prev.isNull ||
+          col("ts") >= prev + expr(s"INTERVAL $gapMinutes minutes"), 1).otherwise(0))
+      .withColumn("sess", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess")
+      .agg(count("*").as("n_ev"))
+      .groupBy("user_id")
+      .agg(count("*").as("n_sessions"),
+        max("n_ev").as("max_session_events"),
+        sum("n_ev").cast("long").as("n_events"))
+  }
 }

@@ -223,6 +223,27 @@ object EventTime {
       s)
   }
 
+  /** q70: STREAM-STATIC join — the enrichment shape every trigger
+    * pipeline runs (the reference's `onTriggerFired` does a per-record
+    * key lookup; declaratively that is the stream joined to a static
+    * dimension): each event enriched with the customer's market
+    * segment. The static side is broadcast into every micro-batch —
+    * stateless (no watermark, no state store), so at 100 TB of stream
+    * the per-batch cost is one broadcast-hash-join probe per record and
+    * the dimension is read fresh each batch (dimension updates are
+    * picked up on the next batch — the standard slowly-changing-dim
+    * behavior). Batch join is the exact oracle. */
+  def qStreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.operators.Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment"))
+    runToTable(
+      eventsStream(s, d)
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(dim), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("mktsegment")),
+      s)
+  }
+
   /** Event-time windows over the custom `graft-log` DataSourceV2
     * source — the composition of the two streaming subsystems: trigger
     * data whose record id carries the event time (`idMs`, the

@@ -68,6 +68,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_kept") > 0 && r.getAs[Long]("n_kept") <= total)
   }
 
+  test("sessionize: crafted gaps split sessions exactly at the 10-minute rule") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // user 1: gaps 5, 10, 3 → sessions {2 events}, {2 events}
+    // user 2: single event → one 1-event session
+    // user 3: gaps 9,59; 9 < 10 merges, 59 splits → {2},{1}
+    val ev = Seq(
+      (1L, at(0)), (1L, at(5)), (1L, at(15)), (1L, at(18)),
+      (2L, at(40)),
+      (3L, at(0)), (3L, at(9)), (3L, at(68))).toDF("user_id", "ts")
+    val got = Relational.sessionize(ev, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 4L)))
+    assert(got(2L) == ((1L, 1L, 1L)))
+    assert(got(3L) == ((2L, 2L, 3L)))
+  }
+
+  test("pivot: pinned value list avoids the distinct job and fills absent cells with 0") {
+    val df = Relational.qPivot(spark, sf)
+    assert(df.columns.toSeq == ("hour_ts" +: Relational.EventTypes))
+    // no nulls anywhere (absent combos filled), totals match raw count
+    val total = Relational.EventTypes
+      .map(t => df.agg(sum(col(t))).head().getLong(0)).sum
+    assert(total == Tables.events(spark, sf).count())
+    assert(df.filter(Relational.EventTypes.map(col(_).isNull).reduce(_ || _)).count() == 0)
+  }
+
   test("media features: stub decode is deterministic and fixed-dim") {
     val a = Multimodal.stubDecode("hello world".getBytes)
     val b = Multimodal.stubDecode("hello world".getBytes)

@@ -94,6 +94,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(packed.map(_._4).sum == rawTokens)
   }
 
+  test("chunking: counts, overlap, and lossless reconstruction on crafted lengths") {
+    import spark.implicits._
+    // lengths around the stride/size boundaries: 1, exactly one stride,
+    // one past the stride, and multi-chunk
+    val texts = Seq("x" * 1, "a" * 150, "b" * 151, ("abcde" * 80)) // 1,150,151,400
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val chunks = df.select(col("id"), Pipeline.chunkColumn(col("text"), 200, 150).as("chunk"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(chunks(0L).map(_.length) == Seq(1))
+    assert(chunks(1L).map(_.length) == Seq(150))
+    assert(chunks(2L).map(_.length) == Seq(151, 1)) // tail chunk may be short
+    assert(chunks(3L).map(_.length) == Seq(200, 200, 100))
+    // overlap: consecutive chunks share size - stride = 50 chars
+    val c3 = chunks(3L)
+    assert(c3(0).takeRight(50) == c3(1).take(50))
+    // lossless: stride-prefixes + final chunk reconstruct the text
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val cs = chunks(i.toLong)
+      assert(cs.init.map(_.take(150)).mkString + cs.last == t)
+    }
+  }
+
+  test("quantile filter: threshold matches driver-side percentile, subset kept") {
+    val docs = Tables.documents(spark, sf)
+    val lens = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    // Spark `percentile` linear interpolation at q = 0.25
+    val rank = 0.25 * (lens.length - 1)
+    val (lo, hi) = (lens(rank.toInt), lens(math.ceil(rank).toInt))
+    val thr = lo + (rank - rank.toInt) * (hi - lo)
+    val kept = Pipeline.qQuantileFilter(spark, sf).agg(sum("n_kept")).head().getLong(0)
+    val want = lens.count(_ >= thr)
+    assert(kept == want, s"kept $kept vs driver-side $want (thr=$thr)")
+  }
+
   test("vocabulary: counts non-increasing, top token matches a driver-side count") {
     val vocab = Pipeline.qVocabulary(spark, sf, 50).collect()
       .map(r => r.getString(0) -> r.getLong(1))

@@ -142,6 +142,18 @@ class EventTimeSpec extends AnyFunSuite {
     assert(streaming.count() > 0, "test data should produce attributed pairs")
   }
 
+  test("q70: stream-static join equals the batch join (stateless enrichment)") {
+    val streaming = EventTime.qStreamStaticJoin(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment")),
+        Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("mktsegment"))
+    assert(rows(streaming) == rows(batch))
+    assert(streaming.count() > 0)
+  }
+
   test("q68: left-outer join null-extends exactly the watermark-expired clicks") {
     val streaming = EventTime.qStreamStreamLeftOuter(spark, sf)
     val ev = Tables.events(spark, sf)
