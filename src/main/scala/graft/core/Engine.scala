@@ -51,7 +51,12 @@ final class StreamDeliveryException(val failures: Seq[String])
   * functions declared [[FunctionFlags.NoWrites]] — the reference's
   * replica/OOM write gating (E13, `lib.rs:1293-1313`). */
 final class FunctionContext private[core] (
-    val engine: Engine, val library: String, val readOnly: Boolean) {
+    val engine: Engine, val library: String, val readOnly: Boolean,
+    // Some((shardId, shardCount)) for cluster-function invocations
+    // (C7/C8): the context sees only its virtual shard's keyspace —
+    // foreign keys raise [[ShardMovedException]] (on a real cluster
+    // they are simply not on this node)
+    private[core] val shardScope: Option[(Int, Int)] = None) {
   def spark: SparkSession = engine.spark
   def state: StateTable = engine.state
 
@@ -59,15 +64,28 @@ final class FunctionContext private[core] (
     if (readOnly) throw new IllegalStateException(
       s"function declared ${FunctionFlags.NoWrites} attempted a write")
 
+  private def inShard(key: String): Boolean = shardScope match {
+    case Some((id, n)) => Engine.shardOf(key, n) == id
+    case None => true
+  }
+  private def checkShard(key: String): Unit = shardScope.foreach { case (id, n) =>
+    val owner = Engine.shardOf(key, n)
+    if (owner != id) throw new ShardMovedException(
+      s"MOVED: key '$key' hashes to shard $owner, this context is shard $id of $n")
+  }
+
   // every key access is checked against the library's owning ACL user
   // at call time (lib.rs:506-517; revocation applies immediately).
-  private def checkRead(key: String): Unit = engine.aclCheck(library, key, write = false)
+  private def checkRead(key: String): Unit = {
+    checkShard(key); engine.aclCheck(library, key, write = false)
+  }
   private def checkWrite(key: String): Unit = {
-    requireWrites(); engine.aclCheck(library, key, write = true)
+    requireWrites(); checkShard(key); engine.aclCheck(library, key, write = true)
   }
   private def canRead(key: String): Boolean =
-    try { engine.aclCheck(library, key, write = false); true }
-    catch { case _: AclException => false }
+    inShard(key) &&
+      (try { engine.aclCheck(library, key, write = false); true }
+       catch { case _: AclException => false })
 
   def get(key: String): Option[String] = { checkRead(key); engine.state.get(key) }
   def hget(key: String, field: String): Option[String] = { checkRead(key); engine.state.hget(key, field) }
@@ -118,9 +136,11 @@ final class FunctionContext private[core] (
     * partial state. */
   def atomic[T](body: StateTable.Txn => T): T = {
     requireWrites()
-    // the transaction's key accesses carry the same per-key ACL checks
-    // as the direct context methods
-    engine.state.commitGuarded((k, w) => engine.aclCheck(library, k, w))(body)
+    // the transaction's key accesses carry the same per-key ACL (and
+    // shard) checks as the direct context methods
+    engine.state.commitGuarded { (k, w) =>
+      checkShard(k); engine.aclCheck(library, k, w)
+    }(body)
   }
 
   /** C5 (`client.executeAsync`): escape from a sync function to the
@@ -136,16 +156,29 @@ final class FunctionContext private[core] (
     engine.scheduleAsync(library, readOnly, body)
 
   /** Run a registered cluster function for a specific key (C7
-    * `runOnKey`) — in Spark the data for a key is reachable from any
-    * task, so this is a direct invocation with the key as routing arg. */
-  def runOnKey(key: String, remoteFn: String, args: RespValue*): RespValue =
-    engine.runClusterFunction(library, remoteFn, RespString(key) +: args.toSeq)
+    * `runOnKey`): the invocation is ROUTED to the key's virtual shard —
+    * the context it receives sees that shard's keyspace only, exactly
+    * like the reference's libmr record routed to the key's slot owner.
+    * The routing key rides in front of the caller's args. */
+  def runOnKey(key: String, remoteFn: String, args: RespValue*): RespValue = {
+    val n = engine.shardCount
+    engine.runClusterFunction(library, remoteFn, RespString(key) +: args.toSeq,
+      scope = Some((Engine.shardOf(key, n), n)))
+  }
 
-  /** Run a registered cluster function "on all shards" (C8
-    * `runOnShards`) and gather. Spark has no user-visible shards; the
-    * single invocation receives the full distributed view. */
-  def runOnShards(remoteFn: String, args: RespValue*): Seq[RespValue] =
-    Seq(engine.runClusterFunction(library, remoteFn, args.toSeq))
+  /** Run a registered cluster function on EVERY virtual shard (C8
+    * `runOnShards`) and gather one result per shard. Each invocation's
+    * context is scoped to its shard (its `scan` sees only shard-local
+    * keys; foreign keys raise MOVED), so the fan-out/gather contract
+    * matches the reference's libmr run-on-all-shards: N partial views,
+    * caller combines. `shard-count` config sets N (the engine is one
+    * process, so shards are a data-partitioning contract, not separate
+    * failure domains). */
+  def runOnShards(remoteFn: String, args: RespValue*): Seq[RespValue] = {
+    val n = engine.shardCount
+    (0 until n).map(id =>
+      engine.runClusterFunction(library, remoteFn, args.toSeq, scope = Some((id, n))))
+  }
 }
 
 /** Collected registrations of one library — what the reference gathers
@@ -351,7 +384,13 @@ final class Engine(val spark: SparkSession,
     // function_load_command.rs:288-351; step-debugging Scala closures
     // is the IDE's job, so the engine captures per-invocation records
     // instead). 0 = off; N = keep the last N invocations engine-wide.
-    "trace-buffer-size" -> "0")
+    "trace-buffer-size" -> "0",
+    // virtual shard count for cluster functions (C7/C8): runOnShards
+    // fans out one scoped invocation per shard; runOnKey routes to the
+    // key's shard (Redis cluster CRC16 slots, contiguous ranges)
+    "shard-count" -> "4")
+
+  private[core] def shardCount: Int = engineConfig("shard-count").toInt
 
   def configSet(key: String, value: String): Unit = {
     key match {
@@ -367,6 +406,10 @@ final class Engine(val spark: SparkSession,
         if (scala.util.Try(value.toInt).toOption.forall(_ < 0))
           throw new IllegalArgumentException(
             s"trace-buffer-size must be a non-negative count, got '$value'")
+      case "shard-count" =>
+        if (scala.util.Try(value.toInt).toOption.forall(_ <= 0))
+          throw new IllegalArgumentException(
+            s"shard-count must be a positive count, got '$value'")
       case other => throw new NoSuchElementException(s"unknown config key '$other'")
     }
     engineConfig.put(key, value)
@@ -592,7 +635,8 @@ final class Engine(val spark: SparkSession,
   // deadlocking on — the bounded execution pool
   private val remotePool: ExecutorService = Executors.newCachedThreadPool()
 
-  private[core] def runClusterFunction(lib: String, fn: String, args: Seq[RespValue]): RespValue = {
+  private[core] def runClusterFunction(lib: String, fn: String, args: Seq[RespValue],
+      scope: Option[(Int, Int)] = None): RespValue = {
     val l = libraries.getOrElse(lib, throw new NoSuchElementException(s"no such library '$lib'"))
     val f = l.builder.clusterFunctions.getOrElse(fn,
       throw new NoSuchElementException(s"no such cluster function '$lib.$fn'"))
@@ -604,9 +648,9 @@ final class Engine(val spark: SparkSession,
     // timeout bounds the async path, where the reference's libmr
     // remote-task timeout applies (lib.rs:1913).
     if (!state.isBlockAllowed)
-      return f.fn(new FunctionContext(Engine.this, lib, readOnly = true), args)
+      return f.fn(new FunctionContext(Engine.this, lib, readOnly = true, scope), args)
     val task = remotePool.submit(new java.util.concurrent.Callable[RespValue] {
-      def call(): RespValue = f.fn(new FunctionContext(Engine.this, lib, readOnly = true), args)
+      def call(): RespValue = f.fn(new FunctionContext(Engine.this, lib, readOnly = true, scope), args)
     })
     try task.get(timeoutMs, TimeUnit.MILLISECONDS)
     catch {
@@ -683,7 +727,44 @@ object Engine {
   /** Library/function name charset, `lib.rs:1703-1713`. */
   def validName(n: String): Boolean =
     n.nonEmpty && n.forall(c => c.isLetterOrDigit && c < 128 || c == '_')
+
+  /** Redis cluster key slots (public cluster spec): CRC16-CCITT/XMODEM
+    * of the key (honoring `{hashtag}` routing — only the first tag's
+    * content hashes, so callers can pin related keys to one shard),
+    * modulo 16384. */
+  val NumSlots = 16384
+  def keySlot(key: String): Int = {
+    val tagged = {
+      val open = key.indexOf('{')
+      if (open >= 0) {
+        val close = key.indexOf('}', open + 1)
+        if (close > open + 1) key.substring(open + 1, close) else key
+      } else key
+    }
+    var crc = 0
+    tagged.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      crc ^= (b & 0xff) << 8
+      var i = 0
+      while (i < 8) {
+        crc = if ((crc & 0x8000) != 0) (crc << 1) ^ 0x1021 else crc << 1
+        i += 1
+      }
+      crc &= 0xffff
+    }
+    crc % NumSlots
+  }
+
+  /** Virtual shard of a key: contiguous slot ranges assigned evenly to
+    * `shards` shards — the same slots→nodes mapping a fresh Redis
+    * cluster uses. */
+  def shardOf(key: String, shards: Int): Int =
+    (keySlot(key).toLong * shards / NumSlots).toInt
 }
+
+/** Raised when a shard-scoped cluster-function context touches a key
+  * owned by another shard — the engine's MOVED analogue (on a real
+  * cluster the key simply is not on this node). */
+final class ShardMovedException(msg: String) extends RuntimeException(msg)
 
 /** One traced invocation (see [[Engine.trace]]). */
 case class TraceEntry(library: String, function: String, isAsync: Boolean,
