@@ -25,11 +25,16 @@ object Bench {
 
   /** Timed but excluded from the headline total (keeps the r1-baseline
     * comparison stable): representative round-5 additions — transitive
-    * dedup clustering, regex PII redaction, TF-IDF. */
+    * dedup clustering, regex PII redaction, TF-IDF, bloom-routed
+    * incremental dedup, batch sessionization, and clustered semantic
+    * dedup (k-means fit included in its timing). */
   val extras: Seq[String] = Seq(
     "q57_dedup_components",
     "q58_pii_redact",
     "q63_tfidf",
+    "q69_incremental_dedup",
+    "q74_sessionize",
+    "q75_semantic_dedup",
   )
 
   def main(args: Array[String]): Unit = {

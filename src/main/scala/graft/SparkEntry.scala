@@ -110,6 +110,10 @@ object SparkEntry {
     // codebook not SQL-expressible); SemanticDedupSpec pins precision
     // 1.0 and a recall floor vs brute-force all-pairs cosine
     "q75_semantic_dedup" -> ((s, d) => Dedup.qSemanticDedup(s, d)),
+    // q76: Misra-Gries heavy hitters — rows-only (estimates are
+    // merge-order-dependent within the n/m band); HeavyHittersSpec
+    // pins presence and both error bounds against exact counts
+    "q76_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -210,4 +210,24 @@ object TextAnalysis {
       .select(col("doc_id"), winnowFingerprint(col("text"), 8, 4).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
   }
+
+  /** q76: approximate heavy hitters over the corpus's tokens — the
+    * Misra–Gries mergeable sketch ([[graft.functions.MisraGries]]):
+    * ≤ m counters per partition, counter-space merge, so the gather is
+    * O(partitions · m) where exact top-k (q55) shuffles the whole
+    * vocabulary. Every token with true count > n/m is guaranteed
+    * reported, with estimate in [true − n/m, true] — pinned against
+    * exact counts by HeavyHittersSpec; estimates are merge-order-
+    * dependent within the band, so rows-only in the gate. */
+  def qHeavyHitters(s: SparkSession, d: String, m: Int = 64): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .as[String]
+    toks.select(new graft.functions.MisraGries(m).toColumn.name("hh"))
+      .toDF("hh")
+      .select(explode(col("hh")).as("kv"))
+      .select(col("kv._1").as("term"), col("kv._2").as("est_count"))
+  }
 }
