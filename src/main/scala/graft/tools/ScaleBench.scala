@@ -29,9 +29,11 @@ object ScaleBench {
     Seq("q19_revenue_by_nation", "q23_text_quality",
       "q27_dedup_minhash_lsh", "q28_dedup_simhash",
       // round 5: the iterative-join CC (O(log n) rounds claim), the
-      // broadcast-vocabulary join, and the full curation pipeline —
-      // document-table shapes the bijective scaling preserves
-      "q57_dedup_components", "q63_tfidf", "q67_pipeline_e2e")
+      // broadcast-vocabulary join, the full curation pipeline, and the
+      // bloom-routed incremental dedup — document-table shapes the
+      // bijective scaling preserves
+      "q57_dedup_components", "q63_tfidf", "q67_pipeline_e2e",
+      "q69_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
