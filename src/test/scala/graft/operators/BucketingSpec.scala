@@ -78,4 +78,31 @@ class BucketingSpec extends AnyFunSuite {
     assert(filtered.count() ==
       ev.filter(col("event_type") === "click").count())
   }
+
+  test("range-sorted layout: disjoint per-file ranges, window touches a strict file subset") {
+    val dir = Files.createTempDirectory("graft-rs").toString + "/events"
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "value")
+    Bucketing.writeRangeSorted(ev, dir, "event_id", files = 8)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.toString).sorted
+    assert(parts.length > 1, "need multiple files for disjointness to mean anything")
+    // per-file min/max of the sort column — the stats parquet row-group
+    // skipping uses; range layout makes them pairwise disjoint
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p).agg(min("event_id"), max("event_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $hi >= $lo2")
+      case _ => ()
+    }
+    // a window predicate's rows live in a strict subset of files
+    val (lo, hi) = (100L, 400L)
+    val touching = ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
+    assert(touching < parts.length, "window should not touch every file")
+    // correctness unchanged by the layout
+    assert(spark.read.parquet(dir).filter(col("event_id").between(lo, hi)).count() ==
+      ev.filter(col("event_id").between(lo, hi)).count())
+  }
 }
