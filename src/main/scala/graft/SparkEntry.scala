@@ -114,6 +114,10 @@ object SparkEntry {
     // merge-order-dependent within the n/m band); HeavyHittersSpec
     // pins presence and both error bounds against exact counts
     "q76_heavy_hitters" -> ((s, d) => TextAnalysis.qHeavyHitters(s, d)),
+    // q77: winnowing-based containment detection — rows-only (rolling-
+    // hash fingerprints not SQL-expressible); ContainmentSpec asserts
+    // every planted containment is found and the exact verify holds
+    "q77_containment" -> ((s, d) => Dedup.qContainment(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -480,6 +480,55 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** q77: cross-document CONTAINMENT detection — the quotation/wrapping
+    * case (doc A embeds doc B verbatim: boilerplate-wrapped articles,
+    * quoted posts, concatenated crawls) that symmetric near-dup misses
+    * when the container is much longer than the contained (Jaccard of
+    * a 10× wrapper vs its payload is ~0.1, far under any dedup
+    * threshold). Winnowing gives the asymmetric test: a verbatim
+    * substring's INTERIOR fingerprint windows select identically in
+    * both documents, so |fp(B) ∩ fp(A)| / |fp(B)| ≈ 1 when A contains
+    * B (only windows straddling B's boundary in A can differ) while
+    * unrelated docs share almost nothing. Candidates at `minShare`
+    * are verified with an exact `contains` — precision 1.0.
+    *
+    * The synthetic corpus has no natural containments, so every 7th
+    * doc is injected to swallow the next doc's text verbatim (q58/q69's
+    * deterministic-injection device); ContainmentSpec asserts all
+    * planted pairs are found and every reported pair passes the exact
+    * verify. Rows-only in the gate (winnowing is not SQL-expressible).
+    *
+    * Scale shape: explode distinct fingerprints → equi-self-join on
+    * the 64-bit hash (longs only, no text in the shuffle) → per-pair
+    * count vs the contained side's fingerprint count → exact verify
+    * joins text back for the candidate pairs only. */
+  def qContainment(s: SparkSession, d: String, minShare: Double = 0.8): DataFrame = {
+    GraftFunctions.register(s)
+    val docs0 = documents(s, d)
+    val nxt = docs0.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+    val docs = docs0.join(nxt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0 && col("next_text").isNotNull,
+          concat(col("text"), lit(" "), col("next_text")))
+          .otherwise(col("text")).as("text"))
+    val fp = docs.select(col("doc_id"),
+      array_distinct(winnowFingerprint(col("text"), 8, 4)).as("fp"))
+    val ex = fp.select(col("doc_id"), explode(col("fp")).as("h"))
+    val shared = ex.select(col("h"), col("doc_id").as("container"))
+      .join(ex.select(col("h"), col("doc_id").as("contained")), Seq("h"))
+      .filter(col("container") =!= col("contained"))
+      .groupBy("container", "contained").agg(count("*").as("n_shared"))
+    val candidates = shared
+      .join(fp.select(col("doc_id").as("contained"), size(col("fp")).as("n_fp")),
+        Seq("contained"))
+      .filter(col("n_fp") > 0 && col("n_shared") >= col("n_fp") * minShare)
+    candidates
+      .join(docs.select(col("doc_id").as("container"), col("text").as("t_a")), Seq("container"))
+      .join(docs.select(col("doc_id").as("contained"), col("text").as("t_b")), Seq("contained"))
+      .filter(col("t_a").contains(col("t_b")))
+      .select(col("container"), col("contained"))
+  }
+
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
   private val lastMinhashCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
