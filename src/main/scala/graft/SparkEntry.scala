@@ -118,6 +118,10 @@ object SparkEntry {
     // hash fingerprints not SQL-expressible); ContainmentSpec asserts
     // every planted containment is found and the exact verify holds
     "q77_containment" -> ((s, d) => Dedup.qContainment(s, d)),
+    // q78: BPE merge learning — rows-only (iterative training is not
+    // SQL-expressible); BpeSpec asserts the exact merge sequence
+    // against a driver-side reference implementation
+    "q78_bpe_merges" -> ((s, d) => Pipeline.qBpeMerges(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

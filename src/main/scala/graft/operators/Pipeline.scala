@@ -234,6 +234,75 @@ object Pipeline {
         sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
   }
 
+  /** Distributed BPE merge learning — the tokenizer-TRAINING primitive
+    * (q55 builds a unigram vocabulary; real subword tokenizers learn
+    * MERGES). Works the way production trainers do: ONE corpus-sized
+    * pass builds the word-frequency table, then every merge round runs
+    * over that VOCAB-sized table (Heaps' law: sublinear in corpus
+    * size), so 100 TB of text costs one aggregation plus rounds over a
+    * few million rows. Each round: count adjacent symbol pairs
+    * weighted by word frequency (explode + sum), pick the argmax
+    * (count desc, pair asc — the deterministic tie-break that makes
+    * the whole procedure engine-independent), and apply the merge with
+    * a left-to-right non-overlapping fold (`aggregate` HOF — the
+    * merged symbol a+b can never equal `a`, so no flag is needed).
+    * The per-round argmax is a 1-row driver collect — a control-plane
+    * read, like connected components' convergence probe; lineage is
+    * truncated with localCheckpoint each round.
+    *
+    * Returns the learned merges in order: (rank, left, right). */
+  def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String)] = {
+    val spark = docs.sparkSession
+    // one corpus pass: word frequencies, words as character-symbol arrays
+    var vocab = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count("*").as("cnt"))
+      .select(split(col("w"), "").as("symbols"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val best = vocab
+        .filter(size(col("symbols")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("symbols")) - 1),
+          i => struct(element_at(col("symbols"), i).as("a"),
+            element_at(col("symbols"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        merges += ((rank, a, b))
+        // left-to-right non-overlapping merge of (a, b) -> a+b
+        val merged = concat(lit(a), lit(b))
+        vocab = vocab.withColumn("symbols",
+            aggregate(col("symbols"), array().cast("array<string>"),
+              (acc, s) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === a && s === b,
+                concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+                .otherwise(concat(acc, array(s)))))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** q78: the first 30 BPE merges learned from the corpus — rows-only
+    * in the gate (iterative training is not SQL-expressible); BpeSpec
+    * asserts the EXACT merge sequence against a driver-side reference
+    * implementation (deterministic by the tie-break). */
+  def qBpeMerges(s: SparkSession, d: String, numMerges: Int = 30): DataFrame = {
+    import s.implicits._
+    learnBpeMerges(documents(s, d), "text", numMerges)
+      .toDF("rank", "left", "right")
+  }
+
   /** q60: deterministic stratified hash sampling — the reproducible
     * corpus-sampling primitive (seeded `sample()` is partition-layout
     * dependent; a content-hash threshold is stable across cluster
