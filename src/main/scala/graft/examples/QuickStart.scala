@@ -93,6 +93,20 @@ object QuickStart {
     println("drain => " + engine.call("jobs", "drain"))
     println("trimmed " + engine.streams.trimLog(log) + " acked records from the log")
 
+    // round-5 surface: cluster functions with real virtual-shard
+    // semantics — runOnShards gathers one shard-local view per shard
+    // (Redis-cluster CRC16 slots), runOnKey routes to the key's shard
+    engine.load(LibraryDefinition("cluster", code = { lib =>
+      lib.registerClusterFunction("local_count", (ctx, _) =>
+        RespLong(ctx.scan("count:").size.toLong))
+      lib.registerFunction("global_count", (ctx, _) => {
+        val parts = ctx.runOnShards("local_count")
+        RespLong(parts.map(_.asInstanceOf[RespLong].v).sum)
+      })
+    }))
+    println("count:* keys gathered across " + engine.configGet("shard-count") +
+      " shards = " + engine.call("cluster", "global_count"))
+
     engine.close()
     spark.stop()
   }

@@ -488,9 +488,10 @@ object Dedup {
     * threshold). Winnowing gives the asymmetric test: a verbatim
     * substring's INTERIOR fingerprint windows select identically in
     * both documents, so |fp(B) ∩ fp(A)| / |fp(B)| ≈ 1 when A contains
-    * B (only windows straddling B's boundary in A can differ) while
-    * unrelated docs share almost nothing. Candidates at `minShare`
-    * are verified with an exact `contains` — precision 1.0.
+    * B (only windows straddling B's boundary in A can differ — the
+    * winnowing locality property, Schleimer/Wilkerson/Aiken SIGMOD'03)
+    * while unrelated docs share almost nothing. Candidates at
+    * `minShare` are verified with an exact `contains` — precision 1.0.
     *
     * The synthetic corpus has no natural containments, so every 7th
     * doc is injected to swallow the next doc's text verbatim (q58/q69's

@@ -234,9 +234,11 @@ object Pipeline {
         sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
   }
 
-  /** Distributed BPE merge learning — the tokenizer-TRAINING primitive
-    * (q55 builds a unigram vocabulary; real subword tokenizers learn
-    * MERGES). Works the way production trainers do: ONE corpus-sized
+  /** Distributed BPE merge learning (byte-pair encoding — Gage 1994,
+    * applied to subword tokenization by Sennrich et al., ACL 2016;
+    * public algorithm) — the tokenizer-TRAINING primitive (q55 builds a
+    * unigram vocabulary; real subword tokenizers learn MERGES). Works
+    * the way production trainers do: ONE corpus-sized
     * pass builds the word-frequency table, then every merge round runs
     * over that VOCAB-sized table (Heaps' law: sublinear in corpus
     * size), so 100 TB of text costs one aggregation plus rounds over a
