@@ -441,6 +441,10 @@ object Dedup {
     * confines the O(n²) pair space to O(Σ cluster²), and at 100 TB the
     * k-means fit runs on a bounded sample (`trainCap`) while assignment
     * stays a broadcast of k centroids against a single corpus scan.
+    * `clusters` must SCALE WITH THE CORPUS (k ≈ n / targetCellSize,
+    * the SemDeDup paper uses ~constant cell sizes) — a fixed k at
+    * growing n makes the within-cell pair space quadratic again; the
+    * default 16 fits the test corpus, production callers pass k.
     * Output: totals (n_vectors / n_dropped / n_kept). Probabilistic
     * (cross-cluster near-dups are missed by design) — rows-only in the
     * gate; SemanticDedupSpec pins precision 1.0 and a recall floor

@@ -60,4 +60,37 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(merged.n == 20)
     assert(merged.counters.get("x").exists(_ >= 10 - 20 / 4))
   }
+
+  test("property: bounds hold for random streams under random split/merge trees") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val genStream = for {
+      n <- Gen.choose(1, 400)
+      // zipfian-ish: small ints are frequent, tail is long
+      items <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.choose(0, 3), 3 -> Gen.choose(0, 20), 2 -> Gen.choose(0, 200)))
+    } yield items.map(_.toString)
+    val genM = Gen.choose(2, 16)
+    // fold a random split of the stream into per-chunk sketches, then
+    // merge left-to-right — models arbitrary partitioning + merge order
+    val prop = Prop.forAll(genStream, genM, Gen.choose(1, 8)) { (items, m, chunks) =>
+      val mg = new MisraGries(m)
+      val sketches = items.grouped(math.max(1, items.size / chunks)).toSeq
+        .map(c => c.foldLeft(mg.zero)(mg.reduce))
+      val merged = sketches.reduce(mg.merge)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val sizeOk = merged.counters.size <= m && merged.n == n
+      val presence = exact.forall { case (k, c) =>
+        c.toDouble <= n.toDouble / m || merged.counters.contains(k)
+      }
+      val bounds = merged.counters.forall { case (k, est) =>
+        val t = exact.getOrElse(k, 0L)
+        est <= t && est >= t - n / m - 1
+      }
+      sizeOk && presence && bounds
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
