@@ -33,7 +33,11 @@ object ScaleBench {
       // bloom-routed incremental dedup — document-table shapes the
       // bijective scaling preserves
       "q57_dedup_components", "q63_tfidf", "q67_pipeline_e2e",
-      "q69_incremental_dedup")
+      "q69_incremental_dedup",
+      // the window-function family's datapoint: one shuffle on user_id
+      // then partition-local ordered walks (user count grows with the
+      // factor, per-user density constant)
+      "q74_sessionize")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -57,12 +61,17 @@ object ScaleBench {
       done.getParentFile.mkdirs()
       done.createNewFile()
     }
-    // embeddings landed after the relational/document generator; their
-    // own marker lets existing scaled dirs gain them without a regen
+    // embeddings/events landed after the relational/document generator;
+    // their own markers let existing scaled dirs gain them without a regen
     val embDone = new java.io.File(s"$out/_DONE_EMB")
     if (!embDone.exists()) {
       generateEmbeddings(spark, src, factor, out)
       embDone.createNewFile()
+    }
+    val evDone = new java.io.File(s"$out/_DONE_EVENTS")
+    if (!evDone.exists()) {
+      generateEvents(spark, src, factor, out)
+      evDone.createNewFile()
     }
 
     // warm codegen/JIT once, then median-of-3 per query (Bench contract)
@@ -162,6 +171,27 @@ object ScaleBench {
         orthoTransform(col("embedding"), i).as("embedding"), col("label"))
     }.reduce(_ unionAll _)
     scaled.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** Events scaling: per-copy disjoint user and event-id namespaces
+    * with UNCHANGED timestamps — the user population grows with the
+    * factor while per-user event density (what sessionization and
+    * per-user windows walk) stays exactly the original distribution,
+    * matching how a fleet's event log actually grows. */
+  private def generateEvents(spark: SparkSession, src: String, factor: Int,
+      out: String): Unit = {
+    val UserShift = 1000000L
+    val EvShift = 100000000L
+    // source ts is parquet TIMESTAMP(NANOS): read as nanos LONG (same
+    // conf Tables.events uses); the scaled table then carries a plain
+    // BIGINT ts, which Tables.events normalizes identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$src/events.parquet")
+    val scaled = (0 until factor).map { i =>
+      e.withColumn("user_id", col("user_id") + lit(i * UserShift))
+        .withColumn("event_id", col("event_id") + lit(i * EvShift))
+    }.reduce(_ unionAll _)
+    scaled.write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   /** The copy-`i` orthogonal map (rotation ∘ one sign flip) — exposed
