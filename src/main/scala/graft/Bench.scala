@@ -71,7 +71,8 @@ object Bench {
       }
     }
     val stream = streamBench(spark, sfDir)
-    val qs = (results ++ extraResults ++ stream).map {
+    val engine = engineBench(spark)
+    val qs = (results ++ extraResults ++ stream ++ engine).map {
       case (k, Some(v)) => "\"" + k + f"""":$v%.3f"""
       case (k, None) => "\"" + k + "\":null" // failed query: never report a timing
     }.mkString("{", ",", "}")
@@ -90,6 +91,60 @@ object Bench {
     }
     if (times.exists(_.isEmpty)) None
     else Some(times.flatten.sorted.apply(1))
+  }
+
+  /** Engine command-surface throughput, mirroring the reference's
+    * remaining benchmark families (BASELINE.md): the fcall trio
+    * (`rg_fcall_simple` = trivial sync call, `rg_fcall_redis_cmd` =
+    * sync call wrapping a state read, `rg_fcall_async` = async call)
+    * and the keyspace-notification pair (`rg_keyspace_baseline` = raw
+    * SETs with no trigger vs `rg_keyspace_sync` = the same SETs firing
+    * a sync trigger) — every trigger number paired with its no-trigger
+    * baseline so the reported quantity is dispatch overhead, exactly
+    * the reference's CI structure. N = 100k invocations per variant,
+    * engine setup outside the timings, median of 3. */
+  private def engineBench(spark: SparkSession, n: Int = 100000): Seq[(String, Option[Double])] = {
+    import graft.core._
+    import graft.core.RespValue._
+    def bench(label: String)(setup: Engine => Unit)(op: (Engine, Int) => Unit): (String, Option[Double]) = {
+      val e = new Engine(spark)
+      try {
+        setup(e)
+        s"${label}_$n" -> median3 {
+          var i = 0
+          while (i < n) { op(e, i); i += 1 }
+        }
+      } finally e.close()
+    }
+    val counted = new java.util.concurrent.atomic.LongAdder
+    Seq(
+      bench("fcall_sync_simple") { e =>
+        e.load(LibraryDefinition("b", code = _.registerFunction("one", (_, _) => RespLong(1))))
+      } { (e, _) => e.call("b", "one") },
+      bench("fcall_sync_state_cmd") { e =>
+        e.state.set("k:1", "v")
+        e.load(LibraryDefinition("b", code = _.registerFunction("rd", (ctx, _) =>
+          ctx.get("k:1").map(RespString).getOrElse(RespNull))))
+      } { (e, _) => e.call("b", "rd") },
+      // async is PIPELINED (all n futures in flight, then drained) —
+      // serial await would measure per-call latency where the
+      // reference's memtier measures throughput under 32 connections
+      {
+        val e = new Engine(spark, executionThreads = 4)
+        try {
+          e.load(LibraryDefinition("b", code = _.registerAsyncFunction("aone", (_, _) => RespLong(1))))
+          s"fcall_async_simple_$n" -> median3 {
+            val fs = (0 until n).map(_ => e.callAsync("b", "aone"))
+            fs.foreach(f => scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration(120, "s")))
+          }
+        } finally e.close()
+      },
+      bench("keyspace_set_baseline") { _ => () } { (e, i) => e.state.set(s"kv:$i", "v") },
+      bench("keyspace_set_trigger") { e =>
+        e.load(LibraryDefinition("b", code = _.registerKeySpaceTrigger("t", "kv:",
+          (_, _) => { counted.increment(); () })))
+      } { (e, i) => e.state.set(s"kv:$i", "v") })
   }
 
   /** Stream-trigger ingest bench, mirroring the reference's paired
