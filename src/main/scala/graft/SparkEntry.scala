@@ -122,6 +122,13 @@ object SparkEntry {
     // SQL-expressible); BpeSpec asserts the exact merge sequence
     // against a driver-side reference implementation
     "q78_bpe_merges" -> ((s, d) => Pipeline.qBpeMerges(s, d)),
+    "q79_bigram_nll" -> (TextAnalysis.qBigramNll _),
+    "q80_source_overlap" -> ((s, d) => Pipeline.qSourceOverlap(s, d)),
+    "q81_token_budget" -> ((s, d) => Pipeline.qTokenBudget(s, d)),
+    // q82: BPE corpus encoding — rows-only (the learned merge table is
+    // not SQL-expressible); BpeEncodeSpec asserts per-word subword
+    // sequences exactly against a plain-Scala reference encoder
+    "q82_bpe_encode" -> ((s, d) => Pipeline.qBpeEncode(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -724,5 +731,58 @@ object SparkEntry {
          SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
                 CAST(SUM(n_events) AS BIGINT) AS n_events
          FROM g GROUP BY user_id""",
+    // bigram-LM scoring: exact MLE P(w2|w1) = c(w1,w2)/c1(w1), c1 over
+    // bigram-first positions; docs with < 2 tokens have no bigrams
+    "q79_bigram_nll" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> length(t) > 0) AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS b
+           FROM toks WHERE len(w) >= 2),
+         cb AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+         cf AS (SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS c1
+                FROM bg GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(AVG(-ln(cb.c2::DOUBLE / cf.c1)), 4) AS avg_nll
+         FROM bg JOIN cb USING (b)
+                 JOIN cf ON split_part(bg.b, ' ', 1) = cf.w1
+         GROUP BY doc_id""",
+    // cross-source trigram overlap matrix: same shingle rule as q42's
+    // 5-grams (short docs contribute their whole text as one shingle)
+    "q80_source_overlap" ->
+      """WITH d AS (
+           SELECT source, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1), i ->
+                    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             END) AS sh
+           FROM (SELECT source, string_split_regex(text, '\s+') AS toks FROM documents)),
+         g AS (SELECT DISTINCT source, unnest(sh) AS g FROM d),
+         c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+         p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+               FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT src_a, src_b, n_common,
+                ROUND(n_common::DOUBLE / (ca.n + cb.n - n_common), 6) AS jaccard
+         FROM p JOIN c ca ON p.src_a = ca.source
+                JOIN c cb ON p.src_b = cb.source""",
+    // greedy token-budget curation: longest-first prefix per source
+    // under a 2000-token budget (cumulative window sum)
+    "q81_token_budget" ->
+      """WITH t AS (SELECT source, doc_id, n_chars,
+                           len(string_split_regex(text, '\s+')) AS tok
+                    FROM documents),
+         c AS (SELECT source, tok,
+                      SUM(tok) OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+         SELECT source, COUNT(*) AS n_selected, CAST(SUM(tok) AS BIGINT) AS sum_tokens
+         FROM c WHERE cum <= 2000 GROUP BY source""",
   )
 }

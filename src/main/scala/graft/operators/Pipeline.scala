@@ -305,6 +305,133 @@ object Pipeline {
       .toDF("rank", "left", "right")
   }
 
+  /** q80: cross-source n-gram overlap matrix — pairwise Jaccard
+    * similarity of the sources' distinct word-trigram sets, the
+    * corpus-level cousin of q42's doc-level contamination scan (q42
+    * asks "which docs touch the benchmark"; this asks "how much do any
+    * two SOURCES overlap", the first question when auditing a new data
+    * mix for cross-source leakage).
+    *
+    * Scale shape: explode + distinct collapses the corpus to the
+    * (source, gram) set — everything after is gram-vocabulary-sized,
+    * never corpus-sized. The pair counts come from a self-equi-join on
+    * the gram (shuffle keyed by gram), whose per-gram fanout is
+    * bounded by #sources², not by corpus size; per-source totals
+    * broadcast. No all-pairs-of-documents work anywhere. */
+  def qSourceOverlap(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    GraftFunctions.register(s)
+    sourceOverlap(documents(s, d), n)
+  }
+
+  /** The q80 core over any (source, text) frame — see [[qSourceOverlap]].
+    * Callers must have run `GraftFunctions.register`. */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("source"), explode(shingleSet(col("text"), n)).as("g"))
+      .distinct()
+    val counts = grams.groupBy("source").agg(count("*").as("n_grams"))
+    val common = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count("*").as("n_common"))
+    common
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n_grams").as("na"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n_grams").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** q81: token-budget greedy curation — per source, keep the
+    * highest-priority documents (longest first, doc_id tie-break)
+    * until a per-source token budget is exhausted: the "fill each
+    * mixture slice up to its budget" step that follows q40's rate
+    * mixing when the training recipe fixes TOKEN counts per source
+    * rather than sampling rates. One window (cumulative token sum per
+    * source, shuffle keyed by source) + filter + rollup; at 100 TB the
+    * window partitions by source, so skewed giant sources are the
+    * thing to watch — budget-truncation means only the prefix
+    * matters, and a pre-filter on the per-source length rank could
+    * bound the sort if a source ever dwarfed the rest. */
+  def qTokenBudget(s: SparkSession, d: String, budget: Int = 2000): DataFrame =
+    tokenBudget(documents(s, d), budget)
+
+  /** The q81 core over any (source, doc_id, n_chars, text) frame. */
+  def tokenBudget(docs: DataFrame, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.functions.tokenCount(col("text")).as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("source")
+      .agg(count("*").as("n_selected"), sum("tok").cast("long").as("sum_tokens"))
+  }
+
+  /** BPE ENCODING (the apply side of [[learnBpeMerges]]): tokenize
+    * every distinct word with a learned merge table. Merges are applied
+    * in rank order with the same left-to-right non-overlapping fold the
+    * trainer uses — sequential application is equivalent to the classic
+    * lowest-rank-first loop because a pair involving a merged symbol
+    * can only have been learned AFTER that symbol existed, i.e. at a
+    * later rank. Runs as mapPartitions over the DISTINCT-WORD table
+    * (vocab-sized — Heaps' law, NOT corpus-sized) with the merge table
+    * broadcast: per-element sequential string rewriting is the one
+    * shape a Catalyst expression cannot beat, and the corpus never
+    * passes through it. Returns (w, subwords). */
+  def encodeBpe(words: org.apache.spark.sql.Dataset[String],
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_._1).map { case (_, a, b) => (a, b) }
+    val bc = spark.sparkContext.broadcast(ordered)
+    words.mapPartitions { it =>
+      val ms = bc.value
+      it.map { word =>
+        var syms: Vector[String] = word.split("").toVector
+        ms.foreach { case (a, b) =>
+          if (syms.length >= 2) {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+          }
+        }
+        (word, syms)
+      }
+    }.toDF("w", "subwords")
+  }
+
+  /** q82: BPE encoding of the corpus with the merges q78 learns from
+    * it — rows-only in the gate (the merge table is not
+    * SQL-expressible); BpeEncodeSpec asserts per-word subword
+    * sequences EXACTLY against a plain-Scala reference encoder and
+    * checks the lossless-concatenation property. Per-source stats:
+    * occurrence-weighted subword counts via one explode + a
+    * vocab-sized equi-join (AQE broadcasts it when small). */
+  def qBpeEncode(s: SparkSession, d: String, numMerges: Int = 30): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val merges = learnBpeMerges(docs, "text", numMerges)
+    val words = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val encoded = encodeBpe(words.select("w").distinct().as[String], merges)
+      .select(col("w"), size(col("subwords")).as("n_subwords"))
+    words.join(encoded, Seq("w"))
+      .groupBy("source")
+      .agg(count("*").as("n_words"),
+        sum("n_subwords").cast("long").as("sum_subwords"),
+        round(avg(col("n_subwords")), 4).as("avg_subwords"))
+  }
+
   /** q60: deterministic stratified hash sampling — the reproducible
     * corpus-sampling primitive (seeded `sample()` is partition-layout
     * dependent; a content-hash threshold is stable across cluster

@@ -200,6 +200,47 @@ object TextAnalysis {
         round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("avg_nll"))
   }
 
+  /** q79: corpus-bigram-LM quality scoring — the order-sensitive upgrade
+    * of q64's unigram filter (a document of common words in an
+    * improbable ORDER scores badly here but fine there, which is what
+    * catches shuffled/templated spam). Per-document mean negative log
+    * of the conditional probability P(w2|w1) = c(w1,w2) / c1(w1), with
+    * c1 counted over bigram-FIRST positions so every probability is
+    * exact MLE and needs no smoothing (each observed bigram is in the
+    * model by construction — the model IS the corpus).
+    *
+    * Scale shape: one explode builds the corpus bigram stream; counts
+    * are two vocabulary-sized partial aggs; c1 is attached to the
+    * DISTINCT bigram table first (vocab-sized join), so the corpus
+    * stream is joined exactly once, keyed by (w1, w2) — a plain
+    * shuffle equi-join that AQE can broadcast when the bigram vocab
+    * fits. Unlike q64, the bigram table is NOT force-broadcast: at
+    * 100 TB bigram vocabularies outgrow the driver. Docs with fewer
+    * than two tokens have no bigrams and drop out (oracle agrees). */
+  def qBigramNll(s: SparkSession, d: String): DataFrame =
+    bigramNll(documents(s, d))
+
+  /** The q79 core over any (doc_id, text) frame — see [[qBigramNll]]. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val w = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val bigrams = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCnt = bigrams.groupBy("w1", "w2").agg(count("*").as("c2"))
+    val firstCnt = bigrams.groupBy("w1").agg(count("*").as("c1"))
+    val model = pairCnt.join(firstCnt, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (-log(col("c2").cast("double") / col("c1"))).as("nll"))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
+  }
+
   /** Document fingerprinting via winnowing (native expression): number
     * of distinct fingerprint hashes per document — the bucket-joinable
     * containment-detection primitive. No SQL oracle (rolling hash is not

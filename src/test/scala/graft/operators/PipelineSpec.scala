@@ -10,6 +10,42 @@ class PipelineSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("source overlap: hand-computed trigram Jaccard on crafted sources") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // srcA: {"x y z", "y z w"}; srcB: {"x y z", "y z q"} -> common 1, union 3
+    // srcC shares nothing
+    val docs = Seq(
+      (1L, "x y z w", "srcA"),
+      (2L, "x y z q", "srcB"),
+      (3L, "p q r s", "srcC")).toDF("doc_id", "text", "source")
+    val out = Pipeline.sourceOverlap(docs, 3).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((("srcA"), ("srcB"))) === ((1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    // srcC overlaps nothing -> pairs with zero common grams don't appear
+    assert(!out.keySet.exists { case (a, b) => a == "srcC" || b == "srcC" })
+  }
+
+  test("token budget: greedy longest-first prefix, strict cutoff, doc_id tie-break") {
+    import spark.implicits._
+    // source s1 docs (tok, n_chars): d1=(5,50) d2=(4,40) d3=(3,30); budget 7
+    // longest-first cum: 5, 9 -> only d1 selected (prefix semantics: once
+    // over budget nothing later backfills)
+    // source s2: two docs tie on n_chars; doc_id breaks the tie
+    val docs = Seq(
+      (1L, "a a a a a", 50L, "s1"),
+      (2L, "b b b b", 40L, "s1"),
+      (3L, "c c c", 30L, "s1"),
+      (10L, "p p p p", 40L, "s2"),
+      (11L, "q q q q q q", 40L, "s2")).toDF("doc_id", "text", "n_chars", "source")
+    val out = Pipeline.tokenBudget(docs, 7).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("s1") === ((1L, 5L)))
+    // s2: tie on n_chars=40 -> doc_id 10 first (4 tokens, cum 4), then
+    // doc_id 11 (6 tokens, cum 10 > 7) excluded
+    assert(out("s2") === ((1L, 4L)))
+  }
+
   test("hash-based stratified sampling hits the requested rate and is deterministic") {
     val docs = Tables.documents(spark, sf)
     val sampled = Pipeline.stratifiedSample(docs, col("source"),

@@ -64,6 +64,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored.values.max > scored.values.min)
   }
 
+  test("bigram NLL: exact MLE on a hand-computed corpus; word order matters") {
+    import spark.implicits._
+    // corpus bigrams: doc1 "a b a b" -> (a,b),(b,a),(a,b); doc2 "a b c" -> (a,b),(b,c)
+    // counts: c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; c1(a)=3 c1(b)=2
+    // doc1 nll = -(ln(3/3)+ln(1/2)+ln(3/3))/3 = ln2/3; doc2 = -(ln(3/3)+ln(1/2))/2 = ln2/2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((3L, math.rint(math.log(2) / 3 * 1e4) / 1e4)))
+    assert(out(2L) === ((2L, math.rint(math.log(2) / 2 * 1e4) / 1e4)))
+    // order sensitivity: same bag of words, scrambled order -> rarer
+    // transitions -> higher NLL than the in-order original
+    val base = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps"))
+    val scrambled = base :+ (99L, "fox the jumps quick brown")
+    val nll = TextAnalysis.bigramNll(scrambled.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(99L) > nll(1L))
+  }
+
   test("repetition metrics move on genuinely repetitive text") {
     import spark.implicits._
     val docs = Seq(
