@@ -35,6 +35,10 @@ object Bench {
     "q69_incremental_dedup",
     "q74_sessionize",
     "q75_semantic_dedup",
+    // round 6: bigram-LM scoring (corpus-keyed join, vocab-sized
+    // model) and the cross-source trigram overlap matrix
+    "q79_bigram_nll",
+    "q80_source_overlap",
   )
 
   def main(args: Array[String]): Unit = {

@@ -129,6 +129,12 @@ object SparkEntry {
     // not SQL-expressible); BpeEncodeSpec asserts per-word subword
     // sequences exactly against a plain-Scala reference encoder
     "q82_bpe_encode" -> ((s, d) => Pipeline.qBpeEncode(s, d)),
+    "q83_oov_rate" -> ((s, d) => TextAnalysis.qOovRate(s, d)),
+    // q84: quality-classifier training — rows-only (MLlib LBFGS float
+    // reduction is partition-order sensitive); QualityClassifierSpec
+    // pins separation on crafted separable data + weak-label recovery
+    "q84_quality_classifier" -> (Inference.qQualityClassifier _),
+    "q85_corpus_stats" -> (TextAnalysis.qCorpusStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -784,5 +790,43 @@ object SparkEntry {
                FROM t)
          SELECT source, COUNT(*) AS n_selected, CAST(SUM(tok) AS BIGINT) AS sum_tokens
          FROM c WHERE cum <= 2000 GROUP BY source""",
+    // vocabulary OOV analysis: top-1000 vocab (count desc, token asc),
+    // per-source out-of-vocab token rate
+    "q83_oov_rate" ->
+      """WITH toks AS (
+           SELECT source, t FROM (
+             SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+             FROM documents)
+           WHERE length(t) > 0),
+         vocab AS (
+           SELECT t FROM (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t)
+           ORDER BY cnt DESC, t ASC LIMIT 1000)
+         SELECT source, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                ROUND(AVG(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+         FROM toks LEFT JOIN vocab v ON toks.t = v.t
+         GROUP BY source""",
+    // per-source corpus datasheet: volume, quality aggregates, and the
+    // Shannon entropy of the language mix
+    "q85_corpus_stats" ->
+      """WITH base AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+                  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                  ROUND(AVG(CASE WHEN len(string_split_regex(text, '\s+')) = 0 THEN 0.0
+                        ELSE len(list_distinct(string_split_regex(text, '\s+')))::DOUBLE
+                             / len(string_split_regex(text, '\s+')) END), 4) AS mean_distinct_ratio,
+                  ROUND(AVG(CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                             / length(text) END), 4) AS mean_punct_ratio
+           FROM documents GROUP BY source),
+         lc AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+         ent AS (SELECT source, ROUND(-SUM(p * ln(p)), 4) AS lang_entropy
+                 FROM (SELECT source, n::DOUBLE / SUM(n) OVER (PARTITION BY source) AS p
+                       FROM lc)
+                 GROUP BY source)
+         SELECT base.source, base.n_docs, base.n_tokens, base.n_chars,
+                base.mean_distinct_ratio, base.mean_punct_ratio, ent.lang_entropy
+         FROM base JOIN ent ON base.source = ent.source""",
   )
 }

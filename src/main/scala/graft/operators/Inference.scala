@@ -97,4 +97,59 @@ object Inference {
       .select(col("vec_id"), round(col("score"), 4).as("score"),
         (lit(1.0) / (lit(1.0) + exp(-col("score"))) > 0.5).cast("int").as("positive"))
   }
+
+  /** The q84 document feature vector — cheap codegen'd quality
+    * signals, shared between training and scoring so the two stages
+    * can never skew. */
+  private[operators] def qualityFeatures: org.apache.spark.sql.Column = {
+    import graft.functions._
+    array(
+      graft.functions.punctRatio(col("text")),
+      stopwordRatio(col("text")),
+      meanTokenLen(col("text")) / 10.0,
+      distinctTokenRatio(col("text")),
+      log(length(col("text")).cast("double") + 1.0) / 10.0)
+  }
+
+  /** q84: quality-CLASSIFIER training — the fastText-style step of a
+    * CCNet-like curation pipeline: fit a logistic-regression quality
+    * model on weak labels (here: "wiki-like" even-numbered sources are
+    * positive — in production, a trusted-corpus vs crawl split), then
+    * score the whole corpus with it. Complements q50 (which SERVES a
+    * fixed model): this TRAINS one, distributed, with MLlib through its
+    * public API — gradient aggregation is the only corpus-sized work,
+    * the model itself is 5 weights. Scoring goes through the same
+    * per-partition-handle path as q50 ([[scoreBatches]] with the fitted
+    * coefficients in a [[LinearScorer]]), so serving stays
+    * runtime-agnostic. Rows-only in the gate (LBFGS float reduction is
+    * partition-order sensitive); QualityClassifierSpec pins separation
+    * on crafted separable data and weak-label recovery on the corpus. */
+  def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), qualityFeatures.as("f"),
+        (substring(col("source"), 4, 10).cast("int") % 2 === 0).cast("double").as("label"))
+    val train = docs.select(col("label"), col("f")).as[(Double, Seq[Double])]
+      .map { case (l, f) => (l, Vectors.dense(f.toArray)) }
+      .toDF("label", "features")
+    val model = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setTol(1e-7)
+      .fit(train)
+    val scored = scoreBatches(
+      docs.select(col("doc_id"), col("f")),
+      LinearScorer(model.coefficients.toArray, model.intercept),
+      idCol = "doc_id", featCol = "f")
+    docs.select(col("doc_id"), col("source"), col("label"))
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        (lit(1.0) / (lit(1.0) + exp(-col("score")))).as("p"),
+        col("label"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"),
+        round(avg("p"), 4).as("mean_p"),
+        sum((col("p") > 0.5).cast("long")).as("n_positive"),
+        first(col("label")).cast("long").as("weak_label"))
+  }
 }

@@ -241,6 +241,57 @@ object TextAnalysis {
       .agg(count("*").as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
   }
 
+  /** q83: tokenizer-vocabulary OOV analysis — per-source out-of-vocab
+    * token rate when the vocabulary is truncated to its top
+    * `vocabSize` tokens (count desc, token asc tie-break, so the
+    * boundary is deterministic): the coverage check run before
+    * committing to a tokenizer vocab size, and the per-source view
+    * shows WHICH mixture slices a small vocab penalizes. Shape: one
+    * vocabulary-sized count agg + global top-k (TakeOrdered — k rows
+    * to the driver, not the vocab), then a broadcast left join against
+    * the corpus token stream. Single corpus shuffle. */
+  def qOovRate(s: SparkSession, d: String, vocabSize: Int = 1000): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = toks.groupBy("t").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("source")
+      .agg(count("*").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(when(col("in_vocab").isNull, 1.0).otherwise(0.0)), 6).as("oov_rate"))
+  }
+
+  /** q85: the per-source corpus datasheet — the one-pass summary row a
+    * dataset card is built from: volume (docs, tokens, chars), quality
+    * aggregates (mean distinct-token ratio, mean punctuation ratio),
+    * and the Shannon entropy of the source's language mix (0 =
+    * monolingual; ln 2 ≈ 0.693 = an even two-language split). Two
+    * partial-agg shuffles, both keyed by source (the language mix
+    * needs its own (source, lang) rollup before the entropy fold);
+    * everything else rides the same scan. Fully oracle-checked —
+    * entropy is plain SQL over the grouped counts. */
+  def qCorpusStats(s: SparkSession, d: String): DataFrame =
+    corpusStats(documents(s, d))
+
+  /** The q85 core over any (source, lang, text) frame. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val base = docs.groupBy("source").agg(
+      count("*").as("n_docs"),
+      sum(tokenCount(col("text"))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      round(avg(distinctTokenRatio(col("text"))), 4).as("mean_distinct_ratio"),
+      round(avg(punctRatio(col("text"))), 4).as("mean_punct_ratio"))
+    val langEntropy = docs.groupBy("source", "lang").agg(count("*").as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(round(-sum(col("p") * log(col("p"))), 4).as("lang_entropy"))
+    base.join(langEntropy, Seq("source"))
+  }
+
   /** Document fingerprinting via winnowing (native expression): number
     * of distinct fingerprint hashes per document — the bucket-joinable
     * containment-detection primitive. No SQL oracle (rolling hash is not

@@ -37,7 +37,12 @@ object ScaleBench {
       // the window-function family's datapoint: one shuffle on user_id
       // then partition-local ordered walks (user count grows with the
       // factor, per-user density constant)
-      "q74_sessionize")
+      "q74_sessionize",
+      // round 6: the corpus-bigram LM (bigram vocab grows ~linearly
+      // under the bijection; the corpus-keyed join is the probe) and
+      // the source-overlap matrix (per-source gram sets grow with the
+      // factor, cross-copy grams never collide, output stays 190 pairs)
+      "q79_bigram_nll", "q80_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

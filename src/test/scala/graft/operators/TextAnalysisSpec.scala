@@ -83,6 +83,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(nll(99L) > nll(1L))
   }
 
+  test("corpus stats: language entropy is 0 monolingual, ln 2 at an even two-lang split") {
+    import spark.implicits._
+    val docs = Seq(
+      ("mono", "en", "one two three"),
+      ("mono", "en", "four five"),
+      ("split", "en", "alpha beta"),
+      ("split", "es", "gamma delta")).toDF("source", "lang", "text")
+    val out = TextAnalysis.corpusStats(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("lang_entropy")).toMap
+    assert(out("mono") === 0.0)
+    assert(out("split") === math.rint(math.log(2) * 1e4) / 1e4)
+  }
+
+  test("oov rate: tokens outside the truncated vocabulary are counted per source") {
+    import spark.implicits._
+    // vocab limit 2 keeps the two most frequent tokens ("aa" x3, "bb" x2);
+    // "zz" and "yy" fall outside -> srcB has 2 OOV of 4 tokens
+    val docs = Seq(
+      ("srcA", "aa aa bb"),
+      ("srcB", "aa bb zz yy")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val tmp = java.nio.file.Files.createTempDirectory("oov-test").toString
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+      length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.qOovRate(spark, tmp, vocabSize = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("srcA") === ((3L, 0L)))
+    assert(out("srcB") === ((4L, 2L)))
+  }
+
   test("repetition metrics move on genuinely repetitive text") {
     import spark.implicits._
     val docs = Seq(
