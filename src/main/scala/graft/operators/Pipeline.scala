@@ -326,9 +326,16 @@ object Pipeline {
   /** The q80 core over any (source, text) frame — see [[qSourceOverlap]].
     * Callers must have run `GraftFunctions.register`. */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    // the distinct (source, gram) set feeds four subplans (both
+    // self-join sides + the two per-source totals); persist so the
+    // corpus is shingled once, not four times — same bounded
+    // one-outstanding-cache discipline as minhashPairs (unpersist is an
+    // optimization, never a correctness dependency)
     val grams = docs
       .select(col("source"), explode(shingleSet(col("text"), n)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(Pipeline.lastOverlapCache.getAndSet(grams)).foreach(_.unpersist(blocking = false))
     val counts = grams.groupBy("source").agg(count("*").as("n_grams"))
     val common = grams.select(col("source").as("src_a"), col("g"))
       .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
@@ -431,6 +438,10 @@ object Pipeline {
         sum("n_subwords").cast("long").as("sum_subwords"),
         round(avg(col("n_subwords")), 4).as("avg_subwords"))
   }
+
+  /** The one outstanding source-overlap gram cache (see [[sourceOverlap]]). */
+  private val lastOverlapCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** q60: deterministic stratified hash sampling — the reproducible
     * corpus-sampling primitive (seeded `sample()` is partition-layout

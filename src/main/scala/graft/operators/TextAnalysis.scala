@@ -231,6 +231,13 @@ object TextAnalysis {
           i => struct(element_at(col("w"), i).as("w1"),
             element_at(col("w"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // the bigram stream feeds three subplans (pair counts, first
+      // counts, the scoring join); persist so the corpus is split and
+      // exploded once — the materialize-the-token-stream step of any
+      // LM-scoring pipeline (MEMORY_AND_DISK spills, never OOMs); one
+      // outstanding cache, same discipline as minhashPairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(TextAnalysis.lastBigramCache.getAndSet(bigrams)).foreach(_.unpersist(blocking = false))
     val pairCnt = bigrams.groupBy("w1", "w2").agg(count("*").as("c2"))
     val firstCnt = bigrams.groupBy("w1").agg(count("*").as("c1"))
     val model = pairCnt.join(firstCnt, Seq("w1"))
@@ -240,6 +247,10 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
   }
+
+  /** The one outstanding bigram-stream cache (see [[bigramNll]]). */
+  private val lastBigramCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** q83: tokenizer-vocabulary OOV analysis — per-source out-of-vocab
     * token rate when the vocabulary is truncated to its top
