@@ -135,6 +135,9 @@ object SparkEntry {
     // pins separation on crafted separable data + weak-label recovery
     "q84_quality_classifier" -> (Inference.qQualityClassifier _),
     "q85_corpus_stats" -> (TextAnalysis.qCorpusStats _),
+    // q86: Lee-et-al-style exact duplicate-span removal — every L-token
+    // window occurring >= 2 times in the corpus is cut from all docs
+    "q86_exact_substring" -> ((s, d) => Dedup.qExactSubstring(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -828,5 +831,35 @@ object SparkEntry {
          SELECT base.source, base.n_docs, base.n_tokens, base.n_chars,
                 base.mean_distinct_ratio, base.mean_punct_ratio, ent.lang_entropy
          FROM base JOIN ent ON base.source = ent.source""",
+    // exact duplicate-span removal: L=20-token windows occurring >= 2
+    // times corpus-wide mark their spans; all copies are cut; the
+    // digest of the cleaned text hash-checks the surviving bytes
+    "q86_exact_substring" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+         win AS (
+           SELECT doc_id, i AS start, md5(array_to_string(t[i:i+19], ' ')) AS h
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 19)) AS i) w
+           WHERE len(t) >= 20),
+         dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+         ds AS (SELECT w.doc_id, w.start FROM win w JOIN dup USING (h)),
+         pos AS (
+           SELECT doc_id, i, t[i] AS tok
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) p),
+         kept AS (
+           SELECT p.doc_id, p.i, p.tok
+           FROM pos p
+           WHERE NOT EXISTS (SELECT 1 FROM ds
+                             WHERE ds.doc_id = p.doc_id
+                               AND ds.start <= p.i AND p.i < ds.start + 20)),
+         agg AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+                  md5(string_agg(tok, ' ' ORDER BY i)) AS digest
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+                CAST(len(t.t) AS INT) AS n_tokens,
+                CAST(len(t.t) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+                COALESCE(a.digest, md5('')) AS clean_digest
+         FROM toks t LEFT JOIN agg a USING (doc_id)""",
   )
 }

@@ -534,6 +534,67 @@ object Dedup {
       .select(col("container"), col("contained"))
   }
 
+  /** q86 exact duplicate-span removal — the ExactSubstr dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., ACL 2022): every length-L token window that occurs ≥ 2 times
+    * anywhere in the corpus (across documents or repeated within one)
+    * marks its span, and ALL copies of the span are cut from the text
+    * (the paper's remove-all policy). The paper builds a single-machine
+    * suffix array; the distributed formulation replaces it with the
+    * equivalent fixed-L rolling-window scan:
+    *
+    *   1. per doc: whitespace tokens → n−L+1 rolling window digests,
+    *      one array transform inside the scan projection (no shuffle);
+    *   2. explode to (doc_id, start, digest) — corpus-token-sized but
+    *      fixed-width rows, document content never leaves the scan;
+    *   3. digest-keyed count ⇒ the duplicate-window set (map-side
+    *      partial aggs; digests are uniformly distributed, no skew);
+    *   4. join the duplicate set back (digest-keyed equi-join, digests
+    *      only) → per-doc sorted duplicate-start lists, bounded by the
+    *      doc's own token count;
+    *   5. rebuild: token at position p survives iff no duplicate window
+    *      starts in (p−L, p] — an index-aware array filter — then one
+    *      concat_ws; the output digests the cleaned text so the gate
+    *      hash-checks the exact surviving bytes.
+    *
+    * The window digest is md5 so the DuckDB oracle reproduces it
+    * bit-for-bit; an engine-internal run would swap in xxhash64 (8-byte
+    * shuffle keys instead of 32-char hex strings) — the result is
+    * invariant to the digest choice modulo collisions. At 100 TB every
+    * stage is a linear scan, a digest-keyed shuffle, or an equi-join;
+    * nothing is quadratic and nothing reaches the driver. */
+  def qExactSubstring(s: SparkSession, d: String, L: Int = 20): DataFrame =
+    exactSubstringClean(documents(s, d), "doc_id", "text", L)
+
+  /** The q86 core over any (id, text) DataFrame — see [[qExactSubstring]]
+    * for the algorithm. Returns (doc_id, n_tokens, n_removed,
+    * clean_digest) with `idCol` surfaced as `doc_id`. */
+  def exactSubstringClean(input: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame = {
+    val docs = input
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+    val wins = docs
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= L,
+          transform(sequence(lit(1), size(col("toks")) - L + 1),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(L))).cast("binary"))))
+          .otherwise(array().cast("array<string>"))).as(Seq("off", "h")))
+      .select(col("doc_id"), (col("off") + 1).as("start"), col("h"))
+    val dup = wins.groupBy("h").agg(count("*").as("n"))
+      .filter(col("n") >= 2).select("h")
+    val dupStarts = wins.join(dup, "h")
+      .groupBy("doc_id").agg(collect_set(col("start")).as("starts"))
+    docs.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("starts"), st => st <= i + 1 && i + 1 < st + L)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_digest"))
+  }
+
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
   private val lastMinhashCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()

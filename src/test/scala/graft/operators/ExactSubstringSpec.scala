@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Exact duplicate-span removal (q86, the Lee et al. ACL'22 ExactSubstr
+  * policy): crafted corpora prove cross-doc removal of ALL copies,
+  * within-doc repeat removal, span-union coverage for overlapping
+  * duplicate windows, and that short/unique docs pass through intact. */
+class ExactSubstringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def run(docs: Seq[(Long, String)], L: Int): Map[Long, (Int, Int, String)] = {
+    val s = spark
+    import s.implicits._
+    Dedup.exactSubstringClean(docs.toDF("doc_id", "text"), "doc_id", "text", L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("a shared L-token span is cut from BOTH docs; unique text survives") {
+    val shared = words("dup", 4)                  // exactly L=4 tokens
+    val a = s"${words("a", 3)} $shared ${words("z", 3)}"
+    val b = s"${words("b", 5)} $shared"
+    val c = words("c", 8)                         // no duplicates
+    val got = run(Seq((1L, a), (2L, b), (3L, c)), L = 4)
+    assert(got(1L) == ((10, 4, md5hex(s"${words("a", 3)} ${words("z", 3)}"))))
+    assert(got(2L) == ((9, 4, md5hex(words("b", 5)))))
+    assert(got(3L) == ((8, 0, md5hex(c))))
+  }
+
+  test("a span repeated WITHIN one doc is removed (both copies)") {
+    val span = words("r", 3)
+    val text = s"$span ${words("mid", 4)} $span"
+    val got = run(Seq((1L, text)), L = 3)
+    assert(got(1L) == ((10, 6, md5hex(words("mid", 4)))))
+  }
+
+  test("overlapping duplicate windows union into one removed span") {
+    // docs share an L+2-token run: 3 overlapping L-windows all duplicate,
+    // and their union (L+2 tokens) is removed as one contiguous span
+    val runTokens = words("s", 6)                 // L=4 -> 3 windows
+    val a = s"$runTokens ${words("x", 3)}"
+    val b = s"${words("y", 3)} $runTokens"
+    val got = run(Seq((1L, a), (2L, b)), L = 4)
+    assert(got(1L) == ((9, 6, md5hex(words("x", 3)))))
+    assert(got(2L) == ((9, 6, md5hex(words("y", 3)))))
+  }
+
+  test("docs shorter than L never produce windows and pass through") {
+    val t = words("t", 3)
+    val got = run(Seq((1L, t), (2L, t)), L = 4)   // identical but < L tokens
+    assert(got(1L) == ((3, 0, md5hex(t))))
+    assert(got(2L) == ((3, 0, md5hex(t))))
+  }
+
+  test("a doc that is ONE duplicated window empties to the md5 of \"\"") {
+    val t = words("w", 4)
+    val got = run(Seq((1L, t), (2L, t)), L = 4)
+    assert(got(1L) == ((4, 4, md5hex(""))))
+    assert(got(2L) == ((4, 4, md5hex(""))))
+  }
+}
