@@ -138,6 +138,9 @@ object SparkEntry {
     // q86: Lee-et-al-style exact duplicate-span removal — every L-token
     // window occurring >= 2 times in the corpus is cut from all docs
     "q86_exact_substring" -> ((s, d) => Dedup.qExactSubstring(s, d)),
+    // q87: KMV bottom-k distinct sketch — deterministic (set-function
+    // state), so the estimate itself is hash-checked against the oracle
+    "q87_kmv_distinct" -> ((s, d) => Pipeline.qKmvDistinct(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -861,5 +864,27 @@ object SparkEntry {
                 CAST(len(t.t) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
                 COALESCE(a.digest, md5('')) AS clean_digest
          FROM toks t LEFT JOIN agg a USING (doc_id)""",
+    // KMV bottom-k sketch: identical md5 bottom-k per source and the
+    // identical (k-1)/h_(k) estimator, so even the ESTIMATE hash-matches
+    "q87_kmv_distinct" ->
+      """WITH tok AS (
+           SELECT DISTINCT source, md5(t) AS h
+           FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+                 FROM documents)
+           WHERE length(t) > 0),
+         agg AS (SELECT source, COUNT(*) AS nd FROM tok GROUP BY source),
+         kth AS (
+           SELECT source, h AS hk
+           FROM (SELECT source, h,
+                        row_number() OVER (PARTITION BY source ORDER BY h) AS r
+                 FROM tok)
+           WHERE r = 16)
+         SELECT a.source,
+                CAST(a.nd AS BIGINT) AS n_exact,
+                CASE WHEN k.hk IS NULL THEN a.nd::DOUBLE
+                     ELSE 15.0 / (CAST('0x' || substr(k.hk, 1, 15) AS BIGINT)::DOUBLE
+                                   / 1152921504606846976.0)
+                END AS kmv_estimate
+         FROM agg a LEFT JOIN kth k USING (source)""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -114,6 +114,29 @@ object Pipeline {
     events(s, d)
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id").as("approx_users"))
+
+  /** q87: per-source distinct-token cardinality via the KMV bottom-k
+    * sketch ([[graft.functions.KmvSketch]]) next to the exact count it
+    * estimates. KMV's state is a pure function of the input set
+    * (insertion/merge-order invariant), so unlike q43's HyperLogLog
+    * this sketch estimate is DETERMINISTIC and fully hash-checked: the
+    * DuckDB oracle computes the identical bottom-k over the identical
+    * md5 values and applies the identical (k−1)/h_(k) estimator.
+    *
+    * Scale shape: each partition folds tokens into ≤ k hex strings, so
+    * the grouped gather is O(sources · k) — the exact count beside it
+    * is the expensive one (full token-domain shuffle) and is there as
+    * the comparison column, not the production path. */
+  def qKmvDistinct(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k), Encoders.STRING)
+    documents(s, d)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("source"), md5(col("t").cast("binary")).as("h"))
+      .groupBy("source")
+      .agg(count_distinct(col("h")).as("n_exact"),
+        kmv(col("h")).as("kmv_estimate"))
+  }
 
   /** q54: sequence packing — the training-batch construction op: pack
     * documents (in doc_id order) into contiguous fixed-token-budget
