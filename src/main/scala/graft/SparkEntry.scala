@@ -141,6 +141,10 @@ object SparkEntry {
     // q87: KMV bottom-k distinct sketch — deterministic (set-function
     // state), so the estimate itself is hash-checked against the oracle
     "q87_kmv_distinct" -> ((s, d) => Pipeline.qKmvDistinct(s, d)),
+    // q88: audio energy-envelope near-dup — rows-only (WAV synthesis is
+    // not SQL-expressible); AudioDedupSpec checks pair counts against
+    // brute-force Hamming and the fingerprint's gain invariance
+    "q88_audio_near_dup" -> ((s, d) => Multimodal.qAudioNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -445,6 +445,127 @@ object Multimodal {
         round(avg("zcr"), 4).as("avg_zcr"))
   }
 
+  /** Synthesize a 16-bit mono PCM WAV whose sine carrier is amplitude-
+    * modulated by a per-window envelope — the audio test payload whose
+    * energy SHAPE (not pitch or gain) carries the identity, matching
+    * what [[audioHash64]] fingerprints. */
+  def synthEnvelopeWav(amps: Array[Double], freq: Double = 220.0,
+      sampleRate: Float = 8000f, samplesPerWindow: Int = 80): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = amps.length * samplesPerWindow
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = amps(i / samplesPerWindow)
+      val s = (a * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit energy-envelope fingerprint of an audio payload: decode
+    * (real `javax.sound.sampled`, any PCM shape the JDK converts),
+    * mix down to mono, split into 65 equal windows, bit i =
+    * rms(window i+1) > rms(window i) — the sign of the energy
+    * derivative. Gain-invariant by construction (scaling every sample
+    * scales every window RMS equally, preserving all comparisons) —
+    * the audio analogue of [[aHash64]]'s luma-vs-mean bits. None when
+    * the payload isn't decodable PCM audio. */
+  def audioHash64(payload: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val parsed = try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val f = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+        f.getSampleRate, false)
+      Some((AudioSystem.getAudioInputStream(target, in), f.getChannels))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no conversion path
+    }
+    parsed.flatMap { case (pcm, channels) =>
+      val bytes = pcm.readAllBytes()
+      val frames = bytes.length / (2 * channels)
+      if (frames < 65) None
+      else {
+        // mono mixdown, then 65 equal windows of summed squares
+        val windows = new Array[Double](65)
+        val perWindow = frames / 65
+        var w = 0
+        while (w < 65) {
+          var sumSq = 0.0
+          var fr = w * perWindow
+          val end = fr + perWindow
+          while (fr < end) {
+            var c = 0
+            var mono = 0.0
+            while (c < channels) {
+              val base = 2 * (fr * channels + c)
+              val lo = bytes(base) & 0xFF
+              val hi = bytes(base + 1).toInt
+              mono += ((hi << 8) | lo) / 32768.0
+              c += 1
+            }
+            mono /= channels
+            sumSq += mono * mono
+            fr += 1
+          }
+          windows(w) = sumSq // same denominator per window: rms order = sumSq order
+          w += 1
+        }
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (windows(i + 1) > windows(i)) h |= (1L << i)
+          i += 1
+        }
+        Some(h)
+      }
+    }
+  }
+
+  /** q88: audio near-dup detection — the audio member of the dedup
+    * family, completing the media trio (text SimHash q28, image aHash
+    * q65): synthesize a deterministic envelope-modulated WAV per doc
+    * (envelope pattern class = doc_id % 8, plus a one-window per-doc
+    * gain perturbation so same-class clips are NEAR-identical, not
+    * equal), fingerprint through the REAL decode path on the
+    * executors, then the same banded-Hamming pair machinery
+    * ([[Dedup.hammingPairs]]: complete recall at the declared
+    * distance, bucket-join shuffles hashes only). Rows-only in the
+    * gate (WAV synthesis isn't SQL-expressible); AudioDedupSpec
+    * verifies pair counts against brute-force Hamming and pins the
+    * fingerprint's gain invariance. */
+  def qAudioNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(160).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map { id => (id, audioHash64(synthClassWav(id)).get) }
+    }.toDF("id", "sh")
+    Dedup.hammingPairs(hashed, maxHamming)
+      .groupBy("hamming").agg(count("*").as("n_pairs"))
+  }
+
+  /** The q88 payload: 65-window envelope whose step pattern is the
+    * doc's class (doc_id % 8), with one class-independent window gain
+    * perturbation per doc — same-class clips differ in ≤ 2 envelope
+    * deltas. */
+  def synthClassWav(id: Long): Array[Byte] = {
+    val cls = (id % 8).toInt
+    val amps = Array.tabulate(65)(w => 0.2 + 0.6 * ((w * (cls + 2)) % 7) / 7.0)
+    val bump = ((id / 8) % 65).toInt
+    amps(bump) *= 1.15
+    synthEnvelopeWav(amps)
+  }
+
   /** Default modality → codec registry: all three media types decode
     * for real with JDK-only codecs — images via `javax.imageio`, audio
     * via `javax.sound.sampled` (WAV/AIFF PCM), video via the RIFF/AVI
