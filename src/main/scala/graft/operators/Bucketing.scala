@@ -82,4 +82,50 @@ object Bucketing {
     df.repartitionByRange(files, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Z-ordered layout — the fourth storage lever, for MULTI-dimensional
+    * predicates where range-sorting on one column leaves the other's
+    * min-max stats useless (a file holding one `event_id` slice still
+    * spans the full `user_id` domain). Each row's two key columns are
+    * scaled to 16-bit grid cells and bit-interleaved into a Morton
+    * code; range-partitioning + in-file sorting on that code gives
+    * every file a compact 2-D box of the key space, so parquet min-max
+    * statistics prune files for box predicates on EITHER or BOTH
+    * columns. This is the layout trick of Delta/Iceberg OPTIMIZE
+    * ZORDER, built from public Spark primitives: the Morton spread is
+    * a codegen'd shift/mask expression chain, the layout shuffle is
+    * one `repartitionByRange` on the code (sampled boundaries, no
+    * global sort), and the code column is dropped before the write —
+    * readers see only the original schema. Min/max for the scaling
+    * come from one footer-cheap agg over the input. */
+  def writeZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
+      files: Int = 8): Unit = {
+    val mm = df.agg(min(colA), max(colA), min(colB), max(colB)).head()
+    def grid(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, 1e-12)
+      least(lit(65535L), (col(c).cast("double") - lo) / span * 65536.0)
+        .cast("long")
+    }
+    val z = spread16(grid(colA, mm.getLong(0).toDouble, mm.getLong(1).toDouble))
+      .bitwiseOR(shiftleft(spread16(grid(colB, mm.getLong(2).toDouble,
+        mm.getLong(3).toDouble)), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Morton spread: distribute a 16-bit value's bits to the even bit
+    * positions of a 32-bit lane (the classic magic-mask doubling walk),
+    * as a pure `Column` shift/mask chain — whole-stage-codegen'd, no
+    * UDF. */
+  private def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    var x = c
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    x
+  }
 }

@@ -105,4 +105,39 @@ class BucketingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("event_id").between(lo, hi)).count() ==
       ev.filter(col("event_id").between(lo, hi)).count())
   }
+
+  test("z-ordered layout: 2-D box queries touch a strict file subset on both dims") {
+    val dir = Files.createTempDirectory("graft-zo").toString + "/events"
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    Bucketing.writeZOrdered(ev, dir, "event_id", "user_id", files = 8)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.toString).sorted
+    assert(parts.length > 4, "need several files for pruning to mean anything")
+    // per-file 2-D min-max boxes — what parquet stats expose to the scan
+    val boxes = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(min("event_id"), max("event_id"), min("user_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // a 2-D box predicate (quarter of each domain) overlaps few boxes;
+    // a single-column range layout can never prune on the second dim
+    val (eLo, eHi, uLo, uHi) = (0L, 249L, 0L, 3L)
+    val touching = boxes.count { case (emn, emx, umn, umx) =>
+      emx >= eLo && emn <= eHi && umx >= uLo && umn <= uHi
+    }
+    assert(touching < parts.length,
+      s"2-D box touched every file: ${boxes.mkString(", ")}")
+    assert(touching <= parts.length / 2,
+      s"2-D box should prune at least half the files, touched $touching/${parts.length}")
+    // the second dimension prunes BY ITSELF (the range-sorted layout's gap)
+    val uOnly = boxes.count { case (_, _, umn, umx) => umx >= uLo && umn <= uHi }
+    assert(uOnly < parts.length, "user_id-only predicate should prune some files")
+    // correctness unchanged by the layout
+    val expected = ev.filter(col("event_id").between(eLo, eHi) &&
+      col("user_id").between(uLo, uHi)).count()
+    assert(spark.read.parquet(dir).filter(col("event_id").between(eLo, eHi) &&
+      col("user_id").between(uLo, uHi)).count() == expected)
+    assert(spark.read.parquet(dir).count() == ev.count())
+  }
 }
