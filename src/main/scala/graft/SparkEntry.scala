@@ -145,6 +145,10 @@ object SparkEntry {
     // not SQL-expressible); AudioDedupSpec checks pair counts against
     // brute-force Hamming and the fingerprint's gain invariance
     "q88_audio_near_dup" -> ((s, d) => Multimodal.qAudioNearDup(s, d)),
+    // q89: ANN over the PERSISTED IVF index (build-once/query-many) —
+    // rows-only like q46; SimilaritySpec asserts parity with the
+    // in-query IVF path and partition-pruned probing
+    "q89_knn_ivf_index" -> ((s, d) => Similarity.qIvfFromIndex(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

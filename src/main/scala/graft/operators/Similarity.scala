@@ -199,4 +199,100 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
         round(col("cos"), 4).as("cosine"))
   }
+
+  /** Build a PERSISTED IVF index — the build-once / query-many shape a
+    * production vector store actually runs (q46 retrains its codebook
+    * inside every query): the trained codebook lands in
+    * `indexDir/centroids` and the corpus assignments land in
+    * `indexDir/assignments` PARTITIONED BY CELL, so the cell id is a
+    * directory, not a column value. Probing then becomes partition-
+    * directory pruning: a query reads only its `nprobe` cell
+    * directories off disk — at 100 TB the difference between touching
+    * nprobe/cells of the corpus bytes and scanning all of them, before
+    * any row is decoded. Same seeded KMeans + bounded `trainCap` fit as
+    * [[qIvfTopK]], so both paths share a codebook given the same
+    * params. */
+  def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
+      cells: Int = 10, trainCap: Long = 100000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val train = e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
+    val model = new KMeans().setK(cells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assignments")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** ANN search over a persisted [[buildIvfIndex]] index. The probe
+    * step scores the broadcast-sized centroid table, collects the
+    * probed cell ids (nprobe · |queries| ints — a control-plane read,
+    * not data), and pushes them as a STATIC partition filter into the
+    * assignments scan: the plan lists only the probed cell directories
+    * (spec-asserted), then ranks exact cosine among their vectors. */
+  def ivfSearchFromIndex(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val centroids = s.read.parquet(s"$indexDir/centroids")
+    val qs = queries
+      .select(col("query_id"), col("q_emb").cast("array<double>").as("q_emb"))
+    val d2 = expr("aggregate(zip_with(q_emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    val probeW = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell").asc)
+    val probed = qs.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"), d2.as("d2"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "q_emb", "cell")
+    val probedCells = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = s.read.parquet(s"$indexDir/assignments")
+      .where(col("cell").isin(probedCells: _*))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** q89: ANN through the persisted index — the index is built once per
+    * (warehouse, corpus) into a marker-guarded directory and every
+    * call after that only probes it. Rows-only in the gate
+    * (probabilistic recall, like q46); SimilaritySpec asserts the
+    * results match the in-query IVF path given the shared codebook
+    * seed, and that the assignments scan lists only the probed cell
+    * directories. */
+  def qIvfFromIndex(s: SparkSession, d: String, nprobe: Int = 3,
+      k: Int = 10): DataFrame = {
+    val indexDir = ivfIndexDir(s, d)
+    ivfSearchFromIndex(s, indexDir, queriesDf(s, d), nprobe, k)
+  }
+
+  /** Build (once) and return the session-cached IVF index dir for a
+    * corpus — marker-file guarded, same device as eventsStream's
+    * cached source dirs. */
+  def ivfIndexDir(s: SparkSession, d: String, cells: Int = 10): String = {
+    val key = java.util.UUID.nameUUIDFromBytes(
+      s"${s.sparkContext.applicationId}:$d:$cells".getBytes("UTF-8")).toString
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$key"
+    val marker = new java.io.File(s"$dir/_INDEX_READY")
+    ivfBuildLock.synchronized {
+      if (!marker.exists()) {
+        buildIvfIndex(s, d, dir, cells)
+        marker.createNewFile()
+      }
+    }
+    dir
+  }
+
+  private val ivfBuildLock = new Object
 }

@@ -42,7 +42,13 @@ object ScaleBench {
       // under the bijection; the corpus-keyed join is the probe) and
       // the source-overlap matrix (per-source gram sets grow with the
       // factor, cross-copy grams never collide, output stays 190 pairs)
-      "q79_bigram_nll", "q80_source_overlap")
+      "q79_bigram_nll", "q80_source_overlap",
+      // round 7: exact duplicate-span removal — the bijection preserves
+      // every intra-copy duplicate window exactly and cross-copy
+      // windows never collide, so the duplicate set grows linearly
+      // (the real-corpus shape); the probe exercises the corpus-token-
+      // sized digest shuffle, the dominant cost at scale
+      "q86_exact_substring")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -134,4 +134,47 @@ class SimilaritySpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(bad <= 1e-9, s"element error exceeds scale/2 by $bad")
   }
+
+  test("persisted IVF index: results match the in-query IVF path bit for bit") {
+    // both paths fit the same seeded KMeans on the same bounded train
+    // set, so the codebook — and therefore probing and ranking — agree
+    val fresh = Similarity.qIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromIndex = Similarity.qIvfFromIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fromIndex == fresh)
+    assert(fresh.nonEmpty)
+  }
+
+  test("persisted IVF index: the assignments scan reads only probed cell directories") {
+    val indexDir = Similarity.ivfIndexDir(spark, sf)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val result = Similarity.ivfSearchFromIndex(spark, indexDir, queries, nprobe = 2)
+    result.collect() // materialize so AQE settles on its final plan
+    // AQE wraps materialized stages as leaf nodes, so a flat collect
+    // misses their scans — descend through the stage wrappers
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(result.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("assignments")))
+    assert(scans.nonEmpty, "no file scan over the assignments table")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"no partition filter on cell: ${scan.partitionFilters}")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.values.getInt(0)).distinct
+    val total = spark.read.parquet(s"$indexDir/assignments")
+      .select("cell").distinct().count()
+    assert(selected.length < total,
+      s"probing read every cell directory (${selected.length} of $total)")
+    // the pruned search still returns k results per query
+    assert(result.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+  }
 }
