@@ -149,6 +149,9 @@ object SparkEntry {
     // rows-only like q46; SimilaritySpec asserts parity with the
     // in-query IVF path and partition-pruned probing
     "q89_knn_ivf_index" -> ((s, d) => Similarity.qIvfFromIndex(s, d)),
+    // q90: n-gram novelty — the fraction of a doc's distinct 8-gram
+    // windows first seen in that doc (contribution-ordered curation)
+    "q90_novelty" -> ((s, d) => TextAnalysis.qNovelty(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -894,5 +897,20 @@ object SparkEntry {
                                    / 1152921504606846976.0)
                 END AS kmv_estimate
          FROM agg a LEFT JOIN kth k USING (source)""",
+    // n-gram novelty: fraction of each doc's distinct 8-gram windows
+    // whose first corpus occurrence (by doc_id) is that doc
+    "q90_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) w
+           WHERE len(t) >= 8),
+         fs AS (SELECT h, MIN(doc_id) AS fd FROM g GROUP BY h)
+         SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_grams,
+                ROUND(AVG(CASE WHEN fd = doc_id THEN 1.0 ELSE 0.0 END), 6) AS novelty
+         FROM g JOIN fs USING (h)
+         GROUP BY doc_id""",
   )
 }

@@ -314,6 +314,42 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
   }
 
+  /** q90: n-gram novelty — each doc's marginal contribution to the
+    * corpus under doc_id (≈ ingestion) order: the fraction of its
+    * DISTINCT n-gram windows whose FIRST corpus occurrence is this doc.
+    * The complement of a duplication score — boilerplate-heavy docs
+    * score near 0, fresh content near 1 — and the ranking signal for
+    * contribution-ordered curation (near-dups of earlier docs add
+    * nothing and fall to the bottom); q86 then CUTS what this op
+    * MEASURES. Shape: per-doc distinct window digests (scan-local) →
+    * digest-keyed min(doc_id) (map-side partial min) → one digest-keyed
+    * equi-join back — linear end to end, content never shuffles, no
+    * pair space. md5 digests for oracle parity (xxhash64 engine-
+    * internally). */
+  def qNovelty(s: SparkSession, d: String, n: Int = 8): DataFrame =
+    noveltyScores(documents(s, d), "doc_id", "text", n)
+
+  /** The q90 core over any (id, text) DataFrame — see [[qNovelty]].
+    * Returns (doc_id, n_grams, novelty); docs with fewer than n tokens
+    * have no windows and are absent. */
+  def noveltyScores(input: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val docs = input
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+    val grams = docs
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - n + 1),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))).cast("binary")))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+    val firstSeen = grams.groupBy("h").agg(min(col("doc_id")).as("fd"))
+    grams.join(firstSeen, "h")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_grams"),
+        round(avg(when(col("fd") === col("doc_id"), 1.0).otherwise(0.0)), 6)
+          .as("novelty"))
+  }
+
   /** q76: approximate heavy hitters over the corpus's tokens — the
     * Misra–Gries mergeable sketch ([[graft.functions.MisraGries]]):
     * ≤ m counters per partition, counter-space merge, so the gather is

@@ -130,4 +130,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(2L)._2 == 0.0 && math.abs(m(2L)._3 - 1.0) < 1e-9)
     assert(m(3L)._2 == 0.0 && math.abs(m(3L)._3 - (1.0 / 3.0)) < 1e-4)
   }
+
+  test("novelty (q90): first occurrence credits the earliest doc; dups score zero") {
+    import spark.implicits._
+    def w(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val fresh = w("a", 5)                        // 3 distinct 3-gram windows
+    val docs = Seq(
+      (1L, fresh),                               // introduces everything: 1.0
+      (2L, fresh),                               // verbatim dup of doc 1: 0.0
+      (3L, s"$fresh ${w("z", 3)}"),              // 6 windows, 3 new: 0.5
+      (4L, w("q", 2))                            // < n tokens: absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 1.0)))
+    assert(got(2L) == ((3L, 0.0)))
+    assert(got(3L) == ((6L, 0.5)))
+    assert(!got.contains(4L), "a doc below the window size has no novelty row")
+    // repeated windows inside one doc count once (distinct per doc)
+    val rep = Seq((1L, s"$fresh $fresh")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.noveltyScores(rep, "doc_id", "text", n = 3)
+      .head()
+    // 10 tokens -> 8 windows, but the doubled text folds them to 5
+    // distinct grams ({a1a2a3, a2a3a4, a3a4a5, a4a5a1, a5a1a2})
+    assert(r1.getLong(1) == 5L && r1.getDouble(2) == 1.0)
+  }
 }
