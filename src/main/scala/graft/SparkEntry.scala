@@ -152,6 +152,10 @@ object SparkEntry {
     // q90: n-gram novelty — the fraction of a doc's distinct 8-gram
     // windows first seen in that doc (contribution-ordered curation)
     "q90_novelty" -> ((s, d) => TextAnalysis.qNovelty(s, d)),
+    // q91: product-quantization ANN (ADC over 4-byte codes) — rows-only
+    // (quantized ranking); SimilaritySpec pins recall vs exact L2 and
+    // the ADC distance error
+    "q91_knn_pq" -> ((s, d) => Similarity.qPqTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -277,6 +277,100 @@ object Similarity {
     ivfSearchFromIndex(s, indexDir, queriesDf(s, d), nprobe, k)
   }
 
+  /** q91: product-quantization ANN (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * memory lever beyond SQ8: the vector splits into `m` subspaces,
+    * each with its own seeded-KMeans codebook of `ksub` centroids, and
+    * a vector stores only its m sub-codes — 4 bytes here vs 256 bytes
+    * float32 (64×), the compression that puts a trillion-vector corpus
+    * in executor memory. Search is ADC (asymmetric distance): each
+    * query precomputes an m × ksub table of partial squared distances
+    * to every sub-centroid (driver-side — m·ksub doubles per query,
+    * control-plane sized), broadcasts it, and a vector's approximate
+    * distance is m table lookups summed — no float vector is ever read
+    * at query time. Codebook training is `trainCap`-bounded like IVF;
+    * scoring is one codegen'd lookup-sum over the broadcast LUT, so
+    * corpus-side work is a linear scan of 4-byte codes. The ADC pass
+    * keeps a `shortlist` of candidates per query and only THOSE rows'
+    * float vectors are joined back for an exact L2 re-rank — the
+    * standard two-stage PQ serving shape (compressed scan prunes,
+    * floats are fetched for shortlist·|queries| rows, not the corpus).
+    * L2 ranking; rows-only in the gate — SimilaritySpec pins recall vs
+    * exact L2 and the ADC error bound. */
+  def qPqTopK(s: SparkSession, d: String, m: Int = 4, ksub: Int = 16,
+      k: Int = 10, shortlist: Int = 50, trainCap: Long = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dims = e.select(size(col("emb"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val train = e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
+    // one independent codebook per subspace (tiny models, trained on
+    // the same bounded sample)
+    val models = (0 until m).map { s0 =>
+      new KMeans().setK(ksub).setSeed(42L + s0)
+        .setFeaturesCol("fv").setPredictionCol("code")
+        .fit(train.select(array_to_vector(
+          slice(col("emb"), s0 * sub + 1, sub)).as("fv")))
+    }
+    // encode: m assignment passes, then pack the codes into one array —
+    // the 4-byte-per-vector representation everything downstream reads
+    val encoded = models.zipWithIndex.foldLeft(e) { case (df, (mod, s0)) =>
+      mod.setPredictionCol(s"c$s0").transform(
+        df.withColumn("fv", array_to_vector(slice(col("emb"), s0 * sub + 1, sub))))
+        .drop("fv")
+    }.select(col("vec_id"),
+      array((0 until m).map(s0 => col(s"c$s0")): _*).as("codes"))
+    // per-query ADC lookup table: lut[s][c] = ||q_s - centroid_sc||²
+    val qs = queriesDf(s, d)
+      .select(col("query_id"), col("q_emb").cast("array<double>").as("q"))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(m, ksub) { (s0, c) =>
+          val cen = models(s0).clusterCenters(c).toArray
+          var acc = 0.0
+          var j = 0
+          while (j < sub) {
+            val diff = qv(s0 * sub + j) - cen(j)
+            acc += diff * diff
+            j += 1
+          }
+          acc
+        }
+        (r.getLong(0), lut.map(_.toSeq).toSeq)
+      }.toSeq
+    val lutDf = qs.toDF("query_id", "lut")
+    // ADC scan: distance = sum of m LUT lookups, codegen'd HOF chain
+    val adc = expr(
+      s"aggregate(transform(sequence(0, ${m - 1}), " +
+        "i -> element_at(element_at(lut, i + 1), element_at(codes, i + 1) + 1)), " +
+        "0D, (a, v) -> a + v)")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val candidates = encoded.crossJoin(broadcast(lutDf))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc_d2"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "vec_id", "adc_d2")
+    // exact re-rank: float vectors are read for the shortlist only
+    val qVecs = qs.map { case (id, _) => id }.toDF("query_id")
+      .join(e.select(col("vec_id").as("query_id"), col("emb").as("q")), Seq("query_id"))
+    val exactD2 = expr("aggregate(zip_with(q, emb, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id").asc)
+    candidates
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("adc_d2"), exactD2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("adc_d2"), 4).as("adc_d2"), round(col("d2"), 4).as("d2"))
+  }
+
   /** Build (once) and return the session-cached IVF index dir for a
     * corpus — marker-file guarded, same device as eventsStream's
     * cached source dirs. */

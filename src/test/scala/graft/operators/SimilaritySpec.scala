@@ -177,4 +177,41 @@ class SimilaritySpec extends AnyFunSuite {
     // the pruned search still returns k results per query
     assert(result.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
   }
+
+  test("PQ top-k: recall vs exact L2, and ADC distances approximate true distances") {
+    val k = 10
+    val got = Similarity.qPqTopK(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // exact L2 neighbors, driver-side
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = vecs.keys.filter(_ < 5)
+    var recallHits = 0
+    queries.foreach { q =>
+      val truth = vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (d2(vecs(q), vecs(v)), v)).take(k).toSet
+      val mine = got.filter(_._1 == q).map(_._2).toSet
+      assert(mine.size == k)
+      recallHits += mine.intersect(truth).size
+    }
+    val recall = recallHits.toDouble / (queries.size * k)
+    assert(recall >= 0.4, f"PQ recall@10 $recall%.2f below floor 0.4")
+    // ADC is an approximation of the true squared distance, not noise:
+    // mean relative error over reported pairs stays bounded
+    val relErrs = got.map { case (q, v, adc, _) =>
+      val truthD2 = d2(vecs(q), vecs(v))
+      math.abs(adc - truthD2) / math.max(truthD2, 1e-12)
+    }
+    val meanRelErr = relErrs.sum / relErrs.length
+    assert(meanRelErr < 0.5, f"mean ADC relative error $meanRelErr%.3f too large")
+    // the re-rank column is the exact distance (bit-parity with driver math)
+    got.foreach { case (q, v, _, reported) =>
+      assert(math.abs(reported - d2(vecs(q), vecs(v))) < 1e-3,
+        s"re-ranked d2 for ($q,$v) diverges from exact")
+    }
+  }
 }
