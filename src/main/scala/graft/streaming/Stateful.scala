@@ -79,4 +79,34 @@ object Stateful {
     records.groupByKey(_._1)
       .transformWithState(new RunningCountsProcessor(ttl), timeMode, OutputMode.Update())
   }
+
+  case class KeyedDistinct(key: Long, estimate: Double)
+
+  /** Running DISTINCT-count estimate per key via the KMV bottom-k
+    * sketch ([[graft.functions.KmvSketch]]) held as streaming state —
+    * the sketch-in-state composition a streaming pipeline needs when
+    * exact per-key distinct over an unbounded stream would grow state
+    * without bound: the state per key is ≤ k digests FOREVER,
+    * regardless of how many distinct values flow past. Because the KMV
+    * state is a pure set function, the running estimate after any
+    * micro-batch ordering equals the batch estimate over the union of
+    * everything seen — which is what StatefulSpec asserts across
+    * batches. */
+  def runningDistinct(records: Dataset[(Long, String)], k: Int = 64,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[KeyedDistinct] = {
+    implicit val kmvEnc: Encoder[graft.functions.KmvState] =
+      Encoders.product[graft.functions.KmvState]
+    implicit val outE: Encoder[KeyedDistinct] = Encoders.product[KeyedDistinct]
+    implicit val inE: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    val agg = new graft.functions.KmvSketch(k)
+    records.groupByKey(_._1)
+      .mapGroupsWithState[graft.functions.KmvState, KeyedDistinct](timeout) {
+        (key: Long, it: Iterator[(Long, String)], state: GroupState[graft.functions.KmvState]) =>
+          val st = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            case (acc, (_, hash)) => agg.reduce(acc, hash)
+          }
+          state.update(st)
+          KeyedDistinct(key, agg.finish(st))
+      }
+  }
 }

@@ -79,4 +79,42 @@ class StatefulSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("running KMV distinct: bounded state, batch-order-invariant estimate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val k = 16
+    val mem = MemoryStream[(Long, String)]
+    val name = "kmvstate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Stateful.runningDistinct(mem.toDS(), k).writeStream
+      .format("memory").queryName(name)
+      .outputMode(Stateful.RequiredOutputMode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kmvstate").toString)
+      .start()
+    // 300 distinct values for key 1 split across three micro-batches
+    // (with overlap between batches); 5 distinct for key 2
+    val vals = (1 to 300).map(i => md5hex(s"v$i"))
+    mem.addData(vals.slice(0, 120).map((1L, _)): _*)
+    q.processAllAvailable()
+    mem.addData((vals.slice(100, 220) ++ vals.slice(0, 10)).map((1L, _)): _*)
+    q.processAllAvailable()
+    mem.addData(vals.slice(200, 300).map((1L, _)) ++ (1 to 5).map(i => (2L, md5hex(s"w$i"))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).zipWithIndex
+    val latest = rows.groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._2).toMap
+    // the KMV state is a set function, so the streamed estimate equals
+    // the one-shot fold over the union of all batches
+    val agg = new graft.functions.KmvSketch(k)
+    val oneShot = agg.finish(vals.foldLeft(agg.zero)(agg.reduce))
+    assert(latest(1L) == oneShot, s"streamed ${latest(1L)} != one-shot $oneShot")
+    assert(math.abs(latest(1L) - 300) / 300.0 < 4.0 / math.sqrt(k))
+    // below k the sketch is exact
+    assert(latest(2L) == 5.0)
+  }
 }
