@@ -39,6 +39,10 @@ object Bench {
     // model) and the cross-source trigram overlap matrix
     "q79_bigram_nll",
     "q80_source_overlap",
+    // round 7: exact duplicate-span removal (the corpus-token digest
+    // shuffle) and the KMV bottom-k distinct sketch
+    "q86_exact_substring",
+    "q87_kmv_distinct",
   )
 
   def main(args: Array[String]): Unit = {
