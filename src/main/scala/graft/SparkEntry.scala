@@ -156,6 +156,9 @@ object SparkEntry {
     // (quantized ranking); SimilaritySpec pins recall vs exact L2 and
     // the ADC distance error
     "q91_knn_pq" -> ((s, d) => Similarity.qPqTopK(s, d)),
+    // q92: train/valid split-leakage audit — near-dup pairs (q29
+    // definition) crossing a deterministic 80/20 split
+    "q92_split_leakage" -> (Dedup.qSplitLeakage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -916,5 +919,39 @@ object SparkEntry {
                 ROUND(AVG(CASE WHEN fd = doc_id THEN 1.0 ELSE 0.0 END), 6) AS novelty
          FROM g JOIN fs USING (h)
          GROUP BY doc_id""",
+    // split-leakage audit: q29's near-dup pair definition tagged with a
+    // deterministic 80/20 split; crossing pairs = eval contamination
+    "q92_split_leakage" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         sp AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'valid' END AS split
+                FROM documents),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.5),
+         tagged AS (
+           SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+           FROM pairs p
+           JOIN sp sa ON sa.doc_id = p.doc_a
+           JOIN sp sb ON sb.doc_id = p.doc_b),
+         cross_p AS (SELECT * FROM tagged WHERE split_a <> split_b),
+         leaky AS (
+           SELECT DISTINCT CASE WHEN split_a = 'valid' THEN doc_a ELSE doc_b END AS doc
+           FROM cross_p)
+         SELECT
+           (SELECT COUNT(*) FROM sp WHERE split = 'train') AS n_train,
+           (SELECT COUNT(*) FROM sp WHERE split = 'valid') AS n_valid,
+           (SELECT COUNT(*) FROM tagged) AS n_pairs,
+           (SELECT COUNT(*) FROM cross_p) AS n_cross_pairs,
+           (SELECT COUNT(*) FROM leaky) AS n_leaky_valid_docs""",
   )
 }

@@ -176,6 +176,45 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     ngramJaccardPairs(documents(s, d), "doc_id", "text", window, threshold)
 
+  /** q92: train/validation split-leakage audit — the decontamination
+    * check BETWEEN a pipeline's own splits (q42 checks the corpus
+    * against an external benchmark): assign every doc to a
+    * deterministic 80/20 split, find near-dup pairs under the q29
+    * definition ([[ngramJaccardPairs]]), and count the pairs that CROSS
+    * the split — each is an eval example whose near-copy was trained
+    * on, i.e. silent eval contamination. Output is one row: split
+    * sizes, total near-dup pairs, crossing pairs, and the distinct
+    * valid-side docs compromised (the rows to re-split or drop).
+    * Scale shape: the pair machinery is q29's bucketed equi-join; the
+    * split columns ride the existing pair output through two
+    * broadcast-sized joins on (doc_id, split). */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakage(documents(s, d))
+
+  /** The q92 core over any (doc_id, text) DataFrame — see
+    * [[qSplitLeakage]]. */
+  def splitLeakage(docs: DataFrame, window: Long = 64,
+      threshold: Double = 0.5): DataFrame = {
+    val assignments = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 < 8, "train").otherwise("valid").as("split"))
+    val pairs = ngramJaccardPairs(docs, "doc_id", "text", window, threshold)
+    val tagged = pairs
+      .join(assignments.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(assignments.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+    val cross = tagged.filter(col("split_a") =!= col("split_b"))
+    val leakyValid = cross.select(
+        when(col("split_a") === "valid", col("doc_a")).otherwise(col("doc_b")).as("doc"))
+      .distinct()
+    assignments.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"))
+      .crossJoin(tagged.agg(count("*").as("n_pairs")))
+      .crossJoin(cross.agg(count("*").as("n_cross_pairs")))
+      .crossJoin(leakyValid.agg(count("*").as("n_leaky_valid_docs")))
+  }
+
   /** q48: edit-distance near-dup within a doc_id window — Levenshtein
     * over a fixed prefix (bounding the O(m·n) DP cost per pair), on the
     * same bucketed equi-join candidate shape as q29. Edit distance

@@ -210,4 +210,26 @@ class DedupSpec extends AnyFunSuite {
     // every doc not in any pair is its own singleton component
     got.foreach { case (n, c) => if (!truth.contains(n)) assert(c == n) }
   }
+
+  test("split leakage (q92): crossing pairs counted, leaky valid docs identified") {
+    import spark.implicits._
+    val dup = "alpha beta gamma delta epsilon zeta"
+    // ids 0-7 -> train, 8-9 -> valid under the doc_id % 10 < 8 rule:
+    //  (1, 3): within-train dup; (4, 8): TRAIN-VALID dup (leak);
+    //  9: valid, unique; the rest unique filler
+    val docs = Seq(
+      0L -> "u0 a b c", 1L -> dup, 2L -> "u2 d e f", 3L -> dup,
+      4L -> s"$dup extra", 5L -> "u5 g h i", 6L -> "u6 j k l",
+      7L -> "u7 m n o", 8L -> s"$dup extra", 9L -> "u9 p q r"
+    ).toDF("doc_id", "text")
+    val r = Dedup.splitLeakage(docs).head()
+    assert(r.getLong(0) == 8 && r.getLong(1) == 2) // split sizes
+    // pairs: (1,3) and (4,8) are exact (jaccard 1.0); (1,4)/(3,4)/
+    // (1,8)/(3,8) share 5 of 6 distinct bigrams (0.833) -> 6 total
+    assert(r.getLong(2) == 6, s"pairs: ${r.getLong(2)}")
+    // crossing: (4,8), (1,8), (3,8)
+    assert(r.getLong(3) == 3, s"crossing: ${r.getLong(3)}")
+    // one distinct compromised valid doc: 8
+    assert(r.getLong(4) == 1, s"leaky valid: ${r.getLong(4)}")
+  }
 }
