@@ -159,6 +159,10 @@ object SparkEntry {
     // q92: train/valid split-leakage audit — near-dup pairs (q29
     // definition) crossing a deterministic 80/20 split
     "q92_split_leakage" -> (Dedup.qSplitLeakage _),
+    // q93: IVF-PQ ANN (residual product quantization inside probed
+    // cells) — rows-only; SimilaritySpec pins recall and re-rank
+    // exactness
+    "q93_knn_ivfpq" -> ((s, d) => Similarity.qIvfPqTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

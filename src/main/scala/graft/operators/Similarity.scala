@@ -371,6 +371,116 @@ object Similarity {
         round(col("adc_d2"), 4).as("adc_d2"), round(col("d2"), 4).as("d2"))
   }
 
+  /** q93: IVF-PQ ANN — the full billion-scale index shape (Jégou et
+    * al. TPAMI'11 §IV; what FAISS calls IVFPQ), composing the two
+    * levers the repo already has separately: the IVF coarse quantizer
+    * (q46/q89) restricts WHICH vectors a query scores, and PQ (q91)
+    * compresses HOW each is scored — but on the RESIDUAL (vector −
+    * its cell centroid), which has far less variance than the raw
+    * vector, so the same 4-byte budget quantizes much finer. Search:
+    * probe `nprobe` cells, build one ADC LUT per (query, probed cell)
+    * — the lookup target is `(q − centroid_cell)` per subspace, driver-
+    * side, nprobe·m·ksub doubles per query — broadcast, ADC-scan only
+    * the probed cells' codes, shortlist, exact re-rank with floats
+    * joined back for the shortlist rows only. Rows-only in the gate;
+    * SimilaritySpec pins recall vs exact L2 and re-rank exactness. */
+  def qIvfPqTopK(s: SparkSession, d: String, cells: Int = 10, m: Int = 4,
+      ksub: Int = 16, nprobe: Int = 3, k: Int = 10, shortlist: Int = 50,
+      trainCap: Long = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dims = e.select(size(col("emb"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val capped = math.min(trainCap, Int.MaxValue.toLong).toInt
+    // coarse quantizer: same seeded fit as qIvfTopK/buildIvfIndex
+    val coarse = new KMeans().setK(cells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.limit(capped).select(array_to_vector(col("emb")).as("fv")))
+    val centroidRows = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centroids = centroidRows.toDF("cell", "centroid")
+    val assigned = coarse.transform(e.withColumn("fv", array_to_vector(col("emb"))))
+      .drop("fv")
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("res", zip_with(col("emb"), col("centroid"), (x, y) => x - y))
+      .select(col("vec_id"), col("cell"), col("res"))
+    // product codebooks on the RESIDUALS (the variance PQ must cover
+    // is within-cell spread, not the full corpus spread)
+    val resTrain = assigned.limit(capped)
+    val models = (0 until m).map { s0 =>
+      new KMeans().setK(ksub).setSeed(142L + s0)
+        .setFeaturesCol("fv").setPredictionCol("code")
+        .fit(resTrain.select(array_to_vector(
+          slice(col("res"), s0 * sub + 1, sub)).as("fv")))
+    }
+    val encoded = models.zipWithIndex.foldLeft(assigned) { case (df, (mod, s0)) =>
+      mod.setPredictionCol(s"c$s0").transform(
+        df.withColumn("fv", array_to_vector(slice(col("res"), s0 * sub + 1, sub))))
+        .drop("fv")
+    }.select(col("vec_id"), col("cell"),
+      array((0 until m).map(s0 => col(s"c$s0")): _*).as("codes"))
+    // probe + per-(query, cell) residual LUTs, driver-side (tiny)
+    val qVecRows = queriesDf(s, d)
+      .select(col("query_id"), col("q_emb").cast("array<double>").as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lutRows = qVecRows.flatMap { case (qid, qv) =>
+      val nearest = centroidRows
+        .map { case (cell, cen) =>
+          var acc = 0.0
+          var j = 0
+          while (j < dims) { val df0 = qv(j) - cen(j); acc += df0 * df0; j += 1 }
+          (cell, acc)
+        }
+        .sortBy { case (cell, d2v) => (d2v, cell) }.take(nprobe)
+      nearest.map { case (cell, _) =>
+        val cen = centroidRows(cell)._2
+        val lut = Array.tabulate(m, ksub) { (s0, c) =>
+          val pqCen = models(s0).clusterCenters(c).toArray
+          var acc = 0.0
+          var j = 0
+          while (j < sub) {
+            val diff = (qv(s0 * sub + j) - cen(s0 * sub + j)) - pqCen(j)
+            acc += diff * diff
+            j += 1
+          }
+          acc
+        }
+        (qid, cell, lut.map(_.toSeq).toSeq)
+      }
+    }.toSeq
+    val lutDf = lutRows.toDF("query_id", "cell", "lut")
+    val probedCells = lutRows.map(_._2).distinct
+    val adc = expr(
+      s"aggregate(transform(sequence(0, ${m - 1}), " +
+        "i -> element_at(element_at(lut, i + 1), element_at(codes, i + 1) + 1)), " +
+        "0D, (a, v) -> a + v)")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val candidates = encoded
+      .where(col("cell").isin(probedCells: _*))
+      .join(broadcast(lutDf), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc_d2"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "vec_id", "adc_d2")
+    // exact re-rank over the shortlist only
+    val qVecs = qVecRows.map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("query_id", "q")
+    val exactD2 = expr("aggregate(zip_with(q, emb, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id").asc)
+    candidates
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("adc_d2"), exactD2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("adc_d2"), 4).as("adc_d2"), round(col("d2"), 4).as("d2"))
+  }
+
   /** Build (once) and return the session-cached IVF index dir for a
     * corpus — marker-file guarded, same device as eventsStream's
     * cached source dirs. */

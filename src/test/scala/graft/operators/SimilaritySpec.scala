@@ -214,4 +214,33 @@ class SimilaritySpec extends AnyFunSuite {
         s"re-ranked d2 for ($q,$v) diverges from exact")
     }
   }
+
+  test("IVF-PQ top-k: recall within probed cells, exact re-rank distances") {
+    val k = 10
+    val got = Similarity.qIvfPqTopK(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = vecs.keys.filter(_ < 5)
+    var hits = 0
+    queries.foreach { q =>
+      val truth = vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (d2(vecs(q), vecs(v)), v)).take(k).toSet
+      val mine = got.filter(_._1 == q).map(_._2).toSet
+      assert(mine.size == k)
+      hits += mine.intersect(truth).size
+    }
+    // cell restriction costs recall vs flat PQ — floor it like q46's
+    val recall = hits.toDouble / (queries.size * k)
+    assert(recall >= 0.25, f"IVF-PQ recall@10 $recall%.2f below floor")
+    // re-rank distances are exact
+    got.foreach { case (q, v, reported) =>
+      assert(math.abs(reported - d2(vecs(q), vecs(v))) < 1e-3,
+        s"re-ranked d2 for ($q,$v) diverges from exact")
+    }
+  }
 }
