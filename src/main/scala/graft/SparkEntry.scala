@@ -163,6 +163,9 @@ object SparkEntry {
     // cells) — rows-only; SimilaritySpec pins recall and re-rank
     // exactness
     "q93_knn_ivfpq" -> ((s, d) => Similarity.qIvfPqTopK(s, d)),
+    // q94: corpus-version diff — added/removed/changed/unchanged counts
+    // between two deterministic snapshot versions
+    "q94_corpus_diff" -> (Pipeline.qCorpusDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -957,5 +960,23 @@ object SparkEntry {
            (SELECT COUNT(*) FROM tagged) AS n_pairs,
            (SELECT COUNT(*) FROM cross_p) AS n_cross_pairs,
            (SELECT COUNT(*) FROM leaky) AS n_leaky_valid_docs""",
+    // corpus-version diff: v2 derived deterministically (drop %17,
+    // edit %13, re-add %19 under new ids), classified by digest
+    "q94_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS dig1 FROM documents),
+         v2 AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS dig2
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS dig2
+           FROM documents WHERE doc_id % 19 = 0)
+         SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT CASE WHEN dig1 IS NULL THEN 'added'
+                       WHEN dig2 IS NULL THEN 'removed'
+                       WHEN dig1 = dig2 THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+         GROUP BY status""",
   )
 }

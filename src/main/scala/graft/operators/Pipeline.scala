@@ -138,6 +138,35 @@ object Pipeline {
         kmv(col("h")).as("kmv_estimate"))
   }
 
+  /** q94: corpus-version diff — the dataset-versioning audit run before
+    * shipping a new corpus snapshot: join two versions on doc_id and
+    * classify every doc as added / removed / changed / unchanged by
+    * content digest, so the release note (and any incremental
+    * downstream job) knows exactly what moved. V2 is derived
+    * deterministically from the corpus (the q77 injection device):
+    * every 17th doc dropped, every 13th edited, every 19th re-added
+    * under a new id. Shape: two digest projections (map-side), one
+    * full-outer equi-join on doc_id shuffling 16-byte digests — never
+    * text — and a 4-row count. At 100 TB both sides prune to
+    * (doc_id, digest) at the scan. */
+  def qCorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("dig1"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).cast("binary")).as("dig2"))
+      .unionAll(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(col("text"), lit(" new")).cast("binary")).as("dig2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(when(col("dig1").isNull, "added")
+        .when(col("dig2").isNull, "removed")
+        .when(col("dig1") === col("dig2"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy("status").agg(count("*").as("n"))
+  }
+
   /** q54: sequence packing — the training-batch construction op: pack
     * documents (in doc_id order) into contiguous fixed-token-budget
     * bins, PER SOURCE SHARD. A doc's bin = floor(tokens-before-it /
