@@ -166,6 +166,8 @@ object SparkEntry {
     // q94: corpus-version diff — added/removed/changed/unchanged counts
     // between two deterministic snapshot versions
     "q94_corpus_diff" -> (Pipeline.qCorpusDiff _),
+    // q95: single-pass per-column data profiler over lineitem
+    "q95_profile" -> (Pipeline.qProfile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -978,5 +980,32 @@ object SparkEntry {
                        ELSE 'changed' END AS status
            FROM v1 FULL OUTER JOIN v2 USING (doc_id))
          GROUP BY status""",
+    // per-column profiler: long-format non-null/distinct + numeric
+    // min/max/mean over lineitem
+    "q95_profile" ->
+      """SELECT 'l_quantity' AS column_name, COUNT(l_quantity) AS n_nonnull,
+                COUNT(DISTINCT l_quantity) AS n_distinct, MIN(l_quantity) AS min_v,
+                MAX(l_quantity) AS max_v, ROUND(AVG(l_quantity), 4) AS mean_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+                MIN(l_extendedprice), MAX(l_extendedprice), ROUND(AVG(l_extendedprice), 4)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', COUNT(l_discount), COUNT(DISTINCT l_discount),
+                MIN(l_discount), MAX(l_discount), ROUND(AVG(l_discount), 4)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', COUNT(l_tax), COUNT(DISTINCT l_tax),
+                MIN(l_tax), MAX(l_tax), ROUND(AVG(l_tax), 4)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_linestatus', COUNT(l_linestatus), COUNT(DISTINCT l_linestatus),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         FROM lineitem""",
   )
 }

@@ -167,6 +167,39 @@ object Pipeline {
       .groupBy("status").agg(count("*").as("n"))
   }
 
+  /** q95: single-pass relational data profiler — the table-side
+    * datasheet (q85 profiles the text corpus): per-column non-null
+    * count, exact distinct count, and numeric min/max/mean over
+    * `lineitem`, emitted long-format (one row per column) so the
+    * result is schema-stable as tables grow columns. ONE aggregation
+    * node computes every stat (the multi-distinct rewrite expands the
+    * scan internally — the standard engine plan for this shape, still
+    * one pass over storage), then a `stack` unpivots the single stats
+    * row. At 100 TB this is the profile job a pipeline runs on every
+    * snapshot; distinct counts would swap to `approx_count_distinct`
+    * (q43) — exact here so the oracle can agree bit-for-bit. */
+  def qProfile(s: SparkSession, d: String): DataFrame = {
+    val numeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val all = numeric ++ strings
+    val aggs = all.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"), count_distinct(col(c)).as(s"d_$c"))
+    } ++ numeric.flatMap { c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        round(avg(col(c)), 4).as(s"av_$c"))
+    }
+    val stats = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = all.map { c =>
+      val (mn, mx, av) =
+        if (numeric.contains(c)) (s"mn_$c", s"mx_$c", s"av_$c")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"'$c', n_$c, d_$c, $mn, $mx, $av"
+    }
+    stats.select(expr(
+      s"stack(${all.size}, ${rows.mkString(", ")}) " +
+        "AS (column_name, n_nonnull, n_distinct, min_v, max_v, mean_v)"))
+  }
+
   /** q54: sequence packing — the training-batch construction op: pack
     * documents (in doc_id order) into contiguous fixed-token-budget
     * bins, PER SOURCE SHARD. A doc's bin = floor(tokens-before-it /

@@ -47,8 +47,9 @@ object ScaleBench {
       // every intra-copy duplicate window exactly and cross-copy
       // windows never collide, so the duplicate set grows linearly
       // (the real-corpus shape); the probe exercises the corpus-token-
-      // sized digest shuffle, the dominant cost at scale
-      "q86_exact_substring")
+      // sized digest shuffle, the dominant cost at scale — and n-gram
+      // novelty, the same explode family under a min-agg + join-back
+      "q86_exact_substring", "q90_novelty")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
