@@ -493,10 +493,28 @@ object Similarity {
       if (!marker.exists()) {
         buildIvfIndex(s, d, dir, cells)
         marker.createNewFile()
+        builtDirs += dir
       }
     }
     dir
   }
 
   private val ivfBuildLock = new Object
+  // the eventsStream temp-dir discipline: built index dirs are removed
+  // at JVM exit (a production index would live on managed storage)
+  private val builtDirs = scala.collection.mutable.Set.empty[String]
+  sys.addShutdownHook {
+    ivfBuildLock.synchronized {
+      builtDirs.foreach { d =>
+        try {
+          val root = new java.io.File(d)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(root)
+        } catch { case _: Exception => () }
+      }
+    }
+  }
 }
