@@ -168,6 +168,11 @@ object SparkEntry {
     "q94_corpus_diff" -> (Pipeline.qCorpusDiff _),
     // q95: single-pass per-column data profiler over lineitem
     "q95_profile" -> (Pipeline.qProfile _),
+    // q96: changeset application (vanilla-Spark MERGE INTO) — output is
+    // the full resulting snapshot's (doc_id, digest)
+    "q96_apply_changeset" -> (Pipeline.qApplyChangeset _),
+    // q97: token frequency spectrum (hapax count at k=1)
+    "q97_freq_spectrum" -> (Pipeline.qFreqSpectrum _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1007,5 +1012,25 @@ object SparkEntry {
          SELECT 'l_linestatus', COUNT(l_linestatus), COUNT(DISTINCT l_linestatus),
                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
          FROM lineitem""",
+    // changeset application: the q94 changeset applied; the full v2
+    // snapshot's (doc_id, digest) hash-checks every surviving row
+    "q96_apply_changeset" ->
+      """SELECT doc_id, md5(text) AS digest FROM documents
+         WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+         UNION ALL
+         SELECT doc_id, md5(text || ' rev2') AS digest FROM documents
+         WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS digest
+         FROM documents WHERE doc_id % 19 = 0""",
+    // token frequency spectrum: token types per occurrence count
+    "q97_freq_spectrum" ->
+      """SELECT occurrences, CAST(COUNT(*) AS BIGINT) AS n_token_types FROM (
+           SELECT t, COUNT(*) AS occurrences
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+                 FROM documents)
+           WHERE length(t) > 0
+           GROUP BY t)
+         GROUP BY occurrences""",
   )
 }

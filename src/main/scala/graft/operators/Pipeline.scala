@@ -200,6 +200,44 @@ object Pipeline {
         "AS (column_name, n_nonnull, n_distinct, min_v, max_v, mean_v)"))
   }
 
+  /** q96: changeset application — the WRITE counterpart of q94's diff:
+    * maintain a corpus snapshot by applying a (delete / update /
+    * insert) changeset without rewriting untouched rows' content —
+    * the vanilla-Spark MERGE INTO: touched keys leave via one
+    * broadcast anti-join, replacement and new rows union in. The same
+    * deterministic changeset as q94 (drop %17 / edit %13 / add %19),
+    * so diff(v1, apply(v1, changeset)) is exactly q94's answer.
+    * Output is the full v2 (doc_id, digest) — the gate hash-checks
+    * every surviving row's identity and content, not just counts. */
+  def qApplyChangeset(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val deletes = docs.filter(col("doc_id") % 17 === 0).select("doc_id")
+    val updates = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
+    val inserts = docs.filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text"))
+    val touched = deletes.unionAll(updates.select("doc_id"))
+    docs.select("doc_id", "text")
+      .join(broadcast(touched), Seq("doc_id"), "left_anti")
+      .unionAll(updates)
+      .unionAll(inserts)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+  }
+
+  /** q97: token frequency spectrum — the Zipf/Heaps diagnostic every
+    * corpus datasheet carries: for each occurrence count k, how many
+    * distinct token TYPES occur exactly k times (the k=1 row is the
+    * hapax count — the classic vocabulary-growth indicator). Two
+    * partial-agg shuffles, both vocabulary-sized or smaller; the
+    * corpus passes once. */
+  def qFreqSpectrum(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count("*").as("occurrences"))
+      .groupBy("occurrences").agg(count("*").as("n_token_types"))
+
   /** q54: sequence packing — the training-batch construction op: pack
     * documents (in doc_id order) into contiguous fixed-token-budget
     * bins, PER SOURCE SHARD. A doc's bin = floor(tokens-before-it /
