@@ -968,7 +968,7 @@ object SparkEntry {
            (SELECT COUNT(*) FROM cross_p) AS n_cross_pairs,
            (SELECT COUNT(*) FROM leaky) AS n_leaky_valid_docs""",
     // corpus-version diff: v2 derived deterministically (drop %17,
-    // edit %13, re-add %19 under new ids), classified by digest
+    // edit %13, re-add %19 under collision-proof negative ids)
     "q94_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS dig1 FROM documents),
          v2 AS (
@@ -976,7 +976,7 @@ object SparkEntry {
                   md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) AS dig2
            FROM documents WHERE doc_id % 17 <> 0
            UNION ALL
-           SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS dig2
+           SELECT -doc_id - 1 AS doc_id, md5(text || ' new') AS dig2
            FROM documents WHERE doc_id % 19 = 0)
          SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
            SELECT CASE WHEN dig1 IS NULL THEN 'added'
@@ -1021,7 +1021,7 @@ object SparkEntry {
          SELECT doc_id, md5(text || ' rev2') AS digest FROM documents
          WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
          UNION ALL
-         SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS digest
+         SELECT -doc_id - 1 AS doc_id, md5(text || ' new') AS digest
          FROM documents WHERE doc_id % 19 = 0""",
     // token frequency spectrum: token types per occurrence count
     "q97_freq_spectrum" ->

@@ -34,6 +34,11 @@ class KmvSketch(k: Int) extends Aggregator[String, KmvState, Double] {
   def zero: KmvState = KmvState(Vector.empty)
 
   def reduce(b: KmvState, hash: String): KmvState = {
+    // the estimator assumes FIXED-WIDTH lowercase hex (lexicographic =
+    // numeric order; finish parses a 15-hex prefix) — fail fast on raw
+    // unhashed input instead of crashing in finish or silently biasing
+    require(hash.length == 32 && KmvSketch.isHex(hash),
+      s"KmvSketch expects 32-char lowercase hex digests, got '$hash'")
     val hs = b.hashes
     if (hs.length == k && hash >= hs.last) b
     else {
@@ -78,4 +83,14 @@ class KmvSketch(k: Int) extends Aggregator[String, KmvState, Double] {
 object KmvSketch {
   /** 16^15 = 2^60: the denominator mapping a 15-hex-digit prefix to [0,1). */
   val Scale: Double = 1152921504606846976.0
+
+  private[functions] def isHex(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -100,15 +100,22 @@ object Bucketing {
     * come from one footer-cheap agg over the input. */
   def writeZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
       files: Int = 8): Unit = {
-    val mm = df.agg(min(colA), max(colA), min(colB), max(colB)).head()
+    // min/max via a double cast so any numeric key type works (and an
+    // empty/all-null input degenerates to a plain write, not an NPE)
+    val mm = df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (mm.isNullAt(0) || mm.isNullAt(2)) {
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+      return
+    }
     def grid(c: String, lo: Double, hi: Double) = {
       val span = math.max(hi - lo, 1e-12)
       least(lit(65535L), (col(c).cast("double") - lo) / span * 65536.0)
         .cast("long")
     }
-    val z = spread16(grid(colA, mm.getLong(0).toDouble, mm.getLong(1).toDouble))
-      .bitwiseOR(shiftleft(spread16(grid(colB, mm.getLong(2).toDouble,
-        mm.getLong(3).toDouble)), 1))
+    val z = spread16(grid(colA, mm.getDouble(0), mm.getDouble(1)))
+      .bitwiseOR(shiftleft(spread16(grid(colB, mm.getDouble(2),
+        mm.getDouble(3))), 1))
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

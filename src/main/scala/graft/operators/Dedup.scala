@@ -611,7 +611,11 @@ object Dedup {
   def exactSubstringClean(input: DataFrame, idCol: String, textCol: String,
       L: Int): DataFrame = {
     val docs = input
-      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // the corpus-token-sized window stream feeds BOTH the duplicate-set
+    // aggregation and the join-back — persist it once per invocation
+    // (the q27/q79/q80 one-outstanding-cache discipline) instead of
+    // paying the explode twice
     val wins = docs
       .select(col("doc_id"), posexplode(
         when(size(col("toks")) >= L,
@@ -619,6 +623,8 @@ object Dedup {
             i => md5(concat_ws(" ", slice(col("toks"), i, lit(L))).cast("binary"))))
           .otherwise(array().cast("array<string>"))).as(Seq("off", "h")))
       .select(col("doc_id"), (col("off") + 1).as("start"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(Dedup.lastWinsCache.getAndSet(wins)).foreach(_.unpersist(blocking = false))
     val dup = wins.groupBy("h").agg(count("*").as("n"))
       .filter(col("n") >= 2).select("h")
     val dupStarts = wins.join(dup, "h")
@@ -636,5 +642,9 @@ object Dedup {
 
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
   private val lastMinhashCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** The one outstanding q86 window cache (see [[exactSubstringClean]]). */
+  private val lastWinsCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }

@@ -145,7 +145,9 @@ object Pipeline {
     * downstream job) knows exactly what moved. V2 is derived
     * deterministically from the corpus (the q77 injection device):
     * every 17th doc dropped, every 13th edited, every 19th re-added
-    * under a new id. Shape: two digest projections (map-side), one
+    * under a new NEGATIVE id — provably disjoint from any real
+    * non-negative id space, so the join key stays unique at any
+    * corpus size. Shape: two digest projections (map-side), one
     * full-outer equi-join on doc_id shuffling 16-byte digests — never
     * text — and a 4-row count. At 100 TB both sides prune to
     * (doc_id, digest) at the scan. */
@@ -157,7 +159,7 @@ object Pipeline {
         md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).cast("binary")).as("dig2"))
       .unionAll(docs.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1).as("doc_id"),
           md5(concat(col("text"), lit(" new")).cast("binary")).as("dig2")))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(when(col("dig1").isNull, "added")
@@ -204,7 +206,10 @@ object Pipeline {
     * maintain a corpus snapshot by applying a (delete / update /
     * insert) changeset without rewriting untouched rows' content —
     * the vanilla-Spark MERGE INTO: touched keys leave via one
-    * broadcast anti-join, replacement and new rows union in. The same
+    * anti-join (left to the planner: a genuinely small changeset
+    * broadcasts via AQE, a corpus-proportional one — like this
+    * synthetic 1-in-8 — correctly shuffles), replacements and new
+    * rows union in. The same
     * deterministic changeset as q94 (drop %17 / edit %13 / add %19),
     * so diff(v1, apply(v1, changeset)) is exactly q94's answer.
     * Output is the full v2 (doc_id, digest) — the gate hash-checks
@@ -215,11 +220,11 @@ object Pipeline {
     val updates = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
       .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
     val inserts = docs.filter(col("doc_id") % 19 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((-col("doc_id") - 1).as("doc_id"),
         concat(col("text"), lit(" new")).as("text"))
     val touched = deletes.unionAll(updates.select("doc_id"))
     docs.select("doc_id", "text")
-      .join(broadcast(touched), Seq("doc_id"), "left_anti")
+      .join(touched, Seq("doc_id"), "left_anti")
       .unionAll(updates)
       .unionAll(inserts)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))

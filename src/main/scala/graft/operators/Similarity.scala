@@ -325,11 +325,11 @@ object Similarity {
     }.select(col("vec_id"),
       array((0 until m).map(s0 => col(s"c$s0")): _*).as("codes"))
     // per-query ADC lookup table: lut[s][c] = ||q_s - centroid_sc||²
-    val qs = queriesDf(s, d)
+    val qVecRows = queriesDf(s, d)
       .select(col("query_id"), col("q_emb").cast("array<double>").as("q"))
       .collect()
-      .map { r =>
-        val qv = r.getSeq[Double](1).toArray
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qs = qVecRows.map { case (qid, qv) =>
         val lut = Array.tabulate(m, ksub) { (s0, c) =>
           val cen = models(s0).clusterCenters(c).toArray
           var acc = 0.0
@@ -341,7 +341,7 @@ object Similarity {
           }
           acc
         }
-        (r.getLong(0), lut.map(_.toSeq).toSeq)
+        (qid, lut.map(_.toSeq).toSeq)
       }.toSeq
     val lutDf = qs.toDF("query_id", "lut")
     // ADC scan: distance = sum of m LUT lookups, codegen'd HOF chain
@@ -356,9 +356,10 @@ object Similarity {
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlist)
       .select("query_id", "vec_id", "adc_d2")
-    // exact re-rank: float vectors are read for the shortlist only
-    val qVecs = qs.map { case (id, _) => id }.toDF("query_id")
-      .join(e.select(col("vec_id").as("query_id"), col("emb").as("q")), Seq("query_id"))
+    // exact re-rank: float vectors are read for the shortlist only;
+    // query vectors come from the collected rows (no corpus-membership
+    // assumption on query ids)
+    val qVecs = qVecRows.map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("query_id", "q")
     val exactD2 = expr("aggregate(zip_with(q, emb, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
     val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id").asc)
     candidates

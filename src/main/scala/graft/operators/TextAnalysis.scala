@@ -335,13 +335,17 @@ object TextAnalysis {
   def noveltyScores(input: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val docs = input
-      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // corpus-sized gram stream feeds the min-agg AND the join-back:
+    // persist once per invocation (one-outstanding-cache discipline)
     val grams = docs
       .select(col("doc_id"), explode(
         when(size(col("toks")) >= n,
           array_distinct(transform(sequence(lit(1), size(col("toks")) - n + 1),
             i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))).cast("binary")))))
           .otherwise(array().cast("array<string>"))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(TextAnalysis.lastGramsCache.getAndSet(grams)).foreach(_.unpersist(blocking = false))
     val firstSeen = grams.groupBy("h").agg(min(col("doc_id")).as("fd"))
     grams.join(firstSeen, "h")
       .groupBy("doc_id")
@@ -369,4 +373,8 @@ object TextAnalysis {
       .select(explode(col("hh")).as("kv"))
       .select(col("kv._1").as("term"), col("kv._2").as("est_count"))
   }
+
+  /** The one outstanding q90 gram cache (see [[noveltyScores]]). */
+  private val lastGramsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }

@@ -87,8 +87,10 @@ object Stateful {
     * the sketch-in-state composition a streaming pipeline needs when
     * exact per-key distinct over an unbounded stream would grow state
     * without bound: the state per key is ≤ k digests FOREVER,
-    * regardless of how many distinct values flow past. Because the KMV
-    * state is a pure set function, the running estimate after any
+    * regardless of how many distinct values flow past. Values are RAW
+    * strings — each is md5-hashed here, so callers never touch the
+    * sketch's fixed-width-hex digest contract. Because the KMV state
+    * is a pure set function, the running estimate after any
     * micro-batch ordering equals the batch estimate over the union of
     * everything seen — which is what StatefulSpec asserts across
     * batches. */
@@ -102,8 +104,13 @@ object Stateful {
     records.groupByKey(_._1)
       .mapGroupsWithState[graft.functions.KmvState, KeyedDistinct](timeout) {
         (key: Long, it: Iterator[(Long, String)], state: GroupState[graft.functions.KmvState]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
           val st = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
-            case (acc, (_, hash)) => agg.reduce(acc, hash)
+            case (acc, (_, value)) =>
+              md.reset()
+              val hex = md.digest(value.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              agg.reduce(acc, hex)
           }
           state.update(st)
           KeyedDistinct(key, agg.finish(st))

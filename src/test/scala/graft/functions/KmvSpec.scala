@@ -30,6 +30,12 @@ class KmvSpec extends AnyFunSuite {
     assert(agg.finish(state) == 10.0)
   }
 
+  test("raw (unhashed) input is rejected at the reduce boundary") {
+    val agg = new KmvSketch(4)
+    intercept[IllegalArgumentException] { agg.reduce(agg.zero, "raw value") }
+    intercept[IllegalArgumentException] { agg.reduce(agg.zero, "ABCDEF" * 6) } // uppercase, wrong width
+  }
+
   test("state is a pure set function: random split/merge trees agree with serial") {
     val agg = new KmvSketch(8)
     val hashes = (1 to 500).map(i => md5hex(s"item$i"))

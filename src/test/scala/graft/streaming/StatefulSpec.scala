@@ -95,14 +95,15 @@ class StatefulSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("kmvstate").toString)
       .start()
-    // 300 distinct values for key 1 split across three micro-batches
-    // (with overlap between batches); 5 distinct for key 2
-    val vals = (1 to 300).map(i => md5hex(s"v$i"))
+    // 300 distinct RAW values for key 1 split across three micro-
+    // batches (with overlap between batches; runningDistinct hashes
+    // internally); 5 distinct for key 2
+    val vals = (1 to 300).map(i => s"v$i")
     mem.addData(vals.slice(0, 120).map((1L, _)): _*)
     q.processAllAvailable()
     mem.addData((vals.slice(100, 220) ++ vals.slice(0, 10)).map((1L, _)): _*)
     q.processAllAvailable()
-    mem.addData(vals.slice(200, 300).map((1L, _)) ++ (1 to 5).map(i => (2L, md5hex(s"w$i"))): _*)
+    mem.addData(vals.slice(200, 300).map((1L, _)) ++ (1 to 5).map(i => (2L, s"w$i")): _*)
     q.processAllAvailable()
     q.stop()
     val rows = spark.table(name).collect()
@@ -111,7 +112,7 @@ class StatefulSpec extends AnyFunSuite {
     // the KMV state is a set function, so the streamed estimate equals
     // the one-shot fold over the union of all batches
     val agg = new graft.functions.KmvSketch(k)
-    val oneShot = agg.finish(vals.foldLeft(agg.zero)(agg.reduce))
+    val oneShot = agg.finish(vals.map(md5hex).foldLeft(agg.zero)(agg.reduce))
     assert(latest(1L) == oneShot, s"streamed ${latest(1L)} != one-shot $oneShot")
     assert(math.abs(latest(1L) - 300) / 300.0 < 4.0 / math.sqrt(k))
     // below k the sketch is exact
