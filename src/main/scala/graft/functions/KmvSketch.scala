@@ -63,7 +63,13 @@ class KmvSketch(k: Int) extends Aggregator[String, KmvState, Double] {
     else {
       val frac = java.lang.Long.parseLong(r.hashes.last.substring(0, 15), 16)
         .toDouble / KmvSketch.Scale
-      (k - 1).toDouble / frac
+      // h_(k) with an all-zero 15-hex prefix (~16^-15 for real digests,
+      // but reachable by a caller feeding pre-zeroed "hashes"): the k
+      // sketch entries are then the only values below 16^-15, so the
+      // distinct set is, to estimator resolution, exactly the sketch —
+      // report it as exact rather than returning a silent Infinity
+      if (frac == 0.0) r.hashes.length.toDouble
+      else (k - 1).toDouble / frac
     }
 
   private def insertionPoint(hs: Vector[String], h: String): Int = {

@@ -203,16 +203,21 @@ object Dedup {
         Seq("doc_a"))
       .join(assignments.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
         Seq("doc_b"))
-    val cross = tagged.filter(col("split_a") =!= col("split_b"))
-    val leakyValid = cross.select(
-        when(col("split_a") === "valid", col("doc_a")).otherwise(col("doc_b")).as("doc"))
-      .distinct()
+    // one aggregation over the tagged pairs: the expensive bucketed
+    // shingle-join lineage executes ONCE, not once per output column
+    // (count_distinct skips the nulls the `when` leaves on same-split
+    // pairs, so the leaky-valid count needs no separate distinct pass)
+    val crossing = col("split_a") =!= col("split_b")
+    val pairStats = tagged.agg(
+      count("*").as("n_pairs"),
+      sum(when(crossing, 1L).otherwise(0L)).as("n_cross_pairs"),
+      count_distinct(when(crossing,
+        when(col("split_a") === "valid", col("doc_a")).otherwise(col("doc_b"))))
+        .as("n_leaky_valid_docs"))
     assignments.agg(
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"))
-      .crossJoin(tagged.agg(count("*").as("n_pairs")))
-      .crossJoin(cross.agg(count("*").as("n_cross_pairs")))
-      .crossJoin(leakyValid.agg(count("*").as("n_leaky_valid_docs")))
+      .crossJoin(pairStats)
   }
 
   /** q48: edit-distance near-dup within a doc_id window — Levenshtein

@@ -546,7 +546,12 @@ object Multimodal {
     * fingerprint's gain invariance. */
   def qAudioNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
     import s.implicits._
-    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(160).as[Long]
+    // deterministic sample: an unordered limit(n) lets the planner pick
+    // WHICH n rows, so a partitioning change could silently diverge the
+    // operator from AudioDedupSpec's brute-force rerun — filter on the
+    // key instead (same predicate in the spec)
+    val ids = documents(s, d).select(col("doc_id").cast("long"))
+      .filter(col("doc_id") < 160).as[Long]
     val hashed = ids.mapPartitions { it =>
       it.map { id => (id, audioHash64(synthClassWav(id)).get) }
     }.toDF("id", "sh")

@@ -62,7 +62,10 @@ class KmvSpec extends AnyFunSuite {
   }
 
   test("q87 on the corpus: every estimate within 4/sqrt(k) of its exact column") {
-    val k = 16
+    // at k=16 the 4/sqrt(k) band is relErr < 1.0 — vacuous; run the
+    // accuracy assertion at k=64 where the band (0.5) has teeth, and
+    // keep the gate's k=16 shape for the determinism check below
+    val k = 64
     val rows = Pipeline.qKmvDistinct(spark, sf, k).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -71,9 +74,22 @@ class KmvSpec extends AnyFunSuite {
       assert(relErr < 4.0 / math.sqrt(k),
         s"${r.getString(0)}: estimate $est vs exact $exact (rel err $relErr)")
     }
-    // determinism: a second run is bit-identical (no HLL-style run noise)
-    val again = Pipeline.qKmvDistinct(spark, sf, k).collect()
-    assert(rows.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
+    // determinism at the gate's k: a second run is bit-identical (no
+    // HLL-style run noise)
+    val k16 = Pipeline.qKmvDistinct(spark, sf, 16).collect()
+    val again = Pipeline.qKmvDistinct(spark, sf, 16).collect()
+    assert(k16.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
+  }
+
+  test("degenerate all-zero-prefix hashes: finish reports the sketch size, not Infinity") {
+    val k = 4
+    val agg = new KmvSketch(k)
+    // well-formed 32-char hex whose 15-hex estimator prefix is zero
+    val zeroPrefixed = (0 until k).map(i => "0" * 15 + f"$i%017x")
+    val state = zeroPrefixed.foldLeft(agg.zero)(agg.reduce)
+    assert(state.hashes.length == k)
+    val est = agg.finish(state)
+    assert(!est.isInfinity && est == k.toDouble)
   }
 
   test("distributed fold matches the driver-side fold on corpus tokens") {

@@ -41,7 +41,10 @@ class AudioDedupSpec extends AnyFunSuite {
     val got = Multimodal.qAudioNearDup(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // brute force over the same synthesized payloads
-    val ids = Tables.documents(spark, sf).select("doc_id").limit(160)
+    // same deterministic key predicate as the operator (an unordered
+    // limit could sample different rows here than there)
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 160)
       .collect().map(_.getLong(0))
     val hashes = ids.map(id => id -> Multimodal.audioHash64(Multimodal.synthClassWav(id)).get)
     val brute = (for {
