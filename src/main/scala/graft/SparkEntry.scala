@@ -152,17 +152,20 @@ object SparkEntry {
     // q90: n-gram novelty — the fraction of a doc's distinct 8-gram
     // windows first seen in that doc (contribution-ordered curation)
     "q90_novelty" -> ((s, d) => TextAnalysis.qNovelty(s, d)),
-    // q91: product-quantization ANN (ADC over 4-byte codes) — rows-only
-    // (quantized ranking); SimilaritySpec pins recall vs exact L2 and
-    // the ADC distance error
-    "q91_knn_pq" -> ((s, d) => Similarity.qPqTopK(s, d)),
+    // q91: product-quantization ANN (ADC over 4-byte codes) through the
+    // PERSISTED PQ index (codebooks trained once at build, zero fits
+    // per query) — rows-only (quantized ranking); SimilaritySpec pins
+    // recall vs exact L2, the ADC distance error, and bit-parity with
+    // the self-contained qPqTopK path
+    "q91_knn_pq" -> ((s, d) => Similarity.qPqFromIndex(s, d)),
     // q92: train/valid split-leakage audit — near-dup pairs (q29
     // definition) crossing a deterministic 80/20 split
     "q92_split_leakage" -> (Dedup.qSplitLeakage _),
     // q93: IVF-PQ ANN (residual product quantization inside probed
-    // cells) — rows-only; SimilaritySpec pins recall and re-rank
-    // exactness
-    "q93_knn_ivfpq" -> ((s, d) => Similarity.qIvfPqTopK(s, d)),
+    // cells) through the PERSISTED IVF-PQ index (cell-partitioned
+    // codes: probing prunes directories) — rows-only; SimilaritySpec
+    // pins recall, re-rank exactness, and bit-parity with qIvfPqTopK
+    "q93_knn_ivfpq" -> ((s, d) => Similarity.qIvfPqFromIndex(s, d)),
     // q94: corpus-version diff — added/removed/changed/unchanged counts
     // between two deterministic snapshot versions
     "q94_corpus_diff" -> (Pipeline.qCorpusDiff _),

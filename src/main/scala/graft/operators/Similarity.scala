@@ -277,93 +277,95 @@ object Similarity {
     ivfSearchFromIndex(s, indexDir, queriesDf(s, d), nprobe, k)
   }
 
-  /** q91: product-quantization ANN (Jégou et al., "Product
-    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
-    * memory lever beyond SQ8: the vector splits into `m` subspaces,
-    * each with its own seeded-KMeans codebook of `ksub` centroids, and
-    * a vector stores only its m sub-codes — 4 bytes here vs 256 bytes
-    * float32 (64×), the compression that puts a trillion-vector corpus
-    * in executor memory. Search is ADC (asymmetric distance): each
-    * query precomputes an m × ksub table of partial squared distances
-    * to every sub-centroid (driver-side — m·ksub doubles per query,
-    * control-plane sized), broadcasts it, and a vector's approximate
-    * distance is m table lookups summed — no float vector is ever read
-    * at query time. Codebook training is `trainCap`-bounded like IVF;
-    * scoring is one codegen'd lookup-sum over the broadcast LUT, so
-    * corpus-side work is a linear scan of 4-byte codes. The ADC pass
-    * keeps a `shortlist` of candidates per query and only THOSE rows'
-    * float vectors are joined back for an exact L2 re-rank — the
-    * standard two-stage PQ serving shape (compressed scan prunes,
-    * floats are fetched for shortlist·|queries| rows, not the corpus).
-    * L2 ranking; rows-only in the gate — SimilaritySpec pins recall vs
-    * exact L2 and the ADC error bound. */
-  def qPqTopK(s: SparkSession, d: String, m: Int = 4, ksub: Int = 16,
-      k: Int = 10, shortlist: Int = 50, trainCap: Long = 100000): DataFrame = {
+  // ---------------------------------------------------------------------
+  // Product quantization: shared fit / encode / LUT / re-rank machinery.
+  // The in-query paths (q91/q93's reference shapes) and the persisted-
+  // index paths (what the gate actually runs) call the SAME helpers on
+  // the SAME seeded train slices, so their codebooks — and therefore
+  // codes, ADC distances, and rankings — agree bit for bit; the index
+  // merely moves the fits to build time (SimilaritySpec pins the parity).
+  // ---------------------------------------------------------------------
+
+  /** The corpus as (vec_id, emb ARRAY<DOUBLE>) — every PQ path reads
+    * this one projection. */
+  private def pqCorpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** One independent seeded-KMeans codebook per subspace, trained on
+    * the given (bounded) sample's `vecCol` slices. */
+  private def pqFit(train: DataFrame, vecCol: String, m: Int, sub: Int,
+      ksub: Int, seedBase: Long): Seq[org.apache.spark.ml.clustering.KMeansModel] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import s.implicits._
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val dims = e.select(size(col("emb"))).head().getInt(0)
-    require(dims % m == 0, s"dims $dims not divisible by m=$m")
-    val sub = dims / m
-    val train = e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
-    // one independent codebook per subspace (tiny models, trained on
-    // the same bounded sample)
-    val models = (0 until m).map { s0 =>
-      new KMeans().setK(ksub).setSeed(42L + s0)
+    (0 until m).map { s0 =>
+      new KMeans().setK(ksub).setSeed(seedBase + s0)
         .setFeaturesCol("fv").setPredictionCol("code")
         .fit(train.select(array_to_vector(
-          slice(col("emb"), s0 * sub + 1, sub)).as("fv")))
+          slice(col(vecCol), s0 * sub + 1, sub)).as("fv")))
     }
-    // encode: m assignment passes, then pack the codes into one array —
-    // the 4-byte-per-vector representation everything downstream reads
-    val encoded = models.zipWithIndex.foldLeft(e) { case (df, (mod, s0)) =>
+  }
+
+  /** Encode `vecCol` into an m-element `codes` array — the
+    * 4-byte-per-vector representation everything downstream reads. */
+  private def pqEncode(df: DataFrame,
+      models: Seq[org.apache.spark.ml.clustering.KMeansModel],
+      vecCol: String, sub: Int): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    models.zipWithIndex.foldLeft(df) { case (acc, (mod, s0)) =>
       mod.setPredictionCol(s"c$s0").transform(
-        df.withColumn("fv", array_to_vector(slice(col("emb"), s0 * sub + 1, sub))))
+        acc.withColumn("fv", array_to_vector(slice(col(vecCol), s0 * sub + 1, sub))))
         .drop("fv")
-    }.select(col("vec_id"),
-      array((0 until m).map(s0 => col(s"c$s0")): _*).as("codes"))
-    // per-query ADC lookup table: lut[s][c] = ||q_s - centroid_sc||²
-    val qVecRows = queriesDf(s, d)
-      .select(col("query_id"), col("q_emb").cast("array<double>").as("q"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val qs = qVecRows.map { case (qid, qv) =>
-        val lut = Array.tabulate(m, ksub) { (s0, c) =>
-          val cen = models(s0).clusterCenters(c).toArray
-          var acc = 0.0
-          var j = 0
-          while (j < sub) {
-            val diff = qv(s0 * sub + j) - cen(j)
-            acc += diff * diff
-            j += 1
-          }
-          acc
-        }
-        (qid, lut.map(_.toSeq).toSeq)
-      }.toSeq
-    val lutDf = qs.toDF("query_id", "lut")
-    // ADC scan: distance = sum of m LUT lookups, codegen'd HOF chain
-    val adc = expr(
-      s"aggregate(transform(sequence(0, ${m - 1}), " +
-        "i -> element_at(element_at(lut, i + 1), element_at(codes, i + 1) + 1)), " +
-        "0D, (a, v) -> a + v)")
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
-    val candidates = encoded.crossJoin(broadcast(lutDf))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), adc.as("adc_d2"))
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= shortlist)
-      .select("query_id", "vec_id", "adc_d2")
-    // exact re-rank: float vectors are read for the shortlist only;
-    // query vectors come from the collected rows (no corpus-membership
-    // assumption on query ids)
-    val qVecs = qVecRows.map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("query_id", "q")
+    }.withColumn("codes", array(models.indices.map(s0 => col(s"c$s0")): _*))
+      .drop(models.indices.map(s0 => s"c$s0"): _*)
+  }
+
+  /** Sub-codebook centers as centers(sub_idx)(code)(dim). */
+  private def pqCenters(models: Seq[org.apache.spark.ml.clustering.KMeansModel])
+      : Array[Array[Array[Double]]] =
+    models.map(_.clusterCenters.map(_.toArray)).toArray
+
+  /** Per-query ADC lookup table: lut[s0][c] = ||q_s0 − centroid_s0,c||²,
+    * with the query optionally shifted by `offset` (the probed cell's
+    * centroid on the IVF-PQ residual path). Driver-side — m·ksub
+    * doubles per query, control-plane sized. */
+  private def pqLut(qv: Array[Double], centers: Array[Array[Array[Double]]],
+      sub: Int, offset: Array[Double]): Seq[Seq[Double]] = {
+    val lut = Array.tabulate(centers.length, centers(0).length) { (s0, c) =>
+      val cen = centers(s0)(c)
+      var acc = 0.0
+      var j = 0
+      while (j < sub) {
+        val base = s0 * sub + j
+        val q = if (offset == null) qv(base) else qv(base) - offset(base)
+        val diff = q - cen(j)
+        acc += diff * diff
+        j += 1
+      }
+      acc
+    }
+    lut.map(_.toSeq).toSeq
+  }
+
+  /** ADC distance: sum of m LUT lookups — a codegen'd HOF chain over
+    * the broadcast LUT, no float vector read. */
+  private def adcExpr(m: Int) = expr(
+    s"aggregate(transform(sequence(0, ${m - 1}), " +
+      "i -> element_at(element_at(lut, i + 1), element_at(codes, i + 1) + 1)), " +
+      "0D, (a, v) -> a + v)")
+
+  /** Exact L2 re-rank of an ADC shortlist: float vectors are joined
+    * back for the shortlist·|queries| rows only (never the corpus);
+    * query vectors come from the collected rows (no corpus-membership
+    * assumption on query ids). */
+  private def pqExactRerank(s: SparkSession, candidates: DataFrame,
+      corpus: DataFrame, qVecRows: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    import s.implicits._
+    val qVecs = qVecRows.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "q")
     val exactD2 = expr("aggregate(zip_with(q, emb, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
     val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id").asc)
     candidates
-      .join(e, Seq("vec_id"))
+      .join(corpus, Seq("vec_id"))
       .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("adc_d2"), exactD2.as("d2"))
       .withColumn("rank", row_number().over(w))
@@ -372,32 +374,139 @@ object Similarity {
         round(col("adc_d2"), 4).as("adc_d2"), round(col("d2"), 4).as("d2"))
   }
 
-  /** q93: IVF-PQ ANN — the full billion-scale index shape (Jégou et
-    * al. TPAMI'11 §IV; what FAISS calls IVFPQ), composing the two
-    * levers the repo already has separately: the IVF coarse quantizer
-    * (q46/q89) restricts WHICH vectors a query scores, and PQ (q91)
-    * compresses HOW each is scored — but on the RESIDUAL (vector −
-    * its cell centroid), which has far less variance than the raw
-    * vector, so the same 4-byte budget quantizes much finer. Search:
-    * probe `nprobe` cells, build one ADC LUT per (query, probed cell)
-    * — the lookup target is `(q − centroid_cell)` per subspace, driver-
-    * side, nprobe·m·ksub doubles per query — broadcast, ADC-scan only
-    * the probed cells' codes, shortlist, exact re-rank with floats
-    * joined back for the shortlist rows only. Rows-only in the gate;
-    * SimilaritySpec pins recall vs exact L2 and re-rank exactness. */
-  def qIvfPqTopK(s: SparkSession, d: String, cells: Int = 10, m: Int = 4,
-      ksub: Int = 16, nprobe: Int = 3, k: Int = 10, shortlist: Int = 50,
-      trainCap: Long = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  /** Collected (query_id, vector) rows for the standard 5-query probe
+    * set — driver-side LUT construction reads these. */
+  private def collectedQueries(s: SparkSession, d: String): Seq[(Long, Array[Double])] =
+    queriesDf(s, d)
+      .select(col("query_id"), col("q_emb").cast("array<double>").as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** q91's reference shape: product-quantization ANN (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    * the memory lever beyond SQ8: the vector splits into `m` subspaces,
+    * each with its own seeded-KMeans codebook of `ksub` centroids, and
+    * a vector stores only its m sub-codes — 4 bytes here vs 256 bytes
+    * float32 (64×), the compression that puts a trillion-vector corpus
+    * in executor memory. Search is ADC (asymmetric distance): each
+    * query precomputes an m × ksub table of partial squared distances
+    * to every sub-centroid (driver-side), broadcasts it, and a vector's
+    * approximate distance is m table lookups summed. The ADC pass keeps
+    * a `shortlist` per query and only THOSE rows' float vectors join
+    * back for an exact L2 re-rank — the standard two-stage PQ serving
+    * shape. This self-contained variant pays the m codebook fits in the
+    * query; the GATE runs [[qPqFromIndex]], which reads the same
+    * codebooks from a persisted index (bit-identical results —
+    * SimilaritySpec) and pays them once per corpus. */
+  def qPqTopK(s: SparkSession, d: String, m: Int = 4, ksub: Int = 16,
+      k: Int = 10, shortlist: Int = 50, trainCap: Long = 100000): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val e = pqCorpus(s, d)
     val dims = e.select(size(col("emb"))).head().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val sub = dims / m
-    val capped = math.min(trainCap, Int.MaxValue.toLong).toInt
-    // coarse quantizer: same seeded fit as qIvfTopK/buildIvfIndex
+    val train = e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
+    val models = pqFit(train, "emb", m, sub, ksub, seedBase = 42L)
+    val encoded = pqEncode(e, models, "emb", sub).select("vec_id", "codes")
+    val centers = pqCenters(models)
+    val qVecRows = collectedQueries(s, d)
+    val lutDf = qVecRows
+      .map { case (qid, qv) => (qid, pqLut(qv, centers, sub, null)) }
+      .toDF("query_id", "lut")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val candidates = encoded.crossJoin(broadcast(lutDf))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc_d2"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "vec_id", "adc_d2")
+    pqExactRerank(s, candidates, e, qVecRows, k)
+  }
+
+  /** Build a PERSISTED PQ index — the same build-once/query-many move
+    * [[buildIvfIndex]] makes for IVF, applied to the q91 codebooks:
+    * the m seeded sub-codebooks land in `indexDir/codebooks` and the
+    * corpus's packed 4-byte codes in `indexDir/codes`, so a query pays
+    * zero KMeans fits (FAISS trains once; so does this). Identical
+    * seeds and train slice as [[qPqTopK]] ⇒ identical codebooks. */
+  def buildPqIndex(s: SparkSession, d: String, indexDir: String,
+      m: Int = 4, ksub: Int = 16, trainCap: Long = 100000): Unit = {
+    import s.implicits._
+    val e = pqCorpus(s, d)
+    val dims = e.select(size(col("emb"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val train = e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
+    val models = pqFit(train, "emb", m, sub, ksub, seedBase = 42L)
+    pqEncode(e, models, "emb", sub).select("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    models.zipWithIndex.flatMap { case (mod, s0) =>
+      mod.clusterCenters.zipWithIndex.map { case (cen, c) =>
+        (s0, c, cen.toArray.toSeq) }
+    }.toDF("sub_idx", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Read persisted sub-codebooks back as centers(sub_idx)(code)(dim) —
+    * m·ksub rows, a control-plane read (parquet round-trips doubles
+    * exactly, so LUTs built from these equal LUTs built from the
+    * in-memory models). */
+  private def readCodebooks(s: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(path)
+      .select("sub_idx", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val centers = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (s0, c, cen) => centers(s0)(c) = cen }
+    centers
+  }
+
+  /** ANN search over a persisted [[buildPqIndex]] index: LUTs come from
+    * the stored codebooks (no fit), the ADC scan reads only the packed
+    * codes table, and `corpus` supplies float vectors for the shortlist
+    * re-rank join (in production: the vector store fetch). */
+  def pqSearchFromIndex(s: SparkSession, indexDir: String,
+      qVecRows: Seq[(Long, Array[Double])], corpus: DataFrame,
+      k: Int = 10, shortlist: Int = 50): DataFrame = {
+    import s.implicits._
+    val centers = readCodebooks(s, s"$indexDir/codebooks")
+    val m = centers.length
+    val sub = qVecRows.head._2.length / m
+    val lutDf = qVecRows
+      .map { case (qid, qv) => (qid, pqLut(qv, centers, sub, null)) }
+      .toDF("query_id", "lut")
+    val encoded = s.read.parquet(s"$indexDir/codes")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val candidates = encoded.crossJoin(broadcast(lutDf))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc_d2"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+      .select("query_id", "vec_id", "adc_d2")
+    pqExactRerank(s, candidates, corpus, qVecRows, k)
+  }
+
+  /** q91: PQ ANN through the persisted index — built once per
+    * (application, corpus, m, ksub) into a marker-guarded directory;
+    * every call after that reads codebooks + codes and fits nothing.
+    * Rows-only in the gate; SimilaritySpec proves bit-parity with the
+    * self-contained [[qPqTopK]] under the shared seeds. */
+  def qPqFromIndex(s: SparkSession, d: String, m: Int = 4, ksub: Int = 16,
+      k: Int = 10, shortlist: Int = 50): DataFrame = {
+    val indexDir = pqIndexDir(s, d, m, ksub)
+    pqSearchFromIndex(s, indexDir, collectedQueries(s, d), pqCorpus(s, d), k, shortlist)
+  }
+
+  /** Coarse-quantize the corpus and attach residuals: the same seeded
+    * fit as [[qIvfTopK]]/[[buildIvfIndex]], then res = emb − centroid —
+    * the input both IVF-PQ paths train and encode over. Returns the
+    * centroid rows and the (vec_id, cell, res) frame. */
+  private def ivfPqAssign(e: DataFrame, cells: Int, capped: Int)
+      : (Seq[(Int, Seq[Double])], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import e.sparkSession.implicits._
     val coarse = new KMeans().setK(cells).setSeed(42)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(e.limit(capped).select(array_to_vector(col("emb")).as("fv")))
@@ -409,96 +518,185 @@ object Similarity {
       .join(broadcast(centroids), Seq("cell"))
       .withColumn("res", zip_with(col("emb"), col("centroid"), (x, y) => x - y))
       .select(col("vec_id"), col("cell"), col("res"))
-    // product codebooks on the RESIDUALS (the variance PQ must cover
-    // is within-cell spread, not the full corpus spread)
-    val resTrain = assigned.limit(capped)
-    val models = (0 until m).map { s0 =>
-      new KMeans().setK(ksub).setSeed(142L + s0)
-        .setFeaturesCol("fv").setPredictionCol("code")
-        .fit(resTrain.select(array_to_vector(
-          slice(col("res"), s0 * sub + 1, sub)).as("fv")))
-    }
-    val encoded = models.zipWithIndex.foldLeft(assigned) { case (df, (mod, s0)) =>
-      mod.setPredictionCol(s"c$s0").transform(
-        df.withColumn("fv", array_to_vector(slice(col("res"), s0 * sub + 1, sub))))
-        .drop("fv")
-    }.select(col("vec_id"), col("cell"),
-      array((0 until m).map(s0 => col(s"c$s0")): _*).as("codes"))
-    // probe + per-(query, cell) residual LUTs, driver-side (tiny)
-    val qVecRows = queriesDf(s, d)
-      .select(col("query_id"), col("q_emb").cast("array<double>").as("q"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val lutRows = qVecRows.flatMap { case (qid, qv) =>
+    (centroidRows, assigned)
+  }
+
+  /** Per-(query, probed cell) residual LUT rows: probe the `nprobe`
+    * nearest centroids driver-side, then build each cell's LUT against
+    * `(q − centroid_cell)` — nprobe·m·ksub doubles per query. */
+  private def ivfPqLutRows(qVecRows: Seq[(Long, Array[Double])],
+      centroidRows: Seq[(Int, Seq[Double])], centers: Array[Array[Array[Double]]],
+      sub: Int, nprobe: Int): Seq[(Long, Int, Seq[Seq[Double]])] = {
+    val cenByCell = centroidRows.map { case (cell, cen) => cell -> cen.toArray }.toMap
+    qVecRows.flatMap { case (qid, qv) =>
       val nearest = centroidRows
         .map { case (cell, cen) =>
           var acc = 0.0
           var j = 0
-          while (j < dims) { val df0 = qv(j) - cen(j); acc += df0 * df0; j += 1 }
+          while (j < qv.length) { val df0 = qv(j) - cen(j); acc += df0 * df0; j += 1 }
           (cell, acc)
         }
         .sortBy { case (cell, d2v) => (d2v, cell) }.take(nprobe)
       nearest.map { case (cell, _) =>
-        val cen = centroidRows(cell)._2
-        val lut = Array.tabulate(m, ksub) { (s0, c) =>
-          val pqCen = models(s0).clusterCenters(c).toArray
-          var acc = 0.0
-          var j = 0
-          while (j < sub) {
-            val diff = (qv(s0 * sub + j) - cen(s0 * sub + j)) - pqCen(j)
-            acc += diff * diff
-            j += 1
-          }
-          acc
-        }
-        (qid, cell, lut.map(_.toSeq).toSeq)
+        (qid, cell, pqLut(qv, centers, sub, cenByCell(cell)))
       }
-    }.toSeq
-    val lutDf = lutRows.toDF("query_id", "cell", "lut")
-    val probedCells = lutRows.map(_._2).distinct
-    val adc = expr(
-      s"aggregate(transform(sequence(0, ${m - 1}), " +
-        "i -> element_at(element_at(lut, i + 1), element_at(codes, i + 1) + 1)), " +
-        "0D, (a, v) -> a + v)")
+    }
+  }
+
+  /** The ADC scan + shortlist over cell-joined codes, shared by both
+    * IVF-PQ paths (the index path feeds it a partition-pruned codes
+    * scan; the in-query path an in-memory frame). */
+  private def ivfPqShortlist(encoded: DataFrame, lutDf: DataFrame,
+      probedCells: Seq[Int], m: Int, shortlist: Int): DataFrame = {
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
-    val candidates = encoded
+    encoded
       .where(col("cell").isin(probedCells: _*))
       .join(broadcast(lutDf), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), adc.as("adc_d2"))
+      .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc_d2"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlist)
       .select("query_id", "vec_id", "adc_d2")
-    // exact re-rank over the shortlist only
-    val qVecs = qVecRows.map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("query_id", "q")
-    val exactD2 = expr("aggregate(zip_with(q, emb, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
-    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id").asc)
-    candidates
-      .join(e, Seq("vec_id"))
-      .join(broadcast(qVecs), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), col("adc_d2"), exactD2.as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor"),
-        round(col("adc_d2"), 4).as("adc_d2"), round(col("d2"), 4).as("d2"))
   }
 
-  /** Build (once) and return the session-cached IVF index dir for a
-    * corpus — marker-file guarded, same device as eventsStream's
-    * cached source dirs. */
-  def ivfIndexDir(s: SparkSession, d: String, cells: Int = 10): String = {
-    val key = java.util.UUID.nameUUIDFromBytes(
-      s"${s.sparkContext.applicationId}:$d:$cells".getBytes("UTF-8")).toString
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$key"
+  /** q93's reference shape: IVF-PQ ANN — the full billion-scale index
+    * (Jégou et al. TPAMI'11 §IV; what FAISS calls IVFPQ), composing the
+    * two levers the repo has separately: the IVF coarse quantizer
+    * (q46/q89) restricts WHICH vectors a query scores, and PQ (q91)
+    * compresses HOW each is scored — but on the RESIDUAL (vector − its
+    * cell centroid), which has far less variance than the raw vector,
+    * so the same 4-byte budget quantizes much finer. Search: probe
+    * `nprobe` cells, build one residual ADC LUT per (query, probed
+    * cell), broadcast, ADC-scan only the probed cells' codes,
+    * shortlist, exact re-rank with floats joined back for the shortlist
+    * rows only. This self-contained variant pays the 1+m fits in the
+    * query; the GATE runs [[qIvfPqFromIndex]] (bit-identical —
+    * SimilaritySpec). */
+  def qIvfPqTopK(s: SparkSession, d: String, cells: Int = 10, m: Int = 4,
+      ksub: Int = 16, nprobe: Int = 3, k: Int = 10, shortlist: Int = 50,
+      trainCap: Long = 100000): DataFrame = {
+    import s.implicits._
+    val e = pqCorpus(s, d)
+    val dims = e.select(size(col("emb"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val capped = math.min(trainCap, Int.MaxValue.toLong).toInt
+    val (centroidRows, assigned) = ivfPqAssign(e, cells, capped)
+    // product codebooks on the RESIDUALS (the variance PQ must cover
+    // is within-cell spread, not the full corpus spread)
+    val models = pqFit(assigned.limit(capped), "res", m, sub, ksub, seedBase = 142L)
+    val encoded = pqEncode(assigned, models, "res", sub)
+      .select("vec_id", "cell", "codes")
+    val qVecRows = collectedQueries(s, d)
+    val lutRows = ivfPqLutRows(qVecRows, centroidRows, pqCenters(models), sub, nprobe)
+    val lutDf = lutRows.toDF("query_id", "cell", "lut")
+    val candidates = ivfPqShortlist(encoded, lutDf,
+      lutRows.map(_._2).distinct, m, shortlist)
+    pqExactRerank(s, candidates, e, qVecRows, k)
+  }
+
+  /** Build a PERSISTED IVF-PQ index: coarse centroids in
+    * `indexDir/centroids`, residual sub-codebooks in
+    * `indexDir/codebooks`, and the packed codes in `indexDir/codes`
+    * PARTITIONED BY CELL — probing prunes cell directories off disk
+    * exactly like [[buildIvfIndex]], but each pruned byte is a 4-byte
+    * code, not a float vector. Identical seeds and train slices as
+    * [[qIvfPqTopK]] ⇒ identical index content. */
+  def buildIvfPqIndex(s: SparkSession, d: String, indexDir: String,
+      cells: Int = 10, m: Int = 4, ksub: Int = 16,
+      trainCap: Long = 100000): Unit = {
+    import s.implicits._
+    val e = pqCorpus(s, d)
+    val dims = e.select(size(col("emb"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val capped = math.min(trainCap, Int.MaxValue.toLong).toInt
+    val (centroidRows, assigned) = ivfPqAssign(e, cells, capped)
+    val models = pqFit(assigned.limit(capped), "res", m, sub, ksub, seedBase = 142L)
+    pqEncode(assigned, models, "res", sub)
+      .select("vec_id", "cell", "codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    centroidRows.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    models.zipWithIndex.flatMap { case (mod, s0) =>
+      mod.clusterCenters.zipWithIndex.map { case (cen, c) =>
+        (s0, c, cen.toArray.toSeq) }
+    }.toDF("sub_idx", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** ANN search over a persisted [[buildIvfPqIndex]] index: centroids
+    * and codebooks are control-plane reads, probing pushes a static
+    * cell filter into the partitioned codes scan (directory pruning, as
+    * q89's spec asserts for IVF), and `corpus` supplies float vectors
+    * for the shortlist re-rank join only. */
+  def ivfPqSearchFromIndex(s: SparkSession, indexDir: String,
+      qVecRows: Seq[(Long, Array[Double])], corpus: DataFrame,
+      nprobe: Int = 3, k: Int = 10, shortlist: Int = 50): DataFrame = {
+    import s.implicits._
+    val centroidRows = s.read.parquet(s"$indexDir/centroids")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val centers = readCodebooks(s, s"$indexDir/codebooks")
+    val sub = qVecRows.head._2.length / centers.length
+    val lutRows = ivfPqLutRows(qVecRows, centroidRows, centers, sub, nprobe)
+    val lutDf = lutRows.toDF("query_id", "cell", "lut")
+    val encoded = s.read.parquet(s"$indexDir/codes")
+    val candidates = ivfPqShortlist(encoded, lutDf,
+      lutRows.map(_._2).distinct, centers.length, shortlist)
+    pqExactRerank(s, candidates, corpus, qVecRows, k)
+  }
+
+  /** q93: IVF-PQ ANN through the persisted index — built once per
+    * (application, corpus, cells, m, ksub), marker-guarded; steady-
+    * state queries fit nothing and scan only the probed cell
+    * directories of 4-byte codes. Rows-only in the gate;
+    * SimilaritySpec proves bit-parity with [[qIvfPqTopK]]. */
+  def qIvfPqFromIndex(s: SparkSession, d: String, cells: Int = 10,
+      m: Int = 4, ksub: Int = 16, nprobe: Int = 3, k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    val indexDir = ivfPqIndexDir(s, d, cells, m, ksub)
+    ivfPqSearchFromIndex(s, indexDir, collectedQueries(s, d), pqCorpus(s, d),
+      nprobe, k, shortlist)
+  }
+
+  /** Build (once) and return a session-cached, marker-guarded index
+    * dir: the first caller for a given key runs `build`, every later
+    * caller (and concurrent callers, via the lock) reuses the
+    * directory — the build-once/query-many contract all three
+    * persisted indexes (IVF/PQ/IVF-PQ) share. */
+  private def cachedIndexDir(s: SparkSession, kind: String, key: String)(
+      build: String => Unit): String = {
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"${s.sparkContext.applicationId}:$key".getBytes("UTF-8")).toString
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-$kind-$uuid"
     val marker = new java.io.File(s"$dir/_INDEX_READY")
     ivfBuildLock.synchronized {
       if (!marker.exists()) {
-        buildIvfIndex(s, d, dir, cells)
+        build(dir)
         marker.createNewFile()
         builtDirs += dir
       }
     }
     dir
   }
+
+  /** Build (once) and return the session-cached IVF index dir for a
+    * corpus — marker-file guarded, same device as eventsStream's
+    * cached source dirs. */
+  def ivfIndexDir(s: SparkSession, d: String, cells: Int = 10): String =
+    cachedIndexDir(s, "ivf", s"$d:$cells")(dir => buildIvfIndex(s, d, dir, cells))
+
+  /** Session-cached [[buildPqIndex]] dir (see [[ivfIndexDir]]). */
+  def pqIndexDir(s: SparkSession, d: String, m: Int = 4, ksub: Int = 16): String =
+    cachedIndexDir(s, "pq", s"pq:$d:$m:$ksub")(dir => buildPqIndex(s, d, dir, m, ksub))
+
+  /** Session-cached [[buildIvfPqIndex]] dir (see [[ivfIndexDir]]). */
+  def ivfPqIndexDir(s: SparkSession, d: String, cells: Int = 10, m: Int = 4,
+      ksub: Int = 16): String =
+    cachedIndexDir(s, "ivfpq", s"ivfpq:$d:$cells:$m:$ksub")(
+      dir => buildIvfPqIndex(s, d, dir, cells, m, ksub))
 
   private val ivfBuildLock = new Object
   // the eventsStream temp-dir discipline: built index dirs are removed

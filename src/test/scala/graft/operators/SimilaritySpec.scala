@@ -215,6 +215,52 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted PQ index: results match the in-query PQ path bit for bit") {
+    // both paths fit the same seeded sub-codebooks on the same bounded
+    // train slice (buildPqIndex shares qPqTopK's helpers), and parquet
+    // round-trips the centroid doubles exactly, so LUTs, ADC distances,
+    // and rankings agree
+    val fresh = Similarity.qPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val fromIndex = Similarity.qPqFromIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(fromIndex == fresh)
+    assert(fresh.nonEmpty)
+  }
+
+  test("persisted IVF-PQ index: results match the in-query path; codes scan prunes cells") {
+    val fresh = Similarity.qIvfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val result = Similarity.qIvfPqFromIndex(spark, sf)
+    val fromIndex = result.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(fromIndex == fresh)
+    assert(fresh.nonEmpty)
+    // the codes scan lists only the probed cell directories (q89's
+    // partition-pruning assertion, on the 4-byte-code table)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(result.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(scans.nonEmpty, "no file scan over the codes table")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"no partition filter on cell: ${scan.partitionFilters}")
+    val indexDir = Similarity.ivfPqIndexDir(spark, sf)
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.values.getInt(0)).distinct
+    val total = spark.read.parquet(s"$indexDir/codes")
+      .select("cell").distinct().count()
+    assert(selected.length < total,
+      s"probing read every cell directory (${selected.length} of $total)")
+  }
+
   test("IVF-PQ top-k: recall within probed cells, exact re-rank distances") {
     val k = 10
     val got = Similarity.qIvfPqTopK(spark, sf, k = k).collect()
