@@ -170,7 +170,7 @@ object SparkEntry {
     // between two deterministic snapshot versions
     "q94_corpus_diff" -> (Pipeline.qCorpusDiff _),
     // q95: single-pass per-column data profiler over lineitem
-    "q95_profile" -> (Pipeline.qProfile _),
+    "q95_profile" -> ((s, d) => Pipeline.qProfile(s, d)),
     // q96: changeset application (vanilla-Spark MERGE INTO) — output is
     // the full resulting snapshot's (doc_id, digest)
     "q96_apply_changeset" -> (Pipeline.qApplyChangeset _),

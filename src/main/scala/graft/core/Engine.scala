@@ -60,6 +60,17 @@ final class FunctionContext private[core] (
   def spark: SparkSession = engine.spark
   def state: StateTable = engine.state
 
+  // E10: set by the lock watchdog when this invocation exceeds
+  // `lock-timeout`; every state access checkpoints it (the analogue of
+  // V8 terminating at the next interpreter checkpoint). Partial writes
+  // already executed persist — the reference has no rollback either
+  // (a killed JS function's completed Redis commands stand).
+  private[core] val abortFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def checkAborted(): Unit =
+    if (abortFlag.get()) throw new FunctionAbortedException(
+      s"function in library '$library' exceeded lock-timeout " +
+        s"(${engine.configGet("lock-timeout")} ms) and was aborted")
+
   private def requireWrites(): Unit =
     if (readOnly) throw new IllegalStateException(
       s"function declared ${FunctionFlags.NoWrites} attempted a write")
@@ -77,10 +88,11 @@ final class FunctionContext private[core] (
   // every key access is checked against the library's owning ACL user
   // at call time (lib.rs:506-517; revocation applies immediately).
   private def checkRead(key: String): Unit = {
-    checkShard(key); engine.aclCheck(library, key, write = false)
+    checkAborted(); checkShard(key); engine.aclCheck(library, key, write = false)
   }
   private def checkWrite(key: String): Unit = {
-    requireWrites(); checkShard(key); engine.aclCheck(library, key, write = true)
+    checkAborted(); requireWrites(); checkShard(key)
+    engine.aclCheck(library, key, write = true)
   }
   private def canRead(key: String): Boolean =
     inShard(key) &&
@@ -93,7 +105,9 @@ final class FunctionContext private[core] (
   // scan filters out names the user may not read: even key NAMES under
   // a denied prefix are information (raw Redis SCAN would return them,
   // but this engine's prefix-rule model can and does hide them)
-  def scan(prefix: String): Seq[String] = engine.state.scan(prefix).filter(canRead)
+  def scan(prefix: String): Seq[String] = {
+    checkAborted(); engine.state.scan(prefix).filter(canRead)
+  }
   def set(key: String, value: String): Unit = { checkWrite(key); engine.state.set(key, value) }
   def hset(key: String, fields: (String, String)*): Unit = { checkWrite(key); engine.state.hset(key, fields: _*) }
   def del(key: String): Boolean = { checkWrite(key); engine.state.del(key) }
@@ -137,9 +151,10 @@ final class FunctionContext private[core] (
   def atomic[T](body: StateTable.Txn => T): T = {
     requireWrites()
     // the transaction's key accesses carry the same per-key ACL (and
-    // shard) checks as the direct context methods
+    // shard) checks as the direct context methods — plus the abort
+    // checkpoint, so a watchdogged invocation dies inside its txn too
     engine.state.commitGuarded { (k, w) =>
-      checkShard(k); engine.aclCheck(library, k, w)
+      checkAborted(); checkShard(k); engine.aclCheck(library, k, w)
     }(body)
   }
 
@@ -379,6 +394,16 @@ final class Engine(val spark: SparkSession,
     // bound on runOnKey/runOnShards cluster-function execution — the
     // reference's `remote-task-default-timeout` (500 ms, lib.rs:1913)
     "remote-task-default-timeout" -> "500",
+    // E10: sync-invocation watchdog — a registered function that holds
+    // the state lock past this many ms is aborted (the reference's
+    // `lock-redis-timeout`, 500 ms: enforcement v8_backend.rs:581-604,
+    // policy v8_script_ctx.rs:92-135). 0 disables. The JVM analogue of
+    // the reference's Abort policy: the watchdog flags the invocation
+    // and interrupts its thread; the function dies at its next state
+    // access (or blocking call). The reference's harder Kill policy
+    // (terminate the V8 isolate) has no safe JVM analogue — closures
+    // share the heap — so abort is the only policy.
+    "lock-timeout" -> "500",
     // invocation tracing (the TFUNCTION LOAD ... DEBUG analogue at the
     // introspection level: the reference attaches a V8 inspector,
     // function_load_command.rs:288-351; step-debugging Scala closures
@@ -402,6 +427,10 @@ final class Engine(val spark: SparkSession,
         if (scala.util.Try(value.toLong).toOption.forall(_ <= 0))
           throw new IllegalArgumentException(
             s"remote-task-default-timeout must be a positive ms count, got '$value'")
+      case "lock-timeout" =>
+        if (scala.util.Try(value.toLong).toOption.forall(_ < 0))
+          throw new IllegalArgumentException(
+            s"lock-timeout must be a non-negative ms count (0 disables), got '$value'")
       case "trace-buffer-size" =>
         if (scala.util.Try(value.toInt).toOption.forall(_ < 0))
           throw new IllegalArgumentException(
@@ -413,6 +442,7 @@ final class Engine(val spark: SparkSession,
       case other => throw new NoSuchElementException(s"unknown config key '$other'")
     }
     engineConfig.put(key, value)
+    if (key == "lock-timeout") lockTimeoutCache.set(value.toLong)
   }
 
   def configGet(key: String): String = engineConfig.getOrElse(key,
@@ -502,7 +532,12 @@ final class Engine(val spark: SparkSession,
     * a [[RespValue.RespPromise]] (via `ctx.executeAsync`) commits its
     * sync writes first, then the engine awaits the background
     * resolution outside the lock and replies with it (the reference's
-    * blocked-client reply path, `run_ctx.rs:202-222`). */
+    * blocked-client reply path, `run_ctx.rs:202-222`). The invocation
+    * runs under the E10 lock watchdog: past `lock-timeout` ms it is
+    * flagged and its thread interrupted, so a runaway closure dies at
+    * its next state access (or blocking call) instead of wedging every
+    * caller behind the state lock — the reference's GIL timeout
+    * (`v8_backend.rs:581-604`). */
   def call(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): RespValue = {
     val (f, l) = functionDef(lib, fn)
     if (f.isAsync) throw new IllegalStateException(
@@ -510,9 +545,86 @@ final class Engine(val spark: SparkSession,
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
     recorded(lib, l, fn, isAsync = false) {
-      val out = state.commit(_ => f.fn(ctx, decoded))
+      val out = withLockWatchdog(ctx) { state.commit(_ => f.fn(ctx, decoded)) }
       val resolved = resolve(out)
       RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
+    }
+  }
+
+  // E10 watchdog machinery: each invoking thread owns a reusable slot
+  // (ThreadLocal, registered once); arming the watchdog is two fields
+  // under an uncontended monitor — ~50 ns on the 2.5M ops/s fcall
+  // dispatch path, where a per-call ScheduledExecutor arm/cancel cost
+  // ~500 ns and visibly halved the bench. ONE daemon sweeper scans the
+  // slots every 20 ms; past a slot's deadline it sets the context's
+  // abort flag and interrupts the thread. The slot monitor closes the
+  // completion race — once the invocation returns, a late sweep can
+  // neither flag a dead context nor poison the caller's next call with
+  // a stray interrupt.
+  private final class WatchSlot(val thread: Thread) {
+    // deadline is volatile and written LAST on arm (publishing ctx via
+    // happens-before); the sweeper and the finish path synchronize on
+    // this slot, which closes the abort-vs-completion race. Arming
+    // needs no monitor: only the slot's own thread arms, and only when
+    // the slot is idle (deadline = MaxValue), which the sweeper never
+    // touches.
+    @volatile var deadline: Long = Long.MaxValue
+    var ctx: FunctionContext = null
+  }
+  private val watchSlots = new java.util.concurrent.ConcurrentHashMap[Thread, WatchSlot]()
+  private val watchSlotTL = new ThreadLocal[WatchSlot] {
+    override def initialValue(): WatchSlot = {
+      val s = new WatchSlot(Thread.currentThread())
+      watchSlots.put(s.thread, s)
+      s
+    }
+  }
+  // parsed once per configSet, read per call (no string parse on the
+  // dispatch hot path)
+  private val lockTimeoutCache = new java.util.concurrent.atomic.AtomicLong(500L)
+  @volatile private var watchdogRunning = true
+
+  private lazy val lockWatchdogSweeper: Thread = {
+    val t = new Thread(() => {
+      while (watchdogRunning) {
+        Thread.sleep(20)
+        val now = System.currentTimeMillis()
+        val it = watchSlots.values().iterator()
+        while (it.hasNext) {
+          val s = it.next()
+          if (now >= s.deadline) s.synchronized {
+            if (now >= s.deadline && s.ctx != null) {
+              s.ctx.abortFlag.set(true)
+              s.thread.interrupt()
+              s.deadline = Long.MaxValue // fire once
+              s.ctx = null
+            }
+          }
+          else if (!s.thread.isAlive) it.remove()
+        }
+      }
+    }, "graft-lock-watchdog")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private def withLockWatchdog[A](ctx: FunctionContext)(body: => A): A = {
+    val timeoutMs = lockTimeoutCache.get()
+    if (timeoutMs <= 0) body
+    else {
+      lockWatchdogSweeper // first use starts the daemon
+      val slot = watchSlotTL.get()
+      slot.ctx = ctx
+      slot.deadline = System.currentTimeMillis() + timeoutMs
+      try body
+      finally {
+        slot.synchronized {
+          slot.deadline = Long.MaxValue
+          slot.ctx = null
+        }
+        Thread.interrupted() // clear a just-delivered abort interrupt
+      }
     }
   }
 
@@ -715,6 +827,7 @@ final class Engine(val spark: SparkSession,
     org.slf4j.LoggerFactory.getLogger("graft.Engine").info(msg)
 
   override def close(): Unit = {
+    watchdogRunning = false // sweeper exits at its next 20 ms tick
     pool.shutdown()
     remotePool.shutdown()
     pool.awaitTermination(10, TimeUnit.SECONDS)
@@ -765,6 +878,11 @@ object Engine {
   * owned by another shard — the engine's MOVED analogue (on a real
   * cluster the key simply is not on this node). */
 final class ShardMovedException(msg: String) extends RuntimeException(msg)
+
+/** E10: raised inside a sync invocation that exceeded `lock-timeout`
+  * (checkpointed at every state access — the JVM analogue of the
+  * reference's Abort policy, `v8_script_ctx.rs:92-135`). */
+final class FunctionAbortedException(msg: String) extends RuntimeException(msg)
 
 /** One traced invocation (see [[Engine.trace]]). */
 case class TraceEntry(library: String, function: String, isAsync: Boolean,

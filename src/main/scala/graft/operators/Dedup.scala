@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -547,11 +548,22 @@ object Dedup {
     * planted pairs are found and every reported pair passes the exact
     * verify. Rows-only in the gate (winnowing is not SQL-expressible).
     *
-    * Scale shape: explode distinct fingerprints → equi-self-join on
-    * the 64-bit hash (longs only, no text in the shuffle) → per-pair
-    * count vs the contained side's fingerprint count → exact verify
-    * joins text back for the candidate pairs only. */
-  def qContainment(s: SparkSession, d: String, minShare: Double = 0.8): DataFrame = {
+    * Scale shape: explode distinct fingerprints → document-frequency
+    * ceiling → equi-self-join on the 64-bit hash (longs only, no text
+    * in the shuffle) → per-pair count vs the contained side's
+    * SURVIVING fingerprint count → exact verify joins text back for
+    * the candidate pairs only. The `maxDocFreq` ceiling is the skew
+    * guard: a fingerprint shared by n documents yields n² join rows,
+    * and on a real crawl boilerplate is precisely what's common — but
+    * a hash thousands of documents share carries no containment
+    * signal, so it is dropped BEFORE the join (q80 bounds its
+    * analogous join by #sources²; this is the same bound made
+    * explicit). The share denominator counts only a contained doc's
+    * surviving fingerprints, so recall on distinctive content is
+    * unchanged; a doc consisting ENTIRELY of super-common boilerplate
+    * has no detectable containment signal under any budget. */
+  def qContainment(s: SparkSession, d: String, minShare: Double = 0.8,
+      maxDocFreq: Int = 128): DataFrame = {
     GraftFunctions.register(s)
     val docs0 = documents(s, d)
     val nxt = docs0.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
@@ -563,14 +575,25 @@ object Dedup {
     val fp = docs.select(col("doc_id"),
       array_distinct(winnowFingerprint(col("text"), 8, 4)).as("fp"))
     val ex = fp.select(col("doc_id"), explode(col("fp")).as("h"))
-    val shared = ex.select(col("h"), col("doc_id").as("container"))
-      .join(ex.select(col("h"), col("doc_id").as("contained")), Seq("h"))
+    // (h, doc_id) rows are distinct (array_distinct above), so the
+    // per-hash count IS document frequency; the surviving stream feeds
+    // three subplans (both self-join sides + the per-doc denominator) —
+    // persist it once per invocation, one-outstanding like minhashPairs
+    val rare = ex.join(
+        ex.groupBy("h").agg(count("*").as("docfreq"))
+          .filter(col("docfreq") <= maxDocFreq).select("h"),
+        Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(Dedup.lastRareFpCache.getAndSet(rare)).foreach(_.unpersist(blocking = false))
+    val shared = rare.select(col("h"), col("doc_id").as("container"))
+      .join(rare.select(col("h"), col("doc_id").as("contained")), Seq("h"))
       .filter(col("container") =!= col("contained"))
       .groupBy("container", "contained").agg(count("*").as("n_shared"))
     val candidates = shared
-      .join(fp.select(col("doc_id").as("contained"), size(col("fp")).as("n_fp")),
+      .join(rare.groupBy("doc_id").agg(count("*").as("n_fp"))
+          .select(col("doc_id").as("contained"), col("n_fp")),
         Seq("contained"))
-      .filter(col("n_fp") > 0 && col("n_shared") >= col("n_fp") * minShare)
+      .filter(col("n_shared") >= col("n_fp") * minShare)
     candidates
       .join(docs.select(col("doc_id").as("container"), col("text").as("t_a")), Seq("container"))
       .join(docs.select(col("doc_id").as("contained"), col("text").as("t_b")), Seq("contained"))
@@ -596,17 +619,25 @@ object Dedup {
     *   4. join the duplicate set back (digest-keyed equi-join, digests
     *      only) → per-doc sorted duplicate-start lists, bounded by the
     *      doc's own token count;
-    *   5. rebuild: token at position p survives iff no duplicate window
-    *      starts in (p−L, p] — an index-aware array filter — then one
-    *      concat_ws; the output digests the cleaned text so the gate
-    *      hash-checks the exact surviving bytes.
+    *   5. rebuild: duplicate windows merge into disjoint removal
+    *      intervals (a distributed interval merge: one running-max
+    *      window over the per-doc sorted starts, then a min/max per
+    *      overlap group), and the kept text is the concatenation of
+    *      the GAP slices between intervals — each token is touched
+    *      once, so a fully-duplicated document costs O(tokens), where
+    *      a per-token exists-over-starts test would cost
+    *      O(tokens · starts) exactly on the repetitive documents this
+    *      operator exists to clean. The output digests the cleaned
+    *      text so the gate hash-checks the exact surviving bytes.
     *
     * The window digest is md5 so the DuckDB oracle reproduces it
-    * bit-for-bit; an engine-internal run would swap in xxhash64 (8-byte
-    * shuffle keys instead of 32-char hex strings) — the result is
+    * bit-for-bit; an engine-internal run swaps in xxhash64
+    * (`windowDigest = "xxhash64"`: 8-byte shuffle keys instead of
+    * 32-char hex strings — benched in BENCH_NOTES) — the result is
     * invariant to the digest choice modulo collisions. At 100 TB every
-    * stage is a linear scan, a digest-keyed shuffle, or an equi-join;
-    * nothing is quadratic and nothing reaches the driver. */
+    * stage is a linear scan, a digest-keyed shuffle, an equi-join, or
+    * a dup-start-sized window sort; nothing is quadratic and nothing
+    * reaches the driver. */
   def qExactSubstring(s: SparkSession, d: String, L: Int = 20): DataFrame =
     exactSubstringClean(documents(s, d), "doc_id", "text", L)
 
@@ -614,7 +645,14 @@ object Dedup {
     * for the algorithm. Returns (doc_id, n_tokens, n_removed,
     * clean_digest) with `idCol` surfaced as `doc_id`. */
   def exactSubstringClean(input: DataFrame, idCol: String, textCol: String,
-      L: Int): DataFrame = {
+      L: Int, windowDigest: String = "md5"): DataFrame = {
+    val dig: Column => Column = windowDigest match {
+      case "md5" => c => md5(c.cast("binary"))
+      case "xxhash64" => c => xxhash64(c)
+      case other => throw new IllegalArgumentException(s"unknown digest $other")
+    }
+    val emptyWins =
+      if (windowDigest == "md5") "array<string>" else "array<bigint>"
     val docs = input
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
     // the corpus-token-sized window stream feeds BOTH the duplicate-set
@@ -625,21 +663,44 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         when(size(col("toks")) >= L,
           transform(sequence(lit(1), size(col("toks")) - L + 1),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(L))).cast("binary"))))
-          .otherwise(array().cast("array<string>"))).as(Seq("off", "h")))
+            i => dig(concat_ws(" ", slice(col("toks"), i, lit(L))))))
+          .otherwise(array().cast(emptyWins))).as(Seq("off", "h")))
       .select(col("doc_id"), (col("off") + 1).as("start"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(Dedup.lastWinsCache.getAndSet(wins)).foreach(_.unpersist(blocking = false))
     val dup = wins.groupBy("h").agg(count("*").as("n"))
       .filter(col("n") >= 2).select("h")
-    val dupStarts = wins.join(dup, "h")
-      .groupBy("doc_id").agg(collect_set(col("start")).as("starts"))
-    docs.join(dupStarts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        filter(col("toks"), (_, i) =>
-          !exists(col("starts"), st => st <= i + 1 && i + 1 < st + L)).as("kept"))
+    // interval merge over the duplicate starts: a start opens interval
+    // [start, start+L); starts whose interval overlaps-or-touches the
+    // running max end so far extend the current group (classic
+    // merge-intervals as a window function — rows here are only the
+    // DUPLICATE windows, a small subset of the corpus token stream)
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val intervals = wins.join(dup, "h")
+      .select(col("doc_id"), col("start"))
+      .withColumn("prev_hi", max(col("start") + L).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("boundary",
+        when(col("prev_hi").isNull || col("start") > col("prev_hi"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum("boundary").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("start").as("lo"), (max(col("start")) + L).as("hi"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("lo"), col("hi")))).as("iv"))
+    // rebuild: kept = the gap slices around the removal intervals —
+    // one slice per gap, each token copied exactly once (linear)
+    docs.join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"),
+        coalesce(col("iv"), array().cast("array<struct<lo:int,hi:int>>")).as("iv"))
+      .withColumn("kept", flatten(transform(sequence(lit(0), size(col("iv"))), g => {
+        val gapStart = when(g === 0, lit(1))
+          .otherwise(element_at(col("iv"), g).getField("hi"))
+        val gapEnd = when(g === size(col("iv")), size(col("toks")) + 1)
+          .otherwise(element_at(col("iv"), g + 1).getField("lo"))
+        slice(col("toks"), gapStart, greatest(gapEnd - gapStart, lit(0)))
+      })))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).as("n_removed"),
         md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_digest"))
@@ -651,5 +712,10 @@ object Dedup {
 
   /** The one outstanding q86 window cache (see [[exactSubstringClean]]). */
   private val lastWinsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** The one outstanding q77 surviving-fingerprint cache (see
+    * [[qContainment]]). */
+  private val lastRareFpCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }

@@ -178,14 +178,20 @@ object Pipeline {
     * scan internally — the standard engine plan for this shape, still
     * one pass over storage), then a `stack` unpivots the single stats
     * row. At 100 TB this is the profile job a pipeline runs on every
-    * snapshot; distinct counts would swap to `approx_count_distinct`
-    * (q43) — exact here so the oracle can agree bit-for-bit. */
-  def qProfile(s: SparkSession, d: String): DataFrame = {
+    * snapshot; at scale distinct counts swap to `approx_count_distinct`
+    * (`approxDistinct = true` — the variant ScaleBench measures at
+    * 100×, one mergeable HLL sketch per column instead of the
+    * multi-distinct expand) — exact in the gate so the oracle can
+    * agree bit-for-bit. */
+  def qProfile(s: SparkSession, d: String, approxDistinct: Boolean = false): DataFrame = {
     val numeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val strings = Seq("l_returnflag", "l_linestatus")
     val all = numeric ++ strings
     val aggs = all.flatMap { c =>
-      Seq(count(col(c)).as(s"n_$c"), count_distinct(col(c)).as(s"d_$c"))
+      val dist =
+        if (approxDistinct) approx_count_distinct(col(c)).as(s"d_$c")
+        else count_distinct(col(c)).as(s"d_$c")
+      Seq(count(col(c)).as(s"n_$c"), dist)
     } ++ numeric.flatMap { c =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
         round(avg(col(c)), 4).as(s"av_$c"))
@@ -376,20 +382,107 @@ object Pipeline {
     * the whole procedure engine-independent), and apply the merge with
     * a left-to-right non-overlapping fold (`aggregate` HOF — the
     * merged symbol a+b can never equal `a`, so no flag is needed).
-    * The per-round argmax is a 1-row driver collect — a control-plane
-    * read, like connected components' convergence probe; lineage is
-    * truncated with localCheckpoint each round.
+    * The corpus pass is distributed always; WHERE the merge loop runs
+    * depends on the vocabulary size. Under `driverVocabCap` rows the
+    * word-frequency table is collected once and the rounds run
+    * driver-side — a production 32k-merge vocabulary as 32k sequential
+    * Spark jobs is pure job-scheduling overhead (~100× the useful
+    * work), while the table itself is vocab-sized and fits easily
+    * (2M rows ≈ tens of MB). Above the cap the rounds run as
+    * distributed aggregations (per-round argmax = a 1-row collect, a
+    * control-plane read; lineage truncated with localCheckpoint each
+    * round). Both paths implement the identical count/tie-break/merge
+    * semantics — BpeSpec pins them to the same sequence.
     *
     * Returns the learned merges in order: (rank, left, right). */
-  def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String)] = {
-    val spark = docs.sparkSession
-    // one corpus pass: word frequencies, words as character-symbol arrays
-    var vocab = docs
+  def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      driverVocabCap: Int = 1 << 21): Seq[(Int, String, String)] = {
+    // one corpus pass: word frequencies (Heaps' law: vocab-sized,
+    // sublinear in corpus size)
+    val vocabDf = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count("*").as("cnt"))
-      .select(split(col("w"), "").as("symbols"), col("cnt"))
-      .localCheckpoint()
+    // limit(cap+1) detects overflow without spending a count() job:
+    // cap+1 rows back means the table didn't fit, anything less IS the
+    // whole table
+    val head = vocabDf.limit(driverVocabCap + 1).collect()
+    if (head.length <= driverVocabCap)
+      learnBpeMergesDriver(
+        head.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    else
+      learnBpeMergesDistributed(
+        vocabDf.select(split(col("w"), "").as("symbols"), col("cnt")), numMerges)
+  }
+
+  /** The under-cap merge loop: plain-Scala rounds over the collected
+    * word-frequency table — zero Spark jobs per merge. Semantics match
+    * the distributed rounds exactly: pair counts weighted by word
+    * frequency, argmax on (count desc, pair asc), left-to-right
+    * non-overlapping merge application. */
+  private def learnBpeMergesDriver(words: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String)] = {
+    val syms: Array[Array[String]] = words.map(_._1.map(_.toString).toArray)
+    val cnts: Array[Long] = words.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        val c = cnts(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val key = (s(j), s(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + c)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestA: String = null
+        var bestB: String = null
+        var bestN = -1L
+        counts.foreach { case ((a, b), n) =>
+          if (n > bestN || (n == bestN &&
+              (a < bestA || (a == bestA && b < bestB)))) {
+            bestA = a; bestB = b; bestN = n
+          }
+        }
+        merges += ((rank, bestA, bestB))
+        val m = bestA + bestB
+        i = 0
+        while (i < syms.length) {
+          val s = syms(i)
+          var j = 0
+          while (j < s.length - 1 && !(s(j) == bestA && s(j + 1) == bestB)) j += 1
+          if (j < s.length - 1) {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var p = 0
+            while (p < s.length) {
+              if (p < s.length - 1 && s(p) == bestA && s(p + 1) == bestB) {
+                buf += m; p += 2
+              } else { buf += s(p); p += 1 }
+            }
+            syms(i) = buf.toArray
+          }
+          i += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The above-cap fallback: each round is one distributed pair-count
+    * aggregation + argmax collect + merge application over the
+    * vocab-sized symbols table. */
+  private def learnBpeMergesDistributed(symbolsDf: DataFrame,
+      numMerges: Int): Seq[(Int, String, String)] = {
+    var vocab = symbolsDf.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var rank = 0
     var done = false

@@ -49,7 +49,18 @@ object ScaleBench {
       // (the real-corpus shape); the probe exercises the corpus-token-
       // sized digest shuffle, the dominant cost at scale — and n-gram
       // novelty, the same explode family under a min-agg + join-back
-      "q86_exact_substring", "q90_novelty")
+      "q86_exact_substring", "q90_novelty",
+      // round 8: winnowing containment — the document-frequency
+      // ceiling is what the probe grounds (per-fingerprint fanout
+      // bounded, so the self-join grows with the corpus, not with the
+      // square of boilerplate popularity); the injected containments
+      // stay intact under the per-copy doc_id shift (consecutive ids
+      // stay consecutive within a copy)
+      "q77_containment",
+      // round 8: PQ and IVF-PQ ANN through their persisted indexes —
+      // the steady-state serving shapes (the first probe run pays each
+      // index build once; the median reports the query cost)
+      "q91_knn_pq", "q93_knn_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -110,7 +121,14 @@ object ScaleBench {
       graft.operators.Dedup.qSemanticDedup(spark, out, clusters = kScaled)
         .queryExecution.toRdd.foreach(_ => ())
     }
-    val all = results :+ sem
+    // the profiler's scale variant: distinct counts via mergeable HLL
+    // sketches instead of the exact multi-distinct expand (the swap the
+    // q95 scaladoc commits to at 100 TB — this measures it)
+    val prof = "q95_profile_approx" -> med3 {
+      graft.operators.Pipeline.qProfile(spark, out, approxDistinct = true)
+        .queryExecution.toRdd.foreach(_ => ())
+    }
+    val all = results :+ sem :+ prof
     val qs = all.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"scale_x$factor%d_total","value":$total%.3f,"unit":"sec","queries":$qs,"src":"$src","factor":$factor%d}""")

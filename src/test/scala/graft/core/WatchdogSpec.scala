@@ -1,0 +1,106 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.RespValue._
+
+/** E10: the sync-invocation lock watchdog — a function holding the
+  * state lock past `lock-timeout` is aborted at its next state access
+  * (or blocking call), the lock is released, and later invocations
+  * succeed (reference: `lock-redis-timeout`, enforcement
+  * `v8_backend.rs:581-604`, Abort policy `v8_script_ctx.rs:92-135`). */
+class WatchdogSpec extends AnyFunSuite {
+
+  private def newEngine() = new Engine(TestSpark.spark)
+
+  private def hungLib = LibraryDefinition("hung", code = { lib =>
+    // spins on state reads forever — dies only via the abort checkpoint
+    lib.registerFunction("spin_reads", (ctx, _) => {
+      while (true) { ctx.get("k") }
+      RespNull
+    })
+    // sleeps forever — dies only via the watchdog's thread interrupt
+    lib.registerFunction("sleep", (_, _) => {
+      Thread.sleep(3600000L)
+      RespNull
+    })
+    // writes one key, then hangs: proves partial writes persist
+    // (reference semantics — completed commands have no rollback)
+    lib.registerFunction("write_then_spin", (ctx, _) => {
+      ctx.set("written", "yes")
+      while (true) { ctx.get("k") }
+      RespNull
+    })
+    lib.registerFunction("ok", (_, _) => RespString("ok"),
+      flags = Set(FunctionFlags.NoWrites))
+  })
+
+  test("a read-spinning function is aborted at the deadline; the lock is released") {
+    val e = newEngine()
+    e.configSet("lock-timeout", "200")
+    e.load(hungLib)
+    val t0 = System.nanoTime()
+    val ex = intercept[FunctionAbortedException] { e.call("hung", "spin_reads") }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(ex.getMessage.contains("lock-timeout"))
+    assert(elapsedMs >= 200, f"aborted before the deadline ($elapsedMs%.0f ms)")
+    assert(elapsedMs < 5000, f"abort took $elapsedMs%.0f ms — watchdog not firing")
+    // the state lock is free: later calls (including writes) succeed
+    assert(e.call("hung", "ok") == RespString("ok"))
+    e.close()
+  }
+
+  test("a sleeping function is interrupted at the deadline") {
+    val e = newEngine()
+    e.configSet("lock-timeout", "200")
+    e.load(hungLib)
+    val t0 = System.nanoTime()
+    intercept[InterruptedException] { e.call("hung", "sleep") }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 5000, f"interrupt took $elapsedMs%.0f ms")
+    assert(e.call("hung", "ok") == RespString("ok"))
+    e.close()
+  }
+
+  test("writes executed before the abort persist (no rollback, like the reference)") {
+    val e = newEngine()
+    e.configSet("lock-timeout", "200")
+    e.load(hungLib)
+    intercept[FunctionAbortedException] { e.call("hung", "write_then_spin") }
+    assert(e.state.get("written").contains("yes"))
+    e.close()
+  }
+
+  test("lock-timeout 0 disables the watchdog; the stats record the abort as an error") {
+    val e = newEngine()
+    e.configSet("lock-timeout", "0")
+    // with the watchdog off, a bounded loop completes untouched even
+    // when it runs far past the (disabled) default deadline
+    val lib = LibraryDefinition("slowok", code = { l =>
+      l.registerFunction("slow", (ctx, _) => {
+        val until = System.currentTimeMillis() + 800
+        while (System.currentTimeMillis() < until) { ctx.get("k") }
+        RespString("done")
+      }, flags = Set(FunctionFlags.NoWrites))
+    })
+    e.load(lib)
+    assert(e.call("slowok", "slow") == RespString("done"))
+    // re-arm and check error accounting on an aborted call
+    e.configSet("lock-timeout", "150")
+    e.load(hungLib)
+    intercept[FunctionAbortedException] { e.call("hung", "spin_reads") }
+    val info = e.debug("hung").functions.find(_.name == "spin_reads").get
+    assert(info.errors == 1)
+    assert(info.lastError.exists(_.contains("lock-timeout")))
+    e.close()
+  }
+
+  test("config validation: negative lock-timeout rejected, 0 accepted") {
+    val e = newEngine()
+    intercept[IllegalArgumentException] { e.configSet("lock-timeout", "-1") }
+    e.configSet("lock-timeout", "0")
+    assert(e.configGet("lock-timeout") == "0")
+    e.close()
+  }
+}

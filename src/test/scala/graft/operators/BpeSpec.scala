@@ -64,4 +64,44 @@ class BpeSpec extends AnyFunSuite {
     val merges = Pipeline.learnBpeMerges(docs, "text", 1)
     assert(merges == Seq((0, "a", "a")))
   }
+
+  test("above-cap fallback: distributed rounds produce the identical sequence") {
+    // driverVocabCap = 0 forces the distributed path on the same corpus
+    val docs = Tables.documents(spark, sf)
+    val driver = Pipeline.learnBpeMerges(docs, "text", 15)
+    val distributed = Pipeline.learnBpeMerges(docs, "text", 15, driverVocabCap = 0)
+    assert(driver.size == 15)
+    assert(driver == distributed)
+  }
+
+  test("1000 merges run driver-side: a handful of Spark jobs, seconds of wall time") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the sf corpus's vocabulary exhausts near 90 merges; a seeded
+    // 20k-word corpus sustains 1000+ (what a real tokenizer run needs)
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docs = {
+      import spark.implicits._
+      (1 to 2000).map { _ =>
+        (1 to 10).map(_ =>
+          (1 to (6 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(26))).mkString
+        ).mkString(" ")
+      }.toDF("text")
+    }
+    try {
+      val t0 = System.nanoTime()
+      val merges = Pipeline.learnBpeMerges(docs, "text", 1000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(merges.size == 1000, s"corpus exhausted at ${merges.size} merges")
+      assert(secs < 60.0, f"1000 merges took $secs%.1f s — the loop is not driver-paced")
+      Thread.sleep(1000) // listener bus is async
+      assert(jobs.get() <= 4,
+        s"${jobs.get()} Spark jobs for 1000 merges — rounds are spending jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -30,6 +30,27 @@ class ContainmentSpec extends AnyFunSuite {
     }
   }
 
+  test("document-frequency ceiling is active at the default and costs no planted recall") {
+    graft.functions.GraftFunctions.register(spark)
+    // the corpus genuinely has fingerprints above the default ceiling
+    // (so the cap provably drops join keys, it isn't a no-op)
+    val maxDf = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.winnowFingerprint(col("text"), 8, 4))).as("h"))
+      .groupBy("h").agg(count("*").as("docfreq"))
+      .agg(max("docfreq")).head().getLong(0)
+    assert(maxDf > 128, s"corpus max fingerprint df $maxDf not above the default ceiling")
+    // recall survives an even tighter ceiling: planted containments are
+    // distinctive content (their fingerprints live in ~2 docs), so a
+    // cap of 32 — a quarter of the default — still finds every pair
+    val got = Dedup.qContainment(spark, sf, maxDocFreq = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(i => i % 7 == 0 && ids.contains(i + 1)).map(i => (i, i + 1))
+    planted.foreach(p => assert(got.contains(p), s"planted containment $p missed under cap"))
+  }
+
   test("asymmetry: a long wrapper is reported as container, not as near-dup peer") {
     val got = Dedup.qContainment(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -71,4 +71,43 @@ class ExactSubstringSpec extends AnyFunSuite {
     assert(got(1L) == ((4, 4, md5hex(""))))
     assert(got(2L) == ((4, 4, md5hex(""))))
   }
+
+  test("repetitive worst case: a long fully-duplicated doc (starts ≈ tokens) empties") {
+    // 2,000 tokens of period-3 repetition: every window is a duplicate,
+    // so the duplicate-start list is as long as the doc itself — the
+    // shape where a per-token exists-over-starts rebuild is quadratic
+    // and the interval-merge rebuild must stay linear (one merged span)
+    val t = (1 to 2000).map(i => s"p${i % 3}").mkString(" ")
+    val uniq = words("u", 9)
+    val got = run(Seq((1L, t), (2L, uniq)), L = 8)
+    assert(got(1L) == ((2000, 2000, md5hex(""))))
+    assert(got(2L) == ((9, 0, md5hex(uniq))))
+  }
+
+  test("alternating duplicate/unique spans: every gap slice survives, every span is cut") {
+    // dup-span, unique, dup-span, unique, dup-span — three disjoint
+    // removal intervals per doc, exercising the multi-gap rebuild path
+    val (d1, d2, d3) = (words("da", 4), words("db", 4), words("dc", 4))
+    val (u1, u2) = (words("ua", 2), words("ub", 2))
+    val a = s"$d1 $u1 $d2 $u2 $d3"
+    val b = s"$d3 ${words("uc", 2)} $d1 ${words("ud", 2)} $d2"
+    val got = run(Seq((1L, a), (2L, b)), L = 4)
+    assert(got(1L) == ((16, 12, md5hex(s"$u1 $u2"))))
+    assert(got(2L) == ((16, 12, md5hex(s"${words("uc", 2)} ${words("ud", 2)}"))))
+  }
+
+  test("xxhash64 window digest produces the identical cleaned output") {
+    val s = spark
+    import s.implicits._
+    val shared = words("dup", 4)
+    val docs = Seq(
+      (1L, s"${words("a", 3)} $shared ${words("z", 3)}"),
+      (2L, s"${words("b", 5)} $shared"),
+      (3L, words("c", 8))).toDF("doc_id", "text")
+    val md5Out = Dedup.exactSubstringClean(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val xxOut = Dedup.exactSubstringClean(docs, "doc_id", "text", 4, windowDigest = "xxhash64")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(xxOut == md5Out)
+  }
 }
