@@ -250,13 +250,19 @@ final class LibraryBuilder private[core] (val name: String) {
   /** R4: CDC-style trigger on keyspace events for keys matching
     * `prefix`; `onTriggerFired` runs synchronously at notification time
     * to snapshot data into the event. */
+  /** R4: keyspace trigger. `eventTypes` is the reference's event-class
+    * mask (`keys_notifications.rs:191-208`): empty = fire on every
+    * class; otherwise only the named classes fire — write events
+    * ("set"/"hset"/"del"/"incrby"/"lpush"/…), "expired" (TTL), and
+    * "evicted" (max-keys cap pressure). */
   def registerKeySpaceTrigger(trigger: String, prefix: String,
       fn: (FunctionContext, KeyEvent) => Unit,
       onTriggerFired: Option[(FunctionContext, KeyEvent) => Map[String, String]] = None,
-      description: String = ""): Unit = {
+      description: String = "",
+      eventTypes: Set[String] = Set.empty): Unit = {
     checkName(trigger, "keyspace trigger")
     keySpaceTriggers.put(trigger,
-      KeySpaceTriggerDef(trigger, prefix, fn, onTriggerFired, description))
+      KeySpaceTriggerDef(trigger, prefix, fn, onTriggerFired, description, eventTypes))
   }
 
   /** R5: remote/cluster function — read-only by contract
@@ -283,7 +289,9 @@ object LibraryBuilder {
   case class KeySpaceTriggerDef(name: String, prefix: String,
       fn: (FunctionContext, KeyEvent) => Unit,
       onTriggerFired: Option[(FunctionContext, KeyEvent) => Map[String, String]],
-      description: String)
+      description: String,
+      // empty = all event classes (the reference's default mask)
+      eventTypes: Set[String] = Set.empty)
   case class ClusterFunctionDef(name: String,
       fn: (FunctionContext, Seq[RespValue]) => RespValue)
 }
@@ -413,7 +421,12 @@ final class Engine(val spark: SparkSession,
     // virtual shard count for cluster functions (C7/C8): runOnShards
     // fans out one scoped invocation per shard; runOnKey routes to the
     // key's shard (Redis cluster CRC16 slots, contiguous ranges)
-    "shard-count" -> "4")
+    "shard-count" -> "4",
+    // state-table eviction cap (the Redis maxmemory analogue, as a key
+    // count): past the cap, least-recently-touched keys are evicted and
+    // fire the "evicted" keyspace event class (R4,
+    // keys_notifications.rs:191-208). 0 = unbounded (default).
+    "max-keys" -> "0")
 
   private[core] def shardCount: Int = engineConfig("shard-count").toInt
 
@@ -439,10 +452,15 @@ final class Engine(val spark: SparkSession,
         if (scala.util.Try(value.toInt).toOption.forall(_ <= 0))
           throw new IllegalArgumentException(
             s"shard-count must be a positive count, got '$value'")
+      case "max-keys" =>
+        if (scala.util.Try(value.toInt).toOption.forall(_ < 0))
+          throw new IllegalArgumentException(
+            s"max-keys must be a non-negative count (0 = unbounded), got '$value'")
       case other => throw new NoSuchElementException(s"unknown config key '$other'")
     }
     engineConfig.put(key, value)
     if (key == "lock-timeout") lockTimeoutCache.set(value.toLong)
+    if (key == "max-keys") state.setMaxKeys(value.toInt)
   }
 
   def configGet(key: String): String = engineConfig.getOrElse(key,

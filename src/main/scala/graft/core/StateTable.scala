@@ -44,6 +44,48 @@ final class StateTable {
   private val inNotification = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
+  // --- eviction (the reference's `evicted` notification class,
+  // keys_notifications.rs:191-208: Redis fires it when maxmemory
+  // pressure removes a key). The analogue cap here is a KEY COUNT
+  // (`maxKeys`, 0 = unbounded — the default): when a write pushes the
+  // table past the cap, least-recently-touched keys are removed and
+  // each removal fires an "evicted" event through the same subscriber
+  // surface as "set"/"expired", so keyspace triggers can consume the
+  // full reference event-class set. Recency is approximate LRU
+  // (touched on writes and point reads), like Redis's sampled LRU.
+  @volatile private var maxKeys: Int = 0
+  private val touchSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val touched = TrieMap.empty[String, Long]
+
+  /** Set the eviction cap (0 disables). Takes effect on the next
+    * write-bearing commit. */
+  def setMaxKeys(n: Int): Unit = {
+    require(n >= 0, s"max-keys must be non-negative, got $n")
+    maxKeys = n
+  }
+  def getMaxKeys: Int = maxKeys
+
+  private def touch(key: String): Unit =
+    touched.update(key, touchSeq.incrementAndGet())
+
+  /** Evict least-recently-touched keys until the table fits the cap;
+    * returns the eviction events to dispatch (caller holds the lock). */
+  private def enforceCap(): Seq[KeyEvent] = {
+    if (maxKeys <= 0) Seq.empty
+    else {
+      val out = new ArrayBuffer[KeyEvent]
+      while (data.size + lists.count { case (k, _) => !data.contains(k) } > maxKeys) {
+        val victim = (data.keysIterator ++ lists.keysIterator)
+          .minBy(k => touched.getOrElse(k, 0L))
+        data.remove(victim)
+        lists.remove(victim)
+        expiries.remove(victim)
+        touched.remove(victim)
+        out += KeyEvent("evicted", victim, System.currentTimeMillis(), None)
+      }
+      out.toSeq
+    }
+  }
 
   /** Run `body` atomically (single-writer). Reads inside see their own
     * writes; other threads see nothing until commit returns. */
@@ -68,9 +110,12 @@ final class StateTable {
       // key and then recreates it must still lose the old TTL, exactly
       // as Redis clears it when the key is deleted.
       txn.ttlCleared.foreach(expiries.remove)
+      // cap enforcement happens after the transaction's writes land, and
+      // its "evicted" events dispatch in order behind the write events
+      val evictions = enforceCap()
       if (!inNotification.get()) {
         inNotification.set(true)
-        try events.foreach(e => subscribers.foreach(_(e)))
+        try (events ++ evictions).foreach(e => subscribers.foreach(_(e)))
         finally inNotification.set(false)
       }
       result
@@ -98,6 +143,7 @@ final class StateTable {
     expiries.get(key).foreach { deadline =>
       if (System.currentTimeMillis() >= deadline) {
         expiries.remove(key)
+        touched.remove(key)
         val existed = data.remove(key).isDefined | lists.remove(key).isDefined
         if (existed) emit(KeyEvent("expired", key, System.currentTimeMillis(), None))
       }
@@ -126,11 +172,14 @@ final class StateTable {
   }
 
   def get(key: String): Option[String] =
-    withLock { expireIfDue(key); data.get(key).flatMap(_.get(ValueField)) }
+    withLock { expireIfDue(key)
+      val v = data.get(key).flatMap(_.get(ValueField)); if (v.isDefined) touch(key); v }
   def hget(key: String, field: String): Option[String] =
-    withLock { expireIfDue(key); data.get(key).flatMap(_.get(field)) }
+    withLock { expireIfDue(key)
+      val v = data.get(key).flatMap(_.get(field)); if (v.isDefined) touch(key); v }
   def hgetall(key: String): Map[String, String] =
-    withLock { expireIfDue(key); data.getOrElse(key, Map.empty) }
+    withLock { expireIfDue(key)
+      val m = data.getOrElse(key, Map.empty); if (m.nonEmpty) touch(key); m }
   def exists(key: String): Boolean =
     withLock { expireIfDue(key); data.contains(key) || lists.contains(key) }
   def scan(prefix: String): Seq[String] = withLock {
@@ -171,8 +220,10 @@ final class StateTable {
   def lpush(key: String, values: String*): Long = withLock {
     val next = values.foldLeft(lists.getOrElse(key, Vector.empty))((l, v) => v +: l)
     lists.update(key, next)
+    touch(key)
     listSignal.signalAll()
     emit(KeyEvent("lpush", key, System.currentTimeMillis(), None))
+    enforceCap().foreach(emit)
     next.size.toLong
   }
 
@@ -180,8 +231,10 @@ final class StateTable {
   def rpush(key: String, values: String*): Long = withLock {
     val next = lists.getOrElse(key, Vector.empty) ++ values
     lists.update(key, next)
+    touch(key)
     listSignal.signalAll()
     emit(KeyEvent("rpush", key, System.currentTimeMillis(), None))
+    enforceCap().foreach(emit)
     next.size.toLong
   }
 
@@ -271,9 +324,14 @@ final class StateTable {
     } finally lock.unlock()
   }
 
-  private[core] def applyWrite(key: String, fields: Map[String, String]): Unit =
+  private[core] def applyWrite(key: String, fields: Map[String, String]): Unit = {
     data.update(key, fields)
-  private[core] def applyDel(key: String): Unit = data.remove(key)
+    touch(key)
+  }
+  private[core] def applyDel(key: String): Unit = {
+    data.remove(key)
+    touched.remove(key)
+  }
 }
 
 object StateTable {

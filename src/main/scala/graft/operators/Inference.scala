@@ -54,6 +54,24 @@ object Inference {
     }
   }
 
+  /** A scorer that loads a PERSISTED model in `open()` — the real
+    * serving lifecycle (weights come from a file at partition start,
+    * not from the task closure): reads a linear model from a
+    * safetensors file ([[Safetensors]]) once per partition and scores
+    * through the same [[ModelHandle]] path as [[LinearScorer]]. On a
+    * cluster the path is distributed storage (or a node-local cache);
+    * the open()-per-partition contract is exactly how an ONNX/TF
+    * session would bind. */
+  final case class SafetensorsScorer(path: String,
+      weightTensor: String = "weight", biasTensor: Option[String] = Some("bias"))
+      extends ModelScorer {
+    def open(): ModelHandle = {
+      val w = Safetensors.readVector(path, weightTensor)
+      val b = biasTensor.map(n => Safetensors.readVector(path, n).head).getOrElse(0.0)
+      LinearScorer(w, b).open()
+    }
+  }
+
   /** Score an (id, features) DataFrame with one model handle per
     * partition. Input columns: `idCol` LONG, `featCol` ARRAY<numeric>;
     * output (idCol, score). */
@@ -137,9 +155,21 @@ object Inference {
     val model = new LogisticRegression()
       .setMaxIter(25).setRegParam(0.01).setTol(1e-7)
       .fit(train)
+    // train → PERSIST → serve: the fitted weights land in a
+    // safetensors artifact and serving loads it per partition through
+    // SafetensorsScorer — the real deployment seam (the artifact
+    // outlives the training job; a scoring-only job needs just the
+    // path). F64 round-trips bit-exactly, so the output is identical
+    // to closure-shipped LinearScorer weights (spec-pinned). Local
+    // tmpdir here; on a cluster the artifact goes to shared storage.
+    val artifact = java.nio.file.Files.createTempFile("graft-q84-", ".safetensors")
+    artifact.toFile.deleteOnExit()
+    Safetensors.write(artifact.toString, Seq(
+      ("weight", "F64", model.coefficients.toArray),
+      ("bias", "F64", Array(model.intercept))))
     val scored = scoreBatches(
       docs.select(col("doc_id"), col("f")),
-      LinearScorer(model.coefficients.toArray, model.intercept),
+      SafetensorsScorer(artifact.toString),
       idCol = "doc_id", featCol = "f")
     docs.select(col("doc_id"), col("source"), col("label"))
       .join(scored, Seq("doc_id"))

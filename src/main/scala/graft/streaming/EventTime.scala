@@ -39,6 +39,10 @@ object EventTime {
   // of leaking a fresh temp dir each call; a shutdown hook removes them
   private val srcDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  // multi-file copies of the events table (q45's multi-batch source),
+  // one per (session, path, parts)
+  private val splitDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
   sys.addShutdownHook {
     srcDirs.values.foreach { dir =>
       val p = java.nio.file.Paths.get(dir)
@@ -46,6 +50,15 @@ object EventTime {
         Files.deleteIfExists(p.resolve("events.parquet"))
         Files.deleteIfExists(p)
       } catch { case _: java.io.IOException => () }
+    }
+    splitDirs.values.foreach { dir =>
+      try {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+      } catch { case _: Exception => () }
     }
   }
 
@@ -65,6 +78,27 @@ object EventTime {
       tmp.toString
     })
     s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** The events table as a MULTI-FILE stream source: the table is
+    * rewritten once per session into `parts` parquet files and streamed
+    * with `maxFilesPerTrigger = 1`, so a query over it runs ≥ `parts`
+    * micro-batches — the shape that actually exercises cross-batch
+    * state (a single-file source collapses every stateful operator to
+    * one batch). */
+  private def eventsStreamMultiBatch(s: SparkSession, d: String,
+      parts: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val dir = splitDirs.getOrElseUpdate((s, path, parts), {
+      val tmp = Files.createTempDirectory("graft-events-split").toString
+      s.read.parquet(path).repartition(parts)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -123,15 +157,24 @@ object EventTime {
     * watermark passes its event time + delay, so state size is bounded
     * by the keys active inside one watermark horizon regardless of
     * total key cardinality — the 100 TB-safe shape (bounded-state
-    * assertion in EventTimeSpec). On this finite input everything is
-    * processed in one micro-batch at watermark 0, so nothing expires
-    * mid-query and the COUNT per type equals the batch
-    * COUNT(DISTINCT user_id) — the oracle. Output mode is complete
-    * (the dedup is the stateful stage under test; the final count is
-    * tiny). */
+    * assertion in EventTimeSpec, which runs the production-sized
+    * 30-minute horizon).
+    *
+    * The input streams as ≥ 3 micro-batches (multi-file source,
+    * one file per trigger — asserted below), so the cross-batch state
+    * path IS what the gate exercises. The dedup horizon is
+    * `DedupHorizon` (35 days), which covers the synthetic table's
+    * 30-day event-time span (also asserted): no key's state can expire
+    * mid-query REGARDLESS of how the input lands in batches, so the
+    * final complete-mode emission equals the batch
+    * COUNT(DISTINCT user_id) bit for bit — a batching-invariant
+    * oracle. (With a horizon shorter than the span, duplicates farther
+    * apart than the horizon would correctly BOTH survive — real
+    * semantics, but an answer that depends on file/batch boundaries,
+    * which no SQL oracle can reproduce portably.) */
   def qStreamingDedup(s: SparkSession, d: String): DataFrame = {
-    val deduped = eventsStream(s, d)
-      .withWatermark("ts", Delay)
+    val deduped = eventsStreamMultiBatch(s, d, parts = 3)
+      .withWatermark("ts", DedupHorizon)
       .select(col("event_type"), col("user_id"), col("ts"))
       .dropDuplicatesWithinWatermark("event_type", "user_id")
       .groupBy("event_type")
@@ -145,19 +188,24 @@ object EventTime {
       .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
       .start()
     q.awaitTermination()
-    // the COUNT(DISTINCT) oracle holds only because the whole input is
-    // one micro-batch at watermark 0 (duplicates over 30 min apart in
-    // event time would BOTH survive across batches — correct
-    // within-watermark semantics, but a different answer). Pin that
-    // assumption so a multi-file source can never silently diverge
-    // from the oracle.
+    // pin both oracle preconditions loudly: the run was genuinely
+    // multi-batch, and the horizon covers the event-time span (so the
+    // COUNT(DISTINCT) oracle is exact whatever the batch boundaries)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"q45 oracle assumes a single input micro-batch, saw $dataBatches — " +
-        "the source directory must hold one file (multi-batch input has " +
-        "within-watermark dedup semantics, not global COUNT(DISTINCT))")
+    require(dataBatches >= 3,
+      s"q45 must exercise cross-batch dedup state, saw $dataBatches data batches")
+    val spanDays = s.read.parquet(s"$d/events.parquet")
+      .agg(expr("(max(ts) - min(ts)) / 86400e9")).head().getDouble(0)
+    require(spanDays < 35.0,
+      f"event-time span $spanDays%.1f days exceeds the 35-day dedup horizon — " +
+        "the COUNT(DISTINCT) oracle would no longer be batching-invariant")
     s.table(name)
   }
+
+  /** q45's dedup horizon: longer than the synthetic events table's
+    * event-time span, making the oracle batching-invariant (see
+    * [[qStreamingDedup]]). */
+  val DedupHorizon = "35 days"
 
   /** q61: watermarked stream-stream inner join — the attribution shape
     * (each purchase matched to the same user's clicks in the preceding

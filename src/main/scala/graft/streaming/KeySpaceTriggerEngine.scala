@@ -56,7 +56,8 @@ final class KeySpaceTriggerEngine(engine: Engine) {
     * an external CDC stream can drive the same triggers. */
   def fire(event: KeyEvent): Unit = {
     consumers.values.foreach { c =>
-      if (event.key.startsWith(c.spec.prefix)) {
+      if (event.key.startsWith(c.spec.prefix) &&
+          (c.spec.eventTypes.isEmpty || c.spec.eventTypes(event.event))) {
         val ctx = engine.functionContext(c.library)
         try {
           // the library's user needs read permission on the notifying
