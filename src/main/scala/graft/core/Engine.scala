@@ -563,11 +563,36 @@ final class Engine(val spark: SparkSession,
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
     recorded(lib, l, fn, isAsync = false) {
+      // debug breakpoints pause HERE — at entry, before the state lock
+      // and before the watchdog arms (a paused function blocks nothing)
+      debugPause(lib, fn, decoded)
       val out = withLockWatchdog(ctx) { state.commit(_ => f.fn(ctx, decoded)) }
       val resolved = resolve(out)
       RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
     }
   }
+
+  // --- debug sessions (TFUNCTION DEBUG analogue; see [[DebugSession]]) --
+  private val debugSessions = TrieMap.empty[String, DebugSession]
+
+  /** Attach a live debug session to a loaded library — one at a time
+    * per library, like one inspector connection. */
+  def attachDebugSession(lib: String): DebugSession = {
+    if (!libraries.contains(lib))
+      throw new NoSuchElementException(s"no such library '$lib'")
+    val s = new DebugSession(this, lib)
+    if (debugSessions.putIfAbsent(lib, s).isDefined)
+      throw new IllegalStateException(
+        s"a debug session is already attached to '$lib'")
+    s
+  }
+
+  private[core] def detachDebugSession(lib: String, s: DebugSession): Unit =
+    debugSessions.remove(lib, s)
+
+  private def debugPause(lib: String, fn: String, args: Seq[RespValue]): Unit =
+    if (debugSessions.nonEmpty) // fast path: no session, no map lookup
+      debugSessions.get(lib).foreach(_.maybePause(fn, args))
 
   // E10 watchdog machinery: each invoking thread owns a reusable slot
   // (ThreadLocal, registered once); arming the watchdog is two fields
@@ -743,9 +768,11 @@ final class Engine(val spark: SparkSession,
     val st = l.statsFor(fn)
     st.calls.increment()
     val t0 = System.nanoTime()
-    val out = Future(f.fn(ctx, decoded)).flatMap(flatten).map { v =>
-      RespValue.validate(v).fold(e => throw new IllegalStateException(e), identity)
-    }
+    // async invocations pause on their pool thread, also at entry
+    val out = Future { debugPause(lib, fn, decoded); f.fn(ctx, decoded) }
+      .flatMap(flatten).map { v =>
+        RespValue.validate(v).fold(e => throw new IllegalStateException(e), identity)
+      }
     out.foreach { _ =>
       recordTrace(TraceEntry(lib, fn, isAsync = true, (System.nanoTime() - t0) / 1e6,
         ok = true, None, System.currentTimeMillis()))
