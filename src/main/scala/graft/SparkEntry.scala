@@ -176,6 +176,15 @@ object SparkEntry {
     "q96_apply_changeset" -> (Pipeline.qApplyChangeset _),
     // q97: token frequency spectrum (hapax count at k=1)
     "q97_freq_spectrum" -> (Pipeline.qFreqSpectrum _),
+    // q98: text normalization + its dedup impact (docs collapsing to
+    // the same normalized form, bytes shed) — per-source rollup
+    "q98_normalize" -> (TextAnalysis.qNormalize _),
+    // q99: fill-in-the-middle splits (prefix/middle/suffix thirds, PSM
+    // reassembly digest) — the FIM pretraining transform
+    "q99_fim_split" -> (Pipeline.qFimSplit _),
+    // q100: per-source quota sampling (deterministic-hash rank, keep
+    // first K per source) — the crawl-curation domain cap
+    "q100_source_quota" -> ((s, d) => Pipeline.qSourceQuota(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1035,5 +1044,29 @@ object SparkEntry {
            WHERE length(t) > 0
            GROUP BY t)
          GROUP BY occurrences""",
+    // normalization impact: identical lowercase/collapse/trim + md5 on
+    // both engines, so the collapse count is exact
+    "q98_normalize" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct_norm,
+                CAST(SUM(length(text) - length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT) AS chars_shed
+         FROM documents GROUP BY source""",
+    // FIM thirds: CAST(FLOOR(..)) matches Spark's truncation (a bare
+    // CAST would round in DuckDB); psm digest checks exact bytes
+    "q99_fim_split" ->
+      """SELECT doc_id,
+                length(substr(text, 1, k)) AS n_prefix,
+                length(substr(text, k + 1, k)) AS n_middle,
+                length(substr(text, 2 * k + 1)) AS n_suffix,
+                md5(substr(text, 1, k) || substr(text, 2 * k + 1) || substr(text, k + 1, k)) AS psm_digest
+         FROM (SELECT doc_id, text, CAST(FLOOR(length(text) / 3.0) AS INT) AS k
+               FROM documents)""",
+    "q100_source_quota" ->
+      """SELECT source, doc_id, rk FROM (
+           SELECT source, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 20""",
   )
 }

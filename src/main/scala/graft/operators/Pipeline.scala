@@ -249,6 +249,52 @@ object Pipeline {
       .groupBy("t").agg(count("*").as("occurrences"))
       .groupBy("occurrences").agg(count("*").as("n_token_types"))
 
+  /** q99: fill-in-the-middle splits (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle" — the public
+    * FIM transform): each document splits at deterministic char
+    * offsets into (prefix, middle, suffix) thirds, and the PSM
+    * reordering (prefix ⊕ suffix ⊕ middle — what the model actually
+    * trains on) is digested so the gate hash-checks the exact
+    * reassembled bytes. Pure substring arithmetic inside the scan —
+    * no shuffle at all; at 100 TB this is the map stage of the
+    * pretraining tokenizer job. Sentinel tokens are a tokenizer
+    * concern (q82's BPE encode step), not a byte-transform one, so
+    * the transform stays exactly SQL-expressible. */
+  def qFimSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      // CAST(FLOOR(...)) rather than integer division: DuckDB CAST on a
+      // fractional value ROUNDS where Spark truncates — floor first is
+      // the formulation both engines evaluate identically
+      .select(col("doc_id"),
+        expr("substring(text, 1, cast(floor(length(text) / 3.0) as int))").as("prefix"),
+        expr("substring(text, cast(floor(length(text) / 3.0) as int) + 1, " +
+          "cast(floor(length(text) / 3.0) as int))").as("middle"),
+        expr("substring(text, 2 * cast(floor(length(text) / 3.0) as int) + 1)").as("suffix"))
+      .select(col("doc_id"),
+        length(col("prefix")).as("n_prefix"),
+        length(col("middle")).as("n_middle"),
+        length(col("suffix")).as("n_suffix"),
+        md5(concat(col("prefix"), col("suffix"), col("middle")).cast("binary"))
+          .as("psm_digest"))
+
+  /** q100: per-source quota sampling — the crawl-curation cap ("at most
+    * K documents per domain") that keeps over-represented sources from
+    * dominating a mix: rank each source's docs by a deterministic hash
+    * (an unbiased shuffle that every engine reproduces — ranking by a
+    * quality score is the same plan with a different ORDER BY) and keep
+    * the first `quota`. One shuffle on source; the window walks each
+    * partition locally — at 100 TB source cardinality gives the
+    * parallelism and no source's rows ever collect anywhere. */
+  def qSourceQuota(s: SparkSession, d: String, quota: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+  }
+
   /** q54: sequence packing — the training-batch construction op: pack
     * documents (in doc_id order) into contiguous fixed-token-budget
     * bins, PER SOURCE SHARD. A doc's bin = floor(tokens-before-it /

@@ -362,6 +362,25 @@ object TextAnalysis {
     * reported, with estimate in [true − n/m, true] — pinned against
     * exact counts by HeavyHittersSpec; estimates are merge-order-
     * dependent within the band, so rows-only in the gate. */
+  /** q98: text normalization and its dedup impact — the first stage of
+    * every curation pipeline (lowercase, collapse whitespace runs,
+    * trim) measured by what it BUYS: per source, how many documents
+    * collapse to the same normalized form (near-dup pairs that exact
+    * dedup missed purely on formatting) and how many bytes the
+    * normalization sheds. Pure codegen'd string expressions inside the
+    * scan — map-side until the per-source rollup; at 100 TB this is a
+    * single pass. The normalized-form digest makes the collapse count
+    * oracle-exact (DuckDB computes the identical regex + md5). */
+  def qNormalize(s: SparkSession, d: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    documents(s, d)
+      .select(col("source"), col("text"), norm.as("norm"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"),
+        count_distinct(md5(col("norm").cast("binary"))).as("n_distinct_norm"),
+        sum((length(col("text")) - length(col("norm"))).cast("long")).as("chars_shed"))
+  }
+
   def qHeavyHitters(s: SparkSession, d: String, m: Int = 64): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)
