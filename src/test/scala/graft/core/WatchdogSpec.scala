@@ -96,6 +96,25 @@ class WatchdogSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("slow work escapes via executeAsync: the promise body outlives the deadline") {
+    // the reference's contract exactly: the GIL timeout exists to push
+    // heavy work OFF the lock — a sync function that escapes through
+    // executeAsync commits instantly (watchdog disarms) and its
+    // background body may run arbitrarily long
+    val e = newEngine()
+    e.configSet("lock-timeout", "150")
+    e.load(LibraryDefinition("slowbg", code = { l =>
+      l.registerFunction("bg", (ctx, _) => ctx.executeAsync { bgCtx =>
+        Thread.sleep(600) // 4x the deadline, off the lock
+        bgCtx.atomic(_.set("bg-done", "yes"))
+        RespValue.RespString("done")
+      })
+    }))
+    assert(e.call("slowbg", "bg") == RespValue.RespString("done"))
+    assert(e.state.get("bg-done").contains("yes"))
+    e.close()
+  }
+
   test("config validation: negative lock-timeout rejected, 0 accepted") {
     val e = newEngine()
     intercept[IllegalArgumentException] { e.configSet("lock-timeout", "-1") }
