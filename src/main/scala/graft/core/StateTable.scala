@@ -54,8 +54,11 @@ final class StateTable {
   // full reference event-class set. Recency is approximate LRU
   // (touched on writes and point reads), like Redis's sampled LRU.
   @volatile private var maxKeys: Int = 0
-  private val touchSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val touched = TrieMap.empty[String, Long]
+  // recency bookkeeping: every caller already holds `lock` (commit,
+  // withLock reads, list ops, expiry, enforceCap), so a plain HashMap
+  // is safe and keeps the per-access cost off the TrieMap CAS path
+  private var touchSeq = 0L
+  private val touched = new java.util.HashMap[String, Long]()
 
   /** Set the eviction cap (0 disables). Takes effect on the next
     * write-bearing commit. */
@@ -65,8 +68,10 @@ final class StateTable {
   }
   def getMaxKeys: Int = maxKeys
 
-  private def touch(key: String): Unit =
-    touched.update(key, touchSeq.incrementAndGet())
+  private def touch(key: String): Unit = {
+    touchSeq += 1
+    touched.put(key, touchSeq)
+  }
 
   /** Evict least-recently-touched keys until the table fits the cap;
     * returns the eviction events to dispatch (caller holds the lock). */
@@ -76,7 +81,7 @@ final class StateTable {
       val out = new ArrayBuffer[KeyEvent]
       while (data.size + lists.count { case (k, _) => !data.contains(k) } > maxKeys) {
         val victim = (data.keysIterator ++ lists.keysIterator)
-          .minBy(k => touched.getOrElse(k, 0L))
+          .minBy(k => touched.getOrDefault(k, 0L))
         data.remove(victim)
         lists.remove(victim)
         expiries.remove(victim)
