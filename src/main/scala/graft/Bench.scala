@@ -43,6 +43,19 @@ object Bench {
     // shuffle) and the KMV bottom-k distinct sketch
     "q86_exact_substring",
     "q87_kmv_distinct",
+    // round 8: containment under the document-frequency ceiling, and
+    // the three persisted-index ANN serving paths — each index builds
+    // once on the first of the 3 timed runs, so the reported median IS
+    // the steady-state query cost (the build-once/query-many contract)
+    "q77_containment",
+    "q89_knn_ivf_index",
+    "q91_knn_pq",
+    "q93_knn_ivfpq",
+    // round 8: the new curation trio (normalization impact, FIM
+    // splits, per-source quotas — scan-shaped, cheap)
+    "q98_normalize",
+    "q99_fim_split",
+    "q100_source_quota",
   )
 
   def main(args: Array[String]): Unit = {
