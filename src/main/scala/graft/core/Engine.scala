@@ -566,7 +566,11 @@ final class Engine(val spark: SparkSession,
       // debug breakpoints pause HERE — at entry, before the state lock
       // and before the watchdog arms (a paused function blocks nothing)
       debugPause(lib, fn, decoded)
-      val out = withLockWatchdog(ctx) { state.commit(_ => f.fn(ctx, decoded)) }
+      // the watchdog arms INSIDE the commit body — i.e. once the state
+      // lock is HELD. The reference's lock-redis-timeout measures GIL
+      // hold time, not queueing: a healthy call that waits behind a
+      // hung one must not burn its own deadline while blocked
+      val out = state.commit(_ => withLockWatchdog(ctx) { f.fn(ctx, decoded) })
       val resolved = resolve(out)
       RespValue.validate(resolved).fold(e => throw new IllegalStateException(e), identity)
     }

@@ -34,6 +34,19 @@ class WatchdogSpec extends AnyFunSuite {
     })
     lib.registerFunction("ok", (_, _) => RespString("ok"),
       flags = Set(FunctionFlags.NoWrites))
+    lib.registerFunction("touch", (ctx, args) => {
+      ctx.set(args.head.asInstanceOf[RespString].v, "t")
+      RespString("touched")
+    })
+    // holds the lock ~600 ms with NO state access and NO blocking call:
+    // the watchdog flags+interrupts it at the deadline but pure
+    // computation has no checkpoint (the documented JVM limit — V8 can
+    // preempt, the JVM cannot), so it runs to completion
+    lib.registerFunction("busy600", (_, _) => {
+      val until = System.currentTimeMillis() + 600
+      while (System.currentTimeMillis() < until) {}
+      RespString("busy-done")
+    })
   })
 
   test("a read-spinning function is aborted at the deadline; the lock is released") {
@@ -112,6 +125,29 @@ class WatchdogSpec extends AnyFunSuite {
     }))
     assert(e.call("slowbg", "bg") == RespValue.RespString("done"))
     assert(e.state.get("bg-done").contains("yes"))
+    e.close()
+  }
+
+  test("concurrency: only the hung invocation is aborted; waiters proceed after release") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = newEngine()
+    e.configSet("lock-timeout", "200")
+    e.load(hungLib)
+    // the busy holder wedges the lock for 600 ms — 3x the 200 ms
+    // deadline — while three healthy WRITERS queue behind it. Queue
+    // time must not count against their deadlines (the watchdog arms
+    // once the lock is HELD, the reference's GIL-hold semantics), so
+    // every writer completes and lands its write even though each
+    // waited far past 200 ms
+    val holder = Future(e.call("hung", "busy600"))
+    Thread.sleep(50) // let the holder take the lock first
+    val healthy = (1 to 3).map(i =>
+      Future(e.call("hung", "touch", Seq(RespString(s"w$i")))))
+    assert(Await.result(holder, 10.seconds) == RespString("busy-done"))
+    healthy.foreach(f => assert(Await.result(f, 10.seconds) == RespString("touched")))
+    (1 to 3).foreach(i => assert(e.state.get(s"w$i").contains("t")))
     e.close()
   }
 

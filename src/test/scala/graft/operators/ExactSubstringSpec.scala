@@ -96,6 +96,40 @@ class ExactSubstringSpec extends AnyFunSuite {
     assert(got(2L) == ((16, 12, md5hex(s"${words("uc", 2)} ${words("ud", 2)}"))))
   }
 
+  test("property: random corpora match a brute-force per-token reference") {
+    // the interval-merge rebuild must agree with the DEFINITION (token p
+    // survives iff no duplicate window starts in (p-L, p]) on corpora
+    // it didn't see coming: small alphabet => dense accidental repeats,
+    // overlapping and nested duplicate spans, cross- and within-doc
+    val rnd = new scala.util.Random(1234)
+    val L = 3
+    (1 to 5).foreach { trial =>
+      val docs = (1 to 12).map { id =>
+        val n = 5 + rnd.nextInt(40)
+        (id.toLong, (1 to n).map(_ => "w" + rnd.nextInt(6)).mkString(" "))
+      }
+      val got = run(docs, L)
+      // brute force: count every length-L window across the corpus,
+      // then filter each doc's tokens by the definition
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val winCounts = toks.values.flatMap(ts => ts.sliding(L).filter(_.length == L))
+        .toSeq.groupBy(identity).map { case (w, xs) => w -> xs.size }
+      docs.foreach { case (id, _) =>
+        val ts = toks(id)
+        val dupStarts = (0 to ts.length - L).filter { i =>
+          winCounts(ts.slice(i, i + L)) >= 2
+        }.map(_ + 1).toSet // 1-based
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !dupStarts.exists(st => st <= i + 1 && i + 1 < st + L) => t
+        }
+        val (nTok, nRem, dig) = got(id)
+        assert(nTok == ts.length, s"trial $trial doc $id n_tokens")
+        assert(nRem == ts.length - kept.length, s"trial $trial doc $id n_removed")
+        assert(dig == md5hex(kept.mkString(" ")), s"trial $trial doc $id digest")
+      }
+    }
+  }
+
   test("xxhash64 window digest produces the identical cleaned output") {
     val s = spark
     import s.implicits._
