@@ -78,17 +78,19 @@ final class StateTable {
   private def enforceCap(): Seq[KeyEvent] = {
     if (maxKeys <= 0) Seq.empty
     else {
-      val out = new ArrayBuffer[KeyEvent]
-      while (data.size + lists.count { case (k, _) => !data.contains(k) } > maxKeys) {
-        val victim = (data.keysIterator ++ lists.keysIterator)
-          .minBy(k => touched.getOrDefault(k, 0L))
+      // one key scan per overflowing commit — not one min-scan per
+      // victim — so a burst shedding k keys costs O(n log n) once,
+      // not O(n·k); victims evict in recency order
+      val keys = (data.keysIterator ++ lists.keysIterator).toSeq.distinct
+      val overflow = keys.size - maxKeys
+      if (overflow <= 0) Seq.empty
+      else keys.sortBy(k => touched.getOrDefault(k, 0L)).take(overflow).map { victim =>
         data.remove(victim)
         lists.remove(victim)
         expiries.remove(victim)
         touched.remove(victim)
-        out += KeyEvent("evicted", victim, System.currentTimeMillis(), None)
+        KeyEvent("evicted", victim, System.currentTimeMillis(), None)
       }
-      out.toSeq
     }
   }
 

@@ -107,6 +107,50 @@ object QuickStart {
     println("count:* keys gathered across " + engine.configGet("shard-count") +
       " shards = " + engine.call("cluster", "global_count"))
 
+    // round-8 surface (1/3): the lock watchdog — a function that wedges
+    // the state lock is aborted at the lock-timeout deadline and the
+    // lock released (heavy work belongs in executeAsync)
+    engine.configSet("lock-timeout", "150")
+    engine.load(LibraryDefinition("runaway", code = { lib =>
+      lib.registerFunction("spin", (ctx, _) => {
+        while (true) { ctx.get("k") }
+        RespNull
+      })
+    }))
+    try engine.call("runaway", "spin")
+    catch { case e: FunctionAbortedException =>
+      println("watchdog: " + e.getMessage) }
+    println("lock free again: num(click) = " +
+      engine.call("pipeline", "num", Seq(RespString("click"))))
+    engine.configSet("lock-timeout", "500")
+
+    // round-8 surface (2/3): an interactive debug session — pause an
+    // invocation at entry, inspect its args and live state, resume
+    val dbg = engine.attachDebugSession("pipeline")
+    dbg.breakOn("num")
+    val pending = scala.concurrent.Future {
+      engine.call("pipeline", "num", Seq(RespString("click")))
+    }(scala.concurrent.ExecutionContext.global)
+    dbg.awaitPause().foreach { p =>
+      println(s"paused ${p.function}(${p.args.mkString(",")}); " +
+        s"state says click=${engine.state.get("count:click").getOrElse("?")}")
+      p.resume()
+    }
+    println("resumed => " + scala.concurrent.Await.result(
+      pending, scala.concurrent.duration.Duration("10s")))
+    dbg.close()
+
+    // round-8 surface (3/3): the evicted event class — an LRU key cap
+    // with a class-masked keyspace trigger
+    engine.load(LibraryDefinition("evictions", code = { lib =>
+      lib.registerKeySpaceTrigger("watch", "", (_, ev) => {
+        println(s"evicted: ${ev.key}"); ()
+      }, eventTypes = Set("evicted"))
+    }))
+    engine.configSet("max-keys", engine.state.size.toString)
+    engine.state.set("one-too-many", "x") // evicts the LRU key above
+    engine.configSet("max-keys", "0")
+
     engine.close()
     spark.stop()
   }
