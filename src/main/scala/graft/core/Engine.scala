@@ -662,15 +662,21 @@ final class Engine(val spark: SparkSession,
     else {
       lockWatchdogSweeper // first use starts the daemon
       val slot = watchSlotTL.get()
+      // save/restore: a NESTED engine.call from inside a running sync
+      // function (user code holding an Engine reference) reuses this
+      // thread's slot — on inner completion the OUTER invocation must
+      // get its own deadline back, not an idle slot
+      val (prevDeadline, prevCtx) = slot.synchronized { (slot.deadline, slot.ctx) }
       slot.ctx = ctx
       slot.deadline = System.currentTimeMillis() + timeoutMs
       try body
       finally {
         slot.synchronized {
-          slot.deadline = Long.MaxValue
-          slot.ctx = null
+          slot.deadline = prevDeadline
+          slot.ctx = prevCtx
         }
-        Thread.interrupted() // clear a just-delivered abort interrupt
+        if (prevCtx == null)
+          Thread.interrupted() // clear a just-delivered abort interrupt
       }
     }
   }

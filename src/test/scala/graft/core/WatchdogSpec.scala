@@ -151,6 +151,32 @@ class WatchdogSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("nested engine.call restores the outer invocation's watchdog") {
+    // user code can hold an Engine reference and call another function
+    // from inside a sync function; the inner call borrows the thread's
+    // watch slot and MUST hand the outer deadline back — otherwise the
+    // outer function runs unwatched after any nested call
+    val e = newEngine()
+    e.configSet("lock-timeout", "250")
+    e.load(LibraryDefinition("inner", code = { l =>
+      l.registerFunction("fast", (_, _) => RespString("ok"),
+        flags = Set(FunctionFlags.NoWrites))
+    }))
+    e.load(LibraryDefinition("outer", code = { l =>
+      l.registerFunction("nest_then_spin", (ctx, _) => {
+        e.call("inner", "fast") // borrows + must restore the slot
+        while (true) { ctx.get("k") }
+        RespNull
+      })
+    }))
+    val t0 = System.nanoTime()
+    intercept[FunctionAbortedException] { e.call("outer", "nest_then_spin") }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 5000, f"outer ran unwatched for $elapsedMs%.0f ms after a nested call")
+    assert(e.call("inner", "fast") == RespString("ok"))
+    e.close()
+  }
+
   test("config validation: negative lock-timeout rejected, 0 accepted") {
     val e = newEngine()
     intercept[IllegalArgumentException] { e.configSet("lock-timeout", "-1") }
