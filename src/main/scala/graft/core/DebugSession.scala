@@ -63,10 +63,16 @@ final class DebugSession private[core] (engine: Engine, val library: String) {
   def resumeAll(): Unit = paused.foreach(_.resume())
 
   /** Detach: clears breakpoints, releases every paused invocation to
-    * run, and frees the library for a new session. */
+    * run, and frees the library for a new session. Registration and
+    * close share this session's monitor, so an invocation that passed
+    * the breakpoint check either lands in `pausedMap` BEFORE close's
+    * drain (and is resumed by it) or sees `closed` and skips the pause
+    * — it can never await a latch nobody will release. */
   def close(): Unit = {
-    closed = true
-    breakpoints.clear()
+    this.synchronized {
+      closed = true
+      breakpoints.clear()
+    }
     resumeAll()
     engine.detachDebugSession(library, this)
   }
@@ -75,9 +81,14 @@ final class DebugSession private[core] (engine: Engine, val library: String) {
   private[core] def maybePause(fn: String, args: Seq[RespValue]): Unit =
     if (!closed && breakpoints.contains(fn)) {
       val p = new PausedInvocation(seq.incrementAndGet(), fn, args)
-      pausedMap.put(p.id, p)
-      try p.latch.await()
-      finally pausedMap.remove(p.id)
-      p.abortMsg.foreach(m => throw new FunctionAbortedException(m))
+      val registered = this.synchronized {
+        if (closed) false
+        else { pausedMap.put(p.id, p); true }
+      }
+      if (registered) {
+        try p.latch.await()
+        finally pausedMap.remove(p.id)
+        p.abortMsg.foreach(m => throw new FunctionAbortedException(m))
+      }
     }
 }

@@ -609,12 +609,13 @@ final class Engine(val spark: SparkSession,
   // neither flag a dead context nor poison the caller's next call with
   // a stray interrupt.
   private final class WatchSlot(val thread: Thread) {
-    // deadline is volatile and written LAST on arm (publishing ctx via
-    // happens-before); the sweeper and the finish path synchronize on
-    // this slot, which closes the abort-vs-completion race. Arming
-    // needs no monitor: only the slot's own thread arms, and only when
-    // the slot is idle (deadline = MaxValue), which the sweeper never
-    // touches.
+    // deadline is volatile (the sweeper's cheap pre-check reads it
+    // without the monitor); ALL writes — arm, finish, sweeper fire —
+    // happen under synchronized(this). Arming must take the monitor
+    // too: a NESTED call re-arms a slot whose outer deadline may be
+    // expiring at that instant, and unsynchronized arm writes could
+    // interleave with the sweeper's fire (aborting the fresh inner
+    // invocation, or leaving a finite deadline with a null ctx).
     @volatile var deadline: Long = Long.MaxValue
     var ctx: FunctionContext = null
   }
@@ -666,17 +667,28 @@ final class Engine(val spark: SparkSession,
       // function (user code holding an Engine reference) reuses this
       // thread's slot — on inner completion the OUTER invocation must
       // get its own deadline back, not an idle slot
-      val (prevDeadline, prevCtx) = slot.synchronized { (slot.deadline, slot.ctx) }
-      slot.ctx = ctx
-      slot.deadline = System.currentTimeMillis() + timeoutMs
+      var prevDeadline = Long.MaxValue
+      var prevCtx: FunctionContext = null
+      slot.synchronized {
+        prevDeadline = slot.deadline
+        prevCtx = slot.ctx
+        slot.ctx = ctx
+        slot.deadline = System.currentTimeMillis() + timeoutMs
+      }
       try body
       finally {
         slot.synchronized {
           slot.deadline = prevDeadline
           slot.ctx = prevCtx
         }
-        if (prevCtx == null)
-          Thread.interrupted() // clear a just-delivered abort interrupt
+        // always clear a just-delivered abort interrupt: it belonged to
+        // THIS frame. An outer frame past its own restored deadline is
+        // re-flagged AND re-interrupted by the next sweep (the sweeper
+        // fires whenever now >= deadline and ctx != null), so clearing
+        // here cannot lose an outer abort — but not clearing would
+        // poison the outer's next blocking call with a spurious
+        // InterruptedException that no deadline asked for.
+        Thread.interrupted()
       }
     }
   }

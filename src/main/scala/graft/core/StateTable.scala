@@ -73,23 +73,45 @@ final class StateTable {
     touched.put(key, touchSeq)
   }
 
+  // live distinct-key count across `data` and `lists`, maintained at
+  // every add/remove chokepoint (all under the lock) so the cap check
+  // on the commit hot path is O(1) — materializing and deduping the
+  // full key list per commit would tax every call the moment a cap is
+  // set. noteAdded runs BEFORE the insert; noteRemoved AFTER the
+  // removal from one map (it decrements — and drops the recency entry —
+  // only when the key is gone from BOTH maps, so a key present as
+  // string and list still counts once).
+  private var keyCount = 0
+  private def noteAdded(key: String): Unit =
+    if (!data.contains(key) && !lists.contains(key)) keyCount += 1
+  private def noteRemoved(key: String): Unit =
+    if (!data.contains(key) && !lists.contains(key)) {
+      keyCount -= 1
+      touched.remove(key)
+    }
+
   /** Evict least-recently-touched keys until the table fits the cap;
     * returns the eviction events to dispatch (caller holds the lock). */
   private def enforceCap(): Seq[KeyEvent] = {
-    if (maxKeys <= 0) Seq.empty
+    if (maxKeys <= 0 || keyCount <= maxKeys) Seq.empty
     else {
       // one key scan per overflowing commit — not one min-scan per
       // victim — so a burst shedding k keys costs O(n log n) once,
-      // not O(n·k); victims evict in recency order
+      // not O(n·k); victims evict in recency order. The scan is also
+      // the count's self-check: keyCount re-syncs to ground truth.
       val keys = (data.keysIterator ++ lists.keysIterator).toSeq.distinct
+      keyCount = keys.size
       val overflow = keys.size - maxKeys
       if (overflow <= 0) Seq.empty
-      else keys.sortBy(k => touched.getOrDefault(k, 0L)).take(overflow).map { victim =>
-        data.remove(victim)
-        lists.remove(victim)
-        expiries.remove(victim)
-        touched.remove(victim)
-        KeyEvent("evicted", victim, System.currentTimeMillis(), None)
+      else {
+        keyCount -= overflow
+        keys.sortBy(k => touched.getOrDefault(k, 0L)).take(overflow).map { victim =>
+          data.remove(victim)
+          lists.remove(victim)
+          expiries.remove(victim)
+          touched.remove(victim)
+          KeyEvent("evicted", victim, System.currentTimeMillis(), None)
+        }
       }
     }
   }
@@ -150,9 +172,11 @@ final class StateTable {
     expiries.get(key).foreach { deadline =>
       if (System.currentTimeMillis() >= deadline) {
         expiries.remove(key)
-        touched.remove(key)
         val existed = data.remove(key).isDefined | lists.remove(key).isDefined
-        if (existed) emit(KeyEvent("expired", key, System.currentTimeMillis(), None))
+        if (existed) {
+          noteRemoved(key)
+          emit(KeyEvent("expired", key, System.currentTimeMillis(), None))
+        }
       }
     }
 
@@ -202,7 +226,10 @@ final class StateTable {
   def del(key: String): Boolean = withLock {
     expiries.remove(key)
     val hadList = lists.remove(key).isDefined
-    if (hadList) emit(KeyEvent("del", key, System.currentTimeMillis(), None))
+    if (hadList) {
+      noteRemoved(key)
+      emit(KeyEvent("del", key, System.currentTimeMillis(), None))
+    }
     commit(_.del(key)) || hadList
   }
   def incrBy(key: String, delta: Long): Long = commit(_.incrBy(key, delta))
@@ -226,6 +253,7 @@ final class StateTable {
     * last argument ends up first). Returns the new length. */
   def lpush(key: String, values: String*): Long = withLock {
     val next = values.foldLeft(lists.getOrElse(key, Vector.empty))((l, v) => v +: l)
+    noteAdded(key)
     lists.update(key, next)
     touch(key)
     listSignal.signalAll()
@@ -237,6 +265,7 @@ final class StateTable {
   /** RPUSH: append to the tail. Returns the new length. */
   def rpush(key: String, values: String*): Long = withLock {
     val next = lists.getOrElse(key, Vector.empty) ++ values
+    noteAdded(key)
     lists.update(key, next)
     touch(key)
     listSignal.signalAll()
@@ -248,7 +277,8 @@ final class StateTable {
   private def pop(key: String, head: Boolean): Option[String] =
     lists.get(key).filter(_.nonEmpty).map { l =>
       val (v, rest) = if (head) (l.head, l.tail) else (l.last, l.init)
-      if (rest.isEmpty) lists.remove(key) else lists.update(key, rest)
+      if (rest.isEmpty) { lists.remove(key); noteRemoved(key) }
+      else lists.update(key, rest)
       emit(KeyEvent(if (head) "lpop" else "rpop", key, System.currentTimeMillis(), None))
       v
     }
@@ -328,17 +358,21 @@ final class StateTable {
       listAcc.foreach { case (k, elems) =>
         lists.update(k, elems.sortBy(_._1).map(_._2).toVector)
       }
+      // recency and the live count restart from the restored snapshot —
+      // stale pre-restore entries would leak and corrupt LRU order
+      touched.clear()
+      touchSeq = 0L
+      keyCount = (data.keySet ++ lists.keySet).size
     } finally lock.unlock()
   }
 
   private[core] def applyWrite(key: String, fields: Map[String, String]): Unit = {
+    noteAdded(key)
     data.update(key, fields)
     touch(key)
   }
-  private[core] def applyDel(key: String): Unit = {
-    data.remove(key)
-    touched.remove(key)
-  }
+  private[core] def applyDel(key: String): Unit =
+    if (data.remove(key).isDefined) noteRemoved(key)
 }
 
 object StateTable {

@@ -449,26 +449,54 @@ object Pipeline {
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count("*").as("cnt"))
-    // limit(cap+1) detects overflow without spending a count() job:
-    // cap+1 rows back means the table didn't fit, anything less IS the
-    // whole table
-    val head = vocabDf.limit(driverVocabCap + 1).collect()
-    if (head.length <= driverVocabCap)
+    // size-probe first (a count over the limited plan — no rows ship),
+    // THEN collect: probing by collecting cap+1 rows would spike the
+    // driver with ~2M Row objects just to discard them on the over-cap
+    // branch. The probe costs one extra vocab-sized job — noise next
+    // to the 32k-job loop this path exists to avoid.
+    val fits = vocabDf.limit(driverVocabCap + 1).count() <= driverVocabCap
+    if (fits)
       learnBpeMergesDriver(
-        head.map(r => (r.getString(0), r.getLong(1))), numMerges)
+        vocabDf.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
     else
       learnBpeMergesDistributed(
         vocabDf.select(split(col("w"), "").as("symbols"), col("cnt")), numMerges)
   }
 
+  /** Split a word into CODE-POINT symbols — what Spark's
+    * `split(w, "")` produces. `w.map(_.toString)` would split UTF-16
+    * code units instead, shattering supplementary characters (emoji
+    * etc.) into invalid surrogate halves and diverging from the
+    * distributed path. */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Binary UTF-8 string order — Spark's `orderBy` collation for
+    * strings. Java's natural String order is UTF-16 code-unit order,
+    * which disagrees for supplementary characters; the tie-break must
+    * match the distributed argmax exactly. */
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   /** The under-cap merge loop: plain-Scala rounds over the collected
     * word-frequency table — zero Spark jobs per merge. Semantics match
-    * the distributed rounds exactly: pair counts weighted by word
-    * frequency, argmax on (count desc, pair asc), left-to-right
-    * non-overlapping merge application. */
+    * the distributed rounds exactly: code-point symbols, pair counts
+    * weighted by word frequency, argmax on (count desc, pair asc under
+    * UTF-8 binary collation), left-to-right non-overlapping merge
+    * application. */
   private def learnBpeMergesDriver(words: Array[(String, Long)],
       numMerges: Int): Seq[(Int, String, String)] = {
-    val syms: Array[Array[String]] = words.map(_._1.map(_.toString).toArray)
+    val syms: Array[Array[String]] = words.map(w => codePointSymbols(w._1))
     val cnts: Array[Long] = words.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var rank = 0
@@ -494,7 +522,7 @@ object Pipeline {
         var bestN = -1L
         counts.foreach { case ((a, b), n) =>
           if (n > bestN || (n == bestN &&
-              (a < bestA || (a == bestA && b < bestB)))) {
+              (utf8Less(a, bestA) || (a == bestA && utf8Less(b, bestB))))) {
             bestA = a; bestB = b; bestN = n
           }
         }

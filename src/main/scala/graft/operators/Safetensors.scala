@@ -28,6 +28,12 @@ object Safetensors {
     val widths = Map("F32" -> 4, "F64" -> 8)
     var off = 0L
     val entries = tensors.map { case (name, dtype, values) =>
+      // names are interpolated into the JSON header raw — restrict to a
+      // charset that needs no escaping (quotes/backslashes/control
+      // chars would corrupt the header for every reader)
+      require(name.nonEmpty && name.forall(c =>
+          c.isLetterOrDigit && c < 128 || c == '_' || c == '.' || c == '-'),
+        s"tensor name '$name' outside [A-Za-z0-9._-]")
       val w = widths.getOrElse(dtype,
         throw new IllegalArgumentException(s"unsupported dtype $dtype"))
       val begin = off
@@ -35,6 +41,11 @@ object Safetensors {
       s""""$name":{"dtype":"$dtype","shape":[${values.length}],"data_offsets":[$begin,$off]}"""
     }
     val header = entries.mkString("{", ",", "}").getBytes("UTF-8")
+    // this writer buffers the whole file; refuse sizes Int can't index
+    // rather than silently wrapping (a multi-GB checkpoint needs a
+    // streaming writer, not this one)
+    require(8L + header.length + off <= Int.MaxValue,
+      s"tensor payload ${off} B exceeds this writer's 2 GB buffer limit")
     val buf = ByteBuffer.allocate(8 + header.length + off.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.putLong(header.length.toLong)

@@ -238,7 +238,7 @@ object Similarity {
     * assignments scan: the plan lists only the probed cell directories
     * (spec-asserted), then ranks exact cosine among their vectors. */
   def ivfSearchFromIndex(s: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int = 3, k: Int = 10): DataFrame = {
+      nprobe: Int = 3, k: Int = 10, excludeSelfId: Boolean = true): DataFrame = {
     val centroids = s.read.parquet(s"$indexDir/centroids")
     val qs = queries
       .select(col("query_id"), col("q_emb").cast("array<double>").as("q_emb"))
@@ -254,8 +254,10 @@ object Similarity {
     val assigned = s.read.parquet(s"$indexDir/assignments")
       .where(col("cell").isin(probedCells: _*))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    assigned.join(broadcast(probed), Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+    // excludeSelfId = false when query ids live in their own id space
+    // (a colliding vec_id is a legitimate neighbor, not "self")
+    val joined = assigned.join(broadcast(probed), Seq("cell"))
+    (if (excludeSelfId) joined.filter(col("query_id") =!= col("vec_id")) else joined)
       .select(col("query_id"), col("vec_id"),
         cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -468,7 +470,8 @@ object Similarity {
     * re-rank join (in production: the vector store fetch). */
   def pqSearchFromIndex(s: SparkSession, indexDir: String,
       qVecRows: Seq[(Long, Array[Double])], corpus: DataFrame,
-      k: Int = 10, shortlist: Int = 50): DataFrame = {
+      k: Int = 10, shortlist: Int = 50,
+      excludeSelfId: Boolean = true): DataFrame = {
     import s.implicits._
     val centers = readCodebooks(s, s"$indexDir/codebooks")
     val m = centers.length
@@ -478,8 +481,13 @@ object Similarity {
       .toDF("query_id", "lut")
     val encoded = s.read.parquet(s"$indexDir/codes")
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
-    val candidates = encoded.crossJoin(broadcast(lutDf))
-      .filter(col("query_id") =!= col("vec_id"))
+    // excludeSelfId: corpus-member queries (the gate shape) must not
+    // return themselves; pass false when query ids live in their own
+    // id space — a vec_id that merely COLLIDES with a query_id is a
+    // legitimate neighbor there, not "self"
+    val scanned = encoded.crossJoin(broadcast(lutDf))
+    val candidates = (if (excludeSelfId)
+        scanned.filter(col("query_id") =!= col("vec_id")) else scanned)
       .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc_d2"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlist)
@@ -547,12 +555,13 @@ object Similarity {
     * IVF-PQ paths (the index path feeds it a partition-pruned codes
     * scan; the in-query path an in-memory frame). */
   private def ivfPqShortlist(encoded: DataFrame, lutDf: DataFrame,
-      probedCells: Seq[Int], m: Int, shortlist: Int): DataFrame = {
+      probedCells: Seq[Int], m: Int, shortlist: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
-    encoded
+    val scanned = encoded
       .where(col("cell").isin(probedCells: _*))
       .join(broadcast(lutDf), Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+    (if (excludeSelfId) scanned.filter(col("query_id") =!= col("vec_id")) else scanned)
       .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc_d2"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= shortlist)
@@ -633,7 +642,8 @@ object Similarity {
     * for the shortlist re-rank join only. */
   def ivfPqSearchFromIndex(s: SparkSession, indexDir: String,
       qVecRows: Seq[(Long, Array[Double])], corpus: DataFrame,
-      nprobe: Int = 3, k: Int = 10, shortlist: Int = 50): DataFrame = {
+      nprobe: Int = 3, k: Int = 10, shortlist: Int = 50,
+      excludeSelfId: Boolean = true): DataFrame = {
     import s.implicits._
     val centroidRows = s.read.parquet(s"$indexDir/centroids")
       .select("cell", "centroid").collect()
@@ -644,7 +654,7 @@ object Similarity {
     val lutDf = lutRows.toDF("query_id", "cell", "lut")
     val encoded = s.read.parquet(s"$indexDir/codes")
     val candidates = ivfPqShortlist(encoded, lutDf,
-      lutRows.map(_._2).distinct, centers.length, shortlist)
+      lutRows.map(_._2).distinct, centers.length, shortlist, excludeSelfId)
     pqExactRerank(s, candidates, corpus, qVecRows, k)
   }
 

@@ -65,6 +65,26 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == Seq((0, "a", "a")))
   }
 
+  test("non-BMP text: driver and distributed paths agree (code points, UTF-8 tie-break)") {
+    import spark.implicits._
+    // emoji are supplementary characters: UTF-16 code-unit splitting
+    // would shatter them into surrogate halves, and UTF-16 collation
+    // disagrees with Spark's UTF-8 binary order around them
+    val docs = Seq(
+      "😀ab 😀ab 😀cd",
+      "ab ab 😀cd xy").toDF("text")
+    val driver = Pipeline.learnBpeMerges(docs, "text", 6)
+    val distributed = Pipeline.learnBpeMerges(docs, "text", 6, driverVocabCap = 0)
+    assert(driver == distributed)
+    assert(driver.nonEmpty)
+    // no merge token may contain an unpaired surrogate half (those
+    // don't survive a UTF-8 round trip)
+    driver.foreach { case (_, a, b) =>
+      Seq(a, b).foreach(s => assert(new String(s.getBytes("UTF-8"), "UTF-8") == s,
+        s"malformed symbol in merge ($a, $b)"))
+    }
+  }
+
   test("above-cap fallback: distributed rounds produce the identical sequence") {
     // driverVocabCap = 0 forces the distributed path on the same corpus
     val docs = Tables.documents(spark, sf)
@@ -100,7 +120,9 @@ class BpeSpec extends AnyFunSuite {
       assert(merges.size == 1000, s"corpus exhausted at ${merges.size} merges")
       assert(secs < 60.0, f"1000 merges took $secs%.1f s — the loop is not driver-paced")
       Thread.sleep(1000) // listener bus is async
-      assert(jobs.get() <= 4,
+      // a handful = the size probe + the vocab collect (+ their stage
+      // jobs) — CONSTANT in the merge count, which is the contract
+      assert(jobs.get() <= 6,
         s"${jobs.get()} Spark jobs for 1000 merges — rounds are spending jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
