@@ -90,6 +90,16 @@ object Bench {
       name -> median3 {
         fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       }
+    } :+ {
+      // the q86 ENGINE path: xxhash64 window digests (8-byte shuffle
+      // keys) — the gate query keeps md5 for DuckDB oracle bit-parity,
+      // so the swap's measured win is tracked here as its own entry
+      "q86_exact_substring_xx" -> median3 {
+        graft.operators.Dedup.exactSubstringClean(
+            graft.operators.Tables.documents(spark, sfDir),
+            "doc_id", "text", 20, windowDigest = "xxhash64")
+          .queryExecution.toRdd.foreach(_ => ())
+      }
     }
     val stream = streamBench(spark, sfDir)
     val engine = engineBench(spark)
