@@ -635,20 +635,30 @@ final class Engine(val spark: SparkSession,
   private lazy val lockWatchdogSweeper: Thread = {
     val t = new Thread(() => {
       while (watchdogRunning) {
-        Thread.sleep(20)
-        val now = System.currentTimeMillis()
-        val it = watchSlots.values().iterator()
-        while (it.hasNext) {
-          val s = it.next()
-          if (now >= s.deadline) s.synchronized {
-            if (now >= s.deadline && s.ctx != null) {
-              s.ctx.abortFlag.set(true)
-              s.thread.interrupt()
-              s.deadline = Long.MaxValue // fire once
-              s.ctx = null
+        // a stray interrupt to this daemon must not kill the sweeper —
+        // that would silently disable lock-timeout enforcement for the
+        // whole Engine. Swallow it and keep sweeping.
+        try {
+          Thread.sleep(20)
+          val now = System.currentTimeMillis()
+          val it = watchSlots.values().iterator()
+          while (it.hasNext) {
+            val s = it.next()
+            // dead threads are pruned regardless of deadline state — a
+            // slot whose thread died while armed past its deadline must
+            // not be "fired" (interrupting a dead thread) and linger
+            if (!s.thread.isAlive) it.remove()
+            else if (now >= s.deadline) s.synchronized {
+              if (now >= s.deadline && s.ctx != null) {
+                s.ctx.abortFlag.set(true)
+                s.thread.interrupt()
+                s.deadline = Long.MaxValue // fire once
+                s.ctx = null
+              }
             }
           }
-          else if (!s.thread.isAlive) it.remove()
+        } catch {
+          case _: InterruptedException => () // not ours; keep sweeping
         }
       }
     }, "graft-lock-watchdog")
@@ -657,7 +667,9 @@ final class Engine(val spark: SparkSession,
     t
   }
 
-  private def withLockWatchdog[A](ctx: FunctionContext)(body: => A): A = {
+  // private[graft]: the keyspace-trigger engine arms it around
+  // subscriber dispatch, which also runs user code under the state lock
+  private[graft] def withLockWatchdog[A](ctx: FunctionContext)(body: => A): A = {
     val timeoutMs = lockTimeoutCache.get()
     if (timeoutMs <= 0) body
     else {
@@ -676,18 +688,18 @@ final class Engine(val spark: SparkSession,
         slot.deadline = System.currentTimeMillis() + timeoutMs
       }
       try body
-      finally {
-        slot.synchronized {
-          slot.deadline = prevDeadline
-          slot.ctx = prevCtx
-        }
-        // always clear a just-delivered abort interrupt: it belonged to
-        // THIS frame. An outer frame past its own restored deadline is
-        // re-flagged AND re-interrupted by the next sweep (the sweeper
-        // fires whenever now >= deadline and ctx != null), so clearing
-        // here cannot lose an outer abort — but not clearing would
-        // poison the outer's next blocking call with a spurious
-        // InterruptedException that no deadline asked for.
+      finally slot.synchronized {
+        slot.deadline = prevDeadline
+        slot.ctx = prevCtx
+        // clear a just-delivered abort interrupt: it belonged to THIS
+        // frame (not clearing would poison the caller's next blocking
+        // call with a spurious InterruptedException no deadline asked
+        // for). The clear happens INSIDE the slot monitor so it is
+        // strictly ordered before any sweeper fire on the restored
+        // outer deadline — the sweeper fires under this same monitor,
+        // and it fires once (nulling ctx), so an interrupt delivered
+        // for the outer frame between restore and clear would
+        // otherwise be swallowed with no re-delivery.
         Thread.interrupted()
       }
     }

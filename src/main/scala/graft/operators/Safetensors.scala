@@ -81,6 +81,13 @@ object Safetensors {
       case other => throw new IllegalArgumentException(
         s"tensor '$name' has unsupported dtype $other (F32/F64 supported)")
     }
+    // a corrupt (or adversarial) header must fail HERE with a clear
+    // error, not as a raw IndexOutOfBounds mid-read — and never as a
+    // silently-wrong negative index after the Int narrowing below
+    require(begin >= 0 && end >= begin && dataStart + end <= bytes.length &&
+        (end - begin) % width == 0,
+      s"corrupt data_offsets [$begin,$end] for tensor '$name' in $path " +
+        s"(payload is ${bytes.length - dataStart} B, dtype width $width)")
     val n = ((end - begin) / width).toInt
     val out = new Array[Double](n)
     var i = 0

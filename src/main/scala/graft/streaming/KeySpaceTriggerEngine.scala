@@ -64,12 +64,19 @@ final class KeySpaceTriggerEngine(engine: Engine) {
           // key (the reference checks before on_notification_fired,
           // lib.rs:506-517); a denial is recorded as a consumer error
           engine.aclCheck(c.library, event.key, write = false)
-          // onTriggerFired: snapshot at notification time
-          val enriched = c.spec.onTriggerFired match {
-            case Some(snap) => event.copy(snapshot = Some(snap(ctx, event)))
-            case None => event
+          // snapshot + callback are user code running during commit
+          // notification dispatch — i.e. under the state lock — so the
+          // E10 watchdog arms here exactly as it does around a sync
+          // function body: a runaway trigger gets flagged+interrupted
+          // instead of wedging every caller behind the lock forever
+          engine.withLockWatchdog(ctx) {
+            // onTriggerFired: snapshot at notification time
+            val enriched = c.spec.onTriggerFired match {
+              case Some(snap) => event.copy(snapshot = Some(snap(ctx, event)))
+              case None => event
+            }
+            c.spec.fn(ctx, enriched)
           }
-          c.spec.fn(ctx, enriched)
           c.state.totalFired.increment()
         } catch {
           case e: Throwable =>

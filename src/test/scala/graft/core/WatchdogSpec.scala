@@ -177,6 +177,33 @@ class WatchdogSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a runaway keyspace-trigger callback is aborted; the writer completes (E10 over R4)") {
+    // trigger callbacks run during commit notification dispatch — user
+    // code under the state lock, exactly the wedge E10 exists to
+    // prevent. The watchdog arms around subscriber dispatch: the
+    // callback is aborted at its next state access, the abort is
+    // recorded as a consumer error (never thrown at the writer), and
+    // the write that fired the trigger lands.
+    val e = newEngine()
+    e.configSet("lock-timeout", "200")
+    e.load(LibraryDefinition("trig", code = { l =>
+      l.registerKeySpaceTrigger("hang", "k:", (ctx, _) => {
+        while (true) { ctx.get("other") } // spins under the state lock
+      })
+    }))
+    val t0 = System.nanoTime()
+    e.state.set("k:1", "v") // must return, not wedge
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 5000, f"trigger callback ran unwatched for $elapsedMs%.0f ms")
+    assert(e.state.get("k:1").contains("v"))
+    val st = e.list().head.keySpaceTriggers.head
+    assert(st.totalErrors == 1 && st.lastError.exists(_.contains("lock-timeout")))
+    // the dispatch thread's interrupt was cleared on abort: later calls
+    // on this same (writer) thread block and complete normally
+    assert(e.state.get("k:1").contains("v"))
+    e.close()
+  }
+
   test("config validation: negative lock-timeout rejected, 0 accepted") {
     val e = newEngine()
     intercept[IllegalArgumentException] { e.configSet("lock-timeout", "-1") }

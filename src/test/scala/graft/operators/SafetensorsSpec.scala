@@ -73,4 +73,32 @@ class SafetensorsSpec extends AnyFunSuite {
     assert(fromFile == fromClosure)
     assert(fromFile.size == 50)
   }
+
+  test("corrupt data_offsets fail cleanly, not as a raw buffer error") {
+    // a well-formed JSON header whose offsets lie about the payload
+    def craft(begin: Long, end: Long): String = {
+      val path = tmp()
+      val header =
+        s"""{"w":{"dtype":"F32","shape":[2],"data_offsets":[$begin,$end]}}"""
+      val hb = header.getBytes("UTF-8")
+      val payload = new Array[Byte](8) // room for exactly two F32s
+      val buf = java.nio.ByteBuffer
+        .allocate(8 + hb.length + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putLong(hb.length.toLong); buf.put(hb); buf.put(payload)
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+      path
+    }
+    // offsets past the payload, inverted (end < begin — previously a
+    // silent empty tensor), negative, and width-misaligned: each must
+    // name the bad offsets instead of surfacing an index error
+    for ((b, e) <- Seq((0L, 64L), (8L, 0L), (-4L, 4L), (0L, 6L))) {
+      val ex = intercept[IllegalArgumentException] {
+        Safetensors.readVector(craft(b, e), "w")
+      }
+      assert(ex.getMessage.contains("data_offsets"), s"offsets [$b,$e]: ${ex.getMessage}")
+    }
+    // the boundary case end == payload length is legal
+    assert(Safetensors.readVector(craft(0L, 8L), "w").length == 2)
+  }
 }
