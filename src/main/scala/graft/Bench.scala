@@ -56,6 +56,15 @@ object Bench {
     "q98_normalize",
     "q99_fim_split",
     "q100_source_quota",
+    // round 9: the component-composition pair (cluster-consistent
+    // splits and soft-dedup weights — both ride q57's clustering
+    // lineage), perplexity tertiles, winsorized stats, and the
+    // safetensors MLP serving path
+    "q101_safe_split",
+    "q102_nll_buckets",
+    "q103_soft_dedup",
+    "q104_winsorize",
+    "q105_mlp_score",
   )
 
   def main(args: Array[String]): Unit = {

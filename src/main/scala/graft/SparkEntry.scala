@@ -185,6 +185,22 @@ object SparkEntry {
     // q100: per-source quota sampling (deterministic-hash rank, keep
     // first K per source) — the crawl-curation domain cap
     "q100_source_quota" -> ((s, d) => Pipeline.qSourceQuota(s, d)),
+    // q101: leakage-safe split — train/valid assigned per near-dup
+    // COMPONENT (q57's clusters), so no eval doc has a near-copy in
+    // train by construction (the prevention counterpart of q92's audit)
+    "q101_safe_split" -> (Dedup.qLeakageSafeSplit _),
+    // q102: per-language perplexity tertiles (CCNet head/middle/tail)
+    // over q64's rounded unigram NLL
+    "q102_nll_buckets" -> ((s, d) => TextAnalysis.qNllBuckets(s, d)),
+    // q103: soft dedup — duplicates down-weighted 1/cluster-size, not
+    // dropped; per-source effective corpus size
+    "q103_soft_dedup" -> (Dedup.qSoftDedup _),
+    // q104: group-wise winsorized stats (p05/p95 clip) — the feature
+    // outlier-clamping step
+    "q104_winsorize" -> (Pipeline.qWinsorize _),
+    // q105: nonlinear (2-layer relu MLP) model serving from a
+    // multi-tensor safetensors artifact — hash-checked end to end
+    "q105_mlp_score" -> ((s, d) => Inference.qMlpScore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1068,5 +1084,119 @@ object SparkEntry {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents)
          WHERE rk <= 20""",
+    // leakage-safe split: q57's recursive components, split assigned by
+    // hashing the COMPONENT id (first two md5 hex chars < 'cd' ~ 80%)
+    "q101_safe_split" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         assigned AS (
+           SELECT doc_id, component,
+                  CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < 'cd'
+                       THEN 'train' ELSE 'valid' END AS split
+           FROM comp)
+         SELECT s.source, a.split, COUNT(*) AS n_docs,
+                COUNT(DISTINCT a.component) AS n_clusters
+         FROM assigned a JOIN documents s ON a.doc_id = s.doc_id
+         GROUP BY s.source, a.split""",
+    // per-language perplexity tertiles over q64's ROUNDED nll (the
+    // rounding makes the ntile ordering engine-independent)
+    "q102_nll_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, token AS term
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0),
+         vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         t AS (SELECT SUM(cnt) AS total FROM vocab),
+         nll AS (
+           SELECT doc_id, ROUND(AVG(-ln(vocab.cnt::DOUBLE / t.total)), 4) AS avg_nll
+           FROM toks JOIN vocab ON toks.term = vocab.term CROSS JOIN t
+           GROUP BY doc_id),
+         scored AS (
+           SELECT n.doc_id, n.avg_nll, d2.lang,
+                  NTILE(3) OVER (PARTITION BY d2.lang
+                    ORDER BY n.avg_nll, n.doc_id) AS bucket
+           FROM nll n JOIN documents d2 ON n.doc_id = d2.doc_id)
+         SELECT lang, bucket, COUNT(*) AS n_docs,
+                ROUND(AVG(avg_nll), 4) AS mean_nll
+         FROM scored GROUP BY lang, bucket""",
+    // soft dedup: weight 1/component-size, per-source effective size
+    "q103_soft_dedup" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+         SELECT s.source, COUNT(*) AS n_docs,
+                ROUND(SUM(1.0 / z.csize), 4) AS effective_docs,
+                SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS n_in_clusters
+         FROM comp c JOIN sizes z USING (component)
+              JOIN documents s ON c.doc_id = s.doc_id
+         GROUP BY s.source""",
+    // group-wise winsorized stats: exact interpolated percentiles
+    // (both engines use the ANSI linear-interpolation definition)
+    "q104_winsorize" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS price
+                     FROM lineitem),
+         b AS (SELECT flag, quantile_cont(price, 0.05) AS lo,
+                      quantile_cont(price, 0.95) AS hi
+               FROM li GROUP BY flag)
+         SELECT li.flag, COUNT(*) AS n,
+                ROUND(ANY_VALUE(b.lo), 4) AS p05,
+                ROUND(ANY_VALUE(b.hi), 4) AS p95,
+                ROUND(AVG(li.price), 4) AS mean_raw,
+                ROUND(AVG(GREATEST(LEAST(li.price, b.hi), b.lo)), 4) AS mean_winsor
+         FROM li JOIN b USING (flag)
+         GROUP BY li.flag""",
+    // 2-layer relu MLP forward pass, weights reproduced by the same
+    // integer formulas the Spark side writes into the safetensors
+    // artifact (q50's device, one layer deeper)
+    "q105_mlp_score" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         h AS (
+           SELECT vec_id,
+                  list_transform(range(0, 4), j ->
+                    GREATEST(0.0, ((j * 17 + 5) % 7 - 3) / 3.0 +
+                      list_sum(list_transform(range(1, len(x) + 1),
+                        i -> x[i] * ((((j * 64 + (i - 1)) * 31 + 7) % 13) - 6) / 6.0)))) AS hid
+           FROM e)
+         SELECT vec_id,
+                ROUND(0.25 + list_sum(list_transform(range(0, 4),
+                  j -> hid[j + 1] * ((j * 23 + 11) % 9 - 4) / 4.0)), 4) AS score
+         FROM h""",
   )
 }

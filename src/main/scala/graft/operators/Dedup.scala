@@ -405,15 +405,77 @@ object Dedup {
     * min-reachability. At 100 TB the identical code runs over the
     * LSH-generated pair set ([[minhashPairs]]) — the edge generator is
     * the only thing that changes. */
-  def qDedupComponents(s: SparkSession, d: String): DataFrame = {
-    val pairs = qNgramJaccard(s, d, window = 64, threshold = 0.1)
+  def qDedupComponents(s: SparkSession, d: String): DataFrame =
+    leakageSafeSplitAssign(documents(s, d)).select("doc_id", "component")
+
+  /** q101: leakage-safe train/valid split — the PREVENTION counterpart
+    * of q92's audit. q92 measures how many near-dup pairs straddle a
+    * naive per-doc split; this op makes straddling impossible by
+    * construction: the split is assigned to the near-dup COMPONENT
+    * (q57's clusters), not the document — every member of a cluster
+    * hashes to the same side, so no eval example can have a near-copy
+    * in train. Assignment is a deterministic content-free hash of the
+    * component id thresholded at ~80/20 (first two md5 hex chars
+    * < "cd" = 205/256), so re-runs and incremental ingests keep docs
+    * on their side as long as their cluster identity is stable.
+    *
+    * Scale shape: everything past the q57 component assignment is one
+    * hash + one (source, split)-keyed partial agg — the component
+    * machinery dominates and is the already-probed star-contraction
+    * path. Output: per (source, split) doc and cluster counts. */
+  def qLeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(leakageSafeSplitAssign(docs), Seq("doc_id"))
+      .groupBy("source", "split")
+      .agg(count("*").as("n_docs"),
+        count_distinct(col("component")).as("n_clusters"))
+  }
+
+  /** The q101 per-doc assignment over any (doc_id, text) frame:
+    * (doc_id, component, split), split a pure function of the
+    * component id — the invariant DedupSpec pins on crafted clusters. */
+  def leakageSafeSplitAssign(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, "doc_id", "text", 64, 0.1)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val assign = connectedComponents(pairs)
-      .withColumnRenamed("node", "doc_id")
-    documents(s, d).select(col("doc_id"))
+    val assign = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
       .join(assign, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split",
+        when(substring(md5(col("component").cast("string").cast("binary")), 1, 2)
+          < "cd", "train").otherwise("valid"))
+  }
+
+  /** q103: soft dedup — down-WEIGHT duplicates instead of dropping
+    * them (the sampling-weight alternative to q56's keep-one: a doc
+    * appearing in a near-dup cluster of size c contributes weight 1/c,
+    * so every distinct content unit counts exactly once in expectation
+    * while no document is discarded). The per-source sum of weights is
+    * the source's EFFECTIVE corpus size — the honest volume number for
+    * a mixture recipe (q40) computed over raw, undeduped crawls.
+    *
+    * Scale shape: component sizes via one component-keyed agg (cluster
+    * sizes are bounded — the q57 argument), joined back and reduced by
+    * a (source)-keyed partial agg; nothing corpus-sized shuffles twice. */
+  def qSoftDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(softDedupWeights(docs), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"),
+        round(sum(lit(1.0) / col("csize")), 4).as("effective_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_clusters"))
+  }
+
+  /** The q103 per-doc weights over any (doc_id, text) frame:
+    * (doc_id, component, csize) — a doc's sampling weight is 1/csize,
+    * so each cluster contributes total weight exactly 1. */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val comp = leakageSafeSplitAssign(docs).select("doc_id", "component")
+    val sizes = comp.groupBy("component").agg(count("*").as("csize"))
+    comp.join(sizes, Seq("component"))
   }
 
   /** Rows of `batch` whose `textCol` content does NOT already exist in

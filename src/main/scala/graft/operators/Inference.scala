@@ -72,6 +72,45 @@ object Inference {
     }
   }
 
+  /** A 2-layer MLP (relu hidden layer) loaded from a MULTI-tensor
+    * safetensors artifact — the nonlinear step past [[LinearScorer]]
+    * on the same per-partition-handle lifecycle: `w1` is the
+    * row-major (hidden × dims) input matrix, `b1`/`w2` the hidden
+    * bias/output weights, `b2` the scalar output bias. This is the
+    * shape a real TorchScript/ONNX classifier head reduces to; the
+    * artifact format (named tensors in one file) is exactly how such
+    * heads ship. score = b2 + Σ_j w2_j · relu(b1_j + Σ_i w1_{j,i} x_i),
+    * accumulated in ascending-index order so an engine-independent
+    * oracle can reproduce every double. */
+  final case class MlpScorer(path: String) extends ModelScorer {
+    def open(): ModelHandle = {
+      val w1 = Safetensors.readVector(path, "w1")
+      val b1 = Safetensors.readVector(path, "b1")
+      val w2 = Safetensors.readVector(path, "w2")
+      val b2 = Safetensors.readVector(path, "b2").head
+      val h = b1.length
+      require(h > 0 && w2.length == h && w1.length % h == 0,
+        s"inconsistent MLP tensors in $path: |w1|=${w1.length} |b1|=$h |w2|=${w2.length}")
+      val dims = w1.length / h
+      new ModelHandle {
+        def score(x: Array[Double]): Double = {
+          var out = 0.0
+          var j = 0
+          while (j < h) {
+            var acc = 0.0
+            val n = math.min(dims, x.length)
+            var i = 0
+            while (i < n) { acc += w1(j * dims + i) * x(i); i += 1 }
+            val hid = b1(j) + acc
+            if (hid > 0.0) out += w2(j) * hid
+            j += 1
+          }
+          b2 + out
+        }
+      }
+    }
+  }
+
   /** Score an (id, features) DataFrame with one model handle per
     * partition. Input columns: `idCol` LONG, `featCol` ARRAY<numeric>;
     * output (idCol, score). */
@@ -114,6 +153,38 @@ object Inference {
     scoreBatches(e, LinearScorer(q50Weights(dims)))
       .select(col("vec_id"), round(col("score"), 4).as("score"),
         (lit(1.0) / (lit(1.0) + exp(-col("score"))) > 0.5).cast("int").as("positive"))
+  }
+
+  /** The q105 model: fixed pseudo-random MLP weights, the same
+    * integer-formula device as [[q50Weights]] so the oracle reproduces
+    * every tensor in SQL. Flat row-major w1 (hidden × dims). */
+  def mlpWeights(dims: Int, hidden: Int)
+      : (Array[Double], Array[Double], Array[Double], Double) = (
+    Array.tabulate(hidden * dims)(k => (((k * 31 + 7) % 13) - 6) / 6.0),
+    Array.tabulate(hidden)(j => ((j * 17 + 5) % 7 - 3) / 3.0),
+    Array.tabulate(hidden)(j => ((j * 23 + 11) % 9 - 4) / 4.0),
+    0.25)
+
+  /** q105: NONLINEAR model serving — a 2-layer relu MLP head scored
+    * over the embeddings table through the [[MlpScorer]] artifact path:
+    * the four named tensors land in one safetensors file (exactly how
+    * a distilled classifier head ships), each partition binds the
+    * artifact once, and the forward pass is fully DuckDB-expressible
+    * (deterministic weights + fixed accumulation order), so unlike
+    * every fitted-model path the gate hash-checks a NONLINEAR model
+    * end to end. Same scale shape as q50: one pass, no shuffle, one
+    * model bind per partition. */
+  def qMlpScore(s: SparkSession, d: String, hidden: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val (w1, b1, w2, b2) = mlpWeights(dims, hidden)
+    val artifact = java.nio.file.Files.createTempFile("graft-q105-", ".safetensors")
+    artifact.toFile.deleteOnExit()
+    Safetensors.write(artifact.toString, Seq(
+      ("w1", "F64", w1), ("b1", "F64", b1), ("w2", "F64", w2),
+      ("b2", "F64", Array(b2))))
+    scoreBatches(e, MlpScorer(artifact.toString))
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
   }
 
   /** The q84 document feature vector — cheap codegen'd quality

@@ -169,6 +169,45 @@ object Pipeline {
       .groupBy("status").agg(count("*").as("n"))
   }
 
+  /** q104: group-wise winsorized statistics — the outlier-clamping
+    * step a feature pipeline runs before normalizing numeric columns
+    * (a handful of corrupt or extreme rows must not set the scale for
+    * the whole feature): per group, the p05/p95 exact percentiles of
+    * `l_extendedprice`, the raw mean, and the mean after clipping every
+    * value into [p05, p95]. Exact interpolated percentiles (both
+    * engines use the ANSI linear-interpolation definition) so the gate
+    * hash-checks; at 100 TB the bounds would come from the
+    * percentile-sketch pass the repo already has (q47/q49) and the
+    * clip stays identical.
+    *
+    * Scale shape: one grouped percentile pass (per-group sorted-agg
+    * over the group's values — group count gives the parallelism), the
+    * tiny bounds table broadcasts back, and the clipped mean is one
+    * more partial agg on the same scan. Nothing wider than the
+    * group-key shuffle. */
+  def qWinsorize(s: SparkSession, d: String): DataFrame =
+    winsorizeStats(lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price")))
+
+  /** The q104 core over any (flag, price) frame — see [[qWinsorize]];
+    * PipelineSpec hand-computes the interpolated bounds and clipped
+    * mean on a crafted outlier group. */
+  def winsorizeStats(df: DataFrame, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy("flag").agg(
+      expr(s"percentile(price, ${pLo}D)").as("lo"),
+      expr(s"percentile(price, ${pHi}D)").as("hi"))
+    df.join(broadcast(bounds), Seq("flag"))
+      .select(col("flag"), col("price"), col("lo"), col("hi"),
+        greatest(least(col("price"), col("hi")), col("lo")).as("clipped"))
+      .groupBy("flag")
+      .agg(count("*").as("n"),
+        round(first("lo"), 4).as("p05"),
+        round(first("hi"), 4).as("p95"),
+        round(avg("price"), 4).as("mean_raw"),
+        round(avg("clipped"), 4).as("mean_winsor"))
+  }
+
   /** q95: single-pass relational data profiler — the table-side
     * datasheet (q85 profiles the text corpus): per-column non-null
     * count, exact distinct count, and numeric min/max/mean over

@@ -200,6 +200,34 @@ object TextAnalysis {
         round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("avg_nll"))
   }
 
+  /** q102: perplexity-bucketed corpus partitioning — the CCNet device:
+    * rank documents by LM score and cut the ranking into head / middle
+    * / tail tertiles PER LANGUAGE (each language's distribution is its
+    * own yardstick — a single global cut would put most of a
+    * low-resource language in "tail" just for being out-of-domain for
+    * the dominant one). Downstream mixtures then sample by bucket
+    * (head-heavy for quality, tail kept for diversity). The score is
+    * q64's unigram NLL ROUNDED to 4 decimals — the same value the q64
+    * gate hash-checks, so the ntile ordering (rounded nll, doc_id) is
+    * engine-independent; raw doubles would make tertile boundaries
+    * hinge on summation order.
+    *
+    * Scale shape: scoring is q64's two passes; the tertile cut is one
+    * window per language partition — languages give the parallelism,
+    * and per-language row counts are what a 100 TB corpus bounds per
+    * task (a global ORDER BY would serialize on one task). Output:
+    * per (lang, bucket) doc count and mean NLL. */
+  def qNllBuckets(s: SparkSession, d: String, buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qUnigramNll(s, d) // doc_id, n_tokens, avg_nll (round 4)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+    scored.withColumn("bucket", ntile(buckets).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count("*").as("n_docs"),
+        round(avg("avg_nll"), 4).as("mean_nll"))
+  }
+
   /** q79: corpus-bigram-LM quality scoring — the order-sensitive upgrade
     * of q64's unigram filter (a document of common words in an
     * improbable ORDER scores badly here but fine there, which is what

@@ -116,4 +116,36 @@ object Stateful {
           KeyedDistinct(key, agg.finish(st))
       }
   }
+
+  case class KeyedHitters(key: Long, hitters: Seq[(String, Long)], n: Long)
+
+  /** Running heavy hitters per key via the Misra–Gries summary
+    * ([[graft.functions.MisraGries]]) held as streaming state — the
+    * second sketch-in-state composition beside [[runningDistinct]]
+    * (cardinality there, frequency here): per key the state is ≤ m
+    * counters FOREVER, where exact per-key frequency tables over an
+    * unbounded stream grow with the item domain. The MG invariants
+    * survive the composition because folding batch items into the
+    * carried summary is exactly the aggregator's reduce: after any
+    * number of micro-batches every item with true count > n/m is
+    * present, and every estimate is within n/m below its true count —
+    * which is what StatefulSpec asserts across batch splits. */
+  def runningHeavyHitters(records: Dataset[(Long, String)], m: Int = 8,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[KeyedHitters] = {
+    implicit val mgEnc: Encoder[graft.functions.MGSummary] =
+      Encoders.product[graft.functions.MGSummary]
+    implicit val outE: Encoder[KeyedHitters] = Encoders.product[KeyedHitters]
+    implicit val inE: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    val agg = new graft.functions.MisraGries(m)
+    records.groupByKey(_._1)
+      .mapGroupsWithState[graft.functions.MGSummary, KeyedHitters](timeout) {
+        (key: Long, it: Iterator[(Long, String)],
+            state: GroupState[graft.functions.MGSummary]) =>
+          val st = it.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            case (acc, (_, item)) => agg.reduce(acc, item)
+          }
+          state.update(st)
+          KeyedHitters(key, agg.finish(st), st.n)
+      }
+  }
 }

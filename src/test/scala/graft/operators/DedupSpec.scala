@@ -232,4 +232,62 @@ class DedupSpec extends AnyFunSuite {
     // one distinct compromised valid doc: 8
     assert(r.getLong(4) == 1, s"leaky valid: ${r.getLong(4)}")
   }
+
+  test("q101: cluster-consistent split — zero crossings where the naive split leaks") {
+    import spark.implicits._
+    // cluster {1, 8}: identical text, chosen so the NAIVE per-doc split
+    // (doc_id % 10 < 8, q92's device) puts them on OPPOSITE sides;
+    // cluster {10, 11}: identical; 20 and 28 are singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (8L, "alpha beta gamma delta", "s2"),
+      (10L, "epsilon zeta eta theta", "s1"),
+      (11L, "epsilon zeta eta theta", "s1"),
+      (20L, "iota kappa lambda mu", "s1"),
+      (28L, "nu xi omicron pi", "s2")
+    ).toDF("doc_id", "text", "source")
+    val assign = Dedup.leakageSafeSplitAssign(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // planted clusters resolved; singletons distinct
+    assert(assign(1L)._1 == assign(8L)._1)
+    assert(assign(10L)._1 == assign(11L)._1)
+    assert(Set(assign(1L)._1, assign(10L)._1, assign(20L)._1, assign(28L)._1).size == 4)
+    // the invariant: same cluster, same side — no near-dup pair crosses
+    assert(assign(1L)._2 == assign(8L)._2)
+    assert(assign(10L)._2 == assign(11L)._2)
+    // while the naive per-doc split DOES cross on the {1, 8} cluster
+    assert((1L % 10 < 8) != (8L % 10 < 8))
+  }
+
+  test("q101/q103 on the corpus: assignments reconcile and weights sum to cluster count") {
+    val docs = Tables.documents(spark, sf)
+    val assign = Dedup.leakageSafeSplitAssign(docs)
+    // no component straddles the split (the defining invariant)
+    assert(assign.groupBy("component")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count() == 0)
+    // gate output reconciles: doc total and the ~80/20 shape
+    val out = Dedup.qLeakageSafeSplit(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum == 500)
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit("train") > bySplit("valid") && bySplit("valid") > 0)
+    // soft-dedup weights: each cluster contributes total weight 1, so
+    // the corpus-wide effective size equals the number of clusters
+    val nClusters = assign.select("component").distinct().count()
+    val eff = Dedup.qSoftDedup(spark, sf).collect()
+      .map(_.getDouble(2)).sum
+    assert(math.abs(eff - nClusters) < 0.01, s"effective $eff vs clusters $nClusters")
+  }
+
+  test("q103: weights are 1/cluster-size on crafted clusters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s1"),
+      (3L, "alpha beta gamma delta", "s2"),
+      (20L, "iota kappa lambda mu", "s1")
+    ).toDF("doc_id", "text", "source")
+    val w = Dedup.softDedupWeights(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("csize")).toMap
+    assert(w == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 20L -> 1L))
+  }
 }

@@ -88,4 +88,47 @@ class InferenceSpec extends AnyFunSuite {
       assert((score > 0) == (positive == 1))
     }
   }
+
+  test("q105: MLP artifact scoring matches the driver forward pass bit for bit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (dims, hidden) = (5, 3)
+    val (w1, b1, w2, b2) = Inference.mlpWeights(dims, hidden)
+    val path = java.nio.file.Files.createTempFile("graft-mlp-", ".safetensors")
+    path.toFile.deleteOnExit()
+    Safetensors.write(path.toString, Seq(
+      ("w1", "F64", w1), ("b1", "F64", b1), ("w2", "F64", w2), ("b2", "F64", Array(b2))))
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(dims)(j => ((i * 7 + j * 3) % 11 - 5) / 5.0)))
+    val scored = Inference.scoreBatches(vecs.toDF("vec_id", "embedding"),
+        Inference.MlpScorer(path.toString))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side reference forward pass, same accumulation order
+    var anyPos = false; var anyNeg = false
+    for ((id, x) <- vecs) {
+      var out = 0.0
+      for (j <- 0 until hidden) {
+        var acc = 0.0
+        for (i <- 0 until dims) acc += w1(j * dims + i) * x(i)
+        val pre = b1(j) + acc
+        if (pre > 0.0) { out += w2(j) * pre; anyPos = true } else anyNeg = true
+      }
+      assert(scored(id) == b2 + out, s"vec $id: ${scored(id)} != ${b2 + out}")
+    }
+    // the relu is live: both branches exercised across the batch
+    assert(anyPos && anyNeg)
+  }
+
+  test("q105: inconsistent MLP tensors are rejected at open()") {
+    val path = java.nio.file.Files.createTempFile("graft-mlp-bad-", ".safetensors")
+    path.toFile.deleteOnExit()
+    // |w2| = 2 but |b1| = 3 hidden units
+    Safetensors.write(path.toString, Seq(
+      ("w1", "F64", Array.fill(15)(0.1)), ("b1", "F64", Array.fill(3)(0.0)),
+      ("w2", "F64", Array.fill(2)(1.0)), ("b2", "F64", Array(0.0))))
+    val ex = intercept[IllegalArgumentException] {
+      Inference.MlpScorer(path.toString).open()
+    }
+    assert(ex.getMessage.contains("inconsistent MLP tensors"))
+  }
 }

@@ -175,4 +175,34 @@ class PipelineSpec extends AnyFunSuite {
       .iterator.flatMap(_.getString(0).toLowerCase.split("\\s+")).count(_ == topToken)
     assert(topCount == driverCount, s"'$topToken': $topCount vs $driverCount")
   }
+
+  test("q104: winsorized stats hand-computed on a crafted outlier group") {
+    import spark.implicits._
+    // group g: 1..10 plus one wild outlier. n = 11, so the linear-
+    // interpolation percentiles sit at rank p*(n-1):
+    //   p05 -> 0.5  -> 1 + 0.5*(2-1)      = 1.5
+    //   p95 -> 9.5  -> 10 + 0.5*(1000-10) = 505.0
+    // clipped mean = (1.5 + 2+..+10 + 505) / 11 = 560.5/11 = 50.9545
+    // raw mean     = (55 + 1000) / 11     = 95.9091
+    val df = ((1 to 10).map(v => ("g", v.toDouble)) :+ ("g", 1000.0))
+      .toDF("flag", "price")
+    val r = Pipeline.winsorizeStats(df).head()
+    assert(r.getLong(1) == 11)
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 505.0)
+    assert(r.getDouble(4) == 95.9091 && r.getDouble(5) == 50.9545)
+    // the clamp moved the mean toward the body of the distribution
+    assert(r.getDouble(5) < r.getDouble(4))
+  }
+
+  test("q104 on lineitem: bounds bracket the winsorized mean, raw mean unclipped") {
+    for (r <- Pipeline.qWinsorize(spark, sf).collect()) {
+      val (p05, p95) = (r.getDouble(2), r.getDouble(3))
+      val (raw, win) = (r.getDouble(4), r.getDouble(5))
+      assert(p05 < p95)
+      assert(win >= p05 && win <= p95, s"winsor mean $win outside [$p05,$p95]")
+      // clipping both tails of a right-skewed price distribution must
+      // actually change the mean
+      assert(math.abs(win - raw) > 1e-9)
+    }
+  }
 }

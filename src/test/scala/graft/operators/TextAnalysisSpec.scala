@@ -155,4 +155,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // distinct grams ({a1a2a3, a2a3a4, a3a4a5, a4a5a1, a5a1a2})
     assert(r1.getLong(1) == 5L && r1.getDouble(2) == 1.0)
   }
+
+  test("q102: per-language tertiles are balanced and NLL-monotone") {
+    val rows = TextAnalysis.qNllBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.size == 5) // en/de/es/fr/zh in the synthetic corpus
+    for ((lang, bs) <- byLang) {
+      val sorted = bs.sortBy(_._2)
+      // exactly buckets 1..3, ntile-balanced (sizes differ by <= 1)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 3), s"$lang buckets")
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes ${sizes.toSeq}")
+      // the cut is a ranking: mean NLL strictly increases head -> tail
+      val means = sorted.map(_._4)
+      assert(means(0) < means(1) && means(1) < means(2), s"$lang means ${means.toSeq}")
+    }
+  }
 }

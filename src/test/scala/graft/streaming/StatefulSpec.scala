@@ -118,4 +118,49 @@ class StatefulSpec extends AnyFunSuite {
     // below k the sketch is exact
     assert(latest(2L) == 5.0)
   }
+
+  test("running heavy hitters: MG guarantees survive micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 8
+    val mem = MemoryStream[(Long, String)]
+    val name = "mgstate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Stateful.runningHeavyHitters(mem.toDS(), m).writeStream
+      .format("memory").queryName(name)
+      .outputMode(Stateful.RequiredOutputMode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mgstate").toString)
+      .start()
+    // key 1: skewed stream split across three batches — "hot" 60×,
+    // "warm" 25×, 40 singletons (n = 125, threshold n/m = 15.625)
+    mem.addData((Seq.fill(20)("hot") ++ Seq.fill(10)("warm")
+      ++ (1 to 15).map(i => s"x$i")).map((1L, _)): _*)
+    q.processAllAvailable()
+    mem.addData((Seq.fill(25)("hot") ++ (16 to 30).map(i => s"x$i")).map((1L, _)): _*)
+    q.processAllAvailable()
+    mem.addData((Seq.fill(15)("hot") ++ Seq.fill(15)("warm")
+      ++ (31 to 40).map(i => s"x$i")).map((1L, _)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect().zipWithIndex
+    val latestRow = rows.filter(_._1.getLong(0) == 1L).maxBy(_._2)._1
+    val hitters = latestRow.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = latestRow.getLong(2)
+    assert(n == 125)
+    val trueCounts = Map("hot" -> 60L, "warm" -> 25L)
+    val eps = n.toDouble / m
+    // presence: every item with true count > n/m is in the summary
+    for ((item, t) <- trueCounts if t > eps) {
+      assert(hitters.contains(item), s"$item (true $t > $eps) missing")
+      // estimate bounds: true - n/m <= est <= true
+      assert(hitters(item) <= t && hitters(item) >= t - eps,
+        s"$item est ${hitters(item)} outside [${t - eps}, $t]")
+    }
+    // no estimate exceeds its true count (singletons are all <= 1)
+    for ((item, est) <- hitters)
+      assert(est <= trueCounts.getOrElse(item, 1L), s"$item overestimated: $est")
+    // state is bounded: at most m counters survive
+    assert(hitters.size <= m)
+  }
 }
