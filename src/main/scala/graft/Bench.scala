@@ -65,6 +65,12 @@ object Bench {
     "q103_soft_dedup",
     "q104_winsorize",
     "q105_mlp_score",
+    // round 9: embedding audits (per-dim stats, SQ8 reconstruction
+    // error), the Jaccard-band threshold curve, curriculum sharding
+    "q106_embedding_stats",
+    "q107_sq8_error",
+    "q108_jaccard_bands",
+    "q109_curriculum",
   )
 
   def main(args: Array[String]): Unit = {

@@ -201,6 +201,17 @@ object SparkEntry {
     // q105: nonlinear (2-layer relu MLP) model serving from a
     // multi-tensor safetensors artifact — hash-checked end to end
     "q105_mlp_score" -> ((s, d) => Inference.qMlpScore(s, d)),
+    // q106: per-dimension embedding standardization stats — the
+    // feature-whitening audit before trusting cosine/L2
+    "q106_embedding_stats" -> (Similarity.qEmbeddingStats _),
+    // q107: SQ8 reconstruction-error audit of q66's max-abs/127 scheme
+    "q107_sq8_error" -> (Similarity.qSq8Error _),
+    // q108: near-dup Jaccard-band histogram — the threshold-picking
+    // curve over the q29 pair machinery
+    "q108_jaccard_bands" -> ((s, d) => Dedup.qJaccardBands(s, d)),
+    // q109: curriculum sharding — per-language easy->hard round-robin
+    // deal across data-parallel workers
+    "q109_curriculum" -> ((s, d) => TextAnalysis.qCurriculumShards(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1136,7 +1147,7 @@ object SparkEntry {
                     ORDER BY n.avg_nll, n.doc_id) AS bucket
            FROM nll n JOIN documents d2 ON n.doc_id = d2.doc_id)
          SELECT lang, bucket, COUNT(*) AS n_docs,
-                ROUND(AVG(avg_nll), 4) AS mean_nll
+                ROUND(AVG(avg_nll), 2) AS mean_nll
          FROM scored GROUP BY lang, bucket""",
     // soft dedup: weight 1/component-size, per-source effective size
     "q103_soft_dedup" ->
@@ -1198,5 +1209,68 @@ object SparkEntry {
                 ROUND(0.25 + list_sum(list_transform(range(0, 4),
                   j -> hid[j + 1] * ((j * 23 + 11) % 9 - 4) / 4.0)), 4) AS score
          FROM h""",
+    // per-dimension mean/std/min/max over the unnested embeddings
+    "q106_embedding_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         ex AS (SELECT generate_subscripts(x, 1) - 1 AS dim, unnest(x) AS v FROM e)
+         SELECT dim, COUNT(*) AS n, ROUND(AVG(v), 4) AS mean,
+                ROUND(STDDEV(v), 4) AS std,
+                ROUND(MIN(v), 4) AS vmin, ROUND(MAX(v), 4) AS vmax
+         FROM ex GROUP BY dim""",
+    // symmetric SQ8 (scale = max-abs/127, code = round(v/scale)):
+    // per-vector reconstruction error, the same arithmetic q66 applies
+    "q107_sq8_error" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         s AS (SELECT vec_id, x,
+                      list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+               FROM e),
+         ex AS (SELECT vec_id, scale, unnest(x) AS v FROM s),
+         r AS (SELECT vec_id, scale, v,
+                      CASE WHEN scale = 0 THEN 0.0
+                           ELSE ROUND(v / scale) * scale END AS recon
+               FROM ex)
+         SELECT vec_id, ROUND(ANY_VALUE(scale), 6) AS scale,
+                ROUND(AVG(ABS(v - recon)), 6) AS mean_abs_err,
+                ROUND(MAX(ABS(v - recon)), 6) AS max_abs_err
+         FROM r GROUP BY vec_id""",
+    // pair counts per 0.1-wide band of the q29 rounded Jaccard
+    "q108_jaccard_bands" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         pairs AS (
+           SELECT ROUND(jac, 4) AS jaccard FROM (
+             SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.1)
+         SELECT FLOOR(jaccard * 10) / 10 AS band, COUNT(*) AS n_pairs
+         FROM pairs GROUP BY band""",
+    // per-language easy->hard rank (q102's ordering) dealt round-robin
+    // across 8 shards; per-shard balance stats
+    "q109_curriculum" ->
+      """WITH toks AS (
+           SELECT doc_id, token AS term
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0),
+         vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         t AS (SELECT SUM(cnt) AS total FROM vocab),
+         nll AS (
+           SELECT doc_id, ROUND(AVG(-ln(vocab.cnt::DOUBLE / t.total)), 4) AS avg_nll
+           FROM toks JOIN vocab ON toks.term = vocab.term CROSS JOIN t
+           GROUP BY doc_id),
+         ranked AS (
+           SELECT n.doc_id, n.avg_nll, d2.lang,
+                  ROW_NUMBER() OVER (PARTITION BY d2.lang
+                    ORDER BY n.avg_nll, n.doc_id) AS rn
+           FROM nll n JOIN documents d2 ON n.doc_id = d2.doc_id)
+         SELECT (rn - 1) % 8 AS shard, COUNT(*) AS n_docs,
+                ROUND(AVG(avg_nll), 2) AS mean_nll,
+                COUNT(DISTINCT lang) AS n_langs
+         FROM ranked GROUP BY shard""",
   )
 }

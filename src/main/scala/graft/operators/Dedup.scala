@@ -177,6 +177,21 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     ngramJaccardPairs(documents(s, d), "doc_id", "text", window, threshold)
 
+  /** q108: near-dup similarity histogram — pair counts per 0.1-wide
+    * Jaccard band above the floor. The "pick your dedup threshold"
+    * diagnostic: q27/q29 ANSWER a threshold, this op shows the CURVE
+    * the threshold cuts (a cliff at 0.9+ means templated near-copies
+    * a 0.5 cut misses nothing on; a fat 0.3–0.5 band means topical
+    * siblings an aggressive cut would wrongly kill). Exact-1.0 pairs
+    * land in their own band. Rides the q29 bucketed pair machinery —
+    * one extra map + a bands-sized agg; hash-green on the rounded
+    * Jaccard both engines already agree on. */
+  def qJaccardBands(s: SparkSession, d: String, window: Long = 64,
+      floor0: Double = 0.1): DataFrame =
+    qNgramJaccard(s, d, window, floor0)
+      .select((floor(col("jaccard") * 10) / 10).as("band"))
+      .groupBy("band").agg(count("*").as("n_pairs"))
+
   /** q92: train/validation split-leakage audit — the decontamination
     * check BETWEEN a pipeline's own splits (q42 checks the corpus
     * against an external benchmark): assign every doc to a

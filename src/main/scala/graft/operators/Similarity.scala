@@ -54,6 +54,46 @@ object Similarity {
     * DIRECTLY on the int8 codes cast to float — the scale column is
     * only needed to reconstruct magnitudes. All codegen'd column ops;
     * no UDFs. */
+  /** q106: per-dimension embedding standardization statistics — the
+    * feature-whitening audit an ANN/similarity pipeline runs before
+    * trusting cosine or L2 (a dimension whose scale dwarfs the rest
+    * silently dominates every distance; a dead dimension wastes code
+    * budget in SQ8/PQ). One posexplode + a 64-group partial agg:
+    * shuffle volume is dims × partitions regardless of corpus size.
+    * Fully hash-checked (count/mean/stddev/min/max per dimension). */
+  def qEmbeddingStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count("*").as("n"),
+        round(avg("v"), 4).as("mean"),
+        round(stddev("v"), 4).as("std"),
+        round(min("v"), 4).as("vmin"),
+        round(max("v"), 4).as("vmax"))
+
+  /** q107: SQ8 reconstruction-error audit — grounds q66's quantized
+    * serving path with the number a pipeline actually decides on: the
+    * per-vector absolute reconstruction error of the SAME symmetric
+    * max-abs/127 scheme [[quantizeSq8]] applies (code = round(v/scale),
+    * recon = code·scale). q66's spec pins recall on one dataset; this
+    * op is the per-corpus health check that says whether int8 is safe
+    * for THIS corpus before the index is built. Row-local arithmetic
+    * plus one per-vector agg — single scan, no shuffle beyond the
+    * vec_id partial agg; fully hash-checked. */
+  def qSq8Error(s: SparkSession, d: String): DataFrame = {
+    val x = col("embedding").cast("array<double>")
+    embeddings(s, d)
+      .select(col("vec_id"), x.as("x"))
+      .withColumn("scale", array_max(transform(col("x"), v => abs(v))) / lit(127.0))
+      .select(col("vec_id"), col("scale"), posexplode(col("x")).as(Seq("dim", "v")))
+      .withColumn("recon", when(col("scale") === 0, lit(0.0))
+        .otherwise(round(col("v") / col("scale")) * col("scale")))
+      .groupBy("vec_id")
+      .agg(round(first("scale"), 6).as("scale"),
+        round(avg(abs(col("v") - col("recon"))), 6).as("mean_abs_err"),
+        round(max(abs(col("v") - col("recon"))), 6).as("max_abs_err"))
+  }
+
   def quantizeSq8(e: DataFrame, vecCol: String): DataFrame = {
     val scale = array_max(transform(col(vecCol), x => abs(x))) / lit(127.0)
     e.withColumn("scale", scale)

@@ -225,7 +225,34 @@ object TextAnalysis {
     scored.withColumn("bucket", ntile(buckets).over(w))
       .groupBy("lang", "bucket")
       .agg(count("*").as("n_docs"),
-        round(avg("avg_nll"), 4).as("mean_nll"))
+        // round 2, not 4: the mean of rounded-4 inputs differs between
+        // engines by a final-sum ulp, which a round-4 boundary can flip
+        round(avg("avg_nll"), 2).as("mean_nll"))
+  }
+
+  /** q109: curriculum sharding — deterministic TRAINING-ORDER
+    * construction: within each language, docs are ranked easy→hard by
+    * the q64 NLL (rounded, doc_id tie-break — the q102 ordering) and
+    * dealt round-robin across `shards`, so every shard receives a
+    * near-identical quality distribution per language. This is the
+    * step between curation and the trainer: data-parallel workers must
+    * see equivalent curricula or gradient noise turns into worker
+    * skew. Per-language windows give the parallelism at 100 TB (a
+    * single global rank would serialize on one task). Output: per
+    * shard, size, mean NLL, and the language count — balance made
+    * visible. Fully hash-checked. */
+  def qCurriculumShards(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qUnigramNll(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+    scored.withColumn("shard", (row_number().over(w) - 1) % shards)
+      .groupBy("shard")
+      .agg(count("*").as("n_docs"),
+        // round 2: see qNllBuckets — a mean of rounded-4 inputs is one
+        // final-sum ulp from flipping a round-4 boundary
+        round(avg("avg_nll"), 2).as("mean_nll"),
+        count_distinct(col("lang")).as("n_langs"))
   }
 
   /** q79: corpus-bigram-LM quality scoring — the order-sensitive upgrade

@@ -278,6 +278,17 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(eff - nClusters) < 0.01, s"effective $eff vs clusters $nClusters")
   }
 
+  test("q108: band histogram reconciles exactly with the pair list") {
+    val pairs = Dedup.qNgramJaccard(spark, sf, 64, 0.1).collect()
+      .map(_.getDouble(2))
+    val expected = pairs.groupBy(j => math.floor(j * 10) / 10)
+      .view.mapValues(_.length.toLong).toMap
+    val got = Dedup.qJaccardBands(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"bands $got vs driver $expected")
+    assert(got.values.sum == pairs.length)
+  }
+
   test("q103: weights are 1/cluster-size on crafted clusters") {
     import spark.implicits._
     val docs = Seq(

@@ -289,4 +289,39 @@ class SimilaritySpec extends AnyFunSuite {
         s"re-ranked d2 for ($q,$v) diverges from exact")
     }
   }
+
+  test("q106: per-dimension stats match a driver-side computation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val stats = Similarity.qEmbeddingStats(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(stats.size == 64)
+    for (dim <- Seq(0, 17, 63)) {
+      val col0 = vecs.map(_(dim))
+      val mean = col0.sum / col0.length
+      val std = math.sqrt(col0.map(v => (v - mean) * (v - mean)).sum / (col0.length - 1))
+      val r = stats(dim)
+      assert(r.getLong(1) == vecs.length)
+      assert(math.abs(r.getDouble(2) - mean) < 5e-5, s"dim $dim mean")
+      assert(math.abs(r.getDouble(3) - std) < 5e-5, s"dim $dim std")
+      assert(r.getDouble(4) == math.floor(col0.min * 10000 + 0.5) / 10000 ||
+        math.abs(r.getDouble(4) - col0.min) < 5e-5)
+      assert(math.abs(r.getDouble(5) - col0.max) < 5e-5, s"dim $dim max")
+    }
+  }
+
+  test("q107: every vector's reconstruction error respects the scale/2 bound") {
+    val rows = Similarity.qSq8Error(spark, sf).collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val (scale, meanErr, maxErr) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(scale > 0)
+      // |v - round(v/scale)*scale| <= scale/2 by construction; the
+      // rounded outputs may sit a half-ulp-of-round-6 above
+      assert(maxErr <= scale / 2 + 5e-7, s"vec ${r.getLong(0)}: $maxErr > ${scale / 2}")
+      assert(meanErr <= maxErr)
+    }
+  }
 }

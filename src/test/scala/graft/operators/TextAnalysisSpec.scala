@@ -167,9 +167,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(sorted.map(_._2).toSeq == Seq(1, 2, 3), s"$lang buckets")
       val sizes = sorted.map(_._3)
       assert(sizes.max - sizes.min <= 1, s"$lang sizes ${sizes.toSeq}")
-      // the cut is a ranking: mean NLL strictly increases head -> tail
+      // the cut is a ranking: mean NLL is non-decreasing bucket to
+      // bucket (round-2 means can tie) and strictly increases end to end
       val means = sorted.map(_._4)
-      assert(means(0) < means(1) && means(1) < means(2), s"$lang means ${means.toSeq}")
+      assert(means(0) <= means(1) && means(1) <= means(2), s"$lang means ${means.toSeq}")
+      assert(means(0) < means(2), s"$lang head==tail: ${means.toSeq}")
     }
+  }
+
+  test("q109: curriculum shards are balanced with every language in every shard") {
+    val rows = TextAnalysis.qCurriculumShards(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq == (0 until 8))
+    assert(rows.map(_._2).sum == 500)
+    // round-robin per language: shard sizes differ by at most one doc
+    // per language (5 langs in the synthetic corpus)
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 5, s"sizes ${sizes.toSeq}")
+    // every shard sees every language
+    assert(rows.forall(_._4 == 5), s"langs ${rows.map(_._4).toSeq}")
+    // the deal balances difficulty: the spread of shard-mean NLL is far
+    // inside the corpus-wide NLL spread
+    val means = rows.map(_._3)
+    val corpus = TextAnalysis.qUnigramNll(spark, sf).collect().map(_.getDouble(2))
+    val corpusSpread = corpus.max - corpus.min
+    assert(means.max - means.min <= 0.2 * corpusSpread,
+      s"shard-mean spread ${means.max - means.min} vs corpus $corpusSpread")
   }
 }
