@@ -212,6 +212,10 @@ object SparkEntry {
     // q109: curriculum sharding — per-language easy->hard round-robin
     // deal across data-parallel workers
     "q109_curriculum" -> ((s, d) => TextAnalysis.qCurriculumShards(s, d)),
+    // q110: incremental datasheet maintenance — delta aggregation over
+    // changeset rows only; the oracle recomputes v2 from scratch, so
+    // the gate proves delta == full rescan
+    "q110_incremental_stats" -> (Pipeline.qIncrementalStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1272,5 +1276,22 @@ object SparkEntry {
                 ROUND(AVG(avg_nll), 2) AS mean_nll,
                 COUNT(DISTINCT lang) AS n_langs
          FROM ranked GROUP BY shard""",
+    // the FULL v2 recompute (the q96 changeset semantics) — the Spark
+    // side maintains the same sheet by delta aggregation instead
+    "q110_incremental_stats" ->
+      """WITH v2 AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id, source, text || ' rev2' FROM documents
+           WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+           UNION ALL
+           SELECT -doc_id - 1, source, text || ' new' FROM documents
+           WHERE doc_id % 19 = 0)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+                CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                ROUND(SUM(length(text))::DOUBLE / COUNT(*), 2) AS mean_chars
+         FROM v2 GROUP BY source""",
   )
 }

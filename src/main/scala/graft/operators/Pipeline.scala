@@ -275,6 +275,59 @@ object Pipeline {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
   }
 
+  /** q110: incremental datasheet maintenance — the v2 per-source stats
+    * computed WITHOUT rescanning v1: the stored v1 sheet (summable
+    * stats: doc/token/char counts) plus delta aggregation over ONLY the
+    * changeset rows (subtract removed + old-of-changed, add inserted +
+    * new-of-changed — the q94/q96 deterministic changeset). At 100 TB
+    * this is the difference between a nightly full corpus scan and a
+    * job sized by the day's churn; it works exactly because the sheet
+    * restricts itself to MERGEABLE aggregates (sums and counts — means
+    * derive at read time; q85's entropy needs its per-(source, lang)
+    * count table maintained the same way). The gate hash-checks the
+    * delta-maintained sheet against the oracle's FULL v2 recompute —
+    * the incremental path must be indistinguishable from the rescan. */
+  def qIncrementalStats(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    def sheet(df: DataFrame): DataFrame = df.groupBy("source").agg(
+      count("*").as("n_docs"),
+      sum(tokenCount(col("text"))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"))
+    // the stored v1 sheet (in production: read back, never recomputed)
+    val v1 = sheet(docs)
+    // changeset rows only — deletes and the old version of every update
+    // leave; the new versions and inserts arrive (inserts keep their
+    // progenitor's source, the q94 device)
+    val leaving = docs.filter(col("doc_id") % 17 === 0 ||
+      (col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0))
+    val arriving = docs
+      .filter(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" rev2")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 19 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("source"),
+          concat(col("text"), lit(" new")).as("text")))
+    // delta apply: v1 ⊖ sheet(leaving) ⊕ sheet(arriving), per source —
+    // three tiny sheets joined on the source key, no corpus work beyond
+    // the changeset scans
+    val minus = sheet(leaving).select(col("source"),
+      col("n_docs").as("d_docs"), col("n_tokens").as("d_tokens"),
+      col("n_chars").as("d_chars"))
+    val plus = sheet(arriving).select(col("source"),
+      col("n_docs").as("a_docs"), col("n_tokens").as("a_tokens"),
+      col("n_chars").as("a_chars"))
+    v1.join(minus, Seq("source"), "left").join(plus, Seq("source"), "left")
+      .select(col("source"),
+        (col("n_docs") - coalesce(col("d_docs"), lit(0L))
+          + coalesce(col("a_docs"), lit(0L))).as("n_docs"),
+        (col("n_tokens") - coalesce(col("d_tokens"), lit(0L))
+          + coalesce(col("a_tokens"), lit(0L))).as("n_tokens"),
+        (col("n_chars") - coalesce(col("d_chars"), lit(0L))
+          + coalesce(col("a_chars"), lit(0L))).as("n_chars"))
+      .withColumn("mean_chars",
+        round(col("n_chars").cast("double") / col("n_docs"), 2))
+  }
+
   /** q97: token frequency spectrum — the Zipf/Heaps diagnostic every
     * corpus datasheet carries: for each occurrence count k, how many
     * distinct token TYPES occur exactly k times (the k=1 row is the

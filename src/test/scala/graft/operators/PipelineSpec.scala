@@ -194,6 +194,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(5) < r.getDouble(4))
   }
 
+  test("q110: delta-maintained sheet is indistinguishable from a full v2 rescan") {
+    import graft.functions.tokenCount
+    // rebuild v2 from scratch with the same changeset rules, then sheet
+    // it directly — the incremental path must match column-for-column
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 13 =!= 0)
+      .unionAll(docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" rev2")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 19 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("source"),
+          concat(col("text"), lit(" new")).as("text")))
+    val full = v2.groupBy("source").agg(
+      count("*").as("n_docs"),
+      sum(tokenCount(col("text"))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"))
+      .withColumn("mean_chars",
+        round(col("n_chars").cast("double") / col("n_docs"), 2))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val inc = Pipeline.qIncrementalStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(inc.keySet == full.keySet)
+    for ((src, f) <- full) assert(inc(src) == f, s"source $src: ${inc(src)} vs $f")
+    // the changeset must actually have changed something vs v1
+    val v1 = docs.groupBy("source").agg(count("*").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.exists { case (s2, f) => v1.get(s2).exists(_ != f._1) })
+  }
+
   test("q104 on lineitem: bounds bracket the winsorized mean, raw mean unclipped") {
     for (r <- Pipeline.qWinsorize(spark, sf).collect()) {
       val (p05, p95) = (r.getDouble(2), r.getDouble(3))
