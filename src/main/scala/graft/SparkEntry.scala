@@ -216,6 +216,11 @@ object SparkEntry {
     // changeset rows only; the oracle recomputes v2 from scratch, so
     // the gate proves delta == full rescan
     "q110_incremental_stats" -> (Pipeline.qIncrementalStats _),
+    // q111: video near-dup — temporal-luma fingerprint through the real
+    // AVI/MJPEG decode path, completing the media dedup trio (rows-only:
+    // container synthesis isn't SQL; VideoDedupSpec proves brute-force
+    // parity and exposure invariance)
+    "q111_video_near_dup" -> ((s, d) => Multimodal.qVideoNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

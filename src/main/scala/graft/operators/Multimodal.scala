@@ -204,6 +204,15 @@ object Multimodal {
       }
     }
 
+    /** Per-frame mean luma sequence of an AVI payload — the temporal
+      * signal [[Multimodal.videoHash64]] fingerprints. None when the
+      * container doesn't parse or any frame fails to decode. */
+    def frameLumas(payload: Array[Byte]): Option[Array[Double]] =
+      parse(payload).flatMap { case (_, frames) =>
+        val lumas = frames.iterator.map(readLuma(_).map(_._3)).toArray
+        if (lumas.forall(_.isDefined)) Some(lumas.map(_.get)) else None
+      }
+
     /** (width, height, mean luma) of one encoded frame, via imageio. */
     private def readLuma(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
       val img = try {
@@ -557,6 +566,83 @@ object Multimodal {
     }.toDF("id", "sh")
     Dedup.hammingPairs(hashed, maxHamming)
       .groupBy("hamming").agg(count("*").as("n_pairs"))
+  }
+
+  /** 64-bit temporal fingerprint of a video payload: decode (real
+    * RIFF/AVI parse + per-frame imageio), take the per-frame mean-luma
+    * sequence, resample it onto 65 equal-time windows, bit i =
+    * luma(window i+1) > luma(window i) — the sign of the brightness
+    * derivative over time. Brightness-scale invariant by construction
+    * (scaling every pixel scales every window mean equally, preserving
+    * all comparisons) — the video analogue of [[audioHash64]]'s energy
+    * deltas: identity lives in the temporal SHAPE (cuts, fades,
+    * motion), not absolute exposure. None when the payload isn't a
+    * decodable MJPEG-AVI with ≥ 2 frames. */
+  def videoHash64(payload: Array[Byte]): Option[Long] =
+    MjpegAviDecoder.frameLumas(payload).flatMap { lumas =>
+      if (lumas.length < 2) None
+      else {
+        // resample n frames onto 65 windows: window w = mean of frames
+        // in [w*n/65, (w+1)*n/65) (at least one frame per window via
+        // index rounding — short clips repeat frames, long clips pool)
+        val n = lumas.length
+        val windows = Array.tabulate(65) { w =>
+          val from = w * n / 65
+          val until = math.max(from + 1, (w + 1) * n / 65)
+          var s = 0.0
+          var i = from
+          while (i < until) { s += lumas(i); i += 1 }
+          s / (until - from)
+        }
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (windows(i + 1) > windows(i)) h |= (1L << i)
+          i += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** q111: video near-dup detection — the final member of the media
+    * dedup trio (text SimHash q28, image aHash q65, audio envelope
+    * q88): synthesize a deterministic 65-frame MJPEG AVI per doc (luma
+    * step pattern class = doc_id % 8, plus a one-frame per-doc
+    * brightness perturbation so same-class clips are NEAR-identical,
+    * not equal), fingerprint through the REAL container-parse +
+    * per-frame decode path on the executors, then the same
+    * banded-Hamming pair machinery ([[Dedup.hammingPairs]]: complete
+    * recall at the declared distance, bucket-join shuffles hashes
+    * only). Rows-only in the gate (AVI/JPEG synthesis isn't
+    * SQL-expressible); VideoDedupSpec verifies pair counts against
+    * brute-force Hamming and pins the fingerprint's exposure
+    * invariance. */
+  def qVideoNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    import s.implicits._
+    // key-filtered sample, not limit(n): the planner must not pick
+    // WHICH rows (same predicate in VideoDedupSpec's brute-force rerun)
+    val ids = documents(s, d).select(col("doc_id").cast("long"))
+      .filter(col("doc_id") < 120).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map { id => (id, videoHash64(synthClassAvi(id)).get) }
+    }.toDF("id", "sh")
+    Dedup.hammingPairs(hashed, maxHamming)
+      .groupBy("hamming").agg(count("*").as("n_pairs"))
+  }
+
+  /** The q111 payload: 65 solid frames whose luma step pattern is the
+    * doc's class (doc_id % 8) — the same step family as
+    * [[synthClassWav]] — with one class-independent frame brightness
+    * perturbation per doc, so same-class clips differ in ≤ 2 temporal
+    * deltas. Frames are 8×8 solid grays: JPEG round-trips those
+    * near-exactly (DC-only blocks), keeping the decoded ordering of
+    * adjacent pattern levels intact. */
+  def synthClassAvi(id: Long): Array[Byte] = {
+    val cls = (id % 8).toInt
+    val lumas = Array.tabulate(65)(w => 0.2 + 0.6 * ((w * (cls + 2)) % 7) / 7.0)
+    val bump = ((id / 8) % 65).toInt
+    lumas(bump) = math.min(1.0, lumas(bump) * 1.15)
+    synthAvi(lumas.toSeq.map(encodeSolidJpeg(8, 8, _)), fps = 10)
   }
 
   /** The q88 payload: 65-window envelope whose step pattern is the
