@@ -221,6 +221,14 @@ object SparkEntry {
     // container synthesis isn't SQL; VideoDedupSpec proves brute-force
     // parity and exposure invariance)
     "q111_video_near_dup" -> ((s, d) => Multimodal.qVideoNearDup(s, d)),
+    // q112: BM25 lexical top-k retrieval (scan-time scoring; top-k via
+    // TakeOrderedAndProject, never a global sort)
+    "q112_bm25" -> ((s, d) => TextAnalysis.qBm25(s, d)),
+    // q113: corpus-adaptive stopword strip — terms in >= 80% of docs
+    // struck from every doc, order preserved (broadcast common set)
+    "q113_stopword_strip" -> ((s, d) => TextAnalysis.qStopwordStrip(s, d)),
+    // q114: DSIR-style unigram importance weights toward a target source
+    "q114_importance_weights" -> ((s, d) => TextAnalysis.qImportanceWeights(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1298,5 +1306,61 @@ object SparkEntry {
                 CAST(SUM(length(text)) AS BIGINT) AS n_chars,
                 ROUND(SUM(length(text))::DOUBLE / COUNT(*), 2) AS mean_chars
          FROM v2 GROUP BY source""",
+    // BM25 with k1=1.2, b=0.75 — expression structure mirrors the Spark
+    // side term-for-term so both engines evaluate the same double ops
+    "q112_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, token AS term
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                 WHERE term IN ('stream', 'join', 'window')
+                 GROUP BY doc_id, term),
+         idf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+         scored AS (
+           SELECT qtf.doc_id,
+                  SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+           FROM qtf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY qtf.doc_id)
+         SELECT rank, doc_id, score FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+                  ROUND(score, 4) AS score FROM scored)
+         WHERE rank <= 20""",
+    "q113_stopword_strip" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+         n AS (SELECT COUNT(*) AS n_docs FROM docs),
+         dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                 FROM (SELECT doc_id, unnest(ts) AS term FROM docs)
+                 WHERE length(term) > 0 GROUP BY term),
+         common AS (SELECT list(term ORDER BY term) AS cs
+                    FROM dfr CROSS JOIN n WHERE df >= 0.8 * n_docs)
+         SELECT doc_id, len(ts) AS n_tokens,
+                len(list_filter(ts, t -> length(t) > 0
+                    AND NOT list_contains(COALESCE(cs, []), t))) AS n_kept,
+                array_to_string(list_filter(ts, t -> length(t) > 0
+                    AND NOT list_contains(COALESCE(cs, []), t)), ' ') AS clean_text
+         FROM docs CROSS JOIN common""",
+    "q114_importance_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, source, token AS term
+           FROM (SELECT doc_id, source,
+                        unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0),
+         vocab AS (SELECT term, COUNT(*) AS c_all,
+                          COUNT(*) FILTER (WHERE source = 'src0') AS c_tgt
+                   FROM toks GROUP BY term),
+         t AS (SELECT SUM(c_all) AS tot_all, SUM(c_tgt) AS tot_tgt,
+                      COUNT(*) AS v FROM vocab)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                ROUND(AVG(ln(((c_tgt + 1)::DOUBLE / (tot_tgt + v)) /
+                             ((c_all + 1)::DOUBLE / (tot_all + v)))), 4) AS dsir_weight
+         FROM toks JOIN vocab USING (term) CROSS JOIN t
+         GROUP BY doc_id""",
   )
 }

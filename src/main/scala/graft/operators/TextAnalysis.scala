@@ -200,6 +200,109 @@ object TextAnalysis {
         round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("avg_nll"))
   }
 
+  /** q112: BM25 lexical top-k retrieval — the classic inverted-index
+    * ranking function (Robertson–Spärck Jones; the Lucene/Elasticsearch
+    * default) as a Spark plan: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) with idf = ln(1 + (N − df + ½)/(df
+    * + ½)). Shape at scale: one explode with a map-side `isin` filter
+    * on the query terms (only matching postings survive the scan —
+    * the explode never shuffles), a (doc, term) partial agg for tf, a
+    * query-sized df agg that broadcasts, one doc-keyed join against
+    * per-doc lengths, and a global top-k that compiles to
+    * TakeOrderedAndProject (per-partition heads merged on the driver —
+    * no single-partition global sort). A real deployment would serve
+    * from a pre-built inverted index; this is the scan-time scoring
+    * path over raw parquet. */
+  def qBm25(s: SparkSession, d: String,
+      query: Seq[String] = Seq("stream", "join", "window"),
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count("*").as("dl"))
+    val stats = dl.agg(count("*").as("n_docs"), avg("dl").as("avgdl"))
+    val qtf = toks.filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "term").agg(count("*").as("tf"))
+    val df = qtf.groupBy("term").agg(count("*").as("df"))
+    val scored = qtf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** q113: document-frequency stopword strip — the corpus-adaptive
+    * boilerplate filter (the CCNet/Gopher device, reduced to tokens
+    * because this corpus has no line structure): a term present in ≥
+    * `dfFrac` of all documents carries no signal, so it is struck from
+    * every document, preserving the surviving tokens' order. Shape at
+    * scale: the df table is vocabulary-sized (Heaps' law) and the
+    * common set is a FILTER of it — tiny by construction — so it
+    * broadcasts as a one-row array and the strip is a per-row codegen
+    * HOF, zero shuffles beyond the vocab agg; the rewritten corpus
+    * never re-shuffles. Emits the cleaned text plus kept/removed
+    * counts per document (docs stripped to nothing stay, empty). */
+  def qStopwordStrip(s: SparkSession, d: String, dfFrac: Double = 0.8): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+    val nDocs = docs.select(count("*").as("n_docs"))
+    val common = docs
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= lit(dfFrac) * col("n_docs"))
+      .agg(sort_array(collect_list(col("term"))).as("cs"))
+    docs.crossJoin(broadcast(common))
+      .select(col("doc_id"), col("ts"),
+        filter(col("ts"), t => length(t) > 0 &&
+          !array_contains(coalesce(col("cs"), array()), t)).as("kept"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** q114: DSIR-style importance weighting for data selection (Xie et
+    * al., NeurIPS'23, reduced to its deterministic unigram core):
+    * weight(d) = mean over tokens of ln(p_target(t) / p_corpus(t)),
+    * where p_target is the add-one-smoothed unigram LM of one target
+    * source and p_corpus of the whole corpus — documents that "sound
+    * like" the target domain score high and get upsampled when building
+    * a domain-focused mixture. Shape at scale: both LMs live in ONE
+    * vocabulary-sized table (a conditional agg over the same pass),
+    * which broadcasts; scoring is one explode + broadcast join + per-doc
+    * avg — the q64 shape with a ratio instead of a single LM. */
+  def qImportanceWeights(s: SparkSession, d: String,
+      target: String = "src0"): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = toks.groupBy("term").agg(
+      count("*").as("c_all"),
+      count(when(col("source") === target, 1)).as("c_tgt"))
+    val totals = vocab.select(sum("c_all").as("tot_all"),
+      sum("c_tgt").as("tot_tgt"), count("*").as("v"))
+    toks.join(broadcast(vocab), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_tokens"),
+        round(avg(
+          log(((col("c_tgt") + lit(1)).cast("double") / (col("tot_tgt") + col("v"))) /
+            ((col("c_all") + lit(1)).cast("double") / (col("tot_all") + col("v"))))), 4)
+          .as("dsir_weight"))
+  }
+
   /** q102: perplexity-bucketed corpus partitioning — the CCNet device:
     * rank documents by LM score and cut the ranking into head / middle
     * / tail tertiles PER LANGUAGE (each language's distribution is its

@@ -194,4 +194,82 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(means.max - means.min <= 0.2 * corpusSpread,
       s"shard-mean spread ${means.max - means.min} vs corpus $corpusSpread")
   }
+
+  private def docTokens(): Array[(Long, String, Array[String])] =
+    Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+
+  test("q112 BM25 matches a driver-side brute force, same formula and tie-break") {
+    val (k1, b) = (1.2, 0.75)
+    val query = Seq("stream", "join", "window")
+    val docs = docTokens()
+    val dl = docs.map { case (id, _, ts) => id -> ts.length.toLong }.toMap
+    val n = dl.size
+    val avgdl = dl.values.sum.toDouble / n
+    val df = query.map(t => t -> docs.count(_._3.contains(t)).toLong).toMap
+    val scores = docs.flatMap { case (id, _, ts) =>
+      val s = query.map { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * (tf * (k1 + 1)) /
+          (tf + k1 * ((1 - b) + b * dl(id) / avgdl))
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+    val expect = scores.sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, math.rint(s * 1e4) / 1e4) }
+    val got = TextAnalysis.qBm25(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q113 stopword strip matches a driver-side df filter, order preserved") {
+    val docs = docTokens()
+    val n = docs.length
+    val df = docs.flatMap(_._3.distinct).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val common = df.filter { case (_, c) => c >= 0.8 * n }.keySet
+    assert(common.nonEmpty, "the corpus must actually have ubiquitous terms")
+    val expect = docs.map { case (id, _, ts) =>
+      val kept = ts.filterNot(common)
+      id -> ((ts.length, kept.length, kept.mkString(" ")))
+    }.toMap
+    val got = TextAnalysis.qStopwordStrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got == expect)
+    // the strip must remove something somewhere but never everything everywhere
+    assert(got.values.exists { case (nt, nk, _) => nk < nt })
+    assert(got.values.exists { case (_, nk, _) => nk > 0 })
+  }
+
+  test("q114 importance weights match a driver-side smoothed log-ratio; target source scores high") {
+    val target = "src0"
+    val docs = docTokens()
+    val all = docs.flatMap(_._3)
+    val cAll = all.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val cTgt = docs.filter(_._2 == target).flatMap(_._3)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val (totAll, totTgt, v) = (all.length.toLong,
+      docs.filter(_._2 == target).map(_._3.length).sum.toLong, cAll.size.toLong)
+    val expect = docs.map { case (id, _, ts) =>
+      val w = ts.map { t =>
+        math.log(((cTgt.getOrElse(t, 0L) + 1).toDouble / (totTgt + v)) /
+          ((cAll(t) + 1).toDouble / (totAll + v)))
+      }.sum / ts.length
+      id -> math.rint(w * 1e4) / 1e4
+    }.toMap
+    val got = TextAnalysis.qImportanceWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, w) <- expect)
+      assert(math.abs(got(id) - w) <= 1e-4 + 1e-9, s"doc $id: ${got(id)} vs $w")
+    // documents FROM the target source must, on average, "sound like" it
+    val bySource = docs.map { case (id, src, _) => src -> got(id) }
+    val tgtMean = bySource.filter(_._1 == target).map(_._2).sum /
+      bySource.count(_._1 == target)
+    val restMean = bySource.filterNot(_._1 == target).map(_._2).sum /
+      bySource.count(_._1 != target)
+    assert(tgtMean > restMean,
+      s"target-source mean $tgtMean must exceed non-target mean $restMean")
+  }
 }
