@@ -229,6 +229,10 @@ object SparkEntry {
     "q113_stopword_strip" -> ((s, d) => TextAnalysis.qStopwordStrip(s, d)),
     // q114: DSIR-style unigram importance weights toward a target source
     "q114_importance_weights" -> ((s, d) => TextAnalysis.qImportanceWeights(s, d)),
+    // q115: temperature-rebalanced language mixture (XLM-R sampling)
+    "q115_temperature_mix" -> ((s, d) => Pipeline.qTemperatureMix(s, d)),
+    // q116: hybrid BM25+dense retrieval fused by reciprocal rank (RRF)
+    "q116_hybrid_rrf" -> ((s, d) => Similarity.qHybridRrf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1322,7 +1326,7 @@ object SparkEntry {
          idf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
          scored AS (
            SELECT qtf.doc_id,
-                  SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                  SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf::DOUBLE * 2.2) /
                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
            FROM qtf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
            GROUP BY qtf.doc_id)
@@ -1362,5 +1366,62 @@ object SparkEntry {
                              ((c_all + 1)::DOUBLE / (tot_all + v)))), 4) AS dsir_weight
          FROM toks JOIN vocab USING (term) CROSS JOIN t
          GROUP BY doc_id""",
+    "q115_temperature_mix" ->
+      """WITH bylang AS (
+           SELECT lang, CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(n_tokens) AS total FROM bylang),
+         t2 AS (SELECT lang, n_tokens,
+                       n_tokens::DOUBLE / total AS praw,
+                       pow(n_tokens::DOUBLE / total, 0.3) AS pa
+                FROM bylang CROSS JOIN tot),
+         z AS (SELECT SUM(pa) AS z FROM t2)
+         SELECT lang, n_tokens,
+                ROUND(praw, 6) AS p_raw,
+                ROUND(pa / z, 6) AS p_alpha,
+                ROUND(pa / z / praw, 4) AS upsample,
+                CAST(FLOOR(pa / z * 1000000) AS BIGINT) AS budget_tokens
+         FROM t2 CROSS JOIN z""",
+    // RRF fusion of a BM25 leg and a dense-cosine leg (query = vec 0);
+    // fused scores are sums of 1/(60+rank) over integer ranks, so the
+    // fusion itself is exactly deterministic across engines
+    "q116_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, token AS term
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                 WHERE term IN ('stream', 'join', 'window')
+                 GROUP BY doc_id, term),
+         idf AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+         lexs AS (
+           SELECT qtf.doc_id,
+                  SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf::DOUBLE * 2.2) /
+                      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+           FROM qtf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+           WHERE qtf.doc_id <> 0
+           GROUP BY qtf.doc_id),
+         lex AS (SELECT doc_id, r_lex FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+           FROM lexs) WHERE r_lex <= 100),
+         qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         sems AS (SELECT vec_id AS doc_id,
+                         list_cosine_similarity(q_emb, embedding::DOUBLE[]) AS score
+                  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+         sem AS (SELECT doc_id, r_sem FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_sem
+           FROM sems) WHERE r_sem <= 100),
+         fused AS (
+           SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+                  COALESCE(1.0 / (60 + r_lex), 0) + COALESCE(1.0 / (60 + r_sem), 0) AS rrf
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT rank, doc_id, r_lex, r_sem, rrf FROM (
+           SELECT doc_id, r_lex, r_sem,
+                  ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+                  ROUND(rrf, 6) AS rrf FROM fused)
+         WHERE rank <= 20""",
   )
 }

@@ -48,6 +48,34 @@ object Pipeline {
         sum(size(split(col("text"), "\\s+")).cast("long")).as("sum_tokens"))
   }
 
+  /** q115: temperature-rebalanced language mixture — the multilingual
+    * sampling device (XLM-R / mT5's exponentiated-and-renormalized
+    * multinomial): raw language share p_l = tokens_l / total is flattened
+    * to p_l^α / Σ p^α (α < 1 upsamples low-resource languages), yielding
+    * per-language sampling weights, the implied upsampling factor, and
+    * the token budget each language receives in a fixed-size epoch.
+    * Shape at scale: ONE corpus scan for the per-language token counts
+    * (map-side partial agg, languages-sized result), then all math on
+    * the languages-sized table — two scalar cross joins that broadcast.
+    * The 100 TB cost is the scan, which q85's datasheet already pays;
+    * in production this rides that same pass. */
+  def qTemperatureMix(s: SparkSession, d: String, alpha: Double = 0.3,
+      budget: Long = 1000000L): DataFrame = {
+    val byLang = documents(s, d).groupBy("lang")
+      .agg(sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+    val tot = byLang.agg(sum("n_tokens").as("total"))
+    val t2 = byLang.crossJoin(broadcast(tot))
+      .withColumn("praw", col("n_tokens").cast("double") / col("total"))
+      .withColumn("pa", pow(col("n_tokens").cast("double") / col("total"), alpha))
+    val z = t2.agg(sum("pa").as("z"))
+    t2.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_tokens"),
+        round(col("praw"), 6).as("p_raw"),
+        round(col("pa") / col("z"), 6).as("p_alpha"),
+        round(col("pa") / col("z") / col("praw"), 4).as("upsample"),
+        floor(col("pa") / col("z") * budget).cast("long").as("budget_tokens"))
+  }
+
   /** q41: sub-document (paragraph-level) exact dedup — split documents
     * into sentences, count exact duplicates per source via digest.
     * The explode never copies the document payload, only sentence

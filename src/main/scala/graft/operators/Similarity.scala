@@ -46,6 +46,52 @@ object Similarity {
     bruteForceTopK(queriesDf(s, d),
       embeddings(s, d).select("vec_id", "embedding"), 10)
 
+  /** q116: hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    * (Cormack et al., SIGIR'09 — the standard way RAG stacks combine a
+    * BM25 leg with a dense-vector leg without score calibration):
+    * each leg produces its own top-`legN` ranking (lexical = q112's
+    * BM25 over the query terms; semantic = cosine against a query
+    * embedding, here vec 0's), and a document's fused score is
+    * Σ_legs 1/(rrfK + rank) over the legs that retrieved it. Ranks are
+    * integers, so fusion is EXACTLY deterministic — float order only
+    * picks each leg's internal ranking, the q32/q112 precedent.
+    * Shape at scale: both legs end in TakeOrderedAndProject
+    * (per-partition heads, no global sort), fusion is a full-outer
+    * join of two legN-row tables — driver-sized by construction.
+    * Truncated-list fusion is not an approximation dodge; it IS the
+    * published method (RRF is defined over per-system top-k lists). */
+  def qHybridRrf(s: SparkSession, d: String,
+      query: Seq[String] = Seq("stream", "join", "window"),
+      k: Int = 20, legN: Int = 100, rrfK: Int = 60): DataFrame = {
+    val rankW = Window.orderBy(col("score").desc, col("doc_id").asc)
+    // lexical leg: BM25, self-id 0 excluded for parity with the
+    // semantic leg (vec 0 is the query)
+    val lex = TextAnalysis.bm25Scores(s, d, query)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(legN)
+      .withColumn("r_lex", row_number().over(rankW))
+      .select(col("doc_id"), col("r_lex"))
+    // semantic leg: cosine against vec 0's embedding
+    val qv = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val sem = embeddings(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(legN)
+      .withColumn("r_sem", row_number().over(rankW))
+      .select(col("doc_id"), col("r_sem"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0))).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("r_lex"), col("r_sem"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   /** SQ8 scalar quantization of an embedding column: per-vector scale
     * = max|x|/127, elements rounded to int8 and stored as
     * ARRAY<TINYINT> — 1 byte per dimension at rest (4× less than

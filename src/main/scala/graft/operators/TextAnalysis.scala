@@ -217,6 +217,18 @@ object TextAnalysis {
       query: Seq[String] = Seq("stream", "join", "window"),
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val top = bm25Scores(s, d, query, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** The q112 scoring core without the top-k: (doc_id, score) for every
+    * document containing at least one query term. Shared with q116's
+    * lexical leg. */
+  def bm25Scores(s: SparkSession, d: String, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .filter(length(col("term")) > 0)
@@ -225,7 +237,7 @@ object TextAnalysis {
     val qtf = toks.filter(col("term").isin(query: _*))
       .groupBy("doc_id", "term").agg(count("*").as("tf"))
     val df = qtf.groupBy("term").agg(count("*").as("df"))
-    val scored = qtf.join(broadcast(df), Seq("term"))
+    qtf.join(broadcast(df), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
@@ -234,10 +246,6 @@ object TextAnalysis {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("contrib"))
       .groupBy("doc_id").agg(sum("contrib").as("score"))
-    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
   /** q113: document-frequency stopword strip — the corpus-adaptive

@@ -236,4 +236,38 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(win - raw) > 1e-9)
     }
   }
+
+  test("q115: temperature mix matches driver-side alpha-flattening; upsample anti-monotone in share") {
+    val (alpha, budget) = (0.3, 1000000L)
+    // Spark's split(text, "\\s+") keeps leading/trailing empty tokens
+    // (Pattern.split with limit -1); match that exactly
+    val byLang = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+", -1).length.toLong))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+    val total = byLang.values.sum.toDouble
+    val pa = byLang.map { case (l, n) => l -> math.pow(n / total, alpha) }
+    val z = pa.values.sum
+    val got = Pipeline.qTemperatureMix(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.keySet == byLang.keySet)
+    for ((l, n) <- byLang) {
+      val (gn, praw, palpha, ups, gb) = got(l)
+      val (ePraw, ePalpha) = (n / total, pa(l) / z)
+      assert(gn == n, s"$l token count")
+      assert(math.abs(praw - ePraw) <= 5e-7 + 1e-12, s"$l p_raw $praw vs $ePraw")
+      assert(math.abs(palpha - ePalpha) <= 5e-7 + 1e-12, s"$l p_alpha")
+      assert(math.abs(ups - ePalpha / ePraw) <= 5e-5 + 1e-9, s"$l upsample")
+      assert(math.abs(gb - math.floor(ePalpha * budget)) <= 1, s"$l budget")
+    }
+    // the flattened distribution still sums to one and the budget never
+    // exceeds the epoch size
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4)
+    assert(got.values.map(_._5).sum <= budget)
+    // alpha < 1 flattens: upsample factor strictly anti-monotone in raw
+    // share, >1 for the smallest language, <1 for the largest
+    val bySize = byLang.toSeq.sortBy(_._2).map { case (l, _) => got(l)._4 }
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
+    assert(bySize.head > 1.0 && bySize.last < 1.0)
+  }
 }

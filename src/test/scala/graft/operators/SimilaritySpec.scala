@@ -324,4 +324,72 @@ class SimilaritySpec extends AnyFunSuite {
       assert(meanErr <= maxErr)
     }
   }
+
+  test("q116: RRF fusion matches a driver-side two-leg brute force, exact ranks") {
+    val (k1, b, legN, rrfK) = (1.2, 0.75, 100, 60)
+    val query = Seq("stream", "join", "window")
+    // lexical leg: the q112 BM25 brute force (df/dl/avgdl over ALL docs
+    // including doc 0; doc 0 dropped only from the ranking — the query
+    // owns id 0 on both legs)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val n = dl.size
+    val avgdl = dl.values.sum.toDouble / n
+    val df = query.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val lexRank = docs.flatMap { case (id, ts) =>
+      if (id == 0) None else {
+        val s = query.map { t =>
+          val tf = ts.count(_ == t).toLong
+          if (tf == 0) 0.0
+          else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * (tf * (k1 + 1)) /
+            (tf + k1 * ((1 - b) + b * dl(id) / avgdl))
+        }.sum
+        if (s > 0) Some(id -> s) else None
+      }
+    }.sortBy { case (id, s) => (-s, id) }.take(legN)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // semantic leg: cosine against vec 0
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qv = embs.find(_._1 == 0L).get._2
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    val semRank = embs.filter(_._1 != 0L).map { case (id, v) => id -> cos(qv, v) }
+      .sortBy { case (id, s) => (-s, id) }.take(legN)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // fusion: integer ranks only, so this is exactly deterministic
+    val fused = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+      id -> (lexRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+        semRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0))
+    }
+    val expect = fused.sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, s), i) =>
+        (i + 1, id, lexRank.get(id), semRank.get(id), s) }
+    val got = Similarity.qHybridRrf(spark, sf).collect().map { r =>
+      (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4))
+    }.sortBy(_._1)
+    assert(got.length == expect.length)
+    for (((gr, gid, glex, gsem, grrf), (er, eid, elex, esem, errf)) <- got.zip(expect)) {
+      assert((gr, gid, glex, gsem) == ((er, eid, elex, esem)),
+        s"rank $er: got ($gid,$glex,$gsem) want ($eid,$elex,$esem)")
+      assert(math.abs(grrf - errf) <= 1e-6, s"rank $er rrf $grrf vs $errf")
+    }
+    // both legs must actually contribute to the fused top-20
+    assert(expect.exists { case (_, _, l, s2, _) => l.isDefined && s2.isEmpty })
+    assert(expect.exists { case (_, _, l, s2, _) => l.isEmpty && s2.isDefined })
+    assert(expect.exists { case (_, _, l, s2, _) => l.isDefined && s2.isDefined })
+  }
 }
