@@ -71,6 +71,23 @@ object Bench {
     "q107_sq8_error",
     "q108_jaccard_bands",
     "q109_curriculum",
+    // round 10: delta-maintained datasheet, the retrieval pair (BM25
+    // and its RRF fusion with the dense leg), df-stopword strip, DSIR
+    // weights, and the temperature mixture (scan-shaped)
+    "q110_incremental_stats",
+    "q112_bm25",
+    "q113_stopword_strip",
+    "q114_importance_weights",
+    "q115_temperature_mix",
+    "q116_hybrid_rrf",
+    // round 10: rule gate, epoch shuffle, rejection sampling,
+    // truncation audit, PCA spectrum (scan-shaped except the PCA's
+    // one covariance pass)
+    "q117_gopher_rules",
+    "q118_epoch_shuffle",
+    "q119_rejection_sample",
+    "q120_matryoshka",
+    "q121_pca_variance",
   )
 
   def main(args: Array[String]): Unit = {

@@ -233,6 +233,20 @@ object SparkEntry {
     "q115_temperature_mix" -> ((s, d) => Pipeline.qTemperatureMix(s, d)),
     // q116: hybrid BM25+dense retrieval fused by reciprocal rank (RRF)
     "q116_hybrid_rrf" -> ((s, d) => Similarity.qHybridRrf(s, d)),
+    // q117: Gopher-style hand-rule quality gate (per-rule booleans);
+    // the required-word rule runs on the corpus's own function words
+    // ("the"/"a" — the only English stopwords in the synthetic vocab)
+    "q117_gopher_rules" -> ((s, d) =>
+      TextAnalysis.qGopherRules(s, d, requiredWords = Seq("the", "a"))),
+    // q118: deterministic sharded epoch shuffle (replayable training order)
+    "q118_epoch_shuffle" -> ((s, d) => Pipeline.qEpochShuffle(s, d)),
+    // q119: deterministic rejection sampling by quality ramp
+    "q119_rejection_sample" -> ((s, d) => Pipeline.qRejectionSample(s, d)),
+    // q120: Matryoshka truncation-fidelity audit over prefix dims
+    "q120_matryoshka" -> ((s, d) => Similarity.qMatryoshka(s, d)),
+    // q121: PCA explained-variance spectrum — rows-only (eigensolve is
+    // not SQL-expressible); SimilaritySpec pins variance identities
+    "q121_pca_variance" -> ((s, d) => Similarity.qPcaVariance(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1423,5 +1437,78 @@ object SparkEntry {
                   ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
                   ROUND(rrf, 6) AS rrf FROM fused)
          WHERE rank <= 20""",
+    "q117_gopher_rules" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> length(t) > 0) AS ts
+           FROM documents),
+         feat AS (
+           SELECT doc_id, len(ts) AS n_words,
+                  list_aggregate(list_transform(ts, t -> length(t)), 'sum')::DOUBLE
+                    / len(ts) AS mean_len,
+                  len(list_filter(ts, t -> contains(t, '#') OR contains(t, '...')))::DOUBLE
+                    / len(ts) AS sym_ratio,
+                  len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                    / len(ts) AS alpha_ratio,
+                  len(list_intersect(list_distinct(ts), ['the','a'])) AS n_stops
+           FROM toks)
+         SELECT doc_id, n_words,
+                n_words >= 20 AND n_words <= 100000 AS r_words,
+                mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_len,
+                sym_ratio <= 0.1 AS r_symbols,
+                alpha_ratio >= 0.9 AS r_alpha,
+                n_stops >= 2 AS r_stopwords,
+                (n_words >= 20 AND n_words <= 100000)
+                  AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                  AND sym_ratio <= 0.1 AND alpha_ratio >= 0.9
+                  AND n_stops >= 2 AS pass
+         FROM feat""",
+    "q118_epoch_shuffle" ->
+      """WITH k AS (
+           SELECT epoch, doc_id, md5(epoch || ':' || doc_id) AS h
+           FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS epoch)),
+         s AS (SELECT epoch, doc_id, h,
+                      strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS shard
+               FROM k)
+         SELECT epoch, shard,
+                ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                                   ORDER BY h, doc_id) AS pos,
+                doc_id
+         FROM s""",
+    // the deterministic uniform is the first 16 bits of md5(doc_id);
+    // DuckDB lacks a hex->int cast, so the four hex digits are decoded
+    // positionally — identical arithmetic to Spark's conv(...,16,10)
+    "q119_rejection_sample" ->
+      """WITH h AS (SELECT doc_id, text, md5(doc_id::VARCHAR) AS hx FROM documents),
+         u AS (SELECT doc_id, text,
+                      ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1))
+                        / 65536.0 AS uval
+               FROM h)
+         SELECT doc_id,
+                len(string_split_regex(text, '\s+')) AS n_tokens,
+                ROUND(LEAST(1.0, len(string_split_regex(text, '\s+')) / 50.0), 6) AS p_keep,
+                ROUND(uval, 6) AS u,
+                ROUND(uval, 6) < ROUND(LEAST(1.0,
+                  len(string_split_regex(text, '\s+')) / 50.0), 6) AS kept
+         FROM u""",
+    "q120_matryoshka" ->
+      """WITH p AS (
+           SELECT a.vec_id, a.embedding::DOUBLE[] AS x, b.embedding::DOUBLE[] AS y
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         ex AS (
+           SELECT dprime,
+                  list_cosine_similarity(x, y) AS cos_full,
+                  list_cosine_similarity(list_slice(x, 1, dprime),
+                                         list_slice(y, 1, dprime)) AS cos_trunc
+           FROM p CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dprime))
+         SELECT dprime, COUNT(*) AS n_pairs,
+                ROUND(AVG(ABS(cos_trunc - cos_full)), 6) AS mean_drift,
+                ROUND(MAX(ABS(cos_trunc - cos_full)), 6) AS max_drift,
+                ROUND(AVG(cos_trunc), 6) AS mean_cos
+         FROM ex GROUP BY dprime""",
   )
 }

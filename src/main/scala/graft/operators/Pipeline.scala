@@ -878,4 +878,47 @@ object Pipeline {
       .agg(count("*").as("n_kept"),
         sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
   }
+
+  /** q118: deterministic epoch shuffle — the training-order
+    * construction every epoch of pre-training needs: a reproducible
+    * pseudo-random permutation of the corpus per epoch, sharded so no
+    * single task ever holds a global order. Each doc's epoch-`e` key is
+    * md5(e:doc_id); its shard is the first hex digit (16 shards) and
+    * its position is the rank of the key WITHIN that shard — windows
+    * are partition-local, so at 100 TB this is one hash-shuffle into
+    * shards and a per-shard sort, never a global `orderBy`. Different
+    * epochs derive different keys, so orders decorrelate while staying
+    * replayable from (epoch, doc_id) alone — no stored permutation. */
+  def qEpochShuffle(s: SparkSession, d: String, epochs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = documents(s, d).select(col("doc_id"))
+    val perEpoch = (1 to epochs).map { e =>
+      val h = md5(concat(lit(s"$e:"), col("doc_id").cast("string")).cast("binary"))
+      ids.select(lit(e).as("epoch"), col("doc_id"), h.as("h"))
+        .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+    }
+    val w = Window.partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))
+    perEpoch.reduce(_.unionAll(_))
+      .withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
+  /** q119: rejection sampling by quality — keep each document with
+    * probability proportional to a per-doc score (here the token-count
+    * ramp p = min(1, tokens/50): longer docs are likelier kept), using
+    * a DETERMINISTIC uniform u = first-16-bits of md5(doc_id) / 2^16 —
+    * the standard way a distributed pipeline samples without RNG state:
+    * exactly reproducible, re-runnable, and auditable (every accept
+    * decision can be re-derived from the doc alone). Map-side filter in
+    * the scan, no shuffle at any corpus size. */
+  def qRejectionSample(s: SparkSession, d: String, scale: Double = 50.0): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val u = conv(substring(h, 1, 4), 16, 10).cast("double") / 65536.0
+    documents(s, d)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(least(lit(1.0), tokenCount(col("text")) / lit(scale)), 6).as("p_keep"),
+        round(u, 6).as("u"))
+      .withColumn("kept", col("u") < col("p_keep"))
+  }
 }

@@ -117,6 +117,66 @@ object Similarity {
         round(min("v"), 4).as("vmin"),
         round(max("v"), 4).as("vmax"))
 
+  /** q120: Matryoshka truncation-fidelity audit — the serving-dimension
+    * decision number for prefix-truncatable embeddings (Kusupati et al.
+    * '22): for each candidate prefix length d', how far does the
+    * truncated cosine drift from the full-dimension cosine on real
+    * neighbor pairs? Pairs are (vec i, vec i+1) — a deterministic,
+    * corpus-sized sample — and each pair contributes |cos_d' − cos_64|.
+    * Output per d': mean/max drift and mean truncated cosine. One
+    * self-join on adjacent ids (equi-join, no fanout) exploded by 4
+    * candidate dims — row-local math, dims-sized result; at 100 TB the
+    * pair sample would be hash-sampled instead of adjacent-id, same
+    * plan. Drives the choice q66/q91 then compress. */
+  def qMatryoshka(s: SparkSession, d: String,
+      dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id"), col("embedding").as("x"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("y")),
+        Seq("vec_id"))
+    val full = cosineSimilarity(col("x"), col("y"))
+    pairs.select(col("vec_id"), full.as("cos_full"),
+        explode(array(dims.map(lit): _*)).as("dprime"),
+        col("x"), col("y"))
+      .select(col("dprime"), col("cos_full"),
+        cosineSimilarity(slice(col("x"), lit(1), col("dprime")),
+          slice(col("y"), lit(1), col("dprime"))).as("cos_trunc"))
+      .groupBy("dprime")
+      .agg(count("*").as("n_pairs"),
+        round(avg(abs(col("cos_trunc") - col("cos_full"))), 6).as("mean_drift"),
+        round(max(abs(col("cos_trunc") - col("cos_full"))), 6).as("max_drift"),
+        round(avg(col("cos_trunc")), 6).as("mean_cos"))
+  }
+
+  /** q121: PCA variance audit — the intrinsic-dimensionality datasheet
+    * for an embedding column (what q106 is per-dimension, this is
+    * per-principal-component): fit a k-component PCA and report each
+    * component's explained-variance share plus the cumulative curve —
+    * the number that says whether 64 dims are 16 dims in a trench coat
+    * (and what q120's truncation is giving away vs an optimal rotation).
+    * Spark ML's PCA is the right engine shape at 100 TB: one
+    * distributed pass builds the 64×64 covariance, the eigensolve is
+    * driver-side on that tiny matrix, and no data leaves the executors.
+    * Rows-only (eigen decomposition is not SQL-expressible);
+    * SimilaritySpec pins the spectrum against variance identities. */
+  def qPcaVariance(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = embeddings(s, d)
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new PCA().setInputCol("features").setK(k).fit(vecs)
+    import s.implicits._
+    model.explainedVariance.toArray.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toSeq
+      .toDF("component", "var_ratio")
+      .withColumn("cum_ratio",
+        sum("var_ratio").over(org.apache.spark.sql.expressions.Window
+          .orderBy("component")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("component"), round(col("var_ratio"), 6).as("var_ratio"),
+        round(col("cum_ratio"), 6).as("cum_ratio"))
+  }
+
   /** q107: SQ8 reconstruction-error audit — grounds q66's quantized
     * serving path with the number a pipeline actually decides on: the
     * per-vector absolute reconstruction error of the SAME symmetric

@@ -547,6 +547,43 @@ object TextAnalysis {
         sum((length(col("text")) - length(col("norm"))).cast("long")).as("chars_shed"))
   }
 
+  /** q117: Gopher-style rule filter (Rae et al. '21, Appendix A) — the
+    * classic hand-rule quality gate beside q23's scores and q84's
+    * learned classifier: per-document booleans for word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    * fraction, and the ≥2-distinct-required-stopwords rule, plus the
+    * conjunction. Thresholds are the published ones except `minWords`
+    * (the synthetic docs are short) and the required-word list (the
+    * paper's English function words; the gate passes the corpus's own
+    * function words, same rule) — both parameters. All
+    * row-local codegen'd array expressions in one scan — no shuffle at
+    * any corpus size; the line-shape rules (bullet/ellipsis line
+    * ratios) are N/A on single-line documents and omitted. */
+  def qGopherRules(s: SparkSession, d: String, minWords: Int = 20,
+      maxWords: Int = 100000,
+      requiredWords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): DataFrame = {
+    val toks = filter(tokens(lower(col("text"))), t => length(t) > 0)
+    val nW = size(toks)
+    val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / nW
+    val symbolW = size(filter(toks,
+      t => t.contains("#") || t.contains("...")))
+    val alphaW = size(filter(toks, t => t.rlike("[a-z]")))
+    val gopherStops = array(requiredWords.map(lit): _*)
+    val nStops = size(array_intersect(array_distinct(toks), gopherStops))
+    val rules = Seq(
+      (nW >= minWords && nW <= maxWords).as("r_words"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+      (symbolW.cast("double") / nW <= 0.1).as("r_symbols"),
+      (alphaW.cast("double") / nW >= 0.9).as("r_alpha"),
+      (nStops >= 2).as("r_stopwords"))
+    documents(s, d).select(col("doc_id") +: nW.as("n_words") +: rules: _*)
+      .withColumn("pass",
+        col("r_words") && col("r_mean_len") && col("r_symbols") &&
+          col("r_alpha") && col("r_stopwords"))
+  }
+
   def qHeavyHitters(s: SparkSession, d: String, m: Int = 64): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)

@@ -270,4 +270,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
     assert(bySize.head > 1.0 && bySize.last < 1.0)
   }
+
+  test("q118: epoch shuffle is a per-epoch permutation, shard-contiguous, epochs decorrelated") {
+    val rows = Pipeline.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val allIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1, 2))
+    for ((e, es) <- byEpoch) {
+      // every doc exactly once per epoch
+      assert(es.map(_._4).toSet == allIds && es.length == allIds.size, s"epoch $e")
+      // positions contiguous 1..n within each shard
+      for ((sh, ss) <- es.groupBy(_._2)) {
+        assert(ss.map(_._3).sorted.toSeq == (1 to ss.length), s"epoch $e shard $sh")
+        assert(sh >= 0 && sh < 16)
+      }
+    }
+    // the two epochs must order docs differently (md5 keys differ)
+    def order(e: Int): Seq[Long] =
+      byEpoch(e).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(order(1) != order(2))
+    // replayable: a second run is identical
+    val again = Pipeline.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
+  test("q119: rejection sampling matches driver-side md5 uniforms; acceptance tracks the ramp") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, text) =>
+      val u = java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) / 65536.0
+      val nTok = text.split("\\s+", -1).length
+      val p = math.min(1.0, nTok / 50.0)
+      id -> ((nTok, math.rint(p * 1e6) / 1e6, math.rint(u * 1e6) / 1e6))
+    }.toMap
+    val got = Pipeline.qRejectionSample(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, (nTok, p, u)) <- expect) {
+      val (gn, gp, gu, gk) = got(id)
+      assert(gn == nTok, s"doc $id tokens")
+      assert(math.abs(gp - p) <= 1e-6 && math.abs(gu - u) <= 1e-6, s"doc $id p/u")
+      assert(gk == (gu < gp), s"doc $id kept")
+    }
+    // the sample must be non-trivial in both directions, and docs at
+    // p=1 are always kept unless u rounds to 1 exactly
+    val kept = got.values.count(_._4)
+    assert(kept > 0 && kept < got.size)
+    assert(got.values.filter(v => v._2 == 1.0 && v._3 < 1.0).forall(_._4))
+  }
 }

@@ -392,4 +392,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(expect.exists { case (_, _, l, s2, _) => l.isEmpty && s2.isDefined })
     assert(expect.exists { case (_, _, l, s2, _) => l.isDefined && s2.isDefined })
   }
+
+  test("q120: truncation drift matches a driver-side slice-cosine; drift shrinks as dims grow") {
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosd(x: Array[Float], y: Array[Float], d: Int): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < d) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    val pairs = embs.keys.toSeq.sorted.flatMap(i =>
+      embs.get(i + 1).map(y => (embs(i), y)))
+    assert(pairs.nonEmpty)
+    val expect = Seq(8, 16, 32, 64).map { d =>
+      val drifts = pairs.map { case (x, y) => math.abs(cosd(x, y, d) - cosd(x, y, 64)) }
+      val coss = pairs.map { case (x, y) => cosd(x, y, d) }
+      d -> ((pairs.length.toLong, drifts.sum / drifts.length, drifts.max,
+        coss.sum / coss.length))
+    }.toMap
+    val got = Similarity.qMatryoshka(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((d, (n, meanD, maxD, meanC)) <- expect) {
+      val (gn, gMean, gMax, gCos) = got(d)
+      assert(gn == n, s"d=$d pairs")
+      assert(math.abs(gMean - meanD) <= 2e-6, s"d=$d mean drift $gMean vs $meanD")
+      assert(math.abs(gMax - maxD) <= 2e-6, s"d=$d max drift")
+      assert(math.abs(gCos - meanC) <= 2e-6, s"d=$d mean cos")
+    }
+    // longer prefixes are more faithful, and the full dimension is exact
+    assert(got(64)._2 == 0.0 && got(64)._3 == 0.0)
+    assert(got(8)._2 >= got(16)._2 && got(16)._2 >= got(32)._2)
+    assert(got(8)._2 > 0.0, "8-dim truncation must actually drift")
+  }
+
+  test("q121: PCA spectrum is a sorted sub-stochastic distribution that beats uniform") {
+    val rows = Similarity.qPcaVariance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 16))
+    val ratios = rows.map(_._2)
+    assert(ratios.forall(v => v > 0.0 && v <= 1.0))
+    // eigenvalues come out sorted
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b - 1e-9 })
+    // cumulative curve is the prefix sum and stays <= 1
+    var acc = 0.0
+    for ((_, v, c) <- rows) {
+      acc += v
+      assert(math.abs(c - acc) <= 1e-4)
+    }
+    assert(acc <= 1.0 + 1e-6)
+    // the top PC captures at least the best single axis: its share must
+    // beat the largest per-dimension variance share
+    val dimVars = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(var_pop(col("v")).as("s2"))
+      .collect().map(_.getDouble(1))
+    val bestAxisShare = dimVars.max / dimVars.sum
+    assert(ratios.head >= bestAxisShare - 1e-6,
+      s"top PC ${ratios.head} must be >= best axis share $bestAxisShare")
+    // 16 of 64 components must explain more than a uniform 16/64 share
+    assert(acc > 16.0 / 64.0)
+  }
 }

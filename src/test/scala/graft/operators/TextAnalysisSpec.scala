@@ -272,4 +272,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tgtMean > restMean,
       s"target-source mean $tgtMean must exceed non-target mean $restMean")
   }
+
+  test("q117 Gopher rules match a driver-side re-derivation; the gate discriminates") {
+    val gopherStops = Set("the", "a")
+    val expect = docTokens().map { case (id, _, ts) =>
+      val nW = ts.length
+      val meanLen = ts.map(_.length).sum.toDouble / nW
+      val symR = ts.count(t => t.contains("#") || t.contains("...")).toDouble / nW
+      val alphaR = ts.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / nW
+      val nStops = ts.distinct.count(gopherStops)
+      id -> ((nW, nW >= 20 && nW <= 100000, meanLen >= 3.0 && meanLen <= 10.0,
+        symR <= 0.1, alphaR >= 0.9, nStops >= 2))
+    }.toMap
+    val got = TextAnalysis.qGopherRules(spark, sf, requiredWords = Seq("the", "a"))
+      .collect().map { r =>
+      r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, (nW, rw, rm, rs, ra, rst)) <- expect) {
+      val (gnW, grw, grm, grs, gra, grst, gpass) = got(id)
+      assert(gnW == nW, s"doc $id words")
+      assert((grw, grm, grs, gra, grst) == ((rw, rm, rs, ra, rst)), s"doc $id rules")
+      assert(gpass == (rw && rm && rs && ra && rst), s"doc $id pass")
+    }
+    // the gate must actually separate: both outcomes occur, and at
+    // least one failure comes from the stopword rule specifically
+    val passes = got.values.map(_._7).toSeq
+    assert(passes.contains(true) && passes.contains(false))
+    assert(got.values.exists { case (_, rw, rm, rs, ra, rst, _) =>
+      rw && rm && rs && ra && !rst })
+  }
 }
