@@ -60,7 +60,16 @@ object ScaleBench {
       // round 8: PQ and IVF-PQ ANN through their persisted indexes —
       // the steady-state serving shapes (the first probe run pays each
       // index build once; the median reports the query cost)
-      "q91_knn_pq", "q93_knn_ivfpq")
+      "q91_knn_pq", "q93_knn_ivfpq",
+      // round 10: BM25 (the corpus scan + dl agg grow with the factor;
+      // the per-copy bijection keeps query-term hits copy-0-sized —
+      // the rare-term regime a real corpus shows at scale), its RRF
+      // fusion with the dense leg (adds the embeddings scan + two
+      // top-100 heads), the sharded epoch shuffle (per-shard sorts,
+      // the windows-at-scale datapoint), and the Matryoshka drift
+      // audit (adjacent-id equi-join over the scaled embeddings)
+      "q112_bm25", "q116_hybrid_rrf", "q118_epoch_shuffle",
+      "q120_matryoshka")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
