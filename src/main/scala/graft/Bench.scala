@@ -88,6 +88,8 @@ object Bench {
     "q119_rejection_sample",
     "q120_matryoshka",
     "q121_pca_variance",
+    "q122_padding_waste",
+    "q123_fertility",
   )
 
   def main(args: Array[String]): Unit = {

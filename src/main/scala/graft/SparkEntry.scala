@@ -247,6 +247,10 @@ object SparkEntry {
     // q121: PCA explained-variance spectrum — rows-only (eigensolve is
     // not SQL-expressible); SimilaritySpec pins variance identities
     "q121_pca_variance" -> ((s, d) => Similarity.qPcaVariance(s, d)),
+    // q122: length-bucket padding-waste audit (batching efficiency)
+    "q122_padding_waste" -> ((s, d) => Pipeline.qPaddingWaste(s, d)),
+    // q123: tokenizer fertility + compression ratio per language
+    "q123_fertility" -> ((s, d) => TextAnalysis.qFertility(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1510,5 +1514,26 @@ object SparkEntry {
                 ROUND(MAX(ABS(cos_trunc - cos_full)), 6) AS max_drift,
                 ROUND(AVG(cos_trunc), 6) AS mean_cos
          FROM ex GROUP BY dprime""",
+    "q122_padding_waste" ->
+      """WITH t AS (SELECT len(string_split_regex(text, '\s+')) AS n FROM documents),
+         b AS (SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                              WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                              WHEN n <= 1024 THEN 1024 ELSE 2048 END AS bucket
+               FROM t)
+         SELECT bucket, COUNT(*) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+                ROUND(1.0 - SUM(n)::DOUBLE / (bucket * COUNT(*)), 6) AS waste_frac
+         FROM b GROUP BY bucket""",
+    "q123_fertility" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_words,
+                CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe,
+                ROUND(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::DOUBLE
+                      / SUM(len(string_split_regex(text, '\s+'))), 6) AS fertility,
+                ROUND(SUM(length(text))::DOUBLE
+                      / SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 6) AS chars_per_token
+         FROM documents GROUP BY lang""",
   )
 }

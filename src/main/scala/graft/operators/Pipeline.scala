@@ -903,6 +903,31 @@ object Pipeline {
       .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
   }
 
+  /** q122: length-bucket padding-waste audit — the batching-efficiency
+    * datasheet: bucket documents by next-power-of-two token length (the
+    * standard length-grouped batching scheme) and report, per bucket,
+    * the padded token count and the waste fraction a trainer would pay
+    * padding every doc to its bucket boundary — the number that decides
+    * bucket granularity and sequence-packing strategy (q54 is the
+    * packer; this is the audit that says what packing saves). Buckets
+    * are explicit CASE thresholds, not float log2 (Math.log-based log2
+    * can land an exact power of two on either side across engines).
+    * One scan + buckets-sized agg, no shuffle beyond it. */
+  def qPaddingWaste(s: SparkSession, d: String): DataFrame = {
+    val n = tokenCount(col("text"))
+    val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+      .when(n <= 128, 128).when(n <= 256, 256).when(n <= 512, 512)
+      .when(n <= 1024, 1024).otherwise(2048)
+    documents(s, d)
+      .select(n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count("*").as("n_docs"),
+        sum("n_tokens").cast("long").as("sum_tokens"))
+      .withColumn("padded_tokens", col("bucket").cast("long") * col("n_docs"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("sum_tokens") / col("padded_tokens"), 6))
+  }
+
   /** q119: rejection sampling by quality — keep each document with
     * probability proportional to a per-doc score (here the token-count
     * ramp p = min(1, tokens/50): longer docs are likelier kept), using

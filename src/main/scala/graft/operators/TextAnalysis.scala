@@ -584,6 +584,29 @@ object TextAnalysis {
           col("r_alpha") && col("r_stopwords"))
   }
 
+  /** q123: tokenizer fertility by language — the tokenizer-choice
+    * audit every multilingual pipeline runs before committing a vocab:
+    * per language, subword tokens per whitespace word (fertility — the
+    * canonical "how many pieces does a word shatter into" number) and
+    * characters per subword token (the compression ratio). High
+    * fertility on a language means its documents cost more sequence
+    * length per word — feeding q115's budget math and tokenizer
+    * retraining decisions. Uses the BPE-ish subword proxy
+    * ([[graft.functions.bpeishTokenCount]]) the oracle can replicate;
+    * one scan, languages-sized agg. */
+  def qFertility(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        tokenCount(col("text")).as("words"),
+        bpeishTokenCount(col("text")).as("bpe"),
+        length(col("text")).as("chars"))
+      .groupBy("lang")
+      .agg(count("*").as("n_docs"),
+        sum("words").cast("long").as("sum_words"),
+        sum("bpe").cast("long").as("sum_bpe"),
+        round(sum("bpe").cast("double") / sum("words"), 6).as("fertility"),
+        round(sum("chars").cast("double") / sum("bpe"), 6).as("chars_per_token"))
+
   def qHeavyHitters(s: SparkSession, d: String, m: Int = 64): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)

@@ -148,4 +148,54 @@ object Stateful {
           KeyedHitters(key, agg.finish(st), st.n)
       }
   }
+
+  case class HistQState(n: Long, counts: Seq[Long])
+  case class KeyedQuantiles(key: Long, n: Long, quantiles: Seq[(Double, Double)])
+
+  /** Running quantiles per key via a fixed-bin histogram held as
+    * streaming state — the third sketch-in-state composition beside
+    * [[runningDistinct]] (cardinality) and [[runningHeavyHitters]]
+    * (frequency): per key the state is exactly `bins` counters FOREVER,
+    * where an exact quantile would buffer the whole stream. Counts are
+    * additive, so the state is a pure set function of everything seen —
+    * the running estimate after any micro-batch split equals the
+    * single-batch estimate EXACTLY (StatefulSpec asserts bit equality),
+    * and every reported quantile is within one bin width of the true
+    * empirical quantile (the spec's other assertion). Bin range is a
+    * config, as in every production histogram-quantile system; values
+    * outside clamp to the edge bins. */
+  def runningQuantiles(records: Dataset[(Long, Double)], lo: Double = 0.0,
+      hi: Double = 1000.0, bins: Int = 64,
+      ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[KeyedQuantiles] = {
+    require(bins > 0 && hi > lo)
+    implicit val stEnc: Encoder[HistQState] = Encoders.product[HistQState]
+    implicit val outE: Encoder[KeyedQuantiles] = Encoders.product[KeyedQuantiles]
+    implicit val inE: Encoder[(Long, Double)] = Encoders.product[(Long, Double)]
+    val width = (hi - lo) / bins
+    records.groupByKey(_._1)
+      .mapGroupsWithState[HistQState, KeyedQuantiles](timeout) {
+        (key: Long, it: Iterator[(Long, Double)], state: GroupState[HistQState]) =>
+          val prev = state.getOption.getOrElse(HistQState(0L, Seq.fill(bins)(0L)))
+          val counts = prev.counts.toArray
+          var n = prev.n
+          it.foreach { case (_, v) =>
+            val b = math.min(bins - 1, math.max(0,
+              math.floor((v - lo) / width).toInt))
+            counts(b) += 1
+            n += 1
+          }
+          state.update(HistQState(n, counts.toIndexedSeq))
+          val qs = ps.map { p =>
+            val target = math.max(1L, math.ceil(p * n).toLong)
+            var cum = 0L
+            var b = 0
+            while (b < bins - 1 && cum + counts(b) < target) { cum += counts(b); b += 1 }
+            val inBin = if (counts(b) == 0) 0.5
+              else (target - cum - 0.5) / counts(b)
+            p -> (lo + (b + inBin) * width)
+          }
+          KeyedQuantiles(key, n, qs)
+      }
+  }
 }

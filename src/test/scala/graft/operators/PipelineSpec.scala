@@ -325,4 +325,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept > 0 && kept < got.size)
     assert(got.values.filter(v => v._2 == 1.0 && v._3 < 1.0).forall(_._4))
   }
+
+  test("q122: padding waste matches a driver-side bucketing; totals reconcile") {
+    def bucketOf(n: Int): Int =
+      Seq(16, 32, 64, 128, 256, 512, 1024).find(n <= _).getOrElse(2048)
+    val lens = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split("\\s+", -1).length)
+    val expect = lens.groupBy(bucketOf).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(_.toLong).sum)) }
+    val got = Pipeline.qPaddingWaste(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((b, (nDocs, sumTok)) <- expect) {
+      val (gn, gs, gp, gw) = got(b)
+      assert((gn, gs) == ((nDocs, sumTok)), s"bucket $b counts")
+      assert(gp == b.toLong * nDocs, s"bucket $b padded")
+      assert(math.abs(gw - (1.0 - sumTok.toDouble / gp)) <= 1e-6, s"bucket $b waste")
+      assert(gw >= 0.0 && gw < 1.0)
+    }
+    // every document is in exactly one bucket
+    assert(got.values.map(_._1).sum == lens.length)
+  }
 }

@@ -303,4 +303,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.values.exists { case (_, rw, rm, rs, ra, rst, _) =>
       rw && rm && rs && ra && !rst })
   }
+
+  test("q123 fertility matches a driver-side subword count per language") {
+    val bpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (l, xs) =>
+      val words = xs.map(_._2.split("\\s+", -1).length.toLong).sum
+      val bpe = xs.map(t => bpeRe.findAllIn(t._2.toLowerCase).size.toLong).sum
+      val chars = xs.map(_._2.length.toLong).sum
+      l -> ((xs.length.toLong, words, bpe,
+        bpe.toDouble / words, chars.toDouble / bpe))
+    }
+    val got = TextAnalysis.qFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((l, (nd, w, bpe, fert, cpt)) <- expect) {
+      val (gn, gw, gb, gf, gc) = got(l)
+      assert((gn, gw, gb) == ((nd, w, bpe)), s"lang $l counts")
+      assert(math.abs(gf - fert) <= 1e-6 && math.abs(gc - cpt) <= 1e-6, s"lang $l ratios")
+      // a space-separated word costs at least one subword piece
+      assert(gf >= 1.0)
+    }
+  }
 }

@@ -163,4 +163,44 @@ class StatefulSpec extends AnyFunSuite {
     // state is bounded: at most m counters survive
     assert(hitters.size <= m)
   }
+
+  test("running quantiles: one-bin-width accuracy, exact batch-split invariance") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (lo, hi, bins) = (0.0, 1000.0, 64)
+    val width = (hi - lo) / bins
+    // a deterministic shuffle of 1..500 (plus out-of-range outliers
+    // that must clamp, not crash)
+    val values = (1 to 500).map(_.toDouble).sortBy(v => (v * 7919) % 501) ++
+      Seq(-50.0, 1500.0)
+    def run(batches: Seq[Seq[Double]]): (Long, Seq[(Double, Double)]) = {
+      val mem = MemoryStream[(Long, Double)]
+      val name = "qstate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Stateful.runningQuantiles(mem.toDS(), lo, hi, bins).writeStream
+        .format("memory").queryName(name)
+        .outputMode(Stateful.RequiredOutputMode)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("qstate").toString)
+        .start()
+      batches.foreach { b => mem.addData(b.map((1L, _)): _*); q.processAllAvailable() }
+      q.stop()
+      val rows = spark.table(name).collect().zipWithIndex
+      val last = rows.filter(_._1.getLong(0) == 1L).maxBy(_._2)._1
+      (last.getLong(1), last.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getDouble(0), r.getDouble(1))))
+    }
+    val (n3, q3) = run(Seq(values.take(200), values.slice(200, 400), values.drop(400)))
+    assert(n3 == values.length)
+    // accuracy: each estimate within one bin width of the exact
+    // empirical quantile (clamped values contribute at the edges)
+    val sorted = values.map(v => math.min(hi, math.max(lo, v))).sorted
+    for ((p, est) <- q3) {
+      val exact = sorted(math.max(0, math.ceil(p * sorted.length).toInt - 1))
+      assert(math.abs(est - exact) <= width + 1e-9,
+        s"p=$p est $est vs exact $exact (width $width)")
+    }
+    // additivity: the same data in ONE batch yields bit-identical output
+    val (n1, q1) = run(Seq(values))
+    assert(n1 == n3 && q1 == q3)
+  }
 }
