@@ -198,4 +198,57 @@ object Stateful {
           KeyedQuantiles(key, n, qs)
       }
   }
+
+  case class BandBucket(ids: Seq[Long])
+  case class CandidatePair(idA: Long, idB: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates — the streaming
+    * counterpart of the batch LSH dedup (`Dedup.minhashPairs`, q27):
+    * documents arrive in micro-batches, each is shingled and signed
+    * with the SAME column functions the batch path uses, and the state
+    * per (band, bandHash) bucket is the id list of every doc that ever
+    * hashed there. A new arrival emits a candidate pair against each
+    * existing member of its buckets (plus same-batch co-arrivals), so
+    * the union of emitted pairs after any batch split equals the batch
+    * LSH candidate set over everything seen — StatefulSpec asserts set
+    * equality. Emitting CANDIDATES (not verified duplicates) is the
+    * honest streaming contract: Jaccard verification needs the shingle
+    * sets, which would make per-bucket state corpus-sized; production
+    * pipelines verify candidates downstream (batch q27's verify join,
+    * or a doc-store lookup), and the candidate stream is tiny. State
+    * per bucket is capped at `maxBucket` ids (a bucket that hot is
+    * boilerplate, q77's df-ceiling argument — new members still pair
+    * against the capped set). */
+  def streamingLshCandidates(docs: Dataset[(Long, String)],
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 2,
+      maxBucket: Int = 1024,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[CandidatePair] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{shingleSet, minhashSignature, lshBandHashes, GraftFunctions}
+    GraftFunctions.register(docs.sparkSession)
+    implicit val stEnc: Encoder[BandBucket] = Encoders.product[BandBucket]
+    implicit val outE: Encoder[CandidatePair] = Encoders.product[CandidatePair]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val bandHashes = docs.toDF("id", "text")
+      .select(col("id"), minhashSignature(shingleSet(col("text"), shingleN),
+        numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandHashes(col("sig"), numHashes, bands)).as(Seq("band", "bh")))
+      .select(concat_ws(":", col("band"), col("bh")).as("bucket"), col("id"))
+      .as[(String, Long)]
+    bandHashes.groupByKey(_._1)
+      .flatMapGroupsWithState[BandBucket, CandidatePair](OutputMode.Append, timeout) {
+        (_, it, state) =>
+          val prev = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val seen = prev.toSet
+          val fresh = it.map(_._2).toSeq.distinct.filterNot(seen).sorted
+          val out = for {
+            (b, i) <- fresh.zipWithIndex
+            a <- prev.iterator ++ fresh.iterator.take(i)
+          } yield if (a < b) CandidatePair(a, b) else CandidatePair(b, a)
+          state.update(BandBucket((prev ++ fresh).take(maxBucket)))
+          out.distinct.iterator
+      }
+  }
 }

@@ -203,4 +203,42 @@ class StatefulSpec extends AnyFunSuite {
     val (n1, q1) = run(Seq(values))
     assert(n1 == n3 && q1 == q3)
   }
+
+  test("streaming LSH candidates equal the batch LSH candidate set over the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{shingleSet, minhashSignature, lshBandHashes, GraftFunctions}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    GraftFunctions.register(spark)
+    val docs = graft.operators.Tables.documents(spark, graft.TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(150)
+    // batch reference: the same band-hash self-join the q27 path builds
+    // its candidates from
+    val bh = docs.toSeq.toDF("id", "text")
+      .select(col("id"), minhashSignature(shingleSet(col("text"), 2), 64).as("sig"))
+      .select(col("id"), posexplode(lshBandHashes(col("sig"), 64, 16)).as(Seq("band", "bh")))
+    val batchPairs = bh.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bh.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "the corpus must produce LSH candidates")
+    // streamed in three batches
+    val mem = MemoryStream[(Long, String)]
+    val name = "lshcand_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Stateful.streamingLshCandidates(mem.toDS()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lshcand").toString)
+      .start()
+    docs.grouped(50).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchPairs,
+      s"streamed ${streamed.size} pairs vs batch ${batchPairs.size}: " +
+        s"missing=${(batchPairs -- streamed).take(5)} extra=${(streamed -- batchPairs).take(5)}")
+  }
 }
