@@ -90,6 +90,7 @@ object Bench {
     "q121_pca_variance",
     "q122_padding_waste",
     "q123_fertility",
+    "q124_char_entropy",
   )
 
   def main(args: Array[String]): Unit = {

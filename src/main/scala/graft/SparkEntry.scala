@@ -251,6 +251,8 @@ object SparkEntry {
     "q122_padding_waste" -> ((s, d) => Pipeline.qPaddingWaste(s, d)),
     // q123: tokenizer fertility + compression ratio per language
     "q123_fertility" -> ((s, d) => TextAnalysis.qFertility(s, d)),
+    // q124: per-doc character entropy (garbage/base64/key-mash detector)
+    "q124_char_entropy" -> ((s, d) => TextAnalysis.qCharEntropy(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1535,5 +1537,16 @@ object SparkEntry {
                 ROUND(SUM(length(text))::DOUBLE
                       / SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 6) AS chars_per_token
          FROM documents GROUP BY lang""",
+    "q124_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS c
+           FROM documents),
+         g AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c)
+         SELECT doc_id,
+                CAST(SUM(cnt) AS BIGINT) AS n_chars,
+                COUNT(*) AS n_distinct_chars,
+                ROUND((ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt)) / ln(2), 6)
+                  AS entropy_bits
+         FROM g GROUP BY doc_id""",
   )
 }

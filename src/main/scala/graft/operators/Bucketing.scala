@@ -61,6 +61,30 @@ object Bucketing {
   def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(dir)
 
+  /** Training-shard writer — the materialization sink at the end of a
+    * curation pipeline: deal documents into `shards` hash-balanced
+    * parquet shard directories (shard = xxhash64(doc_id) mod shards —
+    * deterministic, so re-runs and incremental appends land docs in
+    * the same shard) and write a manifest of per-shard doc/token/char
+    * totals beside the data — what a training loader needs to plan
+    * epochs without scanning shards. One shuffle on the shard column
+    * lays the data out; each data-parallel worker then reads exactly
+    * its directory (partition pruning), and the balance guarantee is
+    * the hash's. Returns the manifest. */
+  def writeTrainingShards(docs: DataFrame, dir: String,
+      shards: Int = 8): DataFrame = {
+    val sharded = docs.withColumn("shard",
+      pmod(xxhash64(col("doc_id")), lit(shards)).cast("int"))
+    sharded.repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(s"$dir/data")
+    val manifest = sharded.groupBy("shard").agg(
+      count("*").as("n_docs"),
+      sum(graft.functions.tokenCount(col("text"))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    manifest
+  }
+
   /** Range-sorted layout — the third storage lever, for RANGE
     * predicates where partitionBy (categorical directories) and
     * bucketBy (hash co-location) don't apply: `repartitionByRange`

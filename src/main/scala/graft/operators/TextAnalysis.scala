@@ -607,6 +607,33 @@ object TextAnalysis {
         round(sum("bpe").cast("double") / sum("words"), 6).as("fertility"),
         round(sum("chars").cast("double") / sum("bpe"), 6).as("chars_per_token"))
 
+  /** q124: character-entropy filter — the garbage detector every crawl
+    * pipeline runs (binary spew, base64 blobs, and key-mash have
+    * near-uniform char distributions; natural text sits in a narrow
+    * entropy band): per-doc Shannon entropy in bits over the lowercased
+    * character distribution, with char and distinct-char counts. Shape:
+    * explode → (doc, char) partial agg → per-doc agg — the q59 gram
+    * family; counts shuffle, text never does. log2 = ln/ln2 on both
+    * engines for oracle parity. */
+  def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    charEntropy(documents(s, d))
+
+  /** The q124 core over any (doc_id, text) frame. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("."), lit(0))).as("c"))
+      .groupBy("doc_id", "c").agg(count("*").as("cnt"))
+    // H = log2(N) - (Σ c·log2 c)/N — one pass, no per-doc window
+    chars.groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_chars"),
+        count("*").cast("long").as("n_distinct_chars"),
+        sum(col("cnt") * log(col("cnt"))).as("slc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round((log(col("n_chars")) - col("slc") / col("n_chars")) /
+          lit(math.log(2.0)), 6).as("entropy_bits"))
+  }
+
   def qHeavyHitters(s: SparkSession, d: String, m: Int = 64): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)

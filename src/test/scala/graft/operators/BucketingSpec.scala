@@ -140,4 +140,40 @@ class BucketingSpec extends AnyFunSuite {
       col("user_id").between(uLo, uHi)).count() == expected)
     assert(spark.read.parquet(dir).count() == ev.count())
   }
+
+  test("training-shard writer: lossless, deterministic, hash-balanced, manifest-consistent") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("shards").toString
+    val manifest = Bucketing.writeTrainingShards(docs, dir, shards = 8)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(manifest.keySet == (0 to 7).toSet, "every shard directory exists")
+    // lossless: every doc exactly once across shards
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    assert(back.count() == docs.count())
+    // the manifest matches what a loader would actually read per shard
+    val perShard = back.groupBy("shard").agg(
+      count("*").as("n"),
+      sum(graft.functions.tokenCount(col("text"))).cast("long").as("t"),
+      sum(length(col("text"))).cast("long").as("c"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(perShard == manifest)
+    // hash balance: no shard more than 2x the smallest at 500 docs / 8
+    val sizes = manifest.values.map(_._1)
+    assert(sizes.max <= 2 * sizes.min, s"imbalanced: $manifest")
+    // deterministic shard assignment: a second write lands every doc
+    // in the same shard
+    val dir2 = Files.createTempDirectory("shards2").toString
+    Bucketing.writeTrainingShards(docs, dir2, shards = 8)
+    val a = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = spark.read.parquet(s"$dir2/data").select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    // a loader reading one shard directory scans only that directory
+    val one = spark.read.parquet(s"$dir/data/shard=3")
+    assert(one.count() == manifest(3)._1)
+  }
 }

@@ -327,4 +327,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(gf >= 1.0)
     }
   }
+
+  test("q124 char entropy matches a driver-side Shannon computation; crafted extremes bracket") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def entropy(text: String): (Long, Long, Double) = {
+      val counts = text.toLowerCase.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val h = (math.log(n.toDouble) -
+        counts.map(c => c * math.log(c.toDouble)).sum / n) / math.log(2.0)
+      (n, counts.size.toLong, h)
+    }
+    val got = TextAnalysis.qCharEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    for ((id, text) <- docs) {
+      val (n, d2, h) = entropy(text)
+      val (gn, gd, gh) = got(id)
+      assert((gn, gd) == ((n, d2)), s"doc $id counts")
+      assert(math.abs(gh - h) <= 1e-6, s"doc $id entropy $gh vs $h")
+      // natural text sits strictly between degenerate and uniform
+      assert(gh > 0.0 && gh <= math.log(gd.toDouble) / math.log(2.0) + 1e-9)
+    }
+    // crafted extremes through the same operator: a one-char doc has
+    // zero entropy; a 64-distinct-char doc is exactly 6 bits
+    import spark.implicits._
+    val crafted = Seq((1L, "aaaaaaaa"),
+      (2L, ('!' to '`').mkString)).toDF("doc_id", "text")
+    val ch = TextAnalysis.charEntropy(crafted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(ch(1L)) < 1e-12)
+    assert(math.abs(ch(2L) - 6.0) < 1e-9)
+  }
 }
