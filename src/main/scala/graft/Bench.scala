@@ -91,6 +91,13 @@ object Bench {
     "q122_padding_waste",
     "q123_fertility",
     "q124_char_entropy",
+    // round 6: global sentence dedup, diversity/mixed-language audits,
+    // keep-best survivor selection, vocab coverage curve
+    "q125_sentence_dedup",
+    "q126_bigram_diversity",
+    "q127_lang_segments",
+    "q128_dedup_keep_best",
+    "q129_vocab_coverage",
   )
 
   def main(args: Array[String]): Unit = {

@@ -253,6 +253,22 @@ object SparkEntry {
     "q123_fertility" -> ((s, d) => TextAnalysis.qFertility(s, d)),
     // q124: per-doc character entropy (garbage/base64/key-mash detector)
     "q124_char_entropy" -> ((s, d) => TextAnalysis.qCharEntropy(s, d)),
+    // q125: corpus-global sentence dedup (the C4 move) — boilerplate
+    // sentences (df >= 3 docs) struck everywhere, rebuilt text
+    // hash-checked per doc
+    "q125_sentence_dedup" -> ((s, d) => Pipeline.qSentenceDedup(s, d)),
+    // q126: per-language distinct-bigram diversity (distinct-n) — the
+    // templated/synthetic-corpus detector
+    "q126_bigram_diversity" -> ((s, d) => TextAnalysis.qBigramDiversity(s, d)),
+    // q127: mixed-language segmentation — per-sentence lang ID rolled
+    // up to majority lang + mixed fraction per doc
+    "q127_lang_segments" -> ((s, d) => TextAnalysis.qLangSegments(s, d)),
+    // q128: near-dup survivor selection by quality (keep-longest per
+    // component) instead of min-id
+    "q128_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
+    // q129: vocabulary coverage curve — corpus token share covered by
+    // the top-k frequent types, k in {3,10,30,100,1000,10000}
+    "q129_vocab_coverage" -> ((s, d) => Pipeline.qVocabCoverage(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1548,5 +1564,112 @@ object SparkEntry {
                 ROUND((ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt)) / ln(2), 6)
                   AS entropy_bits
          FROM g GROUP BY doc_id""",
+    // global sentence dedup: df-common sentences struck, rebuild hashed
+    "q125_sentence_dedup" ->
+      """WITH s AS (
+           SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS sent
+           FROM (SELECT doc_id, string_split_regex(text, '\. ') AS parts FROM documents)),
+         f AS (SELECT doc_id, pos, sent, md5(sent) AS h FROM s WHERE length(sent) > 0),
+         common AS (SELECT h FROM f GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+         kept AS (SELECT * FROM f WHERE h NOT IN (SELECT h FROM common)),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                        md5(string_agg(sent, '. ' ORDER BY pos)) AS clean_md5
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, COUNT(*) AS n_sents FROM f GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(tot.n_sents, 0) AS n_sents,
+                COALESCE(reb.n_kept, 0) AS n_kept,
+                COALESCE(reb.clean_md5, md5('')) AS clean_md5
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN reb ON d.doc_id = reb.doc_id""",
+    // distinct-bigram diversity per language
+    "q126_bigram_diversity" ->
+      """WITH d AS (
+           SELECT lang, string_split_regex(lower(text), '\s+') AS w
+           FROM documents),
+         bg AS (
+           SELECT lang, unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS bg
+           FROM d WHERE len(w) >= 2)
+         SELECT lang, COUNT(*) AS n_bigrams,
+                COUNT(DISTINCT bg) AS n_distinct,
+                ROUND(COUNT(DISTINCT bg)::DOUBLE / COUNT(*), 4) AS distinct_ratio
+         FROM bg GROUP BY lang""",
+    // per-sentence lang ID -> per-doc majority + mixed fraction
+    "q127_lang_segments" ->
+      """WITH s AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS sent
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  CASE WHEN greatest(en, es, fr) = 0 THEN 'und'
+                       WHEN en >= es AND en >= fr THEN 'en'
+                       WHEN es >= fr THEN 'es' ELSE 'fr' END AS slang
+           FROM (SELECT doc_id,
+                        len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS en,
+                        len(list_intersect(toks, ['el','la','de','y','en','es','un','que'])) AS es,
+                        len(list_intersect(toks, ['le','la','de','et','en','est','un','que'])) AS fr
+                 FROM (SELECT doc_id, list_distinct(string_split_regex(lower(sent), '\s+')) AS toks
+                       FROM s WHERE length(sent) > 0))),
+         c AS (SELECT doc_id, slang, COUNT(*) AS n FROM l GROUP BY doc_id, slang),
+         r AS (
+           SELECT doc_id, slang, n,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, slang ASC) AS rk,
+                  SUM(n) OVER (PARTITION BY doc_id) AS tot,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n_langs
+           FROM c)
+         SELECT doc_id, slang AS main_lang, n_langs,
+                ROUND(1.0 - n::DOUBLE / tot, 4) AS mixed_frac
+         FROM r WHERE rk = 1""",
+    // keep-longest survivor per near-dup component (q101's clusters)
+    "q128_dedup_keep_best" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         ranked AS (
+           SELECT doc.doc_id, doc.source, doc.n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY comp.component
+                    ORDER BY doc.n_chars DESC, doc.doc_id ASC) AS rk
+           FROM documents doc JOIN comp ON doc.doc_id = comp.doc_id)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         FROM ranked GROUP BY source""",
+    // vocabulary coverage curve at k in {10,100,1000,10000}
+    "q129_vocab_coverage" ->
+      """WITH v AS (
+           SELECT token, COUNT(*) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0 GROUP BY token),
+         r AS (
+           SELECT cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS k,
+                  SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM v),
+         t AS (SELECT SUM(cnt) AS total FROM v)
+         SELECT CAST(k AS INT) AS k,
+                CAST(cum AS BIGINT) AS covered_tokens,
+                ROUND(cum::DOUBLE / total, 4) AS coverage
+         FROM r, t WHERE k IN (3, 10, 30, 100, 1000, 10000)""",
   )
 }

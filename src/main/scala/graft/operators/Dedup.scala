@@ -463,6 +463,41 @@ object Dedup {
           < "cd", "train").otherwise("valid"))
   }
 
+  /** q128: cluster survivor selection by QUALITY, not by id — each
+    * near-dup component (q57's clusters over the q101 pair definition)
+    * keeps its LONGEST member (n_chars, doc_id tie-break) instead of
+    * min-id. The min-id rule the simpler dedups use is arbitrary: in a
+    * crawl the longest cluster member is typically the un-truncated
+    * original and the short ones are snippet/AMP/print copies, so
+    * keep-longest retains strictly more content at identical dedup
+    * rate. Any per-doc quality scalar (q23's composite, q84's
+    * classifier margin) drops into the same ORDER BY.
+    *
+    * Scale shape: the pair/component machinery is q57's (banded
+    * equi-joins + O(log n) star contraction); survivor choice adds one
+    * window over components whose partitions are cluster-sized
+    * (bounded — the q57 argument), then a source-keyed partial agg. */
+  def qDedupKeepBest(s: SparkSession, d: String): DataFrame =
+    dedupKeepBest(documents(s, d))
+
+  /** The q128 core over any (doc_id, source, n_chars, text) frame. */
+  def dedupKeepBest(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, "doc_id", "text", 64, 0.1)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    val assigned = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    assigned
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
   /** q103: soft dedup — down-WEIGHT duplicates instead of dropping
     * them (the sampling-weight alternative to q56's keep-one: a doc
     * appearing in a near-dup cluster of size c contributes weight 1/c,

@@ -89,6 +89,55 @@ object Pipeline {
         count_distinct(md5(col("para"))).as("n_unique"),
         (count("*") - count_distinct(md5(col("para")))).as("n_dup"))
 
+  /** q125: corpus-GLOBAL sentence dedup — the C4 cleanup move (Raffel
+    * et al. JMLR'20 §2.2 removed any three-sentence span occurring more
+    * than once in the corpus; the unit here is the single sentence, the
+    * threshold a document-frequency floor). A sentence appearing in
+    * `minDf`+ DISTINCT documents is boilerplate (navigation chrome,
+    * license headers, templated footers) and is struck from EVERY
+    * document; surviving sentences are re-joined in original order and
+    * the rebuilt text is md5-fingerprinted so the gate hash-checks the
+    * reconstruction, not just the counts.
+    *
+    * Scale shape: sentences explode once; the document-frequency agg
+    * groups by md5(sentence) so only 32-byte digests shuffle, never
+    * sentence text; the boilerplate set (df >= minDf) is by construction
+    * a tiny fraction of the distinct-sentence table, so the strike is a
+    * broadcast-able left-anti join; the rebuild is one doc_id-keyed
+    * partial agg. Nothing corpus-sized shuffles twice — the 100 TB plan
+    * is explode + digest agg + anti-join + rebuild, all linear. */
+  def qSentenceDedup(s: SparkSession, d: String, minDf: Int = 3): DataFrame =
+    sentenceDedup(documents(s, d), minDf)
+
+  /** The q125 core over any (doc_id, text) frame. */
+  def sentenceDedup(docs: DataFrame, minDf: Int): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+      .filter(length(col("sent")) > 0)
+      .withColumn("h", md5(col("sent")))
+    // digest-keyed doc-frequency: the only corpus-sized shuffle carries
+    // (h, doc_id), not text
+    val common = sents.select("h", "doc_id").groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val kept = sents.join(common, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent")), ". ")).as("clean_md5"))
+    val totals = sents.groupBy("doc_id").agg(count(lit(1)).as("n_sents"))
+    docs.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   /** q42: benchmark-contamination detection — a document is
     * contaminated when it shares any word 5-gram with the "benchmark"
     * subset (doc_id % 97 == 0 here; in production the eval set).
@@ -446,6 +495,41 @@ object Pipeline {
       .groupBy("token").agg(count("*").as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** q129: vocabulary coverage curve — what fraction of all corpus
+    * tokens the top-k most frequent types cover, at k in {3, 10, 30,
+    * 100, 1000, 10000}. THE vocabulary-size decision number (the area under
+    * this curve is why 32k-entry tokenizers cover 95%+ of web text):
+    * read beside q55's head, q83's OOV rate, and q123's fertility it
+    * tells you where the subword budget stops paying.
+    *
+    * Scale shape: one corpus scan with map-side partial agg down to the
+    * vocabulary-sized frequency table (Heaps' law — the same argument
+    * as q55/q78); the rank/cumsum window is a single-partition sort of
+    * THAT table, never of corpus rows, and the checkpoint filter
+    * returns at most four rows. Ordering ties break on the token string
+    * so both engines rank identically. */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverage(documents(s, d))
+
+  /** The q129 core over any (text) frame. */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count("*").as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    vocab
+      .withColumn("k", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("k").isin(3, 10, 30, 100, 1000, 10000))
+      .select(col("k"), col("cum").as("covered_tokens"),
+        round(col("cum").cast("double") / col("total"), 4).as("coverage"))
+  }
 
   /** q67: the END-TO-END curation pipeline — the composition a real
     * training-data run executes, with every stage an already-verified

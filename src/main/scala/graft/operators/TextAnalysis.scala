@@ -634,6 +634,75 @@ object TextAnalysis {
           lit(math.log(2.0)), 6).as("entropy_bits"))
   }
 
+  /** q126: per-language distinct-bigram diversity (the corpus-level
+    * "distinct-n" metric of Li et al. NAACL'16) — the diversity audit
+    * that catches templated/synthetic corpora q124's entropy misses
+    * (generator output has high CHARACTER entropy but recycles the
+    * same word transitions, so its distinct-bigram ratio collapses).
+    * A shrinking ratio across ingest rounds is the early-warning sign
+    * of self-training contamination.
+    *
+    * Scale shape: bigrams materialize inside the row (a codegen'd
+    * transform over the token array, no self-join), then one
+    * language-keyed agg; `count_distinct` is the only shuffle-heavy
+    * term and partial-aggregates map-side. At 100 TB the exact distinct
+    * swaps for the q87 KMV sketch, same plan otherwise. */
+  def qBigramDiversity(s: SparkSession, d: String): DataFrame =
+    bigramDiversity(documents(s, d))
+
+  /** The q126 core over any (lang, text) frame. */
+  def bigramDiversity(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), tokens(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("bg"))
+      .groupBy("lang").agg(
+        count("*").as("n_bigrams"),
+        count_distinct(col("bg")).as("n_distinct"),
+        round(count_distinct(col("bg")).cast("double") /
+          count("*"), 4).as("distinct_ratio"))
+
+  /** q127: mixed-language document segmentation — q21's language ID
+    * applied per SENTENCE, rolled up to the document's majority
+    * language and a mixed fraction (1 − majority share). Documents are
+    * not monolingual units on the real web (boilerplate in English
+    * wrapping body text in Spanish, quoted passages, code comments);
+    * a doc-level tag alone routes the whole doc to one language budget
+    * (q115) and poisons per-language stats (q102/q109/q123). This is
+    * the audit that finds them — high mixed_frac docs get segmented or
+    * dropped before language-conditional processing.
+    *
+    * Scale shape: sentence explode → row-local langId (codegen'd
+    * array-intersect sizes) → (doc, lang)-keyed count → per-doc
+    * majority via a doc-partitioned window over at most 4 rows per doc
+    * (one per candidate language). Ties break on language code so both
+    * engines pick the same winner. */
+  def qLangSegments(s: SparkSession, d: String): DataFrame =
+    langSegments(documents(s, d))
+
+  /** The q127 core over any (doc_id, text) frame. */
+  def langSegments(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\. ")).as("sent"))
+      .filter(length(col("sent")) > 0)
+      .select(col("doc_id"), langId(col("sent")).as("slang"))
+      .groupBy("doc_id", "slang").agg(count(lit(1)).as("n"))
+    val doc = Window.partitionBy("doc_id")
+    counts
+      .withColumn("rk", row_number().over(
+        doc.orderBy(col("n").desc, col("slang").asc)))
+      .withColumn("tot", sum(col("n")).over(doc))
+      .withColumn("n_langs", count(lit(1)).over(doc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("slang").as("main_lang"),
+        col("n_langs").cast("long").as("n_langs"),
+        round(lit(1.0) - col("n").cast("double") / col("tot"), 4)
+          .as("mixed_frac"))
+  }
+
   def qHeavyHitters(s: SparkSession, d: String, m: Int = 64): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)

@@ -10,6 +10,20 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("q128 keep-best retains the LONGEST cluster member, not the min id") {
+    import spark.implicits._
+    // docs 1,2 are bigram near-dups (Jaccard 3/5 = 0.6); doc 2 is longer,
+    // so keep-longest must pick it even though doc 1 has the lower id.
+    // doc 3 is an unrelated singleton and survives.
+    val docs = Seq(
+      (1L, "s", 22L, "alpha beta gamma delta"),
+      (2L, "s", 35L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "s", 13L, "one two three")).toDF("doc_id", "source", "n_chars", "text")
+    val r = Dedup.dedupKeepBest(docs).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (("s", 3L, 2L, 35L + 13L)))
+  }
+
   test("exact dedup counts distinct digests") {
     val r = Dedup.qExact(spark, sf).collect().head
     assert(r.getAs[Long]("n_docs") == 500)

@@ -46,6 +46,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("s2") === ((1L, 4L)))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q125 sentence dedup: df-common sentences struck everywhere, order kept") {
+    import spark.implicits._
+    // "subscribe now" appears in 4 distinct docs (df >= 3) -> boilerplate;
+    // "hello world" in 2 docs -> kept
+    val docs = Seq(
+      (1L, "alpha beta. subscribe now. gamma delta"),
+      (2L, "subscribe now. hello world"),
+      (3L, "hello world. subscribe now"),
+      (4L, "subscribe now")).toDF("doc_id", "text")
+    val out = Pipeline.sentenceDedup(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // order preserved across the struck middle sentence
+    assert(out(1L) === ((3L, 2L, md5Hex("alpha beta. gamma delta"))))
+    assert(out(2L) === ((2L, 1L, md5Hex("hello world"))))
+    assert(out(3L) === ((2L, 1L, md5Hex("hello world"))))
+    // a doc that was ALL boilerplate survives as an empty shell
+    assert(out(4L) === ((1L, 0L, md5Hex(""))))
+  }
+
+  test("q129 vocab coverage: cumulative shares at the k=3 and k=10 checkpoints") {
+    import spark.implicits._
+    // counts: a=20 b=10 c..l=1 each (12 types, 40 tokens); ranked by
+    // (cnt desc, token asc): k=3 cum 31 -> 0.775, k=10 cum 38 -> 0.95
+    val docs = Seq(
+      ("a " * 20).trim, ("b " * 10).trim,
+      "c d e f g h i j k l").toDF("text")
+    val rows = Pipeline.vocabCoverage(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows === Map(3 -> ((31L, 0.775)), 10 -> ((38L, 0.95))))
+  }
+
   test("hash-based stratified sampling hits the requested rate and is deterministic") {
     val docs = Tables.documents(spark, sf)
     val sampled = Pipeline.stratifiedSample(docs, col("source"),

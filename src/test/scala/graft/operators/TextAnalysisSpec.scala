@@ -14,6 +14,36 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("q126 bigram diversity: repeated transitions collapse the ratio") {
+    import spark.implicits._
+    // en: "x y x y" -> bigrams (x y, y x, x y): 3 total, 2 distinct
+    // fr: "a b" -> 1/1; single-token doc contributes nothing
+    val docs = Seq(
+      ("en", "x y x y"), ("fr", "a b"), ("fr", "c")).toDF("lang", "text")
+    val out = TextAnalysis.bigramDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("en") === ((3L, 2L, 0.6667)))
+    assert(out("fr") === ((1L, 1L, 1.0)))
+    assert(out.size === 2)
+  }
+
+  test("q127 lang segments: per-sentence votes, tie-break, und fallback") {
+    import spark.implicits._
+    val docs = Seq(
+      // one sentence each of en/es/fr stopwords -> 3-way tie, 'en' by
+      // language-code tie-break, mixed = 1 - 1/3
+      (1L, "the of and is it. el la de y en. le et est un que"),
+      // monolingual: two en sentences -> mixed 0
+      (2L, "the of and. the is it"),
+      // no stopword hits at all -> und
+      (3L, "zzz qqq")).toDF("doc_id", "text")
+    val out = TextAnalysis.langSegments(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === (("en", 3L, 0.6667)))
+    assert(out(2L) === (("en", 1L, 0.0)))
+    assert(out(3L) === (("und", 1L, 0.0)))
+  }
+
   test("piiRedact replaces every occurrence of every class, in order") {
     import spark.implicits._
     val rows = Seq(
