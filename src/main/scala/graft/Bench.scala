@@ -98,6 +98,11 @@ object Bench {
     "q127_lang_segments",
     "q128_dedup_keep_best",
     "q129_vocab_coverage",
+    // round 6: event analytics (trailing-window anomaly z-scores,
+    // ordered funnel, cohort retention)
+    "q130_anomaly_hours",
+    "q131_funnel",
+    "q132_cohort_retention",
   )
 
   def main(args: Array[String]): Unit = {

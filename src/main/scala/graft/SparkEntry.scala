@@ -269,6 +269,12 @@ object SparkEntry {
     // q129: vocabulary coverage curve — corpus token share covered by
     // the top-k frequent types, k in {3,10,30,100,1000,10000}
     "q129_vocab_coverage" -> ((s, d) => Pipeline.qVocabCoverage(s, d)),
+    // q130: trailing-24h z-score anomaly detection over hourly counts
+    "q130_anomaly_hours" -> (Relational.qAnomalyHours _),
+    // q131: ordered view->click->purchase funnel within one hour
+    "q131_funnel" -> (Relational.qFunnel _),
+    // q132: cohort retention (first-activity day x day offset 0..7)
+    "q132_cohort_retention" -> (Relational.qCohortRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1671,5 +1677,59 @@ object SparkEntry {
                 CAST(cum AS BIGINT) AS covered_tokens,
                 ROUND(cum::DOUBLE / total, 4) AS coverage
          FROM r, t WHERE k IN (3, 10, 30, 100, 1000, 10000)""",
+    // trailing-24-observed-hours z-score anomaly flags per event type
+    "q130_anomaly_hours" ->
+      """WITH h AS (
+           SELECT event_type,
+                  CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, n,
+                  AVG(n) OVER tw AS mu,
+                  STDDEV_SAMP(n) OVER tw AS sd,
+                  COUNT(*) OVER tw AS n_trail
+           FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ts
+                                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, COUNT(*) AS n_scored,
+                CAST(SUM(CASE WHEN abs((n - mu) / sd) >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_anomalous,
+                ROUND(MAX(abs((n - mu) / sd)), 4) AS max_abs_z
+         FROM w WHERE n_trail >= 12 AND sd > 0
+         GROUP BY event_type""",
+    // ordered funnel: first view -> first click at/after it -> purchase
+    // inside one hour of the view; integer-microsecond comparisons
+    "q131_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+         v AS (SELECT user_id, MIN(us) AS v_us FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.v_us, MIN(e.us) AS c_us
+               FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.us >= v.v_us
+               GROUP BY e.user_id, v.v_us),
+         p AS (SELECT e.user_id, MIN(e.us) AS p_us
+               FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.us >= c.c_us
+                 AND e.us <= c.v_us + 3600000000
+               GROUP BY e.user_id)
+         SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                (SELECT COUNT(*) FROM c) AS n_view_click,
+                (SELECT COUNT(*) FROM p) AS n_full_funnel,
+                ROUND((SELECT COUNT(*) FROM c)::DOUBLE
+                      / (SELECT COUNT(*) FROM v), 4) AS click_rate,
+                ROUND((SELECT COUNT(*) FROM p)::DOUBLE
+                      / (SELECT COUNT(*) FROM v), 4) AS conversion_rate""",
+    // cohort retention: first-activity day x day offset, distinct users
+    "q132_cohort_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         cohort AS (
+           SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+         SELECT CAST(FLOOR(EPOCH(c.cohort_day)) AS BIGINT) AS cohort_ts,
+                CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+                COUNT(DISTINCT d.user_id) AS n_users
+         FROM days d JOIN cohort c ON d.user_id = c.user_id
+         WHERE date_diff('day', c.cohort_day, d.day) <= 7
+         GROUP BY 1, 2""",
   )
 }

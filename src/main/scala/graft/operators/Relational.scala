@@ -326,4 +326,110 @@ object Relational {
         max("n_ev").as("max_session_events"),
         sum("n_ev").cast("long").as("n_events"))
   }
+
+  /** q130: trailing-window anomaly detection — per event type, each
+    * hour's event count z-scored against the trailing 24 OBSERVED
+    * hours (rows-framed window: mean, sample stddev over rows −24..−1),
+    * flagged at |z| ≥ 3. The ops-monitoring primitive every ingest
+    * pipeline runs against its own throughput: a traffic spike, a
+    * stuck producer, a replay storm all surface here first. Hours with
+    * under 12 trailing observations or zero variance don't score (no
+    * baseline yet).
+    *
+    * Scale shape: the corpus reduces to an (event_type, hour) count
+    * table in one map-side-partial agg — everything after runs on that
+    * hours-sized table; the window partitions by event type so the
+    * sort is per-type and bounded. In streaming this is q38's tumbling
+    * count feeding the same window. */
+  def qAnomalyHours(s: SparkSession, d: String): DataFrame =
+    anomalyHours(Tables.events(s, d))
+
+  /** The q130 core over any (event_type, ts) frame. */
+  def anomalyHours(ev: DataFrame): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("mu", avg(col("n")).over(trail))
+      .withColumn("sd", stddev_samp(col("n")).over(trail))
+      .withColumn("n_trail", count(lit(1)).over(trail))
+      .filter(col("n_trail") >= 12 && col("sd") > 0)
+      .withColumn("z", (col("n") - col("mu")) / col("sd"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(abs(col("z")) >= 3, 1L).otherwise(0L)).as("n_anomalous"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+  }
+
+  /** q131: ordered funnel analysis — of the users who ever viewed, how
+    * many then clicked (first click AT/after their first view), and how
+    * many completed a purchase after that click with the whole chain
+    * inside one hour. The event-sequence question (conversion, signup
+    * flows, abandonment) that plain per-type counts can't answer
+    * because ORDER matters.
+    *
+    * Scale shape: three stages, each a user-keyed partial agg over a
+    * pre-filtered event type, joined user-to-user — sets shrink
+    * monotonically down the funnel, every shuffle is on user_id, and
+    * timestamps compare as integer microseconds (`unix_micros`) so both
+    * engines see identical instants (the oracle divides DuckDB's
+    * nanoseconds by 1000 to match). */
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d))
+
+  /** The q131 core over any (user_id, event_type, ts) frame. */
+  def funnel(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") >= col("v_us"))
+      .groupBy("user_id", "v_us").agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") >= col("c_us") &&
+        col("us") <= col("v_us") + lit(3600L * 1000000L))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        round(col("n_view_click").cast("double") / col("n_view"), 4)
+          .as("click_rate"),
+        round(col("n_full_funnel").cast("double") / col("n_view"), 4)
+          .as("conversion_rate"))
+  }
+
+  /** q132: cohort retention — users grouped by first-activity day (the
+    * cohort), counted as retained on each later day they reappear,
+    * for offsets 0..7. THE product-analytics table (does week-1
+    * retention hold across cohorts?), and for a data pipeline the
+    * contributor-churn view of a crawl (do sources that appear keep
+    * appearing?).
+    *
+    * Scale shape: first a user-keyed min (cohort assignment), then one
+    * join back on user_id and a distinct over (cohort, offset, user) —
+    * every shuffle is user- or cohort-keyed, counts are exact
+    * integers, and day truncation happens identically in both engines
+    * (truncation only moves DOWN, so the µs-vs-ns representation gap
+    * cannot flip a day). */
+  def qCohortRetention(s: SparkSession, d: String): DataFrame =
+    cohortRetention(Tables.events(s, d))
+
+  /** The q132 core over any (user_id, ts) frame. */
+  def cohortRetention(ev: DataFrame): DataFrame = {
+    val days = ev.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(unix_timestamp(col("cohort_day")).as("cohort_ts"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
 }

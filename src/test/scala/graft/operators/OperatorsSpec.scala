@@ -68,6 +68,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_kept") > 0 && r.getAs[Long]("n_kept") <= total)
   }
 
+  test("q130 anomaly hours: spike against a 24h trailing baseline, warmup excluded") {
+    import spark.implicits._
+    // hours 0..23 alternate 10/12 events (baseline), hour 24 has 100.
+    // Hours 0..11 have <12 trailing observations -> unscored; hours
+    // 12..23 score with |z| ~ 1; hour 24 z = (100-11)/1.02 >> 3.
+    val rows = ((0 until 24).flatMap(h =>
+      Seq.fill(if (h % 2 == 0) 10 else 12)(h)) ++ Seq.fill(100)(24))
+      .map(h => ("click", h.toLong * 3600L))
+    val ev = rows.toDF("event_type", "sec")
+      .select(col("event_type"), to_timestamp(col("sec")).as("ts"))
+    val r = Relational.anomalyHours(ev).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("click", 13L, 1L)))
+    assert(r.getDouble(3) > 50.0) // the spike's z, far past the 3.0 flag
+  }
+
+  test("q131 funnel: order matters, the hour cap binds, stages shrink") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "view", 0L), ("u1", "click", 10L), ("u1", "purchase", 100L),
+      ("u2", "click", 5L), ("u2", "view", 10L), // click BEFORE first view
+      ("u3", "view", 0L), ("u3", "click", 10L), ("u3", "purchase", 4000L), // > 1h
+      ("u4", "click", 0L), ("u4", "purchase", 1L)) // never viewed
+      .toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("sec")).as("ts"))
+    val r = Relational.funnel(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 1L)))
+    assert((r.getDouble(3), r.getDouble(4)) === ((0.6667, 0.3333)))
+  }
+
+  test("q132 cohort retention: offsets count distinct users, 7-day cap") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      ("u1", 0L), ("u1", day + 5L), ("u1", 9 * day), // day 9 past the cap
+      ("u2", 10L),
+      ("u3", 5 * day), ("u3", 6 * day))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"))
+    val got = Relational.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0) -> 2L, (0L, 1) -> 1L,
+      (5 * day, 0) -> 1L, (5 * day, 1) -> 1L))
+  }
+
   test("sessionize: crafted gaps split sessions exactly at the 10-minute rule") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
