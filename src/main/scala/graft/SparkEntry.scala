@@ -271,10 +271,14 @@ object SparkEntry {
     "q129_vocab_coverage" -> ((s, d) => Pipeline.qVocabCoverage(s, d)),
     // q130: trailing-24h z-score anomaly detection over hourly counts
     "q130_anomaly_hours" -> (Relational.qAnomalyHours _),
-    // q131: ordered view->click->purchase funnel within one hour
+    // q131: ordered view->click->purchase funnel inside 24 hours
     "q131_funnel" -> (Relational.qFunnel _),
     // q132: cohort retention (first-activity day x day offset 0..7)
     "q132_cohort_retention" -> (Relational.qCohortRetention _),
+    // q133: q131's funnel as streaming state over a time-ordered
+    // 3-batch replay — the oracle is the BATCH funnel SQL, so the gate
+    // proves stream/batch parity bit for bit
+    "q133_streaming_funnel" -> (graft.streaming.EventTime.qStreamingFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1698,7 +1702,7 @@ object SparkEntry {
          FROM w WHERE n_trail >= 12 AND sd > 0
          GROUP BY event_type""",
     // ordered funnel: first view -> first click at/after it -> purchase
-    // inside one hour of the view; integer-microsecond comparisons
+    // inside 24 hours of the view; integer-microsecond comparisons
     "q131_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
          v AS (SELECT user_id, MIN(us) AS v_us FROM e
@@ -1710,7 +1714,7 @@ object SparkEntry {
          p AS (SELECT e.user_id, MIN(e.us) AS p_us
                FROM e JOIN c ON e.user_id = c.user_id
                WHERE e.event_type = 'purchase' AND e.us >= c.c_us
-                 AND e.us <= c.v_us + 3600000000
+                 AND e.us <= c.v_us + 86400000000
                GROUP BY e.user_id)
          SELECT (SELECT COUNT(*) FROM v) AS n_view,
                 (SELECT COUNT(*) FROM c) AS n_view_click,
@@ -1731,5 +1735,28 @@ object SparkEntry {
          FROM days d JOIN cohort c ON d.user_id = c.user_id
          WHERE date_diff('day', c.cohort_day, d.day) <= 7
          GROUP BY 1, 2""",
+    // the streaming funnel's oracle is the BATCH funnel SQL verbatim:
+    // the gate proves the incremental state machine reaches the batch
+    // answer exactly
+    "q133_streaming_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+         v AS (SELECT user_id, MIN(us) AS v_us FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.v_us, MIN(e.us) AS c_us
+               FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.us >= v.v_us
+               GROUP BY e.user_id, v.v_us),
+         p AS (SELECT e.user_id, MIN(e.us) AS p_us
+               FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.us >= c.c_us
+                 AND e.us <= c.v_us + 86400000000
+               GROUP BY e.user_id)
+         SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                (SELECT COUNT(*) FROM c) AS n_view_click,
+                (SELECT COUNT(*) FROM p) AS n_full_funnel,
+                ROUND((SELECT COUNT(*) FROM c)::DOUBLE
+                      / (SELECT COUNT(*) FROM v), 4) AS click_rate,
+                ROUND((SELECT COUNT(*) FROM p)::DOUBLE
+                      / (SELECT COUNT(*) FROM v), 4) AS conversion_rate""",
   )
 }

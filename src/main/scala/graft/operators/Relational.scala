@@ -367,9 +367,9 @@ object Relational {
   /** q131: ordered funnel analysis — of the users who ever viewed, how
     * many then clicked (first click AT/after their first view), and how
     * many completed a purchase after that click with the whole chain
-    * inside one hour. The event-sequence question (conversion, signup
-    * flows, abandonment) that plain per-type counts can't answer
-    * because ORDER matters.
+    * inside a 24-hour attribution window. The event-sequence question
+    * (conversion, signup flows, abandonment) that plain per-type counts
+    * can't answer because ORDER matters.
     *
     * Scale shape: three stages, each a user-keyed partial agg over a
     * pre-filtered event type, joined user-to-user — sets shrink
@@ -380,8 +380,9 @@ object Relational {
   def qFunnel(s: SparkSession, d: String): DataFrame =
     funnel(Tables.events(s, d))
 
-  /** The q131 core over any (user_id, event_type, ts) frame. */
-  def funnel(ev0: DataFrame): DataFrame = {
+  /** The q131 core over any (user_id, event_type, ts) frame;
+    * `capUs` is the view-to-purchase attribution window (default 24 h). */
+  def funnel(ev0: DataFrame, capUs: Long = 86400000000L): DataFrame = {
     val ev = ev0.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
     val v = ev.filter(col("event_type") === "view")
@@ -393,7 +394,7 @@ object Relational {
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
       .filter(col("us") >= col("c_us") &&
-        col("us") <= col("v_us") + lit(3600L * 1000000L))
+        col("us") <= col("v_us") + lit(capUs))
       .groupBy("user_id").agg(min(col("us")).as("p_us"))
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_view_click")))

@@ -102,6 +102,83 @@ object EventTime {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The events table as a TIME-ORDERED multi-file stream: range-split
+    * by ts into `parts` files (equal timestamps never straddle a
+    * boundary) with file mtimes forced ascending in range order, so the
+    * file source replays micro-batches in event-time order — the
+    * keyed-partition delivery contract [[Stateful.funnelStages]]'s
+    * exactness needs, reproduced at the source instead of assumed. */
+  private def eventsStreamTimeOrdered(s: SparkSession, d: String,
+      parts: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // negative parts keys the ordered variant in the same cache
+    val dir = splitDirs.getOrElseUpdate((s, path, -parts), {
+      val tmp = Files.createTempDirectory("graft-events-tsplit").toString
+      s.read.parquet(path)
+        .repartitionByRange(parts, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(tmp)
+      // parallel write order is arbitrary; stamp mtimes ascending in
+      // part-file (= range) order so the file source's (mtime, path)
+      // ordering replays ranges low-to-high
+      val files = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+      tmp
+    })
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** q133: the ordered funnel (q131) as STREAMING state — per-user
+    * three-timestamp state advanced micro-batch by micro-batch
+    * ([[Stateful.funnelStages]]), replayed over a time-ordered 3-file
+    * split of the events table, final states aggregated into exactly
+    * q131's report. The oracle IS q131's batch SQL: the gate proves
+    * the incremental state machine reaches the batch answer bit for
+    * bit — stream/batch parity, the contract that lets a pipeline
+    * answer "did this user convert?" during ingest and reconcile
+    * against the nightly batch.
+    *
+    * The FunnelProgress fields are set-once, so max() per column over
+    * the update-mode emission history reconstructs each user's final
+    * state without ordering metadata. */
+  def qStreamingFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("user_id").cast("long").as("u"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    val staged = Stateful.funnelStages(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = staged.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q133 must exercise cross-batch funnel state, saw $dataBatches data batches")
+    val fin = s.table(name).groupBy("user_id").agg(
+      max("v_us").as("v"), max("c_us").as("c"), max("p_us").as("p"))
+    fin
+      .agg(sum(when(col("v") >= 0, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("c") >= 0, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("p") >= 0, 1L).otherwise(0L)).as("n_full_funnel"))
+      .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        round(col("n_view_click").cast("double") / col("n_view"), 4)
+          .as("click_rate"),
+        round(col("n_full_funnel").cast("double") / col("n_view"), 4)
+          .as("conversion_rate"))
+  }
+
   /** Run a streaming DataFrame to completion (Trigger.AvailableNow —
     * process everything available, run the final no-data batch that
     * advances the watermark and flushes finalized windows, stop) into a

@@ -117,6 +117,58 @@ object Stateful {
       }
   }
 
+  /** Per-user funnel progress: first-view / first-qualifying-click /
+    * completing-purchase microsecond timestamps, −1 = not reached.
+    * Every field is SET-ONCE and never moves, so `max` per column over
+    * any emission history reconstructs the final state — the property
+    * the q133 gate aggregation relies on. */
+  case class FunnelProgress(user_id: Long, v_us: Long, c_us: Long, p_us: Long)
+
+  /** q131's ordered funnel as streaming state — the incremental shape
+    * that answers "did this user convert?" DURING ingest instead of in
+    * a nightly batch. Per user the state is three timestamps, bounded
+    * forever.
+    *
+    * Ordering contract: exact batch parity requires each user's events
+    * to arrive in event-time order ACROSS batches (the Kafka
+    * keyed-partition delivery guarantee; the q133 harness range-splits
+    * its replay by ts to honor it). Within a batch arrival order is
+    * free — the fold sorts the user's slice by (ts, stage) first,
+    * views before clicks before purchases on ties, matching the batch
+    * operator's >= comparisons. Under that contract the state machine
+    * is exact: v is the first view; v is set before any click with
+    * ts >= v arrives after it; c before any qualifying purchase. */
+  def funnelStages(events: Dataset[(Long, String, Long)],
+      capUs: Long = 86400000000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[FunnelProgress] = {
+    implicit val stE: Encoder[(Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long)]
+    implicit val outE: Encoder[FunnelProgress] = Encoders.product[FunnelProgress]
+    implicit val inE: Encoder[(Long, String, Long)] =
+      Encoders.product[(Long, String, Long)]
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), FunnelProgress](timeout) {
+        (user: Long, it: Iterator[(Long, String, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (v, c, p) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val batch = it.toArray.sortBy { case (_, tpe, us) =>
+            (us, stageRank.getOrElse(tpe, 3))
+          }
+          batch.foreach { case (_, tpe, us) =>
+            tpe match {
+              case "view" if v < 0 => v = us
+              case "click" if v >= 0 && c < 0 && us >= v => c = us
+              case "purchase" if c >= 0 && p < 0 && us >= c &&
+                us <= v + capUs => p = us
+              case _ => ()
+            }
+          }
+          state.update((v, c, p))
+          FunnelProgress(user, v, c, p)
+      }
+  }
+
   case class KeyedHitters(key: Long, hitters: Seq[(String, Long)], n: Long)
 
   /** Running heavy hitters per key via the Misra–Gries summary

@@ -69,7 +69,20 @@ object ScaleBench {
       // the windows-at-scale datapoint), and the Matryoshka drift
       // audit (adjacent-id equi-join over the scaled embeddings)
       "q112_bm25", "q116_hybrid_rrf", "q118_epoch_shuffle",
-      "q120_matryoshka")
+      "q120_matryoshka",
+      // round 11: global sentence dedup (the bijection keeps boilerplate
+      // sentences copy-local, so the df-common set grows linearly — the
+      // real-corpus shape; probes the digest-keyed df shuffle + rebuild
+      // agg), keep-best survivors (q57's component machinery + the
+      // cluster-sized window), the vocab coverage curve (the
+      // single-partition vocab window is the thing to ground: vocab
+      // grows ~linearly under the bijection), and the event-analytics
+      // pair (funnel's three shrinking user-keyed stages; retention's
+      // distinct over (cohort, offset, user) — user count grows with
+      // the factor). q126/q127/q130 are scan-or-tiny-table shapes with
+      // nothing new to probe.
+      "q125_sentence_dedup", "q128_dedup_keep_best", "q129_vocab_coverage",
+      "q131_funnel", "q132_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

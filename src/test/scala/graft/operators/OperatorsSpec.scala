@@ -83,12 +83,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 50.0) // the spike's z, far past the 3.0 flag
   }
 
-  test("q131 funnel: order matters, the hour cap binds, stages shrink") {
+  test("q131 funnel: order matters, the attribution cap binds, stages shrink") {
     import spark.implicits._
     val ev = Seq(
       ("u1", "view", 0L), ("u1", "click", 10L), ("u1", "purchase", 100L),
       ("u2", "click", 5L), ("u2", "view", 10L), // click BEFORE first view
-      ("u3", "view", 0L), ("u3", "click", 10L), ("u3", "purchase", 4000L), // > 1h
+      ("u3", "view", 0L), ("u3", "click", 10L),
+      ("u3", "purchase", 90000L), // past the 24 h (86400 s) window
       ("u4", "click", 0L), ("u4", "purchase", 1L)) // never viewed
       .toDF("user_id", "event_type", "sec")
       .select(col("user_id"), col("event_type"),
