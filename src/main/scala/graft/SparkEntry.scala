@@ -279,6 +279,15 @@ object SparkEntry {
     // 3-batch replay — the oracle is the BATCH funnel SQL, so the gate
     // proves stream/batch parity bit for bit
     "q133_streaming_funnel" -> (graft.streaming.EventTime.qStreamingFunnel _),
+    // q134: near-dup cluster-size histogram — the audit that sizes the
+    // dedup problem before running it
+    "q134_cluster_sizes" -> (Dedup.qClusterSizeHistogram _),
+    // q135: per-benchmark-example contamination fraction (the
+    // decontamination report, not just q42's binary)
+    "q135_contamination_frac" -> ((s, d) => Pipeline.qContaminationFraction(s, d)),
+    // q136: exact two-sample KS drift over doc length between corpus
+    // slices — the ingest drift alarm
+    "q136_length_drift" -> ((s, d) => Pipeline.qLengthDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1758,5 +1767,69 @@ object SparkEntry {
                       / (SELECT COUNT(*) FROM v), 4) AS click_rate,
                 ROUND((SELECT COUNT(*) FROM p)::DOUBLE
                       / (SELECT COUNT(*) FROM v), 4) AS conversion_rate""",
+    // cluster-size histogram over the q101-family recursive components
+    "q134_cluster_sizes" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           WHERE jac >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+         SELECT CAST(CASE WHEN csize <= 1 THEN 1 WHEN csize <= 2 THEN 2
+                          WHEN csize <= 4 THEN 4 WHEN csize <= 8 THEN 8
+                          WHEN csize <= 16 THEN 16 ELSE 17 END AS BIGINT) AS size_bucket,
+                COUNT(*) AS n_clusters,
+                CAST(SUM(csize) AS BIGINT) AS n_docs
+         FROM sizes GROUP BY 1""",
+    // per-benchmark-doc 5-gram contamination fraction vs the train side
+    "q135_contamination_frac" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 3), i ->
+                    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4])
+             END) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+         bgr AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE doc_id % 97 = 0),
+         tg AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id % 97 <> 0)
+         SELECT doc_id, COUNT(*) AS n_grams,
+                CAST(SUM(CASE WHEN g IN (SELECT g FROM tg) THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_in_train,
+                ROUND(SUM(CASE WHEN g IN (SELECT g FROM tg) THEN 1 ELSE 0 END)::DOUBLE
+                      / COUNT(*), 4) AS contamination
+         FROM bgr GROUP BY doc_id""",
+    // exact two-sample KS statistic over n_chars, even- vs odd-id docs
+    "q136_length_drift" ->
+      """WITH g AS (
+           SELECT n_chars AS v,
+                  SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+                  SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+           FROM documents GROUP BY n_chars),
+         w AS (
+           SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cda,
+                  SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cdb,
+                  SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+           FROM g)
+         SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+                ROUND(MAX(ABS(cda::DOUBLE / na - cdb::DOUBLE / nb)), 6) AS ks_stat
+         FROM w""",
   )
 }

@@ -498,6 +498,40 @@ object Dedup {
         sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
   }
 
+  /** q134: near-dup cluster-SIZE histogram — how many components of
+    * size 1, 2, ≤4, ≤8, ≤16, 17+ the q57 clustering finds, with the
+    * document mass in each bucket. The audit that SIZES the dedup
+    * problem before running it: a corpus whose mass sits in size-1
+    * buckets doesn't need dedup at all; a fat 17+ tail means template
+    * farms (and predicts exactly how much q56/q128 will delete and how
+    * skewed q103's weights will be). Buckets are explicit CASE
+    * thresholds (the q122 rule — float log2 is not engine-portable at
+    * exact powers).
+    *
+    * Scale shape: q57's component machinery + one component-keyed
+    * count + a buckets-sized agg. */
+  def qClusterSizeHistogram(s: SparkSession, d: String): DataFrame =
+    clusterSizeHistogram(documents(s, d))
+
+  /** The q134 core over any (doc_id, text) frame. */
+  def clusterSizeHistogram(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, "doc_id", "text", 64, 0.1)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    val sizes = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("component"))
+      .groupBy("component").agg(count(lit(1)).as("csize"))
+    sizes
+      .withColumn("size_bucket",
+        when(col("csize") <= 1, 1L).when(col("csize") <= 2, 2L)
+          .when(col("csize") <= 4, 4L).when(col("csize") <= 8, 8L)
+          .when(col("csize") <= 16, 16L).otherwise(17L))
+      .groupBy("size_bucket")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("csize")).as("n_docs"))
+  }
+
   /** q103: soft dedup — down-WEIGHT duplicates instead of dropping
     * them (the sampling-weight alternative to q56's keep-one: a doc
     * appearing in a near-dup cluster of size c contributes weight 1/c,

@@ -160,6 +160,79 @@ object Pipeline {
       contaminated.agg(count("*").as("n_contaminated")))
   }
 
+  /** q135: per-example contamination FRACTION — for each benchmark
+    * document, the share of its word 5-grams present anywhere in the
+    * training side. q42 answers "is this corpus contaminated?"
+    * (a binary per doc); this is the decontamination REPORT the
+    * GPT-3/PaLM appendices publish per eval example — the number that
+    * decides drop-vs-keep per example and quantifies how much an eval
+    * score can be trusted.
+    *
+    * Scale shape: the benchmark gram set is tiny and broadcasts; the
+    * train side streams once through a broadcast semi-join (only grams
+    * the benchmark contains survive — a benchmark-sized set), and the
+    * per-example fraction is a benchmark-sized join + agg. The corpus
+    * is never shuffled, only scanned. */
+  def qContaminationFraction(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    GraftFunctions.register(s)
+    contaminationFraction(documents(s, d), col("doc_id") % 97 === 0, n)
+  }
+
+  /** The q135 core: per-`isBench`-doc fraction of its word n-grams
+    * present in any non-bench doc. Register [[GraftFunctions]] first. */
+  def contaminationFraction(docs0: DataFrame, isBench: Column, n: Int): DataFrame = {
+    val docs = docs0.select(col("doc_id"), isBench.as("b"),
+      shingleSet(col("text"), n).as("sh"))
+    val benchGrams = docs.filter(col("b"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val bg = benchGrams.select("g").distinct()
+    val hitGrams = docs.filter(!col("b"))
+      .select(explode(col("sh")).as("g"))
+      .join(broadcast(bg), Seq("g"), "left_semi")
+      .distinct()
+      .withColumn("h", lit(1L))
+    benchGrams.join(broadcast(hitGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("h"), lit(0L))).as("n_in_train"),
+        round(sum(coalesce(col("h"), lit(0L))).cast("double") /
+          count(lit(1)), 4).as("contamination"))
+  }
+
+  /** q136: distribution drift between two corpus slices — the exact
+    * two-sample Kolmogorov–Smirnov statistic over document length
+    * (n_chars), here between even- and odd-id docs (the A/B of a
+    * re-crawl; any predicate drops in). KS is THE
+    * binned-assumption-free drift alarm for ingest monitoring: a
+    * jump between snapshots means the source mix or the extractor
+    * changed, before any model sees the data.
+    *
+    * Scale shape: the corpus reduces to a distinct-value frequency
+    * table (bounded domain for lengths) in one map-side-partial agg;
+    * the ECDF cumsum window sorts THAT table only; both engines
+    * evaluate identical integer ratios so the statistic hash-matches. */
+  def qLengthDrift(s: SparkSession, d: String): DataFrame =
+    lengthDrift(documents(s, d), col("doc_id") % 2 === 0)
+
+  /** The q136 core: KS statistic of `valueCol`'s distribution between
+    * rows where `isA` holds and the rest. */
+  def lengthDrift(docs: DataFrame, isA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("n_chars").as("v"), isA.cast("long").as("a"))
+      .groupBy("v").agg(sum(col("a")).as("ca"),
+        sum(lit(1L) - col("a")).as("cb"))
+    val w = Window.orderBy("v")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cda", sum(col("ca")).over(cum))
+      .withColumn("cdb", sum(col("cb")).over(cum))
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(max(abs(col("cda").cast("double") / col("na") -
+          col("cdb").cast("double") / col("nb"))), 6).as("ks_stat"))
+  }
+
   /** q47: exact value percentiles per event type (`percentile` — exact
     * sort-based with linear interpolation, matching DuckDB's
     * quantile_cont bit-for-bit). At 100 TB the engine swaps in

@@ -10,6 +10,22 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("q134 cluster-size histogram buckets components with their doc mass") {
+    import spark.implicits._
+    // cluster {1,2} (size 2), singleton {3}, cluster {4,5,6} (size 3 ->
+    // bucket 4)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three"),
+      (4L, "p q r s t"),
+      (5L, "p q r s t u"),
+      (6L, "p q r s t u v")).toDF("doc_id", "text")
+    val got = Dedup.clusterSizeHistogram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 4L -> ((1L, 3L))))
+  }
+
   test("q128 keep-best retains the LONGEST cluster member, not the min id") {
     import spark.implicits._
     // docs 1,2 are bigram near-dups (Jaccard 3/5 = 0.6); doc 2 is longer,

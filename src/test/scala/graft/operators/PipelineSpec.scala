@@ -81,6 +81,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows === Map(3 -> ((31L, 0.775)), 10 -> ((38L, 0.95))))
   }
 
+  test("q135 contamination fraction: per-bench-doc gram hits against the train side") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // bench doc 0 has 5-grams {"a b c d e", "b c d e f"}; the train side
+    // contains only the first -> 1/2
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "x y a b c d e z"),
+      (2L, "totally unrelated train words here")).toDF("doc_id", "text")
+    val r = Pipeline.contaminationFraction(docs, col("doc_id") === 0, 5)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((0L, 2L, 1L, 0.5)))
+  }
+
+  test("q136 KS drift: hand-computed two-sample statistic") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {3,4}: ECDF gap peaks at v=2 (2/3 - 0) = 0.666667
+    val df = Seq((1L, true), (2L, true), (3L, true), (3L, false), (4L, false))
+      .toDF("n_chars", "is_a")
+    val r = Pipeline.lengthDrift(df, col("is_a")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((3L, 2L, 0.666667)))
+  }
+
   test("hash-based stratified sampling hits the requested rate and is deterministic") {
     val docs = Tables.documents(spark, sf)
     val sampled = Pipeline.stratifiedSample(docs, col("source"),
