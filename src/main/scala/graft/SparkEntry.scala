@@ -288,6 +288,14 @@ object SparkEntry {
     // q136: exact two-sample KS drift over doc length between corpus
     // slices — the ingest drift alarm
     "q136_length_drift" -> ((s, d) => Pipeline.qLengthDrift(s, d)),
+    // q137: first-order Markov transition matrix over per-user event
+    // sequences — the user-journey summary no fixed funnel captures
+    "q137_transitions" -> (Relational.qTransitionMatrix _),
+    // q138: inter-arrival regularity (CV) per user — the bot detector
+    "q138_gap_regularity" -> (Relational.qGapRegularity _),
+    // q139: salted two-phase aggregation, proven ≡ the direct agg by
+    // the oracle — the hot-key survival shape
+    "q139_salted_agg" -> (Relational.qSaltedAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1831,5 +1839,41 @@ object SparkEntry {
          SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
                 ROUND(MAX(ABS(cda::DOUBLE / na - cdb::DOUBLE / nb)), 6) AS ks_stat
          FROM w""",
+    // Markov transitions: lag-1 pairs per user (µs + event_id ties),
+    // conditional probability normalized within each source type
+    "q137_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us,
+                          event_id FROM events),
+         t AS (SELECT event_type AS next_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id) AS prev_type
+               FROM e),
+         c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM t
+               WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+                ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+         FROM c""",
+    // inter-arrival regularity: CV of per-user gap distribution (µs);
+    // tie order within an equal timestamp cannot change the gap multiset
+    "q138_gap_regularity" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+         g AS (SELECT user_id,
+                      (us - LAG(us) OVER (PARTITION BY user_id ORDER BY us))::DOUBLE
+                        AS gap
+               FROM e),
+         s AS (SELECT user_id, COUNT(*) AS n_gaps, AVG(gap) AS mu,
+                      STDDEV_SAMP(gap) AS sd
+               FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n_gaps,
+                ROUND(mu / 1000000, 4) AS mean_gap_s,
+                ROUND(sd / mu, 4) AS cv,
+                (ROUND(sd / mu, 4) < 0.3) AS is_regular
+         FROM s WHERE n_gaps >= 9""",
+    // the salted-agg oracle is the DIRECT aggregation: the gate proves
+    // the two-phase salted plan reaches the one-phase answer exactly
+    "q139_salted_agg" ->
+      """SELECT event_type, ROUND(SUM(value), 4) AS sum_value,
+                COUNT(*) AS n, ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+         FROM events GROUP BY event_type""",
   )
 }

@@ -433,4 +433,107 @@ object Relational {
       .groupBy(unix_timestamp(col("cohort_day")).as("cohort_ts"), col("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** q137: first-order Markov transition matrix over per-user event
+    * sequences — P(next=b | current=a) with transition counts. The
+    * user-journey summary the per-type counts (q01) and the fixed
+    * funnel (q131) can't give: which step FOLLOWS which, for every
+    * pair, with no hand-declared path. Reads beside q79 (the text
+    * bigram LM) as the same estimator applied to behavior instead of
+    * tokens.
+    *
+    * Scale shape: one user-keyed window (partitioned by user_id, the
+    * same shuffle key every event operator here uses) emits lag-1
+    * pairs; everything after is a (types×types)-sized agg and a
+    * types-sized window. Ordering ties break on event_id so both
+    * engines see one canonical sequence (ts compares as integer
+    * microseconds — the oracle divides DuckDB ns by 1000). */
+  def qTransitionMatrix(s: SparkSession, d: String): DataFrame =
+    transitionMatrix(Tables.events(s, d))
+
+  /** The q137 core over any (user_id, event_type, ts, event_id) frame. */
+  def transitionMatrix(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val seq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(byPrev), 6))
+  }
+
+  /** q138: inter-arrival regularity per user — the bot/SDK-retry
+    * detector. Humans arrive bursty (coefficient of variation ≈ 1 for
+    * Poisson, >1 for bursts); schedulers and scripted crawlers arrive
+    * on a clock (CV → 0). The flag feeds the same curation path as
+    * q117's rule gate: traffic from regular-interval users is machine
+    * traffic and poisons engagement-weighted sampling.
+    *
+    * Scale shape: one user-keyed window for the lag gaps, then a
+    * user-keyed agg — the identical shuffle, so AQE coalesces them.
+    * Gaps are integer microseconds; their sum telescopes to the span
+    * (exactly representable), so mean is engine-exact and only the
+    * stddev is floating point, reported as the dimensionless CV
+    * rounded to 4dp. Tie order within an equal timestamp cannot
+    * change the gap multiset (sorted differences), so no tiebreak
+    * column is needed. */
+  def qGapRegularity(s: SparkSession, d: String): DataFrame =
+    gapRegularity(Tables.events(s, d))
+
+  /** The q138 core over any (user_id, ts) frame; users with fewer than
+    * `minGaps` gaps have no stable estimate and are dropped. */
+  def gapRegularity(ev0: DataFrame, minGaps: Int = 9,
+      cvFlag: Double = 0.3): DataFrame = {
+    val ev = ev0.select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val seq = Window.partitionBy("user_id").orderBy("us")
+    ev.withColumn("gap", (col("us") - lag(col("us"), 1).over(seq)).cast("double"))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("gap")).as("mu"),
+        stddev_samp(col("gap")).as("sd"))
+      .filter(col("n_gaps") >= minGaps)
+      .select(col("user_id"), col("n_gaps"),
+        round(col("mu") / 1e6, 4).as("mean_gap_s"),
+        round(col("sd") / col("mu"), 4).as("cv"),
+        (round(col("sd") / col("mu"), 4) < cvFlag).as("is_regular"))
+  }
+
+  /** q139: salted two-phase aggregation — the skew-survival form of a
+    * global agg, proven equal to the direct one by the gate (the
+    * oracle IS the direct `GROUP BY event_type`). With 5 event types
+    * and millions of rows per type, a plain groupBy hashes all 100 TB
+    * onto 5 reducer keys; salting first aggregates on (type, salt) —
+    * `salts`× more, evenly-hashed keys, each partial bounded — then
+    * reduces the salts-sized partials. Spark's map-side partial
+    * aggregation already bounds the FIRST shuffle's volume; the salt
+    * bounds the per-key REDUCE state, which is what dies on a hot key
+    * (and what AQE's skew handling only fixes for joins, not aggs).
+    * sum/count re-aggregate losslessly; avg derives from them — the
+    * standard algebraic-aggregate decomposition.
+    *
+    * Only the double sum is floating point (association differs from
+    * the oracle's single-pass sum by ~1 ulp per partial), so money
+    * totals round to 4dp as everywhere else in the gate. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    saltedAgg(Tables.events(s, d))
+
+  /** The q139 core: `salts`-way salted sum/count/avg of `value` per
+    * event_type over any (event_type, user_id, event_id, value) frame. */
+  def saltedAgg(ev: DataFrame, salts: Int = 16): DataFrame = {
+    val partial = ev
+      .withColumn("salt",
+        pmod(hash(col("user_id"), col("event_id")), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value")).as("ps"), count(lit(1)).as("pn"))
+    partial.groupBy("event_type")
+      .agg(round(sum(col("ps")), 4).as("sum_value"),
+        sum(col("pn")).as("n"),
+        round(sum(col("ps")) / sum(col("pn")), 6).as("avg_value"))
+  }
 }

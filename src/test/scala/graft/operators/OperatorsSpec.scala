@@ -115,6 +115,84 @@ class OperatorsSpec extends AnyFunSuite {
       (5 * day, 0) -> 1L, (5 * day, 1) -> 1L))
   }
 
+  test("q137 transitions: lag-1 pairs per user, probabilities normalize per source type") {
+    import spark.implicits._
+    // u1: a->b->a->c ; u2: b->a — transitions a->b, b->a, a->c, b->a
+    val ev = Seq(
+      (1L, "a", 0L, 10L), (1L, "b", 1L, 11L), (1L, "a", 2L, 12L), (1L, "c", 3L, 13L),
+      (2L, "b", 0L, 20L), (2L, "a", 1L, 21L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("sec")).as("ts"), col("event_id"))
+    val got = Relational.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((2L, 1.0))))
+  }
+
+  test("q137 transitions: equal-timestamp ties order by event_id") {
+    import spark.implicits._
+    // both events at sec=1: event_id 5 precedes event_id 6
+    val ev = Seq(
+      (1L, "a", 0L, 4L), (1L, "c", 1L, 6L), (1L, "b", 1L, 5L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("sec")).as("ts"), col("event_id"))
+    val got = Relational.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b"), ("b", "c")))
+  }
+
+  test("q138 gap regularity: clockwork user flags, bursty user does not") {
+    import spark.implicits._
+    // u1: exact 10 s clock (CV = 0); u2: bursty gaps; both have 10 gaps
+    val clock = (0 to 10).map(i => (1L, i * 10L))
+    val bursty = Seq(0L, 1L, 2L, 60L, 61L, 100L, 400L, 401L, 402L, 900L, 2000L)
+      .map(s => (2L, s))
+    val ev = (clock ++ bursty).toDF("user_id", "sec")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"))
+    val got = Relational.gapRegularity(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((10L, 10.0, true)))
+    assert(got(2L)._1 === 10L)
+    assert(!got(2L)._3)
+    // CV of the clock user is exactly 0
+    val cv1 = Relational.gapRegularity(ev).filter(col("user_id") === 1)
+      .select("cv").collect().head.getDouble(0)
+    assert(cv1 === 0.0)
+  }
+
+  test("q138 gap regularity: below-minGaps users are dropped") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L), (1L, 5L), (1L, 9L))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"))
+    assert(Relational.gapRegularity(ev).count() === 0L)
+    assert(Relational.gapRegularity(ev, minGaps = 2).count() === 1L)
+  }
+
+  test("q139 salted agg equals the direct aggregation on the real table") {
+    val ev = Tables.events(spark, sf)
+    val salted = Relational.saltedAgg(ev).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val direct = ev.groupBy("event_type")
+      .agg(round(sum(col("value")), 4).as("s"), count(lit(1)).as("n"),
+        round(sum(col("value")) / count(lit(1)), 6).as("a"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(salted === direct)
+    // the partial stage really fans each type out across salt buckets
+    val partials = ev
+      .withColumn("salt", pmod(hash(col("user_id"), col("event_id")), lit(16)))
+      .groupBy("event_type", "salt").count()
+    assert(partials.count() > direct.size)
+  }
+
   test("sessionize: crafted gaps split sessions exactly at the 10-minute rule") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
