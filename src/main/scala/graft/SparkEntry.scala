@@ -296,6 +296,12 @@ object SparkEntry {
     // q139: salted two-phase aggregation, proven ≡ the direct agg by
     // the oracle — the hot-key survival shape
     "q139_salted_agg" -> (Relational.qSaltedAgg _),
+    // q140: key-skew audit (Gini / max / top-10 shares) — the
+    // partition-planning number behind the salting decision
+    "q140_key_skew" -> (Relational.qKeySkew _),
+    // q141: fuzzy name variants via blocked Levenshtein join; oracle is
+    // the unblocked all-pairs truth, proving the blocking lossless
+    "q141_name_variants" -> (Relational.qNameVariants _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1875,5 +1881,29 @@ object SparkEntry {
       """SELECT event_type, ROUND(SUM(value), 4) AS sum_value,
                 COUNT(*) AS n, ROUND(SUM(value) / COUNT(*), 6) AS avg_value
          FROM events GROUP BY event_type""",
+    // key-skew audit: Gini over per-key counts, integer until the final
+    // divisions; rank ties cannot change the Gini sum
+    "q140_key_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+         r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c),
+         g AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_count,
+                      SUM(i * n) AS s2
+               FROM r),
+         t AS (SELECT SUM(n) AS t10 FROM (SELECT n FROM c ORDER BY n DESC LIMIT 10))
+         SELECT n_keys, CAST(n_rows AS BIGINT) AS n_rows, max_count,
+                ROUND(max_count::DOUBLE / n_rows, 6) AS max_share,
+                ROUND(t10::DOUBLE / n_rows, 6) AS top10_share,
+                ROUND((2 * s2 - (n_keys + 1) * n_rows)::DOUBLE
+                      / (n_keys * n_rows), 6) AS gini
+         FROM g, t""",
+    // the q141 oracle is UNBLOCKED all-pairs: a hash match proves the
+    // Spark side's last-token/length-band blocking loses no pair
+    "q141_name_variants" ->
+      """WITH n AS (SELECT p_name AS nm, COUNT(*) AS n_rows FROM part GROUP BY p_name)
+         SELECT a.nm AS name_a, b.nm AS name_b,
+                levenshtein(a.nm, b.nm) AS dist,
+                a.n_rows AS rows_a, b.n_rows AS rows_b
+         FROM n a JOIN n b ON a.nm < b.nm
+         WHERE levenshtein(a.nm, b.nm) <= 2""",
   )
 }

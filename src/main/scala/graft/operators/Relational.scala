@@ -523,6 +523,81 @@ object Relational {
   def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     saltedAgg(Tables.events(s, d))
 
+  /** q140: key-skew audit over the event table's shuffle key — the
+    * number you read BEFORE picking a partitioning: per-user_id row
+    * counts reduced to max share, top-10 share, and the Gini
+    * coefficient. Gini near 0 = uniform keys (plain hash partitioning
+    * is fine); near 1 = a few keys own the table (salt, q139, or
+    * AQE skew handling required). This is the planning audit the
+    * brief's "salting for skew" lever depends on.
+    *
+    * Scale shape: the corpus reduces to a keys-sized count table in
+    * one map-side partial agg. The Gini rank window runs over THAT
+    * table (at billions of keys it becomes a range-partitioned sort +
+    * partition-offset cumsum — same note as q129's vocab window); the
+    * top-10 is a TakeOrderedAndProject, never a global sort. The Gini
+    * sum is tie-order invariant (equal counts contribute c·Σ(2i−k−1)
+    * over the tied rank range regardless of order within it), so no
+    * tiebreak column is needed, and everything stays integer until
+    * the final two divisions. */
+  def qKeySkew(s: SparkSession, d: String): DataFrame =
+    keySkew(Tables.events(s, d), col("user_id"))
+
+  /** The q140 core: skew statistics of `key`'s count distribution. */
+  def keySkew(tbl: DataFrame, key: Column): DataFrame = {
+    val c = tbl.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("n")
+    // gini = (2·Σ i·n_i − (k+1)·Σn) / (k·Σn) with i the ascending rank
+    val g = c.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_count"),
+        sum(col("i") * col("n")).as("s2"))
+    val top10 = c.orderBy(col("n").desc).limit(10)
+      .agg(sum(col("n")).as("t10"))
+    g.crossJoin(top10).select(
+      col("n_keys"), col("n_rows"), col("max_count"),
+      round(col("max_count").cast("double") / col("n_rows"), 6)
+        .as("max_share"),
+      round(col("t10").cast("double") / col("n_rows"), 6).as("top10_share"),
+      round((lit(2) * col("s2") - (col("n_keys") + 1) * col("n_rows"))
+        .cast("double") / (col("n_keys") * col("n_rows")), 6).as("gini"))
+  }
+
+  /** q141: fuzzy name-variant detection — the entity-resolution join:
+    * pairs of distinct part names within Levenshtein distance 2
+    * ("cold bolt" / "old bolt"), each with its row count, the input to
+    * a canonicalization MERGE (q96's shape). The oracle is the
+    * UNBLOCKED all-pairs truth, so the gate proves the blocked plan
+    * loses nothing on this vocabulary.
+    *
+    * Scale shape: the name VOCABULARY (not the table) self-joins —
+    * Zipf/Heaps keeps it orders of magnitude smaller than the rows —
+    * and the join is blocked on the last token plus a length band, so
+    * candidate fanout is per-block-bounded instead of |vocab|². At a
+    * real catalog the block key generalizes to any cheap canonical
+    * signature (metaphone, sorted token set); the within-block
+    * Levenshtein is the only DP cost paid. */
+  def qNameVariants(s: SparkSession, d: String): DataFrame =
+    nameVariants(Tables.part(s, d), col("p_name"))
+
+  /** The q141 core: within-distance pairs of distinct values of
+    * `name`, blocked on last token + length band. */
+  def nameVariants(tbl: DataFrame, name: Column, maxDist: Int = 2): DataFrame = {
+    val names = tbl.groupBy(name.as("nm")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", element_at(split(col("nm"), " "), -1))
+    val a = names.select(col("blk"), col("nm").as("name_a"),
+      col("n_rows").as("rows_a"))
+    val b = names.select(col("blk"), col("nm").as("name_b"),
+      col("n_rows").as("rows_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+        col("rows_a"), col("rows_b"))
+  }
+
   /** The q139 core: `salts`-way salted sum/count/avg of `value` per
     * event_type over any (event_type, user_id, event_id, value) frame. */
   def saltedAgg(ev: DataFrame, salts: Int = 16): DataFrame = {
