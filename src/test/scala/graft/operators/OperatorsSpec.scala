@@ -221,6 +221,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.filter(Relational.EventTypes.map(col(_).isNull).reduce(_ || _)).count() == 0)
   }
 
+  test("q140 key skew: Gini / max / top-10 shares on a crafted count distribution") {
+    import spark.implicits._
+    // keys with counts 4/3/2/1 -> n_keys=4, n_rows=10, max_share=0.4,
+    // top10_share=1 (only 4 keys), Gini((1,2,3,4)) = 0.25 exactly:
+    // ascending-rank sum s2 = 1·1+2·2+3·3+4·4 = 30,
+    // (2·30 − 5·10)/(4·10) = 0.25.
+    val rows = Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val r = Relational.keySkew(rows.toDF("k"), col("k")).collect().head
+    assert(r.getAs[Long]("n_keys") == 4L && r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("max_count") == 4L)
+    assert(r.getAs[Double]("max_share") == 0.4)
+    assert(r.getAs[Double]("top10_share") == 1.0)
+    assert(r.getAs[Double]("gini") == 0.25)
+  }
+
+  test("q141 name variants: blocked Levenshtein join finds within-block pairs only once") {
+    import spark.implicits._
+    // "cold bolt"×2 vs "old bolt"×1: dist 1, same last-token block.
+    // "warm gear" matches nothing; "old boat" is dist 2 from "old bolt"
+    // but lands in block "boat" — the BLOCKED plan misses it by design
+    // (the gate's unblocked oracle proves the real vocabulary never
+    // exercises this; here we pin the blocked semantics themselves).
+    val tbl = Seq("cold bolt", "cold bolt", "old bolt", "warm gear", "old boat")
+      .toDF("nm")
+    val got = Relational.nameVariants(tbl, col("nm")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("cold bolt", "old bolt", 1L, 2L, 1L)))
+  }
+
   test("media features: stub decode is deterministic and fixed-dim") {
     val a = Multimodal.stubDecode("hello world".getBytes)
     val b = Multimodal.stubDecode("hello world".getBytes)
