@@ -302,6 +302,13 @@ object SparkEntry {
     // q141: fuzzy name variants via blocked Levenshtein join; oracle is
     // the unblocked all-pairs truth, proving the blocking lossless
     "q141_name_variants" -> (Relational.qNameVariants _),
+    // q142: exact-count stratified eval/train split (hash-ranked per
+    // language) — size-exact where q60's threshold sample is not
+    "q142_stratified_split" -> ((s, d) => Pipeline.qStratifiedSplit(s, d)),
+    // q143: SCD2 versioned-dimension build from the order stream
+    "q143_scd2" -> (Relational.qScd2 _),
+    // q144: per-user interval union (gaps-and-islands coverage)
+    "q144_interval_coverage" -> (Relational.qIntervalCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1905,5 +1912,67 @@ object SparkEntry {
                 a.n_rows AS rows_a, b.n_rows AS rows_b
          FROM n a JOIN n b ON a.nm < b.nm
          WHERE levenshtein(a.nm, b.nm) <= 2""",
+    // q142: the hash rank (md5 of "strat:<id>") and the ceil threshold
+    // are computed identically on both engines; ties cannot occur
+    // (doc_id is unique within a hash)
+    "q142_stratified_split" ->
+      """WITH h AS (SELECT doc_id, lang,
+                           md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+         r AS (SELECT doc_id, lang, h,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY h, doc_id) AS rk,
+                      COUNT(*) OVER (PARTITION BY lang) AS n_lang
+               FROM h)
+         SELECT doc_id, lang,
+                CASE WHEN rk <= CEIL(n_lang * 0.1) THEN 'eval'
+                     ELSE 'train' END AS split
+         FROM r""",
+    // q143: epoch-second floors on both engines; the 2100-01-01
+    // sentinel closes the current version (no nullable hash compare)
+    "q143_scd2" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           o_orderpriority AS state,
+                           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)
+                             AS valid_from_sec
+                    FROM orders)
+         SELECT o_custkey,
+                ROW_NUMBER() OVER w AS version,
+                o_orderkey, state, valid_from_sec,
+                COALESCE(LEAD(valid_from_sec, 1) OVER w,
+                         4102444800) AS valid_to_sec,
+                CAST(COALESCE(LEAD(valid_from_sec, 1) OVER w,
+                              4102444800) = 4102444800 AS INT)
+                  AS is_current
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY valid_from_sec, o_orderkey)""",
+    // q144: half-open [s, s+300) intervals; touching intervals merge
+    // (island break only when s strictly exceeds the running max end)
+    "q144_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+                            epoch_ns(ts) // 1000000000 + 300 AS e
+                     FROM events),
+         m AS (SELECT user_id, s, e,
+                      MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS maxe
+               FROM iv),
+         f AS (SELECT user_id, s, e,
+                      CASE WHEN maxe IS NULL OR s > maxe THEN 1
+                           ELSE 0 END AS new_island
+               FROM m),
+         isl AS (SELECT user_id, s, e,
+                        SUM(new_island) OVER (PARTITION BY user_id
+                                              ORDER BY s, e
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND CURRENT ROW)
+                          AS island
+                 FROM f),
+         g AS (SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+               FROM isl GROUP BY user_id, island)
+         SELECT user_id, COUNT(*) AS n_islands,
+                CAST(SUM(i_end - i_start) AS BIGINT) AS covered_sec
+         FROM g GROUP BY user_id""",
   )
 }

@@ -1085,6 +1085,41 @@ object Pipeline {
         round(lit(1.0) - col("sum_tokens") / col("padded_tokens"), 6))
   }
 
+  /** q142: EXACT-count stratified eval/train split — per language,
+    * exactly ceil(frac · n_lang) documents go to eval, chosen by
+    * deterministic hash rank (md5 of the doc id, doc_id tie-break), so
+    * the carve is reproducible, auditable, and size-exact per stratum —
+    * the property q60's threshold sampling (expected counts only)
+    * cannot give, and what an eval-set budget actually specifies.
+    *
+    * Scale shape: one shuffle on the stratum key; the rank is a
+    * per-language window. Languages are few, so each window partition
+    * is corpus-sized/|langs| — at 100 TB the same K-th-smallest-hash
+    * selection runs as a two-pass threshold refinement (sample the
+    * hash distribution to bracket the K-th order statistic, exact-rank
+    * only the boundary slice), which needs no per-stratum global sort;
+    * the assignment semantics (and this gate's answer) are identical.
+    * [[graft.operators.Dedup.qLeakageSafeSplit]] is the complementary
+    * device: component-safe membership, inexact sizes. */
+  def qStratifiedSplit(s: SparkSession, d: String, frac: Double = 0.1): DataFrame =
+    stratifiedSplit(documents(s, d), frac)
+
+  /** The q142 core over any (doc_id, lang) frame. */
+  def stratifiedSplit(docs: DataFrame, frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(":", lit("strat"), col("doc_id"))
+          .cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"),
+        when(col("rk") <= ceil(col("n_lang") * lit(frac)), lit("eval"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** q119: rejection sampling by quality — keep each document with
     * probability proportional to a per-doc score (here the token-count
     * ramp p = min(1, tokens/50): longer docs are likelier kept), using

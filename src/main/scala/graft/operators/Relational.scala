@@ -598,6 +598,70 @@ object Relational {
         col("rows_a"), col("rows_b"))
   }
 
+  /** q143: SCD2 (slowly-changing-dimension type-2) history build — the
+    * warehouse-standard versioned dimension: each customer's order
+    * stream becomes closed [valid_from, valid_to) intervals over the
+    * tracked attribute (order priority), with a far-future sentinel
+    * closing the current version (avoids nullable hash-compare
+    * ambiguity) and an is_current flag. This is the batch construction
+    * a CDC consumer (q96's changeset shape) maintains incrementally.
+    *
+    * Scale shape: ONE shuffle on the dimension key; versioning is a
+    * per-key window (lead), keys are numerous so parallelism is full;
+    * no global sort, no driver state. Ties (same customer, same date)
+    * order by the order key, so version numbering is engine-exact. */
+  def qScd2(s: SparkSession, d: String): DataFrame = scd2(Tables.orders(s, d))
+
+  /** 2100-01-01T00:00:00Z — the open-interval sentinel. */
+  val OpenEndSec = 4102444800L
+
+  def scd2(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("valid_from_sec"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("state"),
+        unix_timestamp(col("o_orderdate")).as("valid_from_sec"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_sec",
+        coalesce(lead(col("valid_from_sec"), 1).over(w), lit(OpenEndSec)))
+      .withColumn("is_current",
+        (col("valid_to_sec") === OpenEndSec).cast("int"))
+      .select("o_custkey", "version", "o_orderkey", "state",
+        "valid_from_sec", "valid_to_sec", "is_current")
+  }
+
+  /** q144: interval union (coverage) per user — each event claims the
+    * window [ts, ts+5min); overlapping claims merge, and the answer is
+    * merged-island count + total covered seconds per user. The classic
+    * gaps-and-islands shape: activity coverage, ad-exposure dedup,
+    * sensor uptime — anywhere raw durations double-count overlap.
+    * q74's sessionizer is the gap-split cousin; this is the measure-
+    * theoretic union of explicit intervals.
+    *
+    * Scale shape: one shuffle on user_id; island detection is the
+    * running-max window trick (rows-unbounded-preceding max of the
+    * interval end), all partition-local per user, all integer
+    * arithmetic — engine-exact at any scale. */
+  def qIntervalCoverage(s: SparkSession, d: String): DataFrame =
+    intervalCoverage(Tables.events(s, d), 300L)
+
+  def intervalCoverage(ev: DataFrame, lenSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val prevMax = w.rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), unix_timestamp(col("ts")).as("s"))
+      .withColumn("e", col("s") + lenSec)
+      .withColumn("new_island",
+        when(max(col("e")).over(prevMax).isNull ||
+          col("s") > max(col("e")).over(prevMax), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_sec"))
+  }
+
   /** The q139 core: `salts`-way salted sum/count/avg of `value` per
     * event_type over any (event_type, user_id, event_id, value) frame. */
   def saltedAgg(ev: DataFrame, salts: Int = 16): DataFrame = {

@@ -251,6 +251,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("cold bolt", "old bolt", 1L, 2L, 1L)))
   }
 
+  test("q143 scd2: versions chain, date ties break on order key, one current row per key") {
+    import spark.implicits._
+    // cust 1: three orders, two on the SAME date (keys 12 < 13 decide
+    // the version order); cust 2: a single order (immediately current).
+    val orders = Seq(
+      (11L, 1L, "LOW", 1000L), (13L, 1L, "HIGH", 2000L), (12L, 1L, "MED", 2000L),
+      (21L, 2L, "LOW", 5000L))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "sec")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        to_timestamp(col("sec")).as("o_orderdate"))
+    val got = Relational.scd2(orders).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5), r.getInt(6))))
+      .toMap
+    assert(got((1L, 1)) == ((11L, "LOW", 1000L, 2000L, 0)))
+    assert(got((1L, 2)) == ((12L, "MED", 2000L, 2000L, 0))) // tie: key 12 first
+    assert(got((1L, 3)) == ((13L, "HIGH", 2000L, Relational.OpenEndSec, 1)))
+    assert(got((2L, 1)) == ((21L, "LOW", 5000L, Relational.OpenEndSec, 1)))
+    // interval chaining: each non-current valid_to equals the next valid_from
+    assert(got((1L, 1))._4 == got((1L, 2))._3)
+    assert(got.count { case (_, v) => v._5 == 1 } == 2)
+  }
+
+  test("q144 interval coverage: overlap merges, touching merges, gaps split") {
+    import spark.implicits._
+    // user 1: [0,300)+[100,400) overlap -> [0,400); [1000,1300) gaps off
+    //         -> 2 islands, 400+300 = 700 s covered
+    // user 2: [0,300)+[300,600) touch -> merge -> 1 island, 600 s
+    // user 3: a single event -> 1 island, 300 s
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 1000L), (2L, 0L), (2L, 300L), (3L, 7L))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), to_timestamp(col("sec")).as("ts"))
+    val got = Relational.intervalCoverage(ev, 300L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 700L)), 2L -> ((1L, 600L)), 3L -> ((1L, 300L))))
+  }
+
   test("media features: stub decode is deterministic and fixed-dim") {
     val a = Multimodal.stubDecode("hello world".getBytes)
     val b = Multimodal.stubDecode("hello world".getBytes)

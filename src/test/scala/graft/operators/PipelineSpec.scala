@@ -406,4 +406,28 @@ class PipelineSpec extends AnyFunSuite {
     // every document is in exactly one bucket
     assert(got.values.map(_._1).sum == lens.length)
   }
+
+  test("q142 stratified split: per-stratum eval counts are EXACTLY ceil(frac·n)") {
+    import spark.implicits._
+    // en: 7 docs -> ceil(0.7) = 1 eval; fr: 23 docs -> ceil(2.3) = 3.
+    val docs = ((1 to 7).map(i => (i.toLong, "en")) ++
+      (101 to 123).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val rows = Pipeline.stratifiedSplit(docs, 0.1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 30)
+    val evalByLang = rows.filter(_._3 == "eval").groupBy(_._2).view.mapValues(_.length)
+    assert(evalByLang.toMap == Map("en" -> 1, "fr" -> 3))
+    // the eval picks are the hash-smallest per language (reproducible carve)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"strat:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantEvalEn = (1 to 7).map(_.toLong).sortBy(id => (h(id), id)).take(1).toSet
+    val wantEvalFr = (101 to 123).map(_.toLong).sortBy(id => (h(id), id)).take(3).toSet
+    assert(rows.filter(r => r._3 == "eval" && r._2 == "en").map(_._1).toSet == wantEvalEn)
+    assert(rows.filter(r => r._3 == "eval" && r._2 == "fr").map(_._1).toSet == wantEvalFr)
+    // determinism: a second run assigns identically
+    assert(Pipeline.stratifiedSplit(docs, 0.1).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ==
+      rows.map(r => (r._1, r._3)).toSet)
+  }
 }
