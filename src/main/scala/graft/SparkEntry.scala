@@ -309,6 +309,12 @@ object SparkEntry {
     "q143_scd2" -> (Relational.qScd2 _),
     // q144: per-user interval union (gaps-and-islands coverage)
     "q144_interval_coverage" -> (Relational.qIntervalCoverage _),
+    // q145: referential-integrity audit across the 7 FK edges
+    "q145_fk_orphans" -> (Relational.qFkOrphans _),
+    // q146: Benford first-digit distribution screen on order totals
+    "q146_benford" -> (Relational.qBenford _),
+    // q147: consecutive-month order streaks per customer
+    "q147_order_streaks" -> (Relational.qOrderStreaks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1974,5 +1980,70 @@ object SparkEntry {
          SELECT user_id, COUNT(*) AS n_islands,
                 CAST(SUM(i_end - i_start) AS BIGINT) AS covered_sec
          FROM g GROUP BY user_id""",
+    // q145: one left-join + aggregate per FK edge, UNION ALL'd
+    "q145_fk_orphans" ->
+      """WITH e AS (
+           SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_rows,
+                  SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orph
+           FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+           UNION ALL
+           SELECT 'lineitem->part', COUNT(*),
+                  SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+           FROM lineitem c LEFT JOIN part p ON c.l_partkey = p.p_partkey
+           UNION ALL
+           SELECT 'lineitem->supplier', COUNT(*),
+                  SUM(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0 END)
+           FROM lineitem c LEFT JOIN supplier p ON c.l_suppkey = p.s_suppkey
+           UNION ALL
+           SELECT 'orders->customer', COUNT(*),
+                  SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)
+           FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+           UNION ALL
+           SELECT 'customer->nation', COUNT(*),
+                  SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END)
+           FROM customer c LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+           UNION ALL
+           SELECT 'supplier->nation', COUNT(*),
+                  SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END)
+           FROM supplier c LEFT JOIN nation p ON c.s_nationkey = p.n_nationkey
+           UNION ALL
+           SELECT 'nation->region', COUNT(*),
+                  SUM(CASE WHEN p.r_regionkey IS NULL THEN 1 ELSE 0 END)
+           FROM nation c LEFT JOIN region p ON c.n_regionkey = p.r_regionkey)
+         SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(orph AS BIGINT) AS n_orphans,
+                ROUND(orph::DOUBLE / n_rows, 6) AS orphan_share
+         FROM e""",
+    // q146: digit via floor/log10/power arithmetic (identical double
+    // semantics on both engines; no string formatting)
+    "q146_benford" ->
+      """WITH d AS (SELECT CAST(FLOOR(o_totalprice
+                                      / POWER(10, FLOOR(LOG10(o_totalprice))))
+                           AS INT) AS digit
+                    FROM orders WHERE o_totalprice > 0),
+         c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+         SELECT digit, n,
+                ROUND(n::DOUBLE / SUM(n) OVER (), 6) AS share,
+                ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+                ROUND(ROUND(n::DOUBLE / SUM(n) OVER (), 6)
+                      - ROUND(LOG10(1.0 + 1.0 / digit), 6), 6) AS excess
+         FROM c""",
+    // q147: islands by month_index - row_number; integer throughout
+    "q147_order_streaks" ->
+      """WITH m AS (SELECT DISTINCT o_custkey AS k,
+                           CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                                AS BIGINT) AS midx
+                    FROM orders),
+         i AS (SELECT k, midx,
+                      midx - ROW_NUMBER() OVER (PARTITION BY k ORDER BY midx)
+                        AS island
+               FROM m),
+         r AS (SELECT k, island, COUNT(*) AS run_len
+               FROM i GROUP BY k, island)
+         SELECT k AS o_custkey,
+                CAST(SUM(run_len) AS BIGINT) AS n_active_months,
+                COUNT(*) AS n_streaks,
+                CAST(MAX(run_len) AS BIGINT) AS longest_streak
+         FROM r GROUP BY k""",
   )
 }

@@ -675,4 +675,110 @@ object Relational {
         sum(col("pn")).as("n"),
         round(sum(col("ps")) / sum(col("pn")), 6).as("avg_value"))
   }
+
+  /** q145: referential-integrity audit — per foreign-key edge of the
+    * star schema, row count, orphan count (child rows whose key has no
+    * parent), and orphan share. The data-contract check every pipeline
+    * runs before training joins: a silent orphan becomes a silent
+    * row-drop in an inner join downstream.
+    *
+    * Scale shape: each edge is ONE left join aggregated in the same
+    * pass (no second counting job). The parent side is projected to
+    * its key column only before the join — at 100 TB the build side is
+    * the key set, not the table — and the tiny dims (nation, region)
+    * are broadcast explicitly, so only the fact→fact edges shuffle. */
+  def qFkOrphans(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val edges = Seq(
+      ("lineitem->orders", li, col("l_orderkey"),
+        orders(s, d), col("o_orderkey"), false),
+      ("lineitem->part", li, col("l_partkey"),
+        part(s, d), col("p_partkey"), false),
+      ("lineitem->supplier", li, col("l_suppkey"),
+        supplier(s, d), col("s_suppkey"), false),
+      ("orders->customer", orders(s, d), col("o_custkey"),
+        customer(s, d), col("c_custkey"), false),
+      ("customer->nation", customer(s, d), col("c_nationkey"),
+        nation(s, d), col("n_nationkey"), true),
+      ("supplier->nation", supplier(s, d), col("s_nationkey"),
+        nation(s, d), col("n_nationkey"), true),
+      ("nation->region", nation(s, d), col("n_regionkey"),
+        region(s, d), col("r_regionkey"), true))
+    edges.map { case (name, child, ck, parent, pk, bc) =>
+      fkOrphanEdge(name, child, ck, parent, pk, bc)
+    }.reduce(_.union(_))
+  }
+
+  /** One q145 edge: single-pass left-join + aggregate. */
+  def fkOrphanEdge(name: String, child: DataFrame, ck: Column,
+      parent: DataFrame, pk: Column, bcast: Boolean): DataFrame = {
+    val keys0 = parent.select(pk.cast("long").as("__pk")).distinct()
+    val keys = if (bcast) broadcast(keys0) else keys0
+    child.select(ck.cast("long").as("__ck"))
+      .join(keys, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orph"))
+      .select(lit(name).as("relation"), col("n_rows"),
+        col("orph").cast("long").as("n_orphans"),
+        round(col("orph").cast("double") / col("n_rows"), 6)
+          .as("orphan_share"))
+  }
+
+  /** q146: Benford first-digit audit over order totals — the classic
+    * fabricated-data / pipeline-corruption screen: the distribution of
+    * leading digits of a naturally-spread positive measure follows
+    * log10(1+1/d); a flat or spiked profile flags synthetic or
+    * truncated values. Output per digit: count, observed share,
+    * Benford expectation, and the excess.
+    *
+    * Scale shape: a full scan collapsed by map-side partial agg onto 9
+    * groups — the shuffle moves ≤ 9 rows per partition regardless of
+    * input size. The digit extraction is pure codegen'd arithmetic
+    * (floor/log10/power), no string formatting. */
+  def qBenford(s: SparkSession, d: String): DataFrame =
+    benford(orders(s, d), col("o_totalprice"))
+
+  def benford(tbl: DataFrame, v: Column): DataFrame = {
+    val counts = tbl.filter(v > 0)
+      .select(floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    counts
+      .withColumn("share", round(col("n") / sum(col("n")).over(total), 6))
+      .withColumn("benford_p", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("excess", round(col("share") - col("benford_p"), 6))
+      .select("digit", "n", "share", "benford_p", "excess")
+  }
+
+  /** q147: per-customer consecutive-month order streaks — the
+    * gaps-and-islands idiom on a calendar grid: distinct active months
+    * per customer, runs of consecutive months (the island key is
+    * month_index − row_number, constant within a run), streak count
+    * and longest streak. Retention/engagement-tenure analytics in one
+    * windowed pass; q144 is the continuous-time cousin.
+    *
+    * Scale shape: ONE shuffle on the customer key; both windows and
+    * both group-bys reuse that partitioning (Catalyst collapses them
+    * into the same exchange), all arithmetic integer and partition-
+    * local. Customers are numerous → full parallelism, no skew. */
+  def qOrderStreaks(s: SparkSession, d: String): DataFrame =
+    monthStreaks(orders(s, d), col("o_custkey"), col("o_orderdate"))
+
+  def monthStreaks(tbl: DataFrame, key: Column, ts: Column): DataFrame = {
+    val months = tbl
+      .select(key.as("k"), (year(ts) * 12 + month(ts)).cast("long").as("midx"))
+      .distinct()
+    val w = Window.partitionBy("k").orderBy("midx")
+    months
+      .withColumn("island", col("midx") - row_number().over(w))
+      .groupBy(col("k"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("k"))
+      .agg(sum(col("run_len")).as("n_active_months"),
+        count(lit(1)).as("n_streaks"),
+        max(col("run_len")).as("longest_streak"))
+      .select(col("k").as("o_custkey"), col("n_active_months"),
+        col("n_streaks"), col("longest_streak"))
+  }
 }

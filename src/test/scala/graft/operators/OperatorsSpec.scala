@@ -288,6 +288,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 700L)), 2L -> ((1L, 600L)), 3L -> ((1L, 300L))))
   }
 
+  test("q145 fk edge: single-pass left-join audit counts orphans exactly") {
+    import spark.implicits._
+    // children 1,2,2,9 vs parents {1,2}: 9 is the one orphan
+    val child = Seq(1L, 2L, 2L, 9L).toDF("ck")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Relational.fkOrphanEdge("c->p", child, col("ck"),
+      parent, col("pk"), bcast = true).collect().head
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.25)
+  }
+
+  test("q146 benford: digit extraction and shares over a known frame") {
+    import spark.implicits._
+    // 1x digit-1 (1.5), 2x digit-2 (20, 250), 1x digit-9 (0.95)
+    val tbl = Seq(1.5, 20.0, 250.0, 0.95, -3.0, 0.0).toDF("v")
+    val got = Relational.benford(tbl, col("v")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1, 2, 9)) // non-positives excluded
+    assert(got(1) == ((1L, 0.25)) && got(2) == ((2L, 0.5)) && got(9) == ((1L, 0.25)))
+    // benford_p(1) = log10(2) rounded to 6
+    val row1 = Relational.benford(tbl, col("v")).filter(col("digit") === 1)
+      .collect().head
+    assert(row1.getDouble(3) == 0.30103)
+  }
+
+  test("q147 month streaks: islands split on gaps, year boundary is consecutive") {
+    import spark.implicits._
+    // cust 1: 2020-11, 2020-12, 2021-01 (one streak of 3 across the
+    // year boundary), then 2021-03 (gap -> second streak); a duplicate
+    // order inside 2020-12 must not inflate the month count.
+    // cust 2: single month.
+    val orders = Seq(
+      (1L, "2020-11-15"), (1L, "2020-12-01"), (1L, "2020-12-25"),
+      (1L, "2021-01-09"), (1L, "2021-03-02"), (2L, "2020-06-06"))
+      .toDF("o_custkey", "ds")
+      .select(col("o_custkey"), to_timestamp(col("ds")).as("o_orderdate"))
+    val got = Relational.monthStreaks(orders, col("o_custkey"), col("o_orderdate"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(1L -> ((4L, 2L, 3L)), 2L -> ((1L, 1L, 1L))))
+  }
+
   test("media features: stub decode is deterministic and fixed-dim") {
     val a = Multimodal.stubDecode("hello world".getBytes)
     val b = Multimodal.stubDecode("hello world".getBytes)
