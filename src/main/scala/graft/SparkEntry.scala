@@ -1276,7 +1276,7 @@ object SparkEntry {
          comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
          sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
          SELECT s.source, COUNT(*) AS n_docs,
-                ROUND(SUM(1.0 / z.csize), 4) AS effective_docs,
+                ROUND(SUM(1000000000000 // z.csize) / 1e12, 4) AS effective_docs,
                 SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS n_in_clusters
          FROM comp c JOIN sizes z USING (component)
               JOIN documents s ON c.doc_id = s.doc_id
@@ -2017,10 +2017,13 @@ object SparkEntry {
     // q146: digit via floor/log10/power arithmetic (identical double
     // semantics on both engines; no string formatting)
     "q146_benford" ->
-      """WITH d AS (SELECT CAST(FLOOR(o_totalprice
-                                      / POWER(10, FLOOR(LOG10(o_totalprice))))
-                           AS INT) AS digit
+      """WITH m AS (SELECT o_totalprice
+                             / POWER(10, FLOOR(LOG10(o_totalprice))) AS m0
                     FROM orders WHERE o_totalprice > 0),
+         d AS (SELECT CAST(FLOOR(CASE WHEN m0 >= 10 THEN m0 / 10
+                                      WHEN m0 < 1 THEN m0 * 10
+                                      ELSE m0 END) AS INT) AS digit
+               FROM m),
          c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
          SELECT digit, n,
                 ROUND(n::DOUBLE / SUM(n) OVER (), 6) AS share,

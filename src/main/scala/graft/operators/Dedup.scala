@@ -549,7 +549,12 @@ object Dedup {
       .join(softDedupWeights(docs), Seq("doc_id"))
       .groupBy("source")
       .agg(count("*").as("n_docs"),
-        round(sum(lit(1.0) / col("csize")), 4).as("effective_docs"),
+        // sum 1/csize as EXACT picoweight integers (1e12 div csize):
+        // long addition is order-invariant, so the hash is stable no
+        // matter how Spark vs DuckDB order the partial aggregates —
+        // double summation here flipped a 4th-decimal boundary (r6)
+        round(sum(expr("1000000000000 div csize")).cast("double") / 1e12, 4)
+          .as("effective_docs"),
         sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_clusters"))
   }
 

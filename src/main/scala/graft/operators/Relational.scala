@@ -709,7 +709,16 @@ object Relational {
     }.reduce(_.union(_))
   }
 
-  /** One q145 edge: single-pass left-join + aggregate. */
+  /** One q145 edge: single-pass left-join + aggregate.
+    *
+    * Semantics: the parent side is reduced to its distinct KEY SET, so
+    * the check is set membership (`EXISTS`), not a raw join — a child
+    * row counts as orphaned iff its key appears zero times in the
+    * parent, and a duplicated parent key can never fan the child out.
+    * (A plain SQL left join against a parent with duplicate keys would
+    * inflate COUNT(*); an FK audit wants membership, so the distinct is
+    * deliberate. The q145 oracle left-joins the raw parent, which
+    * agrees because it only targets primary-key columns.) */
   def fkOrphanEdge(name: String, child: DataFrame, ck: Column,
       parent: DataFrame, pk: Column, bcast: Boolean): DataFrame = {
     val keys0 = parent.select(pk.cast("long").as("__pk")).distinct()
@@ -734,14 +743,19 @@ object Relational {
     * Scale shape: a full scan collapsed by map-side partial agg onto 9
     * groups — the shuffle moves ≤ 9 rows per partition regardless of
     * input size. The digit extraction is pure codegen'd arithmetic
-    * (floor/log10/power), no string formatting. */
+    * (floor/log10/power), no string formatting. An off-by-one-ulp
+    * log10 at an exact power of 10 would misplace the mantissa by a
+    * factor of 10, so the mantissa is re-normalized into [1, 10)
+    * before the digit is taken — the helper is safe on arbitrary
+    * positive columns, not just 2-decimal prices. */
   def qBenford(s: SparkSession, d: String): DataFrame =
     benford(orders(s, d), col("o_totalprice"))
 
   def benford(tbl: DataFrame, v: Column): DataFrame = {
+    val m0 = v / pow(lit(10.0), floor(log10(v)))
+    val m = when(m0 >= 10.0, m0 / 10.0).when(m0 < 1.0, m0 * 10.0).otherwise(m0)
     val counts = tbl.filter(v > 0)
-      .select(floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
-        .as("digit"))
+      .select(floor(m).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val total = Window.partitionBy()
     counts
@@ -758,17 +772,21 @@ object Relational {
     * and longest streak. Retention/engagement-tenure analytics in one
     * windowed pass; q144 is the continuous-time cousin.
     *
-    * Scale shape: ONE shuffle on the customer key; both windows and
-    * both group-bys reuse that partitioning (Catalyst collapses them
-    * into the same exchange), all arithmetic integer and partition-
-    * local. Customers are numerous → full parallelism, no skew. */
+    * Scale shape: ONE shuffle, on the customer key alone — the input
+    * is explicitly repartitioned by k, which satisfies the clustering
+    * requirement of the (k, midx) dedup aggregate ([k] ⊆ [k, midx]),
+    * the window's partitionBy(k), and both downstream group-bys, so
+    * EnsureRequirements inserts no further exchange. All arithmetic is
+    * integer and partition-local. Customers are numerous → full
+    * parallelism, no skew. */
   def qOrderStreaks(s: SparkSession, d: String): DataFrame =
     monthStreaks(orders(s, d), col("o_custkey"), col("o_orderdate"))
 
   def monthStreaks(tbl: DataFrame, key: Column, ts: Column): DataFrame = {
     val months = tbl
       .select(key.as("k"), (year(ts) * 12 + month(ts)).cast("long").as("midx"))
-      .distinct()
+      .repartition(col("k"))
+      .dropDuplicates("k", "midx")
     val w = Window.partitionBy("k").orderBy("midx")
     months
       .withColumn("island", col("midx") - row_number().over(w))

@@ -65,8 +65,8 @@ object EventTime {
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
-    // file streams need an explicit schema; ts arrives as nanos LONG
-    // (TESTDATA.md) and is normalized exactly like Tables.events
+    // file streams need an explicit schema; ts is normalized exactly
+    // like Tables.events (type-adaptive: nanos LONG or timestamp[us])
     val schema = s.read.parquet(path).schema
     // the file stream source lists a DIRECTORY; events.parquet is a
     // single file, so stream a temp dir holding a symlink to it (a
@@ -77,8 +77,7 @@ object EventTime {
         java.nio.file.Paths.get(path).toAbsolutePath)
       tmp.toString
     })
-    s.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.operators.Tables.normalizeTs(s.readStream.schema(schema).parquet(dir))
   }
 
   /** The events table as a MULTI-FILE stream source: the table is
@@ -98,8 +97,8 @@ object EventTime {
         .write.mode("overwrite").parquet(tmp)
       tmp
     })
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.operators.Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir))
   }
 
   /** The events table as a TIME-ORDERED multi-file stream: range-split
@@ -130,8 +129,8 @@ object EventTime {
       }
       tmp
     })
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.operators.Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir))
   }
 
   /** q133: the ordered funnel (q131) as STREAMING state — per-user
@@ -271,8 +270,9 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q45 must exercise cross-batch dedup state, saw $dataBatches data batches")
-    val spanDays = s.read.parquet(s"$d/events.parquet")
-      .agg(expr("(max(ts) - min(ts)) / 86400e9")).head().getDouble(0)
+    val spanDays = graft.operators.Tables.events(s, d)
+      .agg(expr("(unix_micros(max(ts)) - unix_micros(min(ts))) / 86400e6"))
+      .head().getDouble(0)
     require(spanDays < 35.0,
       f"event-time span $spanDays%.1f days exceeds the 35-day dedup horizon — " +
         "the COUNT(DISTINCT) oracle would no longer be batching-invariant")

@@ -234,9 +234,9 @@ object ScaleBench {
       out: String): Unit = {
     val UserShift = 1000000L
     val EvShift = 100000000L
-    // source ts is parquet TIMESTAMP(NANOS): read as nanos LONG (same
-    // conf Tables.events uses); the scaled table then carries a plain
-    // BIGINT ts, which Tables.events normalizes identically
+    // ts passes through unchanged whatever the fixture stored (nanos
+    // LONG under the legacy conf, or timestamp[us]); Tables.normalizeTs
+    // adapts to either on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = spark.read.parquet(s"$src/events.parquet")
     val scaled = (0 until factor).map { i =>

@@ -42,6 +42,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
+    # queries that THREW in Verify leave an explicit record instead of
+    # silently missing from the output dir (round-6 lesson)
+    fail_file = f"{out_dir}/_failures.json"
+    threw = json.load(open(fail_file)) if os.path.exists(fail_file) else {}
+    for name, msg in threw.items():
+        n_fail += 1
+        print(f"  [FAIL-threw] {name}: {msg}")
     for name in sorted(os.listdir(out_dir)):
         res_dir = os.path.join(out_dir, name)
         if not os.path.isdir(res_dir):
