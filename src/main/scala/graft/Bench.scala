@@ -103,6 +103,14 @@ object Bench {
     "q130_anomaly_hours",
     "q131_funnel",
     "q132_cohort_retention",
+    // round 7: exact quantiles by iterative threshold refinement (the
+    // multi-job driver-paced selection loop) and their funnel-latency
+    // composition
+    "q148_exact_quantiles",
+    "q149_conversion_latency",
+    // round 7: incremental IVF maintenance (build base + append batch
+    // on the first timed run; steady state is the audit aggregation)
+    "q150_ivf_append",
   )
 
   def main(args: Array[String]): Unit = {

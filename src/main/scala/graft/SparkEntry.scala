@@ -315,6 +315,16 @@ object SparkEntry {
     "q146_benford" -> (Relational.qBenford _),
     // q147: consecutive-month order streaks per customer
     "q147_order_streaks" -> (Relational.qOrderStreaks _),
+    // q148: exact p50/p90/p99 by iterative threshold refinement — the
+    // exact-quantile plan that survives 100 TB (no global sort)
+    "q148_exact_quantiles" -> (Pipeline.qExactQuantiles _),
+    // q149: view→purchase conversion-latency percentiles (funnel ∘
+    // exact selection)
+    "q149_conversion_latency" -> (Pipeline.qConversionLatency _),
+    // q150: incremental IVF index maintenance — append-without-rebuild
+    // audit + centroid-drift staleness signal (rows-only: seeded
+    // KMeans codebook; IncrementalIvfSpec pins append ≡ rebuild)
+    "q150_ivf_append" -> (Similarity.qIvfAppend _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2048,5 +2058,33 @@ object SparkEntry {
                 COUNT(*) AS n_streaks,
                 CAST(MAX(run_len) AS BIGINT) AS longest_streak
          FROM r GROUP BY k""",
+    // q148: rank k = ceil(p*n) computed in DOUBLE on both engines
+    // (identical IEEE product + ceil), value selected by ROW_NUMBER —
+    // an actual data element, so the hash is float-stable
+    "q148_exact_quantiles" ->
+      """WITH t AS (SELECT l_extendedprice AS v FROM lineitem),
+         c AS (SELECT COUNT(*) AS n FROM t),
+         r AS (SELECT p, GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS k
+               FROM (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                    CAST(0.99 AS DOUBLE)]) AS p), c),
+         o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t)
+         SELECT r.p, r.k, o.v AS value FROM r JOIN o ON o.rn = r.k""",
+    // q149: first view per user, earliest purchase at-or-after it,
+    // latency in µs; percentiles by the same exact-rank construction
+    "q149_conversion_latency" ->
+      """WITH fv AS (SELECT user_id, MIN(ts) AS fv FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         conv AS (SELECT e.user_id,
+                         MIN(epoch_us(e.ts) - epoch_us(f.fv)) AS lat
+                  FROM events e JOIN fv f ON e.user_id = f.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts >= f.fv
+                  GROUP BY e.user_id),
+         c AS (SELECT COUNT(*) AS n FROM conv),
+         r AS (SELECT p, GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS k
+               FROM (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                    CAST(0.99 AS DOUBLE)]) AS p), c),
+         o AS (SELECT lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn FROM conv)
+         SELECT r.p, r.k, CAST(o.lat AS BIGINT) AS latency_us
+         FROM r JOIN o ON o.rn = r.k""",
   )
 }

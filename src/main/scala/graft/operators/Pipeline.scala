@@ -691,6 +691,111 @@ object Pipeline {
         sum(graft.functions.tokenCount(col("text"))).cast("long").as("sum_tokens"))
   }
 
+  /** Exact K-th order statistic by ITERATIVE THRESHOLD REFINEMENT — the
+    * exact-quantile plan that survives 100 TB where q47's sort-based
+    * `percentile` cannot: each round histograms the candidate value
+    * range into `buckets` range-buckets in ONE map-side-combined scan
+    * (driver state = the ≤`buckets`-row histogram, never data), picks
+    * the bucket containing the residual rank, and recurses into it
+    * using the bucket's OBSERVED min/max as the new range (monotone
+    * floating-point bucketing means the [mn, mx] filter re-selects
+    * exactly that bucket's rows). The candidate count shrinks ~`buckets`×
+    * per round — 2–3 scans reach a ≤`cap` tail at petabyte row counts —
+    * and the tail resolves with a bounded TakeOrdered (k ≤ cap rows per
+    * partition heap), never a driver data collect. Complements q47
+    * (exact, sort-based oracle anchor) and q49 (mergeable sketch):
+    * this is the path that is BOTH exact and scale-safe.
+    * Ref: distributed selection via range partitioning; the reference
+    * exposes percentiles only through user-scripted sorted-set scans
+    * (js_api stream surface), which this replaces wholesale. */
+  def exactOrderStatistic(df: DataFrame, v: Column, k: Long,
+      buckets: Int = 4096, cap: Long = 100000): Double = {
+    require(k >= 1, s"rank must be >= 1, got $k")
+    val vals = df.select(v.cast("double").as("v")).filter(col("v").isNotNull)
+
+    @annotation.tailrec
+    def refine(lo: Double, hi: Double, rank: Long, n: Long, rounds: Int): Double = {
+      val w = (hi - lo) / buckets
+      if (lo == hi) lo
+      else if (n <= cap || rounds >= 64 || !(w > 0) || lo + w == lo) {
+        // bounded tail (or a sub-ulp range, i.e. massive ties): rank ≤ n
+        // and n ≤ cap on the normal path; TakeOrdered keeps ≤ rank rows
+        require(rank <= Int.MaxValue, s"degenerate tail with rank $rank")
+        vals.filter(col("v") >= lo && col("v") <= hi)
+          .orderBy("v").limit(rank.toInt)
+          .agg(max("v")).head().getDouble(0)
+      } else {
+        val idx = least(lit(buckets - 1),
+          floor((col("v") - lit(lo)) / lit(w))).cast("int")
+        val hist = vals.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(idx.as("b"))
+          .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+          .orderBy("b")
+          .collect() // ≤ `buckets` rows — bounded driver state by design
+        var remaining = rank
+        var i = 0
+        while (i < hist.length - 1 && remaining > hist(i).getAs[Long]("n")) {
+          remaining -= hist(i).getAs[Long]("n"); i += 1
+        }
+        val b = hist(i)
+        refine(b.getAs[Double]("mn"), b.getAs[Double]("mx"), remaining,
+          b.getAs[Long]("n"), rounds + 1)
+      }
+    }
+
+    val stats = vals.agg(count(lit(1)).as("n"), min("v").as("mn"),
+      max("v").as("mx")).head()
+    val n = stats.getAs[Long]("n")
+    require(k <= n, s"rank $k exceeds non-null row count $n")
+    refine(stats.getAs[Double]("mn"), stats.getAs[Double]("mx"), k, n, 0)
+  }
+
+  /** q148: exact corpus percentiles (p50/p90/p99 of lineitem's
+    * extended price) through [[exactOrderStatistic]] — rank
+    * k = ceil(p·n), the lower discrete quantile, so every reported
+    * value is an actual data element (no interpolation, no float-sum
+    * instability; the DuckDB oracle selects the same rank with
+    * ROW_NUMBER and hashes bit-identically). */
+  def qExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val n = li.count()
+    val ps = Seq(0.5, 0.9, 0.99)
+    val rows = ps.map { p =>
+      val k = math.max(1L, math.ceil(p * n).toLong)
+      (p, k, exactOrderStatistic(li, col("v"), k))
+    }
+    import s.implicits._
+    rows.toDF("p", "k", "value")
+  }
+
+  /** q149: conversion-latency percentiles — the funnel (q131) composed
+    * with the exact selection machinery: per user, the first `view`
+    * and the earliest `purchase` at-or-after it give a conversion
+    * latency in µs; p50/p90/p99 of those latencies are exact K-th
+    * order statistics via [[exactOrderStatistic]]. Time-to-event
+    * percentiles are THE operational funnel metric, and at 100 TB the
+    * latency table (one row per converting user) feeds the same
+    * histogram-refinement scans — no global sort anywhere. */
+  def qConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("fv"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(col("ts") >= col("fv"))
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts")) - unix_micros(col("fv"))).as("lat"))
+      .select(col("lat"))
+    val n = lat.count()
+    val ps = Seq(0.5, 0.9, 0.99)
+    val rows = ps.map { p =>
+      val k = math.max(1L, math.ceil(p * n).toLong)
+      (p, k, exactOrderStatistic(lat, col("lat"), k).toLong)
+    }
+    import s.implicits._
+    rows.toDF("p", "k", "latency_us")
+  }
+
   /** Distributed BPE merge learning (byte-pair encoding — Gage 1994,
     * applied to subword tokenization by Sennrich et al., ACL 2016;
     * public algorithm) — the tokenizer-TRAINING primitive (q55 builds a

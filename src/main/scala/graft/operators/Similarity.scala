@@ -426,6 +426,113 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Incremental IVF maintenance: append new vectors to a persisted index
+  // without retraining or rebuilding — the ANN analogue of the
+  // reference's streaming ingest (stream_reader.rs appends records to a
+  // standing log; here arrivals append to a standing index). Build and
+  // append share ONE deterministic assignment rule, so the incrementally
+  // grown index is bit-identical to a from-scratch re-assignment under
+  // the same codebook (spec-asserted).
+  // ---------------------------------------------------------------------
+
+  /** Assign (vec_id, embedding) rows to their nearest centroid with a
+    * ROW-LOCAL codegen'd argmin: the codebook (≤ a few hundred cells ×
+    * dims doubles) becomes an array literal, per-row squared-L2
+    * distances come from one `transform`, and the cell is the FIRST
+    * index attaining the min (ties → lowest cell id). No shuffle, no
+    * crossJoin fanout — a 100 TB batch assigns in one scan. */
+  def assignWithCodebook(batch: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val ordered = cents.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.map(identity),
+      "codebook cells must be dense 0..k-1")
+    val centLit = typedlit(ordered.map(_._2))
+    val d2s = transform(centLit, c =>
+      aggregate(zip_with(col("embedding"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v))
+    batch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("d2s", d2s)
+      .withColumn("cell",
+        (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
+      .select("vec_id", "embedding", "cell")
+  }
+
+  private def readCodebook(s: SparkSession, indexDir: String): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    s.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().toSeq
+  }
+
+  /** Build an APPENDABLE IVF index over an arbitrary corpus frame:
+    * seeded-KMeans codebook (bounded `trainCap` fit, as
+    * [[buildIvfIndex]]) but assignments via [[assignWithCodebook]] —
+    * the same rule appends use — so growth never diverges from a
+    * rebuild. Layout matches [[buildIvfIndex]] (centroids +
+    * cell-partitioned assignments), so [[ivfSearchFromIndex]] serves
+    * it unchanged. */
+  def buildAppendableIvfIndex(s: SparkSession, corpus: DataFrame,
+      indexDir: String, cells: Int = 10, trainCap: Long = 100000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val e = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val train = e.limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(cells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    cents.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignWithCodebook(e, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assignments")
+  }
+
+  /** Append a batch of NEW vectors to a persisted appendable index:
+    * one row-local assignment scan + an append write into the
+    * per-cell partition directories. Nothing existing is read or
+    * rewritten — at 100 TB the cost is the batch, not the index. The
+    * codebook does NOT move (centroid drift is q150's staleness
+    * signal; a rebuild is a deliberate operation, not a side effect). */
+  def appendToIvfIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit =
+    assignWithCodebook(batch, readCodebook(s, indexDir))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/assignments")
+
+  /** q150: incremental-maintenance audit — the base corpus (even
+    * vec_ids) builds the index once; the odd-id batch arrives later
+    * and APPENDS (no retrain, no rebuild). Per cell: base/new counts,
+    * the new-arrival share, and mean centroid-d2 of base vs new — the
+    * STALENESS signal: arrivals drifting away from the codebook
+    * (mean_d2_new ≫ mean_d2_base) is the operational rebuild trigger.
+    * Rows-only in the gate (the codebook is a seeded KMeans fit);
+    * SimilaritySpec pins append ≡ full re-assignment bit for bit,
+    * argmin correctness per appended row, and that appended vectors
+    * serve immediately through [[ivfSearchFromIndex]] unchanged. */
+  def qIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir(s, "ivfinc", s"ivfinc:$d") { dir =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      buildAppendableIvfIndex(s, e.filter(col("vec_id") % 2 === 0), dir)
+      appendToIvfIndex(s, dir, e.filter(col("vec_id") % 2 =!= 0))
+    }
+    val d2 = expr("aggregate(zip_with(embedding, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    s.read.parquet(s"$dir/assignments")
+      .join(broadcast(s.read.parquet(s"$dir/centroids")), Seq("cell"))
+      .select(col("cell"), (col("vec_id") % 2 =!= 0).as("is_new"), d2.as("d2"))
+      .groupBy("cell")
+      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        round(avg(when(!col("is_new"), col("d2"))), 6).as("mean_d2_base"),
+        round(avg(when(col("is_new"), col("d2"))), 6).as("mean_d2_new"))
+  }
+
+  // ---------------------------------------------------------------------
   // Product quantization: shared fit / encode / LUT / re-rank machinery.
   // The in-query paths (q91/q93's reference shapes) and the persisted-
   // index paths (what the gate actually runs) call the SAME helpers on

@@ -82,7 +82,14 @@ object ScaleBench {
       // the factor). q126/q127/q130 are scan-or-tiny-table shapes with
       // nothing new to probe.
       "q125_sentence_dedup", "q128_dedup_keep_best", "q129_vocab_coverage",
-      "q131_funnel", "q132_cohort_retention")
+      "q131_funnel", "q132_cohort_retention",
+      // round 12: the exact-quantile refinement loop — the probe grounds
+      // the claim that rounds (not round cost) absorb the scale-up: the
+      // histogram scan grows linearly but the ≤4096-row driver state and
+      // the ≤100k-row tail are scale-invariant, so wall time should grow
+      // far slower than the 100× data. The latency composition adds the
+      // funnel's user-keyed joins in front of the same loop.
+      "q148_exact_quantiles", "q149_conversion_latency")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
