@@ -111,6 +111,21 @@ object Bench {
     // round 7: incremental IVF maintenance (build base + append batch
     // on the first timed run; steady state is the audit aggregation)
     "q150_ivf_append",
+    // round 7: the new analytics batch — PPS sampling (per-source
+    // window walk), collocation lift (bigram-vocab joins + top-k),
+    // Z-order bucket map (bit-arithmetic scan), session paths
+    // (user-keyed window trio with throttle + autocorr), Gini
+    // (source-keyed rank walk), co-occurrence (user-keyed pair join),
+    // cents reconciliation (orderkey-keyed join)
+    "q151_pps_sample",
+    "q153_collocation_lift",
+    "q154_zorder_layout",
+    "q155_session_paths",
+    "q156_event_throttle",
+    "q157_daily_autocorr",
+    "q160_gini_concentration",
+    "q161_type_cooccurrence",
+    "q162_totalprice_audit",
   )
 
   def main(args: Array[String]): Unit = {

@@ -325,6 +325,36 @@ object SparkEntry {
     // audit + centroid-drift staleness signal (rows-only: seeded
     // KMeans codebook; IncrementalIvfSpec pins append ≡ rebuild)
     "q150_ivf_append" -> (Similarity.qIvfAppend _),
+    // q151: systematic PPS (token-weighted) sampling per source —
+    // integer pin-crossing test, bit-deterministic selection
+    "q151_pps_sample" -> ((s, d) => Pipeline.qPpsSample(s, d)),
+    // q152: per-nation OLS revenue trend from exact sufficient sums
+    "q152_trend_ols" -> (Relational.qTrendOls _),
+    // q153: collocation mining ranked by exact integer lift (≡ PMI order)
+    "q153_collocation_lift" -> ((s, d) => TextAnalysis.qCollocationLift(s, d)),
+    // q154: Z-order (Morton) bucket map + per-bucket 2-D bounding boxes
+    "q154_zorder_layout" -> (Bucketing.qZorderStats _),
+    // q155: session entry/exit path matrix with bounce counts
+    "q155_session_paths" -> ((s, d) => Relational.qSessionPaths(s, d)),
+    // q156: telemetry throttle-dedup (same user+type within 60 s)
+    "q156_event_throttle" -> ((s, d) => Relational.qEventThrottle(s, d)),
+    // q157: lag-1 autocorrelation of daily counts per event type
+    "q157_daily_autocorr" -> (Relational.qDailyAutocorr _),
+    // q158: q156's throttle as streaming state — oracle IS q156's SQL
+    // (stream/batch parity, the q133 contract for the dedup family)
+    "q158_streaming_throttle" -> (graft.streaming.EventTime.qStreamingThrottle _),
+    // q159: lang × source independence audit (standardized residuals)
+    "q159_contingency_residuals" -> (Relational.qContingencyResiduals _),
+    // q160: per-source Gini concentration of token mass
+    "q160_gini_concentration" -> ((s, d) => Pipeline.qGiniConcentration(s, d)),
+    // q161: event-type co-occurrence with exact integer lift
+    "q161_type_cooccurrence" -> (Relational.qTypeCooccurrence _),
+    // q162: order-total vs lineitem-sum reconciliation in exact cents
+    "q162_totalprice_audit" -> (Relational.qTotalpriceAudit _),
+    // q163: co-purchase PageRank — integer-picorank power iteration;
+    // rows-only (weighted recursive iteration is not practical ANSI
+    // SQL); GraphSpec pins bit-equality against a sequential reference
+    "q163_copurchase_rank" -> ((s, d) => Graph.qCopurchaseRank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2086,5 +2116,267 @@ object SparkEntry {
          o AS (SELECT lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn FROM conv)
          SELECT r.p, r.k, CAST(o.lat AS BIGINT) AS latency_us
          FROM r JOIN o ON o.rn = r.k""",
+    // q151: systematic PPS sampling — k=16 equally-spaced pins on each
+    // source's token-cumsum line; the pin-crossing test is pure integer
+    // division, bit-identical in both engines
+    "q151_pps_sample" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, w,
+                  SUM(w) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                  SUM(w) OVER (PARTITION BY source) AS tw
+           FROM d),
+         s AS (SELECT source, w, tw,
+                      ((cw * 16) // tw > ((cw - w) * 16) // tw) AS sel
+               FROM c)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+                CAST(MAX(tw) AS BIGINT) AS tokens_total,
+                CAST(SUM(CASE WHEN sel THEN w ELSE 0 END) AS BIGINT) AS tokens_selected
+         FROM s GROUP BY source""",
+    // q152: groupwise OLS from exact sufficient sums (integer x = days
+    // since 1995-01-01, DECIMAL(18,2) y); only the final scalar formula
+    // is double (IEEE-exact +,*,/ — no libm)
+    "q152_trend_ols" ->
+      """WITH t AS (
+           SELECT n_name AS g,
+                  CAST(date_diff('day', DATE '1995-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey),
+         a AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * y) AS sxy, SUM(x * x) AS sxx
+               FROM t GROUP BY g)
+         SELECT g, n AS n_rows,
+                ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                  AS slope_per_day,
+                ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) AS avg_y
+         FROM a""",
+    // q153: collocations ranked by exact integer 1e6-scaled lift
+    // (order-equivalent to PMI); bigrams via the q126 concat idiom
+    // (tokens contain no whitespace, so the split is unambiguous)
+    "q153_collocation_lift" ->
+      """WITH t AS (
+           SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+         u AS (SELECT t2 AS tok, COUNT(*) AS c1
+               FROM (SELECT unnest(w) AS t2 FROM t) GROUP BY t2),
+         n AS (SELECT SUM(c1) AS n FROM u),
+         bg AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS bg
+           FROM t WHERE len(w) >= 2),
+         b2 AS (
+           SELECT string_split(bg, ' ')[1] AS w1,
+                  string_split(bg, ' ')[2] AS w2, COUNT(*) AS c2
+           FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT b.w1, b.w2, b.c2,
+                CAST((b.c2 * n.n * 1000000) // (ua.c1 * ub.c1) AS BIGINT)
+                  AS lift_ppm
+         FROM b2 b
+           JOIN u ua ON b.w1 = ua.tok
+           JOIN u ub ON b.w2 = ub.tok
+           CROSS JOIN n
+         ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""",
+    // q154: Morton/Z-order bucket map — 16-bit grid cells by exact
+    // integer min/max scaling, then the identical magic-mask spread
+    // chain in SQL (masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 /
+    // 0x55555555), pure integer bit arithmetic
+    "q154_zorder_layout" ->
+      """WITH mm AS (
+           SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                  MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+           FROM lineitem),
+         g AS (
+           SELECT l_partkey, l_suppkey,
+                  CASE WHEN pmax = pmin THEN 0
+                       ELSE ((l_partkey - pmin) * 65535) // (pmax - pmin)
+                  END AS a,
+                  CASE WHEN smax = smin THEN 0
+                       ELSE ((l_suppkey - smin) * 65535) // (smax - smin)
+                  END AS b
+           FROM lineitem CROSS JOIN mm),
+         s1 AS (SELECT l_partkey, l_suppkey,
+                       ((a | (a << 8)) & 16711935) AS a,
+                       ((b | (b << 8)) & 16711935) AS b FROM g),
+         s2 AS (SELECT l_partkey, l_suppkey,
+                       ((a | (a << 4)) & 252645135) AS a,
+                       ((b | (b << 4)) & 252645135) AS b FROM s1),
+         s3 AS (SELECT l_partkey, l_suppkey,
+                       ((a | (a << 2)) & 858993459) AS a,
+                       ((b | (b << 2)) & 858993459) AS b FROM s2),
+         s4 AS (SELECT l_partkey, l_suppkey,
+                       ((a | (a << 1)) & 1431655765) AS a,
+                       ((b | (b << 1)) & 1431655765) AS b FROM s3),
+         z AS (SELECT l_partkey, l_suppkey,
+                      (a | (b << 1)) >> 26 AS zb FROM s4)
+         SELECT CAST(zb AS INT) AS zbucket, COUNT(*) AS n,
+                MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+                MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+         FROM z GROUP BY 1""",
+    // q155: session entry/exit matrix — q74's gaps-and-islands core with
+    // a (ts, event_id) total order, first/last event type per session
+    "q155_session_paths" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts >= LAG(ts) OVER w + INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts, event_id, event_type,
+                      SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+               FROM t),
+         g AS (SELECT DISTINCT user_id, sess,
+                      FIRST_VALUE(event_type) OVER w2 AS entry_type,
+                      LAST_VALUE(event_type) OVER w2 AS exit_type,
+                      COUNT(*) OVER w2 AS n_ev
+               FROM s
+               WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT entry_type, exit_type, COUNT(*) AS n_sessions,
+                CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounces,
+                ROUND(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 4) AS avg_events
+         FROM g GROUP BY entry_type, exit_type""",
+    // q156: throttle-dedup — same (user, type) within 60 s of the
+    // previous raw firing; µs-exact comparison
+    "q156_event_throttle" ->
+      """WITH l AS (
+           SELECT event_type, ts,
+                  LAG(ts) OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_total,
+                CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev) < 60000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                ROUND(CAST(SUM(CASE WHEN prev IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev) < 60000000
+                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+                  AS drop_share
+         FROM l GROUP BY event_type""",
+    // q157: lag-1 autocorrelation of the daily count series per type —
+    // integer sufficient sums, scalar Pearson in IEEE-exact +,*,/,sqrt;
+    // zero-variance series yields NULL on both engines
+    "q157_daily_autocorr" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         p AS (SELECT event_type, c,
+                      LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS cp
+               FROM d),
+         a AS (SELECT event_type, COUNT(*) AS m,
+                      CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(cp) AS BIGINT) AS sy,
+                      CAST(SUM(c * cp) AS BIGINT) AS sxy,
+                      CAST(SUM(c * c) AS BIGINT) AS sxx,
+                      CAST(SUM(cp * cp) AS BIGINT) AS syy
+               FROM p WHERE cp IS NOT NULL GROUP BY event_type)
+         SELECT event_type, m AS n_pairs,
+                ROUND(CASE WHEN (m * sxx - sx * sx) > 0
+                            AND (m * syy - sy * sy) > 0
+                      THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                                  * CAST(m * syy - sy * sy AS DOUBLE))
+                      END, 6) AS lag1_autocorr
+         FROM a""",
+    // q158: the streaming throttle's oracle IS the batch q156 SQL —
+    // the incremental per-(user,type) state must reach the identical
+    // per-type report (stream/batch parity, bit for bit)
+    "q158_streaming_throttle" ->
+      """WITH l AS (
+           SELECT event_type, ts,
+                  LAG(ts) OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_total,
+                CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev) < 60000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                ROUND(CAST(SUM(CASE WHEN prev IS NOT NULL
+                            AND epoch_us(ts) - epoch_us(prev) < 60000000
+                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+                  AS drop_share
+         FROM l GROUP BY event_type""",
+    // q159: per-cell standardized Pearson residuals vs independence —
+    // margins and N exact integers; e and the residual are per-row
+    // IEEE scalar math (no order-dependent double summation)
+    "q159_contingency_residuals" ->
+      """WITH cells AS (
+           SELECT lang, source, COUNT(*) AS n FROM documents
+           GROUP BY lang, source),
+         r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY lang),
+         c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY source),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cells)
+         SELECT cells.lang, cells.source, cells.n,
+                ROUND(CAST(r.r * c.c AS DOUBLE) / tot, 4) AS expected,
+                ROUND((CAST(cells.n AS DOUBLE)
+                       - CAST(r.r * c.c AS DOUBLE) / tot)
+                      / SQRT(CAST(r.r * c.c AS DOUBLE) / tot), 4) AS std_residual
+         FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t""",
+    // q160: Gini by the order-statistic identity — integer rank/weight
+    // sums, closed-form scalar double at the end
+    "q160_gini_concentration" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w
+           FROM documents),
+         rk AS (SELECT source, w,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY w, doc_id) AS BIGINT) AS i
+                FROM d),
+         a AS (SELECT source, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sw,
+                      CAST(SUM(i * w) AS BIGINT) AS siw
+               FROM rk GROUP BY source)
+         SELECT source, n AS n_docs, sw AS sum_tokens,
+                ROUND((2.0 * CAST(siw AS DOUBLE)) / CAST(n * sw AS DOUBLE)
+                      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+         FROM a""",
+    // q161: unordered type pairs co-performed by the same user, with
+    // exact integer 1e6-scaled lift vs independence
+    "q161_type_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
+         m AS (SELECT event_type, COUNT(*) AS cnt FROM ut GROUP BY event_type),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      COUNT(*) AS n_both
+               FROM ut a JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.n_both,
+                CAST((p.n_both * nu.nu * 1000000) // (ma.cnt * mb.cnt) AS BIGINT)
+                  AS lift_ppm
+         FROM p JOIN m ma ON p.type_a = ma.event_type
+                JOIN m mb ON p.type_b = mb.event_type
+                CROSS JOIN nu""",
+    // q162: exact-cents reconciliation of o_totalprice vs lineitem sums
+    "q162_totalprice_audit" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+                  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS li_cents
+           FROM lineitem GROUP BY l_orderkey),
+         d AS (
+           SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    - COALESCE(li_cents, 0) AS diff_cents
+           FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+         SELECT o_orderpriority, COUNT(*) AS n_orders,
+                CAST(SUM(CASE WHEN diff_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact,
+                CAST(SUM(CASE WHEN diff_cents <> 0 AND ABS(diff_cents) <= 100
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dollar,
+                CAST(SUM(CASE WHEN ABS(diff_cents) > 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_over_dollar,
+                CAST(MAX(ABS(diff_cents)) AS BIGINT) AS max_abs_cents
+         FROM d GROUP BY o_orderpriority""",
   )
 }

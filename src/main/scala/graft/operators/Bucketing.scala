@@ -151,12 +151,43 @@ object Bucketing {
     * positions of a 32-bit lane (the classic magic-mask doubling walk),
     * as a pure `Column` shift/mask chain — whole-stage-codegen'd, no
     * UDF. */
-  private def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[operators] def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     var x = c
     x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
     x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
     x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
     x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
     x
+  }
+
+  /** q154: the Morton-curve bucket map behind [[writeZOrdered]], as an
+    * oracle-checkable query — scale each lineitem key to a 16-bit grid
+    * cell over its observed [min, max] domain (EXACT integer
+    * arithmetic: `(key−min)·65535 div (max−min)`, no doubles),
+    * bit-interleave into a Morton code, take the top 6 of the 32
+    * z-bits = 64 buckets, and report each bucket's row count and 2-D
+    * bounding box. The per-bucket min/max spans ARE the parquet
+    * zone-map statistics a z-ordered file would carry; that every
+    * bucket's box covers ~1/64th of the key plane (vs a 1-D sort,
+    * where the second key's span stays full-domain in every file) is
+    * the file-skipping argument, stated as data. Pure integer
+    * shift/mask arithmetic end to end — codegen'd here, bit-identical
+    * SQL in the oracle. Scale: one footer-cheap min/max agg + one
+    * scan collapsed onto ≤64 groups. */
+  def qZorderStats(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val mm = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    def grid(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else expr(s"(($c - ${lo}L) * 65535L) div ${hi - lo}L")
+    val z = spread16(grid("l_partkey", mm.getLong(0), mm.getLong(1)))
+      .bitwiseOR(shiftleft(spread16(grid("l_suppkey", mm.getLong(2), mm.getLong(3))), 1))
+    li.select(col("l_partkey"), col("l_suppkey"),
+        shiftright(z, 26).cast("int").as("zbucket"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
   }
 }

@@ -1243,4 +1243,72 @@ object Pipeline {
         round(u, 6).as("u"))
       .withColumn("kept", col("u") < col("p_keep"))
   }
+
+  /** q151: systematic probability-proportional-to-size (PPS) sampling —
+    * the survey-statistics workhorse (Madow 1949) for picking audit /
+    * eval documents so that selection probability tracks token weight:
+    * lay each source's docs on a line segment sized by token count,
+    * drop `k` equally-spaced pins, keep every doc a pin lands in. Big
+    * docs are (correctly) near-certain picks; tiny docs are sampled in
+    * proportion — the right frame for token-weighted quality audits,
+    * where uniform doc sampling over-represents short docs.
+    *
+    * Unlike weighted reservoir keys (u^(1/w) — transcendental doubles),
+    * the pin test is PURE INTEGER arithmetic — `(k·cum) div W` crossing
+    * a boundary — so selection is bit-deterministic across engines and
+    * partitionings. Scale shape: one shuffle on source for the
+    * per-source cumulative walk (window sum), then a rollup; at 100 TB
+    * with few sources, re-key the window by (source, shard) and prefix
+    * the per-shard offsets — same two-scan shape as q142's stratified
+    * split. */
+  def qPpsSample(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("w"))
+      .withColumn("cw", sum("w").over(wOrd))
+      .withColumn("tw", sum("w").over(wAll))
+      .withColumn("sel",
+        expr(s"(cw * $k) div tw > ((cw - w) * $k) div tw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        max("tw").as("tokens_total"),
+        sum(when(col("sel"), col("w")).otherwise(0L)).as("tokens_selected"))
+  }
+
+  /** q160: token-mass concentration per source — the Gini coefficient
+    * of per-doc token weights via the order-statistic identity
+    * G = 2·Σᵢ i·w₍ᵢ₎ / (n·Σw) − (n+1)/n (weights ascending, rank ties
+    * broken by doc_id — a total order, so the rank sum is
+    * deterministic). G ≈ 0 = token mass spread evenly across docs;
+    * G → 1 = a few giant docs hold the corpus — the skew signal that
+    * decides chunking (q71) and per-doc token caps before training.
+    *
+    * Determinism: rank and weight are integers, so both sums are exact
+    * longs; the closed-form needs only IEEE-exact double ·,/,−.
+    * Scale: ONE shuffle on source, a partition-local rank walk, and a
+    * rollup — the same shape as q147; at petabyte scale with few
+    * sources, sub-rank by (source, shard) and prefix-offset the shard
+    * ranks (the q142 two-scan trick). */
+  def qGiniConcentration(s: SparkSession, d: String): DataFrame = {
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("w", "doc_id")
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("w"))
+      .withColumn("i", row_number().over(rk).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+        sum(col("i") * col("w")).as("siw"))
+      .select(col("source"), col("n").as("n_docs"), col("sw").as("sum_tokens"),
+        round((lit(2.0) * col("siw").cast("double")) /
+            (col("n") * col("sw")).cast("double") -
+          (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
 }

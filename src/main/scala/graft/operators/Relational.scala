@@ -23,6 +23,13 @@ object Relational {
 
   import Tables._
 
+  // one-outstanding-cache slots (q159 cells / q161 user-type pairs):
+  // each rerun swaps in the new cached frame and releases the previous
+  private val lastCellsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val lastUtCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** §2.5 Q1 — stream-trigger count analogue: events per event_type.
     * Partial agg on 5 distinct keys → a few rows shuffled per partition. */
   def qTriggerCount(s: SparkSession, d: String): DataFrame =
@@ -798,5 +805,232 @@ object Relational {
         max(col("run_len")).as("longest_streak"))
       .select(col("k").as("o_custkey"), col("n_active_months"),
         col("n_streaks"), col("longest_streak"))
+  }
+
+  /** q152: per-nation revenue trend — ordinary least squares of order
+    * total on order date, computed from EXACT sufficient statistics.
+    * The per-group linear-trend fit is the standard drift monitor over
+    * any partitioned measure (revenue by region, tokens by source,
+    * latency by service); at 100 TB it is one aggregation: the five
+    * sufficient sums (n, Σx, Σy, Σxy, Σx²) partial-aggregate map-side
+    * onto one row per group, and the slope algebra runs post-shuffle on
+    * those scalars.
+    *
+    * Determinism: x is integer days since a fixed epoch and y a
+    * 2-decimal DECIMAL, so every sum is exact integer/decimal addition
+    * (order-invariant across partition schedules and engines — the
+    * q103 lesson); only the final scalar formula touches doubles, and
+    * +,·,/ are IEEE correctly-rounded, identical on every platform
+    * (unlike libm transcendentals — the q146 lesson). */
+  def qTrendOls(s: SparkSession, d: String): DataFrame =
+    trendOls(
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey")),
+      col("n_name"),
+      datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1995-01-01"))),
+      col("o_totalprice"))
+
+  /** The q152 core: groupwise OLS of `y` on `x` over any frame.
+    * `x` must be integral, `y` at most 2-decimal for exact sums. */
+  def trendOls(tbl: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val prep = tbl.select(group.as("g"), x.cast("long").as("x"),
+      y.cast("decimal(18,2)").as("y"))
+    val d = (c: Column) => c.cast("double")
+    prep.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("g"), col("n").as("n_rows"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 6)
+          .as("slope_per_day"),
+        round(d(col("sy")) / d(col("n")), 2).as("avg_y"))
+  }
+
+  /** q155: session entry/exit paths — [[sessionize]]'s gaps-and-islands
+    * core extended to the landing/exit-page report: per session, the
+    * first and last event type (total order (ts, event_id) — µs ties
+    * broken deterministically), rolled up to (entry, exit) cells with
+    * bounce counts (single-event sessions). Where-users-arrive ×
+    * where-they-leave is the canonical engagement matrix.
+    *
+    * Scale shape: both windows and the session collapse partition by
+    * user_id — ONE shuffle on the user key, then partition-local
+    * ordered walks; the final (entry, exit) rollup moves ≤ |types|²
+    * rows per partition. */
+  def qSessionPaths(s: SparkSession, d: String, gapMinutes: Int = 10): DataFrame = {
+    val ev = events(s, d).select("user_id", "ts", "event_id", "event_type")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val sess = ev
+      .withColumn("new_sess", when(prev.isNull ||
+        col("ts") >= prev + expr(s"INTERVAL $gapMinutes minutes"), 1).otherwise(0))
+      .withColumn("sess", sum("new_sess").over(cum))
+    val inSess = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sess
+      .withColumn("entry_type", first("event_type").over(inSess))
+      .withColumn("exit_type", last("event_type").over(inSess))
+      .withColumn("n_ev", count(lit(1)).over(inSess))
+      // entry/exit/n_ev are constants within a session: distinct
+      // collapses each session to one row, no order sensitivity
+      .select("user_id", "sess", "entry_type", "exit_type", "n_ev")
+      .distinct()
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        round(sum("n_ev").cast("double") / count(lit(1)), 4).as("avg_events"))
+  }
+
+  /** q156: telemetry throttle-dedup — an event is a near-duplicate when
+    * the SAME (user, type) fired within `windowSec` of the previous
+    * firing (raw-predecessor rule: each event compares to its immediate
+    * predecessor, the standard double-click / retry-storm suppressor;
+    * window-expressible, unlike the kept-predecessor variant which is
+    * inherently sequential). Reports per-type totals, drops, and drop
+    * share — the dashboard that sizes a client-side debounce.
+    *
+    * Scale shape: one shuffle on (user_id, event_type), a
+    * partition-local lag, then a ≤|types|-row rollup. µs-domain
+    * comparison, no second flooring. */
+  def qEventThrottle(s: SparkSession, d: String, windowSec: Int = 60): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val prev = lag(col("ts"), 1).over(w)
+    events(s, d).select("user_id", "event_type", "ts", "event_id")
+      .withColumn("dup", prev.isNotNull &&
+        unix_micros(col("ts")) - unix_micros(prev) < windowSec * 1000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
+        round(sum(when(col("dup"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("drop_share"))
+  }
+
+  /** q157: lag-1 autocorrelation of the daily event-count series, per
+    * type — the burstiness/seasonality screen that complements q130's
+    * z-score anomalies (q130 finds outlier hours; this measures whether
+    * adjacent days co-move at all — near 0 = memoryless load, near ±1 =
+    * trending/alternating, the input to capacity forecasting).
+    *
+    * Determinism: daily counts are integers, so all six sufficient sums
+    * are exact longs; the Pearson formula then runs on scalars in
+    * IEEE-exact +,·,/,√ (sqrt IS correctly rounded, unlike log/exp).
+    * A zero-variance series yields null rather than an engine-dependent
+    * NaN/Inf. Scale: two shuffles, both tiny post-partial-agg
+    * ((type, day) cells, then |types| rows). */
+  def qDailyAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val d2 = (c: Column) => c.cast("double")
+    daily.withColumn("cp", lag(col("c"), 1).over(w))
+      .filter(col("cp").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("c").as("sx"), sum("cp").as("sy"),
+        sum(col("c") * col("cp")).as("sxy"),
+        sum(col("c") * col("c")).as("sxx"),
+        sum(col("cp") * col("cp")).as("syy"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        round(when(
+          (col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("m") * col("syy") - col("sy") * col("sy")) > 0,
+          d2(col("m") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(d2(col("m") * col("sxx") - col("sx") * col("sx")) *
+                 d2(col("m") * col("syy") - col("sy") * col("sy")))), 6)
+          .as("lag1_autocorr"))
+  }
+
+  /** q159: contingency-table independence audit (lang × source) — the
+    * per-cell standardized Pearson residual (n−e)/√e against the
+    * independence expectation e = row·col/N. A |residual| ≳ 2 cell
+    * means that language is over/under-represented in that source —
+    * the mix-design check behind per-source language budgets (q115)
+    * and the audit that catches a crawler whose language mix shifted.
+    * Per-CELL residuals rather than the summed χ² statistic: the cells
+    * are what you act on, and a sum of per-cell doubles would be
+    * addition-order-dependent where the per-row scalar math is
+    * IEEE-deterministic (the q103 lesson, applied preemptively).
+    *
+    * Scale: one scan collapsed map-side onto |langs|·|sources| cells;
+    * the margins are aggregations OF THE CELLS (nothing corpus-sized
+    * shuffles twice), broadcast back onto them. */
+  def qContingencyResiduals(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastCellsCache.getAndSet(cells)).foreach(_.unpersist(blocking = false))
+    val rows = cells.groupBy("lang").agg(sum("n").as("r"))
+    val cols = cells.groupBy("source").agg(sum("n").as("c"))
+    val total = rows.agg(sum("r")).head().getLong(0)
+    val e = (col("r") * col("c")).cast("double") / total.toDouble
+    val out = cells.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .select(col("lang"), col("source"), col("n"),
+        round(e, 4).as("expected"),
+        round((col("n").cast("double") - e) / sqrt(e), 4).as("std_residual"))
+    out
+  }
+
+  /** q161: event-type co-occurrence — for every unordered type pair,
+    * how many users did BOTH, and the association lift vs independence
+    * (n_both·N_users/(n_a·n_b), exact 1e6-scaled integer — the q153
+    * ranking trick on user sets instead of token positions). The
+    * market-basket matrix over behaviors: which actions travel
+    * together, the input to funnel design (q131 assumes an order;
+    * this measures which orders exist at all).
+    *
+    * Scale shape: distinct (user, type) is one shuffle; the pair join
+    * is user-keyed with per-user fanout ≤ |types|² (bounded, tiny);
+    * margins are type-sized. No all-pairs anything. */
+  def qTypeCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val ut = events(s, d).select("user_id", "event_type").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastUtCache.getAndSet(ut)).foreach(_.unpersist(blocking = false))
+    val nUsers = ut.select("user_id").distinct().count()
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("cnt").as("na"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("cnt").as("nb"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr(s"n_both * ${nUsers}L * 1000000L div (na * nb)").as("lift_ppm"))
+  }
+
+  /** q162: order-total reconciliation — the cross-table consistency
+    * audit every warehouse runs: does o_totalprice equal the sum of
+    * its lineitem extended prices? Differences are computed in EXACT
+    * integer cents (2-decimal DECIMAL → ×100 → BIGINT; float money
+    * arithmetic would manufacture phantom mismatches), bucketed per
+    * order priority: exact matches, within-a-dollar, and larger, plus
+    * the worst absolute gap. (On TPC-H proper the totals include tax
+    * and discount, so large "mismatches" are expected — the audit
+    * reports the distribution, it doesn't assert zero.)
+    *
+    * Scale: lineitem collapses to per-order cents map-side (one
+    * shuffle on orderkey), joins orders on its key, then a ≤|priorities|
+    * rollup. All integer. */
+  def qTotalpriceAudit(s: SparkSession, d: String): DataFrame = {
+    val liCents = lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("li_cents"))
+    orders(s, d)
+      .join(liCents, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderpriority"),
+        (expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)") -
+          coalesce(col("li_cents"), lit(0L))).as("diff_cents"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("diff_cents") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("diff_cents") =!= 0 && abs(col("diff_cents")) <= 100, 1L)
+          .otherwise(0L)).as("n_within_dollar"),
+        sum(when(abs(col("diff_cents")) > 100, 1L).otherwise(0L)).as("n_over_dollar"),
+        max(abs(col("diff_cents"))).as("max_abs_cents"))
   }
 }

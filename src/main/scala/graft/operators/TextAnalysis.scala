@@ -715,6 +715,49 @@ object TextAnalysis {
       .select(col("kv._1").as("term"), col("kv._2").as("est_count"))
   }
 
+  /** q153: collocation mining by association lift — the phrase detector
+    * behind tokenizer vocab curation and boilerplate discovery: a
+    * bigram whose observed count far exceeds the independence
+    * expectation c(a)·c(b)/N is a multi-word unit ("new york"), and the
+    * ranking by lift = P(ab)/(P(a)P(b)) is order-equivalent to PMI
+    * (PMI = log lift; Church & Hanks 1990). We rank by the EXACT
+    * integer 1e6-scaled lift (`c2·N·1e6 div (c1a·c1b)`) instead of the
+    * log, so the top-k set is bit-deterministic across engines — no
+    * libm in the ranking (the q146 lesson). Tie-break (lift desc, w1,
+    * w2) makes the cut itself total-ordered.
+    *
+    * Scale shape: tokens and bigrams materialize inside the row
+    * (codegen'd transform, no self-join); two vocab-sized aggs; the
+    * count join is bigram-vocab × unigram-vocab equi-joins (AQE
+    * broadcasts when small); top-k is TakeOrdered, never a global
+    * sort. N (one scalar) comes off the vocab-sized unigram table.
+    * Integer headroom: c2·N·1e6 needs c2·N < 9.2e12 — fine through
+    * ~sf1 single-corpus; beyond that, pre-divide c2 by gcd or rank on
+    * the double ratio with an epsilon-tie audit. */
+  def qCollocationLift(s: SparkSession, d: String, minCount: Int = 5,
+      topK: Int = 20): DataFrame =
+    collocationLift(documents(s, d), minCount, topK)
+
+  /** The q153 core over any (text) frame — see [[qCollocationLift]]. */
+  def collocationLift(docs: DataFrame, minCount: Int, topK: Int): DataFrame = {
+    val toks = docs.select(tokens(lower(col("text"))).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum("c1")).head().getLong(0)
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i + 1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    bi.join(uni.withColumnRenamed("t", "w1").withColumnRenamed("c1", "c1a"), Seq("w1"))
+      .join(uni.withColumnRenamed("t", "w2").withColumnRenamed("c1", "c1b"), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c2"),
+        expr(s"c2 * ${n}L * 1000000L div (c1a * c1b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** The one outstanding q90 gram cache (see [[noveltyScores]]). */
   private val lastGramsCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()

@@ -405,4 +405,38 @@ object EventTime {
           unix_timestamp(col("session_window.start")).as("session_start_sec"),
           col("n_events")),
       s)
+
+  /** q158: the q156 throttle-dedup as STREAMING state — per-(user,
+    * type) last-timestamp + running counters advanced micro-batch by
+    * micro-batch ([[Stateful.throttleCounts]]), replayed over a
+    * time-ordered 3-file split of the events table, final counters
+    * aggregated into exactly q156's report. The oracle IS q156's batch
+    * SQL — the gate proves the incremental throttle reaches the batch
+    * answer bit for bit (the second stream/batch-parity statement
+    * beside q133's funnel). */
+  def qStreamingThrottle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("user_id").cast("long").as("u"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id").cast("long").as("eid"))
+      .as[(Long, String, Long, Long)]
+    val counted = Stateful.throttleCounts(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = counted.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q158 must exercise cross-batch throttle state, saw $dataBatches data batches")
+    s.table(name).groupBy("user_id", "event_type")
+      .agg(max("n_total").as("t"), max("n_dropped").as("dr"))
+      .groupBy("event_type")
+      .agg(sum("t").as("n_total"), sum("dr").as("n_dropped"),
+        round(sum("dr").cast("double") / sum("t"), 4).as("drop_share"))
+  }
 }

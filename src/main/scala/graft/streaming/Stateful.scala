@@ -303,4 +303,45 @@ object Stateful {
           out.distinct.iterator
       }
   }
+
+  case class ThrottleProgress(user_id: Long, event_type: String,
+    n_total: Long, n_dropped: Long)
+
+  /** Streaming throttle-dedup — the incremental form of the q156 batch
+    * rule (an event is a near-duplicate when the same (user, type)
+    * fired within `windowUs` of its immediate RAW predecessor). State
+    * per (user, type) is THREE scalars forever: the last raw timestamp
+    * plus running (total, dropped) counters — the memory contract that
+    * lets an ingest tier tag retry storms online while the nightly
+    * batch recomputes the same counts from scratch.
+    *
+    * Same arrival contract as [[funnelStages]]: keyed slices arrive in
+    * event-time order ACROSS batches (the q158 harness range-splits
+    * its replay by ts); within a batch the fold sorts by (us,
+    * event_id), matching the batch operator's window order. Counters
+    * are monotone, so max() per key over the update-mode emission
+    * history reconstructs the final state. */
+  def throttleCounts(events: Dataset[(Long, String, Long, Long)],
+      windowUs: Long = 60000000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[ThrottleProgress] = {
+    implicit val stE: Encoder[(Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long)]
+    implicit val outE: Encoder[ThrottleProgress] = Encoders.product[ThrottleProgress]
+    implicit val inE: Encoder[(Long, String, Long, Long)] =
+      Encoders.product[(Long, String, Long, Long)]
+    implicit val keyE: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    events.groupByKey(e => (e._1, e._2))
+      .mapGroupsWithState[(Long, Long, Long), ThrottleProgress](timeout) {
+        (key: (Long, String), it: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (prev, total, dropped) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          it.toArray.sortBy(e => (e._3, e._4)).foreach { case (_, _, us, _) =>
+            total += 1
+            if (prev != Long.MinValue && us - prev < windowUs) dropped += 1
+            prev = us
+          }
+          state.update((prev, total, dropped))
+          ThrottleProgress(key._1, key._2, total, dropped)
+      }
+  }
 }

@@ -89,7 +89,14 @@ object ScaleBench {
       // the ≤100k-row tail are scale-invariant, so wall time should grow
       // far slower than the 100× data. The latency composition adds the
       // funnel's user-keyed joins in front of the same loop.
-      "q148_exact_quantiles", "q149_conversion_latency")
+      "q148_exact_quantiles", "q149_conversion_latency",
+      // round 13: the per-source window cumsum walk (few partitions,
+      // long partition-local scans — the skew-prone window shape the
+      // q151 scaladoc's shard-prefix note addresses) and the
+      // bigram-vocab double unigram join + deterministic top-k cut
+      // (vocab grows sublinearly under the bijection; the join is the
+      // probe)
+      "q151_pps_sample", "q153_collocation_lift")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
