@@ -355,6 +355,13 @@ object SparkEntry {
     // rows-only (weighted recursive iteration is not practical ANSI
     // SQL); GraphSpec pins bit-equality against a sequential reference
     "q163_copurchase_rank" -> ((s, d) => Graph.qCopurchaseRank(s, d)),
+    // q164: median/MAD robust outlier fence per event type (Hampel)
+    "q164_mad_outliers" -> (Relational.qMadOutliers _),
+    // q165: top event-type trigram sequences (3-step behavior paths)
+    "q165_event_trigrams" -> ((s, d) => Relational.qEventTrigrams(s, d)),
+    // q166: triangle census + global clustering of the co-purchase
+    // graph (degree-ordered orientation; id-ordered oracle)
+    "q166_triangle_census" -> (Graph.qTriangleCensus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2378,5 +2385,61 @@ object SparkEntry {
                   AS BIGINT) AS n_over_dollar,
                 CAST(MAX(ABS(diff_cents)) AS BIGINT) AS max_abs_cents
          FROM d GROUP BY o_orderpriority""",
+    // q164: median/MAD fence — quantile_cont is DuckDB's exact
+    // interpolated percentile, the same ANSI definition Spark's
+    // percentile() uses (the q104 parity)
+    "q164_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+         m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM ev GROUP BY event_type),
+         d AS (SELECT ev.event_type, ev.value, m.med,
+                      ABS(ev.value - m.med) AS adev
+               FROM ev JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM d GROUP BY event_type)
+         SELECT d.event_type, COUNT(*) AS n,
+                ROUND(MAX(d.med), 4) AS median,
+                ROUND(MAX(md.mad), 4) AS mad,
+                CAST(SUM(CASE WHEN d.adev > 5.0 * md.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+                ROUND(CAST(SUM(CASE WHEN d.adev > 5.0 * md.mad THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 4) AS outlier_share
+         FROM d JOIN md USING (event_type)
+         GROUP BY d.event_type""",
+    // q165: per-user time-ordered 3-step paths, deterministic top-25
+    "q165_event_trigrams" ->
+      """WITH s AS (
+           SELECT event_type AS e1,
+                  LEAD(event_type, 1) OVER w AS e2,
+                  LEAD(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1, e2, e3, COUNT(*) AS n
+         FROM s WHERE e3 IS NOT NULL
+         GROUP BY e1, e2, e3
+         ORDER BY n DESC, e1, e2, e3 LIMIT 25""",
+    // q166: id-ordered triple-join triangle count over the same
+    // co-purchase edge set (orientation is a plan choice, the census
+    // is invariant); wedges from undirected degrees
+    "q166_triangle_census" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+         deg AS (SELECT x, COUNT(*) AS d
+                 FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY x),
+         t AS (SELECT COUNT(*) AS tri
+               FROM e e1
+               JOIN e e2 ON e2.u = e1.v
+               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         s AS (SELECT COUNT(*) AS n_nodes,
+                      CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+               FROM deg),
+         m AS (SELECT COUNT(*) AS n_edges FROM e)
+         SELECT s.n_nodes, m.n_edges, t.tri AS n_triangles,
+                s.wedges AS n_wedges,
+                ROUND(3.0 * t.tri / s.wedges, 6) AS clustering
+         FROM s, m, t""",
   )
 }

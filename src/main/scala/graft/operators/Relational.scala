@@ -943,6 +943,63 @@ object Relational {
           .as("lag1_autocorr"))
   }
 
+  /** q164: robust outlier screen — per event type, the median/MAD
+    * (median absolute deviation) fence: a value is an outlier when
+    * |x − median| > 5·MAD. Unlike the q130 z-score, median/MAD have a
+    * 50% breakdown point, so the fence itself survives the very
+    * outliers it hunts (Hampel's rule; the robust-statistics standard
+    * for telemetry with heavy tails). Both medians are the exact
+    * interpolated percentile — the ANSI definition both engines share
+    * (the q104 parity). Output per type: n, median, MAD, outlier
+    * count and share.
+    *
+    * Scale shape: two grouped exact-percentile passes + one counting
+    * agg, all keyed on the |types|-sized group; the medians broadcast
+    * back. At 100 TB swap the exact percentile for the q148
+    * threshold-refinement loop (exact, no sort) or the q49 sketch —
+    * the fence logic is unchanged. */
+  def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max("med"), 4).as("median"),
+        round(max("mad"), 4).as("mad"),
+        sum(when(col("adev") > lit(5.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n"), 4))
+  }
+
+  /** q165: frequent behavior sequences — the top 3-step event-type
+    * paths (trigrams over each user's time-ordered stream), the
+    * sequence-mining step up from q137's one-step Markov matrix:
+    * "view→click→purchase" vs "error→error→error" is the difference
+    * between a working funnel and a retry storm, and neither is
+    * visible in pairwise transitions. Deterministic top-k cut
+    * (count desc, then the lexicographic triple).
+    *
+    * Scale shape: one shuffle on user_id, partition-local double-lead
+    * window walk, then a ≤|types|³-group agg and a TakeOrdered head. */
+  def qEventTrigrams(s: SparkSession, d: String, topK: Int = 25): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d).select("user_id", "event_type", "ts", "event_id")
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("t2").as("e2"), col("t3").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topK)
+  }
+
   /** q159: contingency-table independence audit (lang × source) — the
     * per-cell standardized Pearson residual (n−e)/√e against the
     * independence expectation e = row·col/N. A |residual| ≳ 2 cell

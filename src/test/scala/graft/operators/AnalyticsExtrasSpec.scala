@@ -238,6 +238,45 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q164: MAD fence matches a driver-side robust-statistics walk") {
+    // exact interpolated percentile, the ANSI definition both engines use
+    def pctl(vs: Seq[Double], p: Double): Double = {
+      val s0 = vs.sorted
+      val idx = p * (s0.length - 1)
+      val i = idx.toInt
+      if (i + 1 >= s0.length) s0(i) else s0(i) + (idx - i) * (s0(i + 1) - s0(i))
+    }
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = vals.groupBy(_._1).map { case (t, vs) =>
+      val xs = vs.map(_._2).toSeq
+      val med = pctl(xs, 0.5)
+      val adev = xs.map(x => math.abs(x - med))
+      val mad = pctl(adev, 0.5)
+      val out = adev.count(_ > 5.0 * mad).toLong
+      t -> ((xs.length.toLong, round(med, 4), round(mad, 4), out,
+        round(out.toDouble / xs.length, 4)))
+    }
+    val got = Relational.qMadOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == want)
+  }
+
+  test("q165: trigram paths match a driver-side sliding walk") {
+    val want = rawEvents.groupBy(_._1).values.toSeq
+      .flatMap { evs =>
+        evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+          .filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+      }
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }
+      .take(25)
+    val got = Relational.qEventTrigrams(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    assert(got.toSeq == want)
+  }
+
   test("q157: lag-1 autocorrelation matches driver-side exact Pearson") {
     val want = rawEvents.groupBy(_._4).flatMap { case (tpe, evs) =>
       val daily = evs.groupBy(e => e._2 / 86400000000L)

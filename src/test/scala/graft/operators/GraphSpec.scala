@@ -49,4 +49,29 @@ class GraphSpec extends AnyFunSuite {
     val mass = r.values.sum
     assert(mass <= 1000000000000L && mass > 900000000000L)
   }
+
+  test("q166: triangle census matches a driver-side adjacency-set count") {
+    val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = lp.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val tri = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(_ > v).toLong
+    }.sum
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val row = Graph.qTriangleCensus(spark, TestSpark.sf).head()
+    assert(row.getLong(0) == adj.size.toLong)
+    assert(row.getLong(1) == edges.size.toLong)
+    assert(row.getLong(2) == tri)
+    assert(row.getLong(3) == wedges)
+    assert(tri > 0 && wedges > 0)
+  }
 }
