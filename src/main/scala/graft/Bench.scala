@@ -126,12 +126,15 @@ object Bench {
     "q160_gini_concentration",
     "q161_type_cooccurrence",
     "q162_totalprice_audit",
-    // round 7: the graph pair (15-round integer power iteration;
-    // degree-oriented wedge join) and the robust-stats/sequence pair
+    // round 7: the graph family (15-round integer power iteration;
+    // adjacency-intersection triangle census; degree histogram +
+    // assortativity) and the robust-stats/sequence pair
     "q163_copurchase_rank",
     "q164_mad_outliers",
     "q165_event_trigrams",
     "q166_triangle_census",
+    "q168_degree_histogram",
+    "q169_degree_assortativity",
   )
 
   def main(args: Array[String]): Unit = {

@@ -362,6 +362,17 @@ object SparkEntry {
     // q166: triangle census + global clustering of the co-purchase
     // graph (degree-ordered orientation; id-ordered oracle)
     "q166_triangle_census" -> (Graph.qTriangleCensus _),
+    // q167: q74's sessionization as streaming state — oracle IS q74's
+    // SQL (third bit-exact stream/batch parity beside q133/q158)
+    "q167_streaming_sessionize" -> (graft.streaming.EventTime.qStreamingSessionize _),
+    // q168: co-purchase degree distribution in power-of-2 bins
+    "q168_degree_histogram" -> (Graph.qDegreeHistogram _),
+    // q169: degree assortativity (Newman) over the co-purchase edges
+    "q169_degree_assortativity" -> (Graph.qDegreeAssortativity _),
+    // q170: Count-Min frequency ceilings vs exact top-20 — rows-only
+    // (Murmur hashing not SQL-expressible); CountMinSpec pins the
+    // ceiling guarantee, ε band, and partition-invariant linear merge
+    "q170_cms_frequency" -> ((s, d) => TextAnalysis.qCmsFrequency(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2441,5 +2452,61 @@ object SparkEntry {
                 s.wedges AS n_wedges,
                 ROUND(3.0 * t.tri / s.wedges, 6) AS clustering
          FROM s, m, t""",
+    // q167: streaming sessionization's oracle IS batch q74's SQL
+    "q167_streaming_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess FROM t),
+         g AS (SELECT user_id, sess, COUNT(*) AS n_events FROM s GROUP BY user_id, sess)
+         SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+                CAST(SUM(n_events) AS BIGINT) AS n_events
+         FROM g GROUP BY user_id""",
+    // q168: degree histogram — highest-set-bit bin via length(bin(d)),
+    // pure string length of the binary literal (no log2)
+    "q168_degree_histogram" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+         deg AS (SELECT x, COUNT(*) AS d
+                 FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY x),
+         b AS (SELECT d, LENGTH(BIN(d)) AS bits FROM deg)
+         SELECT CAST(1 << (bits - 1) AS BIGINT) AS bucket_lo,
+                COUNT(*) AS n_nodes,
+                MIN(d) AS min_degree, MAX(d) AS max_degree
+         FROM b GROUP BY bits""",
+    // q169: endpoint-degree Pearson over the bidirectional edge list —
+    // DECIMAL(38,0) sufficient sums (the m·Σ products overflow BIGINT
+    // past ~1e6 edges), scalar IEEE formula at the end
+    "q169_degree_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+         deg AS (SELECT x, COUNT(*) AS d
+                 FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY x),
+         bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         xy AS (SELECT du.d AS dx, dv.d AS dy
+                FROM bi JOIN deg du ON bi.u = du.x JOIN deg dv ON bi.v = dv.x),
+         a AS (SELECT COUNT(*) AS m,
+                      SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+                      SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+                      SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+                      SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+                      SUM(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+               FROM xy)
+         SELECT m // 2 AS n_edges,
+                ROUND(CASE WHEN (CAST(m AS DECIMAL(38,0)) * sxx - sx * sx) > 0
+                            AND (CAST(m AS DECIMAL(38,0)) * syy - sy * sy) > 0
+                      THEN CAST(CAST(m AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(CAST(m AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                                  * CAST(CAST(m AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))
+                      END, 6) AS assortativity
+         FROM a""",
   )
 }

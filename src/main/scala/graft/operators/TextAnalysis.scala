@@ -758,6 +758,38 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** q170: Count-Min frequency estimates — the sketch QUARTET's last
+    * member beside Misra–Gries (q76, frequency floor), KMV (q87,
+    * distinct), and the bloom aggregate (q69, membership): point
+    * frequency ceilings over an unbounded token domain in a
+    * constant-size linear sketch. The corpus folds into one
+    * depth×width counter matrix (a bounded per-partition gather); the
+    * exact top-k tokens (a second, vocabulary-sized agg — the thing
+    * the sketch replaces at scale, kept here as the comparison column)
+    * are then estimated off the sketch driver-side. Because CMS is
+    * linear, every estimate is bit-deterministic under any
+    * partitioning — CountMinSpec asserts repartition-invariance, the
+    * ceiling guarantee est ≥ true, and the ε-band quality. Rows-only
+    * (Murmur hashing is not SQL-expressible). */
+  def qCmsFrequency(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val depth = 4
+    val width = 1024
+    val toks = documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+    val state = toks.as[String]
+      .select(new graft.functions.CountMin(depth, width).toColumn).head()
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bound = math.ceil(math.E / width * state.n).toLong
+    top.toSeq.map { case (t, exact) =>
+      val est = graft.functions.CountMin.estimate(state, t, depth, width)
+      (t, exact, est, est - exact, est - exact <= bound)
+    }.toDF("token", "exact", "estimate", "overestimate", "within_bound")
+  }
+
   /** The one outstanding q90 gram cache (see [[noveltyScores]]). */
   private val lastGramsCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()

@@ -439,4 +439,37 @@ object EventTime {
       .agg(sum("t").as("n_total"), sum("dr").as("n_dropped"),
         round(sum("dr").cast("double") / sum("t"), 4).as("drop_share"))
   }
+
+  /** q167: q74's sessionization as STREAMING state
+    * ([[Stateful.sessionProgress]]): per-user session walk advanced
+    * micro-batch by micro-batch over the time-ordered 3-file replay,
+    * final monotone snapshots aggregated into exactly q74's per-user
+    * report. The oracle IS q74's batch SQL — the THIRD bit-exact
+    * stream/batch parity statement (funnel q133, throttle q158,
+    * sessions here): the three stateful shapes an event pipeline
+    * actually runs online. */
+  def qStreamingSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("user_id").cast("long").as("u"),
+        unix_micros(col("ts")).as("us"), col("event_id").cast("long").as("eid"))
+      .as[(Long, Long, Long)]
+    val progressed = Stateful.sessionProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = progressed.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q167 must exercise cross-batch session state, saw $dataBatches data batches")
+    s.table(name).groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"),
+        max("max_session_events").as("max_session_events"),
+        max("n_events").as("n_events"))
+  }
 }

@@ -304,6 +304,49 @@ object Stateful {
       }
   }
 
+  case class SessionProgress(user_id: Long, n_sessions: Long,
+    max_session_events: Long, n_events: Long)
+
+  /** Streaming sessionization — q74's gaps-and-islands walk as
+    * per-user state: (last event time, current-session size, closed
+    * stats), advanced micro-batch by micro-batch. Five scalars per
+    * user FOREVER — the state contract that lets an ingest tier serve
+    * "how engaged is this user right now" while the nightly batch
+    * recomputes identical numbers. Every emitted field is monotone
+    * (session count, running max, total), so max() per user over the
+    * update-mode emission history reconstructs the final answer — the
+    * q133/q158 reconstruction trick, third member of the parity
+    * family. Same cross-batch event-time-order arrival contract as
+    * [[funnelStages]]; within-batch order restored by the (us,
+    * event_id) sort. */
+  def sessionProgress(events: Dataset[(Long, Long, Long)],
+      gapUs: Long = 600000000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionProgress] = {
+    implicit val stE: Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long, Long)]
+    implicit val outE: Encoder[SessionProgress] = Encoders.product[SessionProgress]
+    implicit val inE: Encoder[(Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long)]
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long), SessionProgress](timeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (last, curN, sessions, maxN, total) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+          it.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, us, _) =>
+            if (last == Long.MinValue || us - last >= gapUs) {
+              sessions += 1
+              maxN = math.max(maxN, curN)
+              curN = 1L
+            } else curN += 1
+            total += 1
+            last = us
+          }
+          state.update((last, curN, sessions, maxN, total))
+          SessionProgress(user, sessions, math.max(maxN, curN), total)
+      }
+  }
+
   case class ThrottleProgress(user_id: Long, event_type: String,
     n_total: Long, n_dropped: Long)
 

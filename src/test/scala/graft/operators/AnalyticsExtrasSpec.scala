@@ -163,6 +163,15 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("q167: streaming sessionize state reaches the batch q74 answer exactly") {
+    val batch = Relational.qSessionize(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val stream = graft.streaming.EventTime.qStreamingSessionize(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("q159: standardized residuals match driver-side contingency math") {
     val cells = Tables.documents(spark, sf).select("lang", "source").collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -48,6 +50,43 @@ class GraphSpec extends AnyFunSuite {
     // sanity: mass is conserved up to deterministic truncation leakage
     val mass = r.values.sum
     assert(mass <= 1000000000000L && mass > 900000000000L)
+  }
+
+  test("q168/q169: degree histogram and assortativity match driver references") {
+    val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = lp.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+
+    val wantHist = deg.values.groupBy(d => 64 - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (bits, ds) =>
+        (1L << (bits - 1)) -> ((ds.size.toLong, ds.min, ds.max))
+      }
+    val gotHist = Graph.qDegreeHistogram(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotHist == wantHist)
+
+    val xy = edges.toSeq.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v)), (deg(v), deg(u)))
+    }
+    val m = xy.length.toLong
+    val sx = xy.map(_._1).map(BigInt(_)).sum
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    // symmetric list: sy = sx, syy = sxx
+    val vx = BigInt(m) * sxx - sx * sx
+    val cov = BigInt(m) * sxy - sx * sx
+    val want = new JBigDecimal(
+      cov.toDouble / math.sqrt(vx.toDouble * vx.toDouble))
+      .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val row = Graph.qDegreeAssortativity(spark, sf).head()
+    assert(row.getLong(0) == edges.size.toLong)
+    assert(row.getDouble(1) == want)
   }
 
   test("q166: triangle census matches a driver-side adjacency-set count") {
