@@ -118,11 +118,13 @@ object Bench {
     // (source-keyed rank walk), co-occurrence (user-keyed pair join),
     // cents reconciliation (orderkey-keyed join)
     "q151_pps_sample",
+    "q152_trend_ols",
     "q153_collocation_lift",
     "q154_zorder_layout",
     "q155_session_paths",
     "q156_event_throttle",
     "q157_daily_autocorr",
+    "q159_contingency_residuals",
     "q160_gini_concentration",
     "q161_type_cooccurrence",
     "q162_totalprice_audit",
@@ -135,6 +137,8 @@ object Bench {
     "q166_triangle_census",
     "q168_degree_histogram",
     "q169_degree_assortativity",
+    "q171_bfs_hops",
+    "q172_peak_window",
   )
 
   def main(args: Array[String]): Unit = {

@@ -373,6 +373,11 @@ object SparkEntry {
     // (Murmur hashing not SQL-expressible); CountMinSpec pins the
     // ceiling guarantee, ε band, and partition-invariant linear merge
     "q170_cms_frequency" -> ((s, d) => TextAnalysis.qCmsFrequency(s, d)),
+    // q171: BFS hop distribution from the max-degree hub (frontier-
+    // expansion joins; recursive-CTE oracle)
+    "q171_bfs_hops" -> ((s, d) => Graph.qBfsHops(s, d)),
+    // q172: peak trailing-6h event load per type (RANGE-frame window)
+    "q172_peak_window" -> ((s, d) => Relational.qPeakWindowLoad(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2508,5 +2513,42 @@ object SparkEntry {
                                   * CAST(CAST(m AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))
                       END, 6) AS assortativity
          FROM a""",
+    // q171: recursive-CTE BFS — UNION dedups (node, hop) pairs, the
+    // outer MIN picks each node's first hop; source = max-degree, id
+    // tie-break; unreached reported as hop -1 (possibly 0 nodes)
+    "q171_bfs_hops" ->
+      """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+         bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT u AS x, COUNT(*) AS dg FROM bi GROUP BY u),
+         src AS (SELECT x FROM deg ORDER BY dg DESC, x LIMIT 1),
+         walk AS (
+           SELECT x AS node, 0 AS hop FROM src
+           UNION
+           SELECT bi.v, walk.hop + 1 FROM walk JOIN bi ON bi.u = walk.node
+           WHERE walk.hop < 8),
+         m AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+         SELECT hop, COUNT(*) AS n_nodes FROM m GROUP BY hop
+         UNION ALL
+         SELECT -1 AS hop,
+                (SELECT COUNT(*) FROM deg) - (SELECT COUNT(*) FROM m) AS n_nodes""",
+    // q172: RANGE frame over µs — (t-6h, t] trailing count (peers at
+    // equal us included identically by both engines), peak + earliest
+    // achieving timestamp
+    "q172_peak_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         w AS (SELECT event_type, us,
+                      COUNT(*) OVER (PARTITION BY event_type ORDER BY us
+                        RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+                        AS w6
+               FROM e),
+         p AS (SELECT event_type, MAX(w6) AS pk FROM w GROUP BY event_type)
+         SELECT w.event_type, CAST(MAX(w.w6) AS BIGINT) AS peak_events,
+                MIN(w.us) AS peak_at_us
+         FROM w JOIN p USING (event_type)
+         WHERE w.w6 = p.pk
+         GROUP BY w.event_type""",
   )
 }

@@ -185,6 +185,51 @@ object Graph {
         col("n_nodes"), col("min_degree"), col("max_degree"))
   }
 
+  /** q171: BFS hop distribution from the highest-degree part — the
+    * traversal member of the graph family (centrality q163, census
+    * q166, mixing q169): how many parts sit 1, 2, 3… co-purchase hops
+    * from the catalog's hub, i.e. the reach profile a graph-expansion
+    * recommender walks. Deterministic source (max degree, id
+    * tie-break); unreached nodes report as hop −1.
+    *
+    * Scale shape: frontier-expansion BFS — per round ONE equi-join of
+    * the edge table against the (shrinking) frontier, a distinct, and
+    * an anti-join against the visited set; rounds ≤ the graph's
+    * diameter (single digits on co-purchase graphs — the small-world
+    * property), each localCheckpointed so lineage stays flat. This is
+    * Pregel's BFS as plain DataFrame joins: no driver state beyond a
+    * per-round count. The DuckDB oracle walks the same frontier with
+    * a recursive CTE — hop-minimal by UNION dedup. */
+  def qBfsHops(s: SparkSession, d: String, maxHops: Int = 8): DataFrame = {
+    val pairs = copurchaseEdges(s, d)
+    val bidir = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
+    val nNodes = deg.count()
+    val source = deg.orderBy(col("dg").desc, col("u")).limit(1)
+      .head().getLong(0)
+    import s.implicits._
+    var visited = Seq((source, 0)).toDF("node", "hop").localCheckpoint()
+    var frontier = visited.select("node")
+    var hop = 1
+    var frontierSize = 1L
+    while (hop <= maxHops && frontierSize > 0) {
+      val next = bidir.join(frontier.select(col("node").as("u")), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint()
+      frontierSize = next.count()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select("node")
+      hop += 1
+    }
+    val reached = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+    val unreachedCount = nNodes - visited.count()
+    reached.union(Seq((-1, unreachedCount)).toDF("hop", "n_nodes"))
+  }
+
   /** q169: degree assortativity — the Pearson correlation of endpoint
     * degrees over the (bidirectional) edge list: do high-degree parts
     * co-purchase with other hubs (assortative, > 0) or with the

@@ -1000,6 +1000,41 @@ object Relational {
       .limit(topK)
   }
 
+  /** q172: peak sliding-window load — for each event type, the highest
+    * event count in ANY trailing 6-hour window (evaluated at event
+    * times, which is where the maximum of a right-continuous sliding
+    * count always sits), plus the earliest µs timestamp achieving it.
+    * The capacity-planning number: "what burst must this type's
+    * consumer absorb?" — and the RANGE-frame member of the window
+    * family (q10/q11/q130 are ROWS frames; a RANGE frame counts by
+    * time distance, so sparse and dense regions are measured by the
+    * same clock, not the same row budget).
+    *
+    * Scale note: the frame partitions by event_type only — few
+    * partitions, long partition-local walks. Fine to ~10⁸ events per
+    * type; past that, sub-partition by day with a 6-hour boundary
+    * overlap and take the max of maxes (the standard sliding-window
+    * split; counts near a boundary are covered by the overlap copy).
+    * Exact integers end to end. */
+  def qPeakWindowLoad(s: SparkSession, d: String, windowHours: Int = 6): DataFrame = {
+    val spanUs = windowHours * 3600L * 1000000L
+    val w = Window.partitionBy("event_type").orderBy("us")
+      .rangeBetween(-(spanUs - 1), 0)
+    val win = events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("w6", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastWinCache.getAndSet(win)).foreach(_.unpersist(blocking = false))
+    val peak = win.groupBy("event_type").agg(max("w6").as("peak_events"))
+    win.join(peak, Seq("event_type"))
+      .filter(col("w6") === col("peak_events"))
+      .groupBy("event_type")
+      .agg(max("w6").as("peak_events"), min("us").as("peak_at_us"))
+  }
+
+  private val lastWinCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** q159: contingency-table independence audit (lang × source) — the
     * per-cell standardized Pearson residual (n−e)/√e against the
     * independence expectation e = row·col/N. A |residual| ≳ 2 cell

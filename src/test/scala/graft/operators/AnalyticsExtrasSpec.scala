@@ -247,6 +247,37 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q172: peak 6h window matches a driver-side two-pointer sweep") {
+    val spanUs = 6L * 3600 * 1000000
+    val want = rawEvents.groupBy(_._4).map { case (tpe, evs) =>
+      val us = evs.map(_._2).sorted
+      var lo = 0
+      var best = 0L
+      us.zipWithIndex.foreach { case (t, hi) =>
+        while (us(lo) <= t - spanUs) lo += 1
+        // count of events in (t - 6h, t]; RANGE peers at equal t share
+        // the same frame, so evaluate at the LAST index of each t
+        if (hi + 1 >= us.length || us(hi + 1) != t) {
+          val w = (hi - lo + 1).toLong
+          if (w > best) best = w
+        }
+      }
+      // min ts among all positions achieving the peak
+      lo = 0
+      var minAt = Long.MaxValue
+      us.zipWithIndex.foreach { case (t, hi) =>
+        while (us(lo) <= t - spanUs) lo += 1
+        if (hi + 1 >= us.length || us(hi + 1) != t) {
+          if ((hi - lo + 1).toLong == best && t < minAt) minAt = t
+        }
+      }
+      tpe -> ((best, minAt))
+    }
+    val got = Relational.qPeakWindowLoad(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("q164: MAD fence matches a driver-side robust-statistics walk") {
     // exact interpolated percentile, the ANSI definition both engines use
     def pctl(vs: Seq[Double], p: Double): Double = {

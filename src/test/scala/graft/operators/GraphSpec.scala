@@ -89,6 +89,38 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getDouble(1) == want)
   }
 
+  test("q171: BFS hop distribution matches a driver-side frontier walk") {
+    val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    lp.groupBy(_._1).values.foreach { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length) {
+        adj(parts(i)) = adj(parts(i)) + parts(j)
+        adj(parts(j)) = adj(parts(j)) + parts(i)
+      }
+    }
+    val source = adj.toSeq.map { case (n, s0) => (n, s0.size.toLong) }
+      .sortBy { case (n, dg) => (-dg, n) }.head._1
+    val hops = scala.collection.mutable.Map(source -> 0)
+    var frontier = Set(source)
+    var h = 1
+    while (h <= 8 && frontier.nonEmpty) {
+      val next = frontier.flatMap(adj).filterNot(hops.contains)
+      next.foreach(n => hops(n) = h)
+      frontier = next
+      h += 1
+    }
+    val want = hops.values.groupBy(identity)
+      .map { case (hp, v) => hp -> v.size.toLong } ++
+      Map(-1 -> (adj.size - hops.size).toLong)
+    val got = Graph.qBfsHops(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.getOrElse(0, 0L) == 1L)
+  }
+
   test("q166: triangle census matches a driver-side adjacency-set count") {
     val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct

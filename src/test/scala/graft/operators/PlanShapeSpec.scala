@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Exchange-count regression tests: the scaladoc shuffle-shape claims
+  * of the window/rollup operators, asserted against the physical plan
+  * so a refactor that silently adds an exchange fails here, not in a
+  * 100 TB run. Counts are taken from the FINAL adaptive plan (query
+  * executed first). */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def shuffles(df: DataFrame): Int = {
+    df.queryExecution.toRdd.foreach(_ => ()) // finalize the adaptive plan
+    // AQE hides exchanges inside query-stage boundaries: recurse
+    // through AdaptiveSparkPlanExec/QueryStageExec wrappers so the
+    // count sees the physical exchanges, not the stage facade
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => 0
+      }
+      self + nested + p.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("q147 order streaks: exactly ONE exchange (repartition by customer)") {
+    assert(shuffles(Relational.qOrderStreaks(spark, sf)) == 1)
+  }
+
+  test("q151 PPS sampling: ONE exchange — both windows and the rollup ride the source key") {
+    assert(shuffles(Pipeline.qPpsSample(spark, sf)) == 1)
+  }
+
+  test("q160 Gini: ONE exchange — rank window and rollup share the source key") {
+    assert(shuffles(Pipeline.qGiniConcentration(spark, sf)) == 1)
+  }
+
+  test("q155 session paths: TWO exchanges — user-key windows + the tiny (entry, exit) rollup") {
+    assert(shuffles(Relational.qSessionPaths(spark, sf)) == 2)
+  }
+
+  test("q156 throttle: TWO exchanges — (user, type) lag window + the per-type rollup") {
+    assert(shuffles(Relational.qEventThrottle(spark, sf)) == 2)
+  }
+
+  test("q165 trigrams: TWO exchanges and a TakeOrdered head (no global sort)") {
+    val df = Relational.qEventTrigrams(spark, sf)
+    assert(shuffles(df) == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k head:\n$plan")
+  }
+}
