@@ -139,6 +139,7 @@ object Bench {
     "q169_degree_assortativity",
     "q171_bfs_hops",
     "q172_peak_window",
+    "q173_item_cf",
   )
 
   def main(args: Array[String]): Unit = {

@@ -378,6 +378,9 @@ object SparkEntry {
     "q171_bfs_hops" -> ((s, d) => Graph.qBfsHops(s, d)),
     // q172: peak trailing-6h event load per type (RANGE-frame window)
     "q172_peak_window" -> ((s, d) => Relational.qPeakWindowLoad(s, d)),
+    // q173: item-item CF — top pairs by exact integer squared-cosine
+    // of capped co-purchase neighbor vectors
+    "q173_item_cf" -> ((s, d) => Graph.qItemCf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2550,5 +2553,32 @@ object SparkEntry {
          FROM w JOIN p USING (event_type)
          WHERE w.w6 = p.pk
          GROUP BY w.event_type""",
+    // q173: identical vector truncation (ROW_NUMBER by weight desc, id)
+    // then the common-neighbor wedge join; ranking by exact integer
+    // squared cosine — no float anywhere
+    "q173_item_cf" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         pr AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+                FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2),
+         bi AS (SELECT u, v, w FROM pr UNION ALL SELECT v, u, w FROM pr),
+         vec AS (SELECT u AS item, v AS k, w FROM (
+                   SELECT u, v, w, ROW_NUMBER() OVER (PARTITION BY u
+                     ORDER BY w DESC, v) AS rk FROM bi)
+                 WHERE rk <= 32),
+         nrm AS (SELECT item, CAST(SUM(w * w) AS BIGINT) AS n2
+                 FROM vec GROUP BY item),
+         wd AS (SELECT x.item AS u, y.item AS v,
+                       CAST(SUM(x.w * y.w) AS BIGINT) AS dot,
+                       COUNT(*) AS n_common
+                FROM vec x JOIN vec y ON x.k = y.k AND x.item < y.item
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT wd.u, wd.v, wd.n_common, wd.dot,
+                CAST((wd.dot * wd.dot * 1000000) // (nu.n2 * nv.n2)
+                  AS BIGINT) AS cos2_ppm
+         FROM wd JOIN nrm nu ON wd.u = nu.item
+                 JOIN nrm nv ON wd.v = nv.item
+         ORDER BY cos2_ppm DESC, u, v LIMIT 20""",
   )
 }

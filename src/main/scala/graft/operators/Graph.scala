@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relationship structures the relational
@@ -107,18 +108,6 @@ object Graph {
     * ratio is one scalar IEEE division. The id-ordered DuckDB oracle
     * counts the same triangles by u<v<w triple join — orientation
     * changes the plan, never the census. */
-  /** The unweighted id-ordered co-purchase edge set (u < v, distinct) —
-    * shared by the census/degree/assortativity family. Per-order pair
-    * fanout bounded by lines² (≤ 21 on TPC-H). */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-  }
-
   def qTriangleCensus(s: SparkSession, d: String): DataFrame = {
     val pairs = copurchaseEdges(s, d).localCheckpoint()
     val deg = pairs.select(col("u").as("x"))
@@ -183,6 +172,69 @@ object Graph {
         min("d").as("min_degree"), max("d").as("max_degree"))
       .select(expr("CAST(1L << (bits - 1) AS BIGINT)").as("bucket_lo"),
         col("n_nodes"), col("min_degree"), col("max_degree"))
+  }
+
+  /** The unweighted id-ordered co-purchase edge set (u < v, distinct) —
+    * shared by the census/degree/assortativity family. Per-order pair
+    * fanout bounded by lines² (≤ 21 on TPC-H). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  /** q173: item–item collaborative filtering — the rec-sys primitive
+    * over the co-purchase graph: each part's sparse neighbor vector
+    * (who it was bought with, weighted by shared orders), pairs ranked
+    * by the cosine of those vectors. "Parts whose co-purchase
+    * NEIGHBORHOODS look alike" is a strictly stronger signal than
+    * q161's direct-pair lift (two parts never bought together can
+    * still be perfect substitutes — same neighbors, disjoint baskets).
+    *
+    * Scale discipline: each vector is TRUNCATED to its top-`cap`
+    * weights (weight desc, neighbor-id tie-break — deterministic, and
+    * exactly expressible in the oracle's ROW_NUMBER) before the
+    * common-neighbor wedge join, bounding the per-middle-item fanout
+    * at cap² — the neighbor-cap every production item-CF system
+    * applies, here load-bearing for the plan too (an uncapped hub
+    * would wedge at deg²). Ranking is the exact integer 1e6-scaled
+    * SQUARED cosine (S²·1e6 div (‖u‖²·‖v‖²)) — monotone in cosine,
+    * zero libm/float (the q153 rule); pairs need ≥ `minCommon` shared
+    * neighbors to rank. */
+  def qItemCf(s: SparkSession, d: String, cap: Int = 32, minCommon: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val bidir = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    // truncate each item's vector to its top-`cap` neighbor weights
+    val rk = Window.partitionBy("u").orderBy(col("w").desc, col("v"))
+    val vec = bidir.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= cap)
+      .select(col("u").as("item"), col("v").as("k"), col("w"))
+      .localCheckpoint()
+    val norms = vec.groupBy("item")
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val wedges = vec.as("x").join(vec.as("y"),
+        col("x.k") === col("y.k") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("u"), col("y.item").as("v"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"),
+        count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    wedges
+      .join(norms.select(col("item").as("u"), col("n2").as("nu")), Seq("u"))
+      .join(norms.select(col("item").as("v"), col("n2").as("nv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"), col("dot"),
+        expr("dot * dot * 1000000L div (nu * nv)").as("cos2_ppm"))
+      .orderBy(col("cos2_ppm").desc, col("u"), col("v"))
+      .limit(topK)
   }
 
   /** q171: BFS hop distribution from the highest-degree part — the

@@ -89,6 +89,37 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getDouble(1) == want)
   }
 
+  test("q173: item-CF top pairs match a driver-side capped-vector cosine walk") {
+    val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairW = lp.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (e, v) => e -> v.size.toLong }
+    val nbrs = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+      .withDefaultValue(Nil)
+    pairW.foreach { case ((u, v), w) =>
+      nbrs(u) = (v, w) :: nbrs(u); nbrs(v) = (u, w) :: nbrs(v)
+    }
+    val vec = nbrs.map { case (item, ns) =>
+      item -> ns.sortBy { case (k, w) => (-w, k) }.take(32).toMap
+    }
+    val n2 = vec.map { case (i, m) => i -> m.values.map(w => w * w).sum }
+    val items = vec.keys.toSeq.sorted
+    val cands = for {
+      u <- items; v <- items if u < v
+      common = (vec(u).keySet & vec(v).keySet) if common.size >= 3
+    } yield {
+      val dot = common.toSeq.map(k => vec(u)(k) * vec(v)(k)).sum
+      (u, v, common.size.toLong, dot, dot * dot * 1000000L / (n2(u) * n2(v)))
+    }
+    val want = cands.sortBy { case (u, v, _, _, c) => (-c, u, v) }.take(20)
+    val got = Graph.qItemCf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want)
+  }
+
   test("q171: BFS hop distribution matches a driver-side frontier walk") {
     val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
