@@ -140,6 +140,7 @@ object Bench {
     "q171_bfs_hops",
     "q172_peak_window",
     "q173_item_cf",
+    "q174_weekday_seasonality",
   )
 
   def main(args: Array[String]): Unit = {

@@ -381,6 +381,8 @@ object SparkEntry {
     // q173: item-item CF — top pairs by exact integer squared-cosine
     // of capped co-purchase neighbor vectors
     "q173_item_cf" -> ((s, d) => Graph.qItemCf(s, d)),
+    // q174: weekday seasonality index per event type (1e4-scaled)
+    "q174_weekday_seasonality" -> (Relational.qWeekdaySeasonality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2580,5 +2582,22 @@ object SparkEntry {
          FROM wd JOIN nrm nu ON wd.u = nu.item
                  JOIN nrm nv ON wd.v = nv.item
          ORDER BY cos2_ppm DESC, u, v LIMIT 20""",
+    // q174: Spark's dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6,
+    // hence the +1. Index = exact integer (s·ndt·1e4) div (nd·st)
+    "q174_weekday_seasonality" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         bd AS (SELECT event_type, dayofweek(day) + 1 AS dow,
+                       CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS nd
+                FROM daily GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS st,
+                      COUNT(*) AS ndt
+               FROM daily GROUP BY event_type)
+         SELECT bd.event_type, CAST(bd.dow AS INT) AS dow,
+                bd.s AS n_events, bd.nd AS n_days,
+                CAST((bd.s * t.ndt * 10000) // (bd.nd * t.st) AS BIGINT)
+                  AS seasonality_idx
+         FROM bd JOIN t USING (event_type)""",
   )
 }

@@ -1000,6 +1000,35 @@ object Relational {
       .limit(topK)
   }
 
+  /** q174: weekday seasonality profile — per event type, each
+    * day-of-week's average daily count as a 1e4-scaled integer index
+    * against the type's overall daily average (10000 = flat; the
+    * weekly rhythm that q157's lag-1 autocorrelation detects but
+    * cannot localize). Completes the time-series audit family: trend
+    * (q152), outlier hours (q130), robust fences (q164), burstiness
+    * (q138), autocorrelation (q157), peak load (q172), seasonality
+    * here. The index is exact integer arithmetic — (sum_dow ·
+    * n_days_total · 1e4) div (n_days_dow · sum_total) — so the profile
+    * hashes identically everywhere.
+    *
+    * Scale: one scan onto (type, day) cells map-side, then two
+    * tiny rollups; ISO day-of-week from the date, identical in both
+    * engines. */
+  def qWeekdaySeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val byDow = daily
+      .groupBy(col("event_type"), dayofweek(col("day")).as("dow"))
+      .agg(sum("c").as("s"), count(lit(1)).as("nd"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("c").as("st"), count(lit(1)).as("ndt"))
+    byDow.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow"),
+        col("s").as("n_events"), col("nd").as("n_days"),
+        expr("s * ndt * 10000L div (nd * st)").as("seasonality_idx"))
+  }
+
   /** q172: peak sliding-window load — for each event type, the highest
     * event count in ANY trailing 6-hour window (evaluated at event
     * times, which is where the maximum of a right-continuous sliding

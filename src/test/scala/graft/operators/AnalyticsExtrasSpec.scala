@@ -247,6 +247,29 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q174: weekday seasonality matches a driver-side profile") {
+    val want = rawEvents.groupBy(_._4).flatMap { case (tpe, evs) =>
+      val daily = evs.groupBy(e => e._2 / 86400000000L)
+        .map { case (day, es) => (day, es.length.toLong) }
+      val st = daily.values.sum
+      val ndt = daily.size.toLong
+      // epoch day 0 = 1970-01-01 = Thursday; Spark dayofweek: Sun=1
+      daily.groupBy { case (day, _) => (((day + 4) % 7) + 1).toInt }
+        .map { case (dow, cells) =>
+          val s0 = cells.values.sum
+          val nd = cells.size.toLong
+          (tpe, dow) -> ((s0, nd, s0 * ndt * 10000L / (nd * st)))
+        }
+    }
+    val got = Relational.qWeekdaySeasonality(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // indexes center on 10000 by construction
+    val idx = got.values.map(_._3)
+    assert(idx.min < 10000L && idx.max > 10000L)
+  }
+
   test("q172: peak 6h window matches a driver-side two-pointer sweep") {
     val spanUs = 6L * 3600 * 1000000
     val want = rawEvents.groupBy(_._4).map { case (tpe, evs) =>
