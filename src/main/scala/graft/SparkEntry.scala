@@ -2571,10 +2571,14 @@ object SparkEntry {
                  WHERE rk <= 32),
          nrm AS (SELECT item, CAST(SUM(w * w) AS BIGINT) AS n2
                  FROM vec GROUP BY item),
+         inv AS (SELECT item, k, w FROM (
+                   SELECT item, k, w, ROW_NUMBER() OVER (PARTITION BY k
+                     ORDER BY w DESC, item) AS irk FROM vec)
+                 WHERE irk <= 64),
          wd AS (SELECT x.item AS u, y.item AS v,
                        CAST(SUM(x.w * y.w) AS BIGINT) AS dot,
                        COUNT(*) AS n_common
-                FROM vec x JOIN vec y ON x.k = y.k AND x.item < y.item
+                FROM inv x JOIN inv y ON x.k = y.k AND x.item < y.item
                 GROUP BY 1, 2 HAVING COUNT(*) >= 3)
          SELECT wd.u, wd.v, wd.n_common, wd.dot,
                 CAST((wd.dot * wd.dot * 1000000) // (nu.n2 * nv.n2)

@@ -200,12 +200,17 @@ object Graph {
     * common-neighbor wedge join, bounding the per-middle-item fanout
     * at cap² — the neighbor-cap every production item-CF system
     * applies, here load-bearing for the plan too (an uncapped hub
-    * would wedge at deg²). Ranking is the exact integer 1e6-scaled
-    * SQUARED cosine (S²·1e6 div (‖u‖²·‖v‖²)) — monotone in cosine,
-    * zero libm/float (the q153 rule); pairs need ≥ `minCommon` shared
-    * neighbors to rank. */
-  def qItemCf(s: SparkSession, d: String, cap: Int = 32, minCommon: Int = 3,
-      topK: Int = 20): DataFrame = {
+    * would wedge at deg²). The INVERTED lists are capped the same way
+    * (each middle item keeps its `invCap` strongest incidences — the
+    * DIMSUM discipline: out-caps alone don't bound the wedge join,
+    * because a popular item can still sit in millions of OTHER items'
+    * vectors; measured 2× at sf0.1, structural at hub-ier scales). Ranking is the exact integer
+    * 1e6-scaled SQUARED cosine (S²·1e6 div (‖u‖²·‖v‖²)) — monotone in
+    * cosine, zero libm/float (the q153 rule); pairs need ≥ `minCommon`
+    * shared neighbors to rank. Both caps are deterministic (weight
+    * desc, id) cuts, mirrored exactly in the oracle's ROW_NUMBERs. */
+  def qItemCf(s: SparkSession, d: String, cap: Int = 32, invCap: Int = 64,
+      minCommon: Int = 3, topK: Int = 20): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val pairs = li.as("a").join(li.as("b"),
@@ -222,7 +227,15 @@ object Graph {
       .localCheckpoint()
     val norms = vec.groupBy("item")
       .agg(sum(col("w") * col("w")).as("n2"))
-    val wedges = vec.as("x").join(vec.as("y"),
+    // cap the inverted list: per middle item k, keep the `invCap`
+    // strongest incident entries — bounds the wedge join at invCap²
+    // per k regardless of how popular k is
+    val irk = Window.partitionBy("k").orderBy(col("w").desc, col("item"))
+    val inv = vec.withColumn("irk", row_number().over(irk))
+      .filter(col("irk") <= invCap)
+      .select("item", "k", "w")
+      .localCheckpoint()
+    val wedges = inv.as("x").join(inv.as("y"),
         col("x.k") === col("y.k") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("u"), col("y.item").as("v"))
       .agg(sum(col("x.w") * col("y.w")).as("dot"),

@@ -106,12 +106,23 @@ class GraphSpec extends AnyFunSuite {
       item -> ns.sortBy { case (k, w) => (-w, k) }.take(32).toMap
     }
     val n2 = vec.map { case (i, m) => i -> m.values.map(w => w * w).sum }
+    // inverted-list cap: per middle item k, the 64 strongest incidences
+    val inv = vec.toSeq
+      .flatMap { case (item, m) => m.map { case (k, w) => (k, item, w) } }
+      .groupBy(_._1).map { case (k, es) =>
+        k -> es.sortBy { case (_, item, w) => (-w, item) }.take(64)
+          .map { case (_, item, w) => item -> w }.toMap
+      }
+    val capped = inv.toSeq
+      .flatMap { case (k, m) => m.map { case (item, w) => item -> (k, w) } }
+      .groupBy(_._1).map { case (item, es) => item -> es.map(_._2).toMap }
+      .withDefaultValue(Map.empty[Long, Long])
     val items = vec.keys.toSeq.sorted
     val cands = for {
       u <- items; v <- items if u < v
-      common = (vec(u).keySet & vec(v).keySet) if common.size >= 3
+      common = (capped(u).keySet & capped(v).keySet) if common.size >= 3
     } yield {
-      val dot = common.toSeq.map(k => vec(u)(k) * vec(v)(k)).sum
+      val dot = common.toSeq.map(k => capped(u)(k) * capped(v)(k)).sum
       (u, v, common.size.toLong, dot, dot * dot * 1000000L / (n2(u) * n2(v)))
     }
     val want = cands.sortBy { case (u, v, _, _, c) => (-c, u, v) }.take(20)
