@@ -141,6 +141,7 @@ object Bench {
     "q172_peak_window",
     "q173_item_cf",
     "q174_weekday_seasonality",
+    "q175_hazard_table",
   )
 
   def main(args: Array[String]): Unit = {

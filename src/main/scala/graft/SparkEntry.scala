@@ -383,6 +383,8 @@ object SparkEntry {
     "q173_item_cf" -> ((s, d) => Graph.qItemCf(s, d)),
     // q174: weekday seasonality index per event type (1e4-scaled)
     "q174_weekday_seasonality" -> (Relational.qWeekdaySeasonality _),
+    // q175: Kaplan-Meier risk table (view->purchase with censoring)
+    "q175_hazard_table" -> (Relational.qHazardTable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2603,5 +2605,39 @@ object SparkEntry {
                 CAST((bd.s * t.ndt * 10000) // (bd.nd * t.st) AS BIGINT)
                   AS seasonality_idx
          FROM bd JOIN t USING (event_type)""",
+    // q175: KM ingredients — viewers with a qualifying purchase are
+    // events at that duration, the rest censor at last observed
+    // activity; risk set = reverse cumsum over hour cells; hazard is
+    // exact integer d*1e6 div n_risk
+    "q175_hazard_table" ->
+      """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         conv AS (SELECT e.user_id,
+                         MIN(epoch_us(e.ts) - f.fv) AS dur_us
+                  FROM events e JOIN fv f ON e.user_id = f.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) >= f.fv
+                  GROUP BY e.user_id),
+         ls AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events
+                GROUP BY user_id),
+         subj AS (SELECT COALESCE(c.dur_us, ls.last_us - fv.fv)
+                           // 3600000000 AS dur_h,
+                         c.dur_us IS NOT NULL AS is_event
+                  FROM fv LEFT JOIN conv c USING (user_id)
+                          JOIN ls USING (user_id)),
+         cells AS (SELECT dur_h, COUNT(*) AS n_here,
+                          CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_events,
+                          CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_censored
+                   FROM subj GROUP BY dur_h),
+         r AS (SELECT dur_h, n_events, n_censored,
+                      CAST(SUM(n_here) OVER (ORDER BY dur_h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n_risk
+               FROM cells)
+         SELECT dur_h, n_risk, n_events, n_censored,
+                CAST((n_events * 1000000) // n_risk AS BIGINT) AS hazard_ppm
+         FROM r WHERE n_events > 0""",
   )
 }

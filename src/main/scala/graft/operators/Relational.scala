@@ -1000,6 +1000,56 @@ object Relational {
       .limit(topK)
   }
 
+  /** q175: Kaplan–Meier risk table for view→purchase conversion —
+    * survival analysis with CENSORING, the statistic family q149's
+    * percentiles silently get wrong: computing latency quantiles over
+    * converters only ignores every user still "at risk" who never
+    * converted, biasing time-to-event low. Here each viewer
+    * contributes a duration (first view → earliest qualifying
+    * purchase) flagged event, or (first view → their last observed
+    * activity) flagged censored; the product-limit ingredients at each
+    * distinct event hour — subjects at risk, events, censored exits,
+    * and the exact integer hazard d·1e6 div n_risk — ARE the KM
+    * estimator (S(t) = Π(1 − hazard); the curve derives client-side,
+    * because a running float product would be the one non-exact step).
+    *
+    * Scale shape: two user-keyed aggs build the duration table; cells
+    * collapse to DISTINCT HOURS (bounded by the observation window, ≤
+    * a few thousand rows at any corpus size), so the risk-set reverse
+    * cumsum runs as a single-partition window over a provably tiny
+    * frame. All integer arithmetic. */
+  def qHazardTable(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fv"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(unix_micros(col("ts")) >= col("fv"))
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts")) - col("fv")).as("dur_us"))
+    val lastSeen = ev.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"))
+    val subjects = fv
+      .join(conv, Seq("user_id"), "left")
+      .join(lastSeen, Seq("user_id"))
+      .select(
+        when(col("dur_us").isNotNull, col("dur_us"))
+          .otherwise(col("last_us") - col("fv")).as("dur_us"),
+        col("dur_us").isNotNull.as("is_event"))
+      .select(expr("dur_us div 3600000000").as("dur_h"), col("is_event"))
+    val cells = subjects.groupBy("dur_h")
+      .agg(count(lit(1)).as("n_here"),
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("n_censored"))
+    val wRisk = Window.orderBy("dur_h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cells
+      .withColumn("n_risk", sum("n_here").over(wRisk))
+      .filter(col("n_events") > 0)
+      .select(col("dur_h"), col("n_risk"), col("n_events"), col("n_censored"),
+        expr("n_events * 1000000L div n_risk").as("hazard_ppm"))
+  }
+
   /** q174: weekday seasonality profile — per event type, each
     * day-of-week's average daily count as a 1e4-scaled integer index
     * against the type's overall daily average (10000 = flat; the

@@ -247,6 +247,39 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q175: KM risk table matches a driver-side survival walk") {
+    val byUser = rawEvents.groupBy(_._1)
+    val subjects = byUser.values.toSeq.flatMap { evs =>
+      val views = evs.filter(_._4 == "view").map(_._2)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val purch = evs.filter(e => e._4 == "purchase" && e._2 >= fv).map(_._2)
+        if (purch.nonEmpty) Some(((purch.min - fv) / 3600000000L, true))
+        else Some(((evs.map(_._2).max - fv) / 3600000000L, false))
+      }
+    }
+    val cells = subjects.groupBy(_._1).map { case (h, ss) =>
+      (h, ss.size.toLong, ss.count(_._2).toLong, ss.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val totals = cells.map(_._2).sum
+    var before = 0L
+    val want = cells.map { case (h, nHere, d, c) =>
+      val risk = totals - before
+      before += nHere
+      (h, risk, d, c, d * 1000000L / risk)
+    }.filter(_._3 > 0)
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val got = Relational.qHazardTable(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // risk sets are non-increasing in time
+    val sorted = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(sorted == sorted.sorted(Ordering[Long].reverse))
+  }
+
   test("q174: weekday seasonality matches a driver-side profile") {
     val want = rawEvents.groupBy(_._4).flatMap { case (tpe, evs) =>
       val daily = evs.groupBy(e => e._2 / 86400000000L)
