@@ -142,6 +142,8 @@ object Bench {
     "q173_item_cf",
     "q174_weekday_seasonality",
     "q175_hazard_table",
+    "q176_mann_kendall",
+    "q177_cusum_changepoint",
   )
 
   def main(args: Array[String]): Unit = {

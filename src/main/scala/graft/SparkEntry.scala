@@ -385,6 +385,10 @@ object SparkEntry {
     "q174_weekday_seasonality" -> (Relational.qWeekdaySeasonality _),
     // q175: Kaplan-Meier risk table (view->purchase with censoring)
     "q175_hazard_table" -> (Relational.qHazardTable _),
+    // q176: Mann-Kendall non-parametric trend test on daily counts
+    "q176_mann_kendall" -> (Relational.qMannKendall _),
+    // q177: CUSUM changepoint (level-shift day) per event type
+    "q177_cusum_changepoint" -> (Relational.qCusumChangepoint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2639,5 +2643,55 @@ object SparkEntry {
          SELECT dur_h, n_risk, n_events, n_censored,
                 CAST((n_events * 1000000) // n_risk AS BIGINT) AS hazard_ppm
          FROM r WHERE n_events > 0""",
+    // q176: S and 18·Var as exact integers (tie-corrected), z with
+    // continuity correction — only the final ÷/√ are double
+    "q176_mann_kendall" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         s AS (SELECT a.event_type,
+                      CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s_stat
+               FROM daily a JOIN daily b
+                 ON a.event_type = b.event_type AND a.day < b.day
+               GROUP BY a.event_type),
+         lv AS (SELECT event_type, c, COUNT(*) AS t FROM daily
+                GROUP BY event_type, c),
+         tie AS (SELECT event_type, COUNT(*) AS n_levels,
+                        CAST(SUM(t) AS BIGINT) AS n_days,
+                        CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                          AS tie_term
+                 FROM lv GROUP BY event_type)
+         SELECT s.event_type, tie.n_days, s.s_stat,
+                CAST(tie.n_days * (tie.n_days - 1) * (2 * tie.n_days + 5)
+                     - tie.tie_term AS BIGINT) AS var_x18,
+                ROUND((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                            WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                            ELSE 0.0 END)
+                      / SQRT(CAST(tie.n_days * (tie.n_days - 1)
+                               * (2 * tie.n_days + 5) - tie.tie_term
+                               AS DOUBLE) / 18.0), 4) AS z
+         FROM s JOIN tie USING (event_type)""",
+    // q177: integer CUSUM |n·cum_k − k·S| argmax (earliest-day
+    // tie-break), segment means from exact sums
+    "q177_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         sc AS (SELECT event_type, day,
+                       ROW_NUMBER() OVER w AS k,
+                       CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n,
+                       CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         dev AS (SELECT *, ABS(n * cum - k * s) AS dev FROM sc WHERE k < n),
+         pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY dev DESC, day) AS rn FROM dev)
+         SELECT event_type, n AS n_days, day AS cp_day, k,
+                CAST(dev AS BIGINT) AS abs_dev,
+                ROUND(CAST(cum AS DOUBLE) / k, 4) AS mean_before,
+                ROUND(CAST(s - cum AS DOUBLE) / (n - k), 4) AS mean_after
+         FROM pick WHERE rn = 1""",
   )
 }

@@ -1000,6 +1000,85 @@ object Relational {
       .limit(topK)
   }
 
+  /** q176: Mann–Kendall trend test — the NON-PARAMETRIC companion to
+    * q152's OLS slope: S = Σ sgn(c_j − c_i) over ordered day pairs of
+    * the daily count series, with the tie-corrected variance
+    * (18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) and the
+    * continuity-corrected z. Detects monotone drift without assuming
+    * linearity or normal noise — the standard trend test on count
+    * series (Mann 1945, Kendall 1975). S and 18·Var are exact
+    * integers; only the final z touches doubles (÷, √ — IEEE-exact).
+    *
+    * Scale shape: the pair join is per-type day×day — days per group
+    * is calendar-bounded (30² here; even a decade is ~3.6k² ≈ 10⁷ per
+    * group), so the quadratic lives inside a bounded group, never on
+    * row counts. */
+  def qMannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastDailyCache.getAndSet(daily)).foreach(_.unpersist(blocking = false))
+    val sStat = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_levels"), sum("t").as("n_days"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    sStat.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+          .as("var_x18"))
+      .withColumn("z", round(
+        when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          sqrt(col("var_x18").cast("double") / 18.0), 4))
+  }
+
+  private val lastDailyCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** q177: CUSUM changepoint detection — for each type's daily count
+    * series, the split point maximizing the scaled cumulative
+    * deviation |K_k| = |n·Σ_{i≤k}c_i − k·Σc| (the classic CUSUM
+    * statistic ×n, kept integer so argmax is exact; Page 1954): WHEN
+    * did this metric's level shift, where q130 only says that an hour
+    * is anomalous and q152/q176 only that a monotone trend exists.
+    * Tie-break earliest day. Reports the segment means (exact sums,
+    * scalar division at the end).
+    *
+    * Scale shape: one (type, day) rollup, partition-local cumsum
+    * windows, a per-type TakeOrdered-1 via row_number — tiny after the
+    * first map-side collapse. */
+  def qCusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("s", sum("c").over(tot))
+      .filter(col("k") < col("n"))
+      .withColumn("dev", abs(col("n") * col("cum") - col("k") * col("s")))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("dev").desc, col("day"))
+    scored.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"), col("day").as("cp_day"),
+        col("k").as("k"), col("dev").as("abs_dev"),
+        round(col("cum").cast("double") / col("k"), 4).as("mean_before"),
+        round((col("s") - col("cum")).cast("double") / (col("n") - col("k")), 4)
+          .as("mean_after"))
+  }
+
   /** q175: Kaplan–Meier risk table for view→purchase conversion —
     * survival analysis with CENSORING, the statistic family q149's
     * percentiles silently get wrong: computing latency quantiles over

@@ -247,6 +247,50 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q176: Mann-Kendall S, tie-corrected variance, and z match driver math") {
+    val want = rawEvents.groupBy(_._4).map { case (tpe, evs) =>
+      val daily = evs.groupBy(e => e._2 / 86400000000L)
+        .map { case (day, es) => (day, es.length.toLong) }.toSeq.sortBy(_._1)
+      val cs = daily.map(_._2)
+      val sStat = (for (i <- cs.indices; j <- (i + 1) until cs.length)
+        yield java.lang.Long.signum(cs(j) - cs(i)).toLong).sum
+      val n = cs.length.toLong
+      val tie = cs.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val varX18 = n * (n - 1) * (2 * n + 5) - tie
+      val num = if (sStat > 0) (sStat - 1).toDouble
+        else if (sStat < 0) (sStat + 1).toDouble else 0.0
+      tpe -> ((n, sStat, varX18, round(num / math.sqrt(varX18.toDouble / 18.0), 4)))
+    }
+    val got = Relational.qMannKendall(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+  }
+
+  test("q177: CUSUM changepoint matches a driver-side argmax walk") {
+    val want = rawEvents.groupBy(_._4).map { case (tpe, evs) =>
+      val daily = evs.groupBy(e => e._2 / 86400000000L)
+        .map { case (day, es) => (day, es.length.toLong) }.toSeq.sortBy(_._1)
+      val n = daily.length.toLong
+      val s0 = daily.map(_._2).sum
+      var cum = 0L
+      val devs = daily.zipWithIndex.init.map { case ((day, c), i) =>
+        cum += c
+        (day, i + 1L, cum, math.abs(n * cum - (i + 1) * s0))
+      }
+      val (day, k, cumAt, dev) = devs.maxBy { case (d0, _, _, v) => (v, -d0) }
+      tpe -> ((n, day, k, dev,
+        round(cumAt.toDouble / k, 4),
+        round((s0 - cumAt).toDouble / (n - k), 4)))
+    }
+    val got = Relational.qCusumChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDate(2).toLocalDate.toEpochDay, r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == want)
+  }
+
   test("q175: KM risk table matches a driver-side survival walk") {
     val byUser = rawEvents.groupBy(_._1)
     val subjects = byUser.values.toSeq.flatMap { evs =>
