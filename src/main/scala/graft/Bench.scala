@@ -144,6 +144,18 @@ object Bench {
     "q175_hazard_table",
     "q176_mann_kendall",
     "q177_cusum_changepoint",
+    // round 7 (cont.): rank/robust/dependence statistics (grouped-rank
+    // windows, calendar-bounded pair joins, cell folds), LOCF
+    // densification (in-plan day spine), the Page online detector, and
+    // k-core (h-index fixpoint rounds — the iterative graph member)
+    "q178_unpivot",
+    "q179_spearman",
+    "q180_locf_gapfill",
+    "q181_theil_sen",
+    "q182_fano_factor",
+    "q183_mutual_info",
+    "q184_kcore",
+    "q185_page_cusum",
   )
 
   def main(args: Array[String]): Unit = {

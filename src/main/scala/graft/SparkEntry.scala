@@ -389,6 +389,30 @@ object SparkEntry {
     "q176_mann_kendall" -> (Relational.qMannKendall _),
     // q177: CUSUM changepoint (level-shift day) per event type
     "q177_cusum_changepoint" -> (Relational.qCusumChangepoint _),
+    // q178: unpivot/melt of the exact-decimal pricing rollup
+    "q178_unpivot" -> (Stats.qUnpivot _),
+    // q179: Spearman rank correlation (tie-exact integer double-ranks)
+    "q179_spearman" -> (Stats.qSpearman _),
+    // q180: calendar gap-fill with LOCF over an in-plan day spine
+    "q180_locf_gapfill" -> (Stats.qLocfGapfill _),
+    // q181: Theil-Sen robust slope (lower-median pairwise slope)
+    "q181_theil_sen" -> (Stats.qTheilSen _),
+    // q182: Fano factor of hourly counts (all-integer dispersion)
+    "q182_fano_factor" -> (Stats.qFanoFactor _),
+    // q183: type x hour mutual information + marginal entropies
+    "q183_mutual_info" -> (Stats.qMutualInfo _),
+    // q184: k-core decomposition by distributed h-index iteration
+    // (rows-only: iterative fixpoint, spec-proven == sequential peeling)
+    "q184_kcore" -> ((s, d) => Graph.qKCore(s, d)),
+    // q185: Page CUSUM online detector via the drawdown identity
+    "q185_page_cusum" -> (Stats.qPageCusum _),
+    // q186: q185 as streaming per-type state (oracle = q185's batch
+    // SQL: the fourth bit-exact stream/batch parity statement)
+    "q186_streaming_cusum" -> (graft.streaming.EventTime.qStreamingCusum _),
+    // q187: windowed funnel (ClickHouse windowFunnel semantics)
+    "q187_window_funnel" -> ((s, d) => Stats.qWindowFunnel(s, d)),
+    // q188: EWMA spike days via exact integer dyadic weights
+    "q188_ewma_spikes" -> ((s, d) => Stats.qEwmaSpikes(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2688,10 +2712,280 @@ object SparkEntry {
          dev AS (SELECT *, ABS(n * cum - k * s) AS dev FROM sc WHERE k < n),
          pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                     ORDER BY dev DESC, day) AS rn FROM dev)
-         SELECT event_type, n AS n_days, day AS cp_day, k,
+         SELECT event_type, n AS n_days, CAST(day AS VARCHAR) AS cp_day, k,
                 CAST(dev AS BIGINT) AS abs_dev,
                 ROUND(CAST(cum AS DOUBLE) / k, 4) AS mean_before,
                 ROUND(CAST(s - cum AS DOUBLE) / (n - k), 4) AS mean_after
          FROM pick WHERE rn = 1""",
+    // q178: portable UNION-ALL melt of the exact-decimal rollup; value
+    // = CAST(decimal AS DOUBLE) (correctly rounded, engine-identical)
+    "q178_unpivot" ->
+      """WITH w AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS DECIMAL(38,6)) AS sum_qty,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,6)) AS sum_price,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(38,6)) AS sum_disc_price,
+                  CAST(COUNT(*) AS DECIMAL(38,6)) AS n_rows
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric,
+                CAST(sum_qty AS DOUBLE) AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'sum_price',
+                CAST(sum_price AS DOUBLE) FROM w
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'sum_disc_price',
+                CAST(sum_disc_price AS DOUBLE) FROM w
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'n_rows',
+                CAST(n_rows AS DOUBLE) FROM w""",
+    // q179: tie-exact integer doubled average ranks (2r+c-1), HUGEINT
+    // sufficient sums (engine-exact), one IEEE sqrt/div at the end
+    "q179_spearman" ->
+      """WITH r AS (
+           SELECT l_returnflag AS flag,
+                  2 * RANK() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_quantity)
+                    + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                    - 1 AS rx,
+                  2 * RANK() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice)
+                    + COUNT(*) OVER (PARTITION BY l_returnflag,
+                      l_extendedprice) - 1 AS ry
+           FROM lineitem),
+         s AS (SELECT flag, COUNT(*) AS n,
+                      SUM(CAST(rx AS HUGEINT)) AS sx,
+                      SUM(CAST(ry AS HUGEINT)) AS sy,
+                      SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+                      SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+                      SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+               FROM r GROUP BY flag)
+         SELECT flag AS l_returnflag, n,
+                ROUND(CASE WHEN (n * sxx - sx * sx) > 0
+                            AND (n * syy - sy * sy) > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE))
+                      END, 6) AS spearman_rho
+         FROM s""",
+    // q180: in-SQL day spine + IGNORE NULLS LOCF; all values as exact
+    // integer cents, checksum = sum(idx * filled_cents) in BIGINT
+    "q180_locf_gapfill" ->
+      """WITH daily AS (
+           SELECT n_name, o_orderpriority AS pri,
+                  CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev_c
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2, 3),
+         b AS (SELECT n_name, pri, MIN(day) AS mn, MAX(day) AS mx
+               FROM daily GROUP BY 1, 2),
+         spine AS (SELECT n_name, pri, mn,
+                          CAST(UNNEST(generate_series(mn, mx,
+                            INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM b),
+         f AS (SELECT s.n_name, s.pri,
+                      date_diff('day', s.mn, s.day) AS idx, daily.rev_c,
+                      last_value(daily.rev_c IGNORE NULLS) OVER (
+                        PARTITION BY s.n_name, s.pri ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS filled
+               FROM spine s LEFT JOIN daily
+                 ON s.n_name = daily.n_name AND s.pri = daily.pri
+                AND s.day = daily.day)
+         SELECT n_name, pri, COUNT(*) AS n_days,
+                COUNT(rev_c) AS n_obs,
+                COUNT(*) - COUNT(rev_c) AS n_filled,
+                CAST(SUM(idx * filled) AS BIGINT) AS locf_checksum
+         FROM f GROUP BY 1, 2""",
+    // q181: lower-median pairwise slope via ROW_NUMBER over the IEEE
+    // slope (identical division both engines), (d1,d2) tie-break
+    "q181_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+                      b.c - a.c AS dc,
+                      date_diff('day', a.day, b.day) AS dd,
+                      CAST(b.c - a.c AS DOUBLE)
+                        / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+                        AS slope
+               FROM daily a JOIN daily b
+                 ON a.event_type = b.event_type AND a.day < b.day),
+         o AS (SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n_pairs,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY slope, d1, d2) AS rn
+               FROM p)
+         SELECT event_type, n_pairs, dc AS med_dc, dd AS med_dd,
+                ROUND(slope, 6) AS theil_sen_slope
+         FROM o WHERE rn = (n_pairs + 1) // 2""",
+    // q182: all-integer dispersion: (n·Σc² − (Σc)²)·1e4 div ((n−1)·Σc)
+    "q182_fano_factor" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, COUNT(*) AS n_hours,
+                      CAST(SUM(c) AS BIGINT) AS sc,
+                      CAST(SUM(c * c) AS BIGINT) AS scc
+               FROM hourly GROUP BY event_type)
+         SELECT event_type, n_hours,
+                CAST(sc * 100 // n_hours AS BIGINT) AS mean_x100,
+                CAST((n_hours * scc - sc * sc) * 10000
+                  // ((n_hours - 1) * sc) AS BIGINT) AS fano_x10000
+         FROM s WHERE n_hours > 1""",
+    // q183: exact integer cells/marginals; MI and entropies fold ≤120
+    // double terms (the q64 ln precedent), rounded at 6
+    "q183_mutual_info" ->
+      """WITH cells AS (
+           SELECT event_type AS t, EXTRACT(hour FROM ts) AS hh,
+                  COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+                        COUNT(*) AS n_cells FROM cells),
+         rowm AS (SELECT t, CAST(SUM(c) AS BIGINT) AS r FROM cells
+                  GROUP BY t),
+         colm AS (SELECT hh, CAST(SUM(c) AS BIGINT) AS s FROM cells
+                  GROUP BY hh),
+         mi AS (SELECT ROUND(SUM(CAST(c AS DOUBLE) / nn
+                  * LN(CAST(c AS DOUBLE) * nn
+                       / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))), 6)
+                  AS mi_nats
+                FROM cells JOIN rowm USING (t) JOIN colm USING (hh),
+                     tot),
+         ht AS (SELECT ROUND(-SUM(CAST(r AS DOUBLE) / nn
+                  * LN(CAST(r AS DOUBLE) / nn)), 6) AS h_type
+                FROM rowm, tot),
+         hh2 AS (SELECT ROUND(-SUM(CAST(s AS DOUBLE) / nn
+                  * LN(CAST(s AS DOUBLE) / nn)), 6) AS h_hour
+                 FROM colm, tot)
+         SELECT tot.n_cells, tot.nn AS n_events, mi.mi_nats,
+                ht.h_type, hh2.h_hour
+         FROM tot, mi, ht, hh2""",
+    // q185: Page CUSUM via the drawdown identity S = P − min(0, min P)
+    // — exact integers end to end, same identity as the Spark plan
+    "q185_page_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         o0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY day) AS rn
+                FROM daily),
+         o AS (SELECT *,
+                      CAST(SUM(CASE WHEN rn <= 7 THEN c END)
+                        OVER (PARTITION BY event_type) AS BIGINT) AS sum7,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n_days
+               FROM o0),
+         sc AS (SELECT *,
+                       CAST(SUM(7 * c - sum7) OVER run AS BIGINT) AS p
+                FROM o WHERE rn > 7
+                WINDOW run AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         st AS (SELECT *,
+                       p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) AS s_stat
+                FROM sc),
+         al AS (SELECT *, s_stat > 3 * sum7 AS alarm,
+                       ROW_NUMBER() OVER (PARTITION BY event_type,
+                         s_stat > 3 * sum7 ORDER BY day) AS arn
+                FROM st)
+         SELECT event_type, MAX(n_days) AS n_days, MAX(sum7) AS sum7,
+                MAX(s_stat) AS max_s,
+                COALESCE(CAST(MIN(CASE WHEN alarm THEN day END) AS VARCHAR),
+                  'none') AS first_alarm_day,
+                COALESCE(MAX(CASE WHEN alarm AND arn = 1 THEN s_stat END),
+                  -1) AS s_at_alarm
+         FROM al GROUP BY event_type""",
+    // q186: the oracle IS q185's batch SQL — stream/batch parity for
+    // the Page detector (recursion vs drawdown identity)
+    "q186_streaming_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         o0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY day) AS rn
+                FROM daily),
+         o AS (SELECT *,
+                      CAST(SUM(CASE WHEN rn <= 7 THEN c END)
+                        OVER (PARTITION BY event_type) AS BIGINT) AS sum7,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n_days
+               FROM o0),
+         sc AS (SELECT *,
+                       CAST(SUM(7 * c - sum7) OVER run AS BIGINT) AS p
+                FROM o WHERE rn > 7
+                WINDOW run AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         st AS (SELECT *,
+                       p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) AS s_stat
+                FROM sc),
+         al AS (SELECT *, s_stat > 3 * sum7 AS alarm,
+                       ROW_NUMBER() OVER (PARTITION BY event_type,
+                         s_stat > 3 * sum7 ORDER BY day) AS arn
+                FROM st)
+         SELECT event_type, MAX(n_days) AS n_days, MAX(sum7) AS sum7,
+                MAX(s_stat) AS max_s,
+                COALESCE(CAST(MIN(CASE WHEN alarm THEN day END) AS VARCHAR),
+                  'none') AS first_alarm_day,
+                COALESCE(MAX(CASE WHEN alarm AND arn = 1 THEN s_stat END),
+                  -1) AS s_at_alarm
+         FROM al GROUP BY event_type""",
+    // q187: greedy-earliest chain (MIN click per view, MIN purchase
+    // after it) is depth-maximal for a view-anchored window
+    "q187_window_funnel" ->
+      """WITH v AS (SELECT user_id AS u, epoch_us(ts) AS tv FROM events
+                    WHERE event_type = 'view'),
+         c AS (SELECT user_id AS u, epoch_us(ts) AS tc FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id AS u, epoch_us(ts) AS tp FROM events
+               WHERE event_type = 'purchase'),
+         vc AS (SELECT v.u, v.tv, MIN(c.tc) AS tc
+                FROM v JOIN c ON v.u = c.u
+                 AND c.tc >= v.tv AND c.tc <= v.tv + 86400000000
+                GROUP BY v.u, v.tv),
+         vcp AS (SELECT vc.u, vc.tv, MIN(p.tp) AS tp
+                 FROM vc JOIN p ON vc.u = p.u
+                  AND p.tp >= vc.tc AND p.tp <= vc.tv + 86400000000
+                 GROUP BY vc.u, vc.tv),
+         du AS (SELECT DISTINCT u FROM v),
+         d2 AS (SELECT DISTINCT u, 1 AS h2 FROM vc),
+         d3 AS (SELECT DISTINCT u, 1 AS h3 FROM vcp)
+         SELECT CASE WHEN h3 IS NOT NULL THEN 3
+                     WHEN h2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
+                COUNT(*) AS n_users
+         FROM du LEFT JOIN d2 USING (u) LEFT JOIN d3 USING (u)
+         GROUP BY 1""",
+    // q188: 2^30-scaled integer dyadic weighted sum; spike test is
+    // pure integer shift arithmetic on both engines
+    "q188_ewma_spikes" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+         lagged AS (
+           SELECT a.event_type, a.day, a.c,
+                  CAST(SUM(b.c * (CAST(1 AS BIGINT)
+                    << (30 - date_diff('day', b.day, a.day)))) AS BIGINT)
+                    AS ewsum_scaled,
+                  COUNT(*) AS n_lags
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND b.day < a.day
+            AND b.day >= a.day - INTERVAL 30 DAY
+           GROUP BY a.event_type, a.day, a.c),
+         scored AS (SELECT *,
+                      (CAST(c AS BIGINT) << 30) > 2 * ewsum_scaled AS spike
+                    FROM lagged WHERE n_lags >= 7)
+         SELECT event_type, COUNT(*) AS n_scored_days,
+                CAST(SUM(CASE WHEN spike THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_spike_days,
+                COALESCE(MIN(CASE WHEN spike
+                  THEN CAST(day AS VARCHAR) END), 'none') AS first_spike_day
+         FROM scored GROUP BY event_type""",
   )
 }

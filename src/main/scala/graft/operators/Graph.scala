@@ -177,13 +177,66 @@ object Graph {
   /** The unweighted id-ordered co-purchase edge set (u < v, distinct) —
     * shared by the census/degree/assortativity family. Per-order pair
     * fanout bounded by lines² (≤ 21 on TPC-H). */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
+  }
+
+  /** q184: k-core decomposition (coreness) of the co-purchase graph —
+    * the cohesion stratification every graph pipeline wants after the
+    * degree histogram (q168): a node's coreness is the largest k for
+    * which it survives iterated removal of all nodes with degree < k,
+    * separating the dense purchasing nucleus from the tree-like fringe
+    * (Seidman 1983). Computed by the distributed H-INDEX iteration
+    * (Lü et al., Nature Comm. 2016): core(v) starts at deg(v) and
+    * repeatedly contracts to the h-index of its neighbors' values
+    * (the max h with ≥ h neighbors at ≥ h); the fixpoint IS the
+    * coreness — no sequential peeling, pure integer arithmetic,
+    * convergence in O(diameter-ish) rounds rather than the O(max-core)
+    * rounds of distributed peeling.
+    *
+    * Scale shape: each round is one edge⋈core equi-join + a
+    * per-node h-index (window row_number over in-row neighbor values,
+    * bounded by degree) — the same equi-shuffle round discipline as
+    * q57/q163, `localCheckpoint` per round, one scalar count on the
+    * driver. The spec proves the fixpoint equals sequential
+    * Batagelj–Zaversnik peeling on the real sf graph and a handcrafted
+    * clique-plus-tail. */
+  def qKCore(s: SparkSession, d: String, maxRounds: Int = 50): DataFrame =
+    kCoreHistogram(copurchaseEdges(s, d))
+
+  /** H-index-iteration coreness over any undirected (u, v) edge list;
+    * returns the (coreness, n_nodes) histogram. */
+  private[graft] def kCoreHistogram(pairs0: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val bidir = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var core = bidir.groupBy("u").agg(count(lit(1)).as("core"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbr = bidir
+        .join(core.select(col("u").as("v"), col("core").as("nc")), Seq("v"))
+        .select(col("u"), col("nc"))
+      val w = Window.partitionBy("u").orderBy(col("nc").desc)
+      val hidx = nbr.withColumn("rn", row_number().over(w))
+        .groupBy("u").agg(max(least(col("nc"), col("rn"))).as("h"))
+      val next = core.join(hidx, Seq("u"))
+        .select(col("u"), col("core"), least(col("core"), col("h")).as("nc"))
+        .localCheckpoint()
+      changed = next.filter(col("nc") < col("core")).count()
+      core = next.select(col("u"), col("nc").as("core"))
+      round += 1
+    }
+    core.groupBy("core").agg(count(lit(1)).as("n_nodes"))
+      .select(col("core").as("coreness"), col("n_nodes"))
   }
 
   /** q173: item–item collaborative filtering — the rec-sys primitive

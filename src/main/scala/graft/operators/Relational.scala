@@ -1072,7 +1072,10 @@ object Relational {
       .orderBy(col("dev").desc, col("day"))
     scored.withColumn("rn", row_number().over(pick))
       .filter(col("rn") === 1)
-      .select(col("event_type"), col("n").as("n_days"), col("day").as("cp_day"),
+      .select(col("event_type"), col("n").as("n_days"),
+        // string day: a raw DATE column hashes engine-dependently
+        // (date32 vs timestamp) downstream
+        col("day").cast("string").as("cp_day"),
         col("k").as("k"), col("dev").as("abs_dev"),
         round(col("cum").cast("double") / col("k"), 4).as("mean_before"),
         round((col("s") - col("cum")).cast("double") / (col("n") - col("k")), 4)

@@ -1,0 +1,364 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / reshaping analytics over the driver tables — the
+  * round-7 continuation of the q151–q177 analytics family: rank
+  * statistics, robust regression, gap-filling, dispersion and
+  * dependence measures, and sequential change detection.
+  *
+  * The reference (RedisGears) computes any statistic by hand-looping
+  * `client.call` results in user JS (e.g. the cross-shard aggregation
+  * loop in `/root/reference/docs/docs/concepts/Cluster_Support.md`);
+  * here each is a declarative plan whose exactness discipline follows
+  * the repo rules: integer/decimal sufficient statistics (order- and
+  * engine-invariant), libm only in a final scalar step, `round` only
+  * on values whose error is zero (not merely small).
+  */
+object Stats {
+
+  import Tables._
+
+  private val dec = (c: Column) => c.cast("decimal(38,0)")
+  private val d2 = (c: Column) => c.cast("double")
+
+  /** q178: unpivot/melt — the inverse of q73's pivot and the one
+    * relational reshaping verb the surface lacked. The wide per-(flag,
+    * status) pricing rollup (exact DECIMAL sums, q18's discipline)
+    * melts into (keys, metric, value) long form via Spark's native
+    * `unpivot` (Expand under the hood — one pass, no shuffle beyond
+    * the rollup's own exchange; the oracle is the portable UNION-ALL
+    * formulation).
+    *
+    * Scale shape: the melt multiplies ROWS OF THE ROLLUP (a few
+    * dozen), not input rows — Expand adds zero exchanges. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    // only RAW columns are double→decimal cast (their ≤2-decimal intent
+    // makes binary-value and shortest-string rounding agree); the
+    // discounted product is then pure decimal arithmetic — exact and
+    // engine-identical, unlike casting a computed double product
+    val wide = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,6)").as("sum_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(38,6)").as("sum_disc_price"),
+        count(lit(1)).cast("decimal(38,6)").as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc_price"),
+          col("n_rows")),
+        "metric", "value")
+      .select(col("l_returnflag"), col("l_linestatus"), col("metric"),
+        d2(col("value")).as("value"))
+  }
+
+  /** q179: Spearman rank correlation of quantity vs extended price per
+    * return flag — the monotone-dependence companion to q157's Pearson:
+    * invariant to any monotone transform and robust to the price tail.
+    * Average ranks are computed tie-exactly as the INTEGER
+    * 2·avg_rank = 2·rank + tie_count − 1 (a tie block spanning
+    * positions [r, r+c−1] has average rank r + (c−1)/2), then Pearson
+    * over the doubled ranks (scale-invariant) with DECIMAL(38,0)
+    * sufficient sums — order-invariant, engine-identical; one IEEE
+    * √/÷ scalar at the end (q169's discipline).
+    *
+    * Scale shape: ranking shuffles once on the group key and sorts
+    * within groups — the grouped-rank window shape. A group too large
+    * for one task would move to the q148 two-pass range-partitioned
+    * ranking (zone counts → per-range offsets); at TPC-H flag
+    * cardinalities the single window is the right plan. */
+  def qSpearman(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+    def ranked(c: String, out: String) = {
+      val w = Window.partitionBy("flag").orderBy(col(c))
+      val t = Window.partitionBy("flag", c)
+      (df: DataFrame) => df
+        .withColumn(out, lit(2) * rank().over(w) + count(lit(1)).over(t) - 1)
+    }
+    val r = ranked("q", "rx")(ranked("p", "ry")(li))
+    val sums = r.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+      sum(dec(col("rx")) * dec(col("ry"))).as("sxy"),
+      sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+      sum(dec(col("ry")) * dec(col("ry"))).as("syy"))
+    val vx = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+    val vy = dec(col("n")) * col("syy") - col("sy") * col("sy")
+    val cov = dec(col("n")) * col("sxy") - col("sx") * col("sy")
+    sums.select(col("flag").as("l_returnflag"), col("n"),
+      round(when(vx > 0 && vy > 0, d2(cov) / sqrt(d2(vx) * d2(vy))), 6)
+        .as("spearman_rho"))
+  }
+
+  /** q180: calendar gap-fill with last-observation-carried-forward —
+    * the time-series densification every daily-metric pipeline needs
+    * before window math is valid (a missing day must read as "level
+    * held", not "row absent"). Per (nation, order-priority): the day
+    * spine is generated in-plan (`sequence` + explode — no driver
+    * loop), observations left-join onto it, and
+    * `last(value, ignoreNulls)` over the day order carries levels
+    * forward. The gate row compresses the filled series into exact
+    * INTEGER invariants (count of filled days + Σ day_idx·filled_cents
+    * checksum) so the hash proves every filled cell without shipping
+    * the dense series. Revenue is carried as exact integer CENTS
+    * (decimal-parse then ×100) — no float anywhere in the pipeline.
+    *
+    * Scale shape: spine size = groups × days (calendar-bounded), the
+    * LOCF window is partition-local after one group-key exchange. */
+  def qLocfGapfill(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val daily = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("rev_c"))
+    val bounds = daily.groupBy("n_name", "pri")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds
+      .select(col("n_name"), col("pri"), col("mn"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("n_name", "pri").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("n_name", "pri", "day"), "left")
+      .withColumn("filled", last(col("rev_c"), ignoreNulls = true).over(w))
+      .withColumn("idx", datediff(col("day"), col("mn")).cast("long"))
+      .groupBy("n_name", "pri")
+      .agg(count(lit(1)).as("n_days"),
+        count(col("rev_c")).as("n_obs"),
+        (count(lit(1)) - count(col("rev_c"))).as("n_filled"),
+        sum(col("idx") * col("filled")).as("locf_checksum"))
+  }
+
+  /** q181: Theil–Sen robust slope of each event type's daily count
+    * series — the median of all pairwise slopes (c_j−c_i)/(day_j−day_i):
+    * a 29.3%-breakdown trend estimate where q152's OLS is wrecked by a
+    * single outlier day and q176 only signs the trend. The median is
+    * the LOWER median picked by row_number (no interpolation — the one
+    * step where engines could diverge in float), ordered by the IEEE
+    * slope (identical division both engines) with (day_i, day_j)
+    * tie-break; the chosen pair's exact integer Δc/Δdays ships
+    * alongside the rounded slope.
+    *
+    * Scale shape: the pair join is per-type day×day — calendar-bounded
+    * exactly like q176 (30² here, ~10⁷ per group even for a decade),
+    * never row-count-bounded. */
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.day").as("d1"), col("b.day").as("d2"),
+        (col("b.c") - col("a.c")).as("dc"),
+        datediff(col("b.day"), col("a.day")).as("dd"))
+      .withColumn("slope", d2(col("dc")) / d2(col("dd")))
+    val np = Window.partitionBy("event_type")
+    val ord = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(np))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("dc").as("med_dc"), col("dd").as("med_dd"),
+        round(col("slope"), 6).as("theil_sen_slope"))
+  }
+
+  /** q182: Fano factor (index of dispersion) of hourly event counts
+    * per type — variance-to-mean of a count series: ≈1 Poisson, >1
+    * bursty/overdispersed, <1 regular. The dispersion complement to
+    * q138's gap-CV (inter-arrival view) and q157's autocorrelation
+    * (memory view). Entirely integer: sample variance and mean enter
+    * as the exact ratio (n·Σc² − (Σc)²)·10⁴ div ((n−1)·Σc) — no
+    * float anywhere, engine-identical by construction.
+    *
+    * Scale shape: one (type, hour) rollup collapses the table to
+    * calendar-bounded cells; the per-type agg is a ≤5-group reduce. */
+  def qFanoFactor(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("c").as("sc"), sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_hours") > 1)
+      .select(col("event_type"), col("n_hours"),
+        expr("sc * 100 div n_hours").as("mean_x100"),
+        expr("(n_hours * scc - sc * sc) * 10000 div ((n_hours - 1) * sc)")
+          .as("fano_x10000"))
+  }
+
+  /** q183: mutual information between event type and hour-of-day —
+    * "how many nats does knowing the hour tell you about what users
+    * do": the dependence summary behind q130's per-cell anomalies and
+    * q159's per-cell residuals, as one number plus its marginal
+    * entropies. Cell/marginal counts are exact integers; MI folds the
+    * ≤ type×24 cells as Σ (c/N)·ln(c·N/(r·s)) in doubles (the q64/q79
+    * NLL precedent: libm `ln` agrees across engines; the ≤120-term sum
+    * is rounded at 6 decimals with ~1e-15 relative error).
+    *
+    * Scale shape: one cells rollup (map-side partial to ≤120 rows),
+    * marginals derived FROM the cells (no second scan), single-row
+    * fold. */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .groupBy(col("event_type").as("t"), hour(col("ts")).as("hh"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastCellsCache.getAndSet(cells)).foreach(_.unpersist(blocking = false))
+    val tot = cells.agg(sum("c").as("nn"), count(lit(1)).as("n_cells"))
+    val rowm = cells.groupBy("t").agg(sum("c").as("r"))
+    val colm = cells.groupBy("hh").agg(sum("c").as("s"))
+    val mi = cells
+      .join(broadcast(rowm), Seq("t")).join(broadcast(colm), Seq("hh"))
+      .crossJoin(broadcast(tot.select("nn")))
+      .agg(round(sum(d2(col("c")) / d2(col("nn"))
+        * log(d2(col("c")) * d2(col("nn")) / (d2(col("r")) * d2(col("s"))))), 6)
+        .as("mi_nats"))
+    val hT = rowm.crossJoin(broadcast(tot.select("nn")))
+      .agg(round(-sum(d2(col("r")) / d2(col("nn"))
+        * log(d2(col("r")) / d2(col("nn")))), 6).as("h_type"))
+    val hH = colm.crossJoin(broadcast(tot.select("nn")))
+      .agg(round(-sum(d2(col("s")) / d2(col("nn"))
+        * log(d2(col("s")) / d2(col("nn")))), 6).as("h_hour"))
+    tot.select(col("n_cells"), col("nn").as("n_events"))
+      .crossJoin(mi).crossJoin(hT).crossJoin(hH)
+  }
+
+  private val lastCellsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** q187: windowed funnel (the ClickHouse `windowFunnel` semantic) —
+    * deepest view→click→purchase chain whose steps ALL land inside a
+    * 24 h window anchored at the view, per user. q131's funnel is
+    * lifetime-ordered ("ever converted, in order"); this is the
+    * campaign/session question ("converted WITHIN a day of seeing
+    * it"). Greedy-earliest chaining is exact for a window anchored at
+    * the first stage: taking the MIN qualifying click per view
+    * maximizes the residual window for the purchase step, so depth is
+    * maximal. All-integer µs arithmetic.
+    *
+    * Scale shape: two user-keyed range joins with calendar-bounded
+    * per-user fanout (events within one window), each collapsed by a
+    * partial MIN agg before the next; depth histogram is a ≤3-row
+    * reduce. At extreme per-user densities the range join day-buckets
+    * first (the q172 overlap note). */
+  def qWindowFunnel(s: SparkSession, d: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id").as("u"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    def stage(t: String, out: String) =
+      ev.filter(col("event_type") === t).select(col("u"), col("us").as(out))
+    val v = stage("view", "tv")
+    val c = stage("click", "tc")
+    val p = stage("purchase", "tp")
+    val vc = v.join(c, Seq("u"))
+      .filter(col("tc") >= col("tv") && col("tc") <= col("tv") + windowUs)
+      .groupBy("u", "tv").agg(min("tc").as("tc"))
+    val vcp = vc.join(p, Seq("u"))
+      .filter(col("tp") >= col("tc") && col("tp") <= col("tv") + windowUs)
+      .groupBy("u", "tv").agg(min("tp").as("tp"))
+    v.select("u").distinct()
+      .join(vc.select("u").distinct().withColumn("h2", lit(1)), Seq("u"), "left")
+      .join(vcp.select("u").distinct().withColumn("h3", lit(1)), Seq("u"), "left")
+      .select(when(col("h3").isNotNull, 3)
+        .when(col("h2").isNotNull, 2).otherwise(1).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** q188: EWMA spike days — each day's count against DOUBLE the
+    * exponentially-weighted sum of its trailing 30 days (weights
+    * 2^-lag, α = ½ truncated at lag 30): the classic smoothed baseline
+    * where q130's z-score uses a flat window mean. The dyadic weights
+    * make the whole pipeline INTEGER: the 2^30-scaled weighted sum is
+    * Σ c_lag · 2^(30−lag) in exact longs, and the spike test
+    * c > 2·ewma becomes (c << 30) > 2·ewsum_scaled — no float, no
+    * libm, bit-deterministic at any count magnitude below 2^33.
+    *
+    * Scale shape: the lag join is per-type day×30 — calendar-bounded
+    * like q176/q181; one rollup, one bounded join, a ≤5-row agg. */
+  def qEwmaSpikes(s: SparkSession, d: String, maxLag: Int = 30): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val lagged = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") < col("a.day") &&
+          col("b.day") >= date_sub(col("a.day"), maxLag))
+      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        col("a.c").as("c"))
+      .agg(sum(expr(s"b.c * shiftleft(1L, $maxLag - datediff(a.day, b.day))"))
+        .as("ewsum_scaled"),
+        count(lit(1)).as("n_lags"))
+    // spike: current day more than doubles its smoothed baseline,
+    // judged once at least a week of lag history exists (the truncated
+    // tail only deflates the baseline by < 2^-7 of its mass)
+    lagged.filter(col("n_lags") >= 7)
+      .withColumn("spike",
+        expr(s"shiftleft(c, $maxLag) > 2 * ewsum_scaled"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored_days"),
+        sum(when(col("spike"), 1L).otherwise(0L)).as("n_spike_days"),
+        coalesce(min(when(col("spike"), col("day").cast("string"))),
+          lit("none")).as("first_spike_day"))
+  }
+
+  /** q185: Page's sequential CUSUM detector — the ONLINE counterpart
+    * to q177's retrospective split: S_t = max(0, S_{t−1} + (7·c_t −
+    * sum7)) over each type's daily counts after a 7-day burn-in that
+    * fixes the baseline (sum7 = first week's total, so dev is the
+    * exact integer "7× today minus a baseline week"). Alarm when S_t
+    * exceeds three baseline-days' worth (3·sum7). The recursion is
+    * computed WITHOUT recursion via the drawdown identity
+    * S_t = P_t − min(0, min_{j≤t} P_j) (P = running Σ dev) — two
+    * partition-local windows, exact integers end to end, and the same
+    * identity is what the oracle SQL uses.
+    *
+    * Scale shape: one (type, day) rollup, two windows over
+    * calendar-bounded partitions, a ≤5-row final agg. */
+  def qPageCusum(s: SparkSession, d: String): DataFrame =
+    pageCusum(events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Detector core over any (event_type, day, c) daily series —
+    * factored out so the spec can drive a synthetic level-shift series
+    * through the exact same plan. */
+  private[graft] def pageCusum(daily: DataFrame): DataFrame = {
+    val ordW = Window.partitionBy("event_type").orderBy("day")
+    val all = Window.partitionBy("event_type")
+    val burn = daily
+      .withColumn("rn", row_number().over(ordW))
+      .withColumn("sum7", sum(when(col("rn") <= 7, col("c"))).over(all))
+      .withColumn("n_days", count(lit(1)).over(all))
+    val run = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = burn.filter(col("rn") > 7)
+      .withColumn("p", sum(lit(7) * col("c") - col("sum7")).over(run))
+      .withColumn("s_stat", col("p") - least(lit(0L), min("p").over(run)))
+      .withColumn("alarm", col("s_stat") > lit(3) * col("sum7"))
+    scored.groupBy("event_type")
+      .agg(max("n_days").as("n_days"), max("sum7").as("sum7"),
+        max("s_stat").as("max_s"),
+        min(when(col("alarm"), struct(col("day"), col("s_stat")))).as("fa"))
+      .select(col("event_type"), col("n_days"), col("sum7"), col("max_s"),
+        // null-free outputs: a no-alarm series reads 'none'/-1 (a typed
+        // NULL hashes engine-dependently as None vs NaT downstream)
+        coalesce(col("fa").getField("day").cast("string"), lit("none"))
+          .as("first_alarm_day"),
+        coalesce(col("fa").getField("s_stat"), lit(-1L)).as("s_at_alarm"))
+  }
+}

@@ -472,4 +472,42 @@ object EventTime {
         max("max_session_events").as("max_session_events"),
         max("n_events").as("n_events"))
   }
+
+  /** q186: q185's Page CUSUM as STREAMING state
+    * ([[Stateful.pageCusumProgress]]): the literal max(0, S+dev)
+    * recursion advanced day by day over the time-ordered 3-file
+    * replay, final snapshots aggregated into exactly q185's report.
+    * The oracle IS q185's batch SQL — the FOURTH bit-exact
+    * stream/batch parity statement (funnel q133, throttle q158,
+    * sessions q167, change detection here), and the strongest of the
+    * four: it proves the streaming recursion and the batch drawdown
+    * identity are the same function, not just that the same code ran
+    * twice. */
+  def qStreamingCusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+    val prog = Stateful.pageCusumProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q186 must exercise cross-batch detector state, saw $dataBatches data batches")
+    s.table(name).filter(col("n_days") > 7)
+      .groupBy("event_type")
+      .agg(max(struct(col("n_days"), col("max_s"), col("sum7"),
+        col("first_alarm_day"), col("s_at_alarm"))).as("m"))
+      .select(col("event_type"), col("m.n_days").as("n_days"),
+        col("m.sum7").as("sum7"), col("m.max_s").as("max_s"),
+        col("m.first_alarm_day").as("first_alarm_day"),
+        col("m.s_at_alarm").as("s_at_alarm"))
+  }
 }

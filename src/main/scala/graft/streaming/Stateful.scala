@@ -347,6 +347,76 @@ object Stateful {
       }
   }
 
+  case class CusumProgress(event_type: String, n_days: Long, sum7: Long,
+    max_s: Long, first_alarm_day: String, s_at_alarm: Long)
+
+  case class CusumState(openDay: Long, openCnt: Long, closed: Long,
+    sum7: Long, s: Long, maxS: Long, alarmDay: Long, sAtAlarm: Long)
+
+  /** Streaming Page CUSUM — q185's online level-shift detector as
+    * per-type state: (open day, open count, closed-day count, burn-in
+    * sum, S, max S, alarm day, S-at-alarm) advanced micro-batch by
+    * micro-batch. The streaming side runs the LITERAL
+    * S ← max(0, S + dev) recursion day by day (a day closes when a
+    * later day arrives for the key), where the batch plan (q185) uses
+    * the windowed drawdown identity — the gate's parity proves the two
+    * formulations reach the same answer bit for bit. Each emitted
+    * snapshot projects the still-open day as if it closed now, so the
+    * final snapshot equals the batch answer over the full series.
+    * (n_days, max_s) is lexicographically monotone across snapshots —
+    * an alarm transition always raises max_s — so max(struct(...))
+    * per key over the update-mode emission history reconstructs the
+    * final state (the q133/q158/q167 reconstruction trick). Same
+    * cross-batch event-time-order arrival contract as
+    * [[funnelStages]]. */
+  def pageCusumProgress(events: Dataset[(String, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[CusumProgress] = {
+    implicit val stE: Encoder[CusumState] = Encoders.product[CusumState]
+    implicit val outE: Encoder[CusumProgress] = Encoders.product[CusumProgress]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val usPerDay = 86400000000L
+    events.groupByKey(_._1)
+      .mapGroupsWithState[CusumState, CusumProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)], state: GroupState[CusumState]) =>
+          var CusumState(openDay, openCnt, closed, sum7, s, maxS, alarmDay,
+            sAtAlarm) = state.getOption.getOrElse(
+              CusumState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, -1L, -1L))
+          def close(day: Long, c: Long): Unit = {
+            closed += 1
+            if (closed <= 7) sum7 += c
+            else {
+              s = math.max(0L, s + 7 * c - sum7)
+              maxS = math.max(maxS, s)
+              if (alarmDay < 0 && s > 3 * sum7) { alarmDay = day; sAtAlarm = s }
+            }
+          }
+          it.toArray.map(e => Math.floorDiv(e._2, usPerDay)).sorted
+            .foreach { day =>
+              if (openDay == Long.MinValue) { openDay = day; openCnt = 1 }
+              else if (day == openDay) openCnt += 1
+              else { close(openDay, openCnt); openDay = day; openCnt = 1 }
+            }
+          state.update(CusumState(openDay, openCnt, closed, sum7, s, maxS,
+            alarmDay, sAtAlarm))
+          // project the open day as if it closed now
+          var (pSum7, pS, pMaxS, pAlarm, pSAt) = (sum7, s, maxS, alarmDay, sAtAlarm)
+          if (openDay != Long.MinValue) {
+            if (closed < 7) pSum7 += openCnt
+            else {
+              pS = math.max(0L, s + 7 * openCnt - sum7)
+              pMaxS = math.max(maxS, pS)
+              if (pAlarm < 0 && pS > 3 * sum7) { pAlarm = openDay; pSAt = pS }
+            }
+          }
+          val nDays = closed + (if (openDay == Long.MinValue) 0L else 1L)
+          CusumProgress(tpe, nDays, pSum7, pMaxS,
+            if (pAlarm < 0) "none"
+            else java.time.LocalDate.ofEpochDay(pAlarm).toString,
+            pSAt)
+      }
+  }
+
   case class ThrottleProgress(user_id: Long, event_type: String,
     n_total: Long, n_dropped: Long)
 

@@ -96,7 +96,14 @@ object ScaleBench {
       // bigram-vocab double unigram join + deterministic top-k cut
       // (vocab grows sublinearly under the bijection; the join is the
       // probe)
-      "q151_pps_sample", "q153_collocation_lift")
+      "q151_pps_sample", "q153_collocation_lift",
+      // round 14: the grouped-rank window (per-flag sorts growing
+      // linearly inside 3 partitions — the heaviest window shape here;
+      // grounds the single-exchange claim before a q148-style
+      // range-partitioned rank would be needed) and the k-core h-index
+      // fixpoint (disjoint per-copy graphs: round count is
+      // scale-invariant, per-round join work linear)
+      "q179_spearman", "q184_kcore")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -286,8 +286,8 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     }
     val got = Relational.qCusumChangepoint(spark, sf).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDate(2).toLocalDate.toEpochDay, r.getLong(3),
-          r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+        ((r.getLong(1), java.time.LocalDate.parse(r.getString(2)).toEpochDay,
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
     assert(got == want)
   }
 

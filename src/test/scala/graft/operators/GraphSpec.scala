@@ -187,4 +187,51 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getLong(3) == wedges)
     assert(tri > 0 && wedges > 0)
   }
+
+  /** Sequential Batagelj–Zaversnik peeling: repeatedly take a minimum-
+    * degree node, assign core = max(k-so-far, its degree), remove it. */
+  private def peelCores(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val cores = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, nbrs) = adj.minBy { case (n, s) => (s.size, n) }
+      k = math.max(k, nbrs.size.toLong)
+      cores(v) = k
+      adj.remove(v)
+      nbrs.foreach(u => if (adj.contains(u)) adj(u) = adj(u) - v)
+    }
+    cores.toMap
+  }
+
+  test("q184: h-index fixpoint equals sequential peeling on the sf graph") {
+    val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = lp.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val want = peelCores(edges).groupBy(_._2)
+      .map { case (c, g) => c -> g.size.toLong }
+    val got = Graph.qKCore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.keys.max >= 2) // the sf graph must have a non-trivial core
+  }
+
+  test("q184: clique plus tail strata land exactly") {
+    import spark.implicits._
+    // 5-clique (core 4), a triangle hanging off it (core 2), and a
+    // 3-node path tail (core 1)
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val tri = Seq((5L, 10L), (10L, 11L), (5L, 11L))
+    val tail = Seq((11L, 20L), (20L, 21L), (21L, 22L))
+    val pairs = (clique ++ tri ++ tail).toDF("u", "v")
+    val got = Graph.kCoreHistogram(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(4L -> 5L, 2L -> 2L, 1L -> 3L))
+  }
 }

@@ -183,4 +183,11 @@ class EventTimeSpec extends AnyFunSuite {
     val nullRows = streaming.filter(col("purchase_id").isNull).count()
     assert(nullRows > 0 && nullRows < clicks.count())
   }
+
+  test("q186: streaming Page-CUSUM recursion equals the batch drawdown identity") {
+    val streaming = EventTime.qStreamingCusum(spark, sf)
+    val batch = graft.operators.Stats.qPageCusum(spark, sf)
+    assert(rows(streaming) == rows(batch))
+    assert(streaming.count() > 0)
+  }
 }
