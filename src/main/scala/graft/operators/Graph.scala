@@ -210,9 +210,24 @@ object Graph {
     kCoreHistogram(copurchaseEdges(s, d))
 
   /** H-index-iteration coreness over any undirected (u, v) edge list;
-    * returns the (coreness, n_nodes) histogram. */
+    * returns the (coreness, n_nodes) histogram.
+    *
+    * DENSE synchronous sweeps: each round is one edge-core equi-join,
+    * one per-node hash-agg (the h-index is an in-row fold over the
+    * collected neighbor values: sorted desc, h = #positions whose
+    * value covers the position - no window sort), and a node-sized
+    * compare join. A frontier/delta variant was measured WORSE here:
+    * the change set REBOUNDS mid-convergence (cascades re-enter
+    * "settled" regions - observed 80 changed at round 14 but 7441
+    * again at round 36 of sf0.1's 38-round run), so the extra
+    * per-round frontier shuffles never pay for themselves. Eager
+    * localCheckpoint per round keeps lineage flat and resets plan
+    * statistics to measured block sizes - without that reset the
+    * join-stats product compounds across rounds into million-digit
+    * BigInt arithmetic inside the optimizer (observed: minutes of
+    * ToomCook multiply in SizeInBytesOnlyStatsPlanVisitor). */
   private[graft] def kCoreHistogram(pairs0: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 100): DataFrame = {
     val pairs = pairs0.localCheckpoint()
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
@@ -221,22 +236,38 @@ object Graph {
       .localCheckpoint()
     var changed = 1L
     var round = 0
+    // h-index of the neighbor multiset: sorted desc, the count of
+    // positions whose value covers the position is the h (prefix
+    // property: values non-increasing vs threshold increasing)
+    val hExpr = expr(
+      "size(filter(transform(sort_array(ncs, false), (x, i) -> x >= i + 1)," +
+        " b -> b))")
     while (changed > 0 && round < maxRounds) {
-      val nbr = bidir
+      val h = bidir
         .join(core.select(col("u").as("v"), col("core").as("nc")), Seq("v"))
-        .select(col("u"), col("nc"))
-      val w = Window.partitionBy("u").orderBy(col("nc").desc)
-      val hidx = nbr.withColumn("rn", row_number().over(w))
-        .groupBy("u").agg(max(least(col("nc"), col("rn"))).as("h"))
-      val next = core.join(hidx, Seq("u"))
+        .groupBy("u").agg(collect_list("nc").as("ncs"))
+        .select(col("u"), hExpr.cast("long").as("h"))
+      val next = core.join(h, Seq("u"))
         .select(col("u"), col("core"), least(col("core"), col("h")).as("nc"))
         .localCheckpoint()
       changed = next.filter(col("nc") < col("core")).count()
       core = next.select(col("u"), col("nc").as("core"))
       round += 1
+      if (probeHook ne null) probeHook(round, changed)
     }
     core.groupBy("core").agg(count(lit(1)).as("n_nodes"))
       .select(col("core").as("coreness"), col("n_nodes"))
+  }
+
+  @volatile private[graft] var probeHook: (Int, Long) => Unit = null
+
+  /** Dev instrumentation for the iteration's round/frontier profile. */
+  private[graft] def kCoreProbe(s: SparkSession, d: String): Unit = {
+    val t0 = System.nanoTime()
+    probeHook = (r, n) =>
+      println(f"KCORE round=$r changed=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    try qKCore(s, d).collect().foreach(r => println(s"KCORE hist $r"))
+    finally probeHook = null
   }
 
   /** q173: item–item collaborative filtering — the rec-sys primitive

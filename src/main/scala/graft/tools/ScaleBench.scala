@@ -100,10 +100,10 @@ object ScaleBench {
       // round 14: the grouped-rank window (per-flag sorts growing
       // linearly inside 3 partitions — the heaviest window shape here;
       // grounds the single-exchange claim before a q148-style
-      // range-partitioned rank would be needed) and the k-core h-index
-      // fixpoint (disjoint per-copy graphs: round count is
-      // scale-invariant, per-round join work linear)
-      "q179_spearman", "q184_kcore")
+      // range-partitioned rank would be needed). q184_kcore is not
+      // probed: its 38 synchronous rounds on the degenerate-dense
+      // basket graph already cost ~35 s at 1× (BENCH_NOTES)
+      "q179_spearman")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
