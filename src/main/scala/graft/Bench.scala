@@ -162,6 +162,12 @@ object Bench {
     "q185_page_cusum",
     "q187_window_funnel",
     "q188_ewma_spikes",
+    // round 14 (cont.): the point-in-time SCD2 consumer, banded PSI
+    // drift, and the retrieval-quality audit (one corpus scan vs a
+    // broadcast query set, then 100-row arithmetic)
+    "q189_temporal_join",
+    "q190_psi_drift",
+    "q191_ndcg",
   )
 
   def main(args: Array[String]): Unit = {

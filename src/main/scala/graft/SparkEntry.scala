@@ -413,6 +413,12 @@ object SparkEntry {
     "q187_window_funnel" -> ((s, d) => Stats.qWindowFunnel(s, d)),
     // q188: EWMA spike days via exact integer dyadic weights
     "q188_ewma_spikes" -> ((s, d) => Stats.qEwmaSpikes(s, d)),
+    // q189: fact-to-SCD2 point-in-time join (revenue by state-at-ship)
+    "q189_temporal_join" -> (Relational.qTemporalJoin _),
+    // q190: PSI drift between stream halves over first-half deciles
+    "q190_psi_drift" -> ((s, d) => Stats.qPsiDrift(s, d)),
+    // q191: NDCG@10 retrieval-quality audit vs label relevance
+    "q191_ndcg" -> ((s, d) => Similarity.qNdcg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2987,5 +2993,127 @@ object SparkEntry {
                 COALESCE(MIN(CASE WHEN spike
                   THEN CAST(day AS VARCHAR) END), 'none') AS first_spike_day
          FROM scored GROUP BY event_type""",
+    // q189: each fact matches at most one SCD2 version; pre-history
+    // ships land in the explicit 'NONE' bucket; revenue in exact
+    // integer 1e-4-dollar units
+    "q189_temporal_join" ->
+      """WITH dim AS (
+           SELECT o_custkey AS ck, o_orderpriority AS state,
+                  CAST(epoch(o_orderdate) AS BIGINT) AS vf,
+                  COALESCE(LEAD(CAST(epoch(o_orderdate) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY epoch(o_orderdate), o_orderkey),
+                    4102444800) AS vt
+           FROM orders),
+         fact AS (
+           SELECT o.o_custkey AS ck,
+                  CAST(epoch(l.l_shipdate) AS BIGINT) AS ship_sec,
+                  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l.l_discount AS DECIMAL(4,2)))
+                    * 10000 AS BIGINT) AS rev_e4
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT COALESCE(dim.state, 'NONE') AS state, COUNT(*) AS n_lines,
+                CAST(SUM(fact.rev_e4) AS BIGINT) AS revenue_e4
+         FROM fact LEFT JOIN dim ON fact.ck = dim.ck
+          AND fact.ship_sec >= dim.vf AND fact.ship_sec < dim.vt
+         GROUP BY 1""",
+    // q190: first-half ntile decile edges, strict-below band
+    // assignment, Laplace-smoothed 10-term PSI fold
+    "q190_psi_drift" ->
+      """WITH ev AS (SELECT event_type, value, event_id,
+                            CAST(ts AS DATE) AS day FROM events),
+         b AS (SELECT event_type,
+                      MIN(day) + CAST(date_diff('day', MIN(day), MAX(day))
+                        / 2 AS INT) AS pivot
+               FROM ev GROUP BY event_type),
+         tagged AS (SELECT ev.*, ev.day <= b.pivot AS is_first
+                    FROM ev JOIN b USING (event_type)),
+         fst AS (SELECT *, NTILE(10) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS band
+                 FROM tagged WHERE is_first),
+         edges AS (SELECT event_type, band, MAX(value) AS edge
+                   FROM fst GROUP BY 1, 2 HAVING band < 10),
+         assign AS (SELECT t.event_type, t.is_first,
+                           1 + (SELECT COUNT(*) FROM edges e
+                                WHERE e.event_type = t.event_type
+                                  AND e.edge < t.value) AS band
+                    FROM tagged t),
+         cells AS (SELECT event_type, band,
+                          CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cf,
+                          CAST(SUM(CASE WHEN is_first THEN 0 ELSE 1 END)
+                            AS BIGINT) AS cs
+                   FROM assign GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(SUM(cf) AS BIGINT) AS nf,
+                        CAST(SUM(cs) AS BIGINT) AS ns
+                 FROM cells GROUP BY event_type)
+         SELECT c.event_type, COUNT(*) AS n_bands, MAX(t.nf) AS n_first,
+                MAX(t.ns) AS n_second,
+                ROUND(SUM((CAST(c.cf + 1 AS DOUBLE) / (t.nf + 10)
+                           - CAST(c.cs + 1 AS DOUBLE) / (t.ns + 10))
+                      * LN((CAST(c.cf + 1 AS DOUBLE) / (t.nf + 10))
+                           / (CAST(c.cs + 1 AS DOUBLE) / (t.ns + 10)))), 6)
+                  AS psi
+         FROM cells c JOIN tot t USING (event_type)
+         GROUP BY c.event_type""",
+    // q191: per-rank relevance pivoted to columns so DCG/IDCG are
+    // fixed-order folds (ln-base cancels in the ratio); cosine ties
+    // broken by vec_id (the q32 rule)
+    "q191_ndcg" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb,
+                           label AS q_label
+                    FROM embeddings WHERE vec_id < 100),
+         ranked AS (
+           SELECT q.query_id, q.q_label,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.q_emb,
+                      c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank,
+                  CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS rel
+           FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+         flags AS (
+           SELECT query_id, q_label,
+                  MAX(CASE WHEN rank = 1 THEN rel END) AS r1,
+                  MAX(CASE WHEN rank = 2 THEN rel END) AS r2,
+                  MAX(CASE WHEN rank = 3 THEN rel END) AS r3,
+                  MAX(CASE WHEN rank = 4 THEN rel END) AS r4,
+                  MAX(CASE WHEN rank = 5 THEN rel END) AS r5,
+                  MAX(CASE WHEN rank = 6 THEN rel END) AS r6,
+                  MAX(CASE WHEN rank = 7 THEN rel END) AS r7,
+                  MAX(CASE WHEN rank = 8 THEN rel END) AS r8,
+                  MAX(CASE WHEN rank = 9 THEN rel END) AS r9,
+                  MAX(CASE WHEN rank = 10 THEN rel END) AS r10
+           FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+         cs AS (SELECT label AS q_label, COUNT(*) AS csize
+                FROM embeddings GROUP BY label)
+         SELECT f.query_id, cs.csize - 1 AS n_relevant,
+                CAST(r1 + r2 + r3 + r4 + r5 + r6 + r7 + r8 + r9 + r10
+                  AS BIGINT) AS hits_at_10,
+                ROUND(CAST(r1 + r2 + r3 + r4 + r5 + r6 + r7 + r8 + r9 + r10
+                        AS DOUBLE)
+                      / CAST(LEAST(10, cs.csize - 1) AS DOUBLE), 6)
+                  AS precision_vs_ideal,
+                ROUND((CAST(r1 AS DOUBLE) / LN(2.0)
+                       + CAST(r2 AS DOUBLE) / LN(3.0)
+                       + CAST(r3 AS DOUBLE) / LN(4.0)
+                       + CAST(r4 AS DOUBLE) / LN(5.0)
+                       + CAST(r5 AS DOUBLE) / LN(6.0)
+                       + CAST(r6 AS DOUBLE) / LN(7.0)
+                       + CAST(r7 AS DOUBLE) / LN(8.0)
+                       + CAST(r8 AS DOUBLE) / LN(9.0)
+                       + CAST(r9 AS DOUBLE) / LN(10.0)
+                       + CAST(r10 AS DOUBLE) / LN(11.0))
+                      / (CASE WHEN cs.csize - 1 >= 1 THEN 1.0 / LN(2.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 2 THEN 1.0 / LN(3.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 3 THEN 1.0 / LN(4.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 4 THEN 1.0 / LN(5.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 5 THEN 1.0 / LN(6.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 6 THEN 1.0 / LN(7.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 7 THEN 1.0 / LN(8.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 8 THEN 1.0 / LN(9.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 9 THEN 1.0 / LN(10.0) ELSE 0.0 END
+                         + CASE WHEN cs.csize - 1 >= 10 THEN 1.0 / LN(11.0) ELSE 0.0 END),
+                      6) AS ndcg_at_10
+         FROM flags f JOIN cs USING (q_label)""",
   )
 }

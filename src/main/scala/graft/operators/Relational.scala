@@ -638,6 +638,44 @@ object Relational {
         "valid_from_sec", "valid_to_sec", "is_current")
   }
 
+  /** q189: fact-to-SCD2 temporal join — every lineitem priced against
+    * the priority STATE ITS CUSTOMER WAS IN WHEN THE ITEM SHIPPED
+    * (valid_from ≤ ship < valid_to against the q143 dimension): the
+    * point-in-time join every warehouse needs to avoid attributing
+    * facts to a dimension's CURRENT state (the classic SCD2 consumer
+    * q143 only builds). Revenue is exact integer 1e-4-dollar units
+    * (decimal parse of both factors, decimal product, ×10⁴ → long).
+    *
+    * Scale shape: equi-join on the customer key with a residual
+    * interval predicate — shuffles once on custkey; each fact matches
+    * AT MOST one version (the SCD2 intervals partition time from the
+    * first order onward), so no fanout. Facts shipping BEFORE their
+    * customer's first version — this generator does not enforce
+    * ship ≥ order date — land in an explicit 'NONE' bucket instead of
+    * silently vanishing from an inner join (~8% at sf0.001; an audit
+    * must account for every fact). The dimension's per-key version
+    * list is orders-per-customer-bounded. */
+  def qTemporalJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2(Tables.orders(s, d))
+      .select(col("o_custkey").as("dck"), col("state"),
+        col("valid_from_sec"), col("valid_to_sec"))
+    val fact = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"),
+        unix_timestamp(col("l_shipdate")).as("ship_sec"),
+        ((col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          * 10000).cast("long").as("rev_e4"))
+    fact.join(dim,
+        col("ck") === col("dck") &&
+          col("ship_sec") >= col("valid_from_sec") &&
+          col("ship_sec") < col("valid_to_sec"),
+        "left")
+      .groupBy(coalesce(col("state"), lit("NONE")).as("state"))
+      .agg(count(lit(1)).as("n_lines"), sum("rev_e4").as("revenue_e4"))
+  }
+
   /** q144: interval union (coverage) per user — each event claims the
     * window [ts, ts+5min); overlapping claims merge, and the answer is
     * merged-island count + total covered seconds per user. The classic

@@ -40,6 +40,56 @@ object Similarity {
     embeddings(s, d).filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
+  /** q191: retrieval-quality evaluation — NDCG@10, hits and recall of
+    * brute-force cosine retrieval against LABEL relevance for the
+    * first 100 query vectors: the audit that closes the ANN family
+    * (q32–q93 build retrieval; nothing measured whether retrieval
+    * finds the right class). Per-rank relevance flags pivot to
+    * COLUMNS, so DCG and the ideal DCG are fixed-order expression
+    * folds (r1/ln2 + r2/ln3 + …) — bit-identical across engines where
+    * a SUM over rank rows would be addition-order-dependent; the
+    * ln-base cancels in the ratio, and NDCG needs no log2-vs-ln
+    * convention. Cosine ties broken by vec_id (the q32 rule).
+    *
+    * Scale shape: one corpus scan against a broadcast query set
+    * (q32's plan) + a label-size broadcast; everything after the
+    * top-k is 100 rows. Swap the brute leg for the q89/q93 persisted
+    * indexes to audit ANN recall at corpus scale. */
+  def qNdcg(s: SparkSession, d: String, nQ: Int = 100, k: Int = 10): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val corpus = embeddings(s, d).select("vec_id", "embedding", "label")
+    val ranked = corpus.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+    val aggs = (1 to k).map(i =>
+      max(when(col("rank") === i, col("rel"))).as(s"r$i"))
+    val flags = ranked.groupBy("query_id", "q_label")
+      .agg(aggs.head, aggs.tail: _*)
+    val classSize = corpus.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("csize"))
+    // fixed-order folds: identical expression trees on both engines
+    val dcg = (1 to k).map(i => col(s"r$i").cast("double") /
+      math.log(i + 1.0)).reduce(_ + _)
+    val idcg = (1 to k).map(i =>
+      when(col("csize") - 1 >= i, lit(1.0 / math.log(i + 1.0)))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val hits = (1 to k).map(i => col(s"r$i").cast("long")).reduce(_ + _)
+    flags.join(broadcast(classSize), Seq("q_label"))
+      .select(col("query_id"), (col("csize") - 1).as("n_relevant"),
+        hits.as("hits_at_10"),
+        round(hits.cast("double") /
+          least(lit(k.toLong), col("csize") - 1).cast("double"), 6)
+          .as("precision_vs_ideal"),
+        round(dcg / idcg, 6).as("ndcg_at_10"))
+  }
+
   /** Top-10 cosine neighbors for the first 5 vectors (deterministic,
     * oracle-checkable in DuckDB with double-precision cosine). */
   def qBruteForceTopK(s: SparkSession, d: String): DataFrame =

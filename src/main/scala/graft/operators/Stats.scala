@@ -316,6 +316,62 @@ object Stats {
           lit("none")).as("first_spike_day"))
   }
 
+  /** q190: Population Stability Index — the production drift metric
+    * between the FIRST and SECOND half of each type's value stream:
+    * decile bands fitted on the first half (ntile over (value,
+    * event_id) — identical rank semantics both engines), second half
+    * assigned by band edges, PSI = Σ (p−q)·ln(p/q) with Laplace
+    * (+1/band) smoothing so an empty band stays finite. Completes the
+    * drift family (q136 tests lengths; this monitors any numeric
+    * measure). Band counts are exact integers; the 10-term ln fold
+    * follows the q64/q183 precedent.
+    *
+    * Scale shape: the band fit is a per-type ntile window (one
+    * exchange); edges collapse to ≤ 9 rows per type and broadcast
+    * back; everything after is a ≤10-cell fold. */
+  def qPsiDrift(s: SparkSession, d: String, bands: Int = 10): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"),
+        to_date(col("ts")).as("day"))
+    val bounds = ev.groupBy("event_type")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("event_type"),
+        expr("date_add(mn, CAST(datediff(mx, mn) / 2 AS INT))").as("pivot"))
+    val tagged = ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("is_first", col("day") <= col("pivot"))
+    val first = tagged.filter(col("is_first"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val edges = first
+      .withColumn("band", ntile(bands).over(w))
+      .groupBy("event_type", "band").agg(max("value").as("edge"))
+      .filter(col("band") < bands)
+    // band of x = 1 + #edges strictly below x (ties stay in the lower
+    // band, mirroring the ntile fit on the first half); the ≤9 edges
+    // ride in-row as a sorted array so assignment is one scan with a
+    // broadcast join — no fanout, no re-grouping shuffle
+    val edgeArr = edges.groupBy("event_type")
+      .agg(sort_array(collect_list(col("edge"))).as("earr"))
+    val assign = tagged.join(broadcast(edgeArr), Seq("event_type"))
+      .select(col("event_type"), col("is_first"),
+        (size(filter(col("earr"), e => e < col("value"))) + 1).as("band"))
+    val cells = assign.groupBy("event_type", "band")
+      .agg(sum(when(col("is_first"), 1L).otherwise(0L)).as("cf"),
+        sum(when(col("is_first"), 0L).otherwise(1L)).as("cs"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum("cf").as("nf"), sum("cs").as("ns"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("p", (col("cf") + 1).cast("double") /
+        (col("nf") + bands).cast("double"))
+      .withColumn("q", (col("cs") + 1).cast("double") /
+        (col("ns") + bands).cast("double"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_bands"), max("nf").as("n_first"),
+        max("ns").as("n_second"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+  }
+
   /** q185: Page's sequential CUSUM detector — the ONLINE counterpart
     * to q177's retrospective split: S_t = max(0, S_{t−1} + (7·c_t −
     * sum7)) over each type's daily counts after a 7-day burn-in that

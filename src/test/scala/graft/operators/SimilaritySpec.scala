@@ -459,4 +459,51 @@ class SimilaritySpec extends AnyFunSuite {
     // 16 of 64 components must explain more than a uniform 16/64 share
     assert(acc > 16.0 / 64.0)
   }
+
+  test("q191: NDCG matches a driver-side ranked-retrieval evaluation") {
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cosine(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    val classSize = all.groupBy(_._3).map { case (l, g) => l -> g.length }
+    val k = 10
+    val want = all.filter(_._1 < 100).map { case (qid, qe, ql) =>
+      val top = all.filter(_._1 != qid)
+        .map(c => (c._1, cosine(qe, c._2), c._3))
+        .sortBy(c => (-c._2, c._1)).take(k)
+      val rels = top.map(c => if (c._3 == ql) 1 else 0)
+      val r = classSize(ql) - 1
+      val dcg = rels.zipWithIndex
+        .map { case (rel, i) => rel / math.log(i + 2.0) }.sum
+      val idcg = (1 to math.min(k, r)).map(i => 1.0 / math.log(i + 1.0)).sum
+      (qid, (r.toLong, rels.sum.toLong, dcg / idcg))
+    }.toMap
+    val got = Similarity.qNdcg(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (qid, (r, hits, ndcg)) =>
+      val (wr, whits, wndcg) = want(qid)
+      assert((r, hits) == ((wr, whits)), s"query $qid")
+      // the operator rounds at 6 decimals; the reference is unrounded
+      assert(math.abs(ndcg - wndcg) <= 5e-7 + 1e-12, s"query $qid ndcg")
+    }
+    // retrieval must beat chance: mean hits@10 above the random-class
+    // baseline of 10 * (csize/n)
+    val meanHits = got.values.map(_._2).sum.toDouble / got.size
+    val chance = 10.0 * (classSize.values.sum.toDouble / classSize.size - 1) /
+      (all.length - 1)
+    assert(meanHits > chance,
+      s"mean hits $meanHits must beat chance $chance")
+  }
 }

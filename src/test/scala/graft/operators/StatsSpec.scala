@@ -265,6 +265,91 @@ class StatsSpec extends AnyFunSuite {
     assert(got.values.forall(_._1 > 0))
   }
 
+  test("q189: each fact lands in exactly one SCD2 version; revenue exact") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_timestamp(o_orderdate)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // driver-side SCD2: per customer, versions ordered by (date, okey)
+    val versions = orders.groupBy(_._1).map { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._4, o._2))
+      ck -> sorted.zipWithIndex.map { case ((_, _, st, vf), i) =>
+        val vt = if (i + 1 < sorted.length) sorted(i + 1)._4 else 4102444800L
+        (st, vf, vt)
+      }
+    }
+    val okToCk = orders.map(o => o._2 -> o._1).toMap
+    val facts = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), expr("unix_timestamp(l_shipdate)"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))" +
+          " * 10000 AS LONG)"))
+      .collect()
+      .map(r => (okToCk(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val want = facts.map { case (ck, ship, rev) =>
+      val hits = versions(ck).filter(v => ship >= v._2 && ship < v._3)
+      assert(hits.length <= 1,
+        s"fact must match at most one version, got ${hits.length}")
+      (hits.headOption.map(_._1).getOrElse("NONE"), rev)
+    }.groupBy(_._1).map { case (st, g) =>
+      st -> ((g.length.toLong, g.map(_._2).sum))
+    }
+    val got = Relational.qTemporalJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // every fact is accounted for, and pre-history facts exist in this
+    // generator (ship dates are independent of order dates)
+    assert(got.values.map(_._1).sum == facts.length.toLong)
+    assert(got.contains("NONE"))
+  }
+
+  test("q190: PSI matches a driver-side ntile-edge band walk") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"),
+        expr("datediff(to_date(ts), date'1970-01-01')"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val want = rows.groupBy(_._1).map { case (t, evs) =>
+      val pivot = evs.map(_._4).min + (evs.map(_._4).max - evs.map(_._4).min) / 2
+      val (first, second) = evs.partition(_._4 <= pivot)
+      val sortedF = first.sortBy(e => (e._2, e._3))
+      val n = sortedF.length
+      // ntile: first (n mod 10) tiles get ceil(n/10)
+      val base = n / 10; val extra = n % 10
+      val sizes = (0 until 10).map(i => base + (if (i < extra) 1 else 0))
+      val edges = sizes.init.scanLeft(0)(_ + _).tail
+        .map(cum => sortedF(cum - 1)._2)
+      def band(v: Double) = 1 + edges.count(_ < v)
+      def dist(xs: Seq[Double]) = {
+        val c = xs.groupBy(band).map { case (b, g) => b -> g.size.toLong }
+        (1 to 10).map(b => c.getOrElse(b, 0L))
+      }
+      val cf = dist(first.map(_._2).toSeq)
+      val cs = dist(second.map(_._2).toSeq)
+      val nf = cf.sum; val ns = cs.sum
+      val psi = (0 until 10).map { i =>
+        val p = (cf(i) + 1).toDouble / (nf + 10)
+        val q = (cs(i) + 1).toDouble / (ns + 10)
+        (p - q) * math.log(p / q)
+      }.sum
+      t -> ((nf, ns, round(psi, 6)))
+    }
+    val got = Stats.qPsiDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, (nf, ns, psi)) =>
+      val (wnf, wns, wpsi) = want(t)
+      assert((nf, ns) == ((wnf, wns)), s"type $t halves")
+      assert(math.abs(psi - wpsi) < 1e-9, s"type $t psi $psi vs $wpsi")
+    }
+  }
+
+  private def round(v: Double, scale: Int): Double =
+    new JBigDecimal(v).setScale(scale, RoundingMode.HALF_UP).doubleValue()
+
   test("q185: a synthetic level shift raises the alarm at the right day") {
     import spark.implicits._
     // 7 burn-in days at 10/day, then 10 quiet days, then a shift to
