@@ -168,6 +168,9 @@ object Bench {
     "q189_temporal_join",
     "q190_psi_drift",
     "q191_ndcg",
+    // round 14 (cont.): the ANN recall curve (one brute ground-truth
+    // pass + four partition-pruned probed scans)
+    "q192_ann_recall",
   )
 
   def main(args: Array[String]): Unit = {

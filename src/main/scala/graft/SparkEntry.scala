@@ -419,6 +419,10 @@ object SparkEntry {
     "q190_psi_drift" -> ((s, d) => Stats.qPsiDrift(s, d)),
     // q191: NDCG@10 retrieval-quality audit vs label relevance
     "q191_ndcg" -> ((s, d) => Similarity.qNdcg(s, d)),
+    // q192: IVF recall@10 vs brute ground truth per probe budget
+    // (rows-only: the IVF leg is not SQL-expressible; spec pins the
+    // nprobe=cells ceiling at exactly 1.0 and monotonicity)
+    "q192_ann_recall" -> ((s, d) => Similarity.qAnnRecall(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

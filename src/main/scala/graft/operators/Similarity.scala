@@ -462,6 +462,39 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** q192: ANN recall audit — recall@10 of the persisted IVF index
+    * against exact brute-force cosine, per probe budget (the standard
+    * ANN benchmark metric; q191 asks "does retrieval find the right
+    * CLASS", this asks "does the INDEX find the true neighbors").
+    * Both legs rank by (cos desc, vec_id), so the overlap count per
+    * query is a deterministic integer and the 1e4-scaled recall is
+    * exact integer division — no float in the reported metric. The
+    * probe sweep IS the index's tuning curve: nprobe=max(cells) must
+    * reach recall 1.0 by construction (all cells scanned ⇒ brute),
+    * and the spec pins both that ceiling and monotonicity.
+    *
+    * Scale shape: one brute scan (the ground truth — priced once) +
+    * one partition-pruned probed-cells scan per budget; overlap is a
+    * 100·k-row join. */
+  def qAnnRecall(s: SparkSession, d: String, k: Int = 10, nQ: Int = 100,
+      probes: Seq[Int] = Seq(1, 2, 3, 10)): DataFrame = {
+    import s.implicits._
+    val qs = queriesDf(s, d, nQ)
+    val corpus = embeddings(s, d).select("vec_id", "embedding")
+    val brute = bruteForceTopK(qs, corpus, k)
+      .select(col("query_id"), col("neighbor")).localCheckpoint()
+    val indexDir = ivfIndexDir(s, d)
+    val nQueries = brute.select("query_id").distinct().count()
+    probes.map { p =>
+      val ivf = ivfSearchFromIndex(s, indexDir, qs, p, k)
+        .select(col("query_id").as("q2"), col("neighbor").as("n2"))
+      val overlap = brute.join(ivf,
+        col("query_id") === col("q2") && col("neighbor") === col("n2"))
+        .count()
+      (p, nQueries, overlap, overlap * 10000L / (nQueries * k))
+    }.toDF("nprobe", "n_queries", "n_overlap", "recall_x10000")
+  }
+
   /** q89: ANN through the persisted index — the index is built once per
     * (warehouse, corpus) into a marker-guarded directory and every
     * call after that only probes it. Rows-only in the gate

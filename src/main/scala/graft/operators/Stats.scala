@@ -123,6 +123,10 @@ object Stats {
         to_date(col("o_orderdate")).as("day"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")).as("rev_c"))
+      // referenced twice (bounds + spine join): materialize the
+      // calendar-bounded rollup once instead of rescanning the
+      // three-table join
+      .localCheckpoint()
     val bounds = daily.groupBy("n_name", "pri")
       .agg(min("day").as("mn"), max("day").as("mx"))
     val spine = bounds

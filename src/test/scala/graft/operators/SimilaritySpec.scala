@@ -506,4 +506,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanHits > chance,
       s"mean hits $meanHits must beat chance $chance")
   }
+
+  test("q192: IVF recall is monotone in nprobe and exact at full probe") {
+    val rows = Similarity.qAnnRecall(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 10))
+    // recall never decreases as more cells are probed
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"recall must be monotone: $a vs $b")
+    }
+    // probing every cell IS brute force: recall exactly 1
+    assert(rows.last._4 == 10000L, s"full probe must reach 1.0: ${rows.last}")
+    assert(rows.last._3 == rows.last._2 * 10)
+    // a single probed cell must already find a nontrivial share
+    assert(rows.head._4 > 0)
+  }
 }
