@@ -171,6 +171,17 @@ object Bench {
     // round 14 (cont.): the ANN recall curve (one brute ground-truth
     // pass + four partition-pruned probed scans)
     "q192_ann_recall",
+    // round 15: the engagement/experimentation batch — HLL daily
+    // sketch rollup (register-array shuffles), bitmask algebra,
+    // exposure z cells, exact moments, rolling median, compaction
+    // plan, last-touch attribution (all rollup/window-shaped)
+    "q193_hll_rollup",
+    "q194_activity_bitmask",
+    "q195_exposure_conversion",
+    "q196_higher_moments",
+    "q197_rolling_median",
+    "q198_compaction_plan",
+    "q199_last_touch",
   )
 
   def main(args: Array[String]): Unit = {

@@ -423,6 +423,25 @@ object SparkEntry {
     // (rows-only: the IVF leg is not SQL-expressible; spec pins the
     // nprobe=cells ceiling at exactly 1.0 and monotonicity)
     "q192_ann_recall" -> ((s, d) => Similarity.qAnnRecall(s, d)),
+    // q193: HLL sketch rollup — persisted daily registers merged to
+    // lifetime distinct (rows-only: estimator not SQL-expressible;
+    // HllSketchSpec pins merge==direct bit for bit + the error band)
+    "q193_hll_rollup" -> (Stats.qHllRollup _),
+    // q194: per-user 63-day activity bitmask (popcount/streak algebra)
+    "q194_activity_bitmask" -> (Stats.qActivityBitmask _),
+    // q195: exposure->conversion two-proportion z screen
+    "q195_exposure_conversion" -> (Stats.qExposureConversion _),
+    // q196: skewness/kurtosis from exact integer power sums
+    "q196_higher_moments" -> (Stats.qHigherMoments _),
+    // q197: rolling-median (Tukey) spike flags over daily counts
+    "q197_rolling_median" -> (Stats.qRollingMedian _),
+    // q198: small-file compaction plan (size-targeted contiguous bins)
+    "q198_compaction_plan" -> ((s, d) => Bucketing.qCompactionPlan(s, d)),
+    // q199: last-touch revenue attribution within 24h
+    "q199_last_touch" -> (Stats.qLastTouch _),
+    // q200: q199 as streaming per-user touch state (oracle = q199's
+    // batch SQL: the fifth bit-exact stream/batch parity statement)
+    "q200_streaming_attribution" -> (graft.streaming.EventTime.qStreamingAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3119,5 +3138,180 @@ object SparkEntry {
                          + CASE WHEN cs.csize - 1 >= 10 THEN 1.0 / LN(11.0) ELSE 0.0 END),
                       6) AS ndcg_at_10
          FROM flags f JOIN cs USING (q_label)""",
+    // q194: summing 2^idx over DISTINCT (user, idx) IS the bitwise OR;
+    // xor() spelled as a function (DuckDB's ^ is exponentiation)
+    "q194_activity_bitmask" ->
+      """WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+         act AS (SELECT DISTINCT user_id,
+                        date_diff('day', CAST(ts AS DATE),
+                                  (SELECT a FROM anchor)) AS idx
+                 FROM events
+                 WHERE date_diff('day', CAST(ts AS DATE),
+                                 (SELECT a FROM anchor)) BETWEEN 0 AND 61),
+         m AS (SELECT user_id,
+                      CAST(SUM(1::BIGINT << idx) AS BIGINT) AS active_mask
+               FROM act GROUP BY user_id)
+         SELECT user_id, active_mask,
+                CAST(bit_count(active_mask) AS BIGINT) AS n_active_days,
+                CAST(bit_count(xor(active_mask, active_mask + 1)) - 1
+                  AS BIGINT) AS streak_now,
+                CAST(bit_count(active_mask & 127) AS BIGINT) AS n_last7
+         FROM m""",
+    // q195: z from exact integer counts; formula written identically
+    // to the Spark plan so the doubles agree bit for bit
+    "q195_exposure_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                           MIN(epoch_us(ts)) OVER (PARTITION BY user_id)
+                             + 259200000000 AS cut
+                    FROM events),
+         f AS (SELECT user_id,
+                      MAX(CASE WHEN event_type = 'view' AND us < cut THEN 1 ELSE 0 END) AS e_view,
+                      MAX(CASE WHEN event_type = 'click' AND us < cut THEN 1 ELSE 0 END) AS e_click,
+                      MAX(CASE WHEN event_type = 'error' AND us < cut THEN 1 ELSE 0 END) AS e_error,
+                      MAX(CASE WHEN event_type = 'signup' AND us < cut THEN 1 ELSE 0 END) AS e_signup,
+                      MAX(CASE WHEN event_type = 'purchase' AND us >= cut THEN 1 ELSE 0 END) AS conv
+               FROM e GROUP BY user_id),
+         c AS (SELECT COUNT(*) AS n, SUM(conv) AS nc,
+                      SUM(e_view) AS v, SUM(e_view * conv) AS vc,
+                      SUM(e_click) AS cl, SUM(e_click * conv) AS cc,
+                      SUM(e_error) AS er, SUM(e_error * conv) AS erc,
+                      SUM(e_signup) AS sg, SUM(e_signup * conv) AS sgc
+               FROM f),
+         rows_ AS (
+           SELECT 'view' AS exposure_type, v AS n_exposed, vc AS n_conv_exposed,
+                  n - v AS n_unexposed, nc - vc AS n_conv_unexposed FROM c
+           UNION ALL SELECT 'click', cl, cc, n - cl, nc - cc FROM c
+           UNION ALL SELECT 'error', er, erc, n - er, nc - erc FROM c
+           UNION ALL SELECT 'signup', sg, sgc, n - sg, nc - sgc FROM c)
+         SELECT CAST(exposure_type AS VARCHAR) AS exposure_type,
+                CAST(n_exposed AS BIGINT) AS n_exposed,
+                CAST(n_conv_exposed AS BIGINT) AS n_conv_exposed,
+                CAST(n_unexposed AS BIGINT) AS n_unexposed,
+                CAST(n_conv_unexposed AS BIGINT) AS n_conv_unexposed,
+                ROUND(CASE WHEN n_exposed > 0 AND n_unexposed > 0
+                            AND n_conv_exposed + n_conv_unexposed > 0
+                            AND n_conv_exposed + n_conv_unexposed
+                                < n_exposed + n_unexposed THEN
+                  (CAST(n_conv_exposed AS DOUBLE) / CAST(n_exposed AS DOUBLE)
+                   - CAST(n_conv_unexposed AS DOUBLE) / CAST(n_unexposed AS DOUBLE))
+                  / SQRT((CAST(n_conv_exposed + n_conv_unexposed AS DOUBLE)
+                          / CAST(n_exposed + n_unexposed AS DOUBLE))
+                         * (1.0 - CAST(n_conv_exposed + n_conv_unexposed AS DOUBLE)
+                            / CAST(n_exposed + n_unexposed AS DOUBLE))
+                         * (1.0 / CAST(n_exposed AS DOUBLE)
+                            + 1.0 / CAST(n_unexposed AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS z_score
+         FROM rows_""",
+    // q196: HUGEINT power sums mirror Spark's DECIMAL(38,0); the
+    // centered combinations A2/A3/A4 are exact integers on both
+    // engines, so only the final correctly-rounded scalars are doubles
+    "q196_higher_moments" ->
+      """WITH s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                           SUM(v) AS s1, SUM(v * v) AS s2,
+                           SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+                    FROM (SELECT event_type,
+                                 CAST(ROUND(value * 100, 0) AS HUGEINT) AS v
+                          FROM events)
+                    GROUP BY event_type),
+         a AS (SELECT event_type, n,
+                      CAST(n AS DOUBLE) AS nd,
+                      CAST(s1 AS DOUBLE) AS s1d,
+                      CAST(n * s2 - s1 * s1 AS DOUBLE) AS a2,
+                      CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                        AS DOUBLE) AS a3,
+                      CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                           + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                        AS DOUBLE) AS a4
+               FROM s)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                ROUND(s1d / nd / 100.0, 6) AS mean_value,
+                ROUND(SQRT(a2) / nd / 100.0, 6) AS sd_pop,
+                ROUND(a3 / (a2 * SQRT(a2)), 6) AS skewness,
+                ROUND(a4 / (a2 * a2) - 3.0, 6) AS kurtosis_excess
+         FROM a""",
+    // q197: both engines carry the +/-3-row frame as a sorted list and
+    // index its lower middle — exact integers end to end
+    "q197_rolling_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               COUNT(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+         f AS (SELECT event_type, day, cnt,
+                      list_sort(list(cnt) OVER (PARTITION BY event_type
+                        ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS frame
+               FROM daily),
+         m AS (SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+                      CAST(frame[CAST((len(frame) + 1) // 2 AS INT)]
+                        AS BIGINT) AS med7
+               FROM f)
+         SELECT event_type, day, cnt, med7,
+                CAST(CASE WHEN cnt > 2 * med7 THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_spike
+         FROM m""",
+    // q198: bin-by-cumulative-offset is plain window arithmetic on
+    // both engines; all-integer outputs
+    "q198_compaction_plan" ->
+      """WITH files AS (SELECT source, doc_id // 50 AS file_id,
+                               COUNT(*) AS n_docs,
+                               CAST(SUM(n_chars) AS BIGINT) AS bytes
+                        FROM documents GROUP BY 1, 2),
+         pc AS (SELECT source, file_id, n_docs, bytes,
+                       CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source
+                         ORDER BY file_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS prev_cum
+                FROM files)
+         SELECT source, prev_cum // 65536 AS bin,
+                COUNT(*) AS n_files,
+                CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+                CAST(SUM(bytes) AS BIGINT) * 10000 // 65536 AS fill_bp
+         FROM pc GROUP BY 1, 2""",
+    // q199: the packed us*8+code long makes "latest touch, clicks over
+    // views on ties" one integer window max on both engines
+    "q199_last_touch" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+                            epoch_us(ts) AS us
+                     FROM events),
+         t AS (SELECT *,
+                      MAX(CASE WHEN event_type = 'click' THEN us * 8 + 2
+                               WHEN event_type = 'view' THEN us * 8 + 1 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS last_touch
+               FROM ev),
+         p AS (SELECT CASE WHEN last_touch IS NULL
+                                OR us - last_touch // 8 > 86400000000
+                           THEN 'unattributed'
+                           WHEN last_touch % 8 = 2 THEN 'click'
+                           ELSE 'view' END AS attributed_type,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM t WHERE event_type = 'purchase')
+         SELECT attributed_type, COUNT(*) AS n_purchases,
+                CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM p GROUP BY attributed_type""",
+    // q200: the oracle IS q199's batch SQL — the fifth bit-exact
+    // stream/batch parity statement
+    "q200_streaming_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+                            epoch_us(ts) AS us
+                     FROM events),
+         t AS (SELECT *,
+                      MAX(CASE WHEN event_type = 'click' THEN us * 8 + 2
+                               WHEN event_type = 'view' THEN us * 8 + 1 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS last_touch
+               FROM ev),
+         p AS (SELECT CASE WHEN last_touch IS NULL
+                                OR us - last_touch // 8 > 86400000000
+                           THEN 'unattributed'
+                           WHEN last_touch % 8 = 2 THEN 'click'
+                           ELSE 'view' END AS attributed_type,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM t WHERE event_type = 'purchase')
+         SELECT attributed_type, COUNT(*) AS n_purchases,
+                CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM p GROUP BY attributed_type""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout for co-located joins — the storage-side scale
@@ -189,5 +190,38 @@ object Bucketing {
       .agg(count(lit(1)).as("n"),
         min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
         min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+  }
+
+  /** q198: small-file compaction plan — the table-MAINTENANCE verb
+    * beside the four layout levers above (Delta/Iceberg OPTIMIZE's
+    * planning phase, and what Spark's own `maxPartitionBytes` split
+    * coalescing does to input files at read time): per source, the
+    * document corpus's small "files" (50-doc write chunks with their
+    * byte weights) are packed into contiguous size-targeted output
+    * bins by cumulative offset — file → bin `floor(prev_cum ÷
+    * target)` — and the plan reports each bin's file count, bytes,
+    * and fill. A 100 TB table written by thousands of streaming
+    * micro-batches decays into millions of KB-files; this plan is
+    * what turns the rewrite into few sequential, source-local merges.
+    * Contiguity (pack in file order, never re-sort by size) is what
+    * keeps any range/z-order layout the table already has.
+    *
+    * All-integer arithmetic (hash-exact); one file-granularity rollup
+    * + one per-source prefix-sum window over file counts — both
+    * orders of magnitude below row scale. */
+  def qCompactionPlan(s: SparkSession, d: String,
+      targetBytes: Long = 65536L): DataFrame = {
+    val files = documents(s, d)
+      .groupBy(col("source"), expr("doc_id div 50").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val w = Window.partitionBy("source").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("prev_cum", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prev_cum div ${targetBytes}L"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("bin_bytes"))
+      .withColumn("fill_bp", expr(s"bin_bytes * 10000 div ${targetBytes}L"))
   }
 }

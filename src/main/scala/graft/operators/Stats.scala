@@ -421,4 +421,251 @@ object Stats {
           .as("first_alarm_day"),
         coalesce(col("fa").getField("s_stat"), lit(-1L)).as("s_at_alarm"))
   }
+
+  /** q193: HyperLogLog sketch ROLLUP — the fifth sketch-family member
+    * ([[graft.functions.HllSketch]]): per-(type, day) register arrays
+    * materialized once, then rolled up to lifetime distinct-user
+    * estimates by register-max merge, next to a direct single-pass
+    * build and the exact count. Merged ≡ direct bit for bit (max is
+    * associative/commutative/idempotent — the property that makes
+    * PERSISTED daily sketches answer any-date-range distinct queries
+    * without rescanning raw data; KMV q87 estimates one fixed set,
+    * this is the datacube shape).
+    *
+    * Rows-only gate (the estimator is not SQL-expressible);
+    * HllSketchSpec pins merge≡direct, repartition-invariance, and the
+    * ~1.04/√m error band at 4096 registers.
+    *
+    * Scale shape: shuffles carry 4 KB register arrays per group, never
+    * values; the final estimate runs driver-side over ≤|types| rows
+    * (bounded by the q73 pinned-values argument). */
+  def qHllRollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val build = udaf(new graft.functions.HllSketch(12), Encoders.scalaLong)
+    val merge = udaf(new graft.functions.HllMerge(12), Encoders.BINARY)
+    val ev = events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"), xxhash64(col("user_id")).as("h"),
+      col("user_id"))
+    val daily = ev.groupBy("event_type", "day").agg(build(col("h")).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), merge(col("sk")).as("sk_merged"))
+    val direct = ev.groupBy("event_type")
+      .agg(build(col("h")).as("sk_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val rows = merged.join(direct, Seq("event_type"))
+      .collect().toSeq.map { r =>
+        val em = graft.functions.HllSketch.estimate(r.getAs[Array[Byte]]("sk_merged"))
+        val ed = graft.functions.HllSketch.estimate(r.getAs[Array[Byte]]("sk_direct"))
+        val exact = r.getAs[Long]("exact_users")
+        (r.getAs[String]("event_type"), r.getAs[Long]("n_days"), exact,
+          math.round(em * 100) / 100.0, math.round(ed * 100) / 100.0,
+          java.util.Arrays.equals(r.getAs[Array[Byte]]("sk_merged"),
+            r.getAs[Array[Byte]]("sk_direct")),
+          math.round(math.abs(em - exact) / exact * 1e6) / 1e4)
+      }
+    s.createDataFrame(rows).toDF("event_type", "n_days", "exact_users",
+      "est_merged", "est_direct", "merged_eq_direct", "err_pct")
+  }
+
+  /** q194: per-user activity BITMASK over the trailing 62 days — the
+    * bitmap-index verb (the roaring-bitmap retention pattern): one
+    * BIGINT per user encodes presence per day (bit i = active
+    * `anchor − i`), so day-level engagement questions become bit
+    * arithmetic instead of 62-way joins — active-day count is a
+    * popcount, the current streak is the trailing-ones count
+    * popcount(x ⊕ (x+1)) − 1, last-week activity is a popcount under
+    * mask 0x7F. Distinct (user, day) first, so summing 2^i IS the
+    * bitwise OR (each power appears once) — portable to engines where
+    * `^` means exponentiation, not xor. 62 days, not 63/64: bit 62 is
+    * the highest that keeps `mask + 1` inside a signed 64-bit value
+    * for an always-active user (engines disagree on overflow — Spark
+    * wraps, DuckDB raises).
+    *
+    * Scale shape: one (user, day) dedup shuffle collapsing map-side,
+    * then a user-keyed sum; output is users-sized with all-integer
+    * columns (hash-exact). */
+  def qActivityBitmask(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val anchor = ev.agg(max(col("day")).as("anchor"))
+    val mask = ev.join(broadcast(anchor))
+      .withColumn("idx", datediff(col("anchor"), col("day")))
+      .filter(col("idx").between(0, 61))
+      .select(col("user_id"), col("idx")).distinct()
+      .groupBy("user_id")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))"))
+        .as("active_mask"))
+    mask.select(col("user_id"), col("active_mask"),
+      expr("bit_count(active_mask)").cast("long").as("n_active_days"),
+      (expr("bit_count(active_mask ^ (active_mask + 1))") - 1)
+        .cast("long").as("streak_now"),
+      expr("bit_count(active_mask & 127)").cast("long").as("n_last7"))
+  }
+
+  /** q195: exposure→conversion screen — the A/B-readout verb: for each
+    * candidate exposure type, users are split by whether they saw it in
+    * their FIRST 72 h, and the two arms' later purchase rates are
+    * compared with the two-proportion pooled z statistic. (A user-hash
+    * split would be a true A/B; exposure split is the observational
+    * screen run when no experiment exists.) Counts are exact integers;
+    * z is the only double — one scalar formula over four counts,
+    * written identically in the oracle.
+    *
+    * Scale shape: one user-keyed window + aggregation pair sharing a
+    * single exchange, a 1-row 16-column rollup, then a 4-row stack —
+    * nothing downstream of the first shuffle scales with data. */
+  def qExposureConversion(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val flags = events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("cut", min(col("us")).over(w) + lit(259200000000L))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view" && col("us") < col("cut"), 1L)
+          .otherwise(0L)).as("e_view"),
+        max(when(col("event_type") === "click" && col("us") < col("cut"), 1L)
+          .otherwise(0L)).as("e_click"),
+        max(when(col("event_type") === "error" && col("us") < col("cut"), 1L)
+          .otherwise(0L)).as("e_error"),
+        max(when(col("event_type") === "signup" && col("us") < col("cut"), 1L)
+          .otherwise(0L)).as("e_signup"),
+        max(when(col("event_type") === "purchase" && col("us") >= col("cut"), 1L)
+          .otherwise(0L)).as("conv"))
+    val cells = flags.agg(
+      count(lit(1)).as("n"), sum(col("conv")).as("nc"),
+      sum(col("e_view")).as("v"), sum(col("e_view") * col("conv")).as("vc"),
+      sum(col("e_click")).as("c"), sum(col("e_click") * col("conv")).as("cc"),
+      sum(col("e_error")).as("er"), sum(col("e_error") * col("conv")).as("erc"),
+      sum(col("e_signup")).as("sg"), sum(col("e_signup") * col("conv")).as("sgc"))
+    cells.selectExpr(
+      """stack(4,
+           'view',   v,  vc,  n - v,  nc - vc,
+           'click',  c,  cc,  n - c,  nc - cc,
+           'error',  er, erc, n - er, nc - erc,
+           'signup', sg, sgc, n - sg, nc - sgc)
+         AS (exposure_type, n_exposed, n_conv_exposed,
+             n_unexposed, n_conv_unexposed)""")
+      .withColumn("z_score", round(
+        // z is undefined when either arm is empty OR the pooled rate
+        // is degenerate (0 or 1 — the sqrt term collapses to 0/0)
+        when(col("n_exposed") > 0 && col("n_unexposed") > 0 &&
+            col("n_conv_exposed") + col("n_conv_unexposed") > 0 &&
+            col("n_conv_exposed") + col("n_conv_unexposed") <
+              col("n_exposed") + col("n_unexposed"),
+          (col("n_conv_exposed").cast("double") / col("n_exposed").cast("double")
+            - col("n_conv_unexposed").cast("double") / col("n_unexposed").cast("double"))
+          / sqrt(
+            ((col("n_conv_exposed") + col("n_conv_unexposed")).cast("double")
+              / (col("n_exposed") + col("n_unexposed")).cast("double"))
+            * (lit(1.0) - (col("n_conv_exposed") + col("n_conv_unexposed")).cast("double")
+              / (col("n_exposed") + col("n_unexposed")).cast("double"))
+            * (lit(1.0) / col("n_exposed").cast("double")
+              + lit(1.0) / col("n_unexposed").cast("double"))))
+          .otherwise(lit(0.0)), 6))
+  }
+
+  /** q196: higher central moments — per-type skewness and excess
+    * kurtosis from EXACT integer power sums over cent-scaled values:
+    * with A2 = n·S2 − S1², A3 = n²·S3 − 3n·S1·S2 + 2S1³,
+    * A4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴ (all DECIMAL(38,0) /
+    * HUGEINT — order-invariant addition, engine-identical), the scale
+    * factors cancel to g1 = A3 / (A2·√A2) and g2 = A4/A2² − 3, so the
+    * only floating point is the final correctly-rounded scalar step
+    * (the q152/q179 sufficient-statistic discipline extended to
+    * moments 3 and 4 — the tail-shape numbers behind every "is this
+    * distribution normal enough" decision q164/q104 make robustly).
+    *
+    * Scale shape: one map-side-combined rollup; at group cardinalities
+    * where n³·S4 nears 38 digits, pre-shift by the group's integer
+    * mean (two-pass) to shrink to central magnitudes. */
+  def qHigherMoments(s: SparkSession, d: String): DataFrame = {
+    val v = expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    val sums = events(s, d)
+      .select(col("event_type"), dec(v).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("v") * col("v") * col("v")).as("s3"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+    val a2 = col("n") * col("s2") - col("s1") * col("s1")
+    val a3 = col("n") * col("n") * col("s3") -
+      lit(3) * col("n") * col("s1") * col("s2") +
+      lit(2) * col("s1") * col("s1") * col("s1")
+    val a4 = col("n") * col("n") * col("n") * col("s4") -
+      lit(4) * col("n") * col("n") * col("s1") * col("s3") +
+      lit(6) * col("n") * col("s1") * col("s1") * col("s2") -
+      lit(3) * col("s1") * col("s1") * col("s1") * col("s1")
+    sums.select(col("event_type"), col("n").cast("long").as("n"),
+        d2(a2).as("a2"), d2(a3).as("a3"), d2(a4).as("a4"),
+        d2(col("s1")).as("s1d"), d2(col("n")).as("nd"))
+      .select(col("event_type"), col("n"),
+        round(col("s1d") / col("nd") / 100.0, 6).as("mean_value"),
+        round(sqrt(col("a2")) / col("nd") / 100.0, 6).as("sd_pop"),
+        round(col("a3") / (col("a2") * sqrt(col("a2"))), 6).as("skewness"),
+        round(col("a4") / (col("a2") * col("a2")) - 3.0, 6).as("kurtosis_excess"))
+  }
+
+  /** q197: rolling-median smoother (Tukey) — the HOLISTIC windowed
+    * aggregate the window family lacked (q172's frames count; a median
+    * must see its whole frame): each (type, day) count against the
+    * exact lower median of its ±3-day neighborhood, computed by
+    * carrying the frame as a sorted in-row array and indexing its
+    * middle — integers end to end, identical list semantics on both
+    * engines. A day 2× above its local median is flagged — the robust
+    * spike read (q188's EWMA compares against the PAST only; this
+    * centered median is the retrospective QC pass).
+    *
+    * Scale shape: the window runs over per-type DAILY rollups
+    * (calendar-bounded partitions — the q157/q185 argument); the
+    * 7-element frame list is constant-size. */
+  def qRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("frame", sort_array(collect_list(col("cnt")).over(w)))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("cnt"),
+        element_at(col("frame"), ((size(col("frame")) + 1) / 2)
+          .cast("int")).as("med7"))
+      .withColumn("is_spike",
+        when(col("cnt") > lit(2) * col("med7"), 1L).otherwise(0L))
+  }
+
+  /** q199: last-touch revenue attribution — every purchase credited to
+    * the user's most recent view/click within 24 h (the marketing-
+    * attribution verb; q44's as-of join across tables, specialized to
+    * the in-stream case). The candidate touch rides a PACKED integer
+    * µs·8+code through one window max — (ts, code) ordering in a
+    * single BIGINT, so "latest touch, clicks over views on µs ties" is
+    * plain integer comparison on both engines — and purchases with no
+    * in-window touch land in an explicit 'unattributed' bucket (the
+    * q189 every-fact-accounted rule).
+    *
+    * Scale shape: one user-keyed window, then a ≤3-row rollup; revenue
+    * in exact integer cents (q162's discipline). */
+  def qLastTouch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val touched = ev
+      .withColumn("packed", when(col("event_type") === "click",
+          col("us") * 8 + 2)
+        .when(col("event_type") === "view", col("us") * 8 + 1))
+      .withColumn("last_touch", max(col("packed")).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed_type",
+        when(col("last_touch").isNull ||
+            col("us") - expr("last_touch div 8") > 86400000000L,
+          lit("unattributed"))
+        .when(expr("last_touch % 8") === 2, lit("click"))
+        .otherwise(lit("view")))
+    touched.groupBy("attributed_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("revenue_cents"))
+  }
 }

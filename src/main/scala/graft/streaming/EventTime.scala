@@ -510,4 +510,48 @@ object EventTime {
         col("m.first_alarm_day").as("first_alarm_day"),
         col("m.s_at_alarm").as("s_at_alarm"))
   }
+
+  /** q200: q199's last-touch attribution as STREAMING state
+    * ([[Stateful.attributionProgress]]): one packed touch-long per
+    * user plus six monotone counters, advanced micro-batch by
+    * micro-batch over the time-ordered 3-file replay, final snapshots
+    * aggregated into exactly q199's per-type revenue report. The
+    * oracle IS q199's batch SQL — the FIFTH bit-exact stream/batch
+    * parity statement (funnel q133, throttle q158, sessions q167,
+    * change detection q186, attribution here): where the batch
+    * operator's window max scans all preceding rows, the stream
+    * carries ONE long of touch state per user forever. */
+  def qStreamingAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("user_id").cast("long").as("u"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id").cast("long").as("eid"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(Long, String, Long, Long, Long)]
+    val prog = Stateful.attributionProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q200 must exercise cross-batch touch state, saw $dataBatches data batches")
+    val fin = s.table(name).groupBy("user_id")
+      .agg(max("click_n").as("cn"), max("click_cents").as("cc"),
+        max("view_n").as("vn"), max("view_cents").as("vc"),
+        max("un_n").as("un"), max("un_cents").as("uc"))
+    fin.selectExpr(
+        """stack(3, 'click', cn, cc, 'view', vn, vc,
+                 'unattributed', un, uc)
+           AS (attributed_type, n, cents)""")
+      .groupBy("attributed_type")
+      .agg(sum(col("n")).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .filter(col("n_purchases") > 0)
+  }
 }

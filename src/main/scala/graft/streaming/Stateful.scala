@@ -434,6 +434,54 @@ object Stateful {
     * event_id), matching the batch operator's window order. Counters
     * are monotone, so max() per key over the update-mode emission
     * history reconstructs the final state. */
+  case class AttributionProgress(user_id: Long, click_n: Long,
+      click_cents: Long, view_n: Long, view_cents: Long,
+      un_n: Long, un_cents: Long)
+
+  /** q200 core: last-touch attribution as per-USER streaming state —
+    * one packed `µs·8+code` long remembers the latest view/click ever
+    * seen, and six monotone counters accumulate attributed purchases
+    * (click/view/unattributed × count/cents). Events fold in (µs,
+    * event_id) order within a batch (the q158 discipline; the replay
+    * harness orders batches by time range), so a purchase sees exactly
+    * the strictly-preceding touches the batch window sees — the state
+    * is ONE long per user forever, the streaming-joins alternative
+    * would buffer a 24 h event window per key. Counters are monotone,
+    * so max() over the update-mode emission history reconstructs the
+    * final state (the q133/q158/q167/q186 pattern). */
+  def attributionProgress(events: Dataset[(Long, String, Long, Long, Long)],
+      windowUs: Long = 86400000000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[AttributionProgress] = {
+    implicit val stE: Encoder[(Long, Long, Long, Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long, Long, Long, Long)]
+    implicit val outE: Encoder[AttributionProgress] =
+      Encoders.product[AttributionProgress]
+    implicit val inE: Encoder[(Long, String, Long, Long, Long)] =
+      Encoders.product[(Long, String, Long, Long, Long)]
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long, Long, Long), AttributionProgress](timeout) {
+        (user: Long, it: Iterator[(Long, String, Long, Long, Long)],
+            state: GroupState[(Long, Long, Long, Long, Long, Long, Long)]) =>
+          var (last, cn, cc, vn, vc, un, uc) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L))
+          it.toArray.sortBy(e => (e._3, e._4)).foreach {
+            case (_, tpe, us, _, cents) =>
+              tpe match {
+                case "purchase" =>
+                  if (last == Long.MinValue || us - last / 8 > windowUs) {
+                    un += 1; uc += cents
+                  } else if (last % 8 == 2) { cn += 1; cc += cents }
+                  else { vn += 1; vc += cents }
+                case "click" => val p = us * 8 + 2; if (p > last) last = p
+                case "view"  => val p = us * 8 + 1; if (p > last) last = p
+                case _       => ()
+              }
+          }
+          state.update((last, cn, cc, vn, vc, un, uc))
+          AttributionProgress(user, cn, cc, vn, vc, un, uc)
+      }
+  }
+
   def throttleCounts(events: Dataset[(Long, String, Long, Long)],
       windowUs: Long = 60000000L,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[ThrottleProgress] = {

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** q193–q200 (HLL rollup, activity bitmask, exposure z, higher
+  * moments, rolling median, compaction plan, last-touch attribution,
+  * streaming attribution parity) — driver-side recomputation of each
+  * contract on the raw sf0.001 rows, so a same-wrong-answer-on-both-
+  * engines bug can't hide behind the DuckDB oracle. */
+class EngagementSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  // (user_id, event_type, epoch-day, us, event_id, cents) raw replay
+  private lazy val evRaw: Seq[(Long, String, Long, Long, Long, Long)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("datediff(to_date(ts), date'1970-01-01')"),
+        unix_micros(col("ts")), col("event_id"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong,
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+
+  test("q193: merged rollup == direct build on every type; error in band") {
+    val got = Stats.qHllRollup(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("merged_eq_direct"),
+        s"${r.getAs[String]("event_type")}: merged sketch != direct")
+      assert(r.getAs[Double]("err_pct") < 5.0,
+        s"${r.getAs[String]("event_type")}: err ${r.getAs[Double]("err_pct")}%")
+      assert(r.getAs[Double]("est_merged") == r.getAs[Double]("est_direct"))
+    }
+  }
+
+  test("q194: masks, popcounts, and streaks match a bit-level recompute") {
+    val anchor = evRaw.map(_._3).max
+    val want = evRaw.map(e => (e._1, anchor - e._3))
+      .filter(i => i._2 >= 0 && i._2 <= 61).distinct
+      .groupBy(_._1).map { case (u, idxs) =>
+        val mask = idxs.map(i => 1L << i._2).sum
+        var streak = 0L
+        while (streak <= 62 && (mask & (1L << streak)) != 0) streak += 1
+        (u, mask, java.lang.Long.bitCount(mask).toLong, streak,
+          java.lang.Long.bitCount(mask & 127L).toLong)
+      }.toSet
+    val got = Stats.qActivityBitmask(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("q195: cells and z match an exact driver recompute") {
+    val perUser = evRaw.groupBy(_._1).map { case (_, rows) =>
+      val cut = rows.map(_._4).min + 259200000000L
+      def exp(t: String) =
+        if (rows.exists(r => r._2 == t && r._4 < cut)) 1L else 0L
+      (exp("view"), exp("click"), exp("error"), exp("signup"),
+        if (rows.exists(r => r._2 == "purchase" && r._4 >= cut)) 1L else 0L)
+    }.toSeq
+    val n = perUser.size.toLong
+    val nc = perUser.map(_._5).sum
+    def z(ne: Long, ce: Long, nu: Long, cu: Long): Double =
+      if (ne > 0 && nu > 0 && ce + cu > 0 && ce + cu < ne + nu) {
+        val p = (ce + cu).toDouble / (ne + nu).toDouble
+        val v = (ce.toDouble / ne.toDouble - cu.toDouble / nu.toDouble) /
+          math.sqrt(p * (1.0 - p) * (1.0 / ne.toDouble + 1.0 / nu.toDouble))
+        v
+      } else 0.0
+    val want = Seq(
+      ("view", perUser.map(_._1).sum,
+        perUser.filter(_._1 == 1).map(_._5).sum),
+      ("click", perUser.map(_._2).sum,
+        perUser.filter(_._2 == 1).map(_._5).sum),
+      ("error", perUser.map(_._3).sum,
+        perUser.filter(_._3 == 1).map(_._5).sum),
+      ("signup", perUser.map(_._4).sum,
+        perUser.filter(_._4 == 1).map(_._5).sum)
+    ).map { case (t, e, ec) => (t, e, ec, n - e, nc - ec) }
+    val got = Stats.qExposureConversion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)).toSet ==
+      want.toSet)
+    got.foreach { g =>
+      val w = want.find(_._1 == g._1).get
+      assert(math.abs(g._6 - z(w._2, w._3, w._4, w._5)) < 1e-6, g._1)
+    }
+  }
+
+  test("q196: moments match exact BigInt sufficient statistics") {
+    val want = evRaw.groupBy(_._2).map { case (t, rows) =>
+      val vs = rows.map(r => BigInt(r._6))
+      val n = BigInt(vs.size)
+      val s1 = vs.sum; val s2 = vs.map(v => v * v).sum
+      val s3 = vs.map(v => v * v * v).sum; val s4 = vs.map(v => v.pow(4)).sum
+      val a2 = (n * s2 - s1 * s1).toDouble
+      val a3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).toDouble
+      val a4 = (n * n * n * s4 - 4 * n * n * s1 * s3 +
+        6 * n * s1 * s1 * s2 - 3 * s1.pow(4)).toDouble
+      t -> (vs.size.toLong, a3 / (a2 * math.sqrt(a2)), a4 / (a2 * a2) - 3.0)
+    }
+    val got = Stats.qHigherMoments(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, sk, ku) = want(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(4) - sk) < 1e-6, s"${r.getString(0)} skew")
+      assert(math.abs(r.getDouble(5) - ku) < 1e-6, s"${r.getString(0)} kurt")
+    }
+  }
+
+  test("q197: med7 equals the sorted-frame middle at every day") {
+    val want = evRaw.groupBy(_._2).flatMap { case (t, rows) =>
+      val daily = rows.groupBy(_._3).map { case (d, g) => (d, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      daily.indices.map { i =>
+        val frame = daily.slice(math.max(0, i - 3), math.min(daily.size, i + 4))
+          .map(_._2).sorted
+        val med = frame((frame.size + 1) / 2 - 1)
+        (t, daily(i)._1, daily(i)._2, med,
+          if (daily(i)._2 > 2 * med) 1L else 0L)
+      }
+    }.toSet
+    val got = Stats.qRollingMedian(spark, sf).collect()
+      .map(r => (r.getString(0),
+        java.time.LocalDate.parse(r.getString(1)).toEpochDay,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("q198: bins match the cumulative-offset plan; contiguous fills") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(d => (d._1, d._2 / 50)).map { case ((s, f), g) =>
+      (s, f, g.size.toLong, g.map(_._3).sum)
+    }.toSeq.groupBy(_._1).flatMap { case (s, files) =>
+      val sorted = files.sortBy(_._2)
+      val cums = sorted.scanLeft(0L)(_ + _._4)
+      sorted.zip(cums).map { case ((_, _, nd, b), prev) =>
+        (s, prev / 65536L, nd, b)
+      }.groupBy(_._2).map { case (bin, g) =>
+        val bytes = g.map(_._4).sum
+        (s, bin, g.size.toLong, g.map(_._3).sum, bytes,
+          bytes * 10000 / 65536L)
+      }
+    }.toSet
+    val got = Bucketing.qCompactionPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
+
+  test("q199: attribution matches an ordered driver replay") {
+    val want = evRaw.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var last = Long.MinValue
+      rows.sortBy(r => (r._4, r._5)).flatMap { case (_, t, _, us, _, cents) =>
+        t match {
+          case "purchase" =>
+            val bucket =
+              if (last == Long.MinValue || us - last / 8 > 86400000000L)
+                "unattributed"
+              else if (last % 8 == 2) "click" else "view"
+            Some((bucket, cents))
+          case "click" => last = math.max(last, us * 8 + 2); None
+          case "view"  => last = math.max(last, us * 8 + 1); None
+          case _       => None
+        }
+      }
+    }.groupBy(_._1).map { case (b, g) =>
+      (b, g.size.toLong, g.map(_._2).sum)
+    }.toSet
+    val got = Stats.qLastTouch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("q200: streaming attribution == batch q199 bit for bit") {
+    val batch = Stats.qLastTouch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = graft.streaming.EventTime.qStreamingAttribution(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+}
