@@ -182,6 +182,12 @@ object Bench {
     "q197_rolling_median",
     "q198_compaction_plan",
     "q199_last_touch",
+    // round 15 (cont.): delta-join view maintenance (three join terms
+    // vs the direct recompute), rolling distinct (7x contribution
+    // explode over the day-deduped frame), join-consistent sampling
+    "q201_delta_view",
+    "q202_rolling_distinct",
+    "q203_join_sample",
   )
 
   def main(args: Array[String]): Unit = {

@@ -442,6 +442,13 @@ object SparkEntry {
     // q200: q199 as streaming per-user touch state (oracle = q199's
     // batch SQL: the fifth bit-exact stream/batch parity statement)
     "q200_streaming_attribution" -> (graft.streaming.EventTime.qStreamingAttribution _),
+    // q201: incremental join-view maintenance — delta-join terms whose
+    // sum the oracle checks against the DIRECT full-join recompute
+    "q201_delta_view" -> (Relational.qDeltaView _),
+    // q202: rolling 7-day distinct users (contribution-explode form)
+    "q202_rolling_distinct" -> (Relational.qRollingDistinct _),
+    // q203: join-consistent hash sample with scale-up audit
+    "q203_join_sample" -> ((s, d) => Relational.qJoinSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3313,5 +3320,94 @@ object SparkEntry {
          SELECT attributed_type, COUNT(*) AS n_purchases,
                 CAST(SUM(cents) AS BIGINT) AS revenue_cents
          FROM p GROUP BY attributed_type""",
+    // q201: rev_total/n_lines come from the DIRECT full join here,
+    // while Spark sums its three delta terms — the hash match proves
+    // the IVM decomposition equals the direct recompute cross-engine
+    "q201_delta_view" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev,
+                            l_orderkey % 7 = 0 AS is_dl
+                     FROM lineitem),
+         o AS (SELECT o_orderkey, o_orderpriority,
+                      o_orderkey % 10 = 0 AS is_do
+               FROM orders),
+         base AS (SELECT o_orderpriority, CAST(SUM(rev) AS BIGINT) AS rev_base
+                  FROM li JOIN o ON l_orderkey = o_orderkey
+                  WHERE NOT is_dl AND NOT is_do GROUP BY 1),
+         d1 AS (SELECT o_orderpriority,
+                       CAST(SUM(rev) AS BIGINT) AS rev_new_lines
+                FROM li JOIN o ON l_orderkey = o_orderkey
+                WHERE is_dl GROUP BY 1),
+         d2 AS (SELECT o_orderpriority,
+                       CAST(SUM(rev) AS BIGINT) AS rev_new_orders
+                FROM li JOIN o ON l_orderkey = o_orderkey
+                WHERE NOT is_dl AND is_do GROUP BY 1),
+         tot AS (SELECT o_orderpriority, CAST(SUM(rev) AS BIGINT) AS rev_total,
+                        COUNT(*) AS n_lines
+                 FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY 1)
+         SELECT t.o_orderpriority,
+                COALESCE(rev_base, 0) AS rev_base,
+                COALESCE(rev_new_lines, 0) AS rev_new_lines,
+                COALESCE(rev_new_orders, 0) AS rev_new_orders,
+                rev_total, n_lines
+         FROM tot t
+         LEFT JOIN base USING (o_orderpriority)
+         LEFT JOIN d1 USING (o_orderpriority)
+         LEFT JOIN d2 USING (o_orderpriority)""",
+    // q202: the oracle uses the direct range-join formulation — a
+    // DIFFERENT plan shape than Spark's contribution explode, so the
+    // hash match checks the semantics, not the same code twice
+    "q202_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+                            user_id
+                     FROM events),
+         od AS (SELECT DISTINCT event_type, day AS end_day FROM du),
+         roll AS (SELECT od.event_type, od.end_day,
+                         COUNT(DISTINCT du.user_id) AS rolling_users
+                  FROM od JOIN du ON du.event_type = od.event_type
+                    AND du.day BETWEEN od.end_day - 6 AND od.end_day
+                  GROUP BY 1, 2),
+         today AS (SELECT event_type, day AS end_day,
+                          COUNT(DISTINCT user_id) AS n_users_today
+                   FROM du GROUP BY 1, 2)
+         SELECT r.event_type, CAST(r.end_day AS VARCHAR) AS end_day,
+                rolling_users, n_users_today
+         FROM roll r JOIN today USING (event_type, end_day)""",
+    // q203: the '0c' cut is ⌊5·256/100⌋ = 12 as two lowercase hex
+    // chars — fixed-width lexicographic compare == numeric compare
+    "q203_join_sample" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev
+                     FROM lineitem),
+         j AS (SELECT o_orderkey, o_orderpriority, rev,
+                      substring(md5('js:' || CAST(o_orderkey AS VARCHAR)),
+                        1, 2) < '0c' AS keep
+               FROM li JOIN orders ON l_orderkey = o_orderkey),
+         f AS (SELECT o_orderpriority,
+                      COUNT(DISTINCT o_orderkey) AS n_orders_total,
+                      COUNT(*) AS n_lines_total,
+                      CAST(SUM(rev) AS BIGINT) AS rev_total_x1e4
+               FROM j GROUP BY 1),
+         sp AS (SELECT o_orderpriority,
+                       COUNT(DISTINCT o_orderkey) AS n_orders_sampled,
+                       COUNT(*) AS n_lines_sampled,
+                       CAST(SUM(rev) AS BIGINT) AS rev_sampled_x1e4
+                FROM j WHERE keep GROUP BY 1)
+         SELECT f.o_orderpriority, n_orders_total, n_lines_total,
+                rev_total_x1e4,
+                COALESCE(n_orders_sampled, 0) AS n_orders_sampled,
+                COALESCE(n_lines_sampled, 0) AS n_lines_sampled,
+                COALESCE(rev_sampled_x1e4, 0) AS rev_sampled_x1e4,
+                ROUND(CASE WHEN COALESCE(rev_sampled_x1e4, 0) > 0
+                           THEN CAST(rev_total_x1e4 AS DOUBLE)
+                                / CAST(rev_sampled_x1e4 AS DOUBLE)
+                           ELSE 0.0 END, 6) AS scale_ratio
+         FROM f LEFT JOIN sp USING (o_orderpriority)""",
   )
 }

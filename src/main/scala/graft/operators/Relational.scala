@@ -1324,4 +1324,145 @@ object Relational {
         sum(when(abs(col("diff_cents")) > 100, 1L).otherwise(0L)).as("n_over_dollar"),
         max(abs(col("diff_cents"))).as("max_abs_cents"))
   }
+
+  /** Exact per-line revenue in 1e-4 dollars: cents × (100 − discount
+    * points), both factors exact integers from the ≤2-decimal raw
+    * columns (the q162 discipline) — so every aggregate over it is
+    * order-invariant and engine-identical. */
+  private def revX1e4: Column =
+    expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+      (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"))
+
+  /** q201: incremental view maintenance for a JOIN-aggregate — the
+    * delta-join algebra every streaming materialized view runs on:
+    * with ΔL (new lineitems, key%7=0) and ΔO (new orders, key%10=0)
+    * arriving against base tables, the updated revenue-by-priority
+    * view is
+    *
+    *   (L∪ΔL)⋈(O∪ΔO) = L⋈O  +  ΔL⋈(O∪ΔO)  +  L⋈ΔO
+    *
+    * — the standing view plus two DELTA-SIZED join terms. The operator
+    * emits all three terms and their sum; the oracle computes the
+    * total from the FULL join directly, so the gate hash PROVES the
+    * decomposition equals the direct recompute cross-engine (q110 did
+    * this for a plain aggregate; this is the join case).
+    *
+    * Scale shape: the base term is the standing view (recomputed here
+    * only to prove the algebra; production reads it back). Both delta
+    * terms join a |Δ|-sized side — ΔO is broadcast into the big-table
+    * probe, so maintenance cost is O(|Δ|), never O(|base|). */
+  def qDeltaView(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), revX1e4.as("rev"),
+        (col("l_orderkey") % 7 === 0).as("is_dl"))
+    val ord = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_orderkey") % 10 === 0).as("is_do"))
+    def term(l: DataFrame, o: DataFrame, name: String,
+        bcast: Boolean): DataFrame = {
+      val os = if (bcast) broadcast(o) else o
+      l.join(os, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("rev")).as(name), count(lit(1)).as(s"n_$name"))
+    }
+    val base = term(li.filter(!col("is_dl")), ord.filter(!col("is_do")),
+      "rev_base", bcast = false)
+    val d1 = term(li.filter(col("is_dl")), ord, "rev_new_lines",
+      bcast = false)
+    val d2 = term(li.filter(!col("is_dl")), ord.filter(col("is_do")),
+      "rev_new_orders", bcast = true)
+    base.join(d1, Seq("o_orderpriority"), "full")
+      .join(d2, Seq("o_orderpriority"), "full")
+      .select(col("o_orderpriority"),
+        coalesce(col("rev_base"), lit(0L)).as("rev_base"),
+        coalesce(col("rev_new_lines"), lit(0L)).as("rev_new_lines"),
+        coalesce(col("rev_new_orders"), lit(0L)).as("rev_new_orders"),
+        (coalesce(col("rev_base"), lit(0L)) +
+          coalesce(col("rev_new_lines"), lit(0L)) +
+          coalesce(col("rev_new_orders"), lit(0L))).as("rev_total"),
+        (coalesce(col("n_rev_base"), lit(0L)) +
+          coalesce(col("n_rev_new_lines"), lit(0L)) +
+          coalesce(col("n_rev_new_orders"), lit(0L))).as("n_lines"))
+  }
+
+  /** q202: rolling 7-day distinct users per event type — the sliding
+    * COUNT(DISTINCT) no engine supports as a window directly. Each
+    * distinct (type, day, user) row is EXPLODED to the ≤7 window-end
+    * days it contributes to (`sequence(day, day+6)` in-plan — the
+    * contribution trick; no range join, bounded 7× fanout on the
+    * day-deduped rows, not the raw events), semi-joined to observed
+    * days, and de-duplicated per (type, end_day, user). The exact
+    * small-window form; at 100 TB window lengths the q193 HLL daily
+    * registers replace the 7× re-dedup with 7 register merges.
+    *
+    * Scale shape: dedup shuffle collapses map-side to (type, day,
+    * user); the explode multiplies the DEDUPED frame only; one final
+    * (type, end_day) count-distinct shuffle. */
+  def qRollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val du = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val od = du.select(col("event_type"), col("day").as("end_day")).distinct()
+    val contrib = du
+      .select(col("event_type"), col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("end_day"))
+      .join(od, Seq("event_type", "end_day"), "left_semi")
+    val today = du.groupBy(col("event_type"), col("day").as("end_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_today"))
+    contrib.groupBy("event_type", "end_day")
+      .agg(countDistinct(col("user_id")).as("rolling_users"))
+      .join(today, Seq("event_type", "end_day"))
+      .select(col("event_type"), col("end_day").cast("string").as("end_day"),
+        col("rolling_users"), col("n_users_today"))
+  }
+
+  /** q203: join-consistent hash sample — debugging at scale: sampling
+    * each table independently breaks every join (a 1% × 1% row sample
+    * keeps ~0.01% of join pairs), so the correct primitive samples the
+    * JOIN KEY: orders whose md5(okey) lands under the rate keep ALL
+    * their lineitems, giving an unbiased sub-warehouse where every
+    * join, FK edge, and per-order aggregate survives intact. The same
+    * md5 rule applied in any table or engine selects the same keys —
+    * the cross-run/cross-table coordination q142 uses for splits,
+    * applied to sampling.
+    *
+    * Output: per-priority sampled/total order+line counts and exact
+    * revenue, plus the scale-up ratio ×1e4 the sample implies —
+    * integer counts and 1e-4-dollar revenue, one double ratio.
+    *
+    * Scale shape: the key filter pushes to both scans (md5 of the join
+    * column, no join needed to DECIDE membership — lineitem carries
+    * the key); one joined rollup for the sampled side vs a full-table
+    * rollup, both ≤|priorities| rows. */
+  def qJoinSample(s: SparkSession, d: String, pctBucket: Int = 5): DataFrame = {
+    // deterministic ~pctBucket% of order keys: first byte of
+    // md5('js:'||key) below ⌊pctBucket·256/100⌋ — a LEXICOGRAPHIC
+    // compare on the fixed-width lowercase hex prefix, identical text
+    // on both engines (no base conversion to disagree on)
+    val cut = f"${pctBucket * 256 / 100}%02x"
+    def keep(c: Column): Column =
+      substring(md5(concat(lit("js:"), c.cast("string"))), 1, 2) < lit(cut)
+    val ord = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    val li = lineitem(s, d).select(col("l_orderkey"), revX1e4.as("rev"))
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val full = joined.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders_total"),
+        count(lit(1)).as("n_lines_total"),
+        sum(col("rev")).as("rev_total_x1e4"))
+    val sampled = joined.filter(keep(col("o_orderkey")))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders_sampled"),
+        count(lit(1)).as("n_lines_sampled"),
+        sum(col("rev")).as("rev_sampled_x1e4"))
+    full.join(sampled, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_orders_total"), col("n_lines_total"), col("rev_total_x1e4"),
+        coalesce(col("n_orders_sampled"), lit(0L)).as("n_orders_sampled"),
+        coalesce(col("n_lines_sampled"), lit(0L)).as("n_lines_sampled"),
+        coalesce(col("rev_sampled_x1e4"), lit(0L)).as("rev_sampled_x1e4"),
+        round(when(coalesce(col("rev_sampled_x1e4"), lit(0L)) > 0,
+          col("rev_total_x1e4").cast("double") /
+            col("rev_sampled_x1e4").cast("double")).otherwise(lit(0.0)), 6)
+          .as("scale_ratio"))
+  }
 }

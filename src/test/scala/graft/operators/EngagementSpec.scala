@@ -188,4 +188,69 @@ class EngagementSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(stream == batch)
   }
+
+  // exact 1e-4-dollar line revenue + (orderkey, priority) pairs for the
+  // join-shaped specs below
+  private lazy val liRev: Seq[(Long, Long)] =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  private lazy val ordPrio: Map[Long, String] =
+    Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+
+  test("q201: delta terms sum to the direct full-join recompute") {
+    val fullWant = liRev.flatMap { case (k, rev) =>
+      ordPrio.get(k).map(p => (p, rev))
+    }.groupBy(_._1).map { case (p, g) => p -> (g.map(_._2).sum, g.size.toLong) }
+    val got = Relational.qDeltaView(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == fullWant.keySet)
+    got.foreach { r =>
+      val (rev, n) = fullWant(r.getString(0))
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4),
+        s"${r.getString(0)}: terms don't sum to total")
+      assert(r.getLong(4) == rev, s"${r.getString(0)}: total != direct")
+      assert(r.getLong(5) == n)
+      // all three terms are genuinely exercised somewhere
+    }
+    assert(got.map(_.getLong(2)).sum > 0 && got.map(_.getLong(3)).sum > 0)
+  }
+
+  test("q202: rolling distinct equals the windowed set recompute") {
+    val du = evRaw.map(e => (e._2, e._3, e._1)).distinct
+    val want = du.map(d => (d._1, d._2)).distinct.map { case (t, end) =>
+      val users = du.filter(d =>
+        d._1 == t && d._2 >= end - 6 && d._2 <= end).map(_._3).toSet
+      val today = du.filter(d => d._1 == t && d._2 == end).map(_._3).toSet
+      (t, end, users.size.toLong, today.size.toLong)
+    }.toSet
+    val got = Relational.qRollingDistinct(spark, sf).collect()
+      .map(r => (r.getString(0),
+        java.time.LocalDate.parse(r.getString(1)).toEpochDay,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("q203: sampled aggregates match the md5-keyed driver replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val keep = ordPrio.keySet.filter(k => md5hex(s"js:$k").take(2) < "0c")
+    val joined = liRev.flatMap { case (k, rev) =>
+      ordPrio.get(k).map(p => (p, k, rev))
+    }
+    val want = joined.groupBy(_._1).map { case (p, g) =>
+      val sg = g.filter(r => keep(r._2))
+      (p, g.map(_._2).distinct.size.toLong, g.size.toLong, g.map(_._3).sum,
+        sg.map(_._2).distinct.size.toLong, sg.size.toLong, sg.map(_._3).sum)
+    }.toSet
+    val got = Relational.qJoinSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want)
+    // the sample is non-trivial on this fixture
+    assert(got.exists(_._5 > 0))
+  }
 }
