@@ -188,6 +188,11 @@ object Bench {
     "q201_delta_view",
     "q202_rolling_distinct",
     "q203_join_sample",
+    // round 15 (cont.): the ordered-set/collect verbs (explicit-tie
+    // mode, sorted-slice listagg) and retraction-aware maintenance
+    "q204_mode",
+    "q205_listagg",
+    "q206_retraction_view",
   )
 
   def main(args: Array[String]): Unit = {

@@ -449,6 +449,13 @@ object SparkEntry {
     "q202_rolling_distinct" -> (Relational.qRollingDistinct _),
     // q203: join-consistent hash sample with scale-up audit
     "q203_join_sample" -> ((s, d) => Relational.qJoinSample(s, d)),
+    // q204: MODE with an explicit smallest-bucket tie rule
+    "q204_mode" -> (Relational.qMode _),
+    // q205: ordered string aggregation (deterministic LISTAGG)
+    "q205_listagg" -> (Relational.qListAgg _),
+    // q206: retraction-aware view maintenance (the delete half of
+    // q201; oracle derives the after-state directly)
+    "q206_retraction_view" -> (Relational.qRetractionView _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3409,5 +3416,51 @@ object SparkEntry {
                                 / CAST(rev_sampled_x1e4 AS DOUBLE)
                            ELSE 0.0 END, 6) AS scale_ratio
          FROM f LEFT JOIN sp USING (o_orderpriority)""",
+    // q204: explicit windowed mode (native mode() leaves ties
+    // unspecified on both engines; smallest modal bucket wins here)
+    "q204_mode" ->
+      """WITH c AS (SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket,
+                           COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, MAX(n) AS modal_n FROM c GROUP BY 1),
+         t AS (SELECT c.event_type, COUNT(*) AS n_ties
+               FROM c JOIN m USING (event_type)
+               WHERE c.n = m.modal_n GROUP BY 1)
+         SELECT c.event_type, MIN(c.bucket) AS modal_bucket,
+                m.modal_n AS modal_n, t.n_ties
+         FROM c JOIN m USING (event_type) JOIN t USING (event_type)
+         WHERE c.n = m.modal_n
+         GROUP BY c.event_type, m.modal_n, t.n_ties""",
+    // q205: both engines sort the collected list before slicing —
+    // the only reproducible string_agg
+    "q205_listagg" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+                array_to_string((list_sort(list(c_name)))[1:5], ',')
+                  AS first5_names
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    // q206: the oracle's after-state comes from the DIRECT filtered
+    // join while Spark subtracts its retraction term — the hash match
+    // proves M - agg(delta) == re-derivation
+    "q206_retraction_view" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev
+                     FROM lineitem),
+         j AS (SELECT o_orderpriority, rev, o_orderkey % 13 = 0 AS is_del
+               FROM li JOIN orders ON l_orderkey = o_orderkey),
+         f AS (SELECT o_orderpriority, CAST(SUM(rev) AS BIGINT) AS rev_full,
+                      CAST(SUM(CASE WHEN is_del THEN rev ELSE 0 END)
+                        AS BIGINT) AS rev_retracted
+               FROM j GROUP BY 1),
+         a AS (SELECT o_orderpriority, CAST(SUM(rev) AS BIGINT) AS rev_after,
+                      COUNT(*) AS n_lines_after
+               FROM j WHERE NOT is_del GROUP BY 1)
+         SELECT f.o_orderpriority, rev_full, rev_retracted,
+                COALESCE(rev_after, 0) AS rev_after,
+                COALESCE(n_lines_after, 0) AS n_lines_after
+         FROM f LEFT JOIN a USING (o_orderpriority)""",
   )
 }

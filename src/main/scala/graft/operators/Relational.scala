@@ -1465,4 +1465,89 @@ object Relational {
             col("rev_sampled_x1e4").cast("double")).otherwise(lit(0.0)), 6)
           .as("scale_ratio"))
   }
+
+  /** q204: MODE — the ordered-set aggregate the surface lacked (the
+    * one holistic aggregate SQL names that neither percentile family
+    * member covers): the modal dollar bucket of `value` per event
+    * type, with the tie rule SPELLED OUT (smallest bucket wins) since
+    * engines' built-in `mode()` leaves ties unspecified — the reason
+    * this is a windowed formulation over explicit bucket counts, not a
+    * call to either engine's nondeterministic native mode.
+    *
+    * Scale shape: the scan collapses onto (type, bucket) map-side —
+    * domain-bounded groups — then a per-type top-1 over the bucket
+    * rollup; nothing row-scaled crosses the wire twice. */
+  def qMode(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .groupBy(col("event_type"),
+        expr("CAST(FLOOR(value) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("bucket").asc)
+    val all = Window.partitionBy("event_type")
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("modal_n", max(col("n")).over(all))
+      .withColumn("n_ties",
+        sum(when(col("n") === col("modal_n"), 1L).otherwise(0L)).over(all))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("bucket").as("modal_bucket"),
+        col("n").as("modal_n"), col("n_ties"))
+  }
+
+  /** q205: ordered string aggregation (LISTAGG/string_agg) — the
+    * order-sensitive collect verb: per nation, the first five customer
+    * names alphabetically, concatenated. Determinism is the point:
+    * collect_list's arrival order is partition-dependent, so the list
+    * is SORTED in-plan before the slice/join — the only way a
+    * string-agg is reproducible on any engine. The 5-cap bounds the
+    * in-row array; an uncapped listagg over a hot group is the
+    * scale-killer this formulation refuses.
+    *
+    * Scale shape: broadcast nation join, one nation-keyed shuffle of
+    * (name) pairs, per-group sort of a group-sized list — with the
+    * cap, a TakeOrdered-per-group at heavy cardinalities. */
+  def qListAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(slice(sort_array(collect_list(col("c_name"))), 1, 5), ",")
+          .as("first5_names"))
+
+  /** q206: RETRACTION-aware view maintenance — the delete half of
+    * q201's insert algebra: when orders ΔD (key%13=0) are deleted with
+    * their lineitems cascaded, the sum/count view updates by
+    * SUBTRACTING the |ΔD|-sized retraction term, M' = M − agg(L⋈ΔD) —
+    * never by rescanning the base. The oracle computes the after-state
+    * DIRECTLY from the filtered join, so the gate hash proves
+    * subtraction ≡ re-derivation cross-engine. (sum/count/avg retract;
+    * min/max do NOT — a deleted minimum needs the q148 machinery to
+    * re-derive, which is why production views keep retractable
+    * aggregates only.)
+    *
+    * Scale shape: the deleted-key set is broadcast into the lineitem
+    * probe; retraction cost is O(|ΔD| fanout), never O(|base|). */
+  def qRetractionView(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"), revX1e4.as("rev"))
+    val ord = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_orderkey") % 13 === 0).as("is_del"))
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val full = joined.groupBy("o_orderpriority")
+      .agg(sum(col("rev")).as("rev_full"), count(lit(1)).as("n_full"))
+    val retract = li
+      .join(broadcast(ord.filter(col("is_del"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("rev")).as("rev_retracted"), count(lit(1)).as("n_retracted"))
+    full.join(retract, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("rev_full"),
+        coalesce(col("rev_retracted"), lit(0L)).as("rev_retracted"),
+        (col("rev_full") - coalesce(col("rev_retracted"), lit(0L)))
+          .as("rev_after"),
+        (col("n_full") - coalesce(col("n_retracted"), lit(0L)))
+          .as("n_lines_after"))
+  }
 }

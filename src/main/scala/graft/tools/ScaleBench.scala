@@ -103,7 +103,15 @@ object ScaleBench {
       // range-partitioned rank would be needed). q184_kcore is not
       // probed: its 38 synchronous rounds on the degenerate-dense
       // basket graph already cost ~35 s at 1× (BENCH_NOTES)
-      "q179_spearman")
+      "q179_spearman",
+      // round 15: delta-join view maintenance (both delta terms grow
+      // with |Δ| — a constant fraction here, so the probe grounds that
+      // cost tracks the delta joins, with the broadcast ΔO term staying
+      // shuffle-free) and the rolling-distinct contribution explode
+      // (user count grows with the factor, day span constant: the
+      // day-deduped frame and its bounded 7× explode grow linearly,
+      // the per-(type, end_day) distinct shuffle is the probe)
+      "q201_delta_view", "q202_rolling_distinct")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -253,4 +253,51 @@ class EngagementSpec extends AnyFunSuite {
     // the sample is non-trivial on this fixture
     assert(got.exists(_._5 > 0))
   }
+
+  test("q204: modal bucket, count, and tie count match a recompute") {
+    val want = evRaw.groupBy(_._2).map { case (t, rows) =>
+      val counts = rows.groupBy(_._6 / 100).map { case (b, g) =>
+        (b, g.size.toLong)
+      }
+      val modal = counts.values.max
+      (t, counts.filter(_._2 == modal).keys.min, modal,
+        counts.count(_._2 == modal).toLong)
+    }.toSet
+    val got = Relational.qMode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("q205: first-5 names are the sorted alphabetical head per nation") {
+    val cn = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nn = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = cn.groupBy(c => nn(c._1)).map { case (n, g) =>
+      (n, g.size.toLong, g.map(_._2).sorted.take(5).mkString(","))
+    }.toSet
+    val got = Relational.qListAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+
+  test("q206: subtraction equals the direct after-state; deletes real") {
+    val joined = liRev.flatMap { case (k, rev) =>
+      ordPrio.get(k).map(p => (p, k, rev))
+    }
+    val want = joined.groupBy(_._1).map { case (p, g) =>
+      val kept = g.filter(_._2 % 13 != 0)
+      (p, g.map(_._3).sum, g.filter(_._2 % 13 == 0).map(_._3).sum,
+        kept.map(_._3).sum, kept.size.toLong)
+    }.toSet
+    val got = Relational.qRetractionView(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    got.foreach(r => assert(r._2 - r._3 == r._4))
+    assert(got.exists(_._3 > 0))
+  }
 }
