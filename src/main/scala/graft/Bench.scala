@@ -193,6 +193,11 @@ object Bench {
     "q204_mode",
     "q205_listagg",
     "q206_retraction_view",
+    // round 15 (cont.): FD profiling (six countDistinct-per-LHS
+    // edges) and the CUPED experiment readout (one user rollup +
+    // scalar algebra)
+    "q207_fd_audit",
+    "q208_cuped",
   )
 
   def main(args: Array[String]): Unit = {

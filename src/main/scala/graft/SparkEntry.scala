@@ -456,6 +456,10 @@ object SparkEntry {
     // q206: retraction-aware view maintenance (the delete half of
     // q201; oracle derives the after-state directly)
     "q206_retraction_view" -> (Relational.qRetractionView _),
+    // q207: functional-dependency audit over declared candidate edges
+    "q207_fd_audit" -> (Relational.qFdAudit _),
+    // q208: CUPED variance-reduced A/B readout (pooled theta/rho2)
+    "q208_cuped" -> (Stats.qCuped _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3062,7 +3066,7 @@ object SparkEntry {
                             CAST(ts AS DATE) AS day FROM events),
          b AS (SELECT event_type,
                       MIN(day) + CAST(date_diff('day', MIN(day), MAX(day))
-                        / 2 AS INT) AS pivot
+                        // 2 AS INT) AS pivot
                FROM ev GROUP BY event_type),
          tagged AS (SELECT ev.*, ev.day <= b.pivot AS is_first
                     FROM ev JOIN b USING (event_type)),
@@ -3462,5 +3466,80 @@ object SparkEntry {
                 COALESCE(rev_after, 0) AS rev_after,
                 COALESCE(n_lines_after, 0) AS n_lines_after
          FROM f LEFT JOIN a USING (o_orderpriority)""",
+    // q207: rhs casts to VARCHAR only to unify the union's type — any
+    // injective representation preserves the distinct counts
+    "q207_fd_audit" ->
+      """WITH pairs AS (
+           SELECT 'o_orderkey->o_orderpriority' AS fd, o_orderkey AS l,
+                  CAST(o_orderpriority AS VARCHAR) AS r FROM orders
+           UNION ALL SELECT 'o_custkey->o_orderpriority', o_custkey,
+                  CAST(o_orderpriority AS VARCHAR) FROM orders
+           UNION ALL SELECT 'c_custkey->c_nationkey', c_custkey,
+                  CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 'n_nationkey->n_regionkey', n_nationkey,
+                  CAST(n_regionkey AS VARCHAR) FROM nation
+           UNION ALL SELECT 'l_orderkey->l_shipdate', l_orderkey,
+                  CAST(l_shipdate AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'l_partkey->l_suppkey', l_partkey,
+                  CAST(l_suppkey AS VARCHAR) FROM lineitem),
+         agg AS (SELECT fd, l, COUNT(DISTINCT r) AS nr
+                 FROM pairs GROUP BY fd, l)
+         SELECT fd, COUNT(*) AS n_lhs,
+                CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating_lhs,
+                CAST(MAX(nr) AS BIGINT) AS max_rhs_per_lhs,
+                CAST(CASE WHEN SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS fd_holds
+         FROM agg GROUP BY fd""",
+    // q208: HUGEINT sufficient sums; theta/rho2/adjusted means are
+    // final doubles written in the identical operation order
+    "q208_cuped" ->
+      """WITH b AS (SELECT MIN(CAST(ts AS DATE))
+                      + CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) // 2 AS INT) AS pv
+                    FROM events),
+         pu AS (SELECT user_id,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      AND CAST(ts AS DATE) <= pv
+                                THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                                ELSE 0 END) AS HUGEINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                      AND CAST(ts AS DATE) > pv
+                                THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                                ELSE 0 END) AS HUGEINT) AS y,
+                       user_id % 2 AS arm
+                FROM events, b GROUP BY user_id),
+         pool AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                         SUM(y * y) AS syy
+                  FROM pu),
+         pd AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS vary
+                FROM pool),
+         pt AS (SELECT nd, sxd,
+                       CASE WHEN varx > 0 THEN cov / varx ELSE 0.0 END
+                         AS theta,
+                       CASE WHEN varx > 0 AND vary > 0
+                            THEN cov * cov / (varx * vary) * 100.0
+                            ELSE 0.0 END AS rho2
+                FROM pd),
+         arms AS (SELECT arm, COUNT(*) AS n_users,
+                         CAST(SUM(x) AS BIGINT) AS sum_pre_cents,
+                         CAST(SUM(y) AS BIGINT) AS sum_post_cents
+                  FROM pu GROUP BY arm)
+         SELECT CAST(arm AS BIGINT) AS arm, n_users, sum_pre_cents,
+                sum_post_cents,
+                ROUND(CAST(sum_post_cents AS DOUBLE)
+                      / CAST(n_users AS DOUBLE) / 100.0, 6) AS mean_post,
+                ROUND((CAST(sum_post_cents AS DOUBLE)
+                       - theta * (CAST(sum_pre_cents AS DOUBLE)
+                                  - CAST(n_users AS DOUBLE) * sxd / nd))
+                      / CAST(n_users AS DOUBLE) / 100.0, 6) AS mean_adjusted,
+                ROUND(theta, 6) AS theta,
+                ROUND(rho2, 4) AS rho2_pct
+         FROM arms, pt""",
   )
 }

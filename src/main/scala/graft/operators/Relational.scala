@@ -1550,4 +1550,42 @@ object Relational {
         (col("n_full") - coalesce(col("n_retracted"), lit(0L)))
           .as("n_lines_after"))
   }
+
+  /** q207: functional-dependency audit — the data-profiling primitive
+    * (Metanome-family FD discovery, restricted to declared candidate
+    * edges): for each LHS→RHS pair, how many LHS values exist, how
+    * many map to MORE than one RHS (violations), and the worst fanout.
+    * Key edges must hold (a violation = corruption, the q145
+    * complement: FK audits membership, FD audits determinism);
+    * non-key edges quantify how far an assumed "attribute of" really
+    * is from functional. Every number is an exact integer count.
+    *
+    * Scale shape: one countDistinct-per-LHS aggregation per edge
+    * (two-level dedup, map-side partials both levels), collapsed to a
+    * single audit row each; at 100 TB one runs the handful of edges
+    * that gate a pipeline, not all column pairs. */
+  def qFdAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, tbl: DataFrame, lhs: String, rhs: String): DataFrame =
+      tbl.select(col(lhs).cast("long").as("l"), col(rhs).cast("string").as("r"))
+        .groupBy("l").agg(countDistinct(col("r")).as("nr"))
+        .agg(lit(name).as("fd"), count(lit(1)).as("n_lhs"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+          max(col("nr")).as("max_rhs_per_lhs"))
+        .withColumn("fd_holds",
+          when(col("n_violating_lhs") === 0, 1L).otherwise(0L))
+    Seq(
+      edge("o_orderkey->o_orderpriority", orders(s, d),
+        "o_orderkey", "o_orderpriority"),
+      edge("o_custkey->o_orderpriority", orders(s, d),
+        "o_custkey", "o_orderpriority"),
+      edge("c_custkey->c_nationkey", customer(s, d),
+        "c_custkey", "c_nationkey"),
+      edge("n_nationkey->n_regionkey", nation(s, d),
+        "n_nationkey", "n_regionkey"),
+      edge("l_orderkey->l_shipdate", lineitem(s, d),
+        "l_orderkey", "l_shipdate"),
+      edge("l_partkey->l_suppkey", lineitem(s, d),
+        "l_partkey", "l_suppkey")
+    ).reduce(_.union(_))
+  }
 }

@@ -339,8 +339,11 @@ object Stats {
         to_date(col("ts")).as("day"))
     val bounds = ev.groupBy("event_type")
       .agg(min("day").as("mn"), max("day").as("mx"))
+      // `div`, not `/`+cast: at an odd day span the double→int cast
+      // truncates here but rounds half-even in DuckDB (latent q208
+      // lesson applied back)
       .select(col("event_type"),
-        expr("date_add(mn, CAST(datediff(mx, mn) / 2 AS INT))").as("pivot"))
+        expr("date_add(mn, CAST(datediff(mx, mn) div 2 AS INT))").as("pivot"))
     val tagged = ev.join(broadcast(bounds), Seq("event_type"))
       .withColumn("is_first", col("day") <= col("pivot"))
     val first = tagged.filter(col("is_first"))
@@ -632,6 +635,76 @@ object Stats {
           .cast("int")).as("med7"))
       .withColumn("is_spike",
         when(col("cnt") > lit(2) * col("med7"), 1L).otherwise(0L))
+  }
+
+  /** q208: CUPED-adjusted A/B readout (Deng et al. 2013) — the
+    * variance-reduction step every mature experimentation platform
+    * applies before q195's z-test: each user's PRE-period purchase
+    * spend X (before the global midpoint date) serves as the control
+    * covariate for their POST-period spend Y, the adjustment
+    * Y′ = Y − θ(X − μ_X) with θ = cov(X,Y)/var(X) POOLED across arms
+    * (pooling keeps the adjustment unbiased under randomization; arms
+    * here are the user-id parity — a true hash split). Sufficient
+    * sums (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact integer cents in
+    * DECIMAL(38,0)/HUGEINT; θ, the adjusted means, and the pooled ρ²
+    * (= the variance-reduction fraction CUPED delivers) are final
+    * scalar doubles — the θ·ΣX cross-terms would overflow BIGINT at
+    * ~1e19, which is why the combination step is decimal (the q196
+    * rule) and ρ²'s squared covariance converts to double BEFORE
+    * squaring (4e38 exceeds even 38 digits).
+    *
+    * Scale shape: one user-keyed rollup (map-side partial), a 1-row
+    * pooled-sums frame broadcast into a 2-row per-arm select. */
+  def qCuped(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val pivot = ev.agg(min(to_date(col("ts"))).as("mn"),
+        max(to_date(col("ts"))).as("mx"))
+      // `div` (not `/` + cast): double-to-int casts truncate on one
+      // engine and round-half-even on the other at odd day spans
+      .select(expr("date_add(mn, CAST(datediff(mx, mn) div 2 AS INT))")
+        .as("pivot"))
+    val perUser = ev.join(broadcast(pivot))
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("pivot"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("day") <= col("pivot"),
+          col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" && col("day") > col("pivot"),
+          col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val pooled = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .select(d2(col("n")).as("nd"), d2(col("sx")).as("sxd"),
+        d2(col("sy")).as("syd"),
+        d2(col("n") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        d2(col("n") * col("sxx") - col("sx") * col("sx")).as("varx"),
+        d2(col("n") * col("syy") - col("sy") * col("sy")).as("vary"))
+      .withColumn("theta",
+        when(col("varx") > 0, col("cov") / col("varx")).otherwise(lit(0.0)))
+      .withColumn("rho2_pct",
+        when(col("varx") > 0 && col("vary") > 0,
+          col("cov") * col("cov") / (col("varx") * col("vary")) * 100.0)
+        .otherwise(lit(0.0)))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_pre_cents"), sum(col("y")).as("sum_post_cents"))
+    arms.join(broadcast(pooled))
+      .select(col("arm"), col("n_users"), col("sum_pre_cents"),
+        col("sum_post_cents"),
+        round(col("sum_post_cents").cast("double")
+          / col("n_users").cast("double") / 100.0, 6).as("mean_post"),
+        round((col("sum_post_cents").cast("double")
+            - col("theta") * (col("sum_pre_cents").cast("double")
+              - col("n_users").cast("double") * col("sxd") / col("nd")))
+          / col("n_users").cast("double") / 100.0, 6).as("mean_adjusted"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2_pct"), 4).as("rho2_pct"))
   }
 
   /** q199: last-touch revenue attribution — every purchase credited to

@@ -300,4 +300,67 @@ class EngagementSpec extends AnyFunSuite {
     got.foreach(r => assert(r._2 - r._3 == r._4))
     assert(got.exists(_._3 > 0))
   }
+
+  test("q207: FD stats match per-edge recomputes; key edges hold") {
+    def recompute(pairs: Seq[(Long, String)], name: String) = {
+      val byL = pairs.groupBy(_._1).map { case (_, g) =>
+        g.map(_._2).distinct.size.toLong
+      }.toSeq
+      (name, byL.size.toLong, byL.count(_ > 1).toLong, byL.max,
+        if (byL.forall(_ == 1)) 1L else 0L)
+    }
+    val ords = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nat = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = Set(
+      recompute(ords.map(o => (o._1, o._3)), "o_orderkey->o_orderpriority"),
+      recompute(ords.map(o => (o._2, o._3)), "o_custkey->o_orderpriority"),
+      recompute(nat, "n_nationkey->n_regionkey"))
+    val got = Relational.qFdAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got.size == 6)
+    assert(want.subsetOf(got))
+    // declared keys must hold; the custkey edge must not (fanout > 1)
+    val holds = got.map(g => g._1 -> g._5).toMap
+    assert(holds("o_orderkey->o_orderpriority") == 1L)
+    assert(holds("n_nationkey->n_regionkey") == 1L)
+    assert(holds("c_custkey->c_nationkey") == 1L)
+  }
+
+  test("q208: CUPED theta/adjusted means match an exact recompute") {
+    val days = evRaw.map(_._3)
+    val pivot = days.min + (days.max - days.min) / 2
+    val pu = evRaw.groupBy(_._1).map { case (u, rows) =>
+      val x = rows.filter(r => r._2 == "purchase" && r._3 <= pivot)
+        .map(_._6).sum
+      val y = rows.filter(r => r._2 == "purchase" && r._3 > pivot)
+        .map(_._6).sum
+      (u % 2, BigInt(x), BigInt(y))
+    }.toSeq
+    val n = BigInt(pu.size)
+    val sx = pu.map(_._2).sum; val sy = pu.map(_._3).sum
+    val sxy = pu.map(p => p._2 * p._3).sum
+    val sxx = pu.map(p => p._2 * p._2).sum
+    val cov = (n * sxy - sx * sy).toDouble
+    val varx = (n * sxx - sx * sx).toDouble
+    val theta = if (varx > 0) cov / varx else 0.0
+    val rows = Stats.qCuped(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val arm = r.getLong(0)
+      val armRows = pu.filter(_._1 == arm)
+      val nA = armRows.size.toLong
+      val sxA = armRows.map(_._2).sum.toDouble
+      val syA = armRows.map(_._3).sum.toDouble
+      assert(r.getLong(1) == nA)
+      val meanAdj = (syA - theta * (sxA - nA.toDouble * sx.toDouble / n.toDouble)) /
+        nA.toDouble / 100.0
+      assert(math.abs(r.getAs[Double]("mean_adjusted") - meanAdj) < 1e-6, s"arm $arm")
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-6)
+    }
+  }
 }
