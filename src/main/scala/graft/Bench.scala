@@ -198,6 +198,11 @@ object Bench {
     // scalar algebra)
     "q207_fd_audit",
     "q208_cuped",
+    // round 15 (cont.): the recognized TPC-H probe shapes — pushed
+    // date/segment filters, broadcast dims, TakeOrdered cuts
+    "q209_shipping_priority",
+    "q210_returned_items",
+    "q211_promo_share",
   )
 
   def main(args: Array[String]): Unit = {

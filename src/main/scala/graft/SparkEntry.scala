@@ -460,6 +460,11 @@ object SparkEntry {
     "q207_fd_audit" -> (Relational.qFdAudit _),
     // q208: CUPED variance-reduced A/B readout (pooled theta/rho2)
     "q208_cuped" -> (Stats.qCuped _),
+    // q209-q211: the recognized TPC-H probe shapes (Q3/Q10/Q14),
+    // determinized: integer revenue, key tie-breaks on the top-k cuts
+    "q209_shipping_priority" -> (Relational.qShippingPriority _),
+    "q210_returned_items" -> (Relational.qReturnedItems _),
+    "q211_promo_share" -> (Relational.qPromoShare _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3541,5 +3546,69 @@ object SparkEntry {
                 ROUND(theta, 6) AS theta,
                 ROUND(rho2, 4) AS rho2_pct
          FROM arms, pt""",
+    // q209-q211: the classic shapes with exact integer revenue and
+    // total-order top-k cuts
+    "q209_shipping_priority" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev
+                     FROM lineitem WHERE l_shipdate > '1998-06-01'),
+         o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+               FROM orders WHERE o_orderdate < '1998-06-01'),
+         c AS (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING')
+         SELECT l_orderkey,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                o_orderpriority,
+                CAST(SUM(rev) AS BIGINT) AS revenue_x1e4
+         FROM li JOIN o ON l_orderkey = o_orderkey
+                 JOIN c ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_x1e4 DESC, l_orderkey
+         LIMIT 10""",
+    "q210_returned_items" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev
+                     FROM lineitem WHERE l_returnflag = 'R'),
+         o AS (SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_orderdate >= '1997-01-01'
+                 AND o_orderdate < '1997-04-01'),
+         agg AS (SELECT o_custkey,
+                        CAST(SUM(rev) AS BIGINT) AS lost_rev_x1e4,
+                        COUNT(*) AS n_ret_lines
+                 FROM li JOIN o ON l_orderkey = o_orderkey
+                 GROUP BY 1)
+         SELECT c_custkey, c_name, n_name, lost_rev_x1e4, n_ret_lines
+         FROM agg JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY lost_rev_x1e4 DESC, c_custkey
+         LIMIT 20""",
+    "q211_promo_share" ->
+      """WITH li AS (SELECT l_partkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev,
+                            strftime(l_shipdate, '%Y-%m') AS ship_month
+                     FROM lineitem
+                     WHERE l_shipdate >= '1997-01-01'
+                       AND l_shipdate < '1998-01-01'),
+         p AS (SELECT p_partkey,
+                      CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+               FROM part),
+         agg AS (SELECT ship_month,
+                        CAST(SUM(rev * is_promo) AS BIGINT) AS promo_x1e4,
+                        CAST(SUM(rev) AS BIGINT) AS total_x1e4
+                 FROM li JOIN p ON l_partkey = p_partkey
+                 GROUP BY 1)
+         SELECT ship_month, promo_x1e4, total_x1e4,
+                ROUND(CAST(promo_x1e4 AS DOUBLE)
+                      / CAST(total_x1e4 AS DOUBLE), 6) AS promo_share
+         FROM agg""",
   )
 }

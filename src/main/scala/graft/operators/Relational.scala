@@ -1588,4 +1588,89 @@ object Relational {
         "l_partkey", "l_suppkey")
     ).reduce(_.union(_))
   }
+
+  /** q209: TPC-H Q3 shape ("shipping priority") — the recognized
+    * 3-table star probe: revenue of BUILDING-segment orders placed
+    * before the pivot date with lines still unshipped after it, top
+    * 10. The deterministic-top-k discipline applies: exact integer
+    * revenue, ties broken by order key, so the LIMIT cut is
+    * engine-identical (float revenue + bare LIMIT is how the official
+    * benchmark run allows nondeterminism; the gate can't).
+    *
+    * Scale shape: both date filters and the segment filter push to
+    * the scans; the segment-filtered customer side broadcasts into
+    * orders, the date-filtered orders side hash-joins lineitem on its
+    * key; top-10 is TakeOrdered (no global sort). */
+  def qShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-06-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01"))
+      .select(col("l_orderkey"), revX1e4.as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_x1e4"))
+      .select(col("l_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue_x1e4"))
+      .orderBy(col("revenue_x1e4").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q210: TPC-H Q10 shape ("returned items") — the lost-revenue
+    * report: top 20 customers by revenue on RETURNED lines for orders
+    * placed in 1997Q1, with their nation. Same determinism rules as
+    * q209 (integer revenue, key tie-break).
+    *
+    * Scale shape: the quarter filter prunes orders at the scan; the
+    * orderkey join carries only (key, rev); nation broadcasts; top-20
+    * is TakeOrdered over the customer rollup. */
+  def qReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revX1e4.as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("lost_rev_x1e4"), count(lit(1)).as("n_ret_lines"))
+      .join(customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("lost_rev_x1e4"), col("n_ret_lines"))
+      .orderBy(col("lost_rev_x1e4").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** q211: TPC-H Q14 shape ("promotion effect") — conditional-share
+    * aggregation over a dimension join: per ship month of 1997, the
+    * fraction of revenue from PROMO-type parts. Exact integer
+    * numerator/denominator carried separately; the share is the one
+    * final double (q195's discipline).
+    *
+    * Scale shape: the year filter prunes the lineitem scan; part is
+    * projected to (key, is_promo) and broadcast; the month rollup
+    * collapses map-side onto ≤12 groups. */
+  def qPromoShare(s: SparkSession, d: String): DataFrame = {
+    val pt = part(s, d)
+      .select(col("p_partkey"),
+        (col("p_type") === "PROMO").cast("long").as("is_promo"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_partkey"), revX1e4.as("rev"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(sum(col("rev") * col("is_promo")).as("promo_x1e4"),
+        sum(col("rev")).as("total_x1e4"))
+      .withColumn("promo_share",
+        round(col("promo_x1e4").cast("double") /
+          col("total_x1e4").cast("double"), 6))
+  }
 }

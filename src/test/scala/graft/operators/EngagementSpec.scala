@@ -363,4 +363,82 @@ class EngagementSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-6)
     }
   }
+
+  // full lineitem replay with the join/filter columns the TPC-H-shape
+  // specs need: (orderkey, partkey, returnflag, shipdate-iso, rev)
+  private lazy val liFull: Seq[(Long, Long, String, String, Long)] =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        to_date(col("l_shipdate")).cast("string"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) - expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+
+  test("q209: top-10 matches a total-order recompute") {
+    val ords = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).cast("string"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val building = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val om = ords.filter(o => o._3 < "1998-06-01" && building(o._2))
+      .map(o => o._1 -> (o._3, o._4)).toMap
+    val want = liFull.filter(l => l._4 > "1998-06-01" && om.contains(l._1))
+      .groupBy(_._1).map { case (k, g) =>
+        (k, om(k)._1, om(k)._2, g.map(_._5).sum)
+      }.toSeq.sortBy(r => (-r._4, r._1)).take(10)
+    val got = Relational.qShippingPriority(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(r => (-r._4, r._1))
+    assert(got == want)
+  }
+
+  test("q210: top-20 lost revenue matches a recompute") {
+    val ords97 = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(o => o._3 >= "1997-01-01" && o._3 < "1997-04-01")
+      .map(o => o._1 -> o._2).toMap
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val nn = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = liFull.filter(l => l._3 == "R" && ords97.contains(l._1))
+      .groupBy(l => ords97(l._1)).map { case (ck, g) =>
+        val (name, nk) = custs(ck)
+        (ck, name, nn(nk), g.map(_._5).sum, g.size.toLong)
+      }.toSeq.sortBy(r => (-r._4, r._1)).take(20)
+    val got = Relational.qReturnedItems(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(r => (-r._4, r._1))
+    assert(got == want)
+  }
+
+  test("q211: promo shares match an exact recompute") {
+    val promo = Tables.part(spark, sf)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = liFull.filter(l => l._4 >= "1997-01-01" && l._4 < "1998-01-01")
+      .groupBy(_._4.substring(0, 7)).map { case (m, g) =>
+        val p = g.filter(l => promo(l._2) == 1L).map(_._5).sum
+        val t = g.map(_._5).sum
+        (m, p, t, math.rint(p.toDouble / t.toDouble * 1e6) / 1e6)
+      }.toSet
+    val got = Relational.qPromoShare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // compare share at 1e-6 tolerance, the rest exactly
+    assert(got.map(g => (g._1, g._2, g._3)) == want.map(w => (w._1, w._2, w._3)))
+    got.foreach { g =>
+      val w = want.find(_._1 == g._1).get
+      assert(math.abs(g._4 - w._4) < 1e-6, g._1)
+    }
+  }
 }
