@@ -203,6 +203,11 @@ object Bench {
     "q209_shipping_priority",
     "q210_returned_items",
     "q211_promo_share",
+    // round 15 (cont.): the unigram tokenizer pair — substring-explode
+    // vocab learning (TakeOrdered cut) and codegen'd Viterbi encoding
+    // over distinct words
+    "q212_unigram_vocab",
+    "q213_unigram_segment",
   )
 
   def main(args: Array[String]): Unit = {

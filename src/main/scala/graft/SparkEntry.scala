@@ -465,6 +465,12 @@ object SparkEntry {
     "q209_shipping_priority" -> (Relational.qShippingPriority _),
     "q210_returned_items" -> (Relational.qReturnedItems _),
     "q211_promo_share" -> (Relational.qPromoShare _),
+    // q212: unigram-LM piece vocabulary (top-V + char coverage floor)
+    "q212_unigram_vocab" -> (TextAnalysis.qUnigramVocab _),
+    // q213: Viterbi segmentation under the q212 model (rows-only:
+    // the DP is not SQL-expressible; UnigramSegmentSpec pins
+    // optimality, tie order, lossless concat, interpreted==codegen)
+    "q213_unigram_segment" -> (TextAnalysis.qUnigramSegment _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3610,5 +3616,26 @@ object SparkEntry {
                 ROUND(CAST(promo_x1e4 AS DOUBLE)
                       / CAST(total_x1e4 AS DOUBLE), 6) AS promo_share
          FROM agg""",
+    // q212: substring explode via nested LATERAL ranges; the top-V
+    // cut is totally ordered by (count desc, piece) and the single
+    // chars union in with identical counts, so UNION dedup is exact
+    "q212_unigram_vocab" ->
+      """WITH words AS (SELECT unnest(regexp_split_to_array(lower(text),
+                          '\s+')) AS w
+                        FROM documents),
+         ws AS (SELECT w FROM words WHERE len(w) > 0),
+         pieces AS (SELECT substr(w, CAST(s AS INT), CAST(l AS INT)) AS piece
+                    FROM ws
+                    CROSS JOIN LATERAL (SELECT unnest(range(1, len(w) + 1))
+                                          AS s) t1
+                    CROSS JOIN LATERAL (SELECT unnest(range(1,
+                                          least(4, len(w) - s + 1) + 1))
+                                          AS l) t2),
+         counts AS (SELECT piece, COUNT(*) AS n FROM pieces GROUP BY piece),
+         top AS (SELECT piece, n FROM counts ORDER BY n DESC, piece
+                 LIMIT 500),
+         chars AS (SELECT piece, n FROM counts WHERE len(piece) = 1)
+         SELECT piece, n, CAST(len(piece) AS BIGINT) AS piece_len
+         FROM (SELECT * FROM top UNION SELECT * FROM chars)""",
   )
 }

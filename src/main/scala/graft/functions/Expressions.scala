@@ -579,3 +579,118 @@ object CosineSimilarityExpr {
     if (denom == 0.0) 0.0 else dot / denom
   }
 }
+
+/** Viterbi segmentation of a word under a unigram piece model
+  * (SentencePiece's inference half, Kudo 2018): split the word into
+  * vocabulary pieces minimizing total integer cost (= scaled negative
+  * log-probability), the other real-world subword algorithm beside BPE
+  * (q78/q82). The DP is row-local over the word's characters with the
+  * vocabulary held ONCE per plan as a reference-object hash map — the
+  * inner loop is O(len · maxPieceLen) hash probes, whole-stage
+  * codegen'd via the static helper like every expression above.
+  *
+  * Determinism contract: minimize (total cost, piece count), ties
+  * broken by preferring the LONGER final piece at each DP cell — a
+  * total order, so the segmentation is bit-identical on every
+  * executor, partitioning, and JVM (costs are precomputed integers;
+  * no float enters the DP). Unknown single characters cost `unkCost`
+  * so every word segments (coverage never throws at inference).
+  *
+  * The reference engine tokenizes nothing — user JS would loop per
+  * key (`v8_native_functions.rs`); this is the trainable-tokenizer
+  * surface of the pipeline layer. */
+case class UnigramSegment(child: Expression, pieces: Seq[String],
+    costs: Seq[Long], unkCost: Long) extends UnaryExpression {
+  require(pieces.length == costs.length, "pieces/costs length mismatch")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unigram_segment requires STRING, got ${other.catalogString}")
+    }
+
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), costs(i)); i += 1 }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else math.max(1, pieces.iterator.map(_.length).max)
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramSegment.segment(vocab, input.asInstanceOf[UTF8String], maxLen, unkCost)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramSegment.segment($ref, $c, $maxLen, ${unkCost}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+
+  override def prettyName: String = "unigram_segment"
+}
+
+object UnigramSegment {
+  /** Static Viterbi shared by interpreted eval and generated code. */
+  def segment(vocab: java.util.HashMap[String, java.lang.Long],
+      word: UTF8String, maxLen: Int, unkCost: Long): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val INF = Long.MaxValue / 4
+    val dpCost = new Array[Long](n + 1)
+    val dpPieces = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      dpCost(i) = INF
+      dpPieces(i) = Int.MaxValue
+      val lim = if (maxLen < i) maxLen else i
+      var l = 1
+      while (l <= lim) {
+        if (dpCost(i - l) < INF) {
+          val piece = s.substring(i - l, i)
+          val cObj = vocab.get(piece)
+          val c: Long =
+            if (cObj != null) cObj.longValue()
+            else if (l == 1) unkCost
+            else -1L
+          if (c >= 0) {
+            val nc = dpCost(i - l) + c
+            val np = dpPieces(i - l) + 1
+            // total order: (cost, nPieces) lexicographic; ties -> the
+            // longer piece ending here (l ascends, so strict > keeps
+            // the longest seen at equal (cost, pieces))
+            if (nc < dpCost(i) ||
+                (nc == dpCost(i) && (np < dpPieces(i) ||
+                  (np == dpPieces(i) && l > back(i))))) {
+              dpCost(i) = nc
+              dpPieces(i) = np
+              back(i) = l
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](dpPieces(n))
+    var p = n
+    var k = dpPieces(n) - 1
+    while (p > 0) {
+      val l = back(p)
+      out(k) = UTF8String.fromString(s.substring(p - l, p))
+      k -= 1
+      p -= l
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -2,7 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Registers graft's native Catalyst expressions in a session's function
   * registry, exposing them to both the Column DSL (via `call_function`)
@@ -65,6 +67,23 @@ object GraftFunctions {
           new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
         case _ => throw new IllegalArgumentException(
           "bloom_filter_agg(hash[, estimatedItems]) takes 1 or 2 arguments")
+      }, "built-in")
+    // unigram_segment(word, piecesArrayLit, costsArrayLit, unkCostLit):
+    // the vocabulary rides as foldable array literals and is decoded
+    // ONCE at plan construction into the expression's hash map
+    reg.createOrReplaceTempFunction("unigram_segment",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(w, pl @ Literal(_, ArrayType(StringType, _)),
+            cl @ Literal(_, ArrayType(LongType, _)),
+            Literal(unk: Long, LongType)) =>
+          val pieces = pl.value.asInstanceOf[ArrayData]
+            .toObjectArray(StringType)
+            .map(_.asInstanceOf[UTF8String].toString).toSeq
+          val costs = cl.value.asInstanceOf[ArrayData].toLongArray().toSeq
+          UnigramSegment(w, pieces, costs, unk)
+        case _ => throw new IllegalArgumentException(
+          "unigram_segment(word, pieces, costs, unkCost) requires literal " +
+            "ARRAY<STRING> pieces, ARRAY<BIGINT> costs, BIGINT unkCost")
       }, "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       (exprs: Seq[Expression]) => exprs match {

@@ -793,4 +793,87 @@ object TextAnalysis {
   /** The one outstanding q90 gram cache (see [[noveltyScores]]). */
   private val lastGramsCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** Unigram-LM piece vocabulary (the learning half of SentencePiece's
+    * unigram model, Kudo 2018, reduced to a deterministic
+    * frequency-scored selection instead of EM): count every character
+    * substring of length ≤ `maxLen` of every corpus word, keep the
+    * top `vocabSize` by (count, piece) — a total order, so the cut is
+    * engine-exact — and union in ALL observed single characters (the
+    * coverage floor that makes Viterbi total).
+    *
+    * Scale shape: the substring explode multiplies word chars by ≤
+    * maxLen (bounded, in-plan `transform`/`flatten` — no UDF); the
+    * count shuffle collapses map-side onto the piece vocabulary
+    * (Heaps-sublinear); the cut is one TakeOrdered. */
+  def unigramPieceCounts(docs: DataFrame, maxLen: Int = 4,
+      vocabSize: Int = 500): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val pieces = words.select(explode(expr(
+      s"""flatten(transform(sequence(1, length(w)),
+            s -> transform(sequence(1, least($maxLen, length(w) - s + 1)),
+                   l -> substring(w, s, l))))""")).as("piece"))
+    val counts = pieces.groupBy("piece").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("piece").asc).limit(vocabSize)
+    val chars = counts.filter(length(col("piece")) === 1)
+    top.union(chars).distinct()
+      .select(col("piece"), col("n"), length(col("piece")).cast("long")
+        .as("piece_len"))
+  }
+
+  /** q212: the learned unigram vocabulary as an oracle-checkable
+    * table (hash-green — counts are exact integers, the top-V cut is
+    * totally ordered; costs stay OUT of the gate because ln differs
+    * in the last ulp across libms — they belong to q213's JVM-side
+    * scoring). */
+  def qUnigramVocab(s: SparkSession, d: String): DataFrame =
+    unigramPieceCounts(documents(s, d))
+
+  /** q213: Viterbi corpus segmentation under the q212 model — the
+    * unigram tokenizer's inference pass as ONE codegen'd row-local
+    * expression ([[graft.functions.UnigramSegment]]): piece costs are
+    * integer-scaled −log-probabilities (StrictMath.log → the SAME bits
+    * on every JVM), the vocabulary rides into the plan as array
+    * literals (decoded once into the expression's hash map — the
+    * driver collect is the bounded vocab, the q78 BPE precedent), and
+    * the corpus encodes via the distinct-words trick (segment each
+    * distinct word once, join counts back — q82's shape). Per-source
+    * report: words, pieces, fertility, and unk-char share — the
+    * model-quality numbers a tokenizer team tracks per corpus slice.
+    *
+    * Rows-only gate (Viterbi is not SQL-expressible);
+    * UnigramSegmentSpec pins DP optimality against exhaustive
+    * enumeration, the tie total-order, lossless concatenation, and
+    * interpreted ≡ codegen. */
+  def qUnigramSegment(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = documents(s, d)
+    val vocabRows = unigramPieceCounts(docs).collect()
+    val total = vocabRows.iterator.map(_.getLong(1)).sum
+    val pieces = vocabRows.map(_.getString(0))
+    val costs = vocabRows.map(r =>
+      math.round(1e6 * (StrictMath.log(total.toDouble) -
+        StrictMath.log(r.getLong(1).toDouble))))
+    val unkCost = costs.max + 1000000L
+    val words = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val seg = words.select("w").distinct()
+      .withColumn("pieces", call_function("unigram_segment", col("w"),
+        lit(pieces), lit(costs), lit(unkCost)))
+      .select(col("w"), size(col("pieces")).as("n_pieces"),
+        size(filter(col("pieces"), p => length(p) === 1))
+          .as("n_single_char_pieces"))
+    words.join(seg, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"),
+        sum(col("n_single_char_pieces")).cast("long").as("n_char_pieces"))
+      .withColumn("fertility_bp",
+        expr("n_pieces * 10000 div n_words"))
+      .withColumn("char_piece_share_bp",
+        expr("n_char_pieces * 10000 div n_pieces"))
+  }
 }
