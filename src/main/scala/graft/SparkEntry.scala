@@ -471,6 +471,10 @@ object SparkEntry {
     // the DP is not SQL-expressible; UnigramSegmentSpec pins
     // optimality, tie order, lossless concat, interpreted==codegen)
     "q213_unigram_segment" -> (TextAnalysis.qUnigramSegment _),
+    // q214: streaming distinct via HLL register state (rows-only;
+    // EngagementSpec pins streamed registers == batch build bit for
+    // bit — the sketch-state parity statement)
+    "q214_streaming_hll" -> (graft.streaming.EventTime.qStreamingHll _),
   )
 
   def oracleSql: Map[String, String] = Map(

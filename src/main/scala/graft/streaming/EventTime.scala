@@ -511,6 +511,73 @@ object EventTime {
         col("m.s_at_alarm").as("s_at_alarm"))
   }
 
+  /** q214: streaming distinct users per type via HLL register state
+    * ([[Stateful.hllDistinctProgress]]) — the sketch-state member of
+    * the parity family: the per-type register array advanced
+    * micro-batch by micro-batch equals the BATCH-built registers bit
+    * for bit (register max is order-invariant), asserted by
+    * EngagementSpec against a direct udaf build; this query reports
+    * the streamed estimate beside the exact batch count. Rows-only
+    * (the estimator is not SQL-expressible — q193's argument). */
+  def qStreamingHll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .as[(String, Long)]
+    val prog = Stateful.hllDistinctProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q214 must exercise cross-batch register state, saw $dataBatches data batches")
+    val fin = s.table(name).groupBy("event_type")
+      .agg(max(col("n_seen")).as("n_events"),
+        max_by(col("regs"), col("n_seen")).as("regs"))
+    val exact = graft.operators.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val rows = fin.join(exact, Seq("event_type")).collect().toSeq.map { r =>
+      val est = graft.functions.HllSketch.estimate(r.getAs[Array[Byte]]("regs"))
+      val ex = r.getAs[Long]("exact_users")
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_events"), ex,
+        math.round(est * 100) / 100.0,
+        math.round(math.abs(est - ex) / ex * 1e6) / 1e4)
+    }
+    s.createDataFrame(rows).toDF("event_type", "n_events", "exact_users",
+      "est_users", "err_pct")
+  }
+
+  /** Final streamed HLL registers per type (spec hook: compared bit
+    * for bit to a batch udaf build over the same events). */
+  private[graft] def streamedHllRegisters(s: SparkSession,
+      d: String): Map[String, Array[Byte]] = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .as[(String, Long)]
+    val prog = Stateful.hllDistinctProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    s.table(name).groupBy("event_type")
+      .agg(max_by(col("regs"), col("n_seen")).as("regs"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Array[Byte]]("regs")).toMap
+  }
+
   /** q200: q199's last-touch attribution as STREAMING state
     * ([[Stateful.attributionProgress]]): one packed touch-long per
     * user plus six monotone counters, advanced micro-batch by

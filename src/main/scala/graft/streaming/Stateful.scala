@@ -434,6 +434,38 @@ object Stateful {
     * event_id), matching the batch operator's window order. Counters
     * are monotone, so max() per key over the update-mode emission
     * history reconstructs the final state. */
+  case class HllProgress(event_type: String, n_seen: Long, regs: Array[Byte])
+
+  /** q214 core: per-type streaming distinct-user HLL — the SKETCH-state
+    * shape: state is one 2^p-byte register array per key forever, each
+    * batch folds its pre-hashed values in with register max. Because
+    * registers are a pure ORDER-INVARIANT function of the value set
+    * ([[graft.functions.HllSketch]]), the streaming fixpoint equals the
+    * batch build BIT FOR BIT — the strongest parity available for an
+    * approximate operator (estimates don't just agree, the state does).
+    * The exact alternative (q45-style dedup state) keys state by VALUE
+    * — unbounded; this is the bounded-forever trade every production
+    * distinct-counter makes. */
+  def hllDistinctProgress(events: Dataset[(String, Long)], p: Int = 12,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[HllProgress] = {
+    implicit val stE: Encoder[(Long, Array[Byte])] =
+      Encoders.product[(Long, Array[Byte])]
+    implicit val outE: Encoder[HllProgress] = Encoders.product[HllProgress]
+    implicit val inE: Encoder[(String, Long)] =
+      Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val sk = new graft.functions.HllSketch(p)
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Byte]), HllProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)],
+            state: GroupState[(Long, Array[Byte])]) =>
+          var (n, regs) = state.getOption.getOrElse((0L, sk.zero))
+          it.foreach { case (_, h) => regs = sk.reduce(regs, h); n += 1 }
+          state.update((n, regs))
+          HllProgress(tpe, n, regs)
+      }
+  }
+
   case class AttributionProgress(user_id: Long, click_n: Long,
       click_cents: Long, view_n: Long, view_cents: Long,
       un_n: Long, un_cents: Long)

@@ -364,6 +364,20 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("q214: streamed HLL registers == batch udaf build bit for bit") {
+    import org.apache.spark.sql.Encoders
+    val streamed = graft.streaming.EventTime.streamedHllRegisters(spark, sf)
+    val build = udaf(new graft.functions.HllSketch(12), Encoders.scalaLong)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(build(xxhash64(col("user_id"))).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("regs")).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, regs) =>
+      assert(java.util.Arrays.equals(regs, batch(t)), t)
+    }
+  }
+
   // full lineitem replay with the join/filter columns the TPC-H-shape
   // specs need: (orderkey, partkey, returnflag, shipdate-iso, rev)
   private lazy val liFull: Seq[(Long, Long, String, String, Long)] =
