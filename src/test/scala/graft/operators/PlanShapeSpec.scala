@@ -63,4 +63,32 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k head:\n$plan")
   }
+
+  test("q209 shipping priority: pushed filters, broadcast dims, TakeOrdered cut") {
+    val df = Relational.qShippingPriority(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k head:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"nested loop crept in:\n$plan")
+    // every scan carries its pushed predicate
+    val pushed = "PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|EqualTo)".r
+    assert(pushed.findAllIn(plan).size >= 3, s"filters not pushed:\n$plan")
+  }
+
+  test("q206 retraction: the delta term joins via broadcast, not a base shuffle") {
+    val df = Relational.qRetractionView(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast delta:\n$plan")
+  }
+
+  test("q199 last touch: user window and rollup — no join, no global sort") {
+    val df = Stats.qLastTouch(spark, sf)
+    val n = shuffles(df)
+    assert(n <= 2, s"expected window + tiny rollup only, saw $n exchanges")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
 }
