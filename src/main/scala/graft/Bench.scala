@@ -208,6 +208,10 @@ object Bench {
     // over distinct words
     "q212_unigram_vocab",
     "q213_unigram_segment",
+    // round 15 (cont.): the disc quantile verb and the interpolating
+    // gap fill (rank window / spine-join shapes)
+    "q215_percentile_disc",
+    "q216_interpolate",
   )
 
   def main(args: Array[String]): Unit = {

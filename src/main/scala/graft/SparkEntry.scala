@@ -475,6 +475,11 @@ object SparkEntry {
     // EngagementSpec pins streamed registers == batch build bit for
     // bit — the sketch-state parity statement)
     "q214_streaming_hll" -> (graft.streaming.EventTime.qStreamingHll _),
+    // q215: discrete percentiles at integer ranks (actual data
+    // elements — the quantile family's disc verb)
+    "q215_percentile_disc" -> (Stats.qPercentileDisc _),
+    // q216: linear-interpolation gap fill (q180 LOCF's sibling)
+    "q216_interpolate" -> (Stats.qInterpolate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3641,5 +3646,67 @@ object SparkEntry {
          chars AS (SELECT piece, n FROM counts WHERE len(piece) = 1)
          SELECT piece, n, CAST(len(piece) AS BIGINT) AS piece_len
          FROM (SELECT * FROM top UNION SELECT * FROM chars)""",
+    // q215: both engines spell the rank window out — native
+    // percentile_disc implementations differ on tie/order edges
+    "q215_percentile_disc" ->
+      """WITH r AS (SELECT event_type, value,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM events)
+         SELECT event_type, MAX(n) AS n,
+                MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_disc,
+                MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END)
+                  AS p90_disc,
+                MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END)
+                  AS p99_disc
+         FROM r GROUP BY event_type""",
+    // q216: weighted-endpoint integer interpolation (nonneg numerator
+    // so // == div); gate hashes per-type invariants, not the series
+    "q216_interpolate" ->
+      """WITH daily AS (SELECT event_type,
+                               date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS t,
+                               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                                 AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, MIN(t) AS t0, MAX(t) AS t1
+                    FROM daily GROUP BY 1),
+         spine AS (SELECT event_type, unnest(range(t0, t1 + 1)) AS t
+                   FROM bounds),
+         j AS (SELECT s.event_type, s.t, d.v
+               FROM spine s LEFT JOIN daily d USING (event_type, t)),
+         wnd AS (SELECT *,
+                        LAST_VALUE(v IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS pv,
+                        LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END
+                          IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS pt,
+                        FIRST_VALUE(v IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                          AS nv,
+                        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END
+                          IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                          AS nt
+                 FROM j),
+         f AS (SELECT event_type, t,
+                      CASE WHEN v IS NOT NULL THEN v
+                           ELSE (pv * (nt - t) + nv * (t - pt)) // (nt - pt)
+                      END AS filled,
+                      CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interp
+               FROM wnd)
+         SELECT event_type, COUNT(*) AS n_days,
+                CAST(SUM(1 - interp) AS BIGINT) AS n_observed,
+                CAST(SUM(interp) AS BIGINT) AS n_interpolated,
+                CAST(SUM(filled) AS BIGINT) AS sum_filled_cents,
+                CAST(SUM(filled * (t % 997)) AS BIGINT) AS pos_checksum
+         FROM f GROUP BY event_type""",
   )
 }

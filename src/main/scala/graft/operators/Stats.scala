@@ -637,6 +637,85 @@ object Stats {
         when(col("cnt") > lit(2) * col("med7"), 1L).otherwise(0L))
   }
 
+  /** q215: discrete percentiles (percentile_disc) — the quantile
+    * family's remaining verb (cont q47 interpolates BETWEEN data
+    * points; sketch q49 approximates; refinement q148 scales; disc
+    * returns an ACTUAL data element): the value at rank ⌈p·n⌉ under
+    * the (value, event_id) total order. Ranks are pure integer
+    * arithmetic — ⌈p·n⌉ = (k·n + k') div d form — so no float ever
+    * touches row selection, and the returned values are raw data
+    * (hash-exact by construction; engines' own percentile_disc
+    * functions differ on tie/ordering edges, which is why both sides
+    * spell the window out).
+    *
+    * Scale shape: one per-type rank window; at 100 TB the same
+    * statistic comes from q148's refinement loop — this is the
+    * grouped-window form for group-sized partitions. */
+  def qPercentileDisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy("event_type")
+    events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+          .as("p50_disc"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value")))
+          .as("p90_disc"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("value")))
+          .as("p99_disc"))
+  }
+
+  /** q216: linear-interpolation gap fill — q180's LOCF sibling for
+    * measures where carrying the last value forward biases (a level
+    * metric vs a rate metric): missing days on the per-type daily
+    * cents series fill with v0 + (v1−v0)·(t−t0) div (t1−t0) between
+    * the bracketing observed days — integer floor arithmetic, exact
+    * and engine-identical. The gate hashes per-type integer
+    * invariants (counts, total, a position-weighted checksum) rather
+    * than shipping the dense series — q180's trick.
+    *
+    * Scale shape: in-plan day spine per type (`sequence`+explode),
+    * two IGNORE-NULLS windows over calendar-bounded partitions; the
+    * report is a ≤|types| rollup. */
+  def qInterpolate(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("long").as("t"))
+      .agg(sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("v"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("t").as("t0"), max("t").as("t1"))
+      .select(col("event_type"),
+        explode(expr("sequence(t0, t1)")).as("t"))
+    val wPrev = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = spine.join(daily, Seq("event_type", "t"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("v").isNotNull, col("t")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("v").isNotNull, col("t")),
+        ignoreNulls = true).over(wNext))
+      // weighted-endpoint form: the numerator is a sum of nonnegative
+      // terms, so integer division truncates == floors on BOTH engines
+      // (the v1<v0 slope would make a delta-form numerator negative,
+      // where Spark's `div` truncates toward zero but DuckDB's `//`
+      // floors — off by one on every downhill gap)
+      .withColumn("filled", when(col("v").isNotNull, col("v"))
+        .otherwise(expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)")))
+      .withColumn("interp", when(col("v").isNull, 1L).otherwise(0L))
+    filled.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(lit(1L) - col("interp")).as("n_observed"),
+        sum(col("interp")).as("n_interpolated"),
+        sum(col("filled")).as("sum_filled_cents"),
+        sum(col("filled") * (col("t") % 997)).as("pos_checksum"))
+  }
+
   /** q208: CUPED-adjusted A/B readout (Deng et al. 2013) — the
     * variance-reduction step every mature experimentation platform
     * applies before q195's z-test: each user's PRE-period purchase

@@ -378,6 +378,49 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("q215: discrete percentiles are the exact ranked data elements") {
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val want = vals.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length.toLong
+      def at(rank: Long) = sorted((rank - 1).toInt)
+      (t, n, at((n + 1) / 2), at((9 * n + 9) / 10), at((99 * n + 99) / 100))
+    }.toSet
+    val got = Stats.qPercentileDisc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want)
+  }
+
+  test("q216: interpolated fills match an integer endpoint recompute") {
+    val daily = evRaw.groupBy(e => (e._2, e._3))
+      .map { case ((t, d), g) => ((t, d), g.map(_._6).sum) }
+    val want = daily.keys.groupBy(_._1).map { case (tpe, keys) =>
+      val obs = daily.collect { case ((`tpe`, d), v) => (d, v) }.toSeq.sortBy(_._1)
+      val (d0, d1) = (obs.map(_._1).min, obs.map(_._1).max)
+      val om = obs.toMap
+      var nInterp = 0L; var sumFilled = 0L; var checksum = 0L
+      (d0 to d1).foreach { t =>
+        val v = om.get(t) match {
+          case Some(x) => x
+          case None =>
+            nInterp += 1
+            val (pt, pv) = obs.filter(_._1 < t).last
+            val (nt, nv) = obs.filter(_._1 > t).head
+            (pv * (nt - t) + nv * (t - pt)) / (nt - pt)
+        }
+        sumFilled += v; checksum += v * (t % 997)
+      }
+      (tpe, d1 - d0 + 1, d1 - d0 + 1 - nInterp, nInterp, sumFilled, checksum)
+    }.toSet
+    val got = Stats.qInterpolate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
+
   // full lineitem replay with the join/filter columns the TPC-H-shape
   // specs need: (orderkey, partkey, returnflag, shipdate-iso, rev)
   private lazy val liFull: Seq[(Long, Long, String, String, Long)] =
