@@ -212,6 +212,10 @@ object Bench {
     // gap fill (rank window / spine-join shapes)
     "q215_percentile_disc",
     "q216_interpolate",
+    // round 15 (cont.): weekly growth accounting + DAU/WAU stickiness
+    // (user-window + calendar rollup shapes)
+    "q217_growth_accounting",
+    "q218_stickiness",
   )
 
   def main(args: Array[String]): Unit = {

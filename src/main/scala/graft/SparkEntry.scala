@@ -480,6 +480,10 @@ object SparkEntry {
     "q215_percentile_disc" -> (Stats.qPercentileDisc _),
     // q216: linear-interpolation gap fill (q180 LOCF's sibling)
     "q216_interpolate" -> (Stats.qInterpolate _),
+    // q217: MoM growth accounting (new/retained/resurrected/churned)
+    "q217_growth_accounting" -> (Stats.qGrowthAccounting _),
+    // q218: DAU/MAU stickiness in exact integers
+    "q218_stickiness" -> (Stats.qStickiness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3708,5 +3712,58 @@ object SparkEntry {
                 CAST(SUM(filled) AS BIGINT) AS sum_filled_cents,
                 CAST(SUM(filled * (t % 997)) AS BIGINT) AS pos_checksum
          FROM f GROUP BY event_type""",
+    // q217: one user-keyed window gives first-seen/prev/next presence;
+    // weeks are epoch-day // 7 (nonnegative, so // matches div)
+    "q217_growth_accounting" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+                                date_diff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) // 7 AS widx
+                         FROM events),
+         wm AS (SELECT widx,
+                       MIN(widx) OVER (PARTITION BY user_id) AS first_seen,
+                       LAG(widx) OVER (PARTITION BY user_id ORDER BY widx)
+                         AS prev,
+                       LEAD(widx) OVER (PARTITION BY user_id ORDER BY widx)
+                         AS next
+                FROM weekly),
+         fl AS (SELECT widx,
+                       CASE WHEN widx = first_seen THEN 1 ELSE 0 END
+                         AS is_new,
+                       CASE WHEN prev = widx - 1 THEN 1 ELSE 0 END
+                         AS is_ret,
+                       CASE WHEN widx <> first_seen
+                             AND (prev IS NULL OR prev <> widx - 1)
+                            THEN 1 ELSE 0 END AS is_res,
+                       CASE WHEN next IS NULL OR next <> widx + 1
+                            THEN 1 ELSE 0 END AS is_churn
+                FROM wm)
+         SELECT CAST(DATE '1970-01-01' + CAST(widx * 7 AS INT) AS VARCHAR)
+                  AS week_start,
+                COUNT(*) AS n_active,
+                CAST(SUM(is_new) AS BIGINT) AS n_new,
+                CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+                CAST(SUM(is_res) AS BIGINT) AS n_resurrected,
+                CAST(SUM(is_churn) AS BIGINT) AS n_churned_out
+         FROM fl GROUP BY widx""",
+    // q218: integer Σdau·1e4 div (days·wau) — the exact ratio, not a
+    // float mean of per-day ratios
+    "q218_stickiness" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                            date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) // 7 AS widx
+                     FROM events),
+         daily AS (SELECT widx, day, COUNT(DISTINCT user_id) AS dau
+                   FROM du GROUP BY 1, 2),
+         dm AS (SELECT widx, COUNT(*) AS n_days,
+                       CAST(SUM(dau) AS BIGINT) AS sum_dau
+                FROM daily GROUP BY 1),
+         wau AS (SELECT widx, COUNT(DISTINCT user_id) AS wau
+                 FROM du GROUP BY 1)
+         SELECT CAST(DATE '1970-01-01' + CAST(widx * 7 AS INT) AS VARCHAR)
+                  AS week_start,
+                n_days, wau, sum_dau,
+                CAST(sum_dau * 10000 // (n_days * wau) AS BIGINT)
+                  AS stickiness_bp
+         FROM dm JOIN wau USING (widx)""",
   )
 }

@@ -637,6 +637,80 @@ object Stats {
         when(col("cnt") > lit(2) * col("med7"), 1L).otherwise(0L))
   }
 
+  /** q217: growth accounting — the week-over-week user-movement
+    * decomposition (new / retained / resurrected in, churned out)
+    * every growth team runs; q132's cohort retention slices by FIRST
+    * period, this slices by CALENDAR period. One user-keyed window
+    * over the (user, week) dedup gives first-seen, previous- and
+    * next-week presence in a single exchange: new = first week,
+    * retained = present last week, resurrected = returning after a
+    * gap, churned-out = absent next week (identity: active = new +
+    * retained + resurrected, spec-asserted). All integer counts;
+    * weeks are epoch-day div 7 (epoch days are nonnegative, so
+    * truncation == floor on both engines).
+    *
+    * Scale shape: week-dedup collapses map-side; ONE shuffle on the
+    * user key serves first-seen/lag/lead; the week rollup is
+    * calendar-sized. */
+  def qGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val weekly = events(s, d)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date'1970-01-01') div 7").cast("long")
+          .as("widx"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("widx")
+    val all = Window.partitionBy("user_id")
+    weekly
+      .withColumn("first_seen", min(col("widx")).over(all))
+      .withColumn("prev", lag(col("widx"), 1).over(w))
+      .withColumn("next", lead(col("widx"), 1).over(w))
+      .select(col("widx"),
+        when(col("widx") === col("first_seen"), 1L).otherwise(0L).as("is_new"),
+        when(col("prev") === col("widx") - 1, 1L).otherwise(0L).as("is_ret"),
+        when(col("widx") =!= col("first_seen") &&
+          (col("prev").isNull || col("prev") =!= col("widx") - 1), 1L)
+          .otherwise(0L).as("is_res"),
+        when(col("next").isNull || col("next") =!= col("widx") + 1, 1L)
+          .otherwise(0L).as("is_churn"))
+      .groupBy("widx")
+      .agg(count(lit(1)).as("n_active"), sum(col("is_new")).as("n_new"),
+        sum(col("is_ret")).as("n_retained"),
+        sum(col("is_res")).as("n_resurrected"),
+        sum(col("is_churn")).as("n_churned_out"))
+      .select(expr("CAST(date_add(date'1970-01-01', CAST(widx * 7 AS INT)) AS STRING)")
+          .as("week_start"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned_out"))
+  }
+
+  /** q218: DAU/WAU stickiness — the engagement-frequency ratio beside
+    * q217's movement decomposition: per week, weekly actives, summed
+    * daily actives, and Σdau·10⁴ div (days·wau) — the "how many days
+    * of the week does an active user show up" number, in exact
+    * integers (the float mean-of-ratios variant is both
+    * order-dependent and the wrong statistic).
+    *
+    * Scale shape: one (day, user) dedup collapsing map-side, a daily
+    * rollup, a weekly distinct-user rollup, calendar-sized outputs. */
+  def qStickiness(s: SparkSession, d: String): DataFrame = {
+    val du = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("datediff(to_date(ts), date'1970-01-01') div 7").cast("long")
+          .as("widx"))
+      .distinct()
+    val daily = du.groupBy("widx", "day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy("widx")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val wau = du.groupBy("widx")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.join(wau, Seq("widx"))
+      .select(expr("CAST(date_add(date'1970-01-01', CAST(widx * 7 AS INT)) AS STRING)")
+          .as("week_start"),
+        col("n_days"), col("wau"), col("sum_dau"),
+        expr("sum_dau * 10000 div (n_days * wau)").as("stickiness_bp"))
+  }
+
   /** q215: discrete percentiles (percentile_disc) — the quantile
     * family's remaining verb (cont q47 interpolates BETWEEN data
     * points; sketch q49 approximates; refinement q148 scales; disc

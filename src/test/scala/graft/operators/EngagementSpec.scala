@@ -421,6 +421,48 @@ class EngagementSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  private def weekLabel(widx: Long): String =
+    java.time.LocalDate.ofEpochDay(widx * 7).toString
+
+  test("q217: movement identity holds; flags match a set recompute") {
+    val weekly = evRaw.map(e => (e._1, e._3 / 7)).distinct
+    val byUser = weekly.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).toSet
+    }
+    val weeks = weekly.map(_._2).distinct
+    val want = weeks.map { m =>
+      val active = byUser.filter(_._2.contains(m))
+      val nNew = active.count(_._2.min == m)
+      val nRet = active.count(_._2.contains(m - 1))
+      val nRes = active.count(u => u._2.min != m && !u._2.contains(m - 1))
+      val nChurn = active.count(!_._2.contains(m + 1))
+      (weekLabel(m), active.size.toLong, nNew.toLong,
+        nRet.toLong, nRes.toLong, nChurn.toLong)
+    }.toSet
+    val got = Stats.qGrowthAccounting(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.size >= 2, "fixture must span multiple weeks")
+    got.foreach(r => assert(r._2 == r._3 + r._4 + r._5,
+      s"${r._1}: active != new + retained + resurrected"))
+  }
+
+  test("q218: stickiness matches the exact integer recompute") {
+    val du = evRaw.map(e => (e._1, e._3)).distinct
+    val want = du.groupBy(_._2 / 7).map { case (widx, g) =>
+      val nDays = g.map(_._2).distinct.size.toLong
+      val sumDau = g.map(_._2).distinct
+        .map(d => g.filter(_._2 == d).map(_._1).distinct.size.toLong).sum
+      val wau = g.map(_._1).distinct.size.toLong
+      (weekLabel(widx), nDays, wau, sumDau, sumDau * 10000 / (nDays * wau))
+    }.toSet
+    val got = Stats.qStickiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+  }
+
   // full lineitem replay with the join/filter columns the TPC-H-shape
   // specs need: (orderkey, partkey, returnflag, shipdate-iso, rev)
   private lazy val liFull: Seq[(Long, Long, String, String, Long)] =
