@@ -216,6 +216,9 @@ object Bench {
     // (user-window + calendar rollup shapes)
     "q217_growth_accounting",
     "q218_stickiness",
+    // round 15 (cont.): ratio-to-report + in-group rank (one region
+    // window over a nation-sized rollup)
+    "q219_region_share",
   )
 
   def main(args: Array[String]): Unit = {

@@ -484,6 +484,8 @@ object SparkEntry {
     "q217_growth_accounting" -> (Stats.qGrowthAccounting _),
     // q218: DAU/MAU stickiness in exact integers
     "q218_stickiness" -> (Stats.qStickiness _),
+    // q219: ratio-to-report + in-group rank over one region window
+    "q219_region_share" -> (Relational.qRegionShare _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3765,5 +3767,34 @@ object SparkEntry {
                 CAST(sum_dau * 10000 // (n_days * wau) AS BIGINT)
                   AS stickiness_bp
          FROM dm JOIN wau USING (widx)""",
+    // q219: HUGEINT-widened ppm (rev * 1e6 tops BIGINT); rank with a
+    // name tie-break is a total order
+    "q219_region_share" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev
+                     FROM lineitem),
+         rolled AS (SELECT r_name, n_name,
+                           CAST(SUM(rev) AS BIGINT) AS rev_x1e4
+                    FROM li
+                    JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    GROUP BY 1, 2),
+         w AS (SELECT *,
+                      CAST(SUM(rev_x1e4) OVER (PARTITION BY r_name)
+                        AS BIGINT) AS region_total_x1e4,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+                        ORDER BY rev_x1e4 DESC, n_name) AS BIGINT)
+                        AS rank_in_region
+               FROM rolled)
+         SELECT r_name, n_name, rev_x1e4, region_total_x1e4,
+                CAST(CAST(rev_x1e4 AS HUGEINT) * 1000000
+                     // region_total_x1e4 AS BIGINT) AS share_ppm,
+                rank_in_region
+         FROM w""",
   )
 }

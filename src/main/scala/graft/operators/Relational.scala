@@ -1585,6 +1585,40 @@ object Relational {
     ).reduce(_.union(_))
   }
 
+  /** q219: share-of-total within group (RATIO_TO_REPORT) + in-group
+    * ranking — the report verb pairing a partition-total window with
+    * a rank over the same partition (one exchange serves both):
+    * per-nation revenue as exact ppm of its region's total (integer
+    * rev·10⁶ div region_total — no float share) and the nation's rank
+    * inside the region (revenue desc, name tie-break — total order).
+    *
+    * Scale shape: the star join collapses to a (region, nation)
+    * rollup first; both windows ride that ≤|nations| frame — the
+    * window never sees fact-table rows. */
+  def qRegionShare(s: SparkSession, d: String): DataFrame = {
+    val rolled = lineitem(s, d).select(col("l_orderkey"), revX1e4.as("rev"))
+      .join(orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("rev")).as("rev_x1e4"))
+    val wTot = Window.partitionBy("r_name")
+    val wRnk = Window.partitionBy("r_name")
+      .orderBy(col("rev_x1e4").desc, col("n_name").asc)
+    rolled
+      .withColumn("region_total_x1e4", sum(col("rev_x1e4")).over(wTot))
+      // decimal/HUGEINT ppm: rev·10⁶ tops BIGINT near nation revenues
+      // of ~9e12 (ANSI overflow on one engine, silent wrap risk on the
+      // other) — widen before the multiply on both
+      .withColumn("share_ppm",
+        expr("""CAST(CAST(rev_x1e4 AS DECIMAL(38,0)) * 1000000
+                div CAST(region_total_x1e4 AS DECIMAL(38,0)) AS BIGINT)"""))
+      .withColumn("rank_in_region", row_number().over(wRnk).cast("long"))
+  }
+
   /** q209: TPC-H Q3 shape ("shipping priority") — the recognized
     * 3-table star probe: revenue of BUILDING-segment orders placed
     * before the pivot date with lines still unshipped after it, top

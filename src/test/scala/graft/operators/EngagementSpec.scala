@@ -421,6 +421,44 @@ class EngagementSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q219: shares and in-region ranks match an exact recompute") {
+    val ordCust = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val custNat = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val natInfo = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val regName = Tables.region(spark, sf)
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val rolled = liRev.flatMap { case (ok, rev) =>
+      ordCust.get(ok).flatMap(custNat.get).map { nk =>
+        val (nn, rk) = natInfo(nk)
+        ((regName(rk), nn), rev)
+      }
+    }.groupBy(_._1).map { case (k, g) => (k._1, k._2, g.map(_._2).sum) }.toSeq
+    val want = rolled.groupBy(_._1).flatMap { case (_, nations) =>
+      val total = nations.map(_._3).sum
+      val ranked = nations.sortBy(n => (-n._3, n._2)).zipWithIndex
+      ranked.map { case ((r, n, rev), i) =>
+        (r, n, rev, total, (BigInt(rev) * 1000000 / total).toLong,
+          (i + 1).toLong)
+      }
+    }.toSet
+    val got = Relational.qRegionShare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    // shares per region sum to ~1e6 (floor residue < nations)
+    got.groupBy(_._1).foreach { case (r, g) =>
+      val s = g.map(_._5).sum
+      assert(s > 1000000 - g.size && s <= 1000000, s"$r share sum $s")
+    }
+  }
+
   private def weekLabel(widx: Long): String =
     java.time.LocalDate.ofEpochDay(widx * 7).toString
 
