@@ -219,6 +219,9 @@ object Bench {
     // round 15 (cont.): ratio-to-report + in-group rank (one region
     // window over a nation-sized rollup)
     "q219_region_share",
+    // round 15 (cont.): the weighted quantile verb (one source-keyed
+    // window walk)
+    "q220_weighted_median",
   )
 
   def main(args: Array[String]): Unit = {

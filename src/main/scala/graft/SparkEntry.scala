@@ -486,6 +486,8 @@ object SparkEntry {
     "q218_stickiness" -> (Stats.qStickiness _),
     // q219: ratio-to-report + in-group rank over one region window
     "q219_region_share" -> (Relational.qRegionShare _),
+    // q220: token-weighted median doc length vs the unweighted median
+    "q220_weighted_median" -> (Stats.qWeightedMedian _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3796,5 +3798,29 @@ object SparkEntry {
                      // region_total_x1e4 AS BIGINT) AS share_ppm,
                 rank_in_region
          FROM w""",
+    // q220: the 2*cum >= total crossing is pure integer comparison;
+    // token weights use the q22-proven split parity
+    "q220_weighted_median" ->
+      """WITH docs AS (SELECT source, doc_id, n_chars,
+                             CAST(len(string_split_regex(text, '\s+'))
+                               AS BIGINT) AS w
+                      FROM documents),
+         wnd AS (SELECT *,
+                        SUM(w) OVER (PARTITION BY source
+                          ORDER BY n_chars, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cum,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY n_chars, doc_id) AS rn,
+                        SUM(w) OVER (PARTITION BY source) AS total,
+                        COUNT(*) OVER (PARTITION BY source) AS n
+                 FROM docs)
+         SELECT source, MAX(n) AS n_docs,
+                CAST(MAX(total) AS BIGINT) AS total_tokens,
+                CAST(MIN(CASE WHEN cum * 2 >= total THEN n_chars END)
+                  AS BIGINT) AS wmedian_chars,
+                CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+                  AS BIGINT) AS median_chars
+         FROM wnd GROUP BY source""",
   )
 }

@@ -711,6 +711,40 @@ object Stats {
         expr("sum_dau * 10000 div (n_days * wau)").as("stickiness_bp"))
   }
 
+  /** q220: WEIGHTED median — the quantile family's weighted verb
+    * (every unweighted quantile here treats docs equally; a token
+    * budget doesn't): per source, the smallest doc length whose
+    * cumulative TOKEN weight reaches half the total (2·cum ≥ total in
+    * pure integers — no half-total float), beside the unweighted
+    * lower median from the same ordered walk. The two diverge exactly
+    * when length and weight correlate — which for documents they do,
+    * and the gap is the statistic (how much a token-weighted view
+    * shifts the "typical document").
+    *
+    * Scale shape: ONE source-keyed window exchange serves the cumsum,
+    * the rank, and the totals; the crossing pick is a min over flagged
+    * rows in the same rollup. */
+  def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.functions.tokenCount(col("text")).cast("long").as("w"))
+    val ord = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val all = Window.partitionBy("source")
+    docs
+      .withColumn("cum", sum(col("w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("total", sum(col("w")).over(all))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        max(col("total")).as("total_tokens"),
+        min(when(col("cum") * 2 >= col("total"), col("n_chars")))
+          .as("wmedian_chars"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+          .as("median_chars"))
+  }
+
   /** q215: discrete percentiles (percentile_disc) — the quantile
     * family's remaining verb (cont q47 interpolates BETWEEN data
     * points; sketch q49 approximates; refinement q148 scales; disc

@@ -459,6 +459,26 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("q220: weighted median is the exact cumulative-weight crossing") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.functions.tokenCount(col("text")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = docs.groupBy(_._1).map { case (src, g) =>
+      val sorted = g.sortBy(d => (d._3, d._2))
+      val total = sorted.map(_._4).sum
+      var cum = 0L
+      val wmed = sorted.find { d => cum += d._4; cum * 2 >= total }.get._3
+      val med = sorted((sorted.length + 1) / 2 - 1)._3
+      (src, g.length.toLong, total, wmed, med)
+    }.toSet
+    val got = Stats.qWeightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+  }
+
   private def weekLabel(widx: Long): String =
     java.time.LocalDate.ofEpochDay(widx * 7).toString
 
