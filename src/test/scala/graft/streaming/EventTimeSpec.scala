@@ -75,6 +75,59 @@ class EventTimeSpec extends AnyFunSuite {
       rows(EventTime.qWatermarkTumbling(spark, sf)).map(_.head).toSet.size)
   }
 
+  test("a straggler for an already-finalized window is dropped, never double-fired") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // three mtime-ordered replay files: batch 0 seeds windows 09–11
+    // (watermark still 0); batch 1's 12:xx rows advance the watermark
+    // to 12:29, which FINALIZES-and-evicts the 09/10/11 windows in
+    // append mode; batch 2's 09:20 straggler then targets a window
+    // whose result already fired — the one case append-mode semantics
+    // REQUIRE a drop (accepting it could never be emitted again).
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val a = Seq((ts(9, 5), "x"), (ts(10, 5), "x"), (ts(10, 40), "x"),
+      (ts(11, 10), "x"), (ts(11, 59), "x")).toDF("ts", "k")
+    val b = Seq((ts(12, 10), "x"), (ts(12, 59), "x")).toDF("ts", "k")
+    val c = Seq((ts(9, 20), "x")).toDF("ts", "k")
+    a.coalesce(1).write.parquet(s"$dir/f1")
+    b.coalesce(1).write.parquet(s"$dir/f2")
+    c.coalesce(1).write.parquet(s"$dir/f3")
+    new java.io.File(dir).listFiles().sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) =>
+        f.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(1700000000000L + i * 60000L))
+      }
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count("*").as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_sec"), col("k"),
+        col("n"))
+    val name = "graft_late_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-late-ck").toString)
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "replay must deliver the straggler after its window finalized")
+    // the straggler contributed to NOTHING: 09:00 fired once with only
+    // the on-time row, and no second 09:00 emission exists
+    assert(rows(spark.table(name)) == Set(
+      Seq(ts(9, 0).getTime / 1000, "x", 1L),
+      Seq(ts(10, 0).getTime / 1000, "x", 2L),
+      Seq(ts(11, 0).getTime / 1000, "x", 2L)))
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1, "the finalized-window straggler must be counted dropped")
+  }
+
   test("q45 dedup state is bounded by the watermark, not by total key cardinality") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
