@@ -222,6 +222,10 @@ object Bench {
     // round 15 (cont.): the weighted quantile verb (one source-keyed
     // window walk)
     "q220_weighted_median",
+    // round 15 (cont.): numeric-profiling verbs (fixed-width bins;
+    // per-table all-column dedup counts)
+    "q221_equiwidth_hist",
+    "q222_duplicate_rows",
   )
 
   def main(args: Array[String]): Unit = {

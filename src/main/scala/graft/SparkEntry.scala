@@ -488,6 +488,10 @@ object SparkEntry {
     "q219_region_share" -> (Relational.qRegionShare _),
     // q220: token-weighted median doc length vs the unweighted median
     "q220_weighted_median" -> (Stats.qWeightedMedian _),
+    // q221: equi-width histogram (fixed-width numeric profiling)
+    "q221_equiwidth_hist" -> (Stats.qEquiWidthHist _),
+    // q222: full-row duplicate audit per table
+    "q222_duplicate_rows" -> (Stats.qDuplicateRows _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3822,5 +3826,46 @@ object SparkEntry {
                 CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
                   AS BIGINT) AS median_chars
          FROM wnd GROUP BY source""",
+    // q221: (v-mn)*10 // (mx-mn+1) — nonnegative integers, +1 keeps
+    // the max inside bin 9
+    "q221_equiwidth_hist" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         mm AS (SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+                FROM ev GROUP BY 1)
+         SELECT ev.event_type,
+                CAST((v - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bin,
+                COUNT(*) AS n,
+                MIN(v) AS lo_cents, MAX(v) AS hi_cents
+         FROM ev JOIN mm USING (event_type)
+         GROUP BY 1, 2""",
+    // q222: total vs distinct full rows per table
+    "q222_duplicate_rows" ->
+      """SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+                (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM events))
+                  AS n_distinct,
+                COUNT(*) - (SELECT COUNT(*)
+                            FROM (SELECT DISTINCT * FROM events))
+                  AS n_dup_rows
+         FROM events
+         UNION ALL
+         SELECT 'orders', COUNT(*),
+                (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM orders)),
+                COUNT(*) - (SELECT COUNT(*)
+                            FROM (SELECT DISTINCT * FROM orders))
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem', COUNT(*),
+                (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)),
+                COUNT(*) - (SELECT COUNT(*)
+                            FROM (SELECT DISTINCT * FROM lineitem))
+         FROM lineitem
+         UNION ALL
+         SELECT 'documents', COUNT(*),
+                (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM documents)),
+                COUNT(*) - (SELECT COUNT(*)
+                            FROM (SELECT DISTINCT * FROM documents))
+         FROM documents""",
   )
 }

@@ -711,6 +711,51 @@ object Stats {
         expr("sum_dau * 10000 div (n_days * wau)").as("stickiness_bp"))
   }
 
+  /** q221: equi-width histogram — the basic numeric-profiling verb
+    * (every engine's `histogram()`; q190 bands by QUANTILE edges, this
+    * bins by fixed WIDTH over the observed range): 10 integer-cent
+    * bins per type via (v−mn)·10 div (mx−mn+1) — exact nonnegative
+    * integer arithmetic, the +1 keeping the max value inside bin 9 —
+    * with each bin's count and observed [lo, hi] (the zone-map stats a
+    * layout would carry).
+    *
+    * Scale shape: one min/max rollup broadcast back, one scan
+    * collapsing map-side onto ≤10·|types| cells. */
+  def qEquiWidthHist(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val mm = ev.groupBy("event_type")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    ev.join(broadcast(mm), Seq("event_type"))
+      .withColumn("bin", expr("(v - mn) * 10 div (mx - mn + 1)"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo_cents"),
+        max(col("v")).as("hi_cents"))
+  }
+
+  /** q222: full-row duplicate audit — the data-quality screen run
+    * before any "rows are facts" assumption (a retried writer or a
+    * replayed batch shows up here first): per table, total rows vs
+    * distinct full rows. Declared-key tables should read zero; a
+    * nonzero delta on an append log is the at-least-once signature.
+    *
+    * Scale shape: one all-column dedup per table (map-side partial —
+    * the same shuffle a dedup would pay; at 100 TB run it on the
+    * suspect partition range, not the fleet). */
+  def qDuplicateRows(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows")).crossJoin(
+          df.distinct().agg(count(lit(1)).as("n_distinct")))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dup_rows"))
+    Seq(audit("events", events(s, d)),
+      audit("orders", orders(s, d)),
+      audit("lineitem", lineitem(s, d)),
+      audit("documents", documents(s, d)))
+      .reduce(_.union(_))
+  }
+
   /** q220: WEIGHTED median — the quantile family's weighted verb
     * (every unweighted quantile here treats docs equally; a token
     * budget doesn't): per source, the smallest doc length whose

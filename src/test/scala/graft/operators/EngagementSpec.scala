@@ -479,6 +479,33 @@ class EngagementSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q221: bins, counts, and zone bounds match an integer recompute") {
+    val want = evRaw.groupBy(_._2).flatMap { case (t, rows) =>
+      val vs = rows.map(_._6)
+      val (mn, mx) = (vs.min, vs.max)
+      vs.groupBy(v => (v - mn) * 10 / (mx - mn + 1)).map { case (b, g) =>
+        (t, b, g.size.toLong, g.min, g.max)
+      }
+    }.toSet
+    val got = Stats.qEquiWidthHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    got.foreach(r => assert(r._2 >= 0 && r._2 <= 9, s"bin ${r._2}"))
+  }
+
+  test("q222: row/distinct counts match; fixture tables carry no dupes") {
+    val got = Stats.qDuplicateRows(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet ==
+      Set("events", "orders", "lineitem", "documents"))
+    got.foreach { r =>
+      assert(r._2 - r._3 == r._4, r._1)
+      assert(r._4 == 0L, s"${r._1}: unexpected duplicate rows")
+    }
+    assert(got.find(_._1 == "events").get._2 == evRaw.size)
+  }
+
   private def weekLabel(widx: Long): String =
     java.time.LocalDate.ofEpochDay(widx * 7).toString
 
