@@ -575,6 +575,7 @@ class EngagementSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, g) =>
         (k, om(k)._1, om(k)._2, g.map(_._5).sum)
       }.toSeq.sortBy(r => (-r._4, r._1)).take(10)
+    assert(want.nonEmpty, "fixture no longer matches the q209 date/segment constants")
     val got = Relational.qShippingPriority(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq.sortBy(r => (-r._4, r._1))
@@ -599,6 +600,7 @@ class EngagementSpec extends AnyFunSuite {
         val (name, nk) = custs(ck)
         (ck, name, nn(nk), g.map(_._5).sum, g.size.toLong)
       }.toSeq.sortBy(r => (-r._4, r._1)).take(20)
+    assert(want.nonEmpty, "fixture no longer matches the q210 quarter constants")
     val got = Relational.qReturnedItems(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getLong(4))).toSeq.sortBy(r => (-r._4, r._1))
@@ -615,6 +617,7 @@ class EngagementSpec extends AnyFunSuite {
         val t = g.map(_._5).sum
         (m, p, t, math.rint(p.toDouble / t.toDouble * 1e6) / 1e6)
       }.toSet
+    assert(want.nonEmpty, "fixture no longer matches the q211 year constant")
     val got = Relational.qPromoShare(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
