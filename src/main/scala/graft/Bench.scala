@@ -226,6 +226,8 @@ object Bench {
     // per-table all-column dedup counts)
     "q221_equiwidth_hist",
     "q222_duplicate_rows",
+    // round 15 (cont.): one-scan pairwise Pearson matrix
+    "q223_corr_matrix",
   )
 
   def main(args: Array[String]): Unit = {

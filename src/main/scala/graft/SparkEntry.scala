@@ -492,6 +492,8 @@ object SparkEntry {
     "q221_equiwidth_hist" -> (Stats.qEquiWidthHist _),
     // q222: full-row duplicate audit per table
     "q222_duplicate_rows" -> (Stats.qDuplicateRows _),
+    // q223: pairwise Pearson matrix from exact decimal sums, one scan
+    "q223_corr_matrix" -> (Stats.qCorrMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3867,5 +3869,47 @@ object SparkEntry {
                 COUNT(*) - (SELECT COUNT(*)
                             FROM (SELECT DISTINCT * FROM documents))
          FROM documents""",
+    // q223: HUGEINT sufficient sums; denominators convert to double
+    // BEFORE multiplying (their product exceeds 38 digits)
+    "q223_corr_matrix" ->
+      """WITH b AS (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                             AS HUGEINT) AS x,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS HUGEINT) AS y,
+                           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                             AS HUGEINT) AS z
+                    FROM lineitem),
+         s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+                      SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                      SUM(z * z) AS szz,
+                      SUM(x * y) AS sxy, SUM(x * z) AS sxz,
+                      SUM(y * z) AS syz
+               FROM b),
+         rr AS (SELECT CAST(n AS BIGINT) AS nn,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+                       CAST(n * sxz - sx * sz AS DOUBLE) AS cxz,
+                       CAST(n * syz - sy * sz AS DOUBLE) AS cyz,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+                       CAST(n * szz - sz * sz AS DOUBLE) AS vz
+                FROM s)
+         SELECT 'qty~price' AS pair, nn AS n,
+                ROUND(CASE WHEN vx > 0 AND vy > 0
+                           THEN cxy / SQRT(vx) / SQRT(vy)
+                           ELSE 0.0 END, 6) AS r
+         FROM rr
+         UNION ALL
+         SELECT 'qty~discount', nn,
+                ROUND(CASE WHEN vx > 0 AND vz > 0
+                           THEN cxz / SQRT(vx) / SQRT(vz)
+                           ELSE 0.0 END, 6)
+         FROM rr
+         UNION ALL
+         SELECT 'price~discount', nn,
+                ROUND(CASE WHEN vy > 0 AND vz > 0
+                           THEN cyz / SQRT(vy) / SQRT(vz)
+                           ELSE 0.0 END, 6)
+         FROM rr""",
   )
 }

@@ -711,6 +711,55 @@ object Stats {
         expr("sum_dau * 10000 div (n_days * wau)").as("stickiness_bp"))
   }
 
+  /** q223: column-correlation profile — pairwise Pearson across the
+    * numeric lineitem measures in ONE scan: all ten sufficient sums
+    * (n, Σ of each column, each square, each cross-product) aggregate
+    * as exact DECIMAL(38,0) over cent/point-scaled integers, then the
+    * three r values are scalar formulas over exact integers (the
+    * q157/q179 discipline widened to a matrix; engines' own corr()
+    * sums doubles in partition order — unusable for a hash gate).
+    * The profiling read every feature-selection / leakage screen
+    * starts from.
+    *
+    * Scale shape: one map-side-combined rollup to a single row;
+    * magnitudes: n·Σxy tops BIGINT at ~1e24, which is the decimal's
+    * job; the r denominators convert to double BEFORE multiplying
+    * (the q208 ρ² lesson — products of two ~1e24 combos exceed 38
+    * digits). */
+  def qCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(
+      dec(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("x"),
+      dec(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("y"),
+      dec(expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"))
+        .as("z"))
+    val sums = base.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column = {
+      val cov = d2(col("n") * col(sab) - col(sa) * col(sb))
+      val va = d2(col("n") * col(saa) - col(sa) * col(sa))
+      val vb = d2(col("n") * col(sbb) - col(sb) * col(sb))
+      round(when(va > 0 && vb > 0, cov / sqrt(va) / sqrt(vb))
+        .otherwise(lit(0.0)), 6)
+    }
+    sums.select(col("n").cast("long").as("n"),
+        r("sxy", "sx", "sy", "sxx", "syy").as("r_qty_price"),
+        r("sxz", "sx", "sz", "sxx", "szz").as("r_qty_discount"),
+        r("syz", "sy", "sz", "syy", "szz").as("r_price_discount"))
+      .selectExpr("""stack(3,
+          'qty~price',      n, r_qty_price,
+          'qty~discount',   n, r_qty_discount,
+          'price~discount', n, r_price_discount)
+        AS (pair, n, r)""")
+  }
+
   /** q221: equi-width histogram — the basic numeric-profiling verb
     * (every engine's `histogram()`; q190 bands by QUANTILE edges, this
     * bins by fixed WIDTH over the observed range): 10 integer-cent

@@ -5,11 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** q193–q200 (HLL rollup, activity bitmask, exposure z, higher
-  * moments, rolling median, compaction plan, last-touch attribution,
-  * streaming attribution parity) — driver-side recomputation of each
-  * contract on the raw sf0.001 rows, so a same-wrong-answer-on-both-
-  * engines bug can't hide behind the DuckDB oracle. */
+/** The round-15 batch (q193–q223: engagement, experimentation, view
+  * maintenance, profiling, TPC-H shapes, streaming parities) —
+  * driver-side recomputation of each contract on the raw sf0.001
+  * rows, so a same-wrong-answer-on-both-engines bug can't hide behind
+  * the DuckDB oracle. */
 class EngagementSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
@@ -504,6 +504,38 @@ class EngagementSpec extends AnyFunSuite {
       assert(r._4 == 0L, s"${r._1}: unexpected duplicate rows")
     }
     assert(got.find(_._1 == "events").get._2 == evRaw.size)
+  }
+
+  test("q223: every r matches an exact BigInt recompute") {
+    val raw = Tables.lineitem(spark, sf)
+      .select(
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2))))
+    val n = BigInt(raw.size)
+    def corr(a: Seq[BigInt], b: Seq[BigInt]): Double = {
+      val sa = a.sum; val sb = b.sum
+      val cov = (n * a.zip(b).map { case (x, y) => x * y }.sum - sa * sb)
+        .toDouble
+      val va = (n * a.map(x => x * x).sum - sa * sa).toDouble
+      val vb = (n * b.map(x => x * x).sum - sb * sb).toDouble
+      if (va > 0 && vb > 0) cov / math.sqrt(va) / math.sqrt(vb) else 0.0
+    }
+    val (xs, ys, zs) = (raw.map(_._1).toSeq, raw.map(_._2).toSeq,
+      raw.map(_._3).toSeq)
+    val want = Map("qty~price" -> corr(xs, ys),
+      "qty~discount" -> corr(xs, zs), "price~discount" -> corr(ys, zs))
+    val got = Stats.qCorrMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3)
+    got.foreach { g =>
+      assert(g._2 == raw.size.toLong)
+      assert(math.abs(g._3 - want(g._1)) < 1e-6, g._1)
+    }
+    // no sign pin: unlike real TPC-H (extprice = qty * partprice),
+    // this generator draws price independent of quantity (r ~ 0.003)
   }
 
   private def weekLabel(widx: Long): String =
