@@ -627,17 +627,24 @@ object SparkEntry {
     "q26_dedup_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents""",
     "q29_ngram_jaccard" ->
-      """WITH d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2)
          SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  len(list_intersect(a.sh, b.sh))::DOUBLE
-                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-           FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+           SELECT inter.doc_a, inter.doc_b,
+                  ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+           FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                      JOIN cnt cb ON cb.doc_id = inter.doc_b)
          WHERE jac >= 0.5""",
     "q30_embedding_near_dup" ->
       """SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine FROM (
@@ -799,18 +806,25 @@ object SparkEntry {
     // survivor selection over the q29 pair definition: drop every doc
     // appearing as the higher id of a qualifying near-dup pair
     "q56_dedup_keep" ->
-      """WITH d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          dropped AS (
            SELECT DISTINCT doc_b AS doc_id FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT inter.doc_a, inter.doc_b,
+                    ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.5)
          SELECT source, COUNT(*) AS n_kept,
                 CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
@@ -821,18 +835,25 @@ object SparkEntry {
     // threshold: component = min doc_id reachable through near-dup
     // edges (recursive min-reachability closure)
     "q57_dedup_components" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT inter.doc_a, inter.doc_b,
+                    ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.1),
          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
@@ -978,18 +999,25 @@ object SparkEntry {
                  / len(string_split_regex(text, '\s+')) >= 0.1
              AND length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
                  / length(text) <= 0.2),
-         d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM kept)),
+         tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM kept),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT inter.doc_a, inter.doc_b,
+                    ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.1),
          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
@@ -1257,21 +1285,28 @@ object SparkEntry {
     // split-leakage audit: q29's near-dup pair definition tagged with a
     // deterministic 80/20 split; crossing pairs = eval contamination
     "q92_split_leakage" ->
-      """WITH d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          sp AS (SELECT doc_id,
                        CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'valid' END AS split
                 FROM documents),
          pairs AS (
            SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT inter.doc_a, inter.doc_b,
+                    ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.5),
          tagged AS (
            SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
@@ -1380,18 +1415,25 @@ object SparkEntry {
     // leakage-safe split: q57's recursive components, split assigned by
     // hashing the COMPONENT id (first two md5 hex chars < 'cd' ~ 80%)
     "q101_safe_split" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT inter.doc_a, inter.doc_b,
+                    ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.1),
          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
@@ -1431,21 +1473,32 @@ object SparkEntry {
          SELECT lang, bucket, COUNT(*) AS n_docs,
                 ROUND(AVG(avg_nll), 2) AS mean_nll
          FROM scored GROUP BY lang, bucket""",
-    // soft dedup: weight 1/component-size, per-source effective size
+    // soft dedup: weight 1/component-size, per-source effective size.
+    // Restated r8 with ZERO version-mobile surface: no list_intersect/
+    // list_distinct/list_transform (shingles via unnest + GROUP BY
+    // distinct counts — list-function semantics moved across DuckDB
+    // versions twice on us), and the output is the raw BIGINT
+    // picoweight sum (no ROUND, no /1e12 — nothing float to disagree
+    // on). Verified bit-identical to the r7 formulation on DuckDB 1.0.0.
     "q103_soft_dedup" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
-           WHERE jac >= 0.1),
+           SELECT doc_a, doc_b
+           FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                      JOIN cnt cb ON cb.doc_id = inter.doc_b
+           WHERE ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) >= 0.1),
          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
          reach AS (
@@ -1455,7 +1508,7 @@ object SparkEntry {
          comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
          sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
          SELECT s.source, COUNT(*) AS n_docs,
-                ROUND(SUM(1000000000000 // z.csize) / 1e12, 4) AS effective_docs,
+                SUM(1000000000000 // z.csize)::BIGINT AS effective_docs_pico,
                 SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS n_in_clusters
          FROM comp c JOIN sizes z USING (component)
               JOIN documents s ON c.doc_id = s.doc_id
@@ -1517,17 +1570,24 @@ object SparkEntry {
          FROM r GROUP BY vec_id""",
     // pair counts per 0.1-wide band of the q29 rounded Jaccard
     "q108_jaccard_bands" ->
-      """WITH d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          pairs AS (
            SELECT ROUND(jac, 4) AS jaccard FROM (
-             SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.1)
          SELECT FLOOR(jaccard * 10) / 10 AS band, COUNT(*) AS n_pairs
          FROM pairs GROUP BY band""",
@@ -1849,18 +1909,25 @@ object SparkEntry {
          FROM r WHERE rk = 1""",
     // keep-longest survivor per near-dup component (q101's clusters)
     "q128_dedup_keep_best" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT inter.doc_a, inter.doc_b,
+                    ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.1),
          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
@@ -1975,18 +2042,25 @@ object SparkEntry {
                       / (SELECT COUNT(*) FROM v), 4) AS conversion_rate""",
     // cluster-size histogram over the q101-family recursive components
     "q134_cluster_sizes" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
-             END) AS sh
-           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    len(list_intersect(a.sh, b.sh))::DOUBLE
-                      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-             FROM d a JOIN d b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64)
+             SELECT inter.doc_a, inter.doc_b,
+                    ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) AS jac
+             FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                        JOIN cnt cb ON cb.doc_id = inter.doc_b)
            WHERE jac >= 0.1),
          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),

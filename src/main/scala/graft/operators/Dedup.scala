@@ -549,12 +549,14 @@ object Dedup {
       .join(softDedupWeights(docs), Seq("doc_id"))
       .groupBy("source")
       .agg(count("*").as("n_docs"),
-        // sum 1/csize as EXACT picoweight integers (1e12 div csize):
-        // long addition is order-invariant, so the hash is stable no
-        // matter how Spark vs DuckDB order the partial aggregates —
-        // double summation here flipped a 4th-decimal boundary (r6)
-        round(sum(expr("1000000000000 div csize")).cast("double") / 1e12, 4)
-          .as("effective_docs"),
+        // sum 1/csize as EXACT picoweight integers (1e12 div csize) and
+        // EMIT the raw BIGINT sum: long addition is order-invariant, so
+        // the hash is stable no matter how Spark vs DuckDB order the
+        // partial aggregates, and with no trailing division/ROUND the
+        // result has zero float surface for engine versions to disagree
+        // on (double summation flipped a 4th-decimal boundary in r6; a
+        // rounded division was the r7 residual suspect)
+        sum(expr("1000000000000 div csize")).as("effective_docs_pico"),
         sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_clusters"))
   }
 

@@ -301,11 +301,14 @@ class DedupSpec extends AnyFunSuite {
     val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
     assert(bySplit("train") > bySplit("valid") && bySplit("valid") > 0)
     // soft-dedup weights: each cluster contributes total weight 1, so
-    // the corpus-wide effective size equals the number of clusters
+    // the corpus-wide effective size (in exact picoweights) equals the
+    // number of clusters up to the per-cluster floor residue of
+    // 1e12 div csize (< csize picoweights per cluster)
     val nClusters = assign.select("component").distinct().count()
-    val eff = Dedup.qSoftDedup(spark, sf).collect()
-      .map(_.getDouble(2)).sum
-    assert(math.abs(eff - nClusters) < 0.01, s"effective $eff vs clusters $nClusters")
+    val effPico = Dedup.qSoftDedup(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(math.abs(effPico / 1e12 - nClusters) < 0.01,
+      s"effective ${effPico / 1e12} vs clusters $nClusters")
   }
 
   test("q108: band histogram reconciles exactly with the pair list") {

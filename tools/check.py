@@ -21,6 +21,21 @@ import os
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# The oracle SQL is authored and bit-verified against this DuckDB
+# version. The oracles deliberately avoid version-mobile constructs
+# (list_intersect/list_distinct on computed lists were restated via
+# UNNEST+GROUP BY in r8 after two cross-engine burns), but quantile
+# interpolation and ROUND internals can still move between releases —
+# if the version differs, treat any hash mismatch as suspect-ENV
+# before suspect-CODE.
+PINNED_DUCKDB = "1.0.0"
+if duckdb.__version__ != PINNED_DUCKDB:
+    print("=" * 72)
+    print(f"!! WARNING: DuckDB {duckdb.__version__} != pinned {PINNED_DUCKDB}.")
+    print("!! Oracle results were bit-verified on the pinned version only;")
+    print("!! a hash mismatch on this version may be engine skew, not a bug.")
+    print("=" * 72)
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
