@@ -29,6 +29,11 @@ object Bench {
     * incremental dedup, batch sessionization, and clustered semantic
     * dedup (k-means fit included in its timing). */
   val extras: Seq[String] = Seq(
+    // round 16 (r8): the two remaining §2.5 parity-contract members the
+    // timed set lacked — the pushed prefix predicate (scan-shaped) and
+    // the per-user MAX rollup (one user-keyed partial agg)
+    "q02_prefix_filter",
+    "q05_checkpoint_order",
     "q57_dedup_components",
     "q58_pii_redact",
     "q63_tfidf",
@@ -280,7 +285,14 @@ object Bench {
       case (k, None) => "\"" + k + "\":null" // failed query: never report a timing
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second total beside the stable 12-query r1 headline: the full
+    // timed relational/pipeline suite (headline + extras; stream/engine
+    // microbenches excluded — they time ingest loops, not queries).
+    // Round-over-round comparisons of THIS number must account for
+    // query-count growth; `n_timed` rides along so that's mechanical.
+    val fullSuite = (results ++ extraResults).flatMap(_._2).sum
+    val nTimed = (results ++ extraResults).size
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_full_suite":$fullSuite%.3f,"n_timed":$nTimed%d,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

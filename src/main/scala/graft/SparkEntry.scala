@@ -427,7 +427,7 @@ object SparkEntry {
     // lifetime distinct (rows-only: estimator not SQL-expressible;
     // HllSketchSpec pins merge==direct bit for bit + the error band)
     "q193_hll_rollup" -> (Stats.qHllRollup _),
-    // q194: per-user 63-day activity bitmask (popcount/streak algebra)
+    // q194: per-user 62-day activity bitmask (popcount/streak algebra)
     "q194_activity_bitmask" -> (Stats.qActivityBitmask _),
     // q195: exposure->conversion two-proportion z screen
     "q195_exposure_conversion" -> (Stats.qExposureConversion _),
@@ -494,6 +494,10 @@ object SparkEntry {
     "q222_duplicate_rows" -> (Stats.qDuplicateRows _),
     // q223: pairwise Pearson matrix from exact decimal sums, one scan
     "q223_corr_matrix" -> (Stats.qCorrMatrix _),
+    // q224: foreachBatch incremental materialized JOIN view over a
+    // 3-batch CDC replay (q201's insert algebra + q206's retraction);
+    // oracle recomputes the view from scratch — the sixth parity
+    "q224_streaming_view" -> (graft.streaming.DeltaView.qStreamingView _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3985,5 +3989,22 @@ object SparkEntry {
                            THEN cyz / SQRT(vy) / SQRT(vz)
                            ELSE 0.0 END, 6)
          FROM rr""",
+    // q224: the incrementally-maintained view must equal the direct
+    // from-scratch recompute — full lineitem join against the orders
+    // that survive the replay's final-batch deletes (key%13=0 orders
+    // inserted before the final batch, i.e. key%3 <> 2)
+    "q224_streaming_view" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)
+                            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                                 AS BIGINT)) AS rev
+                     FROM lineitem),
+         o AS (SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey % 3 <> 2))
+         SELECT o_orderpriority, CAST(SUM(rev) AS BIGINT) AS rev_x1e4,
+                COUNT(*) AS n_lines
+         FROM li JOIN o ON l_orderkey = o_orderkey
+         GROUP BY 1""",
   )
 }

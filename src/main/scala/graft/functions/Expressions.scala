@@ -639,7 +639,16 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
 }
 
 object UnigramSegment {
-  /** Static Viterbi shared by interpreted eval and generated code. */
+  /** Static Viterbi shared by interpreted eval and generated code.
+    *
+    * The DP runs over UTF-16 char positions but only CODE-POINT
+    * boundaries are reachable states (a position inside a surrogate
+    * pair keeps cost INF, so no piece may start or end there), and the
+    * unknown fallback consumes one code point — one char, or the two
+    * chars of a surrogate pair. Lossless concat therefore holds for
+    * non-BMP input too: a fallback piece is always a whole code point,
+    * never a lone surrogate half. BMP/ASCII behavior is bit-identical
+    * to the char-indexed formulation (every position is a boundary). */
   def segment(vocab: java.util.HashMap[String, java.lang.Long],
       word: UTF8String, maxLen: Int, unkCost: Long): ArrayData = {
     val s = word.toString
@@ -649,19 +658,33 @@ object UnigramSegment {
     val dpCost = new Array[Long](n + 1)
     val dpPieces = new Array[Int](n + 1)
     val back = new Array[Int](n + 1)
+    // position i sits inside a surrogate pair iff chars (i-1, i) are a
+    // (high, low) pair; such states stay unreachable
+    def boundary(i: Int): Boolean =
+      i == 0 || i == n ||
+        !(Character.isLowSurrogate(s.charAt(i)) &&
+          Character.isHighSurrogate(s.charAt(i - 1)))
     var i = 1
     while (i <= n) {
       dpCost(i) = INF
       dpPieces(i) = Int.MaxValue
-      val lim = if (maxLen < i) maxLen else i
-      var l = 1
+      // lim floor of 2 (when i allows) keeps surrogate-pair unknowns
+      // reachable even under an all-single-char vocab (maxLen == 1);
+      // for BMP input the extra l == 2 probe misses the vocab and the
+      // one-code-point test, so behavior is unchanged
+      val lim0 = if (maxLen < i) maxLen else i
+      val lim = if (lim0 < 2 && i >= 2) 2 else lim0
+      var l = if (boundary(i)) 1 else lim + 1 // skip mid-pair states
       while (l <= lim) {
         if (dpCost(i - l) < INF) {
           val piece = s.substring(i - l, i)
           val cObj = vocab.get(piece)
+          val isOneCodePoint = l == 1 ||
+            (l == 2 && Character.isHighSurrogate(s.charAt(i - 2)) &&
+              Character.isLowSurrogate(s.charAt(i - 1)))
           val c: Long =
             if (cObj != null) cObj.longValue()
-            else if (l == 1) unkCost
+            else if (isOneCodePoint) unkCost
             else -1L
           if (c >= 0) {
             val nc = dpCost(i - l) + c

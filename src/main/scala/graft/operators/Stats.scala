@@ -479,10 +479,11 @@ object Stats {
     * popcount(x ⊕ (x+1)) − 1, last-week activity is a popcount under
     * mask 0x7F. Distinct (user, day) first, so summing 2^i IS the
     * bitwise OR (each power appears once) — portable to engines where
-    * `^` means exponentiation, not xor. 62 days, not 63/64: bit 62 is
-    * the highest that keeps `mask + 1` inside a signed 64-bit value
-    * for an always-active user (engines disagree on overflow — Spark
-    * wraps, DuckDB raises).
+    * `^` means exponentiation, not xor. 62 days (bits 0..61), not
+    * 63/64: top bit 61 keeps an always-active mask at 2^62 − 1, so
+    * `mask + 1` stays inside a signed 64-bit value; one more bit and
+    * the streak arithmetic's `x + 1` overflows for an always-active
+    * user (engines disagree on overflow — Spark wraps, DuckDB raises).
     *
     * Scale shape: one (user, day) dedup shuffle collapsing map-side,
     * then a user-keyed sum; output is users-sized with all-integer
@@ -598,8 +599,20 @@ object Stats {
       lit(4) * col("n") * col("n") * col("s1") * col("s3") +
       lit(6) * col("n") * col("s1") * col("s1") * col("s2") -
       lit(3) * col("s1") * col("s1") * col("s1") * col("s1")
+    // overflow guard: Spark non-ANSI silently NULLs a DECIMAL(38,0)
+    // overflow while DuckDB HUGEINT raises — at fixture scale n³·S4
+    // sits ~2 digits under the cap, so a bigger fixture would
+    // otherwise emit null kurtosis and diverge from the oracle with no
+    // signal. The combos are non-null by construction (n ≥ 1, sums of
+    // non-null values), so NULL ⇔ overflow: fail loudly and name the
+    // documented remedy (two-pass mean pre-shift).
+    def guarded(c: Column, name: String): Column =
+      when(c.isNull, expr("CAST(raise_error('q196: DECIMAL(38,0) overflow in " +
+        name + " — pre-shift by the group mean (two-pass) at this scale') " +
+        "AS DOUBLE)")).otherwise(c.cast("double"))
     sums.select(col("event_type"), col("n").cast("long").as("n"),
-        d2(a2).as("a2"), d2(a3).as("a3"), d2(a4).as("a4"),
+        guarded(a2, "n*S2").as("a2"), guarded(a3, "n^2*S3").as("a3"),
+        guarded(a4, "n^3*S4").as("a4"),
         d2(col("s1")).as("s1d"), d2(col("n")).as("nd"))
       .select(col("event_type"), col("n"),
         round(col("s1d") / col("nd") / 100.0, 6).as("mean_value"),

@@ -102,11 +102,16 @@ object EventTime {
   }
 
   /** The events table as a TIME-ORDERED multi-file stream: range-split
-    * by ts into `parts` files (equal timestamps never straddle a
-    * boundary) with file mtimes forced ascending in range order, so the
-    * file source replays micro-batches in event-time order — the
-    * keyed-partition delivery contract [[Stateful.funnelStages]]'s
-    * exactness needs, reproduced at the source instead of assumed. */
+    * by (ts, event_id) into `parts` files with file mtimes forced
+    * ascending in range order, so the file source replays
+    * micro-batches in event-time order — the keyed-partition delivery
+    * contract [[Stateful.funnelStages]]'s exactness needs, reproduced
+    * at the source instead of assumed. event_id rides in the range key
+    * so same-timestamp ties can only straddle a batch boundary in
+    * event_id order — the per-batch (us, event_id) sort the stateful
+    * consumers apply then composes to a GLOBAL (us, event_id) order
+    * across batches, matching the batch windows' strict
+    * preceding-row semantics exactly (the q200 tie contract). */
   private def eventsStreamTimeOrdered(s: SparkSession, d: String,
       parts: Int): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -116,8 +121,8 @@ object EventTime {
     val dir = splitDirs.getOrElseUpdate((s, path, -parts), {
       val tmp = Files.createTempDirectory("graft-events-tsplit").toString
       s.read.parquet(path)
-        .repartitionByRange(parts, col("ts"))
-        .sortWithinPartitions("ts")
+        .repartitionByRange(parts, col("ts"), col("event_id"))
+        .sortWithinPartitions("ts", "event_id")
         .write.mode("overwrite").parquet(tmp)
       // parallel write order is arbitrary; stamp mtimes ascending in
       // part-file (= range) order so the file source's (mtime, path)

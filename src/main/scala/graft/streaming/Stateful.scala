@@ -475,8 +475,12 @@ object Stateful {
     * seen, and six monotone counters accumulate attributed purchases
     * (click/view/unattributed × count/cents). Events fold in (µs,
     * event_id) order within a batch (the q158 discipline; the replay
-    * harness orders batches by time range), so a purchase sees exactly
-    * the strictly-preceding touches the batch window sees — the state
+    * harness range-splits batches on (ts, event_id), so same-µs ties
+    * straddling a batch boundary arrive in event_id order and the
+    * per-batch sort composes to the global (us, event_id) order the
+    * batch window's strict preceding-row semantics use), so a purchase
+    * sees exactly the strictly-preceding touches the batch window sees
+    * — the state
     * is ONE long per user forever, the streaming-joins alternative
     * would buffer a 24 h event window per key. Counters are monotone,
     * so max() over the update-mode emission history reconstructs the

@@ -111,7 +111,21 @@ object ScaleBench {
       // (user count grows with the factor, day span constant: the
       // day-deduped frame and its bounded 7× explode grow linearly,
       // the per-(type, end_day) distinct shuffle is the probe)
-      "q201_delta_view", "q202_rolling_distinct")
+      "q201_delta_view", "q202_rolling_distinct",
+      // round 16 (r8): the graph family — under the per-copy PARTKEY
+      // namespace shift the co-purchase graph grows as `factor`
+      // disjoint isomorphic components (nodes AND edges ×factor,
+      // every intra-copy structure exact — the q57 component device),
+      // so each probe grounds its per-round claim directly:
+      // q163 15 fixed rounds of edge⋈broadcast-rank + dest-keyed agg
+      // (cost/round grows linearly, round count pinned); q166 the
+      // degree-oriented adjacency-intersection (out-lists stay
+      // copy-bounded, Σd_out² grows linearly); q171 frontier BFS (the
+      // frontier stays copy-sized — per-hop cost is the edge-table
+      // scan, the honest distributed-BFS shape); q173 capped wedge
+      // join (cap²-bounded per middle item, middle items ×factor)
+      "q163_copurchase_rank", "q166_triangle_census",
+      "q171_bfs_hops", "q173_item_cf")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -147,6 +161,18 @@ object ScaleBench {
       generateEvents(spark, src, factor, out)
       evDone.createNewFile()
     }
+    // r8: the graph probes need per-copy PARTKEY namespaces (disjoint
+    // isomorphic co-purchase components — without the shift, copies
+    // would share the catalog and the graph would DENSIFY instead of
+    // grow, a different scaling regime than the one the 100 TB
+    // arguments claim). Rewrites only lineitem; existing scaled dirs
+    // pick it up without a full regen. part stays a shared dimension
+    // (no probed query joins lineitem to part attributes).
+    val pkDone = new java.io.File(s"$out/_DONE_PARTKEY")
+    if (!pkDone.exists()) {
+      regenLineitemWithPartShift(spark, src, factor, out)
+      pkDone.createNewFile()
+    }
 
     // warm codegen/JIT once, then median-of-3 per query (Bench contract)
     graft.SparkEntry.queries(Queries.head)(spark, out).queryExecution.toRdd.foreach(_ => ())
@@ -179,11 +205,42 @@ object ScaleBench {
       graft.operators.Pipeline.qProfile(spark, out, approxDistinct = true)
         .queryExecution.toRdd.foreach(_ => ())
     }
-    val all = results :+ sem :+ prof
+    // q184 k-core: probed at 10× only (the 1× steady state is already
+    // ~35 s of 38 dense synchronous sweeps — BENCH_NOTES; the 10× point
+    // confirms ROUND-COUNT stability under disjoint-copy growth, which
+    // is the claim: rounds track the h-index fixpoint depth of one
+    // copy, not the corpus size). Single run, not median-of-3 — the
+    // iteration count is deterministic, so one run answers the
+    // question at a third of the cost.
+    val kcore = if (factor <= 10) {
+      var rounds = 0
+      graft.operators.Graph.probeHook = (r, _) => rounds = r
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries("q184_kcore")(spark, out)
+        .queryExecution.toRdd.foreach(_ => ())
+      finally graft.operators.Graph.probeHook = null
+      Seq(s"q184_kcore_rounds$rounds" -> (System.nanoTime() - t0) / 1e9)
+    } else Seq.empty
+    val all = results ++ kcore :+ sem :+ prof
     val qs = all.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"scale_x$factor%d_total","value":$total%.3f,"unit":"sec","queries":$qs,"src":"$src","factor":$factor%d}""")
     spark.stop()
+  }
+
+  private val PartShift = 1000000L
+
+  /** Rewrite only the scaled lineitem with BOTH key shifts (orderkey +
+    * partkey) — the incremental upgrade path for scaled dirs generated
+    * before the graph probes existed. */
+  private def regenLineitemWithPartShift(spark: SparkSession, src: String,
+      factor: Int, out: String): Unit = {
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val scaled = (0 until factor).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * PartShift))
+    }.reduce(_ unionAll _)
+    scaled.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
   /** The per-copy bijective character map: three disjoint 5-letter
@@ -207,6 +264,7 @@ object ScaleBench {
     val OrderShift = 10000000L
     val CustShift = 1000000L
     val DocShift = 10000000L
+    val PartShift = ScaleBench.PartShift
 
     write(copies(spark.read.parquet(s"$src/documents.parquet")) { (df, i) =>
       df.select(
@@ -217,6 +275,7 @@ object ScaleBench {
 
     write(copies(spark.read.parquet(s"$src/lineitem.parquet")) { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderShift))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * PartShift))
     }, "lineitem")
 
     write(copies(spark.read.parquet(s"$src/orders.parquet")) { (df, i) =>

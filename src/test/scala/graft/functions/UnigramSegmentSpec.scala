@@ -79,6 +79,26 @@ class UnigramSegmentSpec extends AnyFunSuite {
     assert(seg(vocab, unk, "") == Nil)
   }
 
+  test("non-BMP input: fallback pieces are whole code points, never surrogate halves") {
+    val emoji = new String(Character.toChars(0x1F600)) // 2 UTF-16 chars
+    // unknown astral char between known pieces: consumed as ONE piece
+    val got = seg(vocab, unk, s"a${emoji}b")
+    assert(got == Seq("a", emoji, "b"))
+    assert(got.mkString == s"a${emoji}b", "not lossless")
+    got.foreach { p =>
+      assert(!(p.length == 1 && Character.isSurrogate(p.charAt(0))),
+        s"lone surrogate half emitted: ${p.map(_.toInt)}")
+    }
+    // astral chars only, all-single-char vocab (maxLen == 1): each
+    // code point is its own unk piece, still lossless
+    val w2 = emoji + emoji
+    val got2 = seg(Map("a" -> 1L), unk, w2)
+    assert(got2 == Seq(emoji, emoji))
+    // a vocab piece CONTAINING an astral char is matched whole
+    val v3 = Map(s"a$emoji" -> 3L, "b" -> 5L)
+    assert(seg(v3, unk, s"a${emoji}b") == Seq(s"a$emoji", "b"))
+  }
+
   test("codegen path == interpreted path on the real corpus words") {
     import spark.implicits._
     GraftFunctions.register(spark)

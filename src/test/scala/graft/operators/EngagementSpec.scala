@@ -256,7 +256,10 @@ class EngagementSpec extends AnyFunSuite {
 
   test("q204: modal bucket, count, and tie count match a recompute") {
     val want = evRaw.groupBy(_._2).map { case (t, rows) =>
-      val counts = rows.groupBy(_._6 / 100).map { case (b, g) =>
+      // floorDiv mirrors the operator's FLOOR(value): integer `/`
+      // truncates toward zero, which diverges on negative cents — a
+      // fixture regen with negative values would then fail spuriously
+      val counts = rows.groupBy(r => Math.floorDiv(r._6, 100L)).map { case (b, g) =>
         (b, g.size.toLong)
       }
       val modal = counts.values.max
