@@ -233,6 +233,10 @@ object Bench {
     "q222_duplicate_rows",
     // round 15 (cont.): one-scan pairwise Pearson matrix
     "q223_corr_matrix",
+    // round 16 (r8): the composed RAG retrieval pipeline (chunk-BM25
+    // leg + persisted IVF-PQ leg + RRF + NDCG audit; the index builds
+    // on the first timed run — the median is the steady state)
+    "q225_rag_pipeline",
   )
 
   def main(args: Array[String]): Unit = {

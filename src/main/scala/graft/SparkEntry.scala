@@ -498,6 +498,10 @@ object SparkEntry {
     // 3-batch CDC replay (q201's insert algebra + q206's retraction);
     // oracle recomputes the view from scratch — the sixth parity
     "q224_streaming_view" -> (graft.streaming.DeltaView.qStreamingView _),
+    // q225: the RAG retrieval pipeline end to end — chunk → embedding
+    // gate → persisted IVF-PQ retrieve → RRF with chunk-BM25 → NDCG
+    // audit (rows-only: the ANN leg is approximate; RagPipelineSpec)
+    "q225_rag_pipeline" -> ((s, d) => Similarity.qRagPipeline(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

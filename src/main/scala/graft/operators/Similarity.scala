@@ -1044,6 +1044,155 @@ object Similarity {
     cachedIndexDir(s, "ivfpq", s"ivfpq:$d:$cells:$m:$ksub")(
       dir => buildIvfPqIndex(s, d, dir, cells, m, ksub))
 
+  /** q225: the RAG retrieval pipeline END TO END — the retrieval
+    * analogue of q67's curation composition, wiring five proven parts
+    * into one query per the production shape:
+    *
+    *  1. CHUNK (q71): documents split into overlapping passages —
+    *     the lexical leg retrieves at passage granularity and
+    *     max-pools to documents (standard RAG chunk retrieval).
+    *  2. GATE (q106): the per-dimension embedding audit runs first and
+    *     ABORTS the pipeline on a degenerate table (any dead
+    *     dimension, or a row-count mismatch vs the corpus) — the check
+    *     that catches a broken embedding job before an index is built
+    *     over it.
+    *  3. RETRIEVE (q93): the semantic leg serves from the PERSISTED
+    *     IVF-PQ index (probe → ADC shortlist → exact re-rank), built
+    *     once per corpus.
+    *  4. FUSE (q116): reciprocal-rank fusion of the two legs' top-50
+    *     lists — integer ranks, no score calibration.
+    *  5. AUDIT (q191): NDCG@10 / hits / coverage of the fused ranking
+    *     against label relevance, per query.
+    *
+    * Per-query lexical terms are the query document's own top-3
+    * tf terms (tf desc, term asc — deterministic), making the eval
+    * "retrieve documents like this one" on both legs. Self-matches are
+    * excluded on both legs. Rows-only in the gate (the ANN leg is
+    * approximate); RagPipelineSpec pins stage-seam parity, fused-list
+    * provenance, metric ranges, and determinism.
+    *
+    * Scale shape: every stage is a proven shape — the chunk explode is
+    * map-side; BM25 postings survive an `isin` pushdown and the leg
+    * ends in a per-query top-50 window over matching chunks only; the
+    * gate is a dims-sized agg; IVF-PQ scans probed cell directories of
+    * 4-byte codes; fusion and the audit are (nQ × 50)-row arithmetic. */
+  def qRagPipeline(s: SparkSession, d: String, nQ: Int = 20, legN: Int = 50,
+      k: Int = 10, rrfK: Int = 60): DataFrame = {
+    import s.implicits._
+    // ---- stage 2 first by dependency: gate the embedding table
+    val corpusN = embeddings(s, d).count()
+    val stats = qEmbeddingStats(s, d).collect()
+    stats.foreach { r =>
+      require(r.getAs[Long]("n") == corpusN,
+        s"q225 gate: dim ${r.getAs[Int]("dim")} has ${r.getAs[Long]("n")} values, corpus $corpusN")
+      require(r.getAs[Double]("std") > 0,
+        s"q225 gate: dead dimension ${r.getAs[Int]("dim")} (std 0)")
+    }
+
+    // ---- per-query lexical terms: the query doc's top-3 tf terms
+    val qdocs = documents(s, d).filter(col("doc_id") < nQ)
+    val qtokens = qdocs
+      .select(col("doc_id").as("query_id"),
+        explode(graft.functions.tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val wTerm = Window.partitionBy("query_id")
+      .orderBy(col("cnt").desc, col("term").asc)
+    val qterms = qtokens.groupBy("query_id", "term")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wTerm))
+      .filter(col("rk") <= 3)
+      .select("query_id", "term")
+      .localCheckpoint() // nQ×3 rows; reused by the postings join below
+
+    // ---- stage 1 + lexical leg: BM25 over CHUNKS, max-pooled per doc
+    val chunks = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), length(col("text")) - 1, lit(150)),
+          st => col("text").substr(st + lit(1), lit(200))))
+          .as(Seq("chunk_idx", "chunk")))
+    val ctoks = chunks
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(graft.functions.tokens(lower(col("chunk")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = ctoks.groupBy("doc_id", "chunk_idx").agg(count(lit(1)).as("dl"))
+    val cstats = dl.agg(count(lit(1)).as("n_chunks"), avg("dl").as("avgdl"))
+    val tf = ctoks.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "chunk_idx", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val k1 = 1.2; val b = 0.75
+    val chunkScore = tf
+      .join(broadcast(qterms), Seq("term")) // fan to the querying ids
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id", "chunk_idx"))
+      .crossJoin(broadcast(cstats))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        (log(lit(1.0) + (col("n_chunks") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy("query_id", "doc_id", "chunk_idx")
+      .agg(sum("contrib").as("cscore"))
+    val docScore = chunkScore.groupBy("query_id", "doc_id")
+      .agg(max("cscore").as("score"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lex = docScore.withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= legN)
+      .select("query_id", "doc_id", "r_lex")
+
+    // ---- stage 3: semantic leg from the persisted IVF-PQ index
+    val qVecRows = embeddings(s, d).filter(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val indexDir = ivfPqIndexDir(s, d)
+    val sem = ivfPqSearchFromIndex(s, indexDir, qVecRows, pqCorpus(s, d),
+        nprobe = 3, k = legN, shortlist = 2 * legN)
+      .select(col("query_id"), col("neighbor").as("doc_id"),
+        col("rank").as("r_sem"))
+
+    // ---- stage 4: RRF fusion per query
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("r_lex"), col("r_sem"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0))).as("rrf"))
+    val wFuse = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    val top = fused.withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= k)
+
+    // ---- stage 5: NDCG audit against label relevance (q191's folds)
+    val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+    val qlabels = labels.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"))
+    val ranked = top
+      .join(labels.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
+      .join(broadcast(qlabels), Seq("query_id"))
+      .withColumn("rel",
+        coalesce((col("label") === col("q_label")).cast("int"), lit(0)))
+    val aggs = (1 to k).map(i =>
+      max(when(col("rank") === i, col("rel"))).as(s"r$i")) ++ Seq(
+      sum(when(col("r_lex").isNotNull, 1L).otherwise(0L)).as("n_from_lex"),
+      sum(when(col("r_sem").isNotNull, 1L).otherwise(0L)).as("n_from_sem"))
+    val flags = ranked.groupBy("query_id", "q_label")
+      .agg(aggs.head, aggs.tail: _*)
+    val classSize = labels.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("csize"))
+    val dcg = (1 to k).map(i => coalesce(col(s"r$i"), lit(0)).cast("double") /
+      math.log(i + 1.0)).reduce(_ + _)
+    val idcg = (1 to k).map(i =>
+      when(col("csize") - 1 >= i, lit(1.0 / math.log(i + 1.0)))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    val hits = (1 to k).map(i => coalesce(col(s"r$i"), lit(0)).cast("long"))
+      .reduce(_ + _)
+    flags.join(broadcast(classSize), Seq("q_label"))
+      .select(col("query_id"), (col("csize") - 1).as("n_relevant"),
+        col("n_from_lex"), col("n_from_sem"),
+        hits.as("hits_at_10"),
+        round(when(idcg > 0, dcg / idcg).otherwise(lit(0.0)), 6).as("ndcg_at_10"))
+  }
+
   private val ivfBuildLock = new Object
   // the eventsStream temp-dir discipline: built index dirs are removed
   // at JVM exit (a production index would live on managed storage)
