@@ -22,12 +22,15 @@ import os
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # The oracle SQL is authored and bit-verified against this DuckDB
-# version. The oracles deliberately avoid version-mobile constructs
-# (list_intersect/list_distinct on computed lists were restated via
-# UNNEST+GROUP BY in r8 after two cross-engine burns), but quantile
-# interpolation and ROUND internals can still move between releases —
-# if the version differs, treat any hash mismatch as suspect-ENV
-# before suspect-CODE.
+# version. The one oracle that was burned by version-mobile list
+# semantics (q103 soft-dedup) was restated in r8 via UNNEST+GROUP BY
+# with a pure-BIGINT output; every remaining list-function site was
+# audited (BENCH_NOTES r8 "oracle portability audit"): list_intersect
+# only over pre-distincted inputs (count = set cardinality, stable),
+# list_distinct/list_transform only in len()/pure-map positions. But
+# quantile interpolation and ROUND internals can still move between
+# releases — if the version differs, treat any hash mismatch as
+# suspect-ENV before suspect-CODE.
 PINNED_DUCKDB = "1.0.0"
 if duckdb.__version__ != PINNED_DUCKDB:
     print("=" * 72)
