@@ -237,6 +237,15 @@ object Bench {
     // leg + persisted IVF-PQ leg + RRF + NDCG audit; the index builds
     // on the first timed run — the median is the steady state)
     "q225_rag_pipeline",
+    // round 16 (r8): the remaining TPC-H join shapes — the Q5 cycle
+    // join, the Q21 eager-aggregation rewrite, the Q2 packed argmin —
+    // and the eval/statistics trio (value-domain rollups + windows)
+    "q226_local_supplier_volume",
+    "q227_waiting_suppliers",
+    "q228_min_cost_supplier",
+    "q229_mann_whitney",
+    "q230_calibration",
+    "q231_pr_curve",
   )
 
   def main(args: Array[String]): Unit = {

@@ -502,6 +502,21 @@ object SparkEntry {
     // gate → persisted IVF-PQ retrieve → RRF with chunk-BM25 → NDCG
     // audit (rows-only: the ANN leg is approximate; RagPipelineSpec)
     "q225_rag_pipeline" -> ((s, d) => Similarity.qRagPipeline(s, d)),
+    // q226: TPC-H Q5 shape — the 6-table cycle join (customer nation
+    // = supplier nation inside one region)
+    "q226_local_supplier_volume" -> (Relational.qLocalSupplierVolume _),
+    // q227: TPC-H Q21 shape — the EXISTS/NOT-EXISTS pair rewritten as
+    // one per-order eager-aggregation rollup
+    "q227_waiting_suppliers" -> (Relational.qWaitingSuppliers _),
+    // q228: TPC-H Q2 shape — correlated scalar-MIN as a packed-BIGINT
+    // argmin rollup
+    "q228_min_cost_supplier" -> (Relational.qMinCostSupplier _),
+    // q229: Mann–Whitney U rank test per event type vs 'view'
+    "q229_mann_whitney" -> (Stats.qMannWhitney _),
+    // q230: calibration curve for the literal EN-stopword score
+    "q230_calibration" -> (Stats.qCalibration _),
+    // q231: precision/recall threshold sweep over the same score
+    "q231_pr_curve" -> (Stats.qPrCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4010,5 +4025,199 @@ object SparkEntry {
                 COUNT(*) AS n_lines
          FROM li JOIN o ON l_orderkey = o_orderkey
          GROUP BY 1""",
+    // q226: TPC-H Q5 — the cycle constraint c_nationkey = s_nationkey
+    // rides the supplier join on both engines
+    "q226_local_supplier_volume" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                         * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                              AS BIGINT))) AS BIGINT) AS revenue_x1e4,
+                COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         GROUP BY n_name""",
+    // q227: TPC-H Q21 shape — EXISTS/NOT-EXISTS as one per-order
+    // rollup: late ∧ n_supp ≥ 2 ∧ n_late = 1
+    "q227_waiting_suppliers" ->
+      """WITH lo AS (
+           SELECT l_orderkey, l_suppkey,
+                  CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                       THEN 1 ELSE 0 END AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         os AS (
+           SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+                  COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                    AS n_late
+           FROM lo GROUP BY 1),
+         w AS (
+           SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+           FROM lo JOIN os USING (l_orderkey)
+           WHERE lo.late = 1 AND os.n_supp >= 2 AND os.n_late = 1)
+         SELECT s_name, n_name, COUNT(*) AS wait_orders
+         FROM w JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2
+         ORDER BY wait_orders DESC, s_name
+         LIMIT 20""",
+    // q228: TPC-H Q2 shape — the same packed-BIGINT argmin (shift
+    // keeps the balance component nonnegative; % and div then agree
+    // with Spark's % and div on both engines)
+    "q228_min_cost_supplier" ->
+      """WITH eur AS (
+           SELECT s_suppkey, s_name, n_name,
+                  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS bal_cents
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         best AS (
+           SELECT l_partkey,
+                  MIN((bal_cents + 100000) * 10000 + l_suppkey) AS mn
+           FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           JOIN eur ON l_suppkey = s_suppkey
+           GROUP BY 1),
+         un AS (
+           SELECT l_partkey, mn % 10000 AS best_suppkey,
+                  mn // 10000 - 100000 AS best_bal_cents
+           FROM best)
+         SELECT l_partkey AS p_partkey, p_brand, p_type,
+                CAST(best_suppkey AS BIGINT) AS best_suppkey,
+                s_name, n_name,
+                CAST(best_bal_cents AS BIGINT) AS best_bal_cents
+         FROM un JOIN eur ON best_suppkey = s_suppkey
+                 JOIN part ON l_partkey = p_partkey
+         ORDER BY best_bal_cents DESC, best_suppkey, p_partkey
+         LIMIT 100""",
+    // q229: doubled ranks keep the tie-averaged rank sums in BIGINT;
+    // the variance widens to HUGEINT (mirrors Spark's DECIMAL(38,0));
+    // z is the one double, spelled identically
+    "q229_mann_whitney" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         pr AS (
+           SELECT ks.pair,
+                  CASE WHEN ev.event_type = ks.pair THEN 1 ELSE 0 END
+                    AS in_arm, ev.v
+           FROM ev JOIN (VALUES ('click'), ('error'), ('signup'),
+                                ('purchase')) AS ks(pair)
+             ON ev.event_type = ks.pair OR ev.event_type = 'view'),
+         bv AS (SELECT pair, v, SUM(in_arm) AS c1, SUM(1 - in_arm) AS c2
+                FROM pr GROUP BY 1, 2),
+         rk AS (SELECT pair, c1, c2, c1 + c2 AS cnt,
+                       SUM(c1 + c2) OVER (PARTITION BY pair ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM bv),
+         ag AS (SELECT pair, SUM(c1) AS n1, SUM(c2) AS n2,
+                       SUM(c1 * (2 * cum - cnt + 1)) AS r1d,
+                       SUM(cnt * cnt * cnt - cnt) AS tie_term
+                FROM rk GROUP BY 1),
+         fin AS (SELECT pair, n1, n2, tie_term, n1 + n2 AS n,
+                        r1d - n1 * (n1 + 1) AS two_u1,
+                        CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) *
+                          (CAST(n1 + n2 + 1 AS HUGEINT)
+                           * CAST(n1 + n2 AS HUGEINT)
+                           * CAST(n1 + n2 - 1 AS HUGEINT)
+                           - CAST(tie_term AS HUGEINT)) AS var12
+                 FROM ag)
+         SELECT pair, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(two_u1 AS BIGINT) AS two_u1,
+                CAST(2 * n1 * n2 - two_u1 AS BIGINT) AS two_u2,
+                CAST(tie_term AS BIGINT) AS tie_term,
+                ROUND(CASE WHEN n1 > 0 AND n2 > 0 AND var12 > 0 THEN
+                  CAST(two_u1 - n1 * n2 AS DOUBLE)
+                    * SQRT(3.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                    / SQRT(CAST(var12 AS DOUBLE))
+                  ELSE 0.0 END, 6) AS z_score
+         FROM fin""",
+    // q230: the literal proxy score (list functions only in
+    // len()/pure-map positions — the audited-stable class); the label
+    // is the length proxy n_chars ≥ 300 (this fixture's text is a
+    // uniform word bag with lang independent of it, so a language
+    // label would be flat by construction)
+    "q230_calibration" ->
+      """WITH sc AS (
+           SELECT doc_id,
+                  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS is_pos,
+                  n_toks * 100 + hits * 10 + dhits AS score_milli
+           FROM (SELECT doc_id, n_chars,
+                        len(list_filter(toks, t -> t IN ('the','a','of',
+                          'and','to','in','is','it'))) AS hits,
+                        len(list_intersect(list_distinct(toks),
+                          ['the','a','of','and','to','in','is','it']))
+                          AS dhits,
+                        len(toks) AS n_toks
+                 FROM (SELECT doc_id, n_chars,
+                              string_split_regex(lower(text), '\s+') AS toks
+                       FROM documents))),
+         ranked AS (
+           SELECT is_pos, score_milli,
+                  ROW_NUMBER() OVER (ORDER BY score_milli, doc_id) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM sc)
+         SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+                COUNT(*) AS n_docs, CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+                CAST(SUM(is_pos) * 1000000 // COUNT(*) AS BIGINT)
+                  AS pos_rate_ppm,
+                CAST(SUM(score_milli) // COUNT(*) AS BIGINT)
+                  AS avg_score_milli,
+                CAST(MIN(score_milli) AS BIGINT) AS min_score,
+                CAST(MAX(score_milli) AS BIGINT) AS max_score
+         FROM ranked GROUP BY 1""",
+    // q231: thresholds, cuts and counts all ride the score-domain
+    // rollup; the pick-1 row per k is the highest qualifying score
+    "q231_pr_curve" ->
+      """WITH sc AS (
+           SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS is_pos,
+                  n_toks * 100 + hits * 10 + dhits AS score_milli
+           FROM (SELECT n_chars,
+                        len(list_filter(toks, t -> t IN ('the','a','of',
+                          'and','to','in','is','it'))) AS hits,
+                        len(list_intersect(list_distinct(toks),
+                          ['the','a','of','and','to','in','is','it']))
+                          AS dhits,
+                        len(toks) AS n_toks
+                 FROM (SELECT n_chars,
+                              string_split_regex(lower(text), '\s+') AS toks
+                       FROM documents))),
+         bs AS (SELECT score_milli, COUNT(*) AS cnt, SUM(is_pos) AS pos
+                FROM sc GROUP BY 1),
+         cum AS (SELECT score_milli,
+                        SUM(cnt) OVER (ORDER BY score_milli DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+                        SUM(pos) OVER (ORDER BY score_milli DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum_pos,
+                        SUM(cnt) OVER () AS n, SUM(pos) OVER () AS total_pos
+                 FROM bs),
+         j AS (SELECT k, score_milli, cum_cnt, cum_pos, total_pos,
+                      ROW_NUMBER() OVER (PARTITION BY k
+                        ORDER BY score_milli DESC) AS pick
+               FROM cum JOIN (VALUES (1), (2), (3), (4), (5), (6), (7),
+                              (8), (9)) AS ks(k)
+                 ON cum_cnt >= greatest(k * n // 10, 1)),
+         pts AS (SELECT CAST(k AS BIGINT) AS k,
+                        CAST(score_milli AS BIGINT) AS threshold_milli,
+                        CAST(cum_pos AS BIGINT) AS tp,
+                        CAST(cum_cnt - cum_pos AS BIGINT) AS fp,
+                        CAST(total_pos - cum_pos AS BIGINT) AS fn,
+                        CAST(cum_pos * 1000000 // cum_cnt AS BIGINT)
+                          AS precision_ppm,
+                        CAST(cum_pos * 1000000 // greatest(total_pos, 1)
+                          AS BIGINT) AS recall_ppm
+                 FROM j WHERE pick = 1)
+         SELECT *, CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                        THEN 2 * precision_ppm * recall_ppm
+                             // (precision_ppm + recall_ppm)
+                        ELSE 0 END AS BIGINT) AS f1_ppm
+         FROM pts""",
   )
 }

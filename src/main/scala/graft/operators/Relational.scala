@@ -1703,4 +1703,139 @@ object Relational {
         round(col("promo_x1e4").cast("double") /
           col("total_x1e4").cast("double"), 6))
   }
+
+  /** q226: TPC-H Q5 shape ("local supplier volume") — the 6-table
+    * CYCLE join: revenue of 1996 orders where the CUSTOMER's nation
+    * equals the SUPPLIER's nation inside one region, per nation. The
+    * cycle constraint (c_nationkey = s_nationkey) is what
+    * distinguishes this from a star — the supplier join carries an
+    * extra non-key equality, so join order matters and the plan
+    * declares it: facts flow through the two key joins first, then
+    * the tiny supplier side applies both equalities at once.
+    *
+    * Scale shape: the year filter prunes orders at the scan; supplier
+    * (|S| rows) and the region-filtered nation list broadcast; the
+    * only data-sized shuffles are the two fact-key joins
+    * (lineitem⋈orders on orderkey, ⋈customer on custkey). Exact
+    * integer revenue (q162 discipline). */
+  def qLocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val nat = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), revX1e4.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue_x1e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q227: TPC-H Q21 shape ("suppliers who kept orders waiting"),
+    * adapted to the fixture's columns: a line is LATE when it shipped
+    * more than 60 days after the order was placed (the fixture has no
+    * commit/receipt dates — l_shipdate vs o_orderdate is the lateness
+    * the schema can express). A supplier kept finished ('F') order o
+    * waiting iff it was late on o, o involved ≥2 suppliers (the
+    * original EXISTS), and no OTHER supplier was late on o (the
+    * original NOT EXISTS).
+    *
+    * The reference formulation is a double-correlated subquery pair;
+    * the distributed rewrite here is EAGER AGGREGATION instead of two
+    * lineitem self-joins: one per-order rollup computes
+    * (distinct suppliers, distinct late suppliers), and the waiting
+    * predicate becomes `late ∧ n_supp ≥ 2 ∧ n_late = 1` — when only
+    * one supplier is late, a late supplier IS that supplier, so the
+    * NOT-EXISTS collapses into the rollup. One orderkey-partitioned
+    * shuffle replaces both EXISTS probes.
+    *
+    * Scale shape: the status filter pushes into the orders scan; the
+    * rollup and the late-line dedup reuse the same orderkey
+    * partitioning; supplier + nation broadcast; top-20 is
+    * TakeOrdered with (count desc, name) total order. */
+  def qWaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val lo = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .cast("long").as("late"))
+    val perOrder = lo.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late") === 1L, col("l_suppkey"))).as("n_late"))
+    lo.filter(col("late") === 1L)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1),
+        Seq("l_orderkey"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("wait_orders"))
+      .orderBy(col("wait_orders").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  /** q228: TPC-H Q2 shape ("minimum cost supplier") — the correlated
+    * scalar-MIN subquery: per part shipped by any EUROPE supplier, the
+    * supplier with the LOWEST account balance among that part's EUROPE
+    * suppliers (the fixture has no partsupp/supplycost; s_acctbal
+    * plays the cost role and distinct (l_partkey, l_suppkey) pairs
+    * play partsupp). Top-100 by (acctbal desc, supplier, part) — Q2's
+    * ordering, determinized.
+    *
+    * The correlated `= (SELECT min(..) WHERE p_partkey = ...)` becomes
+    * one argmin rollup: the (cost, supplier) pair rides a single
+    * packed BIGINT — (acctbal_cents + 100000)·10⁴ + suppkey, the shift
+    * making the balance component nonnegative (TPC-H balances go to
+    * −999.99; a plain % unpack would split negatives differently on
+    * engines whose modulo follows the dividend sign) — so min(packed)
+    * IS the lexicographic (balance, suppkey) argmin with the suppkey
+    * tie-break built in.
+    *
+    * Scale shape: the pair dedup is the one fact-sized shuffle
+    * (partkey-partitioned, reused by the rollup); supplier+nation+
+    * region broadcast BEFORE the dedup so non-EUROPE pairs never
+    * shuffle; the final name join broadcasts; top-100 is TakeOrdered. */
+  def qMinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val eurSup = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("bal_cents"))
+    val best = lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(eurSup.select("s_suppkey", "bal_cents")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        ((col("bal_cents") + lit(100000L)) * lit(10000L) + col("l_suppkey"))
+          .as("packed"))
+      .groupBy("l_partkey").agg(min(col("packed")).as("mn"))
+      .select(col("l_partkey"),
+        expr("mn % 10000").as("best_suppkey"),
+        expr("mn div 10000 - 100000").as("best_bal_cents"))
+    best
+      .join(broadcast(eurSup.select(col("s_suppkey"), col("s_name"), col("n_name"))),
+        col("best_suppkey") === col("s_suppkey"))
+      .join(part(s, d).select("p_partkey", "p_brand", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_brand"), col("p_type"),
+        col("best_suppkey"), col("s_name"), col("n_name"), col("best_bal_cents"))
+      .orderBy(col("best_bal_cents").desc, col("best_suppkey").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
 }

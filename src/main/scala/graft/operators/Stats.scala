@@ -1035,4 +1035,167 @@ object Stats {
       .agg(count(lit(1)).as("n_purchases"),
         sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("revenue_cents"))
   }
+
+  /** q229: Mann–Whitney U — the two-sample rank test completing the
+    * nonparametric family (Spearman q179 ranks two variables' pairing,
+    * Mann–Kendall q176 ranks one series against time; this ranks two
+    * GROUPS against each other): does each event type's `value`
+    * distribution differ from the 'view' baseline?
+    *
+    * Exactness: values become exact cents; ranks live on the PER-VALUE
+    * rollup, where a tie group's average rank is the half-integer
+    * (2·cum_before + cnt + 1)/2 — so DOUBLED ranks keep everything in
+    * BIGINT: 2U₁ = Σc₁·dr − n₁(n₁+1). The tie-corrected variance
+    * 12·n(n−1)·Var = n₁n₂((n+1)n(n−1) − Σ(t³−t)) is exact in
+    * DECIMAL(38,0)/HUGEINT (n³·n² tops BIGINT past ~50k rows — the
+    * q196/q223 widening lesson), and z = (2U₁−n₁n₂)·√(3n(n−1))/√V is
+    * the one final double, spelled identically on both engines.
+    *
+    * Scale shape: one map-side-collapsing rollup onto the (pair,
+    * cent-value) domain — bounded by the fixed value range (~50k cents)
+    * × 4 pairs, NOT by row count — then windows and sums ride that
+    * domain-sized frame. The 4× baseline duplication is a literal pair
+    * list, not a join fanout. */
+  def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val arms = Seq("click", "error", "signup", "purchase")
+    val tagged = arms.map { a =>
+      ev.filter(col("event_type").isin(a, "view"))
+        .select(lit(a).as("pair"),
+          (col("event_type") === a).cast("long").as("in_arm"), col("v"))
+    }.reduce(_ unionAll _)
+    val byValue = tagged.groupBy("pair", "v")
+      .agg(sum(col("in_arm")).as("c1"),
+        sum(lit(1L) - col("in_arm")).as("c2"))
+    val w = Window.partitionBy("pair").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byValue
+      .withColumn("cnt", col("c1") + col("c2"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      // doubled average rank of the tie group at this value
+      .withColumn("dr", lit(2L) * col("cum") - col("cnt") + lit(1L))
+    ranked.groupBy("pair")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("dr")).as("r1d"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      .withColumn("two_u1", col("r1d") - col("n1") * (col("n1") + 1))
+      .withColumn("two_u2", lit(2L) * col("n1") * col("n2") - col("two_u1"))
+      .withColumn("n", col("n1") + col("n2"))
+      // exact integer 12·n(n−1)·Var in DECIMAL(38,0); z is the one double
+      .withColumn("var12", dec(col("n1")) * dec(col("n2")) *
+        (dec(col("n") + 1) * dec(col("n")) * dec(col("n") - 1) -
+          dec(col("tie_term"))))
+      .withColumn("z_score", round(
+        when(col("n1") > 0 && col("n2") > 0 && col("var12") > 0,
+          (col("two_u1") - col("n1") * col("n2")).cast("double") *
+            sqrt(lit(3.0) * d2(col("n")) * d2(col("n") - 1)) /
+            sqrt(d2(col("var12"))))
+          .otherwise(lit(0.0)), 6))
+      .select(col("pair"), col("n1"), col("n2"), col("two_u1"),
+        col("two_u2"), col("tie_term"), col("z_score"))
+  }
+
+  /** The literal scorer both classifier-eval queries (q230/q231)
+    * grade: token count ×100 plus stopword texture (total hits ×10 +
+    * distinct hits) — a deterministic integer score whose weights are
+    * FIXED LITERALS, so (unlike the learned q84 classifier) the score
+    * is SQL-expressible and the eval harness itself can be
+    * oracle-checked end to end. The graded label is `n_chars ≥ 300`:
+    * a length proxy the score correlates with but doesn't determine —
+    * chosen deliberately, because this fixture's text is a uniform
+    * bag of the same ~40 words in every document and `lang` is
+    * INDEPENDENT of the text (a generator property, the q223
+    * lesson's sibling), so a language label would make any
+    * calibration flat by construction. Emits
+    * (doc_id, is_pos, score_milli). */
+  private def proxyScored(s: SparkSession, d: String): DataFrame = {
+    val stops = array(Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(lit): _*)
+    val toks = split(lower(col("text")), "\\s+")
+    documents(s, d).select(col("doc_id"),
+        size(filter(toks, t => array_contains(stops, t))).cast("long").as("hits"),
+        size(array_intersect(array_distinct(toks), stops)).cast("long").as("dhits"),
+        size(toks).cast("long").as("n_toks"),
+        (col("n_chars") >= 300).cast("long").as("is_pos"))
+      .select(col("doc_id"), col("is_pos"),
+        expr("n_toks * 100 + hits * 10 + dhits").as("score_milli"))
+  }
+
+  /** q230: calibration curve (reliability diagram) — the eval-side
+    * verb every quality/language classifier needs before its scores
+    * gate a corpus: rank documents by the literal proxy score, cut
+    * into 10 equal-count bins under a (score, doc_id) total order,
+    * and per bin report observed positive rate (n_chars ≥ 300) vs the
+    * bin's score range — monotone lift across bins = the score ranks
+    * well; rate ≈ score only if calibrated.
+    *
+    * Exactness: integer score, rank-based equal-count binning
+    * ((rn−1)·10 div n — no float quantile edges), rates as exact ppm.
+    *
+    * Scale shape: the score is one codegen'd scan; the global rank is
+    * the one range-exchange (a q148-style refinement loop replaces it
+    * past single-sort scale); bins collapse map-side onto 10 groups. */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val n = Window.orderBy(col("score_milli"), col("doc_id"))
+    proxyScored(s, d)
+      .withColumn("rn", row_number().over(n).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("(rn - 1) * 10 div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_pos")).as("n_pos"),
+        min(col("score_milli")).as("min_score"),
+        max(col("score_milli")).as("max_score"),
+        sum(col("score_milli")).as("sum_score"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("pos_rate_ppm"),
+        expr("sum_score div n_docs").as("avg_score_milli"),
+        col("min_score"), col("max_score"))
+  }
+
+  /** q231: precision/recall threshold sweep — the other half of the
+    * classifier-eval harness: operating points at the nine decile
+    * cuts of the score's DESC rank order, each with exact TP/FP/FN
+    * counts and ppm precision/recall/F1.
+    *
+    * The sweep never touches fact rows twice: ONE groupBy collapses
+    * documents onto the bounded score domain ([0,9000] — fixed by the
+    * score's construction, not by corpus size), and thresholds,
+    * cumulative counts and all nine operating points ride that
+    * domain-sized rollup (threshold k = the smallest score whose
+    * desc-cumulative count reaches rank ⌊k·n/10⌋ — the doc at that
+    * rank has exactly that score, so `score ≥ t_k` reproduces
+    * rank-cut semantics without ranking docs at all). */
+  def qPrCurve(s: SparkSession, d: String): DataFrame = {
+    val byScore = proxyScored(s, d)
+      .groupBy("score_milli")
+      .agg(count(lit(1)).as("cnt"), sum(col("is_pos")).as("pos"))
+    val wDesc = Window.orderBy(col("score_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byScore
+      .withColumn("cum_cnt", sum(col("cnt")).over(wDesc))
+      .withColumn("cum_pos", sum(col("pos")).over(wDesc))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("total_pos", sum(col("pos")).over(Window.partitionBy()))
+    val ks = s.range(1, 10).toDF("k")
+    cum.join(broadcast(ks), expr("cum_cnt >= greatest(k * n div 10, 1)"))
+      // smallest qualifying cumulative count = the highest qualifying
+      // score = the threshold row for k (score is unique per rollup row,
+      // so the struct max is the lexicographic argmax on score)
+      .groupBy(col("k"))
+      .agg(max(struct(col("score_milli"), col("cum_cnt"), col("cum_pos"),
+        col("n"), col("total_pos"))).as("at"))
+      .select(col("k"), col("at.score_milli").as("threshold_milli"),
+        col("at.cum_pos").as("tp"),
+        (col("at.cum_cnt") - col("at.cum_pos")).as("fp"),
+        (col("at.total_pos") - col("at.cum_pos")).as("fn"),
+        expr("at.cum_pos * 1000000 div at.cum_cnt").as("precision_ppm"),
+        expr("at.cum_pos * 1000000 div greatest(at.total_pos, 1)")
+          .as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("""CASE WHEN precision_ppm + recall_ppm > 0
+                THEN 2 * precision_ppm * recall_ppm
+                     div (precision_ppm + recall_ppm)
+                ELSE 0 END"""))
+  }
 }

@@ -132,6 +132,13 @@ object ScaleBench {
     val factor = if (args.length > 1) args(1).toInt else 10
     val out = if (args.length > 2) args(2)
       else s"${System.getProperty("java.io.tmpdir")}/graft-scale-x$factor"
+    // optional probe subset (comma-separated name prefixes) — lets a
+    // new family get its datapoints without re-timing the whole
+    // historical list; unset = the full list, unchanged behavior
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").map(_.trim).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -175,7 +182,8 @@ object ScaleBench {
     }
 
     // warm codegen/JIT once, then median-of-3 per query (Bench contract)
-    graft.SparkEntry.queries(Queries.head)(spark, out).queryExecution.toRdd.foreach(_ => ())
+    val warm = Queries.filter(selected).headOption.getOrElse(Queries.head)
+    graft.SparkEntry.queries(warm)(spark, out).queryExecution.toRdd.foreach(_ => ())
     def med3(body: => Unit): Double = {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -184,7 +192,7 @@ object ScaleBench {
       }
       times.sorted.apply(1)
     }
-    val results = Queries.map { name =>
+    val results = Queries.filter(selected).map { name =>
       val fn = graft.SparkEntry.queries(name)
       name -> med3 { fn(spark, out).queryExecution.toRdd.foreach(_ => ()) }
     }
@@ -194,17 +202,21 @@ object ScaleBench {
     // at 100× and the within-cell pair stage grows with it, which the
     // number shows honestly)
     val kScaled = math.min(16 * factor, 256)
-    val sem = s"q75_semantic_dedup_k$kScaled" -> med3 {
-      graft.operators.Dedup.qSemanticDedup(spark, out, clusters = kScaled)
-        .queryExecution.toRdd.foreach(_ => ())
-    }
+    val sem = if (selected("q75_semantic_dedup"))
+      Seq(s"q75_semantic_dedup_k$kScaled" -> med3 {
+        graft.operators.Dedup.qSemanticDedup(spark, out, clusters = kScaled)
+          .queryExecution.toRdd.foreach(_ => ())
+      })
+    else Seq.empty
     // the profiler's scale variant: distinct counts via mergeable HLL
     // sketches instead of the exact multi-distinct expand (the swap the
     // q95 scaladoc commits to at 100 TB — this measures it)
-    val prof = "q95_profile_approx" -> med3 {
-      graft.operators.Pipeline.qProfile(spark, out, approxDistinct = true)
-        .queryExecution.toRdd.foreach(_ => ())
-    }
+    val prof = if (selected("q95_profile"))
+      Seq("q95_profile_approx" -> med3 {
+        graft.operators.Pipeline.qProfile(spark, out, approxDistinct = true)
+          .queryExecution.toRdd.foreach(_ => ())
+      })
+    else Seq.empty
     // q184 k-core: probed at 10× only (the 1× steady state is already
     // ~35 s of 38 dense synchronous sweeps — BENCH_NOTES; the 10× point
     // confirms ROUND-COUNT stability under disjoint-copy growth, which
@@ -212,7 +224,7 @@ object ScaleBench {
     // copy, not the corpus size). Single run, not median-of-3 — the
     // iteration count is deterministic, so one run answers the
     // question at a third of the cost.
-    val kcore = if (factor <= 10) {
+    val kcore = if (factor <= 10 && selected("q184_kcore")) {
       var rounds = 0
       graft.operators.Graph.probeHook = (r, _) => rounds = r
       val t0 = System.nanoTime()
@@ -221,7 +233,7 @@ object ScaleBench {
       finally graft.operators.Graph.probeHook = null
       Seq(s"q184_kcore_rounds$rounds" -> (System.nanoTime() - t0) / 1e9)
     } else Seq.empty
-    val all = results ++ kcore :+ sem :+ prof
+    val all = results ++ kcore ++ sem ++ prof
     val qs = all.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"scale_x$factor%d_total","value":$total%.3f,"unit":"sec","queries":$qs,"src":"$src","factor":$factor%d}""")

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The round-16 batch (q226–q231: the remaining TPC-H join shapes and
+  * the classifier-eval harness + Mann–Whitney) — driver-side
+  * recomputation of each contract on the raw sf0.001 rows, so a
+  * same-wrong-answer-on-both-engines bug can't hide behind the DuckDB
+  * oracle. */
+class TpchEvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  // raw relational rows for the recomputes (timestamps as epoch µs —
+  // the session returns java.time values otherwise)
+  private lazy val li: Seq[(Long, Long, Long, Long, Long)] =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"""),
+        unix_micros(col("l_shipdate").cast("timestamp")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+  private lazy val ord: Map[Long, (Long, String, Long)] =
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        r.getLong(3))).toMap
+  private lazy val cust: Map[Long, Int] = Tables.customer(spark, sf)
+    .select("c_custkey", "c_nationkey").collect()
+    .map(r => r.getLong(0) -> r.getInt(1)).toMap
+  private lazy val supp: Map[Long, (Int, String, Long)] =
+    Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_name"),
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getLong(3)))
+      .toMap
+  private lazy val natName: Map[Int, String] = Tables.nation(spark, sf)
+    .select("n_nationkey", "n_name").collect()
+    .map(r => r.getInt(0) -> r.getString(1)).toMap
+  private lazy val natRegion: Map[Int, Int] = Tables.nation(spark, sf)
+    .select("n_nationkey", "n_regionkey").collect()
+    .map(r => r.getInt(0) -> r.getInt(1)).toMap
+  private lazy val regName: Map[Int, String] = Tables.region(spark, sf)
+    .select("r_regionkey", "r_name").collect()
+    .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  test("q226: Q5 cycle join matches a nested-loop recompute") {
+    val y96 = java.time.Instant.parse("1996-01-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    val y97 = java.time.Instant.parse("1997-01-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    val want = li.flatMap { case (ok, _, sk, rev, _) =>
+      for {
+        (ck, _, od) <- ord.get(ok)
+        if od >= y96 && od < y97
+        cNat <- cust.get(ck)
+        (sNat, _, _) <- supp.get(sk)
+        if cNat == sNat && regName(natRegion(sNat)) == "ASIA"
+      } yield (natName(sNat), rev)
+    }.groupBy(_._1).map { case (n, rs) => (n, rs.map(_._2).sum, rs.size.toLong) }
+      .toSet
+    val got = Relational.qLocalSupplierVolume(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q227: the rollup rewrite equals the literal EXISTS/NOT-EXISTS scan") {
+    // literal double-correlated form, straight from Q21's definition
+    val fLines = li.flatMap { case (ok, _, sk, _, ship) =>
+      ord.get(ok).collect { case (_, "F", od) =>
+        (ok, sk, ship > od + 60L * 86400000000L)
+      }
+    }
+    val byOrder = fLines.groupBy(_._1)
+    val waiting = fLines.filter(_._3).map(t => (t._1, t._2)).distinct
+      .filter { case (ok, sk) =>
+        val others = byOrder(ok).filter(_._2 != sk)
+        others.exists(_ => true) && !others.exists(_._3)
+      }
+    val want = waiting.map { case (_, sk) =>
+      (supp(sk)._2, natName(supp(sk)._1)) }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sortBy(t => (-t._3, t._1)).take(20).toSet
+    val got = Relational.qWaitingSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q228: packed argmin equals the literal per-part min scan") {
+    val eur = supp.filter { case (_, (nk, _, _)) =>
+      regName(natRegion(nk)) == "EUROPE" }
+    val pairs = li.map(t => (t._2, t._3)).distinct
+      .filter(p => eur.contains(p._2))
+    val want = pairs.groupBy(_._1).map { case (pk, ps) =>
+      val (bk, bb) = ps.map { case (_, sk) => (sk, eur(sk)._3) }
+        .minBy { case (sk, bal) => (bal, sk) } match {
+          case (sk, bal) => (sk, bal)
+        }
+      (pk, bk, bb)
+    }.toSeq.sortBy { case (pk, sk, bal) => (-bal, sk, pk) }.take(100).toSet
+    val got = Relational.qMinCostSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(6))).toSet
+    assert(got == want)
+    assert(got.size == math.min(100, pairs.map(_._1).distinct.size))
+  }
+
+  test("q229: doubled-rank U, tie term, and z match a sort-based recompute") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val base = ev.filter(_._1 == "view").map(_._2)
+    val got = Stats.qMannWhitney(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    for (arm <- Seq("click", "error", "signup", "purchase")) {
+      val a = ev.filter(_._1 == arm).map(_._2)
+      val all = (a.map((_, 1)) ++ base.map((_, 0))).sortBy(_._1)
+      // doubled average rank per tie group, walked directly
+      var i = 0; var r1d = 0L; var tie = 0L
+      while (i < all.length) {
+        var j = i
+        while (j < all.length && all(j)._1 == all(i)._1) j += 1
+        val cnt = (j - i).toLong
+        val dr = 2L * i + cnt + 1 // 2·cum_before + cnt + 1
+        r1d += all.slice(i, j).count(_._2 == 1) * dr
+        tie += cnt * cnt * cnt - cnt
+        i = j
+      }
+      val (n1, n2) = (a.length.toLong, base.length.toLong)
+      val n = n1 + n2
+      val twoU1 = r1d - n1 * (n1 + 1)
+      val v12 = BigInt(n1) * BigInt(n2) *
+        (BigInt(n + 1) * BigInt(n) * BigInt(n - 1) - BigInt(tie))
+      val z = (twoU1 - n1 * n2).toDouble *
+        math.sqrt(3.0 * n.toDouble * (n - 1).toDouble) /
+        math.sqrt(v12.toDouble)
+      val (gn1, gn2, gu1, gu2, gtie, gz) = got(arm)
+      assert((gn1, gn2) == (n1, n2))
+      assert(gu1 == twoU1, s"$arm two_u1")
+      assert(gu2 == 2 * n1 * n2 - twoU1, s"$arm two_u2")
+      assert(gtie == tie, s"$arm tie_term")
+      assert(math.abs(gz - z) < 2e-6, s"$arm z: got $gz want ~$z")
+    }
+  }
+
+  // the literal proxy score, mirrored with Spark's split semantics
+  // (limit -1: trailing empty tokens are kept, exactly like
+  // split(text, '\\s+') in the plan); (doc_id, score, is_pos)
+  private lazy val scored: Seq[(Long, Long, Long)] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "n_chars", "text").collect()
+      .map { r =>
+        val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+        val toks = r.getString(2).toLowerCase.split("\\s+", -1)
+        val hits = toks.count(stops.contains).toLong
+        val dhits = toks.distinct.count(stops.contains).toLong
+        val score = toks.length.toLong * 100 + hits * 10 + dhits
+        (r.getLong(0), score, if (r.getAs[Number]("n_chars").longValue >= 300) 1L else 0L)
+      }
+
+  test("q230: decile rates match a rank-walk recompute; rates are monotone-ish") {
+    val n = scored.size.toLong
+    val want = scored.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((_, sc, en), idx) => ((idx.toLong * 10) / n, sc, en) }
+      .groupBy(_._1).map { case (dec, rows) =>
+        val nd = rows.size.toLong
+        (dec, nd, rows.map(_._3).sum, rows.map(_._3).sum * 1000000L / nd,
+          rows.map(_._2).sum / nd, rows.map(_._2).min, rows.map(_._2).max)
+      }.toSet
+    val got = Stats.qCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want)
+    // the top decile must be positive-richer than the bottom (the
+    // score actually ranks the label)
+    val byDec = got.map(t => t._1 -> t._4).toMap
+    assert(byDec(byDec.keys.max) > byDec(byDec.keys.min))
+  }
+
+  test("q231: every operating point matches threshold-scan counts") {
+    val n = scored.size.toLong
+    val totalPos = scored.map(_._3).sum
+    val got = Stats.qPrCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.map(_._1).toSet == (1L to 9L).toSet)
+    got.foreach { case (k, thr, tp, fp, fn, pPpm, rPpm, f1) =>
+      // threshold = smallest score with #(score ≥ t) ≥ max(k·n/10, 1)
+      val rk = math.max(k * n / 10, 1L)
+      val cands = scored.map(_._2).distinct.sorted(Ordering[Long].reverse)
+        .filter(t => scored.count(_._2 >= t) >= rk)
+      assert(thr == cands.head, s"k=$k threshold")
+      val tpW = scored.count(s => s._2 >= thr && s._3 == 1).toLong
+      val fpW = scored.count(s => s._2 >= thr && s._3 == 0).toLong
+      assert((tp, fp, fn) == ((tpW, fpW, totalPos - tpW)), s"k=$k counts")
+      assert(pPpm == tp * 1000000 / (tp + fp), s"k=$k precision")
+      assert(rPpm == tp * 1000000 / math.max(totalPos, 1), s"k=$k recall")
+      val f1W = if (pPpm + rPpm > 0) 2 * pPpm * rPpm / (pPpm + rPpm) else 0L
+      assert(f1 == f1W, s"k=$k f1")
+    }
+  }
+}
