@@ -246,6 +246,30 @@ object Bench {
     "q229_mann_whitney",
     "q230_calibration",
     "q231_pr_curve",
+    // round 17 (r8): the classifier-eval completion (rank-identity
+    // AUC), the k-group and parametric test pair (value-domain
+    // rollups), and the remaining TPC-H shapes — correlated-AVG
+    // (Q17), left-join distribution (Q13), HAVING-vs-global (Q11),
+    // anti-join dormancy (Q22), eager-agg IN (Q18), nested semi (Q20)
+    "q232_roc_auc",
+    "q233_kruskal_wallis",
+    "q234_welch_t",
+    "q235_small_qty_revenue",
+    "q236_cust_order_distribution",
+    "q237_important_stock",
+    "q238_dormant_high_value",
+    "q239_large_volume_customer",
+    "q240_excess_shippers",
+    // round 17 (r8): greedy WordPiece corpus segmentation (distinct
+    // words + codegen'd MaxMatch; vocab learn included in the timing).
+    // q242_streaming_cms stays untimed like every replay-harness
+    // streaming parity (q214/q224): their cost is the harness, not
+    // the operator.
+    "q241_wordpiece_segment",
+    // round 17 (r8): the global independence test over the q159 cells
+    // and the k-group variance decomposition (rollup-shaped)
+    "q243_chi_square",
+    "q244_anova_f",
   )
 
   def main(args: Array[String]): Unit = {

@@ -517,6 +517,39 @@ object SparkEntry {
     "q230_calibration" -> (Stats.qCalibration _),
     // q231: precision/recall threshold sweep over the same score
     "q231_pr_curve" -> (Stats.qPrCurve _),
+    // q232: exact tie-corrected ROC AUC from the q229 rank identity
+    "q232_roc_auc" -> (Stats.qRocAuc _),
+    // q233: Kruskal–Wallis k-group rank test across event types
+    "q233_kruskal_wallis" -> (Stats.qKruskalWallis _),
+    // q234: Welch's unequal-variance t-test per event type vs 'view'
+    "q234_welch_t" -> (Stats.qWelchT _),
+    // q235: TPC-H Q17 shape — correlated scalar-AVG, cross-multiplied
+    "q235_small_qty_revenue" -> (Relational.qSmallQtyRevenue _),
+    // q236: TPC-H Q13 shape — left-outer-join count distribution
+    "q236_cust_order_distribution" -> (Relational.qCustOrderDistribution _),
+    // q237: TPC-H Q11 shape — HAVING vs a global scalar, exact
+    "q237_important_stock" -> (Relational.qImportantStock _),
+    // q238: TPC-H Q22 shape — global-avg filter + anti join by nation
+    "q238_dormant_high_value" -> (Relational.qDormantHighValue _),
+    // q239: TPC-H Q18 shape — IN-over-grouped-HAVING via eager agg
+    "q239_large_volume_customer" -> (Relational.qLargeVolumeCustomer _),
+    // q240: TPC-H Q20 shape — nested semi-join chain, majority shipper
+    "q240_excess_shippers" -> (Relational.qExcessShippers _),
+    // q241: greedy WordPiece segmentation — the third tokenizer
+    // algorithm (rows-only: the vocab cut matches q212's gate;
+    // WordpieceSegmentSpec pins greedy ≡ brute force, interp ≡ codegen)
+    "q241_wordpiece_segment" -> (TextAnalysis.qWordpieceSegment _),
+    // q242: streaming Count-Min counter state — the seventh bit-exact
+    // stream/batch parity, second sketch-state member (rows-only:
+    // Murmur hashing is not SQL-expressible; EngagementSpec asserts
+    // the streamed matrices equal the batch build bit for bit)
+    "q242_streaming_cms" -> (graft.streaming.EventTime.qStreamingCms _),
+    // q243: chi-square independence statistic (exact floored-ppm
+    // integer arithmetic) completing q159's contingency audit
+    "q243_chi_square" -> (Stats.qChiSquare _),
+    // q244: one-way ANOVA F across event types from exact per-group
+    // sufficient statistics
+    "q244_anova_f" -> (Stats.qAnovaF _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4219,5 +4252,268 @@ object SparkEntry {
                              // (precision_ppm + recall_ppm)
                         ELSE 0 END AS BIGINT) AS f1_ppm
          FROM pts""",
+    // q232: doubled tie-averaged ranks on the score-domain rollup;
+    // the ppm division widened to HUGEINT (mirrors Spark's DECIMAL)
+    "q232_roc_auc" ->
+      """WITH sc AS (
+           SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS is_pos,
+                  n_toks * 100 + hits * 10 + dhits AS score_milli
+           FROM (SELECT n_chars,
+                        len(list_filter(toks, t -> t IN ('the','a','of',
+                          'and','to','in','is','it'))) AS hits,
+                        len(list_intersect(list_distinct(toks),
+                          ['the','a','of','and','to','in','is','it']))
+                          AS dhits,
+                        len(toks) AS n_toks
+                 FROM (SELECT n_chars,
+                              string_split_regex(lower(text), '\s+') AS toks
+                       FROM documents))),
+         bs AS (SELECT score_milli, COUNT(*) AS cnt, SUM(is_pos) AS pos
+                FROM sc GROUP BY 1),
+         rk AS (SELECT pos, cnt,
+                       SUM(cnt) OVER (ORDER BY score_milli
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM bs),
+         ag AS (SELECT SUM(pos) AS n_pos, SUM(cnt - pos) AS n_neg,
+                       SUM(pos * (2 * cum - cnt + 1)) AS r1d
+                FROM rk),
+         fin AS (SELECT n_pos, n_neg,
+                        r1d - n_pos * (n_pos + 1) AS two_u,
+                        CAST(CAST(r1d - n_pos * (n_pos + 1) AS HUGEINT)
+                               * 1000000
+                             // (CAST(n_pos AS HUGEINT)
+                                * CAST(n_neg AS HUGEINT) * 2) AS BIGINT)
+                          AS auc_ppm
+                 FROM ag)
+         SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+                CAST(two_u AS BIGINT) AS two_u, auc_ppm,
+                2 * auc_ppm - 1000000 AS gini_ppm
+         FROM fin""",
+    // q233: global doubled ranks on the value domain; H is the one
+    // final double folded from exact integer group sums (q183
+    // precedent), spelled identically on both engines
+    "q233_kruskal_wallis" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         bv AS (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         byv AS (SELECT v, SUM(c) AS cnt FROM bv GROUP BY 1),
+         rk AS (SELECT v, cnt,
+                       2 * SUM(cnt) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) - cnt + 1 AS dr
+                FROM byv),
+         pg AS (SELECT event_type, SUM(c) AS n_i, SUM(c * dr) AS two_r
+                FROM bv JOIN rk USING (v) GROUP BY 1),
+         gl AS (SELECT SUM(cnt) AS n,
+                       SUM(cnt * cnt * cnt - cnt) AS tie_term
+                FROM rk),
+         sq AS (SELECT SUM(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+                           / CAST(n_i AS DOUBLE)) AS ssum
+                FROM pg),
+         h AS (SELECT ROUND(
+                 (ssum * 3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                  - 3.0 * CAST(n + 1 AS DOUBLE))
+                 / (1.0 - CAST(tie_term AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+                 AS h_stat
+               FROM sq, gl)
+         SELECT event_type, CAST(n_i AS BIGINT) AS n_i,
+                CAST(two_r AS BIGINT) AS two_r, CAST(n AS BIGINT) AS n,
+                CAST(tie_term AS BIGINT) AS tie_term, h_stat
+         FROM pg, gl, h""",
+    // q234: exact integer sufficient statistics (Σv² widened); t and
+    // the Welch–Satterthwaite df are the two final doubles
+    "q234_welch_t" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         pr AS (
+           SELECT ks.pair,
+                  CASE WHEN ev.event_type = ks.pair THEN 1 ELSE 0 END
+                    AS in_arm, ev.v
+           FROM ev JOIN (VALUES ('click'), ('error'), ('signup'),
+                                ('purchase')) AS ks(pair)
+             ON ev.event_type = ks.pair OR ev.event_type = 'view'),
+         st AS (SELECT pair, SUM(in_arm) AS n1, SUM(1 - in_arm) AS n2,
+                       SUM(in_arm * v) AS s1, SUM((1 - in_arm) * v) AS s2,
+                       SUM(CAST(in_arm * v * v AS HUGEINT)) AS q1,
+                       SUM(CAST((1 - in_arm) * v * v AS HUGEINT)) AS q2
+                FROM pr GROUP BY 1),
+         fin AS (SELECT pair, n1, n2, s1, s2,
+                        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                           * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                          / (CAST(n1 AS DOUBLE) - 1.0)
+                          / CAST(n1 AS DOUBLE) AS va,
+                        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                           * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                          / (CAST(n2 AS DOUBLE) - 1.0)
+                          / CAST(n2 AS DOUBLE) AS vb
+                 FROM st)
+         SELECT pair, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(s1 AS BIGINT) AS sum1_cents,
+                CAST(s2 AS BIGINT) AS sum2_cents,
+                ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                      / SQRT(va + vb), 6) AS t_stat,
+                ROUND((va + vb) * (va + vb)
+                      / (va * va / (CAST(n1 AS DOUBLE) - 1.0)
+                         + vb * vb / (CAST(n2 AS DOUBLE) - 1.0)), 4)
+                  AS welch_df
+         FROM fin""",
+    // q235: the correlated scalar-AVG cross-multiplied into integers
+    // (5·qty·n < Σqty — no float average exists on either engine)
+    "q235_small_qty_revenue" ->
+      """WITH pts AS (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#1'),
+         li AS (SELECT l_partkey,
+                       CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS qty_c,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                       * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                            AS BIGINT)) AS rev
+                FROM lineitem JOIN pts ON l_partkey = p_partkey),
+         pp AS (SELECT l_partkey, SUM(qty_c) AS sum_qty_c,
+                       COUNT(*) AS n_lines
+                FROM li GROUP BY 1)
+         SELECT COUNT(*) AS n_small_lines,
+                CAST(COUNT(DISTINCT li.l_partkey) AS BIGINT) AS n_parts,
+                CAST(SUM(rev) AS BIGINT) AS small_rev_x1e4
+         FROM li JOIN pp ON li.l_partkey = pp.l_partkey
+         WHERE 5 * qty_c * n_lines < sum_qty_c""",
+    // q236: the LEFT join is the point — k = 0 customers must appear
+    "q236_cust_order_distribution" ->
+      """WITH cnt AS (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT c_count, COUNT(*) AS custdist FROM cnt GROUP BY 1""",
+    // q237: HAVING vs the global mean, cross-multiplied
+    // (value·n_parts·10 > total·12)
+    "q237_important_stock" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         v AS (SELECT l_partkey,
+                      SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS value_cents,
+                      COUNT(*) AS n_supp
+               FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+               GROUP BY 1),
+         t AS (SELECT SUM(value_cents) AS total_cents,
+                      COUNT(*) AS n_parts FROM v)
+         SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents,
+                n_supp
+         FROM v, t
+         WHERE value_cents * n_parts * 10 > total_cents * 12
+         ORDER BY value_cents DESC, l_partkey
+         LIMIT 100""",
+    // q238: global positive-balance average cross-multiplied
+    // (bal·n > Σbal); the NOT EXISTS is the anti join
+    "q238_dormant_high_value" ->
+      """WITH pa AS (SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS pos_sum,
+                            COUNT(*) AS pos_n
+                     FROM customer WHERE c_acctbal > 0),
+         rec AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= '2000-01-01')
+         SELECT n_name, COUNT(*) AS n_dormant,
+                CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS bal_sum_cents
+         FROM customer, pa
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * pos_n > pos_sum
+           AND NOT EXISTS (SELECT 1 FROM rec WHERE o_custkey = c_custkey)
+         GROUP BY 1""",
+    // q239: IN-over-grouped-HAVING via eager aggregation; top-100
+    // under the (qty, orderkey) total order
+    "q239_large_volume_customer" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS sum_qty_c
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             AS BIGINT)) > 30000)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                CAST(sum_qty_c AS BIGINT) AS sum_qty_c
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+         ORDER BY sum_qty_c DESC, o_orderkey
+         LIMIT 100""",
+    // q240: the nested semi-join chain; majority cross-multiplied
+    // (2·pair > part total)
+    "q240_excess_shippers" ->
+      """WITH li AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS qty_c
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red%'
+             AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'),
+         pp AS (SELECT l_partkey, l_suppkey, SUM(qty_c) AS pair_qty_c
+                FROM li GROUP BY 1, 2),
+         dom AS (SELECT l_partkey, l_suppkey, pair_qty_c
+                 FROM (SELECT *, SUM(pair_qty_c) OVER
+                         (PARTITION BY l_partkey) AS part_qty_c
+                       FROM pp)
+                 WHERE 2 * pair_qty_c > part_qty_c),
+         ps AS (SELECT l_suppkey, COUNT(*) AS n_dominated_parts,
+                       SUM(pair_qty_c) AS dominated_qty_c
+                FROM dom GROUP BY 1)
+         SELECT n_name, COUNT(*) AS n_suppliers,
+                CAST(SUM(n_dominated_parts) AS BIGINT) AS n_dominated_parts,
+                CAST(SUM(dominated_qty_c) AS BIGINT) AS dominated_qty_c
+         FROM ps JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1""",
+    // q243: every numerator/denominator exact integer; each cell a
+    // FLOORED ppm division widened to HUGEINT, the statistic their sum
+    "q243_chi_square" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS o
+                        FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY 1),
+         c AS (SELECT source, SUM(o) AS c FROM cells GROUP BY 1),
+         t AS (SELECT SUM(o) AS n FROM cells),
+         contrib AS (
+           SELECT CAST(CAST(o * n - r.r * c.c AS HUGEINT)
+                       * CAST(o * n - r.r * c.c AS HUGEINT) * 1000000
+                       // (CAST(n AS HUGEINT) * CAST(r.r AS HUGEINT)
+                          * CAST(c.c AS HUGEINT)) AS BIGINT) AS cell_ppm
+           FROM cells JOIN r USING (lang) JOIN c USING (source), t)
+         SELECT CAST(t.n AS BIGINT) AS n,
+                (SELECT COUNT(*) FROM cells) AS n_cells,
+                CAST(((SELECT COUNT(*) FROM r) - 1)
+                     * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+                CAST((SELECT SUM(cell_ppm) FROM contrib) AS BIGINT)
+                  AS chi2_ppm
+         FROM t""",
+    // q244: exact per-group (n, Σv) + widened Σv²; F is the one final
+    // double, spelled identically
+    "q244_anova_f" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         g AS (SELECT event_type, COUNT(*) AS n_i, SUM(v) AS s_i,
+                      SUM(CAST(v * v AS HUGEINT)) AS q_i
+               FROM ev GROUP BY 1),
+         f AS (SELECT SUM(n_i) AS n, COUNT(*) AS k, SUM(s_i) AS s,
+                      CAST(SUM(q_i) AS DOUBLE) AS q,
+                      SUM(CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                          / CAST(n_i AS DOUBLE)) AS a
+               FROM g),
+         fs AS (SELECT n, k,
+                       ROUND((a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                             / (CAST(k AS DOUBLE) - 1.0)
+                             / ((q - a) / (CAST(n AS DOUBLE)
+                                           - CAST(k AS DOUBLE))), 6)
+                         AS f_stat
+                FROM f)
+         SELECT event_type, CAST(n_i AS BIGINT) AS n_i,
+                CAST(s_i AS BIGINT) AS sum_cents,
+                CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, f_stat
+         FROM g, fs""",
   )
 }

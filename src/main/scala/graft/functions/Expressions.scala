@@ -717,3 +717,105 @@ object UnigramSegment {
     new GenericArrayData(out)
   }
 }
+
+/** Greedy longest-match-first segmentation of a word under a WordPiece
+  * vocabulary (the BERT tokenizer's inference rule; Song et al.,
+  * "Fast WordPiece Tokenization", EMNLP 2021 describe the same
+  * left-to-right MaxMatch semantics this implements) — the third
+  * real-world subword algorithm beside BPE (q78/q82, rank-ordered
+  * merges) and unigram-LM (q212/q213, Viterbi): at each position take
+  * the LONGEST vocabulary piece that matches, where every non-initial
+  * piece carries the `##` continuation prefix; if NO piece matches at
+  * some position the WHOLE word maps to `[UNK]` (WordPiece's
+  * word-level unknown rule — unlike unigram's per-character fallback,
+  * one bad character voids the word).
+  *
+  * Determinism contract: MaxMatch is a deterministic function of
+  * (vocab, word) — no costs, no ties (longest is unique). Piece
+  * boundaries are restricted to code-point boundaries exactly like
+  * `UnigramSegment`, so no emitted piece ever splits a surrogate pair
+  * (a mid-pair match is skipped; if only mid-pair matches exist the
+  * word becomes `[UNK]`, never a torn code point).
+  *
+  * The vocabulary rides the plan as array literals decoded ONCE into a
+  * reference-object hash map; the scan stays in whole-stage codegen
+  * via the static helper, like every expression in this file. */
+case class WordpieceSegment(child: Expression, pieces: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wordpiece_segment requires STRING, got ${other.catalogString}")
+    }
+
+  @transient private lazy val vocab: java.util.HashSet[String] = {
+    val m = new java.util.HashSet[String](pieces.length * 2)
+    pieces.foreach(m.add)
+    m
+  }
+  // longest MATCHED TEXT length: a continuation piece "##ab" matches
+  // two chars of the word, not four
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1
+    else math.max(1, pieces.iterator.map(p =>
+      if (p.startsWith("##")) p.length - 2 else p.length).max)
+
+  override def nullSafeEval(input: Any): Any =
+    WordpieceSegment.segment(vocab, input.asInstanceOf[UTF8String], maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpieceVocab", vocab, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordpieceSegment.segment($ref, $c, $maxLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordpieceSegment =
+    copy(child = newChild)
+
+  override def prettyName: String = "wordpiece_segment"
+}
+
+object WordpieceSegment {
+  val Unk = "[UNK]"
+
+  /** Static greedy MaxMatch shared by interpreted eval and generated
+    * code. Returns `[UNK]` as the single piece when any position has
+    * no matching piece (the word-level unknown rule). */
+  def segment(vocab: java.util.HashSet[String],
+      word: UTF8String, maxLen: Int): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // a boundary splits no surrogate pair (same rule as UnigramSegment)
+    def boundary(i: Int): Boolean =
+      i == 0 || i == n ||
+        !(Character.isLowSurrogate(s.charAt(i)) &&
+          Character.isHighSurrogate(s.charAt(i - 1)))
+    val out = new java.util.ArrayList[Any]()
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var matched = -1
+      while (l >= 1 && matched < 0) {
+        if (boundary(pos + l)) {
+          val raw = s.substring(pos, pos + l)
+          val cand = if (pos == 0) raw else "##" + raw
+          if (vocab.contains(cand)) matched = l
+        }
+        l -= 1
+      }
+      if (matched < 0)
+        return new GenericArrayData(Array[Any](UTF8String.fromString(Unk)))
+      val raw = s.substring(pos, pos + matched)
+      out.add(UTF8String.fromString(if (pos == 0) raw else "##" + raw))
+      pos += matched
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -85,6 +85,20 @@ object GraftFunctions {
           "unigram_segment(word, pieces, costs, unkCost) requires literal " +
             "ARRAY<STRING> pieces, ARRAY<BIGINT> costs, BIGINT unkCost")
       }, "built-in")
+    // wordpiece_segment(word, piecesArrayLit): greedy longest-match
+    // WordPiece inference; the vocabulary rides as a foldable array
+    // literal decoded ONCE into the expression's hash set
+    reg.createOrReplaceTempFunction("wordpiece_segment",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(w, pl @ Literal(_, ArrayType(StringType, _))) =>
+          val pieces = pl.value.asInstanceOf[ArrayData]
+            .toObjectArray(StringType)
+            .map(_.asInstanceOf[UTF8String].toString).toSeq
+          WordpieceSegment(w, pieces)
+        case _ => throw new IllegalArgumentException(
+          "wordpiece_segment(word, pieces) requires a literal " +
+            "ARRAY<STRING> vocabulary")
+      }, "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(b, v) =>

@@ -1838,4 +1838,196 @@ object Relational {
         col("p_partkey").asc)
       .limit(100)
   }
+
+  /** Exact quantity in centi-units (the raw column is ≤2-decimal by
+    * construction, so the cast is lossless — the q162 discipline). */
+  private def qtyX100: Column =
+    expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+  /** q235: TPC-H Q17 shape ("small-quantity-order revenue") — the
+    * correlated scalar-AVG subquery: revenue lost to lines whose
+    * quantity is below 20% of the PER-PART average, over one brand's
+    * parts (brand-only, so the slice is non-empty at every fixture
+    * scale factor). The correlated `< 0.2·(SELECT avg ...)` becomes
+    * a per-part rollup joined back, and the fractional comparison is
+    * CROSS-MULTIPLIED into integers (5·qty·n < Σqty — no float
+    * average ever exists, so the predicate is engine-exact).
+    *
+    * Scale shape: the brand/type filter prunes at the part scan and
+    * broadcasts; the lineitem scan is pruned by the broadcast-hash
+    * semi shape; the per-part rollup (|parts in slice| rows)
+    * broadcasts back — the fact table shuffles zero times. */
+  def qSmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val pts = part(s, d)
+      .filter(col("p_brand") === "Brand#1")
+      .select("p_partkey")
+    val li = lineitem(s, d)
+      .select(col("l_partkey"), qtyX100.as("qty_c"), revX1e4.as("rev"))
+      .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n_lines"))
+    li.join(broadcast(perPart), Seq("l_partkey"))
+      .filter(lit(5L) * col("qty_c") * col("n_lines") < col("sum_qty_c"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(col("rev")).as("small_rev_x1e4"))
+  }
+
+  /** q236: TPC-H Q13 shape ("customer order distribution") — the
+    * LEFT-OUTER-join histogram: how many customers placed exactly k
+    * qualifying orders (urgent orders excluded, playing Q13's
+    * comment-pattern exclusion), INCLUDING k=0 — the left join is the
+    * point of the shape (an inner join cannot see the zero bucket).
+    *
+    * Scale shape: one custkey shuffle joins the filtered orders to
+    * customers; the per-customer count collapses on the same
+    * partitioning; the k-histogram is a ≤|max orders|-row rollup that
+    * collapses map-side. */
+  def qCustOrderDistribution(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    customer(s, d).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q237: TPC-H Q11 shape ("important stock") — the HAVING-vs-global-
+    * scalar pattern: per-part value (supplier balance over the
+    * distinct (part, supplier) pairs — the fixture's partsupp, as in
+    * q228) kept only where it exceeds 1.2× the all-parts MEAN value.
+    * The original compares against `SUM(...)·fraction`; with no fixed
+    * part count across scale factors the mean form is the
+    * scale-stable statement of the same shape, and the comparison is
+    * cross-multiplied into exact integers
+    * (value·n_parts·10 > total·12 — no float threshold).
+    *
+    * Scale shape: the pair dedup is the one fact-sized shuffle
+    * (partkey-partitioned, reused by the rollup); supplier broadcasts
+    * before it; the global total is a scalar broadcast back onto the
+    * parts rollup; top-100 is TakeOrdered under a (value, partkey)
+    * total order. */
+  def qImportantStock(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    val value = pairs
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"),
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("bal_cents"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("bal_cents")).as("value_cents"),
+        count(lit(1)).as("n_supp"))
+    val tot = value.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("n_parts") * lit(10L) >
+        col("total_cents") * lit(12L))
+      .select(col("l_partkey"), col("value_cents"), col("n_supp"))
+      .orderBy(col("value_cents").desc, col("l_partkey").asc)
+      .limit(100)
+  }
+
+  /** q238: TPC-H Q22 shape ("global sales opportunity") — the
+    * global-scalar filter + ANTI join: customers whose balance beats
+    * the all-positive-balance average (the scalar subquery,
+    * cross-multiplied to exact integers: bal·n > Σbal) but who placed
+    * NO order since 2000 (the NOT EXISTS, as an anti join — dormant
+    * high-value accounts), grouped by nation (playing Q22's
+    * phone-prefix country code, which the fixture lacks).
+    *
+    * Scale shape: the scalar average is a one-row broadcast; the
+    * recent-buyer list is custkey-deduped BEFORE the anti join so the
+    * join probes |recent customers|, not |recent orders|; nation
+    * broadcasts; the rollup collapses to ≤25 rows map-side. */
+  def qDormantHighValue(s: SparkSession, d: String): DataFrame = {
+    val bal = expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val posAvg = customer(s, d).filter(col("c_acctbal") > 0)
+      .agg(sum(bal).as("pos_sum"), count(lit(1)).as("pos_n"))
+    val recent = orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_custkey").distinct()
+    customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), bal.as("bal_cents"))
+      .crossJoin(broadcast(posAvg))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_dormant"), sum(col("bal_cents")).as("bal_sum_cents"))
+  }
+
+  /** q239: TPC-H Q18 shape ("large volume customer") — the IN-over-
+    * grouped-HAVING pattern: orders whose total line quantity exceeds
+    * 300 units, joined back to their customer. The `o_orderkey IN
+    * (SELECT ... HAVING sum > t)` becomes EAGER AGGREGATION: the
+    * per-order rollup collapses the fact table FIRST, the HAVING cuts
+    * it to a handful of keys, and only those flow into the joins.
+    *
+    * Scale shape: one orderkey rollup (map-side partials); the
+    * surviving key set is tiny by construction (the threshold sits in
+    * the distribution's far tail) and BROADCASTS into orders, so
+    * neither orders nor customer ever shuffles on a fact-sized key
+    * set; top-100 is TakeOrdered under (qty desc, orderkey). */
+  def qLargeVolumeCustomer(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .select(col("l_orderkey"), qtyX100.as("qty_c"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("qty_c")).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > lit(30000L))
+    big
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("sum_qty_c"))
+      .orderBy(col("sum_qty_c").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** q240: TPC-H Q20 shape ("potential part promotion") — the nested
+    * semi-join chain: suppliers who shipped the MAJORITY of some red
+    * part's 1997 volume (the fixture has no availqty; `pair volume >
+    * half the part's total volume` plays `availqty > 0.5·sum(qty)` —
+    * the same agg-then-threshold comparison), rolled up per nation.
+    * The original is part-LIKE ⊂ lineitem-agg ⊂ partsupp ⊂ supplier
+    * nested INs; here each level is an explicit rollup or semi join.
+    *
+    * Scale shape: the name filter prunes parts and broadcasts; the
+    * date filter prunes the lineitem scan; the pair rollup and the
+    * part rollup share the partkey partitioning (one shuffle); the
+    * dominant-pair set is supplier-deduped and the final supplier
+    * join is a broadcast semi. Majority is cross-multiplied
+    * (2·pair > total — exact). */
+  def qExcessShippers(s: SparkSession, d: String): DataFrame = {
+    val redParts = part(s, d).filter(col("p_name").startsWith("red"))
+      .select("p_partkey")
+    val li = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"), qtyX100.as("qty_c"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+    val perPair = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qty_c")).as("pair_qty_c"))
+    val wPart = Window.partitionBy("l_partkey")
+    val dominant = perPair
+      .withColumn("part_qty_c", sum(col("pair_qty_c")).over(wPart))
+      .filter(lit(2L) * col("pair_qty_c") > col("part_qty_c"))
+    dominant
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_dominated_parts"),
+        sum(col("pair_qty_c")).as("dominated_qty_c"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("n_dominated_parts")).as("n_dominated_parts"),
+        sum(col("dominated_qty_c")).as("dominated_qty_c"))
+  }
 }

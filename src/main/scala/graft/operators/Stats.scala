@@ -1198,4 +1198,214 @@ object Stats {
                      div (precision_ppm + recall_ppm)
                 ELSE 0 END"""))
   }
+
+  /** q232: exact ROC AUC — the threshold-free summary completing the
+    * classifier-eval trio (q230 calibration, q231 operating points,
+    * this one number): the probability a random positive outranks a
+    * random negative, ties counted half. Computed from the SAME
+    * rank identity that powers q229 — tie-averaged doubled ranks on
+    * the score-domain rollup give 2U = Σpos·dr − n₁(n₁+1), and
+    * AUC = U/(n₁n₀), which equals the trapezoidal ROC integral
+    * exactly (no curve is ever materialized).
+    *
+    * Exactness: integer score, doubled ranks in BIGINT, and the ppm
+    * division widened to DECIMAL(38,0)/HUGEINT (2U·10⁶ ≈ n²·10⁶ tops
+    * BIGINT past ~3M docs — the q219 widening lesson). Gini = 2·AUC−1
+    * derives from the integer ppm, not a second float path.
+    *
+    * Scale shape: one map-side-collapsing rollup onto the bounded
+    * score domain; the rank window and the final fold ride that
+    * domain-sized frame — nothing row-sized ever sorts. */
+  def qRocAuc(s: SparkSession, d: String): DataFrame = {
+    val byScore = proxyScored(s, d)
+      .groupBy("score_milli")
+      .agg(count(lit(1)).as("cnt"), sum(col("is_pos")).as("pos"))
+    val w = Window.orderBy("score_milli")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum", sum(col("cnt")).over(w))
+      // doubled average rank of the tie group at this score
+      .withColumn("dr", lit(2L) * col("cum") - col("cnt") + lit(1L))
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"),
+        sum(col("pos") * col("dr")).as("r1d"))
+      .withColumn("two_u", col("r1d") - col("n_pos") * (col("n_pos") + 1))
+      .withColumn("auc_ppm",
+        expr("""CAST(CAST(two_u AS DECIMAL(38,0)) * 1000000
+                div (CAST(n_pos AS DECIMAL(38,0))
+                     * CAST(n_neg AS DECIMAL(38,0)) * 2) AS BIGINT)"""))
+      .withColumn("gini_ppm", lit(2L) * col("auc_ppm") - lit(1000000L))
+      .select(col("n_pos"), col("n_neg"), col("two_u"), col("auc_ppm"),
+        col("gini_ppm"))
+  }
+
+  /** q233: Kruskal–Wallis H — the k-group generalization closing the
+    * rank-test family (q179 ranks a pairing, q176 ranks against time,
+    * q229 ranks two groups; this ranks ALL groups at once): do the
+    * five event types draw `value` from the same distribution?
+    *
+    * Exactness: the q229 discipline verbatim — cent values, global
+    * tie-averaged DOUBLED ranks on the (value)-domain rollup, so every
+    * per-group rank sum 2Rᵢ is BIGINT-exact, as is the tie term
+    * Σ(t³−t). H = [3/(n(n+1))·Σ(2Rᵢ)²/nᵢ − 3(n+1)] / (1−T/(n³−n))
+    * folds k=5 per-group doubles in a final scalar step (the q183
+    * ≤120-term precedent; rounded at 6 decimals).
+    *
+    * Scale shape: ONE rollup onto the bounded cent domain (counts per
+    * (value, type) ride a k-wide conditional-sum row, so the global
+    * rank window never sees more than |domain| rows); group sums and
+    * the H fold are domain-sized. */
+  def qKruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val byValue = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    // global (cross-type) rank structure on the value domain
+    val byV = byValue.groupBy("v").agg(sum(col("c")).as("cnt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("dr", lit(2L) * col("cum") - col("cnt") + lit(1L))
+    val perGroup = byValue.join(ranked.select("v", "dr"), Seq("v"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("dr")).as("two_r"))
+    val glob = ranked
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+    val h = perGroup.crossJoin(broadcast(glob))
+      .agg(round(
+        (sum(d2(col("two_r")) * d2(col("two_r")) / d2(col("n_i")))
+          * lit(3.0) / (d2(max(col("n"))) * d2(max(col("n")) + 1))
+          - lit(3.0) * d2(max(col("n")) + 1))
+        / (lit(1.0) - d2(max(col("tie_term")))
+            / (d2(max(col("n"))) * d2(max(col("n"))) * d2(max(col("n")))
+               - d2(max(col("n"))))), 6).as("h_stat"))
+    perGroup.crossJoin(broadcast(glob)).crossJoin(broadcast(h))
+      .select(col("event_type"), col("n_i"), col("two_r"), col("n"),
+        col("tie_term"), col("h_stat"))
+  }
+
+  /** q234: Welch's t-test — the parametric complement to q229 for the
+    * same A/B question (each event type's `value` vs the 'view'
+    * baseline), the test teams actually run when means, not whole
+    * distributions, are the decision variable. Unequal variances
+    * assumed (the real-world default; pooled-variance Student is a
+    * special case nobody should ship).
+    *
+    * Exactness: sufficient statistics only — n, Σv, Σv² in exact
+    * cents, with Σv² widened to DECIMAL(38,0) (v²≈2.5e9 per row tops
+    * BIGINT past ~4B rows; the q196 widening lesson applied BEFORE it
+    * bites). t and the Welch–Satterthwaite df are the two final
+    * doubles, spelled identically on both engines from the same
+    * integer inputs, rounded at 6.
+    *
+    * Scale shape: one map-side-collapsing rollup to k rows; the 4×
+    * baseline pairing is a literal list, not a join fanout. */
+  def qWelchT(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val arms = Seq("click", "error", "signup", "purchase")
+    val tagged = arms.map { a =>
+      ev.filter(col("event_type").isin(a, "view"))
+        .select(lit(a).as("pair"),
+          (col("event_type") === a).cast("long").as("in_arm"), col("v"))
+    }.reduce(_ unionAll _)
+    val stats = tagged.groupBy("pair")
+      .agg(sum(col("in_arm")).as("n1"),
+        sum(lit(1L) - col("in_arm")).as("n2"),
+        sum(col("in_arm") * col("v")).as("s1"),
+        sum((lit(1L) - col("in_arm")) * col("v")).as("s2"),
+        sum(dec(col("in_arm") * col("v") * col("v"))).as("q1"),
+        sum(dec((lit(1L) - col("in_arm")) * col("v") * col("v"))).as("q2"))
+    // per-arm mean and unbiased variance as doubles from exact sums;
+    // a = s²₁/n₁, b = s²₂/n₂ — the Welch pieces
+    stats
+      .withColumn("va", (d2(col("q1")) - d2(col("s1")) * d2(col("s1")) / d2(col("n1")))
+        / (d2(col("n1")) - lit(1.0)) / d2(col("n1")))
+      .withColumn("vb", (d2(col("q2")) - d2(col("s2")) * d2(col("s2")) / d2(col("n2")))
+        / (d2(col("n2")) - lit(1.0)) / d2(col("n2")))
+      .withColumn("t_stat", round(
+        (d2(col("s1")) / d2(col("n1")) - d2(col("s2")) / d2(col("n2")))
+          / sqrt(col("va") + col("vb")), 6))
+      .withColumn("welch_df", round(
+        (col("va") + col("vb")) * (col("va") + col("vb"))
+          / (col("va") * col("va") / (d2(col("n1")) - lit(1.0))
+             + col("vb") * col("vb") / (d2(col("n2")) - lit(1.0))), 4))
+      .select(col("pair"), col("n1"), col("n2"), col("s1").as("sum1_cents"),
+        col("s2").as("sum2_cents"), col("t_stat"), col("welch_df"))
+  }
+
+  /** q243: chi-square independence statistic over the q159
+    * contingency table (lang × source) — the GLOBAL test completing
+    * that audit's per-cell residual diagnostics: one number answering
+    * "is language independent of source at all", with its degrees of
+    * freedom.
+    *
+    * Exactness: χ² = Σ (O·N − r·c)²/(N·r·c) — every numerator and
+    * denominator is an exact integer, so each cell's contribution is
+    * computed as a FLOORED ppm integer division (widened to
+    * DECIMAL(38,0)/HUGEINT: the squared term ·10⁶ tops BIGINT near
+    * O·N ≈ 3e6) and the statistic is their exact integer sum — a
+    * defined, engine-identical quantity within |cells| ppm of the
+    * real-valued χ²·10⁶ (the same floor-per-term trade as q231's
+    * ppm F1). No float ever enters.
+    *
+    * Scale shape: one cells rollup (map-side to |langs|·|sources|
+    * rows); margins derive FROM the cells; the fold is cell-sized. */
+  def qChiSquare(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cols = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val nl = rows.agg(count(lit(1)).as("n_langs"))
+    val ns = cols.agg(count(lit(1)).as("n_sources"))
+    cells.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(expr("""CAST(CAST(o * n - r * c AS DECIMAL(38,0))
+                      * CAST(o * n - r * c AS DECIMAL(38,0)) * 1000000
+                      div (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))
+                           * CAST(c AS DECIMAL(38,0))) AS BIGINT)""")
+        .as("cell_ppm"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cell_ppm")).as("chi2_ppm"))
+      .crossJoin(broadcast(nl)).crossJoin(broadcast(ns))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_cells"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        col("chi2_ppm"))
+  }
+
+  /** q244: one-way ANOVA F across event types on `value` — the
+    * k-group parametric member completing the test family (q234
+    * Welch pairs means, q233 Kruskal–Wallis ranks all groups; this is
+    * the variance decomposition every A/B/n readout starts from).
+    *
+    * Exactness: per-group sufficient statistics only (n, Σv exact
+    * cents; the global Σv² widened to DECIMAL(38,0)); SSB = Σsᵢ²/nᵢ −
+    * S²/N and SSW = Σv² − Σsᵢ²/nᵢ fold k=5 per-group doubles from
+    * exact integers in a final scalar step (the q183/q233 precedent),
+    * F = (SSB/(k−1))/(SSW/(N−k)) rounded at 6.
+    *
+    * Scale shape: one map-side-collapsing rollup to k rows; the fold
+    * is k-sized. */
+  def qAnovaF(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val g = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_i"), sum(col("v")).as("s_i"),
+        sum(dec(col("v") * col("v"))).as("q_i"))
+    val f = g.agg(
+        sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+        sum(col("s_i")).as("s"), d2(sum(col("q_i"))).as("q"),
+        sum(d2(col("s_i")) * d2(col("s_i")) / d2(col("n_i"))).as("a"))
+      .select(col("n"), col("k"),
+        round((col("a") - d2(col("s")) * d2(col("s")) / d2(col("n")))
+          / (d2(col("k")) - lit(1.0)) /
+          ((col("q") - col("a")) / (d2(col("n")) - d2(col("k")))), 6)
+          .as("f_stat"))
+    g.crossJoin(broadcast(f))
+      .select(col("event_type"), col("n_i"), col("s_i").as("sum_cents"),
+        col("n"), col("k"), col("f_stat"))
+  }
 }

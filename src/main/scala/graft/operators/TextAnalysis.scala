@@ -876,4 +876,57 @@ object TextAnalysis {
       .withColumn("char_piece_share_bp",
         expr("n_char_pieces * 10000 div n_pieces"))
   }
+
+  /** q241: greedy WordPiece corpus segmentation — the THIRD tokenizer
+    * algorithm beside BPE (q78/q82) and unigram-LM (q212/q213),
+    * closing the family with the one used by the BERT lineage: the
+    * q212 piece inventory becomes a position-aware WordPiece
+    * vocabulary (each piece admitted in initial AND `##`-continuation
+    * form, single-character coverage in both forms), and every
+    * distinct corpus word segments by longest-match-first
+    * (`WordpieceSegment`, codegen'd; `[UNK]` voids a word whole — the
+    * WordPiece rule, unlike unigram's per-char fallback).
+    *
+    * Per-source report: fertility (pieces per word), continuation
+    * share (how much of the stream is word-interior), and the unk
+    * word share (0 on this fixture by coverage — the column is the
+    * contract that the rule is wired, exercised adversarially in the
+    * spec). Rows-only: the learned-vocab cut matches q212's gate; the
+    * segmentation itself is pinned by WordpieceSegmentSpec (greedy ≡
+    * brute-force reference, interpreted ≡ codegen).
+    *
+    * Scale shape: q82/q213's distinct-words-then-join device — the
+    * segmenter runs once per DISTINCT word (Heaps-sublinear), the
+    * fact-sized side only joins; the vocab rides the plan as a
+    * broadcast-sized literal. */
+  def qWordpieceSegment(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = documents(s, d)
+    val inv = unigramPieceCounts(docs).collect()
+    val vocab = inv.flatMap { r =>
+      val p = r.getString(0); Seq(p, "##" + p)
+    }.distinct.sorted
+    val words = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val seg = words.select("w").distinct()
+      .withColumn("pieces",
+        call_function("wordpiece_segment", col("w"), lit(vocab)))
+      .select(col("w"), size(col("pieces")).as("n_pieces"),
+        size(filter(col("pieces"), p => p.startsWith("##")))
+          .as("n_cont_pieces"),
+        (col("pieces") === array(lit(graft.functions.WordpieceSegment.Unk)))
+          .cast("long").as("is_unk"))
+    words.join(seg, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("is_unk") === 0L, col("n_pieces")).otherwise(0L))
+          .cast("long").as("n_pieces"),
+        sum(col("n_cont_pieces")).cast("long").as("n_cont_pieces"),
+        sum(col("is_unk")).as("n_unk_words"))
+      .withColumn("fertility_bp",
+        expr("n_pieces * 10000 div greatest(n_words - n_unk_words, 1)"))
+      .withColumn("cont_share_bp",
+        expr("n_cont_pieces * 10000 div greatest(n_pieces, 1)"))
+  }
 }

@@ -583,6 +583,88 @@ object EventTime {
         r.getAs[Array[Byte]]("regs")).toMap
   }
 
+  /** q242: streaming per-type Count-Min frequency state
+    * ([[Stateful.cmsProgress]]) — the SEVENTH bit-exact stream/batch
+    * parity and the second SKETCH-state member beside q214: CMS is a
+    * LINEAR sketch (state folds by counter addition), so the
+    * per-type matrix advanced micro-batch by micro-batch equals the
+    * batch [[graft.functions.CountMin]] udaf build bit for bit
+    * (EngagementSpec asserts the matrices, not just estimates). The
+    * report reads each type's top-3 users' frequency ceilings off the
+    * STREAMED matrix beside their exact counts and checks the ε-bound
+    * — the serving read a production heavy-hitter monitor does.
+    * Rows-only (Murmur hashing is not SQL-expressible — q170's
+    * argument). */
+  def qStreamingCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 4
+    val width = 1024
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), col("user_id").cast("string").as("item"))
+      .as[(String, String)]
+    val prog = Stateful.cmsProgress(ev, depth, width)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q242 must exercise cross-batch counter state, saw $dataBatches data batches")
+    val fin = s.table(name).groupBy("event_type")
+      .agg(max(col("n_seen")).as("n_events"),
+        max_by(col("counts"), col("n_seen")).as("counts"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Seq[Long]]("counts").toArray)).toMap
+    val top = graft.operators.Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("exact").desc, col("user_id").asc)))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("exact")))
+    val rows = top.toSeq.map { case (tpe, uid, exact) =>
+      val (n, counts) = fin(tpe)
+      val est = graft.functions.CountMin.estimate(
+        graft.functions.CMSState(counts, n), uid.toString, depth, width)
+      val bound = math.ceil(math.E / width * n).toLong
+      (tpe, uid, n, exact, est, est - exact, est - exact <= bound)
+    }
+    s.createDataFrame(rows).toDF("event_type", "user_id", "n_events",
+      "exact", "estimate", "overestimate", "within_bound")
+  }
+
+  /** Final streamed CMS matrices per type (spec hook: compared bit
+    * for bit to a batch udaf build over the same events). */
+  private[graft] def streamedCmsState(s: SparkSession,
+      d: String): Map[String, (Long, Array[Long])] = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), col("user_id").cast("string").as("item"))
+      .as[(String, String)]
+    val prog = Stateful.cmsProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    s.table(name).groupBy("event_type")
+      .agg(max(col("n_seen")).as("n_seen"),
+        max_by(col("counts"), col("n_seen")).as("counts"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_seen"), r.getAs[Seq[Long]]("counts").toArray)).toMap
+  }
+
   /** q200: q199's last-touch attribution as STREAMING state
     * ([[Stateful.attributionProgress]]): one packed touch-long per
     * user plus six monotone counters, advanced micro-batch by

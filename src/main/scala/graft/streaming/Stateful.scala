@@ -466,6 +466,49 @@ object Stateful {
       }
   }
 
+  case class CmsProgress(event_type: String, n_seen: Long,
+      counts: Array[Long])
+
+  /** q242 core: per-type streaming Count-Min frequency state — the
+    * SECOND sketch-state parity beside q214's HLL registers, covering
+    * the other sketch algebra: HLL state folds by register MAX, CMS
+    * state folds by counter ADDITION, and both are order-invariant
+    * functions of the value multiset/set, so the streaming fixpoint
+    * equals the batch [[graft.functions.CountMin]] build BIT FOR BIT
+    * (asserted by EngagementSpec). State is one depth×width matrix
+    * per key forever — the bounded-forever trade that replaces a
+    * vocabulary-sized exact frequency table at scale. Counters are
+    * monotone, so max(n_seen) over the update-mode emission history
+    * identifies the final state (the q133/q158/q214 pattern). */
+  def cmsProgress(events: Dataset[(String, String)], depth: Int = 4,
+      width: Int = 1024,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[CmsProgress] = {
+    implicit val stE: Encoder[(Long, Array[Long])] =
+      Encoders.product[(Long, Array[Long])]
+    implicit val outE: Encoder[CmsProgress] = Encoders.product[CmsProgress]
+    implicit val inE: Encoder[(String, String)] =
+      Encoders.product[(String, String)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Long]), CmsProgress](timeout) {
+        (tpe: String, it: Iterator[(String, String)],
+            state: GroupState[(Long, Array[Long])]) =>
+          var (n, counts) = state.getOption
+            .getOrElse((0L, new Array[Long](depth * width)))
+          it.foreach { case (_, item) =>
+            var i = 0
+            while (i < depth) {
+              counts(i * width +
+                graft.functions.CountMin.bucket(item, i, width)) += 1
+              i += 1
+            }
+            n += 1
+          }
+          state.update((n, counts))
+          CmsProgress(tpe, n, counts)
+      }
+  }
+
   case class AttributionProgress(user_id: Long, click_n: Long,
       click_cents: Long, view_n: Long, view_cents: Long,
       un_n: Long, un_cents: Long)

@@ -381,6 +381,26 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("q242: streamed CMS matrices == batch udaf build bit for bit") {
+    import org.apache.spark.sql.Encoders
+    val streamed = graft.streaming.EventTime.streamedCmsState(spark, sf)
+    val build = udaf(new graft.functions.CountMin(4, 1024), Encoders.STRING)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(build(col("user_id").cast("string")).as("st"))
+      .collect().map { r =>
+        val st = r.getStruct(1)
+        r.getString(0) -> (st.getAs[Long]("n"),
+          st.getAs[Seq[Long]]("counts").toArray)
+      }.toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, (n, counts)) =>
+      assert(n == batch(t)._1, s"$t n")
+      assert(java.util.Arrays.equals(counts, batch(t)._2), s"$t counts")
+      assert(counts.sum == 4 * n, s"$t row sums") // every row counts each item
+    }
+  }
+
   test("q215: discrete percentiles are the exact ranked data elements") {
     val vals = Tables.events(spark, sf)
       .select(col("event_type"), col("value"), col("event_id"))

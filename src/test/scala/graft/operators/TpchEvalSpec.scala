@@ -209,4 +209,260 @@ class TpchEvalSpec extends AnyFunSuite {
       assert(f1 == f1W, s"k=$k f1")
     }
   }
+
+  test("q232: rank-identity AUC equals brute-force pair counting") {
+    val pos = scored.filter(_._3 == 1L).map(_._2)
+    val neg = scored.filter(_._3 == 0L).map(_._2)
+    // 2U = 2·#(pos>neg) + #(pos==neg), straight from the definition
+    var twoU = 0L
+    for (p <- pos; q <- neg)
+      twoU += (if (p > q) 2L else if (p == q) 1L else 0L)
+    val aucPpm = (BigInt(twoU) * 1000000 /
+      (BigInt(pos.size) * BigInt(neg.size) * 2)).toLong
+    val r = Stats.qRocAuc(spark, sf).collect().head
+    assert(r.getLong(0) == pos.size.toLong)
+    assert(r.getLong(1) == neg.size.toLong)
+    assert(r.getLong(2) == twoU, "two_u")
+    assert(r.getLong(3) == aucPpm, "auc_ppm")
+    assert(r.getLong(4) == 2 * aucPpm - 1000000L, "gini_ppm")
+    // the score must actually rank the label (sanity, not tautology)
+    assert(aucPpm > 500000L)
+  }
+
+  test("q233: Kruskal–Wallis group sums, tie term, and H match a rank walk") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = ev.sortBy(_._2)
+    var i = 0; var tie = 0L
+    val twoR = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    while (i < all.length) {
+      var j = i
+      while (j < all.length && all(j)._2 == all(i)._2) j += 1
+      val cnt = (j - i).toLong
+      val dr = 2L * i + cnt + 1
+      all.slice(i, j).foreach { case (t, _) => twoR(t) += dr }
+      tie += cnt * cnt * cnt - cnt
+      i = j
+    }
+    val n = all.length.toLong
+    val byType = ev.groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val ssum = byType.keys.map(t => twoR(t).toDouble * twoR(t).toDouble /
+      byType(t).toDouble).sum
+    val h = (ssum * 3.0 / (n.toDouble * (n + 1).toDouble) -
+      3.0 * (n + 1).toDouble) /
+      (1.0 - tie.toDouble /
+        (n.toDouble * n.toDouble * n.toDouble - n.toDouble))
+    val got = Stats.qKruskalWallis(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == byType.keySet)
+    got.foreach { case (t, (ni, tr, gn, gtie, gh)) =>
+      assert(ni == byType(t), s"$t n_i")
+      assert(tr == twoR(t), s"$t two_r")
+      assert(gn == n); assert(gtie == tie)
+      assert(math.abs(gh - h) < 1e-5, s"H: got $gh want ~$h")
+    }
+  }
+
+  test("q234: Welch t and df match a direct two-sample recompute") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val base = ev.filter(_._1 == "view").map(_._2)
+    val got = Stats.qWelchT(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (arm <- Seq("click", "error", "signup", "purchase")) {
+      val a = ev.filter(_._1 == arm).map(_._2)
+      def varOverN(xs: Seq[Long]): Double = {
+        val n = xs.length.toDouble
+        val s = xs.sum.toDouble
+        val q = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+        (q - s * s / n) / (n - 1.0) / n
+      }
+      val (va, vb) = (varOverN(a), varOverN(base))
+      val t = (a.sum.toDouble / a.length - base.sum.toDouble / base.length) /
+        math.sqrt(va + vb)
+      val df = (va + vb) * (va + vb) /
+        (va * va / (a.length - 1.0) + vb * vb / (base.length - 1.0))
+      val (n1, n2, s1, s2, gt, gdf) = got(arm)
+      assert((n1, n2) == (a.length.toLong, base.length.toLong))
+      assert((s1, s2) == (a.sum, base.sum))
+      assert(math.abs(gt - t) < 2e-6, s"$arm t: got $gt want ~$t")
+      assert(math.abs(gdf - df) < 2e-4, s"$arm df: got $gdf want ~$df")
+    }
+  }
+
+  // quantity in centi-units per line, keyed like `li`
+  private lazy val liQty: Seq[(Long, Long, Long, Long, Long, Long)] =
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"""),
+        unix_micros(col("l_shipdate").cast("timestamp")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+  test("q235: cross-multiplied small-qty predicate equals the float-avg scan") {
+    val brandParts = Tables.part(spark, sf)
+      .filter(col("p_brand") === "Brand#1")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val slice = liQty.filter(t => brandParts.contains(t._2))
+    val perPart = slice.groupBy(_._2).map { case (pk, xs) =>
+      pk -> (xs.map(_._4).sum, xs.length.toLong) }
+    // the literal Q17 predicate qty < (1/5)·avg, kept exact as a
+    // BigInt rational so a boundary tie can't flap on float rounding
+    val small = slice.filter { t =>
+      val (sq, n) = perPart(t._2)
+      BigInt(5) * t._4 * n < BigInt(sq)
+    }
+    val r = Relational.qSmallQtyRevenue(spark, sf).collect().head
+    assert(r.getLong(0) == small.size.toLong, "n_small_lines")
+    assert(r.getLong(1) == small.map(_._2).distinct.size.toLong, "n_parts")
+    assert(r.getLong(2) == small.map(_._5).sum, "small_rev_x1e4")
+    assert(small.nonEmpty)
+  }
+
+  test("q236: the k=0 bucket exists iff some customer has only urgent orders") {
+    val prio = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nonUrgent = prio.filter(_._2 != "1-URGENT").groupBy(_._1)
+      .map { case (k, v) => k -> v.size.toLong }
+    val wantDist = cust.keys.toSeq.map(k => nonUrgent.getOrElse(k, 0L))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSet
+    val got = Relational.qCustOrderDistribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == wantDist)
+    assert(got.toSeq.map(_._2).sum == cust.size.toLong)
+  }
+
+  test("q237: above-mean filter matches the literal per-part value scan") {
+    val pairs = li.map(t => (t._2, t._3)).distinct
+      .filter(p => supp.contains(p._2))
+    val value = pairs.groupBy(_._1).map { case (pk, ps) =>
+      pk -> (ps.map(p => supp(p._2)._3).sum, ps.size.toLong) }
+    val total = value.values.map(_._1).sum
+    val nParts = value.size.toLong
+    val want = value.filter { case (_, (v, _)) => v * nParts * 10 > total * 12 }
+      .toSeq.sortBy { case (pk, (v, _)) => (-v, pk) }.take(100)
+      .map { case (pk, (v, n)) => (pk, v, n) }.toSet
+    val got = Relational.qImportantStock(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("q238: dormant high-balance set matches the literal subquery pair") {
+    val bal = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val posBal = bal.values.filter(_ > 0)
+    val cut = java.time.Instant.parse("2000-01-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    val recent = ord.collect { case (_, (ck, _, od)) if od >= cut => ck }.toSet
+    val want = bal.filter { case (ck, b) =>
+      b * posBal.size > posBal.sum && !recent.contains(ck) }
+      .keys.map(ck => natName(cust(ck)))
+      .groupBy(identity).map { case (n, v) => (n, v.size.toLong) }.toSet
+    val got = Relational.qDormantHighValue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q239: eager-agg HAVING equals the literal IN-subquery form") {
+    val perOrder = liQty.groupBy(_._1)
+      .map { case (ok, xs) => ok -> xs.map(_._4).sum }
+    val want = perOrder.filter(_._2 > 30000L).toSeq
+      .sortBy { case (ok, q) => (-q, ok) }.take(100)
+      .map { case (ok, q) => (ok, ord(ok)._1, q) }.toSet
+    val got = Relational.qLargeVolumeCustomer(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q240: majority-shipper chain matches the literal nested scan") {
+    val red = Tables.part(spark, sf)
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val y97 = java.time.Instant.parse("1997-01-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    val y98 = java.time.Instant.parse("1998-01-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    val slice = liQty.filter(t => red.contains(t._2) &&
+      t._6 >= y97 && t._6 < y98)
+    val perPair = slice.groupBy(t => (t._2, t._3))
+      .map { case (k, xs) => k -> xs.map(_._4).sum }
+    val perPart = slice.groupBy(_._2).map { case (pk, xs) => pk -> xs.map(_._4).sum }
+    val dominant = perPair.filter { case ((pk, _), q) => 2 * q > perPart(pk) }
+    val want = dominant.toSeq.map { case ((_, sk), q) =>
+      (natName(supp(sk)._1), sk, q) }
+      .groupBy(_._1).map { case (n, xs) =>
+        (n, xs.map(_._2).distinct.size.toLong,
+          xs.size.toLong, xs.map(_._3).sum) }.toSet
+    val got = Relational.qExcessShippers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q243: floored-ppm chi-square matches a BigInt cell walk") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rMarg = docs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cMarg = docs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = docs.length.toLong
+    val chi2 = cells.map { case ((l, s), o) =>
+      val d = BigInt(o) * n - BigInt(rMarg(l)) * cMarg(s)
+      (d * d * 1000000 / (BigInt(n) * rMarg(l) * cMarg(s))).toLong
+    }.sum
+    val r = Stats.qChiSquare(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == cells.size.toLong)
+    assert(r.getLong(2) == (rMarg.size - 1).toLong * (cMarg.size - 1))
+    assert(r.getLong(3) == chi2, "chi2_ppm")
+    // a floored-ppm sum can undershoot the real χ²·10⁶ by at most
+    // one ppm per cell — pin the bracket against a float recompute
+    val real = cells.map { case ((l, s), o) =>
+      val e = rMarg(l).toDouble * cMarg(s) / n
+      (o - e) * (o - e) / e
+    }.sum * 1e6
+    assert(chi2 <= real + 1e-3 && chi2 > real - cells.size - 1e-3)
+  }
+
+  test("q244: ANOVA F matches the textbook SSB/SSW recompute") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = ev.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val n = ev.length.toDouble
+    val k = groups.size.toDouble
+    val grand = ev.map(_._2).sum.toDouble / n
+    val ssb = groups.values.map { xs =>
+      val m = xs.sum.toDouble / xs.length
+      xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { xs =>
+      val m = xs.sum.toDouble / xs.length
+      xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val got = Stats.qAnovaF(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == groups.keySet)
+    got.foreach { case (t, (ni, si, gn, gk, gf)) =>
+      assert(ni == groups(t).length.toLong)
+      assert(si == groups(t).sum)
+      assert(gn == ev.length.toLong); assert(gk == groups.size.toLong)
+      assert(math.abs(gf - f) < 1e-4, s"F: got $gf want ~$f")
+    }
+  }
 }
