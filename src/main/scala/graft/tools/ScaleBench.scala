@@ -147,6 +147,11 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 100×-factor probes run tens-of-GB heaps where a single G1 full
+      // GC can exceed the default 120 s executor-heartbeat window; a
+      // probe tool should survive the pause, not fail the run
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
