@@ -270,6 +270,17 @@ object Bench {
     // and the k-group variance decomposition (rollup-shaped)
     "q243_chi_square",
     "q244_anova_f",
+    // round 18 (r8): effect sizes / agreement / variance homogeneity
+    // (rollup-shaped), the lag families (calendar-bounded daily
+    // rollups), and capped-wedge link prediction (the graph family's
+    // sixth member). q245_streaming_kmv stays untimed like every
+    // replay-harness streaming parity.
+    "q246_cramers_v",
+    "q247_cohen_kappa",
+    "q248_levene",
+    "q249_cross_correlation",
+    "q250_seasonal_error",
+    "q251_link_prediction",
   )
 
   def main(args: Array[String]): Unit = {

@@ -550,6 +550,25 @@ object SparkEntry {
     // q244: one-way ANOVA F across event types from exact per-group
     // sufficient statistics
     "q244_anova_f" -> (Stats.qAnovaF _),
+    // q245: streaming KMV bottom-k distinct state — the EIGHTH
+    // bit-exact stream/batch parity, and the one sketch whose
+    // estimator the oracle can recompute exactly
+    "q245_streaming_kmv" -> (graft.streaming.EventTime.qStreamingKmv _),
+    // q246: Cramér's V effect size over q243's exact chi-square
+    "q246_cramers_v" -> (Stats.qCramersV _),
+    // q247: Cohen's kappa — predictor-vs-label agreement as an exact
+    // rational up to one final double
+    "q247_cohen_kappa" -> (Stats.qCohenKappa _),
+    // q248: Brown–Forsythe variance-homogeneity test on exact
+    // value-domain medians
+    "q248_levene" -> (Stats.qLevene _),
+    // q249: lagged cross-correlation of daily volume vs revenue
+    "q249_cross_correlation" -> (Stats.qCrossCorrelation(_, _)),
+    // q250: seasonal-naive vs naive forecast error (MASE)
+    "q250_seasonal_error" -> (Stats.qSeasonalError _),
+    // q251: common-neighbor/Jaccard link prediction on the
+    // co-purchase graph — exact integer scores, capped wedges
+    "q251_link_prediction" -> ((s, d) => Graph.qLinkPrediction(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4515,5 +4534,214 @@ object SparkEntry {
                 CAST(s_i AS BIGINT) AS sum_cents,
                 CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, f_stat
          FROM g, fs""",
+    // q245: the oracle recomputes the streamed KMV state's readout
+    // from scratch — bottom-16 of the distinct md5 domain per type,
+    // the k-th hash verbatim (the bit-exactness witness) and the
+    // (k−1)/h_(k) estimate spelled as in KmvSketch.finish
+    "q245_streaming_kmv" ->
+      """WITH u AS (SELECT DISTINCT event_type,
+                           md5(CAST(user_id AS VARCHAR)) AS h
+                    FROM events),
+         n AS (SELECT event_type, COUNT(*) AS n_events
+               FROM events GROUP BY 1),
+         agg AS (SELECT event_type, COUNT(*) AS nd FROM u GROUP BY 1),
+         kth AS (SELECT event_type, h AS hk
+                 FROM (SELECT event_type, h,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY h) AS r
+                       FROM u)
+                 WHERE r = 16)
+         SELECT a.event_type,
+                CAST(n.n_events AS BIGINT) AS n_events,
+                CAST(a.nd AS BIGINT) AS n_exact,
+                k.hk AS kth_hash,
+                CASE WHEN k.hk IS NULL THEN a.nd::DOUBLE
+                     ELSE 15.0 / (CAST('0x' || substr(k.hk, 1, 15) AS BIGINT)::DOUBLE
+                                   / 1152921504606846976.0)
+                END AS kmv_estimate
+         FROM agg a JOIN n USING (event_type)
+         LEFT JOIN kth k USING (event_type)""",
+    // q246: V = sqrt(chi2/(N·min(r−1,c−1))) — chi2 is q243's exact
+    // floored-ppm integer sum, V the one final double
+    "q246_cramers_v" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS o
+                        FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY 1),
+         c AS (SELECT source, SUM(o) AS c FROM cells GROUP BY 1),
+         t AS (SELECT SUM(o) AS n FROM cells),
+         contrib AS (
+           SELECT CAST(CAST(o * n - r.r * c.c AS HUGEINT)
+                       * CAST(o * n - r.r * c.c AS HUGEINT) * 1000000
+                       // (CAST(n AS HUGEINT) * CAST(r.r AS HUGEINT)
+                          * CAST(c.c AS HUGEINT)) AS BIGINT) AS cell_ppm
+           FROM cells JOIN r USING (lang) JOIN c USING (source), t),
+         agg AS (SELECT SUM(cell_ppm) AS chi2_ppm FROM contrib),
+         dims AS (SELECT least((SELECT COUNT(*) FROM r) - 1,
+                               (SELECT COUNT(*) FROM c) - 1) AS m)
+         SELECT CAST(t.n AS BIGINT) AS n,
+                CAST(agg.chi2_ppm AS BIGINT) AS chi2_ppm,
+                CAST(dims.m AS BIGINT) AS min_dim,
+                ROUND(sqrt(CAST(agg.chi2_ppm AS DOUBLE) / 1000000.0
+                           / (CAST(t.n AS DOUBLE) * CAST(dims.m AS DOUBLE))),
+                      6) AS cramers_v
+         FROM t, agg, dims""",
+    // q247: kappa's exact rational — marginal products over the UNION
+    // of label spaces, widened to HUGEINT; the predictor restates
+    // q21's stopword-overlap argmax without list_intersect
+    "q247_cohen_kappa" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(list_distinct(
+                               string_split_regex(lower(text), '\s+'))) AS t
+                      FROM documents),
+         hits AS (SELECT doc_id,
+                    COUNT(*) FILTER (WHERE t IN ('the','a','of','and','to','in','is','it')) AS en,
+                    COUNT(*) FILTER (WHERE t IN ('el','la','de','y','en','es','un','que')) AS es,
+                    COUNT(*) FILTER (WHERE t IN ('le','la','de','et','en','est','un','que')) AS fr
+                  FROM tok GROUP BY doc_id),
+         p AS (SELECT d.lang AS truth,
+                      CASE WHEN greatest(coalesce(en, 0), coalesce(es, 0),
+                                         coalesce(fr, 0)) = 0 THEN 'und'
+                           WHEN coalesce(en, 0) >= coalesce(es, 0)
+                                AND coalesce(en, 0) >= coalesce(fr, 0) THEN 'en'
+                           WHEN coalesce(es, 0) >= coalesce(fr, 0) THEN 'es'
+                           ELSE 'fr' END AS pred
+               FROM documents d LEFT JOIN hits USING (doc_id)),
+         cells AS (SELECT pred, truth, COUNT(*) AS o FROM p GROUP BY 1, 2),
+         tot AS (SELECT SUM(o) AS n,
+                        SUM(CASE WHEN pred = truth THEN o ELSE 0 END) AS agree
+                 FROM cells),
+         rm AS (SELECT pred AS cls, SUM(o) AS r FROM cells GROUP BY 1),
+         cm AS (SELECT truth AS cls, SUM(o) AS c FROM cells GROUP BY 1),
+         pe AS (SELECT SUM(CAST(coalesce(r, 0) AS HUGEINT)
+                           * CAST(coalesce(c, 0) AS HUGEINT)) AS pe_num
+                FROM rm FULL JOIN cm USING (cls))
+         SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+                CAST(pe_num AS BIGINT) AS pe_num,
+                CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+                CAST(pe_num * 1000000
+                     // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+                     AS BIGINT) AS pe_ppm,
+                ROUND(CAST(CAST(n AS HUGEINT) * CAST(agree AS HUGEINT)
+                           - pe_num AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                             - pe_num AS DOUBLE), 6) AS kappa
+         FROM tot, pe""",
+    // q248: exact lower median off the value-domain rollup
+    // (2·cum ≥ n), then q244's F fold on absolute deviations
+    "q248_levene" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         cnt AS (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         cum AS (SELECT event_type, v, c,
+                        SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM cnt),
+         ns AS (SELECT event_type, SUM(c) AS n_tot FROM cnt GROUP BY 1),
+         med AS (SELECT event_type, MIN(v) AS med
+                 FROM cum JOIN ns USING (event_type)
+                 WHERE cum * 2 >= n_tot GROUP BY 1),
+         dev AS (SELECT c.event_type, c.c, m.med, abs(c.v - m.med) AS z
+                 FROM cnt c JOIN med m USING (event_type)),
+         g AS (SELECT event_type, SUM(c) AS n_i, SUM(c * z) AS s_i,
+                      SUM(CAST(c AS HUGEINT) * z * z) AS q_i,
+                      MIN(med) AS med
+               FROM dev GROUP BY 1),
+         f AS (SELECT SUM(n_i) AS n, COUNT(*) AS k, SUM(s_i) AS s,
+                      CAST(SUM(q_i) AS DOUBLE) AS q,
+                      SUM(CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                          / CAST(n_i AS DOUBLE)) AS a
+               FROM g),
+         fs AS (SELECT n, k,
+                       ROUND((a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                             / (CAST(k AS DOUBLE) - 1.0)
+                             / ((q - a) / (CAST(n AS DOUBLE)
+                                           - CAST(k AS DOUBLE))), 6)
+                         AS w_stat
+                FROM f)
+         SELECT g.event_type, CAST(g.n_i AS BIGINT) AS n_i,
+                CAST(g.med AS BIGINT) AS med_cents,
+                CAST(g.s_i AS BIGINT) AS sum_absdev,
+                CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, w_stat
+         FROM g, fs""",
+    // q249: per-lag Pearson sufficient statistics as exact integers
+    // (HUGEINT-widened products), r the one final double
+    "q249_cross_correlation" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x,
+                               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+                        FROM events GROUP BY 1),
+         lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+         pairs AS (SELECT l.lag, t.x AS a, s.y AS b
+                   FROM lags l, daily t, daily s
+                   WHERE s.day = t.day - CAST(l.lag AS INTEGER)),
+         g AS (SELECT lag, COUNT(*) AS n_days, SUM(a) AS sa, SUM(b) AS sb,
+                      SUM(CAST(a AS HUGEINT) * b) AS sab,
+                      SUM(CAST(a AS HUGEINT) * a) AS saa,
+                      SUM(CAST(b AS HUGEINT) * b) AS sbb
+               FROM pairs GROUP BY 1)
+         SELECT CAST(lag AS INT) AS lag, CAST(n_days AS BIGINT) AS n_days,
+                CAST(sa AS BIGINT) AS sum_x, CAST(sb AS BIGINT) AS sum_y,
+                ROUND(CAST(CAST(n_days AS HUGEINT) * sab
+                           - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+                      / sqrt(CAST(CAST(n_days AS HUGEINT) * saa
+                                  - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                             * CAST(CAST(n_days AS HUGEINT) * sbb
+                                    - CAST(sb AS HUGEINT) * sb AS DOUBLE)),
+                      6) AS ccf
+         FROM g""",
+    // q250: exact absolute-error sums over calendar-matched pairs;
+    // the scaled MAE ratio is the one final double
+    "q250_seasonal_error" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               COUNT(*) AS y
+                        FROM events GROUP BY 1, 2),
+         e1 AS (SELECT t.event_type, COUNT(*) AS n1,
+                       SUM(abs(t.y - s.y)) AS sae1
+                FROM daily t JOIN daily s
+                  ON s.event_type = t.event_type AND s.day = t.day - 1
+                GROUP BY 1),
+         e7 AS (SELECT t.event_type, COUNT(*) AS n7,
+                       SUM(abs(t.y - s.y)) AS sae7
+                FROM daily t JOIN daily s
+                  ON s.event_type = t.event_type AND s.day = t.day - 7
+                GROUP BY 1)
+         SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+                CAST(sae1 AS BIGINT) AS sae1,
+                CAST(n7 AS BIGINT) AS n7, CAST(sae7 AS BIGINT) AS sae7,
+                ROUND((CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+                      / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)
+                  AS mase
+         FROM e1 JOIN e7 USING (event_type)""",
+    // q251: the oracle mirrors the capped wedge rule exactly
+    // (row_number ≤ 64 per middle node, neighbors id-ascending);
+    // degrees full-graph; NOT EXISTS instead of ANTI JOIN for
+    // portability
+    "q251_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         bidir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         deg AS (SELECT u, COUNT(*) AS dg FROM bidir GROUP BY 1),
+         inv AS (SELECT u AS k, v AS nb
+                 FROM (SELECT u, v,
+                              row_number() OVER (PARTITION BY u
+                                                 ORDER BY v) AS rk
+                       FROM bidir)
+                 WHERE rk <= 64),
+         cand AS (SELECT x.nb AS a, y.nb AS b, COUNT(*) AS cn
+                  FROM inv x JOIN inv y
+                    ON x.k = y.k AND x.nb < y.nb
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ne AS (SELECT a, b, cn FROM cand c
+                WHERE NOT EXISTS (SELECT 1 FROM e
+                                  WHERE e.u = c.a AND e.v = c.b))
+         SELECT ne.a, ne.b, CAST(ne.cn AS BIGINT) AS cn,
+                CAST(da.dg AS BIGINT) AS da, CAST(db.dg AS BIGINT) AS db,
+                CAST(ne.cn * 1000000 // (da.dg + db.dg - ne.cn) AS BIGINT)
+                  AS jaccard_ppm
+         FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+         ORDER BY jaccard_ppm DESC, cn DESC, a, b LIMIT 20""",
   )
 }

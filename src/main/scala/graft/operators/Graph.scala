@@ -477,4 +477,59 @@ object Graph {
         round(when(vx > 0 && vy > 0,
           d2(cov) / sqrt(d2(vx) * d2(vy))), 6).as("assortativity"))
   }
+
+  /** q251: neighborhood link prediction on the co-purchase graph —
+    * the "which edges are missing?" verb completing the graph family
+    * (centrality q163, census q166, traversal q171, recommendation
+    * q173, cohesion q184): score each non-adjacent pair at distance 2
+    * by common-neighbor count and neighborhood Jaccard (Liben-Nowell
+    * & Kleinberg CIKM'03 — the baselines every link-prediction paper
+    * starts from), top-20 under a total order. In a training-data
+    * pipeline this is the co-occurrence-completion primitive
+    * (candidate related-item pairs the co-purchase data hasn't
+    * witnessed yet).
+    *
+    * Exactness: common-neighbor counts are exact integers over the
+    * CAPPED adjacency (below), degrees are exact FULL-graph scalars,
+    * and the Jaccard score is the floored ppm `cn·10⁶ div
+    * (dₐ+d_b−cn)` — no float anywhere, so the top-20 order (ppm desc,
+    * cn desc, a, b) is engine-identical.
+    *
+    * Scale shape: the wedge join is bounded by q173's device — each
+    * middle node's adjacency list is truncated to its `invCap`
+    * LOWEST-ID neighbors (a deterministic, SQL-expressible rule the
+    * oracle mirrors exactly), so per-middle fanout is ≤ invCap²
+    * regardless of hub size; the trade is bounded recall on hub-only
+    * wedges, the standard LSH-style candidate-capping argument.
+    * Degrees stay exact (a per-node scalar needs no cap). One
+    * orderkey self-join, one capped wedge self-join, one anti-join
+    * against the edge set, TakeOrdered cut. */
+  def qLinkPrediction(s: SparkSession, d: String, invCap: Int = 64,
+      minCommon: Int = 2, topK: Int = 20): DataFrame = {
+    val pairs = copurchaseEdges(s, d)
+    val bidir = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
+    val inv = bidir.withColumn("rk",
+        row_number().over(Window.partitionBy("u").orderBy("v")))
+      .filter(col("rk") <= invCap)
+      .select(col("u").as("k"), col("v").as("nb"))
+      .localCheckpoint()
+    val cand = inv.as("x").join(inv.as("y"),
+        col("x.k") === col("y.k") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    val nonEdges = cand.join(
+      pairs.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    nonEdges
+      .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        expr("cn * 1000000L div (da + db - cn)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

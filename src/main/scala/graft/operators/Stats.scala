@@ -1408,4 +1408,215 @@ object Stats {
       .select(col("event_type"), col("n_i"), col("s_i").as("sum_cents"),
         col("n"), col("k"), col("f_stat"))
   }
+
+  /** q246: Cramér's V over the lang×source contingency — the EFFECT
+    * SIZE the q243 chi-square readout needs beside it (χ² grows with
+    * N, so a dashboard that alerts on χ² alone pages more as traffic
+    * grows; V = √(χ²/(N·min(r−1,c−1))) is the [0,1] association
+    * strength that doesn't).
+    *
+    * Exactness: the χ² numerator is q243's exact floored-ppm integer
+    * sum (engine-identical by construction); V is then ONE final
+    * double — √(chi2_ppm/10⁶/(N·m)) — spelled identically on both
+    * engines, so determinism is inherited rather than re-argued.
+    *
+    * Scale shape: q243's — one cells rollup (map-side collapsing to
+    * |langs|·|sources| rows), broadcast marginals, a k-cell fold. */
+  def qCramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cols = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val dims = rows.agg(count(lit(1)).as("n_langs"))
+      .crossJoin(cols.agg(count(lit(1)).as("n_sources")))
+    cells.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(expr("""CAST(CAST(o * n - r * c AS DECIMAL(38,0))
+                      * CAST(o * n - r * c AS DECIMAL(38,0)) * 1000000
+                      div (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))
+                           * CAST(c AS DECIMAL(38,0))) AS BIGINT)""")
+        .as("cell_ppm"))
+      .agg(sum(col("cell_ppm")).as("chi2_ppm"))
+      .crossJoin(broadcast(dims)).crossJoin(broadcast(tot))
+      .select(col("n"), col("chi2_ppm"),
+        least(col("n_langs") - 1, col("n_sources") - 1).as("min_dim"),
+        round(sqrt(d2(col("chi2_ppm")) / lit(1000000.0)
+          / (d2(col("n"))
+             * d2(least(col("n_langs") - 1, col("n_sources") - 1)))), 6)
+          .as("cramers_v"))
+  }
+
+  /** q247: Cohen's kappa between q21's heuristic language predictor
+    * and the corpus's labeled `lang` — the inter-rater/
+    * classifier-agreement verb of the eval harness (q230 calibration,
+    * q231 PR, q232 AUC grade a SCORE; kappa grades a hard LABELING
+    * against chance agreement, the readout a labeling-pipeline audit
+    * starts from).
+    *
+    * Exactness: kappa has an exact RATIONAL form — κ = (N·Σdiag −
+    * Σᵢrᵢcᵢ)/(N² − Σᵢrᵢcᵢ) with rᵢ,cᵢ the pred/truth marginals over
+    * the UNION of label spaces — so everything up to the last division
+    * is exact integer arithmetic (DECIMAL(38,0)/HUGEINT-widened);
+    * po/pe are emitted as exact floored ppm and κ as the one final
+    * double. The fixture generator draws `lang` independently of the
+    * word bag (the q230 precedent), so κ≈0 is the EXPECTED reading —
+    * the harness, not the predictor, is what the gate checks; the
+    * double form keeps a negative κ sign-safe where floored integer
+    * division would not be.
+    *
+    * Scale shape: one document scan (the predictor is codegen'd
+    * set-intersection), a |labels|² cells rollup, broadcast marginals. */
+  def qCohenKappa(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d).select(
+      graft.functions.langId(col("text")).as("pred"),
+      col("lang").as("truth"))
+    val cells = pairs.groupBy("pred", "truth").agg(count(lit(1)).as("o"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      sum(when(col("pred") === col("truth"), col("o")).otherwise(lit(0L)))
+        .as("agree"))
+    val rm = cells.groupBy(col("pred").as("cls")).agg(sum("o").as("r"))
+    val cm = cells.groupBy(col("truth").as("cls")).agg(sum("o").as("c"))
+    val pe = rm.join(cm, Seq("cls"), "full_outer")
+      .agg(sum(dec(coalesce(col("r"), lit(0L)))
+        * dec(coalesce(col("c"), lit(0L)))).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree").as("n_agree"),
+        col("pe_num").cast("long").as("pe_num"),
+        expr("CAST(agree * 1000000 div n AS BIGINT)").as("po_ppm"),
+        expr("""CAST(pe_num * 1000000
+                div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+                AS BIGINT)""").as("pe_ppm"),
+        round(d2(dec(col("n")) * dec(col("agree")) - col("pe_num"))
+          / d2(dec(col("n")) * dec(col("n")) - col("pe_num")), 6)
+          .as("kappa"))
+  }
+
+  /** q248: Brown–Forsythe (median-centered Levene) test for variance
+    * homogeneity across event types — the check that must PASS before
+    * q244's ANOVA F is readable (pooled-variance F assumes equal
+    * group variances; this is the robust standard test of that
+    * assumption, Brown & Forsythe JASA'74).
+    *
+    * Exactness: the group median is the exact LOWER MEDIAN read off
+    * the value-domain rollup (smallest cent value whose cumulative
+    * count reaches ⌈n/2⌉ — integer compare 2·cum ≥ n, no
+    * interpolation), absolute deviations are exact integers, and the
+    * one-way F on deviations folds q244's exact sufficient statistics
+    * — W is the one final double, spelled identically.
+    *
+    * Scale shape: ranks/cumsums live on the VALUE-DOMAIN rollup
+    * (bounded by the cent range, q229's argument), never on raw rows;
+    * the deviation statistics then collapse map-side on the same
+    * rollup. */
+  def qLevene(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val cnt = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnt.withColumn("cum", sum(col("c")).over(w))
+    val ns = cnt.groupBy("event_type").agg(sum(col("c")).as("n_tot"))
+    val med = cum.join(broadcast(ns), Seq("event_type"))
+      .filter(col("cum") * 2 >= col("n_tot"))
+      .groupBy("event_type").agg(min(col("v")).as("med"))
+    val dev = cnt.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("c"), col("med"),
+        abs(col("v") - col("med")).as("z"))
+    val g = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_vals"), sum(col("c")).as("n_i"),
+        sum(col("c") * col("z")).as("s_i"),
+        sum(dec(col("c")) * dec(col("z")) * dec(col("z"))).as("q_i"),
+        min(col("med")).as("med"))
+    val f = g.agg(
+        sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+        sum(col("s_i")).as("s"), d2(sum(col("q_i"))).as("q"),
+        sum(d2(col("s_i")) * d2(col("s_i")) / d2(col("n_i"))).as("a"))
+      .select(col("n"), col("k"),
+        round((col("a") - d2(col("s")) * d2(col("s")) / d2(col("n")))
+          / (d2(col("k")) - lit(1.0)) /
+          ((col("q") - col("a")) / (d2(col("n")) - d2(col("k")))), 6)
+          .as("w_stat"))
+    g.crossJoin(broadcast(f))
+      .select(col("event_type"), col("n_i"), col("med").as("med_cents"),
+        col("s_i").as("sum_absdev"), col("n"), col("k"), col("w_stat"))
+  }
+
+  /** q249: lagged cross-correlation (CCF) between daily event volume
+    * and daily revenue — the lead/lag dependence readout completing
+    * the time-series family (q157 autocorrelates ONE series with
+    * itself; this correlates TWO series at lags 0–7, the "does volume
+    * lead spend?" question every ops dashboard asks).
+    *
+    * Exactness: per lag the Pearson sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are exact integers over the matched day pairs
+    * (Σy² DECIMAL(38,0)-widened — cents² overflows BIGINT at ~100×);
+    * r is the one final double, numerator and the two variance terms
+    * each an exact integer cast once.
+    *
+    * Scale shape: the series is the CALENDAR-BOUNDED daily rollup
+    * (one map-side-collapsing groupBy of the fact table), so the
+    * 8-lag self-join multiplies days×lags, not rows — the q174/q157
+    * trade. */
+  def qCrossCorrelation(s: SparkSession, d: String, maxLag: Int = 7): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("y"))
+      .localCheckpoint()
+    val lags = (0 to maxLag).toDF("lag")
+    val t = lags.crossJoin(daily.select(col("day"), col("x").as("a")))
+    val pairs = t.join(
+      daily.select(col("day").as("sday"), col("y").as("b")),
+      col("sday") === date_sub(col("day"), col("lag")))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(dec(col("a")) * dec(col("b"))).as("sab"),
+        sum(dec(col("a")) * dec(col("a"))).as("saa"),
+        sum(dec(col("b")) * dec(col("b"))).as("sbb"))
+      .select(col("lag"), col("n_days"),
+        col("sa").as("sum_x"), col("sb").as("sum_y"),
+        round(d2(dec(col("n_days")) * col("sab") - dec(col("sa")) * dec(col("sb")))
+          / sqrt(d2(dec(col("n_days")) * col("saa") - dec(col("sa")) * dec(col("sa")))
+            * d2(dec(col("n_days")) * col("sbb") - dec(col("sb")) * dec(col("sb")))), 6)
+          .as("ccf"))
+  }
+
+  /** q250: seasonal-naive forecast error (the MASE readout, Hyndman &
+    * Koehler IJF'06) per event type — the forecast-baseline eval the
+    * capacity-planning side of a pipeline runs: how much worse is
+    * "same as last week" (lag 7) than "same as yesterday" (lag 1) at
+    * predicting daily volume. MASE < 1 reads "weekly structure beats
+    * daily persistence".
+    *
+    * Exactness: both absolute-error sums are exact BIGINTs over
+    * calendar-matched day pairs (inner join on day−ℓ — gaps shrink
+    * the matched set on both engines identically); the scaled ratio
+    * (Σ|e₇|/n₇)/(Σ|e₁|/n₁) is the one final double.
+    *
+    * Scale shape: everything lives on the calendar-bounded per-type
+    * daily rollup; two self-joins of that rollup, then a k-row fold. */
+  def qSeasonalError(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    def lagErr(l: Int, nName: String, sName: String): DataFrame =
+      daily.as("t").join(
+          daily.select(col("event_type"), col("day").as("sday"),
+            col("y").as("yl")).as("s"),
+          col("t.event_type") === col("s.event_type") &&
+            col("sday") === date_sub(col("day"), l))
+        .groupBy(col("t.event_type").as("event_type"))
+        .agg(count(lit(1)).as(nName),
+          sum(abs(col("y") - col("yl"))).as(sName))
+    lagErr(1, "n1", "sae1").join(lagErr(7, "n7", "sae7"), Seq("event_type"))
+      .select(col("event_type"), col("n1"), col("sae1"),
+        col("n7"), col("sae7"),
+        round((d2(col("sae7")) / d2(col("n7")))
+          / (d2(col("sae1")) / d2(col("n1"))), 6).as("mase"))
+  }
 }

@@ -665,6 +665,93 @@ object EventTime {
         (r.getAs[Long]("n_seen"), r.getAs[Seq[Long]]("counts").toArray)).toMap
   }
 
+  /** q245: streaming per-type KMV (bottom-k) distinct-user state
+    * ([[Stateful.kmvProgress]]) — the EIGHTH bit-exact stream/batch
+    * parity and the THIRD sketch-state member, completing the sketch
+    * algebra set: HLL folds by register MAX (q214), CMS by counter
+    * ADDITION (q242), KMV by SET-MINIMUM — keep the k smallest
+    * distinct hashes, a semilattice fold (idempotent, commutative,
+    * associative), so the state is a pure function of the user SET
+    * and the streamed fixpoint equals the batch bottom-k bit for bit
+    * (EngagementSpec asserts the hash vectors against an independent
+    * window-rank formulation, not a second run of the same code).
+    *
+    * Uniquely among the three sketch parities the gate row itself is
+    * HASH-CHECKABLE: KMV's estimator is a deterministic function of
+    * the k-th smallest md5 (q87's argument), so the oracle recomputes
+    * the same bottom-k and the same (k−1)/h_(k) estimate in SQL — the
+    * k-th hash is emitted verbatim as the bit-exactness witness.
+    *
+    * The reference's analogue is a keyspace-trigger counter pattern
+    * (`/root/reference/js_api/README.md` stream consumers keeping
+    * per-key running counts); this is that monitor with O(k) state
+    * per key instead of a per-user set. */
+  def qStreamingKmv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), col("user_id").cast("string").as("item"))
+      .as[(String, String)]
+    val prog = Stateful.kmvProgress(ev, k)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q245 must exercise cross-batch bottom-k state, saw $dataBatches data batches")
+    val fin = s.table(name).groupBy("event_type")
+      .agg(max(col("n_seen")).as("n_events"),
+        max_by(col("hashes"), col("n_seen")).as("hashes"))
+    // exact distinct over the SAME md5 domain the sketch hashes into,
+    // so under-k types report sketch-exact == n_exact by construction
+    val exact = graft.operators.Tables.events(s, d)
+      .select(col("event_type"),
+        md5(col("user_id").cast("string").cast("binary")).as("h"))
+      .distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    val sk = new graft.functions.KmvSketch(k)
+    val rows = fin.join(exact, Seq("event_type")).collect().toSeq.map { r =>
+      val hs = r.getAs[scala.collection.Seq[String]]("hashes").toVector
+      val est = sk.finish(graft.functions.KmvState(hs))
+      val kth: String = if (hs.length == k) hs.last else null
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_exact"), kth, est)
+    }
+    s.createDataFrame(rows).toDF("event_type", "n_events", "n_exact",
+      "kth_hash", "kmv_estimate")
+  }
+
+  /** Final streamed KMV bottom-k vectors per type (spec hook:
+    * compared bit for bit to an independent batch window-rank
+    * bottom-k over the same events). */
+  private[graft] def streamedKmvState(s: SparkSession,
+      d: String): Map[String, Seq[String]] = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), col("user_id").cast("string").as("item"))
+      .as[(String, String)]
+    val prog = Stateful.kmvProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    s.table(name).groupBy("event_type")
+      .agg(max_by(col("hashes"), col("n_seen")).as("hashes"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[scala.collection.Seq[String]]("hashes").toVector.toSeq).toMap
+  }
+
   /** q200: q199's last-touch attribution as STREAMING state
     * ([[Stateful.attributionProgress]]): one packed touch-long per
     * user plus six monotone counters, advanced micro-batch by

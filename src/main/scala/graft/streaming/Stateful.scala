@@ -509,6 +509,49 @@ object Stateful {
       }
   }
 
+  case class KmvProgress(event_type: String, n_seen: Long,
+      hashes: Seq[String])
+
+  /** q245 core: per-type streaming KMV (bottom-k) distinct state —
+    * the THIRD sketch-state parity beside q214's HLL registers and
+    * q242's CMS matrix, covering the third sketch algebra: HLL folds
+    * by register MAX, CMS by counter ADDITION, KMV by SET-MINIMUM
+    * (keep the k smallest distinct hashes — a semilattice fold, so
+    * idempotent AND order-invariant). The streamed state therefore
+    * equals the batch [[graft.functions.KmvSketch]] udaf build BIT
+    * FOR BIT (asserted by EngagementSpec), and — uniquely among the
+    * three — its ESTIMATOR is deterministic and SQL-expressible
+    * (q87's argument), so the gate row itself is oracle-checkable.
+    * State is ≤ k fixed-width hex strings per key forever. n_seen is
+    * monotone, so max(n_seen) over the update-mode emission history
+    * identifies the final state (the q133/q158/q214 pattern). */
+  def kmvProgress(events: Dataset[(String, String)], k: Int = 16,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[KmvProgress] = {
+    implicit val stE: Encoder[(Long, graft.functions.KmvState)] =
+      Encoders.product[(Long, graft.functions.KmvState)]
+    implicit val outE: Encoder[KmvProgress] = Encoders.product[KmvProgress]
+    implicit val inE: Encoder[(String, String)] =
+      Encoders.product[(String, String)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val agg = new graft.functions.KmvSketch(k)
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, graft.functions.KmvState), KmvProgress](timeout) {
+        (tpe: String, it: Iterator[(String, String)],
+            state: GroupState[(Long, graft.functions.KmvState)]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var (n, st) = state.getOption.getOrElse((0L, agg.zero))
+          it.foreach { case (_, value) =>
+            md.reset()
+            val hex = md.digest(value.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            st = agg.reduce(st, hex)
+            n += 1
+          }
+          state.update((n, st))
+          KmvProgress(tpe, n, st.hashes)
+      }
+  }
+
   case class AttributionProgress(user_id: Long, click_n: Long,
       click_cents: Long, view_n: Long, view_cents: Long,
       un_n: Long, un_cents: Long)

@@ -401,6 +401,29 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("q245: streamed KMV bottom-k == independent batch bottom-k bit for bit") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = graft.streaming.EventTime.streamedKmvState(spark, sf)
+    // independent formulation: window-rank the distinct md5 domain —
+    // the DEFINITION of bottom-k, not a second run of KmvSketch
+    val batch = Tables.events(spark, sf)
+      .select(col("event_type"),
+        md5(col("user_id").cast("string").cast("binary")).as("h"))
+      .distinct()
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("r") <= 16)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("hs").toVector.toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, hs) =>
+      assert(hs == batch(t), t)
+      assert(hs.length <= 16 && hs == hs.sorted && hs.distinct == hs, t)
+    }
+  }
+
   test("q215: discrete percentiles are the exact ranked data elements") {
     val vals = Tables.events(spark, sf)
       .select(col("event_type"), col("value"), col("event_id"))

@@ -254,4 +254,43 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bucketedSf == dense)
   }
+
+  test("q251: link prediction equals a sequential capped-wedge recompute") {
+    val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = lp.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) = v :: adj(u); adj(v) = u :: adj(v) }
+    val deg = adj.map { case (u, ns) => u -> ns.length.toLong }
+    // the operator's cap rule: per middle node, its 64 lowest-id neighbors
+    val capped = adj.map { case (u, ns) => u -> ns.sorted.take(64) }
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    capped.values.foreach { ns =>
+      for (i <- ns.indices; j <- (i + 1) until ns.length)
+        cn((ns(i), ns(j))) += 1
+    }
+    val want = cn.toSeq
+      .filter { case ((a, b), c) => c >= 2 && !edges.contains((a, b)) }
+      .map { case ((a, b), c) =>
+        val j = c * 1000000L / (deg(a) + deg(b) - c)
+        (a, b, c, deg(a), deg(b), j)
+      }
+      .sortBy { case (a, b, c, _, _, j) => (-j, -c, a, b) }
+      .take(20)
+    val got = Graph.qLinkPrediction(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // every predicted pair really is a non-edge at distance 2
+    got.foreach { case (a, b, c, _, _, _) =>
+      assert(!edges.contains((a, b)) && !edges.contains((b, a)))
+      assert(c >= 2)
+    }
+  }
 }

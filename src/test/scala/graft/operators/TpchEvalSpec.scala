@@ -465,4 +465,153 @@ class TpchEvalSpec extends AnyFunSuite {
       assert(math.abs(gf - f) < 1e-4, s"F: got $gf want ~$f")
     }
   }
+
+  test("q246: Cramér's V derives from the exact chi2_ppm and min dim") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rMarg = docs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cMarg = docs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = docs.length.toLong
+    val chi2 = cells.map { case ((l, s), o) =>
+      val d = BigInt(o) * n - BigInt(rMarg(l)) * cMarg(s)
+      (d * d * 1000000 / (BigInt(n) * rMarg(l) * cMarg(s))).toLong
+    }.sum
+    val m = math.min(rMarg.size - 1, cMarg.size - 1).toLong
+    val v = math.sqrt(chi2.toDouble / 1e6 / (n.toDouble * m.toDouble))
+    val r = Stats.qCramersV(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == chi2, "chi2_ppm")
+    assert(r.getLong(2) == m, "min_dim")
+    assert(math.abs(r.getDouble(3) - v) < 1e-5, s"V: ${r.getDouble(3)} vs $v")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("q247: kappa matches the exact-rational recompute of pred-vs-lang") {
+    import graft.functions.{StopwordsEn, StopwordsEs, StopwordsFr}
+    val docs = Tables.documents(spark, sf)
+      .select("text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def pred(text: String): String = {
+      val toks = text.toLowerCase.split("\\s+").distinct.toSet
+      val en = StopwordsEn.count(toks); val es = StopwordsEs.count(toks)
+      val fr = StopwordsFr.count(toks)
+      if (math.max(en, math.max(es, fr)) == 0) "und"
+      else if (en >= es && en >= fr) "en"
+      else if (es >= fr) "es" else "fr"
+    }
+    val pairs = docs.map { case (t, l) => (pred(t), l) }
+    val n = pairs.length.toLong
+    val agree = pairs.count { case (p, t) => p == t }.toLong
+    val rm: Map[String, Long] =
+      pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cm: Map[String, Long] =
+      pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val peNum: BigInt = (rm.keySet ++ cm.keySet).toSeq.map { cls =>
+      BigInt(rm.getOrElse(cls, 0L)) * BigInt(cm.getOrElse(cls, 0L))
+    }.sum
+    val kappa = (BigInt(n) * agree - peNum).toDouble /
+      (BigInt(n) * n - peNum).toDouble
+    val r = Stats.qCohenKappa(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == agree, "n_agree")
+    assert(r.getLong(2) == peNum.toLong, "pe_num")
+    assert(r.getLong(3) == agree * 1000000L / n, "po_ppm")
+    assert(r.getLong(4) == (peNum * 1000000 / (BigInt(n) * n)).toLong, "pe_ppm")
+    assert(math.abs(r.getDouble(5) - kappa) < 1e-6, s"kappa ${r.getDouble(5)} vs $kappa")
+  }
+
+  test("q248: Brown–Forsythe W matches a sort-walk median + textbook F on deviations") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = ev.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val med = groups.map { case (t, xs) => t -> xs((xs.length + 1) / 2 - 1) }
+    val devs = ev.map { case (t, v) => (t, math.abs(v - med(t))) }
+    val dg = devs.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val n = ev.length.toDouble; val k = groups.size.toDouble
+    val grand = devs.map(_._2).sum.toDouble / n
+    val ssb = dg.values.map { xs =>
+      val m = xs.sum.toDouble / xs.length
+      xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = dg.values.map { xs =>
+      val m = xs.sum.toDouble / xs.length
+      xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    val got = Stats.qLevene(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got.keySet == groups.keySet)
+    // all exact per-type statistics first, so a median-rule slip
+    // reports as the median, not as a mysterious W drift
+    got.foreach { case (t, (ni, mc, sad, gn, gk, _)) =>
+      assert(ni == groups(t).length.toLong)
+      assert(mc == med(t), s"$t median")
+      assert(sad == dg(t).sum, s"$t sum_absdev")
+      assert(gn == ev.length.toLong); assert(gk == groups.size.toLong)
+    }
+    got.values.foreach { case (_, _, _, _, _, gw) =>
+      assert(math.abs(gw - w) < 1e-4, s"W: got $gw want ~$w")
+    }
+  }
+
+  test("q249: per-lag CCF matches a direct Pearson over the daily rollup") {
+    val ev = Tables.events(spark, sf)
+      .select(expr("datediff(to_date(ts), date'1970-01-01')"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val daily = ev.groupBy(_._1).map { case (d, xs) =>
+      d -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val got = Stats.qCrossCorrelation(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got.keySet == (0 to 7).toSet)
+    (0 to 7).foreach { lag =>
+      val pairs = daily.keys.toSeq.flatMap { t =>
+        daily.get(t - lag).map { case (_, yl) => (daily(t)._1, yl) }
+      }
+      val nd = pairs.length.toDouble
+      val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+      val sab = pairs.map(p => BigInt(p._1) * p._2).sum
+      val saa = pairs.map(p => BigInt(p._1) * p._1).sum
+      val sbb = pairs.map(p => BigInt(p._2) * p._2).sum
+      val r = (nd * sab.toDouble - sa.toDouble * sb.toDouble) /
+        math.sqrt((nd * saa.toDouble - sa.toDouble * sa.toDouble) *
+          (nd * sbb.toDouble - sb.toDouble * sb.toDouble))
+      val (gn, gsa, gsb, gr) = got(lag)
+      assert(gn == pairs.length.toLong, s"lag $lag n_days")
+      assert(gsa == sa, s"lag $lag sum_x"); assert(gsb == sb, s"lag $lag sum_y")
+      assert(math.abs(gr - r) < 1e-5, s"lag $lag ccf: $gr vs $r")
+    }
+  }
+
+  test("q250: MASE matches direct absolute-error sums at lags 1 and 7") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), date'1970-01-01')"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    val daily = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val types = ev.map(_._1).distinct
+    val got = Stats.qSeasonalError(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == types.toSet)
+    types.foreach { t =>
+      def errs(l: Long) = daily.keys.filter(_._1 == t).toSeq.flatMap {
+        case (_, day) => daily.get((t, day - l)).map { yl =>
+          math.abs(daily((t, day)) - yl)
+        }
+      }
+      val e1 = errs(1); val e7 = errs(7)
+      val mase = (e7.sum.toDouble / e7.length) / (e1.sum.toDouble / e1.length)
+      val (n1, s1, n7, s7, gm) = got(t)
+      assert(n1 == e1.length.toLong, s"$t n1"); assert(s1 == e1.sum, s"$t sae1")
+      assert(n7 == e7.length.toLong, s"$t n7"); assert(s7 == e7.sum, s"$t sae7")
+      assert(math.abs(gm - mase) < 1e-6, s"$t mase: $gm vs $mase")
+    }
+  }
 }
