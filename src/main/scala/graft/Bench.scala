@@ -281,6 +281,21 @@ object Bench {
     "q249_cross_correlation",
     "q250_seasonal_error",
     "q251_link_prediction",
+    // round 18 (r8): hash-bit replication CI (one-pass conditional
+    // aggregates), LPA communities (5 vote rounds on the weighted
+    // backbone), hard-negative mining (q32's kernel + label filter),
+    // and the pairwise JSD grid. q245_streaming_kmv stays untimed.
+    "q252_subsample_ci",
+    "q253_label_propagation",
+    "q254_hard_negatives",
+    "q255_jsd_matrix",
+    // round 18 (r8): sketch set algebra (the exact audit leg is the
+    // timed cost), held-out LM eval (explode + vocab join), RFM cube
+    // (user rollup + bounded cumsums), class-balance audit (rollup)
+    "q256_kmv_set_algebra",
+    "q257_heldout_perplexity",
+    "q258_rfm_segments",
+    "q259_class_balance",
   )
 
   def main(args: Array[String]): Unit = {

@@ -569,6 +569,24 @@ object SparkEntry {
     // q251: common-neighbor/Jaccard link prediction on the
     // co-purchase graph — exact integer scores, capped wedges
     "q251_link_prediction" -> ((s, d) => Graph.qLinkPrediction(s, d)),
+    // q252: deterministic half-sample replication CI (hash-bit
+    // membership, one-pass conditional aggregates)
+    "q252_subsample_ci" -> ((s, d) => Stats.qSubsampleCi(s, d)),
+    // q253: determinized synchronous label-propagation communities
+    "q253_label_propagation" -> ((s, d) => Graph.qLabelPropagation(s, d)),
+    // q254: hard-negative mining (closest different-label vectors)
+    "q254_hard_negatives" -> ((s, d) => Similarity.qHardNegatives(s, d)),
+    // q255: pairwise source-mix Jensen–Shannon divergence
+    "q255_jsd_matrix" -> (Stats.qJsDivergence _),
+    // q256: KMV sketch set algebra — union/Jaccard estimates for
+    // every type pair from O(k) state, exact audit leg beside them
+    "q256_kmv_set_algebra" -> ((s, d) => Pipeline.qKmvSetAlgebra(s, d)),
+    // q257: held-out unigram perplexity (80/20 hash split, add-1)
+    "q257_heldout_perplexity" -> (TextAnalysis.qHeldoutPerplexity _),
+    // q258: RFM quintile segmentation via value-domain rank cuts
+    "q258_rfm_segments" -> (Stats.qRfmSegments _),
+    // q259: class-balance audit — inverse-frequency weights + ESS
+    "q259_class_balance" -> (Pipeline.qClassBalance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4743,5 +4761,223 @@ object SparkEntry {
                   AS jaccard_ppm
          FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
          ORDER BY jaccard_ppm DESC, cn DESC, a, b LIMIT 20""",
+    // q252: the oracle takes the 32× explode formulation (same math,
+    // deliberately different plan than the one-pass conditional
+    // aggregates); hash-bit membership off the md5 prefix
+    "q252_subsample_ci" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+                            CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                                1, 8) AS BIGINT) AS h
+                     FROM events),
+         reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+         rg AS (SELECT event_type, b, COUNT(*) AS nb, SUM(v) AS sb
+                FROM ev, reps WHERE (h >> b) & 1 = 1 GROUP BY 1, 2),
+         m AS (SELECT event_type, b,
+                      CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS m,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), b)
+                        AS rk
+               FROM rg),
+         sel AS (SELECT event_type,
+                        MAX(CASE WHEN rk = 2 THEN m END) AS lo,
+                        MAX(CASE WHEN rk = 31 THEN m END) AS hi
+                 FROM m GROUP BY 1),
+         tot AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS sv
+                 FROM ev GROUP BY 1)
+         SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+                CAST(t.sv AS BIGINT) AS sum_cents,
+                ROUND(CAST(t.sv AS DOUBLE) / CAST(t.n AS DOUBLE) / 100.0, 6)
+                  AS mean,
+                ROUND(sel.lo / 100.0, 6) AS ci_lo,
+                ROUND(sel.hi / 100.0, 6) AS ci_hi
+         FROM tot t JOIN sel USING (event_type)""",
+    // q254: q32's brute-force device plus the label-inequality
+    // predicate — double cosine, vec_id ties, rank ≤ 10
+    "q254_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                           embedding::DOUBLE[] AS q_emb
+                    FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, q_label, rank, negative, neg_label, cosine FROM (
+           SELECT q.query_id, q.q_label, c.vec_id AS negative,
+                  c.label AS neg_label,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.q_emb,
+                               c.embedding::DOUBLE[]) DESC,
+                             c.vec_id ASC) AS rank,
+                  ROUND(list_cosine_similarity(q.q_emb,
+                          c.embedding::DOUBLE[]), 4) AS cosine
+           FROM q, embeddings c WHERE c.label <> q.q_label)
+         WHERE rank <= 10""",
+    // q255: zero-filled grid, p·ln(p/m) terms guarded at the zero
+    // limit, ≤2·|langs| term fold per pair
+    "q255_jsd_matrix" ->
+      """WITH cells AS (SELECT source, lang, COUNT(*) AS c
+                        FROM documents GROUP BY 1, 2),
+         grid AS (SELECT s.source, l.lang, coalesce(c.c, 0) AS c
+                  FROM (SELECT DISTINCT source FROM cells) s
+                  CROSS JOIN (SELECT DISTINCT lang FROM cells) l
+                  LEFT JOIN cells c USING (source, lang)),
+         tot AS (SELECT source, SUM(c) AS n FROM grid GROUP BY 1),
+         g AS (SELECT grid.source, grid.lang, grid.c, tot.n
+               FROM grid JOIN tot USING (source))
+         SELECT a.source AS sa, b.source AS sb,
+                CAST(MAX(a.n) AS BIGINT) AS n_a,
+                CAST(MAX(b.n) AS BIGINT) AS n_b,
+                ROUND(SUM(
+                  (CASE WHEN a.c > 0 THEN
+                     (CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+                     * LN((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+                          / ((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                              + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                             / 2.0))
+                   ELSE 0.0 END)
+                  + (CASE WHEN b.c > 0 THEN
+                       (CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                       * LN((CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                            / ((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE)
+                                + CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+                               / 2.0))
+                     ELSE 0.0 END)) / 2.0, 6) AS jsd_nats
+         FROM g a JOIN g b ON a.lang = b.lang AND a.source < b.source
+         GROUP BY 1, 2""",
+    // q256: the oracle recomputes the whole sketch algebra from
+    // scratch — per-type bottom-16 via window ranks, merged-union
+    // ranks per pair, sketch-membership match counts, q87's estimator
+    "q256_kmv_set_algebra" ->
+      """WITH u AS (SELECT DISTINCT event_type AS t,
+                           md5(CAST(user_id AS VARCHAR)) AS h
+                    FROM events),
+         sk AS (SELECT t, h FROM (SELECT t, h,
+                  row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+                  FROM u) WHERE rn <= 16),
+         nd AS (SELECT t, COUNT(*) AS nd FROM u GROUP BY 1),
+         types AS (SELECT DISTINCT t FROM u),
+         pairs AS (SELECT a.t AS ta, b.t AS tb
+                   FROM types a, types b WHERE a.t < b.t),
+         tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+         inter AS (SELECT x.t AS ta, y.t AS tb, COUNT(*) AS ni
+                   FROM tu x JOIN tu y USING (user_id)
+                   WHERE x.t < y.t GROUP BY 1, 2),
+         m AS (SELECT DISTINCT p.ta, p.tb, s.h
+               FROM pairs p JOIN sk s ON s.t IN (p.ta, p.tb)),
+         uk AS (SELECT ta, tb, h FROM (SELECT ta, tb, h,
+                  row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+                  FROM m) WHERE rn <= 16),
+         kth AS (SELECT ta, tb, MAX(h) AS hk, COUNT(*) AS nk
+                 FROM uk GROUP BY 1, 2),
+         mt AS (SELECT u.ta, u.tb, COUNT(*) AS match_k
+                FROM uk u JOIN sk a ON a.t = u.ta AND a.h = u.h
+                          JOIN sk b ON b.t = u.tb AND b.h = u.h
+                GROUP BY 1, 2)
+         SELECT p.ta, p.tb,
+                CAST(na.nd + nb.nd - coalesce(i.ni, 0) AS BIGINT)
+                  AS n_exact_union,
+                CAST(coalesce(i.ni, 0) AS BIGINT) AS n_exact_inter,
+                ROUND(CASE WHEN k.nk < 16 THEN k.nk::DOUBLE
+                      ELSE 15.0 / (CAST('0x' || substr(k.hk, 1, 15) AS BIGINT)::DOUBLE
+                                    / 1152921504606846976.0) END, 2)
+                  AS est_union,
+                CAST(coalesce(mt.match_k, 0) AS BIGINT) AS match_k,
+                CAST(coalesce(mt.match_k, 0) * 1000000 // 16 AS BIGINT)
+                  AS jaccard_est_ppm,
+                CAST(coalesce(i.ni, 0) * 1000000
+                     // (na.nd + nb.nd - coalesce(i.ni, 0)) AS BIGINT)
+                  AS jaccard_exact_ppm
+         FROM pairs p
+         JOIN nd na ON na.t = p.ta
+         JOIN nd nb ON nb.t = p.tb
+         LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+         JOIN kth k ON k.ta = p.ta AND k.tb = p.tb
+         LEFT JOIN mt ON mt.ta = p.ta AND mt.tb = p.tb""",
+    // q257: 80/20 md5-prefix split, add-1 unigram LM on train,
+    // per-source held-out NLL/token + OOV over test
+    "q257_heldout_perplexity" ->
+      """WITH tk AS (SELECT doc_id, source,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      AS INT) % 5 AS bucket,
+                 unnest(string_split_regex(lower(text), '\s+')) AS w
+               FROM documents),
+         tok AS (SELECT * FROM tk WHERE length(w) > 0),
+         train AS (SELECT * FROM tok WHERE bucket <> 0),
+         test AS (SELECT * FROM tok WHERE bucket = 0),
+         cnts AS (SELECT w, COUNT(*) AS c FROM train GROUP BY 1),
+         nv AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w) AS v FROM train)
+         SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+                COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) * 1000000
+                     // COUNT(*) AS BIGINT) AS oov_ppm,
+                ROUND(SUM(-LN((coalesce(c, 0)::DOUBLE + 1.0)
+                              / (n + v)::DOUBLE)) / COUNT(*), 6)
+                  AS nll_per_token
+         FROM test LEFT JOIN cnts USING (w), nv
+         GROUP BY source""",
+    // q258: quintile cut points off each metric's value-domain rollup
+    // (5·cum ≥ q·n), membership by threshold compare — no user sort
+    "q258_rfm_segments" ->
+      """WITH pu AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+                            COUNT(*) AS freq,
+                            SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                              AS money
+                     FROM events GROUP BY 1),
+         g AS (SELECT MAX(last_us) AS gmax FROM pu),
+         m AS (SELECT user_id,
+                      (g.gmax - last_us) // 86400000000 AS rec_days,
+                      freq, money
+               FROM pu, g),
+         nt AS (SELECT COUNT(*) AS n FROM m),
+         rcum AS (SELECT v, SUM(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM (SELECT rec_days AS v, COUNT(*) AS c FROM m
+                        GROUP BY 1)),
+         rcut AS (SELECT MIN(CASE WHEN cum * 5 >= n * 1 THEN v END) AS r1,
+                         MIN(CASE WHEN cum * 5 >= n * 2 THEN v END) AS r2,
+                         MIN(CASE WHEN cum * 5 >= n * 3 THEN v END) AS r3,
+                         MIN(CASE WHEN cum * 5 >= n * 4 THEN v END) AS r4
+                  FROM rcum, nt),
+         fcum AS (SELECT v, SUM(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM (SELECT freq AS v, COUNT(*) AS c FROM m GROUP BY 1)),
+         fcut AS (SELECT MIN(CASE WHEN cum * 5 >= n * 1 THEN v END) AS f1,
+                         MIN(CASE WHEN cum * 5 >= n * 2 THEN v END) AS f2,
+                         MIN(CASE WHEN cum * 5 >= n * 3 THEN v END) AS f3,
+                         MIN(CASE WHEN cum * 5 >= n * 4 THEN v END) AS f4
+                  FROM fcum, nt),
+         mcum AS (SELECT v, SUM(c) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM (SELECT money AS v, COUNT(*) AS c FROM m GROUP BY 1)),
+         mcut AS (SELECT MIN(CASE WHEN cum * 5 >= n * 1 THEN v END) AS m1,
+                         MIN(CASE WHEN cum * 5 >= n * 2 THEN v END) AS m2,
+                         MIN(CASE WHEN cum * 5 >= n * 3 THEN v END) AS m3,
+                         MIN(CASE WHEN cum * 5 >= n * 4 THEN v END) AS m4
+                  FROM mcum, nt)
+         SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+                CAST(SUM(money) AS BIGINT) AS sum_cents
+         FROM (SELECT money,
+                 1 + (rec_days > r1)::INT + (rec_days > r2)::INT
+                   + (rec_days > r3)::INT + (rec_days > r4)::INT AS r_q,
+                 1 + (freq > f1)::INT + (freq > f2)::INT
+                   + (freq > f3)::INT + (freq > f4)::INT AS f_q,
+                 1 + (money > m1)::INT + (money > m2)::INT
+                   + (money > m3)::INT + (money > m4)::INT AS m_q
+               FROM m, rcut, fcut, mcut)
+         GROUP BY 1, 2, 3""",
+    // q259: balanced weights as exact floored ppm; ESS via the Kish
+    // closed form k²/Σ(1/n_cell)
+    "q259_class_balance" ->
+      """WITH cells AS (SELECT source, lang, COUNT(*) AS n_cell
+                        FROM documents GROUP BY 1, 2),
+         tot AS (SELECT SUM(n_cell) AS n, COUNT(*) AS k,
+                        SUM(1.0 / n_cell::DOUBLE) AS inv_sum
+                 FROM cells)
+         SELECT source, lang, CAST(n_cell AS BIGINT) AS n_cell,
+                CAST(n * 1000000 // (k * n_cell) AS BIGINT) AS weight_ppm,
+                CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                ROUND(k::DOUBLE * k::DOUBLE / inv_sum, 2) AS ess,
+                ROUND(k::DOUBLE * k::DOUBLE / inv_sum / n::DOUBLE, 6)
+                  AS ess_ratio
+         FROM cells, tot""",
   )
 }

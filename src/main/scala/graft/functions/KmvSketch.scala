@@ -86,6 +86,23 @@ class KmvSketch(k: Int) extends Aggregator[String, KmvState, Double] {
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** [[KmvSketch]] variant whose result is the bottom-k hash vector
+  * itself rather than the distinct-count estimate — the form set
+  * ALGEBRA needs (q256): bottom-k of a union is the bottom-k of the
+  * merged sketches, and sketch membership tests give intersection /
+  * Jaccard estimates (Beyer et al., SIGMOD'07 §5). Same fold, same
+  * state, same determinism argument. */
+class KmvBottomK(k: Int) extends Aggregator[String, KmvState, Seq[String]] {
+  private val inner = new KmvSketch(k)
+  def zero: KmvState = inner.zero
+  def reduce(b: KmvState, hash: String): KmvState = inner.reduce(b, hash)
+  def merge(a: KmvState, b: KmvState): KmvState = inner.merge(a, b)
+  def finish(r: KmvState): Seq[String] = r.hashes
+  def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
 object KmvSketch {
   /** 16^15 = 2^60: the denominator mapping a 15-hex-digit prefix to [0,1). */
   val Scale: Double = 1152921504606846976.0

@@ -532,4 +532,80 @@ object Graph {
       .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Determinized synchronous label propagation over undirected
+    * (u, v) pairs: labels init to node ids; every node simultaneously
+    * adopts its neighbors' plurality label, ties broken by MINIMUM
+    * label; exactly `rounds` rounds. Returns (node, label). Every
+    * step is integer vote counting + an argmax-by-(count, −label)
+    * struct max — engine- and partitioning-invariant. */
+  private[graft] def labelPropagation(pairs: DataFrame,
+      rounds: Int): DataFrame = {
+    val bidir = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = bidir.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = bidir
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .select(col("u"),
+          struct(col("cnt"), (-col("label")).as("neg")).as("sv"))
+        .groupBy("u").agg(max(col("sv")).as("m"))
+        .select(col("u").as("node"), (-col("m.neg")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q253: synchronous label-propagation communities on the
+    * co-purchase BACKBONE (Raghavan et al., Phys. Rev. E'07) — the
+    * community-detection verb the family lacked: q57's components
+    * answer "connected at all?", LPA answers "densely connected to
+    * WHOM?" (the product-category discovery a catalog pipeline runs).
+    *
+    * Backbone, not raw graph: only pairs co-purchased in ≥ `minShared`
+    * orders are edges — the standard noise floor for co-occurrence
+    * graphs (w=1 pairs are single-basket coincidences), and what keeps
+    * a determinized LPA informative here: on the raw TPC-H basket
+    * graph (near-complete at small SF) every plurality vote collapses
+    * to one label in two rounds — measured, not assumed: 1 community
+    * on the raw graph vs ~300 on the sf0.01 backbone.
+    *
+    * Determinism: the classic algorithm is randomized (visit order,
+    * tie coin-flips); [[labelPropagation]] is the determinized
+    * SYNCHRONOUS variant with min-label ties and a fixed round budget
+    * (synchronous LPA may oscillate rather than converge, so a round
+    * budget is the correct contract, not a convergence test). Pinned
+    * by GraphSpec against a sequential reference AND a crafted
+    * two-clique structural case.
+    *
+    * Scale shape: one weighted pair rollup (per-order fanout ≤ lines²,
+    * q163's bound), then per round ONE edge⋈labels equi-join and a
+    * (node, label) vote rollup — the Pregel message pattern as
+    * DataFrame joins, localCheckpoint per round; rounds fixed.
+    * Report: top-10 communities + census, TakeOrdered cut. */
+  def qLabelPropagation(s: SparkSession, d: String, rounds: Int = 5,
+      topK: Int = 10, minShared: Int = 2): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val backbone = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minShared)
+      .select("u", "v")
+    val labels = labelPropagation(backbone, rounds)
+    val comm = labels.groupBy("label").agg(count(lit(1)).as("size"))
+    val summary = comm.agg(count(lit(1)).as("n_communities"),
+      sum(col("size")).as("n_nodes"))
+    val top = comm.orderBy(col("size").desc, col("label")).limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("size").desc, col("label"))))
+      .crossJoin(broadcast(summary))
+      .select(col("rank"), col("label").as("community"), col("size"),
+        col("n_communities"), col("n_nodes"))
+  }
 }

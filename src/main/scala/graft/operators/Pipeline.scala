@@ -288,6 +288,103 @@ object Pipeline {
         kmv(col("h")).as("kmv_estimate"))
   }
 
+  /** q256: KMV sketch SET ALGEBRA — union and Jaccard/intersection
+    * estimates for every event-type pair of distinct-user sets from
+    * the per-type bottom-k sketches alone (Beyer et al. SIGMOD'07 §5:
+    * bottom-k of A∪B is the bottom-k of the merged sketches, and the
+    * fraction of the union sketch present in BOTH sides' sketches
+    * estimates Jaccard). This is the capability the KMV family was
+    * chosen for (KmvSketch scaladoc): audience-overlap answers from
+    * O(k) state per segment, no co-membership join — the exact
+    * inter/union counts computed beside them are the AUDIT leg, not
+    * the production path.
+    *
+    * Determinism: sketches are pure set functions of md5 domains;
+    * merged-union ranks, membership tests, and the match count are
+    * integer/string ops; the two estimates are each one double from
+    * exact parts (q87's estimator device) — fully hash-checked, the
+    * rare sketch algebra with an exact oracle.
+    *
+    * Scale shape: one distinct-user rollup folds to |types|·k hex
+    * strings (partial-agg friendly — each partition carries ≤ k per
+    * type); the pair algebra runs on a |types|²-row broadcast of
+    * 16-element arrays. The audit leg is the only user-domain join. */
+  def qKmvSetAlgebra(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    val sk = udaf(new graft.functions.KmvBottomK(k), Encoders.STRING)
+    val byType = events(s, d)
+      .select(col("event_type"),
+        md5(col("user_id").cast("string").cast("binary")).as("h"))
+      .groupBy("event_type")
+      .agg(count_distinct(col("h")).as("nd"), sk(col("h")).as("sketch"))
+    val pairs = byType.select(col("event_type").as("ta"),
+        col("nd").as("na"), col("sketch").as("sa"))
+      .crossJoin(broadcast(byType.select(col("event_type").as("tb"),
+        col("nd").as("nb"), col("sketch").as("sb"))))
+      .filter(col("ta") < col("tb"))
+    // audit leg: exact pairwise intersection over distinct (type, user)
+    val tu = events(s, d).select(col("event_type"), col("user_id")).distinct()
+    val inter = tu.as("x").join(tu.as("y"), Seq("user_id"))
+      .filter(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val merged = expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)")
+    pairs.join(inter, Seq("ta", "tb"), "left_outer")
+      .select(col("ta"), col("tb"), col("na"), col("nb"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        (col("na") + col("nb") - coalesce(col("n_exact_inter"), lit(0L)))
+          .as("n_exact_union"),
+        merged.as("uk"), col("sa"), col("sb"))
+      .select(col("ta"), col("tb"), col("n_exact_union"),
+        col("n_exact_inter"),
+        // union estimate: exact when the merged sketch is unsaturated
+        when(size(col("uk")) < k, size(col("uk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (expr(s"CAST(conv(substring(element_at(uk, $k), 1, 15), 16, 10) AS BIGINT)")
+              .cast("double") / lit(graft.functions.KmvSketch.Scale)))
+          .as("est_union"),
+        expr("size(filter(uk, x -> array_contains(sa, x) AND array_contains(sb, x)))")
+          .cast("long").as("match_k"))
+      .select(col("ta"), col("tb"), col("n_exact_union"),
+        col("n_exact_inter"), round(col("est_union"), 2).as("est_union"),
+        col("match_k"),
+        expr(s"match_k * 1000000L div ${k}L").as("jaccard_est_ppm"),
+        expr("n_exact_inter * 1000000L div n_exact_union")
+          .as("jaccard_exact_ppm"))
+  }
+
+  /** q259: class-balance audit with inverse-frequency reweighting —
+    * the readout a stratified-training pipeline computes before
+    * deciding whether to reweight or resample (q40/q115 MIX by fixed
+    * rates; this derives the balanced weights and prices them): each
+    * (source, lang) cell's balanced weight is N/(k·n_cell) (every
+    * cell contributes equally), and the price of training on those
+    * weights is the effective sample size ESS = (Σw)²/Σw² — which
+    * for balanced weights collapses to the exact closed form
+    * k²/Σ(1/n_cell) (Kish '65), so ESS/N reads "what fraction of the
+    * corpus the reweighted gradient is statistically worth".
+    *
+    * Exactness: weights are exact floored ppm; the ESS fold is
+    * k ≤ |cells| doubles of exact 1/n_cell terms (q183's bounded-fold
+    * argument).
+    *
+    * Scale shape: one documents rollup to |sources|·|langs| cells;
+    * everything after is cell-sized. */
+  def qClassBalance(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_cell"))
+    val tot = cells.agg(sum(col("n_cell")).as("n"),
+      count(lit(1)).as("k"),
+      sum(lit(1.0) / col("n_cell").cast("double")).as("inv_sum"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_cell"),
+        expr("n * 1000000L div (k * n_cell)").as("weight_ppm"),
+        col("n"), col("k"),
+        round(col("k").cast("double") * col("k").cast("double")
+          / col("inv_sum"), 2).as("ess"),
+        round(col("k").cast("double") * col("k").cast("double")
+          / col("inv_sum") / col("n").cast("double"), 6).as("ess_ratio"))
+  }
+
   /** q94: corpus-version diff — the dataset-versioning audit run before
     * shipping a new corpus snapshot: join two versions on doc_id and
     * classify every doc as added / removed / changed / unchanged by

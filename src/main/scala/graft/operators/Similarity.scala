@@ -96,6 +96,41 @@ object Similarity {
     bruteForceTopK(queriesDf(s, d),
       embeddings(s, d).select("vec_id", "embedding"), 10)
 
+  /** q254: hard-negative mining — for each query vector, the top-k
+    * most-similar vectors with a DIFFERENT label: the contrastive-
+    * training data miner (the negatives that sit closest to the
+    * anchor are the ones a triplet/InfoNCE loss learns from —
+    * random negatives are trivially separable; see Robinson et al.
+    * ICLR'21 on hard-negative sampling). Composes q32's brute
+    * kernel with the label-inequality predicate; swap the brute leg
+    * for the q93 persisted IVF-PQ index + a post-filter at corpus
+    * scale (the q225 composition precedent).
+    *
+    * Determinism: q32's contract — double-precision cosine, ties by
+    * vec_id, rank cut under a total order; the label filter only
+    * shrinks the candidate set.
+    *
+    * Scale shape: one corpus scan against a broadcast query set,
+    * per-query TakeOrdered heads; the filter pushes to the scan. */
+  def qHardNegatives(s: SparkSession, d: String, nQ: Int = 5,
+      k: Int = 10): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    embeddings(s, d).select("vec_id", "embedding", "label")
+      .crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc,
+          col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("rank"),
+        col("vec_id").as("negative"), col("label").as("neg_label"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** q116: hybrid lexical+semantic retrieval via reciprocal-rank fusion
     * (Cormack et al., SIGIR'09 — the standard way RAG stacks combine a
     * BM25 leg with a dense-vector leg without score calibration):

@@ -1619,4 +1619,154 @@ object Stats {
         round((d2(col("sae7")) / d2(col("n7")))
           / (d2(col("sae1")) / d2(col("n1"))), 6).as("mase"))
   }
+
+  /** q252: deterministic half-sample replication CI for the per-type
+    * mean — the uncertainty readout the experimentation family lacked
+    * (q208/q234 TEST a difference; this puts a band on the estimate
+    * itself, the number a dashboard shows next to every mean). B=32
+    * replicates: row r joins replicate b iff bit b of the first 32
+    * md5 bits of its event_id is set — each replicate is a
+    * ~half-sample, and membership is a pure function of the row, so
+    * the whole procedure is reproducible on any engine, any
+    * partitioning, any day (the q60/q118 hash-sampling discipline
+    * applied to resampling; Politis–Romano subsampling, not Efron
+    * bootstrap — no RNG exists that two engines would share). The
+    * band is the [2nd, 31st] of the 32 sorted replicate means —
+    * the ~6%/94% subsampling interval.
+    *
+    * Exactness: replicate sums/counts are exact integers computed as
+    * 64 CONDITIONAL AGGREGATES in one fact-table pass (no 32× row
+    * explode — the scale-relevant choice; the oracle uses the explode
+    * formulation, deliberately different plan, same math); each
+    * replicate mean is one double division; the rank pick is integer.
+    *
+    * Scale shape: ONE map-side-collapsing groupBy of the fact table
+    * to |types| rows × 64 columns; everything after is k-sized. */
+  def qSubsampleCi(s: SparkSession, d: String, b: Int = 32): DataFrame = {
+    require(b >= 4 && b <= 32, "replicate bits must fit the 32-bit hash prefix")
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"),
+      expr("""CAST(conv(substring(md5(CAST(CAST(event_id AS STRING) AS BINARY)),
+              1, 8), 16, 10) AS BIGINT)""").as("h"))
+    val aggs: Seq[Column] = (0 until b).flatMap { i =>
+      val bit = expr(s"(shiftright(h, $i) & 1) = 1")
+      Seq(sum(when(bit, col("v"))).as(s"s$i"),
+        count(when(bit, lit(1))).as(s"n$i"))
+    }
+    val g = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv") +: aggs: _*)
+    val means = g.select(col("event_type"), col("n"), col("sv"),
+      explode(array((0 until b).map(i => struct(lit(i).as("b"),
+        (d2(col(s"s$i")) / d2(col(s"n$i"))).as("m"))): _*)).as("r"))
+      .select(col("event_type"), col("n"), col("sv"),
+        col("r.b").as("b"), col("r.m").as("m"))
+    val w = Window.partitionBy("event_type").orderBy(col("m"), col("b"))
+    means.withColumn("rk", row_number().over(w))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("sv")).as("sum_cents"),
+        max(when(col("rk") === 2, col("m"))).as("lo"),
+        max(when(col("rk") === b - 1, col("m"))).as("hi"))
+      .select(col("event_type"), col("n"), col("sum_cents"),
+        round(d2(col("sum_cents")) / d2(col("n")) / lit(100.0), 6).as("mean"),
+        round(col("lo") / lit(100.0), 6).as("ci_lo"),
+        round(col("hi") / lit(100.0), 6).as("ci_hi"))
+  }
+
+  /** q255: Jensen–Shannon divergence between every source pair's
+    * language distribution — the SYMMETRIC, bounded member completing
+    * the divergence family (PSI q190 needs smoothing, KS q136 needs
+    * an ordered domain, MI q183 is global; JSD is the pairwise
+    * corpus-mix comparison a dataset-mixing pipeline reads before
+    * re-weighting sources, Lin IEEE-IT'91).
+    *
+    * Exactness: cell counts ride a zero-filled |sources|×|langs| grid
+    * (missing cells are REAL zeros — p·ln(p/m) → 0 limit, guarded on
+    * both engines); each pair's JSD folds ≤ 2·|langs| double terms
+    * from exact integers (the q183 k-term precedent; driver compares
+    * at 1e-6). Emitted in nats; JSD ≤ ln 2 ≈ 0.6931 pinned by spec.
+    *
+    * Scale shape: one documents rollup to |sources|·|langs| cells;
+    * the pair join is |sources|²-bounded — dashboard-sized. */
+  def qJsDivergence(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+    val grid = cells.select("source").distinct()
+      .crossJoin(cells.select("lang").distinct())
+      .join(cells, Seq("source", "lang"), "left_outer")
+      .select(col("source"), col("lang"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val tot = grid.groupBy("source").agg(sum(col("c")).as("n"))
+    val a = grid.join(tot, Seq("source"))
+      .select(col("source").as("sa"), col("lang"), col("c").as("ca"),
+        col("n").as("na"))
+    val b = grid.join(tot, Seq("source"))
+      .select(col("source").as("sb"), col("lang"), col("c").as("cb"),
+        col("n").as("nb"))
+    val p = d2(col("ca")) / d2(col("na"))
+    val q = d2(col("cb")) / d2(col("nb"))
+    val m = (p + q) / lit(2.0)
+    val term = when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+    a.join(b, Seq("lang")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(sum(term) / lit(2.0), 6).as("jsd_nats"))
+  }
+
+  /** q258: RFM segmentation — the classic engagement-marketing cube
+    * (recency / frequency / monetary quintiles per user, Hughes '94)
+    * as the family's user-segmentation verb: per user the three
+    * metrics, each cut into quintiles, users counted per (R,F,M)
+    * cell.
+    *
+    * Quintiles WITHOUT ranking users: each metric's four cut points
+    * are read off its VALUE-DOMAIN rollup (smallest value whose
+    * cumulative count reaches ⌈q·n/5⌉ — integer compare 5·cum ≥ q·n,
+    * q248's median rule generalized), and a user's quintile is
+    * 1 + Σ(value > cut_q) — so ties share a quintile by construction
+    * (q231's rank-cut-without-ranking semantics), cells are exact
+    * integers, and no engine ever global-sorts the user table.
+    *
+    * Scale shape: one user rollup (map-side collapsing), three
+    * bounded value-domain cumsums, broadcast cut points, one cell
+    * rollup. */
+  def qRfmSegments(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d).groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("money"))
+      .crossJoin(broadcast(
+        events(s, d).agg(max(unix_micros(col("ts"))).as("gmax"))))
+      .select(col("user_id"),
+        expr("(gmax - last_us) div 86400000000L").as("rec_days"),
+        col("freq"), col("money"))
+      .localCheckpoint()
+    def cuts(metric: String): DataFrame = {
+      val cnt = perUser.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = cnt.withColumn("cum", sum(col("c")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      val n = cnt.agg(sum(col("c")).as("n_tot"))
+      val qs = (1 to 4).map { q =>
+        min(when(col("cum") * 5 >= col("n_tot") * q, col("v")))
+          .as(s"${metric}_c$q")
+      }
+      cum.crossJoin(broadcast(n)).agg(qs.head, qs.tail: _*)
+    }
+    def quintile(metric: String): Column =
+      lit(1) + (col(metric) > col(s"${metric}_c1")).cast("int") +
+        (col(metric) > col(s"${metric}_c2")).cast("int") +
+        (col(metric) > col(s"${metric}_c3")).cast("int") +
+        (col(metric) > col(s"${metric}_c4")).cast("int")
+    perUser
+      .crossJoin(broadcast(cuts("rec_days")))
+      .crossJoin(broadcast(cuts("freq")))
+      .crossJoin(broadcast(cuts("money")))
+      .select(col("user_id"), col("money"),
+        quintile("rec_days").as("r_q"), quintile("freq").as("f_q"),
+        quintile("money").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), sum(col("money")).as("sum_cents"))
+  }
 }

@@ -929,4 +929,48 @@ object TextAnalysis {
       .withColumn("cont_share_bp",
         expr("n_cont_pieces * 10000 div greatest(n_pieces, 1)"))
   }
+
+  /** q257: held-out unigram perplexity — the train/test discipline
+    * applied to the LM-scoring family (q64/q79/q102 score the corpus
+    * with a model fit ON the corpus; a quality gate that feeds
+    * training wants the held-out number, or it rewards memorization).
+    * Docs split 80/20 by md5(doc_id) (the q252 hash-bit device — a
+    * pure row function, reproducible on any engine/partitioning);
+    * an add-1-smoothed unigram LM fits on the train fold; the report
+    * is per-source held-out NLL/token (nats) and OOV rate over the
+    * test fold.
+    *
+    * Exactness: token counts, N, V, and OOV are exact integers;
+    * each token's −ln((c+1)/(N+V)) is a double from exact integers
+    * and the per-source sum is the driver-tolerance fold (q183's
+    * argument: identical terms, 1e-6 compare).
+    *
+    * Scale shape: one explode + one vocab-keyed equi-join (the q64
+    * shape) — the split adds a codegen'd predicate, nothing else;
+    * model and test legs prune to (token) / (token, source) columns
+    * at the scan. */
+  def qHeldoutPerplexity(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("""CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),
+                1, 4), 16, 10) AS INT) % 5""").as("bucket"),
+        explode(tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+    val train = toks.filter(col("bucket") =!= 0)
+    val test = toks.filter(col("bucket") === 0)
+    val counts = train.groupBy("w").agg(count(lit(1)).as("c"))
+    val nv = train.agg(count(lit(1)).as("n"),
+      count_distinct(col("w")).as("v"))
+    test.join(counts, Seq("w"), "left_outer")
+      .crossJoin(broadcast(nv))
+      .select(col("source"), col("doc_id"),
+        when(col("c").isNull, 1L).otherwise(lit(0L)).as("oov"),
+        (-log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("n") + col("v")).cast("double"))).as("nll"))
+      .groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        expr("sum(oov) * 1000000L div count(1)").as("oov_ppm"),
+        round(sum(col("nll")) / count(lit(1)), 6).as("nll_per_token"))
+  }
 }

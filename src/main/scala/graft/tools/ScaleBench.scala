@@ -125,7 +125,13 @@ object ScaleBench {
       // scan, the honest distributed-BFS shape); q173 capped wedge
       // join (cap²-bounded per middle item, middle items ×factor)
       "q163_copurchase_rank", "q166_triangle_census",
-      "q171_bfs_hops", "q173_item_cf")
+      "q171_bfs_hops", "q173_item_cf",
+      // round 18 (r8): link prediction — the second capped wedge join
+      // (per-middle fanout ≤ invCap² like q173, middle nodes ×factor)
+      // plus a full-edge anti-join; under the PARTKEY namespace shift
+      // candidates stay copy-local, so the probe grounds the linear
+      // wedge-growth claim directly
+      "q251_link_prediction")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -424,6 +424,33 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("q258: RFM cells match driver-side value-domain quintile cuts") {
+    val perUser = evRaw.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.map(_._4).max, rows.length.toLong, rows.map(_._6).sum)
+    }.toSeq
+    val gmax = perUser.map(_._2).max
+    val m = perUser.map { case (u, last, f, mon) =>
+      (u, (gmax - last) / 86400000000L, f, mon)
+    }
+    // cut_q = smallest v with 5·cum ≥ q·n = the ⌈q·n/5⌉-th smallest
+    def cuts(vals: Seq[Long]): Seq[Long] = {
+      val n = vals.length.toLong
+      val sorted = vals.sorted
+      (1 to 4).map(q => sorted(((q * n + 4) / 5 - 1).toInt))
+    }
+    val rc = cuts(m.map(_._2)); val fc = cuts(m.map(_._3))
+    val mc = cuts(m.map(_._4))
+    def qn(v: Long, c: Seq[Long]): Int = 1 + c.count(v > _)
+    val want = m.groupBy(x => (qn(x._2, rc), qn(x._3, fc), qn(x._4, mc)))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._4).sum) }
+    val got = Stats.qRfmSegments(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == perUser.size.toLong,
+      "cells partition the users")
+  }
+
   test("q215: discrete percentiles are the exact ranked data elements") {
     val vals = Tables.events(spark, sf)
       .select(col("event_type"), col("value"), col("event_id"))

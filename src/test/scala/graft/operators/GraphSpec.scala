@@ -293,4 +293,58 @@ class GraphSpec extends AnyFunSuite {
       assert(c >= 2)
     }
   }
+
+  test("q253: LPA communities equal the sequential synchronous reference") {
+    val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    // the operator's backbone rule: pairs sharing >= 2 orders.
+    // (keySet, not collect-to-tuples: Map.collect over pair elements
+    // would rebuild a MAP keyed by u and silently collapse the edges)
+    val edges = lp.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).filter { case (_, v) => v.size >= 2 }.keySet
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) = v :: adj(u); adj(v) = u :: adj(v) }
+    var labels: Map[Long, Long] = adj.keys.map(u => u -> u).toMap
+    for (_ <- 1 to 5) {
+      labels = adj.map { case (u, ns) =>
+        val votes = ns.map(labels).groupBy(identity)
+          .map { case (l, v) => (l, v.size) }
+        // plurality, ties to the MINIMUM label — the operator's rule
+        val best = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        u -> best
+      }.toMap
+    }
+    val comm = labels.values.groupBy(identity)
+      .map { case (l, v) => l -> v.size.toLong }
+    val top = comm.toSeq.sortBy { case (l, sz) => (-sz, l) }.take(10)
+    val got = Graph.qLabelPropagation(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(got.length == math.min(10, comm.size))
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("rank") == i + 1)
+      assert(r.getAs[Long]("community") == top(i)._1, s"rank ${i + 1} label")
+      assert(r.getAs[Long]("size") == top(i)._2, s"rank ${i + 1} size")
+      assert(r.getAs[Long]("n_communities") == comm.size.toLong)
+      assert(r.getAs[Long]("n_nodes") == labels.size.toLong)
+    }
+  }
+
+  test("q253: LPA separates two cliques joined by a bridge") {
+    import spark.implicits._
+    // two 5-cliques {1..5} and {10..14}, one bridge edge 5-10
+    val c1 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val c2 = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val pairs = (c1 ++ c2 :+ (5L, 10L)).toDF("u", "v")
+    val labels = Graph.labelPropagation(pairs, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to its minimum member's label; the bridge
+    // does not merge them (plurality inside each clique dominates)
+    assert((1L to 5L).map(labels).toSet.size == 1, "clique 1 united")
+    assert((10L to 14L).map(labels).toSet.size == 1, "clique 2 united")
+    assert(labels(1L) != labels(10L), "cliques remain distinct")
+  }
 }

@@ -430,4 +430,75 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(2))).toSet ==
       rows.map(r => (r._1, r._3)).toSet)
   }
+
+  test("q256: sketch set algebra equals a driver recompute; estimates sane") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(v: Long): String = {
+      md.reset()
+      md.digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val tu = Tables.events(spark, sf).select("event_type", "user_id")
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = tu.groupBy(_._1).map { case (t, v) =>
+      t -> v.map(x => h(x._2)).distinct.sorted
+    }
+    val types = byType.keys.toSeq.sorted
+    val got = Pipeline.qKmvSetAlgebra(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    val wantPairs = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    assert(got.keySet == wantPairs.toSet)
+    wantPairs.foreach { case (ta, tb) =>
+      val (a, b) = (byType(ta), byType(tb))
+      val exactU = (a ++ b).distinct.length.toLong
+      val exactI = a.intersect(b).length.toLong
+      val (ska, skb) = (a.take(16), b.take(16))
+      val uk = (ska ++ skb).distinct.sorted.take(16)
+      val estU =
+        if (uk.length < 16) uk.length.toDouble
+        else 15.0 / (java.lang.Long.parseLong(uk.last.substring(0, 15), 16)
+          .toDouble / graft.functions.KmvSketch.Scale)
+      val matchK = uk.count(x => ska.contains(x) && skb.contains(x)).toLong
+      val (gu, gi, ge, gm, gjest, gjex) = got((ta, tb))
+      assert(gu == exactU, s"($ta,$tb) union")
+      assert(gi == exactI, s"($ta,$tb) inter")
+      assert(math.abs(ge - estU) < 0.5 + estU * 1e-6, s"($ta,$tb) est")
+      assert(gm == matchK, s"($ta,$tb) match_k")
+      assert(gjest == matchK * 1000000L / 16L)
+      assert(gjex == exactI * 1000000L / exactU)
+      // sketch sanity: the k=16 estimator should land within ~3σ
+      // (σ ≈ 1/√(k−1) ≈ 26%) of the exact union on this data
+      assert(ge > exactU * 0.25 && ge < exactU * 4.0, s"($ta,$tb) est wild")
+    }
+  }
+
+  test("q259: balanced weights price the corpus at the Kish ESS") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = docs.length.toLong
+    val k = cells.size.toLong
+    val ess = k.toDouble * k.toDouble /
+      cells.values.map(c => 1.0 / c.toDouble).sum
+    val got = Pipeline.qClassBalance(spark, sf).collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(cell))
+      assert(r.getLong(3) ==
+        BigInt(n) * 1000000 / (BigInt(k) * cells(cell)), s"$cell weight")
+      assert(r.getLong(4) == n); assert(r.getLong(5) == k)
+      assert(math.abs(r.getDouble(6) - ess) < 0.01 + ess * 1e-6)
+      assert(math.abs(r.getDouble(7) - ess / n) < 1e-6)
+      assert(r.getDouble(6) <= n.toDouble + 1e-9, "ESS cannot exceed N")
+    }
+    // balanced-weight identity: Σ cells n_cell·w = N (within ppm floor)
+    val wsum = got.map(r => BigInt(r.getLong(3)) * r.getLong(2)).sum
+    assert((BigInt(n) * 1000000 - wsum) >= 0 &&
+      (BigInt(n) * 1000000 - wsum) < BigInt(k) * 1000000)
+  }
 }

@@ -46,6 +46,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q254: hard negatives equal a driver-side different-label top-k") {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0) 0.0 else d / n
+    }
+    val queries = embs.filter(_._1 < 5)
+    val want = queries.map { case (qid, qlab, qv) =>
+      qid -> embs.filter(_._2 != qlab)
+        .map { case (vid, lab, v) => (vid, lab, cos(qv, v)) }
+        .sortBy { case (vid, _, c) => (-c, vid) }
+        .take(10)
+    }.toMap
+    val got = Similarity.qHardNegatives(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(got.keySet == want.keySet)
+    got.foreach { case (qid, rows) =>
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Long]("negative")).toSeq ==
+        want(qid).map(_._1).toSeq, s"query $qid ids")
+      ranked.zip(want(qid)).foreach { case (r, (_, lab, c)) =>
+        assert(r.getAs[Int]("neg_label") == lab)
+        assert(r.getAs[Int]("neg_label") != r.getAs[Int]("q_label"))
+        assert(math.abs(r.getAs[Double]("cosine") - c) < 1e-4)
+      }
+    }
+  }
+
   test("LSH top-k: every reported neighbor has its true cosine; recall floor") {
     val brute = Similarity.qBruteForceTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor")) ->

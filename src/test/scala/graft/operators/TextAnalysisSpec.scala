@@ -389,4 +389,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(ch(1L)) < 1e-12)
     assert(math.abs(ch(2L) - 6.0) < 1e-9)
   }
+
+  test("q257: held-out NLL matches a driver-side split + add-1 LM") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Int = {
+      md.reset()
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (Integer.parseInt(hex.substring(0, 4), 16) % 5)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, src, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(w => (id, src, bucket(id), w))
+    }
+    val train = toks.filter(_._3 != 0)
+    val test = toks.filter(_._3 == 0)
+    assert(test.nonEmpty && train.nonEmpty, "split produced both folds")
+    val cnts = train.groupBy(_._4).map { case (w, v) => w -> v.length.toLong }
+    val n = train.length.toLong
+    val v = cnts.size.toLong
+    val got = TextAnalysis.qHeldoutPerplexity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val bySrc = test.groupBy(_._2)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val oov = rows.count(r => !cnts.contains(r._4)).toLong
+      val nll = rows.map { r =>
+        -math.log((cnts.getOrElse(r._4, 0L).toDouble + 1.0) / (n + v).toDouble)
+      }.sum / rows.length
+      val (gd, gt, go, gp, gn) = got(src)
+      assert(gd == rows.map(_._1).distinct.length.toLong, s"$src n_docs")
+      assert(gt == rows.length.toLong, s"$src n_tokens")
+      assert(go == oov, s"$src n_oov")
+      assert(gp == oov * 1000000L / rows.length, s"$src oov_ppm")
+      assert(math.abs(gn - nll) < 1e-6, s"$src nll: $gn vs $nll")
+    }
+  }
 }

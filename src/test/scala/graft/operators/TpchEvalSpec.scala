@@ -614,4 +614,66 @@ class TpchEvalSpec extends AnyFunSuite {
       assert(math.abs(gm - mase) < 1e-6, s"$t mase: $gm vs $mase")
     }
   }
+
+  test("q252: subsample CI matches a driver-side md5-bit replication") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map { r =>
+        md.reset()
+        val hex = md.digest(r.getLong(1).toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getString(0), java.lang.Long.parseLong(hex.substring(0, 8), 16),
+          r.getLong(2))
+      }
+    val byType = ev.groupBy(_._1)
+    val got = Stats.qSubsampleCi(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val reps = (0 until 32).map { b =>
+        val in = rows.filter(r => ((r._2 >> b) & 1L) == 1L)
+        (b, in.map(_._3).sum.toDouble / in.length)
+      }.sortBy { case (b, m) => (m, b) }.map(_._2)
+      val (n, sv, mean, lo, hi) = got(t)
+      assert(n == rows.length.toLong); assert(sv == rows.map(_._3).sum)
+      // operator output is round(·, 6): allow the half-ulp
+      assert(math.abs(mean - sv.toDouble / n / 100.0) < 5.1e-7)
+      assert(math.abs(lo - reps(1) / 100.0) < 5.1e-7, s"$t ci_lo")
+      assert(math.abs(hi - reps(30) / 100.0) < 5.1e-7, s"$t ci_hi")
+      assert(lo <= mean && mean <= hi, s"$t band should cover the mean")
+    }
+  }
+
+  test("q255: JSD matrix matches a driver recompute; symmetric-bounded") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sources = docs.map(_._1).distinct.sorted
+    val langs = docs.map(_._2).distinct
+    val cnt = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tot = docs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    def jsd(sa: String, sb: String): Double = langs.map { l =>
+      val p = cnt.getOrElse((sa, l), 0L).toDouble / tot(sa)
+      val q = cnt.getOrElse((sb, l), 0L).toDouble / tot(sb)
+      val m = (p + q) / 2.0
+      (if (p > 0) p * math.log(p / m) else 0.0) +
+        (if (q > 0) q * math.log(q / m) else 0.0)
+    }.sum / 2.0
+    val got = Stats.qJsDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val wantPairs = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+    } yield (sources(i), sources(j))
+    assert(got.keySet == wantPairs.toSet)
+    wantPairs.foreach { case (sa, sb) =>
+      val (na, nb, g) = got((sa, sb))
+      assert(na == tot(sa)); assert(nb == tot(sb))
+      assert(math.abs(g - jsd(sa, sb)) < 1e-6, s"($sa,$sb): $g vs ${jsd(sa, sb)}")
+      assert(g >= 0.0 && g <= math.log(2.0) + 1e-9, s"($sa,$sb) out of [0, ln2]")
+    }
+  }
 }
