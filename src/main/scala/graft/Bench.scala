@@ -296,6 +296,12 @@ object Bench {
     "q257_heldout_perplexity",
     "q258_rfm_segments",
     "q259_class_balance",
+    // round 18 (r8): CV nearest-centroid (one posexplode rollup +
+    // broadcast centroids), Dunning-LLR collocations (q153's plan,
+    // different score), weekly PSI timeline (q190's device × weeks)
+    "q260_cv_centroid",
+    "q261_collocation_llr",
+    "q262_psi_timeline",
   )
 
   def main(args: Array[String]): Unit = {

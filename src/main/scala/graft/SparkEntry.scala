@@ -587,6 +587,12 @@ object SparkEntry {
     "q258_rfm_segments" -> (Stats.qRfmSegments _),
     // q259: class-balance audit — inverse-frequency weights + ESS
     "q259_class_balance" -> (Pipeline.qClassBalance _),
+    // q260: k-fold cross-validated nearest-centroid accuracy
+    "q260_cv_centroid" -> ((s, d) => Similarity.qCvCentroid(s, d)),
+    // q261: Dunning log-likelihood-ratio collocations
+    "q261_collocation_llr" -> ((s, d) => TextAnalysis.qCollocationLlr(s, d)),
+    // q262: weekly PSI drift timeline vs the first week's deciles
+    "q262_psi_timeline" -> ((s, d) => Stats.qPsiTimeline(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4979,5 +4985,123 @@ object SparkEntry {
                 ROUND(k::DOUBLE * k::DOUBLE / inv_sum / n::DOUBLE, 6)
                   AS ess_ratio
          FROM cells, tot""",
+    // q260: leave-fold-out centroids via the algebraic complement
+    // (total − fold)/(n − n_fold); cosine via a dim join; argmax by
+    // (cosine desc, label asc)
+    "q260_cv_centroid" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+                      AS INT) % 5 AS fold
+               FROM embeddings),
+         long AS (SELECT vec_id, label, fold, i AS dim, e[i] AS val
+                  FROM v, UNNEST(generate_series(1, len(e))) AS t(i)),
+         sums AS (SELECT label, fold, dim, SUM(val) AS sf
+                  FROM long GROUP BY 1, 2, 3),
+         tot AS (SELECT label, dim, SUM(sf) AS st FROM sums GROUP BY 1, 2),
+         cnt AS (SELECT label, fold, COUNT(*) AS nlf FROM v GROUP BY 1, 2),
+         ctot AS (SELECT label, COUNT(*) AS nl FROM v GROUP BY 1),
+         cent AS (SELECT s.fold, s.label AS cand, s.dim,
+                         (t.st - s.sf) / (ct.nl - c.nlf) AS cv
+                  FROM sums s JOIN tot t USING (label, dim)
+                  JOIN cnt c USING (label, fold)
+                  JOIN ctot ct USING (label)),
+         dots AS (SELECT l.vec_id, l.label, l.fold, ce.cand,
+                         SUM(l.val * ce.cv) AS dot,
+                         SUM(ce.cv * ce.cv) AS nc, SUM(l.val * l.val) AS nv
+                  FROM long l JOIN cent ce
+                    ON ce.fold = l.fold AND ce.dim = l.dim
+                  GROUP BY 1, 2, 3, 4),
+         pred AS (SELECT vec_id, label, fold,
+                         (array_agg(cand ORDER BY
+                            dot / sqrt(nc * nv) DESC, cand ASC))[1] AS pred
+                  FROM dots GROUP BY 1, 2, 3)
+         SELECT fold, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+                CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END)
+                     * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+         FROM pred GROUP BY 1""",
+    // q261: q153's bigram rollup with Dunning's G² in place of lift;
+    // zero cells contribute the 0·ln0 = 0 limit
+    "q261_collocation_llr" ->
+      """WITH t AS (
+           SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+         bg AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS bg
+           FROM t WHERE len(w) >= 2),
+         bc AS (
+           SELECT string_split(bg, ' ')[1] AS w1,
+                  string_split(bg, ' ')[2] AS w2, COUNT(*) AS o11
+           FROM bg GROUP BY 1, 2),
+         r AS (SELECT w1, SUM(o11) AS r1 FROM bc GROUP BY 1),
+         c AS (SELECT w2, SUM(o11) AS c1 FROM bc GROUP BY 1),
+         tot AS (SELECT SUM(o11) AS n FROM bc)
+         SELECT w1, w2, CAST(o11 AS BIGINT) AS o11,
+                CAST(r1 AS BIGINT) AS r1, CAST(c1 AS BIGINT) AS c1,
+                CAST(n AS BIGINT) AS n,
+                ROUND(2.0 * (
+                  CASE WHEN o11 > 0 THEN o11::DOUBLE
+                    * LN(o11::DOUBLE * n::DOUBLE / (r1::DOUBLE * c1::DOUBLE))
+                    ELSE 0.0 END
+                + CASE WHEN r1 - o11 > 0 THEN (r1 - o11)::DOUBLE
+                    * LN((r1 - o11)::DOUBLE * n::DOUBLE
+                         / (r1::DOUBLE * (n - c1)::DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c1 - o11 > 0 THEN (c1 - o11)::DOUBLE
+                    * LN((c1 - o11)::DOUBLE * n::DOUBLE
+                         / ((n - r1)::DOUBLE * c1::DOUBLE)) ELSE 0.0 END
+                + CASE WHEN n - r1 - c1 + o11 > 0
+                    THEN (n - r1 - c1 + o11)::DOUBLE
+                    * LN((n - r1 - c1 + o11)::DOUBLE * n::DOUBLE
+                         / ((n - r1)::DOUBLE * (n - c1)::DOUBLE))
+                    ELSE 0.0 END), 4) AS llr
+         FROM bc JOIN r USING (w1) JOIN c USING (w2), tot
+         WHERE o11 >= 5
+         ORDER BY llr DESC, w1, w2 LIMIT 20""",
+    // q262: deciles fit on week 0 only (q190's device), full
+    // (type, week, band) grid so empty bands keep their smoothed term
+    "q262_psi_timeline" ->
+      """WITH ev AS (SELECT event_type, value, event_id,
+                            CAST(ts AS DATE) AS day FROM events),
+         st AS (SELECT MIN(day) AS d0 FROM ev),
+         tagged AS (SELECT ev.*,
+                           date_diff('day', st.d0, ev.day) // 7 AS week
+                    FROM ev, st),
+         fst AS (SELECT *, NTILE(10) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS band
+                 FROM tagged WHERE week = 0),
+         edges AS (SELECT event_type, band, MAX(value) AS edge
+                   FROM fst GROUP BY 1, 2 HAVING band < 10),
+         assign AS (SELECT t.event_type, t.week,
+                           1 + (SELECT COUNT(*) FROM edges e
+                                WHERE e.event_type = t.event_type
+                                  AND e.edge < t.value) AS band
+                    FROM tagged t),
+         cells AS (SELECT event_type, week, band, COUNT(*) AS cw
+                   FROM assign GROUP BY 1, 2, 3),
+         basec AS (SELECT event_type, band, cw AS cb FROM cells
+                   WHERE week = 0),
+         keys AS (SELECT DISTINCT a.event_type, a.week, b.band
+                  FROM (SELECT DISTINCT event_type, week FROM tagged
+                        WHERE week > 0) a,
+                       (SELECT unnest(generate_series(1, 10)) AS band) b),
+         grid AS (SELECT k.event_type, k.week, k.band,
+                         coalesce(c.cw, 0) AS cw, coalesce(bc.cb, 0) AS cb
+                  FROM keys k
+                  LEFT JOIN cells c ON c.event_type = k.event_type
+                    AND c.week = k.week AND c.band = k.band
+                  LEFT JOIN basec bc ON bc.event_type = k.event_type
+                    AND bc.band = k.band),
+         tots AS (SELECT event_type, week, SUM(cw) AS nw, SUM(cb) AS nb
+                  FROM grid GROUP BY 1, 2)
+         SELECT g.event_type, CAST(g.week AS BIGINT) AS week,
+                CAST(MAX(t.nw) AS BIGINT) AS n_events,
+                ROUND(SUM((CAST(g.cw + 1 AS DOUBLE) / (t.nw + 10)
+                           - CAST(g.cb + 1 AS DOUBLE) / (t.nb + 10))
+                      * LN((CAST(g.cw + 1 AS DOUBLE) / (t.nw + 10))
+                           / (CAST(g.cb + 1 AS DOUBLE) / (t.nb + 10)))), 6)
+                  AS psi
+         FROM grid g JOIN tots t USING (event_type, week)
+         GROUP BY 1, 2""",
   )
 }

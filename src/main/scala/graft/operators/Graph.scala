@@ -506,6 +506,11 @@ object Graph {
     * against the edge set, TakeOrdered cut. */
   def qLinkPrediction(s: SparkSession, d: String, invCap: Int = 64,
       minCommon: Int = 2, topK: Int = 20): DataFrame = {
+    // NOT checkpointed: the edge set feeds both union branches and the
+    // anti-join probe, but Spark's ReuseExchange already dedups the
+    // identical self-join subplans — an eager localCheckpoint here was
+    // measured SLOWER (9.1 → 15.6 s at sf0.1), the materialization
+    // barrier costing more than it saves
     val pairs = copurchaseEdges(s, d)
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))

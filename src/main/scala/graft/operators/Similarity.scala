@@ -131,6 +131,62 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** q260: k-fold cross-validated nearest-centroid classification —
+    * the supervised-eval discipline the q230/q231/q232 harness lacks
+    * a TRAINED model for: the simplest embedding classifier
+    * (Rocchio/nearest-centroid), evaluated the only honest way —
+    * per-fold accuracy with the evaluated fold held out of every
+    * centroid it is scored against.
+    *
+    * Leave-fold-out WITHOUT k re-aggregations: per-(label, fold, dim)
+    * partial sums roll up ONCE; fold f's centroid for a label is
+    * (total − fold_f) / (n_label − n_label_f) — the algebraic
+    * complement, so adding a fold costs nothing. Folds are md5-bit
+    * buckets (q252's device — reproducible on any engine). The
+    * centroid vector assembles deterministically (sort by dim) and
+    * scoring uses the codegen'd fixed-order cosine (q32's
+    * determinism), argmax ties to the lowest label.
+    *
+    * Scale shape: one posexplode rollup (|labels|·folds·dims cells),
+    * a broadcast of folds·|labels| centroid arrays against the corpus
+    * scan, one fold-sized report. */
+  def qCvCentroid(s: SparkSession, d: String, folds: Int = 5): DataFrame = {
+    val vecs = embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("e"),
+      expr(s"""CAST(conv(substring(md5(CAST(CAST(vec_id AS STRING) AS BINARY)),
+              1, 4), 16, 10) AS INT) % $folds""").as("fold"))
+      .localCheckpoint()
+    val long = vecs.select(col("label"), col("fold"),
+      posexplode(col("e")).as(Seq("dim", "v")))
+    val sums = long.groupBy("label", "fold", "dim")
+      .agg(sum(col("v")).as("sf"))
+    val tot = sums.groupBy("label", "dim").agg(sum(col("sf")).as("st"))
+    val cnt = vecs.groupBy("label", "fold").agg(count(lit(1)).as("nlf"))
+    val ctot = vecs.groupBy("label").agg(count(lit(1)).as("nl"))
+    val cent = sums.join(tot, Seq("label", "dim"))
+      .join(cnt, Seq("label", "fold")).join(ctot, Seq("label"))
+      .select(col("fold"), col("label").as("cand"), col("dim"),
+        ((col("st") - col("sf")) / (col("nl") - col("nlf")).cast("double"))
+          .as("c"))
+    val centArr = cent.groupBy("fold", "cand")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+        .as("cvec"))
+    val pred = vecs.join(broadcast(centArr), Seq("fold"))
+      .select(col("vec_id"), col("label"), col("fold"), col("cand"),
+        cosineSimilarity(col("e"), col("cvec")).as("cos"))
+      .groupBy("vec_id", "label", "fold")
+      .agg(max(struct(col("cos"),
+        (-col("cand")).cast("double").as("neg"))).as("m"))
+      .select(col("fold"), col("label"),
+        (-col("m.neg")).cast("int").as("pred"))
+    pred.groupBy("fold")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n"), col("n_correct"),
+        expr("n_correct * 1000000L div n").as("acc_ppm"))
+  }
+
   /** q116: hybrid lexical+semantic retrieval via reciprocal-rank fusion
     * (Cormack et al., SIGIR'09 — the standard way RAG stacks combine a
     * BM25 leg with a dense-vector leg without score calibration):

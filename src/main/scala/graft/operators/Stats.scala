@@ -1769,4 +1769,69 @@ object Stats {
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_users"), sum(col("money")).as("sum_cents"))
   }
+
+  /** q262: PSI drift TIMELINE — q190's two-halves drift test turned
+    * into the monitor a production pipeline actually runs: the
+    * population-stability index of each WEEK's value distribution
+    * against the FIRST week's, per event type, so drift has an onset
+    * date instead of a verdict. Bin edges are deciles fit on the
+    * baseline week only (q190's ntile device — the fit population
+    * must be the reference, or the monitor re-fits away the drift it
+    * should flag); +1 smoothing on both sides keeps empty bins
+    * finite.
+    *
+    * Exactness: cell counts exact off one (type, week, band) rollup;
+    * each (type, week) PSI folds `bands` double terms from exact
+    * integers (q183's argument).
+    *
+    * Scale shape: edges ride in-row as a ≤9-element broadcast array
+    * (q190's no-fanout assignment); one fact rollup; the report is
+    * types × weeks. */
+  def qPsiTimeline(s: SparkSession, d: String, bands: Int = 10): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"),
+        to_date(col("ts")).as("day"))
+    val start = ev.agg(min(col("day")).as("d0"))
+    val tagged = ev.crossJoin(broadcast(start))
+      .withColumn("week", expr("datediff(day, d0) div 7"))
+    val base = tagged.filter(col("week") === 0)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val edges = base
+      .withColumn("band", ntile(bands).over(w))
+      .groupBy("event_type", "band").agg(max("value").as("edge"))
+      .filter(col("band") < bands)
+    val edgeArr = edges.groupBy("event_type")
+      .agg(sort_array(collect_list(col("edge"))).as("earr"))
+    val cells = tagged.join(broadcast(edgeArr), Seq("event_type"))
+      .select(col("event_type"), col("week"),
+        (size(filter(col("earr"), e => e < col("value"))) + 1).as("band"))
+      .groupBy("event_type", "week", "band").agg(count(lit(1)).as("cw"))
+    // full (type, week, band) grid: a band EMPTY in some week still
+    // contributes its smoothed term, or PSI silently shrinks
+    import s.implicits._
+    val baseCells = cells.filter(col("week") === 0)
+      .select(col("event_type"), col("band"), col("cw").as("cb"))
+    val gridKeys = tagged.filter(col("week") > 0)
+      .select("event_type", "week").distinct()
+      .crossJoin(broadcast((1 to bands).toDF("band")))
+    val grid = gridKeys
+      .join(cells.filter(col("week") > 0),
+        Seq("event_type", "week", "band"), "left_outer")
+      .join(baseCells, Seq("event_type", "band"), "left_outer")
+      .select(col("event_type"), col("week"), col("band"),
+        coalesce(col("cw"), lit(0L)).as("cw"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = grid.groupBy("event_type", "week")
+      .agg(sum(col("cw")).as("nw"), sum(col("cb")).as("nb"))
+    grid.join(broadcast(totals), Seq("event_type", "week"))
+      .withColumn("p", (col("cw") + 1).cast("double") /
+        (col("nw") + bands).cast("double"))
+      .withColumn("q", (col("cb") + 1).cast("double") /
+        (col("nb") + bands).cast("double"))
+      .groupBy("event_type", "week")
+      .agg(max(col("nw")).as("n_events"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -755,6 +755,53 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c2"),
         expr(s"c2 * ${n}L * 1000000L div (c1a * c1b)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** q261: collocation extraction by Dunning's log-likelihood ratio
+    * (Dunning CL'93) — the statistically-grounded upgrade of q153's
+    * lift: lift over-ranks rare coincidences (two hapaxes that
+    * co-occur once get infinite lift); G² weighs the evidence, so it
+    * is the standard collocation test in corpus linguistics. Per
+    * bigram the 2×2 table is (O11 = bigram count, marginals = the
+    * bigram-position unigram counts, N = total bigrams), and
+    * G² = 2·Σ O·ln(O·N/(R·C)) over the four cells (zero cells
+    * contribute their 0·ln0 = 0 limit).
+    *
+    * Exactness: all counts and marginals are exact integers off one
+    * bigram rollup; G² folds four doubles per row (q183's bounded-
+    * fold argument); rank ties break on (w1, w2).
+    *
+    * Scale shape: one bigram explode + rollup, two marginal rollups
+    * joined back (vocabulary-keyed), a scalar broadcast, TakeOrdered
+    * cut — q153's exact plan with a different score. */
+  def qCollocationLlr(s: SparkSession, d: String, minCount: Int = 5,
+      topK: Int = 20): DataFrame = {
+    val toks = documents(s, d).select(tokens(lower(col("text"))).as("w"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i + 1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("o11"))
+    val r = bi.groupBy("w1").agg(sum(col("o11")).as("r1"))
+    val c = bi.groupBy("w2").agg(sum(col("o11")).as("c1"))
+    val tot = bi.agg(sum(col("o11")).as("n"))
+    def term(o: Column, rr: Column, cc: Column, n: Column): Column =
+      when(o > 0, o.cast("double") *
+        log(o.cast("double") * n.cast("double") /
+          (rr.cast("double") * cc.cast("double")))).otherwise(lit(0.0))
+    bi.filter(col("o11") >= minCount)
+      .join(r, Seq("w1")).join(c, Seq("w2")).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("o11"), col("r1"), col("c1"),
+        col("n"),
+        round(lit(2.0) * (
+          term(col("o11"), col("r1"), col("c1"), col("n")) +
+          term(col("r1") - col("o11"), col("r1"), col("n") - col("c1"), col("n")) +
+          term(col("c1") - col("o11"), col("n") - col("r1"), col("c1"), col("n")) +
+          term(col("n") - col("r1") - col("c1") + col("o11"),
+            col("n") - col("r1"), col("n") - col("c1"), col("n"))), 4)
+          .as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
       .limit(topK)
   }
 

@@ -46,6 +46,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q260: CV accuracy matches a driver-side leave-fold-out recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(id: Long): Int = {
+      md.reset()
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 5
+    }
+    val vs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Float]](2).map(_.toDouble).toArray,
+        fold(r.getLong(0))))
+    val dims = vs.head._3.length
+    // leave-fold-out centroids from (label, fold) partial sums
+    val totals = vs.groupBy(_._2).map { case (l, g) =>
+      l -> (g.length, Array.tabulate(dims)(d => g.map(_._3(d)).sum))
+    }
+    val byLf = vs.groupBy(v => (v._2, v._4)).map { case (k, g) =>
+      k -> (g.length, Array.tabulate(dims)(d => g.map(_._3(d)).sum))
+    }
+    def centroid(label: Int, f: Int): Array[Double] = {
+      val (nl, tot) = totals(label)
+      val (nlf, sf) = byLf.getOrElse((label, f), (0, new Array[Double](dims)))
+      Array.tabulate(dims)(d => (tot(d) - sf(d)) / (nl - nlf))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labels = totals.keys.toSeq.sorted
+    val want = vs.groupBy(_._4).map { case (f, g) =>
+      val cents = labels.map(l => l -> centroid(l, f)).toMap
+      val correct = g.count { case (_, l, e, _) =>
+        labels.minBy(c => (-cos(e, cents(c)), c)) == l
+      }
+      f -> (g.length.toLong, correct.toLong)
+    }
+    val got = Similarity.qCvCentroid(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (f, (n, nc, acc)) =>
+      assert(n == want(f)._1, s"fold $f n")
+      assert(nc == want(f)._2, s"fold $f correct")
+      assert(acc == nc * 1000000L / n, s"fold $f acc_ppm")
+    }
+    assert(got.values.map(_._1).sum == vs.length.toLong)
+  }
+
   test("q254: hard negatives equal a driver-side different-label top-k") {
     val embs = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding").collect()

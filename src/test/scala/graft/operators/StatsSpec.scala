@@ -347,6 +347,51 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q262: weekly PSI timeline matches a driver-side band walk") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"),
+        expr("datediff(to_date(ts), date'1970-01-01')"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val d0 = rows.map(_._4).min
+    val tagged = rows.map(r => (r._1, r._2, r._3, (r._4 - d0) / 7))
+    val want = tagged.groupBy(_._1).flatMap { case (t, evs) =>
+      val base = evs.filter(_._4 == 0L)
+      val sortedB = base.sortBy(e => (e._2, e._3))
+      val n = sortedB.length
+      val tile = n / 10; val extra = n % 10
+      val sizes = (0 until 10).map(i => tile + (if (i < extra) 1 else 0))
+      val edges = sizes.init.scanLeft(0)(_ + _).tail
+        .map(cum => sortedB(cum - 1)._2)
+      def band(v: Double) = 1 + edges.count(_ < v)
+      def dist(xs: Seq[Double]) = {
+        val c = xs.groupBy(band).map { case (b, g) => b -> g.size.toLong }
+        (1 to 10).map(b => c.getOrElse(b, 0L))
+      }
+      val cb = dist(base.map(_._2).toSeq)
+      val nb = cb.sum
+      evs.filter(_._4 > 0L).groupBy(_._4).map { case (wk, wevs) =>
+        val cw = dist(wevs.map(_._2).toSeq)
+        val nw = cw.sum
+        val psi = (0 until 10).map { i =>
+          val p = (cw(i) + 1).toDouble / (nw + 10)
+          val q = (cb(i) + 1).toDouble / (nb + 10)
+          (p - q) * math.log(p / q)
+        }.sum
+        (t, wk) -> ((nw, round(psi, 6)))
+      }
+    }
+    val got = Stats.qPsiTimeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (nw, psi)) =>
+      assert(nw == want(k)._1, s"$k n_events")
+      assert(math.abs(psi - want(k)._2) < 1e-9, s"$k psi")
+    }
+  }
+
   private def round(v: Double, scale: Int): Double =
     new JBigDecimal(v).setScale(scale, RoundingMode.HALF_UP).doubleValue()
 

@@ -390,6 +390,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(ch(2L) - 6.0) < 1e-9)
   }
 
+  test("q261: LLR collocations match a driver-side G² recompute") {
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val w = t.toLowerCase.split("\\s+")
+      if (w.length < 2) Seq.empty else w.sliding(2).map(p => (p(0), p(1)))
+    }
+    val bc = bigrams.groupBy(identity).map { case (b, g) => b -> g.length.toLong }
+    val r = bc.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val c = bc.groupBy(_._1._2).map { case (w2, g) => w2 -> g.values.sum }
+    val n = bc.values.sum
+    def term(o: Long, rr: Long, cc: Long): Double =
+      if (o > 0) o.toDouble * math.log(o.toDouble * n / (rr.toDouble * cc))
+      else 0.0
+    val want = bc.toSeq.filter(_._2 >= 5).map { case ((w1, w2), o11) =>
+      val (r1, c1) = (r(w1), c(w2))
+      val g2 = 2.0 * (term(o11, r1, c1) + term(r1 - o11, r1, n - c1) +
+        term(c1 - o11, n - r1, c1) + term(n - r1 - c1 + o11, n - r1, n - c1))
+      (w1, w2, o11, r1, c1, g2)
+    }.sortBy { case (w1, w2, _, _, _, g2) => (-g2, w1, w2) }.take(20)
+    val got = TextAnalysis.qCollocationLlr(spark, sf).collect()
+    assert(got.length == math.min(20, want.length))
+    got.zip(want).foreach { case (row, (w1, w2, o11, r1, c1, g2)) =>
+      assert(row.getString(0) == w1 && row.getString(1) == w2,
+        s"pair order: ${row.getString(0)} ${row.getString(1)} vs $w1 $w2")
+      assert(row.getLong(2) == o11 && row.getLong(3) == r1 &&
+        row.getLong(4) == c1 && row.getLong(5) == n)
+      assert(math.abs(row.getDouble(6) - g2) < 1e-4, s"$w1 $w2 llr")
+      assert(row.getDouble(6) >= -1e-9, "G² is nonnegative")
+    }
+  }
+
   test("q257: held-out NLL matches a driver-side split + add-1 LM") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(id: Long): Int = {
