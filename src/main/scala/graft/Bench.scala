@@ -302,6 +302,11 @@ object Bench {
     "q260_cv_centroid",
     "q261_collocation_llr",
     "q262_psi_timeline",
+    // round 18 (r8): conversion z-test (user rollup) and weekly rank
+    // movers (rollup + per-week window). q265_streaming_bloom stays
+    // untimed like every replay-harness streaming parity.
+    "q263_two_proportion",
+    "q264_rank_movers",
   )
 
   def main(args: Array[String]): Unit = {

@@ -593,6 +593,13 @@ object SparkEntry {
     "q261_collocation_llr" -> ((s, d) => TextAnalysis.qCollocationLlr(s, d)),
     // q262: weekly PSI drift timeline vs the first week's deciles
     "q262_psi_timeline" -> ((s, d) => Stats.qPsiTimeline(s, d)),
+    // q263: two-proportion z-test on conversion between the CUPED arms
+    "q263_two_proportion" -> (Stats.qTwoProportion _),
+    // q264: week-over-week shipment-rank movers (trending items)
+    "q264_rank_movers" -> ((s, d) => Stats.qRankMovers(s, d)),
+    // q265: streaming Bloom membership state — the NINTH bit-exact
+    // stream/batch parity (bitwise-OR algebra)
+    "q265_streaming_bloom" -> (graft.streaming.EventTime.qStreamingBloom _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5103,5 +5110,54 @@ object SparkEntry {
                   AS psi
          FROM grid g JOIN tots t USING (event_type, week)
          GROUP BY 1, 2""",
+    // q263: exact per-arm converter counts, pooled z the one double
+    "q263_two_proportion" ->
+      """WITH pu AS (SELECT user_id,
+                            MAX(CASE WHEN event_type = 'purchase'
+                                     AND value >= 95
+                                     THEN 1 ELSE 0 END) AS conv,
+                            user_id % 2 AS arm
+                     FROM events GROUP BY user_id),
+         arms AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS c
+                  FROM pu GROUP BY 1),
+         a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0),
+         b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+                CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+                CAST(conv_a * 1000000 // n_a AS BIGINT) AS p_a_ppm,
+                CAST(conv_b * 1000000 // n_b AS BIGINT) AS p_b_ppm,
+                ROUND((conv_a::DOUBLE / n_a::DOUBLE
+                       - conv_b::DOUBLE / n_b::DOUBLE)
+                      / NULLIF(sqrt(((conv_a + conv_b)::DOUBLE
+                                     / (n_a + n_b)::DOUBLE)
+                             * (1.0 - (conv_a + conv_b)::DOUBLE
+                                      / (n_a + n_b)::DOUBLE)
+                             * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)),
+                          0.0), 6) AS z
+         FROM a, b""",
+    // q264: per-week rank under (count desc, part), top-100 cut,
+    // consecutive-week join, top-10 climbers total order
+    "q264_rank_movers" ->
+      """WITH li AS (SELECT l_partkey AS part,
+                            CAST(l_shipdate AS DATE) AS day
+                     FROM lineitem),
+         st AS (SELECT MIN(day) AS d0 FROM li),
+         weekly AS (SELECT date_diff('day', st.d0, li.day) // 7 AS week,
+                           part, COUNT(*) AS cnt
+                    FROM li, st GROUP BY 1, 2),
+         ranked AS (SELECT week, part, cnt,
+                           row_number() OVER (PARTITION BY week
+                             ORDER BY cnt DESC, part) AS rk
+                    FROM weekly),
+         top AS (SELECT * FROM ranked WHERE rk <= 100)
+         SELECT c.week AS week, c.part AS part,
+                CAST(c.rk AS INT) AS cur_rank,
+                CAST(p.rk AS INT) AS prev_rank,
+                CAST(p.rk - c.rk AS INT) AS delta,
+                CAST(c.cnt AS BIGINT) AS cnt,
+                CAST(p.cnt AS BIGINT) AS prev_cnt
+         FROM top c JOIN top p
+           ON p.part = c.part AND p.week = c.week - 1
+         ORDER BY delta DESC, week, part LIMIT 10""",
   )
 }

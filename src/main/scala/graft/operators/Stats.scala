@@ -1834,4 +1834,85 @@ object Stats {
         round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
           .as("psi"))
   }
+
+  /** q263: two-proportion z-test on conversion — the binary-outcome
+    * A/B readout beside q234's continuous-outcome Welch t and q208's
+    * CUPED (same `user_id % 2` arms): did arm A convert at a
+    * different rate than arm B. The pooled-variance z is the standard
+    * first look at any conversion experiment. Conversion = a
+    * HIGH-VALUE purchase (raw value ≥ 95) — deliberately, because on
+    * this fixture every user has some purchase, so plain conversion
+    * saturates at 100% on both arms and the readout would test
+    * nothing (the q230 documented-harness precedent).
+    *
+    * Exactness: per-arm user and converter counts are exact integers
+    * off one user rollup; rates are exact floored ppm; z is the one
+    * final double, spelled identically.
+    *
+    * Scale shape: one user-keyed rollup (map-side collapsing), a
+    * 2-row fold. */
+  def qTwoProportion(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 95,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    val p1 = d2(col("conv_a")) / d2(col("n_a"))
+    val p2 = d2(col("conv_b")) / d2(col("n_b"))
+    val pp = d2(col("conv_a") + col("conv_b")) / d2(col("n_a") + col("n_b"))
+    // z is undefined when EVERY or NO user converts (pooled variance
+    // 0); divide by a NULLed denominator so both engines emit NULL
+    // instead of an ANSI divide-by-zero (the repo's guard-every-zero-
+    // denominator rule)
+    val den = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / d2(col("n_a")) + lit(1.0) / d2(col("n_b"))))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * 1000000L div n_a").as("p_a_ppm"),
+        expr("conv_b * 1000000L div n_b").as("p_b_ppm"),
+        round((p1 - p2) / when(den > 0, den), 6).as("z"))
+  }
+
+  /** q264: week-over-week rank movers — the "trending items" readout
+    * (which parts jumped the shipment leaderboard this week), the
+    * ranking counterpart of q262's distribution drift: per week each
+    * part's shipment count ranks (count desc, partkey); parts in
+    * consecutive weeks' TOP-100 report their rank delta, top-10
+    * climbers per the total order (delta desc, week, part).
+    *
+    * Exactness: counts and ranks are exact integers; the top-100 cut
+    * and the final top-10 are total orders — engine-identical.
+    *
+    * Scale shape: one (week, part) rollup; the per-week rank window
+    * partitions by week over catalog-bounded groups (the documented
+    * vocab-bounded-window trade); the movers join is top-100-sized. */
+  def qRankMovers(s: SparkSession, d: String, topN: Int = 100,
+      topK: Int = 10): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_partkey").as("part"),
+        to_date(col("l_shipdate").cast("timestamp")).as("day"))
+    val start = li.agg(min(col("day")).as("d0"))
+    val weekly = li.crossJoin(broadcast(start))
+      .select(col("part"), expr("datediff(day, d0) div 7").as("week"))
+      .groupBy("week", "part").agg(count(lit(1)).as("cnt"))
+    val ranked = weekly.withColumn("rk", row_number().over(
+        Window.partitionBy("week").orderBy(col("cnt").desc, col("part"))))
+      .filter(col("rk") <= topN)
+    ranked.as("cur").join(
+        ranked.select((col("week") + 1).as("week"), col("part"),
+          col("rk").as("prev_rk"), col("cnt").as("prev_cnt")).as("prev"),
+        Seq("week", "part"))
+      .select(col("week"), col("part"), col("rk").as("cur_rank"),
+        col("prev_rk").as("prev_rank"),
+        (col("prev_rk") - col("rk")).as("delta"),
+        col("cnt"), col("prev_cnt"))
+      .orderBy(col("delta").desc, col("week"), col("part"))
+      .limit(topK)
+  }
 }

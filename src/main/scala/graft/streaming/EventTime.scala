@@ -727,6 +727,97 @@ object EventTime {
       "kth_hash", "kmv_estimate")
   }
 
+  /** q265: streaming per-type Bloom membership state
+    * ([[Stateful.bloomProgress]]) — the NINTH bit-exact stream/batch
+    * parity, closing the sketch-algebra set: register MAX (q214),
+    * counter ADD (q242), set MIN (q245), and now bitwise OR. The
+    * streamed filter equals the batch `bloom_filter_agg` build byte
+    * for byte (EngagementSpec), because both sides are Spark's own
+    * BloomFilterImpl with identical sizing (numBits = 8·est) and
+    * identical insertion (putLong of xxhash64).
+    *
+    * The report is the serving read the reference's incremental-dedup
+    * pattern does against such a filter (q69's shape, here against
+    * the STREAMED state): every seen user must test present (the
+    * no-false-negative side), and a deterministic absent-id probe set
+    * measures the false-positive rate against its design bound.
+    * Rows-only (Murmur-based bit layout is not SQL-expressible —
+    * q170's argument). */
+  def qStreamingBloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = 4096L
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .as[(String, Long)]
+    val prog = Stateful.bloomProgress(ev, expected)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q265 must exercise cross-batch filter state, saw $dataBatches data batches")
+    val fin = s.table(name).groupBy("event_type")
+      .agg(max(col("n_seen")).as("n_events"),
+        max_by(col("bits"), col("n_seen")).as("bits"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Array[Byte]]("bits"))).toMap
+    val present = graft.operators.Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_exact"),
+        collect_list(xxhash64(col("user_id"))).as("hs"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_exact"),
+          r.getAs[scala.collection.Seq[Long]]("hs").toArray)).toMap
+    // deterministic absent-id probes: ids far above the user domain,
+    // hashed exactly as the inserts were
+    val probes = (1L to 1000L).map(i =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(1000000000000L + i, org.apache.spark.sql.types.LongType, 42L))
+    val rows = fin.toSeq.map { case (tpe, (nEvents, bits)) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bits))
+      val (nExact, hs) = present(tpe)
+      val misses = hs.count(h => !bf.mightContainLong(h)).toLong
+      val fp = probes.count(bf.mightContainLong).toLong
+      (tpe, nEvents, nExact, bits.length.toLong, misses, fp,
+        fp * 1000000L / probes.length)
+    }
+    s.createDataFrame(rows).toDF("event_type", "n_events", "n_exact",
+      "filter_bytes", "false_negatives", "false_positives", "fpr_ppm")
+  }
+
+  /** Final streamed Bloom filters per type (spec hook: compared byte
+    * for byte to a batch bloom_filter_agg build over the same
+    * hashes). */
+  private[graft] def streamedBloomState(s: SparkSession,
+      d: String): Map[String, Array[Byte]] = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .as[(String, Long)]
+    val prog = Stateful.bloomProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    s.table(name).groupBy("event_type")
+      .agg(max_by(col("bits"), col("n_seen")).as("bits"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Array[Byte]]("bits")).toMap
+  }
+
   /** Final streamed KMV bottom-k vectors per type (spec hook:
     * compared bit for bit to an independent batch window-rank
     * bottom-k over the same events). */

@@ -509,6 +509,52 @@ object Stateful {
       }
   }
 
+  case class BloomProgress(event_type: String, n_seen: Long,
+      bits: Array[Byte])
+
+  /** q265 core: per-type streaming Bloom membership state — the
+    * FOURTH and last sketch algebra beside q214 (register MAX), q242
+    * (counter ADD) and q245 (set MIN): Bloom state folds by bitwise
+    * OR, an idempotent commutative fold, so the streamed filter
+    * equals the batch `bloom_filter_agg` build BIT FOR BIT
+    * (EngagementSpec compares the serialized filters byte for byte).
+    * The state uses Spark's own `org.apache.spark.util.sketch
+    * .BloomFilter` with the same sizing rule as
+    * `BloomFilterAggregate(child, est)` — numBits = 8·est — and the
+    * same insertion (putLong of the pre-hashed value), which is what
+    * makes the byte-level parity possible rather than merely a
+    * same-decisions statement. State is one fixed bit array per key
+    * forever; n_seen is monotone (the q133/q214 final-state rule). */
+  def bloomProgress(events: Dataset[(String, Long)], expected: Long = 4096L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[BloomProgress] = {
+    implicit val stE: Encoder[(Long, Array[Byte])] =
+      Encoders.product[(Long, Array[Byte])]
+    implicit val outE: Encoder[BloomProgress] = Encoders.product[BloomProgress]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    def serialize(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Byte]), BloomProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)],
+            state: GroupState[(Long, Array[Byte])]) =>
+          var (n, bytes) = state.getOption.getOrElse((0L, Array.empty[Byte]))
+          val bf =
+            if (bytes.isEmpty)
+              org.apache.spark.util.sketch.BloomFilter
+                .create(expected, expected * 8L)
+            else org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+          it.foreach { case (_, h) => bf.putLong(h); n += 1 }
+          val out = serialize(bf)
+          state.update((n, out))
+          BloomProgress(tpe, n, out)
+      }
+  }
+
   case class KmvProgress(event_type: String, n_seen: Long,
       hashes: Seq[String])
 

@@ -401,6 +401,28 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("q265: streamed Bloom filter == batch bloom_filter_agg byte for byte") {
+    graft.functions.GraftFunctions.register(spark)
+    val streamed = graft.streaming.EventTime.streamedBloomState(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("bloom_filter_agg(xxhash64(user_id), 4096L)").as("b"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("b")).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, bits) =>
+      assert(java.util.Arrays.equals(bits, batch(t)), s"$t filter bytes")
+    }
+    // no false negatives by construction: every seen user tests present
+    val users = Tables.events(spark, sf)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    users.groupBy(_._1).foreach { case (t, hs) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(streamed(t)))
+      assert(hs.forall(h => bf.mightContainLong(h._2)), s"$t false negative")
+    }
+  }
+
   test("q245: streamed KMV bottom-k == independent batch bottom-k bit for bit") {
     import org.apache.spark.sql.expressions.Window
     val streamed = graft.streaming.EventTime.streamedKmvState(spark, sf)
@@ -422,6 +444,55 @@ class EngagementSpec extends AnyFunSuite {
       assert(hs == batch(t), t)
       assert(hs.length <= 16 && hs == hs.sorted && hs.distinct == hs, t)
     }
+  }
+
+  test("q263: two-proportion z matches the textbook pooled recompute") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val conv = rows.groupBy(_._1).map { case (u, evs) =>
+      (u, evs.exists(e => e._2 == "purchase" && e._3 >= 95))
+    }
+    val (a, b) = conv.partition(_._1 % 2 == 0)
+    val (na, ca) = (a.size.toLong, a.count(_._2).toLong)
+    val (nb, cb) = (b.size.toLong, b.count(_._2).toLong)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val den = math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    val r = Stats.qTwoProportion(spark, sf).collect().head
+    assert(r.getLong(0) == na && r.getLong(1) == ca)
+    assert(r.getLong(2) == nb && r.getLong(3) == cb)
+    assert(r.getLong(4) == ca * 1000000L / na)
+    assert(r.getLong(5) == cb * 1000000L / nb)
+    if (den > 0) {
+      val z = (ca.toDouble / na - cb.toDouble / nb) / den
+      assert(math.abs(r.getDouble(6) - z) < 1e-6, s"z ${r.getDouble(6)} vs $z")
+    } else assert(r.isNullAt(6), "degenerate variance must yield NULL z")
+  }
+
+  test("q264: rank movers match a driver-side weekly leaderboard walk") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("datediff(to_date(CAST(l_shipdate AS TIMESTAMP)), date'1970-01-01')"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val d0 = li.map(_._2).min
+    val weekly = li.map { case (p, d) => ((d - d0) / 7, p) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ranked = weekly.groupBy(_._1._1).flatMap { case (w, cells) =>
+      cells.toSeq.map { case ((_, p), c) => (p, c) }
+        .sortBy { case (p, c) => (-c, p) }.zipWithIndex
+        .collect { case ((p, c), i) if i < 100 => (w, p) -> (i + 1, c) }
+    }
+    val want = ranked.toSeq.flatMap { case ((w, p), (rk, c)) =>
+      ranked.get((w - 1, p)).map { case (prk, pc) =>
+        (w, p, rk, prk, prk - rk, c, pc)
+      }
+    }.sortBy { case (w, p, _, _, d, _, _) => (-d, w, p) }.take(10)
+    val got = Stats.qRankMovers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want.map { case (w, p, rk, prk, d, c, pc) =>
+      (w, p, rk, prk, d, c, pc)
+    })
   }
 
   test("q258: RFM cells match driver-side value-domain quintile cuts") {
