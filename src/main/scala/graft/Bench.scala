@@ -307,6 +307,11 @@ object Bench {
     // untimed like every replay-harness streaming parity.
     "q263_two_proportion",
     "q264_rank_movers",
+    // round 18 (r8): IVF-served hard negatives (build-once/query-many,
+    // the q89/q93 contract) and the A-Res weighted sample (one scan +
+    // TakeOrdered)
+    "q266_hard_negatives_ivf",
+    "q267_weighted_sample",
   )
 
   def main(args: Array[String]): Unit = {

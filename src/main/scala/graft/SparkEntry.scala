@@ -600,6 +600,11 @@ object SparkEntry {
     // q265: streaming Bloom membership state — the NINTH bit-exact
     // stream/batch parity (bitwise-OR algebra)
     "q265_streaming_bloom" -> (graft.streaming.EventTime.qStreamingBloom _),
+    // q266: hard-negative mining through the persisted IVF index —
+    // q254's scale path (partition-pruned candidates, label re-rank)
+    "q266_hard_negatives_ivf" -> ((s, d) => Similarity.qHardNegativesIvf(s, d)),
+    // q267: Efraimidis–Spirakis weighted sampling without replacement
+    "q267_weighted_sample" -> ((s, d) => Pipeline.qWeightedSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5159,5 +5164,20 @@ object SparkEntry {
          FROM top c JOIN top p
            ON p.part = c.part AND p.week = c.week - 1
          ORDER BY delta DESC, week, part LIMIT 10""",
+    // q267: A-Res keys ln(u)/w with u = (md5₁₅+1)/16¹⁵ ∈ (0,1],
+    // ordered by the unrounded key, doc_id ties
+    "q267_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+                           len(string_split_regex(text, '\s+')) AS w,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15) AS BIGINT) AS h
+                    FROM documents)
+         SELECT doc_id, CAST(w AS BIGINT) AS weight,
+                ROUND(LN((h + 1)::DOUBLE / 1152921504606846976.0)
+                      / w::DOUBLE, 6) AS ares_key
+         FROM t WHERE w > 0
+         ORDER BY LN((h + 1)::DOUBLE / 1152921504606846976.0) / w::DOUBLE
+                  DESC, doc_id
+         LIMIT 20""",
   )
 }

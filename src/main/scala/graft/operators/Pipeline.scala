@@ -352,6 +352,38 @@ object Pipeline {
           .as("jaccard_exact_ppm"))
   }
 
+  /** q267: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res, IPL'06) — the sampling family's missing member: q60 is
+    * uniform, q151 PPS samples WITH replacement expectation
+    * semantics, q119 rejection-samples to a target mix; A-Res draws
+    * an exact-k subset with inclusion probability proportional to
+    * weight, the shape "pick 10k docs, long docs proportionally more
+    * often" needs. Item key = ln(u)/w (the log of u^(1/w), same
+    * argmax, better conditioning); top-k keys win.
+    *
+    * Determinism: u derives from the md5 prefix of doc_id (the
+    * q87/q252 hash device — (h+1)/16¹⁵ ∈ (0,1], so ln is total);
+    * both engines spell the key identically and break ties on
+    * doc_id. Weights are whitespace token counts (the token-budget
+    * weighting a corpus sampler wants).
+    *
+    * Scale shape: one scan computing per-row keys + a TakeOrdered
+    * cut — no shuffle beyond the top-k gather. */
+  def qWeightedSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val keyed = documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("w"),
+        expr("""CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),
+                1, 15), 16, 10) AS BIGINT)""").as("h"))
+      .filter(col("w") > 0)
+      .select(col("doc_id"), col("w"),
+        (log((col("h") + 1).cast("double") /
+          lit(graft.functions.KmvSketch.Scale)) / col("w").cast("double"))
+          .as("key"))
+    keyed.orderBy(col("key").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("w").as("weight"),
+        round(col("key"), 6).as("ares_key"))
+  }
+
   /** q259: class-balance audit with inverse-frequency reweighting —
     * the readout a stratified-training pipeline computes before
     * deciding whether to reweight or resample (q40/q115 MIX by fixed

@@ -187,6 +187,38 @@ object Similarity {
         expr("n_correct * 1000000L div n").as("acc_ppm"))
   }
 
+  /** q266: hard-negative mining through the PERSISTED IVF index —
+    * the scale path q254's scaladoc promises, made real: candidates
+    * come from the partition-pruned probed-cells scan
+    * ([[ivfSearchFromIndex]], over-fetched 4×k so the label filter
+    * has slack), labels join back on the candidate set only (k·4
+    * rows per query, never the corpus), then the different-label
+    * re-rank cuts to k. At 100 TB this replaces q254's full corpus
+    * scan with nprobe cell directories per query batch.
+    *
+    * Rows-only (probabilistic recall, q89's argument); SimilaritySpec
+    * pins: every returned negative has a different label and its true
+    * cosine; recall ≥ floor against the exact q254 top-k. */
+  def qHardNegativesIvf(s: SparkSession, d: String, nQ: Int = 5,
+      k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val cand = ivfSearchFromIndex(s, ivfIndexDir(s, d),
+      qs.select("query_id", "q_emb"), nprobe, k * 4)
+    val labels = embeddings(s, d)
+      .select(col("vec_id").as("neighbor"), col("label").as("neg_label"))
+    cand.join(labels, Seq("neighbor"))
+      .join(broadcast(qs.select("query_id", "q_label")), Seq("query_id"))
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("rank2", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor").asc)))
+      .filter(col("rank2") <= k)
+      .select(col("query_id"), col("q_label"), col("rank2").as("rank"),
+        col("neighbor").as("negative"), col("neg_label"), col("cosine"))
+  }
+
   /** q116: hybrid lexical+semantic retrieval via reciprocal-rank fusion
     * (Cormack et al., SIGIR'09 — the standard way RAG stacks combine a
     * BM25 leg with a dense-vector leg without score calibration):

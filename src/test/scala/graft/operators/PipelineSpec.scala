@@ -475,6 +475,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q267: A-Res weighted sample equals the driver-side key walk") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        md.reset()
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val w = r.getString(1).split("\\s+", -1).length
+        (id, w, math.log((h + 1).toDouble /
+          graft.functions.KmvSketch.Scale) / w)
+      }.filter(_._2 > 0)
+    val want = docs.sortBy { case (id, _, key) => (-key, id) }.take(20)
+    val got = Pipeline.qWeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gid, gw, gkey), (id, w, key)) =>
+      assert(gid == id, s"ids: $gid vs $id")
+      assert(gw == w, s"doc $id weight")
+      assert(math.abs(gkey - key) < 1e-6, s"doc $id key")
+    }
+    // heavier docs should dominate the sample: median sampled weight
+    // above the corpus median
+    val sampleMed = got.map(_._2.toLong).sorted.apply(got.length / 2)
+    val corpusMed = docs.map(_._2.toLong).sorted.apply(docs.length / 2)
+    assert(sampleMed >= corpusMed, s"sample median $sampleMed < corpus $corpusMed")
+  }
+
   test("q259: balanced weights price the corpus at the Kish ESS") {
     val docs = Tables.documents(spark, sf)
       .select("source", "lang").collect()

@@ -97,6 +97,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == vs.length.toLong)
   }
 
+  test("q266: IVF-served hard negatives — label-clean, recall floor, full-probe ceiling") {
+    val exact = Similarity.qHardNegatives(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("negative")).toSet }
+    val ivf = Similarity.qHardNegativesIvf(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q row count")
+      rows.foreach { r =>
+        assert(r.getAs[Int]("neg_label") != r.getAs[Int]("q_label"))
+        assert(labels(r.getAs[Long]("negative")) == r.getAs[Int]("neg_label"))
+      }
+      // probabilistic leg: at nprobe=3 most of the exact negatives
+      // should be found (q192's recall profile)
+      val overlap = rows.map(_.getAs[Long]("negative")).toSet
+        .intersect(exact(q)).size
+      assert(overlap >= 5, s"query $q recall $overlap/10 too low")
+    }
+    // probing every cell makes the candidate set the full corpus: the
+    // top-k must then match the exact miner per query (set compare —
+    // the IVF leg re-ranks on round-4 cosine, so boundary order may
+    // differ but membership may not beyond rounding ties)
+    val full = Similarity.qHardNegativesIvf(spark, sf, nprobe = 1000)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("negative")).toSet }
+    full.foreach { case (q, got) =>
+      assert(got.intersect(exact(q)).size >= 9, s"query $q full-probe overlap")
+    }
+  }
+
   test("q254: hard negatives equal a driver-side different-label top-k") {
     val embs = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding").collect()
