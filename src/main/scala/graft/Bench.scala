@@ -312,6 +312,12 @@ object Bench {
     // TakeOrdered)
     "q266_hard_negatives_ivf",
     "q267_weighted_sample",
+    // round 18 (r8): the SLO percentile timeline (value-domain
+    // cumsums), top-k with ties (broadcast threshold, no catalog
+    // rank), and the tolerance as-of (one keyed window)
+    "q268_percentile_timeline",
+    "q269_topk_ties",
+    "q270_asof_tolerance",
   )
 
   def main(args: Array[String]): Unit = {

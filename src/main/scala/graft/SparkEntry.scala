@@ -605,6 +605,12 @@ object SparkEntry {
     "q266_hard_negatives_ivf" -> ((s, d) => Similarity.qHardNegativesIvf(s, d)),
     // q267: Efraimidis–Spirakis weighted sampling without replacement
     "q267_weighted_sample" -> ((s, d) => Pipeline.qWeightedSample(s, d)),
+    // q268: weekly P50/P90 exact percentile timeline (SLO monitor)
+    "q268_percentile_timeline" -> (Stats.qPercentileTimeline _),
+    // q269: top-k WITH TIES via a broadcast threshold, no catalog rank
+    "q269_topk_ties" -> ((s, d) => Relational.qTopKTies(s, d)),
+    // q270: as-of join with a staleness tolerance (date-domain bound)
+    "q270_asof_tolerance" -> ((s, d) => Relational.qAsofTolerance(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5179,5 +5185,70 @@ object SparkEntry {
          ORDER BY LN((h + 1)::DOUBLE / 1152921504606846976.0) / w::DOUBLE
                   DESC, doc_id
          LIMIT 20""",
+    // q268: exact ranked-element weekly percentiles (2·cum ≥ n and
+    // 10·cum ≥ 9n off the value-domain rollup)
+    "q268_percentile_timeline" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         st AS (SELECT MIN(day) AS d0 FROM ev),
+         keyed AS (SELECT event_type,
+                          date_diff('day', st.d0, ev.day) // 7 AS week, v
+                   FROM ev, st),
+         cnt AS (SELECT event_type, week, v, COUNT(*) AS c
+                 FROM keyed GROUP BY 1, 2, 3),
+         cum AS (SELECT event_type, week, v, c,
+                        SUM(c) OVER (PARTITION BY event_type, week
+                                     ORDER BY v ROWS UNBOUNDED PRECEDING)
+                          AS cum
+                 FROM cnt),
+         ns AS (SELECT event_type, week, SUM(c) AS n
+                FROM cnt GROUP BY 1, 2)
+         SELECT c.event_type, CAST(c.week AS BIGINT) AS week,
+                CAST(MAX(n.n) AS BIGINT) AS n,
+                CAST(MIN(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT)
+                  AS p50_cents,
+                CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT)
+                  AS p90_cents
+         FROM cum c JOIN ns n USING (event_type, week)
+         GROUP BY 1, 2""",
+    // q269: threshold = the k-th qty under (qty desc, part); keep
+    // qty ≥ threshold, RANK over survivors only
+    "q269_topk_ties" ->
+      """WITH qty AS (SELECT l_partkey AS part,
+                             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                           * 100 AS BIGINT)) AS BIGINT)
+                               AS qty_x100
+                      FROM lineitem GROUP BY 1),
+         thr AS (SELECT MIN(qty_x100) AS thr FROM (
+                   SELECT qty_x100 FROM qty
+                   ORDER BY qty_x100 DESC, part LIMIT 10))
+         SELECT CAST(rank() OVER (ORDER BY qty_x100 DESC) AS INT) AS rank,
+                part, qty_x100
+         FROM qty, thr WHERE qty_x100 >= thr""",
+    // q270: DuckDB native ASOF LEFT JOIN against the second-deduped
+    // purchase side + the same integer staleness predicate
+    "q270_asof_tolerance" ->
+      """WITH purch AS (SELECT user_id AS p_user,
+                               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS p_sec,
+                               MAX(CAST(ROUND(value * 100, 0) AS BIGINT))
+                                 AS cents
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY 1, 2),
+         p2 AS (SELECT p_user, p_sec, cents,
+                       make_timestamp(p_sec * 1000000) AS p_ts
+                FROM purch),
+         le AS (SELECT event_id, user_id, ts,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e_sec
+                FROM events WHERE event_type <> 'purchase')
+         SELECT event_id, user_id,
+                CASE WHEN p_sec IS NOT NULL AND e_sec - p_sec <= 172800
+                     THEN cents END AS last_purchase_cents,
+                CASE WHEN p_sec IS NOT NULL AND e_sec - p_sec <= 172800
+                     THEN e_sec - p_sec END AS age_sec,
+                CASE WHEN p_sec IS NOT NULL AND e_sec - p_sec <= 172800
+                     THEN 1 ELSE 0 END AS matched
+         FROM le ASOF LEFT JOIN p2
+           ON le.user_id = p2.p_user AND p2.p_ts <= le.ts""",
   )
 }

@@ -2030,4 +2030,70 @@ object Relational {
         sum(col("n_dominated_parts")).as("n_dominated_parts"),
         sum(col("dominated_qty_c")).as("dominated_qty_c"))
   }
+
+  /** q269: top-k WITH TIES — the `FETCH FIRST k ROWS WITH TIES`
+    * semantics q09's plain top-k lacks: every part tied with the
+    * k-th row survives, so the report never silently drops half a
+    * tie group (the leaderboard-fairness rule).
+    *
+    * Scale shape: NO rank window over the catalog — the threshold is
+    * read off a TakeOrdered head (the k-th value under (qty desc,
+    * part)), broadcast back as a scalar, and the filter keeps
+    * qty ≥ threshold; RANK() runs only over the ≤(k + ties) survivors.
+    * Quantities are exact ×100 integers (the q18 decimal discipline). */
+  def qTopKTies(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val qty = lineitem(s, d)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("qty_x100"))
+    val thr = qty.orderBy(col("qty_x100").desc, col("part")).limit(k)
+      .agg(min(col("qty_x100")).as("thr"))
+    qty.crossJoin(broadcast(thr))
+      .filter(col("qty_x100") >= col("thr"))
+      .withColumn("rank", rank().over(
+        Window.orderBy(col("qty_x100").desc)))
+      .select(col("rank"), col("part"), col("qty_x100"))
+  }
+
+  /** q270: as-of join WITH TOLERANCE — q44's trading-style lookup
+    * plus the staleness bound every real enrichment needs (a week-old
+    * "most recent purchase" is not context, it is noise; kdb's
+    * `wj`/DuckDB's ASOF+filter idiom): each non-purchase event takes
+    * its user's most recent purchase amount ONLY if it happened within
+    * `tolHours`, else NULL. (A same-domain self as-of — the orders
+    * table lives years before the events fixture, so an orders
+    * tolerance would be vacuously unmatched.) The right side
+    * pre-dedupes to one row per (user, second) with max cents, so an
+    * equal-timestamp pick is deterministic on both engines; the match
+    * rides as ONE packed BIGINT (sec·10⁵ + cents) through the as-of
+    * kernel and unpacks after.
+    *
+    * Scale shape: [[asofJoin]]'s union + one keyed window (ONE
+    * shuffle, linear); tolerance and unpack are codegen'd
+    * post-predicates. */
+  def qAsofTolerance(s: SparkSession, d: String, tolHours: Int = 48): DataFrame = {
+    val ev = events(s, d)
+    val left = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"),
+        unix_timestamp(col("ts")).as("p_sec"))
+      .agg(max(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("cents"))
+      .select(col("p_user"), col("p_sec"),
+        (col("p_sec") * 100000L + col("cents")).as("packed"))
+    val joined = asofJoin(left, "user_id", "ts",
+      purch.withColumn("p_ts", col("p_sec").cast("timestamp")),
+      "p_user", "p_ts", "packed")
+    joined
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("e_sec"), col("asof_packed"))
+      .select(col("event_id"), col("user_id"),
+        when(col("asof_packed").isNotNull &&
+          col("e_sec") - expr("asof_packed div 100000L") <= tolHours * 3600L,
+          expr("asof_packed % 100000L")).as("last_purchase_cents"),
+        when(col("asof_packed").isNotNull &&
+          col("e_sec") - expr("asof_packed div 100000L") <= tolHours * 3600L,
+          col("e_sec") - expr("asof_packed div 100000L")).as("age_sec"))
+      .withColumn("matched", col("last_purchase_cents").isNotNull.cast("int"))
+  }
 }

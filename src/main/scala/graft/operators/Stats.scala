@@ -1915,4 +1915,35 @@ object Stats {
       .orderBy(col("delta").desc, col("week"), col("part"))
       .limit(topK)
   }
+
+  /** q268: weekly P50/P90 latency-style percentile timeline — q215's
+    * discrete percentiles turned into the monitor shape (q262 tracks
+    * the DISTRIBUTION's drift; this tracks the two numbers an SLO
+    * dashboard actually plots). Exact ranked-element percentiles per
+    * (type, week): p50 = smallest cent value whose cumulative count
+    * reaches ⌈n/2⌉ (2·cum ≥ n — q248's integer rule), p90 at ⌈9n/10⌉
+    * (10·cum ≥ 9n). No interpolation, no floats.
+    *
+    * Scale shape: one (type, week, value) rollup; cumsums ride the
+    * VALUE-DOMAIN per calendar-bounded (type, week) groups. */
+  def qPercentileTimeline(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val start = ev.agg(min(col("day")).as("d0"))
+    val keyed = ev.crossJoin(broadcast(start))
+      .select(col("event_type"), expr("datediff(day, d0) div 7").as("week"),
+        col("v"))
+    val cnt = keyed.groupBy("event_type", "week", "v")
+      .agg(count(lit(1)).as("c"))
+    val cum = cnt.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy("event_type", "week").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ns = cnt.groupBy("event_type", "week").agg(sum(col("c")).as("n"))
+    cum.join(broadcast(ns), Seq("event_type", "week"))
+      .groupBy("event_type", "week")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50_cents"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90_cents"))
+  }
 }

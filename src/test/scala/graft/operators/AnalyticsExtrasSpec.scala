@@ -445,4 +445,55 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("q269: top-k with ties keeps every boundary tie and only them") {
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val sorted = qty.toSeq.sortBy { case (p, q) => (-q, p) }
+    val thr = sorted(9)._2
+    val want = qty.filter(_._2 >= thr)
+    val got = Relational.qTopKTies(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => (g._2, g._3)).toMap == want)
+    // RANK semantics: ties share a rank; ranks jump after tie groups
+    val byQty = got.groupBy(_._3)
+    byQty.foreach { case (_, g) => assert(g.map(_._1).distinct.length == 1) }
+    got.foreach { case (rk, _, q) =>
+      assert(rk == 1 + got.count(_._3 > q), s"rank law for qty $q")
+    }
+  }
+
+  test("q270: tolerance as-of matches a per-user sequential walk") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(unix_micros(ts) div 1000000 AS BIGINT)"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // purchases deduped per (user, second) with max cents — the
+    // operator's right-side contract
+    val purch = ev.filter(_._3 == "purchase")
+      .groupBy(p => (p._2, p._4)).map { case ((u, s), g) =>
+        (u, s, g.map(_._5).max)
+      }.toSeq.groupBy(_._1)
+      .map { case (u, v) => u -> v.sortBy(_._2) }
+    val want = ev.filter(_._3 != "purchase").map { case (id, u, _, sec, _) =>
+      val prior = purch.getOrElse(u, Seq.empty).filter(_._2 <= sec)
+      val last = prior.lastOption
+      val ok = last.exists(p => sec - p._2 <= 172800L)
+      id -> (if (ok) Some((last.get._3, sec - last.get._2)) else None)
+    }.toMap
+    val got = Relational.qAsofTolerance(spark, sf).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some((r.getLong(2), r.getLong(3))))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want)
+    val matched = got.values.count(_.isDefined)
+    assert(matched > 0 && matched < got.size,
+      "tolerance must bind: some matches, some stale")
+  }
 }

@@ -91,4 +91,42 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("q252 subsample CI: the 64 replicate aggregates ride ONE fact rollup") {
+    val df = Stats.qSubsampleCi(spark, sf)
+    // one type-keyed rollup + the tiny melt/window stages; the point
+    // is what is ABSENT: no 32× explode of the fact table (the
+    // conditional-aggregate one-pass claim)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("generate explode(arrays_zip"),
+      s"fact-table explode crept in:\n$plan")
+    assert(shuffles(df) <= 3, "CI pipeline grew extra exchanges")
+  }
+
+  test("q258 RFM: no global user sort — quintiles come from value-domain cuts") {
+    val df = Stats.qRfmSegments(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    // the user table must never pass through a single-partition window
+    // or a global Sort: cuts ride bounded value-domain rollups
+    assert(!plan.contains("Window [row_number()"),
+      s"a user-ranking window crept in:\n$plan")
+  }
+
+  test("q267 A-Res sample: one scan + TakeOrdered head, no global sort") {
+    val df = Pipeline.qWeightedSample(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k head:\n$plan")
+    assert(shuffles(df) <= 1, "A-Res sample should shuffle at most the top-k gather")
+  }
+
+  test("q254 hard negatives: broadcast query set against one corpus scan") {
+    val df = Similarity.qHardNegatives(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
 }

@@ -392,6 +392,27 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q268: weekly P50/P90 are the exact ranked elements") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), date'1970-01-01')"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val d0 = rows.map(_._2).min
+    val want = rows.groupBy(r => (r._1, (r._2 - d0) / 7)).map {
+      case (k, evs) =>
+        val sorted = evs.map(_._3).sorted
+        val n = sorted.length.toLong
+        def at(rank: Long) = sorted((rank - 1).toInt)
+        k -> ((n, at((n + 1) / 2), at((9 * n + 9) / 10)))
+    }
+    val got = Stats.qPercentileTimeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"$k") }
+  }
+
   private def round(v: Double, scale: Int): Double =
     new JBigDecimal(v).setScale(scale, RoundingMode.HALF_UP).doubleValue()
 
