@@ -318,6 +318,10 @@ object Bench {
     "q268_percentile_timeline",
     "q269_topk_ties",
     "q270_asof_tolerance",
+    // round 18 (r8): the binning artifact and the tail-sensitive
+    // distribution test (both value-domain rollup shapes)
+    "q271_equidepth_edges",
+    "q272_anderson_darling",
   )
 
   def main(args: Array[String]): Unit = {

@@ -611,6 +611,11 @@ object SparkEntry {
     "q269_topk_ties" -> ((s, d) => Relational.qTopKTies(s, d)),
     // q270: as-of join with a staleness tolerance (date-domain bound)
     "q270_asof_tolerance" -> ((s, d) => Relational.qAsofTolerance(s, d)),
+    // q271: equi-depth decile edges as a first-class binning artifact
+    "q271_equidepth_edges" -> ((s, d) => Stats.qEquidepthEdges(s, d)),
+    // q272: tie-adjusted two-sample Anderson–Darling (tail-sensitive
+    // distribution compare, Scholz–Stephens midranks)
+    "q272_anderson_darling" -> ((s, d) => Stats.qAndersonDarling(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5250,5 +5255,67 @@ object SparkEntry {
                      THEN 1 ELSE 0 END AS matched
          FROM le ASOF LEFT JOIN p2
            ON le.user_id = p2.p_user AND p2.p_ts <= le.ts""",
+    // q271: edge j = smallest v with 10·cum ≥ j·n, per type
+    "q271_equidepth_edges" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         cnt AS (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         cum AS (SELECT event_type, v, c,
+                        SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM cnt),
+         ns AS (SELECT event_type, SUM(c) AS n FROM cnt GROUP BY 1),
+         js AS (SELECT unnest(generate_series(1, 9)) AS j)
+         SELECT c.event_type, CAST(j.j AS INT) AS j,
+                CAST(MAX(n.n) AS BIGINT) AS n,
+                CAST(MIN(c.v) AS BIGINT) AS edge_cents
+         FROM cum c JOIN ns n USING (event_type), js j
+         WHERE c.cum * 10 >= j.j * n.n
+         GROUP BY 1, 2""",
+    // q272: the doubled-midrank reduction — per distinct-value block
+    // X = N·2B̄ − n_a·2H̄ and Y = 2H̄(2N−2H̄) − N·h, term = h·X²/Y;
+    // A² = (N−1)/N² · Σ_a Σ_j term/n_a
+    "q272_anderson_darling" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events
+                     WHERE event_type IN ('purchase', 'view')),
+         cells AS (SELECT v,
+                          SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS ba,
+                          SUM(CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END) AS bb
+                   FROM ev GROUP BY 1),
+         cum AS (SELECT v, ba, bb, ba + bb AS h,
+                        SUM(ba + bb) OVER (ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) * 2 - (ba + bb) AS h2,
+                        SUM(ba) OVER (ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) * 2 - ba AS ba2,
+                        SUM(bb) OVER (ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) * 2 - bb AS bb2
+                 FROM cells),
+         tot AS (SELECT SUM(ba) AS na, SUM(bb) AS nb,
+                        COUNT(*) AS nblocks, SUM(ba + bb) AS nn
+                 FROM cells),
+         terms AS (SELECT
+             CASE WHEN h2 * (2 * nn - h2) - nn * h > 0
+                  THEN h::DOUBLE * (nn * ba2 - na * h2)::DOUBLE
+                       * (nn * ba2 - na * h2)::DOUBLE
+                       / (h2 * (2 * nn - h2) - nn * h)::DOUBLE
+                  ELSE 0.0 END AS ta,
+             CASE WHEN h2 * (2 * nn - h2) - nn * h > 0
+                  THEN h::DOUBLE * (nn * bb2 - nb * h2)::DOUBLE
+                       * (nn * bb2 - nb * h2)::DOUBLE
+                       / (h2 * (2 * nn - h2) - nn * h)::DOUBLE
+                  ELSE 0.0 END AS tb
+           FROM cum, tot)
+         SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+                CAST(t.nblocks AS BIGINT) AS n_blocks,
+                ROUND((t.nn::DOUBLE - 1.0) / (t.nn::DOUBLE * t.nn::DOUBLE)
+                      * ((SELECT SUM(ta) FROM terms) / t.na::DOUBLE
+                         + (SELECT SUM(tb) FROM terms) / t.nb::DOUBLE), 6)
+                  AS a2
+         FROM tot t""",
   )
 }

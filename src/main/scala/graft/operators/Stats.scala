@@ -1946,4 +1946,86 @@ object Stats {
         min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50_cents"),
         min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90_cents"))
   }
+
+  /** q271: equi-depth histogram edges — the binning artifact q221's
+    * equi-WIDTH histogram can't provide for skewed data (equal-count
+    * bins put resolution where the mass is; these edges are what
+    * q190/q262 fit internally, exported as a first-class artifact a
+    * downstream featurizer consumes). Edge j = the exact
+    * ⌈j·n/10⌉-th smallest cent value per type (integer rule
+    * 10·cum ≥ j·n — q268's device per decile).
+    *
+    * Scale shape: one value-domain rollup + its bounded cumsum; the
+    * output is types × 9 rows. */
+  def qEquidepthEdges(s: SparkSession, d: String, bands: Int = 10): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val cnt = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val cum = cnt.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ns = cnt.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val js = (1 until bands).toDF("j")
+    cum.join(broadcast(ns), Seq("event_type"))
+      .crossJoin(broadcast(js))
+      .filter(col("cum") * bands >= col("j") * col("n"))
+      .groupBy("event_type", "j")
+      .agg(max(col("n")).as("n"), min(col("v")).as("edge_cents"))
+  }
+
+  /** q272: two-sample Anderson–Darling (tie-adjusted, Scholz &
+    * Stephens JASA'87 midrank version with k=2) on purchase vs view
+    * values — the tail-sensitive complement completing the
+    * distribution-test family (KS q136 weighs the middle; AD weighs
+    * the tails, where pricing anomalies live).
+    *
+    * Exactness via the q229 DOUBLING device: with distinct pooled
+    * values as blocks, 2H̄_j = 2·cumBefore + h_j and 2B̄_aj =
+    * 2·cumBefore_a + b_aj are exact integers, and each block's term
+    * reduces to h_j·X²/Y with X = N·2B̄ − n_a·2H̄ and Y =
+    * 2H̄·(2N − 2H̄) − N·h_j — both exact BIGINTs cast to double once
+    * (X ≤ ~10¹⁴ at 100×, inside double's exact-integer range). A² is
+    * the one final double; Y can reach 0 only in the degenerate
+    * one-distinct-value corpus — such a term is guarded out.
+    *
+    * Scale shape: everything rides the VALUE-DOMAIN rollup (bounded
+    * by the cent range); one bounded cumsum window, one k·L-term
+    * fold. */
+  def qAndersonDarling(s: SparkSession, d: String,
+      typeA: String = "purchase", typeB: String = "view"): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val cells = ev.groupBy("v")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ba"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("bb"))
+      .withColumn("h", col("ba") + col("bb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("h2", sum(col("h")).over(w) * 2 - col("h"))
+      .withColumn("ba2", sum(col("ba")).over(w) * 2 - col("ba"))
+      .withColumn("bb2", sum(col("bb")).over(w) * 2 - col("bb"))
+    val tot = cells.agg(sum(col("ba")).as("na"), sum(col("bb")).as("nb"),
+      count(lit(1)).as("nblocks"))
+    val joined = cum.crossJoin(broadcast(tot))
+      .withColumn("nn", col("na") + col("nb"))
+    def term(b2: Column, n_a: Column): Column = {
+      val x = d2(col("nn") * b2 - n_a * col("h2"))
+      val y = d2(col("h2") * (lit(2) * col("nn") - col("h2"))
+        - col("nn") * col("h"))
+      when(y > 0, d2(col("h")) * x * x / y).otherwise(lit(0.0))
+    }
+    joined
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("nblocks")).as("n_blocks"), max(col("nn")).as("nn"),
+        sum(term(col("ba2"), col("na"))).as("sa"),
+        sum(term(col("bb2"), col("nb"))).as("sb"))
+      .select(col("n_a"), col("n_b"), col("n_blocks"),
+        round((d2(col("nn")) - lit(1.0)) / (d2(col("nn")) * d2(col("nn")))
+          * (col("sa") / d2(col("n_a")) + col("sb") / d2(col("n_b"))), 6)
+          .as("a2"))
+  }
 }

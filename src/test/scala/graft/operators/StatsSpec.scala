@@ -413,6 +413,62 @@ class StatsSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v == want(k), s"$k") }
   }
 
+  test("q271: equi-depth edges are the exact per-decile ranked elements") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).flatMap { case (t, evs) =>
+      val sorted = evs.map(_._2).sorted
+      val n = sorted.length.toLong
+      (1 to 9).map(j => (t, j) -> ((n, sorted(((j * n + 9) / 10 - 1).toInt))))
+    }
+    val got = Stats.qEquidepthEdges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"$k") }
+    // edges are non-decreasing per type
+    got.keys.map(_._1).foreach { t =>
+      val es = (1 to 9).map(j => got((t, j))._2)
+      assert(es.zip(es.tail).forall { case (a, b) => a <= b }, t)
+    }
+  }
+
+  test("q272: A² matches the midrank recompute; self-comparison is exactly 0") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val blocks = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, g) =>
+      (g.count(_._1 == "purchase").toLong, g.count(_._1 == "view").toLong)
+    }
+    val na = blocks.map(_._1).sum; val nb = blocks.map(_._2).sum
+    val nn = na + nb
+    var (cumA, cumB, cumH) = (0L, 0L, 0L)
+    var (sa, sb) = (0.0, 0.0)
+    blocks.foreach { case (ba, bb) =>
+      val h = ba + bb
+      val h2 = 2 * cumH + h; val ba2 = 2 * cumA + ba; val bb2 = 2 * cumB + bb
+      val y = (h2 * (2 * nn - h2) - nn * h).toDouble
+      if (y > 0) {
+        val xa = (nn * ba2 - na * h2).toDouble
+        val xb = (nn * bb2 - nb * h2).toDouble
+        sa += h.toDouble * xa * xa / y
+        sb += h.toDouble * xb * xb / y
+      }
+      cumA += ba; cumB += bb; cumH += h
+    }
+    val a2 = (nn - 1).toDouble / (nn.toDouble * nn) * (sa / na + sb / nb)
+    val r = Stats.qAndersonDarling(spark, sf).collect().head
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getLong(2) == blocks.length.toLong)
+    assert(math.abs(r.getDouble(3) - a2) < 1e-5, s"A²: ${r.getDouble(3)} vs $a2")
+    // identical samples: X = N·2B̄ − n_a·2H̄ vanishes block by block
+    val self = Stats.qAndersonDarling(spark, sf, "view", "view")
+      .collect().head
+    assert(self.getDouble(3) == 0.0, "self-comparison A² must be exactly 0")
+  }
+
   private def round(v: Double, scale: Int): Double =
     new JBigDecimal(v).setScale(scale, RoundingMode.HALF_UP).doubleValue()
 
