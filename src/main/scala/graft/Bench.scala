@@ -319,9 +319,11 @@ object Bench {
     "q269_topk_ties",
     "q270_asof_tolerance",
     // round 18 (r8): the binning artifact and the tail-sensitive
-    // distribution test (both value-domain rollup shapes)
+    // distribution test (both value-domain rollup shapes), plus the
+    // effect-size readout (q234's rollup, different final scalars)
     "q271_equidepth_edges",
     "q272_anderson_darling",
+    "q273_cohens_d",
   )
 
   def main(args: Array[String]): Unit = {

@@ -616,6 +616,9 @@ object SparkEntry {
     // q272: tie-adjusted two-sample Anderson–Darling (tail-sensitive
     // distribution compare, Scholz–Stephens midranks)
     "q272_anderson_darling" -> ((s, d) => Stats.qAndersonDarling(s, d)),
+    // q273: Cohen's d / Hedges' g — the effect-size readout completing
+    // the A/B triplet (test q234, CI q252, magnitude here)
+    "q273_cohens_d" -> (Stats.qCohensD _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5317,5 +5320,43 @@ object SparkEntry {
                          + (SELECT SUM(tb) FROM terms) / t.nb::DOUBLE), 6)
                   AS a2
          FROM tot t""",
+    // q273: pooled-SD effect size from q234's exact sufficient sums;
+    // d and Hedges' g are the final doubles, NULLed-denominator guard
+    "q273_cohens_d" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         arms AS (SELECT unnest(['click', 'error', 'signup', 'purchase'])
+                    AS pair),
+         tagged AS (SELECT a.pair,
+                           CASE WHEN e.event_type = a.pair THEN 1 ELSE 0 END
+                             AS in_arm, e.v
+                    FROM arms a JOIN ev e
+                      ON e.event_type IN (a.pair, 'view')),
+         st AS (SELECT pair, SUM(in_arm) AS n1,
+                       SUM(1 - in_arm) AS n2,
+                       SUM(in_arm * v) AS s1, SUM((1 - in_arm) * v) AS s2,
+                       SUM(CAST(in_arm * v AS HUGEINT) * v) AS q1,
+                       SUM(CAST((1 - in_arm) * v AS HUGEINT) * v) AS q2
+                FROM tagged GROUP BY 1)
+         SELECT pair, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(s1 AS BIGINT) AS sum1_cents,
+                CAST(s2 AS BIGINT) AS sum2_cents,
+                ROUND((s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE)
+                      / NULLIF(sqrt(((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE
+                                      / n1::DOUBLE)
+                                     + (q2::DOUBLE - s2::DOUBLE * s2::DOUBLE
+                                        / n2::DOUBLE))
+                                    / (n1::DOUBLE + n2::DOUBLE - 2.0)), 0.0),
+                      6) AS cohens_d,
+                ROUND((s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE)
+                      / NULLIF(sqrt(((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE
+                                      / n1::DOUBLE)
+                                     + (q2::DOUBLE - s2::DOUBLE * s2::DOUBLE
+                                        / n2::DOUBLE))
+                                    / (n1::DOUBLE + n2::DOUBLE - 2.0)), 0.0)
+                      * (1.0 - 3.0 / (4.0 * (n1::DOUBLE + n2::DOUBLE) - 9.0)),
+                      6) AS hedges_g
+         FROM st""",
   )
 }

@@ -1947,6 +1947,50 @@ object Stats {
         min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90_cents"))
   }
 
+  /** q273: Cohen's d with Hedges' correction — the EFFECT-SIZE readout
+    * completing the A/B triplet (q234's Welch t says IS there a
+    * difference, q252's CI says how precisely we know the mean, this
+    * says how LARGE the difference is in pooled-SD units — the number
+    * a launch review actually argues about, since any difference is
+    * "significant" at 100 TB). Same each-type-vs-view pairing as q234.
+    *
+    * Exactness: per-arm (n, Σv, Σv²) exact with Σv² decimal-widened
+    * (q234's statistics verbatim); pooled variance, d, and Hedges' g
+    * (the small-sample bias factor 1 − 3/(4(n₁+n₂)−9)) are the final
+    * doubles, spelled identically.
+    *
+    * Scale shape: q234's — one conditional-aggregate rollup to k
+    * pairs, a k-row fold. */
+  def qCohensD(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val arms = Seq("click", "error", "signup", "purchase")
+    val tagged = arms.map { a =>
+      ev.filter(col("event_type").isin(a, "view"))
+        .select(lit(a).as("pair"),
+          (col("event_type") === a).cast("long").as("in_arm"), col("v"))
+    }.reduce(_ unionAll _)
+    val stats = tagged.groupBy("pair")
+      .agg(sum(col("in_arm")).as("n1"),
+        sum(lit(1L) - col("in_arm")).as("n2"),
+        sum(col("in_arm") * col("v")).as("s1"),
+        sum((lit(1L) - col("in_arm")) * col("v")).as("s2"),
+        sum(dec(col("in_arm") * col("v") * col("v"))).as("q1"),
+        sum(dec((lit(1L) - col("in_arm")) * col("v") * col("v"))).as("q2"))
+    // per-arm SUMS of squared deviations (not variances): ss = Σv² − S²/n
+    val ss1 = d2(col("q1")) - d2(col("s1")) * d2(col("s1")) / d2(col("n1"))
+    val ss2 = d2(col("q2")) - d2(col("s2")) * d2(col("s2")) / d2(col("n2"))
+    val sp = sqrt((ss1 + ss2) / (d2(col("n1")) + d2(col("n2")) - lit(2.0)))
+    val dEff = (d2(col("s1")) / d2(col("n1")) - d2(col("s2")) / d2(col("n2"))) /
+      when(sp > 0, sp)
+    val hedges = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (d2(col("n1")) + d2(col("n2"))) - lit(9.0))
+    stats.select(col("pair"), col("n1"), col("n2"),
+      col("s1").as("sum1_cents"), col("s2").as("sum2_cents"),
+      round(dEff, 6).as("cohens_d"),
+      round(dEff * hedges, 6).as("hedges_g"))
+  }
+
   /** q271: equi-depth histogram edges — the binning artifact q221's
     * equi-WIDTH histogram can't provide for skewed data (equal-count
     * bins put resolution where the mass is; these edges are what

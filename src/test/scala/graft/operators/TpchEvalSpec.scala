@@ -466,6 +466,31 @@ class TpchEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q273: Cohen's d / Hedges' g match the textbook pooled recompute") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val view = ev.filter(_._1 == "view").map(_._2)
+    val got = Stats.qCohensD(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == Set("click", "error", "signup", "purchase"))
+    got.foreach { case (arm, (n1, n2, s1, s2, dEff, g)) =>
+      val a = ev.filter(_._1 == arm).map(_._2)
+      assert(n1 == a.length.toLong && n2 == view.length.toLong)
+      assert(s1 == a.sum && s2 == view.sum)
+      val m1 = a.sum.toDouble / a.length; val m2 = view.sum.toDouble / view.length
+      val ss1 = a.map(x => (x - m1) * (x - m1)).sum
+      val ss2 = view.map(x => (x - m2) * (x - m2)).sum
+      val sp = math.sqrt((ss1 + ss2) / (a.length + view.length - 2))
+      val d = (m1 - m2) / sp
+      val hedges = 1.0 - 3.0 / (4.0 * (a.length + view.length) - 9.0)
+      assert(math.abs(dEff - d) < 1e-5, s"$arm d: $dEff vs $d")
+      assert(math.abs(g - d * hedges) < 1e-5, s"$arm g")
+      assert(math.abs(g) <= math.abs(dEff), s"$arm correction shrinks |d|")
+    }
+  }
+
   test("q246: Cramér's V derives from the exact chi2_ppm and min dim") {
     val docs = Tables.documents(spark, sf)
       .select("lang", "source").collect()
