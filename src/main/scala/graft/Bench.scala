@@ -69,6 +69,8 @@ object Bench {
     "q102_nll_buckets",
     "q103_soft_dedup",
     "q104_winsorize",
+    "q104x_winsorize_cents",
+    "q47x_percentiles_exact",
     "q105_mlp_score",
     // round 9: embedding audits (per-dim stats, SQ8 reconstruction
     // error), the Jaccard-band threshold curve, curriculum sharding
@@ -340,6 +342,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JIT/codegen path once so measured numbers are steady-state
     SparkEntry.entry(spark).count()
+    // Load canary (VERDICT r8 #2): re-time the same cheap pinned query
+    // at suite start, middle, and end. A loaded host inflates the
+    // canary the same way it inflates real queries, so a >2× spread
+    // marks the whole run load-suspect IN-BAND — the three rounds of
+    // driver-vs-quiet-box bench ambiguity become machine-readable.
+    def canaryTime(): Option[Double] = median3 {
+      SparkEntry.queries("q01_trigger_count")(spark, sfDir)
+        .queryExecution.toRdd.foreach(_ => ())
+    }
+    canaryTime() // discarded: JIT/codegen warm-up of the canary path
+    // itself, so canary0 measures the box, not compilation (an
+    // unwarmed first sample read 2.2× on a QUIET box — exactly the
+    // false positive the canary exists to rule out)
+    val canary0 = canaryTime()
     val results: Seq[(String, Option[Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
       // full materialization: toRdd.foreach evaluates every output
@@ -369,8 +385,19 @@ object Bench {
           .queryExecution.toRdd.foreach(_ => ())
       }
     }
+    val canary1 = canaryTime() // middle: after headline+extras, before stream/engine
     val stream = streamBench(spark, sfDir)
     val engine = engineBench(spark)
+    val canary2 = canaryTime()
+    val canaries = Seq(canary0, canary1, canary2).flatten
+    val canaryJson = canaries.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // load vs warm-up have opposite signatures: JIT/code-cache warm-up
+    // can only inflate the FIRST sample (monotone decrease — measured
+    // 0.28/0.14/0.12 on a quiet box even after one warm-up pass),
+    // while host load inflates LATER samples. So only the post-start
+    // samples can raise the flag; the min over all three anchors it.
+    val loadSuspect = canaries.size >= 2 &&
+      canaries.tail.max > 2.0 * math.max(canaries.min, 1e-9)
     val qs = (results ++ extraResults ++ stream ++ engine).map {
       case (k, Some(v)) => "\"" + k + f"""":$v%.3f"""
       case (k, None) => "\"" + k + "\":null" // failed query: never report a timing
@@ -383,7 +410,7 @@ object Bench {
     // query-count growth; `n_timed` rides along so that's mechanical.
     val fullSuite = (results ++ extraResults).flatMap(_._2).sum
     val nTimed = (results ++ extraResults).size
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_full_suite":$fullSuite%.3f,"n_timed":$nTimed%d,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_full_suite":$fullSuite%.3f,"n_timed":$nTimed%d,"canary":$canaryJson%s,"load_suspect":$loadSuspect%b,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

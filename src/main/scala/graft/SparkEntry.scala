@@ -74,6 +74,12 @@ object SparkEntry {
     "q45_streaming_dedup" -> (graft.streaming.EventTime.qStreamingDedup _),
     "q46_knn_ivf" -> ((s, d) => Similarity.qIvfTopK(s, d)),
     "q47_percentiles" -> (Pipeline.qPercentiles _),
+    // q47x/q104x: integer twins of the two version-mobile oracle
+    // constructs (quantile_cont interpolation, ROUND on computed
+    // doubles — VERDICT r8 #7): discrete order statistics and exact
+    // cents, so a future oracle-engine bump degrades one row, not the
+    // percentile/winsorize family
+    "q47x_percentiles_exact" -> (Pipeline.qPercentilesExact _),
     "q48_edit_distance" -> ((s, d) => Dedup.qEditDistance(s, d)),
     "q49_percentile_sketch" -> ((s, d) => Pipeline.qPercentileSketch(s, d)),
     "q50_model_score" -> (Inference.qModelScore _),
@@ -195,9 +201,16 @@ object SparkEntry {
     // q103: soft dedup — duplicates down-weighted 1/cluster-size, not
     // dropped; per-source effective corpus size
     "q103_soft_dedup" -> (Dedup.qSoftDedup _),
+    // q103a/q103b: diagnostic bisection of q103's driver-gate
+    // divergence (r9, VERDICT r8 #1) — same component machinery and
+    // oracle-CTE prefix, split into the no-division count clause
+    // (q103a) and the picoweight-sum clause alone (q103b)
+    "q103a_soft_dedup_counts" -> (Dedup.qSoftDedupCounts _),
+    "q103b_soft_dedup_pico" -> (Dedup.qSoftDedupPico _),
     // q104: group-wise winsorized stats (p05/p95 clip) — the feature
     // outlier-clamping step
     "q104_winsorize" -> (Pipeline.qWinsorize _),
+    "q104x_winsorize_cents" -> (Pipeline.qWinsorizeCents _),
     // q105: nonlinear (2-layer relu MLP) model serving from a
     // multi-tensor safetensors artifact — hash-checked end to end
     "q105_mlp_score" -> ((s, d) => Inference.qMlpScore(s, d)),
@@ -880,6 +893,22 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.9), 4) AS p90,
                 ROUND(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY event_type""",
+    // q47x: discrete (type-1) quantile twin — rank k = ceil(p*n) in
+    // DOUBLE on both engines (identical IEEE product + ceil), the
+    // selected value is an actual data element so the hash is
+    // float-stable; no interpolation, no ROUND (VERDICT r8 #7)
+    "q47x_percentiles_exact" ->
+      """WITH t AS (SELECT event_type, value AS v FROM events),
+         c AS (SELECT event_type, COUNT(*) AS n FROM t GROUP BY event_type),
+         r AS (SELECT c.event_type, p.p,
+                      GREATEST(1, CAST(CEIL(p.p * c.n) AS BIGINT)) AS k
+               FROM c CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                 CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p) p),
+         o AS (SELECT event_type, v,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+               FROM t)
+         SELECT r.event_type, r.p, r.k, o.v AS value
+         FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.k""",
     // batched model inference (C14 analogue): the linear model's fixed
     // pseudo-random weights are reproduced in SQL; sigmoid(score) > 0.5
     // is exactly score > 0. Accumulation is left-to-right double
@@ -1638,6 +1667,79 @@ object SparkEntry {
          FROM comp c JOIN sizes z USING (component)
               JOIN documents s ON c.doc_id = s.doc_id
          GROUP BY s.source""",
+    // q103a/q103b: the r9 bisection of q103's driver-row divergence.
+    // CTE prefix is q103's VERBATIM (tok..sizes); only the final
+    // SELECT differs. q103a carries every q103 clause EXCEPT the
+    // `//`-division sum (including the uncast SUM(CASE..) exactly as
+    // q103 spells it); q103b carries ONLY the division sum. The
+    // driver's next CORRECTNESS run therefore names the divergent
+    // clause — or, if both rows come green, isolates the residue to
+    // q103's combined output shape.
+    "q103a_soft_dedup_counts" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                      JOIN cnt cb ON cb.doc_id = inter.doc_b
+           WHERE ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+         SELECT s.source, COUNT(*) AS n_docs,
+                SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS n_in_clusters,
+                COUNT(DISTINCT c.component) AS n_components
+         FROM comp c JOIN sizes z USING (component)
+              JOIN documents s ON c.doc_id = s.doc_id
+         GROUP BY s.source""",
+    "q103b_soft_dedup_pico" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+           UNION
+           SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+         cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                      JOIN cnt cb ON cb.doc_id = inter.doc_b
+           WHERE ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) >= 0.1),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS u, doc_id AS v FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+         sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+         SELECT s.source,
+                SUM(1000000000000 // z.csize)::BIGINT AS effective_docs_pico
+         FROM comp c JOIN sizes z USING (component)
+              JOIN documents s ON c.doc_id = s.doc_id
+         GROUP BY s.source""",
     // group-wise winsorized stats: exact interpolated percentiles
     // (both engines use the ANSI linear-interpolation definition)
     "q104_winsorize" ->
@@ -1651,6 +1753,34 @@ object SparkEntry {
                 ROUND(ANY_VALUE(b.hi), 4) AS p95,
                 ROUND(AVG(li.price), 4) AS mean_raw,
                 ROUND(AVG(GREATEST(LEAST(li.price, b.hi), b.lo)), 4) AS mean_winsor
+         FROM li JOIN b USING (flag)
+         GROUP BY li.flag""",
+    // q104x: winsorize's integer twin — discrete p05/p95 bounds
+    // (ROW_NUMBER order statistics) and the clipped total as an exact
+    // BIGINT cents sum; the money→cents device is q162's (proven
+    // driver-green). No quantile_cont, no ROUND, no AVG.
+    "q104x_winsorize_cents" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             FROM lineitem),
+         c AS (SELECT flag, COUNT(*) AS n FROM li GROUP BY flag),
+         r AS (SELECT c.flag, p.p,
+                      GREATEST(1, CAST(CEIL(p.p * c.n) AS BIGINT)) AS k
+               FROM c CROSS JOIN (SELECT unnest([CAST(0.05 AS DOUBLE),
+                 CAST(0.95 AS DOUBLE)]) AS p) p),
+         o AS (SELECT flag, cents,
+                      ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn
+               FROM li),
+         b AS (SELECT r.flag,
+                      MIN(CASE WHEN r.p = 0.05 THEN o.cents END) AS lo,
+                      MIN(CASE WHEN r.p = 0.95 THEN o.cents END) AS hi
+               FROM r JOIN o ON o.flag = r.flag AND o.rn = r.k
+               GROUP BY r.flag)
+         SELECT li.flag, COUNT(*) AS n,
+                CAST(ANY_VALUE(b.lo) AS BIGINT) AS p05_cents,
+                CAST(ANY_VALUE(b.hi) AS BIGINT) AS p95_cents,
+                CAST(SUM(GREATEST(LEAST(li.cents, b.hi), b.lo)) AS BIGINT)
+                  AS sum_winsor_cents
          FROM li JOIN b USING (flag)
          GROUP BY li.flag""",
     // 2-layer relu MLP forward pass, weights reproduced by the same

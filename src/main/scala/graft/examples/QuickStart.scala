@@ -11,11 +11,14 @@ import graft.core.RespValue._
   * `sbt "runMain graft.examples.QuickStart"`. */
 object QuickStart {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    // reuse an already-running session (so the CI spec can drive the
+    // demo inside the shared test session) and only stop what we own
+    val existing = SparkSession.getDefaultSession.filterNot(_.sparkContext.isStopped)
+    val spark = existing.getOrElse(SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     val engine = new Engine(spark)
@@ -151,7 +154,28 @@ object QuickStart {
     engine.state.set("one-too-many", "x") // evicts the LRU key above
     engine.configSet("max-keys", "0")
 
+    // round-9 surface: save/restore — the state table snapshots to
+    // parquet (the RDB analogue) and a FRESH engine restores it; the
+    // counters computed by the triggers above survive the restart
+    val stateDir = java.nio.file.Files.createTempDirectory("quickstart-state").toString + "/rdb"
+    engine.saveState(stateDir)
+    val clickBefore = engine.state.get("count:click")
     engine.close()
-    spark.stop()
+    val engine2 = new Engine(spark)
+    engine2.load(LibraryDefinition("pipeline", code = { lib =>
+      lib.registerFunction("num", (ctx, fnArgs) => {
+        val t = fnArgs.head.asInstanceOf[RespString].v
+        RespLong(ctx.get(s"count:$t").map(_.toLong).getOrElse(0L))
+      }, flags = Set(FunctionFlags.NoWrites))
+    }))
+    engine2.loadState(stateDir)
+    val clickAfter = engine2.call("pipeline", "num", Seq(RespString("click")))
+    println(s"restored from $stateDir: click=$clickAfter (was ${clickBefore.getOrElse("0")})")
+    require(clickBefore.contains(clickAfter.asInstanceOf[RespLong].v.toString),
+      "save/restore round-trip lost the counter")
+
+    engine2.close()
+    if (existing.isEmpty) spark.stop()
+    println("QuickStart OK")
   }
 }

@@ -560,6 +560,33 @@ object Dedup {
         sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_clusters"))
   }
 
+  /** q103a: the COUNT half of q103's output — per-source
+    * (n_docs, n_in_clusters, n_components) with NO division anywhere.
+    * Diagnostic decomposition of the q103 driver-gate divergence
+    * (three rounds red at the driver while every judge-reproducible
+    * check passes): q103's oracle prefix is shared VERBATIM and only
+    * the final clause differs, so whichever of q103a/q103b comes back
+    * red at the driver names the divergent clause. */
+  def qSoftDedupCounts(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(softDedupWeights(docs), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_clusters"),
+        countDistinct(col("component")).as("n_components"))
+  }
+
+  /** q103b: the DIVISION half of q103's output — per-source
+    * SUM(1e12 div csize) alone, single aggregate column. See q103a. */
+  def qSoftDedupPico(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(softDedupWeights(docs), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(expr("1000000000000 div csize")).as("effective_docs_pico"))
+  }
+
   /** The q103 per-doc weights over any (doc_id, text) frame:
     * (doc_id, component, csize) — a doc's sampling weight is 1/csize,
     * so each cluster contributes total weight exactly 1. */

@@ -487,6 +487,80 @@ object Pipeline {
         round(avg("clipped"), 4).as("mean_winsor"))
   }
 
+  /** Exact per-group order statistics without a global sort: one
+    * value-domain rollup (groupBy (g, v) — duplicates collapse
+    * map-side), then a per-group cumulative count; the k-th order
+    * statistic (k = max(1, ceil(p·n))) is the smallest value whose
+    * cumulative count reaches k. Returns long-form
+    * (group, p, k, value).
+    *
+    * This is the DISCRETE (type-1) quantile — it selects an actual
+    * data element, so the result hashes stably across engines and
+    * engine versions (no interpolation arithmetic, no rounding).
+    * Exists as the version-mobility twin of the interpolated
+    * percentile family (q47/q104 use `percentile`/`quantile_cont`,
+    * whose interpolation is the one construct a future oracle-engine
+    * bump could move — VERDICT r8 #7).
+    *
+    * Scale shape: the rollup is one shuffle on (g, v); the running
+    * count is a per-group window — parallel across groups, and within
+    * a group it sorts the rolled-up DISTINCT values, not the rows.
+    * For low-cardinality groups over a huge value domain, the
+    * refinement loop ([[exactOrderStatistic]]) stays the serving path;
+    * this is the oracle-checkable anchor. */
+  def groupOrderStatistics(df: DataFrame, group: String, v: String,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.groupBy(group).agg(count(lit(1)).as("n"))
+    val ks = n.select(col(group), col("n"),
+        explode(typedLit(ps)).as("p"))
+      .withColumn("k", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+      .drop("n")
+    val cum = df.groupBy(col(group), col(v).as("value"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy(group).orderBy("value")))
+    ks.join(cum, Seq(group))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col(group), col("p"), col("k"))
+      .agg(min("value").as("value"))
+  }
+
+  /** q47x: the integer-twin of q47 — per-event-type p50/p90/p99 as
+    * exact order statistics (actual data elements, no interpolation,
+    * no ROUND). A future driver DuckDB bump that moves quantile_cont's
+    * interpolation degrades q47 alone; this row keeps the percentile
+    * operator proven. */
+  def qPercentilesExact(s: SparkSession, d: String): DataFrame =
+    groupOrderStatistics(
+      events(s, d).select(col("event_type"), col("value")),
+      "event_type", "value", Seq(0.5, 0.9, 0.99))
+
+  /** q104x: the integer-twin of q104 — winsorized stats entirely in
+    * exact cents BIGINT: clip bounds are the discrete p05/p95 order
+    * statistics (via [[groupOrderStatistics]]) and the clipped total
+    * is an integer SUM, so no clause depends on interpolation or
+    * float rounding. Money-to-cents uses the q162-proven device
+    * (`CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT)` — identical
+    * digits on both engines for 2-decimal money doubles). */
+  def qWinsorizeCents(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val bounds = groupOrderStatistics(li, "flag", "cents", Seq(0.05, 0.95))
+      .groupBy("flag").agg(
+        min(when(col("p") === 0.05, col("value"))).as("lo"),
+        min(when(col("p") === 0.95, col("value"))).as("hi"))
+    li.join(broadcast(bounds), Seq("flag"))
+      .select(col("flag"), col("lo"), col("hi"),
+        greatest(least(col("cents"), col("hi")), col("lo")).as("clipped"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        first("lo").as("p05_cents"),
+        first("hi").as("p95_cents"),
+        sum("clipped").as("sum_winsor_cents"))
+  }
+
   /** q95: single-pass relational data profiler — the table-side
     * datasheet (q85 profiles the text corpus): per-column non-null
     * count, exact distinct count, and numeric min/max/mean over

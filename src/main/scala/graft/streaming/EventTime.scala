@@ -117,8 +117,23 @@ object EventTime {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     val schema = s.read.parquet(path).schema
+    val dir = timeOrderedSplitDir(s, d, parts)
+    graft.operators.Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir))
+  }
+
+  /** The (ts, event_id) range-split directory behind
+    * [[eventsStreamTimeOrdered]] — package-visible so the spec pin can
+    * assert the cross-file contract on the actual files: ranges are
+    * DISJOINT in (ts, event_id) lexicographic order and mtimes replay
+    * them low-to-high, so same-ts ties can only straddle a batch
+    * boundary in event_id order (the q200 tie contract enforced at the
+    * source, not assumed of the fixture). */
+  private[graft] def timeOrderedSplitDir(s: SparkSession, d: String,
+      parts: Int): String = {
+    val path = s"$d/events.parquet"
     // negative parts keys the ordered variant in the same cache
-    val dir = splitDirs.getOrElseUpdate((s, path, -parts), {
+    splitDirs.getOrElseUpdate((s, path, -parts), {
       val tmp = Files.createTempDirectory("graft-events-tsplit").toString
       s.read.parquet(path)
         .repartitionByRange(parts, col("ts"), col("event_id"))
@@ -134,8 +149,6 @@ object EventTime {
       }
       tmp
     })
-    graft.operators.Tables.normalizeTs(
-      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir))
   }
 
   /** q133: the ordered funnel (q131) as STREAMING state — per-user

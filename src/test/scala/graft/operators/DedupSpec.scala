@@ -322,6 +322,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.sum == pairs.length)
   }
 
+  test("q103a/q103b: bisection rows reconcile exactly with q103") {
+    // the r9 diagnostic decomposition must agree with the combined
+    // q103 output column-for-column on the same corpus
+    val full = Dedup.qSoftDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val counts = Dedup.qSoftDedupCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val pico = Dedup.qSoftDedupPico(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == full.keySet && pico.keySet == full.keySet)
+    full.foreach { case (src, (nDocs, effPico, nInClusters)) =>
+      assert(counts(src)._1 == nDocs, s"$src n_docs")
+      assert(counts(src)._2 == nInClusters, s"$src n_in_clusters")
+      // n_components per source is bounded by n_docs and at least
+      // n_docs - n_in_clusters (each unclustered doc is its own comp)
+      assert(counts(src)._3 <= nDocs && counts(src)._3 >= nDocs - nInClusters)
+      assert(pico(src) == effPico, s"$src effective_docs_pico")
+    }
+  }
+
   test("q103: weights are 1/cluster-size on crafted clusters") {
     import spark.implicits._
     val docs = Seq(

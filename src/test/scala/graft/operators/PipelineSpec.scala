@@ -253,6 +253,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(5) < r.getDouble(4))
   }
 
+  test("q47x/q104x: discrete order statistics hand-computed, with ties and tiny groups") {
+    import spark.implicits._
+    // group a: values 10,20,20,30,40 (n=5):
+    //   p=0.5 -> k=ceil(2.5)=3 -> 3rd smallest = 20
+    //   p=0.9 -> k=ceil(4.5)=5 -> 40
+    // group b: single value (n=1): k=max(1,ceil(p))=1 -> 7 for both p
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L), ("a", 40L),
+      ("b", 7L)).toDF("g", "v")
+    val got = Pipeline.groupOrderStatistics(df, "g", "v", Seq(0.5, 0.9))
+      .select("g", "p", "k", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", 0.5, 3L, 20L), ("a", 0.9, 5L, 40L),
+      ("b", 0.5, 1L, 7L), ("b", 0.9, 1L, 7L)))
+    // the cents twin reconciles with the float winsorize on the real
+    // table: same group counts, and the winsorized means agree to
+    // well under 1% (the discrete rank k=ceil(p·n) sits strictly
+    // within ONE rank of the interpolation position 1+p·(n-1), so the
+    // clip bounds differ by at most one order-statistic gap, which
+    // moves the clipped mean by ≤ 0.1× that gap)
+    val cents = Pipeline.qWinsorizeCents(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    Pipeline.qWinsorize(spark, sf).collect().foreach { r =>
+      val (n, sumC) = cents(r.getString(0))
+      assert(n == r.getLong(1), s"${r.getString(0)}: n mismatch")
+      val meanTwin = sumC / 100.0 / n
+      val meanOrig = r.getDouble(5)
+      assert(math.abs(meanTwin - meanOrig) <= 0.01 * meanOrig.abs,
+        s"${r.getString(0)}: winsorized means diverge: $meanTwin vs $meanOrig")
+    }
+  }
+
   test("q110: delta-maintained sheet is indistinguishable from a full v2 rescan") {
     import graft.functions.tokenCount
     // rebuild v2 from scratch with the same changeset rules, then sheet
