@@ -326,6 +326,12 @@ object Bench {
     "q271_equidepth_edges",
     "q272_anderson_darling",
     "q273_cohens_d",
+    "q274_edit_distance_pairs",
+    "q275_benford_audit",
+    "q276_concurrency_sweep",
+    "q277_decile_lift",
+    "q278_kendall_tau",
+    "q279_runs_test",
   )
 
   def main(args: Array[String]): Unit = {

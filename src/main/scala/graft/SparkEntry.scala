@@ -632,6 +632,21 @@ object SparkEntry {
     // q273: Cohen's d / Hedges' g — the effect-size readout completing
     // the A/B triplet (test q234, CI q252, magnitude here)
     "q273_cohens_d" -> (Stats.qCohensD _),
+    // q274: blocked Levenshtein near-dup pairs — typo-level entity
+    // resolution (length-band prefilter before the O(len²) DP)
+    "q274_edit_distance_pairs" -> ((s, d) => Dedup.qEditDistancePairs(s, d)),
+    // q275: Benford first-digit forensic audit over exact cents
+    "q275_benford_audit" -> (Stats.qBenfordAudit _),
+    // q276: interval-concurrency sweep — µs-weighted histogram of
+    // concurrent-session levels via the ±1 boundary sweep
+    "q276_concurrency_sweep" -> ((s, d) => Relational.qConcurrencySweep(s, d)),
+    // q277: decile gains/lift table with deterministic exact deciles
+    "q277_decile_lift" -> (Relational.qDecileLift _),
+    // q278: Kendall τ-b per nation (exact concordance/tie counts)
+    "q278_kendall_tau" -> (Stats.qKendallTau _),
+    // q279: Wald–Wolfowitz runs test on daily revenue vs its discrete
+    // median
+    "q279_runs_test" -> (Stats.qRunsTest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5488,5 +5503,142 @@ object SparkEntry {
                       * (1.0 - 3.0 / (4.0 * (n1::DOUBLE + n2::DOUBLE) - 9.0)),
                       6) AS hedges_g
          FROM st""",
+    // q274: blocked Levenshtein pairs — both engines implement classic
+    // unweighted edit distance, so the gate hashes exact integers;
+    // the length-band prefilter is part of the semantics (a lower
+    // bound on the distance, so it drops nothing under the threshold)
+    "q274_edit_distance_pairs" ->
+      """SELECT a.p_brand, a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND b.p_partkey > a.p_partkey
+         WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+           AND levenshtein(a.p_name, b.p_name) <= 4""",
+    // q275: Benford — the digit comes from the BIGINT cents STRING
+    // (integer rendering is engine-invariant; double rendering is
+    // not); log10 is the single final libm step, spelled identically
+    "q275_benford_audit" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice
+                      AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                      AS INT) AS digit
+                    FROM lineitem),
+         g AS (SELECT digit, COUNT(*) AS n_obs FROM c
+               WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+         t AS (SELECT SUM(n_obs) AS n_total FROM g)
+         SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+                n_obs::DOUBLE / t.n_total::DOUBLE AS obs_freq,
+                LOG10(1.0 + 1.0 / digit::DOUBLE) AS expected_freq
+         FROM g, t""",
+    // q276: the ±1 sweep; ties order by (t, delta DESC) and the
+    // running sum uses the default RANGE frame on BOTH engines, so
+    // peer rows share the post-peer-group sum and the (level,
+    // duration) multiset is tie-order-invariant
+    "q276_concurrency_sweep" ->
+      """WITH t AS (
+           SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+                    AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM t),
+         iv AS (SELECT user_id, sess, epoch_us(MIN(ts)) AS s_us,
+                       epoch_us(MAX(ts)) AS e_us
+                FROM s GROUP BY user_id, sess),
+         pts AS (SELECT s_us AS t, 1 AS delta FROM iv
+                 UNION ALL SELECT e_us, -1 FROM iv),
+         sw AS (SELECT CAST(SUM(delta) OVER (ORDER BY t, delta DESC) AS BIGINT)
+                         AS conc,
+                       LEAD(t) OVER (ORDER BY t, delta DESC) - t AS dur_us
+                FROM pts)
+         SELECT conc AS concurrency, CAST(SUM(dur_us) AS BIGINT) AS total_us
+         FROM sw WHERE dur_us IS NOT NULL AND dur_us > 0
+         GROUP BY conc""",
+    // q277: deciles from ROW_NUMBER over (spend DESC, custkey) — fully
+    // deterministic under ties (NTILE's remainder placement is not
+    // contract-stable across engines); floor division on nonnegative
+    // numerators agrees between Spark div and DuckDB //
+    "q277_decile_lift" ->
+      """WITH spend AS (SELECT o_custkey,
+                  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS cents
+                FROM orders GROUP BY o_custkey),
+         n AS (SELECT COUNT(*) AS n FROM spend),
+         r AS (SELECT cents,
+                      ((CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+                          AS BIGINT) - 1) * 10) // n.n AS decile
+               FROM spend, n),
+         g AS (SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS sum_cents
+               FROM r GROUP BY decile)
+         SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+                CAST(sum_cents AS BIGINT) AS sum_cents,
+                CAST(SUM(sum_cents) OVER (ORDER BY decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+         FROM g""",
+    // q278: Kendall τ-b — concordance over nation-blocked pairs of the
+    // per-customer aggregate; SIGN on doubles (cents < 2^53, exact);
+    // τ-b denominator NULLed at zero on both engines
+    "q278_kendall_tau" ->
+      """WITH spend AS (SELECT o_custkey, COUNT(*) AS x,
+                  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS y
+                FROM orders GROUP BY o_custkey),
+         cust AS (SELECT c_nationkey AS nation, c_custkey AS k, x, y
+                  FROM customer JOIN spend ON c_custkey = o_custkey),
+         p AS (SELECT a.nation,
+                      SIGN(a.x::DOUBLE - b.x::DOUBLE) AS sx,
+                      SIGN(a.y::DOUBLE - b.y::DOUBLE) AS sy
+               FROM cust a JOIN cust b ON a.nation = b.nation AND b.k > a.k),
+         g AS (SELECT nation,
+                 CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conc,
+                 CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_disc,
+                 CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_tie_x,
+                 CAST(SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_tie_y,
+                 CAST(SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_tie_xy
+               FROM p GROUP BY nation)
+         SELECT nation, n_conc, n_disc, n_tie_x, n_tie_y, n_tie_xy,
+                (n_conc::DOUBLE - n_disc::DOUBLE) /
+                NULLIF(SQRT((n_conc::DOUBLE + n_disc::DOUBLE + n_tie_x::DOUBLE)
+                  * (n_conc::DOUBLE + n_disc::DOUBLE + n_tie_y::DOUBLE)), 0.0)
+                  AS tau_b
+         FROM g""",
+    // q279: runs test — the median is the DISCRETE k=ceil(n/2)-th
+    // order statistic (an actual element, no interpolation); the z
+    // arithmetic mirrors the Spark expression term-for-term
+    "q279_runs_test" ->
+      """WITH daily AS (SELECT o_orderdate,
+                  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS cents
+                FROM orders GROUP BY o_orderdate),
+         c AS (SELECT COUNT(*) AS n FROM daily),
+         med AS (SELECT MIN(cents) AS med FROM (
+                   SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum, c.n
+                   FROM (SELECT cents, COUNT(*) AS cnt FROM daily GROUP BY cents),
+                        c)
+                 WHERE cum >= GREATEST(1, CAST(CEIL(n / 2.0) AS BIGINT))),
+         sgn AS (SELECT o_orderdate,
+                        CASE WHEN cents > med.med THEN 1 ELSE 0 END AS above
+                 FROM daily, med),
+         r AS (SELECT above, CASE WHEN LAG(above) OVER w IS NULL
+                 OR above <> LAG(above) OVER w THEN 1 ELSE 0 END AS brk
+               FROM sgn WINDOW w AS (ORDER BY o_orderdate)),
+         agg AS (SELECT CAST(SUM(above) AS BIGINT) AS n_above,
+                        CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below,
+                        CAST(SUM(brk) AS BIGINT) AS n_runs
+                 FROM r)
+         SELECT n_above, n_below, n_runs,
+                (n_runs::DOUBLE - (2.0 * n_above::DOUBLE * n_below::DOUBLE
+                   / (n_above::DOUBLE + n_below::DOUBLE) + 1.0)) /
+                NULLIF(SQRT(2.0 * n_above::DOUBLE * n_below::DOUBLE
+                   * (2.0 * n_above::DOUBLE * n_below::DOUBLE
+                      - n_above::DOUBLE - n_below::DOUBLE)
+                   / ((n_above::DOUBLE + n_below::DOUBLE)
+                      * (n_above::DOUBLE + n_below::DOUBLE)
+                      * (n_above::DOUBLE + n_below::DOUBLE - 1.0))), 0.0) AS z
+         FROM agg""",
   )
 }

@@ -2096,4 +2096,78 @@ object Relational {
           col("e_sec") - expr("asof_packed div 100000L")).as("age_sec"))
       .withColumn("matched", col("last_purchase_cents").isNotNull.cast("int"))
   }
+
+  /** q276: interval-concurrency sweep — how much wall time the system
+    * spends at each level of concurrent user sessions. Sessions (q74's
+    * 30-minute gap rule) become [start, end] intervals; the classic
+    * ±1 boundary sweep with a running sum gives instantaneous
+    * concurrency, and grouping by level yields the exact µs-weighted
+    * histogram — the capacity-planning primitive (peak concurrency =
+    * the max level with nonzero time).
+    *
+    * Tie discipline that makes the result engine-invariant: boundary
+    * points order by (t, delta DESC) so same-instant starts count
+    * before ends (closed intervals), and the running sum uses the
+    * default RANGE frame, so PEER rows (same t, same delta) all carry
+    * the sum over the whole peer group — the multiset of
+    * (level, duration) rows is then independent of arbitrary tie
+    * order, and zero-duration intermediate rows vanish in the
+    * group-by.
+    *
+    * Scale: the sweep runs over the SESSION table (aggregate-sized,
+    * ~events/30), not raw events; its global ordered window is the
+    * honest cost — at cluster scale the same sweep range-partitions by
+    * time with per-partition offsets (one extra pass), which the
+    * boundary multiset makes trivially mergeable. */
+  def qConcurrencySweep(s: SparkSession, d: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val sess = events(s, d).select(col("user_id"), col("ts"))
+      .withColumn("new_sess",
+        when(prev.isNull ||
+          col("ts") >= prev + expr(s"INTERVAL $gapMinutes minutes"), 1).otherwise(0))
+      .withColumn("sess", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess")
+      .agg(unix_micros(min("ts")).as("s_us"), unix_micros(max("ts")).as("e_us"))
+    val pts = sess.select(col("s_us").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("e_us").as("t"), lit(-1L).as("delta")))
+    val sweep = Window.orderBy(col("t"), col("delta").desc)
+    pts
+      .withColumn("conc", sum("delta").over(sweep)) // RANGE default: peers share the sum
+      .withColumn("dur_us", lead(col("t"), 1).over(sweep) - col("t"))
+      .filter(col("dur_us").isNotNull && col("dur_us") > 0)
+      .groupBy(col("conc").as("concurrency"))
+      .agg(sum("dur_us").as("total_us"))
+  }
+
+  /** q277: decile gains table over customer spend — the model-eval
+    * lift/gains primitive (score the population, cut into ten exact
+    * deterministic deciles, report each decile's share): per spend
+    * decile (0 = highest spenders), customer count, exact cents total,
+    * and the running cumulative. Deciles come from ROW_NUMBER over
+    * (spend DESC, custkey) — fully deterministic under ties, unlike
+    * NTILE's engine-specific remainder placement — as
+    * decile = ((rank−1)·10) div n.
+    * Scale: ranks over the per-customer AGGREGATE; the fact scan is
+    * one shuffle on custkey, and the final table is ten rows. The
+    * global rank window range-partitions at cluster scale (the q154
+    * z-order layout note applies). */
+  def qDecileLift(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy("o_custkey").agg(
+      sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val n = spend.count()
+    val rk = Window.orderBy(col("cents").desc, col("o_custkey"))
+    spend
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .withColumn("decile", expr(s"((rk - 1L) * 10L) div ${n}L"))
+      .drop("rk")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("sum_cents"))
+      .withColumn("cum_cents",
+        sum("sum_cents").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

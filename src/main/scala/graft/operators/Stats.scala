@@ -2072,4 +2072,118 @@ object Stats {
           * (col("sa") / d2(col("n_a")) + col("sb") / d2(col("n_b"))), 6)
           .as("a2"))
   }
+
+  /** q275: Benford first-digit audit — the forensic data-quality test
+    * (Benford 1938; Nigrini's fraud-audit usage): the leading digit of
+    * a naturally-scaled money column should follow log10(1 + 1/d).
+    * The digit is taken from the BIGINT cents rendering (integer
+    * formatting is identical across engines; a double's string form is
+    * NOT), counts are exact integers, and the expected frequency is
+    * the single final libm step, spelled identically on both engines.
+    * Scale: one scan, a 9-row aggregate — map-side partials do all the
+    * work. */
+  def qBenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    lineitem(s, d)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("n_total", sum("n_obs").over(Window.partitionBy()))
+      .select(col("digit"), col("n_obs"),
+        (d2(col("n_obs")) / d2(col("n_total"))).as("obs_freq"),
+        log10(lit(1.0) + lit(1.0) / d2(col("digit"))).as("expected_freq"))
+  }
+
+  /** q278: Kendall rank correlation (τ-b) per nation between a
+    * customer's order count and total spend — the third rank-dependence
+    * measure beside Spearman (q179) and Pearson (q223), and the robust
+    * one under ties (Kendall 1945's tie-corrected form). Concordant /
+    * discordant / tie counts are exact BIGINTs from a blocked pair
+    * join (pairs within a nation only); τ-b's square roots are the
+    * single final libm step.
+    *
+    * Scale: pairs are nation-blocked over the per-customer AGGREGATE
+    * (customers ≪ orders), so the join is block²-bounded on a table
+    * three orders of magnitude smaller than the fact table; for
+    * country-scale blocks the O(n log n) inversion-count formulation
+    * replaces the pair join (same statistic, merge-sort device). */
+  def qKendallTau(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy("o_custkey").agg(
+      count(lit(1)).as("x"),
+      sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("y"))
+    val cust = customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").as("nation"), col("c_custkey").as("k"),
+        col("x"), col("y"))
+    val a = cust.select(col("nation"), col("k").as("ka"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = cust.select(col("nation"), col("k").as("kb"),
+      col("x").as("xb"), col("y").as("yb"))
+    val sx = signum(d2(col("xa")) - d2(col("xb")))
+    val sy = signum(d2(col("ya")) - d2(col("yb")))
+    val pairs = a.join(b, Seq("nation"))
+      .filter(col("kb") > col("ka"))
+      .select(col("nation"),
+        when(sx * sy > 0, 1L).otherwise(0L).as("conc"),
+        when(sx * sy < 0, 1L).otherwise(0L).as("disc"),
+        when(sx === 0 && sy =!= 0, 1L).otherwise(0L).as("tx"),
+        when(sy === 0 && sx =!= 0, 1L).otherwise(0L).as("ty"),
+        when(sx === 0 && sy === 0, 1L).otherwise(0L).as("txy"))
+    pairs.groupBy("nation")
+      .agg(sum("conc").as("n_conc"), sum("disc").as("n_disc"),
+        sum("tx").as("n_tie_x"), sum("ty").as("n_tie_y"),
+        sum("txy").as("n_tie_xy"))
+      .select(col("nation"), col("n_conc"), col("n_disc"),
+        col("n_tie_x"), col("n_tie_y"), col("n_tie_xy"), {
+          // a block whose pairs are ALL tied in x (or all in y) has a
+          // zero denominator: NULL the divisor (ANSI-safe), per the
+          // repo's zero-denominator rule
+          val den = sqrt(
+            (d2(col("n_conc")) + d2(col("n_disc")) + d2(col("n_tie_x")))
+              * (d2(col("n_conc")) + d2(col("n_disc")) + d2(col("n_tie_y"))))
+          ((d2(col("n_conc")) - d2(col("n_disc"))) /
+            when(den =!= 0.0, den)).as("tau_b")
+        })
+  }
+
+  /** q279: Wald–Wolfowitz runs test on the daily order-revenue series —
+    * the classical randomness check (Wald & Wolfowitz 1940): does
+    * revenue wander above/below its median in too-few (trend) or
+    * too-many (oscillation) runs? The median is the DISCRETE k-th
+    * order statistic (k = ceil(n/2)) so both engines pick the same
+    * actual element; runs/n1/n2 are exact integers from one LAG pass;
+    * the normal approximation z is the final double step.
+    * Scale: the fact scan collapses to ~2.4k daily rows before any
+    * window — the series table is aggregate-sized. */
+  def qRunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d).groupBy("o_orderdate").agg(
+      sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val n = daily.count()
+    val k = math.max(1L, math.ceil(n / 2.0).toLong)
+    val med = daily.select(col("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("cents")))
+      .filter(col("cum") >= k)
+      .agg(min("cents")).head().getLong(0)
+    val w = Window.orderBy("o_orderdate")
+    val signed = daily
+      .withColumn("above", when(col("cents") > med, 1).otherwise(0))
+      .withColumn("brk",
+        when(lag(col("above"), 1).over(w).isNull ||
+          col("above") =!= lag(col("above"), 1).over(w), 1L).otherwise(0L))
+    signed.agg(
+      sum("above").cast("long").as("n_above"),
+      (count(lit(1)) - sum("above")).cast("long").as("n_below"),
+      sum("brk").as("n_runs"))
+      .select(col("n_above"), col("n_below"), col("n_runs"), {
+        val a = d2(col("n_above"))
+        val b = d2(col("n_below"))
+        val den = sqrt(lit(2.0) * a * b * (lit(2.0) * a * b - a - b) /
+          ((a + b) * (a + b) * (a + b - lit(1.0))))
+        ((d2(col("n_runs")) - (lit(2.0) * a * b / (a + b) + lit(1.0))) /
+          when(den =!= 0.0, den)).as("z") // degenerate series (a or b = 0)
+      })
+  }
 }
