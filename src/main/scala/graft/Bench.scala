@@ -332,6 +332,7 @@ object Bench {
     "q277_decile_lift",
     "q278_kendall_tau",
     "q279_runs_test",
+    "q280_jaro_winkler_pairs",
   )
 
   def main(args: Array[String]): Unit = {

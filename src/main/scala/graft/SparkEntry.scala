@@ -647,6 +647,9 @@ object SparkEntry {
     // q279: Wald–Wolfowitz runs test on daily revenue vs its discrete
     // median
     "q279_runs_test" -> (Stats.qRunsTest _),
+    // q280: blocked Jaro–Winkler pairs via the codegen'd expression,
+    // semantics pinned to DuckDB's jaro_winkler_similarity
+    "q280_jaro_winkler_pairs" -> ((s, d) => Dedup.qJaroWinklerPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5640,5 +5643,15 @@ object SparkEntry {
                       * (n_above::DOUBLE + n_below::DOUBLE)
                       * (n_above::DOUBLE + n_below::DOUBLE - 1.0))), 0.0) AS z
          FROM agg""",
+    // q280: the Spark side's JaroWinklerExpr is pinned to DuckDB's
+    // jaro_winkler_similarity semantics (boost only when jaro > 0.7);
+    // the threshold keeps a measured 0.005 margin above any ulp-level
+    // divergence, and the score column rides the 1e-6 rtol
+    "q280_jaro_winkler_pairs" ->
+      """SELECT a.p_brand, a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+                jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND b.p_partkey > a.p_partkey
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""",
   )
 }

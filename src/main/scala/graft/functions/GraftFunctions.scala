@@ -45,6 +45,12 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "sorted_intersect_size(a, b) takes exactly two sorted ARRAY<BIGINT> arguments")
       }, "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => JaroWinklerExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "jaro_winkler(a, b) takes exactly two STRING arguments")
+      }, "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t) => WinnowFingerprint(t, 8, 4)

@@ -52,6 +52,12 @@ package object functions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
 
+  /** Jaro–Winkler similarity of two STRING columns — native codegen'd
+    * ([[JaroWinklerExpr]], semantics pinned to DuckDB's
+    * `jaro_winkler_similarity`); requires [[GraftFunctions.register]]. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
+
   /** Exact Jaccard over [[hashedShingleSet]] representations:
     * inter / (|A| + |B| − inter) with a single merge-walk intersection.
     * Value-identical to [[jaccard]] on the underlying string sets

@@ -919,6 +919,34 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"))
   }
 
+  /** q280: blocked Jaro–Winkler near-dup pairs — q274's
+    * entity-resolution sibling for the error model edit distance
+    * under-serves: transposed/abbreviated name variants, where
+    * character-position similarity with a common-prefix boost is the
+    * literature-standard scorer (Winkler '90 on census name linkage).
+    * Same brand blocking + self-join shape as q274; the scorer is the
+    * repo's codegen'd [[graft.functions.JaroWinklerExpr]], so the
+    * whole pair pipeline stays in whole-stage codegen.
+    *
+    * The ≥ 0.9 threshold keeps a wide margin (measured fixture minimum
+    * 0.905) above the ~1-ulp double divergence any two correct
+    * implementations can show, so the row SET is engine-stable and the
+    * score column passes the gate's 1e-6 rtol. */
+  def qJaroWinklerPairs(s: SparkSession, d: String,
+      threshold: Double = 0.9): DataFrame = {
+    GraftFunctions.register(s)
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"),
+      col("p_partkey").as("partkey_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"),
+      col("p_partkey").as("partkey_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("partkey_b") > col("partkey_a"))
+      .filter(jaroWinkler(col("name_a"), col("name_b")) >= threshold)
+      .select(col("p_brand"), col("partkey_a"), col("partkey_b"),
+        jaroWinkler(col("name_a"), col("name_b")).as("jw"))
+  }
+
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */
   private val lastMinhashCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()

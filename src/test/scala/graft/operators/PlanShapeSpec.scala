@@ -129,4 +129,28 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"query set not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
+
+  test("q274/q280 blocked similarity joins: equi-join on the block key, no cartesian") {
+    // the entity-resolution pairs must join ON the block (a hash or
+    // broadcast equi-join with the similarity as a post-join filter),
+    // never degrade to a cartesian/nested-loop over the whole table —
+    // the property that keeps candidates block²-bounded at scale
+    Seq(Dedup.qEditDistancePairs(spark, sf),
+      Dedup.qJaroWinklerPairs(spark, sf)).foreach { df =>
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected an equi-join on the block key:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"block key not used:\n$plan")
+    }
+  }
+
+  test("q277 decile lift: ranks ride the per-customer aggregate, then a ten-row rollup") {
+    // one exchange for the custkey rollup + the single-partition rank
+    // exchange over the AGGREGATE (documented cost) + the decile
+    // rollup — nothing re-shuffles the fact table twice
+    assert(shuffles(Relational.qDecileLift(spark, sf)) <= 3)
+  }
 }
