@@ -650,6 +650,9 @@ object SparkEntry {
     // q280: blocked Jaro–Winkler pairs via the codegen'd expression,
     // semantics pinned to DuckDB's jaro_winkler_similarity
     "q280_jaro_winkler_pairs" -> ((s, d) => Dedup.qJaroWinklerPairs(s, d)),
+    // q281: streaming exact percentile monitor — the tenth bit-exact
+    // stream/batch parity; same oracle as the batch q268 timeline
+    "q281_streaming_percentile" -> (graft.streaming.EventTime.qStreamingPercentile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5653,5 +5656,32 @@ object SparkEntry {
          FROM part a JOIN part b
            ON a.p_brand = b.p_brand AND b.p_partkey > a.p_partkey
          WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""",
+    // q281: the streamed exact percentile monitor must equal the BATCH
+    // q268 timeline — its oracle verbatim is the parity's second gate
+    "q281_streaming_percentile" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                     FROM events),
+         st AS (SELECT MIN(day) AS d0 FROM ev),
+         keyed AS (SELECT event_type,
+                          date_diff('day', st.d0, ev.day) // 7 AS week, v
+                   FROM ev, st),
+         cnt AS (SELECT event_type, week, v, COUNT(*) AS c
+                 FROM keyed GROUP BY 1, 2, 3),
+         cum AS (SELECT event_type, week, v, c,
+                        SUM(c) OVER (PARTITION BY event_type, week
+                                     ORDER BY v ROWS UNBOUNDED PRECEDING)
+                          AS cum
+                 FROM cnt),
+         ns AS (SELECT event_type, week, SUM(c) AS n
+                FROM cnt GROUP BY 1, 2)
+         SELECT c.event_type, CAST(c.week AS BIGINT) AS week,
+                CAST(MAX(n.n) AS BIGINT) AS n,
+                CAST(MIN(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT)
+                  AS p50_cents,
+                CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT)
+                  AS p90_cents
+         FROM cum c JOIN ns n USING (event_type, week)
+         GROUP BY 1, 2""",
   )
 }

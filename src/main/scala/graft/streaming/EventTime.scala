@@ -831,6 +831,51 @@ object EventTime {
         r.getAs[Array[Byte]]("bits")).toMap
   }
 
+  /** q281: streaming exact percentile monitor
+    * ([[Stateful.percentileProgress]]) — the TENTH bit-exact
+    * stream/batch parity and the first over the TRUE VALUE DOMAIN:
+    * state is the exact per-(type, week) cents rollup (counter-ADD,
+    * order-invariant), so the weekly P50/P90 table read off the
+    * streamed state equals the batch q268 timeline CELL FOR CELL
+    * (EventTimeSpec asserts table equality against
+    * [[graft.operators.Stats.qPercentileTimeline]]), and the gate row
+    * hashes green against q268's own oracle — the strongest parity
+    * shape available (not a sketch agreeing with itself, the exact
+    * answer agreeing across execution models).
+    *
+    * The week epoch (first event day) is read batch-side once — in a
+    * deployed monitor the epoch is configuration; deriving it inside
+    * keyed state would make week boundaries depend on per-key arrival
+    * order, which is exactly what a parity must not do. */
+  def qStreamingPercentile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d0 = graft.operators.Tables.events(s, d)
+      .agg(min(to_date(col("ts")))).head().getAs[java.sql.Date](0)
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"),
+        expr(s"CAST(datediff(to_date(ts), date'$d0') div 7 AS BIGINT)").as("week"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(String, Long, Long)]
+    val prog = Stateful.percentileProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q281 must exercise cross-batch rollup state, saw $dataBatches data batches")
+    s.table(name).groupBy("event_type")
+      .agg(max_by(col("weekly"), col("n_seen")).as("weekly"))
+      .select(col("event_type"), explode(col("weekly")).as("w"))
+      .select(col("event_type"), col("w._1").as("week"), col("w._2").as("n"),
+        col("w._3").as("p50_cents"), col("w._4").as("p90_cents"))
+  }
+
   /** Final streamed KMV bottom-k vectors per type (spec hook:
     * compared bit for bit to an independent batch window-rank
     * bottom-k over the same events). */

@@ -673,4 +673,63 @@ object Stateful {
           ThrottleProgress(key._1, key._2, total, dropped)
       }
   }
+
+  case class PercentileProgress(event_type: String, n_seen: Long,
+      weekly: Seq[(Long, Long, Long, Long)]) // (week, n, p50_cents, p90_cents)
+
+  /** q281 core: per-type streaming EXACT percentile monitor — the
+    * streaming twin of the batch q268 SLO timeline. State is the exact
+    * (week, cents) → count rollup packed as sorted (week·10⁹+cents,
+    * count) pairs: counter ADDITION, the same order-invariant algebra
+    * as the CMS parity (q242) but over the true value domain instead
+    * of hashed cells — so after ANY replay prefix the derived weekly
+    * P50/P90 table (integer rank rules 2·cum ≥ n / 10·cum ≥ 9·n, the
+    * q248/q268 discipline) is a pure function of the event MULTISET
+    * and the final table equals the batch computation bit for bit.
+    *
+    * Scale trade, documented: exact percentiles need the full value
+    * rollup — state grows with the per-(type, week) distinct-value
+    * count (bounded here by the 10⁵ cents domain; a true continuous
+    * domain swaps in the q49 mergeable-sketch path and this stays the
+    * correctness anchor). */
+  case class PctState(entries: Seq[(Long, Long)])
+
+  def percentileProgress(events: Dataset[(String, Long, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[PercentileProgress] = {
+    implicit val stE: Encoder[PctState] = Encoders.product[PctState]
+    implicit val outE: Encoder[PercentileProgress] =
+      Encoders.product[PercentileProgress]
+    implicit val inE: Encoder[(String, Long, Long)] =
+      Encoders.product[(String, Long, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val Pack = 1000000000L
+    events.groupByKey(_._1)
+      .mapGroupsWithState[PctState, PercentileProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[PctState]) =>
+          val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(_.entries.foreach { case (k, c) => acc(k) = c })
+          it.foreach { case (_, week, cents) =>
+            require(cents >= 0 && cents < Pack, s"cents $cents outside pack domain")
+            val k = week * Pack + cents
+            acc(k) = acc.getOrElse(k, 0L) + 1L
+          }
+          val sorted = acc.toSeq.sortBy(_._1)
+          state.update(PctState(sorted))
+          val weekly = sorted.groupBy(_._1 / Pack).toSeq.sortBy(_._1).map {
+            case (w, entries) =>
+              val total = entries.map(_._2).sum
+              var cum = 0L
+              var p50 = -1L
+              var p90 = -1L
+              entries.foreach { case (k, c) => // already v-ascending within w
+                cum += c
+                if (p50 < 0 && cum * 2 >= total) p50 = k % Pack
+                if (p90 < 0 && cum * 10 >= total * 9) p90 = k % Pack
+              }
+              (w, total, p50, p90)
+          }
+          PercentileProgress(tpe, weekly.map(_._2).sum, weekly)
+      }
+  }
 }

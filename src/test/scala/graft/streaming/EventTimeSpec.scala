@@ -304,4 +304,22 @@ class EventTimeSpec extends AnyFunSuite {
     // exercised on tie cuts, not vacuously on distinct timestamps
     assert(bounds.forall { case ((tsLo, _), (tsHi, _)) => tsLo == tsHi })
   }
+
+  test("q281: streamed exact percentile table equals the batch q268 timeline cell for cell") {
+    // the TENTH bit-exact stream/batch parity — and the first over the
+    // true value domain: the state algebra is exact counter addition
+    // on (week, cents), so the weekly P50/P90 read off streamed state
+    // after the full replay must EQUAL the batch computation, not
+    // approximate it
+    val streamed = graft.streaming.EventTime.qStreamingPercentile(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = graft.operators.Stats.qPercentileTimeline(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed == batch)
+    assert(batch.size >= 6, s"degenerate timeline: ${batch.size} cells")
+  }
 }
