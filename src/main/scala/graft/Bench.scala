@@ -333,6 +333,7 @@ object Bench {
     "q278_kendall_tau",
     "q279_runs_test",
     "q280_jaro_winkler_pairs",
+    "q282_k_anonymity",
   )
 
   def main(args: Array[String]): Unit = {

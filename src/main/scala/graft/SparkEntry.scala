@@ -653,6 +653,9 @@ object SparkEntry {
     // q281: streaming exact percentile monitor — the tenth bit-exact
     // stream/batch parity; same oracle as the batch q268 timeline
     "q281_streaming_percentile" -> (graft.streaming.EventTime.qStreamingPercentile _),
+    // q282: k-anonymity / l-diversity release audit over the QI
+    // (nation, segment, balance band) with order-activity sensitive
+    "q282_k_anonymity" -> ((s, d) => Pipeline.qKAnonymity(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5683,5 +5686,24 @@ object SparkEntry {
                   AS p90_cents
          FROM cum c JOIN ns n USING (event_type, week)
          GROUP BY 1, 2""",
+    // q282: exact integer privacy audit; FLOOR on nonnegative-or-
+    // negative acctbal/6000 agrees (IEEE floor, both engines), the
+    // band is a BIGINT on both sides
+    "q282_k_anonymity" ->
+      """WITH oc AS (SELECT o_custkey, COUNT(*) AS n_ord
+                     FROM orders GROUP BY o_custkey),
+         c AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                      CAST(FLOOR(c_acctbal / 6000.0) AS BIGINT) AS bal_band,
+                      LEAST(COALESCE(oc.n_ord, 0), 3) AS sens
+               FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+         g AS (SELECT nation, segment, bal_band, COUNT(*) AS group_size,
+                      COUNT(DISTINCT sens) AS l_div
+               FROM c GROUP BY 1, 2, 3)
+         SELECT nation, segment, bal_band,
+                CAST(group_size AS BIGINT) AS group_size,
+                CAST(l_div AS BIGINT) AS l_div,
+                CAST(group_size >= 5 AS INT) AS k_anonymous,
+                CAST(l_div >= 2 AS INT) AS l_diverse
+         FROM g""",
   )
 }

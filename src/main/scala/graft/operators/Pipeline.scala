@@ -561,6 +561,38 @@ object Pipeline {
         sum("clipped").as("sum_winsor_cents"))
   }
 
+  /** q282: k-anonymity / l-diversity release audit (Sweeney 2002;
+    * Machanavajjhala 2007) — the privacy gate a dataset release runs
+    * before publication: group the table by its quasi-identifier
+    * combination (nation × market segment × account-balance band — the
+    * attributes a linker could join on) and report each group's size
+    * (k-anonymity: a group of size < k re-identifies its members) and
+    * the diversity of the sensitive attribute within it (l-diversity:
+    * a group whose members all share the sensitive value leaks it even
+    * at k ≥ threshold). Sensitive attribute here: the customer's
+    * order-count band (capped at 3) — activity level, joined from the
+    * fact table.
+    *
+    * Scale: order counts collapse map-side on custkey (one shuffle),
+    * the audit itself is one rollup over the QI key — the same shape
+    * at 10⁹ customers. All integers. */
+  def qKAnonymity(s: SparkSession, d: String, k: Int = 5,
+      l: Int = 2): DataFrame = {
+    val oc = orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n_ord"))
+    customer(s, d)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        expr("CAST(FLOOR(c_acctbal / 6000.0) AS BIGINT)").as("bal_band"),
+        least(coalesce(col("n_ord"), lit(0L)), lit(3L)).as("sens"))
+      .groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("sens")).as("l_div"))
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("group_size"), col("l_div"),
+        (col("group_size") >= k).cast("int").as("k_anonymous"),
+        (col("l_div") >= l).cast("int").as("l_diverse"))
+  }
+
   /** q95: single-pass relational data profiler — the table-side
     * datasheet (q85 profiles the text corpus): per-column non-null
     * count, exact distinct count, and numeric min/max/mean over

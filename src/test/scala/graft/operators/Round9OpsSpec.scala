@@ -156,6 +156,35 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(want.values.flatMap(_._6).exists(_ > 0.3))
   }
 
+  test("q282: k-anonymity audit matches a driver-side QI walk") {
+    val nOrd = Tables.orders(spark, sf).select("o_custkey").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.size.toLong).toMap
+    val groups = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .collect()
+      .map { r =>
+        val qi = (r.getInt(1), r.getString(2),
+          math.floor(r.getDouble(3) / 6000.0).toLong)
+        val sens = math.min(nOrd.getOrElse(r.getLong(0), 0L), 3L)
+        (qi, sens)
+      }
+      .groupBy(_._1).map { case (qi, rows) =>
+        qi -> (rows.size.toLong, rows.map(_._2).distinct.size.toLong)
+      }
+    val got = Pipeline.qKAnonymity(spark, sf).collect().map { r =>
+      ((r.getInt(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getInt(5), r.getInt(6)))
+    }.toMap
+    assert(got.keySet == groups.keySet)
+    groups.foreach { case (qi, (n, ldiv)) =>
+      val (gn, gl, ka, ld) = got(qi)
+      assert(gn == n && gl == ldiv, s"$qi size/ldiv")
+      assert(ka == (if (n >= 5) 1 else 0) && ld == (if (ldiv >= 2) 1 else 0), s"$qi flags")
+    }
+    // the audit must find actual risk AND actual safety to be useful
+    assert(got.values.exists(_._3 == 0), "no at-risk group — degenerate QI?")
+  }
+
   test("q279: runs test matches a driver-side median/runs walk") {
     val daily = Tables.orders(spark, sf)
       .select(unix_micros(col("o_orderdate").cast("timestamp")).as("d"),
