@@ -916,3 +916,147 @@ object JaroWinklerExpr {
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }
+
+/** Banded Levenshtein with early abandon (Ukkonen 1985): the edit
+  * distance if it is ≤ `maxDist`, else −1 — computed over only the
+  * 2·d+1 diagonal band with every cell capped at d+1, bailing the
+  * moment a full band row exceeds d. Per-pair cost is O(d·min-prefix)
+  * on random non-matching strings (most pairs die within a few rows)
+  * versus the full O(n²) DP — measured 14.4 s → well under that on
+  * q274's ~8M blocked candidate pairs at sf0.1.
+  *
+  * Exactness: identical distances to the classic DP for every pair
+  * within the threshold (the band provably contains every path of
+  * cost ≤ d; Round9OpsSpec recomputes the full DP over all fixture
+  * pairs, and a property test cross-checks random strings). */
+case class LevenshteinWithin(left: Expression, right: Expression, maxDist: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if maxDist >= 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"levenshtein_within requires STRING args and maxDist >= 0")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LevenshteinWithin.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.LevenshteinWithin.compute($x, $y, $maxDist);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LevenshteinWithin =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "levenshtein_within"
+}
+
+object LevenshteinWithin {
+
+  // per-thread scratch rows: the DP would otherwise allocate two int
+  // arrays per PAIR — at ~10⁷ candidate pairs that allocation traffic,
+  // not the band walk, dominates (measured)
+  private val scratch = new ThreadLocal[(Array[Int], Array[Int])] {
+    override def initialValue(): (Array[Int], Array[Int]) =
+      (new Array[Int](256), new Array[Int](256))
+  }
+
+  /** Shared by interpreted eval and codegen. Walks BYTES (identical to
+    * chars on ASCII — the fast path); multi-byte inputs fall back to
+    * the char walk for correct per-character distances. */
+  def compute(a: UTF8String, b: UTF8String, d: Int): Int = {
+    if (a.numBytes != a.numChars || b.numBytes != b.numChars)
+      return computeChars(a.toString, b.toString, d)
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    if (math.abs(l1 - l2) > d) return -1
+    if (l1 == 0) return l2 // <= d by the length guard
+    if (l2 == 0) return l1
+    val inf = d + 1 // cells cap here: values past the threshold are all alike
+    var (prev, cur) = scratch.get()
+    if (prev.length < l2 + 2) {
+      prev = new Array[Int](l2 + 2)
+      cur = new Array[Int](l2 + 2)
+      scratch.set((prev, cur))
+    }
+    java.util.Arrays.fill(prev, 0, l2 + 1, inf)
+    var j = 0
+    while (j <= math.min(l2, d)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= l1) {
+      val lo = math.max(1, i - d)
+      val hi = math.min(l2, i + d)
+      cur(lo - 1) = if (lo == 1) math.min(i, inf) else inf
+      var rowMin = cur(lo - 1)
+      val c1 = s1(i - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (c1 == s2(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > d) return -1 // every path already costs > d
+      if (hi + 1 <= l2) cur(hi + 1) = inf // seal the band edge for the next row
+      System.arraycopy(cur, lo - 1, prev, lo - 1, hi - lo + 2 + (if (hi < l2) 1 else 0))
+      i += 1
+    }
+    if (prev(l2) <= d) prev(l2) else -1
+  }
+
+  /** Char-walk fallback for multi-byte (non-ASCII) inputs. */
+  private def computeChars(s1: String, s2: String, d: Int): Int = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (math.abs(l1 - l2) > d) return -1
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = d + 1
+    val prev = new Array[Int](l2 + 2)
+    val cur = new Array[Int](l2 + 2)
+    java.util.Arrays.fill(prev, 0, l2 + 1, inf)
+    var j = 0
+    while (j <= math.min(l2, d)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= l1) {
+      val lo = math.max(1, i - d)
+      val hi = math.min(l2, i + d)
+      cur(lo - 1) = if (lo == 1) math.min(i, inf) else inf
+      var rowMin = cur(lo - 1)
+      val c1 = s1.charAt(i - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (c1 == s2.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > d) return -1
+      if (hi + 1 <= l2) cur(hi + 1) = inf
+      System.arraycopy(cur, lo - 1, prev, lo - 1, hi - lo + 2 + (if (hi < l2) 1 else 0))
+      i += 1
+    }
+    if (prev(l2) <= d) prev(l2) else -1
+  }
+}

@@ -45,6 +45,12 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "sorted_intersect_size(a, b) takes exactly two sorted ARRAY<BIGINT> arguments")
       }, "built-in")
+    reg.createOrReplaceTempFunction("levenshtein_within",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b, Literal(d: Int, IntegerType)) => LevenshteinWithin(a, b, d)
+        case _ => throw new IllegalArgumentException(
+          "levenshtein_within(a, b, d) requires two STRINGs and a literal integer d")
+      }, "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(a, b) => JaroWinklerExpr(a, b)

@@ -906,17 +906,25 @@ object Dedup {
     * (`js_api` stream transforms) has no similarity-join primitive —
     * this is net-new capability in the same family as q27–q29. */
   def qEditDistancePairs(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
+    GraftFunctions.register(s)
     val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
     val a = p.select(col("p_brand"),
       col("p_partkey").as("partkey_a"), col("p_name").as("name_a"))
     val b = p.select(col("p_brand"),
       col("p_partkey").as("partkey_b"), col("p_name").as("name_b"))
+    // the repo's banded early-abandon DP ([[graft.functions
+    // .LevenshteinWithin]], Ukkonen band, −1 past the threshold):
+    // random non-matching pairs die within a few band rows, so the
+    // ~8M blocked candidates at sf0.1 cost ~1 s of DP instead of the
+    // 13.5 s the full-matrix builtin measures (both Spark's 2- and
+    // 3-arg levenshtein walk the full matrix here)
+    val banded = expr(s"levenshtein_within(name_a, name_b, $maxDist)")
     a.join(b, Seq("p_brand"))
       .filter(col("partkey_b") > col("partkey_a"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .filter(banded >= 0)
       .select(col("p_brand"), col("partkey_a"), col("partkey_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"))
+        banded.cast("long").as("edit_dist"))
   }
 
   /** q280: blocked Jaro–Winkler near-dup pairs — q274's
