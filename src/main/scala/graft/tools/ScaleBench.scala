@@ -131,7 +131,13 @@ object ScaleBench {
       // plus a full-edge anti-join; under the PARTKEY namespace shift
       // candidates stay copy-local, so the probe grounds the linear
       // wedge-growth claim directly
-      "q251_link_prediction")
+      "q251_link_prediction",
+      // round 19 (r9): the Benford scan (pure map-side rollup — the
+      // shape that must stay flat per-row at any factor) and the
+      // decile gains table (rank over the per-customer AGGREGATE —
+      // customers ×factor, the single-partition rank window is the
+      // documented cost to watch)
+      "q275_benford_audit", "q277_decile_lift")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
