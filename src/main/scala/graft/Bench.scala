@@ -399,13 +399,7 @@ object Bench {
     val canary2 = canaryTime()
     val canaries = Seq(canary0, canary1, canary2).flatten
     val canaryJson = canaries.map(v => f"$v%.3f").mkString("[", ",", "]")
-    // load vs warm-up have opposite signatures: JIT/code-cache warm-up
-    // can only inflate the FIRST sample (monotone decrease — measured
-    // 0.28/0.14/0.12 on a quiet box even after one warm-up pass),
-    // while host load inflates LATER samples. So only the post-start
-    // samples can raise the flag; the min over all three anchors it.
-    val loadSuspect = canaries.size >= 2 &&
-      canaries.tail.max > 2.0 * math.max(canaries.min, 1e-9)
+    val loadSuspect = Bench.loadSuspect(canaries)
     val qs = (results ++ extraResults ++ stream ++ engine).map {
       case (k, Some(v)) => "\"" + k + f"""":$v%.3f"""
       case (k, None) => "\"" + k + "\":null" // failed query: never report a timing
@@ -424,6 +418,17 @@ object Bench {
 
   /** Median wall-seconds over 3 runs of `body`; None if any run fails
     * (a flaky query must never report a timing). */
+  /** The load-canary verdict (VERDICT r8 #2): load vs warm-up have
+    * opposite signatures — JIT/code-cache warm-up can only inflate the
+    * FIRST sample (monotone decrease; measured 0.28/0.14/0.12 on a
+    * quiet box even after one warm-up pass), while host load inflates
+    * LATER samples. So only the post-start samples can raise the flag
+    * (> 2× the minimum over all samples); BenchCanarySpec pins the
+    * quiet/warm-up/mid-run-load/end-load shapes. */
+  private[graft] def loadSuspect(canaries: Seq[Double]): Boolean =
+    canaries.size >= 2 &&
+      canaries.tail.max > 2.0 * math.max(canaries.min, 1e-9)
+
   private def median3(body: => Unit): Option[Double] = {
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
