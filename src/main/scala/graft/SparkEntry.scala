@@ -207,6 +207,12 @@ object SparkEntry {
     // (q103a) and the picoweight-sum clause alone (q103b)
     "q103a_soft_dedup_counts" -> (Dedup.qSoftDedupCounts _),
     "q103b_soft_dedup_pico" -> (Dedup.qSoftDedupPico _),
+    // q103c/d/e: single-column contingency split of q103a (r9 verdict
+    // #1) — if the r10 BIGINT cast were not the q103 fix, whichever
+    // of these comes back red names the divergent column outright
+    "q103c_soft_dedup_ndocs" -> (Dedup.qSoftDedupNDocs _),
+    "q103d_soft_dedup_nclustered" -> (Dedup.qSoftDedupNInClusters _),
+    "q103e_soft_dedup_ncomponents" -> (Dedup.qSoftDedupNComponents _),
     // q104: group-wise winsorized stats (p05/p95 clip) — the feature
     // outlier-clamping step
     "q104_winsorize" -> (Pipeline.qWinsorize _),
@@ -657,6 +663,38 @@ object SparkEntry {
     // (nation, segment, balance band) with order-activity sensitive
     "q282_k_anonymity" -> ((s, d) => Pipeline.qKAnonymity(s, d)),
   )
+
+  /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
+    * clause chain of the q103/q103a/q103b rows above — reused by the
+    * q103c/d/e single-column contingency split so all six rows run
+    * the identical component construction. */
+  private val q103OraclePrefix: String =
+    """WITH RECURSIVE tok AS (
+         SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS shingle
+         FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+         UNION
+         SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE len(toks) < 2),
+       cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle
+              AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 64
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a
+                    JOIN cnt cb ON cb.doc_id = inter.doc_b
+         WHERE ninter::DOUBLE / (ca.nsh + cb.nsh - ninter) >= 0.1),
+       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         SELECT doc_id AS u, doc_id AS v FROM documents
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+       sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_trigger_count" ->
@@ -1687,18 +1725,24 @@ object SparkEntry {
          sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
          SELECT s.source, COUNT(*) AS n_docs,
                 SUM(1000000000000 // z.csize)::BIGINT AS effective_docs_pico,
-                SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS n_in_clusters
+                CAST(SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_in_clusters
          FROM comp c JOIN sizes z USING (component)
               JOIN documents s ON c.doc_id = s.doc_id
          GROUP BY s.source""",
     // q103a/q103b: the r9 bisection of q103's driver-row divergence.
     // CTE prefix is q103's VERBATIM (tok..sizes); only the final
-    // SELECT differs. q103a carries every q103 clause EXCEPT the
-    // `//`-division sum (including the uncast SUM(CASE..) exactly as
-    // q103 spells it); q103b carries ONLY the division sum. The
-    // driver's next CORRECTNESS run therefore names the divergent
-    // clause — or, if both rows come green, isolates the residue to
-    // q103's combined output shape.
+    // SELECT differs. The r9 gate landed the decisive result: q103a
+    // (counts half, with the then-uncast SUM(CASE..)) came back RED
+    // while q103b (the ::BIGINT-cast `//`-division sum) came back
+    // GREEN — localizing the divergence to the one aggregate DuckDB
+    // types as HUGEINT (uncast SUM over INTEGER), whose value
+    // rendering can differ between harnesses while sorted column
+    // names still match. r10 fix: CAST(... AS BIGINT) on that clause
+    // in q103 and q103a (the exact device that made q103b green).
+    // q103c/q103d/q103e are the single-column contingency split the
+    // r9 verdict prescribes — if q103a were still red, whichever
+    // single-column row is red names the column mechanically.
     "q103a_soft_dedup_counts" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
@@ -1727,7 +1771,8 @@ object SparkEntry {
          comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
          sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
          SELECT s.source, COUNT(*) AS n_docs,
-                SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS n_in_clusters,
+                CAST(SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_in_clusters,
                 COUNT(DISTINCT c.component) AS n_components
          FROM comp c JOIN sizes z USING (component)
               JOIN documents s ON c.doc_id = s.doc_id
@@ -1764,6 +1809,26 @@ object SparkEntry {
          FROM comp c JOIN sizes z USING (component)
               JOIN documents s ON c.doc_id = s.doc_id
          GROUP BY s.source""",
+    "q103c_soft_dedup_ndocs" -> (q103OraclePrefix +
+      """
+         SELECT s.source, COUNT(*) AS n_docs
+         FROM comp c JOIN sizes z USING (component)
+              JOIN documents s ON c.doc_id = s.doc_id
+         GROUP BY s.source"""),
+    "q103d_soft_dedup_nclustered" -> (q103OraclePrefix +
+      """
+         SELECT s.source,
+                CAST(SUM(CASE WHEN z.csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_in_clusters
+         FROM comp c JOIN sizes z USING (component)
+              JOIN documents s ON c.doc_id = s.doc_id
+         GROUP BY s.source"""),
+    "q103e_soft_dedup_ncomponents" -> (q103OraclePrefix +
+      """
+         SELECT s.source, COUNT(DISTINCT c.component) AS n_components
+         FROM comp c JOIN sizes z USING (component)
+              JOIN documents s ON c.doc_id = s.doc_id
+         GROUP BY s.source"""),
     // group-wise winsorized stats: exact interpolated percentiles
     // (both engines use the ANSI linear-interpolation definition)
     "q104_winsorize" ->

@@ -587,6 +587,39 @@ object Dedup {
       .agg(sum(expr("1000000000000 div csize")).as("effective_docs_pico"))
   }
 
+  /** q103c/q103d/q103e: single-column split of q103a — the r9
+    * verdict's contingency device. The r9 gate bisection proved the
+    * counts half (q103a) red and the cast division half (q103b)
+    * green, naming the uncast SUM(CASE..) (DuckDB HUGEINT) as the
+    * prime suspect; r10 casts it to BIGINT in the oracle. If that
+    * cast were NOT the fix, whichever of these three single-column
+    * rows comes back red names the divergent column outright. */
+  def qSoftDedupNDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(softDedupWeights(docs), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"))
+  }
+
+  /** See [[qSoftDedupNDocs]]. */
+  def qSoftDedupNInClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(softDedupWeights(docs), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_clusters"))
+  }
+
+  /** See [[qSoftDedupNDocs]]. */
+  def qSoftDedupNComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(softDedupWeights(docs), Seq("doc_id"))
+      .groupBy("source")
+      .agg(countDistinct(col("component")).as("n_components"))
+  }
+
   /** The q103 per-doc weights over any (doc_id, text) frame:
     * (doc_id, component, csize) — a doc's sampling weight is 1/csize,
     * so each cluster contributes total weight exactly 1. */
