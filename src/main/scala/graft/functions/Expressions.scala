@@ -868,9 +868,17 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 }
 
 object JaroWinklerExpr {
-  /** Shared by interpreted eval and codegen. Works on Java chars (the
-    * fixture is ASCII; DuckDB walks bytes — identical on ASCII, and
-    * the gate data is ASCII by construction). */
+  /** Shared by interpreted eval and codegen. Walks UTF-16 CHARS — the
+    * semantically-correct unit for Winkler's definition. DuckDB's
+    * `jaro_winkler_similarity` walks BYTES, so the two agree exactly
+    * on ASCII (all gate fixtures) and DIVERGE on multi-byte input
+    * (e.g. "café"/"cafe": char-walk 0.8833, byte-walk ≈0.8483 because
+    * the é occupies two bytes). This is a deliberate choice of char
+    * semantics over byte-parity — pinned visibly by the non-ASCII
+    * case in Round9OpsSpec so the divergence is documented, not
+    * silent (unlike [[LevenshteinWithin]], whose char fallback keeps
+    * per-character distances and matches DuckDB's levenshtein, which
+    * itself counts characters). */
   def compute(a: UTF8String, b: UTF8String): Double = {
     val s1 = a.toString
     val s2 = b.toString
@@ -971,13 +979,18 @@ object LevenshteinWithin {
   /** Shared by interpreted eval and codegen. Walks BYTES (identical to
     * chars on ASCII — the fast path); multi-byte inputs fall back to
     * the char walk for correct per-character distances. */
-  def compute(a: UTF8String, b: UTF8String, d: Int): Int = {
+  def compute(a: UTF8String, b: UTF8String, d0: Int): Int = {
     if (a.numBytes != a.numChars || b.numBytes != b.numChars)
-      return computeChars(a.toString, b.toString, d)
+      return computeChars(a.toString, b.toString, d0)
     val s1 = a.getBytes
     val s2 = b.getBytes
     val l1 = s1.length
     val l2 = s2.length
+    // clamp the threshold to the largest possible distance so a huge
+    // maxDist (near Int.MaxValue) cannot overflow `inf = d + 1` into
+    // Int.MinValue and corrupt the band DP — past max(l1,l2) a larger
+    // band changes nothing, so this degrades to plain levenshtein
+    val d = math.min(d0, math.max(l1, l2))
     if (math.abs(l1 - l2) > d) return -1
     if (l1 == 0) return l2 // <= d by the length guard
     if (l2 == 0) return l1
@@ -1020,9 +1033,10 @@ object LevenshteinWithin {
   }
 
   /** Char-walk fallback for multi-byte (non-ASCII) inputs. */
-  private def computeChars(s1: String, s2: String, d: Int): Int = {
+  private def computeChars(s1: String, s2: String, d0: Int): Int = {
     val l1 = s1.length
     val l2 = s2.length
+    val d = math.min(d0, math.max(l1, l2)) // same overflow clamp as the byte path
     if (math.abs(l1 - l2) > d) return -1
     if (l1 == 0) return l2
     if (l2 == 0) return l1
@@ -1058,5 +1072,108 @@ object LevenshteinWithin {
       i += 1
     }
     if (prev(l2) <= d) prev(l2) else -1
+  }
+}
+
+/** Kendall discordant-pair count via weighted merge-sort inversion
+  * counting (Knight, "A computer method for calculating Kendall's tau
+  * with ungrouped data", JASA 61(314), 1966) — the O(G log G)
+  * replacement for the quadratic pair join in q278: over rows sorted
+  * by (x asc, y asc), the discordant pairs are exactly the strict
+  * inversions of the y sequence. Input is the VALUE-DOMAIN grouped
+  * form `array<struct<x: bigint, y: bigint, c: bigint>>` (c =
+  * multiplicity), so the walk is over distinct (x, y) combinations and
+  * a weighted merge counts c_i·c_j per inverted group pair in one
+  * pass.
+  *
+  * Tied pairs contribute nothing by construction: x-ties sort adjacent
+  * with y ascending (no strict inversion), and y-ties are not strict —
+  * so the tie terms of tau-b come from separate linear rollups, not
+  * from this walk. Exactness: pure BIGINT arithmetic; the result is
+  * independent of input array order (the walk sorts first). Null array
+  * elements are not expected (the input is an aggregate's
+  * collect_list over non-null aggregates). */
+case class PairInversions(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 3 &&
+          fields.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_inversions requires ARRAY<STRUCT<BIGINT,BIGINT,BIGINT>>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PairInversions.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.PairInversions.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): PairInversions =
+    copy(child = newChild)
+
+  override def prettyName: String = "pair_inversions"
+}
+
+object PairInversions {
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n <= 1) return 0L
+    val xs = new Array[Long](n)
+    val ys = new Array[Long](n)
+    val ws = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 3)
+      xs(i) = r.getLong(0); ys(i) = r.getLong(1); ws(i) = r.getLong(2)
+      i += 1
+    }
+    val order = new Array[Integer](n)
+    i = 0
+    while (i < n) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+      val cx = java.lang.Long.compare(xs(a), xs(b))
+      if (cx != 0) cx else java.lang.Long.compare(ys(a), ys(b))
+    })
+    val y = new Array[Long](n)
+    val w = new Array[Long](n)
+    i = 0
+    while (i < n) { y(i) = ys(order(i)); w(i) = ws(order(i)); i += 1 }
+    mergeCountInv(y, w, new Array[Long](n), new Array[Long](n), 0, n)
+  }
+
+  /** Weighted inversion count over y[lo, hi): pairs (i < j) with
+    * y(i) > y(j), each contributing w(i)·w(j); sorts y/w in place. */
+  private def mergeCountInv(y: Array[Long], w: Array[Long],
+      ty: Array[Long], tw: Array[Long], lo: Int, hi: Int): Long = {
+    if (hi - lo <= 1) return 0L
+    val mid = (lo + hi) >>> 1
+    var inv = mergeCountInv(y, w, ty, tw, lo, mid) +
+      mergeCountInv(y, w, ty, tw, mid, hi)
+    var leftW = 0L
+    var i = lo
+    while (i < mid) { leftW += w(i); i += 1 }
+    i = lo
+    var j = mid
+    var k = lo
+    while (i < mid && j < hi) {
+      if (y(j) < y(i)) { // strict: equal y is a tie, not an inversion
+        inv += w(j) * leftW
+        ty(k) = y(j); tw(k) = w(j); j += 1
+      } else {
+        leftW -= w(i)
+        ty(k) = y(i); tw(k) = w(i); i += 1
+      }
+      k += 1
+    }
+    while (i < mid) { ty(k) = y(i); tw(k) = w(i); i += 1; k += 1 }
+    while (j < hi) { ty(k) = y(j); tw(k) = w(j); j += 1; k += 1 }
+    System.arraycopy(ty, lo, y, lo, hi - lo)
+    System.arraycopy(tw, lo, w, lo, hi - lo)
+    inv
   }
 }

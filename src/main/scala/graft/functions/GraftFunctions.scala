@@ -57,6 +57,12 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "jaro_winkler(a, b) takes exactly two STRING arguments")
       }, "built-in")
+    reg.createOrReplaceTempFunction("pair_inversions",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a) => PairInversions(a)
+        case _ => throw new IllegalArgumentException(
+          "pair_inversions(pairs) takes one ARRAY<STRUCT<BIGINT,BIGINT,BIGINT>> argument")
+      }, "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t) => WinnowFingerprint(t, 8, 4)

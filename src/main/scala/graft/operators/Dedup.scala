@@ -919,73 +919,179 @@ object Dedup {
         md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_digest"))
   }
 
-  /** q274: blocked edit-distance near-dup pairs — the entity-resolution
-    * staple the dedup family lacked: typo-level duplicates that shingle
-    * Jaccard (q29) under-scores (one edit changes two adjacent
-    * shingles) and MinHash can miss in short strings. Pairs of part
-    * names within a brand block at Levenshtein ≤ `maxDist`, with the
-    * classic length-band prefilter (|len(a)−len(b)| ≤ maxDist is a
-    * lower bound on edit distance) evaluated BEFORE the O(len²) DP so
-    * codegen prunes most candidates on two ints.
+  /** PassJoin candidate generation over a name DICTIONARY (Li, Deng,
+    * Feng, "PASS-JOIN: a partition-based method for similarity joins",
+    * PVLDB 5(3), 2011): complete for Levenshtein ≤ `tau`. Each
+    * dictionary string is partitioned into tau+1 contiguous segments;
+    * by pigeonhole, any string within distance tau of it must contain
+    * one segment EXACTLY, shifted by at most tau positions (at most
+    * tau net insertions/deletions precede the untouched segment). The
+    * index side emits (len, segIdx, segment); the probe side emits,
+    * for every partner length in [len−tau, len+tau] and every segment
+    * slot, the substrings in the ±tau shift window — so candidates
+    * come from an EQUI-join on (len, segIdx, substring), never a
+    * quadratic block sweep. Strings shorter than tau+1 get empty
+    * segments, which match everything in the length window — the
+    * scheme degrades to (complete) length-band blocking for them
+    * instead of losing pairs.
     *
-    * Scale: the self-join is equi-keyed on the block (brand), so
-    * candidates are block²-bounded, never corpus² — the standard
-    * blocking discipline of record linkage (Fellegi–Sunter framing);
-    * at 100 TB blocks come from a composite key (brand × container ×
-    * sorted-token prefix) keeping block sizes O(10³). Spark's
-    * `levenshtein` and DuckDB's agree on classic unweighted edit
-    * distance, so the gate hashes exact integers.
-    * Ref: the reference's user-JS string processing surface
-    * (`js_api` stream transforms) has no similarity-join primitive —
-    * this is net-new capability in the same family as q27–q29. */
-  def qEditDistancePairs(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
-    GraftFunctions.register(s)
-    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    * Input: `dict(name)` distinct. Output: unordered candidate pairs
+    * (x ≤ y, self-pairs included — distance-0 matches are real output
+    * when two records share a name). */
+  def passJoinCandidates(dict: DataFrame, tau: Int): DataFrame = {
+    val k = tau + 1
+    val base = dict.select(col("name"), length(col("name")).as("len"))
+    // index side: the tau+1 segments of each dictionary string.
+    // Segment lengths: first k−rem of len div k, last rem of +1;
+    // start(i) = 1 + base·(i−1) + max(0, (i−1) − (k − rem)).
+    val idx = base.selectExpr("name AS name_b", "len AS len_b",
+      s"""explode(transform(sequence(1, $k), i -> named_struct(
+            'i', i,
+            'sub', substring(name,
+              1 + (len div $k) * (i - 1)
+                + greatest(0, (i - 1) - ($k - (len % $k))),
+              (len div $k)
+                + (case when i > $k - (len % $k) then 1 else 0 end))))) AS sg""")
+      .select(col("name_b"), col("len_b"), col("sg.i").as("i"),
+        col("sg.sub").as("sub"))
+    // probe side: for each partner length lb and segment slot i, the
+    // substrings of this string at lb's segment position ± tau
+    val probe = base.selectExpr("name AS name_a", "len AS len_a",
+      s"""explode(flatten(transform(sequence(greatest(0, len - $tau), len + $tau), lb ->
+            flatten(transform(sequence(1, $k), i ->
+              filter(transform(sequence(- $tau, $tau), sh -> named_struct(
+                  'lb', lb, 'i', i,
+                  's', 1 + (lb div $k) * (i - 1)
+                       + greatest(0, (i - 1) - ($k - (lb % $k))) + sh,
+                  'slen', (lb div $k)
+                       + (case when i > $k - (lb % $k) then 1 else 0 end))),
+                x -> x.s >= 1 and x.s <= len - x.slen + 1)))))) AS pr""")
+      .select(col("name_a"),
+        col("pr.lb").as("lb"), col("pr.i").as("i"),
+        expr("substring(name_a, pr.s, pr.slen)").as("sub"))
+    probe.join(idx,
+        probe("lb") === idx("len_b") && probe("i") === idx("i") &&
+          probe("sub") === idx("sub"))
+      .select(least(col("name_a"), col("name_b")).as("x"),
+        greatest(col("name_a"), col("name_b")).as("y"))
+      .distinct()
+  }
+
+  /** Expand dictionary-level name matches back to record pairs: the
+    * record table self-joins through the (tiny) match table on exact
+    * name equality — two equi-joins keyed (name) then (brand, name),
+    * both broadcast-able when the dictionary is small and plain
+    * shuffle-hash otherwise. `matches(name_a, name_b, score)` must
+    * carry BOTH orientations of each unequal pair plus self-matches
+    * once; the partkey ordering then emits each record pair exactly
+    * once, regardless of which name sorts first. */
+  private def expandDictPairs(p: DataFrame, matches: DataFrame,
+      scoreCol: String): DataFrame = {
     val a = p.select(col("p_brand"),
       col("p_partkey").as("partkey_a"), col("p_name").as("name_a"))
     val b = p.select(col("p_brand"),
       col("p_partkey").as("partkey_b"), col("p_name").as("name_b"))
-    // the repo's banded early-abandon DP ([[graft.functions
-    // .LevenshteinWithin]], Ukkonen band, −1 past the threshold):
-    // random non-matching pairs die within a few band rows, so the
-    // ~8M blocked candidates at sf0.1 cost ~1 s of DP instead of the
-    // 13.5 s the full-matrix builtin measures (both Spark's 2- and
-    // 3-arg levenshtein walk the full matrix here)
-    val banded = expr(s"levenshtein_within(name_a, name_b, $maxDist)")
-    a.join(b, Seq("p_brand"))
+    a.join(matches, Seq("name_a"))
+      .join(b, Seq("p_brand", "name_b"))
       .filter(col("partkey_b") > col("partkey_a"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .filter(banded >= 0)
-      .select(col("p_brand"), col("partkey_a"), col("partkey_b"),
-        banded.cast("long").as("edit_dist"))
+      .select(col("p_brand"), col("partkey_a"), col("partkey_b"), col(scoreCol))
   }
 
-  /** q280: blocked Jaro–Winkler near-dup pairs — q274's
-    * entity-resolution sibling for the error model edit distance
-    * under-serves: transposed/abbreviated name variants, where
-    * character-position similarity with a common-prefix boost is the
-    * literature-standard scorer (Winkler '90 on census name linkage).
-    * Same brand blocking + self-join shape as q274; the scorer is the
-    * repo's codegen'd [[graft.functions.JaroWinklerExpr]], so the
-    * whole pair pipeline stays in whole-stage codegen.
+  /** Both orientations of the unordered (x ≤ y) dictionary matches,
+    * self-matches emitted once. */
+  private def symmetrizeMatches(m: DataFrame, scoreCol: String): DataFrame =
+    m.select(col("x").as("name_a"), col("y").as("name_b"), col(scoreCol))
+      .unionAll(m.filter(col("x") =!= col("y"))
+        .select(col("y").as("name_a"), col("x").as("name_b"), col(scoreCol)))
+
+  /** q274: edit-distance near-dup pairs — the entity-resolution staple
+    * the dedup family lacked: typo-level duplicates that shingle
+    * Jaccard (q29) under-scores (one edit changes two adjacent
+    * shingles) and MinHash can miss in short strings. All pairs of
+    * parts within a brand whose names are within Levenshtein
+    * `maxDist` — the same pair set as the naive brand-blocked
+    * self-join, produced without one.
     *
-    * The ≥ 0.9 threshold keeps a wide margin (measured fixture minimum
-    * 0.905) above the ~1-ulp double divergence any two correct
-    * implementations can show, so the row SET is engine-stable and the
-    * score column passes the gate's 1e-6 rtol. */
+    * Scale (the r9 verdict's #2, implemented): the r9 shape blocked on
+    * `p_brand` alone — 25 fixed blocks, so candidate pairs grew
+    * QUADRATICALLY with data (8M at sf0.1). This shape splits the
+    * problem at the name DICTIONARY: (1) distinct names (one linear
+    * shuffle — name cardinality is vocabulary-bounded, not
+    * corpus-bounded); (2) [[passJoinCandidates]] segment blocking over
+    * the dictionary (complete for ed ≤ tau, PVLDB'11); (3) the banded
+    * early-abandon DP ([[graft.functions.LevenshteinWithin]], Ukkonen
+    * '85) ONCE per distinct name pair instead of once per record pair
+    * — DP invocations are now SCALE-INVARIANT (they grow with the
+    * vocabulary, not the corpus: measured flat 0.01→0.1 sf); (4)
+    * [[expandDictPairs]] equi-joins the matches back to record pairs.
+    * The only corpus-proportional work left is the expansion join and
+    * the OUTPUT itself — the floor for an exact similarity join.
+    * Ref: the reference's user-JS string surface (`js_api` stream
+    * transforms) has no similarity-join primitive — net-new capability
+    * in the q27–q29 family. */
+  def qEditDistancePairs(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
+    GraftFunctions.register(s)
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val matches = editDistanceDictMatches(p.select(col("p_name").as("name")).distinct(), maxDist)
+    expandDictPairs(p, symmetrizeMatches(matches, "edit_dist"), "edit_dist")
+  }
+
+  /** The q274 dictionary stage: (x, y, edit_dist) for every unordered
+    * distinct-name pair within `maxDist` (self-pairs at distance 0
+    * included). Exposed for the ScaleBench candidate-count probe. */
+  def editDistanceDictMatches(dict: DataFrame, maxDist: Int): DataFrame =
+    passJoinCandidates(dict, maxDist)
+      .withColumn("edit_dist",
+        expr(s"levenshtein_within(x, y, $maxDist)").cast("long"))
+      .filter(col("edit_dist") >= 0)
+
+  /** q280: Jaro–Winkler near-dup pairs — q274's entity-resolution
+    * sibling for the error model edit distance under-serves:
+    * transposed/abbreviated name variants, where character-position
+    * similarity with a common-prefix boost is the literature-standard
+    * scorer (Winkler '90 on census name linkage). Same pair set as the
+    * naive brand-blocked self-join at score ≥ `threshold`; the scorer
+    * is the repo's codegen'd [[graft.functions.JaroWinklerExpr]].
+    *
+    * Scale (r9 verdict #2): dictionary-level like q274 — the scorer
+    * runs once per distinct-name pair, not per record pair, then
+    * [[expandDictPairs]] rebuilds record pairs by equi-join. The
+    * dictionary candidate filter is exact arithmetic, not a heuristic:
+    * jw ≥ t with prefix boost ℓ ≤ 4, p = 0.1 forces jaro ≥ (t−0.4)/0.6,
+    * and jaro ≥ j forces matches m ≥ (3j−2)·max(|a|,|b|) while m ≤
+    * min(|a|,|b|) — so min/max ≥ 3j−2 (= 1/2 at t = 0.9), a complete
+    * length-ratio prune. Within a length-ratio band the dictionary
+    * pairs are evaluated directly (vocabulary², not corpus²); for
+    * dictionaries too large for that, the established rung is
+    * rarity-ordered prefix filtering on the character multiset bound
+    * m ≤ |chars(a) ⊓ chars(b)| (Chaudhuri–Ganti–Kaushik, SSJoin,
+    * ICDE'06) — same expansion machinery either way. */
   def qJaroWinklerPairs(s: SparkSession, d: String,
       threshold: Double = 0.9): DataFrame = {
     GraftFunctions.register(s)
     val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val a = p.select(col("p_brand"),
-      col("p_partkey").as("partkey_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"),
-      col("p_partkey").as("partkey_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
-      .filter(col("partkey_b") > col("partkey_a"))
-      .filter(jaroWinkler(col("name_a"), col("name_b")) >= threshold)
-      .select(col("p_brand"), col("partkey_a"), col("partkey_b"),
-        jaroWinkler(col("name_a"), col("name_b")).as("jw"))
+    val matches = jaroWinklerDictMatches(
+      p.select(col("p_name").as("name")).distinct(), threshold)
+    expandDictPairs(p, symmetrizeMatches(matches, "jw"), "jw")
+  }
+
+  /** The q280 dictionary stage: (x, y, jw) for every unordered
+    * distinct-name pair at jw ≥ `threshold` (self-pairs at 1.0
+    * included). Exposed for the ScaleBench candidate-count probe. */
+  def jaroWinklerDictMatches(dict: DataFrame, threshold: Double): DataFrame = {
+    // the boost (only applied when jaro > 0.7) satisfies jw ≤ 0.6·jaro
+    // + 0.4, so jw ≥ t ⟹ jaro ≥ (t−0.4)/0.6 when that bound exceeds
+    // 0.7, else jaro ≥ t directly (no boost below 0.7)
+    val jMin = math.max(math.min(threshold, (threshold - 0.4) / 0.6), 0.0)
+    val mFrac = math.max(3.0 * jMin - 2.0, 0.0)
+    val da = dict.select(col("name").as("x"), length(col("name")).as("lx"))
+    val db = dict.select(col("name").as("y"), length(col("name")).as("ly"))
+    da.join(db, col("x") <= col("y") &&
+        least(col("lx"), col("ly")).cast("double") >=
+          lit(mFrac) * greatest(col("lx"), col("ly")).cast("double"))
+      .withColumn("jw", jaroWinkler(col("x"), col("y")))
+      .filter(col("jw") >= threshold)
+      .select(col("x"), col("y"), col("jw"))
   }
 
   /** The one outstanding minhash signature cache (see [[minhashPairs]]). */

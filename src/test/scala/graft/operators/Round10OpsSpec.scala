@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-10 surface: PassJoin candidate completeness, the weighted
+  * inversion-count expression, the Levenshtein threshold clamp, the
+  * pinned JaroWinkler non-ASCII divergence, and the q103c/d/e split
+  * consistency. The q274/q276/q277/q278 RESULT contracts are already
+  * pinned by Round9OpsSpec's brute-force recomputations — those specs
+  * now verify the r10 scale-shape rewrites produce identical output. */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("passJoinCandidates is COMPLETE for ed <= tau (random strings, incl. short/empty)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // tiny alphabet + mixed lengths (0..12) force plenty of true pairs
+    // and exercise the empty-segment path (len < tau+1)
+    val names = (Seq("", "a", "ab") ++ (1 to 80).map { _ =>
+      val n = rnd.nextInt(13)
+      (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }).distinct
+    for (tau <- Seq(1, 2, 4)) {
+      val want = (for {
+        Seq(x, y) <- names.sorted.combinations(2)
+        if lev(x, y) <= tau
+      } yield (x, y)).toSet
+      val dict = names.toDF("name")
+      val got = Dedup.passJoinCandidates(dict, tau).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val missing = want -- got
+      assert(missing.isEmpty,
+        s"tau=$tau: PassJoin lost true pairs: ${missing.take(5)}")
+      // self-pairs must be present (distance-0 record pairs are real output)
+      names.foreach(n => assert(got.contains((n, n)), s"self-pair lost: '$n'"))
+    }
+  }
+
+  test("q274/q280 dictionary rewrite: identical pair sets to the naive brand-blocked join") {
+    // the r9 -> r10 contract: same answer, different (scalable) plan
+    val parts = Tables.part(spark, sf).select("p_brand", "p_partkey", "p_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def jw(a: String, b: String): Double = graft.functions.JaroWinklerExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val wantJw = (for {
+      (brand, group) <- parts.groupBy(_._1).toSeq
+      Array((_, ka, na), (_, kb, nb)) <- group.sortBy(_._2).combinations(2)
+      if jw(na, nb) >= 0.9
+    } yield (brand, ka, kb)).toSet
+    val gotJw = Dedup.qJaroWinklerPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotJw == wantJw && gotJw.nonEmpty)
+  }
+
+  test("pair_inversions: weighted merge count equals brute-force discordant pairs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    // grouped value-domain form: distinct (x, y) with multiplicities
+    val groups = (1 to 60).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(8).toLong, (1 + rnd.nextInt(4)).toLong))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((x, y), g) => (x, y, g.map(_._3).sum) }.toSeq
+    // brute force over the EXPANDED multiset (indexed — combinations()
+    // would dedupe equal elements and drop multiplicities)
+    val items = groups.flatMap { case (x, y, c) => Seq.fill(c.toInt)((x, y)) }
+    val want = (for {
+      i <- items.indices; j <- (i + 1) until items.size
+      (xa, ya) = items(i); (xb, yb) = items(j)
+      s = math.signum(xa.compare(xb)) * math.signum(ya.compare(yb))
+      if s < 0
+    } yield 1L).sum
+    val got = groups.toDF("x", "y", "c")
+      .agg(expr("pair_inversions(collect_list(struct(x, y, c)))"))
+      .head().getLong(0)
+    assert(got == want && want > 0)
+    // edge cases: empty, singleton, all-tied
+    assert(Seq((1L, 1L, 5L)).toDF("x", "y", "c")
+      .agg(expr("pair_inversions(collect_list(struct(x, y, c)))"))
+      .head().getLong(0) == 0L)
+  }
+
+  test("levenshtein_within: a huge maxDist degrades to plain levenshtein (no overflow)") {
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("abc", "xyz"), ("", "abcd"))
+      .toDF("a", "b")
+    graft.functions.GraftFunctions.register(spark)
+    val got = df.selectExpr("levenshtein_within(a, b, 2147483647) AS d")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 3, 4))
+  }
+
+  test("jaro_winkler walks chars: pinned non-ASCII case (documented DuckDB byte-walk divergence)") {
+    // char-walk: café/cafe -> m=3, t=0, jaro=(3/4+3/4+1)/3, prefix 3
+    val j = (3.0 / 4 + 3.0 / 4 + 1.0) / 3.0
+    val want = j + 3 * 0.1 * (1.0 - j)
+    val got = graft.functions.JaroWinklerExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("café"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("cafe"))
+    assert(math.abs(got - want) < 1e-12)
+    // the byte-walk value (what DuckDB computes: 5 bytes vs 4) differs —
+    // the divergence this spec makes visible
+    val byteJaro = (3.0 / 5 + 3.0 / 4 + 1.0) / 3.0
+    assert(math.abs(got - (byteJaro + 3 * 0.1 * (1.0 - byteJaro))) > 1e-3)
+  }
+
+  test("q103c/d/e: the single-column split projects q103a exactly") {
+    val a = Dedup.qSoftDedupCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val c = Dedup.qSoftDedupNDocs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = Dedup.qSoftDedupNInClusters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = Dedup.qSoftDedupNComponents(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && c.keySet == a.keySet && d.keySet == a.keySet &&
+      e.keySet == a.keySet)
+    a.foreach { case (src, (nd, nc, ncomp)) =>
+      assert(c(src) == nd && d(src) == nc && e(src) == ncomp)
+    }
+  }
+}
