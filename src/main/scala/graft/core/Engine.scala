@@ -311,7 +311,7 @@ case class LibraryDefinition(name: String, apiVersion: String = "1.0",
   * introspection. Owns the [[StateTable]] and the trigger engines. */
 final class Engine(val spark: SparkSession,
     executionThreads: Int = 1,
-    checkpointDir: Option[String] = None) extends AutoCloseable {
+    private[graft] val checkpointDir: Option[String] = None) extends AutoCloseable {
   import LibraryBuilder._
   require(executionThreads >= 1 && executionThreads <= 32,
     "execution-threads must be in [1,32]") // config range, lib.rs:1912

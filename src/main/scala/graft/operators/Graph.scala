@@ -62,15 +62,23 @@ object Graph {
     // shuffles the (big) edge table: ranks are node-sized and
     // broadcast into a map-side join each round, so the only per-round
     // shuffle is the destination-keyed partial-agg of contributions.
-    // (At node counts past broadcast range, drop the hint and let AQE
-    // plan the rank join — the edge side still stays put under its
-    // checkpointed partitioning.)
+    // r10 (VERDICT r9 #7): the broadcast boundary is CODE, not a
+    // comment — past `spark.graft.graph.rankBroadcastMaxNodes` nodes
+    // (default 10M ≈ 160 MB of (u, r) rows) the hint drops and AQE
+    // plans the rank join; the edge side still stays put under its
+    // checkpointed partitioning. GraphSpec pins that both modes
+    // produce bit-identical ranks.
+    val rankBroadcastMax = s.conf
+      .get("spark.graft.graph.rankBroadcastMaxNodes", "10000000").toLong
+    val hintBroadcast = n <= rankBroadcastMax
+    Graph.lastRankBroadcast = hintBroadcast
+    def hinted(r: DataFrame): DataFrame = if (hintBroadcast) broadcast(r) else r
     val edgesW = edges.join(wdeg.select(col("u"), col("wdeg")), Seq("u"))
       .select(col("u"), col("v"), col("w"), col("wdeg"))
       .localCheckpoint()
     var ranks = wdeg.select(col("u"), lit(init).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edgesW.join(broadcast(ranks), Seq("u"))
+      val contrib = edgesW.join(hinted(ranks), Seq("u"))
         .select(col("v"), expr("(r * w) div wdeg").as("c"))
         .groupBy("v").agg(sum("c").as("cin"))
       // materialize per round: the next round's broadcast build reads
@@ -325,6 +333,11 @@ object Graph {
   }
 
   @volatile private[graft] var probeHook: (Int, Long) => Unit = null
+
+  /** Observability for GraphSpec/probes: whether the last
+    * [[qCopurchaseRank]] run hinted the rank join broadcast (the
+    * r10 conditional boundary). */
+  @volatile private[graft] var lastRankBroadcast: Boolean = true
 
   /** Dev instrumentation for the iteration's round/frontier profile. */
   private[graft] def kCoreProbe(s: SparkSession, d: String): Unit = {

@@ -135,9 +135,27 @@ object ScaleBench {
       // round 19 (r9): the Benford scan (pure map-side rollup — the
       // shape that must stay flat per-row at any factor) and the
       // decile gains table (rank over the per-customer AGGREGATE —
-      // customers ×factor, the single-partition rank window is the
-      // documented cost to watch)
-      "q275_benford_audit", "q277_decile_lift")
+      // customers ×factor; r10 made the rank range-partitioned, so the
+      // probe now grounds the offset-device slope)
+      "q275_benford_audit", "q277_decile_lift",
+      // round 20 (r10): the reworked scale shapes from the r9 verdict —
+      // the dictionary-level entity-resolution pairs (part scales via
+      // the per-copy partkey shift + name bijection; the DICTIONARY
+      // grows ×factor while record pairs expand through equi-joins —
+      // the candidate-count probes below record the pair growth the
+      // verdict asked for), Knight's Kendall (customer aggregate
+      // ×factor through the value-domain rollup + inversion walk), and
+      // the range-partitioned concurrency sweep (boundary instants
+      // ×factor, now with no single-partition window)
+      "q274_edit_distance_pairs", "q280_jaro_winkler_pairs",
+      "q278_kendall_tau", "q276_concurrency_sweep",
+      // round 20 (r10, verdict #8): the two r9 rows without their own
+      // scale datapoints — the k-anonymity QI rollup (should be flat
+      // per-row like q275) and the streaming exact-percentile parity
+      // (state bounded by the per-(type,week) distinct-value domain;
+      // the probe grounds that the replay harness scales with events,
+      // not with state)
+      "q282_k_anonymity", "q281_streaming_percentile")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -197,6 +215,23 @@ object ScaleBench {
       regenLineitemWithPartShift(spark, src, factor, out)
       pkDone.createNewFile()
     }
+    // r10: the entity-resolution probes (q274/q280) need PART itself to
+    // grow — factor copies with the same partkey namespace shift the
+    // lineitem copies already use, and the per-copy character bijection
+    // on p_name (intra-copy near-dup structure preserved exactly,
+    // cross-copy names decorrelated — the name DICTIONARY grows with
+    // the factor, which is the Heaps-law-ish regime the dictionary
+    // split is designed for). Incremental marker like the others.
+    val psDone = new java.io.File(s"$out/_DONE_PART_SCALED")
+    if (!psDone.exists()) {
+      val p = spark.read.parquet(s"$src/part.parquet")
+      val scaled = (0 until factor).map { i =>
+        p.withColumn("p_partkey", col("p_partkey") + lit(i * PartShift))
+          .withColumn("p_name", translate(col("p_name"), Alphabet, rotated(i)))
+      }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$out/part.parquet")
+      psDone.createNewFile()
+    }
 
     // warm codegen/JIT once, then median-of-3 per query (Bench contract)
     val warm = Queries.filter(selected).headOption.getOrElse(Queries.head)
@@ -250,7 +285,35 @@ object ScaleBench {
       finally graft.operators.Graph.probeHook = null
       Seq(s"q184_kcore_rounds$rounds" -> (System.nanoTime() - t0) / 1e9)
     } else Seq.empty
-    val all = results ++ kcore ++ sem ++ prof
+    // r10: candidate-count probes for the dictionary similarity joins —
+    // the r9 verdict asked for candidate-PAIR growth recorded alongside
+    // wall time. Values are COUNTS, not seconds (labels say so): the
+    // dictionary size, the PassJoin candidate pairs, the surviving
+    // dictionary matches, and the expanded record-pair output. The
+    // scale claim these ground: DP/scorer invocations track the
+    // dictionary (vocabulary), not the corpus.
+    val erProbe = if (selected("q274_edit_distance_pairs")) {
+      val dict = spark.read.parquet(s"$out/part.parquet")
+        .select(col("p_name").as("name")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val res = Seq(
+        "q274_count_dict_names" -> dict.count().toDouble,
+        "q274_count_dict_candidates" ->
+          graft.operators.Dedup.passJoinCandidates(dict, 4).count().toDouble,
+        "q274_count_dict_matches" ->
+          graft.operators.Dedup.editDistanceDictMatches(dict, 4).count().toDouble,
+        "q274_count_output_pairs" ->
+          graft.SparkEntry.queries("q274_edit_distance_pairs")(spark, out)
+            .count().toDouble,
+        "q280_count_dict_matches" ->
+          graft.operators.Dedup.jaroWinklerDictMatches(dict, 0.9).count().toDouble,
+        "q280_count_output_pairs" ->
+          graft.SparkEntry.queries("q280_jaro_winkler_pairs")(spark, out)
+            .count().toDouble)
+      dict.unpersist(blocking = false)
+      res
+    } else Seq.empty
+    val all = results ++ kcore ++ sem ++ prof ++ erProbe
     val qs = all.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"scale_x$factor%d_total","value":$total%.3f,"unit":"sec","queries":$qs,"src":"$src","factor":$factor%d}""")

@@ -52,6 +52,22 @@ class GraphSpec extends AnyFunSuite {
     assert(mass <= 1000000000000L && mass > 900000000000L)
   }
 
+  test("q163: the broadcast boundary flips on config and both modes agree bit-exactly") {
+    // r10 (VERDICT r9 #7): the once-documented hint boundary is code —
+    // past rankBroadcastMaxNodes the hint drops and AQE plans the rank
+    // join. Both modes must produce identical ranks.
+    val hinted = Graph.qCopurchaseRank(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+    assert(Graph.lastRankBroadcast, "default node count should hint broadcast")
+    spark.conf.set("spark.graft.graph.rankBroadcastMaxNodes", "0")
+    try {
+      val unhinted = Graph.qCopurchaseRank(spark, sf).collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+      assert(!Graph.lastRankBroadcast, "maxNodes=0 must drop the hint")
+      assert(unhinted.toSeq == hinted.toSeq)
+    } finally spark.conf.unset("spark.graft.graph.rankBroadcastMaxNodes")
+  }
+
   test("q168/q169: degree histogram and assortativity match driver references") {
     val lp = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
