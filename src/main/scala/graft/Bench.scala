@@ -334,6 +334,8 @@ object Bench {
     "q279_runs_test",
     "q280_jaro_winkler_pairs",
     "q282_k_anonymity",
+    "q283_er_golden_record",
+    "q284_rank_stability",
   )
 
   def main(args: Array[String]): Unit = {

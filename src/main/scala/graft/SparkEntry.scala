@@ -662,6 +662,12 @@ object SparkEntry {
     // q282: k-anonymity / l-diversity release audit over the QI
     // (nation, segment, balance band) with order-activity sensitive
     "q282_k_anonymity" -> ((s, d) => Pipeline.qKAnonymity(s, d)),
+    // q283: ER golden record — q274's pairs at tau=1, transitively
+    // clustered, one survivor row per multi-record cluster
+    "q283_er_golden_record" -> ((s, d) => Dedup.qGoldenRecord(s, d)),
+    // q284: week-over-week Kendall rank stability of part revenue —
+    // the second consumer of the Knight inversion device
+    "q284_rank_stability" -> (Stats.qRankStability _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -5770,5 +5776,85 @@ object SparkEntry {
                 CAST(group_size >= 5 AS INT) AS k_anonymous,
                 CAST(l_div >= 2 AS INT) AS l_diverse
          FROM g""",
+    // q283: the ER clustering closure at tau=1 (the q103 recursive-CTE
+    // device on the part table); mode name via ROW_NUMBER (count DESC,
+    // name) — identical deterministic tie-break on both engines; every
+    // aggregate BIGINT-cast (the q103 HUGEINT lesson)
+    "q283_er_golden_record" ->
+      """WITH RECURSIVE pr AS (
+           SELECT a.p_partkey AS pa, b.p_partkey AS pb
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND b.p_partkey > a.p_partkey
+           WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+             AND levenshtein(a.p_name, b.p_name) <= 1),
+         edges AS (SELECT pa AS u, pb AS v FROM pr
+                   UNION SELECT pb, pa FROM pr),
+         nodes AS (SELECT DISTINCT u FROM edges),
+         reach AS (
+           SELECT u, u AS v FROM nodes
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS p_partkey, MIN(v) AS cluster FROM reach GROUP BY u),
+         lab AS (SELECT p.p_partkey,
+                        COALESCE(c.cluster, p.p_partkey) AS cluster, p.p_name,
+                        CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM part p LEFT JOIN comp c ON p.p_partkey = c.p_partkey),
+         agg AS (SELECT cluster, COUNT(*) AS n_records,
+                        COUNT(DISTINCT p_name) AS n_names,
+                        MIN(p_partkey) AS canonical_partkey,
+                        CAST(MAX(cents) - MIN(cents) AS BIGINT) AS price_spread_cents
+                 FROM lab GROUP BY cluster),
+         nc AS (SELECT cluster, p_name, COUNT(*) AS cnt FROM lab GROUP BY 1, 2),
+         canon AS (SELECT cluster, p_name AS canonical_name,
+                          ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY cnt DESC, p_name) AS rn
+                   FROM nc)
+         SELECT a.cluster, a.n_records, a.n_names, a.canonical_partkey,
+                a.price_spread_cents, c.canonical_name
+         FROM agg a JOIN canon c ON a.cluster = c.cluster AND c.rn = 1
+         WHERE a.n_records > 1""",
+    // q284: Kendall τ-b per consecutive-week pair, oracle in the
+    // direct pair-join form (quadratic is fine at oracle scale; the
+    // Spark side runs the Knight device) — week epoch from the global
+    // min order date, every count clause BIGINT-cast, weeks whose
+    // shared-part set yields zero pairs kept via the left join
+    "q284_rank_stability" ->
+      """WITH d0 AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+         rev AS (SELECT date_diff('day', d0.d0, CAST(o.o_orderdate AS DATE)) // 7 AS week,
+                        l.l_partkey AS pk,
+                        SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+                 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey, d0
+                 GROUP BY 1, 2),
+         paired AS (SELECT a.week AS week, a.pk AS pk, a.cents AS x, b.cents AS y
+                    FROM rev a JOIN rev b ON a.pk = b.pk AND b.week = a.week + 1),
+         base AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_parts
+                  FROM paired GROUP BY week),
+         pp AS (SELECT a.week,
+                  CAST(SUM(CASE WHEN SIGN(a.x - b.x) * SIGN(a.y - b.y) > 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+                  CAST(SUM(CASE WHEN SIGN(a.x - b.x) * SIGN(a.y - b.y) < 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+                  CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_x,
+                  CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_y,
+                  CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_xy
+                FROM paired a JOIN paired b
+                  ON a.week = b.week AND b.pk > a.pk
+                GROUP BY a.week)
+         SELECT base.week, base.n_parts,
+                COALESCE(pp.n_conc, 0) AS n_conc,
+                COALESCE(pp.n_disc, 0) AS n_disc,
+                COALESCE(pp.n_tie_x, 0) AS n_tie_x,
+                COALESCE(pp.n_tie_y, 0) AS n_tie_y,
+                COALESCE(pp.n_tie_xy, 0) AS n_tie_xy,
+                (COALESCE(pp.n_conc, 0)::DOUBLE - COALESCE(pp.n_disc, 0)::DOUBLE)
+                  / NULLIF(SQRT(
+                      (COALESCE(pp.n_conc, 0) + COALESCE(pp.n_disc, 0)
+                         + COALESCE(pp.n_tie_x, 0))::DOUBLE
+                      * (COALESCE(pp.n_conc, 0) + COALESCE(pp.n_disc, 0)
+                         + COALESCE(pp.n_tie_y, 0))::DOUBLE), 0.0) AS tau_b
+         FROM base LEFT JOIN pp ON base.week = pp.week""",
   )
 }

@@ -1075,6 +1075,55 @@ object Dedup {
     expandDictPairs(p, symmetrizeMatches(matches, "jw"), "jw")
   }
 
+  /** q283: entity-resolution GOLDEN RECORD — the step after q274/q280
+    * finds duplicate pairs: transitively close them into duplicate
+    * CLUSTERS and emit one canonical (survivor) row per cluster — the
+    * master-data-management verb (Talburt, "Entity Resolution and
+    * Information Quality", 2011: match → cluster → survivorship).
+    * Pairs are q274's at Levenshtein ≤ 1 (exact duplicates + one-typo
+    * variants within a brand — the tau-4 closure collapses whole
+    * brands on this fixture: probed, 58 clusters with an 86-record
+    * monster vs tau-1's 589 healthy multi-clusters of ≤ 6); clusters
+    * come from the q57 large-star/small-star components (cluster id =
+    * min partkey); survivorship reports, per multi-record cluster,
+    * the record count, distinct-name count, min-partkey canonical
+    * record, the MODE name ((count DESC, name) tie-break — the
+    * deterministic version of "most frequent value wins"), and the
+    * price spread in exact cents (the merge-conflict signal).
+    *
+    * Scale shape: the q274 dictionary machinery (scale-invariant DP)
+    * → component contraction (O(log n) rounds) → cluster-keyed
+    * rollups + a cluster-partitioned mode window (clusters are
+    * bounded — the q57 argument). Nothing quadratic, nothing
+    * single-partition. */
+  def qGoldenRecord(s: SparkSession, d: String, maxDist: Int = 1): DataFrame = {
+    GraftFunctions.register(s)
+    val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val matches = editDistanceDictMatches(
+      p.select(col("p_name").as("name")).distinct(), maxDist)
+    val edges = expandDictPairs(
+        p.select(col("p_partkey"), col("p_brand"), col("p_name")),
+        symmetrizeMatches(matches, "edit_dist"), "edit_dist")
+      .select(col("partkey_a").as("u"), col("partkey_b").as("v"))
+    val comp = connectedComponents(edges).withColumnRenamed("node", "p_partkey")
+    val labeled = p.join(comp, Seq("p_partkey"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("p_partkey")))
+    val canon = labeled.groupBy("cluster", "p_name").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("cnt").desc, col("p_name"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("p_name").as("canonical_name"))
+    labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("p_name")).as("n_names"),
+        min(col("p_partkey")).as("canonical_partkey"),
+        (max(col("cents")) - min(col("cents"))).as("price_spread_cents"))
+      .filter(col("n_records") > 1)
+      .join(canon, Seq("cluster"))
+  }
+
   /** The q280 dictionary stage: (x, y, jw) for every unordered
     * distinct-name pair at jw ≥ `threshold` (self-pairs at 1.0
     * included). Exposed for the ScaleBench candidate-count probe. */

@@ -2128,39 +2128,92 @@ object Stats {
     val cust = customer(s, d)
       .join(spend, col("c_custkey") === col("o_custkey"))
       .select(col("c_nationkey").as("nation"), col("x"), col("y"))
-    // the (nation, x, y) value domain with multiplicities — the one
+    kendallByGroup(cust, "nation")
+      .select(col("nation"), col("n_conc"), col("n_disc"),
+        col("n_tie_x"), col("n_tie_y"), col("n_tie_xy"), col("tau_b"))
+  }
+
+  /** Knight's-device Kendall τ-b per group over (`group`, x, y) BIGINT
+    * columns: one shuffle to the (group, x, y) value domain, tie terms
+    * from linear rollups, discordant pairs from the weighted
+    * merge-sort inversion walk ([[graft.functions.PairInversions]]).
+    * Emits (group, n, n_conc, n_disc, n_tie_x, n_tie_y, n_tie_xy,
+    * tau_b); the denominator NULLs per the zero-denominator rule.
+    * Shared by q278 (per nation) and q284 (per week pair). */
+  private def kendallByGroup(df: DataFrame, group: String): DataFrame = {
+    // the (group, x, y) value domain with multiplicities — the one
     // corpus-sized shuffle; everything below is over the grouped form
-    val g3 = cust.groupBy("nation", "x", "y").agg(count(lit(1)).as("c"))
-    val stats = g3.groupBy("nation").agg(
+    val g3 = df.groupBy(group, "x", "y").agg(count(lit(1)).as("c"))
+    val stats = g3.groupBy(group).agg(
       sum("c").as("n"),
       // n3 = Σ C(c_xy, 2): pairs tied in BOTH coordinates
       sum(expr("(c * (c - 1)) div 2")).as("n3"),
       expr("pair_inversions(collect_list(struct(x, y, c)))").as("n_disc"))
     // n1 = Σ_x C(c_x, 2), n2 = Σ_y C(c_y, 2): rollups of the grouped
-    // domain, not of the customer table
-    val n1 = g3.groupBy("nation", "x").agg(sum("c").as("cx"))
-      .groupBy("nation").agg(sum(expr("(cx * (cx - 1)) div 2")).as("n1"))
-    val n2 = g3.groupBy("nation", "y").agg(sum("c").as("cy"))
-      .groupBy("nation").agg(sum(expr("(cy * (cy - 1)) div 2")).as("n2"))
-    stats.join(n1, Seq("nation")).join(n2, Seq("nation"))
-      .select(col("nation"),
+    // domain, not of the input table
+    val n1 = g3.groupBy(group, "x").agg(sum("c").as("cx"))
+      .groupBy(group).agg(sum(expr("(cx * (cx - 1)) div 2")).as("n1"))
+    val n2 = g3.groupBy(group, "y").agg(sum("c").as("cy"))
+      .groupBy(group).agg(sum(expr("(cy * (cy - 1)) div 2")).as("n2"))
+    stats.join(n1, Seq(group)).join(n2, Seq(group))
+      .select(col(group), col("n"),
         (expr("(n * (n - 1)) div 2") - col("n1") - col("n2") + col("n3")
           - col("n_disc")).as("n_conc"),
         col("n_disc"),
         (col("n1") - col("n3")).as("n_tie_x"),
         (col("n2") - col("n3")).as("n_tie_y"),
         col("n3").as("n_tie_xy"))
-      .select(col("nation"), col("n_conc"), col("n_disc"),
-        col("n_tie_x"), col("n_tie_y"), col("n_tie_xy"), {
-          // a block whose pairs are ALL tied in x (or all in y) has a
-          // zero denominator: NULL the divisor (ANSI-safe), per the
-          // repo's zero-denominator rule
-          val den = sqrt(
-            (d2(col("n_conc")) + d2(col("n_disc")) + d2(col("n_tie_x")))
-              * (d2(col("n_conc")) + d2(col("n_disc")) + d2(col("n_tie_y"))))
-          ((d2(col("n_conc")) - d2(col("n_disc"))) /
-            when(den =!= 0.0, den)).as("tau_b")
-        })
+      .withColumn("tau_b", {
+        // a block whose pairs are ALL tied in x (or all in y) has a
+        // zero denominator: NULL the divisor (ANSI-safe), per the
+        // repo's zero-denominator rule
+        val den = sqrt(
+          (d2(col("n_conc")) + d2(col("n_disc")) + d2(col("n_tie_x")))
+            * (d2(col("n_conc")) + d2(col("n_disc")) + d2(col("n_tie_y"))))
+        (d2(col("n_conc")) - d2(col("n_disc"))) / when(den =!= 0.0, den)
+      })
+  }
+
+  /** q284: week-over-week RANK STABILITY of the part catalog — Kendall
+    * τ-b between consecutive weeks' per-part revenue, over the parts
+    * sold in BOTH weeks: the monitor that catches a catalog whose
+    * demand ordering is churning (τ → 0) versus merely growing
+    * (τ stays high), the longitudinal sibling of the q262 PSI timeline
+    * (distribution drift) for RANK drift — and the second consumer of
+    * the Knight device, on a different shape (345 weekly blocks of
+    * ~150 parts at sf0.01). Revenue is exact extendedprice cents; the
+    * week epoch is the global min order date read once (the q281
+    * rule — per-group derivation would make week boundaries
+    * data-dependent).
+    *
+    * Scale shape: one fact rollup to (week, part) cents, a self-join
+    * on (part, week+1) — equi-keyed, shuffle-partitioned — then the
+    * kendallByGroup machinery: value-domain rollups + the per-week
+    * inversion walk. Nothing quadratic (the r9 q278 lesson applied
+    * from birth). */
+  def qRankStability(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val ord = orders(s, d).select(col("o_orderkey"),
+      to_date(col("o_orderdate")).as("day"))
+    val start = ord.agg(min(col("day")).as("d0"))
+    val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(start))
+      .withColumn("week", expr("datediff(day, d0) div 7"))
+      .groupBy("week", "l_partkey")
+      .agg(sum("cents").as("cents"))
+    val cur = rev.select(col("week"), col("l_partkey").as("pk"),
+      col("cents").as("x"))
+    val nxt = rev.select((col("week") - 1).as("week"),
+      col("l_partkey").as("pk"), col("cents").as("y"))
+    val paired = cur.join(nxt, Seq("week", "pk"))
+      .select(col("week"), col("x"), col("y"))
+    kendallByGroup(paired, "week")
+      .select(col("week"), col("n").as("n_parts"), col("n_conc"),
+        col("n_disc"), col("n_tie_x"), col("n_tie_y"), col("n_tie_xy"),
+        col("tau_b"))
   }
 
   /** q279: Wald–Wolfowitz runs test on the daily order-revenue series —

@@ -123,6 +123,78 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(got - (byteJaro + 3 * 0.1 * (1.0 - byteJaro))) > 1e-3)
   }
 
+  test("q283: golden records match a driver-side union-find + survivorship walk") {
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_name", "p_retailprice")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    // union-find over ed<=1 pairs within brand
+    val parent = scala.collection.mutable.Map(parts.map(p => p._1 -> p._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    for {
+      (brand, g) <- parts.groupBy(_._2)
+      Array(a, b) <- g.combinations(2)
+      if lev(a._3, b._3) <= 1
+    } union(a._1, b._1)
+    val clusters = parts.groupBy(p => find(p._1)).filter(_._2.length > 1)
+    val want = clusters.map { case (cl, recs) =>
+      val modeName = recs.groupBy(_._3).map { case (n, g) => (n, g.length) }
+        .toSeq.sortBy { case (n, c) => (-c, n) }.head._1
+      (cl, recs.length.toLong, recs.map(_._3).distinct.length.toLong,
+        recs.map(_._1).min, recs.map(_._4).max - recs.map(_._4).min, modeName)
+    }.toSet
+    val got = Dedup.qGoldenRecord(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q284: per-week Kendall counts match a brute-force pair walk") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")
+      .collect().map { r =>
+        val day = r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case dt: java.time.LocalDateTime => dt.toLocalDate
+          case d: java.sql.Date => d.toLocalDate
+        }
+        (r.getLong(0), day)
+      }.toMap
+    val d0 = ord.values.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val rev = li.groupBy { case (ok, pk, _) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(d0, ord(ok)) / 7, pk)
+    }.map { case (k, g) => k -> g.map(_._3).sum }
+    val paired = rev.flatMap { case ((w, pk), x) =>
+      rev.get((w + 1, pk)).map(y => (w, x, y)) }.toSeq
+    val gotRows = Stats.qRankStability(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val byWeek = paired.groupBy(_._1)
+    assert(gotRows.keySet == byWeek.keySet && gotRows.nonEmpty)
+    byWeek.foreach { case (w, items) =>
+      var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L; var txy = 0L
+      for { i <- items.indices; j <- (i + 1) until items.size } {
+        val (_, xa, ya) = items(i); val (_, xb, yb) = items(j)
+        val s = math.signum(xa.compare(xb)) * math.signum(ya.compare(yb))
+        if (s > 0) conc += 1 else if (s < 0) disc += 1
+        else if (xa == xb && ya == yb) txy += 1
+        else if (xa == xb) tx += 1 else ty += 1
+      }
+      assert(gotRows(w) == ((items.size.toLong, conc, disc, tx, ty, txy)),
+        s"week $w mismatch")
+    }
+  }
+
   test("q103c/d/e: the single-column split projects q103a exactly") {
     val a = Dedup.qSoftDedupCounts(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
