@@ -155,7 +155,13 @@ object ScaleBench {
       // (state bounded by the per-(type,week) distinct-value domain;
       // the probe grounds that the replay harness scales with events,
       // not with state)
-      "q282_k_anonymity", "q281_streaming_percentile")
+      "q282_k_anonymity", "q281_streaming_percentile",
+      // round 20 (r10): the two new rows get their datapoints at birth —
+      // golden-record clustering (dictionary pairs + component
+      // contraction over the scaled part table) and the weekly
+      // rank-stability monitor (fact rollup + per-week inversion walks;
+      // the week span is fixed, so blocks gain density with the factor)
+      "q283_er_golden_record", "q284_rank_stability")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
