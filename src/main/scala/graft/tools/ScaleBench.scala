@@ -190,6 +190,12 @@ object ScaleBench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r10: probe the q163 broadcast boundary from the command line —
+    // SPARK_GRAFT_RANK_BCAST_MAX=<nodes> flips the conditional hint
+    // (see Graph.qCopurchaseRank) so the unhinted AQE-planned rank
+    // join gets its own scale datapoint
+    sys.env.get("SPARK_GRAFT_RANK_BCAST_MAX").foreach(v =>
+      spark.conf.set("spark.graft.graph.rankBroadcastMaxNodes", v))
 
     val done = new java.io.File(s"$out/_DONE")
     if (!done.exists()) {
