@@ -336,6 +336,7 @@ object Bench {
     "q282_k_anonymity",
     "q283_er_golden_record",
     "q284_rank_stability",
+    "q285_blocking_audit",
   )
 
   def main(args: Array[String]): Unit = {

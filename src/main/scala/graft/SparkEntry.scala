@@ -668,6 +668,10 @@ object SparkEntry {
     // q284: week-over-week Kendall rank stability of part revenue —
     // the second consumer of the Knight inversion device
     "q284_rank_stability" -> (Stats.qRankStability _),
+    // q285: blocking-completeness audit — the oracle recomputes the
+    // dictionary match counts by brute force, so hash equality proves
+    // PassJoin candidate generation loses nothing, in-gate
+    "q285_blocking_audit" -> ((s, d) => Dedup.qBlockingAudit(s, d)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -5856,5 +5860,19 @@ object SparkEntry {
                       * (COALESCE(pp.n_conc, 0) + COALESCE(pp.n_disc, 0)
                          + COALESCE(pp.n_tie_y, 0))::DOUBLE), 0.0) AS tau_b
          FROM base LEFT JOIN pp ON base.week = pp.week""",
+    // q285: the oracle side is the BRUTE-FORCE dictionary cross join —
+    // a different algorithm than the Spark side's PassJoin-blocked
+    // pipeline, so the hash match IS the completeness proof
+    "q285_blocking_audit" ->
+      """WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_names FROM dict),
+         pairs AS (SELECT levenshtein(a.name, b.name) AS d
+                   FROM dict a JOIN dict b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= 4),
+         e AS (SELECT unnest(range(d, 5)) AS tau FROM pairs)
+         SELECT CAST(e.tau AS BIGINT) AS tau, n.n_names,
+                (n.n_names * (n.n_names - 1)) // 2 AS n_possible_pairs,
+                CAST(COUNT(*) AS BIGINT) AS n_matching_pairs
+         FROM e, n GROUP BY 1, 2, 3""",
   )
 }

@@ -1124,6 +1124,40 @@ object Dedup {
       .join(canon, Seq("cluster"))
   }
 
+  /** q285: dictionary-blocking completeness AUDIT — the meta-row that
+    * proves, AT THE DRIVER GATE EVERY ROUND, that PassJoin candidate
+    * generation loses no true match: the Spark side counts distinct
+    * names and the unordered distinct-name pairs within each
+    * Levenshtein threshold THROUGH the blocked pipeline
+    * ([[passJoinCandidates]] → banded DP), while the oracle recomputes
+    * the same counts by brute-force dictionary cross join — hash
+    * equality IS the completeness proof (pairs completeness = 1.0 by
+    * construction, per Christen, "Data Matching", 2012 §7.3's
+    * blocking-quality metrics). One row per threshold tau ∈ [1, 4]
+    * (cumulative: a distance-d pair counts at every tau ≥ d), with the
+    * dictionary size and possible-pair count alongside, so the
+    * reduction ratio the blocking buys is derivable on the record.
+    *
+    * Scale shape: everything here is dictionary-sized. */
+  def qBlockingAudit(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val dict = part(s, d).select(col("p_name").as("name")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = dict.agg(count(lit(1)).as("n_names"))
+    val cand = passJoinCandidates(dict, 4)
+      .withColumn("edit_dist", expr("levenshtein_within(x, y, 4)"))
+    val byTau = cand.filter(col("edit_dist") >= 0 && col("x") =!= col("y"))
+      .select(explode(sequence(col("edit_dist"), lit(4))).as("tau"))
+      .groupBy("tau").agg(count(lit(1)).as("n_matching_pairs"))
+    val res = byTau.crossJoin(broadcast(n))
+      .select(col("tau").cast("long").as("tau"), col("n_names"),
+        expr("(n_names * (n_names - 1)) div 2").as("n_possible_pairs"),
+        col("n_matching_pairs"))
+    val out = res.orderBy("tau")
+    dict.unpersist(blocking = false)
+    out
+  }
+
   /** The q280 dictionary stage: (x, y, jw) for every unordered
     * distinct-name pair at jw ≥ `threshold` (self-pairs at 1.0
     * included). Exposed for the ScaleBench candidate-count probe. */

@@ -33,10 +33,16 @@ class Round10OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     // tiny alphabet + mixed lengths (0..12) force plenty of true pairs
-    // and exercise the empty-segment path (len < tau+1)
+    // and exercise the empty-segment path (len < tau+1); the second
+    // population adds longer strings over a wider alphabet (multi-char
+    // segments, word-like shapes) so both segment-size regimes run
     val names = (Seq("", "a", "ab") ++ (1 to 80).map { _ =>
       val n = rnd.nextInt(13)
       (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    } ++ (1 to 60).map { _ =>
+      val n = 10 + rnd.nextInt(26)
+      (1 to n).map(i => if (i % 6 == 5) ' ' else ('a' + rnd.nextInt(8)).toChar)
+        .mkString
     }).distinct
     for (tau <- Seq(1, 2, 4)) {
       val want = (for {
