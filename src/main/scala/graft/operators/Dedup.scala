@@ -1160,18 +1160,74 @@ object Dedup {
 
   /** The q280 dictionary stage: (x, y, jw) for every unordered
     * distinct-name pair at jw ≥ `threshold` (self-pairs at 1.0
-    * included). Exposed for the ScaleBench candidate-count probe. */
+    * included). Exposed for the ScaleBench candidate-count probe.
+    *
+    * Candidate generation is rarity-ordered PREFIX FILTERING on the
+    * character multiset (Chaudhuri–Ganti–Kaushik, "A primitive
+    * operator for similarity joins in data cleaning", ICDE 2006) —
+    * implemented, not cited, and on the gate path so every driver run
+    * exercises its completeness:
+    *  - jw ≥ t with boost ℓ ≤ 4, p = 0.1 (applied only above jaro
+    *    0.7) forces jaro ≥ jMin = min(t, (t−0.4)/0.6);
+    *  - jaro ≥ jMin forces matches m ≥ (3·jMin − 2)·max(|a|,|b|), and
+    *    Jaro matches are (window-constrained) multiset character
+    *    matches, so the char-multiset overlap is ≥ T = ⌈mFrac·max⌉ ≥
+    *    ⌈mFrac·|a|⌉ for both strings;
+    *  - by the prefix-filter theorem, two token SETS with overlap ≥ T
+    *    share a token among the first (size − T + 1) tokens under ANY
+    *    common total order — we order (char, occurrence#) tokens by
+    *    ascending global char frequency (rarest first: smallest
+    *    blocks), so candidates come from an equi-join on signature
+    *    tokens, never a dictionary cross join.
+    * Self-pairs ride a separate union (an empty or all-common-char
+    * signature still finds itself). Every candidate is verified by
+    * the exact scorer, so the output is identical to the direct
+    * all-pairs evaluation (Round10OpsSpec property-tests completeness
+    * against brute force on random strings). */
   def jaroWinklerDictMatches(dict: DataFrame, threshold: Double): DataFrame = {
-    // the boost (only applied when jaro > 0.7) satisfies jw ≤ 0.6·jaro
-    // + 0.4, so jw ≥ t ⟹ jaro ≥ (t−0.4)/0.6 when that bound exceeds
-    // 0.7, else jaro ≥ t directly (no boost below 0.7)
     val jMin = math.max(math.min(threshold, (threshold - 0.4) / 0.6), 0.0)
     val mFrac = math.max(3.0 * jMin - 2.0, 0.0)
-    val da = dict.select(col("name").as("x"), length(col("name")).as("lx"))
-    val db = dict.select(col("name").as("y"), length(col("name")).as("ly"))
-    da.join(db, col("x") <= col("y") &&
-        least(col("lx"), col("ly")).cast("double") >=
-          lit(mFrac) * greatest(col("lx"), col("ly")).cast("double"))
+    val named = dict.select(col("name"))
+    // global char rarity over the dictionary (alphabet-sized table;
+    // the rank window is bounded by the alphabet)
+    val ranked = named
+      .select(explode(expr(
+        "transform(sequence(1, length(name)), i -> substring(name, i, 1))"))
+        .as("ch"))
+      .groupBy("ch").agg(count(lit(1)).as("freq"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq"), col("ch"))))
+      .select("ch", "rank")
+    // per name: rarity-sorted char multiset, prefix of size
+    // len − ⌈mFrac·len⌉ + 1, tokens tagged with occurrence numbers so
+    // multiset overlap becomes set overlap
+    val toks = named
+      .select(col("name"), explode(expr(
+        "transform(sequence(1, length(name)), i -> substring(name, i, 1))"))
+        .as("ch"))
+      .join(broadcast(ranked), Seq("ch"))
+      .groupBy("name")
+      .agg(sort_array(collect_list(struct(col("rank"), col("ch")))).as("sorted"))
+      .withColumn("k",
+        least(size(col("sorted")), greatest(lit(0),
+          size(col("sorted"))
+            - ceil(lit(mFrac) * size(col("sorted"))).cast("int") + 1)))
+      .withColumn("pref", slice(col("sorted"), lit(1), col("k")))
+      .select(col("name"), explode(expr(
+        """CASE WHEN size(pref) = 0 THEN array()
+           ELSE transform(sequence(1, size(pref)), i -> named_struct(
+             'ch', pref[i - 1].ch,
+             'occ', size(filter(slice(pref, 1, i), p -> p.ch = pref[i - 1].ch))))
+           END""")).as("tok"))
+    val cand = toks.select(col("name").as("x"), col("tok"))
+      .join(toks.select(col("name").as("y"), col("tok")), Seq("tok"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+      .unionAll(named.select(col("name").as("x"), col("name").as("y")))
+    cand
+      // cheap exact length prune before the scorer (same bound)
+      .filter(length(col("y")).cast("double") >= lit(mFrac) * length(col("x"))
+        && length(col("x")).cast("double") >= lit(mFrac) * length(col("y")))
       .withColumn("jw", jaroWinkler(col("x"), col("y")))
       .filter(col("jw") >= threshold)
       .select(col("x"), col("y"), col("jw"))

@@ -132,15 +132,13 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q274/q280 dictionary similarity joins: equi-joins everywhere the corpus flows") {
     // the r10 shape: the expensive similarity runs once per DISTINCT
-    // name pair (dictionary level), and every join the RECORD table
-    // flows through is an equi-join (name / (brand, name) keys) — no
-    // cartesian anywhere. q280's dictionary stage is a non-equi
-    // length-ratio join, legitimately a BroadcastNestedLoopJoin over
-    // the vocabulary-bounded dictionary only; q274's PassJoin stage is
-    // pure equi-joins, so it must show no nested-loop at all.
-    Seq(("q274", Dedup.qEditDistancePairs(spark, sf), false),
-      ("q280", Dedup.qJaroWinklerPairs(spark, sf), true)).foreach {
-      case (name, df, dictBnljAllowed) =>
+    // name pair (dictionary level), and EVERY join — the candidate
+    // stages (PassJoin segments for q274, rarity-prefix signature
+    // tokens for q280) and the record expansion (name / (brand, name)
+    // keys) — is an equi-join: no cartesian, no nested loop anywhere.
+    Seq(("q274", Dedup.qEditDistancePairs(spark, sf)),
+      ("q280", Dedup.qJaroWinklerPairs(spark, sf))).foreach {
+      case (name, df) =>
         df.queryExecution.toRdd.foreach(_ => ())
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("BroadcastHashJoin") ||
@@ -148,9 +146,8 @@ class PlanShapeSpec extends AnyFunSuite {
           s"$name: expected equi-joins on the expansion keys:\n$plan")
         assert(!plan.contains("CartesianProduct"),
           s"$name: cartesian crept in:\n$plan")
-        if (!dictBnljAllowed)
-          assert(!plan.contains("BroadcastNestedLoopJoin"),
-            s"$name: PassJoin stage degraded to a nested loop:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name: a candidate stage degraded to a nested loop:\n$plan")
     }
   }
 

@@ -77,6 +77,31 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(gotJw == wantJw && gotJw.nonEmpty)
   }
 
+  test("jaroWinklerDictMatches prefix filter is COMPLETE (random strings vs brute force)") {
+    import spark.implicits._
+    def jw(a: String, b: String): Double = graft.functions.JaroWinklerExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val rnd = new scala.util.Random(11)
+    // word-like strings over a small alphabet: plenty of jw >= 0.9
+    // pairs, repeated chars (multiset occurrence tokens), short tails
+    val names = (Seq("a", "ab", "aa bb") ++ (1 to 120).map { _ =>
+      val n = 4 + rnd.nextInt(16)
+      (1 to n).map(i => if (i % 5 == 4) ' ' else ('a' + rnd.nextInt(5)).toChar)
+        .mkString
+    }).distinct
+    for (t <- Seq(0.9, 0.85)) {
+      val want = (for {
+        x <- names; y <- names if x <= y && jw(x, y) >= t
+      } yield (x, y)).toSet
+      val got = Dedup.jaroWinklerDictMatches(names.toDF("name"), t).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val missing = want -- got
+      assert(missing.isEmpty, s"t=$t: prefix filter lost pairs: ${missing.take(5)}")
+      assert(got == want, s"t=$t: extra pairs: ${(got -- want).take(5)}")
+    }
+  }
+
   test("pair_inversions: weighted merge count equals brute-force discordant pairs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
