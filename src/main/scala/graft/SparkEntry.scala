@@ -672,6 +672,42 @@ object SparkEntry {
     // dictionary match counts by brute force, so hash equality proves
     // PassJoin candidate generation loses nothing, in-gate
     "q285_blocking_audit" -> ((s, d) => Dedup.qBlockingAudit(s, d)),
+    // q286–q294: the remaining nine TPC-H shapes — with these, all 22
+    // classic queries have fixture adaptations (see the shape map in
+    // Relational.scala)
+    // q286: Q4 — EXISTS decorrelated to a left-semi join
+    "q286_priority_waiting" -> (Relational.qOrderPriorityCheck _),
+    // q287: Q6 — pure scan/filter/agg, zero shuffles (pushdown pin)
+    "q287_forecast_revenue" -> (Relational.qForecastRevenue _),
+    // q288: Q7 — two-nation trade flow, disjunctive pair predicate
+    "q288_volume_shipping" -> (Relational.qVolumeShipping _),
+    // q289: Q8 — market share as the exact (nation, total) pair
+    "q289_market_share" -> (Relational.qMarketShare _),
+    // q290: Q9 — derived profit measure over red parts
+    "q290_product_profit" -> (Relational.qProductProfit _),
+    // q291: Q12 — CASE-sum priority pivot over late lines
+    "q291_shipmode_priority" -> (Relational.qShipmodePriority _),
+    // q292: Q15 — view + scalar max, ties survive
+    "q292_top_supplier" -> (Relational.qTopSupplier _),
+    // q293: Q16 — count-distinct suppliers with an anti-join exclusion
+    "q293_part_supplier" -> (Relational.qPartSupplierRelation _),
+    // q294: Q19 — disjunction-of-conjunctions stays a hash join
+    "q294_discounted_revenue" -> (Relational.qDiscountedRevenue _),
+    // q295: Wilcoxon signed-rank — the PAIRED rank test (q229's
+    // doubled-rank device on per-customer year-over-year spend diffs)
+    "q295_wilcoxon_signed_rank" -> (Stats.qWilcoxonSignedRank _),
+    // q296: McNemar — paired binary purchase flips between month halves
+    "q296_mcnemar" -> (Stats.qMcNemar _),
+    // q297: Cochran–Armitage — return-rate trend across the ordered
+    // priority classes, from five integer sufficient sums
+    "q297_cochran_armitage" -> (Stats.qCochranArmitage _),
+    // q298: integer-EWMA spike monitor as streaming state — the
+    // ELEVENTH bit-exact stream/batch parity; oracle = a recursive
+    // CTE walking the same BIGINT recursion
+    "q298_streaming_ewma" -> (graft.streaming.EventTime.qStreamingEwma _),
+    // q298b: the batch fold through the same detector core (its own
+    // gate row so batch and streaming are pinned independently)
+    "q298b_ewma_batch" -> (Stats.qEwmaMonitor _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -5874,5 +5910,310 @@ object SparkEntry {
                 (n.n_names * (n.n_names - 1)) // 2 AS n_possible_pairs,
                 CAST(COUNT(*) AS BIGINT) AS n_matching_pairs
          FROM e, n GROUP BY 1, 2, 3""",
+    // q286: TPC-H Q4 shape — the correlated EXISTS spelled literally;
+    // the Spark side decorrelates it to a left-semi join
+    "q286_priority_waiting" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY o_orderpriority""",
+    // q287: TPC-H Q6 shape — scan/filter/agg; the discount band
+    // compares exact integer points on both engines
+    "q287_forecast_revenue" ->
+      """SELECT CAST(SUM(
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+                AS BIGINT) AS forecast_rev_x1e4,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+           AND l_quantity < 24
+           AND CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+               BETWEEN 4 AND 6""",
+    // q288: TPC-H Q7 shape — two-nation trade flow, either direction
+    "q288_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(SUM(
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                       AS BIGINT))) AS BIGINT) AS revenue_x1e4,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+    // q289: TPC-H Q8 shape — market share as the exact (nation, total)
+    // sufficient-statistic pair (the q211 discipline)
+    "q289_market_share" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_partkey, l_suppkey,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                       AS BIGINT)) AS rev
+           FROM lineitem)
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN rev
+                              ELSE 0 END) AS BIGINT) AS nation_rev_x1e4,
+                CAST(SUM(rev) AS BIGINT) AS total_rev_x1e4
+         FROM li
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE p_type = 'MEDIUM' AND r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+         GROUP BY 1""",
+    // q290: TPC-H Q9 shape — derived profit (retail price plays unit
+    // cost; the sum may legitimately be negative)
+    "q290_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                       AS BIGINT))
+                  - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS profit_x1e4,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+    // q291: TPC-H Q12 shape — CASE-sum pivot over late 1997 lines
+    // (l_returnflag plays l_shipmode)
+    "q291_shipmode_priority" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+                  AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1""",
+    // q292: TPC-H Q15 shape — view + scalar max; ties all survive
+    "q292_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(SUM(
+                    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                         AS BIGINT))) AS BIGINT) AS total_rev_x1e4
+           FROM lineitem
+           WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev_x1e4
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev_x1e4 = (SELECT MAX(total_rev_x1e4) FROM rev)
+         ORDER BY s_suppkey""",
+    // q293: TPC-H Q16 shape — NOT-IN as an exclusion over the distinct
+    // (part, supplier) pair relation
+    "q293_part_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+               WHERE l_suppkey NOT IN
+                 (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+         LIMIT 100""",
+    // q294: TPC-H Q19 shape — OR-of-ANDs across both join sides;
+    // quantities compare as exact centi-units
+    "q294_discounted_revenue" ->
+      """WITH li AS (
+           SELECT l_partkey,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS qty_c,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                       AS BIGINT)) AS rev
+           FROM lineitem)
+         SELECT CAST(SUM(rev) AS BIGINT) AS revenue_x1e4,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM li JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND qty_c BETWEEN 100 AND 1100)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND qty_c BETWEEN 1000 AND 2000)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND qty_c BETWEEN 2000 AND 3000)""",
+    // q295: Wilcoxon signed-rank via the q229 doubled-average-rank
+    // device on the |diff| value-domain rollup
+    "q295_wilcoxon_signed_rank" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+                  SUM(CASE WHEN year(o_orderdate) = 1996
+                           THEN cents ELSE 0 END) AS s96,
+                  SUM(CASE WHEN year(o_orderdate) = 1997
+                           THEN cents ELSE 0 END) AS s97,
+                  SUM(CASE WHEN year(o_orderdate) = 1996
+                           THEN 1 ELSE 0 END) AS n96,
+                  SUM(CASE WHEN year(o_orderdate) = 1997
+                           THEN 1 ELSE 0 END) AS n97
+           FROM (SELECT o_custkey, o_orderdate,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+                 FROM orders
+                 WHERE o_orderdate >= '1996-01-01'
+                   AND o_orderdate < '1998-01-01')
+           GROUP BY 1),
+         diffs AS (
+           SELECT s97 - s96 AS diff FROM spend
+           WHERE n96 > 0 AND n97 > 0 AND s97 <> s96),
+         byabs AS (
+           SELECT ABS(diff) AS ad, COUNT(*) AS cnt,
+                  SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS c_pos
+           FROM diffs GROUP BY 1),
+         ranked AS (
+           SELECT cnt, c_pos,
+                  2 * SUM(cnt) OVER (ORDER BY ad) - cnt + 1 AS dr
+           FROM byabs),
+         agg AS (
+           SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_pairs,
+                  CAST(COALESCE(SUM(c_pos * dr), 0) AS BIGINT)
+                    AS two_w_plus,
+                  CAST(COALESCE(SUM((cnt - c_pos) * dr), 0) AS BIGINT)
+                    AS two_w_minus,
+                  CAST(COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+                    AS tie_term
+           FROM ranked)
+         SELECT n_pairs, two_w_plus, two_w_minus, tie_term,
+                ROUND(CASE WHEN n_pairs > 0 AND
+                    2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)
+                      - tie_term > 0
+                  THEN (CAST(two_w_plus AS DOUBLE)
+                        - CAST(n_pairs AS DOUBLE)
+                          * CAST(n_pairs + 1 AS DOUBLE) / 2)
+                       / SQRT(CAST(2 * n_pairs * (n_pairs + 1)
+                                   * (2 * n_pairs + 1) - tie_term
+                               AS DOUBLE) / 12)
+                  ELSE 0.0 END, 6) AS z_score
+         FROM agg""",
+    // q296: McNemar — only the discordant cells carry signal
+    "q296_mcnemar" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase'
+                            AND ts < '2024-01-16' THEN 1 ELSE 0 END) AS a,
+                  MAX(CASE WHEN event_type = 'purchase'
+                            AND ts >= '2024-01-16' THEN 1 ELSE 0 END) AS b
+           FROM events GROUP BY 1),
+         cells AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                  CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+                  CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_early_only,
+                  CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late_only,
+                  CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neither
+           FROM pu)
+         SELECT n_users, n_both, n_early_only, n_late_only, n_neither,
+                ROUND(CASE WHEN n_early_only + n_late_only > 0
+                  THEN CAST((n_early_only - n_late_only)
+                            * (n_early_only - n_late_only) AS DOUBLE)
+                       / CAST(n_early_only + n_late_only AS DOUBLE)
+                  ELSE 0.0 END, 6) AS chi2
+         FROM cells""",
+    // q297: Cochran–Armitage — five integer sufficient sums; products
+    // stay in doubles for the one final z
+    "q297_cochran_armitage" ->
+      """WITH ret AS (
+           SELECT l_orderkey,
+                  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+           FROM lineitem GROUP BY 1),
+         bp AS (
+           SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+                  COUNT(*) AS n_i, SUM(r) AS r_i
+           FROM orders JOIN ret ON o_orderkey = l_orderkey
+           GROUP BY 1),
+         agg AS (
+           SELECT CAST(SUM(n_i) AS BIGINT) AS n_orders,
+                  CAST(SUM(r_i) AS BIGINT) AS n_returned,
+                  CAST(SUM(score * n_i) AS BIGINT) AS sum_sn,
+                  CAST(SUM(score * score * n_i) AS BIGINT) AS sum_s2n,
+                  CAST(SUM(score * r_i) AS BIGINT) AS sum_sr
+           FROM bp)
+         SELECT n_orders, n_returned, sum_sn, sum_s2n, sum_sr,
+                ROUND(CASE WHEN
+                    CAST(n_returned AS DOUBLE)
+                    * CAST(n_orders - n_returned AS DOUBLE)
+                    * (CAST(n_orders AS DOUBLE) * CAST(sum_s2n AS DOUBLE)
+                       - CAST(sum_sn AS DOUBLE) * CAST(sum_sn AS DOUBLE))
+                    / CAST(n_orders AS DOUBLE) > 0
+                  THEN CAST(n_orders * sum_sr - n_returned * sum_sn
+                         AS DOUBLE)
+                       / SQRT(CAST(n_returned AS DOUBLE)
+                              * CAST(n_orders - n_returned AS DOUBLE)
+                              * (CAST(n_orders AS DOUBLE)
+                                 * CAST(sum_s2n AS DOUBLE)
+                                 - CAST(sum_sn AS DOUBLE)
+                                   * CAST(sum_sn AS DOUBLE))
+                              / CAST(n_orders AS DOUBLE))
+                  ELSE 0.0 END, 6) AS z_score
+         FROM agg""",
+    // q298/q298b: the recursive CTE walks the literal integer EWMA
+    // recursion hour by hour — same BIGINT arithmetic as the Spark
+    // folds, so the hash match is a three-way parity statement
+    "q298_streaming_ewma" -> ewmaOracle,
+    "q298b_ewma_batch" -> ewmaOracle,
   )
+
+  /** Shared oracle for the q298 parity pair: batch fold and streaming
+    * state must both equal this recursion's output. */
+  private val ewmaOracle: String =
+    """WITH RECURSIVE hourly AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       numbered AS (
+         SELECT event_type, h, c,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+         FROM hourly),
+       walk AS (
+         SELECT event_type, rn, n_hours, h,
+                c * 1000000 AS e,
+                CAST(0 AS BIGINT) AS n_spikes,
+                CAST(-1 AS BIGINT) AS spike_h
+         FROM numbered WHERE rn = 1
+         UNION ALL
+         SELECT n.event_type, n.rn, n.n_hours, n.h,
+                (n.c * 1000000 + w.e) // 2 AS e,
+                w.n_spikes + CASE WHEN 2 * n.c * 1000000 > 3 * w.e
+                                  THEN 1 ELSE 0 END AS n_spikes,
+                CASE WHEN w.spike_h >= 0 THEN w.spike_h
+                     WHEN 2 * n.c * 1000000 > 3 * w.e THEN n.h
+                     ELSE -1 END AS spike_h
+         FROM numbered n JOIN walk w
+           ON n.event_type = w.event_type AND n.rn = w.rn + 1)
+       SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+              CAST(e AS BIGINT) AS final_ewma_micro,
+              CAST(n_spikes AS BIGINT) AS n_spikes,
+              CAST(spike_h AS BIGINT) AS first_spike_hour
+       FROM walk WHERE rn = n_hours"""
 }

@@ -2204,4 +2204,306 @@ object Relational {
         sum("sum_cents").over(Window.orderBy("decile")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  // ───── the remaining TPC-H query shapes (q286–q294) ─────
+  // With these nine, every one of the 22 classic shapes has a fixture
+  // adaptation in the registry: Q1=q18 Q2=q228 Q3=q209 Q4=q286 Q5=q226
+  // Q6=q287 Q7=q288 Q8=q289 Q9=q290 Q10=q210 Q11=q237 Q12=q291
+  // Q13=q236 Q14=q211 Q15=q292 Q16=q293 Q17=q235 Q18=q239 Q19=q294
+  // Q20=q240 Q21=q227 Q22=q238. Adaptations where the fixture lacks a
+  // column follow the q227/q228 precedents: lateness = l_shipdate vs
+  // o_orderdate (no commit/receipt dates), partsupp = distinct
+  // (l_partkey, l_suppkey) pairs, l_returnflag plays l_shipmode,
+  // s_acctbal plays supplycost/complaints.
+
+  /** q286: TPC-H Q4 shape ("order priority checking") — the
+    * EXISTS-decorrelation benchmark: orders placed in 1996-Q1 with at
+    * least one LATE line (shipped > 30 days after the order date — the
+    * q227 lateness convention at Q4's tighter bound), counted per
+    * priority. The correlated EXISTS becomes a LEFT-SEMI join, the
+    * canonical distributed rewrite: probe once per order, never fan
+    * out on multi-line matches.
+    *
+    * Scale shape: the quarter filter prunes the orders scan (pushed
+    * predicate); the semi join is the one fact-keyed shuffle and its
+    * output is at most |quarter's orders|; the priority rollup
+    * collapses map-side to ≤5 rows. */
+  def qOrderPriorityCheck(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    ord.join(lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** q287: TPC-H Q6 shape ("forecast revenue change") — the pure
+    * scan-filter-aggregate: potential extra revenue if discounts in
+    * the 4–6 point band were eliminated on small-quantity 1997 lines.
+    * No join at all — the shape exists to prove the scan is CLEAN:
+    * the date range reaches the parquet reader as a pushed filter,
+    * the projection reads four columns, and the whole thing is one
+    * codegen stage with a map-side-total agg (PlanShapeSpec pins the
+    * pushdown). Revenue delta = price_cents × discount_points, exact
+    * ×1e-4 dollars (the q162 discipline); the discount band compares
+    * exact integer points, never raw doubles.
+    *
+    * Scale shape: embarrassingly parallel — zero shuffles before the
+    * single-row final agg. The 100 TB plan is the 1 GB plan. */
+  def qForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    val discPts = expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)")
+    val priceCents =
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") && col("l_quantity") < 24)
+      .select(priceCents.as("pc"), discPts.as("dp"))
+      .filter(col("dp").between(4L, 6L))
+      .agg(sum(col("pc") * col("dp")).as("forecast_rev_x1e4"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q288: TPC-H Q7 shape ("volume shipping") — the two-nation trade
+    * flow: revenue shipped between NATION_1 and NATION_2 (either
+    * direction — the disjunctive nation-pair predicate is the shape's
+    * point) per supplier-nation/customer-nation/ship-year, 1996–1997.
+    *
+    * Scale shape: lineitem⋈orders and ⋈customer are the two fact-key
+    * shuffles; supplier and both nation lookups broadcast; the
+    * nation-pair filter applies as soon as BOTH sides' nations are
+    * bound (supplier-side nation binds on the broadcast, so the
+    * disjunction cuts the frame before the rollup); the rollup is
+    * 2 pairs × 2 years. */
+  def qVolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val supN = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custN = customer(s, d)
+      .join(broadcast(nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revX1e4.as("rev"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === pair.head &&
+          col("cust_nation") === pair(1)) ||
+        (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).as("revenue_x1e4"), count(lit(1)).as("n_lines"))
+  }
+
+  /** q289: TPC-H Q8 shape ("national market share") — the
+    * share-of-total with a CASE-sum numerator: within the ASIA-market
+    * MEDIUM-part order volume of 1996–1997, NATION_5 suppliers' share
+    * per order-year. The original emits the float ratio; this emits
+    * the exact (nation, total) ×1e-4 pair — the ratio's sufficient
+    * statistic, engine-identical (the q211 promo-share discipline).
+    *
+    * Scale shape: the type-filtered part list broadcasts into the
+    * lineitem scan (semi shape — non-MEDIUM lines never shuffle); the
+    * date filter prunes orders; customer is the one custkey shuffle;
+    * region-filtered nation and supplier broadcast; the rollup is
+    * 2 rows. */
+  def qMarketShare(s: SparkSession, d: String): DataFrame = {
+    val mediumParts = part(s, d).filter(col("p_type") === "MEDIUM")
+      .select("p_partkey")
+    val asiaCust = customer(s, d)
+      .join(broadcast(nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val supN = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revX1e4.as("rev"))
+      .join(broadcast(mediumParts), col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_5", col("rev"))
+        .otherwise(lit(0L))).as("nation_rev_x1e4"),
+        sum(col("rev")).as("total_rev_x1e4"))
+  }
+
+  /** q290: TPC-H Q9 shape ("product type profit") — profit per
+    * supplier-nation per order-year over red-named parts. The fixture
+    * has no partsupp/supplycost, so p_retailprice plays unit cost
+    * (the q228 stand-in discipline): profit = revenue −
+    * retail_cents × qty, both sides exact ×1e-4 dollars, so the sum
+    * is engine-identical and MAY be negative — Q9's point is that the
+    * measure is a derived arithmetic expression, not a raw column.
+    *
+    * Scale shape: the name filter prunes parts and broadcasts
+    * (non-red lines never shuffle); orders joins on the one fact key;
+    * supplier+nation broadcast; the rollup is 25 nations × 7 years. */
+  def qProductProfit(s: SparkSession, d: String): DataFrame = {
+    val redParts = part(s, d).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cost_cents"))
+    val supN = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        qtyX100.as("qty_c"), revX1e4.as("rev"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev") - col("cost_cents") * col("qty_c"))
+        .as("profit_x1e4"), count(lit(1)).as("n_lines"))
+  }
+
+  /** q291: TPC-H Q12 shape ("shipping modes and order priority") —
+    * the CASE-sum pivot over a join: among LATE 1997 lines (shipped
+    * > 60 days after the order — the q227 convention; the fixture has
+    * no commit/receipt dates), how many belong to critical-priority
+    * orders vs not, per return flag (3 values, playing l_shipmode).
+    * The shape's point is the conditional aggregation AFTER the join:
+    * one pass, two complementary counters, no second scan.
+    *
+    * Scale shape: the ship-year filter prunes the lineitem scan; one
+    * orderkey shuffle; the rollup collapses map-side to 3 rows. */
+  def qShipmodePriority(s: SparkSession, d: String): DataFrame = {
+    val critical = Seq("1-URGENT", "2-HIGH")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(orders(s, d).select("o_orderkey", "o_orderdate",
+        "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("o_orderpriority").isin(critical: _*), 1L)
+        .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(critical: _*), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** q292: TPC-H Q15 shape ("top supplier") — the view-plus-scalar-max
+    * pattern: per-supplier revenue over 1997-Q1, keeping exactly the
+    * supplier(s) whose revenue EQUALS the maximum (ties all survive —
+    * the WITH-TIES cousin of q269, and why the original uses a view +
+    * scalar subquery instead of LIMIT 1).
+    *
+    * Scale shape: the quarter filter prunes the scan; one suppkey
+    * rollup; the max is a 1-row broadcast back onto the rollup (never
+    * a global sort); the name join broadcasts. */
+  def qTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .select(col("l_suppkey"), revX1e4.as("rev"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rev")).as("total_rev_x1e4"))
+    val mx = rev.agg(max(col("total_rev_x1e4")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_x1e4") === col("mx"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("total_rev_x1e4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q293: TPC-H Q16 shape ("parts/supplier relationship") — the
+    * COUNT-DISTINCT-over-anti-join catalog query: distinct suppliers
+    * per (brand, type, size) over the fixture's partsupp (distinct
+    * lineitem pairs — the q228 stand-in), excluding one brand and the
+    * PROMO type (the NOT-IN literals) and excluding negative-balance
+    * suppliers (playing the complaints NOT IN subquery) via an ANTI
+    * join. Top-100 under the (count desc, brand, type, size) total
+    * order.
+    *
+    * Scale shape: the pair dedup is the one fact-sized shuffle
+    * (partkey-partitioned, reused by the part join via the same key);
+    * the excluded-supplier list broadcasts into the anti join BEFORE
+    * the dedup so excluded pairs never shuffle twice; part joins on
+    * partkey; the rollup is bounded by |brand×type×size| = 25·6·50. */
+  def qPartSupplierRelation(s: SparkSession, d: String): DataFrame = {
+    val excluded = supplier(s, d).filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    val pairs = lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .distinct()
+    pairs
+      .join(part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(100)
+  }
+
+  /** q294: TPC-H Q19 shape ("discounted revenue") — the
+    * disjunction-of-conjunctions predicate: revenue over three
+    * (brand, size-band, quantity-band) OR-blocks (p_size plays
+    * p_container). The shape's point is that an OR across both join
+    * sides must NOT break the equi-join: the partkey join stays a
+    * hash join and the disjunction evaluates as a codegen'd
+    * post-join filter — never a nested-loop fallback (PlanShapeSpec
+    * pins no BroadcastNestedLoopJoin/CartesianProduct in the plan).
+    * Quantities compare as exact centi-units.
+    *
+    * Scale shape: part carries only (key, brand, size) into the join;
+    * a superset brand/size pre-filter prunes part rows BEFORE the
+    * join (the per-block residual re-checks pairs), so the join probe
+    * side is 3 brands' parts, not the catalog; one partkey shuffle;
+    * single-row final agg. */
+  def qDiscountedRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    lineitem(s, d)
+      .select(col("l_partkey"), qtyX100.as("qty_c"), revX1e4.as("rev"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("qty_c").between(100L, 1100L)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("qty_c").between(1000L, 2000L)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("qty_c").between(2000L, 3000L)))
+      .agg(sum(col("rev")).as("revenue_x1e4"), count(lit(1)).as("n_lines"))
+  }
 }

@@ -2255,4 +2255,204 @@ object Stats {
           when(den =!= 0.0, den)).as("z") // degenerate series (a or b = 0)
       })
   }
+
+  /** q295: Wilcoxon signed-rank test — the PAIRED cousin of
+    * Mann–Whitney (q229 compares two independent groups; this compares
+    * two measurements of the SAME subject): did per-customer spend
+    * shift from 1996 to 1997 over customers active in both years?
+    * Zero diffs drop (the standard treatment); |diff| ranks live on
+    * the value-domain rollup with q229's doubled-average-rank device
+    * (dr = 2·cum − cnt + 1), so 2W⁺ = Σ c_pos·dr and 2W⁻ = Σ c_neg·dr
+    * stay BIGINT-exact with W⁺+W⁻ = n(n+1)/2 as the built-in
+    * self-check. The tie-corrected variance of 2W⁺ is
+    * (2n(n+1)(2n+1) − Σ(t³−t))/12, exact in DECIMAL(38,0) (n³ tops
+    * BIGINT at web scale — the q229 widening lesson), and z is the one
+    * final double, spelled identically on both engines.
+    *
+    * Scale shape: one custkey rollup; the |diff| rollup's DISTINCT
+    * domain grows with customers (year-over-year spend diffs are
+    * near-unique), so the cumulative rank does NOT get a global
+    * window — it uses the q277 range-partition device:
+    * repartitionByRange on |diff|, partition-local running sums, and
+    * a bounded per-partition offset table (one row per shuffle
+    * partition) broadcast back. Single-row output. */
+  def qWilcoxonSignedRank(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val spend = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) === 1996).cast("long").as("in96"),
+        cents.as("c"))
+      .groupBy("o_custkey")
+      .agg(sum(when(col("in96") === 1L, col("c")).otherwise(0L)).as("s96"),
+        sum(when(col("in96") === 0L, col("c")).otherwise(0L)).as("s97"),
+        sum(col("in96")).as("n96"),
+        sum(lit(1L) - col("in96")).as("n97"))
+      .filter(col("n96") > 0 && col("n97") > 0)
+    val diffs = spend.select((col("s97") - col("s96")).as("diff"))
+      .filter(col("diff") =!= 0L)
+    val byAbs = diffs
+      .groupBy(abs(col("diff")).as("ad"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("diff") > 0, 1L).otherwise(0L)).as("c_pos"))
+    // global cumulative count WITHOUT a single-partition window:
+    // range partition on |diff| (so partition order IS value order),
+    // local running sums, bounded offset table broadcast back
+    val parts = byAbs.repartitionByRange(col("ad"))
+      .withColumn("pid", spark_partition_id())
+    val offs = parts.groupBy("pid").agg(sum(col("cnt")).as("pc"))
+      .select(col("pid"),
+        coalesce(sum("pc").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val local = Window.partitionBy("pid").orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offs), Seq("pid"))
+      .withColumn("cum", col("off") + sum(col("cnt")).over(local))
+      .withColumn("dr", lit(2L) * col("cum") - col("cnt") + lit(1L))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(col("c_pos") * col("dr")).as("two_w_plus"),
+        sum((col("cnt") - col("c_pos")) * col("dr")).as("two_w_minus"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      .withColumn("var12", dec(lit(2L)) * dec(col("n_pairs")) *
+        dec(col("n_pairs") + 1) * dec(lit(2L) * col("n_pairs") + 1) -
+        dec(col("tie_term")))
+      .withColumn("z_score", round(
+        when(col("n_pairs") > 0 && col("var12") > 0,
+          (d2(col("two_w_plus")) -
+            d2(col("n_pairs")) * d2(col("n_pairs") + 1) / lit(2.0)) /
+            sqrt(d2(col("var12")) / lit(12.0)))
+          .otherwise(lit(0.0)), 6))
+      .select(col("n_pairs"), col("two_w_plus"), col("two_w_minus"),
+        col("tie_term"), col("z_score"))
+  }
+
+  /** q296: McNemar's test — the paired BINARY shape closing the
+    * paired-test pair with q295 (signed-rank pairs a continuous
+    * measurement; this pairs a yes/no): did users' purchase behavior
+    * flip between the first and second half of the event month? Only
+    * the discordant cells carry signal — b = purchased early only,
+    * c = purchased late only — and the statistic is (b−c)²/(b+c),
+    * exact integers up to the one final division.
+    *
+    * Scale shape: one user rollup (map-side partial collapses the
+    * per-user event list to two booleans), then a single-row count
+    * aggregation; nothing downstream scales with data. */
+  def qMcNemar(s: SparkSession, d: String): DataFrame = {
+    val mid = lit("2024-01-16")
+    val perUser = events(s, d)
+      .select(col("user_id"),
+        (col("event_type") === "purchase" && col("ts") < mid)
+          .cast("long").as("pa"),
+        (col("event_type") === "purchase" && col("ts") >= mid)
+          .cast("long").as("pb"))
+      .groupBy("user_id")
+      .agg(max(col("pa")).as("a"), max(col("pb")).as("b"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n_early_only"),
+      sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n_late_only"),
+      sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n_neither"))
+      .withColumn("chi2", round(
+        when(col("n_early_only") + col("n_late_only") > 0,
+          d2((col("n_early_only") - col("n_late_only")) *
+            (col("n_early_only") - col("n_late_only"))) /
+            d2(col("n_early_only") + col("n_late_only")))
+          .otherwise(lit(0.0)), 6))
+  }
+
+  /** q297: Cochran–Armitage trend test — the ORDERED-groups member of
+    * the contingency family (q243's chi-square treats groups as
+    * unordered; this asks whether the return rate trends MONOTONically
+    * across the five priority classes, score = the priority's leading
+    * digit). Response per order: any line returned ('R'). The
+    * statistic is built from five integer sufficient sums
+    * (N, R, Σsn, Σs²n, Σsr): T·N = N·Σsr − R·Σsn and
+    * N³·Var = R(N−R)(N·Σs²n − (Σsn)²) — both exact; z is the one
+    * final double, spelled identically on both engines (the products
+    * stay in doubles there, never in overflow-prone BIGINT).
+    *
+    * Scale shape: one orderkey rollup for the returned flag (the only
+    * fact-sized shuffle — the orders join rides the same key), a
+    * ≤5-row priority rollup, a single-row output. */
+  def qCochranArmitage(s: SparkSession, d: String): DataFrame = {
+    val returned = lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+      .groupBy("l_orderkey")
+      .agg(max(col("ret")).as("r"))
+    val byPrio = orders(s, d)
+      .select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("score"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n_i"), sum(col("r")).as("r_i"))
+    byPrio.agg(
+      sum(col("n_i")).as("n_orders"),
+      sum(col("r_i")).as("n_returned"),
+      sum(col("score") * col("n_i")).as("sum_sn"),
+      sum(col("score") * col("score") * col("n_i")).as("sum_s2n"),
+      sum(col("score") * col("r_i")).as("sum_sr"))
+      .withColumn("z_score", round({
+        val n = col("n_orders"); val r = col("n_returned")
+        val tnum = d2(n * col("sum_sr") - r * col("sum_sn"))
+        val m = d2(n) * d2(col("sum_s2n")) - d2(col("sum_sn")) * d2(col("sum_sn"))
+        val v = d2(r) * d2(n - r) * m / d2(n)
+        when(v > 0, tnum / sqrt(v)).otherwise(lit(0.0))
+      }, 6))
+  }
+
+  /** q298 (batch side): integer-EWMA spike monitor over each type's
+    * hourly event counts — the level detector q188's float EWMA can't
+    * take to a bit-exact gate. The recursion is exact BIGINT in
+    * micro-units: e₁ = c₁·10⁶, e_t = (c_t·10⁶ + e_{t−1}) div 2
+    * (α = ½ — the halving EWMA), spike when 2·c_t·10⁶ > 3·e_{t−1}
+    * (the hour ran over 1.5× the smoothed level). Genuinely
+    * sequential — no windowed identity exists for a FLOORED recursion
+    * (q185's drawdown trick needs exact max-algebra; floor-div breaks
+    * it) — so the batch plan is a per-type fold over the hourly
+    * rollup, and the oracle is a recursive CTE walking the same
+    * integers.
+    *
+    * Scale shape: the only data-sized work is the (type, hour) count
+    * rollup (map-side partials); the per-type fold walks a
+    * CALENDAR-BOUNDED series (hours in the retention window — the
+    * q157/q185 argument), never row counts. */
+  def qEwmaMonitor(s: SparkSession, d: String): DataFrame =
+    ewmaSpikes(s, events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('HOUR', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Detector core over any (event_type, h, c) hourly series —
+    * factored out so the spec can drive a synthetic spike series
+    * through the exact same fold. */
+  private[graft] def ewmaSpikes(s: SparkSession, hourly: DataFrame): DataFrame = {
+    import s.implicits._
+    hourly
+      .select(col("event_type"), col("h").cast("long"), col("c").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        var e = 0L; var n = 0L; var spikes = 0L; var first = -1L
+        arr.foreach { case (_, h, c) =>
+          val v = c * 1000000L
+          if (n == 0L) e = v
+          else {
+            if (2L * v > 3L * e) { spikes += 1; if (first < 0) first = h }
+            e = (v + e) / 2L
+          }
+          n += 1L
+        }
+        (tpe, n, e, spikes, first)
+      }
+      .toDF("event_type", "n_hours", "final_ewma_micro", "n_spikes",
+        "first_spike_hour")
+  }
 }

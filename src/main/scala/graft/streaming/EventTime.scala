@@ -529,6 +529,44 @@ object EventTime {
         col("m.s_at_alarm").as("s_at_alarm"))
   }
 
+  /** q298: q298's integer-EWMA spike monitor as STREAMING state
+    * ([[Stateful.ewmaProgress]]): the literal e ← (c·10⁶ + e) div 2
+    * recursion advanced hour by hour over the time-ordered 3-file
+    * replay, final snapshots reconstructed via the n_seen counter
+    * (the EWMA itself is not monotone — the counter is). The oracle
+    * is a DuckDB RECURSIVE CTE walking the same integers — the
+    * ELEVENTH bit-exact stream/batch parity, and the first whose
+    * batch side is a genuinely sequential fold (no windowed identity
+    * exists for a floored recursion), so the parity pins three
+    * independent implementations: the streaming state fold, the
+    * batch mapGroups fold, and the oracle's recursion. */
+  def qStreamingEwma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+    val prog = Stateful.ewmaProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q298 must exercise cross-batch EWMA state, saw $dataBatches data batches")
+    s.table(name).groupBy("event_type")
+      .agg(max_by(struct(col("n_hours"), col("final_ewma_micro"),
+        col("n_spikes"), col("first_spike_hour")), col("n_seen")).as("m"))
+      .select(col("event_type"), col("m.n_hours").as("n_hours"),
+        col("m.final_ewma_micro").as("final_ewma_micro"),
+        col("m.n_spikes").as("n_spikes"),
+        col("m.first_spike_hour").as("first_spike_hour"))
+  }
+
   /** q214: streaming distinct users per type via HLL register state
     * ([[Stateful.hllDistinctProgress]]) — the sketch-state member of
     * the parity family: the per-type register array advanced

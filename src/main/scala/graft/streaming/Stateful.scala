@@ -353,6 +353,77 @@ object Stateful {
   case class CusumState(openDay: Long, openCnt: Long, closed: Long,
     sum7: Long, s: Long, maxS: Long, alarmDay: Long, sAtAlarm: Long)
 
+  case class EwmaProgress(event_type: String, n_seen: Long, n_hours: Long,
+    final_ewma_micro: Long, n_spikes: Long, first_spike_hour: Long)
+
+  case class EwmaState(openHour: Long, openCnt: Long, closed: Long,
+    e: Long, nSpikes: Long, firstSpike: Long, nSeen: Long)
+
+  /** Streaming integer-EWMA spike monitor — q298's batch fold
+    * ([[graft.operators.Stats.ewmaSpikes]]) as per-type state: the
+    * LITERAL e ← (c·10⁶ + e) div 2 recursion advanced hour by hour
+    * (an hour closes when a later hour arrives for the key — the
+    * [[pageCusumProgress]] open/close device), spike when
+    * 2·c·10⁶ > 3·e_prev. State is seven scalars per key forever.
+    * Each emitted snapshot projects the still-open hour as if it
+    * closed now, so the final snapshot equals the batch answer over
+    * the full series. n_seen strictly increases per key per batch
+    * (a key is only invoked when its batch slice is non-empty), so
+    * max_by(struct(...), n_seen) over the update-mode emission
+    * history reconstructs the final state — the q133/q158/q167/q186
+    * trick, keyed on the event counter because the EWMA itself is
+    * NOT monotone. Same cross-batch event-time-order arrival
+    * contract as [[funnelStages]]. */
+  def ewmaProgress(events: Dataset[(String, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[EwmaProgress] = {
+    implicit val stE: Encoder[EwmaState] = Encoders.product[EwmaState]
+    implicit val outE: Encoder[EwmaProgress] = Encoders.product[EwmaProgress]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val usPerHour = 3600000000L
+    events.groupByKey(_._1)
+      .mapGroupsWithState[EwmaState, EwmaProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)], state: GroupState[EwmaState]) =>
+          var EwmaState(openHour, openCnt, closed, e, nSpikes, firstSpike,
+            nSeen) = state.getOption.getOrElse(
+              EwmaState(Long.MinValue, 0L, 0L, 0L, 0L, -1L, 0L))
+          def close(h: Long, c: Long): Unit = {
+            val v = c * 1000000L
+            if (closed == 0L) e = v
+            else {
+              if (2L * v > 3L * e) {
+                nSpikes += 1; if (firstSpike < 0) firstSpike = h
+              }
+              e = (v + e) / 2L
+            }
+            closed += 1
+          }
+          val hrs = it.toArray.map(x => Math.floorDiv(x._2, usPerHour))
+          nSeen += hrs.length
+          hrs.sorted.foreach { h =>
+            if (openHour == Long.MinValue) { openHour = h; openCnt = 1 }
+            else if (h == openHour) openCnt += 1
+            else { close(openHour, openCnt); openHour = h; openCnt = 1 }
+          }
+          state.update(EwmaState(openHour, openCnt, closed, e, nSpikes,
+            firstSpike, nSeen))
+          // project the open hour as if it closed now
+          var (pe, pSpikes, pFirst, pClosed) = (e, nSpikes, firstSpike, closed)
+          if (openHour != Long.MinValue) {
+            val v = openCnt * 1000000L
+            if (pClosed == 0L) pe = v
+            else {
+              if (2L * v > 3L * e) {
+                pSpikes += 1; if (pFirst < 0) pFirst = openHour
+              }
+              pe = (v + e) / 2L
+            }
+            pClosed += 1
+          }
+          EwmaProgress(tpe, nSeen, pClosed, pe, pSpikes, pFirst)
+      }
+  }
+
   /** Streaming Page CUSUM — q185's online level-shift detector as
     * per-type state: (open day, open count, closed-day count, burn-in
     * sum, S, max S, alarm day, S-at-alarm) advanced micro-batch by

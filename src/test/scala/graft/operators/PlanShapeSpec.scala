@@ -221,4 +221,42 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"a pair join crept back in:\n$plan")
   }
+
+  test("q287 forecast revenue: pushed scan filters, one codegen stage, one tiny final-agg exchange") {
+    // the TPC-H Q6 claim: the date range reaches the parquet reader,
+    // nothing shuffles except the single-row partial→final gather
+    val df = Relational.qForecastRevenue(spark, sf)
+    assert(shuffles(df) == 1, "Q6 shape must shuffle only the final partials")
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*(GreaterThan|LessThan)".r
+    assert(pushed.findFirstIn(plan).isDefined, s"date filter not pushed:\n$plan")
+    // codegen'd stages render as "*(n)" in the plan string
+    assert(plan.contains("*(1)"), s"scan leg fell out of codegen:\n$plan")
+  }
+
+  test("q294 discounted revenue: the OR-block predicate never breaks the hash equi-join") {
+    val df = Relational.qDiscountedRevenue(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"partkey equi-join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction degraded the join to a nested loop:\n$plan")
+  }
+
+  test("q295 Wilcoxon: no single-partition rank over the |diff| domain") {
+    // same device as q276/q277: the cumulative count is pid-partitioned
+    // after a range exchange; unpartitioned windows ride only the
+    // bounded per-partition offset table
+    val ws = windowNodes(Stats.qWilcoxonSignedRank(spark, sf))
+    assert(ws.nonEmpty)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("pid"),
+        s"a data-scaled single-partition window crept in:\n$w")
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "the cumulative window lost its pid partitioning")
+  }
 }
