@@ -337,6 +337,24 @@ object Bench {
     "q283_er_golden_record",
     "q284_rank_stability",
     "q285_blocking_audit",
+    // round 20 (r10) continuation: the nine TPC-H completion shapes
+    // (classic scan/join/rollup plans — cheap, but timed so a plan
+    // regression in the showcase set shows up in the bench trail),
+    // the three paired/ordered classical tests, and the q298 batch
+    // fold (the streaming side stays untimed like every replay parity)
+    "q286_priority_waiting",
+    "q287_forecast_revenue",
+    "q288_volume_shipping",
+    "q289_market_share",
+    "q290_product_profit",
+    "q291_shipmode_priority",
+    "q292_top_supplier",
+    "q293_part_supplier",
+    "q294_discounted_revenue",
+    "q295_wilcoxon_signed_rank",
+    "q296_mcnemar",
+    "q297_cochran_armitage",
+    "q298b_ewma_batch",
   )
 
   def main(args: Array[String]): Unit = {

@@ -161,7 +161,18 @@ object ScaleBench {
       // contraction over the scaled part table) and the weekly
       // rank-stability monitor (fact rollup + per-week inversion walks;
       // the week span is fixed, so blocks gain density with the factor)
-      "q283_er_golden_record", "q284_rank_stability")
+      "q283_er_golden_record", "q284_rank_stability",
+      // round 20 (r10) continuation: the heavier TPC-H completion
+      // shapes — Q7's double fact-key shuffle (q288), Q9's
+      // fact-to-broadcast profit rollup (q290), Q16's fact-pair dedup
+      // shuffle (q293) — plus the flat-scan control (q287), the
+      // range-partition Wilcoxon device over the growing |diff| domain
+      // (q295), and the calendar-bounded EWMA fold (q298b, should be
+      // flat like q157/q185). The bounded-rollup rest (q286/q289/
+      // q291/q292/q294/q296/q297) share these plans' legs.
+      "q287_forecast_revenue", "q288_volume_shipping",
+      "q290_product_profit", "q293_part_supplier",
+      "q295_wilcoxon_signed_rank", "q298b_ewma_batch")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
