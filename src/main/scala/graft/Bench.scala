@@ -355,6 +355,13 @@ object Bench {
     "q296_mcnemar",
     "q297_cochran_armitage",
     "q298b_ewma_batch",
+    // round 20 (r10) continuation 2: the k-sample paired/ordered
+    // family (Friedman + Page on complete-block ranks, Cochran's Q on
+    // the user rollup, Jonckheere-Terpstra on the value-domain device)
+    "q299_friedman",
+    "q300_cochran_q",
+    "q301_jonckheere_terpstra",
+    "q302_page_trend",
   )
 
   def main(args: Array[String]): Unit = {

@@ -708,6 +708,19 @@ object SparkEntry {
     // q298b: the batch fold through the same detector core (its own
     // gate row so batch and streaming are pinned independently)
     "q298b_ewma_batch" -> (Stats.qEwmaMonitor _),
+    // q299: Friedman — the k-sample paired test (q295's family at
+    // k = 3 yearly conditions per customer block)
+    "q299_friedman" -> (Stats.qFriedman _),
+    // q300: Cochran's Q — the k-sample paired-binary test (q296's
+    // family across the month's three decades)
+    "q300_cochran_q" -> (Stats.qCochranQ _),
+    // q301: Jonckheere–Terpstra — ordered-alternative k-sample rank
+    // test over the priority classes (q233 unordered / q297 binary /
+    // this continuous)
+    "q301_jonckheere_terpstra" -> (Stats.qJonckheereTerpstra _),
+    // q302: Page's L — Friedman's ordered-alternative twin on the
+    // same complete-block ranks
+    "q302_page_trend" -> (Stats.qPageTrend _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -6180,7 +6193,144 @@ object SparkEntry {
     // folds, so the hash match is a three-way parity statement
     "q298_streaming_ewma" -> ewmaOracle,
     "q298b_ewma_batch" -> ewmaOracle,
+    // q299/q302: complete-block doubled within-customer ranks of
+    // yearly spend (2·avg-rank = 2·rank + ties − 1, at block scope)
+    "q299_friedman" ->
+      s"""$yearRankCte
+         py AS (SELECT yr, CAST(SUM(dij) AS BIGINT) AS d_sum
+                FROM ranked GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) // 3 AS BIGINT) AS n_blocks,
+                      CAST(SUM(dij * dij) AS BIGINT) AS sum_d_sq
+               FROM ranked),
+         num AS (SELECT CAST(SUM((d_sum - 4 * g.n_blocks)
+                                 * (d_sum - 4 * g.n_blocks)) AS BIGINT)
+                        AS nn
+                 FROM py, g)
+         SELECT py.yr, py.d_sum, g.n_blocks, g.sum_d_sq,
+                ROUND(2.0 * CAST(num.nn AS DOUBLE)
+                      / CAST(g.n_blocks AS DOUBLE)
+                      / (CAST(g.sum_d_sq AS DOUBLE)
+                         - 48.0 * CAST(g.n_blocks AS DOUBLE)), 6)
+                  AS chi2_f
+         FROM py, g, num ORDER BY py.yr""",
+    "q302_page_trend" ->
+      s"""$yearRankCte
+         g AS (SELECT CAST(COUNT(*) // 3 AS BIGINT) AS n_blocks,
+                      CAST(SUM((yr - 1995) * dij) AS BIGINT) AS two_l
+               FROM ranked)
+         SELECT n_blocks, two_l,
+                ROUND((CAST(two_l AS DOUBLE) / 2.0
+                       - 12.0 * CAST(n_blocks AS DOUBLE))
+                      / SQRT(2.0 * CAST(n_blocks AS DOUBLE)), 6) AS z_page
+         FROM g""",
+    // q300: Cochran's Q — column totals + row-total moments from one
+    // user rollup; N/k eliminated algebraically
+    "q300_cochran_q" ->
+      """WITH flags AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase'
+                            AND ts >= '2024-01-01' AND ts < '2024-01-11'
+                           THEN 1 ELSE 0 END) AS x1,
+                  MAX(CASE WHEN event_type = 'purchase'
+                            AND ts >= '2024-01-11' AND ts < '2024-01-21'
+                           THEN 1 ELSE 0 END) AS x2,
+                  MAX(CASE WHEN event_type = 'purchase'
+                            AND ts >= '2024-01-21' THEN 1 ELSE 0 END) AS x3
+           FROM events GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                      CAST(SUM(x1) AS BIGINT) AS g1,
+                      CAST(SUM(x2) AS BIGINT) AS g2,
+                      CAST(SUM(x3) AS BIGINT) AS g3,
+                      CAST(SUM(x1 + x2 + x3) AS BIGINT) AS sum_l,
+                      CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3))
+                        AS BIGINT) AS sum_l_sq
+               FROM flags)
+         SELECT n_users, g1, g2, g3, sum_l, sum_l_sq,
+                ROUND(CASE WHEN 3 * sum_l - sum_l_sq > 0
+                  THEN 2.0 * (3.0 * (CAST(g1 AS DOUBLE) * g1
+                                     + CAST(g2 AS DOUBLE) * g2
+                                     + CAST(g3 AS DOUBLE) * g3)
+                              - CAST(sum_l AS DOUBLE) * sum_l)
+                       / CAST(3 * sum_l - sum_l_sq AS DOUBLE)
+                  ELSE 0.0 END, 6) AS q_stat
+         FROM g""",
+    // q301: Jonckheere–Terpstra via the value-domain pivot +
+    // strict-predecessor cumulatives; z from the no-tie moments in
+    // doubles over the same exact counts
+    "q301_jonckheere_terpstra" ->
+      """WITH base AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+           FROM orders),
+         dom AS (
+           SELECT v,
+                  CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                  CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                  CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                  CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+           FROM base GROUP BY 1),
+         cum AS (
+           SELECT *,
+                  CAST(COALESCE(SUM(c1) OVER w, 0) AS BIGINT) AS lt1,
+                  CAST(COALESCE(SUM(c2) OVER w, 0) AS BIGINT) AS lt2,
+                  CAST(COALESCE(SUM(c3) OVER w, 0) AS BIGINT) AS lt3,
+                  CAST(COALESCE(SUM(c4) OVER w, 0) AS BIGINT) AS lt4
+           FROM dom
+           WINDOW w AS (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         agg AS (
+           SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  CAST(SUM(c3) AS BIGINT) AS n3,
+                  CAST(SUM(c4) AS BIGINT) AS n4,
+                  CAST(SUM(c5) AS BIGINT) AS n5,
+                  CAST(SUM(c2 * (2 * lt1 + c1)
+                           + c3 * (2 * (lt1 + lt2) + c1 + c2)
+                           + c4 * (2 * (lt1 + lt2 + lt3) + c1 + c2 + c3)
+                           + c5 * (2 * (lt1 + lt2 + lt3 + lt4)
+                                   + c1 + c2 + c3 + c4)) AS BIGINT)
+                    AS two_jt
+           FROM cum)
+         SELECT n1, n2, n3, n4, n5, two_jt,
+                ROUND((CAST(two_jt AS DOUBLE) / 2.0
+                       - (nn * nn - s2) / 4.0)
+                      / SQRT((nn * nn * (2.0 * nn + 3.0) - s3) / 72.0), 6)
+                  AS z_jt
+         FROM (SELECT *,
+                      CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE) AS nn,
+                      CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2
+                        + CAST(n3 AS DOUBLE) * n3 + CAST(n4 AS DOUBLE) * n4
+                        + CAST(n5 AS DOUBLE) * n5 AS s2,
+                      CAST(n1 AS DOUBLE) * n1 * (2.0 * n1 + 3.0)
+                        + CAST(n2 AS DOUBLE) * n2 * (2.0 * n2 + 3.0)
+                        + CAST(n3 AS DOUBLE) * n3 * (2.0 * n3 + 3.0)
+                        + CAST(n4 AS DOUBLE) * n4 * (2.0 * n4 + 3.0)
+                        + CAST(n5 AS DOUBLE) * n5 * (2.0 * n5 + 3.0) AS s3
+               FROM agg)""",
   )
+
+  /** Shared CTE prefix for the q299/q302 complete-block rank pair:
+    * per-customer yearly spend 1996–1998, complete blocks only,
+    * doubled within-block average ranks (2·rank + ties − 1). */
+  private val yearRankCte: String =
+    """WITH spend AS (
+         SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+         FROM orders
+         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+         GROUP BY 1, 2),
+       blocks AS (
+         SELECT * FROM spend
+         WHERE o_custkey IN (SELECT o_custkey FROM spend
+                             GROUP BY 1 HAVING COUNT(*) = 3)),
+       ranked AS (
+         SELECT yr,
+                2 * RANK() OVER (PARTITION BY o_custkey ORDER BY v)
+                  + COUNT(*) OVER (PARTITION BY o_custkey, v) - 1 AS dij
+         FROM blocks),"""
 
   /** Shared oracle for the q298 parity pair: batch fold and streaming
     * state must both equal this recursion's output. */

@@ -2455,4 +2455,192 @@ object Stats {
       .toDF("event_type", "n_hours", "final_ewma_micro", "n_spikes",
         "first_spike_hour")
   }
+
+  /** Shared by q299/q302: complete-block within-customer doubled
+    * average ranks of yearly spend, 1996–1998 (k = 3 treatments).
+    * Blocks = customers with orders in ALL three years (the
+    * complete-block requirement both tests share); rank within block
+    * with ties averaged, doubled so every rank is BIGINT
+    * (2·avg-rank = 2·rank + ties − 1, the q229/q233 discipline at
+    * block scope). */
+  private def yearSpendRanks(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val spend = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"), cents.as("c"))
+      .groupBy("o_custkey", "yr")
+      .agg(sum(col("c")).as("v"))
+    val complete = spend.groupBy("o_custkey")
+      .agg(count(lit(1)).as("ky")).filter(col("ky") === 3)
+      .select("o_custkey")
+    val wR = Window.partitionBy("o_custkey").orderBy("v")
+    val wEq = Window.partitionBy("o_custkey", "v")
+    spend.join(complete, Seq("o_custkey"))
+      .withColumn("dij", lit(2L) * rank().over(wR).cast("long") +
+        count(lit(1)).over(wEq) - lit(1L))
+  }
+
+  /** q299: Friedman test — the k-sample member of the PAIRED family
+    * q295 opened (signed-rank pairs two conditions per subject; this
+    * ranks k = 3 conditions per subject): did per-customer yearly
+    * spend shift across 1996/1997/1998, judged only on WITHIN-customer
+    * orderings (each customer is their own control, the blocking that
+    * kills cross-customer scale variance q244's ANOVA would eat)?
+    *
+    * Exactness: doubled within-block average ranks d_ij (BIGINT), so
+    * the per-year rank sums D_j = Σ 2r_ij and S = Σ d_ij² are exact.
+    * Tie-corrected statistic straight from them: with R̄ centered at
+    * (k+1)/2, χ²_F = (k−1)·[Σ_j (D_j − n(k+1))²/n] / (S − nk(k+1)²)
+    * — one final double, spelled identically on both engines.
+    *
+    * Scale shape: one (custkey, year) rollup, the complete-block
+    * semi-filter on the same key, a k=3-row window per block (keyed,
+    * never global), two bounded rollups. Blocks ×factor, per-block
+    * work constant. */
+  def qFriedman(s: SparkSession, d: String): DataFrame = {
+    val ranked = yearSpendRanks(s, d)
+    val perYear = ranked.groupBy("yr").agg(sum(col("dij")).as("d_sum"))
+    val glob = ranked.agg(
+      (count(lit(1)) / lit(3L)).cast("long").as("n_blocks"),
+      sum(col("dij") * col("dij")).as("sum_d_sq"))
+    val chi = perYear.crossJoin(broadcast(glob))
+      .agg(round(
+        lit(2.0) * sum(d2(col("d_sum") - lit(4L) * col("n_blocks")) *
+          d2(col("d_sum") - lit(4L) * col("n_blocks"))) /
+          d2(max(col("n_blocks"))) /
+          (d2(max(col("sum_d_sq"))) - lit(48.0) * d2(max(col("n_blocks")))),
+        6).as("chi2_f"))
+    perYear.crossJoin(broadcast(glob)).crossJoin(broadcast(chi))
+      .select(col("yr"), col("d_sum"), col("n_blocks"), col("sum_d_sq"),
+        col("chi2_f"))
+      .orderBy("yr")
+  }
+
+  /** q302: Page's L trend test — Friedman's ORDERED-alternative twin
+    * (q299 asks "any difference across years"; this asks "monotone
+    * TREND with time", the question a drift monitor actually poses),
+    * sharing q299's doubled complete-block ranks. L = Σ_j w_j·R_j with
+    * year weights 1 < 2 < 3; doubled 2L = Σ w_j·D_j stays BIGINT.
+    * z = (L − nk(k+1)²/4) / √(nk²(k+1)²(k−1)/144) (Page '63), which at
+    * k = 3 is (L − 12n)/√(2n) — the one final double.
+    *
+    * Scale shape: q299's plan plus a weighted 3-row fold. */
+  def qPageTrend(s: SparkSession, d: String): DataFrame = {
+    val ranked = yearSpendRanks(s, d)
+    ranked
+      .agg((count(lit(1)) / lit(3L)).cast("long").as("n_blocks"),
+        sum((col("yr") - lit(1995L)) * col("dij")).as("two_l"))
+      .withColumn("z_page", round(
+        (d2(col("two_l")) / lit(2.0) - lit(12.0) * d2(col("n_blocks"))) /
+          sqrt(lit(2.0) * d2(col("n_blocks"))), 6))
+  }
+
+  /** q300: Cochran's Q — the k-sample member of the paired-BINARY
+    * family q296 opened (McNemar flips one yes/no between two
+    * occasions; this tracks it across k = 3): did each user's
+    * purchase incidence change across the event month's three decades
+    * (Jan 1–10 / 11–20 / 21–31)?
+    *
+    * Exactness: all sufficient statistics integer — column totals G_j,
+    * row-total sums ΣL and ΣL² from one user rollup. The N/k fraction
+    * is eliminated algebraically: Q = (k−1)·(k·ΣG_j² − N²) /
+    * (k·ΣL − ΣL²) — one final double.
+    *
+    * Scale shape: one user rollup (map-side partials collapse each
+    * user's events to three booleans), then a single-row fold. Users
+    * ×factor, per-user work constant. */
+  def qCochranQ(s: SparkSession, d: String): DataFrame = {
+    val p = (lo: String, hi: Option[String]) => {
+      val in = col("event_type") === "purchase" && col("ts") >= lit(lo) &&
+        hi.map(h => col("ts") < lit(h)).getOrElse(lit(true))
+      max(when(in, 1L).otherwise(0L))
+    }
+    val flags = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .groupBy("user_id")
+      .agg(p("2024-01-01", Some("2024-01-11")).as("x1"),
+        p("2024-01-11", Some("2024-01-21")).as("x2"),
+        p("2024-01-21", None).as("x3"))
+      .withColumn("l", col("x1") + col("x2") + col("x3"))
+    flags.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x1")).as("g1"), sum(col("x2")).as("g2"),
+      sum(col("x3")).as("g3"),
+      sum(col("l")).as("sum_l"), sum(col("l") * col("l")).as("sum_l_sq"))
+      .withColumn("q_stat", round(
+        when(lit(3L) * col("sum_l") - col("sum_l_sq") > 0,
+          lit(2.0) * (lit(3.0) * (d2(col("g1")) * d2(col("g1")) +
+            d2(col("g2")) * d2(col("g2")) + d2(col("g3")) * d2(col("g3"))) -
+            d2(col("sum_l")) * d2(col("sum_l"))) /
+            d2(lit(3L) * col("sum_l") - col("sum_l_sq")))
+          .otherwise(lit(0.0)), 6))
+  }
+
+  /** q301: Jonckheere–Terpstra — the ORDERED-alternative k-sample rank
+    * test (q233's Kruskal–Wallis treats the five priority classes as
+    * unordered; q297's Cochran–Armitage orders a BINARY response; this
+    * orders a CONTINUOUS one): does order value trend across the five
+    * priority classes? JT = Σ_{i<j} U_ij over group pairs; doubled
+    * 2·JT = Σ pairs [2·(strictly-less cross-pairs) + (equal-value
+    * cross-pairs)] stays BIGINT.
+    *
+    * Exactness: the value-domain device — counts per (cents, group)
+    * pivot to k = 5 columns, strict-predecessor cumulatives give every
+    * cross-group comparison in one pass; 2JT exact. z from the no-tie
+    * moments E = (N² − Σn_i²)/4, Var = [N²(2N+3) − Σn_i²(2n_i+3)]/72
+    * (Terpstra '52) in doubles from the emitted exact counts — cent
+    * sums make cross-group value ties measure-zero rare, and both
+    * engines spell the same formula on the same integers either way.
+    *
+    * Scale shape: the domain rollup is the only data-sized shuffle;
+    * the cumulative walk is range-partitioned with broadcast
+    * per-partition offsets (the q295 device, fourth consumer — never
+    * a single-partition window over the growing cents domain);
+    * the final fold is one row. */
+  def qJonckheereTerpstra(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val base = orders(s, d).select(
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+      cents.as("v"))
+    val cg = (i: Int) =>
+      sum(when(col("g") === i.toLong, 1L).otherwise(0L)).as(s"c$i")
+    val dom = base.groupBy("v").agg(cg(1), cg(2), cg(3), cg(4), cg(5))
+    val parts = dom.repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+    val wPid = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partials = (1 to 4).map(i => sum(col(s"c$i")).as(s"p$i"))
+    val offs = parts.groupBy("pid")
+      .agg(partials.head, partials.tail: _*)
+      .select(col("pid") +:
+        (1 to 4).map(i =>
+          coalesce(sum(col(s"p$i")).over(wPid), lit(0L)).as(s"off$i")): _*)
+    val wLoc = Window.partitionBy("pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = parts.join(broadcast(offs), Seq("pid"))
+    val withLt = (1 to 4).foldLeft(cum) { (df, i) =>
+      df.withColumn(s"lt$i",
+        col(s"off$i") + coalesce(sum(col(s"c$i")).over(wLoc), lit(0L)))
+    }
+    // 2JT contribution at value v: each group s pairs against every
+    // lower group j<s — twice the strictly-smaller count plus the
+    // equal-value count
+    val contrib = (2 to 5).map { sIdx =>
+      val lts = (1 until sIdx).map(j => col(s"lt$j")).reduce(_ + _)
+      val eqs = (1 until sIdx).map(j => col(s"c$j")).reduce(_ + _)
+      col(s"c$sIdx") * (lit(2L) * lts + eqs)
+    }.reduce(_ + _)
+    val aggCols = (1 to 5).map(i => sum(col(s"c$i")).as(s"n$i")) :+
+      sum(contrib).as("two_jt")
+    val agg0 = withLt.agg(aggCols.head, aggCols.tail: _*)
+    val n = (1 to 5).map(i => d2(col(s"n$i"))).reduce(_ + _)
+    val s2 = (1 to 5).map(i => d2(col(s"n$i")) * d2(col(s"n$i"))).reduce(_ + _)
+    val s3 = (1 to 5).map(i => d2(col(s"n$i")) * d2(col(s"n$i")) *
+      (lit(2.0) * d2(col(s"n$i")) + lit(3.0))).reduce(_ + _)
+    agg0.withColumn("z_jt", round(
+      (d2(col("two_jt")) / lit(2.0) - (n * n - s2) / lit(4.0)) /
+        sqrt((n * n * (lit(2.0) * n + lit(3.0)) - s3) / lit(72.0)), 6))
+  }
 }

@@ -172,7 +172,13 @@ object ScaleBench {
       // q291/q292/q294/q296/q297) share these plans' legs.
       "q287_forecast_revenue", "q288_volume_shipping",
       "q290_product_profit", "q293_part_supplier",
-      "q295_wilcoxon_signed_rank", "q298b_ewma_batch")
+      "q295_wilcoxon_signed_rank", "q298b_ewma_batch",
+      // round 20 (r10) continuation 2: the k-sample family — Friedman's
+      // complete-block ranks (blocks ×factor, per-block work constant),
+      // Cochran's Q user rollup, and the Jonckheere cents-domain
+      // cumulative through the offset device (domain ×factor)
+      "q299_friedman", "q300_cochran_q", "q301_jonckheere_terpstra",
+      "q302_page_trend")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -245,6 +245,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the disjunction degraded the join to a nested loop:\n$plan")
   }
 
+  test("q301 Jonckheere-Terpstra: no single-partition window over the cents domain") {
+    // fourth consumer of the range-partition offset device: the five
+    // per-group cumulatives ride pid-partitioned windows; unpartitioned
+    // windows may only ride the bounded per-partition offset table
+    val ws = windowNodes(Stats.qJonckheereTerpstra(spark, sf))
+    assert(ws.nonEmpty)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("pid"),
+        s"a data-scaled single-partition window crept in:\n$w")
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "the cumulative windows lost their pid partitioning")
+  }
+
   test("q295 Wilcoxon: no single-partition rank over the |diff| domain") {
     // same device as q276/q277: the cumulative count is pid-partitioned
     // after a range exchange; unpartitioned windows ride only the

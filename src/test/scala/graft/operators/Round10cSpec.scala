@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-10 second continuation: brute-force driver-side recomputes
+  * for the k-sample paired/ordered family (Friedman, Cochran's Q,
+  * Jonckheere–Terpstra, Page's L) — each statistic rebuilt from raw
+  * collected rows with none of the operators' devices (no value-domain
+  * rollups, no range-partition offsets), so an error in the machinery
+  * cannot cancel. */
+class Round10cSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** (custkey, yr) -> summed cents for complete 1996–98 blocks, plus
+    * doubled within-block average ranks. */
+  private lazy val blockRanks: Map[Long, Map[Long, Long]] = {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .select(col("o_custkey").cast("long"),
+        year(col("o_orderdate")).cast("long"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val spend = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val byCust = spend.groupBy(_._1._1)
+    byCust.collect { case (ck, vs) if vs.size == 3 =>
+      val yv = vs.map { case ((_, yr), v) => (yr, v) }.toSeq
+      ck -> yv.map { case (yr, v) =>
+        val less = yv.count(_._2 < v)
+        val eq = yv.count(_._2 == v)
+        // doubled average rank: 2*(less+1) + (eq-1)
+        yr -> (2L * (less + 1) + eq - 1)
+      }.toMap
+    }
+  }
+
+  test("q299 Friedman matches a per-block rank recount") {
+    val n = blockRanks.size.toLong
+    assert(n > 50, s"fixture degenerate: only $n complete blocks")
+    val dSum = blockRanks.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sumDsq = blockRanks.values.flatten.map(d => d._2 * d._2).sum
+    val got = Stats.qFriedman(spark, sf).collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      assert(r.getAs[Long]("d_sum") === dSum(r.getAs[Long]("yr")))
+      assert(r.getAs[Long]("n_blocks") === n)
+      assert(r.getAs[Long]("sum_d_sq") === sumDsq)
+    }
+    // ranks within each block must sum to k(k+1) doubled = 12
+    blockRanks.values.foreach(m => assert(m.values.sum === 12L))
+    val num = dSum.values.map(d => (d - 4L * n) * (d - 4L * n)).sum.toDouble
+    val want = 2.0 * num / n / (sumDsq - 48.0 * n)
+    assert(math.abs(got.head.getAs[Double]("chi2_f") - want) < 1e-5)
+  }
+
+  test("q302 Page's L matches the weighted rank fold") {
+    val n = blockRanks.size.toLong
+    val twoL = blockRanks.values.flatten
+      .map { case (yr, d) => (yr - 1995L) * d }.sum
+    val got = Stats.qPageTrend(spark, sf).collect().head
+    assert(got.getAs[Long]("n_blocks") === n)
+    assert(got.getAs[Long]("two_l") === twoL)
+    val want = (twoL / 2.0 - 12.0 * n) / math.sqrt(2.0 * n)
+    assert(math.abs(got.getAs[Double]("z_page") - want) < 1e-5)
+  }
+
+  test("q300 Cochran's Q matches a per-user flag recount") {
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("long"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val flags = rows.groupBy(_._1).view.mapValues { es =>
+      def in(lo: String, hi: Option[String]) = es.exists(e =>
+        e._2 == "purchase" && e._3 >= lo && hi.forall(e._3 < _))
+      (in("2024-01-01", Some("2024-01-11")),
+        in("2024-01-11", Some("2024-01-21")),
+        in("2024-01-21", None))
+    }.toMap
+    val got = Stats.qCochranQ(spark, sf).collect().head
+    assert(got.getAs[Long]("n_users") === flags.size.toLong)
+    val g1 = flags.values.count(_._1).toLong
+    val g2 = flags.values.count(_._2).toLong
+    val g3 = flags.values.count(_._3).toLong
+    assert(got.getAs[Long]("g1") === g1)
+    assert(got.getAs[Long]("g2") === g2)
+    assert(got.getAs[Long]("g3") === g3)
+    val ls = flags.values.map(v =>
+      Seq(v._1, v._2, v._3).count(identity).toLong)
+    assert(got.getAs[Long]("sum_l") === ls.sum)
+    assert(got.getAs[Long]("sum_l_sq") === ls.map(l => l * l).sum)
+    val den = (3L * ls.sum - ls.map(l => l * l).sum).toDouble
+    if (den > 0) {
+      val want = 2.0 * (3.0 * (g1.toDouble * g1 + g2.toDouble * g2 +
+        g3.toDouble * g3) - ls.sum.toDouble * ls.sum) / den
+      assert(math.abs(got.getAs[Double]("q_stat") - want) < 1e-5)
+    }
+  }
+
+  test("q301 Jonckheere-Terpstra matches an all-pairs brute force") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // O(n^2) over the sf0.001 fixture (~1.5k orders): the ground truth
+    var twoJt = 0L
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val (ga, va) = rows(i); val (gb, vb) = rows(j)
+        if (ga != gb) {
+          val (lo, hi) = if (ga < gb) (va, vb) else (vb, va)
+          if (lo < hi) twoJt += 2L else if (lo == hi) twoJt += 1L
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val got = Stats.qJonckheereTerpstra(spark, sf).collect().head
+    assert(got.getAs[Long]("two_jt") === twoJt)
+    val ns = (1 to 5).map(k =>
+      got.getAs[Long](s"n$k").toDouble)
+    assert(ns.sum.toLong === rows.length.toLong)
+    (1 to 5).foreach(k => assert(got.getAs[Long](s"n$k") ===
+      rows.count(_._1 == k.toLong).toLong))
+    val nn = ns.sum
+    val s2 = ns.map(x => x * x).sum
+    val s3 = ns.map(x => x * x * (2 * x + 3)).sum
+    val want = (twoJt / 2.0 - (nn * nn - s2) / 4.0) /
+      math.sqrt((nn * nn * (2 * nn + 3) - s3) / 72.0)
+    assert(math.abs(got.getAs[Double]("z_jt") - want) < 1e-5)
+  }
+}
