@@ -362,6 +362,8 @@ object Bench {
     "q300_cochran_q",
     "q301_jonckheere_terpstra",
     "q302_page_trend",
+    // round 20 (r10) continuation 2: log-rank over the q175 KM subjects
+    "q303_log_rank",
   )
 
   def main(args: Array[String]): Unit = {

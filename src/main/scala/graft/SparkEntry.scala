@@ -721,6 +721,9 @@ object SparkEntry {
     // q302: Page's L — Friedman's ordered-alternative twin on the
     // same complete-block ranks
     "q302_page_trend" -> (Stats.qPageTrend _),
+    // q303: log-rank test — the two-group censored time-to-event
+    // comparison the q175 KM risk table feeds
+    "q303_log_rank" -> (Stats.qLogRank _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -6309,6 +6312,68 @@ object SparkEntry {
                         + CAST(n4 AS DOUBLE) * n4 * (2.0 * n4 + 3.0)
                         + CAST(n5 AS DOUBLE) * n5 * (2.0 * n5 + 3.0) AS s3
                FROM agg)""",
+    // q303: log-rank — q175's subject construction plus the
+    // hash-assigned A/B arm tag (user_id parity); hypergeometric cells
+    // per distinct event hour from reverse-cumulative at-risk counts;
+    // z/chi2 from the rounded E1/V exactly as the Spark side computes
+    // them
+    "q303_log_rank" ->
+      """WITH fv AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS fv
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         conv AS (
+           SELECT e.user_id, MIN(epoch_us(e.ts) - fv.fv) AS dur_us
+           FROM events e JOIN fv ON e.user_id = fv.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.fv
+           GROUP BY 1),
+         last_seen AS (
+           SELECT user_id, MAX(epoch_us(ts)) AS last_us
+           FROM events GROUP BY 1),
+         subj AS (
+           SELECT CASE WHEN fv.user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+                  COALESCE(conv.dur_us, last_seen.last_us - fv.fv)
+                    // 3600000000 AS dur,
+                  CASE WHEN conv.dur_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM fv
+           LEFT JOIN conv ON fv.user_id = conv.user_id
+           JOIN last_seen ON fv.user_id = last_seen.user_id),
+         cells AS (
+           SELECT dur, CAST(COUNT(*) AS BIGINT) AS here,
+                  CAST(SUM(g1) AS BIGINT) AS here1,
+                  CAST(SUM(ev) AS BIGINT) AS d_all,
+                  CAST(SUM(ev * g1) AS BIGINT) AS d1
+           FROM subj GROUP BY 1),
+         risk AS (
+           SELECT *,
+                  CAST(SUM(here) OVER w AS BIGINT) AS n_risk,
+                  CAST(SUM(here1) OVER w AS BIGINT) AS n1_risk
+           FROM cells
+           WINDOW w AS (ORDER BY dur
+                        ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING)),
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+                  CAST(SUM(d1) AS BIGINT) AS o1,
+                  CAST(SUM(d_all - d1) AS BIGINT) AS o2,
+                  ROUND(SUM(CAST(d_all AS DOUBLE) * n1_risk / n_risk), 6)
+                    AS e1,
+                  ROUND(SUM(CASE WHEN n_risk > 1
+                    THEN CAST(d_all AS DOUBLE)
+                         * (CAST(n1_risk AS DOUBLE) / n_risk)
+                         * (1.0 - CAST(n1_risk AS DOUBLE) / n_risk)
+                         * (CAST(n_risk AS DOUBLE) - d_all)
+                         / (CAST(n_risk AS DOUBLE) - 1.0)
+                    ELSE 0.0 END), 6) AS v
+           FROM risk WHERE d_all > 0)
+         SELECT n_times, o1, o2, e1, v,
+                ROUND(CASE WHEN v > 0
+                  THEN (CAST(o1 AS DOUBLE) - e1) / SQRT(v)
+                  ELSE 0.0 END, 6) AS z_logrank,
+                ROUND(CASE WHEN v > 0
+                  THEN (CAST(o1 AS DOUBLE) - e1)
+                       * (CAST(o1 AS DOUBLE) - e1) / v
+                  ELSE 0.0 END, 6) AS chi2
+         FROM agg""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -2643,4 +2643,76 @@ object Stats {
       (d2(col("two_jt")) / lit(2.0) - (n * n - s2) / lit(4.0)) /
         sqrt((n * n * (lit(2.0) * n + lit(3.0)) - s3) / lit(72.0)), 6))
   }
+
+  /** q303: log-rank (Mantel–Cox) test — the two-group comparison the
+    * q175 KM risk table exists to feed: do the two hash-assigned A/B
+    * arms (user_id parity — the q60/q101 deterministic-split device)
+    * differ in view→purchase conversion latency, judged on the full
+    * CENSORED time-to-event distributions (q234's t-test on mean
+    * latency would ignore censoring; q229's Mann–Whitney has no
+    * at-risk notion)? Subjects are q175's verbatim: each viewer
+    * contributes a duration (first view → earliest qualifying
+    * purchase) flagged event, else (first view → last observed
+    * activity) flagged censored — plus the arm tag.
+    *
+    * Exactness: per distinct event hour the hypergeometric cell
+    * (n at risk, n₁ at risk, d events, d₁ cohort-1 events) is exact
+    * integers; O₁ = Σd₁ stays BIGINT. E₁ = Σ d·n₁/n and
+    * V = Σ d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1) fold hour-bounded doubles
+    * (the q183 bounded-term precedent); z and χ² from the ROUNDED
+    * E₁/V, spelled identically on both engines.
+    *
+    * Scale shape: q175's verbatim — two user-keyed aggs build the
+    * duration table; cells collapse to DISTINCT HOURS (bounded by the
+    * observation window at any corpus size), so the at-risk reverse
+    * cumsum is a single-partition window over a provably tiny
+    * frame. */
+  def qLogRank(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fv"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(unix_micros(col("ts")) >= col("fv"))
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts")) - col("fv")).as("dur_us"))
+    val lastSeen = ev.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"))
+    val subjects = fv
+      .join(conv, Seq("user_id"), "left")
+      .join(lastSeen, Seq("user_id"))
+      .select(
+        (pmod(col("user_id"), lit(2)) === 0).cast("long").as("g1"),
+        expr("""coalesce(dur_us, last_us - fv)
+                div 3600000000""").as("dur"),
+        col("dur_us").isNotNull.cast("long").as("ev"))
+    val cells = subjects.groupBy("dur").agg(
+      count(lit(1)).as("here"),
+      sum(col("g1")).as("here1"),
+      sum(col("ev")).as("d_all"),
+      sum(col("ev") * col("g1")).as("d1"))
+    val wRisk = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = cells
+      .withColumn("n_risk", sum(col("here")).over(wRisk))
+      .withColumn("n1_risk", sum(col("here1")).over(wRisk))
+      .filter(col("d_all") > 0)
+    risk.agg(
+      count(lit(1)).as("n_times"),
+      sum(col("d1")).as("o1"),
+      sum(col("d_all") - col("d1")).as("o2"),
+      round(sum(d2(col("d_all")) * d2(col("n1_risk")) / d2(col("n_risk"))),
+        6).as("e1"),
+      round(sum(when(col("n_risk") > 1,
+        d2(col("d_all")) * (d2(col("n1_risk")) / d2(col("n_risk"))) *
+          (lit(1.0) - d2(col("n1_risk")) / d2(col("n_risk"))) *
+          (d2(col("n_risk")) - d2(col("d_all"))) /
+          (d2(col("n_risk")) - lit(1.0))).otherwise(lit(0.0))), 6).as("v"))
+      .withColumn("z_logrank", round(
+        when(col("v") > 0, (d2(col("o1")) - col("e1")) / sqrt(col("v")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("chi2", round(
+        when(col("v") > 0, (d2(col("o1")) - col("e1")) *
+          (d2(col("o1")) - col("e1")) / col("v")).otherwise(lit(0.0)), 6))
+  }
 }

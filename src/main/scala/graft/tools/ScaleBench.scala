@@ -178,7 +178,10 @@ object ScaleBench {
       // Cochran's Q user rollup, and the Jonckheere cents-domain
       // cumulative through the offset device (domain ×factor)
       "q299_friedman", "q300_cochran_q", "q301_jonckheere_terpstra",
-      "q302_page_trend")
+      "q302_page_trend",
+      // the log-rank rides q175's user-keyed aggs (users ×factor) into
+      // an hour-bounded cell table
+      "q303_log_rank")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -138,4 +138,54 @@ class Round10cSpec extends AnyFunSuite {
       math.sqrt((nn * nn * (2 * nn + 3) - s3) / 72.0)
     assert(math.abs(got.getAs[Double]("z_jt") - want) < 1e-5)
   }
+
+  test("q303 log-rank matches a per-hour hypergeometric recount") {
+    // q175's subject construction rebuilt driver-side from raw events,
+    // plus the first-view cohort tag
+    val rows = graft.operators.Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val subj = rows.groupBy(_._1).flatMap { case (uid, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val conv = es.filter(e => e._2 == "purchase" && e._3 >= fv)
+          .map(_._3 - fv)
+        val durUs = if (conv.nonEmpty) conv.min
+          else es.map(_._3).max - fv
+        Some((if (uid % 2 == 0) 1L else 0L,
+          durUs / 3600000000L, if (conv.nonEmpty) 1L else 0L))
+      }
+    }.toSeq
+    val byDur = subj.groupBy(_._2).toSeq.sortBy(_._1)
+    var o1 = 0L; var e1 = 0.0; var v = 0.0; var nTimes = 0L
+    var nRisk = subj.length.toLong
+    var n1Risk = subj.map(_._1).sum
+    byDur.foreach { case (_, rows) =>
+      val d = rows.map(_._3).sum
+      val d1 = rows.filter(_._1 == 1L).map(_._3).sum
+      if (d > 0) {
+        nTimes += 1; o1 += d1
+        e1 += d.toDouble * n1Risk / nRisk
+        if (nRisk > 1)
+          v += d.toDouble * (n1Risk.toDouble / nRisk) *
+            (1.0 - n1Risk.toDouble / nRisk) * (nRisk - d) / (nRisk - 1.0)
+      }
+      nRisk -= rows.length
+      n1Risk -= rows.map(_._1).sum
+    }
+    val got = Stats.qLogRank(spark, sf).collect().head
+    assert(got.getAs[Long]("n_times") === nTimes)
+    assert(got.getAs[Long]("o1") === o1)
+    assert(math.abs(got.getAs[Double]("e1") - e1) < 1e-5)
+    assert(math.abs(got.getAs[Double]("v") - v) < 1e-5)
+    val z = (o1 - e1) / math.sqrt(v)
+    assert(math.abs(got.getAs[Double]("z_logrank") - z) < 1e-4)
+    // sf0.001 has ~13 distinct conversion hours (latencies are short);
+    // the gate's sf0.01 has ~85 — just guard against a collapsed table
+    assert(nTimes > 5, s"fixture degenerate: only $nTimes event hours")
+  }
 }
