@@ -6210,11 +6210,13 @@ object SparkEntry {
                         AS nn
                  FROM py, g)
          SELECT py.yr, py.d_sum, g.n_blocks, g.sum_d_sq,
-                ROUND(2.0 * CAST(num.nn AS DOUBLE)
-                      / CAST(g.n_blocks AS DOUBLE)
-                      / (CAST(g.sum_d_sq AS DOUBLE)
-                         - 48.0 * CAST(g.n_blocks AS DOUBLE)), 6)
-                  AS chi2_f
+                ROUND(CASE WHEN g.n_blocks > 0
+                            AND g.sum_d_sq > 48 * g.n_blocks
+                  THEN 2.0 * CAST(num.nn AS DOUBLE)
+                       / CAST(g.n_blocks AS DOUBLE)
+                       / (CAST(g.sum_d_sq AS DOUBLE)
+                          - 48.0 * CAST(g.n_blocks AS DOUBLE))
+                  ELSE 0.0 END, 6) AS chi2_f
          FROM py, g, num ORDER BY py.yr""",
     "q302_page_trend" ->
       s"""$yearRankCte
@@ -6222,9 +6224,11 @@ object SparkEntry {
                       CAST(SUM((yr - 1995) * dij) AS BIGINT) AS two_l
                FROM ranked)
          SELECT n_blocks, two_l,
-                ROUND((CAST(two_l AS DOUBLE) / 2.0
-                       - 12.0 * CAST(n_blocks AS DOUBLE))
-                      / SQRT(2.0 * CAST(n_blocks AS DOUBLE)), 6) AS z_page
+                ROUND(CASE WHEN n_blocks > 0
+                  THEN (CAST(two_l AS DOUBLE) / 2.0
+                        - 12.0 * CAST(n_blocks AS DOUBLE))
+                       / SQRT(2.0 * CAST(n_blocks AS DOUBLE))
+                  ELSE 0.0 END, 6) AS z_page
          FROM g""",
     // q300: Cochran's Q — column totals + row-total moments from one
     // user rollup; N/k eliminated algebraically
@@ -6297,10 +6301,11 @@ object SparkEntry {
                     AS two_jt
            FROM cum)
          SELECT n1, n2, n3, n4, n5, two_jt,
-                ROUND((CAST(two_jt AS DOUBLE) / 2.0
-                       - (nn * nn - s2) / 4.0)
-                      / SQRT((nn * nn * (2.0 * nn + 3.0) - s3) / 72.0), 6)
-                  AS z_jt
+                ROUND(CASE WHEN nn * nn * (2.0 * nn + 3.0) - s3 > 0
+                  THEN (CAST(two_jt AS DOUBLE) / 2.0
+                        - (nn * nn - s2) / 4.0)
+                       / SQRT((nn * nn * (2.0 * nn + 3.0) - s3) / 72.0)
+                  ELSE 0.0 END, 6) AS z_jt
          FROM (SELECT *,
                       CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE) AS nn,
                       CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2

@@ -2505,13 +2505,17 @@ object Stats {
     val glob = ranked.agg(
       (count(lit(1)) / lit(3L)).cast("long").as("n_blocks"),
       sum(col("dij") * col("dij")).as("sum_d_sq"))
+    // guard the fully-tied degenerate case (S = 48n when every block
+    // is a three-way tie): chi2 is 0 by convention, never a 0/0
     val chi = perYear.crossJoin(broadcast(glob))
       .agg(round(
-        lit(2.0) * sum(d2(col("d_sum") - lit(4L) * col("n_blocks")) *
-          d2(col("d_sum") - lit(4L) * col("n_blocks"))) /
-          d2(max(col("n_blocks"))) /
-          (d2(max(col("sum_d_sq"))) - lit(48.0) * d2(max(col("n_blocks")))),
-        6).as("chi2_f"))
+        when(max(col("n_blocks")) > 0 &&
+          max(col("sum_d_sq")) > lit(48L) * max(col("n_blocks")),
+          lit(2.0) * sum(d2(col("d_sum") - lit(4L) * col("n_blocks")) *
+            d2(col("d_sum") - lit(4L) * col("n_blocks"))) /
+            d2(max(col("n_blocks"))) /
+            (d2(max(col("sum_d_sq"))) - lit(48.0) * d2(max(col("n_blocks")))))
+          .otherwise(lit(0.0)), 6).as("chi2_f"))
     perYear.crossJoin(broadcast(glob)).crossJoin(broadcast(chi))
       .select(col("yr"), col("d_sum"), col("n_blocks"), col("sum_d_sq"),
         col("chi2_f"))
@@ -2533,8 +2537,9 @@ object Stats {
       .agg((count(lit(1)) / lit(3L)).cast("long").as("n_blocks"),
         sum((col("yr") - lit(1995L)) * col("dij")).as("two_l"))
       .withColumn("z_page", round(
-        (d2(col("two_l")) / lit(2.0) - lit(12.0) * d2(col("n_blocks"))) /
-          sqrt(lit(2.0) * d2(col("n_blocks"))), 6))
+        when(col("n_blocks") > 0,
+          (d2(col("two_l")) / lit(2.0) - lit(12.0) * d2(col("n_blocks"))) /
+            sqrt(lit(2.0) * d2(col("n_blocks")))).otherwise(lit(0.0)), 6))
   }
 
   /** q300: Cochran's Q — the k-sample member of the paired-BINARY
@@ -2640,8 +2645,10 @@ object Stats {
     val s3 = (1 to 5).map(i => d2(col(s"n$i")) * d2(col(s"n$i")) *
       (lit(2.0) * d2(col(s"n$i")) + lit(3.0))).reduce(_ + _)
     agg0.withColumn("z_jt", round(
-      (d2(col("two_jt")) / lit(2.0) - (n * n - s2) / lit(4.0)) /
-        sqrt((n * n * (lit(2.0) * n + lit(3.0)) - s3) / lit(72.0)), 6))
+      when(n * n * (lit(2.0) * n + lit(3.0)) - s3 > 0,
+        (d2(col("two_jt")) / lit(2.0) - (n * n - s2) / lit(4.0)) /
+          sqrt((n * n * (lit(2.0) * n + lit(3.0)) - s3) / lit(72.0)))
+        .otherwise(lit(0.0)), 6))
   }
 
   /** q303: log-rank (Mantel–Cox) test — the two-group comparison the
