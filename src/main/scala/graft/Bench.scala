@@ -364,6 +364,17 @@ object Bench {
     "q302_page_trend",
     // round 20 (r10) continuation 2: log-rank over the q175 KM subjects
     "q303_log_rank",
+    // round 20 (r10) continuation 3: the model-diagnostics batch —
+    // stratified contingency (CMH), effect size (Cliff's delta),
+    // normality (Jarque-Bera), serial dependence (Ljung-Box + von
+    // Neumann), proper scoring (Brier decomposition); the q310
+    // streaming side stays untimed like every replay parity
+    "q304_cmh",
+    "q305_cliffs_delta",
+    "q306_jarque_bera",
+    "q307_ljung_box",
+    "q308_von_neumann",
+    "q309_brier_decomposition",
   )
 
   def main(args: Array[String]): Unit = {

@@ -724,6 +724,30 @@ object SparkEntry {
     // q303: log-rank test — the two-group censored time-to-event
     // comparison the q175 KM risk table feeds
     "q303_log_rank" -> (Stats.qLogRank _),
+    // q304: Cochran–Mantel–Haenszel — the stratified 2×2×K
+    // association test + MH common odds ratio (q243/q263's corner
+    // made Simpson's-paradox-proof)
+    "q304_cmh" -> (Stats.qCmh _),
+    // q305: Cliff's delta — the effect size q229's Mann–Whitney
+    // z-score has no magnitude for; exact pair counts off the same
+    // value-domain rollup
+    "q305_cliffs_delta" -> (Stats.qCliffsDelta _),
+    // q306: Jarque–Bera — q196's moments turned into the normality
+    // GATE, per order priority
+    "q306_jarque_bera" -> (Stats.qJarqueBera _),
+    // q307: Ljung–Box — joint white-noise test over lags 1..7 of the
+    // per-type daily series (q157's single lag made portmanteau)
+    "q307_ljung_box" -> (Stats.qLjungBox _),
+    // q308: von Neumann ratio — successive-difference randomness
+    // test, the parametric complement of q279's runs test
+    "q308_von_neumann" -> (Stats.qVonNeumann _),
+    // q309: Brier score + Murphy decomposition — the proper-scoring
+    // verdict on the q230/q231 eval harness
+    "q309_brier_decomposition" -> (Stats.qBrierDecomposition _),
+    // q310: q144's interval coverage as streaming state — the twelfth
+    // bit-exact stream/batch parity (oracle IS q144's batch SQL)
+    "q310_streaming_coverage" ->
+      (graft.streaming.EventTime.qStreamingCoverage _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -6379,6 +6403,309 @@ object SparkEntry {
                        * (CAST(o1 AS DOUBLE) - e1) / v
                   ELSE 0.0 END, 6) AS chi2
          FROM agg""",
+    // q304: exact BIGINT cells per stratum; E/V/OR terms fold K=5
+    // bounded doubles rounded 6; chi2/OR from the ROUNDED sums — the
+    // q303 device
+    "q304_cmh" ->
+      """WITH ret AS (
+           SELECT l_orderkey,
+                  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+           FROM lineitem GROUP BY 1),
+         cust AS (
+           SELECT c_custkey,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS x,
+                  r_name AS stratum
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         cells AS (
+           SELECT stratum,
+                  CAST(SUM(x * r) AS BIGINT) AS n11,
+                  CAST(SUM(x * (1 - r)) AS BIGINT) AS n10,
+                  CAST(SUM((1 - x) * r) AS BIGINT) AS n01,
+                  CAST(SUM((1 - x) * (1 - r)) AS BIGINT) AS n00
+           FROM orders
+           JOIN ret ON o_orderkey = l_orderkey
+           JOIN cust ON o_custkey = c_custkey
+           GROUP BY 1),
+         terms AS (SELECT *, n11 + n10 + n01 + n00 AS n_k FROM cells),
+         gtot AS (
+           SELECT CAST(SUM(n11) AS BIGINT) AS sum_a,
+                  ROUND(SUM(CAST(n11 + n10 AS DOUBLE) * (n11 + n01) / n_k),
+                    6) AS sum_e,
+                  ROUND(SUM(CASE WHEN n_k > 1
+                    THEN CAST(n11 + n10 AS DOUBLE) * (n01 + n00)
+                         * (n11 + n01) * (n10 + n00)
+                         / (CAST(n_k AS DOUBLE) * n_k * (n_k - 1))
+                    ELSE 0.0 END), 6) AS sum_v,
+                  ROUND(SUM(CAST(n11 AS DOUBLE) * n00 / n_k), 6) AS sum_rn,
+                  ROUND(SUM(CAST(n10 AS DOUBLE) * n01 / n_k), 6) AS sum_rd
+           FROM terms)
+         SELECT stratum, n11, n10, n01, n00, sum_e, sum_v,
+                ROUND(CASE WHEN sum_v > 0
+                  THEN (CAST(sum_a AS DOUBLE) - sum_e)
+                       * (CAST(sum_a AS DOUBLE) - sum_e) / sum_v
+                  ELSE 0.0 END, 6) AS chi2_cmh,
+                ROUND(CASE WHEN sum_rd > 0 THEN sum_rn / sum_rd
+                  ELSE 0.0 END, 6) AS or_mh
+         FROM cells CROSS JOIN gtot""",
+    // q305: greater/less/tie pair counts are exact BIGINTs off the
+    // value-domain rollup; one final division rounded 6
+    "q305_cliffs_delta" ->
+      """WITH tagged AS (
+           SELECT 'click' AS pair,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_arm,
+                  CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'view')
+           UNION ALL
+           SELECT 'error',
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+                  CAST(ROUND(value * 100, 0) AS BIGINT)
+           FROM events WHERE event_type IN ('error', 'view')
+           UNION ALL
+           SELECT 'signup',
+                  CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END,
+                  CAST(ROUND(value * 100, 0) AS BIGINT)
+           FROM events WHERE event_type IN ('signup', 'view')
+           UNION ALL
+           SELECT 'purchase',
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+                  CAST(ROUND(value * 100, 0) AS BIGINT)
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         byv AS (
+           SELECT pair, v, CAST(SUM(in_arm) AS BIGINT) AS c1,
+                  CAST(SUM(1 - in_arm) AS BIGINT) AS c2
+           FROM tagged GROUP BY 1, 2),
+         cum AS (
+           SELECT *, COALESCE(CAST(SUM(c2) OVER (
+                    PARTITION BY pair ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS cum2
+           FROM byv),
+         agg AS (
+           SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  CAST(SUM(c1 * cum2) AS BIGINT) AS n_gt,
+                  CAST(SUM(c1 * c2) AS BIGINT) AS n_tie
+           FROM cum GROUP BY 1)
+         SELECT pair, n1, n2, n_gt,
+                n1 * n2 - n_gt - n_tie AS n_lt, n_tie,
+                ROUND(CASE WHEN n1 > 0 AND n2 > 0
+                  THEN CAST(n_gt - (n1 * n2 - n_gt - n_tie) AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * n2)
+                  ELSE 0.0 END, 6) AS cliffs_delta
+         FROM agg""",
+    // q306: two-pass integer-mean pre-shift (|SUM(w)| < n), exact
+    // HUGEINT shifted power sums, double central moments and jb from
+    // the ROUNDED g1/g2 — every step spelled identically on both
+    // engines
+    "q306_jarque_bera" ->
+      """WITH base AS (
+           SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+           FROM orders),
+         mu AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mu
+           FROM base GROUP BY 1),
+         sh AS (
+           SELECT base.o_orderpriority, n,
+                  CAST(v - mu AS HUGEINT) AS w
+           FROM base JOIN mu USING (o_orderpriority)),
+         sums AS (
+           SELECT o_orderpriority, MAX(n) AS n,
+                  CAST(SUM(w) AS DOUBLE) AS w1d,
+                  CAST(SUM(w * w) AS DOUBLE) AS w2d,
+                  CAST(SUM(w * w * w) AS DOUBLE) AS w3d,
+                  CAST(SUM(w * w * w * w) AS DOUBLE) AS w4d
+           FROM sh GROUP BY 1),
+         m AS (
+           SELECT o_orderpriority, n,
+                  w2d / CAST(n AS DOUBLE)
+                    - (w1d / CAST(n AS DOUBLE)) * (w1d / CAST(n AS DOUBLE))
+                    AS m2,
+                  w3d / CAST(n AS DOUBLE)
+                    - 3.0 * (w1d / CAST(n AS DOUBLE)) * (w2d / CAST(n AS DOUBLE))
+                    + 2.0 * (w1d / CAST(n AS DOUBLE))
+                      * (w1d / CAST(n AS DOUBLE)) * (w1d / CAST(n AS DOUBLE))
+                    AS m3,
+                  w4d / CAST(n AS DOUBLE)
+                    - 4.0 * (w1d / CAST(n AS DOUBLE)) * (w3d / CAST(n AS DOUBLE))
+                    + 6.0 * (w1d / CAST(n AS DOUBLE))
+                      * (w1d / CAST(n AS DOUBLE)) * (w2d / CAST(n AS DOUBLE))
+                    - 3.0 * (w1d / CAST(n AS DOUBLE))
+                      * (w1d / CAST(n AS DOUBLE)) * (w1d / CAST(n AS DOUBLE))
+                      * (w1d / CAST(n AS DOUBLE))
+                    AS m4
+           FROM sums),
+         g AS (SELECT o_orderpriority, n,
+                      ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
+                      ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+               FROM m)
+         SELECT o_orderpriority, n, skewness, kurtosis_excess,
+                ROUND(CAST(n AS DOUBLE) *
+                  (skewness * skewness / 6.0 +
+                   kurtosis_excess * kurtosis_excess / 24.0), 6) AS jb
+         FROM g""",
+    // q307: every rho_k a ratio of exact BIGINTs (n^2-scaled
+    // autocovariance with full-series mean); Q folds the ROUNDED
+    // rho's in fixed lag order
+    "q307_ljung_box" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         pos AS (
+           SELECT event_type, x,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         gtot AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s,
+                  CAST(SUM(x * x) AS BIGINT) AS q2
+           FROM pos GROUP BY 1),
+         lagged AS (
+           SELECT a.event_type, ks.k,
+                  CAST(SUM(a.x * b.x) AS BIGINT) AS p,
+                  CAST(SUM(a.x) AS BIGINT) AS sa,
+                  CAST(SUM(b.x) AS BIGINT) AS sb
+           FROM pos a
+           CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks
+           JOIN pos b ON a.event_type = b.event_type
+                     AND b.t = a.t + ks.k
+           GROUP BY 1, 2),
+         rho AS (
+           SELECT l.event_type, l.k, g.n,
+                  ROUND(CASE WHEN g.n * (g.n * g.q2 - g.s * g.s) > 0
+                    THEN CAST(g.n * g.n * l.p - g.n * g.s * (l.sa + l.sb)
+                              + (g.n - l.k) * g.s * g.s AS DOUBLE)
+                         / CAST(g.n * (g.n * g.q2 - g.s * g.s) AS DOUBLE)
+                    ELSE 0.0 END, 6) AS rho
+           FROM lagged l JOIN gtot g ON l.event_type = g.event_type)
+         SELECT event_type, MAX(n) AS n_days,
+                MAX(CASE WHEN k = 1 THEN rho END) AS rho1,
+                MAX(CASE WHEN k = 2 THEN rho END) AS rho2,
+                MAX(CASE WHEN k = 3 THEN rho END) AS rho3,
+                MAX(CASE WHEN k = 4 THEN rho END) AS rho4,
+                MAX(CASE WHEN k = 5 THEN rho END) AS rho5,
+                MAX(CASE WHEN k = 6 THEN rho END) AS rho6,
+                MAX(CASE WHEN k = 7 THEN rho END) AS rho7,
+                ROUND(CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 2.0) *
+                  (MAX(CASE WHEN k = 1 THEN rho * rho / CAST(n - 1 AS DOUBLE) END)
+                   + MAX(CASE WHEN k = 2 THEN rho * rho / CAST(n - 2 AS DOUBLE) END)
+                   + MAX(CASE WHEN k = 3 THEN rho * rho / CAST(n - 3 AS DOUBLE) END)
+                   + MAX(CASE WHEN k = 4 THEN rho * rho / CAST(n - 4 AS DOUBLE) END)
+                   + MAX(CASE WHEN k = 5 THEN rho * rho / CAST(n - 5 AS DOUBLE) END)
+                   + MAX(CASE WHEN k = 6 THEN rho * rho / CAST(n - 6 AS DOUBLE) END)
+                   + MAX(CASE WHEN k = 7 THEN rho * rho / CAST(n - 7 AS DOUBLE) END)),
+                  6) AS q_lb
+         FROM rho GROUP BY 1""",
+    // q308: Sum-of-squared-differences and the variance term are
+    // exact BIGINTs; eta and z are single spelled-identically
+    // divisions
+    "q308_von_neumann" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         lagd AS (
+           SELECT event_type, x,
+                  LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+           FROM daily),
+         agg AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(x) AS BIGINT) AS s,
+                  CAST(SUM(x * x) AS BIGINT) AS q2,
+                  CAST(SUM(CASE WHEN xp IS NOT NULL
+                    THEN (x - xp) * (x - xp) ELSE 0 END) AS BIGINT) AS sum_d2
+           FROM lagd GROUP BY 1)
+         SELECT event_type, n_days, sum_d2,
+                ROUND(CASE WHEN n_days * q2 - s * s > 0
+                  THEN CAST(n_days * sum_d2 AS DOUBLE)
+                       / CAST(n_days * q2 - s * s AS DOUBLE)
+                  ELSE 0.0 END, 6) AS eta,
+                ROUND(CASE WHEN n_days * q2 - s * s > 0 AND n_days > 2
+                  THEN (CAST(n_days * sum_d2 AS DOUBLE)
+                        / CAST(n_days * q2 - s * s AS DOUBLE) - 2.0)
+                       / SQRT(4.0 * CAST(n_days - 2 AS DOUBLE)
+                              / (CAST(n_days AS DOUBLE) * n_days - 1.0))
+                  ELSE 0.0 END, 6) AS z_vn
+         FROM agg""",
+    // q309: q230's scorer CTE verbatim; the Brier numerator is one
+    // exact BIGINT; REL/RES fold score-domain doubles rounded 6
+    "q309_brier_decomposition" ->
+      """WITH sc AS (
+           SELECT doc_id,
+                  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS is_pos,
+                  n_toks * 100 + hits * 10 + dhits AS score_milli
+           FROM (SELECT doc_id, n_chars,
+                        len(list_filter(toks, t -> t IN ('the','a','of',
+                          'and','to','in','is','it'))) AS hits,
+                        len(list_intersect(list_distinct(toks),
+                          ['the','a','of','and','to','in','is','it']))
+                          AS dhits,
+                        len(toks) AS n_toks
+                 FROM (SELECT doc_id, n_chars,
+                              string_split_regex(lower(text), '\s+') AS toks
+                       FROM documents))),
+         byscore AS (
+           SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS n_k,
+                  CAST(SUM(is_pos) AS BIGINT) AS pos_k,
+                  CAST(SUM((score_milli - 9000 * is_pos)
+                    * (score_milli - 9000 * is_pos)) AS BIGINT) AS bnum_k
+           FROM sc GROUP BY 1),
+         agg AS (
+           SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                  CAST(SUM(pos_k) AS BIGINT) AS n_pos,
+                  CAST(SUM(bnum_k) AS BIGINT) AS brier_num,
+                  SUM(CAST(n_k * score_milli - 9000 * pos_k AS DOUBLE)
+                      * CAST(n_k * score_milli - 9000 * pos_k AS DOUBLE)
+                      / (81000000.0 * CAST(n_k AS DOUBLE))) AS rel_raw,
+                  SUM(CAST(pos_k AS DOUBLE) * CAST(pos_k AS DOUBLE)
+                      / CAST(n_k AS DOUBLE)) AS res_a,
+                  COUNT(*) AS n_bins
+           FROM byscore)
+         SELECT n, n_bins, n_pos,
+                ROUND(CAST(brier_num AS DOUBLE)
+                  / (81000000.0 * CAST(n AS DOUBLE)), 6) AS brier,
+                ROUND(rel_raw / CAST(n AS DOUBLE), 6) AS reliability,
+                ROUND(res_a / CAST(n AS DOUBLE)
+                  - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS resolution,
+                ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS uncertainty
+         FROM agg""",
+    // q310: the oracle IS q144's batch interval-union SQL — the
+    // twelfth stream/batch parity statement
+    "q310_streaming_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+                            epoch_ns(ts) // 1000000000 + 300 AS e
+                     FROM events),
+         m AS (SELECT user_id, s, e,
+                      MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS maxe
+               FROM iv),
+         f AS (SELECT user_id, s, e,
+                      CASE WHEN maxe IS NULL OR s > maxe THEN 1
+                           ELSE 0 END AS new_island
+               FROM m),
+         isl AS (SELECT user_id, s, e,
+                        SUM(new_island) OVER (PARTITION BY user_id
+                                              ORDER BY s, e
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND CURRENT ROW)
+                          AS island
+                 FROM f),
+         g AS (SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+               FROM isl GROUP BY user_id, island)
+         SELECT user_id, COUNT(*) AS n_islands,
+                CAST(SUM(i_end - i_start) AS BIGINT) AS covered_sec
+         FROM g GROUP BY user_id""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

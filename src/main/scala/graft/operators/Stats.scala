@@ -2722,4 +2722,335 @@ object Stats {
         when(col("v") > 0, (d2(col("o1")) - col("e1")) *
           (d2(col("o1")) - col("e1")) / col("v")).otherwise(lit(0.0)), 6))
   }
+
+  /** q304: Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds
+    * ratio — the STRATIFIED 2×2 the contingency family lacked: q243's
+    * chi-square pools all orders and so confounds region with
+    * everything region correlates with; CMH asks "does the BUILDING
+    * segment return more, WITHIN each region?" (Mantel & Haenszel
+    * '59; the Simpson's-paradox-proof association test). Exposure =
+    * customer in the BUILDING segment, outcome = order contains a
+    * returned line, strata = the customer's region (K = 5).
+    *
+    * Exactness: the four cell counts per stratum are exact BIGINTs
+    * from one fact rollup. E[a_k] = n1k·m1k/n_k and the
+    * hypergeometric V_k fold K = 5 bounded doubles (the q183/q303
+    * bounded-term precedent), rounded 6; χ² and OR_MH are computed
+    * from the ROUNDED sums with identical spelling on both engines.
+    *
+    * Scale shape: outcome is one orderkey rollup; the exposure/
+    * stratum side is customer-sized (data-scaled) so it joins orders
+    * on the custkey hash partitioning — never broadcast — with the
+    * nation/region dims broadcast into it; everything after is a
+    * 5-row fold. */
+  def qCmh(s: SparkSession, d: String): DataFrame = {
+    val returned = lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+      .groupBy("l_orderkey").agg(max(col("ret")).as("r"))
+    val cust = customer(s, d)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("x"),
+        col("c_nationkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("x"), col("r_name").as("stratum"))
+    val cells = orders(s, d).select("o_orderkey", "o_custkey")
+      .join(returned, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("stratum")
+      .agg(sum(col("x") * col("r")).as("n11"),
+        sum(col("x") * (lit(1L) - col("r"))).as("n10"),
+        sum((lit(1L) - col("x")) * col("r")).as("n01"),
+        sum((lit(1L) - col("x")) * (lit(1L) - col("r"))).as("n00"))
+    val nk = col("n11") + col("n10") + col("n01") + col("n00")
+    val terms = cells
+      .withColumn("n_k", nk)
+      .withColumn("e_k",
+        d2(col("n11") + col("n10")) * d2(col("n11") + col("n01")) /
+          d2(col("n_k")))
+      .withColumn("v_k", when(col("n_k") > 1,
+        d2(col("n11") + col("n10")) * d2(col("n01") + col("n00")) *
+          d2(col("n11") + col("n01")) * d2(col("n10") + col("n00")) /
+          (d2(col("n_k")) * d2(col("n_k")) * d2(col("n_k") - 1)))
+        .otherwise(lit(0.0)))
+      .withColumn("or_num", d2(col("n11")) * d2(col("n00")) / d2(col("n_k")))
+      .withColumn("or_den", d2(col("n10")) * d2(col("n01")) / d2(col("n_k")))
+    val glob = terms.agg(
+      sum(col("n11")).as("sum_a"),
+      round(sum(col("e_k")), 6).as("sum_e"),
+      round(sum(col("v_k")), 6).as("sum_v"),
+      round(sum(col("or_num")), 6).as("sum_rn"),
+      round(sum(col("or_den")), 6).as("sum_rd"))
+      .withColumn("chi2_cmh", round(
+        when(col("sum_v") > 0,
+          (d2(col("sum_a")) - col("sum_e")) *
+            (d2(col("sum_a")) - col("sum_e")) / col("sum_v"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("or_mh", round(
+        when(col("sum_rd") > 0, col("sum_rn") / col("sum_rd"))
+          .otherwise(lit(0.0)), 6))
+      .select("sum_e", "sum_v", "chi2_cmh", "or_mh")
+    cells.crossJoin(broadcast(glob))
+      .select(col("stratum"), col("n11"), col("n10"), col("n01"),
+        col("n00"), col("sum_e"), col("sum_v"), col("chi2_cmh"),
+        col("or_mh"))
+      .orderBy("stratum")
+  }
+
+  /** q305: Cliff's delta — the EFFECT SIZE the q229 Mann–Whitney
+    * harness reports no magnitude for (a z-score says "significant",
+    * never "how much"; at corpus n everything is significant):
+    * δ = (#(x>y) − #(x<y)) / (n₁n₂) over all cross pairs of each
+    * engagement arm vs the view baseline (Cliff '93), identically the
+    * rank-biserial correlation r = 2U/(n₁n₂) − 1.
+    *
+    * Exactness: greater/less/tie pair counts are exact BIGINTs from
+    * the q229 value-domain rollup — #(x>y) = Σ_v c₁(v)·cum₂(<v) via a
+    * strict-predecessor cumulative; ties = Σ_v c₁(v)·c₂(v); #(x<y)
+    * falls out of n₁n₂. One final division, rounded 6.
+    *
+    * Scale shape: q229's verbatim — facts collapse onto the bounded
+    * cents VALUE DOMAIN (map-side partials); the per-pair window
+    * walks that domain-sized rollup, never rows. */
+  def qCliffsDelta(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val arms = Seq("click", "error", "signup", "purchase")
+    val tagged = arms.map { a =>
+      ev.filter(col("event_type").isin(a, "view"))
+        .select(lit(a).as("pair"),
+          (col("event_type") === a).cast("long").as("in_arm"), col("v"))
+    }.reduce(_ unionAll _)
+    val byValue = tagged.groupBy("pair", "v")
+      .agg(sum(col("in_arm")).as("c1"),
+        sum(lit(1L) - col("in_arm")).as("c2"))
+    val wStrict = Window.partitionBy("pair").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byValue
+      .withColumn("cum2", coalesce(sum(col("c2")).over(wStrict), lit(0L)))
+      .groupBy("pair")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("cum2")).as("n_gt"),
+        sum(col("c1") * col("c2")).as("n_tie"))
+      .withColumn("n_lt",
+        col("n1") * col("n2") - col("n_gt") - col("n_tie"))
+      .withColumn("cliffs_delta", round(
+        when(col("n1") > 0 && col("n2") > 0,
+          (col("n_gt") - col("n_lt")).cast("double") /
+            (d2(col("n1")) * d2(col("n2")))).otherwise(lit(0.0)), 6))
+      .select(col("pair"), col("n1"), col("n2"), col("n_gt"),
+        col("n_lt"), col("n_tie"), col("cliffs_delta"))
+  }
+
+  /** q306: Jarque–Bera normality test per order priority over order
+    * totals — the distribution-shape GATE beside q196's descriptive
+    * moments (q196 reports skew/kurtosis; JB turns them into one
+    * χ²₂-distributed number: JB = n·(g₁²/6 + g₂²/24), Jarque & Bera
+    * '80). A data-drift monitor runs it per slice to catch the
+    * fat-tail / asymmetry shifts a mean-and-variance check misses.
+    *
+    * Exactness: the TWO-PASS mean pre-shift q196's overflow guard
+    * names as the at-scale remedy, implemented (order cents⁴ blows
+    * the n-scaled DECIMAL(38,0) combos — 3S₁⁴ ≈ 10⁴⁰ already at
+    * sf0.001): pass 1 takes the integer floor mean μ = S₁ div n per
+    * group; pass 2 sums exact DECIMAL(38,0) powers of w = v − μ.
+    * |Σw| < n by construction, so the double-arithmetic central
+    * moments m₂..m₄ from (W₁..W₄, n) lose nothing to cancellation,
+    * and every division/multiply is spelled identically on both
+    * engines; g₁/g₂ round 6 and JB folds the ROUNDED values. A
+    * residual overflow in W₄ still fails loudly (NULL ⇔ overflow
+    * guard), never silently.
+    *
+    * Scale shape: two map-side-combined rollups onto ≤5 groups (the
+    * μ table broadcasts back); scalar math after. */
+  def qJarqueBera(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val base = orders(s, d).select(col("o_orderpriority"), cents.as("v"))
+    val mu = base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1v"))
+      .select(col("o_orderpriority"), col("n"),
+        expr("s1v div n").as("mu"))
+    val w = col("v") - col("mu")
+    val sums = base.join(broadcast(mu), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"), dec(w).as("w"))
+      .groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n"),
+        sum(col("w")).as("w1"),
+        sum(col("w") * col("w")).as("w2"),
+        sum(col("w") * col("w") * col("w")).as("w3"),
+        sum(col("w") * col("w") * col("w") * col("w")).as("w4"))
+    def guarded(c: Column, name: String): Column =
+      when(c.isNull, expr("CAST(raise_error('q306: DECIMAL(38,0) overflow in " +
+        name + " — widen the shift or shrink the unit at this scale') " +
+        "AS DOUBLE)")).otherwise(c.cast("double"))
+    val nd = d2(col("n"))
+    val m1 = col("w1d") / nd
+    val m2 = col("w2d") / nd - m1 * m1
+    val m3 = col("w3d") / nd - lit(3.0) * m1 * (col("w2d") / nd) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("w4d") / nd - lit(4.0) * m1 * (col("w3d") / nd) +
+      lit(6.0) * m1 * m1 * (col("w2d") / nd) -
+      lit(3.0) * m1 * m1 * m1 * m1
+    sums.select(col("o_orderpriority"), col("n"),
+        guarded(col("w1"), "W1").as("w1d"),
+        guarded(col("w2"), "W2").as("w2d"),
+        guarded(col("w3"), "W3").as("w3d"),
+        guarded(col("w4"), "W4").as("w4d"))
+      .select(col("o_orderpriority"), col("n"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - 3.0, 6).as("kurtosis_excess"))
+      .withColumn("jb", round(d2(col("n")) *
+        (col("skewness") * col("skewness") / lit(6.0) +
+          col("kurtosis_excess") * col("kurtosis_excess") / lit(24.0)), 6))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Shared by q307/q308: the per-type daily count series with a
+    * dense position index t = 1..n under the day order — the
+    * calendar-bounded table every serial-dependence statistic here
+    * walks (q157's fixture, positionally indexed so lag-k pairing is
+    * the textbook one even if a day were absent). */
+  private def dailySeries(s: SparkSession, d: String): DataFrame = {
+    val wPos = Window.partitionBy("event_type").orderBy("day")
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(wPos).cast("long"))
+  }
+
+  /** q307: Ljung–Box portmanteau test per event type — "is this
+    * series white noise AT ALL?", the joint serial-correlation gate
+    * q157's single lag-1 coefficient can't state (a seasonal signal
+    * can have ρ₁ ≈ 0 and scream at lag 7): Q = n(n+2)·Σ_{k=1..7}
+    * ρ̂ₖ²/(n−k) ~ χ²₇ (Ljung & Box '78).
+    *
+    * Exactness: each ρ̂ₖ is a ratio of exact BIGINTs — numerator
+    * n²Pₖ − nS(Aₖ+Bₖ) + (n−k)S² (the n²-scaled
+    * Σ(x_t−x̄)(x_{t+k}−x̄) with full-series mean), denominator
+    * n(nQ₂−S²) — so both engines divide identical integers; ρ̂ₖ
+    * rounds 6 and Q folds the ROUNDED ρ's with identical spelling.
+    *
+    * Scale shape: facts collapse onto the calendar-bounded (type,
+    * day) rollup in one map-side pass; the lag-k self-pairing
+    * explodes 7 offsets of THAT table (≤ 7·types·days rows). */
+  def qLjungBox(s: SparkSession, d: String): DataFrame = {
+    val daily = dailySeries(s, d)
+    val glob = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q2"))
+    val lagged = daily.select(col("event_type"), col("t"), col("x"))
+      .withColumn("k", explode(sequence(lit(1L), lit(7L))))
+      .withColumn("t2", col("t") + col("k"))
+    val pairs = lagged.alias("a").join(
+        daily.select(col("event_type"), col("t").as("t2"),
+          col("x").as("x2")).alias("b"),
+        Seq("event_type", "t2"))
+      .groupBy("event_type", "k")
+      .agg(sum(col("x") * col("x2")).as("p"),
+        sum(col("x")).as("sa"), sum(col("x2")).as("sb"))
+    val rho = pairs.join(glob, Seq("event_type"))
+      .withColumn("num",
+        col("n") * col("n") * col("p") -
+          col("n") * col("s") * (col("sa") + col("sb")) +
+          (col("n") - col("k")) * col("s") * col("s"))
+      .withColumn("den", col("n") * (col("n") * col("q2") - col("s") * col("s")))
+      .withColumn("rho", round(
+        when(col("den") > 0, d2(col("num")) / d2(col("den")))
+          .otherwise(lit(0.0)), 6))
+    val rhoCols = (1 to 7).map(k =>
+      max(when(col("k") === k.toLong, col("rho"))).as(s"rho$k"))
+    val qTerm = (1 to 7).map(k =>
+      max(when(col("k") === k.toLong,
+        col("rho") * col("rho") / d2(col("n") - lit(k.toLong))))).reduce(_ + _)
+    val aggs = max(col("n")).as("n_days") +: rhoCols :+
+      round(d2(max(col("n"))) * (d2(max(col("n"))) + lit(2.0)) * qTerm, 6)
+        .as("q_lb")
+    rho.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("event_type")
+  }
+
+  /** q308: von Neumann ratio — the successive-difference randomness
+    * test (von Neumann '41) per event type over the daily series:
+    * η = n·Σ(x_{t+1}−x_t)² / (nΣx²−S²); η ≈ 2 for white noise, < 2
+    * under positive serial correlation (trend/level shifts), > 2
+    * under oscillation. The parametric complement of q279's runs test
+    * (which sees only signs) and q157's lag-1 Pearson (a single
+    * correlation, not a variance-ratio test).
+    *
+    * Exactness: Σd² and nQ₂−S² are exact BIGINTs; η is one division,
+    * rounded 6; z = (η−2)/√(4(n−2)/(n²−1)) from the same integers
+    * with identical spelling.
+    *
+    * Scale shape: one map-side rollup to the calendar-bounded daily
+    * table, a per-type lag window over it, a ≤types-row fold. */
+  def qVonNeumann(s: SparkSession, d: String): DataFrame = {
+    val wPos = Window.partitionBy("event_type").orderBy("t")
+    val daily = dailySeries(s, d)
+      .withColumn("xp", lag(col("x"), 1).over(wPos))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q2"),
+        sum(when(col("xp").isNotNull,
+          (col("x") - col("xp")) * (col("x") - col("xp")))
+          .otherwise(lit(0L))).as("sum_d2"))
+      .withColumn("den", col("n_days") * col("q2") - col("s") * col("s"))
+      .withColumn("eta", round(
+        when(col("den") > 0,
+          d2(col("n_days") * col("sum_d2")) / d2(col("den")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("z_vn", round(
+        when(col("den") > 0 && col("n_days") > 2,
+          (d2(col("n_days") * col("sum_d2")) / d2(col("den")) - lit(2.0)) /
+            sqrt(lit(4.0) * d2(col("n_days") - 2) /
+              (d2(col("n_days")) * d2(col("n_days")) - lit(1.0))))
+          .otherwise(lit(0.0)), 6))
+      .select("event_type", "n_days", "sum_d2", "eta", "z_vn")
+      .orderBy("event_type")
+  }
+
+  /** q309: Brier score + Murphy decomposition — the PROPER-SCORING
+    * verdict on the q230/q231 eval harness's proxy classifier: q230
+    * draws the reliability diagram, this prices it. Brier =
+    * REL − RES + UNC (Murphy '73) with forecast bins = the score's
+    * own bounded integer domain (p = score_milli/9000): REL penalizes
+    * miscalibration, RES rewards discrimination, UNC is the base-rate
+    * floor no forecaster can beat.
+    *
+    * Exactness: the Brier score itself has an exact integer
+    * numerator — Σ(score − 9000·o)² in BIGINT over one scan (9000²·n
+    * times the mean squared error). REL and RES fold per-bin doubles
+    * over the ≤9001-value score domain (the q183/q303 bounded-term
+    * precedent), rounded 6; UNC is scalar. REL/RES/UNC are reported
+    * as computed — the decomposition identity holds to floating
+    * round-off, which the spec asserts at 1e-9, not the gate hash.
+    *
+    * Scale shape: one scan → score-domain rollup (map-side partials);
+    * everything after is domain-sized. */
+  def qBrierDecomposition(s: SparkSession, d: String): DataFrame = {
+    val byScore = proxyScored(s, d)
+      .groupBy("score_milli")
+      .agg(count(lit(1)).as("n_k"), sum(col("is_pos")).as("pos_k"),
+        sum((col("score_milli") - lit(9000L) * col("is_pos")) *
+          (col("score_milli") - lit(9000L) * col("is_pos"))).as("bnum_k"))
+    byScore.agg(
+        sum(col("n_k")).as("n"), sum(col("pos_k")).as("n_pos"),
+        sum(col("bnum_k")).as("brier_num"),
+        sum(d2(col("n_k") * col("score_milli") - lit(9000L) * col("pos_k")) *
+          d2(col("n_k") * col("score_milli") - lit(9000L) * col("pos_k")) /
+          (lit(81000000.0) * d2(col("n_k")))).as("rel_raw"),
+        sum(d2(col("pos_k")) * d2(col("pos_k")) / d2(col("n_k"))).as("res_a"),
+        count(lit(1)).as("n_bins"))
+      .withColumn("obar", d2(col("n_pos")) / d2(col("n")))
+      .select(col("n"), col("n_bins"), col("n_pos"),
+        round(d2(col("brier_num")) / (lit(81000000.0) * d2(col("n"))), 6)
+          .as("brier"),
+        round(col("rel_raw") / d2(col("n")), 6).as("reliability"),
+        round(col("res_a") / d2(col("n")) - col("obar") * col("obar"), 6)
+          .as("resolution"),
+        round(col("obar") * (lit(1.0) - col("obar")), 6).as("uncertainty"))
+  }
 }

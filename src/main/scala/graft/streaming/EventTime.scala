@@ -491,6 +491,42 @@ object EventTime {
         max("n_events").as("n_events"))
   }
 
+  /** q310: q144's interval-coverage union as STREAMING state
+    * ([[Stateful.coverageProgress]]): per-user gaps-and-islands
+    * advanced micro-batch by micro-batch over the time-ordered 3-file
+    * replay — the state is FOUR scalars per user (only the newest
+    * island can grow under ordered arrival), where a naive port would
+    * carry the whole merged-interval set. The oracle IS q144's batch
+    * SQL — the TWELFTH bit-exact stream/batch parity statement, and
+    * the first over an interval algebra: it proves the one-open-island
+    * streaming fold and the batch running-max window compute the same
+    * union. Final per-user snapshot reconstructed via
+    * max_by(n_events) (every snapshot's n_events strictly increases
+    * per invoked batch). */
+  def qStreamingCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("user_id").cast("long").as("u"),
+        unix_micros(col("ts")).as("us"), col("event_id").cast("long").as("eid"))
+      .as[(Long, Long, Long)]
+    val prog = Stateful.coverageProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q310 must exercise cross-batch island state, saw $dataBatches data batches")
+    s.table(name).groupBy("user_id")
+      .agg(expr("max_by(n_islands, n_events)").as("n_islands"),
+        expr("max_by(covered_sec, n_events)").as("covered_sec"))
+  }
+
   /** q186: q185's Page CUSUM as STREAMING state
     * ([[Stateful.pageCusumProgress]]): the literal max(0, S+dev)
     * recursion advanced day by day over the time-ordered 3-file

@@ -803,4 +803,54 @@ object Stateful {
           PercentileProgress(tpe, weekly.map(_._2).sum, weekly)
       }
   }
+
+  case class CoverageProgress(user_id: Long, n_events: Long,
+    n_islands: Long, covered_sec: Long)
+
+  /** Streaming interval-coverage — q144's gaps-and-islands union as
+    * per-user state: each event claims [sec, sec+lenSec); overlapping
+    * or touching claims merge. Under the time-ordered per-key arrival
+    * contract ([[graft.streaming.EventTime.timeOrderedSplitDir]] —
+    * starts non-decreasing, so interval ENDS are non-decreasing too)
+    * only the NEWEST island can ever grow, so the state is four
+    * scalars per key forever: the open island's bounds plus closed
+    * island count and closed covered-seconds — the unbounded
+    * merged-interval set a naive port would carry is provably
+    * unnecessary. Each snapshot projects the open island as closed;
+    * n_events strictly increases per key per invoked batch, so
+    * max_by(struct, n_events) over the update-mode emissions
+    * reconstructs the final state (the q133/q158/q167/q186/q298
+    * trick). Input: (user_id, ts_us, event_id). */
+  def coverageProgress(events: Dataset[(Long, Long, Long)],
+      lenSec: Long = 300L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[CoverageProgress] = {
+    implicit val stE: Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long, Long)]
+    implicit val outE: Encoder[CoverageProgress] =
+      Encoders.product[CoverageProgress]
+    implicit val inE: Encoder[(Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long)]
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long), CoverageProgress](timeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (curLo, curHi, closedIsl, closedCov, nSeen) =
+            state.getOption.getOrElse(
+              (Long.MinValue, Long.MinValue, 0L, 0L, 0L))
+          it.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, us, _) =>
+            val sec = Math.floorDiv(us, 1000000L)
+            if (curLo == Long.MinValue) { curLo = sec; curHi = sec + lenSec }
+            else if (sec > curHi) {
+              closedIsl += 1; closedCov += curHi - curLo
+              curLo = sec; curHi = sec + lenSec
+            } else if (sec + lenSec > curHi) curHi = sec + lenSec
+            nSeen += 1
+          }
+          state.update((curLo, curHi, closedIsl, closedCov, nSeen))
+          val openIsl = if (curLo == Long.MinValue) 0L else 1L
+          val openCov = if (curLo == Long.MinValue) 0L else curHi - curLo
+          CoverageProgress(user, nSeen, closedIsl + openIsl,
+            closedCov + openCov)
+      }
+  }
 }

@@ -181,7 +181,16 @@ object ScaleBench {
       "q302_page_trend",
       // the log-rank rides q175's user-keyed aggs (users ×factor) into
       // an hour-bounded cell table
-      "q303_log_rank")
+      "q303_log_rank",
+      // round 20 (r10) continuation 3: the model-diagnostics batch —
+      // CMH's fact-rollup + custkey shuffle join (q304), Cliff's
+      // value-domain cumulative (q305, domain ×factor like q229), the
+      // two-pass shifted-moment rollup (q306), the calendar-bounded
+      // serial-dependence pair (q307/q308, should be flat like
+      // q157/q185), and the score-domain Brier fold (q309, domain
+      // FIXED by the scorer's construction)
+      "q304_cmh", "q305_cliffs_delta", "q306_jarque_bera",
+      "q307_ljung_box", "q308_von_neumann", "q309_brier_decomposition")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-10 third continuation: brute-force driver-side recomputes
+  * for the model-diagnostics batch (CMH, Cliff's delta, Jarque–Bera,
+  * Ljung–Box, von Neumann, Brier decomposition) plus the q310
+  * stream/batch coverage parity. Each statistic is rebuilt from raw
+  * collected rows with none of the operators' devices (no value-domain
+  * cumulatives, no n-scaled moment combos), so an error in the
+  * machinery cannot cancel against itself. */
+class Round10dSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q304 CMH cells, chi-square and OR_MH match a raw recount") {
+    // raw truth: order -> (exposed, returned, stratum) from plain scans
+    val ret = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), (col("l_returnflag") === "R"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.exists(_.getBoolean(1))).toMap
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reg = spark.read.parquet(s"$sf/region.parquet")
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"),
+        col("c_nationkey").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1) == "BUILDING"), reg(nat(r.getLong(2))))).toMap
+    val cells = scala.collection.mutable.Map[String, Array[Long]]()
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+      .collect()
+      .foreach { r =>
+        ret.get(r.getLong(0)).foreach { rr =>
+          val (x, stratum) = cust(r.getLong(1))
+          val c = cells.getOrElseUpdate(stratum, Array(0L, 0L, 0L, 0L))
+          val idx = (if (x) 0 else 2) + (if (rr) 0 else 1)
+          c(idx) += 1
+        }
+      }
+    val got = Stats.qCmh(spark, sf).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val c = cells(r.getAs[String]("stratum"))
+      assert(r.getAs[Long]("n11") === c(0))
+      assert(r.getAs[Long]("n10") === c(1))
+      assert(r.getAs[Long]("n01") === c(2))
+      assert(r.getAs[Long]("n00") === c(3))
+    }
+    val sumA = cells.values.map(_(0)).sum.toDouble
+    val sumE = cells.values.map { c =>
+      val nk = c.sum.toDouble
+      (c(0) + c(1)) * (c(0) + c(2)) / nk
+    }.sum
+    val sumV = cells.values.map { c =>
+      val nk = c.sum.toDouble
+      if (nk > 1)
+        (c(0) + c(1)).toDouble * (c(2) + c(3)) * (c(0) + c(2)) *
+          (c(1) + c(3)) / (nk * nk * (nk - 1))
+      else 0.0
+    }.sum
+    val wantChi = (sumA - sumE) * (sumA - sumE) / sumV
+    assert(math.abs(got.head.getAs[Double]("chi2_cmh") - wantChi) < 1e-4)
+    val orMh = cells.values.map(c => c(0).toDouble * c(3) / c.sum).sum /
+      cells.values.map(c => c(1).toDouble * c(2) / c.sum).sum
+    assert(math.abs(got.head.getAs[Double]("or_mh") - orMh) < 1e-4)
+  }
+
+  test("q305 Cliff's delta matches an all-pairs brute force per arm") {
+    val vals = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val views = vals.filter(_._1 == "view").map(_._2)
+    val got = Stats.qCliffsDelta(spark, sf).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    assert(got.keySet === Set("click", "error", "signup", "purchase"))
+    got.foreach { case (arm, r) =>
+      val xs = vals.filter(_._1 == arm).map(_._2)
+      var gt = 0L; var lt = 0L; var tie = 0L
+      xs.foreach { x =>
+        views.foreach { y =>
+          if (x > y) gt += 1 else if (x < y) lt += 1 else tie += 1
+        }
+      }
+      assert(r.getAs[Long]("n1") === xs.length.toLong, arm)
+      assert(r.getAs[Long]("n2") === views.length.toLong, arm)
+      assert(r.getAs[Long]("n_gt") === gt, arm)
+      assert(r.getAs[Long]("n_lt") === lt, arm)
+      assert(r.getAs[Long]("n_tie") === tie, arm)
+      val want = (gt - lt).toDouble / (xs.length.toDouble * views.length)
+      assert(math.abs(r.getAs[Double]("cliffs_delta") - want) < 1e-5, arm)
+    }
+  }
+
+  test("q306 Jarque-Bera matches moments computed the pedestrian way") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Stats.qJarqueBera(spark, sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      val xs = rows.filter(_._1 == r.getAs[String]("o_orderpriority"))
+        .map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val m2 = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+      val g1 = m3 / math.pow(m2, 1.5)
+      val g2 = m4 / (m2 * m2) - 3.0
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("skewness") - g1) < 1e-4)
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") - g2) < 1e-4)
+      val jb = n * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
+      assert(math.abs(r.getAs[Double]("jb") - jb) < 1e-2)
+    }
+  }
+
+  /** Per-type daily count series, day-ordered — shared by the two
+    * serial-dependence recounts. */
+  private lazy val dailyByType: Map[String, Array[Double]] = {
+    spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(_._1).view.mapValues { rs =>
+        rs.groupBy(_._2).view.mapValues(_.length.toDouble)
+          .toArray.sortBy(_._1).map(_._2)
+      }.toMap
+  }
+
+  test("q307 Ljung-Box matches textbook autocorrelations") {
+    val got = Stats.qLjungBox(spark, sf).collect()
+    got.foreach { r =>
+      val xs = dailyByType(r.getAs[String]("event_type"))
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val den = xs.map(x => (x - mean) * (x - mean)).sum
+      val rhos = (1 to 7).map { k =>
+        val num = (0 until xs.length - k)
+          .map(t => (xs(t) - mean) * (xs(t + k) - mean)).sum
+        num / den
+      }
+      assert(r.getAs[Long]("n_days") === xs.length.toLong)
+      (1 to 7).foreach { k =>
+        assert(math.abs(r.getAs[Double](s"rho$k") - rhos(k - 1)) < 1e-4,
+          s"lag $k")
+      }
+      val q = n * (n + 2.0) *
+        rhos.zipWithIndex.map { case (rho, i) => rho * rho / (n - i - 1) }.sum
+      assert(math.abs(r.getAs[Double]("q_lb") - q) < 1e-2)
+    }
+  }
+
+  test("q308 von Neumann ratio matches the successive-difference walk") {
+    val got = Stats.qVonNeumann(spark, sf).collect()
+    got.foreach { r =>
+      val xs = dailyByType(r.getAs[String]("event_type"))
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val d2sum = xs.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+      val ssq = xs.map(x => (x - mean) * (x - mean)).sum
+      val eta = d2sum / ssq // n·Σd²/(nΣx²−S²) = Σd²/Σ(x−x̄)²
+      assert(math.abs(r.getAs[Double]("eta") - eta) < 1e-4)
+      val z = (eta - 2.0) / math.sqrt(4.0 * (n - 2) / (n * n - 1.0))
+      assert(math.abs(r.getAs[Double]("z_vn") - z) < 1e-4)
+    }
+  }
+
+  test("q309 Brier decomposition: raw recount + Murphy identity") {
+    val got = Stats.qBrierDecomposition(spark, sf).collect().head
+    val brier = got.getAs[Double]("brier")
+    val rel = got.getAs[Double]("reliability")
+    val res = got.getAs[Double]("resolution")
+    val unc = got.getAs[Double]("uncertainty")
+    // Murphy identity — exact up to floating round-off + the 1e-6
+    // output rounding
+    assert(math.abs(brier - (rel - res + unc)) < 1e-5)
+    // raw recount via an independent per-document pass (the operator
+    // aggregates the score domain; this walks documents)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lower(col("text")), col("n_chars").cast("long")).collect()
+      .map { r =>
+        val toks = r.getString(0).split("\\s+").filter(_.nonEmpty)
+        val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+        val hits = toks.count(stops.contains)
+        val dhits = toks.distinct.count(stops.contains)
+        val score = toks.length * 100L + hits * 10L + dhits
+        val pos = if (r.getLong(1) >= 300) 1L else 0L
+        (score, pos)
+      }
+    val n = docs.length.toDouble
+    val wantBrier = docs.map { case (s, o) =>
+      val p = s / 9000.0; (p - o) * (p - o)
+    }.sum / n
+    assert(math.abs(brier - wantBrier) < 1e-5)
+    val obar = docs.map(_._2).sum / n
+    assert(math.abs(unc - obar * (1 - obar)) < 1e-5)
+    val byScore = docs.groupBy(_._1)
+    val wantRel = byScore.values.map { g =>
+      val pk = g.head._1 / 9000.0
+      val ok = g.map(_._2).sum.toDouble / g.length
+      g.length * (pk - ok) * (pk - ok)
+    }.sum / n
+    assert(math.abs(rel - wantRel) < 1e-5)
+    val wantRes = byScore.values.map { g =>
+      val ok = g.map(_._2).sum.toDouble / g.length
+      g.length * (ok - obar) * (ok - obar)
+    }.sum / n
+    assert(math.abs(res - wantRes) < 1e-5)
+  }
+
+  test("q310 streaming coverage equals the batch interval union exactly") {
+    val cols = Seq("CAST(user_id AS BIGINT) AS user_id",
+      "CAST(n_islands AS BIGINT) AS n_islands",
+      "CAST(covered_sec AS BIGINT) AS covered_sec")
+    val batch = Relational.qIntervalCoverage(spark, sf)
+      .selectExpr(cols: _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = graft.streaming.EventTime.qStreamingCoverage(spark, sf)
+      .selectExpr(cols: _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+}
