@@ -375,6 +375,12 @@ object Bench {
     "q307_ljung_box",
     "q308_von_neumann",
     "q309_brier_decomposition",
+    // round 20 (r10) continuation 4: the corpus-law fits (Zipf over
+    // the vocab rollup, Heaps over the first-seen rollup) and the
+    // OR-homogeneity gate on q304's cells
+    "q311_zipf",
+    "q312_heaps",
+    "q313_woolf",
   )
 
   def main(args: Array[String]): Unit = {

@@ -748,6 +748,15 @@ object SparkEntry {
     // bit-exact stream/batch parity (oracle IS q144's batch SQL)
     "q310_streaming_coverage" ->
       (graft.streaming.EventTime.qStreamingCoverage _),
+    // q311: Zipf rank-frequency fit per source — the corpus-health
+    // law behind the vocabulary decisions (slope ~ -1 on natural text)
+    "q311_zipf" -> ((s, dir) => TextAnalysis.qZipf(s, dir)),
+    // q312: Heaps' law vocabulary-growth fit over doc-id-prefix
+    // checkpoints — prices vocabulary budgets and predicts OOV growth
+    "q312_heaps" -> (TextAnalysis.qHeaps _),
+    // q313: Woolf homogeneity of odds ratios across q304's strata —
+    // the gate on whether CMH's pooled OR is meaningful
+    "q313_woolf" -> (Stats.qWoolf _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -6706,6 +6715,150 @@ object SparkEntry {
          SELECT user_id, COUNT(*) AS n_islands,
                 CAST(SUM(i_end - i_start) AS BIGINT) AS covered_sec
          FROM g GROUP BY user_id""",
+    // q311: exact integer ranks/frequencies (tie order pinned on the
+    // term); the ln-ln OLS folds <=1000 bounded doubles rounded 6
+    "q311_zipf" ->
+      """WITH tok AS (
+           SELECT source,
+                  unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents),
+         freq AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+           FROM tok WHERE length(w) > 0 GROUP BY 1, 2),
+         top AS (
+           SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                  ln(CAST(f AS DOUBLE)) AS y
+           FROM (SELECT source, f, w,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY f DESC, w) AS BIGINT) AS r
+                 FROM freq)
+           WHERE r <= 1000),
+         sums AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_top,
+                  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                  SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM top GROUP BY 1)
+         SELECT source, n_top,
+                ROUND(CASE WHEN CAST(n_top AS DOUBLE) * sxx - sx * sx > 0
+                  THEN (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n_top AS DOUBLE) * sxx - sx * sx)
+                  ELSE 0.0 END, 6) AS zipf_slope,
+                ROUND(CASE WHEN CAST(n_top AS DOUBLE) * sxx - sx * sx > 0
+                       AND CAST(n_top AS DOUBLE) * syy - sy * sy > 0
+                  THEN (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+                       / ((CAST(n_top AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n_top AS DOUBLE) * syy - sy * sy))
+                  ELSE 0.0 END, 6) AS fit_r2
+         FROM sums""",
+    // q312: checkpoint membership is the integer predicate
+    // 8*first_doc <= i*max_doc; counts exact BIGINT; ln K from the
+    // ROUNDED beta
+    "q312_heaps" ->
+      """WITH tk AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, w
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\s+')) AS w
+                 FROM documents)
+           WHERE length(w) > 0),
+         fd AS (SELECT w, CAST(MIN(doc_id) AS BIGINT) AS fd
+                FROM tk GROUP BY 1),
+         dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+                FROM tk GROUP BY 1),
+         mxt AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM tk),
+         cuts AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS cut),
+         vc AS (
+           SELECT c.cut,
+                  CAST(SUM(CASE WHEN f.fd * 8 <= m.mx * c.cut
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_types
+           FROM fd f CROSS JOIN mxt m CROSS JOIN cuts c GROUP BY 1),
+         tc AS (
+           SELECT c.cut,
+                  CAST(SUM(CASE WHEN d.doc_id * 8 <= m.mx * c.cut
+                    THEN d.nt ELSE 0 END) AS BIGINT) AS n_tokens
+           FROM dt d CROSS JOIN mxt m CROSS JOIN cuts c GROUP BY 1),
+         pts AS (
+           SELECT t.cut, (m.mx * t.cut) // 8 AS threshold_doc,
+                  t.n_tokens, v.n_types
+           FROM tc t JOIN vc v ON t.cut = v.cut CROSS JOIN mxt m),
+         fs AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  SUM(ln(CAST(n_tokens AS DOUBLE))) AS sx,
+                  SUM(ln(CAST(n_types AS DOUBLE))) AS sy,
+                  SUM(ln(CAST(n_tokens AS DOUBLE))
+                      * ln(CAST(n_types AS DOUBLE))) AS sxy,
+                  SUM(ln(CAST(n_tokens AS DOUBLE))
+                      * ln(CAST(n_tokens AS DOUBLE))) AS sxx
+           FROM pts),
+         fit AS (
+           SELECT ROUND(CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx > 0
+                    THEN (CAST(k AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(k AS DOUBLE) * sxx - sx * sx)
+                    ELSE 0.0 END, 6) AS heaps_beta, sx, sy, k
+           FROM fs),
+         fit2 AS (
+           SELECT heaps_beta,
+                  ROUND((sy - heaps_beta * sx) / CAST(k AS DOUBLE), 6)
+                    AS heaps_lnk
+           FROM fit)
+         SELECT pts.cut, pts.threshold_doc, pts.n_tokens, pts.n_types,
+                fit2.heaps_beta, fit2.heaps_lnk
+         FROM pts CROSS JOIN fit2""",
+    // q313: q304's cells CTE verbatim; OR/weight/ln per stratum, the
+    // three-sum dispersion identity over K=5 bounded terms rounded 6
+    "q313_woolf" ->
+      """WITH ret AS (
+           SELECT l_orderkey,
+                  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+           FROM lineitem GROUP BY 1),
+         cust AS (
+           SELECT c_custkey,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS x,
+                  r_name AS stratum
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         cells AS (
+           SELECT stratum,
+                  CAST(SUM(x * r) AS BIGINT) AS n11,
+                  CAST(SUM(x * (1 - r)) AS BIGINT) AS n10,
+                  CAST(SUM((1 - x) * r) AS BIGINT) AS n01,
+                  CAST(SUM((1 - x) * (1 - r)) AS BIGINT) AS n00
+           FROM orders
+           JOIN ret ON o_orderkey = l_orderkey
+           JOIN cust ON o_custkey = c_custkey
+           GROUP BY 1),
+         t AS (
+           SELECT *, CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0
+                       AND n00 > 0 THEN 1 ELSE 0 END AS ok
+           FROM cells),
+         w AS (
+           SELECT stratum, n11, n10, n01, n00, ok,
+                  CASE WHEN ok = 1
+                    THEN CAST(n11 AS DOUBLE) * n00
+                         / (CAST(n10 AS DOUBLE) * n01)
+                    ELSE 0.0 END AS or_k,
+                  CASE WHEN ok = 1
+                    THEN ln(CAST(n11 AS DOUBLE) * n00
+                            / (CAST(n10 AS DOUBLE) * n01))
+                    ELSE 0.0 END AS lnor,
+                  CASE WHEN ok = 1
+                    THEN 1.0 / (1.0 / n11 + 1.0 / n10
+                                + 1.0 / n01 + 1.0 / n00)
+                    ELSE 0.0 END AS w_k
+           FROM t),
+         g AS (
+           SELECT CAST(SUM(ok) AS BIGINT) AS k_used, SUM(w_k) AS sw,
+                  SUM(w_k * lnor) AS swl,
+                  SUM(w_k * lnor * lnor) AS swll
+           FROM w)
+         SELECT stratum, n11, n10, n01, n00,
+                ROUND(or_k, 6) AS or_k, ROUND(w_k, 6) AS w_k, k_used,
+                ROUND(CASE WHEN sw > 0 THEN swll - swl * swl / sw
+                  ELSE 0.0 END, 6) AS woolf_chi2,
+                ROUND(CASE WHEN sw > 0 THEN swl / sw
+                  ELSE 0.0 END, 6) AS ln_or_pooled
+         FROM w CROSS JOIN g""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

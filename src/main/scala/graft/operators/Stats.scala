@@ -2744,27 +2744,7 @@ object Stats {
     * nation/region dims broadcast into it; everything after is a
     * 5-row fold. */
   def qCmh(s: SparkSession, d: String): DataFrame = {
-    val returned = lineitem(s, d)
-      .select(col("l_orderkey"),
-        (col("l_returnflag") === "R").cast("long").as("ret"))
-      .groupBy("l_orderkey").agg(max(col("ret")).as("r"))
-    val cust = customer(s, d)
-      .select(col("c_custkey"),
-        (col("c_mktsegment") === "BUILDING").cast("long").as("x"),
-        col("c_nationkey"))
-      .join(broadcast(nation(s, d).select("n_nationkey", "n_regionkey")),
-        col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region(s, d).select("r_regionkey", "r_name")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"), col("x"), col("r_name").as("stratum"))
-    val cells = orders(s, d).select("o_orderkey", "o_custkey")
-      .join(returned, col("o_orderkey") === col("l_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy("stratum")
-      .agg(sum(col("x") * col("r")).as("n11"),
-        sum(col("x") * (lit(1L) - col("r"))).as("n10"),
-        sum((lit(1L) - col("x")) * col("r")).as("n01"),
-        sum((lit(1L) - col("x")) * (lit(1L) - col("r"))).as("n00"))
+    val cells = cmhCells(s, d)
     val nk = col("n11") + col("n10") + col("n01") + col("n00")
     val terms = cells
       .withColumn("n_k", nk)
@@ -2797,6 +2777,86 @@ object Stats {
       .select(col("stratum"), col("n11"), col("n10"), col("n01"),
         col("n00"), col("sum_e"), col("sum_v"), col("chi2_cmh"),
         col("or_mh"))
+      .orderBy("stratum")
+  }
+
+  /** The shared q304/q313 stratified 2×2 cell table: per region
+    * stratum, exact BIGINT counts of (BUILDING exposure) ×
+    * (order-contains-returned-line outcome). One orderkey rollup for
+    * the outcome; the customer-sized exposure table joins orders on
+    * the custkey hash partitioning with the nation/region dims
+    * broadcast into it. */
+  private def cmhCells(s: SparkSession, d: String): DataFrame = {
+    val returned = lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+      .groupBy("l_orderkey").agg(max(col("ret")).as("r"))
+    val cust = customer(s, d)
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("x"),
+        col("c_nationkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("x"), col("r_name").as("stratum"))
+    orders(s, d).select("o_orderkey", "o_custkey")
+      .join(returned, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("stratum")
+      .agg(sum(col("x") * col("r")).as("n11"),
+        sum(col("x") * (lit(1L) - col("r"))).as("n10"),
+        sum((lit(1L) - col("x")) * col("r")).as("n01"),
+        sum((lit(1L) - col("x")) * (lit(1L) - col("r"))).as("n00"))
+  }
+
+  /** q313: Woolf's test for HOMOGENEITY of odds ratios across the
+    * q304 strata (Woolf '55) — the question CMH itself cannot answer:
+    * q304's common OR_MH is only meaningful if the per-stratum odds
+    * ratios agree; Woolf's χ²_{K−1} is the inverse-variance-weighted
+    * dispersion of the ln-odds-ratios around their weighted mean,
+    * read BEFORE trusting q304's pooled number (the
+    * effect-modification gate).
+    *
+    * Exactness: cells are q304's exact BIGINTs; OR_k, w_k =
+    * 1/(Σ 1/cell) and ln OR_k are per-stratum scalars (ln within
+    * 1 ulp on both engines); the χ² uses the three-sum identity
+    * Σw·(l−l̄)² = Σwl² − (Σwl)²/Σw over K = 5 bounded terms, rounded
+    * 6. A zero cell excludes its stratum from the fold (k_used
+    * reports how many contribute) — guarded identically on both
+    * engines, never a silent ±∞.
+    *
+    * Scale shape: q304's verbatim (the cells CTE is shared); the test
+    * itself is a 5-row fold. */
+  def qWoolf(s: SparkSession, d: String): DataFrame = {
+    val cells = cmhCells(s, d)
+    val ok = col("n11") > 0 && col("n10") > 0 && col("n01") > 0 &&
+      col("n00") > 0
+    val orK = d2(col("n11")) * d2(col("n00")) /
+      (d2(col("n10")) * d2(col("n01")))
+    val wK = lit(1.0) / (lit(1.0) / d2(col("n11")) +
+      lit(1.0) / d2(col("n10")) + lit(1.0) / d2(col("n01")) +
+      lit(1.0) / d2(col("n00")))
+    val terms = cells
+      .withColumn("or_k", when(ok, orK).otherwise(lit(0.0)))
+      .withColumn("lnor", when(ok, log(orK)).otherwise(lit(0.0)))
+      .withColumn("w_k", when(ok, wK).otherwise(lit(0.0)))
+    val glob = terms.agg(
+      sum(when(ok, 1L).otherwise(0L)).as("k_used"),
+      sum(col("w_k")).as("sw"),
+      sum(col("w_k") * col("lnor")).as("swl"),
+      sum(col("w_k") * col("lnor") * col("lnor")).as("swll"))
+      .select(col("k_used"),
+        round(when(col("sw") > 0,
+          col("swll") - col("swl") * col("swl") / col("sw"))
+          .otherwise(lit(0.0)), 6).as("woolf_chi2"),
+        round(when(col("sw") > 0, col("swl") / col("sw"))
+          .otherwise(lit(0.0)), 6).as("ln_or_pooled"))
+    terms
+      .select(col("stratum"), col("n11"), col("n10"), col("n01"),
+        col("n00"), round(col("or_k"), 6).as("or_k"),
+        round(col("w_k"), 6).as("w_k"))
+      .crossJoin(broadcast(glob))
       .orderBy("stratum")
   }
 

@@ -1020,4 +1020,120 @@ object TextAnalysis {
         expr("sum(oov) * 1000000L div count(1)").as("oov_ppm"),
         round(sum(col("nll")) / count(lit(1)), 6).as("nll_per_token"))
   }
+
+  /** q311: Zipf rank–frequency fit per source — the corpus-health law
+    * behind the q129/q55 vocabulary decisions: a healthy natural
+    * corpus has ln(freq) ≈ c − s·ln(rank) with s ≈ 1 over its head;
+    * a templated or synthetic source bends the line (s drifts, fit
+    * degrades), which is exactly the drift q126's distinct-bigram
+    * ratio flags from the other end. OLS of ln f on ln r over the
+    * top-1000 types per source, with the slope and fit R² reported.
+    *
+    * Exactness discipline: frequencies and ranks are exact integers
+    * (row_number over (freq DESC, term ASC) — tie order pinned); the
+    * fit folds ≤1000 bounded ln-doubles (the q183/q303 bounded-term
+    * precedent — ln is within 1 ulp on both engines and the slope
+    * rounds at 6), slope/R² from the sums with identical spelling.
+    *
+    * Scale shape: one corpus scan collapses onto the vocabulary
+    * (map-side partials); the rank window walks the per-source vocab
+    * rollup (Heaps-bounded), and the fit sees ≤1000 rows per
+    * source. */
+  def qZipf(s: SparkSession, d: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("f"))
+    val wR = Window.partitionBy("source").orderBy(col("f").desc, col("w"))
+    val top = freq
+      .withColumn("r", row_number().over(wR).cast("long"))
+      .filter(col("r") <= topK)
+      .select(col("source"), log(d2(col("r"))).as("x"),
+        log(d2(col("f"))).as("y"))
+    val sums = top.groupBy("source").agg(
+      count(lit(1)).as("n_top"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = d2(col("n_top")) * col("sxy") - col("sx") * col("sy")
+    val den1 = d2(col("n_top")) * col("sxx") - col("sx") * col("sx")
+    val den2 = d2(col("n_top")) * col("syy") - col("sy") * col("sy")
+    sums.select(col("source"), col("n_top"),
+        round(when(den1 > 0, num / den1).otherwise(lit(0.0)), 6)
+          .as("zipf_slope"),
+        round(when(den1 > 0 && den2 > 0, num * num / (den1 * den2))
+          .otherwise(lit(0.0)), 6).as("fit_r2"))
+      .orderBy("source")
+  }
+
+  /** q312: Heaps' law fit — vocabulary growth V(T) ≈ K·T^β over the
+    * corpus prefix, the OTHER corpus law (q311 fits the frequency
+    * axis, this fits vocabulary vs corpus size): β says how fast new
+    * types keep arriving, the number that prices vocabulary budgets
+    * (q129) and predicts OOV (q83) as the corpus grows — and a β
+    * collapse flags a corpus that stopped being novel (crawl loops,
+    * template farms). Eight doc-id-prefix checkpoints (t_i = ⌊max·i/8⌋),
+    * exact token and type counts at each, ln–ln OLS for (β, ln K).
+    *
+    * Exactness: checkpoint membership is the integer predicate
+    * 8·first_doc ≤ i·max_doc (no division); counts exact BIGINT from
+    * two rollups; the fit folds 8 bounded ln-doubles; ln K is
+    * computed from the ROUNDED β identically on both engines.
+    *
+    * Scale shape: one corpus scan → a vocabulary-sized first-seen
+    * rollup + a doc-sized token rollup, each collapsed by EIGHT
+    * conditional sums in one pass (map-side partials) — no explode,
+    * no window; the fit sees 8 rows. */
+  def qHeaps(s: SparkSession, d: String): DataFrame =
+    heapsFit(documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0))
+
+  /** The q312 core over any (doc_id, w) token frame — factored out so
+    * the spec can drive a crafted growing-vocabulary corpus through
+    * the exact same plan (the driver fixture's vocabulary is FIXED at
+    * ~31 types, so its β is legitimately 0 — the law's degenerate
+    * "corpus stopped being novel" reading). */
+  private[operators] def heapsFit(toks: DataFrame): DataFrame = {
+    val mx = toks.agg(max(col("doc_id")).as("mx"))
+    val firstDoc = toks.groupBy("w").agg(min(col("doc_id")).as("fd"))
+    val docTok = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val vCols = (1 to 8).map(i => sum(when(col("fd") * 8 <= col("mx") * i,
+      1L).otherwise(0L)).as(s"v$i")) :+ max(col("mx")).as("mxv")
+    val vAgg = firstDoc.crossJoin(broadcast(mx))
+      .agg(vCols.head, vCols.tail: _*)
+    val tCols = (1 to 8).map(i => sum(when(col("doc_id") * 8 <= col("mx") * i,
+      col("nt")).otherwise(0L)).as(s"t$i"))
+    val tAgg = docTok.crossJoin(broadcast(mx))
+      .agg(tCols.head, tCols.tail: _*)
+    val pts = vAgg.crossJoin(tAgg)
+      .select(explode(array((1 to 8).map(i =>
+        struct(lit(i.toLong).as("cut"),
+          expr(s"(mxv * $i) div 8").as("threshold_doc"),
+          col(s"t$i").as("n_tokens"), col(s"v$i").as("n_types"))): _*))
+        .as("c"))
+      .select(col("c.cut"), col("c.threshold_doc"), col("c.n_tokens"),
+        col("c.n_types"))
+    val fitSums = pts.agg(
+      count(lit(1)).as("k"),
+      sum(log(d2(col("n_tokens")))).as("sx"),
+      sum(log(d2(col("n_types")))).as("sy"),
+      sum(log(d2(col("n_tokens"))) * log(d2(col("n_types")))).as("sxy"),
+      sum(log(d2(col("n_tokens"))) * log(d2(col("n_tokens")))).as("sxx"))
+    val den = d2(col("k")) * col("sxx") - col("sx") * col("sx")
+    val fit = fitSums.select(
+      round(when(den > 0,
+        (d2(col("k")) * col("sxy") - col("sx") * col("sy")) / den)
+        .otherwise(lit(0.0)), 6).as("heaps_beta"),
+      col("sx"), col("sy"), col("k"))
+      .select(col("heaps_beta"),
+        round((col("sy") - col("heaps_beta") * col("sx")) / d2(col("k")), 6)
+          .as("heaps_lnk"))
+    pts.crossJoin(broadcast(fit)).orderBy("cut")
+  }
+
+  private val d2 = (c: Column) => c.cast("double")
 }

@@ -190,7 +190,13 @@ object ScaleBench {
       // q157/q185), and the score-domain Brier fold (q309, domain
       // FIXED by the scorer's construction)
       "q304_cmh", "q305_cliffs_delta", "q306_jarque_bera",
-      "q307_ljung_box", "q308_von_neumann", "q309_brier_decomposition")
+      "q307_ljung_box", "q308_von_neumann", "q309_brier_decomposition",
+      // round 20 (r10) continuation 4: the corpus-law fits — Zipf's
+      // per-source vocab window (vocab grows ~linearly under the
+      // bijection; the fit stays 1000 rows/source) and Heaps' two
+      // rollups (vocab- and doc-sized, both ×factor, conditional sums
+      // map-side); Woolf rides q304's cells
+      "q311_zipf", "q312_heaps", "q313_woolf")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
