@@ -381,6 +381,9 @@ object Bench {
     "q311_zipf",
     "q312_heaps",
     "q313_woolf",
+    // the multiclass eval harness (one scan + class-sized math); the
+    // q314 streaming side stays untimed like every replay parity
+    "q315_lang_confusion",
   )
 
   def main(args: Array[String]): Unit = {

@@ -757,6 +757,13 @@ object SparkEntry {
     // q313: Woolf homogeneity of odds ratios across q304's strata —
     // the gate on whether CMH's pooled OR is meaningful
     "q313_woolf" -> (Stats.qWoolf _),
+    // q314: q180's LOCF gap-fill as streaming state with closed-form
+    // gap back-fill — the thirteenth bit-exact stream/batch parity
+    "q314_streaming_locf" ->
+      (graft.streaming.EventTime.qStreamingLocf _),
+    // q315: multiclass confusion audit of the q21 lang-ID classifier
+    // (per-class P/R/F1, macro-F1, accuracy)
+    "q315_lang_confusion" -> (TextAnalysis.qLangConfusion _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -6859,6 +6866,87 @@ object SparkEntry {
                 ROUND(CASE WHEN sw > 0 THEN swl / sw
                   ELSE 0.0 END, 6) AS ln_or_pooled
          FROM w CROSS JOIN g""",
+    // q314: the oracle IS q180's spine + IGNORE-NULLS window shape
+    // over the per-type daily counts — the thirteenth stream/batch
+    // parity; the stream never materializes a gap day, the checksums
+    // agree exactly
+    "q314_streaming_locf" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+               FROM daily GROUP BY 1),
+         spine AS (SELECT event_type, mn,
+                          CAST(UNNEST(generate_series(mn, mx,
+                            INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM b),
+         f AS (SELECT s.event_type,
+                      date_diff('day', s.mn, s.day) AS idx, daily.c,
+                      last_value(daily.c IGNORE NULLS) OVER (
+                        PARTITION BY s.event_type ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS lvl
+               FROM spine s LEFT JOIN daily
+                 ON s.event_type = daily.event_type AND s.day = daily.day)
+         SELECT event_type, COUNT(*) AS n_days, COUNT(c) AS n_obs,
+                COUNT(*) - COUNT(c) AS n_filled,
+                CAST(SUM(idx * lvl) AS BIGINT) AS locf_checksum
+         FROM f GROUP BY 1""",
+    // q315: q21's scorer CTE per document, exact integer
+    // cells/margins/diagonal, guarded divisions rounded 6
+    "q315_lang_confusion" ->
+      """WITH s AS (
+           SELECT lang AS actual,
+                  CASE WHEN greatest(en, es, fr) = 0 THEN 'und'
+                       WHEN en >= es AND en >= fr THEN 'en'
+                       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred
+           FROM (SELECT lang,
+                        len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS en,
+                        len(list_intersect(toks, ['el','la','de','y','en','es','un','que'])) AS es,
+                        len(list_intersect(toks, ['le','la','de','et','en','est','un','que'])) AS fr
+                 FROM (SELECT lang,
+                              list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+                       FROM documents))),
+         cells AS (SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM s GROUP BY 1, 2),
+         a AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_actual
+               FROM cells GROUP BY 1),
+         p AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+               FROM cells GROUP BY 1),
+         t AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS tp
+               FROM cells WHERE actual = pred GROUP BY 1),
+         per AS (
+           SELECT COALESCE(a.cls, p.cls) AS cls,
+                  COALESCE(n_actual, 0) AS n_actual,
+                  COALESCE(n_pred, 0) AS n_pred
+           FROM a FULL OUTER JOIN p ON a.cls = p.cls),
+         per2 AS (
+           SELECT per.cls, per.n_actual, per.n_pred,
+                  COALESCE(t.tp, 0) AS tp
+           FROM per LEFT JOIN t ON per.cls = t.cls),
+         m AS (
+           SELECT cls, n_actual, n_pred, tp,
+                  CASE WHEN n_pred > 0
+                    THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS praw,
+                  CASE WHEN n_actual > 0
+                    THEN CAST(tp AS DOUBLE) / n_actual ELSE 0.0 END AS rraw
+           FROM per2),
+         m2 AS (
+           SELECT *, CASE WHEN praw + rraw > 0
+                    THEN 2.0 * praw * rraw / (praw + rraw)
+                    ELSE 0.0 END AS f1raw
+           FROM m),
+         g AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                  ROUND(AVG(f1raw), 6) AS macro_f1,
+                  ROUND(CAST(SUM(tp) AS DOUBLE)
+                    / CAST(SUM(n_actual) AS DOUBLE), 6) AS accuracy
+           FROM m2)
+         SELECT cls, n_actual, n_pred, tp,
+                ROUND(praw, 6) AS prec, ROUND(rraw, 6) AS rec,
+                ROUND(f1raw, 6) AS f1, n_classes, macro_f1, accuracy
+         FROM m2 CROSS JOIN g""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -1135,5 +1135,56 @@ object TextAnalysis {
     pts.crossJoin(broadcast(fit)).orderBy("cut")
   }
 
+  /** q315: multiclass confusion audit of the q21 lang-ID classifier
+    * against the fixture's `lang` labels — the eval-harness verb the
+    * binary q230/q231/q309 family lacked: per-class
+    * precision/recall/F1 plus macro-F1 and accuracy, the report any
+    * classifier gating a corpus ships with. (On THIS fixture the
+    * label is independent of the text by generator construction — the
+    * q230 lesson — so the numbers sit at the null baseline; the query
+    * is the harness, the gate checks its exactness, and the spec
+    * recounts every cell.)
+    *
+    * Exactness: cells/margins/diagonal are exact BIGINTs off one
+    * scan; precision/recall/F1 are guarded divisions of those
+    * integers (identical spelling both engines), macro-F1 averages
+    * the ≤|classes| unrounded F1's, everything rounds 6 at the edge.
+    *
+    * Scale shape: one map-side rollup onto ≤|langs×preds| cells;
+    * everything after is class-count-sized. */
+  def qLangConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .select(col("lang").as("actual"), langId(col("text")).as("pred"))
+      .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+    val actuals = cells.groupBy("actual").agg(sum(col("n")).as("n_actual"))
+      .withColumnRenamed("actual", "cls")
+    val preds = cells.groupBy("pred").agg(sum(col("n")).as("n_pred"))
+      .withColumnRenamed("pred", "cls")
+    val tps = cells.filter(col("actual") === col("pred"))
+      .select(col("actual").as("cls"), col("n").as("tp"))
+    val per = actuals.join(preds, Seq("cls"), "full_outer")
+      .join(tps, Seq("cls"), "left_outer")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val praw = when(col("n_pred") > 0, d2(col("tp")) / d2(col("n_pred")))
+      .otherwise(lit(0.0))
+    val rraw = when(col("n_actual") > 0, d2(col("tp")) / d2(col("n_actual")))
+      .otherwise(lit(0.0))
+    val f1raw = when(praw + rraw > 0,
+      lit(2.0) * praw * rraw / (praw + rraw)).otherwise(lit(0.0))
+    val scored = per.withColumn("prec", round(praw, 6))
+      .withColumn("rec", round(rraw, 6))
+      .withColumn("f1", round(f1raw, 6))
+      .withColumn("f1raw", f1raw)
+    val glob = scored.agg(count(lit(1)).as("n_classes"),
+        round(avg(col("f1raw")), 6).as("macro_f1"),
+        sum(col("tp")).as("tpt"), sum(col("n_actual")).as("nt"))
+      .select(col("n_classes"), col("macro_f1"),
+        round(d2(col("tpt")) / d2(col("nt")), 6).as("accuracy"))
+    scored.drop("f1raw").crossJoin(broadcast(glob)).orderBy("cls")
+  }
+
   private val d2 = (c: Column) => c.cast("double")
 }

@@ -603,6 +603,40 @@ object EventTime {
         col("m.first_spike_hour").as("first_spike_hour"))
   }
 
+  /** q314: q180's carry-forward gap-fill as STREAMING state
+    * ([[Stateful.locfProgress]]): the per-type daily level series
+    * advanced day by day with gap back-fill in closed form — the
+    * THIRTEENTH bit-exact stream/batch parity, and the first whose
+    * batch twin is a calendar-SPINE construction (generate_series +
+    * IGNORE-NULLS window): the oracle walks the full spine while the
+    * stream never materializes a gap day, and the checksums agree
+    * exactly. */
+  def qStreamingLocf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+    val prog = Stateful.locfProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q314 must exercise cross-batch LOCF state, saw $dataBatches data batches")
+    s.table(name).groupBy("event_type")
+      .agg(max_by(struct(col("n_days"), col("n_obs"), col("n_filled"),
+        col("locf_checksum")), col("n_seen")).as("m"))
+      .select(col("event_type"), col("m.n_days").as("n_days"),
+        col("m.n_obs").as("n_obs"), col("m.n_filled").as("n_filled"),
+        col("m.locf_checksum").as("locf_checksum"))
+  }
+
   /** q214: streaming distinct users per type via HLL register state
     * ([[Stateful.hllDistinctProgress]]) — the sketch-state member of
     * the parity family: the per-type register array advanced

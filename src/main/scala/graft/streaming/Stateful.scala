@@ -804,6 +804,66 @@ object Stateful {
       }
   }
 
+  case class LocfProgress(event_type: String, n_seen: Long, n_days: Long,
+    n_obs: Long, n_filled: Long, locf_checksum: Long)
+
+  case class LocfState(minDay: Long, openDay: Long, openCnt: Long,
+    nObsClosed: Long, checksumClosed: Long, nSeen: Long)
+
+  /** Streaming carry-forward gap-fill — q180's LOCF shape over the
+    * per-type daily event-count level series, advanced day by day:
+    * a day CLOSES when a later day arrives for the key (the
+    * [[pageCusumProgress]] open/close device), adding its own
+    * idx·count term plus the closed-form arithmetic-series term for
+    * the gap days it back-fills at the just-closed level
+    * (Σ_{g=a..b}(g−m) = ((a−m)+(b−m))·(b−a+1)/2 — no per-gap-day
+    * loop, so a sparse series costs nothing extra). State is six
+    * scalars per key forever. Snapshots project the open day as
+    * closed; n_seen strictly increases per invoked batch
+    * (max_by-reconstructible). Integer end to end — the checksum is
+    * the same Σ idx·level the q180 oracle folds. Input:
+    * (event_type, ts_us). */
+  def locfProgress(events: Dataset[(String, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[LocfProgress] = {
+    implicit val stE: Encoder[LocfState] = Encoders.product[LocfState]
+    implicit val outE: Encoder[LocfProgress] = Encoders.product[LocfProgress]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val usPerDay = 86400000000L
+    // sum of (g - m) for g in [a, b]; 0 when the range is empty
+    def idxRangeSum(a: Long, b: Long, m: Long): Long =
+      if (b < a) 0L else ((a - m) + (b - m)) * (b - a + 1) / 2
+    events.groupByKey(_._1)
+      .mapGroupsWithState[LocfState, LocfProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)], state: GroupState[LocfState]) =>
+          var LocfState(minDay, openDay, openCnt, nObs, checksum, nSeen) =
+            state.getOption.getOrElse(
+              LocfState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+          val days = it.toArray.map(x => Math.floorDiv(x._2, usPerDay))
+          nSeen += days.length
+          days.sorted.foreach { d =>
+            if (openDay == Long.MinValue) { minDay = d; openDay = d; openCnt = 1 }
+            else if (d == openDay) openCnt += 1
+            else {
+              // close the open day, back-fill the gap at its level
+              checksum += (openDay - minDay) * openCnt +
+                openCnt * idxRangeSum(openDay + 1, d - 1, minDay)
+              nObs += 1
+              openDay = d; openCnt = 1
+            }
+          }
+          state.update(LocfState(minDay, openDay, openCnt, nObs, checksum,
+            nSeen))
+          // project the open day as if it closed now (no trailing gap)
+          val pObs = if (openDay == Long.MinValue) 0L else nObs + 1
+          val pSum = if (openDay == Long.MinValue) 0L
+            else checksum + (openDay - minDay) * openCnt
+          val nDays = if (openDay == Long.MinValue) 0L
+            else openDay - minDay + 1
+          LocfProgress(tpe, nSeen, nDays, pObs, nDays - pObs, pSum)
+      }
+  }
+
   case class CoverageProgress(user_id: Long, n_events: Long,
     n_islands: Long, covered_sec: Long)
 

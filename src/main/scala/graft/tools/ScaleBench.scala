@@ -196,7 +196,9 @@ object ScaleBench {
       // bijection; the fit stays 1000 rows/source) and Heaps' two
       // rollups (vocab- and doc-sized, both ×factor, conditional sums
       // map-side); Woolf rides q304's cells
-      "q311_zipf", "q312_heaps", "q313_woolf")
+      "q311_zipf", "q312_heaps", "q313_woolf",
+      // the multiclass eval harness (one scan -> |classes|^2 cells)
+      "q315_lang_confusion")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

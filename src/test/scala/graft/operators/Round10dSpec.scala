@@ -312,6 +312,75 @@ class Round10dSpec extends AnyFunSuite {
     assert(types === types.sorted && types.distinct.length > 1)
   }
 
+  test("q314 streaming LOCF equals a driver-side spine walk exactly") {
+    // batch truth: full calendar spine per type, carry-forward level,
+    // checksum = sum of idx*level — computed the pedestrian way
+    val days = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "CAST(unix_micros(ts) div 86400000000 AS BIGINT) AS d")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = days.map { case (tpe, ds) =>
+      val cnt = ds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val mn = ds.min; val mx = ds.max
+      var lvl = 0L; var sum = 0L; var obs = 0L
+      (mn to mx).foreach { d0 =>
+        cnt.get(d0).foreach { c => lvl = c; obs += 1 }
+        sum += (d0 - mn) * lvl
+      }
+      tpe -> (mx - mn + 1, obs, mx - mn + 1 - obs, sum)
+    }
+    val got = graft.streaming.EventTime.qStreamingLocf(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (nd, no, nf, ck) = want(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") === nd)
+      assert(r.getAs[Long]("n_obs") === no)
+      assert(r.getAs[Long]("n_filled") === nf)
+      assert(r.getAs[Long]("locf_checksum") === ck)
+    }
+  }
+
+  test("q315 confusion cells and summary match a per-doc recount") {
+    val stops = Map(
+      "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it"),
+      "es" -> Set("el", "la", "de", "y", "en", "es", "un", "que"),
+      "fr" -> Set("le", "la", "de", "et", "en", "est", "un", "que"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), lower(col("text"))).collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).distinct.toSet
+        val en = (toks & stops("en")).size
+        val es = (toks & stops("es")).size
+        val fr = (toks & stops("fr")).size
+        val pred =
+          if (Seq(en, es, fr).max == 0) "und"
+          else if (en >= es && en >= fr) "en"
+          else if (es >= fr) "es" else "fr"
+        (r.getString(0), pred)
+      }
+    val got = TextAnalysis.qLangConfusion(spark, sf).collect()
+    val classes = (docs.map(_._1) ++ docs.map(_._2)).distinct.toSet
+    assert(got.map(_.getAs[String]("cls")).toSet === classes)
+    var tpTotal = 0L
+    got.foreach { r =>
+      val cls = r.getAs[String]("cls")
+      val nA = docs.count(_._1 == cls).toLong
+      val nP = docs.count(_._2 == cls).toLong
+      val tp = docs.count(d0 => d0._1 == cls && d0._2 == cls).toLong
+      assert(r.getAs[Long]("n_actual") === nA, cls)
+      assert(r.getAs[Long]("n_pred") === nP, cls)
+      assert(r.getAs[Long]("tp") === tp, cls)
+      val p = if (nP > 0) tp.toDouble / nP else 0.0
+      val rr = if (nA > 0) tp.toDouble / nA else 0.0
+      assert(math.abs(r.getAs[Double]("prec") - p) < 1e-6, cls)
+      assert(math.abs(r.getAs[Double]("rec") - rr) < 1e-6, cls)
+      tpTotal += tp
+    }
+    val acc = tpTotal.toDouble / docs.length
+    assert(math.abs(got.head.getAs[Double]("accuracy") - acc) < 1e-6)
+  }
+
   test("q313 Woolf statistic matches the ln-OR dispersion recount") {
     val got = Stats.qWoolf(spark, sf).collect()
     val cells = got.map(r => (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
