@@ -384,6 +384,10 @@ object Bench {
     // the multiclass eval harness (one scan + class-sized math); the
     // q314 streaming side stays untimed like every replay parity
     "q315_lang_confusion",
+    // the formal outlier test (two map-side rollup passes) and the
+    // reliability coefficient (custkey pivot rollup)
+    "q316_grubbs",
+    "q317_cronbach",
   )
 
   def main(args: Array[String]): Unit = {

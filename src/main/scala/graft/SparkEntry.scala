@@ -764,6 +764,12 @@ object SparkEntry {
     // q315: multiclass confusion audit of the q21 lang-ID classifier
     // (per-class P/R/F1, macro-F1, accuracy)
     "q315_lang_confusion" -> (TextAnalysis.qLangConfusion _),
+    // q316: Grubbs' single-outlier statistic — the formal test beside
+    // q164's MAD fences; exact n-scaled deviation maximum
+    "q316_grubbs" -> (Stats.qGrubbs _),
+    // q317: Cronbach's alpha over the q299 complete blocks — the
+    // reliability/internal-consistency cell
+    "q317_cronbach" -> (Stats.qCronbachAlpha _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -6947,6 +6953,85 @@ object SparkEntry {
                 ROUND(praw, 6) AS prec, ROUND(rraw, 6) AS rec,
                 ROUND(f1raw, 6) AS f1, n_classes, macro_f1, accuracy
          FROM m2 CROSS JOIN g""",
+    // q316: deviation max over exact n-scaled BIGINTs (no division
+    // inside the max); G divides exact integers under one sqrt
+    "q316_grubbs" ->
+      """WITH base AS (
+           SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+           FROM orders),
+         tot AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(v) AS BIGINT) AS s1,
+                  SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q2
+           FROM base GROUP BY 1),
+         dev AS (
+           SELECT b.o_orderpriority,
+                  CAST(MAX(ABS(t.n * b.v - t.s1)) AS BIGINT)
+                    AS maxdev_scaled
+           FROM base b JOIN tot t
+             ON b.o_orderpriority = t.o_orderpriority
+           GROUP BY 1)
+         SELECT t.o_orderpriority, t.n, d.maxdev_scaled,
+                ROUND(CASE WHEN t.n > 1 AND
+                    CAST(t.n * t.q2 - CAST(t.s1 AS HUGEINT) * t.s1
+                      AS DOUBLE) > 0
+                  THEN CAST(d.maxdev_scaled AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE)
+                          * SQRT(CAST(t.n * t.q2
+                              - CAST(t.s1 AS HUGEINT) * t.s1 AS DOUBLE)
+                            / (CAST(t.n AS DOUBLE) * (t.n - 1))))
+                  ELSE 0.0 END, 6) AS grubbs_g
+         FROM tot t JOIN dev d
+           ON t.o_orderpriority = d.o_orderpriority""",
+    // q317: exact HUGEINT variance combos (block totals square past
+    // BIGINT); the sample 1/(n-1) cancels in the ratio
+    "q317_cronbach" ->
+      """WITH spend AS (
+           SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+           GROUP BY 1, 2),
+         items AS (
+           SELECT o_custkey,
+                  CAST(SUM(CASE WHEN yr = 1996 THEN v ELSE 0 END)
+                    AS BIGINT) AS x1,
+                  CAST(SUM(CASE WHEN yr = 1997 THEN v ELSE 0 END)
+                    AS BIGINT) AS x2,
+                  CAST(SUM(CASE WHEN yr = 1998 THEN v ELSE 0 END)
+                    AS BIGINT) AS x3
+           FROM spend GROUP BY 1 HAVING COUNT(*) = 3),
+         sums AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                  CAST(SUM(x1) AS BIGINT) AS s1,
+                  SUM(CAST(x1 AS HUGEINT) * x1) AS q1,
+                  CAST(SUM(x2) AS BIGINT) AS s2,
+                  SUM(CAST(x2 AS HUGEINT) * x2) AS q2,
+                  CAST(SUM(x3) AS BIGINT) AS s3,
+                  SUM(CAST(x3 AS HUGEINT) * x3) AS q3,
+                  CAST(SUM(x1 + x2 + x3) AS BIGINT) AS st,
+                  SUM(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3))
+                    AS qt
+           FROM items),
+         vv AS (
+           SELECT n_blocks,
+                  CAST(n_blocks * q1 - CAST(s1 AS HUGEINT) * s1
+                    AS DOUBLE) AS v1,
+                  CAST(n_blocks * q2 - CAST(s2 AS HUGEINT) * s2
+                    AS DOUBLE) AS v2,
+                  CAST(n_blocks * q3 - CAST(s3 AS HUGEINT) * s3
+                    AS DOUBLE) AS v3,
+                  CAST(n_blocks * qt - CAST(st AS HUGEINT) * st
+                    AS DOUBLE) AS vt
+           FROM sums)
+         SELECT n_blocks, CAST(3 AS BIGINT) AS k,
+                ROUND(CASE WHEN vt > 0
+                  THEN 1.5 * (1.0 - (v1 + v2 + v3) / vt)
+                  ELSE 0.0 END, 6) AS cronbach_alpha
+         FROM vv""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

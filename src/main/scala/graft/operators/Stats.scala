@@ -2739,10 +2739,12 @@ object Stats {
     * from the ROUNDED sums with identical spelling on both engines.
     *
     * Scale shape: outcome is one orderkey rollup; the exposure/
-    * stratum side is customer-sized (data-scaled) so it joins orders
-    * on the custkey hash partitioning — never broadcast — with the
-    * nation/region dims broadcast into it; everything after is a
-    * 5-row fold. */
+    * stratum side is customer-sized (data-scaled) so it carries NO
+    * broadcast hint — AQE broadcasts it while it fits and switches to
+    * the custkey shuffle join once it outgrows the threshold (the
+    * q163 boundary argument, here left entirely to the size
+    * estimate); the nation/region dims broadcast into it; everything
+    * after is a 5-row fold. */
   def qCmh(s: SparkSession, d: String): DataFrame = {
     val cells = cmhCells(s, d)
     val nk = col("n11") + col("n10") + col("n01") + col("n00")
@@ -2858,6 +2860,103 @@ object Stats {
         round(col("w_k"), 6).as("w_k"))
       .crossJoin(broadcast(glob))
       .orderBy("stratum")
+  }
+
+  /** q316: Grubbs' test statistic per order priority — the FORMAL
+    * single-outlier test beside q164's MAD fences (MAD flags a set by
+    * a rule of thumb; Grubbs '50 prices the single most extreme value
+    * against the sample's own normal spread): G = max|x − x̄| / s with
+    * sample s. Read with q306 — Grubbs assumes normality, which q306
+    * tests on the same groups.
+    *
+    * Exactness: the deviation maximum is exact — max|n·x − S| over
+    * BIGINTs (the n-scaled deviation, no division inside the max) —
+    * and G = maxdev / (n·s) divides exact integers under one √,
+    * spelled identically on both engines.
+    *
+    * Scale shape: one map-side-combined rollup onto ≤5 groups (max
+    * and sums in the same pass via a self-joined two-phase agg —
+    * phase 1 computes S; the deviation max needs S first, so a
+    * second pass over the same rollup joins the 5-row totals back,
+    * both passes map-side). */
+  def qGrubbs(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val base = orders(s, d).select(col("o_orderpriority"), cents.as("v"))
+    val tot = base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(dec(col("v")) * dec(col("v"))).as("q2"))
+    val dev = base.join(broadcast(tot), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        abs(col("n") * col("v") - col("s1")).as("adev"))
+      .groupBy("o_orderpriority")
+      .agg(max(col("adev")).as("maxdev_scaled"))
+    tot.join(dev, Seq("o_orderpriority"))
+      .withColumn("var_num", d2(dec(col("n")) * col("q2") -
+        dec(col("s1")) * dec(col("s1"))))
+      .withColumn("grubbs_g", round(
+        when(col("n") > 1 && col("var_num") > 0,
+          d2(col("maxdev_scaled")) /
+            (d2(col("n")) * sqrt(col("var_num") / (d2(col("n")) *
+              d2(col("n") - 1))))).otherwise(lit(0.0)), 6))
+      .select(col("o_orderpriority"), col("n"), col("maxdev_scaled"),
+        col("grubbs_g"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q317: Cronbach's alpha over the q299 complete-block fixture —
+    * the RELIABILITY cell of the statistics harness (Cronbach '51):
+    * treating a customer's 1996/97/98 yearly spends as three repeated
+    * "items" measuring the same construct, α = k/(k−1)·(1 − Σs²ᵢ/s²ₜ)
+    * asks whether the items co-vary enough to be summed into one
+    * score — the internal-consistency check any multi-signal quality
+    * score (q23's components, q117's rules) needs before its parts
+    * are added up; this fixture grounds it on the same blocks the
+    * paired family ranks.
+    *
+    * Exactness: per-item and per-total sufficient sums are exact
+    * DECIMAL(38,0) (block totals square past BIGINT); α is one
+    * spelled-identically expression over their doubles with sample
+    * variances — the n/(n−1) factors cancel in the ratio, so the
+    * n-scaled integer combos divide directly.
+    *
+    * Scale shape: one (custkey, year) rollup → one custkey pivot
+    * rollup (both map-side-combinable) → a single-row fold. */
+  def qCronbachAlpha(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val spend = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"), cents.as("c"))
+      .groupBy("o_custkey", "yr")
+      .agg(sum(col("c")).as("v"))
+    val items = spend.groupBy("o_custkey")
+      .agg(count(lit(1)).as("ky"),
+        sum(when(col("yr") === 1996L, col("v")).otherwise(0L)).as("x1"),
+        sum(when(col("yr") === 1997L, col("v")).otherwise(0L)).as("x2"),
+        sum(when(col("yr") === 1998L, col("v")).otherwise(0L)).as("x3"))
+      .filter(col("ky") === 3)
+    val sums = items.agg(
+      count(lit(1)).as("n_blocks"),
+      sum(col("x1")).as("s1"), sum(dec(col("x1")) * dec(col("x1"))).as("q1"),
+      sum(col("x2")).as("s2"), sum(dec(col("x2")) * dec(col("x2"))).as("q2"),
+      sum(col("x3")).as("s3"), sum(dec(col("x3")) * dec(col("x3"))).as("q3"),
+      sum(col("x1") + col("x2") + col("x3")).as("st"),
+      sum(dec(col("x1") + col("x2") + col("x3")) *
+        dec(col("x1") + col("x2") + col("x3"))).as("qt"))
+    // n-scaled variance combos: var_i ∝ n·Qi − Si² (the sample 1/(n−1)
+    // cancels between numerator and denominator)
+    def vn(q: Column, s1: Column): Column =
+      d2(dec(col("n_blocks")) * q - dec(s1) * dec(s1))
+    sums.select(col("n_blocks"),
+        vn(col("q1"), col("s1")).as("v1"),
+        vn(col("q2"), col("s2")).as("v2"),
+        vn(col("q3"), col("s3")).as("v3"),
+        vn(col("qt"), col("st")).as("vt"))
+      .select(col("n_blocks"), lit(3L).as("k"),
+        round(when(col("vt") > 0, lit(1.5) *
+          (lit(1.0) - (col("v1") + col("v2") + col("v3")) / col("vt")))
+          .otherwise(lit(0.0)), 6).as("cronbach_alpha"))
   }
 
   /** q305: Cliff's delta — the EFFECT SIZE the q229 Mann–Whitney

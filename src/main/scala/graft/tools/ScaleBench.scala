@@ -197,8 +197,9 @@ object ScaleBench {
       // rollups (vocab- and doc-sized, both ×factor, conditional sums
       // map-side); Woolf rides q304's cells
       "q311_zipf", "q312_heaps", "q313_woolf",
-      // the multiclass eval harness (one scan -> |classes|^2 cells)
-      "q315_lang_confusion")
+      // the multiclass eval harness (one scan -> |classes|^2 cells),
+      // the two-pass outlier test, and the reliability pivot rollup
+      "q315_lang_confusion", "q316_grubbs", "q317_cronbach")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -260,6 +260,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "the cumulative windows lost their pid partitioning")
   }
 
+  test("q305 Cliff's delta: every window partitioned (by pair) — no global walk") {
+    val ws = windowNodes(Stats.qCliffsDelta(spark, sf))
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "the value-domain cumulative lost its pair partitioning")
+  }
+
+  test("q311 Zipf: the rank window is partitioned by source") {
+    val ws = windowNodes(TextAnalysis.qZipf(spark, sf))
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "the vocab rank window lost its source partitioning")
+  }
+
+  test("q312 Heaps: no window at all — checkpoints are conditional sums") {
+    val ws = windowNodes(TextAnalysis.qHeaps(spark, sf))
+    assert(ws.isEmpty,
+      s"q312 should be pure rollups; found windows:\n${ws.mkString("\n")}")
+  }
+
   test("q295 Wilcoxon: no single-partition rank over the |diff| domain") {
     // same device as q276/q277: the cumulative count is pid-partitioned
     // after a range exchange; unpartitioned windows ride only the

@@ -381,6 +381,57 @@ class Round10dSpec extends AnyFunSuite {
     assert(math.abs(got.head.getAs[Double]("accuracy") - acc) < 1e-6)
   }
 
+  test("q316 Grubbs matches a direct max-deviation recount") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Stats.qGrubbs(spark, sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      val xs = rows.filter(_._1 == r.getAs[String]("o_orderpriority"))
+        .map(_._2)
+      val n = xs.length.toLong
+      val s1 = xs.sum
+      val maxdev = xs.map(x => math.abs(n * x - s1)).max
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("maxdev_scaled") === maxdev)
+      val mean = s1.toDouble / n
+      val sd = math.sqrt(
+        xs.map(x => (x - mean) * (x - mean)).sum / (n - 1.0))
+      val g = xs.map(x => math.abs(x - mean)).max / sd
+      assert(math.abs(r.getAs[Double]("grubbs_g") - g) < 1e-4)
+    }
+  }
+
+  test("q317 Cronbach's alpha matches an item-variance recount") {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .select(col("o_custkey").cast("long"),
+        year(col("o_orderdate")).cast("long"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val blocks = spend.groupBy(_._1._1).collect {
+      case (_, vs) if vs.size == 3 =>
+        val m = vs.map { case ((_, yr), v) => yr -> v }
+        (m(1996L).toDouble, m(1997L).toDouble, m(1998L).toDouble)
+    }.toSeq
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1.0)
+    }
+    val vSum = variance(blocks.map(_._1)) + variance(blocks.map(_._2)) +
+      variance(blocks.map(_._3))
+    val vTot = variance(blocks.map(b => b._1 + b._2 + b._3))
+    val alpha = 1.5 * (1.0 - vSum / vTot)
+    val got = Stats.qCronbachAlpha(spark, sf).collect().head
+    assert(got.getAs[Long]("n_blocks") === blocks.length.toLong)
+    assert(got.getAs[Long]("k") === 3L)
+    assert(math.abs(got.getAs[Double]("cronbach_alpha") - alpha) < 1e-4)
+  }
+
   test("q313 Woolf statistic matches the ln-OR dispersion recount") {
     val got = Stats.qWoolf(spark, sf).collect()
     val cells = got.map(r => (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
