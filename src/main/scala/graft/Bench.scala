@@ -388,6 +388,10 @@ object Bench {
     // reliability coefficient (custkey pivot rollup)
     "q316_grubbs",
     "q317_cronbach",
+    // the forecast backtest (calendar-bounded) and the length-
+    // distribution distance matrix (sources x buckets cells)
+    "q318_mase",
+    "q319_hellinger",
   )
 
   def main(args: Array[String]): Unit = {

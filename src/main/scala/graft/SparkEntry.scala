@@ -770,6 +770,13 @@ object SparkEntry {
     // q317: Cronbach's alpha over the q299 complete blocks — the
     // reliability/internal-consistency cell
     "q317_cronbach" -> (Stats.qCronbachAlpha _),
+    // q318: MASE — the scale-free seasonal-forecast backtest over the
+    // per-type daily series (weekly naive vs daily naive)
+    "q318_mase" -> (Stats.qMase _),
+    // q319: Bhattacharyya/Hellinger distance matrix between
+    // per-source length distributions (the metric member beside
+    // q255's JSD and q190's PSI)
+    "q319_hellinger" -> (TextAnalysis.qHellingerMatrix _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7032,6 +7039,62 @@ object SparkEntry {
                   THEN 1.5 * (1.0 - (v1 + v2 + v3) / vt)
                   ELSE 0.0 END, 6) AS cronbach_alpha
          FROM vv""",
+    // q318: both error sums exact BIGINT; MASE cross-multiplies the
+    // integer counts so exactly one division happens
+    "q318_mase" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         lagd AS (
+           SELECT event_type, x,
+                  LAG(x, 1) OVER (PARTITION BY event_type
+                    ORDER BY day) AS x1,
+                  LAG(x, 7) OVER (PARTITION BY event_type
+                    ORDER BY day) AS x7
+           FROM daily),
+         agg AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST(SUM(CASE WHEN x1 IS NOT NULL
+                    THEN ABS(x - x1) ELSE 0 END) AS BIGINT) AS sum_abs_d1,
+                  CAST(SUM(CASE WHEN x7 IS NOT NULL
+                    THEN ABS(x - x7) ELSE 0 END) AS BIGINT) AS sum_abs_d7
+           FROM lagd GROUP BY 1)
+         SELECT event_type, n_days, sum_abs_d1, sum_abs_d7,
+                ROUND(CASE WHEN n_days > 7 AND sum_abs_d1 > 0
+                  THEN CAST(sum_abs_d7 * (n_days - 1) AS DOUBLE)
+                       / CAST(sum_abs_d1 * (n_days - 7) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS mase
+         FROM agg""",
+    // q319: exact bucket cells; each pair folds <=7 sqrt terms with
+    // identical spelling (absent buckets contribute exactly 0 — the
+    // inner bucket join IS the fold)
+    "q319_hellinger" ->
+      """WITH cells AS (
+           SELECT source,
+                  CAST(CASE WHEN n_chars <= 64 THEN 64
+                            WHEN n_chars <= 128 THEN 128
+                            WHEN n_chars <= 256 THEN 256
+                            WHEN n_chars <= 512 THEN 512
+                            WHEN n_chars <= 1024 THEN 1024
+                            WHEN n_chars <= 2048 THEN 2048
+                            ELSE 4096 END AS BIGINT) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2),
+         tots AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot
+                  FROM cells GROUP BY 1),
+         sided AS (SELECT c.source, c.bucket, c.cnt, t.tot
+                   FROM cells c JOIN tots t ON c.source = t.source),
+         p AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+                  SQRT(CAST(a.cnt AS DOUBLE) / a.tot
+                       * (CAST(b.cnt AS DOUBLE) / b.tot)) AS term
+           FROM sided a JOIN sided b
+             ON a.bucket = b.bucket AND a.source < b.source)
+         SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_buckets_common,
+                ROUND(SUM(term), 6) AS bhattacharyya,
+                ROUND(1.0 - SUM(term), 6) AS hellinger_sq
+         FROM p GROUP BY 1, 2""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

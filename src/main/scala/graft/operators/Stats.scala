@@ -3171,6 +3171,39 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** q318: MASE backtest — mean absolute scaled error of the
+    * seasonal-naive-7 forecast against the naive-1 in-sample baseline
+    * (Hyndman & Koehler '06), per event type over the daily series:
+    * MASE < 1 means "last week same day" beats "yesterday", the
+    * weekly-seasonality verdict that q174's seasonality profile and
+    * q250's seasonal error describe but never score on the standard
+    * scale-free metric.
+    *
+    * Exactness: both error sums are exact BIGINTs (Σ|x_t − x_{t−7}|,
+    * Σ|x_t − x_{t−1}|); MASE cross-multiplies the integer counts —
+    * d₇·(n−1) / (d₁·(n−7)) — so one division happens, rounded 6.
+    *
+    * Scale shape: q307/q308's calendar-bounded daily rollup + two
+    * keyed lag windows over it; ≤types rows out. */
+  def qMase(s: SparkSession, d: String): DataFrame = {
+    val wPos = Window.partitionBy("event_type").orderBy("t")
+    val daily = dailySeries(s, d)
+      .withColumn("x1", lag(col("x"), 1).over(wPos))
+      .withColumn("x7", lag(col("x"), 7).over(wPos))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("x1").isNotNull, abs(col("x") - col("x1")))
+          .otherwise(lit(0L))).as("sum_abs_d1"),
+        sum(when(col("x7").isNotNull, abs(col("x") - col("x7")))
+          .otherwise(lit(0L))).as("sum_abs_d7"))
+      .withColumn("mase", round(
+        when(col("n_days") > 7 && col("sum_abs_d1") > 0,
+          d2(col("sum_abs_d7") * (col("n_days") - 1)) /
+            d2(col("sum_abs_d1") * (col("n_days") - 7)))
+          .otherwise(lit(0.0)), 6))
+      .orderBy("event_type")
+  }
+
   /** q309: Brier score + Murphy decomposition — the PROPER-SCORING
     * verdict on the q230/q231 eval harness's proxy classifier: q230
     * draws the reliability diagram, this prices it. Brier =

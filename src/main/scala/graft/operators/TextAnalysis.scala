@@ -1186,5 +1186,50 @@ object TextAnalysis {
     scored.drop("f1raw").crossJoin(broadcast(glob)).orderBy("cls")
   }
 
+  /** q319: Bhattacharyya coefficient / squared Hellinger distance
+    * between every source pair's doc-length distributions — the
+    * bounded-metric member of the distribution-distance family (q255's
+    * JSD is information-theoretic, q190/q262's PSI is binned
+    * log-ratio; Hellinger is the proper metric with √-damped tails,
+    * the one robust to empty-bucket zeros without smoothing).
+    * Power-of-two length buckets (explicit CASE thresholds — the q122
+    * device; float log2 is not engine-portable at exact powers).
+    *
+    * Exactness: bucket counts and totals are exact BIGINTs; each
+    * pair's BC folds ≤|buckets| terms √(pᵢqᵢ) with identical
+    * spelling, rounded 6 (absent-on-either-side buckets contribute
+    * exactly 0, so the inner equi-join on bucket is the correct
+    * fold — no outer join, no smoothing constant).
+    *
+    * Scale shape: one corpus scan → a (sources × buckets)-sized cell
+    * table; the pairwise join runs on THAT bounded table (≤
+    * sources²·buckets rows), never on documents. */
+  def qHellingerMatrix(s: SparkSession, d: String): DataFrame = {
+    val bucket = expr(
+      """CASE WHEN n_chars <= 64 THEN 64 WHEN n_chars <= 128 THEN 128
+              WHEN n_chars <= 256 THEN 256 WHEN n_chars <= 512 THEN 512
+              WHEN n_chars <= 1024 THEN 1024 WHEN n_chars <= 2048 THEN 2048
+              ELSE 4096 END""")
+    val cells = documents(s, d)
+      .select(col("source"), bucket.cast("long").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    val tots = cells.groupBy("source").agg(sum(col("cnt")).as("tot"))
+    val sided = cells.join(tots, Seq("source"))
+    val a = sided.select(col("source").as("src_a"), col("bucket"),
+      col("cnt").as("ca"), col("tot").as("ta"))
+    val b = sided.select(col("source").as("src_b"), col("bucket"),
+      col("cnt").as("cb"), col("tot").as("tb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_buckets_common"),
+        sum(sqrt(d2(col("ca")) / d2(col("ta")) *
+          (d2(col("cb")) / d2(col("tb"))))).as("bc_raw"))
+      .select(col("src_a"), col("src_b"), col("n_buckets_common"),
+        round(col("bc_raw"), 6).as("bhattacharyya"),
+        round(lit(1.0) - col("bc_raw"), 6).as("hellinger_sq"))
+      .orderBy("src_a", "src_b")
+  }
+
   private val d2 = (c: Column) => c.cast("double")
 }

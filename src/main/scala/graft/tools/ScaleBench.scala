@@ -199,7 +199,9 @@ object ScaleBench {
       "q311_zipf", "q312_heaps", "q313_woolf",
       // the multiclass eval harness (one scan -> |classes|^2 cells),
       // the two-pass outlier test, and the reliability pivot rollup
-      "q315_lang_confusion", "q316_grubbs", "q317_cronbach")
+      "q315_lang_confusion", "q316_grubbs", "q317_cronbach",
+      // the calendar-bounded backtest and the bucket-cell distance matrix
+      "q318_mase", "q319_hellinger")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -432,6 +432,54 @@ class Round10dSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("cronbach_alpha") - alpha) < 1e-4)
   }
 
+  test("q318 MASE matches a driver-side lag walk") {
+    val got = Stats.qMase(spark, sf).collect()
+    got.foreach { r =>
+      val xs = dailyByType(r.getAs[String]("event_type")).map(_.toLong)
+      val n = xs.length
+      val d1 = (1 until n).map(t => math.abs(xs(t) - xs(t - 1))).sum
+      val d7 = (7 until n).map(t => math.abs(xs(t) - xs(t - 7))).sum
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      assert(r.getAs[Long]("sum_abs_d1") === d1)
+      assert(r.getAs[Long]("sum_abs_d7") === d7)
+      val mase = (d7.toDouble / (n - 7)) / (d1.toDouble / (n - 1))
+      assert(math.abs(r.getAs[Double]("mase") - mase) < 1e-4)
+    }
+  }
+
+  test("q319 Hellinger matrix matches a per-pair histogram recount") {
+    def bucket(n: Long): Long =
+      if (n <= 64) 64 else if (n <= 128) 128 else if (n <= 256) 256
+      else if (n <= 512) 512 else if (n <= 1024) 1024
+      else if (n <= 2048) 2048 else 4096
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), bucket(r.getLong(1))))
+    val bySource = docs.groupBy(_._1).view.mapValues { rs =>
+      rs.groupBy(_._2).view.mapValues(_.length.toDouble / rs.length).toMap
+    }.toMap
+    val got = TextAnalysis.qHellingerMatrix(spark, sf).collect()
+    val sources = bySource.keys.toSeq.sorted
+    val expectedPairs = (for {
+      i <- sources.indices; j <- i + 1 until sources.length
+      if (bySource(sources(i)).keySet &
+        bySource(sources(j)).keySet).nonEmpty
+    } yield (sources(i), sources(j))).toSet
+    assert(got.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"))).toSet === expectedPairs)
+    got.foreach { r =>
+      val pa = bySource(r.getAs[String]("src_a"))
+      val pb = bySource(r.getAs[String]("src_b"))
+      val common = pa.keySet & pb.keySet
+      val bc = common.toSeq.map(b => math.sqrt(pa(b) * pb(b))).sum
+      assert(r.getAs[Long]("n_buckets_common") === common.size.toLong)
+      assert(math.abs(r.getAs[Double]("bhattacharyya") - bc) < 1e-5)
+      assert(math.abs(r.getAs[Double]("hellinger_sq") - (1.0 - bc)) < 1e-5)
+      // BC is a coefficient in [0, 1]
+      assert(bc >= 0.0 && bc <= 1.0 + 1e-9)
+    }
+  }
+
   test("q313 Woolf statistic matches the ln-OR dispersion recount") {
     val got = Stats.qWoolf(spark, sf).collect()
     val cells = got.map(r => (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
