@@ -392,6 +392,16 @@ object Bench {
     // distribution distance matrix (sources x buckets cells)
     "q318_mase",
     "q319_hellinger",
+    // round 21 (r10) continuation 5: the agreement pair (multi-rater
+    // nominal, ordinal weighted) and the residual serial-correlation
+    // diagnostic — all bounded-cell rollups
+    "q320_fleiss_kappa",
+    "q321_weighted_kappa",
+    "q322_durbin_watson",
+    // the nonparametric changepoint (calendar-bounded walks) and the
+    // categorical-assortativity modularity (backbone + 25-cell rollup)
+    "q323_pettitt",
+    "q324_brand_modularity",
   )
 
   def main(args: Array[String]): Unit = {

@@ -777,6 +777,21 @@ object SparkEntry {
     // per-source length distributions (the metric member beside
     // q255's JSD and q190's PSI)
     "q319_hellinger" -> (TextAnalysis.qHellingerMatrix _),
+    // q320: Fleiss' kappa — multi-rater nominal agreement (the four
+    // lines of every 4-line order rating its return flag)
+    "q320_fleiss_kappa" -> (Stats.qFleissKappa _),
+    // q321: quadratic-weighted Cohen's kappa — ordinal agreement of
+    // year-over-year spend quintiles (tier stability vs chance)
+    "q321_weighted_kappa" -> (Stats.qWeightedKappa _),
+    // q322: Durbin–Watson on the daily trend-fit residuals — the
+    // regression-diagnostic serial-correlation cell beside q307/q308
+    "q322_durbin_watson" -> (Stats.qDurbinWatson _),
+    // q323: Pettitt's rank-based changepoint test — the nonparametric
+    // cell beside q177's CUSUM and q185's Page (no known mean needed)
+    "q323_pettitt" -> (Stats.qPettitt _),
+    // q324: Newman modularity of the brand partition on the
+    // co-purchase backbone — categorical assortativity beside q169
+    "q324_brand_modularity" -> ((s, d) => Graph.qBrandModularity(s, d)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7095,6 +7110,223 @@ object SparkEntry {
                 ROUND(SUM(term), 6) AS bhattacharyya,
                 ROUND(1.0 - SUM(term), 6) AS hellinger_sq
          FROM p GROUP BY 1, 2""",
+    // q320: S2 and category totals exact BIGINT; kappa is one
+    // cross-multiplied division over HUGEINT products
+    "q320_fleiss_kappa" ->
+      """WITH nij AS (
+           SELECT l_orderkey AS k, l_returnflag AS cat,
+                  CAST(COUNT(*) AS BIGINT) AS nij
+           FROM lineitem GROUP BY 1, 2),
+         subj AS (
+           SELECT k, SUM(nij) AS m, SUM(nij * nij) AS sq
+           FROM nij GROUP BY 1 HAVING SUM(nij) = 4),
+         cj AS (
+           SELECT n.cat, CAST(SUM(n.nij) AS BIGINT) AS cj
+           FROM nij n JOIN subj s ON n.k = s.k GROUP BY 1),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                  CAST(SUM(sq) AS BIGINT) AS s2
+           FROM subj),
+         c2t AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_cats,
+                  CAST(SUM(CAST(cj AS HUGEINT) * cj) AS BIGINT) AS c2
+           FROM cj)
+         SELECT n_subjects, n_cats, s2, c2,
+                ROUND(CASE WHEN 16 * CAST(n_subjects AS HUGEINT) * n_subjects
+                             - c2 > 0
+                  THEN CAST(16 * CAST(n_subjects AS HUGEINT) * n_subjects
+                              * (s2 - 4 * CAST(n_subjects AS HUGEINT))
+                            - 12 * CAST(n_subjects AS HUGEINT) * c2 AS DOUBLE)
+                       / CAST(12 * CAST(n_subjects AS HUGEINT)
+                              * (16 * CAST(n_subjects AS HUGEINT) * n_subjects
+                                 - c2) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS fleiss_kappa
+         FROM tot CROSS JOIN c2t""",
+    // q321: per-year discrete-order-statistic quintile cuts (the
+    // q104x ROW_NUMBER = k device); all agreement sums exact
+    "q321_weighted_kappa" ->
+      """WITH spend AS (
+           SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+           GROUP BY 1, 2),
+         c AS (SELECT yr, COUNT(*) AS n FROM spend GROUP BY 1),
+         r AS (SELECT c.yr, p.p,
+                      GREATEST(1, CAST(CEIL(p.p * c.n) AS BIGINT)) AS kk
+               FROM c CROSS JOIN (SELECT unnest([CAST(0.2 AS DOUBLE),
+                 CAST(0.4 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                 CAST(0.8 AS DOUBLE)]) AS p) p),
+         o AS (SELECT yr, cents,
+                      ROW_NUMBER() OVER (PARTITION BY yr ORDER BY cents) AS rn
+               FROM spend),
+         cuts AS (SELECT r.yr,
+                      MIN(CASE WHEN r.p = 0.2 THEN o.cents END) AS c1,
+                      MIN(CASE WHEN r.p = 0.4 THEN o.cents END) AS c2,
+                      MIN(CASE WHEN r.p = 0.6 THEN o.cents END) AS c3,
+                      MIN(CASE WHEN r.p = 0.8 THEN o.cents END) AS c4
+               FROM r JOIN o ON o.yr = r.yr AND o.rn = r.kk
+               GROUP BY r.yr),
+         rated AS (
+           SELECT s.o_custkey, s.yr,
+                  1 + CASE WHEN s.cents > u.c1 THEN 1 ELSE 0 END
+                    + CASE WHEN s.cents > u.c2 THEN 1 ELSE 0 END
+                    + CASE WHEN s.cents > u.c3 THEN 1 ELSE 0 END
+                    + CASE WHEN s.cents > u.c4 THEN 1 ELSE 0 END AS q
+           FROM spend s JOIN cuts u ON s.yr = u.yr),
+         paired AS (
+           SELECT o_custkey,
+                  MIN(CASE WHEN yr = 1996 THEN q END) AS i,
+                  MIN(CASE WHEN yr = 1997 THEN q END) AS j
+           FROM rated GROUP BY 1
+           HAVING MIN(CASE WHEN yr = 1996 THEN q END) IS NOT NULL
+              AND MIN(CASE WHEN yr = 1997 THEN q END) IS NOT NULL),
+         cells AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS o
+                   FROM paired GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                        CAST(SUM((i - j) * (i - j) * o) AS BIGINT)
+                          AS sum_w_obs
+                 FROM cells),
+         ri AS (SELECT i, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         cjm AS (SELECT j, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         wexp AS (SELECT CAST(SUM(CAST((ri.i - cjm.j) * (ri.i - cjm.j)
+                    AS HUGEINT) * ri.r * cjm.c) AS BIGINT) AS sum_w_exp
+                  FROM ri CROSS JOIN cjm)
+         SELECT n, sum_w_obs, sum_w_exp,
+                ROUND(CASE WHEN sum_w_exp > 0
+                  THEN 1.0 - CAST(CAST(n AS HUGEINT) * sum_w_obs AS DOUBLE)
+                             / CAST(sum_w_exp AS DOUBLE)
+                  ELSE 1.0 END, 6) AS weighted_kappa
+         FROM tot CROSS JOIN wexp""",
+    // q322: exact integer-scaled residuals via the centered regressor
+    // (scale factor n*Suu cancels in the ratio); HUGEINT sums
+    "q322_durbin_watson" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         pos AS (
+           SELECT event_type, x,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         base AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sy
+           FROM pos GROUP BY 1),
+         cent AS (
+           SELECT p.event_type, p.x, p.t, b.n, b.sy,
+                  2 * p.t - (b.n + 1) AS u
+           FROM pos p JOIN base b ON p.event_type = b.event_type),
+         fit AS (
+           SELECT event_type, CAST(SUM(u * x) AS BIGINT) AS suy,
+                  CAST(SUM(u * u) AS BIGINT) AS suu
+           FROM cent GROUP BY 1),
+         resid AS (
+           SELECT c.event_type, c.n, c.t,
+                  CAST(f.suu AS HUGEINT) * (c.n * c.x - c.sy)
+                    - CAST(c.n AS HUGEINT) * f.suy * c.u AS et
+           FROM cent c JOIN fit f ON c.event_type = f.event_type),
+         lagd AS (
+           SELECT event_type, n, et,
+                  LAG(et, 1) OVER (PARTITION BY event_type ORDER BY t) AS et1
+           FROM resid),
+         sums AS (
+           SELECT event_type, MAX(n) AS n_days,
+                  SUM(et * et) AS sse,
+                  SUM(CASE WHEN et1 IS NOT NULL
+                    THEN (et - et1) * (et - et1)
+                    ELSE CAST(0 AS HUGEINT) END) AS ssd,
+                  SUM(CASE WHEN et1 IS NOT NULL THEN et * et1
+                    ELSE CAST(0 AS HUGEINT) END) AS scross
+           FROM lagd GROUP BY 1)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                ROUND(CASE WHEN sse > 0
+                  THEN CAST(ssd AS DOUBLE) / CAST(sse AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dw,
+                ROUND(CASE WHEN sse > 0
+                  THEN CAST(scross AS DOUBLE) / CAST(sse AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rho1_resid
+         FROM sums""",
+    // q323: U_t telescopes to a positional cumulative of exact
+    // value-domain ranks; K exact BIGINT, p the one libm call (round
+    // 4, the ln precedent)
+    "q323_pettitt" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         pos AS (
+           SELECT event_type, day, x,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         base AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1),
+         cnt AS (
+           SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c
+           FROM daily GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, x, c,
+                  COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum_lt
+           FROM cnt),
+         u AS (
+           SELECT p.event_type, p.day, p.t, b.n,
+                  SUM(2 * m.cum_lt + m.c - b.n) OVER (
+                    PARTITION BY p.event_type ORDER BY p.t
+                    ROWS UNBOUNDED PRECEDING) AS ut
+           FROM pos p
+           JOIN cum m ON p.event_type = m.event_type AND p.x = m.x
+           JOIN base b ON p.event_type = b.event_type),
+         k AS (
+           SELECT event_type, MAX(n) AS n_days,
+                  CAST(MAX(ABS(ut)) AS BIGINT) AS k_stat
+           FROM u WHERE t < n GROUP BY 1),
+         cp AS (
+           SELECT u.event_type, MIN(u.day) AS cp_day
+           FROM u JOIN k ON u.event_type = k.event_type
+           WHERE u.t < u.n AND ABS(u.ut) = k.k_stat
+           GROUP BY 1)
+         SELECT k.event_type, k.n_days, k.k_stat,
+                CAST(cp.cp_day - DATE '1970-01-01' AS BIGINT)
+                  AS cp_epoch_day,
+                ROUND(2.0 * EXP(-6.0 * CAST(k.k_stat AS DOUBLE)
+                    * CAST(k.k_stat AS DOUBLE)
+                  / (CAST(k.n_days AS DOUBLE) * CAST(k.n_days AS DOUBLE)
+                       * CAST(k.n_days AS DOUBLE)
+                     + CAST(k.n_days AS DOUBLE) * CAST(k.n_days AS DOUBLE))),
+                  4) AS p_approx
+         FROM k JOIN cp ON k.event_type = cp.event_type""",
+    // q324: exact edge/degree counts; each contribution is one
+    // HUGEINT cross-multiplication and one division
+    "q324_brand_modularity" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         bb AS (
+           SELECT a.p AS u, b.p AS v
+           FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         e AS (
+           SELECT pu.p_brand AS bu, pv.p_brand AS bv
+           FROM bb JOIN part pu ON bb.u = pu.p_partkey
+                   JOIN part pv ON bb.v = pv.p_partkey),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+         mi AS (SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS m_in
+                FROM e WHERE bu = bv GROUP BY 1),
+         dg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS d_c
+                FROM (SELECT bu AS brand FROM e
+                      UNION ALL SELECT bv FROM e) GROUP BY 1)
+         SELECT dg.brand, COALESCE(mi.m_in, 0) AS m_in, dg.d_c, m.m_edges,
+                ROUND(CAST(4 * CAST(m.m_edges AS HUGEINT)
+                        * COALESCE(mi.m_in, 0)
+                      - CAST(dg.d_c AS HUGEINT) * dg.d_c AS DOUBLE)
+                  / CAST(4 * CAST(m.m_edges AS HUGEINT) * m.m_edges
+                    AS DOUBLE), 6) AS q_contrib
+         FROM dg LEFT JOIN mi ON dg.brand = mi.brand CROSS JOIN m""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

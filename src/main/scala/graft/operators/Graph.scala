@@ -626,4 +626,57 @@ object Graph {
       .select(col("rank"), col("label").as("community"), col("size"),
         col("n_communities"), col("n_nodes"))
   }
+
+  /** q324: Newman modularity of the BRAND partition on the q253
+    * co-purchase backbone — the categorical-assortativity cell beside
+    * q169's numeric degree assortativity and the yardstick q253's
+    * discovered communities would be scored against (Newman &
+    * Girvan '04): does the catalog's own brand structure explain the
+    * co-purchase topology, or do baskets cut across brands? Per brand
+    * c: intra-community edges m_c, degree mass d_c, and the
+    * contribution q_c = m_c/m − (d_c/2m)²; modularity Q = Σ q_c (the
+    * spec asserts the sum; per-brand rows keep the gate informative).
+    *
+    * Exactness: m, m_c, d_c are exact edge counts, so each
+    * contribution is the exact rational (4m·m_c − d_c²)/(4m²) — one
+    * DECIMAL-widened cross-multiplication and one IEEE division per
+    * brand, rounded 6.
+    *
+    * Scale shape: the backbone rollup is the q163/q253-audited
+    * device (per-order fanout ≤ lines², weight floor ≥ minShared);
+    * brand binding is two partkey-keyed joins; the intra/degree
+    * rollups collapse map-side onto ≤25 brands. */
+  def qBrandModularity(s: SparkSession, d: String,
+      minShared: Int = 2): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val backbone = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minShared)
+      .select("u", "v")
+    val brand = part(s, d)
+      .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
+    val edges = backbone
+      .join(brand.select(col("node").as("u"), col("brand").as("bu")), Seq("u"))
+      .join(brand.select(col("node").as("v"), col("brand").as("bv")), Seq("v"))
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    val mIn = edges.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("brand")).agg(count(lit(1)).as("m_in"))
+    val deg = edges.select(col("bu").as("brand"))
+      .unionAll(edges.select(col("bv").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("d_c"))
+    deg.join(mIn, Seq("brand"), "left")
+      .na.fill(0L, Seq("m_in"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib", expr(
+        """ROUND(CAST(4 * CAST(m_edges AS DECIMAL(38,0)) * m_in
+                      - CAST(d_c AS DECIMAL(38,0)) * d_c AS DOUBLE)
+                 / CAST(4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges
+                   AS DOUBLE), 6)"""))
+      .select(col("brand"), col("m_in"), col("d_c"), col("m_edges"),
+        col("q_contrib"))
+      .orderBy("brand")
+  }
 }

@@ -3245,4 +3245,223 @@ object Stats {
           .as("resolution"),
         round(col("obar") * (lit(1.0) - col("obar")), 6).as("uncertainty"))
   }
+
+  /** q320: Fleiss' kappa — the MULTI-rater chance-corrected agreement
+    * coefficient the harness lacked between q247 (two raters, Cohen)
+    * and q317 (continuous items, Cronbach): n raters per subject,
+    * nominal ratings, κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) (Fleiss '71). Subjects =
+    * orders with exactly FOUR line items (Fleiss' model requires a
+    * constant rater count); each line "rates" its order with its
+    * return flag. The business read: does the return outcome attach to
+    * the ORDER (lines agree — fulfillment- or customer-driven) or to
+    * the LINE (lines split — item-driven)? The fixture draws flags per
+    * line, so κ≈0 is the expected reading — the q247/q315 precedent:
+    * the harness, not the agreement, is what the gate checks.
+    *
+    * Exactness: S₂ = ΣᵢΣⱼn²ᵢⱼ and the category totals cⱼ are exact
+    * BIGINTs from two rollups; with n = 4 raters, P̄ = (S₂−4N)/(12N)
+    * and P̄ₑ = Σc²ⱼ/(16N²) are exact rationals, so κ is ONE
+    * cross-multiplied division over DECIMAL(38,0) products —
+    * (16N²(S₂−4N) − 12N·Σc²ⱼ)/(12N(16N² − Σc²ⱼ)) — spelled
+    * identically on both engines, rounded 6.
+    *
+    * Scale shape: the (order, flag) rollup collapses map-side; the
+    * subject rollup and the kept-subject join reuse its hash
+    * partitioning (same key — no second exchange); the category
+    * rollup is ≤3 rows and everything after is scalar. */
+  def qFleissKappa(s: SparkSession, d: String): DataFrame = {
+    val nij = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k"), col("l_returnflag").as("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val subj = nij.groupBy("k")
+      .agg(sum("nij").as("m"), sum(col("nij") * col("nij")).as("sq"))
+      .filter(col("m") === 4)
+    val cj = nij.join(subj.select("k"), Seq("k"))
+      .groupBy("cat").agg(sum("nij").as("cj"))
+    val tot = subj.agg(count(lit(1)).as("n_subjects"), sum("sq").as("s2"))
+    val c2 = cj.agg(count(lit(1)).as("n_cats"),
+      sum(dec(col("cj")) * dec(col("cj"))).as("c2d"))
+    tot.crossJoin(broadcast(c2))
+      .select(col("n_subjects"), col("n_cats"), col("s2"),
+        col("c2d").cast("long").as("c2"))
+      .withColumn("fleiss_kappa", expr(
+        """ROUND(CASE WHEN 16 * CAST(n_subjects AS DECIMAL(38,0)) * n_subjects
+                        - c2 > 0
+             THEN CAST(16 * CAST(n_subjects AS DECIMAL(38,0)) * n_subjects
+                         * (s2 - 4 * CAST(n_subjects AS DECIMAL(38,0)))
+                       - 12 * CAST(n_subjects AS DECIMAL(38,0)) * c2 AS DOUBLE)
+                  / CAST(12 * CAST(n_subjects AS DECIMAL(38,0))
+                         * (16 * CAST(n_subjects AS DECIMAL(38,0)) * n_subjects
+                            - c2) AS DOUBLE)
+             ELSE 0.0 END, 6)"""))
+  }
+
+  /** q321: quadratic-weighted Cohen's kappa — the ORDINAL agreement
+    * cell beside q247's nominal kappa (nominal κ treats
+    * quintile-1-vs-2 and quintile-1-vs-5 disagreement identically;
+    * weighted κ prices disagreement by (i−j)², Cohen '68): each
+    * customer active in both 1996 and 1997 is rated by each year's
+    * spend QUINTILE (per-year discrete order-statistic cuts — the
+    * q104x device, value-based so ties rate identically), and κ_w
+    * reads year-over-year tier stability against chance. With
+    * quadratic weights this is also the classic ICC-equivalent form.
+    *
+    * Exactness: the cuts are actual data elements (k = max(1,
+    * ⌈p·n⌉)-th order statistic — no interpolation); O-cells,
+    * marginals, Σw·O and Σw·rᵢcⱼ are exact integers (the expected
+    * term DECIMAL-widened), and κ_w = 1 − N·ΣwO/ΣwE is one division,
+    * rounded 6.
+    *
+    * Scale shape: per-(year, customer) rollup (map-side partials);
+    * cuts ride the q104x value-domain device (distinct-value window,
+    * never a row rank); the 5×5 cell grid and its marginals are
+    * bounded. */
+  def qWeightedKappa(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val cuts = Pipeline.groupOrderStatistics(
+        spend.select(col("yr"), col("cents")), "yr", "cents",
+        Seq(0.2, 0.4, 0.6, 0.8))
+      .groupBy("yr").agg(
+        min(when(col("p") === 0.2, col("value"))).as("c1"),
+        min(when(col("p") === 0.4, col("value"))).as("c2"),
+        min(when(col("p") === 0.6, col("value"))).as("c3"),
+        min(when(col("p") === 0.8, col("value"))).as("c4"))
+    val rated = spend.join(broadcast(cuts), Seq("yr"))
+      .select(col("o_custkey"), col("yr"),
+        (lit(1L) + (col("cents") > col("c1")).cast("long")
+          + (col("cents") > col("c2")).cast("long")
+          + (col("cents") > col("c3")).cast("long")
+          + (col("cents") > col("c4")).cast("long")).as("q"))
+    val both = rated.groupBy("o_custkey")
+      .agg(min(when(col("yr") === 1996, col("q"))).as("i"),
+        min(when(col("yr") === 1997, col("q"))).as("j"))
+      .filter(col("i").isNotNull && col("j").isNotNull)
+    val cells = both.groupBy("i", "j").agg(count(lit(1)).as("o"))
+    val tot = cells.agg(sum("o").as("n"),
+      sum((col("i") - col("j")) * (col("i") - col("j")) * col("o"))
+        .as("sum_w_obs"))
+    val wexp = cells.groupBy(col("i")).agg(sum("o").as("r"))
+      .crossJoin(cells.groupBy(col("j")).agg(sum("o").as("c")))
+      .agg(sum(dec((col("i") - col("j")) * (col("i") - col("j")))
+        * dec(col("r")) * dec(col("c"))).as("sum_w_exp_d"))
+    tot.crossJoin(broadcast(wexp))
+      .select(col("n"), col("sum_w_obs"),
+        col("sum_w_exp_d").cast("long").as("sum_w_exp"))
+      .withColumn("weighted_kappa", expr(
+        """ROUND(CASE WHEN sum_w_exp > 0
+             THEN 1.0 - CAST(CAST(n AS DECIMAL(38,0)) * sum_w_obs AS DOUBLE)
+                        / CAST(sum_w_exp AS DOUBLE)
+             ELSE 1.0 END, 6)"""))
+  }
+
+  /** q322: Durbin–Watson statistic on the residuals of the per-type
+    * daily-count trend fit — the REGRESSION-diagnostic serial-
+    * correlation cell: q152 fits the trend, q308's von Neumann tests
+    * the RAW series, but neither answers "after removing the trend,
+    * are the errors independent?" — the assumption every OLS standard
+    * error rests on (Durbin & Watson '50; DW ≈ 2(1−ρ̂₁), <2 positive
+    * autocorrelation). Read with q307: a clean DW but screaming
+    * Ljung–Box means the dependence is seasonal, not lag-1.
+    *
+    * Exactness: with the centered regressor u_t = 2t−(n+1) (Σu = 0 by
+    * construction), the OLS residual has the exact integer-scaled form
+    * ẽ_t = S_uu(n·y_t − S_y) − n·S_uy·u_t  (= n·S_uu · e_t), and DW =
+    * Σ(ẽ_t−ẽ_{t−1})²/Σẽ_t² cancels the scale factor exactly — both
+    * sums are DECIMAL(38,0)-exact (the centering keeps the common
+    * factor n·S_uu a calendar-bounded ~n⁴/3 instead of the naive
+    * ~n⁵/12, which already overflows 38 digits at the 100× probe), so
+    * the one final division is IEEE-identical on both engines
+    * (rounded 6). ρ̂₁ of the residuals comes from the same sums. An
+    * overflow would surface as NULL (ANSI error / loud), never as a
+    * silently wrong hash.
+    *
+    * Scale shape: everything after the (type, day) rollup is
+    * calendar-bounded (q307's argument); the per-type windows
+    * partition by type — no single-partition window at any scale. */
+  def qDurbinWatson(s: SparkSession, d: String): DataFrame = {
+    val daily = dailySeries(s, d)
+    val base = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sy"))
+    val centered = daily.join(broadcast(base), Seq("event_type"))
+      .withColumn("u", lit(2L) * col("t") - (col("n") + 1L))
+    val fit = centered.groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("sy")).as("sy"),
+        sum(col("u") * col("x")).as("suy"),
+        sum(col("u") * col("u")).as("suu"))
+    val wPos = Window.partitionBy("event_type").orderBy("t")
+    val resid = centered.join(broadcast(fit.drop("n", "sy")), Seq("event_type"))
+      .withColumn("et",
+        dec(col("suu")) * (dec(col("n")) * col("x") - col("sy"))
+          - dec(col("n")) * col("suy") * col("u"))
+      .withColumn("et1", lag(col("et"), 1).over(wPos))
+    resid.groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        sum(col("et") * col("et")).as("sse"),
+        sum(when(col("et1").isNotNull,
+          (col("et") - col("et1")) * (col("et") - col("et1")))
+          .otherwise(dec(lit(0L)))).as("ssd"),
+        sum(when(col("et1").isNotNull, col("et") * col("et1"))
+          .otherwise(dec(lit(0L)))).as("scross"))
+      .select(col("event_type"), col("n_days"),
+        round(when(col("sse") > 0, d2(col("ssd")) / d2(col("sse")))
+          .otherwise(lit(0.0)), 6).as("dw"),
+        round(when(col("sse") > 0, d2(col("scross")) / d2(col("sse")))
+          .otherwise(lit(0.0)), 6).as("rho1_resid"))
+      .orderBy("event_type")
+  }
+
+  /** q323: Pettitt's nonparametric changepoint test per event type —
+    * the RANK-based single-changepoint cell beside the parametric pair
+    * (q177 CUSUM needs a known in-control mean, q185 Page needs a
+    * drift size; Pettitt '79 needs neither): K = max_t |U_t| with
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j), the Mann–Whitney statistic
+    * of every prefix/suffix split at once, located at the earliest
+    * argmax day.
+    *
+    * Exactness: by antisymmetry U_t telescopes to Σ_{i≤t} g_i with
+    * g_i = #{x_j < x_i} − #{x_j > x_i} = 2·cum_lt(vᵢ) + c(vᵢ) − n
+    * read off the per-type VALUE-DOMAIN cumulative (the q229/q305
+    * device), so U_t is a positional cumulative of exact BIGINTs and
+    * K is an exact integer. The approximate significance
+    * p ≈ 2·exp(−6K²/(n³+n²)) is the one libm call, rounded 4 (the
+    * q63/q64 ln precedent — exact columns carry the row, the
+    * transcendental is reported at defensive precision).
+    *
+    * Scale shape: both the value rollup and the positional walk are
+    * calendar-bounded per type (q307's argument); windows partition
+    * by event_type — never single-partition. */
+  def qPettitt(s: SparkSession, d: String): DataFrame = {
+    val daily = dailySeries(s, d)
+    val base = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy("event_type").orderBy("x")
+    val cnt = daily.groupBy("event_type", "x").agg(count(lit(1)).as("c"))
+      .withColumn("cum_lt", coalesce(sum("c").over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wt = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = daily.join(cnt, Seq("event_type", "x"))
+      .join(broadcast(base), Seq("event_type"))
+      .withColumn("gi", lit(2L) * col("cum_lt") + col("c") - col("n"))
+      .withColumn("ut", sum("gi").over(wt))
+      .filter(col("t") < col("n"))
+    val k = u.groupBy("event_type")
+      .agg(max(col("n")).as("n_days"), max(abs(col("ut"))).as("k_stat"))
+    val cp = u.join(broadcast(k.select("event_type", "k_stat")),
+        Seq("event_type"))
+      .filter(abs(col("ut")) === col("k_stat"))
+      .groupBy("event_type").agg(min("day").as("cp_day"))
+    k.join(cp, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("k_stat"),
+        datediff(col("cp_day"), lit("1970-01-01")).cast("long")
+          .as("cp_epoch_day"),
+        round(lit(2.0) * exp(lit(-6.0) * d2(col("k_stat")) * d2(col("k_stat"))
+          / (d2(col("n_days")) * d2(col("n_days")) * d2(col("n_days"))
+             + d2(col("n_days")) * d2(col("n_days")))), 4).as("p_approx"))
+      .orderBy("event_type")
+  }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-10 fifth continuation: brute-force driver-side recomputes for
+  * the agreement pair (Fleiss' kappa, quadratic-weighted Cohen's
+  * kappa) and the Durbin–Watson regression diagnostic. Each statistic
+  * is rebuilt from raw collected rows in plain double arithmetic with
+  * none of the operators' devices (no cross-multiplied integer forms,
+  * no value-domain cuts), so an error in the machinery cannot cancel
+  * against itself. */
+class Round10eSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q320 Fleiss' kappa matches a textbook recount") {
+    val lines = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = lines.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val subjects = byOrder.filter(_._2.length == 4)
+    val cats = subjects.values.flatten.toSeq.distinct.sorted
+    val n = 4.0
+    val bigN = subjects.size.toDouble
+    // P_i = (sum_j n_ij^2 - n) / (n (n - 1)); P_e = sum_j p_j^2
+    val pis = subjects.values.map { flags =>
+      val sq = cats.map(c => flags.count(_ == c).toLong).map(x => x * x).sum
+      (sq - n) / (n * (n - 1.0))
+    }
+    val pbar = pis.sum / bigN
+    val pj = cats.map(c =>
+      subjects.values.map(_.count(_ == c)).sum / (bigN * n))
+    val pe = pj.map(p => p * p).sum
+    val kappa = (pbar - pe) / (1.0 - pe)
+    val got = Stats.qFleissKappa(spark, sf).collect().head
+    assert(got.getAs[Long]("n_subjects") === subjects.size.toLong)
+    assert(got.getAs[Long]("s2") ===
+      subjects.values.map { flags =>
+        cats.map(c => flags.count(_ == c).toLong).map(x => x * x).sum
+      }.sum)
+    assert(math.abs(got.getAs[Double]("fleiss_kappa") - kappa) < 1e-6)
+  }
+
+  test("q321 weighted kappa matches a textbook recount") {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_custkey").cast("long"), year(col("o_orderdate")),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    // per-year discrete quintile cuts: the k = max(1, ceil(p n))-th
+    // smallest element
+    def cuts(yr: Int): Seq[Long] = {
+      val vs = spend.collect { case ((_, y), v) if y == yr => v }
+        .toSeq.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        val k = math.max(1, math.ceil(p * vs.length).toLong).toInt
+        vs(k - 1)
+      }
+    }
+    val c96 = cuts(1996); val c97 = cuts(1997)
+    def rate(v: Long, cs: Seq[Long]): Int = 1 + cs.count(v > _)
+    val pairs = spend.keys.map(_._1).toSeq.distinct.flatMap { ck =>
+      (spend.get((ck, 1996)), spend.get((ck, 1997))) match {
+        case (Some(a), Some(b)) => Some((rate(a, c96), rate(b, c97)))
+        case _ => None
+      }
+    }
+    val bigN = pairs.length.toDouble
+    val obs = pairs.map { case (i, j) => (i - j).toDouble * (i - j) }.sum
+    val ri = pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    val cj = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val expd = (for { (i, r) <- ri; (j, c) <- cj }
+      yield (i - j).toDouble * (i - j) * r * c).sum / bigN
+    val kw = 1.0 - (obs / bigN) / (expd / bigN)
+    val got = Stats.qWeightedKappa(spark, sf).collect().head
+    assert(got.getAs[Long]("n") === pairs.length.toLong)
+    assert(got.getAs[Long]("sum_w_obs") === obs.toLong)
+    assert(math.abs(got.getAs[Double]("weighted_kappa") - kw) < 1e-6)
+  }
+
+  test("q322 Durbin-Watson matches a plain-double OLS-residual recount") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+    val got = Stats.qDurbinWatson(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("dw"),
+          r.getAs[Double]("rho1_resid"))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      val n = ys.length
+      val ts = (1 to n).map(_.toDouble)
+      val tbar = ts.sum / n; val ybar = ys.sum / n
+      val b = ts.zip(ys).map { case (t, y) => (t - tbar) * (y - ybar) }.sum /
+        ts.map(t => (t - tbar) * (t - tbar)).sum
+      val a = ybar - b * tbar
+      val e = ts.zip(ys).map { case (t, y) => y - a - b * t }
+      val sse = e.map(x => x * x).sum
+      val ssd = e.sliding(2).map { case Seq(p, q) => (q - p) * (q - p) }.sum
+      val rho = e.sliding(2).map { case Seq(p, q) => p * q }.sum / sse
+      val (gn, gdw, grho) = got(tpe)
+      assert(gn === n.toLong)
+      assert(math.abs(gdw - ssd / sse) < 1e-5)
+      assert(math.abs(grho - rho) < 1e-5)
+    }
+  }
+
+  test("q323 Pettitt K matches an O(n^2) all-splits recount") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    val got = Stats.qPettitt(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("k_stat"), r.getAs[Long]("cp_epoch_day"))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val xs = sorted.map(_._3)
+      val n = xs.length
+      // direct double sum over every (prefix, suffix) split
+      val us = (1 until n).map { t =>
+        var u = 0L
+        for (i <- 0 until t; j <- t until n)
+          u += java.lang.Long.signum(xs(i) - xs(j))
+        u
+      }
+      val k = us.map(math.abs).max
+      val cpIdx = us.indexWhere(u => math.abs(u) == k)
+      val (gk, gcp) = got(tpe)
+      assert(gk === k)
+      assert(gcp === sorted(cpIdx)._2.toEpochDay)
+    }
+  }
+
+  test("q324 per-brand contributions sum to Newman modularity of a recount") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brandOf = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").cast("long"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairCounts = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // NB: .collect on the Map would rebuild a Map from the (u, v)
+    // tuples and silently collapse edges sharing u — go through keys
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val m = edges.size.toDouble
+    val mIn = edges.groupBy { case (u, v) => (brandOf(u), brandOf(v)) }
+      .collect { case ((a, b), es) if a == b => a -> es.size.toLong }
+    val dC = (edges.map(e => brandOf(e._1)) ++ edges.map(e => brandOf(e._2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val q = dC.map { case (b, d) =>
+      mIn.getOrElse(b, 0L) / m - (d / (2.0 * m)) * (d / (2.0 * m))
+    }.sum
+    val rows = Graph.qBrandModularity(spark, sf).collect()
+    assert(rows.length === dC.size)
+    rows.foreach { r =>
+      val b = r.getAs[String]("brand")
+      assert(r.getAs[Long]("m_in") === mIn.getOrElse(b, 0L))
+      assert(r.getAs[Long]("d_c") === dC(b))
+    }
+    val qSum = rows.map(_.getAs[Double]("q_contrib")).sum
+    assert(math.abs(qSum - q) < 25 * 1e-6 + 1e-9)
+  }
+}
