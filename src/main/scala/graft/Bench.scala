@@ -402,6 +402,10 @@ object Bench {
     // categorical-assortativity modularity (backbone + 25-cell rollup)
     "q323_pettitt",
     "q324_brand_modularity",
+    // the readability and exact-diversity scans (one codegen'd pass
+    // each, source-sized rollups)
+    "q325_flesch",
+    "q326_simpson",
   )
 
   def main(args: Array[String]): Unit = {

@@ -792,6 +792,12 @@ object SparkEntry {
     // q324: Newman modularity of the brand partition on the
     // co-purchase backbone — categorical assortativity beside q169
     "q324_brand_modularity" -> ((s, d) => Graph.qBrandModularity(s, d)),
+    // q325: Flesch reading ease / FK grade per source — the classic
+    // readability readout beside the q23/q117 quality gates
+    "q325_flesch" -> (TextAnalysis.qFleschReadability _),
+    // q326: Simpson concentration/diversity + Berger–Parker per
+    // source — exact-rational diversity beside the entropy readouts
+    "q326_simpson" -> (TextAnalysis.qSimpsonDiversity _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7327,6 +7333,74 @@ object SparkEntry {
                   / CAST(4 * CAST(m.m_edges AS HUGEINT) * m.m_edges
                     AS DOUBLE), 6) AS q_contrib
          FROM dg LEFT JOIN mi ON dg.brand = mi.brand CROSS JOIN m""",
+    // q325: all three counts exact integers (syllables = vowel-group
+    // runs + vowel-less words = sum of per-word max(1, runs)); both
+    // scores spelled-identical double formulas
+    "q325_flesch" ->
+      """WITH perdoc AS (
+           SELECT source,
+                  CAST(len(regexp_extract_all(lower(text), '\S+'))
+                    AS BIGINT) AS w,
+                  GREATEST(1, CAST(len(regexp_extract_all(lower(text),
+                    '[.!?]+')) AS BIGINT)) AS sent,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS vg,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '\S*[aeiouy]\S*')) AS BIGINT) AS vw
+           FROM documents),
+         agg AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(w) AS BIGINT) AS n_words,
+                  CAST(SUM(sent) AS BIGINT) AS n_sentences,
+                  CAST(SUM(vg) + SUM(w) - SUM(vw) AS BIGINT) AS n_syllables
+           FROM perdoc GROUP BY 1)
+         SELECT source, n_docs, n_words, n_sentences, n_syllables,
+                ROUND(CASE WHEN n_words > 0
+                  THEN 206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE))
+                  ELSE 0.0 END, 6) AS flesch_ease,
+                ROUND(CASE WHEN n_words > 0
+                  THEN 0.39 * (CAST(n_words AS DOUBLE)
+                               / CAST(n_sentences AS DOUBLE))
+                       + 11.8 * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE))
+                       - 15.59
+                  ELSE 0.0 END, 6) AS fk_grade
+         FROM agg""",
+    // q326: exact-rational diversity — no logarithm anywhere, so the
+    // gate checks at full hash strength
+    "q326_simpson" ->
+      """WITH tok AS (
+           SELECT source, unnest(regexp_split_to_array(lower(text),
+             '\s+')) AS w
+           FROM documents),
+         cnt AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok WHERE len(w) > 0 GROUP BY 1, 2),
+         agg AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT)
+                    AS sum_cc1,
+                  CAST(MAX(c) AS BIGINT) AS max_c
+           FROM cnt GROUP BY 1)
+         SELECT source, n_types, n_tokens, sum_cc1, max_c,
+                ROUND(CASE WHEN n_tokens > 1
+                  THEN CAST(sum_cc1 AS DOUBLE)
+                       / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)
+                         AS DOUBLE)
+                  ELSE 0.0 END, 6) AS simpson_lambda,
+                ROUND(CASE WHEN sum_cc1 > 0
+                  THEN CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)
+                         AS DOUBLE) / CAST(sum_cc1 AS DOUBLE)
+                  ELSE 0.0 END, 6) AS inv_simpson,
+                ROUND(CASE WHEN n_tokens > 0
+                  THEN CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS berger_parker
+         FROM agg""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -1231,5 +1231,93 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** q325: Flesch reading ease + Flesch–Kincaid grade per source —
+    * the classic READABILITY readout beside the q23/q117 quality
+    * gates (those score junk; readability scores difficulty — the
+    * audience-targeting number a curation pipeline reports per slice,
+    * Flesch '48 / Kincaid '75). Syllables use the standard
+    * vowel-group heuristic ([aeiouy]+ runs, floor 1 per word);
+    * sentences are [.!?]+ runs, floor 1 per doc. On this fixture no
+    * document carries sentence punctuation, so every doc reads as one
+    * long sentence and the scores sit at the long-sentence floor —
+    * the q315 precedent: the harness is the deliverable, and the spec
+    * drives crafted punctuated text through the same expressions.
+    *
+    * Exactness: words, sentences and syllables are exact integer
+    * counts (syllables = vowel-group runs + vowel-less words, which
+    * equals Σ_w max(1, runs_w)); the two scores are spelled-identical
+    * double formulas over per-source exact sums, rounded 6.
+    *
+    * Scale shape: one codegen'd scan; counts collapse map-side onto
+    * |sources| rows. */
+  def qFleschReadability(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d).select(col("source"),
+      lower(col("text")).as("t"))
+      .select(col("source"),
+        regexp_count(col("t"), lit("\\S+")).cast("long").as("w"),
+        greatest(lit(1L),
+          regexp_count(col("t"), lit("[.!?]+")).cast("long")).as("sent"),
+        regexp_count(col("t"), lit("[aeiouy]+")).cast("long").as("vg"),
+        regexp_count(col("t"), lit("\\S*[aeiouy]\\S*")).cast("long").as("vw"))
+    perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"),
+        sum("sent").as("n_sentences"),
+        (sum("vg") + sum("w") - sum("vw")).as("n_syllables"))
+      .withColumn("flesch_ease", round(
+        when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (d2(col("n_words")) / d2(col("n_sentences")))
+            - lit(84.6) * (d2(col("n_syllables")) / d2(col("n_words"))))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("fk_grade", round(
+        when(col("n_words") > 0,
+          lit(0.39) * (d2(col("n_words")) / d2(col("n_sentences")))
+            + lit(11.8) * (d2(col("n_syllables")) / d2(col("n_words")))
+            - lit(15.59))
+          .otherwise(lit(0.0)), 6))
+      .orderBy("source")
+  }
+
+  /** q326: Simpson concentration / diversity per source over token
+    * types — the ECOLOGY diversity pair beside the entropy-based
+    * readouts (q124 char entropy, q126 bigram diversity, q311 Zipf):
+    * Simpson's λ = Σnᵢ(nᵢ−1)/(N(N−1)) is the probability two tokens
+    * drawn without replacement are the same type (Simpson '49), 1/λ
+    * the "effective vocabulary size", and Berger–Parker d = max nᵢ/N
+    * the single-type dominance. Unlike entropy these are exact
+    * rationals — no logarithm anywhere — so the gate checks them at
+    * full hash strength.
+    *
+    * Scale shape: the (source, token) rollup collapses map-side onto
+    * the bounded per-source vocabulary (the q212/q311 argument);
+    * everything after is vocabulary-sized. */
+  def qSimpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cnt = documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    cnt.groupBy("source").agg(
+        count(lit(1)).as("n_types"),
+        sum("c").as("n_tokens"),
+        sum(dec(col("c")) * (col("c") - 1L)).cast("long").as("sum_cc1"),
+        max("c").as("max_c"))
+      .withColumn("simpson_lambda", round(
+        when(col("n_tokens") > 1,
+          d2(col("sum_cc1")) /
+            d2(dec(col("n_tokens")) * (col("n_tokens") - 1L)))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("inv_simpson", round(
+        when(col("sum_cc1") > 0,
+          d2(dec(col("n_tokens")) * (col("n_tokens") - 1L)) /
+            d2(col("sum_cc1")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("berger_parker", round(
+        when(col("n_tokens") > 0, d2(col("max_c")) / d2(col("n_tokens")))
+          .otherwise(lit(0.0)), 6))
+      .orderBy("source")
+  }
+
   private val d2 = (c: Column) => c.cast("double")
 }

@@ -173,4 +173,75 @@ class Round10eSpec extends AnyFunSuite {
     val qSum = rows.map(_.getAs[Double]("q_contrib")).sum
     assert(math.abs(qSum - q) < 25 * 1e-6 + 1e-9)
   }
+
+  test("q325 readability counts match a per-word max(1, runs) recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), lower(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // per-word definition: syllables_w = max(1, vowel-group runs in w)
+    def stats(t: String): (Long, Long, Long) = {
+      val words = "\\S+".r.findAllIn(t).toSeq
+      val sents = math.max(1, "[.!?]+".r.findAllIn(t).length).toLong
+      val syl = words.map(w =>
+        math.max(1, "[aeiouy]+".r.findAllIn(w).length).toLong).sum
+      (words.length.toLong, sents, syl)
+    }
+    val expect = docs.groupBy(_._1).view.mapValues { ds =>
+      val per = ds.map(d => stats(d._2))
+      (ds.length.toLong, per.map(_._1).sum, per.map(_._2).sum,
+        per.map(_._3).sum)
+    }.toMap
+    val got = TextAnalysis.qFleschReadability(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (nd, w, s, sy) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_words") === w)
+      assert(r.getAs[Long]("n_sentences") === s)
+      assert(r.getAs[Long]("n_syllables") === sy)
+      val ease = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)
+      assert(math.abs(r.getAs[Double]("flesch_ease") - ease) < 1e-6)
+    }
+  }
+
+  test("q325 handles punctuated and vowel-less text (crafted fixture)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flesch").toString
+    Seq(
+      (1L, "Hello world. Dry gym! Why try?", "en", "crafted", 30L),
+      (2L, "tsk tsk grr", "en", "crafted", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.qFleschReadability(spark, dir).collect().head
+    // doc 1: 6 words, 3 sentences, 7 syllables (y is a vowel);
+    // doc 2: 3 vowel-less words -> 1 sentence floor, 3 syllable floor
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_words") === 9L)
+    assert(r.getAs[Long]("n_sentences") === 4L)
+    assert(r.getAs[Long]("n_syllables") === 10L)
+  }
+
+  test("q326 Simpson matches a token-frequency recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), lower(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val got = TextAnalysis.qSimpsonDiversity(spark, sf).collect()
+    assert(got.length === counts.size)
+    got.foreach { r =>
+      val cs = counts(r.getAs[String]("source"))
+      val n = cs.values.sum
+      assert(r.getAs[Long]("n_types") === cs.size.toLong)
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("sum_cc1") === cs.values.map(c => c * (c - 1)).sum)
+      assert(r.getAs[Long]("max_c") === cs.values.max)
+      val lambda = cs.values.map(c => c * (c - 1.0)).sum / (n * (n - 1.0))
+      assert(math.abs(r.getAs[Double]("simpson_lambda") - lambda) < 1e-6)
+      assert(math.abs(r.getAs[Double]("berger_parker")
+        - cs.values.max.toDouble / n) < 1e-6)
+    }
+  }
 }
