@@ -406,6 +406,9 @@ object Bench {
     // each, source-sized rollups)
     "q325_flesch",
     "q326_simpson",
+    // the Holt trend monitor's batch fold (the q327 streaming side
+    // stays untimed like every replay parity)
+    "q327b_holt_batch",
   )
 
   def main(args: Array[String]): Unit = {

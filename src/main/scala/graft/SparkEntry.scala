@@ -798,6 +798,13 @@ object SparkEntry {
     // q326: Simpson concentration/diversity + Berger–Parker per
     // source — exact-rational diversity beside the entropy readouts
     "q326_simpson" -> (TextAnalysis.qSimpsonDiversity _),
+    // q327: integer Holt linear-trend monitor as streaming state —
+    // the FOURTEENTH bit-exact stream/batch parity, first over a
+    // two-term coupled recursion; oracle = recursive CTE
+    "q327_streaming_holt" -> (graft.streaming.EventTime.qStreamingHolt _),
+    // q327b: the batch fold through the same monitor core (its own
+    // gate row so batch and streaming are pinned independently)
+    "q327b_holt_batch" -> (Stats.qHoltMonitor _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7401,6 +7408,12 @@ object SparkEntry {
                   THEN CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                   ELSE 0.0 END, 6) AS berger_parker
          FROM agg""",
+    // q327/q327b: the recursive CTE walks the literal two-term Holt
+    // recursion hour by hour — `//` truncates toward zero exactly
+    // like the Scala folds' Long division (b's numerator can be
+    // negative; floor semantics would diverge there)
+    "q327_streaming_holt" -> holtOracle,
+    "q327b_holt_batch" -> holtOracle,
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:
@@ -7457,5 +7470,47 @@ object SparkEntry {
               CAST(e AS BIGINT) AS final_ewma_micro,
               CAST(n_spikes AS BIGINT) AS n_spikes,
               CAST(spike_h AS BIGINT) AS first_spike_hour
+       FROM walk WHERE rn = n_hours"""
+
+  /** Shared oracle for the q327 parity pair: the two-term Holt
+    * recursion (level + trend, α = β = ½) in exact micro-unit
+    * BIGINTs. `//` truncates toward zero, matching the Scala folds;
+    * each hour scores against the PRE-update forecast l + b with the
+    * 10% over band (10·v > 11·f). */
+  private val holtOracle: String =
+    """WITH RECURSIVE hourly AS (
+         SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       numbered AS (
+         SELECT event_type, h, c,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+         FROM hourly),
+       walk AS (
+         SELECT event_type, rn, n_hours, h,
+                c * 1000000 AS l,
+                CAST(0 AS BIGINT) AS b,
+                CAST(0 AS BIGINT) AS n_over,
+                CAST(-1 AS BIGINT) AS over_h
+         FROM numbered WHERE rn = 1
+         UNION ALL
+         SELECT n.event_type, n.rn, n.n_hours, n.h,
+                (n.c * 1000000 + w.l + w.b) // 2 AS l,
+                ((n.c * 1000000 + w.l + w.b) // 2 - w.l + w.b) // 2 AS b,
+                w.n_over + CASE WHEN 10 * n.c * 1000000 > 11 * (w.l + w.b)
+                                THEN 1 ELSE 0 END AS n_over,
+                CASE WHEN w.over_h >= 0 THEN w.over_h
+                     WHEN 10 * n.c * 1000000 > 11 * (w.l + w.b) THEN n.h
+                     ELSE -1 END AS over_h
+         FROM numbered n JOIN walk w
+           ON n.event_type = w.event_type AND n.rn = w.rn + 1)
+       SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+              CAST(l AS BIGINT) AS level_micro,
+              CAST(b AS BIGINT) AS trend_micro,
+              CAST(l + b AS BIGINT) AS forecast_micro,
+              CAST(n_over AS BIGINT) AS n_over_forecast,
+              CAST(over_h AS BIGINT) AS first_over_hour
        FROM walk WHERE rn = n_hours"""
 }

@@ -2456,6 +2456,69 @@ object Stats {
         "first_spike_hour")
   }
 
+  /** q327b (batch side): integer Holt linear-trend monitor over each
+    * type's hourly event counts — the TREND-aware sibling of q298's
+    * level-only EWMA (a ramp fools a level smoother into permanent
+    * "spike"; Holt '57 carries a trend term that absorbs it). Both
+    * recursions are exact BIGINT in micro-units with α = β = ½:
+    * l₁ = c₁·10⁶, b₁ = 0; for t > 1 the hour first scores against the
+    * one-step forecast f = l + b with a 10% band — over when
+    * 10·c_t·10⁶ > 11·f (the q298 margin discipline: an exact `>`
+    * would alarm on the ±few-micro residual jitter a locked-on ramp
+    * leaves, proven in the spec) — then
+    * l_t = (c_t·10⁶ + l_{t−1} + b_{t−1}) div 2 and
+    * b_t = (l_t − l_{t−1} + b_{t−1}) div 2. Division is
+    * TRUNCATION-toward-zero on both engines (Scala Long `/` ==
+    * DuckDB `//` — verified on negative operands, which b's numerator
+    * can produce; the q298 floor-vs-truncate trap, handled by
+    * choosing the semantics the engines share).
+    *
+    * Genuinely sequential (the floored two-term recursion has no
+    * windowed identity), so the batch plan is a per-type fold over
+    * the hourly rollup and the oracle walks the same integers
+    * recursively.
+    *
+    * Scale shape: the only data-sized work is the (type, hour) count
+    * rollup (map-side partials); the fold walks a calendar-bounded
+    * series (the q298 argument). */
+  def qHoltMonitor(s: SparkSession, d: String): DataFrame =
+    holtMonitor(s, events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('HOUR', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Monitor core over any (event_type, h, c) hourly series —
+    * factored out so the spec can drive a crafted ramp through the
+    * exact same fold. */
+  private[graft] def holtMonitor(s: SparkSession, hourly: DataFrame): DataFrame = {
+    import s.implicits._
+    hourly
+      .select(col("event_type"), col("h").cast("long"), col("c").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        var l = 0L; var b = 0L; var n = 0L
+        var overs = 0L; var first = -1L
+        arr.foreach { case (_, h, c) =>
+          val v = c * 1000000L
+          if (n == 0L) { l = v; b = 0L }
+          else {
+            if (10L * v > 11L * (l + b)) {
+              overs += 1; if (first < 0) first = h
+            }
+            val lNew = (v + l + b) / 2L
+            b = (lNew - l + b) / 2L
+            l = lNew
+          }
+          n += 1L
+        }
+        (tpe, n, l, b, l + b, overs, first)
+      }
+      .toDF("event_type", "n_hours", "level_micro", "trend_micro",
+        "forecast_micro", "n_over_forecast", "first_over_hour")
+  }
+
   /** Shared by q299/q302: complete-block within-customer doubled
     * average ranks of yearly spend, 1996–1998 (k = 3 treatments).
     * Blocks = customers with orders in ALL three years (the

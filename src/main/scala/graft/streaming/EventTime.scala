@@ -603,6 +603,49 @@ object EventTime {
         col("m.first_spike_hour").as("first_spike_hour"))
   }
 
+  /** q327: the integer Holt linear-trend monitor as STREAMING state
+    * ([[Stateful.holtProgress]]): the literal two-term l/b recursion
+    * advanced hour by hour over the time-ordered 3-file replay, final
+    * snapshots reconstructed via the n_seen counter (the l/b pair is
+    * not monotone — the counter is). The oracle is a DuckDB RECURSIVE
+    * CTE walking the same integers — the FOURTEENTH bit-exact
+    * stream/batch parity, and the first over a TWO-term coupled
+    * recursion (every prior fold parity carries one recurring
+    * scalar); the trap it pins is division semantics: b's numerator
+    * goes negative, where floor (Spark SQL `div`, DuckDB FLOOR) and
+    * truncation (Scala `/`, DuckDB `//`) disagree — all three
+    * implementations use truncation. */
+  def qStreamingHolt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+    val prog = Stateful.holtProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q327 must exercise cross-batch Holt state, saw $dataBatches data batches")
+    s.table(name).groupBy("event_type")
+      .agg(max_by(struct(col("n_hours"), col("level_micro"),
+        col("trend_micro"), col("forecast_micro"),
+        col("n_over_forecast"), col("first_over_hour")),
+        col("n_seen")).as("m"))
+      .select(col("event_type"), col("m.n_hours").as("n_hours"),
+        col("m.level_micro").as("level_micro"),
+        col("m.trend_micro").as("trend_micro"),
+        col("m.forecast_micro").as("forecast_micro"),
+        col("m.n_over_forecast").as("n_over_forecast"),
+        col("m.first_over_hour").as("first_over_hour"))
+  }
+
   /** q314: q180's carry-forward gap-fill as STREAMING state
     * ([[Stateful.locfProgress]]): the per-type daily level series
     * advanced day by day with gap back-fill in closed form — the

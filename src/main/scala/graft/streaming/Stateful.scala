@@ -424,6 +424,81 @@ object Stateful {
       }
   }
 
+  case class HoltProgress(event_type: String, n_seen: Long, n_hours: Long,
+    level_micro: Long, trend_micro: Long, forecast_micro: Long,
+    n_over_forecast: Long, first_over_hour: Long)
+
+  case class HoltState(openHour: Long, openCnt: Long, closed: Long,
+    l: Long, b: Long, nOver: Long, firstOver: Long, nSeen: Long)
+
+  /** Streaming integer Holt linear-trend monitor — q327b's batch fold
+    * ([[graft.operators.Stats.holtMonitor]]) as per-type state: the
+    * LITERAL two-term recursion l ← (c·10⁶ + l + b) div 2,
+    * b ← (l′ − l + b) div 2 advanced hour by hour (open/close device
+    * as [[ewmaProgress]]; division truncates toward zero on both
+    * engines — b's numerator can be negative). An hour is "over" when
+    * 10·c·10⁶ > 11·(l + b) — a 10% band over the PRE-update one-step
+    * forecast (an exact `>` would alarm on locked-on ramp jitter).
+    * State is
+    * eight scalars per key forever; each snapshot projects the open
+    * hour as if closed now, and the n_seen counter (strictly
+    * increasing per key) drives the max_by reconstruction — the l/b
+    * pair itself is not monotone. Same time-ordered cross-batch
+    * arrival contract as [[funnelStages]]. */
+  def holtProgress(events: Dataset[(String, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[HoltProgress] = {
+    implicit val stE: Encoder[HoltState] = Encoders.product[HoltState]
+    implicit val outE: Encoder[HoltProgress] = Encoders.product[HoltProgress]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    val usPerHour = 3600000000L
+    events.groupByKey(_._1)
+      .mapGroupsWithState[HoltState, HoltProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)], state: GroupState[HoltState]) =>
+          var HoltState(openHour, openCnt, closed, l, b, nOver, firstOver,
+            nSeen) = state.getOption.getOrElse(
+              HoltState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, -1L, 0L))
+          def close(h: Long, c: Long): Unit = {
+            val v = c * 1000000L
+            if (closed == 0L) { l = v; b = 0L }
+            else {
+              if (10L * v > 11L * (l + b)) {
+                nOver += 1; if (firstOver < 0) firstOver = h
+              }
+              val lNew = (v + l + b) / 2L
+              b = (lNew - l + b) / 2L
+              l = lNew
+            }
+            closed += 1
+          }
+          val hrs = it.toArray.map(x => Math.floorDiv(x._2, usPerHour))
+          nSeen += hrs.length
+          hrs.sorted.foreach { h =>
+            if (openHour == Long.MinValue) { openHour = h; openCnt = 1 }
+            else if (h == openHour) openCnt += 1
+            else { close(openHour, openCnt); openHour = h; openCnt = 1 }
+          }
+          state.update(HoltState(openHour, openCnt, closed, l, b, nOver,
+            firstOver, nSeen))
+          // project the open hour as if it closed now
+          var (pl, pb, pOver, pFirst, pClosed) = (l, b, nOver, firstOver, closed)
+          if (openHour != Long.MinValue) {
+            val v = openCnt * 1000000L
+            if (pClosed == 0L) { pl = v; pb = 0L }
+            else {
+              if (10L * v > 11L * (l + b)) {
+                pOver += 1; if (pFirst < 0) pFirst = openHour
+              }
+              val lNew = (v + l + b) / 2L
+              pb = (lNew - l + b) / 2L
+              pl = lNew
+            }
+            pClosed += 1
+          }
+          HoltProgress(tpe, nSeen, pClosed, pl, pb, pl + pb, pOver, pFirst)
+      }
+  }
+
   /** Streaming Page CUSUM — q185's online level-shift detector as
     * per-type state: (open day, open count, closed-day count, burn-in
     * sum, S, max S, alarm day, S-at-alarm) advanced micro-batch by

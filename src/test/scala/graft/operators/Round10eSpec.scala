@@ -221,6 +221,53 @@ class Round10eSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_syllables") === 10L)
   }
 
+  test("q327b Holt fold matches a reference recursion; a ramp stops alarming") {
+    import spark.implicits._
+    // reference recursion in plain Scala, reimplemented independently
+    def ref(series: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      var l = 0L; var b = 0L; var n = 0L; var overs = 0L; var first = -1L
+      series.sortBy(_._1).foreach { case (h, c) =>
+        val v = c * 1000000L
+        if (n == 0) { l = v; b = 0L }
+        else {
+          if (10L * v > 11L * (l + b)) {
+            overs += 1; if (first < 0) first = h
+          }
+          val l2 = (v + l + b) / 2L; b = (l2 - l + b) / 2L; l = l2
+        }
+        n += 1
+      }
+      (n, l, b, overs, first)
+    }
+    // steady floor then a linear ramp: the trend term must absorb the
+    // ramp so only its onset (and at most a couple of lock-on hours)
+    // flags "over"; a level-only EWMA would flag every ramp hour
+    val series = (0L until 48L).map(h => ("t", h, 100L)) ++
+      (48L until 96L).map(h => ("t", h, 100L + 20L * (h - 47L)))
+    val got = Stats.holtMonitor(spark, series.toDF("event_type", "h", "c"))
+      .collect().head
+    val (n, l, b, overs, first) = ref(series.map(x => (x._2, x._3)))
+    assert(got.getAs[Long]("n_hours") === n)
+    assert(got.getAs[Long]("level_micro") === l)
+    assert(got.getAs[Long]("trend_micro") === b)
+    assert(got.getAs[Long]("n_over_forecast") === overs)
+    assert(got.getAs[Long]("first_over_hour") === first)
+    assert(first === 48L, "the ramp onset must be the first over-forecast hour")
+    assert(overs <= 5L,
+      s"the trend term must absorb a steady ramp, saw $overs over-hours")
+    assert(b > 0L, "a rising ramp must leave a positive trend")
+  }
+
+  test("q327 streaming Holt equals the batch fold bit for bit (fourteenth parity)") {
+    val batch = Stats.qHoltMonitor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val stream = graft.streaming.EventTime.qStreamingHolt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(stream === batch)
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
