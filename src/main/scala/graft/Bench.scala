@@ -409,6 +409,10 @@ object Bench {
     // the Holt trend monitor's batch fold (the q327 streaming side
     // stays untimed like every replay parity)
     "q327b_holt_batch",
+    // the confounder-removal correlation rollup and the calibration
+    // test (one scan + value-domain cuts each)
+    "q328_partial_corr",
+    "q329_hosmer_lemeshow",
   )
 
   def main(args: Array[String]): Unit = {

@@ -805,6 +805,12 @@ object SparkEntry {
     // q327b: the batch fold through the same monitor core (its own
     // gate row so batch and streaming are pinned independently)
     "q327b_holt_batch" -> (Stats.qHoltMonitor _),
+    // q328: partial correlation (qty~price | discount) per flag —
+    // the confounder-removal cell over q223's sufficient sums
+    "q328_partial_corr" -> (Stats.qPartialCorr _),
+    // q329: Hosmer–Lemeshow calibration test over the proxy
+    // classifier — the formal test beside q230/q309
+    "q329_hosmer_lemeshow" -> (Stats.qHosmerLemeshow _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7414,6 +7420,114 @@ object SparkEntry {
     // negative; floor semantics would diverge there)
     "q327_streaming_holt" -> holtOracle,
     "q327b_holt_batch" -> holtOracle,
+    // q328: q223's exact sufficient sums per flag; the partial folds
+    // the ROUNDED r's in a spelled-identical expression
+    "q328_partial_corr" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+                           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                             AS HUGEINT) AS x,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS HUGEINT) AS y,
+                           CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                             AS HUGEINT) AS z
+                    FROM lineitem),
+         s AS (SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+                      SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                      SUM(z * z) AS szz,
+                      SUM(x * y) AS sxy, SUM(x * z) AS sxz,
+                      SUM(y * z) AS syz
+               FROM b GROUP BY 1),
+         rr AS (SELECT flag, CAST(n AS BIGINT) AS nn,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+                       CAST(n * sxz - sx * sz AS DOUBLE) AS cxz,
+                       CAST(n * syz - sy * sz AS DOUBLE) AS cyz,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+                       CAST(n * szz - sz * sz AS DOUBLE) AS vz
+                FROM s),
+         r3 AS (SELECT flag, nn,
+                       ROUND(CASE WHEN vx > 0 AND vy > 0
+                         THEN cxy / SQRT(vx) / SQRT(vy)
+                         ELSE 0.0 END, 6) AS r_xy,
+                       ROUND(CASE WHEN vx > 0 AND vz > 0
+                         THEN cxz / SQRT(vx) / SQRT(vz)
+                         ELSE 0.0 END, 6) AS r_xz,
+                       ROUND(CASE WHEN vy > 0 AND vz > 0
+                         THEN cyz / SQRT(vy) / SQRT(vz)
+                         ELSE 0.0 END, 6) AS r_yz
+                FROM rr)
+         SELECT flag, nn AS n, r_xy, r_xz, r_yz,
+                ROUND(CASE WHEN (1.0 - r_xz * r_xz)
+                             * (1.0 - r_yz * r_yz) > 0
+                  THEN (r_xy - r_xz * r_yz)
+                       / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+                  ELSE 0.0 END, 6) AS partial_xy_z
+         FROM r3""",
+    // q329: q230's scorer CTE verbatim (clamped at 9000); deciles via
+    // the q104x ROW_NUMBER = k cut device; each HL term is one
+    // exact-integer ratio
+    "q329_hosmer_lemeshow" ->
+      """WITH sc AS (
+           SELECT doc_id,
+                  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS is_pos,
+                  n_toks * 100 + hits * 10 + dhits AS score_milli
+           FROM (SELECT doc_id, n_chars,
+                        len(list_filter(toks, t -> t IN ('the','a','of',
+                          'and','to','in','is','it'))) AS hits,
+                        len(list_intersect(list_distinct(toks),
+                          ['the','a','of','and','to','in','is','it']))
+                          AS dhits,
+                        len(toks) AS n_toks
+                 FROM (SELECT doc_id, n_chars,
+                              string_split_regex(lower(text), '\s+') AS toks
+                       FROM documents))),
+         scl AS (SELECT is_pos, LEAST(score_milli, 9000) AS sm FROM sc),
+         c AS (SELECT COUNT(*) AS n FROM scl),
+         r AS (SELECT p.p,
+                      GREATEST(1, CAST(CEIL(p.p * c.n) AS BIGINT)) AS kk
+               FROM c CROSS JOIN (SELECT unnest([CAST(0.1 AS DOUBLE),
+                 CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+                 CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                 CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE),
+                 CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p) p),
+         o AS (SELECT sm, ROW_NUMBER() OVER (ORDER BY sm) AS rn FROM scl),
+         cuts AS (SELECT
+                    MIN(CASE WHEN r.p = 0.1 THEN o.sm END) AS c1,
+                    MIN(CASE WHEN r.p = 0.2 THEN o.sm END) AS c2,
+                    MIN(CASE WHEN r.p = 0.3 THEN o.sm END) AS c3,
+                    MIN(CASE WHEN r.p = 0.4 THEN o.sm END) AS c4,
+                    MIN(CASE WHEN r.p = 0.5 THEN o.sm END) AS c5,
+                    MIN(CASE WHEN r.p = 0.6 THEN o.sm END) AS c6,
+                    MIN(CASE WHEN r.p = 0.7 THEN o.sm END) AS c7,
+                    MIN(CASE WHEN r.p = 0.8 THEN o.sm END) AS c8,
+                    MIN(CASE WHEN r.p = 0.9 THEN o.sm END) AS c9
+                  FROM r JOIN o ON o.rn = r.kk),
+         g AS (SELECT s.is_pos, s.sm,
+                 1 + CASE WHEN s.sm > u.c1 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c2 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c3 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c4 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c5 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c6 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c7 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c8 THEN 1 ELSE 0 END
+                   + CASE WHEN s.sm > u.c9 THEN 1 ELSE 0 END AS hl_group
+               FROM scl s CROSS JOIN cuts u),
+         agg AS (SELECT hl_group, CAST(COUNT(*) AS BIGINT) AS n_g,
+                        CAST(SUM(is_pos) AS BIGINT) AS obs_pos,
+                        CAST(SUM(sm) AS BIGINT) AS pred_milli
+                 FROM g GROUP BY 1)
+         SELECT CAST(hl_group AS BIGINT) AS hl_group, n_g, obs_pos,
+                pred_milli,
+                ROUND(CASE WHEN pred_milli > 0 AND pred_milli < 9000 * n_g
+                  THEN CAST((9000 * obs_pos - pred_milli)
+                         * CAST(9000 * obs_pos - pred_milli AS HUGEINT)
+                         * n_g AS DOUBLE)
+                       / CAST(CAST(pred_milli AS HUGEINT)
+                              * (9000 * n_g - pred_milli) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS hl_term
+         FROM agg""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

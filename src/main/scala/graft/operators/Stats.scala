@@ -3478,6 +3478,111 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** q328: partial correlation of quantity and price CONTROLLING for
+    * discount, per return flag — the confounder-removal cell beside
+    * q223's raw correlation matrix (a raw r_qty,price can be pure
+    * discount policy; the first-order partial
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) asks what
+    * remains when the third variable is held fixed — the recursive
+    * formula every feature-selection screen applies after q223 flags
+    * a pair).
+    *
+    * Exactness: the ten sufficient sums are exact DECIMAL(38,0) over
+    * cent/point-scaled integers per flag (q223's device, grouped);
+    * each raw r is the q223 scalar formula ROUNDED 6, and the partial
+    * folds the ROUNDED r's in a spelled-identical expression (the
+    * q304 discipline — bounded-count compositions of rounded exact
+    * ratios hash stably). Degenerate controls (|r_xz| or |r_yz| = 1)
+    * emit 0 under an explicit guard.
+    *
+    * Scale shape: one map-side-combined rollup onto ≤3 rows; scalar
+    * math after. */
+  def qPartialCorr(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      dec(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("x"),
+      dec(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("y"),
+      dec(expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"))
+        .as("z"))
+    val sums = base.groupBy("flag").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column = {
+      val cov = d2(col("n") * col(sab) - col(sa) * col(sb))
+      val va = d2(col("n") * col(saa) - col(sa) * col(sa))
+      val vb = d2(col("n") * col(sbb) - col(sb) * col(sb))
+      round(when(va > 0 && vb > 0, cov / sqrt(va) / sqrt(vb))
+        .otherwise(lit(0.0)), 6)
+    }
+    sums.select(col("flag"), col("n").cast("long").as("n"),
+        r("sxy", "sx", "sy", "sxx", "syy").as("r_xy"),
+        r("sxz", "sx", "sz", "sxx", "szz").as("r_xz"),
+        r("syz", "sy", "sz", "syy", "szz").as("r_yz"))
+      .withColumn("partial_xy_z", expr(
+        """ROUND(CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+             THEN (r_xy - r_xz * r_yz)
+                  / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+             ELSE 0.0 END, 6)"""))
+      .orderBy("flag")
+  }
+
+  /** q329: Hosmer–Lemeshow goodness-of-fit over the proxy classifier —
+    * the CALIBRATION TEST beside q230's calibration table and q309's
+    * Brier decomposition (q230 draws the reliability diagram, q309
+    * prices it, HL '80 tests it: are the observed positives per score
+    * decile consistent with the predicted probabilities?). Groups are
+    * per-score-decile via the q321 discrete order-statistic cuts
+    * (value-based — tied scores land in one group deterministically);
+    * p = min(score, 9000)/9000 (the q309 score→probability
+    * convention, clamped so the proxy's >9000 tail keeps E < n).
+    *
+    * Exactness: per group, n, observed positives O and the predicted
+    * mass S = Σ min(score, 9000) are exact BIGINTs, and the HL term
+    * (O − E)²/(E(1 − E/n)) cross-multiplies to the exact-integer
+    * ratio (9000·O − S)²·n / (S·(9000·n − S)) — one division per
+    * group, rounded 6 (the q319 bounded-terms precedent; the spec
+    * sums them against a recount). Zero/full predicted mass guards
+    * to 0.
+    *
+    * Scale shape: one scan; the decile cuts ride the value-domain
+    * device; everything after is ten rows. */
+  def qHosmerLemeshow(s: SparkSession, d: String): DataFrame = {
+    val scored = proxyScored(s, d)
+      .select(col("is_pos"),
+        least(col("score_milli"), lit(9000L)).as("sm"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val cutAggs = ps.map(p =>
+      min(when(col("p") === p, col("value"))).as(f"c${(p * 10).round}%d"))
+    val cuts = Pipeline.groupOrderStatistics(
+        scored.select(lit("all").as("g"), col("sm")), "g", "sm", ps)
+      .groupBy("g")
+      .agg(cutAggs.head, cutAggs.tail: _*)
+      .drop("g")
+    val grouped = scored.crossJoin(broadcast(cuts))
+      .withColumn("hl_group",
+        ps.indices.map(i => (col("sm") > col(f"c${i + 1}%d")).cast("long"))
+          .foldLeft(lit(1L))(_ + _))
+      .groupBy("hl_group")
+      .agg(count(lit(1)).as("n_g"), sum(col("is_pos")).as("obs_pos"),
+        sum(col("sm")).as("pred_milli"))
+    grouped
+      .withColumn("hl_term", expr(
+        """ROUND(CASE WHEN pred_milli > 0 AND pred_milli < 9000 * n_g
+             THEN CAST((9000 * obs_pos - pred_milli)
+                       * CAST(9000 * obs_pos - pred_milli AS DECIMAL(38,0))
+                       * n_g AS DOUBLE)
+                  / CAST(CAST(pred_milli AS DECIMAL(38,0))
+                         * (9000 * n_g - pred_milli) AS DOUBLE)
+             ELSE 0.0 END, 6)"""))
+      .orderBy("hl_group")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

@@ -268,6 +268,75 @@ class Round10eSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("q328 partial correlation matches a plain-double recount") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble))
+    def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xs.map(a => (a - mx) * (a - mx)).sum
+      val vy = ys.map(b => (b - my) * (b - my)).sum
+      cov / math.sqrt(vx) / math.sqrt(vy)
+    }
+    val got = Stats.qPartialCorr(spark, sf).collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      val g = rows.filter(_._1 == r.getAs[String]("flag"))
+      val (xs, ys, zs) = (g.map(_._2).toSeq, g.map(_._3).toSeq,
+        g.map(_._4).toSeq)
+      val rxy = pearson(xs, ys); val rxz = pearson(xs, zs)
+      val ryz = pearson(ys, zs)
+      val part = (rxy - rxz * ryz) /
+        math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+      assert(r.getAs[Long]("n") === g.length.toLong)
+      assert(math.abs(r.getAs[Double]("r_xy") - rxy) < 1e-5)
+      // the operator folds ROUNDED r's; allow the rounding slack
+      assert(math.abs(r.getAs[Double]("partial_xy_z") - part) < 1e-4)
+    }
+  }
+
+  test("q329 Hosmer-Lemeshow groups and terms match a recount") {
+    val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"), col("n_chars").cast("long"))
+      .collect().map { r =>
+        val toks = r.getString(0).toLowerCase.split("\\s+").toSeq
+        val score = toks.length * 100L +
+          toks.count(stops) * 10L + toks.distinct.count(stops)
+        (if (r.getLong(1) >= 300) 1L else 0L, math.min(score, 9000L))
+      }
+    val n = docs.length
+    val sorted = docs.map(_._2).sorted
+    val cuts = (1 to 9).map { i =>
+      val k = math.max(1, math.ceil(i / 10.0 * n).toInt)
+      sorted(k - 1)
+    }
+    val byGroup = docs.groupBy { case (_, sm) => 1 + cuts.count(sm > _) }
+    val got = Stats.qHosmerLemeshow(spark, sf).collect()
+    assert(got.length === byGroup.size)
+    var hlSum = 0.0; var hlGot = 0.0
+    got.foreach { r =>
+      val g = byGroup(r.getAs[Long]("hl_group").toInt)
+      val (ng, o, sM) = (g.length.toLong, g.map(_._1).sum, g.map(_._2).sum)
+      assert(r.getAs[Long]("n_g") === ng)
+      assert(r.getAs[Long]("obs_pos") === o)
+      assert(r.getAs[Long]("pred_milli") === sM)
+      val e = sM / 9000.0
+      val term = if (sM > 0 && sM < 9000 * ng)
+        (o - e) * (o - e) / (e * (1.0 - e / ng)) else 0.0
+      hlSum += term; hlGot += r.getAs[Double]("hl_term")
+      assert(math.abs(r.getAs[Double]("hl_term") - term) < 1e-4)
+    }
+    assert(math.abs(hlGot - hlSum) < 1e-3)
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
