@@ -413,6 +413,11 @@ object Bench {
     // test (one scan + value-domain cuts each)
     "q328_partial_corr",
     "q329_hosmer_lemeshow",
+    // the RCB ANOVA (q299's rollups, parametric), the quintile
+    // symmetry fold, and the concordance coefficient
+    "q330_two_way_anova",
+    "q331_bowker_symmetry",
+    "q332_kendall_w",
   )
 
   def main(args: Array[String]): Unit = {

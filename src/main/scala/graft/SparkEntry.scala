@@ -811,6 +811,15 @@ object SparkEntry {
     // q329: Hosmer–Lemeshow calibration test over the proxy
     // classifier — the formal test beside q230/q309
     "q329_hosmer_lemeshow" -> (Stats.qHosmerLemeshow _),
+    // q330: two-way RCB ANOVA over the q299 blocks — Friedman's
+    // parametric twin (treatment + block F's from exact sums)
+    "q330_two_way_anova" -> (Stats.qTwoWayAnova _),
+    // q331: Bowker's symmetry test over the q321 quintile transition
+    // matrix — the k×k McNemar (up-moves vs down-moves per pair)
+    "q331_bowker_symmetry" -> (Stats.qBowkerSymmetry _),
+    // q332: Kendall's W — the concordance effect size for q299,
+    // computed independently (spec pins the χ²_F = n(k−1)·W identity)
+    "q332_kendall_w" -> (Stats.qKendallW _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -6300,7 +6309,6 @@ object SparkEntry {
                 ROUND(CASE WHEN g.n_blocks > 0
                             AND g.sum_d_sq > 48 * g.n_blocks
                   THEN 2.0 * CAST(num.nn AS DOUBLE)
-                       / CAST(g.n_blocks AS DOUBLE)
                        / (CAST(g.sum_d_sq AS DOUBLE)
                           - 48.0 * CAST(g.n_blocks AS DOUBLE))
                   ELSE 0.0 END, 6) AS chi2_f
@@ -6317,6 +6325,32 @@ object SparkEntry {
                        / SQRT(2.0 * CAST(n_blocks AS DOUBLE))
                   ELSE 0.0 END, 6) AS z_page
          FROM g""",
+    // q332: column rank sums + per-block raw tie sums on the shared
+    // rank CTE; W is one DECIMAL-widened division
+    "q332_kendall_w" ->
+      s"""$yearRankCte
+         py AS (SELECT yr, CAST(SUM(dij) AS BIGINT) AS d_sum
+                FROM ranked GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) // 3 AS BIGINT) AS n_blocks
+               FROM ranked),
+         tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+                 FROM (SELECT o_custkey, v, COUNT(*) AS t
+                       FROM blocks GROUP BY 1, 2)),
+         sp AS (SELECT g.n_blocks,
+                       CAST(SUM((py.d_sum - 4 * g.n_blocks)
+                                * (py.d_sum - 4 * g.n_blocks)) AS BIGINT)
+                         AS s_prime
+                FROM py, g GROUP BY g.n_blocks)
+         SELECT sp.n_blocks, sp.s_prime, tie.tie_sum,
+                ROUND(CASE WHEN 24 * CAST(sp.n_blocks AS HUGEINT)
+                             * sp.n_blocks
+                           - CAST(sp.n_blocks AS HUGEINT) * tie.tie_sum > 0
+                  THEN CAST(3 * CAST(sp.s_prime AS HUGEINT) AS DOUBLE)
+                       / CAST(24 * CAST(sp.n_blocks AS HUGEINT) * sp.n_blocks
+                              - CAST(sp.n_blocks AS HUGEINT) * tie.tie_sum
+                         AS DOUBLE)
+                  ELSE 0.0 END, 6) AS kendall_w
+         FROM sp CROSS JOIN tie""",
     // q300: Cochran's Q — column totals + row-total moments from one
     // user rollup; N/k eliminated algebraically
     "q300_cochran_q" ->
@@ -7528,6 +7562,119 @@ object SparkEntry {
                               * (9000 * n_g - pred_milli) AS DOUBLE)
                   ELSE 0.0 END, 6) AS hl_term
          FROM agg""",
+    // q330: four exact sufficient rollups (T, Q, ΣT_j², ΣB_i²); every
+    // SS and both F's are spelled-identical double compositions
+    "q330_two_way_anova" ->
+      """WITH spend AS (
+           SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+           GROUP BY 1, 2),
+         kept AS (
+           SELECT * FROM spend
+           WHERE o_custkey IN (SELECT o_custkey FROM spend
+                               GROUP BY 1 HAVING COUNT(*) = 3)),
+         blk AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                  SUM(CAST(b AS HUGEINT) * b) AS sum_b_sq
+           FROM (SELECT o_custkey, SUM(v) AS b FROM kept GROUP BY 1)),
+         yrs AS (
+           SELECT SUM(CAST(t_j AS HUGEINT) * t_j) AS sum_t_sq
+           FROM (SELECT yr, SUM(v) AS t_j FROM kept GROUP BY 1)),
+         g AS (SELECT CAST(SUM(v) AS BIGINT) AS t,
+                      SUM(CAST(v AS HUGEINT) * v) AS q_sq
+               FROM kept),
+         d AS (
+           SELECT blk.n_blocks, CAST(3 AS BIGINT) AS k,
+                  CAST(g.t AS DOUBLE) AS td,
+                  CAST(g.q_sq AS DOUBLE) AS qd,
+                  CAST(yrs.sum_t_sq AS DOUBLE) AS tsq,
+                  CAST(blk.sum_b_sq AS DOUBLE) AS bsq
+           FROM g CROSS JOIN blk CROSS JOIN yrs),
+         ss AS (
+           SELECT n_blocks, k,
+                  qd - td * td / (CAST(n_blocks AS DOUBLE) * 3.0)
+                    AS ss_total,
+                  tsq / CAST(n_blocks AS DOUBLE)
+                    - td * td / (CAST(n_blocks AS DOUBLE) * 3.0) AS ss_treat,
+                  bsq / 3.0
+                    - td * td / (CAST(n_blocks AS DOUBLE) * 3.0) AS ss_block
+           FROM d),
+         sse AS (
+           SELECT n_blocks, k, ss_treat, ss_block,
+                  ss_total - ss_treat - ss_block AS ss_error
+           FROM ss)
+         SELECT n_blocks, k,
+                ROUND(ss_treat, 6) AS ss_treat,
+                ROUND(ss_block, 6) AS ss_block,
+                ROUND(ss_error, 6) AS ss_error,
+                ROUND(CASE WHEN ss_error > 0 AND n_blocks > 1
+                  THEN (ss_treat / 2.0)
+                       / (ss_error / (2.0 * (CAST(n_blocks AS DOUBLE) - 1.0)))
+                  ELSE 0.0 END, 6) AS f_treat,
+                ROUND(CASE WHEN ss_error > 0 AND n_blocks > 1
+                  THEN (ss_block / (CAST(n_blocks AS DOUBLE) - 1.0))
+                       / (ss_error / (2.0 * (CAST(n_blocks AS DOUBLE) - 1.0)))
+                  ELSE 0.0 END, 6) AS f_block
+         FROM sse""",
+    // q331: q321's transition-cell chain verbatim, folded to
+    // off-diagonal pair rows — each term one exact-integer ratio
+    "q331_bowker_symmetry" ->
+      """WITH spend AS (
+           SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+           GROUP BY 1, 2),
+         c AS (SELECT yr, COUNT(*) AS n FROM spend GROUP BY 1),
+         r AS (SELECT c.yr, p.p,
+                      GREATEST(1, CAST(CEIL(p.p * c.n) AS BIGINT)) AS kk
+               FROM c CROSS JOIN (SELECT unnest([CAST(0.2 AS DOUBLE),
+                 CAST(0.4 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                 CAST(0.8 AS DOUBLE)]) AS p) p),
+         o AS (SELECT yr, cents,
+                      ROW_NUMBER() OVER (PARTITION BY yr ORDER BY cents) AS rn
+               FROM spend),
+         cuts AS (SELECT r.yr,
+                      MIN(CASE WHEN r.p = 0.2 THEN o.cents END) AS c1,
+                      MIN(CASE WHEN r.p = 0.4 THEN o.cents END) AS c2,
+                      MIN(CASE WHEN r.p = 0.6 THEN o.cents END) AS c3,
+                      MIN(CASE WHEN r.p = 0.8 THEN o.cents END) AS c4
+               FROM r JOIN o ON o.yr = r.yr AND o.rn = r.kk
+               GROUP BY r.yr),
+         rated AS (
+           SELECT s.o_custkey, s.yr,
+                  1 + CASE WHEN s.cents > u.c1 THEN 1 ELSE 0 END
+                    + CASE WHEN s.cents > u.c2 THEN 1 ELSE 0 END
+                    + CASE WHEN s.cents > u.c3 THEN 1 ELSE 0 END
+                    + CASE WHEN s.cents > u.c4 THEN 1 ELSE 0 END AS q
+           FROM spend s JOIN cuts u ON s.yr = u.yr),
+         paired AS (
+           SELECT o_custkey,
+                  MIN(CASE WHEN yr = 1996 THEN q END) AS i,
+                  MIN(CASE WHEN yr = 1997 THEN q END) AS j
+           FROM rated GROUP BY 1
+           HAVING MIN(CASE WHEN yr = 1996 THEN q END) IS NOT NULL
+              AND MIN(CASE WHEN yr = 1997 THEN q END) IS NOT NULL),
+         cells AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS o
+                   FROM paired WHERE i <> j GROUP BY 1, 2),
+         pairs AS (
+           SELECT LEAST(i, j) AS q_lo, GREATEST(i, j) AS q_hi,
+                  CAST(SUM(CASE WHEN i < j THEN o ELSE 0 END) AS BIGINT)
+                    AS n_up,
+                  CAST(SUM(CASE WHEN i > j THEN o ELSE 0 END) AS BIGINT)
+                    AS n_down
+           FROM cells GROUP BY 1, 2)
+         SELECT CAST(q_lo AS BIGINT) AS q_lo, CAST(q_hi AS BIGINT) AS q_hi,
+                n_up, n_down,
+                ROUND(CASE WHEN n_up + n_down > 0
+                  THEN CAST((n_up - n_down) * (n_up - n_down) AS DOUBLE)
+                       / CAST(n_up + n_down AS DOUBLE)
+                  ELSE 0.0 END, 6) AS term
+         FROM pairs""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -2554,9 +2554,14 @@ object Stats {
     *
     * Exactness: doubled within-block average ranks d_ij (BIGINT), so
     * the per-year rank sums D_j = Σ 2r_ij and S = Σ d_ij² are exact.
-    * Tie-corrected statistic straight from them: with R̄ centered at
-    * (k+1)/2, χ²_F = (k−1)·[Σ_j (D_j − n(k+1))²/n] / (S − nk(k+1)²)
-    * — one final double, spelled identically on both engines.
+    * Tie-corrected statistic straight from them (Conover's form, in
+    * doubled units): χ²_F = (k−1)·Σ_j (D_j − n(k+1))² / (S − nk(k+1)²)
+    * — one final double, spelled identically on both engines. (An
+    * earlier revision carried a spurious /n here — in BOTH the plan
+    * and the oracle, so the hash gate agreed on the wrong number; the
+    * q332 Kendall-W identity χ²_F = n(k−1)·W, computed through an
+    * independent construction, is what exposed it. Spec-pinned
+    * against the textbook average-rank recount AND the identity.)
     *
     * Scale shape: one (custkey, year) rollup, the complete-block
     * semi-filter on the same key, a k=3-row window per block (keyed,
@@ -2576,7 +2581,6 @@ object Stats {
           max(col("sum_d_sq")) > lit(48L) * max(col("n_blocks")),
           lit(2.0) * sum(d2(col("d_sum") - lit(4L) * col("n_blocks")) *
             d2(col("d_sum") - lit(4L) * col("n_blocks"))) /
-            d2(max(col("n_blocks"))) /
             (d2(max(col("sum_d_sq"))) - lit(48.0) * d2(max(col("n_blocks")))))
           .otherwise(lit(0.0)), 6).as("chi2_f"))
     perYear.crossJoin(broadcast(glob)).crossJoin(broadcast(chi))
@@ -3380,6 +3384,30 @@ object Stats {
     * never a row rank); the 5×5 cell grid and its marginals are
     * bounded. */
   def qWeightedKappa(s: SparkSession, d: String): DataFrame = {
+    val cells = quintileTransitionCells(s, d)
+    val tot = cells.agg(sum("o").as("n"),
+      sum((col("i") - col("j")) * (col("i") - col("j")) * col("o"))
+        .as("sum_w_obs"))
+    val wexp = cells.groupBy(col("i")).agg(sum("o").as("r"))
+      .crossJoin(cells.groupBy(col("j")).agg(sum("o").as("c")))
+      .agg(sum(dec((col("i") - col("j")) * (col("i") - col("j")))
+        * dec(col("r")) * dec(col("c"))).as("sum_w_exp_d"))
+    tot.crossJoin(broadcast(wexp))
+      .select(col("n"), col("sum_w_obs"),
+        col("sum_w_exp_d").cast("long").as("sum_w_exp"))
+      .withColumn("weighted_kappa", expr(
+        """ROUND(CASE WHEN sum_w_exp > 0
+             THEN 1.0 - CAST(CAST(n AS DECIMAL(38,0)) * sum_w_obs AS DOUBLE)
+                        / CAST(sum_w_exp AS DOUBLE)
+             ELSE 1.0 END, 6)"""))
+  }
+
+  /** Shared by q321/q331: the year-over-year quintile transition
+    * cells — each customer active in both 1996 and 1997 rated by each
+    * year's spend quintile (per-year discrete order-statistic cuts,
+    * value-based so ties rate identically), rolled up to (i, j, o)
+    * counts over the 5×5 grid. */
+  private def quintileTransitionCells(s: SparkSession, d: String): DataFrame = {
     val spend = orders(s, d)
       .filter(col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1998-01-01"))
@@ -3400,26 +3428,11 @@ object Stats {
           + (col("cents") > col("c2")).cast("long")
           + (col("cents") > col("c3")).cast("long")
           + (col("cents") > col("c4")).cast("long")).as("q"))
-    val both = rated.groupBy("o_custkey")
+    rated.groupBy("o_custkey")
       .agg(min(when(col("yr") === 1996, col("q"))).as("i"),
         min(when(col("yr") === 1997, col("q"))).as("j"))
       .filter(col("i").isNotNull && col("j").isNotNull)
-    val cells = both.groupBy("i", "j").agg(count(lit(1)).as("o"))
-    val tot = cells.agg(sum("o").as("n"),
-      sum((col("i") - col("j")) * (col("i") - col("j")) * col("o"))
-        .as("sum_w_obs"))
-    val wexp = cells.groupBy(col("i")).agg(sum("o").as("r"))
-      .crossJoin(cells.groupBy(col("j")).agg(sum("o").as("c")))
-      .agg(sum(dec((col("i") - col("j")) * (col("i") - col("j")))
-        * dec(col("r")) * dec(col("c"))).as("sum_w_exp_d"))
-    tot.crossJoin(broadcast(wexp))
-      .select(col("n"), col("sum_w_obs"),
-        col("sum_w_exp_d").cast("long").as("sum_w_exp"))
-      .withColumn("weighted_kappa", expr(
-        """ROUND(CASE WHEN sum_w_exp > 0
-             THEN 1.0 - CAST(CAST(n AS DECIMAL(38,0)) * sum_w_obs AS DOUBLE)
-                        / CAST(sum_w_exp AS DOUBLE)
-             ELSE 1.0 END, 6)"""))
+      .groupBy("i", "j").agg(count(lit(1)).as("o"))
   }
 
   /** q322: Durbin–Watson statistic on the residuals of the per-type
@@ -3476,6 +3489,142 @@ object Stats {
         round(when(col("sse") > 0, d2(col("scross")) / d2(col("sse")))
           .otherwise(lit(0.0)), 6).as("rho1_resid"))
       .orderBy("event_type")
+  }
+
+  /** q330: two-way ANOVA without replication (randomized complete
+    * block) over the q299 blocks — the PARAMETRIC twin of Friedman on
+    * the same customers × years layout (Friedman judges within-block
+    * ORDERINGS; this decomposes the actual cents into treatment/block/
+    * error sums of squares and prices both effects as F ratios —
+    * Fisher's RCB design read as "did years shift spend once each
+    * customer is their own control?"). Read with q248: the variance-
+    * homogeneity check this F assumes.
+    *
+    * Exactness: the four sufficient statistics — grand total T, grand
+    * square sum Q, per-year totals ΣT_j², per-block totals ΣB_i² —
+    * are exact BIGINT/DECIMAL(38,0) rollups; every SS and both F's
+    * are spelled-identical double compositions of those exact
+    * integers (IEEE ·/÷ only), rounded 6. Degenerate zero error SS
+    * guards to 0.
+    *
+    * Scale shape: one (custkey, year) rollup, the complete-block
+    * filter on the same key, one block-total rollup riding the same
+    * partitioning, ≤3-row year totals; scalar math after. */
+  def qTwoWayAnova(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("v"))
+    val complete = spend.groupBy("o_custkey")
+      .agg(count(lit(1)).as("ky")).filter(col("ky") === 3)
+      .select("o_custkey")
+    val kept = spend.join(complete, Seq("o_custkey"))
+    val blocks = kept.groupBy("o_custkey").agg(sum("v").as("b"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("b")) * col("b")).as("sum_b_sq"))
+    val years = kept.groupBy("yr").agg(sum("v").as("t_j"))
+      .agg(sum(dec(col("t_j")) * col("t_j")).as("sum_t_sq"))
+    val glob = kept.agg(sum("v").as("t"),
+      sum(dec(col("v")) * col("v")).as("q_sq"))
+    glob.crossJoin(broadcast(blocks)).crossJoin(broadcast(years))
+      .select(col("n_blocks"), lit(3L).as("k"),
+        d2(col("t")).as("td"), d2(col("q_sq")).as("qd"),
+        d2(col("sum_t_sq")).as("tsq"), d2(col("sum_b_sq")).as("bsq"))
+      .withColumn("cf", col("td") * col("td") /
+        (d2(col("n_blocks")) * lit(3.0)))
+      .withColumn("ss_total", col("qd") - col("cf"))
+      .withColumn("ss_treat", col("tsq") / d2(col("n_blocks")) - col("cf"))
+      .withColumn("ss_block", col("bsq") / lit(3.0) - col("cf"))
+      .withColumn("ss_error",
+        col("ss_total") - col("ss_treat") - col("ss_block"))
+      .withColumn("f_treat", round(
+        when(col("ss_error") > 0 && col("n_blocks") > 1,
+          (col("ss_treat") / lit(2.0)) /
+            (col("ss_error") / (lit(2.0) * (d2(col("n_blocks")) - 1.0))))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("f_block", round(
+        when(col("ss_error") > 0 && col("n_blocks") > 1,
+          (col("ss_block") / (d2(col("n_blocks")) - 1.0)) /
+            (col("ss_error") / (lit(2.0) * (d2(col("n_blocks")) - 1.0))))
+          .otherwise(lit(0.0)), 6))
+      .select(col("n_blocks"), col("k"),
+        round(col("ss_treat"), 6).as("ss_treat"),
+        round(col("ss_block"), 6).as("ss_block"),
+        round(col("ss_error"), 6).as("ss_error"),
+        col("f_treat"), col("f_block"))
+  }
+
+  /** q331: Bowker's test of symmetry over the q321 quintile
+    * transition matrix — the k×k generalization of q296's McNemar
+    * (McNemar asks a 2×2 "did flips balance?"; Bowker '48 asks it of
+    * every off-diagonal pair at once): do customers move UP the spend
+    * quintiles as often as DOWN, pair by pair? χ² = Σ_{i<j}
+    * (n_ij − n_ji)²/(n_ij + n_ji), df = #pairs with any movement.
+    *
+    * Exactness: the cells are q321's exact counts (shared
+    * construction, [[quintileTransitionCells]]); each term is one
+    * exact-integer ratio rounded 6 over the ≤10 off-diagonal pairs
+    * (the q319 bounded-terms precedent — per-pair rows keep the gate
+    * informative; the spec sums them).
+    *
+    * Scale shape: q321's plan plus a 25-cell fold. */
+  def qBowkerSymmetry(s: SparkSession, d: String): DataFrame = {
+    val cells = quintileTransitionCells(s, d).filter(col("i") =!= col("j"))
+    cells
+      .select(least(col("i"), col("j")).as("q_lo"),
+        greatest(col("i"), col("j")).as("q_hi"),
+        when(col("i") < col("j"), col("o")).otherwise(lit(0L)).as("up"),
+        when(col("i") > col("j"), col("o")).otherwise(lit(0L)).as("down"))
+      .groupBy("q_lo", "q_hi")
+      .agg(sum("up").as("n_up"), sum("down").as("n_down"))
+      .withColumn("term", round(
+        when(col("n_up") + col("n_down") > 0,
+          d2((col("n_up") - col("n_down")) * (col("n_up") - col("n_down"))) /
+            d2(col("n_up") + col("n_down")))
+          .otherwise(lit(0.0)), 6))
+      .orderBy("q_lo", "q_hi")
+  }
+
+  /** q332: Kendall's coefficient of concordance W over the q299
+    * blocks — the EFFECT SIZE Friedman's χ² lacks (χ² says "the years
+    * differ"; W ∈ [0,1] says how strongly the customers AGREE on the
+    * ordering — the inter-rater-reliability reading of the same
+    * ranks, Kendall & Babington Smith '39). Computed independently of
+    * q299 (column rank sums + per-block tie sums, not the Friedman
+    * statistic), and the spec asserts the classic identity
+    * χ²_F = n(k−1)·W against q299's output.
+    *
+    * Exactness: with doubled ranks, S′ = Σ_j (D_j − n(k+1))² is
+    * 4·the classic deviation sum and the tie term Σ(t³−t) is exact,
+    * so W = 3·S′/(n²(k³−k) − n·Σ(t³−t)) — DECIMAL-widened integers,
+    * one division, rounded 6. Fully-tied degenerate guards to 0.
+    *
+    * Scale shape: q299's plan plus a (block, value) tie rollup riding
+    * the same key. */
+  def qKendallW(s: SparkSession, d: String): DataFrame = {
+    val ranked = yearSpendRanks(s, d)
+    val perYear = ranked.groupBy("yr").agg(sum(col("dij")).as("d_sum"))
+    val ties = ranked.groupBy("o_custkey", "v")
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+    val glob = ranked.agg(
+      (count(lit(1)) / lit(3L)).cast("long").as("n_blocks"))
+    perYear.crossJoin(broadcast(glob))
+      .agg(max(col("n_blocks")).as("n_blocks"),
+        sum(dec(col("d_sum") - lit(4L) * col("n_blocks")) *
+          (col("d_sum") - lit(4L) * col("n_blocks"))).cast("long")
+          .as("s_prime"))
+      .crossJoin(broadcast(ties))
+      .withColumn("kendall_w", expr(
+        """ROUND(CASE WHEN 24 * CAST(n_blocks AS DECIMAL(38,0)) * n_blocks
+                        - CAST(n_blocks AS DECIMAL(38,0)) * tie_sum > 0
+             THEN CAST(3 * CAST(s_prime AS DECIMAL(38,0)) AS DOUBLE)
+                  / CAST(24 * CAST(n_blocks AS DECIMAL(38,0)) * n_blocks
+                         - CAST(n_blocks AS DECIMAL(38,0)) * tie_sum
+                    AS DOUBLE)
+             ELSE 0.0 END, 6)"""))
   }
 
   /** q328: partial correlation of quantity and price CONTROLLING for

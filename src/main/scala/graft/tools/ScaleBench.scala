@@ -201,7 +201,23 @@ object ScaleBench {
       // the two-pass outlier test, and the reliability pivot rollup
       "q315_lang_confusion", "q316_grubbs", "q317_cronbach",
       // the calendar-bounded backtest and the bucket-cell distance matrix
-      "q318_mase", "q319_hellinger")
+      "q318_mase", "q319_hellinger",
+      // round 21 (r10) continuation 5: the agreement pair (q320's
+      // orderkey rollup ×factor; q321's customer aggregate ×factor
+      // through the value-domain cut device), the calendar-bounded
+      // serial diagnostics (q322/q323 — should be flat like q307),
+      // the brand-partition modularity (backbone edges ×factor under
+      // the partkey namespace shift), the two text scans (docs
+      // ×factor, map-side rollups), the Holt hourly fold
+      // (calendar-bounded), the confounder rollup (map-side, flat
+      // per-row), and the calibration test (score-domain cuts)
+      "q320_fleiss_kappa", "q321_weighted_kappa", "q322_durbin_watson",
+      "q323_pettitt", "q324_brand_modularity", "q325_flesch",
+      "q326_simpson", "q327b_holt_batch", "q328_partial_corr",
+      "q329_hosmer_lemeshow",
+      // the RCB ANOVA and concordance ride q299's block rollups
+      // (blocks ×factor); Bowker rides q321's cells
+      "q330_two_way_anova", "q331_bowker_symmetry", "q332_kendall_w")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -55,9 +55,21 @@ class Round10cSpec extends AnyFunSuite {
     }
     // ranks within each block must sum to k(k+1) doubled = 12
     blockRanks.values.foreach(m => assert(m.values.sum === 12L))
-    val num = dSum.values.map(d => (d - 4L * n) * (d - 4L * n)).sum.toDouble
-    val want = 2.0 * num / n / (sumDsq - 48.0 * n)
+    // textbook (Conover) tie-corrected Friedman in AVERAGE-rank units,
+    // computed independently of the doubled-rank algebra: the formula
+    // the operator's doubled form must reduce to (the earlier /n slip
+    // agreed between plan, oracle AND a recount derived from the
+    // operator — this recount is derived from the textbook instead)
+    val rj = dSum.view.mapValues(_.toDouble / 2.0).toMap
+    val sumR2 = sumDsq.toDouble / 4.0
+    val s = rj.values.map(r => math.pow(r - n * 2.0, 2)).sum
+    val want = 2.0 * s / (sumR2 - n * 12.0)
     assert(math.abs(got.head.getAs[Double]("chi2_f") - want) < 1e-5)
+    // and the classic untied spelling must agree on this fixture's
+    // near-tieless data
+    val untied = 12.0 / (n * 12.0) *
+      rj.values.map(r => r * r).sum - 3.0 * n * 4.0
+    assert(math.abs(want - untied) < 1e-6 * math.abs(untied) + 1e-4)
   }
 
   test("q302 Page's L matches the weighted rank fold") {

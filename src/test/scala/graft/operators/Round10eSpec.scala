@@ -337,6 +337,92 @@ class Round10eSpec extends AnyFunSuite {
     assert(math.abs(hlGot - hlSum) < 1e-3)
   }
 
+  test("q330 RCB ANOVA matches a textbook sums-of-squares recount") {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .select(col("o_custkey").cast("long"),
+        year(col("o_orderdate")).cast("long"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val blocks = spend.groupBy(_._1._1).collect {
+      case (ck, vs) if vs.size == 3 =>
+        (1996L to 1998L).map(y => vs((ck, y)).toDouble)
+    }.toSeq
+    val n = blocks.length; val k = 3
+    val all = blocks.flatten
+    val t = all.sum; val q = all.map(x => x * x).sum
+    val cf = t * t / (n * k)
+    val ssTotal = q - cf
+    val ssTreat = (0 until k).map(j =>
+      math.pow(blocks.map(_(j)).sum, 2)).sum / n - cf
+    val ssBlock = blocks.map(b => b.sum * b.sum).sum / k - cf
+    val ssErr = ssTotal - ssTreat - ssBlock
+    val fTreat = (ssTreat / (k - 1)) / (ssErr / ((n - 1) * (k - 1)))
+    val got = Stats.qTwoWayAnova(spark, sf).collect().head
+    assert(got.getAs[Long]("n_blocks") === n.toLong)
+    // SS magnitudes are ~1e17 cents^2: compare relatively
+    assert(math.abs(got.getAs[Double]("ss_treat") - ssTreat)
+      <= 1e-9 * math.abs(ssTreat) + 1e-3)
+    assert(math.abs(got.getAs[Double]("ss_error") - ssErr)
+      <= 1e-9 * math.abs(ssErr) + 1e-3)
+    assert(math.abs(got.getAs[Double]("f_treat") - fTreat) < 1e-4)
+  }
+
+  test("q331 Bowker cells are antisymmetric-consistent with a recount") {
+    // recount the transition matrix through the q321 cut definition
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_custkey").cast("long"),
+        year(col("o_orderdate")).cast("long"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    def cuts(yr: Long): Seq[Long] = {
+      val vs = spend.collect { case ((_, y), v) if y == yr => v }.toSeq.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        vs(math.max(1, math.ceil(p * vs.length).toLong).toInt - 1)
+      }
+    }
+    val c96 = cuts(1996); val c97 = cuts(1997)
+    val moves = spend.keys.map(_._1).toSeq.distinct.flatMap { ck =>
+      (spend.get((ck, 1996)), spend.get((ck, 1997))) match {
+        case (Some(a), Some(b)) =>
+          Some((1 + c96.count(a > _), 1 + c97.count(b > _)))
+        case _ => None
+      }
+    }.filter(p => p._1 != p._2)
+    val got = Stats.qBowkerSymmetry(spark, sf).collect()
+    var chi2 = 0.0
+    got.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("q_lo").toInt, r.getAs[Long]("q_hi").toInt)
+      assert(lo < hi)
+      val up = moves.count(p => p._1 == lo && p._2 == hi).toLong
+      val down = moves.count(p => p._1 == hi && p._2 == lo).toLong
+      assert(r.getAs[Long]("n_up") === up)
+      assert(r.getAs[Long]("n_down") === down)
+      chi2 += r.getAs[Double]("term")
+    }
+    assert(got.map(r => r.getAs[Long]("n_up") + r.getAs[Long]("n_down")).sum
+      === moves.length.toLong)
+    assert(chi2 >= 0.0)
+  }
+
+  test("q332 Kendall's W satisfies the chi2_F = n(k-1)W identity vs q299") {
+    val w = Stats.qKendallW(spark, sf).collect().head
+    val n = w.getAs[Long]("n_blocks")
+    val fried = Stats.qFriedman(spark, sf).collect().head
+    assert(fried.getAs[Long]("n_blocks") === n)
+    val chi2 = fried.getAs[Double]("chi2_f")
+    val ident = n * 2.0 * w.getAs[Double]("kendall_w")
+    assert(math.abs(chi2 - ident) < 1e-2,
+      s"chi2_F=$chi2 vs n(k-1)W=$ident")
+    val kw = w.getAs[Double]("kendall_w")
+    assert(kw >= 0.0 && kw <= 1.0)
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
