@@ -418,6 +418,11 @@ object Bench {
     "q330_two_way_anova",
     "q331_bowker_symmetry",
     "q332_kendall_w",
+    // the calibration metric (score-domain bins), the burstiness and
+    // keyness rollups (vocab-sized windows per source)
+    "q333_calibration_error",
+    "q334_term_burstiness",
+    "q335_keyness",
   )
 
   def main(args: Array[String]): Unit = {

@@ -820,6 +820,15 @@ object SparkEntry {
     // q332: Kendall's W — the concordance effect size for q299,
     // computed independently (spec pins the χ²_F = n(k−1)·W identity)
     "q332_kendall_w" -> (Stats.qKendallW _),
+    // q333: ECE/MCE — the reported calibration metric beside q329's
+    // test; exact-integer gap numerators
+    "q333_calibration_error" -> (Stats.qCalibrationError _),
+    // q334: term burstiness (Church–Gale cf/df) — the clumping
+    // readout beside q182's temporal Fano factor
+    "q334_term_burstiness" -> ((s, d) => TextAnalysis.qTermBurstiness(s, d)),
+    // q335: chi-square keyness per source vs rest-of-corpus — the
+    // slice-comparison verb; LLR reported, χ² ranks (exact-rational)
+    "q335_keyness" -> ((s, d) => TextAnalysis.qKeyness(s, d)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7675,6 +7684,123 @@ object SparkEntry {
                        / CAST(n_up + n_down AS DOUBLE)
                   ELSE 0.0 END, 6) AS term
          FROM pairs""",
+    // q333: ECE's numerator is one BIGINT sum of per-bin |9000·O − S|
+    // gaps; MCE the max of the same exact integers divided per bin
+    "q333_calibration_error" ->
+      """WITH sc AS (
+           SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS is_pos,
+                  LEAST(n_toks * 100 + hits * 10 + dhits, 9000) AS sm
+           FROM (SELECT doc_id, n_chars,
+                        len(list_filter(toks, t -> t IN ('the','a','of',
+                          'and','to','in','is','it'))) AS hits,
+                        len(list_intersect(list_distinct(toks),
+                          ['the','a','of','and','to','in','is','it']))
+                          AS dhits,
+                        len(toks) AS n_toks
+                 FROM (SELECT doc_id, n_chars,
+                              string_split_regex(lower(text), '\s+') AS toks
+                       FROM documents))),
+         bins AS (
+           SELECT LEAST(9, sm * 10 // 9000) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n_b,
+                  CAST(SUM(is_pos) AS BIGINT) AS obs_pos,
+                  CAST(SUM(sm) AS BIGINT) AS pred_milli
+           FROM sc GROUP BY 1),
+         gaps AS (
+           SELECT bin, n_b, obs_pos, pred_milli,
+                  CAST(ABS(9000 * obs_pos - pred_milli) AS BIGINT) AS abs_gap
+           FROM bins),
+         tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+                        CAST(SUM(abs_gap) AS BIGINT) AS gap_sum
+                 FROM gaps),
+         mx AS (SELECT MAX(CAST(abs_gap AS DOUBLE)
+                           / (9000.0 * CAST(n_b AS DOUBLE))) AS mce_raw
+                FROM gaps)
+         SELECT CAST(g.bin AS BIGINT) AS bin, g.n_b, g.obs_pos,
+                g.pred_milli, g.abs_gap,
+                ROUND(CAST(g.abs_gap AS DOUBLE)
+                      / (9000.0 * CAST(g.n_b AS DOUBLE)), 6) AS bin_gap,
+                ROUND(CAST(t.gap_sum AS DOUBLE)
+                      / (9000.0 * CAST(t.n AS DOUBLE)), 6) AS ece,
+                ROUND(mx.mce_raw, 6) AS mce
+         FROM gaps g CROSS JOIN tot t CROSS JOIN mx""",
+    // q334: cf/df is an exact-rational-valued double — deterministic
+    // (burstiness DESC, term) total order
+    "q334_term_burstiness" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           FROM documents),
+         stats AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cf,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok WHERE len(w) > 0 GROUP BY 1, 2),
+         scored AS (
+           SELECT source, w, cf, df,
+                  ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+                    AS burstiness
+           FROM stats WHERE df >= 3),
+         ranked AS (
+           SELECT source, w, cf, df, burstiness,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY burstiness DESC, w) AS BIGINT) AS rank
+           FROM scored)
+         SELECT source, rank, w AS term, cf, df, burstiness
+         FROM ranked WHERE rank <= 5""",
+    // q335: χ² keyness ranks (exact-rational double); LLR reported
+    // at round 4 (the ln precedent) but never orders
+    "q335_keyness" ->
+      """WITH tok AS (
+           SELECT source,
+                  unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+           FROM documents),
+         bysrc AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+           FROM tok WHERE len(w) > 0 GROUP BY 1, 2),
+         tterm AS (SELECT w, CAST(SUM(a) AS BIGINT) AS ab
+                   FROM bysrc GROUP BY 1),
+         tsrc AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n1
+                  FROM bysrc GROUP BY 1),
+         grand AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM tsrc),
+         cells AS (
+           SELECT b.source, b.w, b.a, t.ab - b.a AS bb,
+                  s.n1, g.nn - s.n1 AS n2, t.ab, g.nn
+           FROM bysrc b
+           JOIN tterm t ON b.w = t.w
+           JOIN tsrc s ON b.source = s.source
+           CROSS JOIN grand g
+           WHERE CAST(b.a AS HUGEINT) * (g.nn - s.n1)
+                 > CAST(t.ab - b.a AS HUGEINT) * s.n1),
+         scored AS (
+           SELECT source, w, a, bb,
+                  ROUND(CAST(nn AS DOUBLE)
+                    * CAST(CAST(a AS HUGEINT) * n2
+                           - CAST(bb AS HUGEINT) * n1 AS DOUBLE)
+                    * CAST(CAST(a AS HUGEINT) * n2
+                           - CAST(bb AS HUGEINT) * n1 AS DOUBLE)
+                    / (CAST(ab AS DOUBLE) * CAST(nn - ab AS DOUBLE)
+                       * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+                    AS chi2_keyness,
+                  ROUND(2.0 * (
+                    CASE WHEN a > 0
+                      THEN CAST(a AS DOUBLE)
+                           * ln(CAST(a AS DOUBLE) * CAST(nn AS DOUBLE)
+                                / (CAST(n1 AS DOUBLE) * CAST(ab AS DOUBLE)))
+                      ELSE 0.0 END +
+                    CASE WHEN bb > 0
+                      THEN CAST(bb AS DOUBLE)
+                           * ln(CAST(bb AS DOUBLE) * CAST(nn AS DOUBLE)
+                                / (CAST(n2 AS DOUBLE) * CAST(ab AS DOUBLE)))
+                      ELSE 0.0 END), 4) AS llr
+           FROM cells),
+         ranked AS (
+           SELECT source, w, a, bb, chi2_keyness, llr,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY chi2_keyness DESC, w) AS BIGINT) AS rank
+           FROM scored)
+         SELECT source, rank, w AS term, a AS cf_in, bb AS cf_rest,
+                chi2_keyness, llr
+         FROM ranked WHERE rank <= 5""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

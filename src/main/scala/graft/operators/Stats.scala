@@ -3732,6 +3732,47 @@ object Stats {
       .orderBy("hl_group")
   }
 
+  /** q333: expected / maximum calibration error over the proxy
+    * classifier — the METRIC the q329 test prices as a p-value and
+    * q230 draws as a table (ECE is the number model cards actually
+    * report; Naeini '15): ten equal-WIDTH probability bins (the
+    * standard ECE binning, vs q329's equal-count deciles), gap =
+    * |observed − predicted| per bin, ECE the n-weighted mean gap, MCE
+    * the worst bin.
+    *
+    * Exactness: ECE has an exact INTEGER numerator — Σ_b n_b·|O_b/n_b
+    * − S_b/(9000·n_b)| = Σ_b |9000·O_b − S_b| / (9000·n) — so the
+    * headline metric is ONE division over a BIGINT sum; per-bin gaps
+    * and MCE are the same exact integers divided per bin, identical
+    * doubles on both engines.
+    *
+    * Scale shape: one scan onto the fixed score domain; ten rows
+    * after. */
+  def qCalibrationError(s: SparkSession, d: String): DataFrame = {
+    val bins = proxyScored(s, d)
+      .select(col("is_pos"),
+        least(col("score_milli"), lit(9000L)).as("sm"))
+      .withColumn("bin", least(lit(9L), expr("sm * 10 div 9000")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum(col("is_pos")).as("obs_pos"),
+        sum(col("sm")).as("pred_milli"))
+      .withColumn("abs_gap",
+        abs(lit(9000L) * col("obs_pos") - col("pred_milli")))
+    val tot = bins.agg(sum(col("n_b")).as("n"),
+      sum(col("abs_gap")).as("gap_sum"))
+    val mce = bins.agg(max(d2(col("abs_gap")) /
+      (lit(9000.0) * d2(col("n_b")))).as("mce_raw"))
+    bins.crossJoin(broadcast(tot)).crossJoin(broadcast(mce))
+      .select(col("bin"), col("n_b"), col("obs_pos"), col("pred_milli"),
+        col("abs_gap"),
+        round(d2(col("abs_gap")) / (lit(9000.0) * d2(col("n_b"))), 6)
+          .as("bin_gap"),
+        round(d2(col("gap_sum")) / (lit(9000.0) * d2(col("n"))), 6)
+          .as("ece"),
+        round(col("mce_raw"), 6).as("mce"))
+      .orderBy("bin")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -1317,6 +1318,98 @@ object TextAnalysis {
         when(col("n_tokens") > 0, d2(col("max_c")) / d2(col("n_tokens")))
           .otherwise(lit(0.0)), 6))
       .orderBy("source")
+  }
+
+  /** q334: term burstiness per source — Church & Gale's observation
+    * that content words CLUMP (a term's total count divided by the
+    * number of documents containing it: boilerplate and function
+    * words sit near 1, topical/templated terms burst): top-5 bursty
+    * terms per source with a df ≥ 3 floor, the corpus-linguistics
+    * readout beside q182's temporal Fano factor (same
+    * variance-to-mean idea, document axis instead of time) and the
+    * q126/q59 repetition screens.
+    *
+    * Exactness/determinism: cf and df are exact counts; burstiness =
+    * cf/df is an exact-rational-valued double (identical on both
+    * engines), and the top-5 cut orders by (that double DESC, term) —
+    * a deterministic total order.
+    *
+    * Scale shape: one (source, term, doc) dedup + one (source, term)
+    * rollup, both collapsing map-side onto the bounded vocabulary;
+    * the rank window walks vocab-sized rows per source. */
+  def qTermBurstiness(s: SparkSession, d: String, topK: Int = 5,
+      minDf: Long = 3L): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val stats = tok.groupBy("source", "w")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness", round(d2(col("cf")) / d2(col("df")), 6))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("burstiness").desc, col("w"))
+    stats.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("w").as("term"),
+        col("cf"), col("df"), col("burstiness"))
+      .orderBy("source", "rank")
+  }
+
+  /** q335: keyness — which terms are OVER-represented in each source
+    * vs the rest of the corpus (the corpus-comparison verb behind
+    * every "what makes this slice different" report; q94's corpus
+    * diff compares SNAPSHOTS of one corpus, this compares SLICES):
+    * per source, the top-5 terms by the 2×2 chi-square keyness
+    * statistic χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with a = term
+    * count in the source, b = in the rest (Kilgarriff's framing of
+    * Dunning '93; the LLR twin is reported alongside, rounded 4, but
+    * the RANKING uses χ² because it is an exact-rational-valued
+    * double — cross-engine ln ulps can flip near-tied LLR orderings,
+    * the q146 lesson applied to ORDER BY).
+    *
+    * Scale shape: one (source, term) rollup; the rest-of-corpus side
+    * is the global term rollup joined back (vocab-sized, broadcast);
+    * the rank window walks vocab-sized rows per source. Signed:
+    * only over-represented terms (a·n2 > b·n1) rank. */
+  def qKeyness(s: SparkSession, d: String, topK: Int = 5): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tok = documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val bySrc = tok.groupBy("source", "w").agg(count(lit(1)).as("a"))
+    val totTerm = bySrc.groupBy("w").agg(sum(col("a")).as("ab"))
+    val totSrc = bySrc.groupBy("source").agg(sum(col("a")).as("n1"))
+    val grand = totSrc.agg(sum(col("n1")).as("nn"))
+    val cells = bySrc
+      .join(broadcast(totTerm), Seq("w"))
+      .join(broadcast(totSrc), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("ab") - col("a"))
+      .withColumn("n2", col("nn") - col("n1"))
+      // over-representation only: a/n1 > b/n2, cross-multiplied exact
+      .filter(dec(col("a")) * col("n2") > dec(col("b")) * col("n1"))
+      .withColumn("chi2_keyness", round(
+        d2(dec(col("nn"))) *
+          d2(dec(col("a")) * col("n2") - dec(col("b")) * col("n1")) *
+          d2(dec(col("a")) * col("n2") - dec(col("b")) * col("n1")) /
+          (d2(dec(col("ab"))) * d2(dec(col("nn")) - col("ab")) *
+            d2(dec(col("n1"))) * d2(dec(col("n2")))), 6))
+      .withColumn("llr", round(lit(2.0) * (
+        when(col("a") > 0, d2(col("a")) *
+          log(d2(col("a")) * d2(col("nn")) /
+            (d2(col("n1")) * d2(col("ab"))))).otherwise(lit(0.0)) +
+        when(col("b") > 0, d2(col("b")) *
+          log(d2(col("b")) * d2(col("nn")) /
+            (d2(col("n2")) * d2(col("ab"))))).otherwise(lit(0.0))), 4))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("chi2_keyness").desc, col("w"))
+    cells.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("w").as("term"),
+        col("a").as("cf_in"), col("b").as("cf_rest"),
+        col("chi2_keyness"), col("llr"))
+      .orderBy("source", "rank")
   }
 
   private val d2 = (c: Column) => c.cast("double")

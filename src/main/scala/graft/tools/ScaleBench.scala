@@ -217,7 +217,10 @@ object ScaleBench {
       "q329_hosmer_lemeshow",
       // the RCB ANOVA and concordance ride q299's block rollups
       // (blocks ×factor); Bowker rides q321's cells
-      "q330_two_way_anova", "q331_bowker_symmetry", "q332_kendall_w")
+      "q330_two_way_anova", "q331_bowker_symmetry", "q332_kendall_w",
+      // the score-domain calibration metric and the two vocab-rollup
+      // text readouts (vocab grows ~linearly under the bijection)
+      "q333_calibration_error", "q334_term_burstiness", "q335_keyness")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

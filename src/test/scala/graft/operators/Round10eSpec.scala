@@ -423,6 +423,103 @@ class Round10eSpec extends AnyFunSuite {
     assert(kw >= 0.0 && kw <= 1.0)
   }
 
+  test("q333 ECE/MCE match a per-bin recount") {
+    val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"), col("n_chars").cast("long"))
+      .collect().map { r =>
+        val toks = r.getString(0).toLowerCase.split("\\s+").toSeq
+        val score = toks.length * 100L +
+          toks.count(stops) * 10L + toks.distinct.count(stops)
+        (if (r.getLong(1) >= 300) 1L else 0L, math.min(score, 9000L))
+      }
+    val byBin = docs.groupBy { case (_, sm) => math.min(9L, sm * 10 / 9000) }
+    val n = docs.length.toLong
+    val gaps = byBin.view.mapValues { g =>
+      (g.length.toLong, g.map(_._1).sum, g.map(_._2).sum)
+    }.toMap
+    val eceNum = gaps.values.map { case (_, o, s0) =>
+      math.abs(9000L * o - s0) }.sum
+    val got = Stats.qCalibrationError(spark, sf).collect()
+    assert(got.length === gaps.size)
+    got.foreach { r =>
+      val (nb, o, s0) = gaps(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_b") === nb)
+      assert(r.getAs[Long]("obs_pos") === o)
+      assert(r.getAs[Long]("abs_gap") === math.abs(9000L * o - s0))
+      assert(math.abs(r.getAs[Double]("ece")
+        - eceNum.toDouble / (9000.0 * n)) < 1e-6)
+    }
+    val mce = gaps.values.map { case (nb, o, s0) =>
+      math.abs(9000L * o - s0).toDouble / (9000.0 * nb) }.max
+    assert(math.abs(got.head.getAs[Double]("mce") - mce) < 1e-6)
+  }
+
+  test("q334 burstiness top-5 matches a cf/df recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("source"), lower(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stats = docs.flatMap { case (id, src, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w => (src, w, id))
+    }.groupBy(x => (x._1, x._2)).view.mapValues { occ =>
+      (occ.length.toLong, occ.map(_._3).distinct.length.toLong)
+    }.toMap
+    val got = TextAnalysis.qTermBurstiness(spark, sf).collect()
+    got.foreach { r =>
+      val (cf, df) = stats((r.getAs[String]("source"), r.getAs[String]("term")))
+      assert(r.getAs[Long]("cf") === cf)
+      assert(r.getAs[Long]("df") === df)
+      assert(df >= 3L)
+    }
+    // the ranked cut must be the true top-5 of the (rounded burstiness
+    // DESC, term) order per source
+    got.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      // NB: .toSeq BEFORE collect — collecting (Double, String) pairs
+      // from a Map would rebuild a Map keyed by the burstiness value
+      // and silently collapse equal-ratio terms (the q324 spec trap)
+      val want = stats.toSeq.collect {
+        case ((s0, w), (cf, df)) if s0 == src && df >= 3 =>
+          (math.rint(cf.toDouble / df * 1e6) / 1e6, w)
+      }.sortBy { case (b, w) => (-b, w) }.take(rows.length)
+      val gotSorted = rows.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Double]("burstiness"), r.getAs[String]("term")))
+      assert(gotSorted.toSeq === want)
+    }
+  }
+
+  test("q335 keyness chi-square matches a 2x2 recount on the emitted rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), lower(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.flatMap { case (src, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w => (src, w))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val termTot = counts.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    val srcTot = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val nn = srcTot.values.sum.toDouble
+    val got = TextAnalysis.qKeyness(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getAs[String]("source"); val w = r.getAs[String]("term")
+      val a = counts((src, w)).toDouble
+      val ab = termTot(w).toDouble
+      val n1 = srcTot(src).toDouble
+      val b = ab - a; val n2 = nn - n1
+      assert(r.getAs[Long]("cf_in") === a.toLong)
+      assert(r.getAs[Long]("cf_rest") === b.toLong)
+      assert(a * n2 > b * n1, "only over-represented terms may rank")
+      val chi2 = nn * (a * n2 - b * n1) * (a * n2 - b * n1) /
+        (ab * (nn - ab) * n1 * n2)
+      assert(math.abs(r.getAs[Double]("chi2_keyness") - chi2)
+        <= 1e-6 * chi2 + 1e-5)
+      val llr = 2.0 * ((if (a > 0) a * math.log(a * nn / (n1 * ab)) else 0.0) +
+        (if (b > 0) b * math.log(b * nn / (n2 * ab)) else 0.0))
+      assert(math.abs(r.getAs[Double]("llr") - llr) < 1e-3)
+    }
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
