@@ -3332,13 +3332,18 @@ object Stats {
     * (16N²(S₂−4N) − 12N·Σc²ⱼ)/(12N(16N² − Σc²ⱼ)) — spelled
     * identically on both engines, rounded 6.
     *
-    * Scale shape: the (order, flag) rollup collapses map-side; the
-    * subject rollup and the kept-subject join reuse its hash
-    * partitioning (same key — no second exchange); the category
-    * rollup is ≤3 rows and everything after is scalar. */
+    * Scale shape: ONE fact-sized exchange — the explicit
+    * `repartition(k)` hash-partitions line items by order once, and
+    * because HashPartitioning(k) satisfies the (k, cat) rollup's
+    * clustered distribution, the rollup, the subject rollup AND the
+    * kept-subject join all run exchange-free on that partitioning
+    * (PlanShapeSpec pins the count); the category rollup is ≤3 rows
+    * and everything after is scalar. */
   def qFleissKappa(s: SparkSession, d: String): DataFrame = {
     val nij = lineitem(s, d)
-      .groupBy(col("l_orderkey").as("k"), col("l_returnflag").as("cat"))
+      .select(col("l_orderkey").as("k"), col("l_returnflag").as("cat"))
+      .repartition(col("k"))
+      .groupBy("k", "cat")
       .agg(count(lit(1)).as("nij"))
     val subj = nij.groupBy("k")
       .agg(sum("nij").as("m"), sum(col("nij") * col("nij")).as("sq"))

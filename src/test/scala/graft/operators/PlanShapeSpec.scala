@@ -204,6 +204,56 @@ class PlanShapeSpec extends AnyFunSuite {
       "the sweep window lost its pid partitioning")
   }
 
+  test("q320 Fleiss: one fact exchange — the k-repartition feeds rollup, subject rollup and join") {
+    // the explicit repartition(k) is the only data-scaled exchange:
+    // HashPartitioning(k) satisfies the (k, cat) rollup's clustered
+    // distribution, the k rollups reuse it (ReusedExchange), and the
+    // subject side broadcasts into the join. The other four counted
+    // exchanges are the ≤3-row category rollup and single-row folds.
+    val df = Stats.qFleissKappa(spark, sf)
+    assert(shuffles(df) == 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"the category branch must reuse the k-repartition:\n$plan")
+  }
+
+  test("q322/q323 serial diagnostics: every window partitioned by event_type") {
+    Seq(Stats.qDurbinWatson(spark, sf), Stats.qPettitt(spark, sf))
+      .foreach { df =>
+        val ws = windowNodes(df)
+        assert(ws.nonEmpty)
+        assert(ws.forall(_.partitionSpec.nonEmpty),
+          "a single-partition window crept into a calendar walk")
+      }
+  }
+
+  test("q321 weighted kappa: the cut device rides partitioned windows only") {
+    val ws = windowNodes(Stats.qWeightedKappa(spark, sf))
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "the quintile cuts must come from the per-year value-domain window")
+  }
+
+  test("q329 HL: the lone unpartitioned window walks the bounded score domain") {
+    val ws = windowNodes(Stats.qHosmerLemeshow(spark, sf))
+    assert(ws.nonEmpty)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("sm#") || sub.contains("value#"),
+        s"an unpartitioned window must ride the score-domain rollup:\n$w")
+    }
+  }
+
+  test("q334/q335 text rank windows partition by source") {
+    Seq(TextAnalysis.qTermBurstiness(spark, sf),
+      TextAnalysis.qKeyness(spark, sf)).foreach { df =>
+      val ws = windowNodes(df)
+      assert(ws.nonEmpty)
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        "a vocab rank window lost its source partitioning")
+    }
+  }
+
   test("q278 Kendall tau: no pair join — one value-domain shuffle feeds the inversion walk") {
     // the r10 shape: Knight's formulation — the customer aggregate
     // groups to its (nation, x, y) value domain and every downstream
