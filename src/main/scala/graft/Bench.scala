@@ -423,6 +423,11 @@ object Bench {
     "q333_calibration_error",
     "q334_term_burstiness",
     "q335_keyness",
+    // the stump (score-domain cumulatives + TakeOrdered argmin), the
+    // gamma fit (one rollup), and the attribution join (user-keyed)
+    "q336_decision_stump",
+    "q337_gamma_mom",
+    "q338_linear_attribution",
   )
 
   def main(args: Array[String]): Unit = {

@@ -829,6 +829,15 @@ object SparkEntry {
     // q335: chi-square keyness per source vs rest-of-corpus — the
     // slice-comparison verb; LLR reported, χ² ranks (exact-rational)
     "q335_keyness" -> ((s, d) => TextAnalysis.qKeyness(s, d)),
+    // q336: decision stump (best Gini split) over the proxy score —
+    // the one-split CART primitive beside the q231 sweep
+    "q336_decision_stump" -> (Stats.qDecisionStump _),
+    // q337: gamma method-of-moments fit per priority — the shape
+    // answer after q306's normality gate rejects
+    "q337_gamma_mom" -> (Stats.qGammaMomFit _),
+    // q338: linear multi-touch attribution — exact ppm credit split,
+    // the multi-touch sibling of q199's last-touch
+    "q338_linear_attribution" -> (Stats.qLinearAttribution _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7801,6 +7810,130 @@ object SparkEntry {
          SELECT source, rank, w AS term, a AS cf_in, bb AS cf_rest,
                 chi2_keyness, llr
          FROM ranked WHERE rank <= 5""",
+    // q336: cumulatives over the bounded score domain; the argmin
+    // orders by the ROUNDED impurity then the smallest threshold
+    "q336_decision_stump" ->
+      """WITH sc AS (
+           SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS is_pos,
+                  n_toks * 100 + hits * 10 + dhits AS score_milli
+           FROM (SELECT doc_id, n_chars,
+                        len(list_filter(toks, t -> t IN ('the','a','of',
+                          'and','to','in','is','it'))) AS hits,
+                        len(list_intersect(list_distinct(toks),
+                          ['the','a','of','and','to','in','is','it']))
+                          AS dhits,
+                        len(toks) AS n_toks
+                 FROM (SELECT doc_id, n_chars,
+                              string_split_regex(lower(text), '\s+') AS toks
+                       FROM documents))),
+         byscore AS (
+           SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(is_pos) AS BIGINT) AS pos
+           FROM sc GROUP BY 1),
+         cum AS (
+           SELECT score_milli,
+                  COALESCE(SUM(cnt) OVER (ORDER BY score_milli
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS n_l,
+                  COALESCE(SUM(pos) OVER (ORDER BY score_milli
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS pos_l,
+                  SUM(cnt) OVER () AS n,
+                  SUM(pos) OVER () AS pos_tot
+           FROM byscore),
+         scored AS (
+           SELECT score_milli, n_l, pos_l, n - n_l AS n_r,
+                  pos_tot - pos_l AS pos_r, n, pos_tot,
+                  ROUND((CASE WHEN n_l > 0
+                      THEN 2.0 * CAST(pos_l AS DOUBLE)
+                           * CAST(n_l - pos_l AS DOUBLE)
+                           / CAST(n_l AS DOUBLE) ELSE 0.0 END
+                    + CASE WHEN n - n_l > 0
+                      THEN 2.0 * CAST(pos_tot - pos_l AS DOUBLE)
+                           * CAST((n - n_l) - (pos_tot - pos_l) AS DOUBLE)
+                           / CAST(n - n_l AS DOUBLE) ELSE 0.0 END)
+                    / CAST(n AS DOUBLE), 6) AS gini_after,
+                  ROUND(CASE WHEN n > 0
+                    THEN 2.0 * CAST(pos_tot AS DOUBLE)
+                         * CAST(n - pos_tot AS DOUBLE)
+                         / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+                    ELSE 0.0 END, 6) AS gini_before
+           FROM cum)
+         SELECT CAST(score_milli AS BIGINT) AS threshold,
+                CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+                CAST(n_r AS BIGINT) AS n_r, CAST(pos_r AS BIGINT) AS pos_r,
+                gini_before, gini_after,
+                ROUND(gini_before - gini_after, 6) AS gini_gain
+         FROM scored
+         ORDER BY gini_after ASC, score_milli ASC LIMIT 1""",
+    // q337: k and theta from the three exact sums; V = nS2 - S1^2
+    "q337_gamma_mom" ->
+      """WITH base AS (
+           SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+           FROM orders),
+         sums AS (
+           SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(v) AS BIGINT) AS s1,
+                  SUM(CAST(v AS HUGEINT) * v) AS s2
+           FROM base GROUP BY 1),
+         vv AS (
+           SELECT o_orderpriority, n, s1,
+                  CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+                    AS var_num
+           FROM sums)
+         SELECT o_orderpriority, n, s1,
+                ROUND(CASE WHEN n > 1 AND var_num > 0
+                  THEN CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                       * CAST(n - 1 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(var_num AS DOUBLE))
+                  ELSE 0.0 END, 6) AS gamma_k,
+                ROUND(CASE WHEN n > 1 AND s1 > 0
+                  THEN CAST(var_num AS DOUBLE)
+                       / (CAST(n - 1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  ELSE 0.0 END, 6) AS gamma_theta_cents
+         FROM vv""",
+    // q338: integer ppm credit — floor share per touch, remainder to
+    // the last touch, so each attributed purchase sums to exactly 1e6
+    "q338_linear_attribution" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+         touches AS (
+           SELECT user_id, event_id AS t_id, event_type AS t_type,
+                  us AS t_us
+           FROM ev WHERE event_type IN ('view', 'click')),
+         purch AS (
+           SELECT user_id, event_id AS p_id, us AS p_us
+           FROM ev WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.user_id, p.p_id, t.t_id, t.t_type, t.t_us
+           FROM purch p LEFT JOIN touches t
+             ON p.user_id = t.user_id AND t.t_us < p.p_us
+                AND p.p_us - t.t_us <= 86400000000),
+         credited AS (
+           SELECT user_id, p_id, t_type,
+                  COUNT(t_id) OVER (PARTITION BY user_id, p_id) AS n_t,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, p_id
+                    ORDER BY t_us DESC, t_id DESC) AS rk
+           FROM j),
+         pay AS (
+           SELECT CASE WHEN n_t = 0 THEN 'unattributed' ELSE t_type END
+                    AS attributed_type,
+                  p_id,
+                  CASE WHEN n_t = 0 THEN 1000000
+                       WHEN rk = 1
+                         THEN 1000000 - (n_t - 1) * (1000000 // n_t)
+                       ELSE 1000000 // n_t END AS credit_ppm,
+                  CASE WHEN n_t > 0 THEN 1 ELSE 0 END AS is_touch
+           FROM credited)
+         SELECT attributed_type,
+                CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_total,
+                CAST(SUM(is_touch) AS BIGINT) AS n_credited_touches,
+                CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases
+         FROM pay GROUP BY 1""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -3778,6 +3778,145 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** q336: decision stump over the proxy score — the one-split
+    * Gini-impurity learner (CART's base case, Breiman '84): the best
+    * threshold t (predict positive when score ≥ t) minimizing the
+    * weighted child impurity. The ML-primitive beside the eval
+    * harness: q231 sweeps RECALL/PRECISION operating points, the
+    * stump asks what a tree would actually split on, and the gain
+    * column is the univariate feature-importance number a feature
+    * screen ranks by.
+    *
+    * Exactness/determinism: the cumulative (n_l, pos_l) pairs are
+    * exact BIGINTs off the score-domain rollup; each candidate's
+    * weighted Gini is a double of exact integers (identical on both
+    * engines, rounded 6 BEFORE the argmin), and the argmin breaks
+    * ties on the smallest threshold — a deterministic total order cut
+    * by TakeOrdered, never a global sort.
+    *
+    * Scale shape: one scan onto the bounded score domain (q231's
+    * argument); candidates = distinct scores, cumulatives ride the
+    * domain-sized rollup. */
+  def qDecisionStump(s: SparkSession, d: String): DataFrame = {
+    val byScore = proxyScored(s, d)
+      .groupBy("score_milli")
+      .agg(count(lit(1)).as("cnt"), sum(col("is_pos")).as("pos"))
+    val wAsc = Window.orderBy("score_milli")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byScore
+      .withColumn("n_l", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .withColumn("pos_l", coalesce(sum(col("pos")).over(wAsc), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("pos_tot", sum(col("pos")).over(Window.partitionBy()))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("pos_r", col("pos_tot") - col("pos_l"))
+    def gini(pos: Column, nn: Column): Column =
+      when(nn > 0, lit(2.0) * d2(pos) * d2(nn - pos) / d2(nn))
+        .otherwise(lit(0.0))
+    cum
+      .withColumn("gini_after", round(
+        (gini(col("pos_l"), col("n_l")) + gini(col("pos_r"), col("n_r")))
+          / d2(col("n")), 6))
+      .withColumn("gini_before", round(
+        gini(col("pos_tot"), col("n")) / d2(col("n")), 6))
+      .withColumn("gini_gain",
+        round(col("gini_before") - col("gini_after"), 6))
+      .orderBy(col("gini_after").asc, col("score_milli").asc)
+      .limit(1)
+      .select(col("score_milli").as("threshold"), col("n_l"), col("pos_l"),
+        col("n_r"), col("pos_r"), col("gini_before"), col("gini_after"),
+        col("gini_gain"))
+  }
+
+  /** q337: gamma distribution fit by method of moments per order
+    * priority — the DISTRIBUTION-FITTING cell the q306 normality gate
+    * motivates (order totals are right-skewed money: when JB rejects
+    * normal, the next question is "what shape IS it" — the gamma's
+    * (k, θ) are the standard answer for positive skewed amounts, and
+    * a drift monitor compares fitted k across slices): k̂ = m²/v̂,
+    * θ̂ = v̂/m from the exact sufficient sums (Pearson's method of
+    * moments — no iteration, unlike MLE's digamma solve).
+    *
+    * Exactness: n, S₁, S₂ exact (DECIMAL-widened squares); with
+    * V = nS₂−S₁² the sample moments give k̂ = S₁²(n−1)/(n·V) and
+    * θ̂ = V/((n−1)·S₁), spelled as doubles of those exact integers,
+    * rounded 6.
+    *
+    * Scale shape: one map-side rollup onto ≤5 rows; scalar math. */
+  def qGammaMomFit(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    orders(s, d).select(col("o_orderpriority"), cents.as("v"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(dec(col("v")) * col("v")).as("s2d"))
+      .withColumn("var_num", dec(col("n")) * col("s2d")
+        - dec(col("s1")) * col("s1"))
+      .select(col("o_orderpriority"), col("n"), col("s1"),
+        round(when(col("n") > 1 && col("var_num") > 0,
+          d2(dec(col("s1")) * col("s1")) * d2(col("n") - 1)
+            / (d2(col("n")) * d2(col("var_num")))).otherwise(lit(0.0)), 6)
+          .as("gamma_k"),
+        round(when(col("n") > 1 && col("s1") > 0,
+          d2(col("var_num")) / (d2(col("n") - 1) * d2(col("s1"))))
+          .otherwise(lit(0.0)), 6).as("gamma_theta_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q338: linear multi-touch attribution — the MULTI-touch credit
+    * model beside q199's last-touch (last-touch gives the final click
+    * everything; linear splits each conversion's credit equally over
+    * every view/click in the look-back window — the other standard
+    * marketing report, and the fairer read when journeys are long):
+    * per touch type, total credited ppm, credited touches, and
+    * purchases reached.
+    *
+    * Exactness: credit is integer ppm — each touch gets
+    * ⌊10⁶/n⌋ and the LAST touch (max (us, event_id)) absorbs the
+    * remainder, so every attributed purchase contributes exactly
+    * 1,000,000 ppm and the rollup is an exact BIGINT sum; a
+    * purchase with no in-window touch credits 'unattributed' in
+    * full.
+    *
+    * Scale shape: ONE user-keyed exchange — the purchase×touch
+    * pairing is an equi-join on user_id (range predicate applied
+    * post-join), and both windows (touch count, last-touch rank)
+    * partition by (user, purchase); fanout is bounded by per-user
+    * activity in the 24 h window. */
+  def qLinearAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"), col("us").as("t_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("us").as("p_us"))
+    val j = purch.join(touches,
+      purch("user_id") === touches("user_id") &&
+        col("t_us") < col("p_us") &&
+        col("p_us") - col("t_us") <= 86400000000L, "left")
+      .select(purch("user_id"), col("p_id"), col("t_id"), col("t_type"),
+        col("t_us"))
+    val wP = Window.partitionBy("user_id", "p_id")
+    val wRk = wP.orderBy(col("t_us").desc, col("t_id").desc)
+    val credited = j
+      .withColumn("n_t", count(col("t_id")).over(wP))
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .withColumn("attributed_type",
+        when(col("n_t") === 0, lit("unattributed"))
+          .otherwise(col("t_type")))
+      .withColumn("credit_ppm",
+        when(col("n_t") === 0, lit(1000000L))
+          .when(col("rk") === 1,
+            lit(1000000L) - (col("n_t") - 1) * expr("1000000 div n_t"))
+          .otherwise(expr("1000000 div n_t")))
+    credited.groupBy("attributed_type")
+      .agg(sum(col("credit_ppm")).as("credit_ppm_total"),
+        sum((col("n_t") > 0).cast("long")).as("n_credited_touches"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy("attributed_type")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

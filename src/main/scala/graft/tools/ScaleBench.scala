@@ -220,7 +220,10 @@ object ScaleBench {
       "q330_two_way_anova", "q331_bowker_symmetry", "q332_kendall_w",
       // the score-domain calibration metric and the two vocab-rollup
       // text readouts (vocab grows ~linearly under the bijection)
-      "q333_calibration_error", "q334_term_burstiness", "q335_keyness")
+      "q333_calibration_error", "q334_term_burstiness", "q335_keyness",
+      // the stump (domain cumulatives), the gamma rollup, and the
+      // user-keyed attribution join (per-user window fanout bounded)
+      "q336_decision_stump", "q337_gamma_mom", "q338_linear_attribution")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -520,6 +520,95 @@ class Round10eSpec extends AnyFunSuite {
     }
   }
 
+  test("q336 stump threshold matches a brute-force best-split recount") {
+    val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"), col("n_chars").cast("long"))
+      .collect().map { r =>
+        val toks = r.getString(0).toLowerCase.split("\\s+").toSeq
+        val score = toks.length * 100L +
+          toks.count(stops) * 10L + toks.distinct.count(stops)
+        (if (r.getLong(1) >= 300) 1L else 0L, score)
+      }
+    val n = docs.length.toDouble
+    def gini(pos: Long, nn: Long): Double =
+      if (nn > 0) 2.0 * pos * (nn - pos) / nn.toDouble else 0.0
+    val candidates = docs.map(_._2).distinct.sorted.map { t =>
+      val (l, r) = docs.partition(_._2 < t)
+      val after = math.rint((gini(l.map(_._1).sum, l.length) +
+        gini(r.map(_._1).sum, r.length)) / n * 1e6) / 1e6
+      (after, t)
+    }
+    val (bestAfter, bestT) = candidates.minBy { case (a, t) => (a, t) }
+    val got = Stats.qDecisionStump(spark, sf).collect().head
+    assert(got.getAs[Long]("threshold") === bestT)
+    assert(math.abs(got.getAs[Double]("gini_after") - bestAfter) < 1e-6)
+    assert(got.getAs[Double]("gini_gain") >= 0.0)
+    assert(got.getAs[Long]("n_l") + got.getAs[Long]("n_r") === docs.length.toLong)
+  }
+
+  test("q337 gamma MoM matches a plain-double moments recount") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Stats.qGammaMomFit(spark, sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      val xs = rows.filter(_._1 == r.getAs[String]("o_orderpriority"))
+        .map(_._2.toDouble)
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1.0)
+      assert(math.abs(r.getAs[Double]("gamma_k") - m * m / v)
+        <= 1e-6 * (m * m / v) + 1e-5)
+      assert(math.abs(r.getAs[Double]("gamma_theta_cents") - v / m)
+        <= 1e-6 * (v / m) + 1e-5)
+    }
+  }
+
+  test("q338 linear attribution credits exactly 1e6 ppm per purchase") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    var totals = Map.empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    byUser.values.foreach { es =>
+      val touches = es.filter(e => e._3 == "view" || e._3 == "click")
+      es.filter(_._3 == "purchase").foreach { p =>
+        val in = touches.filter(t =>
+          t._4 < p._4 && p._4 - t._4 <= 86400000000L)
+        if (in.isEmpty) {
+          val (c, t, np) = totals("unattributed")
+          totals += "unattributed" -> (c + 1000000L, t, np + 1)
+        } else {
+          val nT = in.length.toLong
+          val base = 1000000L / nT
+          val last = in.maxBy(t => (t._4, t._2))
+          in.foreach { t =>
+            val credit = if (t == last) 1000000L - (nT - 1) * base else base
+            val (c, tc, np) = totals(t._3)
+            totals += t._3 -> (c + credit, tc + 1, np)
+          }
+          // purchases reached per type counted below from distinct sets
+        }
+      }
+    }
+    val got = Stats.qLinearAttribution(spark, sf).collect()
+      .map(r => r.getAs[String]("attributed_type") ->
+        (r.getAs[Long]("credit_ppm_total"),
+          r.getAs[Long]("n_credited_touches"))).toMap
+    totals.foreach { case (tpe, (credit, touches, _)) =>
+      val (gc, gt) = got(tpe)
+      assert(gc === credit, s"$tpe credit")
+      if (tpe != "unattributed") assert(gt === touches, s"$tpe touches")
+    }
+    // conservation: total credited ppm = 1e6 x number of purchases
+    val nPurchases = ev.count(_._3 == "purchase").toLong
+    assert(got.values.map(_._1).sum === 1000000L * nPurchases)
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
