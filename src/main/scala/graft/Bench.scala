@@ -428,6 +428,12 @@ object Bench {
     "q336_decision_stump",
     "q337_gamma_mom",
     "q338_linear_attribution",
+    // the concentration rollup, the balance table, and the two
+    // experiment-health reads (all user-/supplier-aggregate-sized)
+    "q339_hhi_concentration",
+    "q340_covariate_balance",
+    "q341_wilson_interval",
+    "q342_srm_check",
   )
 
   def main(args: Array[String]): Unit = {

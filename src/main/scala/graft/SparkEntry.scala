@@ -838,6 +838,16 @@ object SparkEntry {
     // q338: linear multi-touch attribution — exact ppm credit split,
     // the multi-touch sibling of q199's last-touch
     "q338_linear_attribution" -> (Stats.qLinearAttribution _),
+    // q339: HHI + CR4 market concentration per supplier nation —
+    // the antitrust read beside q160's Gini and q289's shares
+    "q339_hhi_concentration" -> (Relational.qHhiConcentration _),
+    // q340: covariate balance SMD table — the causal "Table 1"
+    // before any exposure contrast (q208/q304's prerequisite)
+    "q340_covariate_balance" -> (Stats.qCovariateBalance _),
+    // q341: Wilson score intervals for the q263 arm conversions
+    "q341_wilson_interval" -> (Stats.qWilsonInterval _),
+    // q342: sample-ratio-mismatch health check on the arm splitter
+    "q342_srm_check" -> (Stats.qSrmCheck _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -7934,6 +7944,135 @@ object SparkEntry {
                 CAST(SUM(is_touch) AS BIGINT) AS n_credited_touches,
                 CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases
          FROM pay GROUP BY 1""",
+    // q339: HHI one division of HUGEINT-widened integers; CR4 an
+    // exact top-4 fold via the deterministic (v DESC, suppkey) rank
+    "q339_hhi_concentration" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                           AS BIGINT))) AS BIGINT) AS v
+           FROM lineitem GROUP BY 1),
+         ranked AS (
+           SELECT s.s_nationkey AS nation, r.l_suppkey, r.v,
+                  ROW_NUMBER() OVER (PARTITION BY s.s_nationkey
+                    ORDER BY r.v DESC, r.l_suppkey) AS rk
+           FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey),
+         agg AS (
+           SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                  CAST(SUM(v) AS BIGINT) AS v_total,
+                  SUM(CAST(v AS HUGEINT) * v) AS sum_v_sq,
+                  CAST(SUM(CASE WHEN rk <= 4 THEN v ELSE 0 END) AS BIGINT)
+                    AS top4_v
+           FROM ranked GROUP BY 1)
+         SELECT CAST(nation AS BIGINT) AS nation, n_suppliers, v_total,
+                ROUND(CASE WHEN v_total > 0
+                  THEN CAST(sum_v_sq AS DOUBLE)
+                       / CAST(CAST(v_total AS HUGEINT) * v_total AS DOUBLE)
+                  ELSE 0.0 END, 6) AS hhi,
+                CAST(CASE WHEN v_total > 0
+                  THEN top4_v * 1000000 // v_total ELSE 0 END AS BIGINT)
+                  AS cr4_ppm
+         FROM agg""",
+    // q340: exact (n, S1, S2) per cell; means/variances/SMD
+    // spelled-identical doubles
+    "q340_covariate_balance" ->
+      """WITH spend AS (
+           SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS spend_cents
+           FROM orders GROUP BY 1),
+         cust AS (
+           SELECT c_custkey,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                    AS exposed,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS acctbal_cents,
+                  COALESCE(s.n_orders, 0) AS n_orders,
+                  COALESCE(s.spend_cents, 0) AS spend_cents
+           FROM customer LEFT JOIN spend s ON c_custkey = s.o_custkey),
+         long AS (
+           SELECT 'acctbal_cents' AS covariate, exposed,
+                  acctbal_cents AS x FROM cust
+           UNION ALL
+           SELECT 'n_orders', exposed, n_orders FROM cust
+           UNION ALL
+           SELECT 'spend_cents', exposed, spend_cents FROM cust),
+         cells AS (
+           SELECT covariate, exposed, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s1,
+                  SUM(CAST(x AS HUGEINT) * x) AS s2
+           FROM long GROUP BY 1, 2),
+         m AS (
+           SELECT covariate, exposed, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  CASE WHEN n > 1
+                    THEN CAST(CAST(n AS HUGEINT) * s2
+                              - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                    ELSE 0.0 END AS vair
+           FROM cells)
+         SELECT e1.covariate, e1.n AS n_exposed, e0.n AS n_control,
+                ROUND(e1.mean, 6) AS mean_exposed,
+                ROUND(e0.mean, 6) AS mean_control,
+                ROUND(CASE WHEN e1.vair + e0.vair > 0
+                  THEN (e1.mean - e0.mean)
+                       / SQRT((e1.vair + e0.vair) / 2.0)
+                  ELSE 0.0 END, 6) AS smd
+         FROM m e1 JOIN m e0
+           ON e1.covariate = e0.covariate
+          AND e1.exposed = 1 AND e0.exposed = 0""",
+    // q341: exact p-hat rationals through the fixed Wilson algebra
+    // (z = 1.959964 the same literal on both engines)
+    "q341_wilson_interval" ->
+      """WITH arms AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' AND value >= 95
+                      THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         cnt AS (
+           SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(conv) AS BIGINT) AS c
+           FROM arms GROUP BY 1)
+         SELECT arm, n, c,
+                ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+                ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+                  - 1.959964 * SQRT(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                    + 1.959964 * 1.959964
+                      / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)), 6)
+                  AS wilson_lo,
+                ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
+                  / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
+                  + 1.959964 * SQRT(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                    + 1.959964 * 1.959964
+                      / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)), 6)
+                  AS wilson_hi
+         FROM cnt""",
+    // q342: the splitter-health chi-square, one division
+    "q342_srm_check" ->
+      """WITH arms AS (
+           SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1)
+         SELECT a.n AS n_a, b.n AS n_b,
+                ROUND(CAST((a.n - b.n) * (a.n - b.n) AS DOUBLE)
+                      / CAST(a.n + b.n AS DOUBLE), 6) AS srm_chi2,
+                CAST(CASE WHEN CAST((a.n - b.n) * (a.n - b.n) AS DOUBLE)
+                           / CAST(a.n + b.n AS DOUBLE) > 10.83
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+         FROM arms a CROSS JOIN arms b
+         WHERE a.arm = 0 AND b.arm = 1""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -2506,4 +2506,46 @@ object Relational {
           col("qty_c").between(2000L, 3000L)))
       .agg(sum(col("rev")).as("revenue_x1e4"), count(lit(1)).as("n_lines"))
   }
+
+  /** q339: Herfindahl–Hirschman concentration per nation — the
+    * market-structure number beside q160's Gini (Gini reads
+    * inequality of the whole distribution; HHI = Σsᵢ² is the
+    * antitrust concentration read, dominated by the largest firms)
+    * and q289's share matrix: per supplier nation, supplier revenue
+    * shares' HHI and the CR4 four-firm concentration ratio.
+    *
+    * Exactness: supplier revenues are exact ×1e-4-dollar BIGINTs;
+    * HHI = Σvᵢ²/V² is one division of DECIMAL-widened integers, and
+    * CR4 folds the top-4 revenues (rank window over the
+    * supplier-aggregate, partitioned by nation) as exact integers
+    * into a ppm floor.
+    *
+    * Scale shape: one suppkey rollup (fact-sized exchange), a
+    * broadcast supplier→nation bind, then nation-partitioned windows
+    * over the SUPPLIER AGGREGATE (suppliers per nation, not rows). */
+  def qHhiConcentration(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d2 = (c: Column) => c.cast("double")
+    val rev = lineitem(s, d)
+      .select(col("l_suppkey"), revX1e4.as("rev"))
+      .groupBy("l_suppkey").agg(sum(col("rev")).as("v"))
+    val nat = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val ranked = rev.join(broadcast(nat), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nation"), col("l_suppkey"), col("v"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nation").orderBy(col("v").desc, col("l_suppkey"))))
+    ranked.groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("v")).as("v_total"),
+        sum(dec(col("v")) * col("v")).as("sum_v_sq"),
+        sum(when(col("rk") <= 4, col("v")).otherwise(lit(0L))).as("top4_v"))
+      .select(col("nation").cast("long").as("nation"), col("n_suppliers"),
+        col("v_total"),
+        round(when(col("v_total") > 0,
+          d2(col("sum_v_sq")) / d2(dec(col("v_total")) * col("v_total")))
+          .otherwise(lit(0.0)), 6).as("hhi"),
+        expr("CASE WHEN v_total > 0 THEN top4_v * 1000000 div v_total " +
+          "ELSE 0 END").as("cr4_ppm"))
+      .orderBy("nation")
+  }
 }

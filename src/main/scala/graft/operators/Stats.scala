@@ -3917,6 +3917,118 @@ object Stats {
       .orderBy("attributed_type")
   }
 
+  /** q340: covariate balance table (standardized mean differences) —
+    * the causal-inference "Table 1" beside q208's CUPED and q304's
+    * stratified association: before reading ANY exposure contrast
+    * (here q304's BUILDING-segment exposure), check whether the
+    * groups are comparable on their pre-treatment covariates —
+    * SMD = (m₁−m₀)/√((v₁+v₀)/2) per covariate, |SMD| > 0.1 the
+    * conventional imbalance flag (Austin '09). Covariates: account
+    * balance, order count, total spend.
+    *
+    * Exactness: per group per covariate, n, S₁ and the
+    * DECIMAL-widened S₂ are exact; means/variances/SMD are
+    * spelled-identical doubles of those integers, rounded 6.
+    *
+    * Scale shape: one per-customer rollup (custkey-keyed exchange),
+    * then a 2×3-cell map-side fold; scalar math after. */
+  def qCovariateBalance(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("spend_cents"))
+    val cust = customer(s, d).select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("exposed"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("acctbal_cents"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .na.fill(0L, Seq("n_orders", "spend_cents"))
+    val long = Seq("acctbal_cents", "n_orders", "spend_cents").map { c =>
+      cust.select(lit(c).as("covariate"), col("exposed"), col(c).as("x"))
+    }.reduce(_ unionAll _)
+    val cells = long.groupBy("covariate", "exposed")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(dec(col("x")) * col("x")).as("s2d"))
+      .withColumn("mean", d2(col("s1")) / d2(col("n")))
+      .withColumn("vair",
+        when(col("n") > 1,
+          d2(dec(col("n")) * col("s2d") - dec(col("s1")) * col("s1")) /
+            (d2(col("n")) * d2(col("n") - 1))).otherwise(lit(0.0)))
+    val e1 = cells.filter(col("exposed") === 1)
+      .select(col("covariate"), col("n").as("n_exposed"),
+        col("mean").as("m1"), col("vair").as("v1"))
+    val e0 = cells.filter(col("exposed") === 0)
+      .select(col("covariate").as("cov0"), col("n").as("n_control"),
+        col("mean").as("m0"), col("vair").as("v0"))
+    e1.join(broadcast(e0), col("covariate") === col("cov0"))
+      .select(col("covariate"), col("n_exposed"), col("n_control"),
+        round(col("m1"), 6).as("mean_exposed"),
+        round(col("m0"), 6).as("mean_control"),
+        round(when((col("v1") + col("v0")) > 0,
+          (col("m1") - col("m0")) /
+            sqrt((col("v1") + col("v0")) / lit(2.0)))
+          .otherwise(lit(0.0)), 6).as("smd"))
+      .orderBy("covariate")
+  }
+
+  /** q341: Wilson score intervals for the q263 arm conversion rates —
+    * the CI the two-proportion z-test doesn't report (and the
+    * interval that behaves at small counts / extreme rates where the
+    * Wald ±z√(pq/n) collapses; Wilson '27 is the standard
+    * recommendation): per arm, p̂ and the 95% lower/upper bounds.
+    *
+    * Exactness: p̂ = c/n is an exact rational; the Wilson algebra
+    * (z = 1.959964 spelled as the same literal on both engines) is a
+    * fixed composition of IEEE ·/÷/√ over it, rounded 6.
+    *
+    * Scale shape: q263's user rollup; two rows after. */
+  def qWilsonInterval(s: SparkSession, d: String): DataFrame = {
+    val z = lit(1.959964)
+    val arms = events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 95,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val p = d2(col("c")) / d2(col("n"))
+    val nd = d2(col("n"))
+    val center = (p + z * z / (lit(2.0) * nd)) / (lit(1.0) + z * z / nd)
+    val half = z * sqrt(p * (lit(1.0) - p) / nd
+      + z * z / (lit(4.0) * nd * nd)) / (lit(1.0) + z * z / nd)
+    arms.select(col("arm"), col("n"), col("c"),
+        round(p, 6).as("p_hat"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy("arm")
+  }
+
+  /** q342: sample-ratio-mismatch (SRM) check on the q263/q341 arm
+    * assignment — the experiment-HEALTH gate every A/B readout must
+    * pass first (a biased splitter invalidates q263's z and q341's
+    * intervals before any statistics run; the standard practice is a
+    * χ² against the design ratio, here 50/50): χ² = (n_a−n_b)²/N,
+    * df 1, with the conventional p < 0.001 alarm left to the reader
+    * (χ² > 10.83).
+    *
+    * Exactness: counts exact; χ² one division, rounded 6.
+    *
+    * Scale shape: q263's user rollup collapsed to two counts. */
+  def qSrmCheck(s: SparkSession, d: String): DataFrame = {
+    val arms = events(s, d).select(col("user_id")).distinct()
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+    val a = arms.filter(col("arm") === 0).select(col("n").as("n_a"))
+    val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        round(d2((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))) /
+          d2(col("n_a") + col("n_b")), 6).as("srm_chi2"),
+        (d2((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))) /
+          d2(col("n_a") + col("n_b")) > lit(10.83)).cast("long")
+          .as("srm_alarm"))
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

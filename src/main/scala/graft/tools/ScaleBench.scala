@@ -223,7 +223,11 @@ object ScaleBench {
       "q333_calibration_error", "q334_term_burstiness", "q335_keyness",
       // the stump (domain cumulatives), the gamma rollup, and the
       // user-keyed attribution join (per-user window fanout bounded)
-      "q336_decision_stump", "q337_gamma_mom", "q338_linear_attribution")
+      "q336_decision_stump", "q337_gamma_mom", "q338_linear_attribution",
+      // concentration (suppkey rollup + nation windows over the
+      // supplier aggregate), balance, and the experiment-health pair
+      "q339_hhi_concentration", "q340_covariate_balance",
+      "q341_wilson_interval", "q342_srm_check")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -609,6 +609,93 @@ class Round10eSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === 1000000L * nPurchases)
   }
 
+  test("q339 HHI and CR4 match a supplier-share recount") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey").cast("long"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) -
+            expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val natOf = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySupp = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byNation = bySupp.toSeq.groupBy(kv => natOf(kv._1))
+    val rows = Relational.qHhiConcentration(spark, sf).collect()
+    assert(rows.length === byNation.size)
+    rows.foreach { r =>
+      val vs = byNation(r.getAs[Long]("nation"))
+      val tot = vs.map(_._2).sum
+      assert(r.getAs[Long]("n_suppliers") === vs.length.toLong)
+      assert(r.getAs[Long]("v_total") === tot)
+      val hhi = vs.map(v => (v._2.toDouble / tot) * (v._2.toDouble / tot)).sum
+      assert(math.abs(r.getAs[Double]("hhi") - hhi) < 1e-6)
+      val top4 = vs.map(_._2).sorted(Ordering[Long].reverse).take(4).sum
+      assert(r.getAs[Long]("cr4_ppm") === top4 * 1000000L / tot)
+    }
+  }
+
+  test("q340 SMDs match a plain-double covariate recount") {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey").cast("long").as("ck"))
+      .agg(count(lit(1)).as("no"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("sp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map { r =>
+        val (no, sp) = spend.getOrElse(r.getLong(0), (0L, 0L))
+        (r.getString(1) == "BUILDING", r.getLong(2), no, sp)
+      }
+    def meanVar(xs: Seq[Double]): (Double, Double) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1.0))
+    }
+    val got = Stats.qCovariateBalance(spark, sf).collect()
+      .map(r => r.getAs[String]("covariate") -> r.getAs[Double]("smd")).toMap
+    val covs = Map(
+      "acctbal_cents" -> cust.map(c => (c._1, c._2.toDouble)),
+      "n_orders" -> cust.map(c => (c._1, c._3.toDouble)),
+      "spend_cents" -> cust.map(c => (c._1, c._4.toDouble)))
+    covs.foreach { case (name, xs) =>
+      val (m1, v1) = meanVar(xs.filter(_._1).map(_._2).toSeq)
+      val (m0, v0) = meanVar(xs.filterNot(_._1).map(_._2).toSeq)
+      val smd = (m1 - m0) / math.sqrt((v1 + v0) / 2.0)
+      assert(math.abs(got(name) - smd) < 1e-5, name)
+    }
+  }
+
+  test("q341 Wilson bounds match a textbook recount and bracket p-hat") {
+    val got = Stats.qWilsonInterval(spark, sf).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble; val c = r.getAs[Long]("c").toDouble
+      val z = 1.959964; val p = c / n
+      val center = (p + z * z / (2 * n)) / (1 + z * z / n)
+      val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) /
+        (1 + z * z / n)
+      assert(math.abs(r.getAs[Double]("wilson_lo") - (center - half)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("wilson_hi") - (center + half)) < 1e-6)
+      assert(r.getAs[Double]("wilson_lo") <= p + 1e-9)
+      assert(r.getAs[Double]("wilson_hi") >= p - 1e-9)
+    }
+  }
+
+  test("q342 SRM chi-square matches the arm counts") {
+    val users = Tables.events(spark, sf).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val nA = users.count(_ % 2 == 0).toLong
+    val nB = users.length - nA
+    val r = Stats.qSrmCheck(spark, sf).collect().head
+    assert(r.getAs[Long]("n_a") === nA)
+    assert(r.getAs[Long]("n_b") === nB)
+    val chi2 = (nA - nB).toDouble * (nA - nB) / (nA + nB)
+    assert(math.abs(r.getAs[Double]("srm_chi2") - chi2) < 1e-6)
+    assert(r.getAs[Long]("srm_alarm") === (if (chi2 > 10.83) 1L else 0L))
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
