@@ -434,6 +434,10 @@ object Bench {
     "q340_covariate_balance",
     "q341_wilson_interval",
     "q342_srm_check",
+    // the PAVA fold (domain-bounded single task) and the stratified
+    // adjustment (customer rollup + value-domain cuts)
+    "q343_isotonic_calibration",
+    "q344_stratified_effect",
   )
 
   def main(args: Array[String]): Unit = {

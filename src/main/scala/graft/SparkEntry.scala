@@ -848,6 +848,14 @@ object SparkEntry {
     "q341_wilson_interval" -> (Stats.qWilsonInterval _),
     // q342: sample-ratio-mismatch health check on the arm splitter
     "q342_srm_check" -> (Stats.qSrmCheck _),
+    // q343: isotonic (PAVA) calibration — the repair member of the
+    // calibration family (rows-only: sequential pooling isn't SQL;
+    // Round10eSpec pins isotonicity, mass conservation, and equality
+    // with an O(n^2) reference)
+    "q343_isotonic_calibration" -> (Stats.qIsotonicCalibration _),
+    // q344: stratified-adjustment effect estimate — the estimator the
+    // q340 balance table gates (Cochran's design-based adjustment)
+    "q344_stratified_effect" -> (Stats.qStratifiedEffect _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8073,6 +8081,63 @@ object SparkEntry {
                      THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
          FROM arms a CROSS JOIN arms b
          WHERE a.arm = 0 AND b.arm = 1""",
+    // q344: quintile strata via the q104x cut device; stratum
+    // contrasts and the weighted combination as spelled doubles
+    "q344_stratified_effect" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS spend_cents
+           FROM orders GROUP BY 1),
+         cust AS (
+           SELECT c_custkey,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                    AS exposed,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS bal,
+                  COALESCE(s.spend_cents, 0) AS spend_cents
+           FROM customer LEFT JOIN spend s ON c_custkey = s.o_custkey),
+         c AS (SELECT COUNT(*) AS n FROM cust),
+         r AS (SELECT p.p,
+                      GREATEST(1, CAST(CEIL(p.p * c.n) AS BIGINT)) AS kk
+               FROM c CROSS JOIN (SELECT unnest([CAST(0.2 AS DOUBLE),
+                 CAST(0.4 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                 CAST(0.8 AS DOUBLE)]) AS p) p),
+         o AS (SELECT bal, ROW_NUMBER() OVER (ORDER BY bal) AS rn
+               FROM cust),
+         cuts AS (SELECT
+                    MIN(CASE WHEN r.p = 0.2 THEN o.bal END) AS c1,
+                    MIN(CASE WHEN r.p = 0.4 THEN o.bal END) AS c2,
+                    MIN(CASE WHEN r.p = 0.6 THEN o.bal END) AS c3,
+                    MIN(CASE WHEN r.p = 0.8 THEN o.bal END) AS c4
+                  FROM r JOIN o ON o.rn = r.kk),
+         cells AS (
+           SELECT 1 + CASE WHEN bal > u.c1 THEN 1 ELSE 0 END
+                    + CASE WHEN bal > u.c2 THEN 1 ELSE 0 END
+                    + CASE WHEN bal > u.c3 THEN 1 ELSE 0 END
+                    + CASE WHEN bal > u.c4 THEN 1 ELSE 0 END AS stratum,
+                  CAST(SUM(exposed) AS BIGINT) AS n1,
+                  CAST(SUM(1 - exposed) AS BIGINT) AS n0,
+                  CAST(SUM(CASE WHEN exposed = 1 THEN spend_cents
+                    ELSE 0 END) AS BIGINT) AS s1,
+                  CAST(SUM(CASE WHEN exposed = 0 THEN spend_cents
+                    ELSE 0 END) AS BIGINT) AS s0
+           FROM cust CROSS JOIN cuts u GROUP BY 1),
+         diffs AS (
+           SELECT stratum, n1, n0, s1, s0,
+                  CASE WHEN n1 > 0 AND n0 > 0
+                    THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                    ELSE 0.0 END AS diff_raw,
+                  CASE WHEN n1 > 0 AND n0 > 0
+                    THEN CAST(n1 + n0 AS DOUBLE) ELSE 0.0 END AS w
+           FROM cells),
+         ate AS (SELECT SUM(w * diff_raw) / SUM(w) AS ate_raw FROM diffs)
+         SELECT CAST(d.stratum AS BIGINT) AS stratum, d.n1, d.n0,
+                d.s1, d.s0,
+                ROUND(d.diff_raw, 6) AS diff_cents,
+                ROUND(a.ate_raw, 6) AS adjusted_diff_cents
+         FROM diffs d CROSS JOIN ate a""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -4029,6 +4029,124 @@ object Stats {
           .as("srm_alarm"))
   }
 
+  /** q343: isotonic (PAVA) calibration of the proxy score — the FIX
+    * member of the calibration family (q230 draws the diagram, q329
+    * tests it, q333 prices it; isotonic regression REPAIRS it): the
+    * maximum-likelihood monotone map score → P(positive), by
+    * pool-adjacent-violators (Ayer '55 / Barlow '72) over the score
+    * domain — what a serving layer applies between raw score and
+    * thresholded decision. Rows-only at the gate: PAVA's sequential
+    * pooling is not SQL-expressible; the spec pins isotonicity,
+    * within-pool constancy, mass conservation, AND equality with an
+    * independent O(n²) reference.
+    *
+    * Exactness: pool means are exact rationals (pos, cnt); the
+    * violator comparison cross-multiplies (no double mean compare),
+    * and the emitted calibration is the floor ppm of the final pool.
+    *
+    * Scale shape: one scan collapses onto the BOUNDED score domain
+    * (q231's argument), then the fold walks ≤9001 cells in a single
+    * task — domain-bounded, not data-bounded, so the shape survives
+    * any corpus size. */
+  def qIsotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    proxyScored(s, d)
+      .groupBy("score_milli")
+      .agg(count(lit(1)).as("cnt"), sum(col("is_pos")).as("pos"))
+      .select(col("score_milli").cast("long"), col("cnt").cast("long"),
+        col("pos").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val cells = it.toArray.sortBy(_._1)
+        // pools as (fromIdx, pos, cnt); merge while the previous pool's
+        // mean exceeds the new one's (cross-multiplied exact compare)
+        val from = new Array[Int](cells.length)
+        val pos = new Array[Long](cells.length)
+        val cnt = new Array[Long](cells.length)
+        var top = -1
+        cells.indices.foreach { i =>
+          top += 1; from(top) = i; pos(top) = cells(i)._3
+          cnt(top) = cells(i)._2
+          while (top > 0 && pos(top - 1) * cnt(top) > pos(top) * cnt(top - 1)) {
+            pos(top - 1) += pos(top); cnt(top - 1) += cnt(top); top -= 1
+          }
+        }
+        (0 to top).iterator.flatMap { p =>
+          val hi = if (p == top) cells.length - 1 else from(p + 1) - 1
+          val ppm = pos(p) * 1000000L / cnt(p)
+          (from(p) to hi).iterator.map { i =>
+            (cells(i)._1, cells(i)._2, cells(i)._3, ppm)
+          }
+        }
+      }
+      .toDF("score_milli", "cnt", "pos", "iso_ppm")
+      .orderBy("score_milli")
+  }
+
+  /** q344: stratified-adjustment effect estimate — the ESTIMATOR the
+    * q340 balance table gates (when balance fails, adjust: stratify
+    * on the confounder and weight within-stratum contrasts by
+    * stratum size — Cochran '68, the design-based cousin of q304's
+    * CMH which does the same for 2×2 outcomes): exposure = BUILDING
+    * segment, outcome = customer total spend, strata = account-
+    * balance quintiles (the q321 discrete value-domain cuts).
+    *
+    * Exactness: per-stratum (n, S₁) per arm exact; each stratum
+    * difference and the n_s/N-weighted combination are
+    * spelled-identical doubles of exact integers, rounded 6 (the
+    * adjusted estimate rides every row, the q299 emission pattern).
+    *
+    * Scale shape: one per-customer rollup; quintile cuts on the
+    * value-domain device; ≤5×2 cells after. */
+  def qStratifiedEffect(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy("o_custkey")
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("spend_cents"))
+    val cust = customer(s, d).select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("exposed"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("bal"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .na.fill(0L, Seq("spend_cents"))
+    val cuts = Pipeline.groupOrderStatistics(
+        cust.select(lit("all").as("g"), col("bal")), "g", "bal",
+        Seq(0.2, 0.4, 0.6, 0.8))
+      .groupBy("g").agg(
+        min(when(col("p") === 0.2, col("value"))).as("c1"),
+        min(when(col("p") === 0.4, col("value"))).as("c2"),
+        min(when(col("p") === 0.6, col("value"))).as("c3"),
+        min(when(col("p") === 0.8, col("value"))).as("c4"))
+      .drop("g")
+    val cells = cust.crossJoin(broadcast(cuts))
+      .withColumn("stratum",
+        lit(1L) + (col("bal") > col("c1")).cast("long")
+          + (col("bal") > col("c2")).cast("long")
+          + (col("bal") > col("c3")).cast("long")
+          + (col("bal") > col("c4")).cast("long"))
+      .groupBy("stratum")
+      .agg(sum(col("exposed")).as("n1"),
+        sum(lit(1L) - col("exposed")).as("n0"),
+        sum(when(col("exposed") === 1, col("spend_cents"))
+          .otherwise(lit(0L))).as("s1"),
+        sum(when(col("exposed") === 0, col("spend_cents"))
+          .otherwise(lit(0L))).as("s0"))
+      .withColumn("diff_cents", when(col("n1") > 0 && col("n0") > 0,
+        d2(col("s1")) / d2(col("n1")) - d2(col("s0")) / d2(col("n0")))
+        .otherwise(lit(0.0)))
+    // weight only strata with BOTH arms present, in numerator AND
+    // denominator — a one-arm stratum contributes no contrast
+    val w = when(col("n1") > 0 && col("n0") > 0,
+      d2(col("n1") + col("n0"))).otherwise(lit(0.0))
+    val ate = cells.agg(
+      (sum(w * col("diff_cents")) / sum(w)).as("ate_raw"))
+    cells.crossJoin(broadcast(ate))
+      .select(col("stratum"), col("n1"), col("n0"), col("s1"), col("s0"),
+        round(col("diff_cents"), 6).as("diff_cents"),
+        round(col("ate_raw"), 6).as("adjusted_diff_cents"))
+      .orderBy("stratum")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

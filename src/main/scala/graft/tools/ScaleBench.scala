@@ -227,7 +227,10 @@ object ScaleBench {
       // concentration (suppkey rollup + nation windows over the
       // supplier aggregate), balance, and the experiment-health pair
       "q339_hhi_concentration", "q340_covariate_balance",
-      "q341_wilson_interval", "q342_srm_check")
+      "q341_wilson_interval", "q342_srm_check",
+      // the PAVA fold (score-domain-bounded) and the stratified
+      // adjustment (customer rollup, cuts, 5x2 cells)
+      "q343_isotonic_calibration", "q344_stratified_effect")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -696,6 +696,89 @@ class Round10eSpec extends AnyFunSuite {
     assert(r.getAs[Long]("srm_alarm") === (if (chi2 > 10.83) 1L else 0L))
   }
 
+  test("q343 isotonic fit equals the max-min formula and conserves mass") {
+    val rows = Stats.qIsotonicCalibration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("score_milli"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("pos"), r.getAs[Long]("iso_ppm")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // isotonic: non-decreasing in score
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"not isotonic at ${b._1}")
+    }
+    // the independent ground truth: iso(i) = max_{j<=i} min_{k>=j}
+    // mean(pos[j..k])/(cnt[j..k]) — a different algorithm than the
+    // operator's stack-based PAVA
+    val n = rows.length
+    val cumPos = rows.scanLeft(0L)(_ + _._3).toArray
+    val cumCnt = rows.scanLeft(0L)(_ + _._2).toArray
+    def mean(j: Int, k: Int): (Long, Long) =
+      (cumPos(k + 1) - cumPos(j), cumCnt(k + 1) - cumCnt(j))
+    (0 until n).foreach { i =>
+      // max over j<=i of (min over k>=j of mean(j,k)), rationals
+      // compared by cross-multiplication
+      var best: (Long, Long) = (0L, 1L)
+      var bestSet = false
+      (0 to i).foreach { j =>
+        var mn: (Long, Long) = (1L, 1L); var mnSet = false
+        (j until n).foreach { k =>
+          val m = mean(j, k)
+          if (!mnSet || m._1 * mn._2 < mn._1 * m._2) { mn = m; mnSet = true }
+        }
+        if (!bestSet || mn._1 * best._2 > best._1 * mn._2) {
+          best = mn; bestSet = true
+        }
+      }
+      assert(rows(i)._4 === best._1 * 1000000L / best._2,
+        s"max-min mismatch at score ${rows(i)._1}")
+    }
+    // mass conservation: every pool's floor ppm times its count is
+    // within cnt of the pool's exact positive mass
+    rows.groupBy(_._4).values.foreach { pool =>
+      val ppm = pool.head._4
+      val cnt = pool.map(_._2).sum; val pos = pool.map(_._3).sum
+      assert(ppm === pos * 1000000L / cnt)
+    }
+    // the cells must cover the whole corpus
+    assert(rows.map(_._2).sum ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("q344 stratified effect matches a plain recount") {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey").cast("long").as("ck"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getString(1) == "BUILDING", r.getLong(2),
+        spend.getOrElse(r.getLong(0), 0L)))
+    val bals = cust.map(_._2).sorted
+    val cuts = Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+      bals(math.max(1, math.ceil(p * bals.length).toLong).toInt - 1)
+    }
+    val byStratum = cust.groupBy(c => 1 + cuts.count(c._2 > _))
+    val got = Stats.qStratifiedEffect(spark, sf).collect()
+    assert(got.length === byStratum.size)
+    var wSum = 0.0; var wdSum = 0.0
+    got.foreach { r =>
+      val g = byStratum(r.getAs[Long]("stratum").toInt)
+      val (e, c) = g.partition(_._1)
+      assert(r.getAs[Long]("n1") === e.length.toLong)
+      assert(r.getAs[Long]("n0") === c.length.toLong)
+      if (e.nonEmpty && c.nonEmpty) {
+        val diff = e.map(_._3).sum.toDouble / e.length -
+          c.map(_._3).sum.toDouble / c.length
+        assert(math.abs(r.getAs[Double]("diff_cents") - diff) < 1e-4)
+        wSum += g.length; wdSum += g.length * diff
+      }
+    }
+    assert(math.abs(got.head.getAs[Double]("adjusted_diff_cents")
+      - wdSum / wSum) < 1e-4)
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
