@@ -7980,8 +7980,8 @@ object SparkEntry {
                        / CAST(CAST(v_total AS HUGEINT) * v_total AS DOUBLE)
                   ELSE 0.0 END, 6) AS hhi,
                 CAST(CASE WHEN v_total > 0
-                  THEN top4_v * 1000000 // v_total ELSE 0 END AS BIGINT)
-                  AS cr4_ppm
+                  THEN CAST(top4_v AS HUGEINT) * 1000000 // v_total
+                  ELSE 0 END AS BIGINT) AS cr4_ppm
          FROM agg""",
     // q340: exact (n, S1, S2) per cell; means/variances/SMD
     // spelled-identical doubles

@@ -2544,8 +2544,11 @@ object Relational {
         round(when(col("v_total") > 0,
           d2(col("sum_v_sq")) / d2(dec(col("v_total")) * col("v_total")))
           .otherwise(lit(0.0)), 6).as("hhi"),
-        expr("CASE WHEN v_total > 0 THEN top4_v * 1000000 div v_total " +
-          "ELSE 0 END").as("cr4_ppm"))
+        // DECIMAL-widened: top4_v·10⁶ overflows BIGINT already at the
+        // 10× probe (caught by ScaleBench under ANSI, not by sf0.01)
+        expr("CAST(CASE WHEN v_total > 0 THEN " +
+          "CAST(top4_v AS DECIMAL(38,0)) * 1000000 div v_total " +
+          "ELSE 0 END AS BIGINT)").as("cr4_ppm"))
       .orderBy("nation")
   }
 }
