@@ -438,6 +438,11 @@ object Bench {
     // adjustment (customer rollup + value-domain cuts)
     "q343_isotonic_calibration",
     "q344_stratified_effect",
+    // the SPRT enrollment walk (offset device) and the ratio-metric
+    // CI rollup (the q345 streaming side stays untimed like every
+    // replay parity)
+    "q346_sprt",
+    "q347_ratio_metric_ci",
   )
 
   def main(args: Array[String]): Unit = {

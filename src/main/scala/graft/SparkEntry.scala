@@ -856,6 +856,19 @@ object SparkEntry {
     // q344: stratified-adjustment effect estimate — the estimator the
     // q340 balance table gates (Cochran's design-based adjustment)
     "q344_stratified_effect" -> (Stats.qStratifiedEffect _),
+    // q345: sequential Misra–Gries as streaming state — the FIFTEENTH
+    // bit-exact parity, first over state with eviction (rows-only:
+    // the fold isn't SQL; Round10eSpec pins stream ≡ batch fold and
+    // the true − n/(m+1) ≤ est ≤ true guarantee)
+    "q345_streaming_mg" ->
+      (graft.streaming.EventTime.qStreamingMisraGries _),
+    // q346: Wald SPRT over enrollment order — always-valid sequential
+    // inference beside the fixed-n q263/q341 (coefficients are
+    // precomputed literals; cumulative rides the offset device)
+    "q346_sprt" -> (Stats.qSprt _),
+    // q347: delta-method CI for the revenue-per-order ratio metric
+    // with user-level clustering (the experimentation-platform number)
+    "q347_ratio_metric_ci" -> (Stats.qRatioMetricCi _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8138,6 +8151,92 @@ object SparkEntry {
                 ROUND(d.diff_raw, 6) AS diff_cents,
                 ROUND(a.ate_raw, 6) AS adjusted_diff_cents
          FROM diffs d CROSS JOIN ate a""",
+    // q346: the LLR walk over enrollment order — coefficients are the
+    // SAME precomputed double literals as the Spark plan (in-engine
+    // ln() could differ in ulps); cumulative integers exact
+    "q346_sprt" ->
+      """WITH per_user AS (
+           SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' AND value >= 95
+                      THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         walk AS (
+           SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 2
+                    ORDER BY user_id) AS BIGINT) AS k,
+                  CAST(SUM(conv) OVER (PARTITION BY user_id % 2
+                    ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS a
+           FROM per_user),
+         scored AS (
+           SELECT arm, k, a,
+                  CAST(a AS DOUBLE) * 0.22314355131420976
+                    + CAST(k - a AS DOUBLE) * -0.010471299867295366 AS llr
+           FROM walk),
+         crossed AS (
+           SELECT arm, k,
+                  CASE WHEN llr >= 2.9444389791664403 THEN 1
+                       WHEN llr <= -2.9444389791664403 THEN -1
+                       ELSE 0 END AS c
+           FROM scored),
+         firstc AS (
+           SELECT arm, MIN(k) AS first_cross_k
+           FROM crossed WHERE c <> 0 GROUP BY 1),
+         decide AS (
+           SELECT c.arm, f.first_cross_k, CAST(c.c AS BIGINT) AS decision
+           FROM crossed c JOIN firstc f
+             ON c.arm = f.arm AND c.k = f.first_cross_k),
+         fin AS (
+           SELECT arm, MAX(k) AS n_users, MAX(a) AS n_conv,
+                  MAX_BY(llr, k) AS llr_last
+           FROM scored GROUP BY 1)
+         SELECT fin.arm, fin.n_users, fin.n_conv,
+                ROUND(fin.llr_last, 6) AS llr_final,
+                COALESCE(decide.first_cross_k, -1) AS first_cross_k,
+                COALESCE(decide.decision, 0) AS decision
+         FROM fin LEFT JOIN decide ON fin.arm = decide.arm""",
+    // q347: six exact sums per arm; R, the delta-method variance and
+    // the z-interval as spelled doubles (z = 1.959964)
+    "q347_ratio_metric_ci" ->
+      """WITH per_user AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+                  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                    AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sums AS (
+           SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * y) AS syy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM per_user GROUP BY 1),
+         m AS (
+           SELECT arm, n, sx, sy,
+                  CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0) AS vx,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0) AS vy,
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0) AS vxy,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+           FROM sums WHERE n > 1 AND sx > 0),
+         se AS (
+           SELECT arm, n, sx, sy, r,
+                  SQRT((vy - 2.0 * r * vxy + r * r * vx)
+                       / (CAST(n AS DOUBLE) * xbar * xbar)) AS sed
+           FROM m)
+         SELECT arm, n AS n_users, sx AS n_orders, sy AS revenue_cents,
+                ROUND(r, 6) AS rev_per_order_cents,
+                ROUND(sed, 6) AS se_delta,
+                ROUND(r - 1.959964 * sed, 6) AS ci_lo,
+                ROUND(r + 1.959964 * sed, 6) AS ci_hi
+         FROM se""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

@@ -63,3 +63,25 @@ class MisraGries(m: Int) extends Aggregator[String, MGSummary, Seq[(String, Long
   def bufferEncoder: Encoder[MGSummary] = Encoders.product[MGSummary]
   def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
+
+/** The SEQUENTIAL Misra–Gries fold shared by the q345 stream/batch
+  * parity pair — the literal per-item update over Long item ids
+  * (present → +1; room → insert 1; full → decrement all, drop
+  * zeros). Unlike [[MisraGries]]'s mergeable-summary algebra (whose
+  * result is merge-order-dependent within the ε band), this fold is
+  * fully DETERMINISTIC under a fixed arrival order, which is what a
+  * bit-exact parity needs. */
+object MisraGriesFold {
+  def update(buf: scala.collection.mutable.Map[Long, Long], item: Long,
+      m: Int): Unit = {
+    if (buf.contains(item)) buf(item) += 1
+    else if (buf.size < m) buf(item) = 1L
+    else {
+      val ks = buf.keys.toArray
+      ks.foreach { k =>
+        val nv = buf(k) - 1
+        if (nv == 0L) buf.remove(k) else buf(k) = nv
+      }
+    }
+  }
+}

@@ -4147,6 +4147,143 @@ object Stats {
       .orderBy("stratum")
   }
 
+  /** q345b (spec twin, not registered): the sequential Misra–Gries
+    * fold as a BATCH per-type walk over (us, event_id)-ordered user
+    * ids — the batch side of the fifteenth parity; shares the literal
+    * [[graft.functions.MisraGriesFold]] update with the streaming
+    * state. Output = the surviving counters per type, exploded. */
+  private[graft] def mgBatchFold(s: SparkSession, d: String,
+      m: Int = 8): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), col("user_id").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+        val buf = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        var n = 0L
+        it.toArray.sortBy(x => (x._2, x._3)).foreach { x =>
+          graft.functions.MisraGriesFold.update(buf, x._4, m); n += 1
+        }
+        buf.keys.toArray.sorted.iterator.map(k => (tpe, n, k, buf(k)))
+      }
+      .toDF("event_type", "n_events", "user_id", "mg_count")
+      .orderBy("event_type", "user_id")
+  }
+
+  /** q346: Wald's sequential probability ratio test over the q263
+    * arm conversions — the ALWAYS-VALID-inference cell the fixed-n
+    * battery lacks (q263/q341 assume you picked n in advance; a live
+    * experiment peeks continuously, and SPRT is the classic test
+    * that stays valid under peeking, Wald '45): users enroll in
+    * user_id order, the log-likelihood ratio walks
+    * LLR_k = a_k·ln(p₁/p₀) + (k−a_k)·ln((1−p₁)/(1−p₀)) for
+    * H₀: p = 4% vs H₁: p = 5%, and the first crossing of ±ln(19)
+    * (α = β = 0.05) decides.
+    *
+    * Exactness/determinism: the two coefficients and the threshold
+    * are PRE-COMPUTED double literals spelled identically on both
+    * engines (0.22314355131420976, −0.010471299867295366,
+    * 2.9444389791664403 — in-engine ln() could differ in ulps, the
+    * q335 lesson); a_k and k are exact cumulative integers, so every
+    * LLR and crossing test is engine-identical.
+    *
+    * Scale shape: the per-arm enrollment cumulative rides the
+    * range-partition + broadcast-offset device (the q276/q277/q295
+    * pattern — NO single-partition window over the user aggregate);
+    * the crossing rollup collapses map-side. */
+  def qSprt(s: SparkSession, d: String): DataFrame = {
+    val c1 = lit(0.22314355131420976)  // ln(0.05/0.04)
+    val c0 = lit(-0.010471299867295366) // ln(0.95/0.96)
+    val thr = lit(2.9444389791664403)  // ln(19)
+    val perUser = events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 95,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val parts = perUser.repartitionByRange(col("arm"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val offs = parts.groupBy("arm", "pid")
+      .agg(count(lit(1)).as("pc"), sum(col("conv")).as("ps"))
+      .withColumn("off_k", coalesce(sum("pc").over(
+        Window.partitionBy("arm").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("off_a", coalesce(sum("ps").over(
+        Window.partitionBy("arm").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("arm", "pid", "off_k", "off_a")
+    val local = Window.partitionBy("arm", "pid").orderBy("user_id")
+    val walk = parts.join(broadcast(offs), Seq("arm", "pid"))
+      .withColumn("k", col("off_k") + row_number().over(local).cast("long"))
+      .withColumn("a", col("off_a") + sum("conv").over(
+        local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("llr", d2(col("a")) * c1 + d2(col("k") - col("a")) * c0)
+      .withColumn("crossed",
+        when(col("llr") >= thr, lit(1L))
+          .when(col("llr") <= -thr, lit(-1L)).otherwise(lit(0L)))
+    val firstCross = walk.filter(col("crossed") =!= 0L)
+      .groupBy("arm").agg(min(col("k")).as("first_cross_k"))
+    val cross = walk.join(firstCross.withColumnRenamed("arm", "arm2"),
+        col("arm") === col("arm2") && col("k") === col("first_cross_k"))
+      .select(col("arm"), col("first_cross_k"), col("crossed").as("decision"))
+    walk.groupBy("arm")
+      .agg(max(col("k")).as("n_users"), max(col("a")).as("n_conv"),
+        max_by(col("llr"), col("k")).as("llr_last"))
+      .join(cross, Seq("arm"), "left")
+      .na.fill(-1L, Seq("first_cross_k")).na.fill(0L, Seq("decision"))
+      .select(col("arm"), col("n_users"), col("n_conv"),
+        round(col("llr_last"), 6).as("llr_final"),
+        col("first_cross_k"), col("decision"))
+      .orderBy("arm")
+  }
+
+  /** q347: delta-method CI for a RATIO metric — revenue per order
+    * with USER-level clustering, per arm: the number every
+    * experimentation platform reports (per-event averages understate
+    * the variance because orders cluster within users; the
+    * delta-method variance of R = ΣY/ΣX over user-level (x, y) is
+    * the standard correction — Deng et al., KDD'18's formulation):
+    * Var(R) ≈ (s_y² − 2R·s_xy + R²·s_x²)/(n·x̄²).
+    *
+    * Exactness: the six sufficient sums per arm are exact
+    * (DECIMAL-widened squares/cross-products of cents × counts); R,
+    * the variance and the z-interval (z = 1.959964) are
+    * spelled-identical doubles of those integers, rounded 6.
+    *
+    * Scale shape: one per-user rollup, then a 2-row fold. */
+  def qRatioMetricCi(s: SparkSession, d: String): DataFrame = {
+    val z = lit(1.959964)
+    val perUser = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val sums = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"),
+        sum(dec(col("x")) * col("y")).as("sxy"))
+    val n = d2(col("n")); val sx = d2(col("sx")); val sy = d2(col("sy"))
+    val r = sy / sx
+    val vx = (d2(col("sxx")) - sx * sx / n) / (n - lit(1.0))
+    val vy = (d2(col("syy")) - sy * sy / n) / (n - lit(1.0))
+    val vxy = (d2(col("sxy")) - sx * sy / n) / (n - lit(1.0))
+    val xbar = sx / n
+    val se = sqrt((vy - lit(2.0) * r * vxy + r * r * vx)
+      / (n * xbar * xbar))
+    sums.filter(col("n") > 1 && col("sx") > 0)
+      .select(col("arm"), col("n").as("n_users"), col("sx").as("n_orders"),
+        col("sy").as("revenue_cents"),
+        round(r, 6).as("rev_per_order_cents"),
+        round(se, 6).as("se_delta"),
+        round(r - z * se, 6).as("ci_lo"),
+        round(r + z * se, 6).as("ci_hi"))
+      .orderBy("arm")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

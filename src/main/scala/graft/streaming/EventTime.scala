@@ -646,6 +646,44 @@ object EventTime {
         col("m.first_over_hour").as("first_over_hour"))
   }
 
+  /** q345: sequential Misra–Gries heavy hitters as STREAMING state
+    * ([[Stateful.mgProgress]]) — the FIFTEENTH bit-exact stream/batch
+    * parity and the first over state with EVICTION (a bounded
+    * key→count map whose decrement-all step removes keys): the
+    * stream fold over the time-ordered 3-file replay must equal the
+    * batch fold over the same (us, event_id) total order, counter for
+    * counter (rows-only: the sequential fold is not SQL; the spec
+    * also pins the classic guarantee true − n/(m+1) ≤ est ≤ true
+    * against exact counts). */
+  def qStreamingMisraGries(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), col("user_id").cast("long"))
+      .as[(String, Long, Long, Long)]
+    val prog = Stateful.mgProgress(ev)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q345 must exercise cross-batch MG state, saw $dataBatches data batches")
+    s.table(name).groupBy("event_type")
+      .agg(max_by(struct(col("n_seen"), col("keys"), col("counts")),
+        col("n_seen")).as("m"))
+      .select(col("event_type"), col("m.n_seen").as("n_events"),
+        explode(arrays_zip(col("m.keys"), col("m.counts"))).as("kv"))
+      .select(col("event_type"), col("n_events"),
+        col("kv.keys").as("user_id"), col("kv.counts").as("mg_count"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** q314: q180's carry-forward gap-fill as STREAMING state
     * ([[Stateful.locfProgress]]): the per-type daily level series
     * advanced day by day with gap back-fill in closed form — the

@@ -499,6 +499,49 @@ object Stateful {
       }
   }
 
+  case class MgProgress(event_type: String, n_seen: Long,
+    keys: Array[Long], counts: Array[Long])
+
+  case class MgState(keys: Array[Long], counts: Array[Long], nSeen: Long)
+
+  /** Streaming sequential Misra–Gries heavy-hitter state — the
+    * FIFTEENTH parity's stream side and a NEW state shape among the
+    * parities (every prior fold carries scalars or fixed-width
+    * arrays; this carries a bounded key→count map with EVICTION —
+    * the decrement-all step removes keys, so state can shrink):
+    * per event type, the literal [[graft.functions.MisraGriesFold]]
+    * update over user ids in (us, event_id) order, ≤ m counters
+    * forever. State is canonicalized sorted-by-key so the encoded
+    * arrays are deterministic; the fold itself never depends on map
+    * order (decrement-all and insert-below-capacity are order-free).
+    * Same time-ordered cross-batch arrival contract as
+    * [[funnelStages]]; n_seen drives the max_by reconstruction. */
+  def mgProgress(events: Dataset[(String, Long, Long, Long)], m: Int = 8,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[MgProgress] = {
+    implicit val stE: Encoder[MgState] = Encoders.product[MgState]
+    implicit val outE: Encoder[MgProgress] = Encoders.product[MgProgress]
+    implicit val inE: Encoder[(String, Long, Long, Long)] =
+      Encoders.product[(String, Long, Long, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    events.groupByKey(_._1)
+      .mapGroupsWithState[MgState, MgProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long, Long, Long)],
+            state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(
+            MgState(Array.empty, Array.empty, 0L))
+          val buf = scala.collection.mutable.LinkedHashMap[Long, Long]()
+          st.keys.zip(st.counts).foreach { case (k, c) => buf(k) = c }
+          val arr = it.toArray.sortBy(x => (x._2, x._3))
+          arr.foreach { x =>
+            graft.functions.MisraGriesFold.update(buf, x._4, m)
+          }
+          val nSeen = st.nSeen + arr.length
+          val ks = buf.keys.toArray.sorted
+          state.update(MgState(ks, ks.map(buf), nSeen))
+          MgProgress(tpe, nSeen, ks, ks.map(buf))
+      }
+  }
+
   /** Streaming Page CUSUM — q185's online level-shift detector as
     * per-type state: (open day, open count, closed-day count, burn-in
     * sum, S, max S, alarm day, S-at-alarm) advanced micro-batch by

@@ -230,7 +230,10 @@ object ScaleBench {
       "q341_wilson_interval", "q342_srm_check",
       // the PAVA fold (score-domain-bounded) and the stratified
       // adjustment (customer rollup, cuts, 5x2 cells)
-      "q343_isotonic_calibration", "q344_stratified_effect")
+      "q343_isotonic_calibration", "q344_stratified_effect",
+      // the SPRT cumulative (users xfactor through the offset device)
+      // and the ratio-CI rollup
+      "q346_sprt", "q347_ratio_metric_ci")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -779,6 +779,98 @@ class Round10eSpec extends AnyFunSuite {
       - wdSum / wSum) < 1e-4)
   }
 
+  test("q345 streaming MG equals the batch fold bit for bit (fifteenth parity)") {
+    val batch = Stats.mgBatchFold(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val stream = graft.streaming.EventTime.qStreamingMisraGries(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("q345 MG counters respect the classic n/(m+1) guarantee") {
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rows = Stats.mgBatchFold(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val n = rs.head.getAs[Long]("n_events")
+      rs.foreach { r =>
+        val est = r.getAs[Long]("mg_count")
+        val truth = exact((tpe, r.getAs[Long]("user_id")))
+        assert(est <= truth, s"$tpe overestimate")
+        assert(truth - est <= n / 9 + 1, // m = 8: bound n/(m+1)
+          s"$tpe undershoots past the n/(m+1) band")
+      }
+    }
+  }
+
+  test("q346 SPRT walk matches a sequential recount") {
+    val users = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 95,
+        1L).otherwise(0L)).as("conv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val c1 = 0.22314355131420976; val c0 = -0.010471299867295366
+    val thr = 2.9444389791664403
+    val got = Stats.qSprt(spark, sf).collect()
+      .map(r => r.getAs[Long]("arm") -> r).toMap
+    Seq(0L, 1L).foreach { arm =>
+      val seq = users.filter(_._1 % 2 == arm).sortBy(_._1)
+      var a = 0L; var firstK = -1L; var dec = 0L
+      seq.zipWithIndex.foreach { case ((_, conv), i) =>
+        a += conv
+        val k = i + 1L
+        val llr = a * c1 + (k - a) * c0
+        if (firstK < 0) {
+          if (llr >= thr) { firstK = k; dec = 1L }
+          else if (llr <= -thr) { firstK = k; dec = -1L }
+        }
+      }
+      val r = got(arm)
+      assert(r.getAs[Long]("n_users") === seq.length.toLong)
+      assert(r.getAs[Long]("n_conv") === seq.map(_._2).sum)
+      assert(r.getAs[Long]("first_cross_k") === firstK)
+      assert(r.getAs[Long]("decision") === dec)
+      val llrFinal = seq.map(_._2).sum * c1 +
+        (seq.length - seq.map(_._2).sum) * c0
+      assert(math.abs(r.getAs[Double]("llr_final") - llrFinal) < 1e-6)
+    }
+  }
+
+  test("q347 delta-method CI matches a plain recount") {
+    val perUser = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Stats.qRatioMetricCi(spark, sf).collect()
+      .map(r => r.getAs[Long]("arm") -> r).toMap
+    Seq(0L, 1L).foreach { arm =>
+      val g = perUser.filter(_._1 % 2 == arm)
+      val n = g.length.toDouble
+      val xs = g.map(_._2.toDouble); val ys = g.map(_._3.toDouble)
+      val r0 = ys.sum / xs.sum
+      def sampleVar(as: Seq[Double], bs: Seq[Double]): Double = {
+        val ma = as.sum / n; val mb = bs.sum / n
+        as.zip(bs).map { case (p, q) => (p - ma) * (q - mb) }.sum / (n - 1)
+      }
+      val se = math.sqrt((sampleVar(ys, ys) - 2 * r0 * sampleVar(xs, ys)
+        + r0 * r0 * sampleVar(xs, xs)) / (n * math.pow(xs.sum / n, 2)))
+      val r = got(arm)
+      assert(r.getAs[Long]("n_users") === g.length.toLong)
+      assert(math.abs(r.getAs[Double]("rev_per_order_cents") - r0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("se_delta") - se) < 1e-5)
+      assert(r.getAs[Double]("ci_lo") < r0 && r.getAs[Double]("ci_hi") > r0)
+    }
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
