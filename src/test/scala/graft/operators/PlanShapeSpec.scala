@@ -254,6 +254,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q346 SPRT: the enrollment cumulative rides the offset device") {
+    // the per-arm LLR walk must never move the user aggregate into a
+    // single partition: data-scaled windows partition by (arm, pid)
+    // after the range exchange; unpartitioned windows are absent and
+    // the offset windows partition by arm over the bounded pid table
+    val ws = windowNodes(Stats.qSprt(spark, sf))
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "a single-partition window crept into the SPRT walk")
+    assert(ws.exists(_.toString.contains("pid")),
+      "the walk lost its range-partition offset device")
+  }
+
   test("q278 Kendall tau: no pair join — one value-domain shuffle feeds the inversion walk") {
     // the r10 shape: Knight's formulation — the customer aggregate
     // groups to its (nation, x, y) value domain and every downstream
