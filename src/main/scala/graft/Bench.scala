@@ -443,6 +443,11 @@ object Bench {
     // replay parity)
     "q346_sprt",
     "q347_ratio_metric_ci",
+    // the two calendar-bounded series reads and the basket rules
+    // (the q163/q253-audited pair device + TakeOrdered)
+    "q348_seasonal_strength",
+    "q349_acf_table",
+    "q350_association_rules",
   )
 
   def main(args: Array[String]): Unit = {

@@ -869,6 +869,15 @@ object SparkEntry {
     // q347: delta-method CI for the revenue-per-order ratio metric
     // with user-level clustering (the experimentation-platform number)
     "q347_ratio_metric_ci" -> (Stats.qRatioMetricCi _),
+    // q348: Hyndman seasonal strength per type — the one-number
+    // weekly-cycle read beside q174/q318
+    "q348_seasonal_strength" -> (Stats.qSeasonalStrength _),
+    // q349: the ACF table, lags 1..14 — the Box–Jenkins first plot
+    // between q157's lag-1 and q307's portmanteau
+    "q349_acf_table" -> (Stats.qAcfTable _),
+    // q350: association rules (support/confidence/lift, Agrawal) —
+    // the merchandiser formulation of co-purchase
+    "q350_association_rules" -> ((s, d) => Relational.qAssociationRules(s, d)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8237,6 +8246,112 @@ object SparkEntry {
                 ROUND(r - 1.959964 * sed, 6) AS ci_lo,
                 ROUND(r + 1.959964 * sed, 6) AS ci_hi
          FROM se""",
+    // q348: F_s = (n·Σ S_w²/n_w − S²)/(n·Q − S²) — the weekday term a
+    // ≤7-element double fold of exact integers (the q319 precedent)
+    "q348_seasonal_strength" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         bywd AS (
+           SELECT event_type, dayofweek(day) AS wd,
+                  CAST(COUNT(*) AS BIGINT) AS n_w,
+                  CAST(SUM(x) AS BIGINT) AS s_w
+           FROM daily GROUP BY 1, 2),
+         totals AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s1,
+                  SUM(CAST(x AS HUGEINT) * x) AS q2
+           FROM daily GROUP BY 1),
+         agg AS (
+           SELECT b.event_type, MAX(g.n) AS n_days, MAX(g.s1) AS s1,
+                  MAX(g.q2) AS q2,
+                  SUM(CAST(CAST(s_w AS HUGEINT) * s_w AS DOUBLE)
+                      / CAST(n_w AS DOUBLE)) AS sw_term
+           FROM bywd b JOIN totals g ON b.event_type = g.event_type
+           GROUP BY 1)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                CAST(s1 AS BIGINT) AS sum_x,
+                ROUND(CASE WHEN CAST(CAST(n_days AS HUGEINT) * q2 AS DOUBLE)
+                             - CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE) > 0
+                  THEN GREATEST(0.0,
+                    (CAST(n_days AS DOUBLE) * sw_term
+                       - CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                    / (CAST(CAST(n_days AS HUGEINT) * q2 AS DOUBLE)
+                       - CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS seasonal_strength
+         FROM agg""",
+    // q349: q307's exact rho construction, lags 1..14, long form
+    "q349_acf_table" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         pos AS (
+           SELECT event_type, x,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         totals AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s,
+                  CAST(SUM(x * x) AS BIGINT) AS q2
+           FROM pos GROUP BY 1),
+         lagged AS (
+           SELECT p.event_type, k.k, p.t + k.k AS t2, p.x
+           FROM pos p CROSS JOIN (SELECT unnest(range(1, 15)) AS k) k),
+         pairs AS (
+           SELECT l.event_type, l.k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  SUM(CAST(l.x AS HUGEINT) * b.x) AS p,
+                  CAST(SUM(l.x) AS BIGINT) AS sa,
+                  CAST(SUM(b.x) AS BIGINT) AS sb
+           FROM lagged l JOIN pos b
+             ON l.event_type = b.event_type AND l.t2 = b.t
+           GROUP BY 1, 2)
+         SELECT pr.event_type, CAST(pr.k AS BIGINT) AS lag, pr.n_pairs,
+                ROUND(CASE WHEN CAST(g.n AS HUGEINT)
+                             * (CAST(g.n AS HUGEINT) * g.q2
+                                - CAST(g.s AS HUGEINT) * g.s) > 0
+                  THEN CAST(CAST(g.n AS HUGEINT) * g.n * pr.p
+                         - CAST(g.n AS HUGEINT) * g.s * (pr.sa + pr.sb)
+                         + CAST(g.n - pr.k AS HUGEINT) * g.s * g.s AS DOUBLE)
+                       / CAST(CAST(g.n AS HUGEINT)
+                           * (CAST(g.n AS HUGEINT) * g.q2
+                              - CAST(g.s AS HUGEINT) * g.s) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rho
+         FROM pairs pr JOIN totals g ON pr.event_type = g.event_type""",
+    // q350: lift is an exact-rational double; the top-10 is a
+    // deterministic (lift DESC, ante, cons) cut
+    "q350_association_rules" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+         item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c_item
+                  FROM li GROUP BY 1),
+         pair AS (
+           SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         rules AS (
+           SELECT pa AS ante, pb AS cons, c_ab FROM pair
+           UNION ALL
+           SELECT pb, pa, c_ab FROM pair),
+         scored AS (
+           SELECT r.ante, r.cons, r.c_ab,
+                  ia.c_item AS c_ante, ic.c_item AS c_cons,
+                  CAST(CAST(r.c_ab AS HUGEINT) * 1000000 // ia.c_item
+                    AS BIGINT) AS confidence_ppm,
+                  ROUND(CAST(CAST(n.n_orders AS HUGEINT) * r.c_ab AS DOUBLE)
+                        / CAST(CAST(ia.c_item AS HUGEINT) * ic.c_item
+                          AS DOUBLE), 6) AS lift
+           FROM rules r
+           JOIN item ia ON r.ante = ia.p
+           JOIN item ic ON r.cons = ic.p
+           CROSS JOIN n)
+         SELECT ante, cons, c_ab AS support, c_ante, c_cons,
+                confidence_ppm, lift
+         FROM scored
+         ORDER BY lift DESC, ante, cons LIMIT 10""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

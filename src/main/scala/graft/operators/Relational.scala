@@ -1325,6 +1325,58 @@ object Relational {
         max(abs(col("diff_cents"))).as("max_abs_cents"))
   }
 
+  /** q350: association rules over order baskets — the
+    * support/confidence/lift formulation of co-purchase (Agrawal '93;
+    * q163 ranks nodes, q173 serves neighbors — this emits the RULES a
+    * merchandiser reads: "A ⇒ B, confidence 41%, lift 3.2"): top-10
+    * rules by lift with a support floor, both directions of every
+    * qualifying pair.
+    *
+    * Exactness/determinism: support, item counts and the order count
+    * are exact; confidence is a floored ppm and lift an
+    * exact-rational-valued double (N·c(AB)/(c(A)·c(B))), so the
+    * (lift DESC, antecedent, consequent) top-k is a deterministic
+    * total order cut by TakeOrdered — never a global sort.
+    *
+    * Scale shape: the pair rollup is the q163/q253-audited basket
+    * device (per-order fanout ≤ lines², support floor); item counts
+    * join on partkey (shuffle, item-aggregate-sized); the order count
+    * broadcasts from a 1-row aggregate. */
+  def qAssociationRules(s: SparkSession, d: String,
+      minSupport: Long = 3L, topK: Int = 10): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d2 = (c: Column) => c.cast("double")
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = li.select("o").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val item = li.groupBy(col("p")).agg(count(lit(1)).as("c_item"))
+    val pair = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val rules = pair.select(col("pa").as("ante"), col("pb").as("cons"),
+        col("c_ab"))
+      .unionAll(pair.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("c_ab")))
+    rules
+      .join(item.select(col("p").as("ante"), col("c_item").as("c_ante")),
+        Seq("ante"))
+      .join(item.select(col("p").as("cons"), col("c_item").as("c_cons")),
+        Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("confidence_ppm",
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * 1000000 div c_ante AS BIGINT)"))
+      .withColumn("lift", round(
+        d2(dec(col("n_orders")) * col("c_ab")) /
+          d2(dec(col("c_ante")) * col("c_cons")), 6))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(topK)
+      .select(col("ante"), col("cons"), col("c_ab").as("support"),
+        col("c_ante"), col("c_cons"), col("confidence_ppm"), col("lift"))
+  }
+
   /** Exact per-line revenue in 1e-4 dollars: cents × (100 − discount
     * points), both factors exact integers from the ≤2-decimal raw
     * columns (the q162 discipline) — so every aggregate over it is

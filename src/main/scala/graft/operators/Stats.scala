@@ -4284,6 +4284,95 @@ object Stats {
       .orderBy("arm")
   }
 
+  /** q348: seasonal strength per event type — Hyndman's F_s reading
+    * of the weekday decomposition (q174 lists the weekday means, q318
+    * scores a seasonal forecast; this reports ONE number per series —
+    * how much of the daily variance the weekly cycle explains:
+    * F_s = max(0, SS_weekday/SS_total), the η² of the weekday factor,
+    * ~0 for a cycle-free series, →1 for a pure weekly signal). The
+    * slice-ranking number a seasonality-aware pipeline sorts on.
+    *
+    * Exactness: SS_weekday and SS_total have exact n-scaled integer
+    * forms — n·Σ_w n_w·(S_w·n − S·n_w)²/(n_w·n²)… cross-multiplied to
+    * the single-division form: F_s = [n·Σ_w S_w²/n_w − S²] /
+    * [n·Q − S²] over exact DECIMAL-widened sums, where the per-weekday
+    * term folds ≤7 exact rationals (each S_w²/n_w cross-multiplied
+    * against the common denominator via the ≤7-term double fold, the
+    * q319 precedent), rounded 6.
+    *
+    * Scale shape: the (type, weekday) rollup is calendar-bounded ×7;
+    * everything after is ≤7-row math. */
+  def qSeasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val daily = dailySeries(s, d)
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val byWd = daily.groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n_w"), sum(col("x")).as("s_w"))
+    val glob = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(dec(col("x")) * col("x")).as("q"))
+    byWd.join(broadcast(glob), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_days"), max(col("s")).as("s1"),
+        max(col("q")).as("q2"),
+        sum(d2(dec(col("s_w")) * col("s_w")) / d2(col("n_w")))
+          .as("sw_term"))
+      .withColumn("seasonal_strength", round(
+        when(d2(dec(col("n_days")) * col("q2"))
+            - d2(dec(col("s1")) * col("s1")) > 0,
+          greatest(lit(0.0),
+            (d2(col("n_days")) * col("sw_term")
+              - d2(dec(col("s1")) * col("s1"))) /
+            (d2(dec(col("n_days")) * col("q2"))
+              - d2(dec(col("s1")) * col("s1")))))
+          .otherwise(lit(0.0)), 6))
+      .select(col("event_type"), col("n_days"), col("s1").as("sum_x"),
+        col("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
+  /** q349: the autocorrelation function TABLE per event type, lags
+    * 1..14 — the diagnostic artifact between q157's single lag-1
+    * number and q307's joint portmanteau verdict (an analyst reads
+    * the ACF's SHAPE: a spike at 7 says weekly, slow decay says
+    * trend; Box–Jenkins' first plot). Each ρ̂ₖ uses the same exact
+    * n²-scaled BIGINT numerator/denominator construction as q307,
+    * extended through two weekly cycles.
+    *
+    * Scale shape: the lag-k self-join runs on the calendar-bounded
+    * daily rollup (≤14·types·days rows) — q307's argument. */
+  def qAcfTable(s: SparkSession, d: String): DataFrame = {
+    val daily = dailySeries(s, d)
+    val glob = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(dec(col("x")) * col("x")).as("q2"))
+    val lagged = daily.select(col("event_type"), col("t"), col("x"))
+      .withColumn("k", explode(sequence(lit(1L), lit(14L))))
+      .withColumn("t2", col("t") + col("k"))
+    val pairs = lagged.alias("a").join(
+        daily.select(col("event_type"), col("t").as("t2"),
+          col("x").as("x2")).alias("b"),
+        Seq("event_type", "t2"))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x")) * col("x2")).as("p"),
+        sum(col("x")).as("sa"), sum(col("x2")).as("sb"))
+    // q307's spelled construction, DECIMAL-widened (n²·P tops BIGINT
+    // two decades past the q307 fixture — the q339 probe lesson
+    // applied preemptively)
+    pairs.join(broadcast(glob), Seq("event_type"))
+      .withColumn("num",
+        dec(col("n")) * col("n") * col("p") -
+          dec(col("n")) * col("s") * (col("sa") + col("sb")) +
+          dec(col("n") - col("k")) * col("s") * col("s"))
+      .withColumn("den",
+        dec(col("n")) * (dec(col("n")) * col("q2")
+          - dec(col("s")) * col("s")))
+      .select(col("event_type"), col("k").as("lag"), col("n_pairs"),
+        round(when(col("den") > 0, d2(col("num")) / d2(col("den")))
+          .otherwise(lit(0.0)), 6).as("rho"))
+      .orderBy("event_type", "lag")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

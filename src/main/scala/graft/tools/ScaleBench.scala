@@ -233,7 +233,11 @@ object ScaleBench {
       "q343_isotonic_calibration", "q344_stratified_effect",
       // the SPRT cumulative (users xfactor through the offset device)
       // and the ratio-CI rollup
-      "q346_sprt", "q347_ratio_metric_ci")
+      "q346_sprt", "q347_ratio_metric_ci",
+      // calendar-bounded series reads (should be flat) and the basket
+      // rules (pair rollup xfactor under the partkey namespace shift)
+      "q348_seasonal_strength", "q349_acf_table",
+      "q350_association_rules")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -871,6 +871,83 @@ class Round10eSpec extends AnyFunSuite {
     }
   }
 
+  test("q348 seasonal strength matches an ANOVA eta-squared recount") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    val got = Stats.qSeasonalStrength(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("seasonal_strength")).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val n = rows.length.toDouble
+      val mean = rows.map(_._3).sum / n
+      val ssTotal = rows.map(r => (r._3 - mean) * (r._3 - mean)).sum
+      val ssBetween = rows.groupBy(_._2.getDayOfWeek).values.map { g =>
+        val m = g.map(_._3).sum.toDouble / g.length
+        g.length * (m - mean) * (m - mean)
+      }.sum
+      val fs = math.max(0.0, ssBetween / ssTotal)
+      assert(math.abs(got(tpe) - fs) < 1e-6, tpe)
+    }
+  }
+
+  test("q349 ACF table matches a direct autocovariance recount") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+    val got = Stats.qAcfTable(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("rho"))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3.toDouble)
+      val n = xs.length; val m = xs.sum / n
+      val denom = xs.map(x => (x - m) * (x - m)).sum
+      (1 to 14).foreach { k =>
+        val num = (k until n).map(i => (xs(i) - m) * (xs(i - k) - m)).sum
+        val (np, rho) = got((tpe, k.toLong))
+        assert(np === (n - k).toLong)
+        assert(math.abs(rho - num / denom) < 1e-5, s"$tpe lag $k")
+      }
+    }
+  }
+
+  test("q350 rules match a basket recount and rank by true lift") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val orders = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = orders.size.toDouble
+    val itemCount = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCount = scala.collection.mutable.Map[(Long, Long), Long]()
+    orders.values.foreach { ps =>
+      val sorted = ps.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        pairCount((sorted(i), sorted(j))) =
+          pairCount.getOrElse((sorted(i), sorted(j)), 0L) + 1L
+    }
+    val rules = pairCount.toSeq.filter(_._2 >= 3).flatMap {
+      case ((a, b), c) => Seq((a, b, c), (b, a, c))
+    }.map { case (a, b, c) =>
+      val lift = math.rint(nOrders * c /
+        (itemCount(a).toDouble * itemCount(b)) * 1e6) / 1e6
+      (lift, a, b, c)
+    }.sortBy { case (l, a, b, _) => (-l, a, b) }.take(10)
+    val got = Relational.qAssociationRules(spark, sf).collect()
+    assert(got.length === rules.length)
+    got.zip(rules).foreach { case (r, (lift, a, b, c)) =>
+      assert(r.getAs[Long]("ante") === a)
+      assert(r.getAs[Long]("cons") === b)
+      assert(r.getAs[Long]("support") === c)
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-6)
+      assert(r.getAs[Long]("confidence_ppm") ===
+        c * 1000000L / itemCount(a))
+    }
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
