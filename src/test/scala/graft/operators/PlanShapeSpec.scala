@@ -254,6 +254,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q336/q350 argmin/top-k cuts are TakeOrdered, never a global sort") {
+    Seq("q336" -> Stats.qDecisionStump(spark, sf),
+      "q350" -> Relational.qAssociationRules(spark, sf)).foreach {
+      case (name, df) =>
+        df.queryExecution.toRdd.foreach(_ => ())
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("TakeOrderedAndProject"),
+          s"$name lost its top-k head:\n$plan")
+    }
+  }
+
   test("q346 SPRT: the enrollment cumulative rides the offset device") {
     // the per-arm LLR walk must never move the user aggregate into a
     // single partition: data-scaled windows partition by (arm, pid)
