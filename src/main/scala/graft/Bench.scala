@@ -448,6 +448,11 @@ object Bench {
     "q348_seasonal_strength",
     "q349_acf_table",
     "q350_association_rules",
+    // the IR metric pair (q191's scan), the cluster-purity audit
+    // (q103's components), and the allocation design rollup
+    "q351_mrr_map",
+    "q352_cluster_purity",
+    "q353_neyman_allocation",
   )
 
   def main(args: Array[String]): Unit = {

@@ -878,6 +878,15 @@ object SparkEntry {
     // q350: association rules (support/confidence/lift, Agrawal) —
     // the merchandiser formulation of co-purchase
     "q350_association_rules" -> ((s, d) => Relational.qAssociationRules(s, d)),
+    // q351: MRR + MAP@10 over the q191 retrieval fixture — the two
+    // remaining standard IR metrics beside NDCG
+    "q351_mrr_map" -> ((s, d) => Similarity.qMrrMap(s, d)),
+    // q352: near-dup cluster purity vs the lang label — the cluster
+    // COHERENCE audit beside q134's size census (q103's components)
+    "q352_cluster_purity" -> (Dedup.qClusterPurity _),
+    // q353: Neyman-optimal stratified allocation — the sampling
+    // DESIGN step before q142 draws
+    "q353_neyman_allocation" -> ((s, d) => Pipeline.qNeymanAllocation(s, d)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8352,6 +8361,111 @@ object SparkEntry {
                 confidence_ppm, lift
          FROM scored
          ORDER BY lift DESC, ante, cons LIMIT 10""",
+    // q351: q191's rank-flag construction verbatim; first-hit a fixed
+    // CASE chain, AP a fixed ten-term fold of exact 0/1 integers
+    "q351_mrr_map" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb,
+                           label AS q_label
+                    FROM embeddings WHERE vec_id < 100),
+         ranked AS (
+           SELECT q.query_id, q.q_label,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.q_emb,
+                      c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank,
+                  CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS rel
+           FROM q, embeddings c WHERE q.query_id <> c.vec_id),
+         flags AS (
+           SELECT query_id, q_label,
+                  MAX(CASE WHEN rank = 1 THEN rel END) AS r1,
+                  MAX(CASE WHEN rank = 2 THEN rel END) AS r2,
+                  MAX(CASE WHEN rank = 3 THEN rel END) AS r3,
+                  MAX(CASE WHEN rank = 4 THEN rel END) AS r4,
+                  MAX(CASE WHEN rank = 5 THEN rel END) AS r5,
+                  MAX(CASE WHEN rank = 6 THEN rel END) AS r6,
+                  MAX(CASE WHEN rank = 7 THEN rel END) AS r7,
+                  MAX(CASE WHEN rank = 8 THEN rel END) AS r8,
+                  MAX(CASE WHEN rank = 9 THEN rel END) AS r9,
+                  MAX(CASE WHEN rank = 10 THEN rel END) AS r10
+           FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+         cs AS (SELECT label AS q_label, COUNT(*) AS csize
+                FROM embeddings GROUP BY label),
+         hit AS (
+           SELECT f.query_id, cs.csize,
+                  r1, r2, r3, r4, r5, r6, r7, r8, r9, r10,
+                  CASE WHEN r1 = 1 THEN 1 WHEN r2 = 1 THEN 2
+                       WHEN r3 = 1 THEN 3 WHEN r4 = 1 THEN 4
+                       WHEN r5 = 1 THEN 5 WHEN r6 = 1 THEN 6
+                       WHEN r7 = 1 THEN 7 WHEN r8 = 1 THEN 8
+                       WHEN r9 = 1 THEN 9 WHEN r10 = 1 THEN 10
+                       ELSE -1 END AS fh
+           FROM flags f JOIN cs USING (q_label))
+         SELECT query_id, CAST(csize - 1 AS BIGINT) AS n_relevant,
+                CAST(fh AS BIGINT) AS first_hit_rank,
+                ROUND(CASE WHEN fh > 0 THEN 1.0 / CAST(fh AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rr,
+                ROUND((CAST(r1 AS DOUBLE) * (r1) / 1.0
+                  + CAST(r2 AS DOUBLE) * (r1 + r2) / 2.0
+                  + CAST(r3 AS DOUBLE) * (r1 + r2 + r3) / 3.0
+                  + CAST(r4 AS DOUBLE) * (r1 + r2 + r3 + r4) / 4.0
+                  + CAST(r5 AS DOUBLE) * (r1 + r2 + r3 + r4 + r5) / 5.0
+                  + CAST(r6 AS DOUBLE) * (r1 + r2 + r3 + r4 + r5 + r6) / 6.0
+                  + CAST(r7 AS DOUBLE)
+                    * (r1 + r2 + r3 + r4 + r5 + r6 + r7) / 7.0
+                  + CAST(r8 AS DOUBLE)
+                    * (r1 + r2 + r3 + r4 + r5 + r6 + r7 + r8) / 8.0
+                  + CAST(r9 AS DOUBLE)
+                    * (r1 + r2 + r3 + r4 + r5 + r6 + r7 + r8 + r9) / 9.0
+                  + CAST(r10 AS DOUBLE)
+                    * (r1 + r2 + r3 + r4 + r5 + r6 + r7 + r8 + r9 + r10)
+                    / 10.0)
+                  / CAST(LEAST(10, csize - 1) AS DOUBLE), 6) AS ap_at_10
+         FROM hit""",
+    // q353: sigma doubles of exact sums; floor allocation
+    // deterministic (sqrt/mul/div all correctly rounded IEEE)
+    "q353_neyman_allocation" ->
+      """WITH sums AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+                  CAST(SUM(n_chars) AS BIGINT) AS s1,
+                  SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+           FROM documents GROUP BY 1),
+         sig AS (
+           SELECT source, n_s,
+                  CASE WHEN n_s > 1
+                    THEN SQRT(CAST(CAST(n_s AS HUGEINT) * s2
+                             - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                         / (CAST(n_s AS DOUBLE) * CAST(n_s - 1 AS DOUBLE)))
+                    ELSE 0.0 END AS sigma
+           FROM sums),
+         w AS (SELECT source, n_s, sigma,
+                      CAST(n_s AS DOUBLE) * sigma AS wt
+               FROM sig),
+         t AS (SELECT SUM(wt) AS w_tot FROM w)
+         SELECT w.source, w.n_s, ROUND(w.sigma, 6) AS sigma_chars,
+                CAST(CASE WHEN t.w_tot > 0
+                  THEN FLOOR(10000.0 * w.wt / t.w_tot) ELSE 0 END AS BIGINT)
+                  AS alloc
+         FROM w CROSS JOIN t""",
+    // q352: q103's component chain verbatim + two cluster-keyed
+    // rollups; purity one division
+    "q352_cluster_purity" -> (q103OraclePrefix +
+      """,
+         lab AS (
+           SELECT c.component, s.lang, COUNT(*) AS cnt
+           FROM comp c JOIN sizes z USING (component)
+                JOIN documents s ON c.doc_id = s.doc_id
+           WHERE z.csize > 1
+           GROUP BY 1, 2),
+         mj AS (
+           SELECT component, MAX(cnt) AS maj, SUM(cnt) AS members
+           FROM lab GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(SUM(members) AS BIGINT) AS n_docs_in_clusters,
+                CAST(SUM(maj) AS BIGINT) AS sum_majority,
+                ROUND(CASE WHEN SUM(members) > 0
+                  THEN CAST(SUM(maj) AS DOUBLE)
+                       / CAST(SUM(members) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS purity
+         FROM mj"""),
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

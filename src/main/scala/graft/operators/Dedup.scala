@@ -577,6 +577,39 @@ object Dedup {
         countDistinct(col("component")).as("n_components"))
   }
 
+  /** q352: near-dup cluster purity against the language label — the
+    * cluster-QUALITY audit beside q134's size census (sizes say how
+    * big the clusters are; purity says whether they are COHERENT:
+    * near-duplicate documents should share a language, so a low
+    * majority-label share flags the shingle threshold, not the
+    * corpus). Per q103-component cluster (csize > 1): the majority
+    * lang count; globally: purity = Σ majority / Σ members.
+    *
+    * Exactness: all cells exact counts off the q103 component
+    * machinery (shared verbatim — [[softDedupWeights]]); purity one
+    * division, rounded 6.
+    *
+    * Scale shape: q103's clustering plus two cluster-keyed rollups
+    * (cluster sizes bounded — the q57 argument). */
+  def qClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val labeled = docs.select(col("doc_id"), col("lang"))
+      .join(softDedupWeights(docs), Seq("doc_id"))
+      .filter(col("csize") > 1)
+    val byLang = labeled.groupBy("component", "lang")
+      .agg(count(lit(1)).as("cnt"))
+    val mj = byLang.groupBy("component")
+      .agg(max(col("cnt")).as("maj"), sum(col("cnt")).as("members"))
+    mj.agg(count(lit(1)).as("n_clusters"),
+        sum(col("members")).as("n_docs_in_clusters"),
+        sum(col("maj")).as("sum_majority"))
+      .withColumn("purity", round(
+        when(col("n_docs_in_clusters") > 0,
+          col("sum_majority").cast("double") /
+            col("n_docs_in_clusters").cast("double"))
+          .otherwise(lit(0.0)), 6))
+  }
+
   /** q103b: the DIVISION half of q103's output — per-source
     * SUM(1e12 div csize) alone, single aggregate column. See q103a. */
   def qSoftDedupPico(s: SparkSession, d: String): DataFrame = {

@@ -561,6 +561,46 @@ object Pipeline {
         sum("clipped").as("sum_winsor_cents"))
   }
 
+  /** q353: Neyman-optimal stratified sampling allocation — the
+    * DESIGN step before q142's stratified split draws anything
+    * (proportional allocation wastes budget on low-variance strata;
+    * Neyman '34 allocates n_s ∝ N_s·σ_s, the minimum-variance design
+    * for a fixed total): per source, the stratum size, its n_chars
+    * standard deviation, and the floor allocation out of a 10,000-doc
+    * budget.
+    *
+    * Exactness/determinism: N_s, ΣX and the DECIMAL-widened ΣX² are
+    * exact; σ_s and the weight N_s·σ_s are doubles of those integers
+    * (identical both engines); the allocation floors
+    * budget·w_s/Σw — deterministic, with the sub-budget remainder
+    * reported rather than silently re-spread.
+    *
+    * Scale shape: one map-side rollup onto |sources| rows; scalar
+    * math after. */
+  def qNeymanAllocation(s: SparkSession, d: String,
+      budget: Long = 10000L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d2 = (c: Column) => c.cast("double")
+    val sums = documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("s1"),
+        sum(dec(col("n_chars")) * col("n_chars")).as("s2d"))
+      .withColumn("sigma",
+        when(col("n_s") > 1,
+          sqrt(d2(dec(col("n_s")) * col("s2d") - dec(col("s1")) * col("s1"))
+            / (d2(col("n_s")) * d2(col("n_s") - 1))))
+          .otherwise(lit(0.0)))
+      .withColumn("w", d2(col("n_s")) * col("sigma"))
+    val tot = sums.agg(sum(col("w")).as("w_tot"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        round(col("sigma"), 6).as("sigma_chars"),
+        when(col("w_tot") > 0,
+          floor(lit(budget.toDouble) * col("w") / col("w_tot")).cast("long"))
+          .otherwise(lit(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   /** q282: k-anonymity / l-diversity release audit (Sweeney 2002;
     * Machanavajjhala 2007) — the privacy gate a dataset release runs
     * before publication: group the table by its quasi-identifier

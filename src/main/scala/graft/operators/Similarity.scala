@@ -55,6 +55,58 @@ object Similarity {
     * (q32's plan) + a label-size broadcast; everything after the
     * top-k is 100 rows. Swap the brute leg for the q89/q93 persisted
     * indexes to audit ANN recall at corpus scale. */
+  /** q351: MRR and MAP@10 over the q191 retrieval fixture — the two
+    * remaining STANDARD IR metrics beside NDCG (NDCG grades graded
+    * relevance with position discount; MRR grades "how fast to the
+    * FIRST hit" — the navigational read — and AP the full
+    * precision-ordered ranking): per query, the first-hit rank, its
+    * reciprocal, and average precision at 10.
+    *
+    * Exactness/determinism: the rank flags are q191's construction
+    * verbatim (deterministic (cos DESC, vec_id) rank); first-hit is a
+    * fixed CASE chain, and AP folds ten fixed terms
+    * rᵢ·(Σ_{j≤i}rⱼ)/i — doubles of exact 0/1 integers, identical on
+    * both engines, rounded 6.
+    *
+    * Scale shape: q191's — one corpus scan against the broadcast
+    * query set, per-query top-k windows over the query-partitioned
+    * score table. */
+  def qMrrMap(s: SparkSession, d: String, nQ: Int = 100, k: Int = 10): DataFrame = {
+    val qs = embeddings(s, d).filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val corpus = embeddings(s, d).select("vec_id", "embedding", "label")
+    val ranked = corpus.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+    val aggs = (1 to k).map(i =>
+      max(when(col("rank") === i, col("rel"))).as(s"r$i"))
+    val flags = ranked.groupBy("query_id", "q_label")
+      .agg(aggs.head, aggs.tail: _*)
+    val classSize = corpus.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("csize"))
+    val firstHit = (1 to k).reverse.foldLeft(lit(-1L)) { (acc, i) =>
+      when(col(s"r$i") === 1, lit(i.toLong)).otherwise(acc)
+    }
+    val apTerms = (1 to k).map { i =>
+      val cum = (1 to i).map(j => col(s"r$j").cast("double")).reduce(_ + _)
+      col(s"r$i").cast("double") * cum / lit(i.toDouble)
+    }.reduce(_ + _)
+    flags.join(broadcast(classSize), Seq("q_label"))
+      .select(col("query_id"), (col("csize") - 1).as("n_relevant"),
+        firstHit.as("first_hit_rank"),
+        round(when(firstHit > 0, lit(1.0) / firstHit.cast("double"))
+          .otherwise(lit(0.0)), 6).as("rr"),
+        round(apTerms /
+          least(lit(k.toLong), col("csize") - 1).cast("double"), 6)
+          .as("ap_at_10"))
+  }
+
   def qNdcg(s: SparkSession, d: String, nQ: Int = 100, k: Int = 10): DataFrame = {
     val qs = embeddings(s, d).filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -237,7 +237,10 @@ object ScaleBench {
       // calendar-bounded series reads (should be flat) and the basket
       // rules (pair rollup xfactor under the partkey namespace shift)
       "q348_seasonal_strength", "q349_acf_table",
-      "q350_association_rules")
+      "q350_association_rules",
+      // the IR pair (corpus scan x broadcast queries), purity
+      // (q103's clustering xfactor), and the allocation rollup
+      "q351_mrr_map", "q352_cluster_purity", "q353_neyman_allocation")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

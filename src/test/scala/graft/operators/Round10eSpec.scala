@@ -948,6 +948,73 @@ class Round10eSpec extends AnyFunSuite {
     }
   }
 
+  test("q351 MRR/AP agree with the q191 flags and textbook folds") {
+    val ndcg = Similarity.qNdcg(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("hits_at_10"))
+      .toMap
+    val got = Similarity.qMrrMap(spark, sf).collect()
+    assert(got.length === ndcg.size)
+    got.foreach { r =>
+      val fh = r.getAs[Long]("first_hit_rank")
+      val rr = r.getAs[Double]("rr")
+      if (fh > 0) assert(math.abs(rr - 1.0 / fh) < 1e-6)
+      else assert(rr === 0.0)
+      val ap = r.getAs[Double]("ap_at_10")
+      assert(ap >= 0.0 && ap <= 1.0 + 1e-9)
+      // a query with zero hits has no first hit and AP 0; with hits,
+      // AP > 0 and the first hit exists
+      val hits = ndcg(r.getAs[Long]("query_id"))
+      if (hits == 0) { assert(fh === -1L); assert(ap === 0.0) }
+      else assert(fh >= 1L && ap > 0.0)
+    }
+  }
+
+  test("q352 purity matches a recount over the q103 components") {
+    val comp = Dedup.softDedupWeights(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[Long]("csize")))
+    val lang = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = comp.filter(_._3 > 1)
+    val byComp = clustered.groupBy(_._2)
+    val maj = byComp.values.map(g =>
+      g.map(x => lang(x._1)).groupBy(identity).values.map(_.size).max).sum
+    val r = Dedup.qClusterPurity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_clusters") === byComp.size.toLong)
+    assert(r.getAs[Long]("n_docs_in_clusters") === clustered.length.toLong)
+    assert(r.getAs[Long]("sum_majority") === maj.toLong)
+    assert(math.abs(r.getAs[Double]("purity")
+      - maj.toDouble / clustered.length) < 1e-6)
+  }
+
+  test("q353 Neyman allocation matches N_s*sigma_s weighting") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stats = docs.groupBy(_._1).view.mapValues { g =>
+      val xs = g.map(_._2.toDouble)
+      val m = xs.sum / xs.length
+      (xs.length.toLong,
+        math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)))
+    }.toMap
+    val wTot = stats.values.map { case (n, s0) => n * s0 }.sum
+    val got = Pipeline.qNeymanAllocation(spark, sf).collect()
+    assert(got.length === stats.size)
+    var total = 0L
+    got.foreach { r =>
+      val (n, s0) = stats(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_s") === n)
+      assert(math.abs(r.getAs[Double]("sigma_chars") - s0) < 1e-5)
+      val alloc = math.floor(10000.0 * n * s0 / wTot).toLong
+      assert(r.getAs[Long]("alloc") === alloc)
+      total += alloc
+    }
+    assert(total <= 10000L && total > 9000L,
+      "floor allocation must spend most of the budget and never overspend")
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
