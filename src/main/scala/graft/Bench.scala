@@ -453,6 +453,11 @@ object Bench {
     "q351_mrr_map",
     "q352_cluster_purity",
     "q353_neyman_allocation",
+    // the seasonal trend test (within-weekday bounded pairs), the
+    // rank post-hoc (q233's rollup), and the richness spectrum
+    "q354_seasonal_mk",
+    "q355_dunn_posthoc",
+    "q356_lexical_richness",
   )
 
   def main(args: Array[String]): Unit = {

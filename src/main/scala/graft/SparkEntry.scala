@@ -887,6 +887,15 @@ object SparkEntry {
     // q353: Neyman-optimal stratified allocation — the sampling
     // DESIGN step before q142 draws
     "q353_neyman_allocation" -> ((s, d) => Pipeline.qNeymanAllocation(s, d)),
+    // q354: seasonal Mann–Kendall — q176's trend test made
+    // seasonality-proof (within-weekday pairs, summed statistics)
+    "q354_seasonal_mk" -> (Stats.qSeasonalMannKendall _),
+    // q355: Dunn's post-hoc — the pairwise follow-up to q233's
+    // omnibus, same global ranks and tie correction
+    "q355_dunn_posthoc" -> (Stats.qDunnPosthoc _),
+    // q356: lexical richness battery (Yule's K, Guiraud R, Herdan C,
+    // hapax share) — the frequency-spectrum constants beside q326
+    "q356_lexical_richness" -> (TextAnalysis.qLexicalRichness _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8466,6 +8475,125 @@ object SparkEntry {
                        / CAST(SUM(members) AS DOUBLE)
                   ELSE 0.0 END, 6) AS purity
          FROM mj"""),
+    // q354: q176's exact S/Var discipline per weekday series, summed
+    "q354_seasonal_mk" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS wd
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         sstat AS (
+           SELECT a.event_type,
+                  CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                                WHEN b.c < a.c THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.wd = b.wd
+                AND a.day < b.day
+           GROUP BY 1),
+         varw AS (
+           SELECT event_type, CAST(SUM(n_w) AS BIGINT) AS n_days,
+                  CAST(SUM(n_w * (n_w - 1) * (2 * n_w + 5)) AS BIGINT)
+                    AS var_base
+           FROM (SELECT event_type, wd, COUNT(*) AS n_w
+                 FROM daily GROUP BY 1, 2)
+           GROUP BY 1),
+         ties AS (
+           SELECT event_type,
+                  CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           FROM (SELECT event_type, wd, c, COUNT(*) AS t
+                 FROM daily GROUP BY 1, 2, 3)
+           GROUP BY 1)
+         SELECT s.event_type, v.n_days, s.s_stat,
+                v.var_base - t.tie_term AS var_x18,
+                ROUND(CASE WHEN v.var_base - t.tie_term > 0
+                  THEN (CASE WHEN s.s_stat > 0
+                          THEN CAST(s.s_stat - 1 AS DOUBLE)
+                        WHEN s.s_stat < 0
+                          THEN CAST(s.s_stat + 1 AS DOUBLE)
+                        ELSE 0.0 END)
+                       / SQRT(CAST(v.var_base - t.tie_term AS DOUBLE) / 18.0)
+                  ELSE 0.0 END, 4) AS z
+         FROM sstat s JOIN varw v ON s.event_type = v.event_type
+              JOIN ties t ON s.event_type = t.event_type""",
+    // q355: q233's doubled global ranks + tie correction, paired
+    "q355_dunn_posthoc" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+           FROM events),
+         byvalue AS (
+           SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ev GROUP BY 1, 2),
+         byv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cnt
+                 FROM byvalue GROUP BY 1),
+         ranked AS (
+           SELECT v, cnt,
+                  2 * SUM(cnt) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cnt + 1 AS dr
+           FROM byv),
+         pergroup AS (
+           SELECT b.event_type, CAST(SUM(b.c) AS BIGINT) AS n_i,
+                  CAST(SUM(b.c * r.dr) AS BIGINT) AS two_r
+           FROM byvalue b JOIN ranked r ON b.v = r.v
+           GROUP BY 1),
+         g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                      CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+               FROM byv),
+         kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pergroup)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.n_i AS n_a, b.n_i AS n_b,
+                ROUND(CASE WHEN
+                    (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1.0) / 12.0
+                     - CAST(g.tie_term AS DOUBLE)
+                       / (12.0 * (CAST(g.n AS DOUBLE) - 1.0)))
+                    * (1.0 / CAST(a.n_i AS DOUBLE)
+                       + 1.0 / CAST(b.n_i AS DOUBLE)) > 0
+                  THEN (CAST(a.two_r AS DOUBLE) / (2.0 * CAST(a.n_i AS DOUBLE))
+                        - CAST(b.two_r AS DOUBLE)
+                          / (2.0 * CAST(b.n_i AS DOUBLE)))
+                       / SQRT((CAST(g.n AS DOUBLE)
+                           * (CAST(g.n AS DOUBLE) + 1.0) / 12.0
+                          - CAST(g.tie_term AS DOUBLE)
+                            / (12.0 * (CAST(g.n AS DOUBLE) - 1.0)))
+                         * (1.0 / CAST(a.n_i AS DOUBLE)
+                            + 1.0 / CAST(b.n_i AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS z_dunn,
+                CAST(kk.k * (kk.k - 1) / 2 AS BIGINT) AS m_comparisons
+         FROM pergroup a JOIN pergroup b ON a.event_type < b.event_type
+         CROSS JOIN g CROSS JOIN kk""",
+    // q356: exact spectrum integers; K/hapax exact-rational, R one
+    // sqrt, C the one ln pair at round 4
+    "q356_lexical_richness" ->
+      """WITH tf AS (
+           SELECT source, w, CAST(COUNT(*) AS BIGINT) AS m
+           FROM (SELECT source,
+                        unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+                 FROM documents)
+           WHERE len(w) > 0 GROUP BY 1, 2),
+         agg AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS v_types,
+                  CAST(SUM(m) AS BIGINT) AS n_tokens,
+                  CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS v1_hapax,
+                  CAST(SUM(CAST(m AS HUGEINT) * m) AS BIGINT) AS sum_m2
+           FROM tf GROUP BY 1)
+         SELECT source, v_types, n_tokens, v1_hapax, sum_m2,
+                ROUND(CASE WHEN n_tokens > 0
+                  THEN 10000.0 * CAST(sum_m2 - n_tokens AS DOUBLE)
+                       / CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS yule_k,
+                ROUND(CASE WHEN n_tokens > 0
+                  THEN CAST(v_types AS DOUBLE)
+                       / SQRT(CAST(n_tokens AS DOUBLE))
+                  ELSE 0.0 END, 6) AS guiraud_r,
+                ROUND(CASE WHEN n_tokens > 1 AND v_types > 0
+                  THEN ln(CAST(v_types AS DOUBLE))
+                       / ln(CAST(n_tokens AS DOUBLE))
+                  ELSE 0.0 END, 4) AS herdan_c,
+                CAST(CASE WHEN v_types > 0
+                  THEN v1_hapax * 1000000 // v_types ELSE 0 END AS BIGINT)
+                  AS hapax_ppm
+         FROM agg""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

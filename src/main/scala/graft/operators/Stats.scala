@@ -4373,6 +4373,106 @@ object Stats {
       .orderBy("event_type", "lag")
   }
 
+  /** q354: seasonal Mann–Kendall trend test per event type — q176's
+    * monotone-trend verb made SEASONALITY-PROOF (Hirsch & Slack '84):
+    * a weekly cycle feeds q176's all-pairs S both spurious concordant
+    * and discordant pairs; the seasonal variant compares days only
+    * WITHIN the same weekday series and sums the seven statistics —
+    * S' = Σ_w S_w, Var' = Σ_w Var_w — so a pure cycle contributes
+    * nothing and a real drift still accumulates.
+    *
+    * Exactness: q176's discipline per weekday — S_w and the
+    * tie-corrected 18·Var_w are exact integers; z is the one final
+    * double (continuity-corrected, rounded 4 like q176).
+    *
+    * Scale shape: the pair join is day×day WITHIN (type, weekday) —
+    * calendar-bounded groups (q176's argument, ÷49 on pairs). */
+  def qSeasonalMannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val sStat = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.wd") === col("b.wd") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val varW = daily.groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n_w"))
+      .groupBy("event_type")
+      .agg(sum(col("n_w")).as("n_days"),
+        sum(expr("n_w * (n_w - 1) * (2 * n_w + 5)")).as("var_base"))
+    val ties = daily.groupBy(col("event_type"), col("wd"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    sStat.join(varW, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        (col("var_base") - col("tie_term")).as("var_x18"))
+      .withColumn("z", round(
+        when(col("var_x18") > 0,
+          (when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0))) /
+            sqrt(col("var_x18").cast("double") / 18.0))
+          .otherwise(lit(0.0)), 4))
+      .orderBy("event_type")
+  }
+
+  /** q355: Dunn's post-hoc test — the PAIRWISE follow-up q233's
+    * Kruskal–Wallis omnibus demands (H says "some group differs";
+    * Dunn '64 says WHICH, on the same global ranks with the same tie
+    * correction, Bonferroni-adjusted for the m = k(k−1)/2
+    * comparisons): for every pair of event types,
+    * z_ij = (R̄_i − R̄_j) / √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/nᵢ+1/nⱼ)).
+    *
+    * Exactness: q233's machinery verbatim — doubled global rank sums
+    * and tie terms are exact integers off the value-domain rollup;
+    * every z is a spelled-identical double composition, rounded 6.
+    *
+    * Scale shape: q233's one value-domain shuffle; the pair table is
+    * the k-row group aggregate crossed with itself — ≤k² rows. */
+  def qDunnPosthoc(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val byValue = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val byV = byValue.groupBy("v").agg(sum(col("c")).as("cnt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("dr", lit(2L) * col("cum") - col("cnt") + lit(1L))
+    val perGroup = byValue.join(ranked.select("v", "dr"), Seq("v"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_i"), sum(col("c") * col("dr")).as("two_r"))
+    val glob = ranked
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+    val a = perGroup.select(col("event_type").as("type_a"),
+      col("n_i").as("n_a"), col("two_r").as("r_a"))
+    val b = perGroup.select(col("event_type").as("type_b"),
+      col("n_i").as("n_b"), col("two_r").as("r_b"))
+    val kCount = perGroup.agg(count(lit(1)).as("k"))
+    a.join(b, col("type_a") < col("type_b"))
+      .crossJoin(broadcast(glob))
+      .crossJoin(broadcast(kCount))
+      .withColumn("z_dunn", round({
+        val nd = d2(col("n"))
+        val meanDiff = d2(col("r_a")) / (lit(2.0) * d2(col("n_a"))) -
+          d2(col("r_b")) / (lit(2.0) * d2(col("n_b")))
+        val varCore = nd * (nd + lit(1.0)) / lit(12.0) -
+          d2(col("tie_term")) / (lit(12.0) * (nd - lit(1.0)))
+        val se = sqrt(varCore *
+          (lit(1.0) / d2(col("n_a")) + lit(1.0) / d2(col("n_b"))))
+        when(se > 0, meanDiff / se).otherwise(lit(0.0))
+      }, 6))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("z_dunn"),
+        (col("k") * (col("k") - 1) / lit(2)).cast("long")
+          .as("m_comparisons"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

@@ -1412,5 +1412,51 @@ object TextAnalysis {
       .orderBy("source", "rank")
   }
 
+  /** q356: lexical richness battery per source — the classic
+    * vocabulary-richness constants beside q326's Simpson diversity
+    * (Simpson reads token-level concentration; these read the SHAPE
+    * of the frequency spectrum): Yule's K = 10⁴·(Σm²·V_m − N)/N²
+    * (the repeat-rate constant, Yule '44 — an exact rational),
+    * Guiraud's R = V/√N, Herdan's C = ln V / ln N (the two classic
+    * length-corrected type/token ratios), and the hapax share (V₁/V,
+    * the productivity read).
+    *
+    * Exactness: N, V, V₁ and Σm²·V_m are exact integers off the
+    * frequency-of-frequency rollup; K and the hapax ppm are
+    * exact-rational; R one √; C the one ln pair (rounded 4, the
+    * repo's transcendental precedent).
+    *
+    * Scale shape: (source, token) rollup → frequency-spectrum rollup,
+    * both collapsing map-side onto the bounded vocabulary. */
+  def qLexicalRichness(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tf = documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("m"))
+    tf.groupBy("source")
+      .agg(count(lit(1)).as("v_types"),
+        sum(col("m")).as("n_tokens"),
+        sum((col("m") === 1).cast("long")).as("v1_hapax"),
+        sum(dec(col("m")) * col("m")).cast("long").as("sum_m2"))
+      .withColumn("yule_k", round(
+        when(col("n_tokens") > 0,
+          lit(10000.0) * d2(col("sum_m2") - col("n_tokens")) /
+            d2(dec(col("n_tokens")) * col("n_tokens")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("guiraud_r", round(
+        when(col("n_tokens") > 0,
+          d2(col("v_types")) / sqrt(d2(col("n_tokens"))))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("herdan_c", round(
+        when(col("n_tokens") > 1 && col("v_types") > 0,
+          log(d2(col("v_types"))) / log(d2(col("n_tokens"))))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("hapax_ppm",
+        expr("CASE WHEN v_types > 0 THEN v1_hapax * 1000000 div v_types " +
+          "ELSE 0 END"))
+      .orderBy("source")
+  }
+
   private val d2 = (c: Column) => c.cast("double")
 }

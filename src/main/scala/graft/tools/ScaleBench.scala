@@ -240,7 +240,10 @@ object ScaleBench {
       "q350_association_rules",
       // the IR pair (corpus scan x broadcast queries), purity
       // (q103's clustering xfactor), and the allocation rollup
-      "q351_mrr_map", "q352_cluster_purity", "q353_neyman_allocation")
+      "q351_mrr_map", "q352_cluster_purity", "q353_neyman_allocation",
+      // seasonal MK (calendar-bounded within-weekday pairs), Dunn
+      // (q233's value-domain rollup), lexical richness (vocab rollup)
+      "q354_seasonal_mk", "q355_dunn_posthoc", "q356_lexical_richness")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

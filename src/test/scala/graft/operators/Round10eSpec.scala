@@ -1015,6 +1015,92 @@ class Round10eSpec extends AnyFunSuite {
       "floor allocation must spend most of the budget and never overspend")
   }
 
+  test("q354 seasonal MK matches a per-weekday all-pairs recount") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    val got = Stats.qSeasonalMannKendall(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("s_stat"), r.getAs[Long]("var_x18"))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      var s0 = 0L; var varBase = 0L; var tie = 0L
+      rows.groupBy(_._2.getDayOfWeek).values.foreach { g =>
+        val xs = g.sortBy(_._2).map(_._3)
+        for (i <- xs.indices; j <- i + 1 until xs.length)
+          s0 += java.lang.Long.signum(xs(j) - xs(i))
+        val nw = xs.length.toLong
+        varBase += nw * (nw - 1) * (2 * nw + 5)
+        xs.groupBy(identity).values.foreach { t0 =>
+          val t = t0.size.toLong
+          tie += t * (t - 1) * (2 * t + 5)
+        }
+      }
+      val (gs, gv) = got(tpe)
+      assert(gs === s0, s"$tpe S")
+      assert(gv === varBase - tie, s"$tpe Var")
+    }
+  }
+
+  test("q355 Dunn z matches a textbook global-rank recount") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // global average ranks
+    val sorted = ev.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1).view.mapValues { g =>
+      g.map(_._2 + 1).sum.toDouble / g.size
+    }.toMap
+    val n = ev.length.toDouble
+    val tie = sorted.groupBy(identity).values
+      .map(g => g.size.toLong).map(t => t * t * t - t).sum
+    val varCore = n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))
+    val byType = ev.groupBy(_._1)
+    val meanRank = byType.view.mapValues { g =>
+      (g.length.toLong, g.map(x => rankOf(x._2)).sum / g.length)
+    }.toMap
+    val got = Stats.qDunnPosthoc(spark, sf).collect()
+    assert(got.length === meanRank.size * (meanRank.size - 1) / 2)
+    got.foreach { r =>
+      val (na, ra) = meanRank(r.getAs[String]("type_a"))
+      val (nb, rb) = meanRank(r.getAs[String]("type_b"))
+      val z = (ra - rb) / math.sqrt(varCore * (1.0 / na + 1.0 / nb))
+      assert(r.getAs[Long]("n_a") === na)
+      assert(math.abs(r.getAs[Double]("z_dunn") - z) < 1e-5,
+        s"${r.getAs[String]("type_a")}~${r.getAs[String]("type_b")}")
+      assert(r.getAs[Long]("m_comparisons") ===
+        (meanRank.size * (meanRank.size - 1) / 2).toLong)
+    }
+  }
+
+  test("q356 richness constants match a frequency-spectrum recount") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), lower(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val got = TextAnalysis.qLexicalRichness(spark, sf).collect()
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val freq = docs.filter(_._1 == src)
+        .flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nTok = freq.values.sum
+      val v = freq.size.toLong
+      val sumM2 = freq.values.map(m => m * m).sum
+      assert(r.getAs[Long]("v_types") === v)
+      assert(r.getAs[Long]("n_tokens") === nTok)
+      assert(r.getAs[Long]("v1_hapax") === freq.values.count(_ == 1L).toLong)
+      assert(r.getAs[Long]("sum_m2") === sumM2)
+      val k = 1e4 * (sumM2 - nTok).toDouble / (nTok.toDouble * nTok)
+      assert(math.abs(r.getAs[Double]("yule_k") - k) < 1e-5)
+      assert(math.abs(r.getAs[Double]("guiraud_r")
+        - v / math.sqrt(nTok.toDouble)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("herdan_c")
+        - math.log(v.toDouble) / math.log(nTok.toDouble)) < 1e-3)
+    }
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
