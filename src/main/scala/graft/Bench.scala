@@ -458,6 +458,10 @@ object Bench {
     "q354_seasonal_mk",
     "q355_dunn_posthoc",
     "q356_lexical_richness",
+    // the cohort LTV curve (q132's join + bounded windows) and the
+    // ABC split (partkey rollup + offset-device cumulative)
+    "q357_cohort_ltv",
+    "q358_abc_classification",
   )
 
   def main(args: Array[String]): Unit = {

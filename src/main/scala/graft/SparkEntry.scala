@@ -896,6 +896,13 @@ object SparkEntry {
     // q356: lexical richness battery (Yule's K, Guiraud R, Herdan C,
     // hapax share) — the frequency-spectrum constants beside q326
     "q356_lexical_richness" -> (TextAnalysis.qLexicalRichness _),
+    // q357: cohort LTV curve — the revenue half of q132's retention
+    // matrix (cumulative floored ppm-cents per cohort member)
+    "q357_cohort_ltv" -> (Stats.qCohortLtv _),
+    // q358: ABC/Pareto classification of parts by revenue — the
+    // actionable three-way split behind q160's Gini, on the offset
+    // cumulative device
+    "q358_abc_classification" -> (Relational.qAbcClassification _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8594,6 +8601,74 @@ object SparkEntry {
                   THEN v1_hapax * 1000000 // v_types ELSE 0 END AS BIGINT)
                   AS hapax_ppm
          FROM agg""",
+    // q357: the q132 cohort join + an offset-ordered cumulative over
+    // the (cohorts × 8)-bounded rollup; LTV floored ppm-cents
+    "q357_cohort_ltv" ->
+      """WITH ev AS (
+           SELECT user_id, date_trunc('day', ts) AS day,
+                  CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                    ELSE 0 END AS cents
+           FROM events),
+         cohort AS (
+           SELECT user_id, MIN(day) AS cohort_day
+           FROM (SELECT DISTINCT user_id, day FROM ev) GROUP BY 1),
+         sized AS (
+           SELECT cohort_day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                    AS cohort_users
+           FROM cohort GROUP BY 1),
+         cells AS (
+           SELECT c.cohort_day,
+                  CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT)
+                    AS day_offset,
+                  CAST(SUM(e.cents) AS BIGINT) AS revenue_cents
+           FROM ev e JOIN cohort c ON e.user_id = c.user_id
+           WHERE date_diff('day', c.cohort_day, e.day) <= 7
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort_day, day_offset, revenue_cents,
+                  CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_day
+                    ORDER BY day_offset ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_cents
+           FROM cells)
+         SELECT CAST(epoch(m.cohort_day) AS BIGINT) AS cohort_ts,
+                m.day_offset, s.cohort_users, m.revenue_cents, m.cum_cents,
+                CAST(CAST(m.cum_cents AS HUGEINT) * 1000000
+                     // s.cohort_users AS BIGINT) AS ltv_ppm_cents
+         FROM cum m JOIN sized s USING (cohort_day)""",
+    // q358: class boundaries compare exact integers on the unique
+    // (revenue DESC, partkey) cumulative; shares floored ppm
+    "q358_abc_classification" ->
+      """WITH rev AS (
+           SELECT l_partkey AS p,
+                  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)
+                      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                           AS BIGINT))) AS BIGINT) AS v
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(SUM(v) AS BIGINT) AS v_tot,
+                        CAST(COUNT(*) AS BIGINT) AS n_tot
+                 FROM rev),
+         cum AS (
+           SELECT p, v,
+                  CAST(SUM(v) OVER (ORDER BY v DESC, p
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM rev),
+         cls AS (
+           SELECT CASE WHEN CAST(cum AS HUGEINT) * 100
+                         <= CAST(t.v_tot AS HUGEINT) * 80 THEN 'A'
+                       WHEN CAST(cum AS HUGEINT) * 100
+                         <= CAST(t.v_tot AS HUGEINT) * 95 THEN 'B'
+                       ELSE 'C' END AS abc_class, v
+           FROM cum CROSS JOIN tot t)
+         SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                CAST(SUM(v) AS BIGINT) AS revenue_x1e4,
+                CAST(CAST(SUM(v) AS HUGEINT) * 1000000 // t.v_tot AS BIGINT)
+                  AS revenue_share_ppm,
+                CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // t.n_tot
+                  AS BIGINT) AS part_share_ppm
+         FROM cls CROSS JOIN tot t
+         GROUP BY abc_class, t.v_tot, t.n_tot""",
   )
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:

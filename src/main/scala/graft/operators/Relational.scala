@@ -1377,6 +1377,60 @@ object Relational {
         col("c_ante"), col("c_cons"), col("confidence_ppm"), col("lift"))
   }
 
+  /** q358: ABC (Pareto) classification of parts by revenue — the
+    * inventory-analytics classic (class A = the parts covering the
+    * first 80% of revenue, B to 95%, C the tail; the 80/20 read q160's
+    * Gini compresses to one number, materialized as the actionable
+    * three-way split): per class, part count, revenue, and shares in
+    * floored ppm.
+    *
+    * Scale/determinism: the revenue rank over the PART AGGREGATE rides
+    * the range-partition + broadcast-offset cumulative device (the
+    * q277 precedent — no single-partition window over a data-scaled
+    * table); class boundaries compare exact integers
+    * (cum·100 ≤ total·80), ties broken by the unique (revenue DESC,
+    * partkey) order.
+    *
+    * Scale shape: one partkey rollup (fact-sized exchange), the
+    * offset-device cumulative over the part aggregate, a 3-row class
+    * rollup. */
+  def qAbcClassification(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rev = lineitem(s, d)
+      .select(col("l_partkey").as("p"), revX1e4.as("r"))
+      .groupBy("p").agg(sum(col("r")).as("v"))
+    val tot = rev.agg(sum(col("v")).as("v_tot"),
+      count(lit(1)).as("n_parts"))
+    val parts = rev.repartitionByRange(col("v").desc, col("p"))
+      .withColumn("pid", spark_partition_id())
+    val offs = parts.groupBy("pid")
+      .agg(sum(col("v")).as("pv"))
+      .withColumn("off", coalesce(sum("pv").over(
+        Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val local = Window.partitionBy("pid")
+      .orderBy(col("v").desc, col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offs), Seq("pid"))
+      .withColumn("cum", col("off") + sum(col("v")).over(local))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(dec(col("cum")) * 100 <= dec(col("v_tot")) * 80, lit("A"))
+          .when(dec(col("cum")) * 100 <= dec(col("v_tot")) * 95, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("v")).as("revenue_x1e4"))
+      .crossJoin(broadcast(tot.select(col("v_tot"),
+        col("n_parts").as("n_parts_tot"))))
+      .select(col("abc_class"), col("n_parts"), col("revenue_x1e4"),
+        expr("""CAST(CAST(revenue_x1e4 AS DECIMAL(38,0)) * 1000000
+                div v_tot AS BIGINT)""").as("revenue_share_ppm"),
+        expr("""CAST(CAST(n_parts AS DECIMAL(38,0)) * 1000000
+                div n_parts_tot AS BIGINT)""").as("part_share_ppm"))
+      .orderBy("abc_class")
+  }
+
   /** Exact per-line revenue in 1e-4 dollars: cents × (100 − discount
     * points), both factors exact integers from the ≤2-decimal raw
     * columns (the q162 discipline) — so every aggregate over it is

@@ -4473,6 +4473,48 @@ object Stats {
       .orderBy("type_a", "type_b")
   }
 
+  /** q357: cohort LTV curve — the REVENUE half of q132's retention
+    * matrix (retention counts who comes back; LTV prices what they
+    * bring: cumulative revenue per cohort member by day offset — the
+    * payback-period artifact every growth model is fit against): per
+    * (cohort day, offset ≤ 7), the cohort size, period revenue, and
+    * the running cumulative LTV in floored ppm-cents per member.
+    *
+    * Exactness: revenues exact cents; cohort sizes exact distinct
+    * counts; the cumulative rides an offset-ordered window over the
+    * (cohorts × 8)-bounded rollup; LTV = cum_cents·10⁶ div members
+    * (floored, DECIMAL-widened).
+    *
+    * Scale shape: one user-keyed cohort join (the q132 device), a
+    * (cohort, offset) rollup collapsing map-side, then
+    * calendar-bounded windows. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      date_trunc("day", col("ts")).as("day"),
+      when(col("event_type") === "purchase",
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).otherwise(lit(0L))
+        .as("cents"))
+    val cohort = ev.select(col("user_id"), col("day")).distinct()
+      .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sized = cohort.groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    val cells = ev.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sized), Seq("cohort_day"))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .select(unix_timestamp(col("cohort_day")).as("cohort_ts"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("cohort_users"), col("revenue_cents"), col("cum_cents"),
+        expr("""CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000
+                div cohort_users AS BIGINT)""").as("ltv_ppm_cents"))
+      .orderBy("cohort_ts", "day_offset")
+  }
+
   /** q323: Pettitt's nonparametric changepoint test per event type —
     * the RANK-based single-changepoint cell beside the parametric pair
     * (q177 CUSUM needs a known in-control mean, q185 Page needs a

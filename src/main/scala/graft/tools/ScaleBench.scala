@@ -243,7 +243,10 @@ object ScaleBench {
       "q351_mrr_map", "q352_cluster_purity", "q353_neyman_allocation",
       // seasonal MK (calendar-bounded within-weekday pairs), Dunn
       // (q233's value-domain rollup), lexical richness (vocab rollup)
-      "q354_seasonal_mk", "q355_dunn_posthoc", "q356_lexical_richness")
+      "q354_seasonal_mk", "q355_dunn_posthoc", "q356_lexical_richness",
+      // the cohort LTV join (users xfactor) and the ABC offset
+      // cumulative (parts xfactor)
+      "q357_cohort_ltv", "q358_abc_classification")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

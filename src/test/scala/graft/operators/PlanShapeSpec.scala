@@ -265,6 +265,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q358 ABC: the revenue cumulative rides the offset device") {
+    val ws = windowNodes(Relational.qAbcClassification(spark, sf))
+    assert(ws.nonEmpty)
+    ws.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.toString.contains("pid"),
+        s"a data-scaled single-partition window crept into the ABC rank:\n$w")
+    }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "the part cumulative lost its pid partitioning")
+  }
+
   test("q346 SPRT: the enrollment cumulative rides the offset device") {
     // the per-arm LLR walk must never move the user aggregate into a
     // single partition: data-scaled windows partition by (arm, pid)

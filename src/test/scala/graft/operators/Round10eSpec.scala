@@ -1101,6 +1101,67 @@ class Round10eSpec extends AnyFunSuite {
     }
   }
 
+  test("q357 cohort LTV matches a per-cohort recount") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")),
+        when(col("event_type") === "purchase",
+          expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).otherwise(lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val msDay = 86400000L
+    val cells = ev.map { case (u, day, c) =>
+      ((cohortOf(u),
+        (day.getTime - cohortOf(u).getTime) / msDay), c)
+    }.filter(_._1._2 <= 7)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = Stats.qCohortLtv(spark, sf).collect()
+    val cohortUsers = cohortOf.groupBy(_._2).view.mapValues(_.size.toLong)
+    got.foreach { r =>
+      val ts = new java.sql.Timestamp(r.getAs[Long]("cohort_ts") * 1000L)
+      val off = r.getAs[Long]("day_offset")
+      assert(r.getAs[Long]("revenue_cents") === cells((ts, off)))
+      assert(r.getAs[Long]("cohort_users") === cohortUsers(ts))
+      val cum = (0L to off).map(o => cells.getOrElse((ts, o), 0L)).sum
+      assert(r.getAs[Long]("cum_cents") === cum)
+      assert(r.getAs[Long]("ltv_ppm_cents") ===
+        cum * 1000000L / cohortUsers(ts))
+    }
+  }
+
+  test("q358 ABC classes match a sorted-cumulative recount") {
+    val rev = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey").cast("long"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)") *
+          (lit(100L) -
+            expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tot = rev.values.sum
+    val sorted = rev.toSeq.sortBy { case (p, v) => (-v, p) }
+    var cum = 0L
+    val classes = sorted.map { case (p, v) =>
+      cum += v
+      val c = if (BigInt(cum) * 100 <= BigInt(tot) * 80) "A"
+        else if (BigInt(cum) * 100 <= BigInt(tot) * 95) "B" else "C"
+      (c, v)
+    }
+    val want = classes.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum)
+    }.toMap
+    val got = Relational.qAbcClassification(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (n, v) = want(r.getAs[String]("abc_class"))
+      assert(r.getAs[Long]("n_parts") === n)
+      assert(r.getAs[Long]("revenue_x1e4") === v)
+      assert(r.getAs[Long]("revenue_share_ppm") ===
+        (BigInt(v) * 1000000 / BigInt(tot)).toLong)
+    }
+    // the A class must cover at most 80% and the A+B at most 95%
+    val aShare = want.get("A").map(_._2).getOrElse(0L)
+    assert(BigInt(aShare) * 100 <= BigInt(tot) * 80 + BigInt(tot))
+  }
+
   test("q326 Simpson matches a token-frequency recount") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), lower(col("text")))
