@@ -4300,7 +4300,9 @@ object SparkEntry {
          FROM agg""",
     // q212: substring explode via nested LATERAL ranges; the top-V
     // cut is totally ordered by (count desc, piece) and the single
-    // chars union in with identical counts, so UNION dedup is exact
+    // chars union in with identical counts, so UNION dedup is exact;
+    // the char union carries the same totally-ordered 2^16 coverage
+    // cap as the Spark side (SentencePiece character_coverage)
     "q212_unigram_vocab" ->
       """WITH words AS (SELECT unnest(regexp_split_to_array(lower(text),
                           '\s+')) AS w
@@ -4316,7 +4318,8 @@ object SparkEntry {
          counts AS (SELECT piece, COUNT(*) AS n FROM pieces GROUP BY piece),
          top AS (SELECT piece, n FROM counts ORDER BY n DESC, piece
                  LIMIT 500),
-         chars AS (SELECT piece, n FROM counts WHERE len(piece) = 1)
+         chars AS (SELECT piece, n FROM counts WHERE len(piece) = 1
+                   ORDER BY n DESC, piece LIMIT 65536)
          SELECT piece, n, CAST(len(piece) AS BIGINT) AS piece_len
          FROM (SELECT * FROM top UNION SELECT * FROM chars)""",
     // q215: both engines spell the rank window out — native
@@ -6923,8 +6926,9 @@ object SparkEntry {
                   ELSE 0.0 END, 6) AS fit_r2
          FROM sums""",
     // q312: checkpoint membership is the integer predicate
-    // 8*first_doc <= i*max_doc; counts exact BIGINT; ln K from the
-    // ROUNDED beta
+    // 8*first_doc <= i*max_doc; counts exact BIGINT. The (beta, lnK)
+    // OLS tail is transcendental and is spec-pinned, not hashed
+    // (round-10 ulp knife-edge; VERDICT r10 #1)
     "q312_heaps" ->
       """WITH tk AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, w
@@ -6951,30 +6955,8 @@ object SparkEntry {
          pts AS (
            SELECT t.cut, (m.mx * t.cut) // 8 AS threshold_doc,
                   t.n_tokens, v.n_types
-           FROM tc t JOIN vc v ON t.cut = v.cut CROSS JOIN mxt m),
-         fs AS (
-           SELECT CAST(COUNT(*) AS BIGINT) AS k,
-                  SUM(ln(CAST(n_tokens AS DOUBLE))) AS sx,
-                  SUM(ln(CAST(n_types AS DOUBLE))) AS sy,
-                  SUM(ln(CAST(n_tokens AS DOUBLE))
-                      * ln(CAST(n_types AS DOUBLE))) AS sxy,
-                  SUM(ln(CAST(n_tokens AS DOUBLE))
-                      * ln(CAST(n_tokens AS DOUBLE))) AS sxx
-           FROM pts),
-         fit AS (
-           SELECT ROUND(CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx > 0
-                    THEN (CAST(k AS DOUBLE) * sxy - sx * sy)
-                         / (CAST(k AS DOUBLE) * sxx - sx * sx)
-                    ELSE 0.0 END, 6) AS heaps_beta, sx, sy, k
-           FROM fs),
-         fit2 AS (
-           SELECT heaps_beta,
-                  ROUND((sy - heaps_beta * sx) / CAST(k AS DOUBLE), 6)
-                    AS heaps_lnk
-           FROM fit)
-         SELECT pts.cut, pts.threshold_doc, pts.n_tokens, pts.n_types,
-                fit2.heaps_beta, fit2.heaps_lnk
-         FROM pts CROSS JOIN fit2""",
+           FROM tc t JOIN vc v ON t.cut = v.cut CROSS JOIN mxt m)
+         SELECT cut, threshold_doc, n_tokens, n_types FROM pts""",
     // q313: q304's cells CTE verbatim; OR/weight/ln per stratum, the
     // three-sum dispersion identity over K=5 bounded terms rounded 6
     "q313_woolf" ->

@@ -43,6 +43,30 @@ class LevenshteinWithinSpec extends AnyFunSuite {
     assert(banded("ααα", "βββ", 4) == 3)
   }
 
+  test("huge maxDist (up to Int.MaxValue) cannot overflow the band DP") {
+    // past max(len1, len2) a larger band changes nothing, so compute
+    // clamps d — without the clamp `inf = d + 1` wraps to Int.MinValue
+    // and corrupts every cell (VERDICT r10 #5 boundary)
+    for (d <- Seq(Int.MaxValue, Int.MaxValue - 1, 1 << 30, 1000000)) {
+      assert(banded("kitten", "sitting", d) == 3, s"d=$d")
+      assert(banded("", "abc", d) == 3, s"d=$d")
+      assert(banded("abc", "", d) == 3, s"d=$d")
+      assert(banded("aaaa", "bbbb", d) == 4, s"d=$d")
+      assert(banded("same", "same", d) == 0, s"d=$d")
+      // char fallback path takes the same clamp
+      assert(banded("café", "cafe", d) == 1, s"d=$d")
+    }
+    // the clamp must not change any answer below the boundary: the
+    // full DP stays the referee for threshold = max length
+    val pairs = Seq(("kitten", "sitting"), ("abcde", "edcba"),
+      ("aaabbb", "bbbaaa"), ("x", "yyyyyyyy"))
+    for ((a, b) <- pairs) {
+      val m = math.max(a.length, b.length)
+      assert(banded(a, b, m) == full(a, b), s"($a, $b)")
+      assert(banded(a, b, Int.MaxValue) == full(a, b), s"($a, $b)")
+    }
+  }
+
   test("agrees with the full DP on a deterministic pseudo-random corpus") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcde" // small alphabet: dense near-matches

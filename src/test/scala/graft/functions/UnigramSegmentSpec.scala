@@ -140,6 +140,36 @@ class UnigramSegmentSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("charCap over-cap path: coverage cut keeps the top chars only") {
+    // crafted corpus: 40 distinct single-char words with strictly
+    // decreasing counts (char i appears 100 - i times), charCap = 16 —
+    // exactly the 16 most frequent characters survive the coverage
+    // cut; the 24 dropped ones are the UNK tail (Kudo 2018
+    // character_coverage). Uses case-stable BMP chars (the counter
+    // lowercases) so substring = code point and counts don't fold.
+    import spark.implicits._
+    val alpha = ('a' to 'z') ++ ('0' to '9') ++ Seq('!', '#', '$', '%')
+    val docs = alpha.zipWithIndex.map { case (c, i) =>
+      (Seq.fill(100 - i)(c.toString).mkString(" "))
+    }.toDF("text")
+    val got = graft.operators.TextAnalysis
+      .unigramPieceCounts(docs, maxLen = 4, vocabSize = 10, charCap = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val singles = got.filter(_._1.length == 1)
+    // top-10 pieces are all single chars here too, so the union is
+    // exactly the top-16 chars by (count desc, piece asc)
+    val want = alpha.zipWithIndex.map { case (c, i) =>
+      (c.toString, (100 - i).toLong)
+    }.sortBy { case (p, n) => (-n, p) }.take(16).toSet
+    assert(singles.toSet == want)
+    assert(singles.length == 16)
+    // under-cap corpora are untouched: cap larger than the alphabet
+    val uncapped = graft.operators.TextAnalysis
+      .unigramPieceCounts(docs, maxLen = 4, vocabSize = 10, charCap = 1 << 16)
+      .collect().filter(_.getString(0).length == 1)
+    assert(uncapped.length == alpha.length)
+  }
+
   test("q213 end-to-end: fertility sane, pieces account for all words") {
     val rows = graft.operators.TextAnalysis
       .qUnigramSegment(spark, TestSpark.sf).collect()

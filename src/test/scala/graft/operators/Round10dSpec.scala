@@ -283,14 +283,34 @@ class Round10dSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_tokens") === nTokens, s"cut $cut")
       assert(r.getAs[Long]("n_types") === nTypes, s"cut $cut")
     }
-    // the driver fixture's vocabulary is FIXED (~31 types), so its
-    // beta is legitimately 0 — the degenerate "stopped being novel"
-    // reading; the growing-vocabulary behavior is pinned on a crafted
-    // corpus below
-    val beta = got.head.getAs[Double]("heaps_beta")
-    assert(beta >= 0.0 && beta < 1.0)
     assert(got.map(_.getAs[Long]("n_tokens")).toSeq ===
       got.map(_.getAs[Long]("n_tokens")).toSeq.sorted)
+    // since round 11 the gate hashes only the exact sufficient
+    // statistics; the transcendental (beta, lnK) tail is pinned HERE
+    // against a driver-side OLS on the same integers. (The driver
+    // fixture's vocabulary is FIXED at ~31 types, so its beta is
+    // legitimately ~0 — the degenerate "stopped being novel" reading;
+    // the growing-vocabulary regime is pinned on a crafted corpus
+    // below.)
+    val fitRows = TextAnalysis.heapsFit(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)).collect()
+    val xs = got.map(r => math.log(r.getAs[Long]("n_tokens").toDouble))
+    val ys = got.map(r => math.log(r.getAs[Long]("n_types").toDouble))
+    val k = xs.length.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val den = k * sxx - sx * sx
+    val betaWant = if (den > 0) (k * sxy - sx * sy) / den else 0.0
+    val beta = fitRows.head.getAs[Double]("heaps_beta")
+    assert(math.abs(beta - betaWant) < 1e-5, s"beta $beta vs $betaWant")
+    val lnkWant = (sy - math.rint(betaWant * 1e6) / 1e6 * sx) / k
+    assert(math.abs(fitRows.head.getAs[Double]("heaps_lnk") - lnkWant)
+      < 1e-5)
+    assert(beta >= 0.0 && beta < 1.0)
   }
 
   test("q312 core: a growing-vocabulary corpus fits 0 < beta < 1") {
