@@ -296,15 +296,43 @@ object LibraryBuilder {
       fn: (FunctionContext, Seq[RespValue]) => RespValue)
 }
 
+/** A library's registration code in RECOVERABLE form — the JVM
+  * analogue of the reference's JS source blob: the reference RDB-saves
+  * each library's source and re-evaluates it at load
+  * (`redisgears_core/src/rdb.rs:52-91`), which works because JS code
+  * is text. A Scala closure has no recoverable text form, so the
+  * persistable unit here is a NAMED code object: implement this trait
+  * as a top-level `object` (or a no-arg class) and the engine can
+  * re-evaluate it after a restart by class name alone
+  * ([[Engine.loadState]]), giving the same save → restart → TFCALL
+  * round-trip the reference gets from re-running the stored source. */
+trait LibraryCode {
+  def register(b: LibraryBuilder): Unit
+}
+
 /** A library definition: name + api version + the registration code
   * (the Scala analogue of the JS source blob with its `#!js name=…
   * api_version=…` prologue, `prologue.rs:16-83`). `source` is an
   * optional human-readable description or source listing surfaced by
-  * `list(withCode = true)` — the TFUNCTION LIST WITHCODE analogue
-  * (the registration closure itself has no recoverable text form). */
+  * `list(withCode = true)` — the TFUNCTION LIST WITHCODE analogue.
+  * `codeRef` is the fully-qualified class name of a [[LibraryCode]]
+  * when the code has one (set automatically by
+  * [[LibraryDefinition.of]]); it is what makes the library
+  * catalog-persistable — an anonymous closure (`codeRef = None`)
+  * loads fine but cannot be restored by [[Engine.loadState]]. */
 case class LibraryDefinition(name: String, apiVersion: String = "1.0",
     code: LibraryBuilder => Unit, source: Option[String] = None,
-    user: String = Acl.DefaultUser)
+    user: String = Acl.DefaultUser, codeRef: Option[String] = None)
+
+object LibraryDefinition {
+  /** Build a definition from a named [[LibraryCode]], capturing its
+    * class name as the catalog-persistable `codeRef`. */
+  def of(name: String, code: LibraryCode, apiVersion: String = "1.0",
+      source: Option[String] = None,
+      user: String = Acl.DefaultUser): LibraryDefinition =
+    LibraryDefinition(name, apiVersion, code.register _, source, user,
+      Some(code.getClass.getName))
+}
 
 /** The engine façade (E14-E17): library load/upgrade/delete with
   * revert-on-failure, sync/async invocation, cluster functions, and
@@ -336,7 +364,7 @@ final class Engine(val spark: SparkSession,
 
   private case class LoadedLibrary(builder: LibraryBuilder, apiVersion: String,
       config: Map[String, String], source: Option[String] = None,
-      user: String = Acl.DefaultUser) {
+      user: String = Acl.DefaultUser, codeRef: Option[String] = None) {
     val fnStats = TrieMap.empty[String, FunctionStats]
     def statsFor(fn: String): FunctionStats = fnStats.getOrElseUpdate(fn, new FunctionStats)
   }
@@ -514,7 +542,7 @@ final class Engine(val spark: SparkSession,
     existing.foreach(old => detach(definition.name, old.builder, dropCheckpoints = false))
     libraries.put(definition.name,
       LoadedLibrary(builder, definition.apiVersion, config, definition.source,
-        definition.user))
+        definition.user, definition.codeRef))
     attach(definition.name, builder)
     // triggers the new version did NOT re-register lose their stashed
     // checkpoints (reference removes consumers not re-registered)
@@ -882,16 +910,99 @@ final class Engine(val spark: SparkSession,
       user = l.user)
   }
 
-  /** RDB-save analogue for the keyspace side: persist the state table
-    * (hashes, strings, lists) as parquet. Stream-consumer acks persist
-    * continuously through the checkpoint store; together the two cover
-    * everything the reference writes to RDB (`rdb.rs:52-91`). */
-  def saveState(dir: String): Unit =
+  /** RDB-save analogue: persist the state table (hashes, strings,
+    * lists) as parquet PLUS the library catalog — (name, api version,
+    * config, source, user, codeRef) per library and the ACL user
+    * table — as a `_catalog.json` sidecar in the same directory
+    * (underscore-prefixed files are invisible to parquet readers).
+    * This is the full RDB payload of the reference
+    * (`rdb.rs:52-91` saves name, code, config and user per library):
+    * stream-consumer acks persist continuously through the checkpoint
+    * store; state, catalog, and acks together cover everything the
+    * reference writes to RDB. */
+  def saveState(dir: String): Unit = {
     state.snapshot(spark).write.mode("overwrite").parquet(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val usersNode = root.putObject("users")
+    aclUsers.toSeq.sortBy(_._1).foreach { case (u, rules) =>
+      val arr = usersNode.putArray(u)
+      rules.foreach { r =>
+        val o = arr.addObject()
+        o.put("prefix", r.prefix); o.put("read", r.read); o.put("write", r.write)
+      }
+    }
+    val libsNode = root.putArray("libraries")
+    libraries.toSeq.sortBy(_._1).foreach { case (name, l) =>
+      val o = libsNode.addObject()
+      o.put("name", name)
+      o.put("apiVersion", l.apiVersion)
+      o.put("user", l.user)
+      l.source.foreach(o.put("source", _))
+      l.codeRef.foreach(o.put("codeRef", _))
+      val cfg = o.putObject("config")
+      l.config.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_catalog.json"), true)
+    try out.write(mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
-  /** Restore a [[saveState]] snapshot (replaces current state). */
-  def loadState(dir: String): Unit =
+  /** Restore a [[saveState]] snapshot: the state table always; when the
+    * snapshot carries a library catalog, also the ACL users and every
+    * library whose code is recoverable (a [[LibraryCode]] `codeRef` —
+    * re-resolved by class name and re-evaluated, the analogue of the
+    * reference re-running each library's stored JS source at RDB load).
+    * Returns the names of catalogued libraries that could NOT be
+    * restored (anonymous-closure code with no `codeRef`) — empty on a
+    * fully [[LibraryDefinition.of]]-registered engine and on
+    * catalog-less snapshots. */
+  def loadState(dir: String): Seq[String] = {
     state.restore(spark.read.parquet(dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val catPath = new org.apache.hadoop.fs.Path(dir, "_catalog.json")
+    if (!fs.exists(catPath)) return Seq.empty
+    val in = fs.open(catPath)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toByteArray
+    } finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(bytes)
+    // users first: library load re-checks that its user exists
+    val users = root.path("users")
+    users.fieldNames().forEachRemaining { u =>
+      val rules = scala.collection.mutable.ArrayBuffer.empty[AclRule]
+      users.get(u).forEach { r =>
+        rules += AclRule(r.path("prefix").asText(""),
+          r.path("read").asBoolean(true), r.path("write").asBoolean(true))
+      }
+      aclUsers.put(u, rules.toSeq)
+    }
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    root.path("libraries").forEach { l =>
+      val name = l.path("name").asText()
+      if (!l.hasNonNull("codeRef")) { skipped += name }
+      else {
+        val config = scala.collection.mutable.Map.empty[String, String]
+        val cfg = l.path("config")
+        cfg.fieldNames().forEachRemaining(k => config(k) = cfg.get(k).asText())
+        load(LibraryDefinition(name,
+          apiVersion = l.path("apiVersion").asText("1.0"),
+          code = Engine.resolveCode(l.path("codeRef").asText()),
+          source = if (l.hasNonNull("source")) Some(l.path("source").asText()) else None,
+          user = l.path("user").asText(Acl.DefaultUser),
+          codeRef = Some(l.path("codeRef").asText())),
+          replace = true, config = config.toMap)
+      }
+    }
+    skipped.toSeq
+  }
 
   /** TFUNCTION DEBUG analogue: the full diagnostic view of one library
     * — everything `list()` shows plus per-stream pending (nacked) ids
@@ -916,6 +1027,25 @@ final class Engine(val spark: SparkSession,
 
 object Engine {
   val SupportedApiVersions: Set[String] = Set("1.0", "1.1")
+
+  /** Resolve a catalog `codeRef` back to registration code: the class
+    * name of a [[LibraryCode]] — a Scala `object` (class name ends in
+    * `$`, instance at `MODULE$`) or a no-arg class. The restart-time
+    * analogue of the reference evaluating each library's stored JS
+    * source out of RDB (`rdb.rs:52-91` → `function_load_command.rs`). */
+  private[core] def resolveCode(ref: String): LibraryBuilder => Unit = {
+    val loader = Option(Thread.currentThread.getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    val cls = Class.forName(ref, true, loader)
+    val inst =
+      if (ref.endsWith("$")) cls.getField("MODULE$").get(null)
+      else cls.getDeclaredConstructor().newInstance()
+    inst match {
+      case c: LibraryCode => c.register _
+      case other => throw new IllegalArgumentException(
+        s"codeRef '$ref' is not a graft.core.LibraryCode (got ${other.getClass.getName})")
+    }
+  }
   /** Library/function name charset, `lib.rs:1703-1713`. */
   def validName(n: String): Boolean =
     n.nonEmpty && n.forall(c => c.isLetterOrDigit && c < 128 || c == '_')
