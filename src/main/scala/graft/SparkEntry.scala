@@ -903,6 +903,17 @@ object SparkEntry {
     // actionable three-way split behind q160's Gini, on the offset
     // cumulative device
     "q358_abc_classification" -> (Relational.qAbcClassification _),
+    // q359-q364: the two-sample distribution-comparison family on the
+    // arm-vs-view design — full-distribution equality (KS / CvM /
+    // Kuiper), median equality (Mood), the variance-robust rank test
+    // (Brunner-Munzel), and the shift magnitude (Hodges-Lehmann) —
+    // all on the one value-domain integer machinery
+    "q359_ks_test" -> (Stats.qKsTest _),
+    "q360_cvm_test" -> (Stats.qCvmTest _),
+    "q361_kuiper_test" -> (Stats.qKuiperTest _),
+    "q362_mood_median" -> (Stats.qMoodMedian _),
+    "q363_brunner_munzel" -> (Stats.qBrunnerMunzel _),
+    "q364_hodges_lehmann" -> (Stats.qHodgesLehmann _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8651,7 +8662,189 @@ object SparkEntry {
                   AS BIGINT) AS part_share_ppm
          FROM cls CROSS JOIN tot t
          GROUP BY abc_class, t.v_tot, t.n_tot""",
+    // q359-q364: shared value-domain ECDF machinery (pairedEcdfCte);
+    // every hashed statistic is an exact integer / decimal or a
+    // single correctly-rounded cast/division of exact values — no
+    // transcendentals, no reordered float sums (the q312 lesson)
+    "q359_ks_test" -> (pairedEcdfCte +
+      """SELECT pair, n1, n2, d_num,
+                ROUND(CAST(d_num AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d
+         FROM (SELECT pair, MAX(n1) AS n1, MAX(n2) AS n2,
+                      CAST(MAX(ABS(diff)) AS BIGINT) AS d_num
+               FROM ecdf GROUP BY 1)"""),
+    "q360_cvm_test" -> (pairedEcdfCte +
+      """SELECT pair, n1, n2, CAST(t_num AS DOUBLE) AS t_num,
+                ROUND(CAST(t_num AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)),
+                  6) AS cvm_t
+         FROM (SELECT pair, MAX(n1) AS n1, MAX(n2) AS n2,
+                      SUM(CAST(c1 + c2 AS HUGEINT) * CAST(diff AS HUGEINT)
+                          * CAST(diff AS HUGEINT)) AS t_num
+               FROM ecdf GROUP BY 1)"""),
+    "q361_kuiper_test" -> (pairedEcdfCte +
+      """SELECT pair, n1, n2, dplus_num, dminus_num,
+                ROUND((CAST(dplus_num AS DOUBLE) + CAST(dminus_num AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS kuiper_v
+         FROM (SELECT pair, MAX(n1) AS n1, MAX(n2) AS n2,
+                      CAST(GREATEST(MAX(diff), 0) AS BIGINT) AS dplus_num,
+                      CAST(GREATEST(MAX(-diff), 0) AS BIGINT) AS dminus_num
+               FROM ecdf GROUP BY 1)"""),
+    "q362_mood_median" -> (pairedEcdfCte +
+      """, med AS (SELECT pair, MIN(v) AS v_med FROM ecdf
+                   WHERE 2 * (cum1 + cum2) >= n1 + n2 GROUP BY 1),
+         cells AS (
+           SELECT e.pair, MAX(e.n1) AS n1, MAX(e.n2) AS n2,
+                  MAX(m.v_med) AS v_med,
+                  CAST(SUM(CASE WHEN e.v > m.v_med THEN e.c1 ELSE 0 END)
+                    AS BIGINT) AS a_above,
+                  CAST(SUM(CASE WHEN e.v > m.v_med THEN e.c2 ELSE 0 END)
+                    AS BIGINT) AS b_above
+           FROM ecdf e JOIN med m USING (pair) GROUP BY e.pair)
+         SELECT pair, n1, n2, v_med, a_above, b_above,
+                a_below, b_below,
+                ROUND(CASE WHEN denom > 0
+                  THEN CAST(n1 + n2 AS DOUBLE) * det * det / denom
+                  ELSE 0.0 END, 6) AS chi2
+         FROM (SELECT *,
+                      n1 - a_above AS a_below, n2 - b_above AS b_below,
+                      CAST(a_above AS DOUBLE) * CAST(n2 - b_above AS DOUBLE)
+                        - CAST(b_above AS DOUBLE)
+                          * CAST(n1 - a_above AS DOUBLE) AS det,
+                      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * CAST(a_above + b_above AS DOUBLE)
+                        * CAST((n1 - a_above) + (n2 - b_above) AS DOUBLE)
+                        AS denom
+               FROM cells)"""),
+    "q363_brunner_munzel" -> (pairedCountsCte +
+      """, cums AS (
+           SELECT pair, v, c1, c2,
+                  CAST(SUM(c1) OVER (PARTITION BY pair ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                  CAST(SUM(c2) OVER (PARTITION BY pair ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+           FROM counts),
+         drs AS (
+           SELECT pair, v, c1, c2,
+                  2 * (cum1 + cum2) - (c1 + c2) + 1 AS dr,
+                  2 * cum1 - c1 + 1 AS dr1,
+                  2 * cum2 - c2 + 1 AS dr2
+           FROM cums),
+         tot AS (
+           SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  CAST(SUM(c1 * dr) AS BIGINT) AS sd1,
+                  CAST(SUM(c2 * dr) AS BIGINT) AS sd2
+           FROM drs GROUP BY 1),
+         ag AS (
+           SELECT d.pair, MAX(t.n1) AS n1, MAX(t.n2) AS n2,
+                  MAX(t.sd1) AS sd1, MAX(t.sd2) AS sd2,
+                  SUM(CAST(d.c1 AS HUGEINT)
+                      * (CAST(t.n1 AS HUGEINT) * (d.dr - d.dr1) - t.sd1
+                         + CAST(t.n1 AS HUGEINT) * (t.n1 + 1))
+                      * (CAST(t.n1 AS HUGEINT) * (d.dr - d.dr1) - t.sd1
+                         + CAST(t.n1 AS HUGEINT) * (t.n1 + 1))) AS q1,
+                  SUM(CAST(d.c2 AS HUGEINT)
+                      * (CAST(t.n2 AS HUGEINT) * (d.dr - d.dr2) - t.sd2
+                         + CAST(t.n2 AS HUGEINT) * (t.n2 + 1))
+                      * (CAST(t.n2 AS HUGEINT) * (d.dr - d.dr2) - t.sd2
+                         + CAST(t.n2 AS HUGEINT) * (t.n2 + 1))) AS q2
+           FROM drs d JOIN tot t USING (pair) GROUP BY d.pair),
+         fin AS (
+           SELECT pair, n1, n2, sd1, sd2,
+                  CAST(q1 AS DOUBLE) AS q1, CAST(q2 AS DOUBLE) AS q2,
+                  CAST(q1 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE)
+                    * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS s1sq,
+                  CAST(q2 AS DOUBLE) / (4.0 * CAST(n2 AS DOUBLE)
+                    * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS s2sq,
+                  CAST(sd2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                    - CAST(sd1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
+                    AS mean_diff
+           FROM ag)
+         SELECT pair, n1, n2, sd1, sd2, q1, q2,
+                ROUND(CASE WHEN SQRT(CAST(n1 AS DOUBLE) * s1sq
+                             + CAST(n2 AS DOUBLE) * s2sq) > 0
+                  THEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * mean_diff
+                       / (CAST(n1 + n2 AS DOUBLE)
+                          * SQRT(CAST(n1 AS DOUBLE) * s1sq
+                                 + CAST(n2 AS DOUBLE) * s2sq))
+                  ELSE 0.0 END, 6) AS w_bm
+         FROM fin"""),
+    "q364_hodges_lehmann" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(FLOOR(value) AS BIGINT) AS v FROM events),
+         arms AS (SELECT unnest(['click', 'error', 'signup', 'purchase'])
+                    AS pair),
+         tagged AS (
+           SELECT a.pair,
+                  CASE WHEN e.event_type = a.pair THEN 1 ELSE 0 END AS in_arm,
+                  e.v
+           FROM ev e JOIN arms a
+             ON (e.event_type = a.pair OR e.event_type = 'view')),
+         counts AS (SELECT pair, v, CAST(SUM(in_arm) AS BIGINT) AS c1,
+                           CAST(SUM(1 - in_arm) AS BIGINT) AS c2
+                    FROM tagged GROUP BY 1, 2),
+         aside AS (SELECT pair, v AS va, c1 FROM counts WHERE c1 > 0),
+         bside AS (SELECT pair, v AS vb, c2 FROM counts WHERE c2 > 0),
+         diffs AS (SELECT a.pair, a.va - b.vb AS dv,
+                          CAST(SUM(a.c1 * b.c2) AS BIGINT) AS cw
+                   FROM aside a JOIN bside b USING (pair) GROUP BY 1, 2),
+         tot AS (SELECT pair, CAST(SUM(cw) AS BIGINT) AS npairs
+                 FROM diffs GROUP BY 1),
+         cum AS (SELECT d.pair, d.dv,
+                        CAST(SUM(d.cw) OVER (PARTITION BY d.pair
+                          ORDER BY d.dv ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum,
+                        t.npairs
+                 FROM diffs d JOIN tot t USING (pair)),
+         lo AS (SELECT pair, MIN(dv) AS hl_lo FROM cum
+                WHERE cum >= (npairs + 1) // 2 GROUP BY 1),
+         hi AS (SELECT pair, MIN(dv) AS hl_hi_raw FROM cum
+                WHERE cum >= npairs // 2 + 1 GROUP BY 1)
+         SELECT t.pair, t.npairs, l.hl_lo,
+                COALESCE(h.hl_hi_raw, l.hl_lo) AS hl_hi
+         FROM tot t JOIN lo l USING (pair) LEFT JOIN hi h USING (pair)""",
   )
+
+  /** Shared CTE prefix for q359-q363: per-(arm vs view) value-domain
+    * counts — the oracle mirror of Stats.pairedValueCounts at cent
+    * granularity. */
+  private val pairedCountsCte: String =
+    """WITH ev AS (SELECT event_type,
+                          CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                   FROM events),
+       arms AS (SELECT unnest(['click', 'error', 'signup', 'purchase'])
+                  AS pair),
+       tagged AS (
+         SELECT a.pair,
+                CASE WHEN e.event_type = a.pair THEN 1 ELSE 0 END AS in_arm,
+                e.v
+         FROM ev e JOIN arms a
+           ON (e.event_type = a.pair OR e.event_type = 'view')),
+       counts AS (SELECT pair, v, CAST(SUM(in_arm) AS BIGINT) AS c1,
+                         CAST(SUM(1 - in_arm) AS BIGINT) AS c2
+                  FROM tagged GROUP BY 1, 2)
+    """
+
+  /** pairedCountsCte + cumulative ECDF columns + the exact integer
+    * gap `diff = cum1·n2 − cum2·n1` (Stats.pairedEcdf's mirror). */
+  private val pairedEcdfCte: String = pairedCountsCte +
+    """, cums AS (
+         SELECT pair, v, c1, c2,
+                CAST(SUM(c1) OVER (PARTITION BY pair ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                CAST(SUM(c2) OVER (PARTITION BY pair ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+         FROM counts),
+       tot AS (SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1,
+                      CAST(SUM(c2) AS BIGINT) AS n2
+               FROM counts GROUP BY 1),
+       ecdf AS (SELECT c.pair, c.v, c.c1, c.c2, c.cum1, c.cum2,
+                       t.n1, t.n2,
+                       c.cum1 * t.n2 - c.cum2 * t.n1 AS diff
+                FROM cums c JOIN tot t USING (pair))
+    """
 
   /** Shared CTE prefix for the q299/q302 complete-block rank pair:
     * per-customer yearly spend 1996–1998, complete blocks only,

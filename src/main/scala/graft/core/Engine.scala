@@ -94,6 +94,26 @@ final class FunctionContext private[core] (
     checkAborted(); requireWrites(); checkShard(key)
     engine.aclCheck(library, key, write = true)
   }
+  /** checkWrite + the E11 per-library footprint cap — used by the
+    * GROWING write ops only: deletions and pops stay allowed while
+    * over cap (Redis exempts memory-freeing commands from DENYOOM for
+    * the same reason — an over-cap library must be able to shrink
+    * itself back under). */
+  private def checkWriteGrow(key: String): Unit = {
+    checkWrite(key)
+    engine.memCheck(library)
+  }
+
+  /** Attribute state written inside `body` to this library (E11
+    * last-writer accounting) — a thread-local scope, so it covers the
+    * sync path, pool threads, and trigger deliveries alike. */
+  private def owned[A](body: => A): A = {
+    val ws = engine.state.writerScope
+    val prev = ws.get()
+    ws.set(library)
+    try body
+    finally { if (prev == null) ws.remove() else ws.set(prev) }
+  }
   private def canRead(key: String): Boolean =
     inShard(key) &&
       (try { engine.aclCheck(library, key, write = false); true }
@@ -108,20 +128,20 @@ final class FunctionContext private[core] (
   def scan(prefix: String): Seq[String] = {
     checkAborted(); engine.state.scan(prefix).filter(canRead)
   }
-  def set(key: String, value: String): Unit = { checkWrite(key); engine.state.set(key, value) }
-  def hset(key: String, fields: (String, String)*): Unit = { checkWrite(key); engine.state.hset(key, fields: _*) }
-  def del(key: String): Boolean = { checkWrite(key); engine.state.del(key) }
-  def hdel(key: String, fields: String*): Int = { checkWrite(key); engine.state.hdel(key, fields: _*) }
-  def incrBy(key: String, delta: Long): Long = { checkWrite(key); engine.state.incrBy(key, delta) }
+  def set(key: String, value: String): Unit = { checkWriteGrow(key); owned(engine.state.set(key, value)) }
+  def hset(key: String, fields: (String, String)*): Unit = { checkWriteGrow(key); owned(engine.state.hset(key, fields: _*)) }
+  def del(key: String): Boolean = { checkWrite(key); owned(engine.state.del(key)) }
+  def hdel(key: String, fields: String*): Int = { checkWrite(key); owned(engine.state.hdel(key, fields: _*)) }
+  def incrBy(key: String, delta: Long): Long = { checkWriteGrow(key); owned(engine.state.incrBy(key, delta)) }
   // C3 list ops + blocking pop. blpop blocks the calling thread until
   // data arrives or the timeout passes; it is refused inside a sync
   // call or atomic section (C4 isBlockAllowed) — call it from an async
   // function or an executeAsync body, like the reference's callAsync
   // for blocking commands (`v8_native_functions.rs:652-669`).
-  def lpush(key: String, values: String*): Long = { checkWrite(key); engine.state.lpush(key, values: _*) }
-  def rpush(key: String, values: String*): Long = { checkWrite(key); engine.state.rpush(key, values: _*) }
-  def lpop(key: String): Option[String] = { checkWrite(key); engine.state.lpop(key) }
-  def rpop(key: String): Option[String] = { checkWrite(key); engine.state.rpop(key) }
+  def lpush(key: String, values: String*): Long = { checkWriteGrow(key); owned(engine.state.lpush(key, values: _*)) }
+  def rpush(key: String, values: String*): Long = { checkWriteGrow(key); owned(engine.state.rpush(key, values: _*)) }
+  def lpop(key: String): Option[String] = { checkWrite(key); owned(engine.state.lpop(key)) }
+  def rpop(key: String): Option[String] = { checkWrite(key); owned(engine.state.rpop(key)) }
   def llen(key: String): Long = { checkRead(key); engine.state.llen(key) }
   def blpop(key: String, timeoutMs: Long): Option[String] = {
     checkWrite(key); engine.state.blpop(key, timeoutMs)
@@ -135,8 +155,8 @@ final class FunctionContext private[core] (
   // C2 binary-safe access (callRaw analogue)
   def getRaw(key: String): Option[Array[Byte]] = { checkRead(key); engine.state.getRaw(key) }
   def hgetRaw(key: String, field: String): Option[Array[Byte]] = { checkRead(key); engine.state.hgetRaw(key, field) }
-  def setRaw(key: String, value: Array[Byte]): Unit = { checkWrite(key); engine.state.setRaw(key, value) }
-  def hsetRaw(key: String, fields: (String, Array[Byte])*): Unit = { checkWrite(key); engine.state.hsetRaw(key, fields: _*) }
+  def setRaw(key: String, value: Array[Byte]): Unit = { checkWriteGrow(key); owned(engine.state.setRaw(key, value)) }
+  def hsetRaw(key: String, fields: (String, Array[Byte])*): Unit = { checkWriteGrow(key); owned(engine.state.hsetRaw(key, fields: _*)) }
   /** Per-library config injected at load (C10). */
   def config: Map[String, String] = engine.libraryConfig(library)
   def log(msg: String): Unit = engine.log(s"[$library] $msg")
@@ -150,12 +170,17 @@ final class FunctionContext private[core] (
     * partial state. */
   def atomic[T](body: StateTable.Txn => T): T = {
     requireWrites()
+    // E11: the footprint cap gates the TRANSACTION at entry (a single
+    // txn may overshoot, like a single Redis command past maxmemory;
+    // the cap catches the next one). The owned scope spans the flush,
+    // so the txn's writes attribute to this library.
+    engine.memCheck(library)
     // the transaction's key accesses carry the same per-key ACL (and
     // shard) checks as the direct context methods — plus the abort
     // checkpoint, so a watchdogged invocation dies inside its txn too
-    engine.state.commitGuarded { (k, w) =>
+    owned(engine.state.commitGuarded { (k, w) =>
       checkAborted(); checkShard(k); engine.aclCheck(library, k, w)
-    }(body)
+    }(body))
   }
 
   /** C5 (`client.executeAsync`): escape from a sync function to the
@@ -408,6 +433,40 @@ final class Engine(val spark: SparkSession,
   private[graft] def libraryUser(lib: String): Option[String] =
     libraries.get(lib).map(_.user)
 
+  // --- E11 memory accounting (see StateTable byte counters) ---------
+
+  /** Total exact bytes in the state table. */
+  def stateBytes: Long = state.usedBytes
+  /** Bytes attributed to `lib` (last-writer attribution). */
+  def libraryStateBytes(lib: String): Long = state.usedBytesBy(lib)
+
+  /** Per-write check: a library over `library-max-state-bytes` has
+    * further writes denied until its footprint shrinks (the
+    * per-library heap cap analogue — a hard limit, no flag bypasses
+    * it, matching the reference's per-isolate cap). */
+  private[core] def memCheck(lib: String): Unit = {
+    val cap = engineConfig("library-max-state-bytes").toLong
+    if (cap > 0) {
+      val used = state.usedBytesBy(lib)
+      if (used > cap) throw new OomException(
+        s"library '$lib' holds $used bytes in state > library-max-state-bytes $cap — write denied")
+    }
+  }
+
+  /** Per-invocation gate: over `max-state-bytes`, only functions
+    * declaring allow-oom or no-writes may run (the reference rejects
+    * the TFCALL upfront, lib.rs:1293-1313 — Redis's
+    * "OOM command not allowed" for everything else). */
+  private def oomCheck(lib: String, f: FunctionDef): Unit = {
+    val max = engineConfig("max-state-bytes").toLong
+    if (max > 0 && state.usedBytes > max &&
+        !f.flags.contains(FunctionFlags.AllowOom) &&
+        !f.flags.contains(FunctionFlags.NoWrites))
+      throw new OomException(
+        s"OOM: state holds ${state.usedBytes} bytes > max-state-bytes $max — " +
+          s"'$lib.${f.name}' declares neither ${FunctionFlags.AllowOom} nor ${FunctionFlags.NoWrites}")
+  }
+
   /** Snapshot of a user's current prefix rules (None = revoked). */
   private[graft] def aclRulesFor(user: String): Option[Seq[AclRule]] =
     aclUsers.get(user)
@@ -454,7 +513,18 @@ final class Engine(val spark: SparkSession,
     // count): past the cap, least-recently-touched keys are evicted and
     // fire the "evicted" keyspace event class (R4,
     // keys_notifications.rs:191-208). 0 = unbounded (default).
-    "max-keys" -> "0")
+    "max-keys" -> "0",
+    // E11/E13 memory caps, both 0 = unbounded (default). max-state-bytes
+    // is the Redis maxmemory analogue under the NOEVICTION policy:
+    // once the state table holds more bytes, invoking a function that
+    // declares neither allow-oom nor no-writes raises OomException
+    // (the reference's OOM call gating, lib.rs:1293-1313).
+    // library-max-state-bytes is the per-library V8 heap cap analogue
+    // (v8_backend.rs:305-393): a library whose last-writer-attributed
+    // state footprint exceeds it has every FURTHER write denied,
+    // regardless of flags, until its footprint shrinks.
+    "max-state-bytes" -> "0",
+    "library-max-state-bytes" -> "0")
 
   private[core] def shardCount: Int = engineConfig("shard-count").toInt
 
@@ -484,6 +554,10 @@ final class Engine(val spark: SparkSession,
         if (scala.util.Try(value.toInt).toOption.forall(_ < 0))
           throw new IllegalArgumentException(
             s"max-keys must be a non-negative count (0 = unbounded), got '$value'")
+      case "max-state-bytes" | "library-max-state-bytes" =>
+        if (scala.util.Try(value.toLong).toOption.forall(_ < 0))
+          throw new IllegalArgumentException(
+            s"$key must be a non-negative byte count (0 = unbounded), got '$value'")
       case other => throw new NoSuchElementException(s"unknown config key '$other'")
     }
     engineConfig.put(key, value)
@@ -588,6 +662,7 @@ final class Engine(val spark: SparkSession,
     val (f, l) = functionDef(lib, fn)
     if (f.isAsync) throw new IllegalStateException(
       s"'$lib.$fn' is async — use callAsync") // TFCALL on async fn is an error shape
+    oomCheck(lib, f)
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
     recorded(lib, l, fn, isAsync = false) {
@@ -825,6 +900,7 @@ final class Engine(val spark: SparkSession,
     * execution thread. */
   def callAsync(lib: String, fn: String, args: Seq[RespValue] = Seq.empty): Future[RespValue] = {
     val (f, l) = functionDef(lib, fn)
+    oomCheck(lib, f)
     val ctx = new FunctionContext(this, lib, f.flags.contains(FunctionFlags.NoWrites))
     val decoded = decodeArgs(f, args)
     val st = l.statsFor(fn)
@@ -1092,6 +1168,15 @@ final class ShardMovedException(msg: String) extends RuntimeException(msg)
   * (checkpointed at every state access — the JVM analogue of the
   * reference's Abort policy, `v8_script_ctx.rs:92-135`). */
 final class FunctionAbortedException(msg: String) extends RuntimeException(msg)
+
+/** E11/E13: raised when the engine is over `max-state-bytes` and a
+  * function declaring neither allow-oom nor no-writes is invoked
+  * (the reference's OOM call gating, `lib.rs:1293-1313`), or when a
+  * library's attributed state footprint exceeds
+  * `library-max-state-bytes` (the per-library V8 heap cap analogue,
+  * `v8_backend.rs:305-393`). Message shape mirrors Redis's
+  * "OOM command not allowed when used memory > 'maxmemory'". */
+final class OomException(msg: String) extends RuntimeException(msg)
 
 /** One traced invocation (see [[Engine.trace]]). */
 case class TraceEntry(library: String, function: String, isAsync: Boolean,

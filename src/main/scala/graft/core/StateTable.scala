@@ -90,6 +90,72 @@ final class StateTable {
       touched.remove(key)
     }
 
+  // --- memory accounting (E11: the reference caps each library's V8
+  // heap, v8_backend.rs:305-393; the keyspace analogue here is exact
+  // bytes-in-state per key, attributed to the library whose function
+  // performed the write). Maintained incrementally at every mutation
+  // chokepoint under the lock, so reads are O(1): `keyBytes` is each
+  // key's current footprint (key name + all field names/values + all
+  // list elements, in chars ≈ bytes through the ISO-8859-1 raw
+  // bridge), `usedBytesTotal` their sum, `ownerBytes` the per-library
+  // rollup. Ownership follows the LAST LIBRARY WRITER — the
+  // attribution Redis itself cannot do and the reference approximates
+  // with per-isolate heap caps; host-code writes (no writer scope)
+  // never re-attribute: a brand-new host key is unattributed, and a
+  // host overwrite leaves the key charged to the library whose
+  // dataset it belongs to.
+  private val keyBytes = new java.util.HashMap[String, Long]()
+  private val keyOwner = new java.util.HashMap[String, String]()
+  private val ownerBytes = new java.util.HashMap[String, Long]()
+  private var usedBytesTotal = 0L
+  // the writing library, set by the engine around each function
+  // invocation (sync calls, async pool threads, trigger deliveries)
+  private[core] val writerScope = new ThreadLocal[String]()
+
+  private def sizeOf(key: String): Long = {
+    val d = data.get(key).map(_.iterator.map { case (f, v) =>
+      f.length.toLong + v.length.toLong }.sum).getOrElse(0L)
+    val l = lists.get(key).map(_.iterator.map(_.length.toLong).sum).getOrElse(0L)
+    key.length.toLong + d + l
+  }
+
+  /** Re-measure `key` after a mutation and roll the delta into the
+    * global and per-owner counters; on a write, re-attribute the key
+    * to the current writer scope. Caller holds the lock. */
+  private def resize(key: String, write: Boolean = false): Unit = {
+    val present = data.contains(key) || lists.contains(key)
+    val now = if (present) sizeOf(key) else 0L
+    val prev = keyBytes.getOrDefault(key, 0L)
+    val oldOwner = keyOwner.get(key)
+    val newOwner =
+      if (!present) null
+      else if (write && writerScope.get() != null) writerScope.get()
+      else oldOwner
+    usedBytesTotal += now - prev
+    if (present) keyBytes.put(key, now) else keyBytes.remove(key)
+    def add(o: String, delta: Long): Unit = if (o != null && delta != 0) {
+      val next = ownerBytes.getOrDefault(o, 0L) + delta
+      if (next == 0L) ownerBytes.remove(o) else ownerBytes.put(o, next)
+    }
+    if (oldOwner != null && (newOwner == null || newOwner != oldOwner))
+      add(oldOwner, -prev)
+    if (newOwner != null) {
+      if (oldOwner != null && newOwner == oldOwner) add(newOwner, now - prev)
+      else add(newOwner, now)
+    }
+    if (!present) keyOwner.remove(key)
+    else if (newOwner != null) keyOwner.put(key, newOwner)
+  }
+
+  /** Total exact bytes in state (keys + fields + values + list
+    * elements). O(1). */
+  def usedBytes: Long = withLock(usedBytesTotal)
+
+  /** Exact bytes attributed to `owner` (last-writer attribution).
+    * O(1). */
+  def usedBytesBy(owner: String): Long =
+    withLock(ownerBytes.getOrDefault(owner, 0L))
+
   /** Evict least-recently-touched keys until the table fits the cap;
     * returns the eviction events to dispatch (caller holds the lock). */
   private def enforceCap(): Seq[KeyEvent] = {
@@ -110,6 +176,7 @@ final class StateTable {
           lists.remove(victim)
           expiries.remove(victim)
           touched.remove(victim)
+          resize(victim)
           KeyEvent("evicted", victim, System.currentTimeMillis(), None)
         }
       }
@@ -175,6 +242,7 @@ final class StateTable {
         val existed = data.remove(key).isDefined | lists.remove(key).isDefined
         if (existed) {
           noteRemoved(key)
+          resize(key)
           emit(KeyEvent("expired", key, System.currentTimeMillis(), None))
         }
       }
@@ -256,6 +324,7 @@ final class StateTable {
     noteAdded(key)
     lists.update(key, next)
     touch(key)
+    resize(key, write = true)
     listSignal.signalAll()
     emit(KeyEvent("lpush", key, System.currentTimeMillis(), None))
     enforceCap().foreach(emit)
@@ -268,6 +337,7 @@ final class StateTable {
     noteAdded(key)
     lists.update(key, next)
     touch(key)
+    resize(key, write = true)
     listSignal.signalAll()
     emit(KeyEvent("rpush", key, System.currentTimeMillis(), None))
     enforceCap().foreach(emit)
@@ -279,6 +349,7 @@ final class StateTable {
       val (v, rest) = if (head) (l.head, l.tail) else (l.last, l.init)
       if (rest.isEmpty) { lists.remove(key); noteRemoved(key) }
       else lists.update(key, rest)
+      resize(key)
       emit(KeyEvent(if (head) "lpop" else "rpop", key, System.currentTimeMillis(), None))
       v
     }
@@ -363,6 +434,12 @@ final class StateTable {
       touched.clear()
       touchSeq = 0L
       keyCount = (data.keySet ++ lists.keySet).size
+      // byte accounting rebuilds from ground truth; snapshot carries
+      // no attribution, so restored keys start unowned (the reference
+      // similarly re-evaluates libraries fresh at RDB load)
+      keyBytes.clear(); keyOwner.clear(); ownerBytes.clear()
+      usedBytesTotal = 0L
+      (data.keysIterator ++ lists.keysIterator).toSet.foreach(resize(_: String))
     } finally lock.unlock()
   }
 
@@ -370,9 +447,12 @@ final class StateTable {
     noteAdded(key)
     data.update(key, fields)
     touch(key)
+    resize(key, write = true)
   }
-  private[core] def applyDel(key: String): Unit =
+  private[core] def applyDel(key: String): Unit = {
     if (data.remove(key).isDefined) noteRemoved(key)
+    resize(key)
+  }
 }
 
 object StateTable {

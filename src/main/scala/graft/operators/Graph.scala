@@ -519,15 +519,27 @@ object Graph {
     * against the edge set, TakeOrdered cut. */
   def qLinkPrediction(s: SparkSession, d: String, invCap: Int = 64,
       minCommon: Int = 2, topK: Int = 20): DataFrame = {
-    // NOT checkpointed: the edge set feeds both union branches and the
-    // anti-join probe, but Spark's ReuseExchange already dedups the
-    // identical self-join subplans — an eager localCheckpoint here was
-    // measured SLOWER (9.1 → 15.6 s at sf0.1), the materialization
-    // barrier costing more than it saves
-    val pairs = copurchaseEdges(s, d)
+    // ONE materialization of the orderkey self-join, structurally
+    // guaranteed: `pairs` is localCheckpointed FIRST and every
+    // consumer — both bidir union branches AND the anti-join probe —
+    // reads the checkpointed blocks. The previous shape checkpointed
+    // only `bidir`, leaving the anti-join's `pairs` subplan to
+    // RECOMPUTE the full self-join in the final job (ReuseExchange
+    // cannot reach across a checkpoint boundary). At sf0.1 the rewrite
+    // is cost-neutral (old 8.5 s vs new 9.0/8.1 s on quiet-box runs —
+    // the self-join is cheap at this scale), but the guarantee is the
+    // point: the recompute it removes grows with the EDGE SET, the
+    // term that dominates at 100× (r9 measured the 50× wedge join
+    // spill-bound; doubling the self-join there is real money), and
+    // PlanShapeSpec can now pin the final plan free of file scans
+    // instead of trusting ReuseExchange across AQE re-planning.
+    // (The r9 note that eager-checkpointing was slower measured
+    // checkpointing pairs IN ADDITION to bidir — two materialization
+    // barriers; this shape has exactly one, bidir being a cheap map
+    // over checkpointed blocks.)
+    val pairs = copurchaseEdges(s, d).localCheckpoint()
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
     val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
     val inv = bidir.withColumn("rk",
         row_number().over(Window.partitionBy("u").orderBy("v")))

@@ -4564,4 +4564,251 @@ object Stats {
              + d2(col("n_days")) * d2(col("n_days")))), 4).as("p_approx"))
       .orderBy("event_type")
   }
+
+  // ------------------------------------------------------------------
+  // round 11: the two-sample distribution-comparison family. q102's
+  // Mann–Whitney asks "is one arm stochastically larger"; these ask
+  // the neighboring questions an experimentation pipeline needs on the
+  // SAME arm-vs-control design (click/error/signup/purchase each vs
+  // view): equality of the whole distribution (KS q359, Cramér–von
+  // Mises q360, Kuiper q361), equality of medians (Mood q362), the
+  // tie-and-variance-robust rank test (Brunner–Munzel q363), and the
+  // magnitude of the shift itself (Hodges–Lehmann q364). All six ride
+  // ONE machinery: the per-pair VALUE-DOMAIN rollup (exact integer
+  // counts per distinct cent value) plus per-pair cumulative sums —
+  // the q233/q102 device — so every sufficient statistic is an exact
+  // integer/decimal and the gate hashes no reordered float sums.
+  //
+  // Scale shape (shared): one map-side rollup onto ≤ |pairs|·|value
+  // domain| cells; windows partition BY PAIR over the value domain,
+  // which SATURATES as data grows (measured: the sf0.1 events table
+  // already holds 17.8k of the possible cent values) — at 100× the
+  // window input is the same ~20k rows per pair, only the rollup scan
+  // grows. No per-row ranks, no row sorts, no driver collects.
+  // ------------------------------------------------------------------
+
+  /** Per-pair value-domain counts: (pair, v, c1, c2) where c1 counts
+    * the arm's events at cent value v and c2 the control's ("view").
+    * `granularity` trades domain size for resolution: "cents" for the
+    * ECDF family (exact), "dollars" for Hodges–Lehmann (the pairwise
+    * difference DOMAIN is quadratic in the value domain, so the shift
+    * estimator declares a coarser grid — 561 distinct dollars → ≤315k
+    * difference cells per pair, flat at any corpus size). */
+  private def pairedValueCounts(s: SparkSession, d: String,
+      granularity: String = "cents"): DataFrame = {
+    val vexpr = granularity match {
+      case "cents" => "CAST(ROUND(value * 100, 0) AS BIGINT)"
+      case "dollars" => "CAST(FLOOR(value) AS BIGINT)"
+      case other => throw new IllegalArgumentException(other)
+    }
+    val ev = events(s, d).select(col("event_type"), expr(vexpr).as("v"))
+    val arms = Seq("click", "error", "signup", "purchase")
+    arms.map { a =>
+      ev.filter(col("event_type").isin(a, "view"))
+        .select(lit(a).as("pair"),
+          (col("event_type") === a).cast("long").as("in_arm"), col("v"))
+    }.reduce(_ unionAll _)
+      .groupBy("pair", "v")
+      .agg(sum(col("in_arm")).as("c1"),
+        sum(lit(1L) - col("in_arm")).as("c2"))
+  }
+
+  /** The shared ECDF frame: value-domain counts + per-pair cumulative
+    * counts of both samples + sample totals + the scaled ECDF gap
+    * `diff = cum1·n2 − cum2·n1` (an exact integer — the numerator of
+    * F̂₁(v) − F̂₂(v) over the common denominator n1·n2). */
+  private def pairedEcdf(s: SparkSession, d: String): DataFrame = {
+    val counts = pairedValueCounts(s, d)
+    val w = Window.partitionBy("pair").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.groupBy("pair")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .join(broadcast(tot), Seq("pair"))
+      .withColumn("diff", col("cum1") * col("n2") - col("cum2") * col("n1"))
+  }
+
+  /** q359: two-sample Kolmogorov–Smirnov per arm — D = sup|F̂₁−F̂₂|.
+    * The hashed statistic is the exact integer numerator
+    * `d_num = max|cum1·n2 − cum2·n1|` (≤ n1·n2 ≈ 4·10¹² at 100×,
+    * BIGINT-safe); D itself is ONE division of two exact integers —
+    * bit-identical cross-engine, no knife-edge (the q312 lesson: only
+    * transcendentals and reordered float sums drift). */
+  def qKsTest(s: SparkSession, d: String): DataFrame =
+    pairedEcdf(s, d)
+      .groupBy("pair")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("diff"))).as("d_num"))
+      .withColumn("ks_d",
+        round(d2(col("d_num")) / (d2(col("n1")) * d2(col("n2"))), 6))
+      .orderBy("pair")
+
+  /** q360: two-sample Cramér–von Mises — where KS sees only the worst
+    * single gap, CvM integrates the SQUARED gap over the pooled
+    * sample, catching distributed small departures KS misses:
+    * T = Σ_pooled (F̂₁−F̂₂)² · (nm/(N²)) evaluated at every pooled
+    * observation. The numerator `t_num = Σ_v (c1+c2)·diff²` is exact
+    * DECIMAL(38,0) internally (≤ ~10³⁶ at 100× — in range) and leaves
+    * as a double: decimal→double is correctly rounded from the SAME
+    * exact value on both engines, so the hash is safe (unlike
+    * reordered float sums, the q312 class). */
+  def qCvmTest(s: SparkSession, d: String): DataFrame =
+    pairedEcdf(s, d)
+      .groupBy("pair")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(dec(col("c1") + col("c2")) * dec(col("diff")) * dec(col("diff")))
+          .cast("decimal(38,0)").as("t_num_dec"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("t_num", d2(col("t_num_dec")))
+      .withColumn("cvm_t", round(
+        col("t_num") / (d2(col("n1")) * d2(col("n2")) *
+          d2(col("n")) * d2(col("n"))), 6))
+      .select(col("pair"), col("n1"), col("n2"), col("t_num"), col("cvm_t"))
+      .orderBy("pair")
+
+  /** q361: Kuiper's test — KS split into signed parts, V = D⁺ + D⁻.
+    * Equally sensitive in the tails and near the median (KS
+    * concentrates power mid-distribution), and invariant to cyclic
+    * shifts — the variant for periodic metrics. Same exact-integer
+    * numerators as q359; `greatest(…, 0)` keeps D⁺/D⁻ at their
+    * sup-over-the-step-function semantics when one ECDF dominates. */
+  def qKuiperTest(s: SparkSession, d: String): DataFrame =
+    pairedEcdf(s, d)
+      .groupBy("pair")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        greatest(max(col("diff")), lit(0L)).as("dplus_num"),
+        greatest(max(-col("diff")), lit(0L)).as("dminus_num"))
+      .withColumn("kuiper_v", round(
+        (d2(col("dplus_num")) + d2(col("dminus_num"))) /
+          (d2(col("n1")) * d2(col("n2"))), 6))
+      .orderBy("pair")
+
+  /** q362: Mood's median test — the nonparametric "are the medians
+    * equal" 2×2: split each pair at the POOLED discrete median
+    * (smallest v with pooled cum ≥ ⌈N/2⌉ — an order statistic, exact),
+    * count arm/control above vs at-or-below, Pearson χ² on the four
+    * exact cells (one double composition, q304's discipline). */
+  def qMoodMedian(s: SparkSession, d: String): DataFrame = {
+    val ecdf = pairedEcdf(s, d)
+    val med = ecdf
+      .filter(lit(2L) * (col("cum1") + col("cum2")) >= col("n1") + col("n2"))
+      .groupBy("pair").agg(min(col("v")).as("v_med"))
+    val cells = ecdf.join(broadcast(med), Seq("pair"))
+      .groupBy("pair")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("v_med")).as("v_med"),
+        sum(when(col("v") > col("v_med"), col("c1")).otherwise(0L)).as("a_above"),
+        sum(when(col("v") > col("v_med"), col("c2")).otherwise(0L)).as("b_above"))
+      .withColumn("a_below", col("n1") - col("a_above"))
+      .withColumn("b_below", col("n2") - col("b_above"))
+    val n = d2(col("n1") + col("n2"))
+    val det = d2(col("a_above")) * d2(col("b_below")) -
+      d2(col("b_above")) * d2(col("a_below"))
+    val denom = d2(col("n1")) * d2(col("n2")) *
+      d2(col("a_above") + col("b_above")) * d2(col("a_below") + col("b_below"))
+    cells.withColumn("chi2", round(
+        when(denom > 0, n * det * det / denom).otherwise(lit(0.0)), 6))
+      .select(col("pair"), col("n1"), col("n2"), col("v_med"),
+        col("a_above"), col("b_above"), col("a_below"), col("b_below"),
+        col("chi2"))
+      .orderBy("pair")
+  }
+
+  /** q363: Brunner–Munzel — the rank test that, unlike Mann–Whitney,
+    * does NOT assume equal variances under the null (the
+    * Behrens–Fisher situation; Brunner & Munzel 2000). Statistic
+    * W = n1·n2·(R̄₂−R̄₁) / (N·√(n1·S₁²+n2·S₂²)), where S_i² uses
+    * pooled-minus-within rank deviations.
+    *
+    * Exactness: with doubled midranks (dr pooled, dr1/dr2 within —
+    * all integers off the value-domain cumulative), each deviation
+    * scaled by 2·n_i is the exact integer
+    * t_i = n_i·(dr − dr_i) − Sd_i + n_i·(n_i+1), so the hashed
+    * sufficient statistics are Sd_i = Σc_i·dr (BIGINT) and
+    * q_i = Σc_i·t_i² (exact DECIMAL(38,0) internally, ≤ ~10³⁴ at
+    * 100×, emitted as the correctly-rounded double — hash-safe);
+    * S_i² = q_i/(4n_i²(n_i−1)) and W compose in one spelled chain. */
+  def qBrunnerMunzel(s: SparkSession, d: String): DataFrame = {
+    val counts = pairedValueCounts(s, d)
+    val w = Window.partitionBy("pair").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .withColumn("cnt", col("c1") + col("c2"))
+      .withColumn("cum", col("cum1") + col("cum2"))
+      .withColumn("dr", lit(2L) * col("cum") - col("cnt") + lit(1L))
+      .withColumn("dr1", lit(2L) * col("cum1") - col("c1") + lit(1L))
+      .withColumn("dr2", lit(2L) * col("cum2") - col("c2") + lit(1L))
+    val tot = cums.groupBy("pair")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("dr")).as("sd1"),
+        sum(col("c2") * col("dr")).as("sd2"))
+    val t1 = col("n1") * (col("dr") - col("dr1")) - col("sd1") +
+      col("n1") * (col("n1") + 1)
+    val t2 = col("n2") * (col("dr") - col("dr2")) - col("sd2") +
+      col("n2") * (col("n2") + 1)
+    val agg = cums.join(broadcast(tot), Seq("pair"))
+      .groupBy("pair")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("sd1")).as("sd1"), max(col("sd2")).as("sd2"),
+        sum(dec(col("c1")) * dec(t1) * dec(t1)).cast("decimal(38,0)").as("q1d"),
+        sum(dec(col("c2")) * dec(t2) * dec(t2)).cast("decimal(38,0)").as("q2d"))
+      .withColumn("q1", d2(col("q1d")))
+      .withColumn("q2", d2(col("q2d")))
+    // S_i² = q_i / (4·n_i²·(n_i−1)); W in one spelled chain
+    val s1sq = d2(col("q1")) / (lit(4.0) * d2(col("n1")) * d2(col("n1")) *
+      d2(col("n1") - 1))
+    val s2sq = d2(col("q2")) / (lit(4.0) * d2(col("n2")) * d2(col("n2")) *
+      d2(col("n2") - 1))
+    val meanDiff = d2(col("sd2")) / (lit(2.0) * d2(col("n2"))) -
+      d2(col("sd1")) / (lit(2.0) * d2(col("n1")))
+    val nTot = d2(col("n1") + col("n2"))
+    val se = sqrt(d2(col("n1")) * s1sq + d2(col("n2")) * s2sq)
+    agg.withColumn("w_bm", round(
+        when(se > 0, d2(col("n1")) * d2(col("n2")) * meanDiff / (nTot * se))
+          .otherwise(lit(0.0)), 6))
+      .select(col("pair"), col("n1"), col("n2"), col("sd1"), col("sd2"),
+        col("q1"), col("q2"), col("w_bm"))
+      .orderBy("pair")
+  }
+
+  /** q364: Hodges–Lehmann shift estimator — the MAGNITUDE the tests
+    * above only detect: median of all n1·n2 pairwise differences
+    * (arm − control), the location-shift estimate robust to outliers
+    * that the difference-of-means (q-CUPED etc.) is not. Declared on
+    * the DOLLAR grid: the difference DOMAIN is quadratic in the value
+    * domain, so the estimator trades cent resolution for a ≤315k-cell
+    * pair space that stays FLAT at any corpus size (the weights grow,
+    * the cells don't). Weighted discrete lower/upper median via
+    * cumulative weight over the difference domain — exact integers
+    * end to end. */
+  def qHodgesLehmann(s: SparkSession, d: String): DataFrame = {
+    val counts = pairedValueCounts(s, d, granularity = "dollars")
+    val aSide = counts.filter(col("c1") > 0)
+      .select(col("pair"), col("v").as("va"), col("c1"))
+    val bSide = counts.filter(col("c2") > 0)
+      .select(col("pair"), col("v").as("vb"), col("c2"))
+    val diffs = aSide.join(bSide, Seq("pair"))
+      .groupBy(col("pair"), (col("va") - col("vb")).as("dv"))
+      .agg(sum(col("c1") * col("c2")).as("cw"))
+    val w = Window.partitionBy("pair").orderBy("dv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = diffs.groupBy("pair").agg(sum(col("cw")).as("npairs"))
+    val cum = diffs.withColumn("cum", sum(col("cw")).over(w))
+      .join(broadcast(tot), Seq("pair"))
+    // discrete weighted medians: lower = value at rank ⌈W/2⌉ =
+    // (W+1) div 2, upper = value at rank W div 2 + 1 (equal when W is
+    // odd) — integer div spelled identically on both engines
+    val lo = cum.filter(col("cum") >= expr("(npairs + 1) div 2"))
+      .groupBy("pair").agg(min(col("dv")).as("hl_lo"))
+    val hi = cum.filter(col("cum") >= expr("npairs div 2 + 1"))
+      .groupBy("pair").agg(min(col("dv")).as("hl_hi_raw"))
+    tot.join(lo, Seq("pair")).join(hi, Seq("pair"), "left_outer")
+      .select(col("pair"), col("npairs"), col("hl_lo"),
+        coalesce(col("hl_hi_raw"), col("hl_lo")).as("hl_hi"))
+      .orderBy("pair")
+  }
 }

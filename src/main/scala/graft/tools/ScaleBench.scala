@@ -246,7 +246,12 @@ object ScaleBench {
       "q354_seasonal_mk", "q355_dunn_posthoc", "q356_lexical_richness",
       // the cohort LTV join (users xfactor) and the ABC offset
       // cumulative (parts xfactor)
-      "q357_cohort_ltv", "q358_abc_classification")
+      "q357_cohort_ltv", "q358_abc_classification",
+      // the r11 two-sample family (one value-domain machinery: the
+      // window input saturates with the cent domain) and the HL
+      // shift's quadratic-in-domain dollar-grid pair space
+      "q359_ks_test", "q360_cvm_test", "q361_kuiper_test",
+      "q362_mood_median", "q363_brunner_munzel", "q364_hodges_lehmann")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -359,6 +359,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "the vocab rank window lost its source partitioning")
   }
 
+  test("q251 link prediction: final plan reads ONLY checkpointed blocks") {
+    // the single-materialization contract (r11): the orderkey
+    // self-join runs once into a localCheckpoint; the final job —
+    // wedge join, anti-join probe, degree joins — must consume
+    // checkpointed RDD scans only. A parquet scan in the final plan
+    // means some consumer re-derived the edge set from source, the
+    // exact recompute this shape exists to prevent (ReuseExchange
+    // cannot reach across a checkpoint boundary).
+    val df = Graph.qLinkPrediction(spark, sf)
+    df.queryExecution.toRdd.foreach(_ => ())
+    def hasFileScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val self = p.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hasFileScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasFileScan(q.plan)
+        case _ => false
+      }
+      self || nested || p.children.exists(hasFileScan)
+    }
+    assert(!hasFileScan(df.queryExecution.executedPlan),
+      "q251's final plan re-reads source files instead of the checkpointed edge set")
+  }
+
   test("q312 Heaps: no window at all — checkpoints are conditional sums") {
     val ws = windowNodes(TextAnalysis.qHeaps(spark, sf))
     assert(ws.isEmpty,
