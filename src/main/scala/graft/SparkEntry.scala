@@ -914,6 +914,15 @@ object SparkEntry {
     "q362_mood_median" -> (Stats.qMoodMedian _),
     "q363_brunner_munzel" -> (Stats.qBrunnerMunzel _),
     "q364_hodges_lehmann" -> (Stats.qHodgesLehmann _),
+    // q365: HITS hubs/authorities on the customer->part bipartite
+    // graph (integer-pico rounds; rows-only — normalized mutual
+    // recursion exceeds recursive-CTE SQL; HitsSpec pins a driver
+    // recompute bit-exactly)
+    "q365_hits" -> ((s, dir) => Graph.qHits(s, dir)),
+    // q366: DCT perceptual-hash image near-dup through brightness/
+    // contrast nuisance (rows-only: PNG encode + DCT aren't SQL;
+    // PHashSpec pins invariances and brute-force recall)
+    "q366_image_phash_near_dup" -> ((s, dir) => Multimodal.qImagePhashNearDup(s, dir)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the

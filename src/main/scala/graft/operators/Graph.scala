@@ -691,4 +691,74 @@ object Graph {
         col("q_contrib"))
       .orderBy("brand")
   }
+
+  /** q365: HITS hubs & authorities (Kleinberg JACM'99) on the
+    * customer→part purchase BIPARTITE graph — the centrality the
+    * undirected q163 PageRank cannot express: authorities are parts
+    * endorsed by well-curating customers, hubs are customers whose
+    * baskets concentrate on authoritative parts (the co-citation
+    * reading of purchase data). Completes the centrality family
+    * (PageRank q163, k-core q184, assortativity q169, LPA q253).
+    *
+    * Exactness (q163's integer-round discipline, extended with the
+    * normalization HITS needs and PageRank dodges): scores are
+    * integer picos; each half-round is one edge⋈score join + a
+    * destination-keyed integer sum, then L1 RE-normalization
+    * `x ← x·10¹² div Σx` where Σx is a one-row driver read per
+    * half-round (a control-plane scalar, the q78-distributed-argmax
+    * precedent) — every operation is integer, so ranks are bit-exact
+    * across partitionings and JVMs (HitsSpec pins a driver-side
+    * recompute). Rows-only in the gate: mutually-recursive normalized
+    * iteration exceeds recursive-CTE SQL.
+    *
+    * Scale shape: the edge list (customer, part) is checkpointed once
+    * and never reshuffles; per round the node-sized score table
+    * broadcasts into a map-side join (the q163 boundary conf applies),
+    * and the only shuffle is the destination-keyed partial agg.
+    * 2·iters rounds of node-sized checkpoints. */
+  def qHits(s: SparkSession, d: String, iters: Int = 12,
+      topK: Int = 20): DataFrame = {
+    val edges = orders(s, d).select(col("o_custkey").as("c"), col("o_orderkey").as("o"))
+      .join(lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")), Seq("o"))
+      .select("c", "p").distinct()
+      .localCheckpoint()
+    val custs = edges.select("c").distinct().localCheckpoint()
+    val nC = custs.count()
+    val scale = 1000000000000L
+    val rankBroadcastMax = s.conf
+      .get("spark.graft.graph.rankBroadcastMaxNodes", "10000000").toLong
+    def hinted(r: DataFrame): DataFrame =
+      if (nC <= rankBroadcastMax) broadcast(r) else r
+    // L1-renormalize to Σ = 10¹² with integer div (remainder ≤ #nodes
+    // picos — sub-ppm — vanishes identically on both recomputes). The
+    // product s·10¹² tops 64 bits (s can carry a whole round's
+    // un-normalized mass), so it rides DECIMAL(38,0) and lands back
+    // in BIGINT after the div.
+    def renorm(scores: DataFrame, key: String): DataFrame = {
+      val tot = scores.agg(sum("s")).collect()(0).getLong(0)
+      scores.select(col(key),
+        expr(s"CAST(CAST(s AS DECIMAL(38,0)) * $scale div $tot AS BIGINT)")
+          .as("s"))
+    }
+    var hubs = custs.select(col("c"), lit(scale / math.max(nC, 1L)).as("s"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = renorm(
+        edges.join(hinted(hubs), Seq("c"))
+          .groupBy("p").agg(sum("s").as("s")), "p").localCheckpoint()
+      hubs = renorm(
+        edges.join(hinted(auths), Seq("p"))
+          .groupBy("c").agg(sum("s").as("s")), "c").localCheckpoint()
+    }
+    val topA = auths.orderBy(col("s").desc, col("p"))
+      .limit(topK)
+      .select(lit("authority").as("role"), col("p").as("node"),
+        col("s").as("score_pico"))
+    val topH = hubs.orderBy(col("s").desc, col("c"))
+      .limit(topK)
+      .select(lit("hub").as("role"), col("c").as("node"),
+        col("s").as("score_pico"))
+    topA.unionAll(topH).orderBy(col("role"), col("score_pico").desc, col("node"))
+  }
 }

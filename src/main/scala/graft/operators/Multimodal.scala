@@ -431,6 +431,117 @@ object Multimodal {
       .groupBy("hamming").agg(count("*").as("n_pairs"))
   }
 
+  /** q366's kernel: perceptual DCT hash (pHash) — the frequency-domain
+    * upgrade of [[aHash64]]: 32×32 grayscale, 2-D DCT-II, threshold
+    * the 63 non-DC coefficients of the low-frequency 8×8 block at
+    * their median. Where aHash breaks under global brightness or
+    * contrast changes (every pixel moves relative to the MEAN), pHash
+    * is invariant by construction: a brightness shift lands entirely
+    * in the DC coefficient (excluded) and a contrast scale multiplies
+    * every coefficient AND their median by the same positive factor
+    * (comparisons unchanged) — PHashSpec pins both invariances through
+    * real PNG bytes, plus discrimination across patterns.
+    *
+    * Determinism: the cosine tables use StrictMath (identical bits on
+    * every JVM), the DCT is a fixed-order matrix walk (no parallel
+    * reduction), and the resize goes through the same bilinear
+    * AWT path as aHash — one hash per payload, bit-stable. */
+  def pHash64(payload: Array[Byte]): Option[Long] = {
+    val img = try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val n = 32
+      val small = new java.awt.image.BufferedImage(n, n,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, n, n, null)
+      g.dispose()
+      val luma = Array.ofDim[Double](n, n)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          val rgb = small.getRGB(x, y)
+          luma(y)(x) = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      val dct = PHash.dct2d32(luma)
+      // low-frequency 8×8 block, DC excluded; QUANTIZED to integers
+      // before the median compare: fp addition is not exactly linear,
+      // so a brightness shift perturbs every coefficient by ~1e-9 of
+      // its magnitude — under a strict `>` against an exactly-tied
+      // median that ulp noise flips bits; rint to the integer grid
+      // (coefficients are O(10⁵), the noise is O(10⁻⁴)) absorbs it
+      // and makes the construction invariances EXACT
+      val coeffs = new Array[Long](63)
+      var i = 0
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) { coeffs(i) = math.rint(dct(u)(v)).toLong; i += 1 }
+          v += 1
+        }
+        u += 1
+      }
+      val sorted = coeffs.clone(); java.util.Arrays.sort(sorted)
+      val median = sorted(31) // element 32 of 63 — the exact middle
+      var h = 0L
+      i = 0
+      while (i < 63) {
+        if (coeffs(i) > median) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** q366: perceptual-hash image near-dup — q65's pipeline with the
+    * DCT hash, on images that ALSO carry a per-doc brightness/contrast
+    * ramp (the photometric nuisance pHash ignores BY CONSTRUCTION —
+    * brightness lives in the excluded DC, contrast cancels under the
+    * median): same banded-Hamming machinery, rows-only gate,
+    * PHashSpec pins the invariances, gamma robustness, and recall
+    * against brute force over the same hashes. */
+  def qImagePhashNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(160).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map { id => (id, pHash64(synthTonedPng(id)).get) }
+    }.toDF("id", "sh")
+    Dedup.hammingPairs(hashed, maxHamming)
+      .groupBy("hamming").agg(count("*").as("n_pairs"))
+  }
+
+  /** q366's fixture image: a 2-D checker per class (period varies by
+    * class = doc_id % 8 — energy across BOTH DCT axes, the regime the
+    * 2-D hash discriminates in; a 1-D split pattern concentrates in
+    * one DCT row and wastes 7/8 of the bits) with a per-doc global
+    * brightness/contrast ramp on top — the photometric nuisance pHash
+    * must ignore. Mid-range tones keep the affine transform
+    * clip-free. */
+  private[operators] def synthTonedPng(id: Long): Array[Byte] = {
+    val cls = (id % 8).toInt
+    val gain = 0.8 + 0.05 * ((id / 8) % 8)   // contrast ∈ [0.8, 1.15]
+    val bias = 5.0 * ((id / 64) % 5)          // brightness ∈ [0, 20]
+    def tone(v: Int): Int = math.min(255, math.max(0, (v * gain + bias).round.toInt))
+    val im = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val v = tone(if ((x / (2 + cls) + y / (3 + cls)) % 2 == 0) 200 else 60)
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** q52: end-to-end audio feature pipeline — synthesize a
     * deterministic per-doc WAV (pitch = doc_id's pitch class), decode
     * it through the REAL `javax.sound.sampled` path on the executors,
@@ -742,5 +853,44 @@ object Multimodal {
       .agg(count("*").as("n"),
         round(sum(aggregate(col("features"), lit(0.0), (a, v) => a + v)), 4)
           .as("sum_features"))
+  }
+}
+
+/** q366's DCT kernel. Unnormalized DCT-II: under the median threshold
+  * any positive global normalization cancels, so none is applied.
+  * Cosine tables via StrictMath (bit-identical on every JVM); all
+  * loops fixed-order — no parallel reduction, no bits left to chance.
+  * Brightness invariance falls out of Σ_x cos(π(2x+1)k/2N) = 0 for
+  * k ≥ 1: a +b shift moves ONLY the (0,0) coefficient, which the
+  * hash excludes. */
+private[operators] object PHash {
+  private val N = 32
+  private val ct: Array[Array[Double]] = Array.tabulate(N, N)((k, x) =>
+    StrictMath.cos(math.Pi * (2 * x + 1) * k / (2.0 * N)))
+
+  def dct2d32(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val tmp = Array.ofDim[Double](N, N) // tmp(y)(k): DCT along rows
+    var y = 0
+    while (y < N) {
+      var k = 0
+      while (k < N) {
+        var x = 0; var acc = 0.0
+        while (x < N) { acc += m(y)(x) * ct(k)(x); x += 1 }
+        tmp(y)(k) = acc; k += 1
+      }
+      y += 1
+    }
+    val out = Array.ofDim[Double](N, N) // out(u)(k): DCT along columns
+    var u = 0
+    while (u < N) {
+      var k = 0
+      while (k < N) {
+        var yy = 0; var acc = 0.0
+        while (yy < N) { acc += tmp(yy)(k) * ct(u)(yy); yy += 1 }
+        out(u)(k) = acc; k += 1
+      }
+      u += 1
+    }
+    out
   }
 }
