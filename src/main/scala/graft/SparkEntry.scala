@@ -923,6 +923,14 @@ object SparkEntry {
     // contrast nuisance (rows-only: PNG encode + DCT aren't SQL;
     // PHashSpec pins invariances and brute-force recall)
     "q366_image_phash_near_dup" -> ((s, dir) => Multimodal.qImagePhashNearDup(s, dir)),
+    // q367: category-blocklist audit (the C4/LDNOOBW filtering verb:
+    // per (source, category) hits, flagged docs, survivors)
+    "q367_blocklist_audit" -> (TextAnalysis.qBlocklistAudit _),
+    // q368: encoding-garbage audit (U+FFFD, C0 controls, the
+    // CP1252-in-UTF-8 tells; zero on this clean fixture by generator
+    // construction — the query is the harness, MojibakeSpec proves
+    // the detectors fire on crafted corruption)
+    "q368_mojibake_audit" -> (TextAnalysis.qMojibakeAudit _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8814,6 +8822,56 @@ object SparkEntry {
          SELECT t.pair, t.npairs, l.hl_lo,
                 COALESCE(h.hl_hi_raw, l.hl_lo) AS hl_hi
          FROM tot t JOIN lo l USING (pair) LEFT JOIN hi h USING (pair)""",
+    // q367: broadcast literal blocklist join; all counts exact BIGINT
+    "q367_blocklist_audit" ->
+      """WITH block AS (
+           SELECT * FROM (VALUES
+             ('latency', 'slow'), ('latency', 'lag'), ('latency', 'wait'),
+             ('ops', 'spill'), ('ops', 'error'), ('ops', 'retry'),
+             ('infra', 'disk'), ('infra', 'cpu'), ('infra', 'memory'))
+             AS v(category, w)),
+         toks AS (SELECT doc_id, source,
+                         unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents),
+         tk AS (SELECT * FROM toks WHERE len(w) > 0),
+         totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                    FROM tk GROUP BY 1),
+         hits AS (SELECT t.source, b.category,
+                         CAST(COUNT(*) AS BIGINT) AS n_hits,
+                         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+                           AS n_docs_flagged
+                  FROM tk t JOIN block b ON t.w = b.w GROUP BY 1, 2)
+         SELECT h.source, h.category, h.n_hits, h.n_docs_flagged,
+                CAST(h.n_hits * 1000000 // tt.n_tokens AS BIGINT) AS hit_ppm,
+                tt.n_docs - h.n_docs_flagged AS n_docs_surviving
+         FROM hits h JOIN totals tt USING (source)""",
+    // q368: char-count deltas through identical regexes (DuckDB
+    // regexp_replace needs the 'g' flag — Spark's is global by
+    // default); integer ppm
+    "q368_mojibake_audit" ->
+      """WITH per AS (
+           SELECT doc_id, source, CAST(len(text) AS BIGINT) AS n_chars,
+                  CAST(len(text) - len(regexp_replace(text, '�', '', 'g'))
+                    AS BIGINT) AS n_fffd,
+                  CAST(len(text) - len(regexp_replace(text,
+                    '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                    AS BIGINT) AS n_ctrl,
+                  CAST(len(text) - len(regexp_replace(text, '[ÂÃ]', '', 'g'))
+                    AS BIGINT) AS n_c1tell
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                CAST(SUM(n_fffd) AS BIGINT) AS n_fffd,
+                CAST(SUM(n_ctrl) AS BIGINT) AS n_ctrl,
+                CAST(SUM(n_c1tell) AS BIGINT) AS n_c1tell,
+                CAST(SUM(CASE WHEN n_fffd + n_ctrl + n_c1tell > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_suspect,
+                CAST(CASE WHEN SUM(n_chars) > 0
+                  THEN (SUM(n_fffd) + SUM(n_ctrl) + SUM(n_c1tell))
+                       * 1000000 // SUM(n_chars)
+                  ELSE 0 END AS BIGINT) AS garbage_ppm
+         FROM per GROUP BY 1""",
   )
 
   /** Shared CTE prefix for q359-q363: per-(arm vs view) value-domain

@@ -1489,5 +1489,97 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q367: category-blocklist audit — the C4/pretraining filtering
+    * verb the quality family lacked (Raffel et al. JMLR'20 §2.2 drop
+    * any page containing a word from the "List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words"; real pipelines run SEVERAL
+    * category lists and audit hit rates per source before deciding
+    * drop-vs-redact). Three fixed literal category lists over the
+    * fixture vocabulary stand in for the production lists — the
+    * MACHINERY is the deliverable: per (source, category), documents
+    * flagged, total hits, hit ppm of the token stream, and the
+    * surviving-document count a drop policy would leave.
+    *
+    * Exactness: all counts are exact BIGINTs off one explode + one
+    * broadcast join; ppm is floored integer div.
+    *
+    * Scale shape: tokens explode once; the blocklist join is a
+    * broadcast of a literal table (lists are KBs in production); the
+    * rollup collapses onto ≤ |sources|·|categories| cells map-side.
+    * No shuffle carries text — only (source, category, doc_id). */
+  def qBlocklistAudit(s: SparkSession, d: String): DataFrame = {
+    val lists = Seq(
+      ("latency", Seq("slow", "lag", "wait")),
+      ("ops", Seq("spill", "error", "retry")),
+      ("infra", Seq("disk", "cpu", "memory")))
+    import s.implicits._
+    val docs = documents(s, d)
+    val block = lists.flatMap { case (cat, ws) => ws.map(w => (cat, w)) }
+      .toDF("category", "w")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val totals = toks.groupBy("source").agg(
+      count(lit(1)).as("n_tokens"),
+      count_distinct(col("doc_id")).as("n_docs"))
+    val hits = toks.join(broadcast(block), Seq("w"))
+      .groupBy("source", "category")
+      .agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("doc_id")).as("n_docs_flagged"))
+    hits.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("category"), col("n_hits"),
+        col("n_docs_flagged"),
+        expr("n_hits * 1000000 div n_tokens").as("hit_ppm"),
+        (col("n_docs") - col("n_docs_flagged")).as("n_docs_surviving"))
+      .orderBy("source", "category")
+  }
+
+  /** q368: encoding-garbage (mojibake) audit — the ingest sanity
+    * check every crawl pipeline runs before tokenization: Unicode
+    * replacement characters (U+FFFD — the scar a bad decode leaves),
+    * C0 control characters other than tab/newline/CR (binary bleed),
+    * and the Windows-1252-in-UTF-8 tells (Â/Ã sequences — the classic
+    * double-encode signature). On THIS clean fixture all three counts
+    * are zero BY GENERATOR CONSTRUCTION — the query is the harness
+    * (the q315 lesson), the gate pins its exactness end to end, and
+    * MojibakeSpec drives crafted corrupted frames through the same
+    * core to prove each detector actually fires.
+    *
+    * Exactness: counts are exact BIGINT differences of `length` before
+    * and after `regexp_replace` (identical regex both engines — class
+    * escapes chosen to parse the same way in Spark and DuckDB); rates
+    * are floored integer div per 10⁶ chars.
+    *
+    * Scale shape: one codegen'd scan, source-sized rollup — the
+    * quality-family shape (q23/q117). */
+  def qMojibakeAudit(s: SparkSession, d: String): DataFrame =
+    mojibakeAudit(documents(s, d))
+
+  /** The q368 core over any (doc_id, source, text) frame. */
+  private[operators] def mojibakeAudit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "�", ""))).cast("long").as("n_fffd"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+          .cast("long").as("n_ctrl"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[ÂÃ]", ""))).cast("long").as("n_c1tell"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_fffd")).as("n_fffd"),
+        sum(col("n_ctrl")).as("n_ctrl"),
+        sum(col("n_c1tell")).as("n_c1tell"),
+        sum(when(col("n_fffd") + col("n_ctrl") + col("n_c1tell") > 0, 1L)
+          .otherwise(0L)).as("n_docs_suspect"))
+      .withColumn("garbage_ppm", expr(
+        "CASE WHEN n_chars > 0 THEN (n_fffd + n_ctrl + n_c1tell) " +
+          "* 1000000 div n_chars ELSE 0 END"))
+      .orderBy("source")
+
   private val d2 = (c: Column) => c.cast("double")
 }
