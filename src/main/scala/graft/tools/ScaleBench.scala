@@ -251,7 +251,10 @@ object ScaleBench {
       // window input saturates with the cent domain) and the HL
       // shift's quadratic-in-domain dollar-grid pair space
       "q359_ks_test", "q360_cvm_test", "q361_kuiper_test",
-      "q362_mood_median", "q363_brunner_munzel", "q364_hodges_lehmann")
+      "q362_mood_median", "q363_brunner_munzel", "q364_hodges_lehmann",
+      // corpus-cleanup audits: token explode + broadcast blocklist;
+      // codegen'd regex scan + source rollup
+      "q367_blocklist_audit", "q368_mojibake_audit")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -72,6 +72,46 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(unbounded.count() == 3) // (1,2) (1,3) (2,3)
   }
 
+  private def bandPairs(lo: Long, hi: Long, w: Long): Set[(Long, Long)] =
+    (for {
+      a <- lo to hi
+      b <- lo to hi
+      if math.abs(a - b) <= w
+    } yield (a, b)).toSet
+
+  test("abs-band join plans as an equi-join with identical results (negatives included)") {
+    import ext.implicits._
+    val a = (-40L to 40L).toDF("va")
+    val b = (-40L to 40L).toDF("vb")
+    val joined = a.join(b, abs(col("va") - col("vb")) <= 5)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"abs-band rule must remove the nested loop:\n$plan")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bandPairs(-40, 40, 5))
+    // the strict (<) spelling buckets as <= w-1 and stays exact
+    val strict = a.join(b, abs(col("va") - col("vb")) < 5)
+    assert(!strict.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(strict.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      bandPairs(-40, 40, 4))
+  }
+
+  test("abs-band rule leaves equi-joins and unbounded abs conditions alone") {
+    import ext.implicits._
+    val a = Seq((1L, 1L), (2L, 1L)).toDF("va", "ka")
+    val b = Seq((2L, 1L), (3L, 1L)).toDF("vb", "kb")
+    val equi = a.join(b, col("ka") === col("kb") &&
+      abs(col("va") - col("vb")) <= 1)
+    assert(equi.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 2L), (2L, 2L), (2L, 3L)))
+    // abs against a non-literal bound: nothing to bucket
+    val dynamic = a.join(b, abs(col("va") - col("vb")) <= col("kb"))
+    assert(dynamic.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(dynamic.count() == 3) // |1-2|<=1, |2-2|<=1, |2-3|<=1
+  }
+
   test("the naive spelling of q29's shape matches the hand-bucketed operator output") {
     import ext.implicits._
     val ids = ext.read.parquet("/root/testdata/sf0.001/documents.parquet")
