@@ -931,6 +931,11 @@ object SparkEntry {
     // construction — the query is the harness, MojibakeSpec proves
     // the detectors fire on crafted corruption)
     "q368_mojibake_audit" -> (TextAnalysis.qMojibakeAudit _),
+    // q369: streaming KS drift monitor — q359 as mapGroupsWithState
+    // over the 3-file replay; final snapshot = the full-multiset
+    // statistic, so the oracle IS q359's batch SQL (the first
+    // streaming gate member with a full DuckDB oracle)
+    "q369_streaming_ks" -> (graft.streaming.EventTime.qStreamingKs _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8684,6 +8689,15 @@ object SparkEntry {
     // single correctly-rounded cast/division of exact values — no
     // transcendentals, no reordered float sums (the q312 lesson)
     "q359_ks_test" -> (pairedEcdfCte +
+      """SELECT pair, n1, n2, d_num,
+                ROUND(CAST(d_num AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d
+         FROM (SELECT pair, MAX(n1) AS n1, MAX(n2) AS n2,
+                      CAST(MAX(ABS(diff)) AS BIGINT) AS d_num
+               FROM ecdf GROUP BY 1)"""),
+    // q369: the streaming fold's final snapshot is the full-multiset
+    // statistic — the oracle is q359's batch SQL verbatim
+    "q369_streaming_ks" -> (pairedEcdfCte +
       """SELECT pair, n1, n2, d_num,
                 ROUND(CAST(d_num AS DOUBLE)
                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d

@@ -761,6 +761,51 @@ object EventTime {
       "est_users", "err_pct")
   }
 
+  /** q369: streaming two-sample KS drift monitor
+    * ([[Stateful.ksDriftProgress]]) — the live "has this arm's metric
+    * distribution drifted off control" read, advanced micro-batch by
+    * micro-batch over the time-ordered 3-file replay. Each arm event
+    * routes to its (arm vs view) pair; each control event fans out to
+    * all four pairs — exactly the batch q359 tagging. The final
+    * snapshot is the exact integer (n1, n2, d_num) of the FULL
+    * multiset, so the gate's oracle IS q359's batch SQL (hash-green —
+    * the first streaming member of the gate with a full DuckDB
+    * oracle), and KsDriftSpec additionally pins the stream ≡ batch
+    * parity through [[graft.operators.Stats.qKsTest]] bit for bit. */
+  def qStreamingKs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val arms = Seq("click", "error", "signup", "purchase")
+    val src = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
+    val tagged = arms.map { a =>
+      src.filter(col("event_type").isin(a, "view"))
+        .select(lit(a).as("pair"),
+          (col("event_type") === a).cast("long").as("in_arm"), col("v"))
+    }.reduce(_ unionAll _).as[(String, Long, Long)]
+    val prog = Stateful.ksDriftProgress(tagged)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q369 must exercise cross-batch rollup state, saw $dataBatches data batches")
+    s.table(name).groupBy("pair")
+      .agg(max_by(col("n1"), col("n_seen")).as("n1"),
+        max_by(col("n2"), col("n_seen")).as("n2"),
+        max_by(col("d_num"), col("n_seen")).as("d_num"))
+      .select(col("pair"), col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6).as("ks_d"))
+      .orderBy("pair")
+  }
+
   /** Final streamed HLL registers per type (spec hook: compared bit
     * for bit to a batch udaf build over the same events). */
   private[graft] def streamedHllRegisters(s: SparkSession,

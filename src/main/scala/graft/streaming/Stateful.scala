@@ -922,6 +922,67 @@ object Stateful {
       }
   }
 
+  case class KsProgress(pair: String, n_seen: Long, n1: Long, n2: Long,
+    d_num: Long)
+
+  /** State for the streaming KS drift monitor: the exact per-pair
+    * value-domain rollup (v → (arm count, control count)) packed as
+    * sorted triples — counter addition, order-invariant, so after ANY
+    * replay prefix the derived statistic is a pure function of the
+    * event multiset seen so far. */
+  case class KsState(entries: Seq[(Long, Long, Long)])
+
+  /** Streaming two-sample KS — q359's drift question asked
+    * CONTINUOUSLY: per (arm vs control) pair, fold the value-domain
+    * counts in state and emit the exact integer KS numerator
+    * `d_num = max|cum1·n2 − cum2·n1|` after every micro-batch — the
+    * live "has this arm's metric distribution drifted off control"
+    * monitor. The SIXTH bit-exact stream/batch parity statement
+    * (funnel, throttle, sessions, change detection, attribution, and
+    * now distribution equality): the final snapshot equals batch
+    * q359 bit for bit, and the gate's DuckDB oracle IS q359's SQL.
+    *
+    * State is value-domain-bounded — the same saturation argument as
+    * the batch family (the 17.8k-cents domain at sf0.1 is already
+    * near-saturated), so state stops growing long before the stream
+    * does. Input: (pair, in_arm ∈ {0,1}, cents). */
+  def ksDriftProgress(events: Dataset[(String, Long, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[KsProgress] = {
+    implicit val stE: Encoder[KsState] = Encoders.product[KsState]
+    implicit val outE: Encoder[KsProgress] = Encoders.product[KsProgress]
+    implicit val inE: Encoder[(String, Long, Long)] =
+      Encoders.product[(String, Long, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    events.groupByKey(_._1)
+      .mapGroupsWithState[KsState, KsProgress](timeout) {
+        (pair: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[KsState]) =>
+          val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          state.getOption.foreach(_.entries.foreach { case (v, c1, c2) =>
+            acc(v) = (c1, c2)
+          })
+          var seen = state.getOption.map(_.entries.map(e => e._2 + e._3).sum)
+            .getOrElse(0L)
+          it.foreach { case (_, inArm, v) =>
+            val (c1, c2) = acc.getOrElse(v, (0L, 0L))
+            acc(v) = if (inArm == 1L) (c1 + 1, c2) else (c1, c2 + 1)
+            seen += 1
+          }
+          val sorted = acc.toSeq.map { case (v, (c1, c2)) => (v, c1, c2) }
+            .sortBy(_._1)
+          state.update(KsState(sorted))
+          val n1 = sorted.iterator.map(_._2).sum
+          val n2 = sorted.iterator.map(_._3).sum
+          var cum1 = 0L; var cum2 = 0L; var d = 0L
+          sorted.foreach { case (_, c1, c2) =>
+            cum1 += c1; cum2 += c2
+            val gap = math.abs(cum1 * n2 - cum2 * n1)
+            if (gap > d) d = gap
+          }
+          KsProgress(pair, seen, n1, n2, d)
+      }
+  }
+
   case class LocfProgress(event_type: String, n_seen: Long, n_days: Long,
     n_obs: Long, n_filled: Long, locf_checksum: Long)
 
