@@ -936,6 +936,10 @@ object SparkEntry {
     // statistic, so the oracle IS q359's batch SQL (the first
     // streaming gate member with a full DuckDB oracle)
     "q369_streaming_ks" -> (graft.streaming.EventTime.qStreamingKs _),
+    // q370: optimal length-bucket boundaries for padded batching —
+    // k-segmentation DP over the length histogram (rows-only: a DP is
+    // not SQL; BucketDpSpec pins it against brute-force enumeration)
+    "q370_bucket_boundaries" -> ((s, dir) => Pipeline.qBucketBoundaries(s, dir)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the

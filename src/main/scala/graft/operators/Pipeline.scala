@@ -1586,4 +1586,94 @@ object Pipeline {
           (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
           .as("gini"))
   }
+
+  /** q370: OPTIMAL length-bucket boundaries for padded batching — the
+    * decision q119 only measures: given k buckets, where should the
+    * length cut-points go so that padding every sequence to its
+    * bucket's max wastes the fewest tokens? (Dynamic batching by
+    * length buckets is how serving and training stacks amortize
+    * padding; the usual heuristics are equal-width or powers-of-two —
+    * this computes the exact argmin.) Solved as the classic 1-D
+    * k-segmentation DP over the DISTINCT-LENGTH histogram:
+    * cost(i..j) = L_j·Σc − Σ(len·c), dp[b][j] = min_i dp[b−1][i−1] +
+    * cost(i..j), deterministic first-wins tie-break.
+    *
+    * Rows-only gate (a k-segmentation DP is not SQL); BucketDpSpec
+    * pins the DP against brute-force enumeration of every boundary
+    * choice on crafted histograms, and the monotone dominance
+    * properties (optimal ≤ equal-width ≤ single bucket) on the
+    * fixture.
+    *
+    * Scale shape: ONE map-side rollup onto the length value domain
+    * (tokens-per-doc is generator- and practically bounded — and
+    * guarded here by a declared 2¹⁶-cell quantization cap, the q212
+    * charCap discipline), then an O(k·m²) DP on the driver over the
+    * ≤m ≤ 65536 histogram cells: the corpus never shuffles, the DP
+    * input is KBs. */
+  def qBucketBoundaries(s: SparkSession, d: String, k: Int = 8,
+      domainCap: Int = 1 << 16): DataFrame = {
+    val hist0 = documents(s, d)
+      .select(size(split(lower(col("text")), "\\s+")).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("c"))
+      .orderBy("len").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(hist0.nonEmpty, "empty corpus")
+    // declared granularity cap: a pathological length domain quantizes
+    // to ≤ domainCap cells (each cell pads to its own max — the cap
+    // trades boundary RESOLUTION, never correctness of the padding
+    // accounting, which always uses the true cell maxima)
+    val maxLen = hist0.last._1
+    val cell = math.max(1L, (maxLen + domainCap - 1) / domainCap)
+    val hist = hist0.groupBy { case (l, _) => (l + cell - 1) / cell }
+      .map { case (_, g) => (g.map(_._1).max, g.map(_._2).sum,
+        g.map { case (l, c) => l * c }.sum) }
+      .toArray.sortBy(_._1) // (cellMaxLen, count, tokenSum)
+    val m = hist.length
+    val kk = math.min(k, m)
+    // prefix sums for O(1) segment cost
+    val pc = new Array[Long](m + 1)
+    val pt = new Array[Long](m + 1)
+    for (i <- 0 until m) {
+      pc(i + 1) = pc(i) + hist(i)._2
+      pt(i + 1) = pt(i) + hist(i)._3
+    }
+    def segCost(i: Int, j: Int): Long = // cells i..j inclusive, 0-based
+      hist(j)._1 * (pc(j + 1) - pc(i)) - (pt(j + 1) - pt(i))
+    val INF = Long.MaxValue / 4
+    val dp = Array.fill(kk + 1, m + 1)(INF)
+    val arg = Array.fill(kk + 1, m + 1)(-1)
+    dp(0)(0) = 0L
+    for (b <- 1 to kk; j <- 1 to m) {
+      var i = b // at least one cell per earlier bucket
+      while (i <= j) {
+        val prev = dp(b - 1)(i - 1)
+        if (prev < INF) {
+          val cand = prev + segCost(i - 1, j - 1)
+          if (cand < dp(b)(j)) { dp(b)(j) = cand; arg(b)(j) = i - 1 }
+        }
+        i += 1
+      }
+    }
+    // recover the segmentation
+    val bounds = new Array[(Int, Int)](kk) // (startCell, endCell) inclusive
+    var j = m
+    for (b <- kk to 1 by -1) {
+      val i = arg(b)(j)
+      bounds(b - 1) = (i, j - 1)
+      j = i
+    }
+    val rows = bounds.zipWithIndex.map { case ((i, e), idx) =>
+      val nDocs = pc(e + 1) - pc(i)
+      val nTokens = pt(e + 1) - pt(i)
+      val maxL = hist(e)._1
+      (idx.toLong, maxL, nDocs, nTokens, maxL * nDocs - nTokens)
+    }
+    val single = segCost(0, m - 1)
+    val s2 = s
+    import s2.implicits._
+    rows.toSeq.toDF("bucket", "pad_to_len", "n_docs", "n_tokens", "padding")
+      .withColumn("total_padding_optimal", lit(rows.map(_._5).sum))
+      .withColumn("total_padding_single_bucket", lit(single))
+      .orderBy("bucket")
+  }
 }
