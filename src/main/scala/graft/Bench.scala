@@ -462,6 +462,22 @@ object Bench {
     // ABC split (partkey rollup + offset-device cumulative)
     "q357_cohort_ltv",
     "q358_abc_classification",
+    // round 22 (r11): the two-sample family (one shared value-domain
+    // ECDF machinery), the HL dollar-grid shift, the bipartite HITS
+    // rounds, the DCT-hash near-dup, the corpus-cleanup audits, the
+    // streaming KS parity, and the bucket-boundary DP
+    "q359_ks_test",
+    "q360_cvm_test",
+    "q361_kuiper_test",
+    "q362_mood_median",
+    "q363_brunner_munzel",
+    "q364_hodges_lehmann",
+    "q365_hits",
+    "q366_image_phash_near_dup",
+    "q367_blocklist_audit",
+    "q368_mojibake_audit",
+    "q369_streaming_ks",
+    "q370_bucket_boundaries",
   )
 
   def main(args: Array[String]): Unit = {

@@ -254,7 +254,12 @@ object ScaleBench {
       "q362_mood_median", "q363_brunner_munzel", "q364_hodges_lehmann",
       // corpus-cleanup audits: token explode + broadcast blocklist;
       // codegen'd regex scan + source rollup
-      "q367_blocklist_audit", "q368_mojibake_audit")
+      "q367_blocklist_audit", "q368_mojibake_audit",
+      // bipartite HITS (driver-paced integer rounds, edges never
+      // reshuffle), pHash near-dup (banded Hamming), the streaming KS
+      // fold, and the bucket-boundary DP (value-domain collect)
+      "q365_hits", "q366_image_phash_near_dup", "q369_streaming_ks",
+      "q370_bucket_boundaries")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
