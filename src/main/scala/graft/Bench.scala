@@ -478,6 +478,7 @@ object Bench {
     "q368_mojibake_audit",
     "q369_streaming_ks",
     "q370_bucket_boundaries",
+    "q371_yuen_trimmed",
   )
 
   def main(args: Array[String]): Unit = {

@@ -940,6 +940,9 @@ object SparkEntry {
     // k-segmentation DP over the length histogram (rows-only: a DP is
     // not SQL; BucketDpSpec pins it against brute-force enumeration)
     "q370_bucket_boundaries" -> ((s, dir) => Pipeline.qBucketBoundaries(s, dir)),
+    // q371: Yuen's trimmed-mean test — robust two-sample location on
+    // exact trim-window order statistics and integer moments
+    "q371_yuen_trimmed" -> (Stats.qYuenTrimmed _),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -8840,6 +8843,71 @@ object SparkEntry {
          SELECT t.pair, t.npairs, l.hl_lo,
                 COALESCE(h.hl_hi_raw, l.hl_lo) AS hl_hi
          FROM tot t JOIN lo l USING (pair) LEFT JOIN hi h USING (pair)""",
+    // q371: trim window via clamped cumulative counts; order stats
+    // L/H off the same cumulative; winsorized moments derived exactly;
+    // t is one spelled composition of the hashed integers
+    "q371_yuen_trimmed" -> (pairedCountsCte +
+      """, cums AS (
+           SELECT c.pair, c.v, c.c1, c.c2,
+                  CAST(SUM(c.c1) OVER (PARTITION BY c.pair ORDER BY c.v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                  CAST(SUM(c.c2) OVER (PARTITION BY c.pair ORDER BY c.v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+                  t.n1, t.n2, t.n1 // 10 AS k1, t.n2 // 10 AS k2
+           FROM counts c
+           JOIN (SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1,
+                        CAST(SUM(c2) AS BIGINT) AS n2
+                 FROM counts GROUP BY 1) t USING (pair)),
+         ag AS (
+           SELECT pair, MAX(n1) AS n1, MAX(n2) AS n2,
+                  MAX(k1) AS k1, MAX(k2) AS k2,
+                  MIN(CASE WHEN cum1 >= k1 + 1 THEN v END) AS lo1,
+                  MIN(CASE WHEN cum1 >= n1 - k1 THEN v END) AS hi1,
+                  MIN(CASE WHEN cum2 >= k2 + 1 THEN v END) AS lo2,
+                  MIN(CASE WHEN cum2 >= n2 - k2 THEN v END) AS hi2,
+                  CAST(SUM(GREATEST(LEAST(cum1, n1 - k1)
+                    - GREATEST(cum1 - c1, k1), 0) * v) AS BIGINT) AS tsum1,
+                  CAST(SUM(GREATEST(LEAST(cum1, n1 - k1)
+                    - GREATEST(cum1 - c1, k1), 0) * v * v) AS BIGINT)
+                    AS tsumsq1,
+                  CAST(SUM(GREATEST(LEAST(cum2, n2 - k2)
+                    - GREATEST(cum2 - c2, k2), 0) * v) AS BIGINT) AS tsum2,
+                  CAST(SUM(GREATEST(LEAST(cum2, n2 - k2)
+                    - GREATEST(cum2 - c2, k2), 0) * v * v) AS BIGINT)
+                    AS tsumsq2
+           FROM cums GROUP BY 1),
+         fin AS (
+           SELECT *,
+                  n1 - 2 * k1 AS h1, n2 - 2 * k2 AS h2,
+                  tsum1 + k1 * (lo1 + hi1) AS wsum1,
+                  tsumsq1 + k1 * (lo1 * lo1 + hi1 * hi1) AS wsumsq1,
+                  tsum2 + k2 * (lo2 + hi2) AS wsum2,
+                  tsumsq2 + k2 * (lo2 * lo2 + hi2 * hi2) AS wsumsq2
+           FROM ag),
+         fin2 AS (
+           SELECT *,
+                  CAST(tsum1 AS DOUBLE) / CAST(h1 AS DOUBLE) AS tm1,
+                  CAST(tsum2 AS DOUBLE) / CAST(h2 AS DOUBLE) AS tm2,
+                  (CAST(wsumsq1 AS DOUBLE) - CAST(wsum1 AS DOUBLE)
+                     * CAST(wsum1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / CAST(n1 - 1 AS DOUBLE) AS swsq1,
+                  (CAST(wsumsq2 AS DOUBLE) - CAST(wsum2 AS DOUBLE)
+                     * CAST(wsum2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / CAST(n2 - 1 AS DOUBLE) AS swsq2
+           FROM fin),
+         fin3 AS (
+           SELECT *,
+                  CAST(n1 - 1 AS DOUBLE) * swsq1
+                    / (CAST(h1 AS DOUBLE) * CAST(h1 - 1 AS DOUBLE)) AS d1,
+                  CAST(n2 - 1 AS DOUBLE) * swsq2
+                    / (CAST(h2 AS DOUBLE) * CAST(h2 - 1 AS DOUBLE)) AS d2
+           FROM fin2)
+         SELECT pair, n1, n2, k1, k2, h1, h2, lo1, hi1, lo2, hi2,
+                tsum1, tsum2, tsumsq1, tsumsq2,
+                ROUND(CASE WHEN d1 + d2 > 0
+                  THEN (tm1 - tm2) / SQRT(d1 + d2) ELSE 0.0 END, 6)
+                  AS t_yuen
+         FROM fin3"""),
     // q367: broadcast literal blocklist join; all counts exact BIGINT
     "q367_blocklist_audit" ->
       """WITH block AS (

@@ -4775,6 +4775,86 @@ object Stats {
       .orderBy("pair")
   }
 
+  /** q371: Yuen's trimmed-mean test (Yuen, Biometrika 1974) — the
+    * ROBUST location test completing the two-sample family: where
+    * Brunner–Munzel (q363) works on ranks, Yuen compares 10%-trimmed
+    * MEANS with winsorized variances, keeping the metric's units
+    * while shrugging off tails — the test experimentation teams reach
+    * for when revenue-style metrics have outliers.
+    *
+    * Exactness: trim counts k_i = n_i div 10 and h_i = n_i − 2k_i are
+    * integers; the trim window's order statistics L (rank k+1) and H
+    * (rank n−k) come off the value-domain cumulative; each cell
+    * contributes `clamp` copies to the trimmed sum/sum-of-squares —
+    * pure integer arithmetic (sumsq ≤ n·v² ≈ 6·10¹⁵ at 100×,
+    * BIGINT-safe). Winsorized moments derive exactly:
+    * wsum = tsum + k(L+H), wsumsq = tsumsq + k(L²+H²). The t
+    * statistic is one spelled double composition of those integers.
+    *
+    * Scale shape: the shared pairedValueCounts rollup + one window
+    * over the saturating value domain; everything after is
+    * pair-count-sized. */
+  def qYuenTrimmed(s: SparkSession, d: String): DataFrame = {
+    val counts = pairedValueCounts(s, d)
+    val w = Window.partitionBy("pair").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.groupBy("pair")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val cums = counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .join(broadcast(tot), Seq("pair"))
+      .withColumn("k1", expr("n1 div 10"))
+      .withColumn("k2", expr("n2 div 10"))
+    // per-sample trim-window contribution of each value cell:
+    // copies inside ranks (k, n-k] = min(cum, n-k) - max(cum-c, k),
+    // clamped at 0 — exact integers
+    def inWin(cum: Column, c: Column, k: Column, n: Column): Column =
+      greatest(least(cum, n - k) - greatest(cum - c, k), lit(0L))
+    val t1 = inWin(col("cum1"), col("c1"), col("k1"), col("n1"))
+    val t2 = inWin(col("cum2"), col("c2"), col("k2"), col("n2"))
+    val agg = cums.groupBy("pair").agg(
+      max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+      max(col("k1")).as("k1"), max(col("k2")).as("k2"),
+      // order statistics L (rank k+1) and H (rank n-k) per sample
+      min(when(col("cum1") >= col("k1") + 1, col("v"))).as("lo1"),
+      min(when(col("cum1") >= col("n1") - col("k1"), col("v"))).as("hi1"),
+      min(when(col("cum2") >= col("k2") + 1, col("v"))).as("lo2"),
+      min(when(col("cum2") >= col("n2") - col("k2"), col("v"))).as("hi2"),
+      sum(t1 * col("v")).as("tsum1"),
+      sum(t1 * col("v") * col("v")).as("tsumsq1"),
+      sum(t2 * col("v")).as("tsum2"),
+      sum(t2 * col("v") * col("v")).as("tsumsq2"))
+    val h1 = col("n1") - lit(2L) * col("k1")
+    val h2 = col("n2") - lit(2L) * col("k2")
+    val wsum1 = col("tsum1") + col("k1") * (col("lo1") + col("hi1"))
+    val wsumsq1 = col("tsumsq1") +
+      col("k1") * (col("lo1") * col("lo1") + col("hi1") * col("hi1"))
+    val wsum2 = col("tsum2") + col("k2") * (col("lo2") + col("hi2"))
+    val wsumsq2 = col("tsumsq2") +
+      col("k2") * (col("lo2") * col("lo2") + col("hi2") * col("hi2"))
+    val tm1 = d2(col("tsum1")) / d2(h1)
+    val tm2 = d2(col("tsum2")) / d2(h2)
+    // winsorized sample variance: (Σw² − n·w̄²)/(n−1), spelled off
+    // the exact integer sums
+    val swsq1 = (d2(wsumsq1) - d2(wsum1) * d2(wsum1) / d2(col("n1"))) /
+      d2(col("n1") - 1)
+    val swsq2 = (d2(wsumsq2) - d2(wsum2) * d2(wsum2) / d2(col("n2"))) /
+      d2(col("n2") - 1)
+    val d1 = d2(col("n1") - 1) * swsq1 / (d2(h1) * d2(h1 - 1))
+    val dd2 = d2(col("n2") - 1) * swsq2 / (d2(h2) * d2(h2 - 1))
+    agg
+      .withColumn("h1", h1).withColumn("h2", h2)
+      .withColumn("t_yuen", round(
+        when(d1 + dd2 > 0, (tm1 - tm2) / sqrt(d1 + dd2))
+          .otherwise(lit(0.0)), 6))
+      .select(col("pair"), col("n1"), col("n2"), col("k1"), col("k2"),
+        col("h1"), col("h2"), col("lo1"), col("hi1"), col("lo2"),
+        col("hi2"), col("tsum1"), col("tsum2"), col("tsumsq1"),
+        col("tsumsq2"), col("t_yuen"))
+      .orderBy("pair")
+  }
+
   /** q364: Hodges–Lehmann shift estimator — the MAGNITUDE the tests
     * above only detect: median of all n1·n2 pairwise differences
     * (arm − control), the location-shift estimate robust to outliers

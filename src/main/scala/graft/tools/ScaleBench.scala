@@ -259,7 +259,7 @@ object ScaleBench {
       // reshuffle), pHash near-dup (banded Hamming), the streaming KS
       // fold, and the bucket-boundary DP (value-domain collect)
       "q365_hits", "q366_image_phash_near_dup", "q369_streaming_ks",
-      "q370_bucket_boundaries")
+      "q370_bucket_boundaries", "q371_yuen_trimmed")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -129,6 +129,44 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("q371 Yuen: trim moments and t match a literal sort-and-trim recompute") {
+    val got = Stats.qYuenTrimmed(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    arms.foreach { a =>
+      val (xs0, ys0) = raw(a)
+      def side(arr: Array[Long]) = {
+        val n = arr.length
+        val k = n / 10
+        val sorted = arr.sorted
+        val trimmed = sorted.slice(k, n - k)
+        val lo = sorted(k) // rank k+1
+        val hi = sorted(n - k - 1) // rank n-k
+        val tsum = trimmed.sum
+        val tsumsq = trimmed.map(v => v * v).sum
+        (n.toLong, k.toLong, (n - 2 * k).toLong, lo, hi, tsum, tsumsq)
+      }
+      val (n1, k1, h1, lo1, hi1, tsum1, tsumsq1) = side(xs0)
+      val (n2, k2, h2, lo2, hi2, tsum2, tsumsq2) = side(ys0)
+      val r = got(a)
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("k1") == k1 &&
+        r.getAs[Long]("h1") == h1, a)
+      assert(r.getAs[Long]("lo1") == lo1 && r.getAs[Long]("hi1") == hi1, a)
+      assert(r.getAs[Long]("lo2") == lo2 && r.getAs[Long]("hi2") == hi2, a)
+      assert(r.getAs[Long]("tsum1") == tsum1 && r.getAs[Long]("tsumsq1") == tsumsq1, a)
+      assert(r.getAs[Long]("tsum2") == tsum2 && r.getAs[Long]("tsumsq2") == tsumsq2, a)
+      val wsum1 = tsum1 + k1 * (lo1 + hi1)
+      val wsumsq1 = tsumsq1 + k1 * (lo1 * lo1 + hi1 * hi1)
+      val wsum2 = tsum2 + k2 * (lo2 + hi2)
+      val wsumsq2 = tsumsq2 + k2 * (lo2 * lo2 + hi2 * hi2)
+      val swsq1 = (wsumsq1 - wsum1.toDouble * wsum1 / n1) / (n1 - 1)
+      val swsq2 = (wsumsq2 - wsum2.toDouble * wsum2 / n2) / (n2 - 1)
+      val d1 = (n1 - 1) * swsq1 / (h1.toDouble * (h1 - 1))
+      val d2v = (n2 - 1) * swsq2 / (h2.toDouble * (h2 - 1))
+      val t = (tsum1.toDouble / h1 - tsum2.toDouble / h2) / math.sqrt(d1 + d2v)
+      assert(math.abs(r.getAs[Double]("t_yuen") - t) < 1e-5, a)
+    }
+  }
+
   test("q364 Hodges-Lehmann matches the literal median of pairwise dollar diffs") {
     val rows = Tables.events(spark, sf)
       .select(col("event_type"), expr("CAST(FLOOR(value) AS BIGINT)").as("v"))
