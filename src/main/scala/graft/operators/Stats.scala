@@ -4621,12 +4621,17 @@ object Stats {
     val counts = pairedValueCounts(s, d)
     val w = Window.partitionBy("pair").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = counts.groupBy("pair")
-      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // totals ride an UNORDERED window over the SAME pair partitioning
+    // as the cumulative — one exchange serves both (a separate
+    // groupBy("pair") aggregate would add its own shuffle plus a
+    // broadcast join; PlanShapeSpec pins the whole machinery at two
+    // exchanges: the value-domain rollup and this window)
+    val wp = Window.partitionBy("pair")
     counts
       .withColumn("cum1", sum(col("c1")).over(w))
       .withColumn("cum2", sum(col("c2")).over(w))
-      .join(broadcast(tot), Seq("pair"))
+      .withColumn("n1", sum(col("c1")).over(wp))
+      .withColumn("n2", sum(col("c2")).over(wp))
       .withColumn("diff", col("cum1") * col("n2") - col("cum2") * col("n1"))
   }
 
@@ -4692,10 +4697,14 @@ object Stats {
     * exact cells (one double composition, q304's discipline). */
   def qMoodMedian(s: SparkSession, d: String): DataFrame = {
     val ecdf = pairedEcdf(s, d)
-    val med = ecdf
-      .filter(lit(2L) * (col("cum1") + col("cum2")) >= col("n1") + col("n2"))
-      .groupBy("pair").agg(min(col("v")).as("v_med"))
-    val cells = ecdf.join(broadcast(med), Seq("pair"))
+    // the pooled median is a conditional MIN over the same pair
+    // partitioning the ECDF window already established — no separate
+    // aggregate, no join
+    val wp = Window.partitionBy("pair")
+    val cells = ecdf
+      .withColumn("v_med", min(when(
+        lit(2L) * (col("cum1") + col("cum2")) >= col("n1") + col("n2"),
+        col("v"))).over(wp))
       .groupBy("pair")
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(col("v_med")).as("v_med"),
@@ -4734,6 +4743,7 @@ object Stats {
     val counts = pairedValueCounts(s, d)
     val w = Window.partitionBy("pair").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("pair") // totals share the exchange
     val cums = counts
       .withColumn("cum1", sum(col("c1")).over(w))
       .withColumn("cum2", sum(col("c2")).over(w))
@@ -4742,15 +4752,15 @@ object Stats {
       .withColumn("dr", lit(2L) * col("cum") - col("cnt") + lit(1L))
       .withColumn("dr1", lit(2L) * col("cum1") - col("c1") + lit(1L))
       .withColumn("dr2", lit(2L) * col("cum2") - col("c2") + lit(1L))
-    val tot = cums.groupBy("pair")
-      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-        sum(col("c1") * col("dr")).as("sd1"),
-        sum(col("c2") * col("dr")).as("sd2"))
+      .withColumn("n1", sum(col("c1")).over(wp))
+      .withColumn("n2", sum(col("c2")).over(wp))
+      .withColumn("sd1", sum(col("c1") * col("dr")).over(wp))
+      .withColumn("sd2", sum(col("c2") * col("dr")).over(wp))
     val t1 = col("n1") * (col("dr") - col("dr1")) - col("sd1") +
       col("n1") * (col("n1") + 1)
     val t2 = col("n2") * (col("dr") - col("dr2")) - col("sd2") +
       col("n2") * (col("n2") + 1)
-    val agg = cums.join(broadcast(tot), Seq("pair"))
+    val agg = cums
       .groupBy("pair")
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(col("sd1")).as("sd1"), max(col("sd2")).as("sd2"),
@@ -4798,12 +4808,12 @@ object Stats {
     val counts = pairedValueCounts(s, d)
     val w = Window.partitionBy("pair").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = counts.groupBy("pair")
-      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val wp = Window.partitionBy("pair") // totals share the exchange
     val cums = counts
       .withColumn("cum1", sum(col("c1")).over(w))
       .withColumn("cum2", sum(col("c2")).over(w))
-      .join(broadcast(tot), Seq("pair"))
+      .withColumn("n1", sum(col("c1")).over(wp))
+      .withColumn("n2", sum(col("c2")).over(wp))
       .withColumn("k1", expr("n1 div 10"))
       .withColumn("k2", expr("n2 div 10"))
     // per-sample trim-window contribution of each value cell:
@@ -4876,17 +4886,19 @@ object Stats {
       .agg(sum(col("c1") * col("c2")).as("cw"))
     val w = Window.partitionBy("pair").orderBy("dv")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = diffs.groupBy("pair").agg(sum(col("cw")).as("npairs"))
+    val wp = Window.partitionBy("pair") // totals share the exchange
     val cum = diffs.withColumn("cum", sum(col("cw")).over(w))
-      .join(broadcast(tot), Seq("pair"))
+      .withColumn("npairs", sum(col("cw")).over(wp))
     // discrete weighted medians: lower = value at rank ⌈W/2⌉ =
     // (W+1) div 2, upper = value at rank W div 2 + 1 (equal when W is
-    // odd) — integer div spelled identically on both engines
-    val lo = cum.filter(col("cum") >= expr("(npairs + 1) div 2"))
-      .groupBy("pair").agg(min(col("dv")).as("hl_lo"))
-    val hi = cum.filter(col("cum") >= expr("npairs div 2 + 1"))
-      .groupBy("pair").agg(min(col("dv")).as("hl_hi_raw"))
-    tot.join(lo, Seq("pair")).join(hi, Seq("pair"), "left_outer")
+    // odd) — integer div spelled identically on both engines; both
+    // cuts are conditional MINs inside ONE pair-keyed aggregate
+    cum.groupBy("pair").agg(
+        max(col("npairs")).as("npairs"),
+        min(when(col("cum") >= expr("(npairs + 1) div 2"), col("dv")))
+          .as("hl_lo"),
+        min(when(col("cum") >= expr("npairs div 2 + 1"), col("dv")))
+          .as("hl_hi_raw"))
       .select(col("pair"), col("npairs"), col("hl_lo"),
         coalesce(col("hl_hi_raw"), col("hl_lo")).as("hl_hi"))
       .orderBy("pair")

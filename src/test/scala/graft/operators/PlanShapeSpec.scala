@@ -359,6 +359,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "the vocab rank window lost its source partitioning")
   }
 
+  test("q359 KS family: TWO data exchanges + the 4-row presentation sort") {
+    // union of arm filters (scan-shaped, no shuffle) → (pair, v)
+    // rollup (1) → pair-keyed windows (2: the cumulative AND the
+    // totals ride the same partitioning — r11 moved the totals from a
+    // separate groupBy+broadcast-join into an unordered window for
+    // exactly this) → the final pair agg reuses the window's
+    // partitioning → the trailing orderBy range-sorts the 4 OUTPUT
+    // rows (3 — free at any scale). A fourth exchange means the
+    // totals fell back to their own aggregate or the final agg
+    // stopped reusing the window's partitioning.
+    assert(shuffles(Stats.qKsTest(spark, sf)) == 3)
+  }
+
+  test("q371 Yuen: same machinery count — trim sums add nothing") {
+    assert(shuffles(Stats.qYuenTrimmed(spark, sf)) == 3)
+  }
+
+  test("q362 Mood: the conditional-min median adds no exchange") {
+    assert(shuffles(Stats.qMoodMedian(spark, sf)) == 3)
+  }
+
+  test("q364 Hodges-Lehmann: four data exchanges + the presentation sort") {
+    // (pair, v) rollup (1) → the a×b difference join shuffles on pair
+    // (2) → (pair, dv) rollup (3) → pair-keyed cumulative+total
+    // windows (4) → 4-row output sort (5); the median cuts ride the
+    // window partitioning
+    assert(shuffles(Stats.qHodgesLehmann(spark, sf)) == 5)
+  }
+
   test("q251 link prediction: final plan reads ONLY checkpointed blocks") {
     // the single-materialization contract (r11): the orderkey
     // self-join runs once into a localCheckpoint; the final job —
