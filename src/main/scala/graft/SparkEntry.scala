@@ -8941,7 +8941,7 @@ object SparkEntry {
                   CAST(len(text) - len(regexp_replace(text, '�', '', 'g'))
                     AS BIGINT) AS n_fffd,
                   CAST(len(text) - len(regexp_replace(text,
-                    '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
                     AS BIGINT) AS n_ctrl,
                   CAST(len(text) - len(regexp_replace(text, '[ÂÃ]', '', 'g'))
                     AS BIGINT) AS n_c1tell

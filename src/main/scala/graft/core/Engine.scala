@@ -170,17 +170,20 @@ final class FunctionContext private[core] (
     * partial state. */
   def atomic[T](body: StateTable.Txn => T): T = {
     requireWrites()
-    // E11: the footprint cap gates the TRANSACTION at entry (a single
-    // txn may overshoot, like a single Redis command past maxmemory;
-    // the cap catches the next one). The owned scope spans the flush,
-    // so the txn's writes attribute to this library.
-    engine.memCheck(library)
-    // the transaction's key accesses carry the same per-key ACL (and
+    // E11: the footprint cap gates each GROWING op inside the txn (the
+    // growGuard below), not the transaction at entry — so an over-cap
+    // library can still run a shrink-only transaction (del/hdel) to
+    // recover, matching the DENYOOM exemption for memory-freeing
+    // commands. A growing txn may overshoot by one op, like a single
+    // Redis command past maxmemory; the cap catches the next one. The
+    // owned scope spans the flush, so the txn's writes attribute to
+    // this library.
+    // The transaction's key accesses carry the same per-key ACL (and
     // shard) checks as the direct context methods — plus the abort
-    // checkpoint, so a watchdogged invocation dies inside its txn too
-    owned(engine.state.commitGuarded { (k, w) =>
+    // checkpoint, so a watchdogged invocation dies inside its txn too.
+    owned(engine.state.commitGuarded({ (k, w) =>
       checkAborted(); checkShard(k); engine.aclCheck(library, k, w)
-    }(body))
+    }, _ => engine.memCheck(library))(body))
   }
 
   /** C5 (`client.executeAsync`): escape from a sync function to the
@@ -1035,7 +1038,14 @@ final class Engine(val spark: SparkSession,
     * Returns the names of catalogued libraries that could NOT be
     * restored (anonymous-closure code with no `codeRef`) — empty on a
     * fully [[LibraryDefinition.of]]-registered engine and on
-    * catalog-less snapshots. */
+    * catalog-less snapshots.
+    *
+    * Full-replace semantics, matching the keyspace restore and the
+    * reference's RDB load: libraries already loaded in this engine but
+    * absent from the snapshot's catalog are DETACHED before the
+    * catalogued set is restored, so the engine afterwards holds exactly
+    * the snapshot's library set (catalog-less snapshots restore the
+    * keyspace only and leave loaded libraries untouched). */
   def loadState(dir: String): Seq[String] = {
     state.restore(spark.read.parquet(dir))
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1050,6 +1060,11 @@ final class Engine(val spark: SparkSession,
     } finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(bytes)
+    // full-replace: drop loaded libraries the snapshot doesn't carry
+    // (mirrors state.restore replacing the whole keyspace)
+    val catalogued = scala.collection.mutable.Set.empty[String]
+    root.path("libraries").forEach(l => catalogued += l.path("name").asText())
+    libraries.keys.toList.filterNot(catalogued).foreach(delete)
     // users first: library load re-checks that its user exists
     val users = root.path("users")
     users.fieldNames().forEachRemaining { u =>

@@ -189,11 +189,16 @@ final class StateTable {
 
   /** [[commit]] with a per-key access guard — the hook ACL-checked
     * transactions ([[FunctionContext.atomic]]) use. The guard is called
-    * as (key, isWrite) before each Txn operation and may throw. */
-  def commitGuarded[A](guard: (String, Boolean) => Unit)(body: Txn => A): A = {
+    * as (key, isWrite) before each Txn operation and may throw.
+    * `growGuard(key)` additionally runs before each GROWING op
+    * (set/hset/incrBy) but not before del/hdel — so a memory-cap guard
+    * denies growth while leaving the freeing path open (DENYOOM
+    * semantics: memory-freeing commands stay allowed over cap). */
+  def commitGuarded[A](guard: (String, Boolean) => Unit,
+      growGuard: String => Unit = StateTable.NoGrowGuard)(body: Txn => A): A = {
     lock.lock()
     try {
-      val txn = new Txn(this, guard)
+      val txn = new Txn(this, guard, growGuard)
       val result = body(txn)
       val events = txn.flush()
       // Redis semantics: a plain SET discards the key's TTL; HSET and
@@ -398,14 +403,24 @@ final class StateTable {
     * snapshot to parquet. */
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val hashRows = data.toSeq.flatMap { case (k, m) => m.map { case (f, v) => (k, f, v) } }
-    // list elements and TTL deadlines snapshot as pseudo-fields so the
-    // schema stays (key, field, value) — RDB persists expiries too
-    val listRows = lists.toSeq.flatMap { case (k, l) =>
-      l.zipWithIndex.map { case (v, i) => (k, f"${StateTable.ListField}$i%09d", v) }
+    val rows = withLock {
+      val hashRows = data.toSeq.flatMap { case (k, m) => m.map { case (f, v) => (k, f, v) } }
+      // list elements, TTL deadlines and per-key library attribution
+      // snapshot as pseudo-fields so the schema stays
+      // (key, field, value) — RDB persists expiries too, and carrying
+      // the owner keeps E11 accounting identical across a restore
+      val listRows = lists.toSeq.flatMap { case (k, l) =>
+        l.zipWithIndex.map { case (v, i) => (k, f"${StateTable.ListField}$i%09d", v) }
+      }
+      val ttlRows = expiries.toSeq.map { case (k, d) => (k, StateTable.TtlField, d.toString) }
+      val ownerRows = {
+        val b = Seq.newBuilder[(String, String, String)]
+        keyOwner.forEach((k, o) => b += ((k, StateTable.OwnerField, o)))
+        b.result()
+      }
+      hashRows ++ listRows ++ ttlRows ++ ownerRows
     }
-    val ttlRows = expiries.toSeq.map { case (k, d) => (k, StateTable.TtlField, d.toString) }
-    (hashRows ++ listRows ++ ttlRows).toDF("key", "field", "value")
+    rows.toDF("key", "field", "value")
   }
 
   /** Restore from a snapshot DataFrame. Replaces current content. */
@@ -417,10 +432,13 @@ final class StateTable {
       lists.clear()
       expiries.clear()
       val listAcc = scala.collection.mutable.Map.empty[String, ArrayBuffer[(String, String)]]
+      val owners = scala.collection.mutable.Map.empty[String, String]
       rows.foreach { r =>
         val (k, f, v) = (r.getString(0), r.getString(1), r.getString(2))
         if (f == StateTable.TtlField)
           expiries.update(k, v.toLong)
+        else if (f == StateTable.OwnerField)
+          owners.update(k, v)
         else if (f.startsWith(StateTable.ListField))
           listAcc.getOrElseUpdate(k, new ArrayBuffer) += (f -> v)
         else
@@ -434,12 +452,20 @@ final class StateTable {
       touched.clear()
       touchSeq = 0L
       keyCount = (data.keySet ++ lists.keySet).size
-      // byte accounting rebuilds from ground truth; snapshot carries
-      // no attribution, so restored keys start unowned (the reference
-      // similarly re-evaluates libraries fresh at RDB load)
+      // byte accounting rebuilds from ground truth; the snapshot's
+      // __owner__ pseudo-fields re-attach per-library attribution so
+      // E11 counters read identically after a save/load round-trip
+      // (pre-round-12 snapshots carry no owners — keys start unowned)
       keyBytes.clear(); keyOwner.clear(); ownerBytes.clear()
       usedBytesTotal = 0L
       (data.keysIterator ++ lists.keysIterator).toSet.foreach(resize(_: String))
+      owners.foreach { case (k, o) =>
+        val b = keyBytes.getOrDefault(k, 0L)
+        if (b > 0L) {
+          keyOwner.put(k, o)
+          ownerBytes.put(o, ownerBytes.getOrDefault(o, 0L) + b)
+        }
+      }
     } finally lock.unlock()
   }
 
@@ -462,6 +488,8 @@ object StateTable {
   val ListField = "__list__"
   /** Pseudo-field for a key's snapshotted absolute expiry (epoch ms). */
   val TtlField = "__ttl__"
+  /** Pseudo-field for a key's snapshotted library attribution (E11). */
+  val OwnerField = "__owner__"
 
   /** Lossless byte<->String bridge (ISO-8859-1 maps byte n to char n). */
   private[core] def b2s(b: Array[Byte]): String =
@@ -470,12 +498,16 @@ object StateTable {
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
   private[core] val NoGuard: (String, Boolean) => Unit = (_, _) => ()
+  private[core] val NoGrowGuard: String => Unit = _ => ()
 
   /** A transaction: buffered writes + read-your-writes, flushed
     * atomically by [[StateTable.commit]]. `guard(key, isWrite)` runs
-    * before each operation (ACL hook; no-op by default). */
+    * before each operation (ACL hook; no-op by default);
+    * `growGuard(key)` runs before each growing write only (memory-cap
+    * hook — del/hdel stay allowed over cap). */
   final class Txn private[core] (table: StateTable,
-      guard: (String, Boolean) => Unit = NoGuard) {
+      guard: (String, Boolean) => Unit = NoGuard,
+      growGuard: String => Unit = NoGrowGuard) {
     private val writes = scala.collection.mutable.LinkedHashMap.empty[String, Option[Map[String, String]]]
     private val events = new ArrayBuffer[KeyEvent]
     // keys whose TTL must be cleared at commit — recorded when the
@@ -493,14 +525,14 @@ object StateTable {
     def exists(key: String): Boolean = { guard(key, false); current(key).isDefined }
 
     def set(key: String, value: String): Unit = {
-      guard(key, true)
+      guard(key, true); growGuard(key)
       writes.update(key, Some(Map(ValueField -> value)))
       ttlClears += key // SET discards the key's TTL
       events += KeyEvent("set", key, System.currentTimeMillis(), None)
     }
 
     def hset(key: String, fields: (String, String)*): Unit = {
-      guard(key, true)
+      guard(key, true); growGuard(key)
       writes.update(key, Some(current(key).getOrElse(Map.empty) ++ fields))
       events += KeyEvent("hset", key, System.currentTimeMillis(), None)
     }
@@ -533,7 +565,7 @@ object StateTable {
     }
 
     def incrBy(key: String, delta: Long): Long = {
-      guard(key, true)
+      guard(key, true); growGuard(key)
       val next = current(key).flatMap(_.get(ValueField)).map(_.toLong).getOrElse(0L) + delta
       writes.update(key, Some(current(key).getOrElse(Map.empty) + (ValueField -> next.toString)))
       events += KeyEvent("incrby", key, System.currentTimeMillis(), None)

@@ -735,7 +735,12 @@ object Graph {
     // un-normalized mass), so it rides DECIMAL(38,0) and lands back
     // in BIGINT after the div.
     def renorm(scores: DataFrame, key: String): DataFrame = {
-      val tot = scores.agg(sum("s")).collect()(0).getLong(0)
+      val row = scores.agg(sum("s")).collect()(0)
+      // an empty edge set (or an all-zero round) yields a NULL/0 sum —
+      // fail with a clear message instead of an NPE / div-by-zero
+      require(!row.isNullAt(0) && row.getLong(0) > 0,
+        s"HITS renorm: total $key mass is empty or zero — graph has no edges")
+      val tot = row.getLong(0)
       scores.select(col(key),
         expr(s"CAST(CAST(s AS DECIMAL(38,0)) * $scale div $tot AS BIGINT)")
           .as("s"))

@@ -339,7 +339,7 @@ object Multimodal {
     * SQL-expressible); VideoDecoderSpec pins decoded values. */
   def qVideoFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(120).as[Long]
+    val ids = documents(s, d).select(col("doc_id").cast("long")).orderBy("doc_id").limit(120).as[Long]
     ids.mapPartitions { it =>
       it.map { id =>
         val cls = (id % 6).toInt
@@ -405,7 +405,7 @@ object Multimodal {
     * against brute-force Hamming over the same hashes. */
   def qImageNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
     import s.implicits._
-    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(160).as[Long]
+    val ids = documents(s, d).select(col("doc_id").cast("long")).orderBy("doc_id").limit(160).as[Long]
     val hashed = ids.mapPartitions { it =>
       it.map { id =>
         val cls = (id % 8).toInt
@@ -511,7 +511,7 @@ object Multimodal {
     * against brute force over the same hashes. */
   def qImagePhashNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
     import s.implicits._
-    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(160).as[Long]
+    val ids = documents(s, d).select(col("doc_id").cast("long")).orderBy("doc_id").limit(160).as[Long]
     val hashed = ids.mapPartitions { it =>
       it.map { id => (id, pHash64(synthTonedPng(id)).get) }
     }.toDF("id", "sh")
@@ -550,7 +550,7 @@ object Multimodal {
     * decoded values against signal theory (rms = amp/√2, zcr = 2f/rate). */
   def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ids = documents(s, d).select(col("doc_id").cast("long")).limit(200).as[Long]
+    val ids = documents(s, d).select(col("doc_id").cast("long")).orderBy("doc_id").limit(200).as[Long]
     ids.mapPartitions { it =>
       it.map { id =>
         val cls = (id % 8).toInt

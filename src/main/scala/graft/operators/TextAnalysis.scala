@@ -1564,7 +1564,7 @@ object TextAnalysis {
         (length(col("text")) - length(regexp_replace(col("text"),
           "�", ""))).cast("long").as("n_fffd"),
         (length(col("text")) - length(regexp_replace(col("text"),
-          "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
           .cast("long").as("n_ctrl"),
         (length(col("text")) - length(regexp_replace(col("text"),
           "[ÂÃ]", ""))).cast("long").as("n_c1tell"))

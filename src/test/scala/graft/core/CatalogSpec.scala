@@ -89,6 +89,26 @@ class CatalogSpec extends AnyFunSuite {
     e2.close()
   }
 
+  test("loadState is full-replace: libraries absent from the catalog are detached") {
+    val dir = tmpDir()
+    val e1 = new Engine(spark)
+    e1.load(LibraryDefinition.of("counter", CatalogCounterLib))
+    e1.saveState(dir)
+    e1.close()
+
+    val e2 = new Engine(spark)
+    // a stray library loaded before the restore, NOT in the snapshot —
+    // full RDB-load semantics: the restore replaces the library set
+    e2.load(LibraryDefinition.of("stray", CatalogScopedLib))
+    assert(e2.loadState(dir).isEmpty)
+    assert(e2.list().map(_.name) == Seq("counter"))
+    intercept[NoSuchElementException](e2.call("stray", "put",
+      Seq(RespString("k"), RespString("v"))))
+    // a library in BOTH (same name) survives as the snapshot's version
+    assert(e2.call("counter", "ping") == RespString("pong"))
+    e2.close()
+  }
+
   test("catalog-less snapshots (pre-round-11 layout) still restore state") {
     val dir = tmpDir()
     val e1 = new Engine(spark)

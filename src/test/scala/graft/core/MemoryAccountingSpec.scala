@@ -121,19 +121,87 @@ class MemoryAccountingSpec extends AnyFunSuite {
     e.close()
   }
 
-  test("restore rebuilds the global count and clears attribution") {
+  test("save/load round-trip preserves usedBytes AND per-library attribution") {
     val e1 = new Engine(spark)
     e1.load(LibraryDefinition("lib", code =
       _.registerFunction("w", (ctx, _) => { ctx.set("k", "value"); RespNull })))
     e1.call("lib", "w")
+    e1.state.set("hostkey", "zz") // host write: counted, unattributed
     val dir = java.nio.file.Files.createTempDirectory("graft-mem").toString
     e1.saveState(dir)
     val total = e1.stateBytes
+    val libBytes = e1.libraryStateBytes("lib")
+    assert(libBytes > 0L)
+    e1.close()
+    val e2 = new Engine(spark)
+    e2.loadState(dir)
+    // the counter cannot silently drift from the persisted state: both
+    // the global count and the per-library attribution read identically
+    assert(e2.stateBytes == total)
+    assert(e2.libraryStateBytes("lib") == libBytes)
+    // and a second round-trip is a fixed point
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mem2").toString
+    e2.saveState(dir2)
+    val e3 = new Engine(spark)
+    e3.loadState(dir2)
+    assert(e3.stateBytes == total && e3.libraryStateBytes("lib") == libBytes)
+    e3.close(); e2.close()
+  }
+
+  test("pre-round-12 snapshots (no __owner__ rows) restore unattributed") {
+    val e1 = new Engine(spark)
+    e1.load(LibraryDefinition("lib", code =
+      _.registerFunction("w", (ctx, _) => { ctx.set("k", "value"); RespNull })))
+    e1.call("lib", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mem-old").toString
+    val total = e1.stateBytes
+    // simulate an old snapshot: strip the owner pseudo-rows
+    e1.state.snapshot(spark)
+      .filter(org.apache.spark.sql.functions.col("field") =!= StateTable.OwnerField)
+      .write.mode("overwrite").parquet(dir)
     e1.close()
     val e2 = new Engine(spark)
     e2.loadState(dir)
     assert(e2.stateBytes == total)
-    assert(e2.libraryStateBytes("lib") == 0L) // snapshots carry no attribution
+    assert(e2.libraryStateBytes("lib") == 0L)
     e2.close()
+  }
+
+  test("over-cap atomic txn: growth denied at the growing op, shrink-only allowed") {
+    val e = new Engine(spark)
+    e.load(LibraryDefinition("hog", code = { b =>
+      b.registerAsyncFunction("fill", (ctx, _) => {
+        ctx.atomic { txn => txn.set("k1", "0123456789012345678901234567890123456789") }
+        RespNull
+      })
+      b.registerAsyncFunction("growTxn", (ctx, _) => {
+        ctx.atomic { txn => txn.set("k2", "x") }
+        RespNull
+      })
+      b.registerAsyncFunction("shrinkTxn", (ctx, _) => {
+        ctx.atomic { txn => txn.del("k1") } // memory-freeing: must run over cap
+        RespNull
+      })
+      b.registerAsyncFunction("mixedTxn", (ctx, _) => {
+        ctx.atomic { txn => txn.del("nothing"); txn.set("k3", "y") }
+        RespNull
+      })
+    }))
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    def run(fn: String) = Await.result(e.callAsync("hog", fn), 30.seconds)
+    run("fill")
+    e.configSet("library-max-state-bytes", "40")
+    assert(e.libraryStateBytes("hog") > 40)
+    // a growing transaction dies at its first growing op...
+    intercept[OomException](run("growTxn"))
+    // ...a mixed txn dies at the grow even after an allowed del...
+    intercept[OomException](run("mixedTxn"))
+    // ...but a shrink-only transaction runs (DENYOOM exemption), and
+    // the library recovers
+    run("shrinkTxn")
+    assert(e.libraryStateBytes("hog") == 0L)
+    run("growTxn")
+    e.close()
   }
 }

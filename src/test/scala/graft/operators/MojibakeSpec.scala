@@ -23,14 +23,14 @@ class MojibakeSpec extends AnyFunSuite {
     val out = run(Seq(
       (1L, "a", "clean text here"),
       (2L, "a", "bad � decode �� left scars"),   // 3 U+FFFD
-      (3L, "b", "binary\u0001bleed\u0002here\u0003"), // 3 C0 ctrls
+      (3L, "b", "binary\u0000nul\u0001bleed\u0002here\u0003"), // 4 C0 ctrls incl NUL
       (4L, "b", "tab\tand\nnewline\rare fine"),                 // exempt ctrls
       (5L, "c", "cafÃ© shows as ca fÃ Â mojibake"))) // Ã,Ã,Â
     val (aChars, aF, aC, aT, aSus, aPpm) = out("a")
     assert(aF == 3 && aC == 0 && aT == 0 && aSus == 1)
     assert(aPpm == 3L * 1000000 / aChars)
     val (_, bF, bC, bT, bSus, _) = out("b")
-    assert(bF == 0 && bC == 3 && bT == 0 && bSus == 1,
+    assert(bF == 0 && bC == 4 && bT == 0 && bSus == 1,
       s"tab/newline/CR must be exempt (got ctrl=$bC)")
     val (_, cF, cC, cT, cSus, _) = out("c")
     assert(cF == 0 && cC == 0 && cT == 3 && cSus == 1)
