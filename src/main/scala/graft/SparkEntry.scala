@@ -943,6 +943,26 @@ object SparkEntry {
     // q371: Yuen's trimmed-mean test — robust two-sample location on
     // exact trim-window order statistics and integer moments
     "q371_yuen_trimmed" -> (Stats.qYuenTrimmed _),
+    // q372: per-user event-type transition matrix as streaming state
+    // (one carried triple per user, emission-once edges); oracle = the
+    // batch LAG() window — streaming row #2 with a full oracle
+    "q372_streaming_transitions" ->
+      (graft.streaming.EventTime.qStreamingTransitions _),
+    // q373: exact running moments per type — BIGINT (n, Σ, Σ²) state,
+    // one rounded division at the end (q312 discipline, streamed)
+    "q373_streaming_moments" ->
+      (graft.streaming.EventTime.qStreamingMoments _),
+    // q374: exact distinct users per type as id-set state — q214's
+    // question with a full oracle instead of an HLL estimate
+    "q374_streaming_distinct" ->
+      (graft.streaming.EventTime.qStreamingDistinctExact _),
+    // q375: byte-level BPE merges behind the GPT-2 pre-tokenizer —
+    // rows-only (iterative training is not SQL; ByteBpeSpec pins the
+    // exact sequence vs an independent reference implementation)
+    "q375_byte_bpe_merges" -> ((s, dir) => Pipeline.qByteBpeMerges(s, dir)),
+    // q376: byte-level BPE corpus encoding stats — rows-only
+    // (ByteBpeSpec pins losslessness + reference-encoder equality)
+    "q376_byte_bpe_encode" -> ((s, dir) => Pipeline.qByteBpeEncode(s, dir)),
   )
 
   /** q103's shared oracle CTE prefix (tok..sizes), verbatim the
@@ -3216,6 +3236,9 @@ object SparkEntry {
                   AS BIGINT) AS n_over_dollar,
                 CAST(MAX(ABS(diff_cents)) AS BIGINT) AS max_abs_cents
          FROM d GROUP BY o_orderpriority""",
+    // q163: 15 integer-picorank power-iteration rounds unrolled as
+    // chained materialized CTEs — all-integer, so bit-exact cross-engine
+    "q163_copurchase_rank" -> pagerankOracle,
     // q164: median/MAD fence — quantile_cont is DuckDB's exact
     // interpolated percentile, the same ANSI definition Spark's
     // percentile() uses (the q104 parity)
@@ -8908,6 +8931,46 @@ object SparkEntry {
                   THEN (tm1 - tm2) / SQRT(d1 + d2) ELSE 0.0 END, 6)
                   AS t_yuen
          FROM fin3"""),
+    // q365: 12 HITS iterations unrolled with exact-integer L1 renorm
+    // per half-round (HUGEINT product // total == Spark's DECIMAL div)
+    "q365_hits" -> hitsOracle,
+    // q370: the k=8 length-bucket segmentation DP, unrolled dp levels
+    // + first-wins traceback — all-integer, bit-exact cross-engine
+    "q370_bucket_boundaries" -> bucketDpOracle,
+    // q372: the carried-state stream must reproduce the batch LAG()
+    // window bit for bit (ts ties broken by the unique event_id)
+    "q372_streaming_transitions" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT prev AS from_type, event_type AS to_type,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2""",
+    // q373: exact BIGINT sufficient statistics; variance is one
+    // rounded double division of exact integers (HUGEINT products on
+    // the DuckDB side mirror Spark's DECIMAL(38,0))
+    "q373_streaming_moments" ->
+      """WITH c AS (SELECT event_type,
+                           CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                    FROM events),
+         agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                        CAST(SUM(v) AS BIGINT) AS sum_cents,
+                        CAST(SUM(v * v) AS BIGINT) AS sumsq_cents
+                 FROM c GROUP BY 1)
+         SELECT event_type, n_events, sum_cents, sumsq_cents,
+                ROUND(CAST(CAST(n_events AS HUGEINT) * sumsq_cents
+                           - CAST(sum_cents AS HUGEINT) * sum_cents AS DOUBLE)
+                      / CAST(CAST(n_events AS HUGEINT) * n_events AS DOUBLE),
+                      6) AS var_cents2
+         FROM agg""",
+    // q374: the exact-distinct state's final snapshot is plain
+    // COUNT(DISTINCT) — q214's HLL estimates what this pins exactly
+    "q374_streaming_distinct" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type""",
     // q367: broadcast literal blocklist join; all counts exact BIGINT
     "q367_blocklist_audit" ->
       """WITH block AS (
@@ -9060,6 +9123,117 @@ object SparkEntry {
     * BIGINTs. `//` truncates toward zero, matching the Scala folds;
     * each hour scores against the PRE-update forecast l + b with the
     * 10% over band (10·v > 11·f). */
+
+  /** q163 oracle: the 15-round integer-picorank power iteration
+    * unrolled as chained MATERIALIZED CTEs (each round referenced by
+    * the next — materialization keeps DuckDB's evaluation linear).
+    * Every operation is integer and every numerator nonnegative, so
+    * DuckDB's flooring `//` equals Spark's truncating `div`. */
+  private val pagerankOracle: String = {
+    val rounds = (1 to 15).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT ew.v, SUM((r.r * ew.w) // ew.wdeg) AS cin
+           FROM ew JOIN r${k - 1} r ON ew.u = r.u GROUP BY ew.v),
+         r$k AS MATERIALIZED (SELECT w.u, (SELECT b FROM base) + (85 * COALESCE(c.cin, 0)) // 100 AS r
+           FROM wdeg w LEFT JOIN c$k c ON w.u = c.v)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         pairs AS MATERIALIZED (SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+           FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         edges AS MATERIALIZED (SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs),
+         wdeg AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS wdeg, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM edges GROUP BY u),
+         base AS MATERIALIZED (SELECT 150000000000 // COUNT(*) AS b, 1000000000000 // COUNT(*) AS init FROM wdeg),
+         ew AS MATERIALIZED (SELECT e.u, e.v, e.w, d.wdeg FROM edges e JOIN wdeg d ON e.u = d.u),
+         r0 AS MATERIALIZED (SELECT u, (SELECT init FROM base) AS r FROM wdeg),
+         $rounds
+         SELECT r.u AS part, w.deg AS degree, w.wdeg AS weighted_degree,
+                CAST(r.r AS BIGINT) AS rank_pico
+         FROM r15 r JOIN wdeg w ON r.u = w.u
+         ORDER BY r.r DESC, r.u LIMIT 20"""
+  }
+
+  /** q365 oracle: 12 HITS iterations (24 half-rounds) unrolled; each
+    * half-round is the edge join + destination sum, then the exact
+    * integer L1 renormalization `s' = s·10¹² // Σs` (HUGEINT carries
+    * the product where Spark rides DECIMAL(38,0); both truncate the
+    * same on nonnegative operands). */
+  private val hitsOracle: String = {
+    val parts = (1 to 12).map { k =>
+      s"""a${k}r AS MATERIALIZED (SELECT e.p, SUM(h.s) AS s FROM e JOIN h${k - 1} h ON e.c = h.c GROUP BY e.p),
+         a$k AS MATERIALIZED (SELECT p, CAST(CAST(s AS HUGEINT) * 1000000000000 // (SELECT SUM(s) FROM a${k}r) AS BIGINT) AS s FROM a${k}r),
+         h${k}r AS MATERIALIZED (SELECT e.c, SUM(a.s) AS s FROM e JOIN a$k a ON e.p = a.p GROUP BY e.c),
+         h$k AS MATERIALIZED (SELECT c, CAST(CAST(s AS HUGEINT) * 1000000000000 // (SELECT SUM(s) FROM h${k}r) AS BIGINT) AS s FROM h${k}r)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         h0 AS MATERIALIZED (SELECT DISTINCT c,
+           (SELECT 1000000000000 // GREATEST(COUNT(DISTINCT c), 1) FROM e) AS s FROM e),
+         $parts
+         SELECT * FROM (
+           (SELECT 'authority' AS role, p AS node, s AS score_pico FROM a12
+            ORDER BY s DESC, p LIMIT 20)
+           UNION ALL
+           (SELECT 'hub' AS role, c AS node, s AS score_pico FROM h12
+            ORDER BY s DESC, c LIMIT 20))
+         ORDER BY role, score_pico DESC, node"""
+  }
+
+  /** q370 oracle: the k=8 length-bucket segmentation DP unrolled as 8
+    * MATERIALIZED dp levels over the distinct-length histogram (the
+    * same 2¹⁶ quantization guard as the Spark side), with an unrolled
+    * first-wins (MIN i) traceback — each tb level references the next
+    * three times, so materialization is what keeps evaluation linear.
+    * All integer; the optimal total equals dp8(m) by construction. */
+  private val bucketDpOracle: String = {
+    val k = 8
+    val domainCap = 65536
+    val dps = Seq("dp1 AS MATERIALIZED (SELECT j, cost AS v FROM cost WHERE i = 1)") ++
+      (2 to k).map { b =>
+        s"""dp$b AS MATERIALIZED (SELECT c.j, MIN(d.v + c.cost) AS v
+           FROM dp${b - 1} d JOIN cost c ON c.i = d.j + 1 GROUP BY c.j)"""
+      }
+    val tbs = Seq(
+      s"""tb$k AS MATERIALIZED (SELECT MIN(c.i) AS i, (SELECT m FROM mm) AS j
+           FROM dp${k - 1} d JOIN cost c ON c.i = d.j + 1 AND c.j = (SELECT m FROM mm)
+           WHERE d.v + c.cost = (SELECT v FROM dp$k WHERE j = (SELECT m FROM mm)))""") ++
+      (k - 1 to 2 by -1).map { b =>
+        s"""tb$b AS MATERIALIZED (SELECT MIN(c.i) AS i, (SELECT i - 1 FROM tb${b + 1}) AS j
+           FROM dp${b - 1} d JOIN cost c ON c.i = d.j + 1 AND c.j = (SELECT i - 1 FROM tb${b + 1})
+           WHERE d.v + c.cost = (SELECT v FROM dp$b WHERE j = (SELECT i - 1 FROM tb${b + 1})))"""
+      } ++ Seq("tb1 AS MATERIALIZED (SELECT 1 AS i, (SELECT i - 1 FROM tb2) AS j)")
+    val segs = (1 to k).map(b => s"SELECT ${b - 1} AS bucket, i, j FROM tb$b")
+      .mkString(" UNION ALL ")
+    s"""WITH lens AS MATERIALIZED (SELECT len(string_split_regex(lower(text), '\\s+')) AS len,
+           CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+         cellsz AS (SELECT GREATEST(1, (MAX(len) + $domainCap - 1) // $domainCap) AS cell FROM lens),
+         cells0 AS MATERIALIZED (SELECT (len + cell - 1) // cell AS cellid, MAX(len) AS cmax,
+           SUM(c) AS cnt, SUM(len * c) AS tok
+           FROM lens, cellsz GROUP BY 1),
+         cells AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY cmax) AS i, cmax, cnt, tok FROM cells0),
+         pre AS MATERIALIZED (SELECT i, cmax, SUM(cnt) OVER (ORDER BY i) AS pc,
+           SUM(tok) OVER (ORDER BY i) AS pt FROM cells),
+         mm AS MATERIALIZED (SELECT MAX(i) AS m FROM cells),
+         cost AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+           b.cmax * (b.pc - COALESCE(p.pc, 0)) - (b.pt - COALESCE(p.pt, 0)) AS cost
+           FROM pre a JOIN pre b ON a.i <= b.i
+           LEFT JOIN pre p ON p.i = a.i - 1),
+         ${dps.mkString(",\n         ")},
+         ${tbs.mkString(",\n         ")},
+         segs AS MATERIALIZED ($segs)
+         SELECT CAST(s.bucket AS BIGINT) AS bucket,
+                CAST(ej.cmax AS BIGINT) AS pad_to_len,
+                CAST(ej.pc - COALESCE(pi.pc, 0) AS BIGINT) AS n_docs,
+                CAST(ej.pt - COALESCE(pi.pt, 0) AS BIGINT) AS n_tokens,
+                CAST(ej.cmax * (ej.pc - COALESCE(pi.pc, 0)) - (ej.pt - COALESCE(pi.pt, 0)) AS BIGINT) AS padding,
+                (SELECT CAST(v AS BIGINT) FROM dp$k WHERE j = (SELECT m FROM mm)) AS total_padding_optimal,
+                (SELECT CAST(cost AS BIGINT) FROM cost WHERE i = 1 AND j = (SELECT m FROM mm)) AS total_padding_single_bucket
+         FROM segs s JOIN pre ej ON ej.i = s.j
+         LEFT JOIN pre pi ON pi.i = s.i - 1
+         ORDER BY bucket"""
+  }
+
+
   private val holtOracle: String =
     """WITH RECURSIVE hourly AS (
          SELECT event_type,
