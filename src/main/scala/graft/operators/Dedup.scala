@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.operators.Iterate.CheckpointOps
 import graft.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -360,7 +362,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var edges = canon(edges0.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v"))).localCheckpoint()
+      col("v").cast("long").as("v"))).cutLineage()
     var sig = signature(edges)
     var iter = 0
     var converged = sig._1 == 0
@@ -378,7 +380,7 @@ object Dedup {
       val next = canon(afterLarge.join(smallMins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(smallMins.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+        .cutLineage()
       val nsig = signature(next)
       converged = nsig == sig
       edges = next

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Iterate.CheckpointOps
+
 /** Iterative graph analytics over relationship structures the relational
   * operators only touch pairwise — the engine family the reference
   * reaches through user-scripted multi-pass stream jobs, built here as
@@ -51,10 +53,10 @@ object Graph {
       .agg(count(lit(1)).as("w"))
     val edges = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint()
+      .cutLineage()
     val wdeg = edges.groupBy("u")
       .agg(sum("w").as("wdeg"), count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .cutLineage()
     val n = wdeg.count()
     val init = 1000000000000L / n
     val base = 150000000000L / n // (1−d)·mass, d = 0.85
@@ -75,7 +77,7 @@ object Graph {
     def hinted(r: DataFrame): DataFrame = if (hintBroadcast) broadcast(r) else r
     val edgesW = edges.join(wdeg.select(col("u"), col("wdeg")), Seq("u"))
       .select(col("u"), col("v"), col("w"), col("wdeg"))
-      .localCheckpoint()
+      .cutLineage()
     var ranks = wdeg.select(col("u"), lit(init).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edgesW.join(hinted(ranks), Seq("u"))
@@ -89,7 +91,7 @@ object Graph {
         .join(contrib, col("u") === col("v"), "left")
         .select(col("u"),
           (lit(base) + expr("85L * coalesce(cin, 0L) div 100L")).as("r"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks.join(wdeg, "u")
       .orderBy(col("r").desc, col("u"))
@@ -117,7 +119,7 @@ object Graph {
     * counts the same triangles by u<v<w triple join — orientation
     * changes the plan, never the census. */
   def qTriangleCensus(s: SparkSession, d: String): DataFrame = {
-    val pairs = copurchaseEdges(s, d).localCheckpoint()
+    val pairs = copurchaseEdges(s, d).cutLineage()
     val deg = pairs.select(col("u").as("x"))
       .union(pairs.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -130,7 +132,7 @@ object Graph {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .cutLineage()
     // adjacency-intersection counting (Latapy 2008): each oriented
     // edge u→v closes one triangle per common OUT-neighbor of u and v,
     // so T = Σ_{u→v} |N⁺(u) ∩ N⁺(v)|. The out-lists are sorted arrays
@@ -236,12 +238,12 @@ object Graph {
     * ToomCook multiply in SizeInBytesOnlyStatsPlanVisitor). */
   private[graft] def kCoreHistogram(pairs0: DataFrame,
       maxRounds: Int = 100): DataFrame = {
-    val pairs = pairs0.localCheckpoint()
+    val pairs = pairs0.cutLineage()
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .cutLineage()
     var core = bidir.groupBy("u").agg(count(lit(1)).as("core"))
-      .localCheckpoint()
+      .cutLineage()
     var changed = 1L
     var round = 0
     // h-index of the neighbor multiset: sorted desc, the count of
@@ -257,7 +259,7 @@ object Graph {
         .select(col("u"), hExpr.cast("long").as("h"))
       val next = core.join(h, Seq("u"))
         .select(col("u"), col("core"), least(col("core"), col("h")).as("nc"))
-        .localCheckpoint()
+        .cutLineage()
       changed = next.filter(col("nc") < col("core")).count()
       core = next.select(col("u"), col("nc").as("core"))
       round += 1
@@ -285,13 +287,13 @@ object Graph {
     * KcoreProbe measures — see BENCH_NOTES for the verdict. */
   private[graft] def kCoreHistogramBucketed(pairs0: DataFrame,
       maxRounds: Int = 100): DataFrame = {
-    val pairs = pairs0.localCheckpoint()
+    val pairs = pairs0.cutLineage()
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .cutLineage()
     var active = bidir.groupBy("u").agg(count(lit(1)).as("core"))
-      .localCheckpoint()
-    var frozenDf = active.limit(0).localCheckpoint() // (u, core) final
+      .cutLineage()
+    var frozenDf = active.limit(0).cutLineage() // (u, core) final
     var activeEdges = bidir
     var changed = 1L
     var round = 0
@@ -303,13 +305,13 @@ object Graph {
       // so the bucket is final; frozen values keep serving as neighbor
       // values via the all-nodes union below)
       val m = active.agg(min("core")).head().getLong(0)
-      val freeze = active.filter(col("core") === m).localCheckpoint()
+      val freeze = active.filter(col("core") === m).cutLineage()
       if (!freeze.isEmpty) {
-        frozenDf = frozenDf.unionByName(freeze).localCheckpoint()
-        active = active.filter(col("core") > m).localCheckpoint()
+        frozenDf = frozenDf.unionByName(freeze).cutLineage()
+        active = active.filter(col("core") > m).cutLineage()
         activeEdges = activeEdges
           .join(freeze.select("u"), Seq("u"), "left_anti")
-          .localCheckpoint()
+          .cutLineage()
       }
       if (active.isEmpty) { changed = 0 }
       else {
@@ -320,7 +322,7 @@ object Graph {
           .select(col("u"), hExpr.cast("long").as("h"))
         val next = active.join(h, Seq("u"))
           .select(col("u"), col("core"), least(col("core"), col("h")).as("nc"))
-          .localCheckpoint()
+          .cutLineage()
         changed = next.filter(col("nc") < col("core")).count()
         active = next.select(col("u"), col("nc").as("core"))
         round += 1
@@ -386,7 +388,7 @@ object Graph {
     val vec = bidir.withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= cap)
       .select(col("u").as("item"), col("v").as("k"), col("w"))
-      .localCheckpoint()
+      .cutLineage()
     val norms = vec.groupBy("item")
       .agg(sum(col("w") * col("w")).as("n2"))
     // cap the inverted list: per middle item k, keep the `invCap`
@@ -396,7 +398,7 @@ object Graph {
     val inv = vec.withColumn("irk", row_number().over(irk))
       .filter(col("irk") <= invCap)
       .select("item", "k", "w")
-      .localCheckpoint()
+      .cutLineage()
     val wedges = inv.as("x").join(inv.as("y"),
         col("x.k") === col("y.k") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("u"), col("y.item").as("v"))
@@ -431,13 +433,13 @@ object Graph {
     val pairs = copurchaseEdges(s, d)
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .cutLineage()
     val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
     val nNodes = deg.count()
     val source = deg.orderBy(col("dg").desc, col("u")).limit(1)
       .head().getLong(0)
     import s.implicits._
-    var visited = Seq((source, 0)).toDF("node", "hop").localCheckpoint()
+    var visited = Seq((source, 0)).toDF("node", "hop").cutLineage()
     var frontier = visited.select("node")
     var hop = 1
     var frontierSize = 1L
@@ -446,9 +448,9 @@ object Graph {
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
-        .localCheckpoint()
+        .cutLineage()
       frontierSize = next.count()
-      visited = visited.union(next).localCheckpoint()
+      visited = visited.union(next).cutLineage()
       frontier = next.select("node")
       hop += 1
     }
@@ -537,7 +539,7 @@ object Graph {
     // checkpointing pairs IN ADDITION to bidir — two materialization
     // barriers; this shape has exactly one, bidir being a cheap map
     // over checkpointed blocks.)
-    val pairs = copurchaseEdges(s, d).localCheckpoint()
+    val pairs = copurchaseEdges(s, d).cutLineage()
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
@@ -545,7 +547,7 @@ object Graph {
         row_number().over(Window.partitionBy("u").orderBy("v")))
       .filter(col("rk") <= invCap)
       .select(col("u").as("k"), col("v").as("nb"))
-      .localCheckpoint()
+      .cutLineage()
     val cand = inv.as("x").join(inv.as("y"),
         col("x.k") === col("y.k") && col("x.nb") < col("y.nb"))
       .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
@@ -573,9 +575,9 @@ object Graph {
       rounds: Int): DataFrame = {
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .cutLineage()
     var labels = bidir.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).cutLineage()
     for (_ <- 1 to rounds) {
       val votes = bidir
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
@@ -585,7 +587,7 @@ object Graph {
           struct(col("cnt"), (-col("label")).as("neg")).as("sv"))
         .groupBy("u").agg(max(col("sv")).as("m"))
         .select(col("u").as("node"), (-col("m.neg")).as("label"))
-        .localCheckpoint()
+        .cutLineage()
     }
     labels
   }
@@ -721,8 +723,8 @@ object Graph {
     val edges = orders(s, d).select(col("o_custkey").as("c"), col("o_orderkey").as("o"))
       .join(lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")), Seq("o"))
       .select("c", "p").distinct()
-      .localCheckpoint()
-    val custs = edges.select("c").distinct().localCheckpoint()
+      .cutLineage()
+    val custs = edges.select("c").distinct().cutLineage()
     val nC = custs.count()
     val scale = 1000000000000L
     val rankBroadcastMax = s.conf
@@ -746,15 +748,15 @@ object Graph {
           .as("s"))
     }
     var hubs = custs.select(col("c"), lit(scale / math.max(nC, 1L)).as("s"))
-      .localCheckpoint()
+      .cutLineage()
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       auths = renorm(
         edges.join(hinted(hubs), Seq("c"))
-          .groupBy("p").agg(sum("s").as("s")), "p").localCheckpoint()
+          .groupBy("p").agg(sum("s").as("s")), "p").cutLineage()
       hubs = renorm(
         edges.join(hinted(auths), Seq("p"))
-          .groupBy("c").agg(sum("s").as("s")), "c").localCheckpoint()
+          .groupBy("c").agg(sum("s").as("s")), "c").cutLineage()
     }
     val topA = auths.orderBy(col("s").desc, col("p"))
       .limit(topK)
