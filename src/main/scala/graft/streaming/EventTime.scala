@@ -1178,4 +1178,103 @@ object EventTime {
         sum(col("cents")).as("revenue_cents"))
       .filter(col("n_purchases") > 0)
   }
+
+  /** q372: per-user event-type TRANSITION matrix as streaming state —
+    * the Markov edge counts behavioral pipelines build (what follows a
+    * view?), computed incrementally: one (ts, event_id, type) triple of
+    * state per user; each arriving event emits its (prev → cur) edge
+    * exactly once ([[Stateful.transitionProgress]]). Replayed over the
+    * time-ordered 3-file split, so the per-user fold visits events in
+    * exactly the oracle's `ORDER BY ts, event_id` order — the gate
+    * proves the carried-state stream reproduces the batch LAG() window
+    * bit for bit (the q369 device, flatMap emission-once variant). */
+  def qStreamingTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val prog = Stateful.transitionProgress(src)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q372 must exercise cross-batch carried state, saw $dataBatches data batches")
+    s.table(name).groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q373: exact running moments per event type — cross-batch
+    * (n, Σcents, Σcents²) BIGINT state ([[Stateful.momentsProgress]]),
+    * the q312 sufficient-statistics discipline in streaming form:
+    * integer addition is associative, so the final snapshot equals the
+    * batch sums bit for bit regardless of batch boundaries; variance is
+    * ONE rounded double division at the end (numerator/denominator
+    * exact DECIMAL both engines). */
+  def qStreamingMoments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+      .as[(String, Long)]
+    val prog = Stateful.momentsProgress(src)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q373 must exercise cross-batch moment state, saw $dataBatches data batches")
+    s.table(name).groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        max_by(col("sum_cents"), col("n")).as("sum_cents"),
+        max_by(col("sumsq_cents"), col("n")).as("sumsq_cents"))
+      .withColumn("var_cents2", expr(
+        """ROUND(CAST(CAST(n_events AS DECIMAL(38,0)) * sumsq_cents
+           - CAST(sum_cents AS DECIMAL(38,0)) * sum_cents AS DOUBLE)
+           / CAST(CAST(n_events AS DECIMAL(38,0)) * n_events AS DOUBLE), 6)"""))
+      .orderBy("event_type")
+  }
+
+  /** q374: EXACT distinct users per event type as streaming state —
+    * q214's question with a full oracle instead of a ±2% HLL estimate:
+    * per-type sorted id-set state bounded by the user DOMAIN (the
+    * value-domain saturation argument, cap declared); final snapshot =
+    * batch COUNT(DISTINCT) exactly ([[Stateful.distinctExactProgress]]). */
+  def qStreamingDistinctExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = eventsStreamTimeOrdered(s, d, parts = 3)
+      .select(col("event_type"), col("user_id").cast("long"))
+      .as[(String, Long)]
+    val prog = Stateful.distinctExactProgress(src)
+    val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
+    val q = prog.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q374 must exercise cross-batch id-set state, saw $dataBatches data batches")
+    s.table(name).groupBy("event_type")
+      .agg(max(col("n_seen")).as("n_events"),
+        max_by(col("n_users"), col("n_seen")).as("n_users"))
+      .orderBy("event_type")
+  }
 }

@@ -1092,4 +1092,113 @@ object Stateful {
             closedCov + openCov)
       }
   }
+
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** q372: per-user event-type TRANSITIONS as streaming state — the
+    * Markov-chain edge counter every behavioral pipeline runs (what do
+    * users do AFTER a view?), and the cleanest possible statement of
+    * per-key carried order: state is ONE (ts, event_id, type) triple
+    * per user (the last event seen), each arriving event emits exactly
+    * one (prev → cur) edge and replaces the state. Emission-once makes
+    * the update-mode memory-sink history the full edge multiset — the
+    * q369 replay device with `flatMapGroupsWithState` instead of a
+    * growing rollup.
+    *
+    * Order is total and engine-independent: the time-ordered split
+    * replays (ts, event_id) ranges ascending and each in-batch group
+    * sorts by the same key, so the fold visits every user's events in
+    * exactly the oracle's `ORDER BY ts, event_id` window order.
+    * Input: (user_id, tsMicros, event_id, event_type). State: one
+    * triple per user — O(users), the smallest state in the family. */
+  def transitionProgress(events: Dataset[(Long, Long, Long, String)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Transition] = {
+    implicit val stE: Encoder[(Long, Long, String)] =
+      Encoders.product[(Long, Long, String)]
+    implicit val outE: Encoder[Transition] = Encoders.product[Transition]
+    implicit val inE: Encoder[(Long, Long, Long, String)] =
+      Encoders.product[(Long, Long, Long, String)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Update, timeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Long, String)]) =>
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          it.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, us, eid, t) =>
+            if (last != null) out += Transition(user, last._3, t)
+            last = (us, eid, t)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
+  case class MomentsProgress(event_type: String, n: Long, sum_cents: Long,
+      sumsq_cents: Long)
+
+  /** q373: exact running MOMENTS per event type — the drift-free
+    * streaming accumulator (n, Σv, Σv²) in integer cents, the q312
+    * sufficient-statistics discipline as cross-batch state: every
+    * emission is exact BIGINTs, the variance is ONE rounded division
+    * at read time, and the final snapshot equals the batch sums bit
+    * for bit regardless of batch boundaries (integer addition is
+    * associative — THE argument float accumulators cannot make).
+    * Input: (event_type, cents). State: three longs per type. */
+  def momentsProgress(events: Dataset[(String, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[MomentsProgress] = {
+    implicit val stE: Encoder[(Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long)]
+    implicit val outE: Encoder[MomentsProgress] = Encoders.product[MomentsProgress]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), MomentsProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, sm, sq) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { case (_, v) =>
+            n += 1; sm += v
+            sq = Math.addExact(sq, Math.multiplyExact(v, v))
+          }
+          state.update((n, sm, sq))
+          MomentsProgress(tpe, n, sm, sq)
+      }
+  }
+
+  case class DistinctExactProgress(event_type: String, n_seen: Long,
+      n_users: Long)
+
+  /** q374: EXACT distinct users per event type as streaming state —
+    * the exact counterpart of q214's HLL sketch (same question, same
+    * replay, full oracle instead of a ±2% estimate): state is the
+    * per-type sorted id set, bounded by the USER DOMAIN (not the
+    * stream — the value-domain saturation argument; `maxUsers` makes
+    * the bound a declared contract, the q212 charCap discipline).
+    * Where the domain genuinely exceeds the cap, q214's HLL is the
+    * scale path; this is the exact path that also AUDITS it.
+    * Input: (event_type, user_id). */
+  def distinctExactProgress(events: Dataset[(String, Long)],
+      maxUsers: Int = 1 << 22,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[DistinctExactProgress] = {
+    implicit val stE: Encoder[(Long, Seq[Long])] =
+      Encoders.product[(Long, Seq[Long])]
+    implicit val outE: Encoder[DistinctExactProgress] =
+      Encoders.product[DistinctExactProgress]
+    implicit val inE: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    implicit val keyE: Encoder[String] = Encoders.STRING
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[Long]), DistinctExactProgress](timeout) {
+        (tpe: String, it: Iterator[(String, Long)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          val (seen0, ids0) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          val ids = scala.collection.mutable.SortedSet.empty[Long] ++ ids0
+          var seen = seen0
+          it.foreach { case (_, u) => ids += u; seen += 1 }
+          require(ids.size <= maxUsers,
+            s"distinctExactProgress: user domain ${ids.size} exceeds declared cap $maxUsers — use the HLL path (q214)")
+          state.update((seen, ids.toSeq))
+          DistinctExactProgress(tpe, seen, ids.size.toLong)
+      }
+  }
 }
