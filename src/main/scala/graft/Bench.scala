@@ -479,6 +479,13 @@ object Bench {
     "q369_streaming_ks",
     "q370_bucket_boundaries",
     "q371_yuen_trimmed",
+    // round 12: the three oracle-carrying streaming additions (replay
+    // device) and the byte-level BPE pair (GPT-2 pre-tokenizer)
+    "q372_streaming_transitions",
+    "q373_streaming_moments",
+    "q374_streaming_distinct",
+    "q375_byte_bpe_merges",
+    "q376_byte_bpe_encode",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1152,8 +1152,9 @@ object Pipeline {
     * UTF-8 binary collation), left-to-right non-overlapping merge
     * application. */
   private def learnBpeMergesDriver(words: Array[(String, Long)],
-      numMerges: Int): Seq[(Int, String, String)] = {
-    val syms: Array[Array[String]] = words.map(w => codePointSymbols(w._1))
+      numMerges: Int,
+      symbolize: String => Array[String] = codePointSymbols): Seq[(Int, String, String)] = {
+    val syms: Array[Array[String]] = words.map(w => symbolize(w._1))
     val cnts: Array[Long] = words.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var rank = 0
@@ -1366,6 +1367,145 @@ object Pipeline {
         (word, syms)
       }
     }.toDF("w", "subwords")
+  }
+
+  // ---------------------------------------------------------------
+  // Byte-level BPE (GPT-2/Llama-class): UTF-8 bytes as the merge unit
+  // behind the public GPT-2 pre-tokenizer split — the production
+  // tokenizer construction (Radford et al. 2019; the regex and the
+  // byte<->unicode table are published in the GPT-2 reference
+  // encoder). Same vocab-sized machinery as q78: one corpus pass for
+  // pre-token frequencies, merge rounds over the vocab table only.
+  // ---------------------------------------------------------------
+
+  /** The public GPT-2 pre-tokenizer pattern: contraction suffixes,
+    * space-prefixed letter/digit/punct runs, and trailing/other
+    * whitespace (the lookahead keeps a final space glued to the next
+    * token only when none follows). Java regex, applied UNLOWERED —
+    * byte-level tokenizers are case-preserving. */
+  val Gpt2SplitPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** The GPT-2 byte->unicode bijection: printable latin bytes map to
+    * themselves; the rest shift to 256+n — every byte gets a PRINTABLE
+    * one-codepoint symbol, so byte sequences ride the same String
+    * machinery as code-point BPE (space becomes 'Ġ' U+0120, newline
+    * 'Ċ' U+010A — the familiar GPT-2 vocab artifacts). */
+  val ByteToUnicode: Array[String] = {
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    bs ++= ('!'.toInt to '~'.toInt)
+    bs ++= (0xa1 to 0xac)
+    bs ++= (0xae to 0xff)
+    val cs = bs.clone()
+    var n = 0
+    val present = bs.toSet
+    for (b <- 0 until 256) if (!present(b)) { bs += b; cs += 256 + n; n += 1 }
+    val arr = new Array[String](256)
+    bs.indices.foreach(i => arr(bs(i)) = new String(Character.toChars(cs(i))))
+    arr
+  }
+
+  /** A pre-token's UTF-8 bytes as mapped one-codepoint symbols. */
+  private[operators] def byteSymbols(tok: String): Array[String] =
+    tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => ByteToUnicode(b & 0xff))
+
+  /** Byte-level BPE merge learning over the GPT-2 pre-tokenization —
+    * [[learnBpeMerges]]'s discipline (driver under the vocab cap,
+    * distributed rounds above it; identical count/tie-break/merge
+    * semantics either way) with UTF-8 bytes as the initial symbols.
+    * The corpus pass explodes the pre-tokenizer matches (case and
+    * whitespace PRESERVED — the leading-space convention is what makes
+    * 'Ġthe' and 'the' distinct learned units, exactly as production
+    * vocabs have it). */
+  def learnByteBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      driverVocabCap: Int = 1 << 21): Seq[(Int, String, String)] = {
+    val vocabDf = docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(Gpt2SplitPattern), lit(0))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count("*").as("cnt"))
+    val fits = vocabDf.limit(driverVocabCap + 1).count() <= driverVocabCap
+    if (fits)
+      learnBpeMergesDriver(
+        vocabDf.collect().map(r => (r.getString(0), r.getLong(1))), numMerges,
+        byteSymbols)
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      learnBpeMergesDistributed(
+        vocabDf.as[(String, Long)]
+          .map { case (t, c) => (byteSymbols(t).toSeq, c) }
+          .toDF("symbols", "cnt"), numMerges)
+    }
+  }
+
+  /** Byte-level encode: each distinct pre-token's mapped byte symbols
+    * folded through the merge list in rank order (the reference
+    * encoder's apply loop; left-to-right non-overlapping per merge). */
+  def encodeByteBpe(tokens: org.apache.spark.sql.Dataset[String],
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_._1).map { case (_, a, b) => (a, b) }
+    val bc = spark.sparkContext.broadcast(ordered)
+    tokens.mapPartitions { it =>
+      val ms = bc.value
+      it.map { tok =>
+        var syms: Vector[String] = byteSymbols(tok).toVector
+        ms.foreach { case (a, b) =>
+          if (syms.length >= 2) {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+          }
+        }
+        (tok, syms)
+      }
+    }.toDF("t", "tokens")
+  }
+
+  /** q375: the first byte-level BPE merges learned from the corpus
+    * behind the GPT-2 pre-tokenizer — rows-only in the gate (iterative
+    * training is not SQL); ByteBpeSpec pins the EXACT sequence against
+    * an independent reference implementation and the byte<->unicode
+    * table against its published anchors. */
+  def qByteBpeMerges(s: SparkSession, d: String, numMerges: Int = 40): DataFrame = {
+    import s.implicits._
+    learnByteBpeMerges(documents(s, d), "text", numMerges)
+      .toDF("rank", "left", "right")
+  }
+
+  /** q376: byte-level BPE corpus encoding with q375's merges —
+    * per-source pre-token/token/byte totals and the tokens-per-byte
+    * fertility (floored ppm), the number a tokenizer budget is planned
+    * from. Occurrence-weighted via one explode + vocab-sized join (the
+    * q82 shape); rows-only (merge table not SQL); ByteBpeSpec asserts
+    * the losslessness and reference-encoder equality the stats rest
+    * on. */
+  def qByteBpeEncode(s: SparkSession, d: String, numMerges: Int = 40): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val merges = learnByteBpeMerges(docs, "text", numMerges)
+    val toks = docs
+      .select(col("source"), explode(regexp_extract_all(col("text"),
+        lit(Gpt2SplitPattern), lit(0))).as("t"))
+      .filter(length(col("t")) > 0)
+    val encoded = encodeByteBpe(toks.select("t").distinct().as[String], merges)
+      .select(col("t"), size(col("tokens")).as("n_tokens"),
+        octet_length(col("t")).as("n_bytes"))
+    toks.join(encoded, Seq("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum("n_tokens").cast("long").as("sum_tokens"),
+        sum("n_bytes").cast("long").as("sum_bytes"))
+      .withColumn("tokens_per_mb", expr("sum_tokens * 1000000 div sum_bytes"))
+      .orderBy("source")
   }
 
   /** q82: BPE encoding of the corpus with the merges q78 learns from
