@@ -3239,6 +3239,9 @@ object SparkEntry {
     // q163: 15 integer-picorank power-iteration rounds unrolled as
     // chained materialized CTEs — all-integer, so bit-exact cross-engine
     "q163_copurchase_rank" -> pagerankOracle,
+    // q253: 5 synchronous LPA rounds unrolled; plurality vote with
+    // min-label ties = windowed max + MIN(label), all-integer
+    "q253_label_propagation" -> lpaOracle,
     // q164: median/MAD fence — quantile_cont is DuckDB's exact
     // interpolated percentile, the same ANSI definition Spark's
     // percentile() uses (the q104 parity)
@@ -9123,6 +9126,39 @@ object SparkEntry {
     * BIGINTs. `//` truncates toward zero, matching the Scala folds;
     * each hour scores against the PRE-update forecast l + b with the
     * 10% over band (10·v > 11·f). */
+
+  /** q253 oracle: 5 synchronous label-propagation rounds unrolled —
+    * per round one edge⋈labels join + the plurality vote with
+    * min-label ties (windowed max count, then MIN(label) among the
+    * tied — exactly Spark's struct-max on (cnt, −label)). All integer;
+    * MATERIALIZED keeps DuckDB's chain evaluation linear. */
+  private val lpaOracle: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""v$k AS MATERIALIZED (
+           SELECT b.u, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM bidir b JOIN l${k - 1} l ON b.v = l.node GROUP BY 1, 2),
+         l$k AS MATERIALIZED (
+           SELECT u AS node, MIN(label) AS label FROM (
+             SELECT u, label, cnt, MAX(cnt) OVER (PARTITION BY u) AS mx
+             FROM v$k) t
+           WHERE cnt = mx GROUP BY u)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         backbone AS MATERIALIZED (
+           SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         bidir AS MATERIALIZED (SELECT u, v FROM backbone UNION ALL SELECT v AS u, u AS v FROM backbone),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM bidir),
+         $rounds,
+         comm AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM l5 GROUP BY label),
+         summary AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                            CAST(SUM(size) AS BIGINT) AS n_nodes FROM comm),
+         top AS (SELECT label, size, ROW_NUMBER() OVER (ORDER BY size DESC, label) AS rank
+                 FROM comm ORDER BY size DESC, label LIMIT 10)
+         SELECT CAST(t.rank AS INT) AS rank, t.label AS community, t.size,
+                s.n_communities, s.n_nodes
+         FROM top t, summary s ORDER BY rank"""
+  }
 
   /** q163 oracle: the 15-round integer-picorank power iteration
     * unrolled as chained MATERIALIZED CTEs (each round referenced by

@@ -151,6 +151,19 @@ object EventTime {
     })
   }
 
+  /** Read a memory-sink table ONCE into a local relation and DROP its
+    * temp view — without this every streaming runner leaked its full
+    * emission history into the session catalog (and heap) for the rest
+    * of the process, measured as whole-suite tail slowdown in the r12
+    * bench adjudication (BENCH_NOTES "suite-state amplification"). */
+  private def snapshotTable(s: SparkSession, name: String): DataFrame = {
+    val t = s.table(name)
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    s.catalog.dropTempView(name)
+    local
+  }
+
   /** q133: the ordered funnel (q131) as STREAMING state — per-user
     * three-timestamp state advanced micro-batch by micro-batch
     * ([[Stateful.funnelStages]]), replayed over a time-ordered 3-file
@@ -183,7 +196,8 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q133 must exercise cross-batch funnel state, saw $dataBatches data batches")
-    val fin = s.table(name).groupBy("user_id").agg(
+    val snap = snapshotTable(s, name)
+    val fin = snap.groupBy("user_id").agg(
       max("v_us").as("v"), max("c_us").as("c"), max("p_us").as("p"))
     fin
       .agg(sum(when(col("v") >= 0, 1L).otherwise(0L)).as("n_view"),
@@ -210,7 +224,7 @@ object EventTime {
       .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
       .start()
     q.awaitTermination()
-    s.table(name)
+    snapshotTable(s, name)
   }
 
   /** q38: tumbling one-hour windows with a 30-minute watermark —
@@ -294,7 +308,7 @@ object EventTime {
     require(spanDays < 35.0,
       f"event-time span $spanDays%.1f days exceeds the 35-day dedup horizon — " +
         "the COUNT(DISTINCT) oracle would no longer be batching-invariant")
-    s.table(name)
+    snapshotTable(s, name)
   }
 
   /** q45's dedup horizon: longer than the synthetic events table's
@@ -451,7 +465,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q158 must exercise cross-batch throttle state, saw $dataBatches data batches")
-    s.table(name).groupBy("user_id", "event_type")
+    snapshotTable(s, name).groupBy("user_id", "event_type")
       .agg(max("n_total").as("t"), max("n_dropped").as("dr"))
       .groupBy("event_type")
       .agg(sum("t").as("n_total"), sum("dr").as("n_dropped"),
@@ -485,7 +499,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q167 must exercise cross-batch session state, saw $dataBatches data batches")
-    s.table(name).groupBy("user_id")
+    snapshotTable(s, name).groupBy("user_id")
       .agg(max("n_sessions").as("n_sessions"),
         max("max_session_events").as("max_session_events"),
         max("n_events").as("n_events"))
@@ -522,7 +536,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q310 must exercise cross-batch island state, saw $dataBatches data batches")
-    s.table(name).groupBy("user_id")
+    snapshotTable(s, name).groupBy("user_id")
       .agg(expr("max_by(n_islands, n_events)").as("n_islands"),
         expr("max_by(covered_sec, n_events)").as("covered_sec"))
   }
@@ -555,7 +569,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q186 must exercise cross-batch detector state, saw $dataBatches data batches")
-    s.table(name).filter(col("n_days") > 7)
+    snapshotTable(s, name).filter(col("n_days") > 7)
       .groupBy("event_type")
       .agg(max(struct(col("n_days"), col("max_s"), col("sum7"),
         col("first_alarm_day"), col("s_at_alarm"))).as("m"))
@@ -594,7 +608,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q298 must exercise cross-batch EWMA state, saw $dataBatches data batches")
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max_by(struct(col("n_hours"), col("final_ewma_micro"),
         col("n_spikes"), col("first_spike_hour")), col("n_seen")).as("m"))
       .select(col("event_type"), col("m.n_hours").as("n_hours"),
@@ -633,7 +647,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q327 must exercise cross-batch Holt state, saw $dataBatches data batches")
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max_by(struct(col("n_hours"), col("level_micro"),
         col("trend_micro"), col("forecast_micro"),
         col("n_over_forecast"), col("first_over_hour")),
@@ -674,7 +688,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q345 must exercise cross-batch MG state, saw $dataBatches data batches")
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max_by(struct(col("n_seen"), col("keys"), col("counts")),
         col("n_seen")).as("m"))
       .select(col("event_type"), col("m.n_seen").as("n_events"),
@@ -710,7 +724,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q314 must exercise cross-batch LOCF state, saw $dataBatches data batches")
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max_by(struct(col("n_days"), col("n_obs"), col("n_filled"),
         col("locf_checksum")), col("n_seen")).as("m"))
       .select(col("event_type"), col("m.n_days").as("n_days"),
@@ -744,7 +758,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q214 must exercise cross-batch register state, saw $dataBatches data batches")
-    val fin = s.table(name).groupBy("event_type")
+    val fin = snapshotTable(s, name).groupBy("event_type")
       .agg(max(col("n_seen")).as("n_events"),
         max_by(col("regs"), col("n_seen")).as("regs"))
     val exact = graft.operators.Tables.events(s, d)
@@ -796,7 +810,8 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q369 must exercise cross-batch rollup state, saw $dataBatches data batches")
-    s.table(name).groupBy("pair")
+    val snap = snapshotTable(s, name)
+    snap.groupBy("pair")
       .agg(max_by(col("n1"), col("n_seen")).as("n1"),
         max_by(col("n2"), col("n_seen")).as("n2"),
         max_by(col("d_num"), col("n_seen")).as("d_num"))
@@ -824,7 +839,7 @@ object EventTime {
       .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
       .start()
     q.awaitTermination()
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max_by(col("regs"), col("n_seen")).as("regs"))
       .collect().map(r => r.getAs[String]("event_type") ->
         r.getAs[Array[Byte]]("regs")).toMap
@@ -862,7 +877,8 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q242 must exercise cross-batch counter state, saw $dataBatches data batches")
-    val fin = s.table(name).groupBy("event_type")
+    val snap = snapshotTable(s, name)
+    val fin = snap.groupBy("event_type")
       .agg(max(col("n_seen")).as("n_events"),
         max_by(col("counts"), col("n_seen")).as("counts"))
       .collect().map(r => r.getAs[String]("event_type") ->
@@ -905,7 +921,7 @@ object EventTime {
       .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
       .start()
     q.awaitTermination()
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max(col("n_seen")).as("n_seen"),
         max_by(col("counts"), col("n_seen")).as("counts"))
       .collect().map(r => r.getAs[String]("event_type") ->
@@ -952,7 +968,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q245 must exercise cross-batch bottom-k state, saw $dataBatches data batches")
-    val fin = s.table(name).groupBy("event_type")
+    val fin = snapshotTable(s, name).groupBy("event_type")
       .agg(max(col("n_seen")).as("n_events"),
         max_by(col("hashes"), col("n_seen")).as("hashes"))
     // exact distinct over the SAME md5 domain the sketch hashes into,
@@ -1009,7 +1025,8 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q265 must exercise cross-batch filter state, saw $dataBatches data batches")
-    val fin = s.table(name).groupBy("event_type")
+    val snap = snapshotTable(s, name)
+    val fin = snap.groupBy("event_type")
       .agg(max(col("n_seen")).as("n_events"),
         max_by(col("bits"), col("n_seen")).as("bits"))
       .collect().map(r => r.getAs[String]("event_type") ->
@@ -1059,7 +1076,7 @@ object EventTime {
       .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
       .start()
     q.awaitTermination()
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max_by(col("bits"), col("n_seen")).as("bits"))
       .collect().map(r => r.getAs[String]("event_type") ->
         r.getAs[Array[Byte]]("bits")).toMap
@@ -1103,7 +1120,8 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q281 must exercise cross-batch rollup state, saw $dataBatches data batches")
-    s.table(name).groupBy("event_type")
+    val snap = snapshotTable(s, name)
+    snap.groupBy("event_type")
       .agg(max_by(col("weekly"), col("n_seen")).as("weekly"))
       .select(col("event_type"), explode(col("weekly")).as("w"))
       .select(col("event_type"), col("w._1").as("week"), col("w._2").as("n"),
@@ -1129,7 +1147,7 @@ object EventTime {
       .option("checkpointLocation", Files.createTempDirectory("graft-et").toString)
       .start()
     q.awaitTermination()
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max_by(col("hashes"), col("n_seen")).as("hashes"))
       .collect().map(r => r.getAs[String]("event_type") ->
         r.getAs[scala.collection.Seq[String]]("hashes").toVector.toSeq).toMap
@@ -1165,7 +1183,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q200 must exercise cross-batch touch state, saw $dataBatches data batches")
-    val fin = s.table(name).groupBy("user_id")
+    val fin = snapshotTable(s, name).groupBy("user_id")
       .agg(max("click_n").as("cn"), max("click_cents").as("cc"),
         max("view_n").as("vn"), max("view_cents").as("vc"),
         max("un_n").as("un"), max("un_cents").as("uc"))
@@ -1207,7 +1225,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q372 must exercise cross-batch carried state, saw $dataBatches data batches")
-    s.table(name).groupBy("from_type", "to_type")
+    snapshotTable(s, name).groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
       .orderBy("from_type", "to_type")
   }
@@ -1238,7 +1256,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q373 must exercise cross-batch moment state, saw $dataBatches data batches")
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max(col("n")).as("n_events"),
         max_by(col("sum_cents"), col("n")).as("sum_cents"),
         max_by(col("sumsq_cents"), col("n")).as("sumsq_cents"))
@@ -1272,7 +1290,7 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q374 must exercise cross-batch id-set state, saw $dataBatches data batches")
-    s.table(name).groupBy("event_type")
+    snapshotTable(s, name).groupBy("event_type")
       .agg(max(col("n_seen")).as("n_events"),
         max_by(col("n_users"), col("n_seen")).as("n_users"))
       .orderBy("event_type")

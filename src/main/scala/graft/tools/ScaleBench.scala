@@ -259,7 +259,15 @@ object ScaleBench {
       // reshuffle), pHash near-dup (banded Hamming), the streaming KS
       // fold, and the bucket-boundary DP (value-domain collect)
       "q365_hits", "q366_image_phash_near_dup", "q369_streaming_ks",
-      "q370_bucket_boundaries", "q371_yuen_trimmed")
+      "q370_bucket_boundaries", "q371_yuen_trimmed",
+      // round 12: the oracle-carrying streaming trio (state is
+      // user-sized / type-sized / domain-bounded respectively — the
+      // probes ground those three state-growth arguments) and the
+      // byte-level BPE pair (pre-token vocab grows ~linearly under the
+      // bijection; merge rounds stay vocab-sized)
+      "q372_streaming_transitions", "q373_streaming_moments",
+      "q374_streaming_distinct", "q375_byte_bpe_merges",
+      "q376_byte_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
