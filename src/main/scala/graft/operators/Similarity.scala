@@ -1290,7 +1290,17 @@ object Similarity {
       .select(col("doc_id"), col("chunk_idx"),
         explode(graft.functions.tokens(lower(col("chunk")))).as("term"))
       .filter(length(col("term")) > 0)
-    val dl = ctoks.groupBy("doc_id", "chunk_idx").agg(count(lit(1)).as("dl"))
+    // r12 OPTIMIZATION (guide §2.4): per-chunk length is a ROW-LOCAL
+    // size() over the same token array the explode draws from — the
+    // old explode + groupBy(doc_id, chunk_idx) shuffled every corpus
+    // token to count them. The `dl > 0` filter reproduces the inner
+    // explode semantics exactly (a token-free chunk had no rows, so it
+    // never reached dl or the n_chunks/avgdl stats).
+    val dl = chunks
+      .select(col("doc_id"), col("chunk_idx"),
+        size(filter(graft.functions.tokens(lower(col("chunk"))),
+          t => length(t) > 0)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val cstats = dl.agg(count(lit(1)).as("n_chunks"), avg("dl").as("avgdl"))
     val tf = ctoks.join(broadcast(qterms.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "chunk_idx", "term").agg(count(lit(1)).as("tf"))

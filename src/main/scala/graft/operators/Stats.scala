@@ -2142,8 +2142,13 @@ object Stats {
     * Shared by q278 (per nation) and q284 (per week pair). */
   private def kendallByGroup(df: DataFrame, group: String): DataFrame = {
     // the (group, x, y) value domain with multiplicities — the one
-    // corpus-sized shuffle; everything below is over the grouped form
+    // corpus-sized shuffle; everything below is over the grouped form.
+    // r12 OPTIMIZATION (guide §1.2): three rollups (stats, n1, n2) read
+    // g3 — materialize the value-domain table once instead of trusting
+    // ReuseExchange to dedupe the subtree across AQE re-planning (it
+    // re-derived the whole upstream join per rollup in the q284 plan).
     val g3 = df.groupBy(group, "x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val stats = g3.groupBy(group).agg(
       sum("c").as("n"),
       // n3 = Σ C(c_xy, 2): pairs tied in BOTH coordinates
@@ -2199,11 +2204,15 @@ object Stats {
     val ord = orders(s, d).select(col("o_orderkey"),
       to_date(col("o_orderdate")).as("day"))
     val start = ord.agg(min(col("day")).as("d0"))
+    // r12 OPTIMIZATION (guide §1.2): both self-join sides (cur, nxt)
+    // read this fact rollup — materialize it once; the (week, part)
+    // table is vastly smaller than the lineitem⋈orders join it caps.
     val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .crossJoin(broadcast(start))
       .withColumn("week", expr("datediff(day, d0) div 7"))
       .groupBy("week", "l_partkey")
       .agg(sum("cents").as("cents"))
+      .localCheckpoint()
     val cur = rev.select(col("week"), col("l_partkey").as("pk"),
       col("cents").as("x"))
     val nxt = rev.select((col("week") - 1).as("week"),

@@ -264,10 +264,15 @@ object TextAnalysis {
     val docs = documents(s, d)
       .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
     val nDocs = docs.select(count("*").as("n_docs"))
+    // r12 OPTIMIZATION (guide §2.3): dedup a document's terms IN-ROW
+    // (array_distinct) before the explode, so df is a plain count —
+    // the old count_distinct(doc_id) shipped every (term, doc_id)
+    // occurrence through a two-phase distinct aggregate; now each
+    // (term, doc) pair crosses once and the rollup collapses map-side.
     val common = docs
-      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .select(explode(array_distinct(col("ts"))).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= lit(dfFrac) * col("n_docs"))
       .agg(sort_array(collect_list(col("term"))).as("cs"))
@@ -875,11 +880,22 @@ object TextAnalysis {
     val words = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val pieces = words.select(explode(expr(
+    // r12 OPTIMIZATION (guide §2.3, shuffle fewer bytes): count corpus
+    // words FIRST (one word-sized exchange that collapses map-side onto
+    // the Heaps-sublinear distinct-word set), then explode substrings
+    // of DISTINCT words only, each piece carrying its word's count.
+    // The old shape exploded every corpus word occurrence ×(≤ maxLen ×
+    // chars) before the piece rollup — the piece exchange's input was
+    // corpus-tokens × explode-factor; now it is distinct-words ×
+    // explode-factor (the q213/q82 distinct-words device applied to
+    // the learner itself). Σ wn over a word's pieces ≡ counting each
+    // occurrence's pieces, so counts are bit-identical.
+    val wc = words.groupBy("w").agg(count(lit(1)).as("wn"))
+    val pieces = wc.select(col("wn"), explode(expr(
       s"""flatten(transform(sequence(1, length(w)),
             s -> transform(sequence(1, least($maxLen, length(w) - s + 1)),
                    l -> substring(w, s, l))))""")).as("piece"))
-    val counts = pieces.groupBy("piece").agg(count(lit(1)).as("n"))
+    val counts = pieces.groupBy("piece").agg(sum(col("wn")).as("n"))
     val top = counts.orderBy(col("n").desc, col("piece").asc).limit(vocabSize)
     val chars = counts.filter(length(col("piece")) === 1)
       .orderBy(col("n").desc, col("piece").asc).limit(charCap)

@@ -156,8 +156,18 @@ object EventTime {
     * emission history into the session catalog (and heap) for the rest
     * of the process, measured as whole-suite tail slowdown in the r12
     * bench adjudication (BENCH_NOTES "suite-state amplification"). */
-  private def snapshotTable(s: SparkSession, name: String): DataFrame = {
-    val t = s.table(name)
+  private def snapshotTable(s: SparkSession, name: String): DataFrame =
+    snapshotAgg(s, name)(identity)
+
+  /** [[snapshotTable]] with the final rollup applied BEFORE the
+    * collect (r12 OPTIMIZATION, guide §5: don't pull row-scaled data
+    * to the driver): for runners whose emission history is row-scaled
+    * (q372 emits one edge per input event), aggregating the sink table
+    * first means the local relation holds the group-sized result, not
+    * a second full copy of the history. */
+  private def snapshotAgg(s: SparkSession, name: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val t = agg(s.table(name))
     val local = s.createDataFrame(
       java.util.Arrays.asList(t.collect(): _*), t.schema)
     s.catalog.dropTempView(name)
@@ -792,11 +802,19 @@ object EventTime {
     val src = eventsStreamTimeOrdered(s, d, parts = 3)
       .select(col("event_type"),
         expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("v"))
-    val tagged = arms.map { a =>
-      src.filter(col("event_type").isin(a, "view"))
-        .select(lit(a).as("pair"),
-          (col("event_type") === a).cast("long").as("in_arm"), col("v"))
-    }.reduce(_ unionAll _).as[(String, Long, Long)]
+    // r12 OPTIMIZATION (guide §2.4): the old 4-way unionAll of filtered
+    // branches scanned every micro-batch's file four times; one scan
+    // with an in-row fanout emits the identical row multiset — an arm
+    // event routes to its own pair, a control event explodes to all
+    // four pairs, anything else to none.
+    val armsLit = array(arms.map(lit): _*)
+    val tagged = src
+      .select(explode(when(col("event_type") === "view", armsLit)
+          .when(col("event_type").isin(arms: _*), array(col("event_type")))
+          .otherwise(array().cast("array<string>"))).as("pair"),
+        (col("event_type") =!= "view").cast("long").as("in_arm"), col("v"))
+      .select(col("pair"), col("in_arm"), col("v"))
+      .as[(String, Long, Long)]
     val prog = Stateful.ksDriftProgress(tagged)
     val name = "graft_et_" + UUID.randomUUID().toString.replace("-", "")
     val q = prog.toDF().writeStream
@@ -1225,8 +1243,8 @@ object EventTime {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= 3,
       s"q372 must exercise cross-batch carried state, saw $dataBatches data batches")
-    snapshotTable(s, name).groupBy("from_type", "to_type")
-      .agg(count(lit(1)).as("n"))
+    snapshotAgg(s, name)(_.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n")))
       .orderBy("from_type", "to_type")
   }
 
