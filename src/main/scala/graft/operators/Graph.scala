@@ -150,11 +150,26 @@ object Graph {
     // whose endpoint has no out-list — exactly the zero-contribution
     // edges. Sum of longs: deterministic.
     graft.functions.GraftFunctions.register(s)
+    // r12 OPTIMIZATION (guide §3.1): the adjacency table's TOTAL
+    // payload is exactly the oriented edge count (each edge appears in
+    // one out-list), so when the graph fits the same broadcast budget
+    // the rank joins use, hinting BOTH adjacency joins broadcast turns
+    // the triangle pass into one scan of the checkpointed edges with
+    // two map-side hash joins — the two edge-sized exchanges + sorts
+    // are gone. Boundary is edge-count-based (lists are payload, not
+    // one row each): `spark.graft.graph.adjBroadcastMaxEdges`, default
+    // 10M edges ≈ 160 MB of packed longs; past it AQE plans the joins
+    // exactly as before.
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val adjBroadcastMax = s.conf
+      .get("spark.graft.graph.adjBroadcastMaxEdges", "10000000").toLong
+    val nOriented = oriented.count()
+    def hintedAdj(a: DataFrame): DataFrame =
+      if (nOriented <= adjBroadcastMax) broadcast(a) else a
     val triangles = oriented.select("src", "dst")
-      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .join(hintedAdj(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
+      .join(hintedAdj(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), Seq("dst"))
       .agg(coalesce(sum(graft.functions.sortedIntersectSize(col("nu"), col("nv"))),
         lit(0L)))
       .head().getLong(0)
@@ -410,36 +425,33 @@ object Graph {
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
     // truncate each item's vector to its top-`cap` neighbor weights.
-    // r12 OPTIMIZATION (guide §2.4, the q251/q166 in-row discipline):
-    // both caps are in-row sorted slices — sort_array over
-    // struct(-w, id) ascending IS the (w desc, id) total order the old
-    // row_number windows applied — and the wedge set is the in-plan
-    // pair expansion over the capped inverted list, replacing two
-    // window exchanges + an edge-sized checkpoint + the inv⋈inv
-    // sort-merge self-join. Row multisets are bit-identical (ids are
-    // distinct within a group, so the order is total).
-    val vec = bidir.groupBy("u")
-      .agg(slice(sort_array(collect_list(
-        struct((-col("w")).as("nw"), col("v")))), 1, cap).as("nbrs"))
-      .select(col("u").as("item"), explode(col("nbrs")).as("e"))
-      .select(col("item"), col("e.v").as("k"), (-col("e.nw")).as("w"))
+    // (r12 note: the q251-style in-row sorted-slice rewrite was
+    // implemented and MEASURED WORSE here — interleaved fresh-JVM A/B
+    // read old 8.4/14.4 s vs new 9.4/15.9 s — because these lists are
+    // (weight, id) STRUCTS over a dense weighted graph: two
+    // collect_list aggregations materializing ~120-element struct
+    // lists per node cost more than the window+checkpoint+SMJ they
+    // replace, unlike q251's plain-long lists. Reverted; the window
+    // rank filter streams and discards beyond the cap.)
+    val rk = Window.partitionBy("u").orderBy(col("w").desc, col("v"))
+    val vec = bidir.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= cap)
+      .select(col("u").as("item"), col("v").as("k"), col("w"))
       .cutLineage()
     val norms = vec.groupBy("item")
       .agg(sum(col("w") * col("w")).as("n2"))
     // cap the inverted list: per middle item k, keep the `invCap`
-    // strongest incident entries — bounds the wedge expansion at
-    // invCap² per k regardless of how popular k is
-    val wedges = vec.groupBy("k")
-      .agg(slice(sort_array(collect_list(
-        struct((-col("w")).as("nw"), col("item")))), 1, invCap).as("ents"))
-      .select(explode(expr(
-        """flatten(transform(ents, (x, i) ->
-             transform(slice(ents, i + 2, size(ents) - i - 1),
-               y -> struct(least(x.item, y.item) AS a,
-                           greatest(x.item, y.item) AS b,
-                           x.nw * y.nw AS prod))))""")).as("e"))
-      .groupBy(col("e.a").as("u"), col("e.b").as("v"))
-      .agg(sum(col("e.prod")).as("dot"),
+    // strongest incident entries — bounds the wedge join at invCap²
+    // per k regardless of how popular k is
+    val irk = Window.partitionBy("k").orderBy(col("w").desc, col("item"))
+    val inv = vec.withColumn("irk", row_number().over(irk))
+      .filter(col("irk") <= invCap)
+      .select("item", "k", "w")
+      .cutLineage()
+    val wedges = inv.as("x").join(inv.as("y"),
+        col("x.k") === col("y.k") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("u"), col("y.item").as("v"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"),
         count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     wedges

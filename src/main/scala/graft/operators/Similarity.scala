@@ -660,9 +660,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor")).localCheckpoint()
     val indexDir = ivfIndexDir(s, d)
     val nQueries = brute.select("query_id").distinct().count()
+    // r12 OPTIMIZATION (guide §1.2): the probe budgets are nested —
+    // the cells probed at nprobe=p are exactly the prank ≤ p prefix of
+    // the nprobe=max(probes) ranking — so ONE probed-cells scan and ONE
+    // exact-cosine pass serve every budget (the old loop re-collected
+    // cells, re-scanned, and re-scored per budget). Each budget then
+    // filters prank ≤ p and ranks over the checkpointed scored frame:
+    // per-budget results identical to an independent
+    // ivfSearchFromIndex(nprobe = p) run.
+    val maxP = probes.max
+    val centroids = s.read.parquet(s"$indexDir/centroids")
+    val qcols = qs.select(col("query_id"), col("q_emb").cast("array<double>").as("q_emb"))
+    val d2c = expr("aggregate(zip_with(q_emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    val probeW = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell").asc)
+    val probed = qcols.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"), d2c.as("d2"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= maxP)
+      .select("query_id", "q_emb", "cell", "prank")
+    val probedCells = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = s.read.parquet(s"$indexDir/assignments")
+      .where(col("cell").isin(probedCells: _*))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("prank"), col("vec_id"),
+        cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     probes.map { p =>
-      val ivf = ivfSearchFromIndex(s, indexDir, qs, p, k)
-        .select(col("query_id").as("q2"), col("neighbor").as("n2"))
+      val ivf = scored.filter(col("prank") <= p)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id").as("q2"), col("vec_id").as("n2"))
       val overlap = brute.join(ivf,
         col("query_id") === col("q2") && col("neighbor") === col("n2"))
         .count()
