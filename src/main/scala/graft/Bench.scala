@@ -567,6 +567,15 @@ object Bench {
     val nTimed = (results ++ extraResults).size
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_full_suite":$fullSuite%.3f,"n_timed":$nTimed%d,"canary":$canaryJson%s,"load_suspect":$loadSuspectJson%s,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // r13 (VERDICT r12 #2): the full contract line above outgrew the
+    // driver's captured-output tail (~2.2 KB) around 8 KB of per-query
+    // entries, so 12/12 rounds parsed as null and the canary /
+    // load_suspect fields never reached a PERF artifact. Emit a SECOND,
+    // compact totals line (same fields minus the per-query map) AFTER
+    // the full line — it fits any tail capture. Additive only: the full
+    // contract line and the bench_out.json self-persist are unchanged.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_full_suite":$fullSuite%.3f,"n_timed":$nTimed%d,"canary":$canaryJson%s,"load_suspect":$loadSuspectJson%s,"sf":"$sfDir"}"""
+    println(compact)
     // self-persist beside stdout (VERDICT r9 #5): the driver's bench
     // harness truncated the stdout tail in r8/r9 ("parsed": null), so
     // the canary fields never reached the artifact — the file copy is

@@ -75,35 +75,68 @@ object Graph {
     val edgesW = edges.join(wdeg.select(col("u"), col("wdeg")), Seq("u"))
       .select(col("u"), col("v"), col("w"), col("wdeg"))
       .cutLineage()
-    var ranks = wdeg.select(col("u"), lit(init).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = edgesW.join(hinted(ranks), Seq("u"))
-        .select(col("v"), expr("(r * w) div wdeg").as("c"))
-        .groupBy("v").agg(sum("c").as("cin"))
-      // materialize per round: the next round's broadcast build reads
-      // ranks, so an unmaterialized chain would re-execute every round
-      // since the last cut (quadratic recompute); one node-sized
-      // checkpoint per round is the cheap side of that trade.
-      // r12 OPTIMIZATION (guide §2.4): the old per-round
-      // wdeg LEFT JOIN contrib existed to re-attach zero-in-edge nodes,
-      // but the edge set is symmetric by construction (pairs ∪
-      // reversed pairs), so every wdeg node has ≥1 in-edge and contrib
-      // already carries exactly the node set — the join (one node-sized
-      // exchange per round, ×15 rounds) is the identity and is gone.
-      val prev = ranks
-      ranks = contrib
-        .select(col("v").as("u"),
-          (lit(base) + expr("85L * cin div 100L")).as("r"))
-        .cutLineage()
-      // the new round is materialized; the superseded round's blocks
-      // would otherwise sit in executor storage until a GC cycle
-      Iterate.release(prev)
+    // r13 OPTIMIZATION (VERDICT r12 #4, guide §1.2): under the SAME
+    // boundary that already ships the node-sized rank table through a
+    // broadcast every round, the loop runs as a DRIVER ROUND-TRIP —
+    // each round is ONE distributed job (edge ⋈ broadcast(local ranks)
+    // → destination-keyed partial-agg sum → node-sized collect), and
+    // the damping mix `base + 85·cin div 100` is applied driver-side
+    // with identical long arithmetic (Java `/` on non-negative longs ≡
+    // SQL `div`). The old shape paid, per round, a localCheckpoint job
+    // PLUS a broadcast-build job re-reading the checkpointed blocks —
+    // 2 jobs + O(rounds) executor storage churn for the same bytes the
+    // broadcast already moved to the driver. Ranks bit-identical
+    // (GraphSpec: both boundary modes agree; sequential reference).
+    // Past the boundary, the distributed checkpoint-per-round loop
+    // below is unchanged — the edge table still never reshuffles.
+    if (hintBroadcast) {
+      import s.implicits._
+      var ranks: Seq[(Long, Long)] = wdeg.select("u").collect()
+        .map(r => (r.getLong(0), init)).toSeq
+      for (_ <- 1 to iters) {
+        val round = edgesW.join(broadcast(ranks.toDF("u", "r")), Seq("u"))
+          .select(col("v"), expr("(r * w) div wdeg").as("c"))
+          .groupBy("v").agg(sum("c").as("cin"))
+        if (roundPlanHook ne null) roundPlanHook("q163_round", round)
+        ranks = round.collect()
+          .map(r => (r.getLong(0), base + 85L * r.getLong(1) / 100L)).toSeq
+      }
+      wdeg.join(broadcast(ranks.toDF("u", "r")), "u")
+        .orderBy(col("r").desc, col("u"))
+        .limit(topK)
+        .select(col("u").as("part"), col("deg").as("degree"),
+          col("wdeg").as("weighted_degree"), col("r").as("rank_pico"))
+    } else {
+      var ranks = wdeg.select(col("u"), lit(init).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = edgesW.join(hinted(ranks), Seq("u"))
+          .select(col("v"), expr("(r * w) div wdeg").as("c"))
+          .groupBy("v").agg(sum("c").as("cin"))
+        // materialize per round: the next round's broadcast build reads
+        // ranks, so an unmaterialized chain would re-execute every round
+        // since the last cut (quadratic recompute); one node-sized
+        // checkpoint per round is the cheap side of that trade.
+        // r12 OPTIMIZATION (guide §2.4): the old per-round
+        // wdeg LEFT JOIN contrib existed to re-attach zero-in-edge nodes,
+        // but the edge set is symmetric by construction (pairs ∪
+        // reversed pairs), so every wdeg node has ≥1 in-edge and contrib
+        // already carries exactly the node set — the join (one node-sized
+        // exchange per round, ×15 rounds) is the identity and is gone.
+        val prev = ranks
+        ranks = contrib
+          .select(col("v").as("u"),
+            (lit(base) + expr("85L * cin div 100L")).as("r"))
+          .cutLineage()
+        // the new round is materialized; the superseded round's blocks
+        // would otherwise sit in executor storage until a GC cycle
+        Iterate.release(prev)
+      }
+      ranks.join(wdeg, "u")
+        .orderBy(col("r").desc, col("u"))
+        .limit(topK)
+        .select(col("u").as("part"), col("deg").as("degree"),
+          col("wdeg").as("weighted_degree"), col("r").as("rank_pico"))
     }
-    ranks.join(wdeg, "u")
-      .orderBy(col("r").desc, col("u"))
-      .limit(topK)
-      .select(col("u").as("part"), col("deg").as("degree"),
-        col("wdeg").as("weighted_degree"), col("r").as("rank_pico"))
   }
 
   /** q166: triangle census of the co-purchase graph — triangle count,
@@ -164,9 +197,14 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val adjBroadcastMax = s.conf
       .get("spark.graft.graph.adjBroadcastMaxEdges", "10000000").toLong
-    val nOriented = oriented.count()
+    // r13 (ADVICE r12): orientation maps each distinct edge 1:1, so
+    // |oriented| = |pairs| by construction — count the checkpointed
+    // pairs ONCE and reuse the scalar for both the broadcast gate and
+    // the n_edges output column (the old shape ran two identical
+    // edge-count jobs per call).
+    val nEdges = pairs.count()
     def hintedAdj(a: DataFrame): DataFrame =
-      if (nOriented <= adjBroadcastMax) broadcast(a) else a
+      if (nEdges <= adjBroadcastMax) broadcast(a) else a
     val triangles = oriented.select("src", "dst")
       .join(hintedAdj(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
       .join(hintedAdj(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), Seq("dst"))
@@ -175,7 +213,6 @@ object Graph {
       .head().getLong(0)
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("wedges")).head()
-    val nEdges = pairs.count()
     val nNodes = stats.getLong(0)
     val wedges = stats.getLong(1)
     import s.implicits._
@@ -279,11 +316,12 @@ object Graph {
     * ToomCook multiply in SizeInBytesOnlyStatsPlanVisitor). */
   private[graft] def kCoreHistogram(pairs0: DataFrame,
       maxRounds: Int = 100): DataFrame = {
+    val s = pairs0.sparkSession
     val pairs = pairs0.cutLineage()
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .cutLineage()
-    var core = bidir.groupBy("u").agg(count(lit(1)).as("core"))
+    val core0 = bidir.groupBy("u").agg(count(lit(1)).as("core"))
       .cutLineage()
     var changed = 1L
     var round = 0
@@ -293,24 +331,63 @@ object Graph {
     val hExpr = expr(
       "size(filter(transform(sort_array(ncs, false), (x, i) -> x >= i + 1)," +
         " b -> b))")
-    var prevNext: DataFrame = null
-    while (changed > 0 && round < maxRounds) {
-      val h = bidir
-        .join(core.select(col("u").as("v"), col("core").as("nc")), Seq("v"))
-        .groupBy("u").agg(collect_list("nc").as("ncs"))
-        .select(col("u"), hExpr.cast("long").as("h"))
-      val next = core.join(h, Seq("u"))
-        .select(col("u"), col("core"), least(col("core"), col("h")).as("nc"))
-        .cutLineage()
-      changed = next.filter(col("nc") < col("core")).count()
-      if (prevNext ne null) Iterate.release(prevNext) // superseded round
-      prevNext = next
-      core = next.select(col("u"), col("nc").as("core"))
-      round += 1
-      if (probeHook ne null) probeHook(round, changed)
+    val nNodes = core0.count()
+    val rankBroadcastMax = s.conf
+      .get("spark.graft.graph.rankBroadcastMaxNodes", "10000000").toLong
+    // r13 OPTIMIZATION (the q163/q365 driver-round device): the core
+    // table is node-sized; under the broadcast boundary each sweep is
+    // ONE job — edge ⋈ broadcast(local cores) → per-node h-index →
+    // collect — with the `least(core, h)` contraction and the
+    // changed-count applied driver-side, replacing the old per-round
+    // shuffle join + node-sized checkpoint + separate count job.
+    // Values bit-identical (integer h-index; GraphSpec pins the
+    // fixpoint against sequential Batagelj–Zaversnik peeling). Past the
+    // boundary the dense checkpoint-per-sweep loop is unchanged.
+    if (nNodes <= rankBroadcastMax) {
+      import s.implicits._
+      var core = core0.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      Iterate.release(core0) // the loop state now lives on the driver
+      while (changed > 0 && round < maxRounds) {
+        val sweep = bidir
+          .join(broadcast(core.toSeq.toDF("v", "nc")), Seq("v"))
+          .groupBy("u").agg(collect_list("nc").as("ncs"))
+          .select(col("u"), hExpr.cast("long").as("h"))
+        if (roundPlanHook ne null) roundPlanHook("q184_sweep", sweep)
+        var ch = 0L
+        val next = sweep.collect().map { r =>
+          val u = r.getLong(0)
+          val nc = math.min(core(u), r.getLong(1))
+          if (nc < core(u)) ch += 1
+          u -> nc
+        }.toMap
+        core = next
+        changed = ch
+        round += 1
+        if (probeHook ne null) probeHook(round, changed)
+      }
+      core.groupBy(_._2).map { case (c, m) => (c, m.size.toLong) }
+        .toSeq.toDF("coreness", "n_nodes")
+    } else {
+      var core = core0
+      var prevNext: DataFrame = null
+      while (changed > 0 && round < maxRounds) {
+        val h = bidir
+          .join(core.select(col("u").as("v"), col("core").as("nc")), Seq("v"))
+          .groupBy("u").agg(collect_list("nc").as("ncs"))
+          .select(col("u"), hExpr.cast("long").as("h"))
+        val next = core.join(h, Seq("u"))
+          .select(col("u"), col("core"), least(col("core"), col("h")).as("nc"))
+          .cutLineage()
+        changed = next.filter(col("nc") < col("core")).count()
+        if (prevNext ne null) Iterate.release(prevNext) // superseded round
+        prevNext = next
+        core = next.select(col("u"), col("nc").as("core"))
+        round += 1
+        if (probeHook ne null) probeHook(round, changed)
+      }
+      core.groupBy("core").agg(count(lit(1)).as("n_nodes"))
+        .select(col("core").as("coreness"), col("n_nodes"))
     }
-    core.groupBy("core").agg(count(lit(1)).as("n_nodes"))
-      .select(col("core").as("coreness"), col("n_nodes"))
   }
 
   /** The Batagelj–Zaversnik BUCKET variant of [[kCoreHistogram]] —
@@ -379,6 +456,14 @@ object Graph {
   }
 
   @volatile private[graft] var probeHook: (Int, Long) => Unit = null
+
+  /** r13 (VERDICT r12 #9): observability hook for MID-ITERATION plan
+    * evidence — the loop operators' round frames never appear in the
+    * final query plan (they are consumed by per-round actions), so the
+    * committed `plans/` files could not evidence the per-round join
+    * shapes. Tools set this to capture one round frame's explain; the
+    * production path pays a null check. */
+  @volatile private[graft] var roundPlanHook: (String, DataFrame) => Unit = null
 
   /** Observability for GraphSpec/probes: whether the last
     * [[qCopurchaseRank]] run hinted the rank join broadcast (the
@@ -499,6 +584,33 @@ object Graph {
     def hinted(r: DataFrame): DataFrame =
       if (nNodes <= rankBroadcastMax) broadcast(r) else r
     import s.implicits._
+    // r13 OPTIMIZATION (the q163/q365 driver-round device): frontier
+    // and visited are node-sized and already crossed the driver every
+    // hop as broadcast builds; keeping them AS driver state makes each
+    // hop ONE job — edge ⋈ broadcast(local frontier) → distinct →
+    // collect — with the visited anti-join a driver-side set filter,
+    // replacing the old per-hop checkpoint + count + visited-union
+    // checkpoint. Hop assignment identical (first hop that reaches a
+    // node claims it). Past the boundary the r12 loop is unchanged.
+    if (nNodes <= rankBroadcastMax) {
+      val visited = scala.collection.mutable.LongMap.empty[Int]
+      visited(source) = 0
+      var frontier: Seq[Long] = Seq(source)
+      var hop = 1
+      while (hop <= maxHops && frontier.nonEmpty) {
+        val next = bidir
+          .join(broadcast(frontier.toDF("u")), Seq("u"))
+          .select(col("v")).distinct()
+        if (roundPlanHook ne null) roundPlanHook("q171_hop", next)
+        frontier = next.collect().iterator.map(_.getLong(0))
+          .filter(n => !visited.contains(n)).toSeq
+        frontier.foreach(n => visited(n) = hop)
+        hop += 1
+      }
+      val reached = visited.valuesIterator.toSeq.groupBy(identity)
+        .map { case (h, hs) => (h, hs.size.toLong) }.toSeq
+      (reached :+ ((-1, nNodes - visited.size))).toDF("hop", "n_nodes")
+    } else {
     var visited = Seq((source, 0)).toDF("node", "hop").cutLineage()
     var frontier = visited.select("node")
     var prevNext: DataFrame = null
@@ -522,6 +634,7 @@ object Graph {
     val reached = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
     val unreachedCount = nNodes - visited.count()
     reached.union(Seq((-1, unreachedCount)).toDF("hop", "n_nodes"))
+    }
   }
 
   /** q169: degree assortativity — the Pearson correlation of endpoint
@@ -607,33 +720,89 @@ object Graph {
     val pairs = copurchaseEdges(s, d).cutLineage()
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
-    val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg"))
-    // r12 OPTIMIZATION (guide §2.4, the q166 in-row discipline): the
-    // capped adjacency is built as ONE exchange-by-u with an in-row
-    // sorted slice — slice(sort_array(vs), 1, invCap) IS the old
-    // row_number-over-(u order by v) ≤ invCap rule — and the wedge set
-    // comes from the same in-plan pair expansion the edge build uses,
-    // replacing the inv materialization (an edge-sized checkpoint) and
-    // the inv⋈inv sort-merge self-join (one more edge-sized exchange +
-    // two sorts) with a row-local transform. Measured at sf0.1 the old
-    // inv checkpoint + wedge join were 2.8 s + 6.5 s of q251's ~13 s;
-    // the wedge multiset and every downstream row are bit-identical.
-    val adj = bidir.groupBy("u")
-      .agg(slice(sort_array(collect_list(col("v"))), 1, invCap).as("nbrs"))
-    val cand = adj
-      .select(explode(expr(
-        """flatten(transform(nbrs, (x, i) ->
-             transform(slice(nbrs, i + 2, size(nbrs) - i - 1),
-               y -> struct(x AS a, y AS b))))""")).as("e"))
-      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+    // r13 OPTIMIZATION (VERDICT r12 #1/#8): the degree table is
+    // node-sized and needed twice by the scoring joins anyway, so it
+    // checkpoints once and ONE scalar job over the checkpointed blocks
+    // yields every boundary decision this query makes — edge count
+    // (broadcast gates), max node id (packed-key gate), max degree
+    // (the in-row-adjacency hub guard).
+    val deg = bidir.groupBy("u").agg(count(lit(1)).as("dg")).cutLineage()
+    val gRow = deg.agg(sum("dg"), max("u"), max("dg")).head()
+    val nEdges = gRow.getLong(0) / 2
+    val maxId = gRow.getLong(1)
+    val maxDeg = gRow.getLong(2)
+    // §3.1 broadcast boundary (same conf as q166's adjacency joins):
+    // when the EDGE SET fits the broadcast budget, the anti-join probe
+    // and both degree joins become map-side hash joins — the candidate
+    // table (the big operand: O(Σ min(deg,cap)²) rows) is never
+    // re-shuffled after its one rollup exchange. Past the boundary AQE
+    // plans all three joins exactly as before (deg ≤ 2·edges rows, so
+    // the edge gate covers the degree side a fortiori).
+    val adjBroadcastMax = s.conf
+      .get("spark.graft.graph.adjBroadcastMaxEdges", "10000000").toLong
+    def hintedE(df: DataFrame): DataFrame =
+      if (nEdges <= adjBroadcastMax) broadcast(df) else df
+    // §2.3 shuffle narrower keys: node ids below 2³¹ pack an (a, b)
+    // pair into ONE non-negative BIGINT (a·2³² + b — bijective, so
+    // grouping/joining on the packed key is grouping/joining on the
+    // pair), halving the wedge exchange's key bytes and replacing
+    // struct hashing/comparison with plain long ops. Past 2³¹ the
+    // struct path below is taken unchanged.
+    val packOk = maxId < (1L << 31)
+    // r12 guide §2.4, now behind the r13 hub guard (VERDICT r12 #3):
+    // the in-row sorted slice materializes each node's FULL neighbor
+    // list in the collect_list buffer before slicing, so per-group
+    // agg memory is bounded by max degree, not invCap. On graphs whose
+    // hubs pass `spark.graft.graph.inrowAdjMaxDegree` (default 1M ≈
+    // 8 MB of longs per hub group, well inside a task's execution
+    // memory), that trade is measured profit (r12: −7 s structural at
+    // sf0.1); past the bound the old window formulation streams each
+    // partition and discards beyond the cap — identical rows by the
+    // shared rank rule (row_number over (u ORDER BY v) ≤ invCap ≡
+    // slice(sort_array(vs), 1, invCap)).
+    val inRowMaxDeg = s.conf
+      .get("spark.graft.graph.inrowAdjMaxDegree", "1000000").toLong
+    val wedges =
+      if (maxDeg <= inRowMaxDeg) {
+        bidir.groupBy("u")
+          .agg(slice(sort_array(collect_list(col("v"))), 1, invCap).as("nbrs"))
+          .select(explode(expr(
+            s"""flatten(transform(nbrs, (x, i) ->
+                 transform(slice(nbrs, i + 2, size(nbrs) - i - 1),
+                   y -> ${if (packOk) "x * 4294967296L + y"
+                         else "struct(x AS a, y AS b)"})))""")).as("e"))
+      } else {
+        val inv = bidir.withColumn("rk",
+            row_number().over(Window.partitionBy("u").orderBy("v")))
+          .filter(col("rk") <= invCap)
+          .select(col("u").as("k"), col("v").as("nb"))
+          .cutLineage()
+        inv.as("x").join(inv.as("y"),
+            col("x.k") === col("y.k") && col("x.nb") < col("y.nb"))
+          .select((if (packOk) expr("x.nb * 4294967296L + y.nb")
+                   else expr("struct(x.nb AS a, y.nb AS b)")).as("e"))
+      }
+    val cand = wedges
+      .groupBy(col("e"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)
-    val nonEdges = cand.join(
-      pairs.select(col("u").as("a"), col("v").as("b")),
-      Seq("a", "b"), "left_anti")
+    // anti-join the candidate set against the edge set on the SAME key
+    // shape the rollup used (packed long or struct-free (a, b) pair),
+    // then unpack for the degree joins
+    val nonEdges =
+      if (packOk)
+        cand.join(
+            hintedE(pairs.select(expr("u * 4294967296L + v").as("e"))),
+            Seq("e"), "left_anti")
+          .select(expr("e div 4294967296L").as("a"),
+            expr("e % 4294967296L").as("b"), col("cn"))
+      else
+        cand.select(col("e.a").as("a"), col("e.b").as("b"), col("cn"))
+          .join(hintedE(pairs.select(col("u").as("a"), col("v").as("b"))),
+            Seq("a", "b"), "left_anti")
     nonEdges
-      .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
-      .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+      .join(hintedE(deg.select(col("u").as("a"), col("dg").as("da"))), Seq("a"))
+      .join(hintedE(deg.select(col("u").as("b"), col("dg").as("db"))), Seq("b"))
       .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
         expr("cn * 1000000L div (da + db - cn)").as("jaccard_ppm"))
       .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("a"), col("b"))
@@ -648,25 +817,58 @@ object Graph {
     * struct max — engine- and partitioning-invariant. */
   private[graft] def labelPropagation(pairs: DataFrame,
       rounds: Int): DataFrame = {
+    val s = pairs.sparkSession
     val bidir = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .cutLineage()
-    var labels = bidir.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).cutLineage()
-    for (_ <- 1 to rounds) {
-      val votes = bidir
-        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
-        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
-      val prev = labels
-      labels = votes
-        .select(col("u"),
-          struct(col("cnt"), (-col("label")).as("neg")).as("sv"))
-        .groupBy("u").agg(max(col("sv")).as("m"))
-        .select(col("u").as("node"), (-col("m.neg")).as("label"))
-        .cutLineage()
-      Iterate.release(prev) // superseded round frame
+    val nodes = bidir.select(col("u").as("node")).distinct().cutLineage()
+    val nNodes = nodes.count()
+    val rankBroadcastMax = s.conf
+      .get("spark.graft.graph.rankBroadcastMaxNodes", "10000000").toLong
+    // r13 OPTIMIZATION (the q163/q365 driver-round device, VERDICT r12
+    // #4): labels are node-sized; under the broadcast boundary each
+    // round is ONE job — edge ⋈ broadcast(local labels) → (u, label)
+    // vote rollup → argmax-by-(cnt, −label) → node-sized collect —
+    // instead of a shuffle join + checkpoint job per round (the old
+    // labels join carried no hint, so bidir re-shuffled EVERY round).
+    // The plurality argmax stays in the distributed agg; the driver
+    // only swaps the row buffer. Bit-identical labels (GraphSpec's
+    // sequential reference; integer vote counts are partitioning-
+    // invariant). Past the boundary the r12 loop is unchanged.
+    if (nNodes <= rankBroadcastMax) {
+      import s.implicits._
+      var labelRows: Seq[(Long, Long)] = nodes.collect()
+        .map(r => (r.getLong(0), r.getLong(0))).toSeq
+      for (_ <- 1 to rounds) {
+        val round = bidir
+          .join(broadcast(labelRows.toDF("v", "label")), Seq("v"))
+          .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+          .select(col("u"),
+            struct(col("cnt"), (-col("label")).as("neg")).as("sv"))
+          .groupBy("u").agg(max(col("sv")).as("m"))
+          .select(col("u").as("node"), (-col("m.neg")).as("label"))
+        if (roundPlanHook ne null) roundPlanHook("q253_round", round)
+        labelRows = round.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      labelRows.toDF("node", "label")
+    } else {
+      var labels = nodes.withColumn("label", col("node"))
+      for (_ <- 1 to rounds) {
+        val votes = bidir
+          .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+          .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+        val prev = labels
+        labels = votes
+          .select(col("u"),
+            struct(col("cnt"), (-col("label")).as("neg")).as("sv"))
+          .groupBy("u").agg(max(col("sv")).as("m"))
+          .select(col("u").as("node"), (-col("m.neg")).as("label"))
+          .cutLineage()
+        Iterate.release(prev) // superseded round frame
+      }
+      labels
     }
-    labels
   }
 
   /** q253: synchronous label-propagation communities on the
@@ -818,6 +1020,48 @@ object Graph {
         expr(s"CAST(CAST(s AS DECIMAL(38,0)) * $scale div $tot AS BIGINT)")
           .as("s"))
     }
+    // r13 OPTIMIZATION (VERDICT r12 #4, guide §1.2): under the same
+    // broadcast boundary, each half-round fuses into ONE distributed
+    // job — edge ⋈ broadcast(local scores) → destination-keyed sum →
+    // node-sized collect — with the L1 renorm applied driver-side in
+    // BigInt (≡ the engine's DECIMAL(38,0) `div`: both truncate toward
+    // zero on non-negatives; HitsSpec's recompute pins exactly this).
+    // The old shape paid THREE driver-visible steps per half-round
+    // (checkpoint job, mass-sum collect job, next join's broadcast
+    // build) for the same bytes; at sf0.1 those fixed costs WERE the
+    // query (~0.55 s/half-round × 24). Past the boundary the r12
+    // checkpoint-per-half-round loop is unchanged.
+    if (nC <= rankBroadcastMax) {
+      import s.implicits._
+      def renormLocal(rows: Array[org.apache.spark.sql.Row],
+          key: String): Seq[(Long, Long)] = {
+        val tot = rows.iterator.map(_.getLong(1)).sum
+        require(tot > 0,
+          s"HITS renorm: total $key mass is empty or zero — graph has no edges")
+        rows.map(r => (r.getLong(0), (BigInt(r.getLong(1)) * scale / tot).toLong)).toSeq
+      }
+      var hubRows: Seq[(Long, Long)] = custs.select("c").collect()
+        .map(r => (r.getLong(0), scale / math.max(nC, 1L))).toSeq
+      var authRows: Seq[(Long, Long)] = Seq.empty
+      for (_ <- 1 to iters) {
+        val roundA = edges.join(broadcast(hubRows.toDF("c", "s")), Seq("c"))
+          .groupBy("p").agg(sum("s").as("s"))
+        if (roundPlanHook ne null) roundPlanHook("q365_half_round", roundA)
+        authRows = renormLocal(roundA.collect(), "p")
+        hubRows = renormLocal(
+          edges.join(broadcast(authRows.toDF("p", "s")), Seq("p"))
+            .groupBy("c").agg(sum("s").as("s")).collect(), "c")
+      }
+      val topA = authRows.toDF("p", "s").orderBy(col("s").desc, col("p"))
+        .limit(topK)
+        .select(lit("authority").as("role"), col("p").as("node"),
+          col("s").as("score_pico"))
+      val topH = hubRows.toDF("c", "s").orderBy(col("s").desc, col("c"))
+        .limit(topK)
+        .select(lit("hub").as("role"), col("c").as("node"),
+          col("s").as("score_pico"))
+      topA.unionAll(topH).orderBy(col("role"), col("score_pico").desc, col("node"))
+    } else {
     var hubs = custs.select(col("c"), lit(scale / math.max(nC, 1L)).as("s"))
       .cutLineage()
     var auths: DataFrame = null
@@ -853,5 +1097,6 @@ object Graph {
       .select(lit("hub").as("role"), col("c").as("node"),
         col("s").as("score_pico"))
     topA.unionAll(topH).orderBy(col("role"), col("score_pico").desc, col("node"))
+    }
   }
 }
